@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the session config every entry point (Verify, Bench,
+  * tests) shares. Mirrors the reference's `init`
+  * (`/root/reference/src/TrafficStatistics.scala:17-23`) — SparkConf +
+  * caller overrides — in SparkSession.builder form.
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // testdata events.ts is TIMESTAMP(NANOS) — Spark 4 reads it only as
+      // a Long; Tables.events converts back to TimestampType.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
