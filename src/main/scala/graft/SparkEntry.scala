@@ -181,6 +181,99 @@ object SparkEntry {
                 substring(col("c_name"), 10, 9).as("digits"),
                 length(col("c_name")).cast("long").as("name_len"),
                 upper(col("c_mktsegment")).as("seg"))),
+
+    // ---- Composite pipelines (SURVEY §3.1–3.3 over testdata,
+    //      FIXTURES.md §2 role mapping) ----
+    "q20_accident_pipeline" -> ((s, d) =>
+      // §3.1: combined time-range + 2-D range filter → hourly histogram.
+      TrafficOps.hourlyCount(
+        TrafficOps.timeRangeClosed(Tables.events(s, d), "ts",
+            TimeRange("2024-01-05 00:00:00", "2024-01-25 00:00:00"))
+          .filter(col("value").between(50.0, 200.0)),
+        hour(col("ts")).cast("long"))),
+
+    "q21_overspeed_pipeline" -> ((s, d) => {
+      // §3.2 full shape: fact ⋈ broadcast(bbox dim) ⋈ interval-classified
+      // trips, one-pass car_type, grouped count. supplier=camera sites
+      // (s_acctbal range as bbox), lineitem=observations (l_quantity as
+      // speed), orders=toll trips (90-day interval from o_orderdate).
+      val su = Tables.supplier(s, d)
+        .filter(col("s_acctbal").between(1000.0, 8000.0))
+        .select(col("s_suppkey"))
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val sited = TrafficOps.broadcastDimJoin(li, su, "l_suppkey", "s_suppkey")
+      val joined = TrafficOps.intervalJoin(sited, o, "l_orderkey", "o_orderkey",
+        sited("l_shipdate"), o("o_orderdate"), date_add(o("o_orderdate"), 90))
+      joined
+        .withColumn("car_type", TrafficOps.carType(
+          when(col("o_orderstatus") === "F", 1).otherwise(2),
+          when(col("l_returnflag") === "R", 1).otherwise(0),
+          col("l_quantity"), 45, 40))
+        .filter(col("car_type").isNotNull)
+        .groupBy(dayofmonth(col("l_shipdate")).cast("long").as("time_period"),
+                 col("car_type"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q22_avgspeed_pipeline" -> ((s, d) => {
+      // §3.3: today-vs-trailing-window averages, UNION ALL of two tagged
+      // aggregates over one cached classified slice.
+      val su = Tables.supplier(s, d)
+        .filter(col("s_acctbal").between(1000.0, 8000.0))
+        .select(col("s_suppkey"))
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val sited = TrafficOps.broadcastDimJoin(li, su, "l_suppkey", "s_suppkey")
+      val obs = TrafficOps.intervalJoin(sited, o, "l_orderkey", "o_orderkey",
+          sited("l_shipdate"), o("o_orderdate"), date_add(o("o_orderdate"), 90))
+        .filter(col("l_shipdate") >= lit("2000-05-16").cast("timestamp") &&
+                col("l_shipdate") <  lit("2000-06-16").cast("timestamp"))
+        .withColumn("car_type",
+          when(col("o_orderstatus") === "F", "01").otherwise("02"))
+        .select(dayofmonth(col("l_shipdate")).cast("long").as("time_period"),
+                col("l_shipdate"), col("car_type"), col("l_quantity"))
+        .cache()
+      def agg(df: DataFrame, tp: Long) =
+        df.groupBy(col("time_period"), col("car_type"))
+          .agg(avg(col("l_quantity")).as("avg_speed"))
+          .withColumn("time_point", lit(tp))
+      val today = obs.filter(to_date(col("l_shipdate")) === lit("2000-06-15").cast("date"))
+      agg(today, 1L).unionAll(agg(obs, 0L))
+    }),
+
+    // ---- Beyond the reference: windows / sort-limit / set ops
+    //      (engine completeness; SURVEY §2.7 notes the reference lacks
+    //      these entirely) ----
+    "q23_window_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+                 col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("l_returnflag"), col("l_orderkey"),
+                col("l_extendedprice"), col("rn"))
+    }),
+
+    "q24_topn" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    "q25_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.filter(col("value") > 180).select(col("event_type"))
+        .intersect(ev.filter(col("user_id") < 20).select(col("event_type")))
+    }),
+
+    "q26_except" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.select(col("c_mktsegment"))
+        .except(c.filter(col("c_acctbal") > 2000).select(col("c_mktsegment")))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -222,5 +315,40 @@ object SparkEntry {
       "SELECT event_id, COALESCE(TRY_CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT), 0) AS k FROM events",
     "q19_strings" ->
       "SELECT c_custkey, substring(c_name, 10, 9) AS digits, CAST(length(c_name) AS BIGINT) AS name_len, upper(c_mktsegment) AS seg FROM customer WHERE c_custkey < 1000",
+    "q20_accident_pipeline" ->
+      "SELECT CAST(hour(ts) AS BIGINT) AS time_period, count(*) AS cnt FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-25 00:00:00' AND value BETWEEN 50.0 AND 200.0 GROUP BY 1",
+    "q21_overspeed_pipeline" ->
+      """SELECT time_period, car_type, count(*) AS cnt FROM (
+        |  SELECT CAST(day(l.l_shipdate) AS BIGINT) AS time_period,
+        |    CASE WHEN o.o_orderstatus =  'F' AND l.l_returnflag <> 'R' AND l.l_quantity > 45 THEN '01'
+        |         WHEN o.o_orderstatus <> 'F' AND l.l_returnflag <> 'R' AND l.l_quantity > 45 THEN '02'
+        |         WHEN o.o_orderstatus =  'F' AND l.l_returnflag =  'R' AND l.l_quantity > 45 THEN '03'
+        |         WHEN o.o_orderstatus <> 'F' AND l.l_returnflag =  'R' AND l.l_quantity > 40 THEN '04' END AS car_type
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_acctbal BETWEEN 1000.0 AND 8000.0
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+        |) WHERE car_type IS NOT NULL GROUP BY time_period, car_type""".stripMargin,
+    "q22_avgspeed_pipeline" ->
+      """WITH obs AS (
+        |  SELECT CAST(day(l.l_shipdate) AS BIGINT) AS time_period, l.l_shipdate,
+        |    CASE WHEN o.o_orderstatus = 'F' THEN '01' ELSE '02' END AS car_type,
+        |    l.l_quantity
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_acctbal BETWEEN 1000.0 AND 8000.0
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+        |  WHERE l.l_shipdate >= TIMESTAMP '2000-05-16 00:00:00' AND l.l_shipdate < TIMESTAMP '2000-06-16 00:00:00')
+        |SELECT time_period, car_type, avg(l_quantity) AS avg_speed, CAST(1 AS BIGINT) AS time_point
+        |  FROM obs WHERE CAST(l_shipdate AS DATE) = DATE '2000-06-15' GROUP BY 1, 2
+        |UNION ALL
+        |SELECT time_period, car_type, avg(l_quantity) AS avg_speed, CAST(0 AS BIGINT) AS time_point
+        |  FROM obs GROUP BY 1, 2""".stripMargin,
+    "q23_window_topk" ->
+      "SELECT l_returnflag, l_orderkey, l_extendedprice, rn FROM (SELECT l_returnflag, l_orderkey, l_extendedprice, row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) WHERE rn <= 3",
+    "q24_topn" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q25_intersect" ->
+      "SELECT event_type FROM events WHERE value > 180 INTERSECT SELECT event_type FROM events WHERE user_id < 20",
+    "q26_except" ->
+      "SELECT c_mktsegment FROM customer EXCEPT SELECT c_mktsegment FROM customer WHERE c_acctbal > 2000",
   )
 }
