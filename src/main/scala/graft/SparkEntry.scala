@@ -20,8 +20,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val ev = TrafficOps.timeRangeClosed(
-      Tables.events(spark, dir), "ts",
+    val ev = Tables.eventsRange(spark, dir,
       TimeRange("2024-01-05 00:00:00", "2024-01-25 00:00:00"))
     TrafficOps.hourlyCount(
       ev.filter(col("value").between(50.0, 200.0)),
@@ -43,13 +42,16 @@ object SparkEntry {
 
     // ---- Filters (SURVEY §2.3) ----
     "q03_filter_between" -> ((s, d) =>
-      TrafficOps.timeRangeClosed(Tables.events(s, d), "ts",
+      // F1, pushed: range bounds rewritten to raw nanos pre-projection so
+      // the predicate reaches the parquet scan (Tables.eventsRange).
+      Tables.eventsRange(s, d,
           TimeRange("2024-01-10 00:00:00", "2024-01-20 00:00:00"))
         .select(col("event_id"), col("user_id"), col("event_type"))),
 
     "q04_filter_halfopen" -> ((s, d) =>
-      TrafficOps.timeRangeHalfOpen(Tables.events(s, d), "ts",
-          TimeRange("2024-01-10 00:00:00", "2024-01-20 00:00:00"))
+      Tables.eventsRange(s, d,
+          TimeRange("2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+          closed = false)
         .select(col("event_id"), col("user_id"))),
 
     "q05_filter_bbox" -> ((s, d) =>
@@ -60,8 +62,8 @@ object SparkEntry {
                 col("c_mktsegment"))),
 
     "q06_filter_date_eq" -> ((s, d) =>
-      Tables.events(s, d)
-        .filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
+      // F4 "today" slice as a pushed half-open day range [d, d+1).
+      Tables.eventsOnDate(s, d, "2024-01-15")
         .select(col("event_id"), hour(col("ts")).cast("long").as("hour"))),
 
     "q07_filter_const_cast" -> ((s, d) =>
@@ -146,13 +148,18 @@ object SparkEntry {
       // The reference's reuse discipline: cache the filtered slice once,
       // read it from memory for every downstream aggregate
       // (`src/OverSpeedCount.scala:125` + `:133-136`).
-      val slice = TrafficOps.timeRangeClosed(Tables.events(s, d), "ts",
+      val slice = Tables.eventsRange(s, d,
         TimeRange("2024-01-05 00:00:00", "2024-01-25 00:00:00")).cache()
       slice.count() // A3: force materialization
       val out = slice
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), avg(col("user_id")).as("avg_uid"))
-      out
+      // S6 scoped uncache: the aggregate is ≤|event_type| rows — pin it on
+      // the driver (the reference's own sink shape, S4) so the cached slice
+      // can be released before returning instead of leaking until destroy().
+      val rows = out.collect()
+      slice.unpersist(blocking = true)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     // ---- Scalar functions (SURVEY §2.8) ----
@@ -187,7 +194,7 @@ object SparkEntry {
     "q20_accident_pipeline" -> ((s, d) =>
       // §3.1: combined time-range + 2-D range filter → hourly histogram.
       TrafficOps.hourlyCount(
-        TrafficOps.timeRangeClosed(Tables.events(s, d), "ts",
+        Tables.eventsRange(s, d,
             TimeRange("2024-01-05 00:00:00", "2024-01-25 00:00:00"))
           .filter(col("value").between(50.0, 200.0)),
         hour(col("ts")).cast("long"))),
@@ -239,7 +246,12 @@ object SparkEntry {
           .agg(avg(col("l_quantity")).as("avg_speed"))
           .withColumn("time_point", lit(tp))
       val today = obs.filter(to_date(col("l_shipdate")) === lit("2000-06-15").cast("date"))
-      agg(today, 1L).unionAll(agg(obs, 0L))
+      val out = agg(today, 1L).unionAll(agg(obs, 0L))
+      // S6 scoped uncache (as q16): pin the ≤(31×2×2)-row result, release
+      // the cached slice before returning.
+      val rows = out.collect()
+      obs.unpersist(blocking = true)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     // ---- Beyond the reference: windows / sort-limit / set ops

@@ -26,6 +26,8 @@ final case class TimeRange(lo: String, hi: String)
   * downstream take plain DataFrames and never touch paths.
   */
 object Tables {
+  import org.apache.spark.sql.functions.col
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -48,6 +50,51 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(table(s, d, "events"), "ts")
+
+  /** Epoch nanos (UTC) of `yyyy-MM-dd[ HH:mm:ss]` — the literal-rewrite side
+    * of the pushed time filter below.
+    */
+  private def nanosUtc(t: String): Long = {
+    val iso = if (t.contains(' ')) t.replace(' ', 'T')
+              else if (t.contains('T')) t else t + "T00:00:00"
+    val ldt = java.time.LocalDateTime.parse(iso)
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + ldt.getNano
+  }
+
+  /** Time-range scan of `events` with the predicate PUSHED to the parquet
+    * scan. `normalizeTs` projects a derived `timestamp_micros(ts div 1000)`
+    * column; filtering on that derived column can never reach the parquet
+    * reader (no row-group stats pruning — at 100 TB the time predicate is
+    * the main pruning lever). Instead the range bounds are rewritten to
+    * epoch nanos and compared against the raw TIMESTAMP(NANOS)-as-Long
+    * column *before* the projection, so they land in PushedFilters and
+    * row-group min/max stats skip whole files. Comparison at nano precision
+    * is exactly the oracle's (DuckDB reads the full nanos).
+    */
+  def eventsRange(s: SparkSession, d: String, r: TimeRange,
+                  closed: Boolean = true): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      val (lo, hi) = (nanosUtc(r.lo), nanosUtc(r.hi))
+      val pred = if (closed) col("ts").between(lo, hi)
+                 else col("ts") >= lo && col("ts") < hi
+      normalizeTs(raw.filter(pred), "ts")
+    } else { // native TimestampType scan: plain comparison pushes already
+      import org.apache.spark.sql.functions.lit
+      val (lo, hi) = (lit(r.lo).cast("timestamp"), lit(r.hi).cast("timestamp"))
+      val pred = if (closed) col("ts").between(lo, hi)
+                 else col("ts") >= lo && col("ts") < hi
+      raw.filter(pred)
+    }
+  }
+
+  /** Date-equality slice of `events` ("today", SURVEY F4) as a pushed
+    * half-open day range [d, d+1).
+    */
+  def eventsOnDate(s: SparkSession, d: String, date: String): DataFrame = {
+    val next = java.time.LocalDate.parse(date).plusDays(1).toString
+    eventsRange(s, d, TimeRange(date, next), closed = false)
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -74,13 +74,21 @@ object TrafficOps {
     * (`src/OverSpeedCount.scala:122`, commented out). The scalable rewrite:
     * UNION of two equi joins + DISTINCT on the output key pair. Each leg is
     * a hash join; dedup is a hash aggregate — no cartesian anywhere.
+    *
+    * The right side is broadcast: it's a dimension by construction, and one
+    * of its keys is typically low-cardinality (the reference's exit-plate
+    * analog), so a shuffled join on that leg would explode rows *through* a
+    * full shuffle. Broadcasting means only the DISTINCT on the already
+    * projected (narrow) key pair ever shuffles — partial aggregation
+    * collapses most duplicates map-side first.
     */
   def disjunctiveKeyJoin(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey1: String, rightKey2: String,
                          outCols: Seq[String]): DataFrame = {
-    val j1 = left.join(right, left(leftKey) === right(rightKey1), "inner")
+    val dim = broadcast(right)
+    val j1 = left.join(dim, left(leftKey) === right(rightKey1), "inner")
       .select(outCols.map(col): _*)
-    val j2 = left.join(right, left(leftKey) === right(rightKey2), "inner")
+    val j2 = left.join(dim, left(leftKey) === right(rightKey2), "inner")
       .select(outCols.map(col): _*)
     j1.unionAll(j2).distinct()
   }

@@ -133,7 +133,14 @@ class TrafficAnalytics(spark: SparkSession, dataPath: String) {
       df.groupBy(col("hour").as("time_period"), col("car_type"))
         .agg(avg(col("CLSD")).as("avg_speed"))
         .withColumn("time_point", lit(tp))
-    agg(today, 1L).unionAll(agg(obs, 0L))
+    val out = agg(today, 1L).unionAll(agg(obs, 0L))
+    // S6 scoped uncache (ref releases its slice mid-query,
+    // `/root/reference/src/AverageSpeed.scala:117`): pin the ≤24×4×2-row
+    // result, release the cache before returning — a long-lived host-app
+    // session must not accumulate per-query cached slices.
+    val rows = out.collect()
+    obs.unpersist(blocking = true)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** S4: the reference's host-app sink — JSON strings collected to the
@@ -142,6 +149,19 @@ class TrafficAnalytics(spark: SparkSession, dataPath: String) {
     */
   def toJsonList(df: DataFrame): java.util.List[String] =
     df.toJSON.collect().toList.asJava
+
+  /** S7: temp-view catalog surface. The reference names every intermediate
+    * so host-side SQL can reference it (`registerTempTable`,
+    * `src/OverSpeedCount.scala:35-124`); the rebuild keeps direct DataFrame
+    * refs internally but exposes the same naming seam for host apps:
+    * register a pipeline output, query it with `spark.sql`, drop it when
+    * done.
+    */
+  def register(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  def dropView(name: String): Unit =
+    spark.catalog.dropTempView(name): Unit
 
   /** X5. */
   def destroy(): Unit = { spark.catalog.clearCache() }
