@@ -1,0 +1,340 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+/** LLM-training-data-pipeline queries (q27+) over the `documents` and
+  * `embeddings` tables: text analysis, dedup (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard), similarity search (brute-force and
+  * LSH-bucketed cosine), and multimodal binary columns. Merged into
+  * [[SparkEntry]]'s driver contract.
+  *
+  * The dedup and embedding near-dup queries run over a corpus with
+  * PLANTED duplicates (exact copies and first-token-dropped /
+  * scaled-vector near copies, built identically in the oracle SQL) so the
+  * checks exercise real recall instead of comparing empty results.
+  */
+object LlmEntry {
+  import TextOps._
+
+  private val JaccardThreshold = 0.6
+  private val TopK = 10
+  private val LshK = 5
+  private val ProbeN = 10         // probe set: vec_id < ProbeN
+  private val NearDupVecN = 100   // planted scaled copies: vec_id < N at +offset
+  private val NearDupVecOffset = 10000L
+  private val CosineDupThreshold = 0.99
+
+  /** Embedding corpus with planted near-dup vectors: v/2 keeps the sign
+    * mask (same LSH bucket) and cosine ≈ 1.
+    */
+  private def vecCorpus(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"),
+      expr(SimilarityOps.toDoubleSpark("embedding")).as("v"))
+    val planted = base.filter(col("vec_id") < NearDupVecN)
+      .select((col("vec_id") + NearDupVecOffset).as("vec_id"),
+        expr("transform(v, x -> x * 0.5)").as("v"))
+    base.unionAll(planted)
+      .select(col("vec_id"), col("v"),
+        expr(SimilarityOps.normSpark("v")).as("nrm"),
+        expr(SimilarityOps.bucketSpark("v")).as("bucket"))
+  }
+  private val vecCorpusDuck: String =
+    s"""SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm,
+       |       ${SimilarityOps.bucketDuck("v")} AS bucket FROM (
+       |  SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $NearDupVecOffset AS vec_id,
+       |         list_transform(${SimilarityOps.toDoubleDuck("embedding")}, x -> x * 0.5) AS v
+       |  FROM embeddings WHERE vec_id < $NearDupVecN)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis --------------------------------------------------
+    "q27_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        expr(s"CAST(size(${tokensSpark("text")}) AS BIGINT)").as("n_tokens"),
+        expr(subwordCountSpark("text")).as("n_subwords"),
+        col("n_chars"))),
+
+    "q28_text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", expr(s"CAST(size(${tokensSpark("text")}) AS BIGINT)"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          avg(col("n_chars")).as("avg_chars"),
+          avg(col("n_tokens")).as("avg_tokens"))),
+
+    "q29_top_tokens" -> ((s, d) =>
+      // explode → map-side partial agg → 20-row result; the exploded
+      // token stream never materializes.
+      Tables.documents(s, d)
+        .select(explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(20)),
+
+    "q30_text_quality" -> ((s, d) => {
+      val base = qualitySpark("text").foldLeft(Tables.documents(s, d)) {
+        case (df, (n, e)) => df.withColumn(n, expr(e))
+      }
+      base.select(col("doc_id") +: qualitySpark("text").map(p => col(p._1)) :+
+        expr(qualityScoreExpr).as("quality_score"): _*)
+    }),
+
+    "q31_langid" -> ((s, d) => {
+      val scored = langScoresSpark("text").foldLeft(Tables.documents(s, d)) {
+        case (df, (n, e)) => df.withColumn(n, expr(e))
+      }
+      scored.withColumn("predicted", expr(langArgmaxExpr))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q32_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        expr(rollingHashSpark("text")).as("rolling_hash"),
+        md5(col("text")).as("md5_hex"),
+        expr(s"array_min(transform(${DedupOps.shinglesSpark("text")}, " +
+          "s -> md5(concat('0|', s))))").as("min_shingle_hash"))),
+
+    "q33_dedup_exact" -> ((s, d) =>
+      DedupOps.exactDups(DedupOps.corpus(Tables.documents(s, d)))),
+
+    "q34_minhash_buckets" -> ((s, d) => {
+      // LSH bucket-size histogram: the shape check that candidate
+      // generation is per-bucket, never all-pairs.
+      val out = DedupOps.lshBuckets(DedupOps.corpus(Tables.documents(s, d)))
+        .groupBy(col("band_id"), col("band_key"))
+        .agg(count(lit(1)).as("bucket_size"))
+        .groupBy(col("band_id"), col("bucket_size"))
+        .agg(count(lit(1)).as("n_buckets"))
+      out
+    }),
+
+    "q35_minhash_pairs" -> ((s, d) => {
+      // The signature table feeds the bucket self-join AND both sides of
+      // the pair-estimate join — persist it once (MEMORY_AND_DISK, the
+      // 100 TB-safe level for a slim doc_id+sig[12] table) instead of
+      // recomputing the minhash 4×. The ≤|candidates| output is pinned on
+      // the driver so the cache can be released before returning.
+      val sig = DedupOps.signatures(DedupOps.corpus(Tables.documents(s, d)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = DedupOps.candidatePairs(DedupOps.lshBucketsFromSig(sig))
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          expr(s"CAST(size(filter(transform(sequence(1, ${DedupOps.NumHashes}), " +
+            "i -> CASE WHEN element_at(sig_a, i) = element_at(sig_b, i) THEN 1 ELSE 0 END), " +
+            s"x -> x = 1)) AS DOUBLE) / ${DedupOps.NumHashes}.0").as("est_jaccard"))
+      val rows = out.collect()
+      sig.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
+    "q36_jaccard_verify" -> ((s, d) => {
+      // Same persistence discipline: shingle sets are reused by the bucket
+      // join and both sides of the verify join.
+      val c = DedupOps.corpus(Tables.documents(s, d))
+      val shingled = c.select(col("doc_id"),
+          expr(DedupOps.shinglesSpark("text")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = DedupOps.signaturesFromShingles(shingled)
+      val pairs = DedupOps.candidatePairs(DedupOps.lshBucketsFromSig(sig))
+      val out = DedupOps.jaccardVerifyShingled(shingled, pairs, JaccardThreshold)
+      val rows = out.collect()
+      shingled.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
+    "q37_simhash" -> ((s, d) =>
+      TextOps.simhashSpark(DedupOps.corpus(Tables.documents(s, d)), "doc_id", "text")),
+
+    // ---- similarity search ----------------------------------------------
+    "q38_cosine_topk" -> ((s, d) => {
+      val p = SimilarityOps.prepped(Tables.embeddings(s, d))
+      SimilarityOps.bruteForceTopK(p, p.filter(col("vec_id") < ProbeN), TopK)
+        .select(col("probe_id"), col("vec_id"), col("cosine"), col("rk"))
+    }),
+
+    "q39_cosine_lsh_topk" -> ((s, d) => {
+      // Scale path: candidates restricted to the probe's LSH bucket.
+      val p = SimilarityOps.prepped(Tables.embeddings(s, d))
+      val probes = p.filter(col("vec_id") < ProbeN)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pn"), col("bucket"))
+      val joined = probes.join(p, Seq("bucket"))
+        .filter(col("probe_id") =!= col("vec_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (expr(SimilarityOps.dotSpark("pv", "v")) / (col("pn") * col("nrm")))
+            .as("cosine"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      joined.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= LshK)
+    }),
+
+    "q40_embed_neardup" -> ((s, d) =>
+      SimilarityOps.bucketedNearDup(vecCorpus(Tables.embeddings(s, d)),
+          CosineDupThreshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))),
+
+    // ---- multimodal columns ---------------------------------------------
+    "q41_media_meta" -> ((s, d) => {
+      val m = MultimodalOps.mediaTable(Tables.documents(s, d))
+      m.select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        col("meta.format").as("format"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        col("meta.duration_ms").as("duration_ms"),
+        expr(s"CAST(ceil(length(payload) / ${MultimodalOps.FrameSize}.0) AS BIGINT)")
+          .as("n_frames"))
+    }),
+
+    "q42_media_frames" -> ((s, d) =>
+      // ArrayType[StructType] end-to-end: build the frame index as an
+      // array of structs, explode with inline, hash each frame slice.
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          expr(MultimodalOps.frameIndexSpark("length(text)")).as("frames"))
+        .select(col("doc_id"), expr("inline(frames)"), col("text"))
+        .select(col("doc_id"), col("frame_id"), col("off"), col("len"),
+          expr("md5(substr(text, CAST(off AS INT), CAST(len AS INT)))")
+            .as("frame_md5"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q27_text_tokens" ->
+      s"""SELECT doc_id, CAST(len(${tokensDuck("text")}) AS BIGINT) AS n_tokens,
+         |  ${subwordCountDuck("text")} AS n_subwords, n_chars FROM documents""".stripMargin,
+
+    "q28_text_stats" ->
+      s"""SELECT lang, source, count(*) AS n_docs, avg(n_chars) AS avg_chars,
+         |  avg(n_tokens) AS avg_tokens FROM (
+         |  SELECT lang, source, n_chars,
+         |    CAST(len(${tokensDuck("text")}) AS BIGINT) AS n_tokens FROM documents)
+         |GROUP BY lang, source""".stripMargin,
+
+    "q29_top_tokens" ->
+      s"""SELECT tok, count(*) AS cnt FROM (
+         |  SELECT unnest(${tokensDuck("text")}) AS tok FROM documents)
+         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+
+    "q30_text_quality" -> {
+      val cols = qualityDuck("text").map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
+      s"""SELECT doc_id, n_tokens, stop_ratio, uniq_ratio, mean_tok_len,
+         |  $qualityScoreExpr AS quality_score FROM (
+         |  SELECT doc_id, $cols FROM documents)""".stripMargin
+    },
+
+    "q31_langid" -> {
+      val cols = langScoresDuck("text").map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
+      s"""SELECT lang, predicted, count(*) AS n FROM (
+         |  SELECT lang, $langArgmaxExpr AS predicted FROM (
+         |    SELECT lang, $cols FROM documents))
+         |GROUP BY lang, predicted""".stripMargin
+    },
+
+    "q32_fingerprint" ->
+      s"""SELECT doc_id, ${rollingHashDuck("text")} AS rolling_hash,
+         |  md5(text) AS md5_hex,
+         |  list_min(list_transform(${DedupOps.shinglesDuck("text")},
+         |    s -> md5('0|' || s))) AS min_shingle_hash
+         |FROM documents""".stripMargin,
+
+    "q33_dedup_exact" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck})
+         |${DedupOps.exactDupsDuckBody}""".stripMargin,
+
+    "q34_minhash_buckets" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |buckets AS (${DedupOps.lshBucketsDuckBody})
+         |SELECT band_id, bucket_size, count(*) AS n_buckets FROM (
+         |  SELECT band_id, band_key, count(*) AS bucket_size FROM buckets
+         |  GROUP BY band_id, band_key)
+         |GROUP BY band_id, bucket_size""".stripMargin,
+
+    "q35_minhash_pairs" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |buckets AS (${DedupOps.lshBucketsDuckBody}),
+         |sigs AS (SELECT doc_id,
+         |  ${DedupOps.signatureDuck(DedupOps.shinglesDuck("text"))} AS sig FROM corpus),
+         |pairs AS (${DedupOps.candidatePairsDuckBody})
+         |SELECT id_a, id_b,
+         |  CAST(len(list_filter(list_transform(range(1, ${DedupOps.NumHashes + 1}),
+         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END),
+         |    x -> x = 1)) AS DOUBLE) / ${DedupOps.NumHashes}.0 AS est_jaccard
+         |FROM pairs JOIN sigs sa ON sa.doc_id = id_a
+         |           JOIN sigs sb ON sb.doc_id = id_b""".stripMargin,
+
+    "q36_jaccard_verify" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |buckets AS (${DedupOps.lshBucketsDuckBody}),
+         |shingled AS (SELECT doc_id, ${DedupOps.shinglesDuck("text")} AS sh FROM corpus),
+         |pairs AS (${DedupOps.candidatePairsDuckBody})
+         |${DedupOps.jaccardVerifyDuckBody(JaccardThreshold)}""".stripMargin,
+
+    "q37_simhash" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck})
+         |${TextOps.simhashDuck("corpus", "doc_id", "text")}""".stripMargin,
+
+    "q38_cosine_topk" ->
+      s"""WITH prepped AS (
+         |  SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm FROM (
+         |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings))
+         |SELECT probe_id, vec_id, cosine, rk FROM (
+         |  SELECT probe_id, vec_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id,
+         |      ${SimilarityOps.dotDuck("p.v", "c.v")} / (p.nrm * c.nrm) AS cosine
+         |    FROM prepped p, prepped c
+         |    WHERE p.vec_id < $ProbeN AND p.vec_id <> c.vec_id))
+         |WHERE rk <= $TopK""".stripMargin,
+
+    "q39_cosine_lsh_topk" ->
+      s"""WITH prepped AS (
+         |  SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm,
+         |         ${SimilarityOps.bucketDuck("v")} AS bucket FROM (
+         |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings))
+         |SELECT probe_id, vec_id, cosine, rk FROM (
+         |  SELECT probe_id, vec_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id,
+         |      ${SimilarityOps.dotDuck("p.v", "c.v")} / (p.nrm * c.nrm) AS cosine
+         |    FROM prepped p JOIN prepped c ON p.bucket = c.bucket
+         |    WHERE p.vec_id < $ProbeN AND p.vec_id <> c.vec_id))
+         |WHERE rk <= $LshK""".stripMargin,
+
+    "q40_embed_neardup" ->
+      s"""WITH corpus AS ($vecCorpusDuck)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+         |FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= $CosineDupThreshold""".stripMargin,
+
+    "q41_media_meta" ->
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(text) AS payload_md5, source AS format,
+         |  CAST(n_chars % 640 AS BIGINT) AS width,
+         |  CAST(n_chars % 480 AS BIGINT) AS height,
+         |  n_chars * 25 AS duration_ms,
+         |  CAST(ceil(octet_length(encode(text)) / ${MultimodalOps.FrameSize}.0) AS BIGINT) AS n_frames
+         |FROM documents""".stripMargin,
+
+    "q42_media_frames" ->
+      s"""SELECT doc_id, u.f.frame_id AS frame_id, u.f.off AS off, u.f.len AS len,
+         |  md5(substr(text, CAST(u.f.off AS INT), CAST(u.f.len AS INT))) AS frame_md5
+         |FROM (SELECT doc_id, text,
+         |        unnest(${MultimodalOps.frameIndexDuck("length(text)")}) AS f
+         |      FROM documents) u""".stripMargin,
+  )
+}

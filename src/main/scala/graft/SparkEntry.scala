@@ -27,7 +27,8 @@ object SparkEntry {
       hour(col("ts")).cast("long"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // ---- Aggregations (SURVEY §2.6) ----
     "q01_hourly_count" -> ((s, d) =>
       Tables.events(s, d)
@@ -286,7 +287,7 @@ object SparkEntry {
       c.select(col("c_mktsegment"))
         .except(c.filter(col("c_acctbal") > 2000).select(col("c_mktsegment")))
     }),
-  )
+  ) ++ LlmEntry.queries
 
   def oracleSql: Map[String, String] = Map(
     "q01_hourly_count" ->
@@ -362,5 +363,5 @@ object SparkEntry {
       "SELECT event_type FROM events WHERE value > 180 INTERSECT SELECT event_type FROM events WHERE user_id < 20",
     "q26_except" ->
       "SELECT c_mktsegment FROM customer EXCEPT SELECT c_mktsegment FROM customer WHERE c_acctbal > 2000",
-  )
+  ) ++ LlmEntry.oracleSql
 }

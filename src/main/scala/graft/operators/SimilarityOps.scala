@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`): exact
+  * brute-force cosine top-k as the correctness baseline, and a
+  * sign-bit-LSH bucketed variant as the 100 TB scale path.
+  *
+  * Numeric discipline: embeddings are cast FLOAT→DOUBLE (exact) up front,
+  * and every dot product folds left-to-right from +0.0 via HOFs, so the
+  * resulting doubles are bit-identical to the DuckDB oracle that mirrors
+  * the same fold. No UDFs — all HOF expressions stay codegen-friendly.
+  *
+  * Scale design:
+  *  - Brute-force: the probe set is small by construction and broadcast;
+  *    the corpus streams through one narrow pass (cosine per pair), and
+  *    top-k uses row_number over (probe) which Spark 4 executes with
+  *    WindowGroupLimit — each map task keeps only its local top-k before
+  *    the per-probe shuffle, so the shuffle volume is k·|probes|, not
+  *    |corpus|·|probes|.
+  *  - LSH: bucket key = sign mask of the first SignBits dimensions (an
+  *    axis-aligned random projection; deterministic so the oracle can
+  *    mirror it). Candidates are generated per-bucket via hash join —
+  *    never an all-pairs product. Norms are computed once per vector,
+  *    map-side, before any join.
+  */
+object SimilarityOps {
+  val SignBits = 8 // LSH bucket = sign mask of dims 1..SignBits
+
+  // ---- dialect fragments -------------------------------------------------
+  /** FLOAT[] → DOUBLE[] (exact widening). */
+  def toDoubleSpark(c: String): String = s"transform($c, x -> CAST(x AS DOUBLE))"
+  def toDoubleDuck(c: String): String  = s"CAST($c AS DOUBLE[])"
+
+  /** Left-to-right dot product of two equal-length double arrays. */
+  def dotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), " +
+      s"i -> $a[i] * $b[i])), (acc, v) -> acc + v)"
+
+  def normSpark(a: String): String = s"sqrt(${dotSpark(a, a)})"
+  def normDuck(a: String): String  = s"sqrt(${dotDuck(a, a)})"
+
+  /** Sign-mask LSH bucket: Σ_{i<SignBits} (v[i+1] >= 0) << i. */
+  def bucketSpark(a: String): String =
+    (0 until SignBits).map(i =>
+      s"CASE WHEN element_at($a, ${i + 1}) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+  def bucketDuck(a: String): String =
+    (0 until SignBits).map(i =>
+      s"CASE WHEN $a[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+
+  // ---- operators ---------------------------------------------------------
+  /** Per-vector prep: id, double vector, precomputed norm (+ LSH bucket).
+    * One narrow map over the scan; norms are never recomputed per pair.
+    */
+  def prepped(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      expr(toDoubleSpark("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        expr(normSpark("v")).as("nrm"),
+        expr(bucketSpark("v")).as("bucket"))
+
+  /** Exact top-k cosine neighbors for each probe (probe set must be small
+    * — it is broadcast). Excludes self-pairs. Deterministic tie-break on
+    * neighbor id.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val joined = probes.select(col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("nrm").as("pn"))
+      .crossJoin(corpus.select(col("vec_id"), col("v"), col("nrm")))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (expr(dotSpark("pv", "v")) / (col("pn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Bucketed near-duplicate pairs: equi-join on the LSH bucket, a < b,
+    * cosine ≥ threshold. The bucket join is the candidate generator; the
+    * cosine runs only on in-bucket pairs.
+    */
+  def bucketedNearDup(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("bucket"),
+        (expr(dotSpark("va", "vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}
