@@ -94,12 +94,16 @@ object LlmEntry {
     }),
 
     "q32_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        expr(rollingHashSpark("text")).as("rolling_hash"),
-        md5(col("text")).as("md5_hex"),
-        expr(s"array_min(transform(${DedupOps.shinglesSpark("text")}, " +
-          "s -> md5(concat('0|', s))))").as("min_shingle_hash"))),
+      // Winnowing-style fingerprint: char-level rolling hash, md5, and the
+      // minimum hashed k-shingle (= minhash with the identity map).
+      Tables.documents(s, d)
+        .withColumn("hs", expr(DedupOps.tokenHashesSpark("text")))
+        .select(
+          col("doc_id"),
+          expr(rollingHashSpark("text")).as("rolling_hash"),
+          md5(col("text")).as("md5_hex"),
+          expr(s"array_min(${DedupOps.shingleHashesSpark("hs")})")
+            .as("min_shingle_hash"))),
 
     "q33_dedup_exact" -> ((s, d) =>
       DedupOps.exactDups(DedupOps.corpus(Tables.documents(s, d)))),
@@ -139,8 +143,7 @@ object LlmEntry {
       // Same persistence discipline: shingle sets are reused by the bucket
       // join and both sides of the verify join.
       val c = DedupOps.corpus(Tables.documents(s, d))
-      val shingled = c.select(col("doc_id"),
-          expr(DedupOps.shinglesSpark("text")).as("sh"))
+      val shingled = DedupOps.shingled(c)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sig = DedupOps.signaturesFromShingles(shingled)
       val pairs = DedupOps.candidatePairs(DedupOps.lshBucketsFromSig(sig))
@@ -245,9 +248,9 @@ object LlmEntry {
     "q32_fingerprint" ->
       s"""SELECT doc_id, ${rollingHashDuck("text")} AS rolling_hash,
          |  md5(text) AS md5_hex,
-         |  list_min(list_transform(${DedupOps.shinglesDuck("text")},
-         |    s -> md5('0|' || s))) AS min_shingle_hash
-         |FROM documents""".stripMargin,
+         |  list_min(${DedupOps.shingleHashesDuck("hs")}) AS min_shingle_hash
+         |FROM (SELECT doc_id, text, ${DedupOps.tokenHashesDuck("text")} AS hs
+         |      FROM documents)""".stripMargin,
 
     "q33_dedup_exact" ->
       s"""WITH corpus AS (${DedupOps.corpusDuck})
@@ -255,6 +258,7 @@ object LlmEntry {
 
     "q34_minhash_buckets" ->
       s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |sigs AS (${DedupOps.signaturesDuckBody}),
          |buckets AS (${DedupOps.lshBucketsDuckBody})
          |SELECT band_id, bucket_size, count(*) AS n_buckets FROM (
          |  SELECT band_id, band_key, count(*) AS bucket_size FROM buckets
@@ -263,9 +267,8 @@ object LlmEntry {
 
     "q35_minhash_pairs" ->
       s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |sigs AS (${DedupOps.signaturesDuckBody}),
          |buckets AS (${DedupOps.lshBucketsDuckBody}),
-         |sigs AS (SELECT doc_id,
-         |  ${DedupOps.signatureDuck(DedupOps.shinglesDuck("text"))} AS sig FROM corpus),
          |pairs AS (${DedupOps.candidatePairsDuckBody})
          |SELECT id_a, id_b,
          |  CAST(len(list_filter(list_transform(range(1, ${DedupOps.NumHashes + 1}),
@@ -276,8 +279,9 @@ object LlmEntry {
 
     "q36_jaccard_verify" ->
       s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |shingled AS (${DedupOps.shingledDuckBody}),
+         |sigs AS (SELECT doc_id, ${DedupOps.signatureDuck("sh")} AS sig FROM shingled),
          |buckets AS (${DedupOps.lshBucketsDuckBody}),
-         |shingled AS (SELECT doc_id, ${DedupOps.shinglesDuck("text")} AS sh FROM corpus),
          |pairs AS (${DedupOps.candidatePairsDuckBody})
          |${DedupOps.jaccardVerifyDuckBody(JaccardThreshold)}""".stripMargin,
 
