@@ -1,0 +1,127 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{DedupOps, TextOps, TrafficOps}
+
+/** Property-based invariants (SURVEY §5.3) over generated data:
+  * partition-slice aggregate consistency, interval-join containment,
+  * disjunctive-join equivalence to its naive semantics, and
+  * minhash/jaccard/quality algebraic laws.
+  *
+  * Spark round-trips are expensive, so each property runs a reduced
+  * sample count; generators are small but adversarial (empty strings,
+  * single tokens, duplicate keys).
+  */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withWorkers(1)
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val genEvent: Gen[(Long, Int, Double)] = for {
+    id <- Gen.choose(0L, 999L)
+    hour <- Gen.choose(0, 23)
+    v <- Gen.choose(0.0, 250.0)
+  } yield (id, hour, v)
+
+  property("hourly counts over disjoint slices sum to the unpartitioned total") =
+    forAll(Gen.listOfN(60, genEvent)) { rows =>
+      val df = rows.toDF("id", "hour", "value")
+      val whole = TrafficOps.hourlyCount(df, col("hour").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slices = Seq(df.filter(col("hour") < 8),
+        df.filter(col("hour").between(8, 15)), df.filter(col("hour") > 15))
+      val unioned = TrafficOps.hourlyCount(slices.reduce(_ unionAll _),
+          col("hour").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      whole == unioned
+    }
+
+  private val genPair: Gen[(Long, Long)] =
+    for { k <- Gen.choose(0L, 20L); v <- Gen.choose(0L, 100L) } yield (k, v)
+
+  property("interval join is a subset of the pure equi join") =
+    forAll(Gen.listOfN(30, genPair), Gen.listOfN(10, genPair)) { (ls, rs) =>
+      val l = ls.toDF("lk", "lv")
+      val r = rs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("rk", "rv", "rid")
+      val band = TrafficOps.intervalJoin(l, r, "lk", "rk",
+          l("lv"), r("rv"), r("rv") + 20)
+        .select(col("lk"), col("lv"), col("rid"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      val equi = l.join(r, l("lk") === r("rk"))
+        .select(col("lk"), col("lv"), col("rid"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      band.subsetOf(equi)
+    }
+
+  property("disjunctive-key join matches naive OR-predicate semantics") =
+    forAll(Gen.listOfN(25, genPair), Gen.listOfN(8, genPair)) { (ls, rs) =>
+      val l = ls.toDF("lk", "lv")
+      val r = rs.toDF("k1", "k2")
+      val got = TrafficOps.disjunctiveKeyJoin(l, r, "lk", "k1", "k2",
+          Seq("lk", "k1"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val want = (for {
+        (lk, _) <- ls; (k1, k2) <- rs if lk == k1 || lk == k2
+      } yield (lk, k1)).toSet
+      got == want
+    }
+
+  private val genDoc: Gen[String] = for {
+    n <- Gen.choose(DedupOps.ShingleK, 30)
+    toks <- Gen.listOfN(n, Gen.oneOf("the", "a", "table", "row", "scan",
+      "query", "join", "hash", "merge", "sort", "batch", "stream"))
+  } yield toks.mkString(" ")
+
+  property("minhash signature is deterministic and identical docs collide in every band") =
+    forAll(genDoc) { text =>
+      val df = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+      val sigs = DedupOps.signatures(df).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val buckets = DedupOps.lshBuckets(df)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+      sigs(0L) == sigs(1L) && sigs(0L).length == DedupOps.NumHashes &&
+        buckets(0L) == buckets(1L) && buckets(0L).size == DedupOps.Bands
+    }
+
+  property("hashed-shingle jaccard: self = 1, bounded in [0,1], symmetric") =
+    forAll(genDoc, genDoc) { (ta, tb) =>
+      val c = Seq((0L, ta), (1L, tb)).toDF("doc_id", "text")
+      val pairs = Seq((0L, 1L), (0L, 0L)).toDF("id_a", "id_b")
+      val j = DedupOps.jaccardVerify(c, pairs, threshold = -1.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val cross = j((0L, 1L))
+      j((0L, 0L)) == 1.0 && cross >= 0.0 && cross <= 1.0 &&
+        (ta != tb || cross == 1.0)
+    }
+
+  property("quality score stays within [0, 1] and ratios are valid") =
+    forAll(genDoc) { text =>
+      val base = TextOps.qualitySpark("text").foldLeft(
+        Seq((0L, text)).toDF("doc_id", "text")) {
+        case (df, (n, e)) => df.withColumn(n, expr(e))
+      }
+      val r = base.select(expr(TextOps.qualityScoreExpr).as("q"),
+        col("stop_ratio"), col("uniq_ratio")).collect().head
+      val (q, sr, ur) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      q >= 0.0 && q <= 1.0 && sr >= 0.0 && sr <= 1.0 && ur > 0.0 && ur <= 1.0
+    }
+
+  property("simhash of identical docs is identical; hamming to a permuted doc is small") =
+    forAll(genDoc) { text =>
+      val permuted = text.split(' ').reverse.mkString(" ")
+      val df = Seq((0L, text), (1L, text), (2L, permuted)).toDF("doc_id", "text")
+      val sh = TextOps.simhashSpark(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // simhash is order-independent (bag of tokens): permutation is exact
+      sh(0L) == sh(1L) && sh(0L) == sh(2L) &&
+        sh(0L) >= 0 && sh(0L) < (1L << TextOps.SimhashBits)
+    }
+}
