@@ -28,8 +28,11 @@ object LlmEntry {
   private val CosineDupThreshold = 0.99
 
   /** Embedding corpus with planted near-dup vectors: v/2 keeps the sign
-    * mask (same LSH bucket) and cosine ≈ 1.
+    * mask (same LSH bucket) and cosine ≈ 1. Near-dup dedup uses the
+    * 16-bit bucket (2^16 buckets — the join key must out-grow the corpus
+    * at scale; copies agree on every sign so recall is unaffected).
     */
+  private val NearDupBits = 16
   private def vecCorpus(e: DataFrame): DataFrame = {
     val base = e.select(col("vec_id"),
       expr(SimilarityOps.toDoubleSpark("embedding")).as("v"))
@@ -39,11 +42,11 @@ object LlmEntry {
     base.unionAll(planted)
       .select(col("vec_id"), col("v"),
         expr(SimilarityOps.normSpark("v")).as("nrm"),
-        expr(SimilarityOps.bucketSpark("v")).as("bucket"))
+        expr(SimilarityOps.bucketSpark("v", NearDupBits)).as("bucket"))
   }
   private val vecCorpusDuck: String =
     s"""SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm,
-       |       ${SimilarityOps.bucketDuck("v")} AS bucket FROM (
+       |       ${SimilarityOps.bucketDuck("v", NearDupBits)} AS bucket FROM (
        |  SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + $NearDupVecOffset AS vec_id,
@@ -165,11 +168,12 @@ object LlmEntry {
 
     "q39_cosine_lsh_topk" -> ((s, d) => {
       // Scale path: candidates restricted to the probe's LSH bucket.
+      // Corpus streams on the left; the small probe set is broadcast.
       val p = SimilarityOps.prepped(Tables.embeddings(s, d))
       val probes = p.filter(col("vec_id") < ProbeN)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"),
           col("nrm").as("pn"), col("bucket"))
-      val joined = probes.join(p, Seq("bucket"))
+      val joined = p.join(broadcast(probes), Seq("bucket"))
         .filter(col("probe_id") =!= col("vec_id"))
         .select(col("probe_id"), col("vec_id"),
           (expr(SimilarityOps.dotSpark("pv", "v")) / (col("pn") * col("nrm")))

@@ -44,13 +44,18 @@ object SimilarityOps {
   def normSpark(a: String): String = s"sqrt(${dotSpark(a, a)})"
   def normDuck(a: String): String  = s"sqrt(${dotDuck(a, a)})"
 
-  /** Sign-mask LSH bucket: Σ_{i<SignBits} (v[i+1] >= 0) << i. */
-  def bucketSpark(a: String): String =
-    (0 until SignBits).map(i =>
+  /** Sign-mask LSH bucket: Σ_{i<bits} (v[i+1] >= 0) << i. `bits` is the
+    * scale knob: 2^bits buckets must comfortably exceed the per-executor
+    * working set — 8 bits for recall-oriented probe search at test scale,
+    * 16+ for near-dup dedup over a large corpus (exact/scaled copies
+    * agree on every sign, so recall of true duplicates is unaffected).
+    */
+  def bucketSpark(a: String, bits: Int = SignBits): String =
+    (0 until bits).map(i =>
       s"CASE WHEN element_at($a, ${i + 1}) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
-  def bucketDuck(a: String): String =
-    (0 until SignBits).map(i =>
+  def bucketDuck(a: String, bits: Int = SignBits): String =
+    (0 until bits).map(i =>
       s"CASE WHEN $a[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
 
@@ -70,9 +75,12 @@ object SimilarityOps {
     * neighbor id.
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val joined = probes.select(col("vec_id").as("probe_id"),
-        col("v").as("pv"), col("nrm").as("pn"))
-      .crossJoin(corpus.select(col("vec_id"), col("v"), col("nrm")))
+    // Corpus on the LEFT (streamed), probe set broadcast on the RIGHT —
+    // without the explicit hint Spark builds the right side of a cross
+    // join, which would broadcast the corpus.
+    val joined = corpus.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("nrm").as("pn"))))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         (expr(dotSpark("pv", "v")) / (col("pn") * col("nrm"))).as("cosine"))
