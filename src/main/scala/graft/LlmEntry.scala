@@ -190,6 +190,15 @@ object LlmEntry {
           CosineDupThreshold)
         .select(col("id_a"), col("id_b"), col("cosine"))),
 
+    "q43_cosine_native" -> ((s, d) => {
+      // Same result as q38 via the native codegen'd CosineSim expression
+      // (injected by GraftExtensions) — one fused loop in whole-stage
+      // codegen instead of the interpreted HOF fold.
+      val p = SimilarityOps.prepped(Tables.embeddings(s, d))
+      SimilarityOps.bruteForceTopKNative(p, p.filter(col("vec_id") < ProbeN), TopK)
+        .select(col("probe_id"), col("vec_id"), col("cosine"), col("rk"))
+    }),
+
     // ---- multimodal columns ---------------------------------------------
     "q41_media_meta" -> ((s, d) => {
       val m = MultimodalOps.mediaTable(Tables.documents(s, d))
@@ -328,6 +337,20 @@ object LlmEntry {
          |  ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
          |FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= $CosineDupThreshold""".stripMargin,
+
+    "q43_cosine_native" ->
+      s"""WITH prepped AS (
+         |  SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm FROM (
+         |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings))
+         |SELECT probe_id, vec_id, cosine, rk FROM (
+         |  SELECT probe_id, vec_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id,
+         |      ${SimilarityOps.dotDuck("p.v", "c.v")} / (p.nrm * c.nrm) AS cosine
+         |    FROM prepped p, prepped c
+         |    WHERE p.vec_id < $ProbeN AND p.vec_id <> c.vec_id))
+         |WHERE rk <= $TopK""".stripMargin,
 
     "q41_media_meta" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

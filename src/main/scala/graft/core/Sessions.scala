@@ -17,6 +17,8 @@ object Sessions {
       // testdata events.ts is TIMESTAMP(NANOS) — Spark 4 reads it only as
       // a Long; Tables.events converts back to TimestampType.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native function registration (cosine_sim, …)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int = Runtime.getRuntime.availableProcessors): SparkSession = {

@@ -90,6 +90,23 @@ object SimilarityOps {
       .filter(col("rk") <= k)
   }
 
+  /** [[bruteForceTopK]] with the native codegen'd `cosine_sim` expression
+    * ([[graft.functions.CosineSim]]) instead of the interpreted HOF fold —
+    * same plan shape, same bits, one fused loop inside whole-stage codegen.
+    */
+  def bruteForceTopKNative(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("v").as("pv"))))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("cosine_sim(pv, v)").as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Bucketed near-duplicate pairs: equi-join on the LSH bucket, a < b,
     * cosine ≥ threshold. The bucket join is the candidate generator; the
     * cosine runs only on in-bucket pairs.

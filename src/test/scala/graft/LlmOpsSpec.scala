@@ -84,6 +84,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(planted.subsetOf(found), s"missing ${planted.diff(found).take(3)}")
   }
 
+  test("native cosine_sim is bit-identical to the HOF fold and codegens") {
+    val p = SimilarityOps.prepped(Tables.embeddings(spark, sf))
+    val pairs = p.select(col("vec_id"), col("v"))
+      .crossJoin(p.select(col("vec_id").as("vec_id2"), col("v").as("v2")))
+      .filter(col("vec_id") < col("vec_id2"))
+    val both = pairs.select(col("vec_id"), col("vec_id2"),
+      expr("cosine_sim(v, v2)").as("native"),
+      (expr(SimilarityOps.dotSpark("v", "v2")) /
+        (expr(SimilarityOps.normSpark("v")) * expr(SimilarityOps.normSpark("v2"))))
+        .as("hof"))
+    // bit-identical, not just approximately equal
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // the expression compiles into whole-stage-generated code (doGenCode
+    // emits the fused loop, visible in codegen-mode explain)
+    val codegen = p.select(expr("cosine_sim(v, v)").as("c"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(400))
+    // the Project evaluating the expression is inside a codegen stage
+    // (its plan line carries the `*(n)` whole-stage marker)
+    val projLine = codegen.linesIterator
+      .find(l => l.contains("Project") && l.contains("cosine_sim")).get
+    assert(projLine.trim.startsWith("*("), projLine)
+  }
+
   test("multimodal: decode stub preserves rows, batch shape, determinism") {
     val media = MultimodalOps.mediaTable(docs)
     val feats = MultimodalOps.decodeFeatures(spark, media)
