@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+/** Streaming queries (SURVEY §2.9): the same transforms the batch engine
+  * exposes, run through Structured Streaming on the bounded events source
+  * with AvailableNow, then compared to the batch DuckDB oracle — the
+  * streaming/batch unification check.
+  */
+object StreamEntry {
+
+  private val SessionGapNanos = 6L * 3600 * 1000000000L // 6 hours
+
+  /** Run to completion into a uniquely-named memory sink, pin the (small)
+    * result on the driver, and drop the sink view so repeated runs (bench
+    * loop) don't collide.
+    */
+  private def bounded(s: SparkSession, out: DataFrame,
+                      mode: OutputMode): DataFrame = {
+    val sink = "stream_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val table = EventStreams.runBounded(s, out, sink, mode)
+    val rows = table.collect()
+    val schema = table.schema
+    s.catalog.dropTempView(sink)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_stream_hourly" -> ((s, d) =>
+      // Event-time tumbling-window counts over the stream; Complete mode
+      // because the bounded run ends before the watermark finalizes the
+      // tail windows.
+      bounded(s, EventStreams.hourlyCounts(EventStreams.eventStream(s, d)),
+        OutputMode.Complete())),
+
+    "q45_stream_sessions" -> ((s, d) =>
+      // Custom per-user session state via flatMapGroupsWithState.
+      bounded(s,
+        EventStreams.sessionize(s, EventStreams.eventStream(s, d),
+          SessionGapNanos).toDF(),
+        OutputMode.Update())),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q44_stream_hourly" ->
+      """SELECT CAST(hour(date_trunc('hour', ts)) AS BIGINT) AS hour,
+        |  date_trunc('hour', ts) AS window_start, count(*) AS cnt
+        |FROM events GROUP BY date_trunc('hour', ts)""".stripMargin,
+
+    "q45_stream_sessions" ->
+      s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN prev IS NULL OR ns - prev > $SessionGapNanos
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         |FROM (SELECT user_id, epoch_ns(ts) AS ns,
+         |        lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS prev
+         |      FROM events)
+         |GROUP BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY §2.9 — beyond-reference): the
+  * engine's aggregation and dedup paths re-expressed over an unbounded
+  * source, plus custom session state via flatMapGroupsWithState.
+  *
+  * Design: streams are plain DataFrames from `readStream`; every
+  * transform below also works on a batch DataFrame, so the bounded
+  * oracle harness runs the SAME code with `Trigger.AvailableNow` into a
+  * memory sink and compares against the batch SQL oracle.
+  *
+  * Scale notes: windowed aggregates carry watermarks so state is evicted
+  * (unbounded state is the streaming scale-killer); sessionization keys
+  * state by user — state size is O(active users), not O(events).
+  */
+object EventStreams {
+
+  /** Unbounded `events` source: parquet file stream with the batch
+    * table's schema (ts arrives as raw TIMESTAMP(NANOS) Long, converted
+    * exactly like `Tables.events`).
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source wants a directory basePath; the testdata table is a
+    // single file, so address it with a glob — glob paths anchor basePath
+    // at the glob's parent directory instead of the file itself
+    val raw = spark.readStream.schema(schema)
+      .parquet(s"$dir/events.[p]arquet")
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts_nanos", col("ts"))
+        .withColumn("ts", timestamp_micros((col("ts_nanos") / 1000L).cast("long")))
+    else raw.withColumn("ts_nanos",
+      (unix_micros(col("ts")) * 1000L).as("ts_nanos"))
+  }
+
+  /** Event-time hourly histogram with watermark — the streaming mirror of
+    * `TrafficOps.hourlyCount`. Late data beyond the watermark is dropped;
+    * window state is evicted as the watermark advances.
+    */
+  def hourlyCounts(ev: DataFrame, watermark: String = "2 hours"): DataFrame =
+    ev.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(hour(col("window.start")).cast("long").as("hour"),
+        col("window.start").as("window_start"), col("cnt"))
+
+  /** Streaming exact dedup on content key with watermarked state eviction
+    * — the streaming form of `DedupOps.exactDups`' keep-first semantics.
+    */
+  def dedupStream(ev: DataFrame, keyCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    ev.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
+  // ---- custom state: sessionization ------------------------------------
+  final case class SessionEvent(user_id: Long, ts_nanos: Long)
+  final case class SessionState(lastTs: Long, sessions: Long, events: Long)
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Per-user session counting with explicit GroupState: a new session
+    * starts when the gap to the previous event exceeds `gapNanos`.
+    * Batch-internal events are sorted by time inside the group function;
+    * state carries (lastTs, counts) across micro-batches. Emits the
+    * running per-user aggregate each batch (Update mode).
+    */
+  def sessionize(spark: SparkSession, ev: DataFrame,
+                 gapNanos: Long): Dataset[UserSessions] = {
+    import spark.implicits._
+    ev.select(col("user_id"), col("ts_nanos"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = events.map(_.ts_nanos).toArray.sorted
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption
+            var (lastTs, sessions, nEvents) = prev
+              .map(s => (s.lastTs, s.sessions, s.events))
+              .getOrElse((Long.MinValue, 0L, 0L))
+            sorted.foreach { t =>
+              if (lastTs == Long.MinValue || t - lastTs > gapNanos) sessions += 1
+              lastTs = t; nEvents += 1
+            }
+            state.update(SessionState(lastTs, sessions, nEvents))
+            Iterator.single(UserSessions(user, nEvents, sessions))
+          }
+      }
+  }
+
+  /** Run a streaming transform of the bounded `events` source to
+    * completion (AvailableNow) into a memory sink and return the final
+    * table — the bridge that lets streaming queries face the batch
+    * DuckDB oracle.
+    */
+  def runBounded(spark: SparkSession, out: DataFrame, sinkName: String,
+                 mode: OutputMode): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(sinkName)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+}

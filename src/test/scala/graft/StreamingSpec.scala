@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.SessionEvent
+
+/** Incremental-semantics tests: MemoryStream lets us control micro-batch
+  * boundaries, so these check what the bounded oracle run can't — state
+  * carried ACROSS batches (session merge, dedup memory, window updates).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private val H = 3600L * 1000000000L // one hour in nanos
+
+  test("sessionize merges state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent]
+    val sessions = EventStreams.sessionize(spark,
+      input.toDF().withColumn("ts_nanos", col("ts_nanos")),
+      gapNanos = 2 * H)
+    val q = sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Update()).start()
+
+    // batch 1: user 1 has two events 1h apart -> one session
+    input.addData(SessionEvent(1L, 10 * H), SessionEvent(1L, 11 * H))
+    q.processAllAvailable()
+    // batch 2: same user, 30h later -> second session; plus a new user
+    input.addData(SessionEvent(1L, 41 * H), SessionEvent(2L, 5 * H))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // last update per user wins
+    val last = out.groupBy(_._1).view.mapValues(_.last).toMap
+    assert(last(1L) == ((1L, 3L, 2L)), s"got ${last(1L)}")
+    assert(last(2L) == ((2L, 1L, 1L)), s"got ${last(2L)}")
+    spark.catalog.dropTempView("sess_test")
+  }
+
+  test("bounded streaming hourly counts equal the batch aggregate") {
+    val stream = EventStreams.eventStream(spark, sf)
+    val got = EventStreams.runBounded(spark,
+        EventStreams.hourlyCounts(stream), "hourly_test", OutputMode.Complete())
+      .select(col("window_start"), col("cnt"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val want = graft.core.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("ws"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got == want, s"sizes ${got.size} vs ${want.size}")
+    spark.catalog.dropTempView("hourly_test")
+  }
+
+  test("streaming dedup drops in-batch and cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val ev = input.toDF().toDF("user_id", "ts_nanos")
+      .withColumn("ts", timestamp_micros((col("ts_nanos") / 1000L).cast("long")))
+    val dedup = EventStreams.dedupStream(ev, Seq("user_id"), "10 hours")
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, 10 * H), (1L, 10 * H), (2L, 10 * H))
+    q.processAllAvailable()
+    input.addData((1L, 10 * H), (3L, 11 * H)) // cross-batch dup of user 1
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_test").collect()
+    assert(rows.length == 3, rows.mkString(","))
+    spark.catalog.dropTempView("dedup_test")
+  }
+}
