@@ -26,6 +26,8 @@ object LlmEntry {
   private val NearDupVecN = 100   // planted scaled copies: vec_id < N at +offset
   private val NearDupVecOffset = 10000L
   private val CosineDupThreshold = 0.99
+  private val IvfCentroidLo = 100 // deterministic coarse centroids
+  private val IvfCentroidHi = 107
 
   /** Embedding corpus with planted near-dup vectors: v/2 keeps the sign
     * mask (same LSH bucket) and cosine ≈ 1. Near-dup dedup uses the
@@ -190,6 +192,23 @@ object LlmEntry {
           CosineDupThreshold)
         .select(col("id_a"), col("id_b"), col("cosine"))),
 
+    "q47_lsh_multiprobe" -> ((s, d) => {
+      // Multi-probe LSH: own bucket + all 1-bit flips per probe.
+      val p = SimilarityOps.prepped(Tables.embeddings(s, d))
+      SimilarityOps.multiProbeTopK(p, p.filter(col("vec_id") < ProbeN), LshK)
+        .select(col("probe_id"), col("vec_id"), col("cosine"), col("rk"))
+    }),
+
+    "q46_ivf_topk" -> ((s, d) => {
+      // IVF scale path: deterministic coarse centroids (vec_id 100..107),
+      // nearest-centroid assignment, probe searches its inverted list.
+      val p = SimilarityOps.prepped(Tables.embeddings(s, d))
+      SimilarityOps.ivfTopK(p,
+        p.filter(col("vec_id") < ProbeN),
+        p.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi)),
+        LshK)
+    }),
+
     "q43_cosine_native" -> ((s, d) => {
       // Same result as q38 via the native codegen'd CosineSim expression
       // (injected by GraftExtensions) — one fused loop in whole-stage
@@ -337,6 +356,53 @@ object LlmEntry {
          |  ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
          |FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= $CosineDupThreshold""".stripMargin,
+
+    "q47_lsh_multiprobe" -> {
+      val flips = ("bucket" +: (0 until SimilarityOps.SignBits)
+        .map(i => s"xor(bucket, ${1L << i})")).mkString("[", ", ", "]")
+      s"""WITH prepped AS (
+         |  SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm,
+         |         ${SimilarityOps.bucketDuck("v")} AS bucket FROM (
+         |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings)),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, v AS pv, nrm AS pn,
+         |         unnest($flips) AS bucket
+         |  FROM prepped WHERE vec_id < $ProbeN)
+         |SELECT probe_id, vec_id, cosine, rk FROM (
+         |  SELECT probe_id, vec_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM (
+         |    SELECT p.probe_id, c.vec_id,
+         |      ${SimilarityOps.dotDuck("p.pv", "c.v")} / (p.pn * c.nrm) AS cosine
+         |    FROM prepped c JOIN probes p ON p.bucket = c.bucket
+         |    WHERE p.probe_id <> c.vec_id))
+         |WHERE rk <= $LshK""".stripMargin
+    },
+
+    "q46_ivf_topk" ->
+      s"""WITH prepped AS (
+         |  SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm FROM (
+         |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings)),
+         |centroids AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM prepped
+         |  WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+         |assign AS (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT p.vec_id, p.v, p.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${SimilarityOps.dotDuck("p.v", "c.cv")} / (p.nrm * c.cn) DESC,
+         |                 c.cid) AS arn
+         |    FROM prepped p, centroids c)
+         |  WHERE arn = 1)
+         |SELECT probe_id, vec_id, cid, cosine, rk FROM (
+         |  SELECT probe_id, vec_id, cid, cosine,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id, c.cid,
+         |      ${SimilarityOps.dotDuck("p.v", "c.v")} / (p.nrm * c.nrm) AS cosine
+         |    FROM assign p JOIN assign c ON p.cid = c.cid
+         |    WHERE p.vec_id < $ProbeN AND p.vec_id <> c.vec_id))
+         |WHERE rk <= $LshK""".stripMargin,
 
     "q43_cosine_native" ->
       s"""WITH prepped AS (

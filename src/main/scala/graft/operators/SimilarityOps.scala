@@ -107,6 +107,65 @@ object SimilarityOps {
       .filter(col("rk") <= k)
   }
 
+  /** Multi-probe LSH top-k: each probe searches its own sign-mask bucket
+    * plus every 1-bit-flip neighbor bucket (bits+1 probes) — recovers
+    * most of the recall a single-probe lookup loses to near-boundary
+    * signs, at (bits+1)× the candidate volume. Each candidate lives in
+    * exactly one bucket and the probed buckets are distinct, so no pair
+    * dedup is needed.
+    */
+  def multiProbeTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                     bits: Int = SignBits): DataFrame = {
+    val probeBuckets = (col("bucket") +:
+      (0 until bits).map(i => expr(s"CAST(bucket ^ ${1L << i} AS BIGINT)")))
+    val exploded = probes.select(col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("nrm").as("pn"),
+        explode(array(probeBuckets: _*)).as("bucket"))
+    val joined = corpus.join(broadcast(exploded), Seq("bucket"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (expr(dotSpark("pv", "v")) / (col("pn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** IVF (inverted-file) ANN: every vector is assigned to its nearest
+    * coarse centroid (one narrow pass against broadcast centroids), and a
+    * probe searches only its centroid's inverted list. nprobe=1 here; the
+    * centroid count is the scale knob (≈√N lists keeps both the
+    * assignment pass and the per-list candidate sets balanced).
+    *
+    * Returns (probe_id, vec_id, cid, cosine, rk ≤ k). Assignment ties
+    * break on centroid id; top-k ties on neighbor id.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
+              k: Int): DataFrame = {
+    def assign(vecs: DataFrame): DataFrame = {
+      val scored = vecs.crossJoin(broadcast(centroids.select(
+          col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          (expr(dotSpark("v", "cv")) / (col("nrm") * col("cn"))).as("c_cos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("cid"))
+      scored.withColumn("arn", row_number().over(w))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    }
+    val lists = assign(corpus)
+    val p = assign(probes).select(col("vec_id").as("probe_id"),
+      col("v").as("pv"), col("nrm").as("pn"), col("cid"))
+    val scored = lists.join(broadcast(p), Seq("cid"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("cid"),
+        (expr(dotSpark("pv", "v")) / (col("pn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Bucketed near-duplicate pairs: equi-join on the LSH bucket, a < b,
     * cosine ≥ threshold. The bucket join is the candidate generator; the
     * cosine runs only on in-bucket pairs.
