@@ -192,6 +192,30 @@ object LlmEntry {
           CosineDupThreshold)
         .select(col("id_a"), col("id_b"), col("cosine"))),
 
+    "q48_llm_pipeline" -> ((s, d) => {
+      // The composed LLM preprocessing chain: exact-dedup keep-first
+      // (semi-join against min-id per content hash) → quality scoring →
+      // threshold filter → per-lang corpus stats. Everything narrow until
+      // the two hash aggregates.
+      val docs = Tables.documents(s, d)
+      val keep = docs
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val kept = docs.join(keep, Seq("doc_id"), "left_semi")
+      val scored = qualitySpark("text").foldLeft(kept) {
+        case (df, (n, e)) => df.withColumn(n, expr(e))
+      }.withColumn("quality_score", expr(qualityScoreExpr))
+      // min/max (not avg) over the double score: double-sum order differs
+      // between engines; min/max and integer sums are order-free.
+      scored.filter(col("quality_score") >= 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("quality_score")).as("min_quality"),
+          max(col("quality_score")).as("max_quality"))
+    }),
+
     "q47_lsh_multiprobe" -> ((s, d) => {
       // Multi-probe LSH: own bucket + all 1-bit flips per probe.
       val p = SimilarityOps.prepped(Tables.embeddings(s, d))
@@ -356,6 +380,24 @@ object LlmEntry {
          |  ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
          |FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= $CosineDupThreshold""".stripMargin,
+
+    "q48_llm_pipeline" -> {
+      val cols = qualityDuck("text").map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
+      s"""WITH kept AS (
+         |  SELECT d.* FROM documents d
+         |  WHERE d.doc_id IN (
+         |    SELECT min(doc_id) FROM (
+         |      SELECT doc_id, md5(text) AS content_hash FROM documents)
+         |    GROUP BY content_hash)),
+         |scored AS (
+         |  SELECT lang, n_tokens, $qualityScoreExpr AS quality_score FROM (
+         |    SELECT lang, $cols FROM kept))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  min(quality_score) AS min_quality,
+         |  max(quality_score) AS max_quality
+         |FROM scored WHERE quality_score >= 0.5 GROUP BY lang""".stripMargin
+    },
 
     "q47_lsh_multiprobe" -> {
       val flips = ("bucket" +: (0 until SimilarityOps.SignBits)
