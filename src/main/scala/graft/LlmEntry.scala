@@ -192,6 +192,19 @@ object LlmEntry {
           CosineDupThreshold)
         .select(col("id_a"), col("id_b"), col("cosine"))),
 
+    "q49_json_extract" -> ((s, d) =>
+      // JSON scalar functions (SURVEY §2.8 family): typed from_json
+      // extraction — schema projection happens inside the JSON parser,
+      // histogram over the extracted value.
+      Tables.events(s, d)
+        .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))),
+
     "q48_llm_pipeline" -> ((s, d) => {
       // The composed LLM preprocessing chain: exact-dedup keep-first
       // (semi-join against min-id per content hash) → quality scoring →
@@ -380,6 +393,11 @@ object LlmEntry {
          |  ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
          |FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= $CosineDupThreshold""".stripMargin,
+
+    "q49_json_extract" ->
+      """SELECT k % 10 AS k_mod, count(*) AS cnt, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY k % 10""".stripMargin,
 
     "q48_llm_pipeline" -> {
       val cols = qualityDuck("text").map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
