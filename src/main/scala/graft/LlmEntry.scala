@@ -192,6 +192,20 @@ object LlmEntry {
           CosineDupThreshold)
         .select(col("id_a"), col("id_b"), col("cosine"))),
 
+    "q50_salted_join" -> ((s, d) => {
+      // Skew-safe salted join (TrafficOps.saltedEquiJoin): result must
+      // equal the plain equi join — the oracle is the unsalted SQL.
+      import graft.operators.TrafficOps
+      val ev = Tables.events(s, d)
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      TrafficOps.saltedEquiJoin(ev, cust, "user_id", "c_custkey",
+          col("event_id"), salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("event_id")).as("sum_event_id"))
+    }),
+
     "q49_json_extract" -> ((s, d) =>
       // JSON scalar functions (SURVEY §2.8 family): typed from_json
       // extraction — schema projection happens inside the JSON parser,
@@ -393,6 +407,12 @@ object LlmEntry {
          |  ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
          |FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= $CosineDupThreshold""".stripMargin,
+
+    "q50_salted_join" ->
+      """SELECT c.c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(e.event_id) AS BIGINT) AS sum_event_id
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin,
 
     "q49_json_extract" ->
       """SELECT k % 10 AS k_mod, count(*) AS cnt, min(k) AS min_k, max(k) AS max_k

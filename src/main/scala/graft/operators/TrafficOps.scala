@@ -53,6 +53,27 @@ object TrafficOps {
                        factKey: String, dimKey: String): DataFrame =
     facts.join(broadcast(dim), facts(factKey) === dim(dimKey), "inner")
 
+  /** Salted equi join for extreme key skew (the explicit form of what AQE
+    * skew-join does adaptively): the big side gets a deterministic salt
+    * in [0, salts) from a non-key column, the small side is exploded to
+    * every salt value, and the join key becomes (key, salt) — a hot key's
+    * rows spread over `salts` reducers instead of one. Result is exactly
+    * the plain equi join (oracle-checked, q50); cost is a `salts`×
+    * replication of the SMALL side only.
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame,
+                     bigKey: String, smallKey: String,
+                     saltSource: Column, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(saltSource, lit(salts)).cast("int"))
+    val saltedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall,
+        saltedBig(bigKey) === saltedSmall(smallKey) &&
+          saltedBig("_salt") === saltedSmall("_salt"), "inner")
+      .drop("_salt")
+  }
+
   /** JN2: equi + interval (band) join — point-in-interval matching
     * (ref `src/OverSpeedCount.scala:123`: camera observation time inside
     * the toll trip's [entry, exit] window, keyed by plate).

@@ -73,6 +73,25 @@ object GraftProps extends Properties("graft") {
       got == want
     }
 
+  property("salted equi join equals the plain equi join (incl. hot keys)") =
+    forAll(Gen.listOfN(40, for {
+      k <- Gen.frequency(5 -> Gen.const(7L), 1 -> Gen.choose(0L, 10L)) // skewed
+      id <- Gen.choose(0L, 1000L)
+    } yield (k, id)), Gen.listOfN(10, genPair)) { (ls, rs) =>
+      val big = ls.toDF("k", "id")
+      val small = rs.toDF("rk", "rv")
+      val salted = TrafficOps.saltedEquiJoin(big, small, "k", "rk",
+          col("id"), salts = 4)
+        .select(col("k"), col("id"), col("rv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val plain = big.join(small, big("k") === small("rk"))
+        .select(col("k"), col("id"), col("rv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      salted == plain
+    }
+
   private val genDoc: Gen[String] = for {
     n <- Gen.choose(DedupOps.ShingleK, 30)
     toks <- Gen.listOfN(n, Gen.oneOf("the", "a", "table", "row", "scan",
