@@ -124,6 +124,25 @@ class LlmOpsSpec extends SparkTestBase {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("partitioned sink: layout round-trips and reads prune partitions") {
+    import graft.sources.PartitionedSink
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs2 = docs.withColumn("lang_part", col("lang"))
+    PartitionedSink.writePartitioned(docs2, dir, Seq("lang_part"))
+    val back = PartitionedSink.readPartitioned(spark, dir)
+    assert(back.count() == docs.count())
+    // partition-column filter prunes directories, not just rows
+    val pruned = back.filter(col("lang_part") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("lang_part"), scan.take(600))
+    assert(pruned.count() == docs.filter(col("lang") === "en").count())
+    // each partition dir exists (hive-style layout)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("lang_part=")), dirs.mkString(","))
+  }
+
   test("frame index covers every payload byte exactly once") {
     val framed = docs.select(col("doc_id"), length(col("text")).cast("long").as("n"),
         expr(MultimodalOps.frameIndexSpark("length(text)")).as("frames"))
