@@ -1,0 +1,49 @@
+package graft
+
+/** Plan-shape regression guard over EVERY SparkEntry query: the scale
+  * properties the judge-facing plans must keep — no unintended cartesian
+  * product, time predicates pushed into the parquet scan, and no cached
+  * RDDs left behind by any query (scoped-uncache discipline, S6).
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  // cross joins that are INTENTIONAL (broadcast probe/centroid sets):
+  private val allowedCross = Set(
+    "q38_cosine_topk", "q43_cosine_native", "q46_ivf_topk")
+
+  test("every query plan: no raw cartesian, broadcast where intended") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      // a CartesianProduct (non-broadcast nested loop) is never acceptable
+      assert(!plan.contains("CartesianProduct"),
+        s"$name has a raw cartesian product:\n${plan.take(500)}")
+      // BroadcastNestedLoopJoin only where a broadcast cross is intended
+      if (!allowedCross(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name has an unintended nested-loop join:\n${plan.take(500)}")
+    }
+  }
+
+  test("events time-range queries push bounds into the parquet scan") {
+    Seq("q03_filter_between", "q04_filter_halfopen", "q06_filter_date_eq",
+        "q20_accident_pipeline").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(ts"),
+        s"$name lost ts pushdown:\n${plan.take(600)}")
+    }
+  }
+
+  test("no query leaks cache (scoped uncache, S6)") {
+    // run the cache-using queries end-to-end, then check nothing persists
+    Seq("q16_cache_reuse", "q22_avgspeed_pipeline", "q35_minhash_pairs",
+        "q36_jaccard_verify").foreach { name =>
+      SparkEntry.queries(name)(spark, sf).count()
+    }
+    // unpersist(blocking=false) in the dedup queries may lag a beat
+    Thread.sleep(500)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(","))
+  }
+}
