@@ -36,14 +36,17 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("no query leaks cache (scoped uncache, S6)") {
-    // run the cache-using queries end-to-end, then check nothing persists
+    // delta-based: other suites in this shared JVM may hold their own
+    // cached fixtures — assert the QUERIES add nothing persistent
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Seq("q16_cache_reuse", "q22_avgspeed_pipeline", "q35_minhash_pairs",
         "q36_jaccard_verify").foreach { name =>
       SparkEntry.queries(name)(spark, sf).count()
     }
     // unpersist(blocking=false) in the dedup queries may lag a beat
     Thread.sleep(500)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(","))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty,
+      leaked.map(spark.sparkContext.getPersistentRDDs(_).name).mkString(","))
   }
 }
