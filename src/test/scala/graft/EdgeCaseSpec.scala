@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, TextOps}
+
+/** Degenerate-document hardening: empty text, single token, and
+  * below-shingle-size docs must flow through every text/dedup operator
+  * without crashing and with well-defined (engine-consistent) results.
+  */
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val tiny = Seq(
+    (0L, ""),                // empty text → split gives [""]
+    (1L, "a"),               // single token, below shingle k
+    (2L, "a b"),             // k-1 tokens
+    (3L, "a b c"),           // exactly k tokens → one shingle
+    (4L, "a b c"))           // duplicate of 3
+    .toDF("doc_id", "text")
+
+  test("signatures of sub-shingle docs are all-null, not a crash") {
+    val sigs = DedupOps.signatures(tiny).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    // below k tokens → empty shingle set → null minhash entries
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(sigs(id).forall(_ == null), s"doc $id: ${sigs(id)}")
+    }
+    // exactly k tokens → real signature, equal for identical docs
+    assert(sigs(3L).forall(_ != null))
+    assert(sigs(3L) == sigs(4L))
+  }
+
+  test("LSH candidate pairs: only real-signature duplicates pair up") {
+    val pairs = DedupOps.candidatePairs(DedupOps.lshBuckets(tiny))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 3 and 4 collide; null-signature docs don't pair (nulls are
+    // grouped by groupBy but the band_key md5(concat_ws) of an all-null
+    // slice is a constant — verify no spurious pair with docs 0-2)
+    // null band keys never equi-join (NULL = NULL is not true), so
+    // degenerate docs generate NO candidate pairs — the only pair is the
+    // planted duplicate
+    assert(pairs == Set((3L, 4L)), pairs.toString)
+  }
+
+  test("quality and token stats on degenerate docs are defined") {
+    val base = TextOps.qualitySpark("text").foldLeft(tiny) {
+      case (df, (n, e)) => df.withColumn(n, expr(e))
+    }.withColumn("quality_score", expr(TextOps.qualityScoreExpr))
+    val rows = base.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    // split("", " ") = [""] → n_tokens = 1 everywhere, ratios finite
+    rows.values.foreach(q => assert(!q.isNaN && !q.isInfinite))
+  }
+
+  test("simhash of degenerate docs is defined and in range") {
+    val sh = TextOps.simhashSpark(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh.values.foreach(v => assert(v >= 0 && v < (1L << TextOps.SimhashBits)))
+    assert(sh(3L) == sh(4L))
+  }
+}
