@@ -192,6 +192,16 @@ object LlmEntry {
           CosineDupThreshold)
         .select(col("id_a"), col("id_b"), col("cosine"))),
 
+    "q51_media_resize" -> ((s, d) =>
+      // Deterministic byte-downsample "resize" (every 4th byte) with
+      // before/after sizes and a content hash of the downsampled payload.
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_bytes"),
+        expr(s"CAST(length(${MultimodalOps.resizeSpark("text", 4)}) AS BIGINT)")
+          .as("resized_bytes"),
+        expr(s"md5(${MultimodalOps.resizeSpark("text", 4)})").as("resized_md5"))),
+
     "q50_salted_join" -> ((s, d) => {
       // Skew-safe salted join (TrafficOps.saltedEquiJoin): result must
       // equal the plain equi join — the oracle is the unsalted SQL.
@@ -407,6 +417,12 @@ object LlmEntry {
          |  ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
          |FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) >= $CosineDupThreshold""".stripMargin,
+
+    "q51_media_resize" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+         |  CAST(length(${MultimodalOps.resizeDuck("text", 4)}) AS BIGINT) AS resized_bytes,
+         |  md5(${MultimodalOps.resizeDuck("text", 4)}) AS resized_md5
+         |FROM documents""".stripMargin,
 
     "q50_salted_join" ->
       """SELECT c.c_mktsegment, count(*) AS cnt,

@@ -76,6 +76,18 @@ object MultimodalOps {
       }).mapPartitions(decodeStub)
   }
 
+  /** Resize STUB — deterministic byte downsample (every factor-th byte),
+    * standing in for an image resize the way [[decodeStub]] stands in for
+    * a decoder. HOF-only, so it runs inside the scan projection; a real
+    * resize would swap into the [[decodeStub]] batch path instead.
+    */
+  def resizeSpark(text: String, factor: Int): String =
+    s"array_join(transform(sequence(0, CAST(floor((length($text) - 1) / $factor) AS INT)), " +
+      s"i -> substr($text, i * $factor + 1, 1)), '')"
+  def resizeDuck(text: String, factor: Int): String =
+    s"array_to_string(list_transform(range(0, CAST(floor((length($text) - 1) / $factor) AS INT) + 1), " +
+      s"i -> substr($text, i * $factor + 1, 1)), '')"
+
   /** Frame sampling: every payload is cut into ceil(n/FrameSize) frames;
     * emitted as an array of (frame_id, off, len) structs that is exploded
     * downstream. Bytes are sliced only after the explode, per frame.

@@ -143,6 +143,20 @@ class LlmOpsSpec extends SparkTestBase {
     assert(dirs.exists(_.startsWith("lang_part=")), dirs.mkString(","))
   }
 
+  test("end-to-end multimodal: decoded features feed the ANN path") {
+    // media → batched decode (stub) → feature vectors → cosine top-k:
+    // the full multimodal-to-similarity pipeline over real plumbing.
+    val media = MultimodalOps.mediaTable(docs)
+    val feats = MultimodalOps.decodeFeatures(spark, media).toDF()
+      .select(col("docId").as("vec_id"), col("features").as("embedding"))
+    val p = SimilarityOps.prepped(feats)
+    val topk = SimilarityOps.bruteForceTopK(p, p.filter(col("vec_id") < 3), 5)
+      .collect()
+    assert(topk.length == 15) // 3 probes × 5 neighbors
+    assert(topk.forall(r => r.getAs[Double]("cosine") >= -1.0 - 1e-12 &&
+      r.getAs[Double]("cosine") <= 1.0 + 1e-12))
+  }
+
   test("frame index covers every payload byte exactly once") {
     val framed = docs.select(col("doc_id"), length(col("text")).cast("long").as("n"),
         expr(MultimodalOps.frameIndexSpark("length(text)")).as("frames"))
