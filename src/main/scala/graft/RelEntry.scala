@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.TemporalOps
+
+/** Relational/temporal engine-completeness queries (q52+): as-of join,
+  * bucketed range join, ROLLUP, pivot, gap sessionization, deterministic
+  * hash-based train/test splitting, running-frame windows, and approximate
+  * sketches. Merged into [[SparkEntry]]'s driver contract.
+  *
+  * The as-of and range joins are the two operators the brief singles out
+  * as "operators Spark lacks" — both are implemented join-free /
+  * equi-join-only (see [[TemporalOps]]) so they keep working at 100 TB.
+  */
+object RelEntry {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val NeighborWindowSec = 300L   // ±5 min
+  private val SessionGapSec = 86400L     // 1 day
+  /** md5-prefix threshold ≈ 0.80 of the hex space → deterministic,
+    * engine-independent, stable-under-append train/test assignment. */
+  private val SplitHexHi = "cc"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- as-of join: purchase → latest click by the same user ----------
+    "q52_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      // uniqueness contract: one click per (user_id, ts) — max(event_id)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      TemporalOps.asofJoin(purchases, clicks, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("asof_ts"), col("asof_click_id"))
+    }),
+
+    // ---- bucketed range self-join: events within ±5 min ----------------
+    "q53_range_join" -> ((s, d) =>
+      TemporalOps.neighborCounts(Tables.events(s, d), "event_id", "ts",
+        NeighborWindowSec)),
+
+    // ---- ROLLUP: hierarchical totals in one pass -----------------------
+    "q54_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+             count(lit(1)).as("n"))),
+
+    // ---- pivot: event_type histogram as columns ------------------------
+    "q55_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", EventTypes)  // explicit values: no extra
+        .agg(count(lit(1)))               //   distinct-scan job
+        .na.fill(0L, EventTypes)),
+
+    // ---- gap sessionization (batch twin of q45) ------------------------
+    "q56_sessionize" -> ((s, d) => {
+      val sess = TemporalOps.sessionize(Tables.events(s, d),
+        "user_id", "ts", "event_id", SessionGapSec)
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+             max(col("n")).as("max_session_events"),
+             sum(col("n")).as("n_events"))
+    }),
+
+    // ---- deterministic hash split: the train/test seam every training
+    //      pipeline needs — stable under appends, no RNG, no state --------
+    "q57_hash_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 2) < SplitHexHi, "train").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("doc_id")).as("min_id"),
+             max(col("doc_id")).as("max_id"))),
+
+    // ---- running-frame window: cumulative sum + lead -------------------
+    "q58_running_total" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("bigint"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("run_qty"),
+          lead(col("l_linenumber"), 1).over(w).as("next_line"))
+    }),
+
+    // ---- approximate sketches: HLL++ distinct + GK-quantile ------------
+    // No DuckDB oracle (different sketch families give different
+    // estimates) → driver records rows-only; the error bound vs the exact
+    // answer is asserted in TemporalOpsSpec.
+    "q59_sketches" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+             percentile_approx(col("value"), lit(0.5), lit(10000))
+               .as("p50_value"),
+             count(lit(1)).as("n"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q52_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |             FROM events WHERE event_type='click' GROUP BY 1, 2),
+        |     p AS (SELECT user_id, ts, event_id
+        |             FROM events WHERE event_type='purchase'),
+        |     m AS (SELECT p.event_id, p.user_id, p.ts, max(c.ts) AS asof_ts
+        |             FROM p LEFT JOIN c
+        |               ON c.user_id = p.user_id AND c.ts <= p.ts
+        |            GROUP BY 1, 2, 3)
+        |SELECT m.event_id, m.user_id, m.ts, m.asof_ts,
+        |       c.click_id AS asof_click_id
+        |  FROM m LEFT JOIN c
+        |    ON c.user_id = m.user_id AND c.ts = m.asof_ts""".stripMargin,
+    "q53_range_join" ->
+      """SELECT a.event_id, count(*) AS n_neighbors
+        |  FROM events a JOIN events b
+        |    ON b.ts BETWEEN a.ts - INTERVAL 5 MINUTE
+        |               AND a.ts + INTERVAL 5 MINUTE
+        |   AND b.event_id <> a.event_id
+        | GROUP BY 1""".stripMargin,
+    "q54_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       count(*) AS n
+        |  FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q55_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click')    AS click,
+        |       count(*) FILTER (WHERE event_type = 'error')    AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view')     AS view
+        |  FROM events GROUP BY user_id""".stripMargin,
+    "q56_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 1 DAY
+        |              THEN 1 ELSE 0 END AS new_s
+        |    FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |    FROM t),
+        |sess AS (SELECT user_id, sid, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       max(n) AS max_session_events,
+        |       CAST(sum(n) AS BIGINT) AS n_events
+        |  FROM sess GROUP BY 1""".stripMargin,
+    "q57_hash_split" ->
+      s"""SELECT lang,
+         |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+         |                 < '$SplitHexHi'
+         |            THEN 'train' ELSE 'test' END AS split,
+         |       count(*) AS n_docs, min(doc_id) AS min_id,
+         |       max(doc_id) AS max_id
+         |  FROM documents GROUP BY 1, 2""".stripMargin,
+    "q58_running_total" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(sum(CAST(l_quantity AS BIGINT))
+        |         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_qty,
+        |       lead(l_linenumber, 1)
+        |         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+        |         AS next_line
+        |  FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+    // q59_sketches: intentionally no oracle (sketch estimates are
+    // implementation-defined); bounded-error unit test instead.
+  )
+}

@@ -287,7 +287,7 @@ object SparkEntry {
       c.select(col("c_mktsegment"))
         .except(c.filter(col("c_acctbal") > 2000).select(col("c_mktsegment")))
     }),
-  ) ++ LlmEntry.queries ++ StreamEntry.queries
+  ) ++ LlmEntry.queries ++ StreamEntry.queries ++ RelEntry.queries
 
   def oracleSql: Map[String, String] = Map(
     "q01_hourly_count" ->
@@ -363,5 +363,5 @@ object SparkEntry {
       "SELECT event_type FROM events WHERE value > 180 INTERSECT SELECT event_type FROM events WHERE user_id < 20",
     "q26_except" ->
       "SELECT c_mktsegment FROM customer EXCEPT SELECT c_mktsegment FROM customer WHERE c_acctbal > 2000",
-  ) ++ LlmEntry.oracleSql ++ StreamEntry.oracleSql
+  ) ++ LlmEntry.oracleSql ++ StreamEntry.oracleSql ++ RelEntry.oracleSql
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalOps
+
+/** Fixture-level proofs for [[TemporalOps]] (the oracle checks run the same
+  * ops at corpus scale; these pin the point semantics: tie-at-equal-ts,
+  * no-match NULLs, bucket-boundary pairs, strict session gaps) plus the
+  * bounded-error contract of the q59 sketches.
+  */
+class TemporalOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin: <= match, tie at equal ts, unmatched row keeps NULLs") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L),  // matches right@09:00
+      (1L, ts("2024-01-01 12:00:00"), 102L),  // matches right@12:00 (tie)
+      (2L, ts("2024-01-01 08:00:00"), 201L),  // before any right → NULL
+      (3L, ts("2024-01-01 09:00:00"), 301L)   // key absent on right → NULL
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 11L),
+      (1L, ts("2024-01-01 12:00:00"), 12L),
+      (2L, ts("2024-01-01 09:30:00"), 21L)
+    ).toDF("k", "ts", "rid")
+    val got = TemporalOps.asofJoin(left, right, "k", "ts")
+      .select("lid", "asof_rid", "asof_ts")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)).map(_.toString))).toSet
+    assert(got === Set(
+      (101L, Some(11L), Some("2024-01-01 09:00:00.0")),
+      (102L, Some(12L), Some("2024-01-01 12:00:00.0")),
+      (201L, None, None),
+      (301L, None, None)))
+  }
+
+  test("asofJoin plan: no join operator — one window over a union") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 2L)).toDF("k", "ts", "rid")
+    val plan = TemporalOps.asofJoin(left, right, "k", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asofJoin should be join-free:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
+  test("neighborCounts: matches brute force incl. bucket-boundary pairs") {
+    // 100 deterministic pseudo-random seconds in [0, 3600): pairs straddle
+    // 300 s bucket boundaries by construction
+    val secs = (0 until 100).map(i => (i * 997L + (i * i * 131L) % 797) % 3600)
+    val df = secs.zipWithIndex
+      .map { case (s, i) => (i.toLong, ts("2024-01-01 00:00:00").toInstant
+        .plusSeconds(s).toString.replace("T", " ").replace("Z", "")) }
+      .toDF("id", "s").select(col("id"), col("s").cast("timestamp").as("ts"))
+    val got = TemporalOps.neighborCounts(df, "id", "ts", 300L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      (a, i) <- secs.zipWithIndex; (b, j) <- secs.zipWithIndex
+      if i != j && math.abs(a - b) <= 300
+    } yield i.toLong).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === brute)
+  }
+
+  test("sessionize: strict gap, ties share a session, ids are 1-based") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:10:00"), 2L),   // gap 600 = limit → same
+      (1L, ts("2024-01-01 00:20:01"), 3L),   // gap 601 > limit → new
+      (1L, ts("2024-01-01 00:20:01"), 4L),   // tie → same session
+      (2L, ts("2024-01-01 00:00:00"), 5L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = TemporalOps.sessionize(df, "user_id", "ts", "event_id", 600L)
+      .select("event_id", "session_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("q59 sketches: HLL and quantile estimates within bounds of exact") {
+    val approx = SparkEntry.queries("q59_sketches")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val exact = core.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        expr("percentile(value, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, (users, p50)) =>
+      val (aUsers, aP50) = approx(k)
+      assert(math.abs(aUsers - users) <= math.max(2L, (users * 0.05).toLong),
+        s"$k HLL distinct: approx=$aUsers exact=$users")
+      // accuracy=10000 ⇒ rank error ≤ n/10000; translate loosely to value
+      assert(math.abs(aP50 - p50) <= math.max(1.0, math.abs(p50) * 0.05),
+        s"$k p50: approx=$aP50 exact=$p50")
+    }
+  }
+}
