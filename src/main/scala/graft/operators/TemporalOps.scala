@@ -57,10 +57,16 @@ object TemporalOps {
     // right rows (_side=0) sort before left rows at equal ts → "<=" match
     val w = Window.partitionBy(key).orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = rCols.foldLeft(lSel.unionByName(rSel)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }.withColumn(s"asof_$ts",
-      last(when(col("_side") === 0, col(ts)), ignoreNulls = true).over(w))
+    // `_rts` is materialized BEFORE the window expressions so all the
+    // `last()`s share one spec in one select → Catalyst emits a single
+    // Window node (one pass over the sorted partition); interleaving a
+    // projection between windowed selects would split it into two.
+    val unioned = lSel.unionByName(rSel)
+      .withColumn("_rts", when(col("_side") === 0, col(ts)))
+    val matched = unioned.select(col("*") +:
+      (rCols.map(c => last(col(c), ignoreNulls = true).over(w)
+         .as(s"asof_$c")) :+
+       last(col("_rts"), ignoreNulls = true).over(w).as(s"asof_$ts")): _*)
     matched.filter(col("_side") === 1)
       .select(col(key) +: col(ts) +: lCols.map(col) ++:
         (rCols :+ ts).map(c => col(s"asof_$c")): _*)
