@@ -28,6 +28,10 @@ object LlmEntry {
   private val CosineDupThreshold = 0.99
   private val IvfCentroidLo = 100 // deterministic coarse centroids
   private val IvfCentroidHi = 107
+  private val ChunkTokens = 50    // context-window chunk size (tokens)
+  private val ChunkStride = 40    // chunk stride (10-token overlap)
+  private val BenchMod = 10       // benchmark set: doc_id % BenchMod == 0
+  private val ContainThreshold = 0.5 // decontamination containment cutoff
 
   /** Embedding corpus with planted near-dup vectors: v/2 keeps the sign
     * mask (same LSH bucket) and cosine ≈ 1. Near-dup dedup uses the
@@ -304,6 +308,55 @@ object LlmEntry {
         .select(col("doc_id"), col("frame_id"), col("off"), col("len"),
           expr("md5(substr(text, CAST(off AS INT), CAST(len AS INT)))")
             .as("frame_md5"))),
+
+    // ---- context-window chunking ----------------------------------------
+    "q60_chunking" -> ((s, d) =>
+      // Overlapping token-window chunks (W=ChunkTokens, stride=
+      // ChunkStride): one chunk per stride start ≤ n_tokens, the last
+      // chunk may be short. Narrow map + explode straight into the
+      // output — nothing shuffles; at 100 TB this is the classic
+      // pre-training chunker shape.
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(tokensSpark("text")).as("toks"))
+        .withColumn("n", expr("size(toks)"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(1, n, $ChunkStride)")).as("start"))
+        .select(col("doc_id"),
+          expr(s"CAST((start - 1) DIV $ChunkStride AS BIGINT)").as("chunk_id"),
+          col("start").cast("long").as("start"),
+          expr(s"CAST(size(slice(toks, start, $ChunkTokens)) AS BIGINT)")
+            .as("n_chunk_tokens"),
+          expr(s"md5(array_join(slice(toks, start, $ChunkTokens), ' '))")
+            .as("chunk_md5"))),
+
+    // ---- benchmark decontamination --------------------------------------
+    "q61_decontam" -> ((s, d) => {
+      // Cross-corpus n-gram containment: train docs sharing ≥
+      // ContainThreshold of a benchmark doc's distinct shingles are
+      // contaminated. The planted near/exact copies of benchmark docs
+      // (DedupOps.corpus) are the true positives the oracle must find.
+      // Shingle join, never doc×doc: the bench side is small (held-out
+      // eval sets are) → broadcast; at 100 TB pre-drop stop-shingles
+      // (high-DF hashes) before the join to bound fan-out.
+      val sh = DedupOps.shingled(DedupOps.corpus(Tables.documents(s, d)))
+      val isBench = col("doc_id") % BenchMod === 0 &&
+        col("doc_id") < DedupOps.NearCopyOffset
+      val bench = sh.filter(isBench)
+      val be = bench.select(col("doc_id").as("bench_id"), explode(col("sh")).as("h"))
+      val te = sh.filter(!(col("doc_id") % BenchMod === 0 &&
+          col("doc_id") < DedupOps.NearCopyOffset))
+        .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
+      te.join(broadcast(be), "h")
+        .groupBy(col("train_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(bench.select(col("doc_id").as("bench_id"),
+          expr("CAST(size(sh) AS BIGINT)").as("n_bench"))), "bench_id")
+        .withColumn("containment",
+          col("n_common").cast("double") / col("n_bench").cast("double"))
+        .filter(col("containment") >= ContainThreshold)
+        .select(col("train_id"), col("bench_id"), col("n_common"),
+          col("containment"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -529,5 +582,39 @@ object LlmEntry {
          |FROM (SELECT doc_id, text,
          |        unnest(${MultimodalOps.frameIndexDuck("length(text)")}) AS f
          |      FROM documents) u""".stripMargin,
+
+    "q60_chunking" ->
+      s"""SELECT doc_id,
+         |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+         |  CAST(start AS BIGINT) AS start,
+         |  CAST(len(list_slice(toks, start,
+         |    least(start + ${ChunkTokens - 1}, n))) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(list_slice(toks, start,
+         |    least(start + ${ChunkTokens - 1}, n)), ' ')) AS chunk_md5
+         |FROM (
+         |  SELECT doc_id, toks, n,
+         |         unnest(generate_series(1, n, $ChunkStride)) AS start
+         |  FROM (SELECT doc_id, ${TextOps.tokensDuck("text")} AS toks,
+         |               len(${TextOps.tokensDuck("text")}) AS n
+         |        FROM documents))""".stripMargin,
+
+    "q61_decontam" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |shingled AS (${DedupOps.shingledDuckBody}),
+         |bench AS (SELECT doc_id AS bench_id, sh FROM shingled
+         |          WHERE doc_id % $BenchMod = 0
+         |            AND doc_id < ${DedupOps.NearCopyOffset}),
+         |be AS (SELECT bench_id, unnest(sh) AS h FROM bench),
+         |te AS (SELECT doc_id AS train_id, unnest(sh) AS h FROM shingled
+         |       WHERE NOT (doc_id % $BenchMod = 0
+         |              AND doc_id < ${DedupOps.NearCopyOffset})),
+         |c AS (SELECT train_id, bench_id, count(*) AS n_common
+         |        FROM te JOIN be USING (h) GROUP BY 1, 2)
+         |SELECT c.train_id, c.bench_id, c.n_common,
+         |       CAST(c.n_common AS DOUBLE) / CAST(len(b.sh) AS DOUBLE)
+         |         AS containment
+         |  FROM c JOIN bench b ON b.bench_id = c.bench_id
+         | WHERE CAST(c.n_common AS DOUBLE) / CAST(len(b.sh) AS DOUBLE)
+         |       >= $ContainThreshold""".stripMargin,
   )
 }

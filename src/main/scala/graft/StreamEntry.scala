@@ -42,6 +42,22 @@ object StreamEntry {
         EventStreams.sessionize(s, EventStreams.eventStream(s, d),
           SessionGapNanos).toDF(),
         OutputMode.Update())),
+
+    "q62_stream_enrich" -> ((s, d) => {
+      // Stream-static join: the unbounded stream enriched against a
+      // broadcast batch dimension (the dim is re-snapshotted per
+      // micro-batch — the streaming form of JN1's small×big join), then a
+      // running per-nation aggregate (Complete mode).
+      import graft.core.Tables
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      bounded(s,
+        EventStreams.eventStream(s, d)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+          .agg(count(lit(1)).as("cnt")),
+        OutputMode.Complete())
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -58,5 +74,10 @@ object StreamEntry {
          |        lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS prev
          |      FROM events)
          |GROUP BY user_id""".stripMargin,
+
+    "q62_stream_enrich" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, count(*) AS cnt
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
   )
 }
