@@ -82,5 +82,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    // naive range filters on the normalized events.ts regain parquet
+    // row-group pruning (see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.PushTimestampNanosFilter)
   }
 }

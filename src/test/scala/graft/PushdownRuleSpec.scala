@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Tables, TimeRange}
+
+/** [[graft.plans.PushTimestampNanosFilter]]: a NAIVE range filter on the
+  * normalized `events.ts` must (a) reach the parquet scan as a pushed
+  * filter on the raw nanos Long, and (b) return exactly the rows of the
+  * hand-pushed `Tables.eventsRange` path and of an unpushable control.
+  */
+class PushdownRuleSpec extends SparkTestBase {
+
+  private val lo = "2024-01-10 00:00:00"
+  private val hi = "2024-01-20 00:00:00"
+
+  private def naive = Tables.events(spark, sf)
+    .filter(col("ts") >= lit(lo).cast("timestamp") &&
+            col("ts") <  lit(hi).cast("timestamp"))
+
+  test("naive ts range filter is rewritten into a pushed nanos filter") {
+    val plan = naive.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts"),
+      s"naive filter did not reach the scan:\n${plan.take(800)}")
+    // and the normalized-column comparison is gone from the filter node
+    assert(!plan.contains("timestamp_micros") ||
+      !plan.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("timestamp_micros")),
+      s"filter still compares the derived column:\n${plan.take(800)}")
+  }
+
+  test("rewritten filter returns exactly the hand-pushed rows") {
+    val ids = naive.select("event_id").collect().map(_.getLong(0)).sorted
+    val exp = Tables.eventsRange(spark, sf, TimeRange(lo, hi), closed = false)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(exp) && ids.nonEmpty)
+  }
+
+  test("boundary semantics: equality rewrite keeps sub-micro nanos") {
+    // pick a real event timestamp; ts = that micros value must match the
+    // row even though its raw nanos carry sub-microsecond digits
+    val row = Tables.events(spark, sf).select("ts", "event_id").head()
+    val t = row.getTimestamp(0)
+    val got = Tables.events(spark, sf)
+      .filter(col("ts") === lit(t))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(row.getLong(1)))
+  }
+}
