@@ -4,7 +4,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{DedupOps, TextOps, TrafficOps}
+import graft.operators.{DedupOps, TemporalOps, TextOps, TrafficOps}
 
 /** Property-based invariants (SURVEY §5.3) over generated data:
   * partition-slice aggregate consistency, interval-join containment,
@@ -131,6 +131,69 @@ object GraftProps extends Properties("graft") {
         col("stop_ratio"), col("uniq_ratio")).collect().head
       val (q, sr, ur) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
       q >= 0.0 && q <= 1.0 && sr >= 0.0 && sr <= 1.0 && ur > 0.0 && ur <= 1.0
+    }
+
+  private def tsOf(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private val genTimed: Gen[(Long, Long)] = for {
+    k <- Gen.choose(0L, 4L)       // few keys → many per-key collisions
+    sec <- Gen.choose(0L, 2000L)
+  } yield (k, sec)
+
+  property("asofJoin equals the naive max-right-ts-per-left-row semantics") =
+    forAll(Gen.listOfN(25, genTimed), Gen.listOfN(15, genTimed)) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, s), i) => (k, tsOf(s), i.toLong) }
+        .toDF("k", "ts", "lid")
+      // uniqueness contract: one right row per (k, ts), payload = max rid
+      val rUniq = rs.zipWithIndex
+        .map { case ((k, s), i) => ((k, s), i.toLong) }
+        .groupBy(_._1).map { case ((k, s), xs) => (k, s, xs.map(_._2).max) }
+        .toSeq
+      val right = rUniq.map { case (k, s, rid) => (k, tsOf(s), rid) }
+        .toDF("k", "ts", "rid")
+      val got = TemporalOps.asofJoin(left, right, "k", "ts")
+        .select(col("lid"), col("asof_rid"))
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      val want = ls.zipWithIndex.map { case ((k, s), i) =>
+        val cands = rUniq.filter(r => r._1 == k && r._2 <= s)
+        i.toLong -> (if (cands.isEmpty) None
+                     else Some(cands.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      got == want
+    }
+
+  property("neighborCounts equals the brute-force pair count") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 3000L)),
+           Gen.choose(60L, 900L)) { (secs0, win) =>
+      val secs = secs0.zipWithIndex
+      val df = secs.map { case (s, i) => (i.toLong, tsOf(s)) }.toDF("id", "ts")
+      val got = TemporalOps.neighborCounts(df, "id", "ts", win)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (for {
+        (a, i) <- secs; (b, j) <- secs
+        if i != j && math.abs(a - b) <= win
+      } yield i.toLong).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      got == want
+    }
+
+  property("sessionize: per-key session count = 1 + #gaps above threshold") =
+    forAll(Gen.listOfN(30, genTimed), Gen.choose(10L, 500L)) { (es, gap) =>
+      val df = es.zipWithIndex
+        .map { case ((k, s), i) => (k, tsOf(s), i.toLong) }
+        .toDF("user_id", "ts", "event_id")
+      val got = TemporalOps.sessionize(df, "user_id", "ts", "event_id", gap)
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = es.groupBy(_._1).map { case (k, xs) =>
+        val sorted = xs.map(_._2).sorted
+        k -> (1L + sorted.zip(sorted.tail).count { case (a, b) => b - a > gap })
+      }
+      got == want
     }
 
   property("simhash of identical docs is identical; hamming to a permuted doc is small") =
