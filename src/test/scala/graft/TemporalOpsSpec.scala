@@ -77,6 +77,32 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("asofJoin: empty right side yields all-NULL matches, not a crash") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("k", "ts", "lid")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("k", "ts", "rid")
+    val got = TemporalOps.asofJoin(left, right, "k", "ts").collect()
+    assert(got.length === 1 && got.head.isNullAt(3) && got.head.isNullAt(4))
+  }
+
+  test("asofJoin: duplicate left rows at one (key, ts) both match") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:00:00"), 2L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 7L)).toDF("k", "ts", "rid")
+    val got = TemporalOps.asofJoin(left, right, "k", "ts")
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 7L, 2L -> 7L))
+  }
+
+  test("neighborCounts: all rows in one instant count n-1 neighbors") {
+    val df = (0 until 5).map(i => (i.toLong, ts("2024-01-01 00:00:00")))
+      .toDF("id", "ts")
+    val got = TemporalOps.neighborCounts(df, "id", "ts", 60L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0 until 5).map(_.toLong -> 4L).toMap)
+  }
+
   test("q59 sketches: HLL and quantile estimates within bounds of exact") {
     val approx = SparkEntry.queries("q59_sketches")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
