@@ -94,6 +94,30 @@ object RelEntry {
           lead(col("l_linenumber"), 1).over(w).as("next_line"))
     }),
 
+    // ---- collection aggregation: collect_set → sort → join -------------
+    // Array results are rendered to strings (array_join) so the oracle
+    // compare is representation-independent; collect_set order is
+    // nondeterministic, so array_sort is mandatory before joining.
+    "q63_collect_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 20).as("user_bucket"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+               .as("types_seen"),
+             countDistinct(col("event_type")).as("n_types"),
+             max(col("value")).as("max_value"))),
+
+    // ---- date/time scalar functions over order dates -------------------
+    "q64_date_math" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("order_month"),
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+          datediff(lit("1998-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_98"),
+          date_add(col("o_orderdate").cast("date"), 30).cast("timestamp")
+            .as("due_date"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))),
+
     // ---- approximate sketches: HLL++ distinct + GK-quantile ------------
     // No DuckDB oracle (different sketch families give different
     // estimates) → driver records rows-only; the error bound vs the exact
@@ -176,6 +200,23 @@ object RelEntry {
         |         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
         |         AS next_line
         |  FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+    "q63_collect_agg" ->
+      """SELECT CAST(user_id % 20 AS BIGINT) AS user_bucket,
+        |       string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+        |         AS types_seen,
+        |       count(DISTINCT event_type) AS n_types,
+        |       max(value) AS max_value
+        |  FROM events GROUP BY 1""".stripMargin,
+    "q64_date_math" ->
+      """SELECT o_orderkey,
+        |       date_trunc('month', o_orderdate) AS order_month,
+        |       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+        |         AS month_end,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |                      DATE '1998-01-01') AS BIGINT) AS days_to_98,
+        |       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+        |  FROM orders WHERE o_orderkey < 500""".stripMargin,
     // q59_sketches: intentionally no oracle (sketch estimates are
     // implementation-defined); bounded-error unit test instead.
   )
