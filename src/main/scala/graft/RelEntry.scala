@@ -118,6 +118,25 @@ object RelEntry {
             .as("due_date"),
           quarter(col("o_orderdate")).cast("long").as("qtr"))),
 
+    // ---- keep-latest compaction (CDC/upsert apply) ---------------------
+    // One surviving row per (user_id, event_type): the latest by ts
+    // (event_id breaks ties). row_number + rn=1 plans with map-side
+    // WindowGroupLimit, so each partition forwards only its per-key
+    // leader — the merge-on-read compaction every incremental pipeline
+    // runs, expressed declaratively.
+    "q65_keep_latest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("latest_event_id"),
+          col("ts").as("latest_ts"),
+          col("value").as("latest_value"))
+    }),
+
     // ---- approximate sketches: HLL++ distinct + GK-quantile ------------
     // No DuckDB oracle (different sketch families give different
     // estimates) → driver records rows-only; the error bound vs the exact
@@ -217,6 +236,14 @@ object RelEntry {
         |       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
         |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr
         |  FROM orders WHERE o_orderkey < 500""".stripMargin,
+    "q65_keep_latest" ->
+      """SELECT user_id, event_type, event_id AS latest_event_id,
+        |       ts AS latest_ts, value AS latest_value
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY user_id, event_type
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |          FROM events)
+        | WHERE rn = 1""".stripMargin,
     // q59_sketches: intentionally no oracle (sketch estimates are
     // implementation-defined); bounded-error unit test instead.
   )
