@@ -137,6 +137,19 @@ object RelEntry {
           col("value").as("latest_value"))
     }),
 
+    // ---- native k-bounded top-k aggregate ------------------------------
+    // Same semantics as q23's window top-k, but via the custom
+    // TypedImperativeAggregate `top_k_ids` (functions/TopKIds): per-group
+    // state is exactly k triples, partials merge k-bounded, so the
+    // shuffle carries ≤ k·|groups| rows instead of every group member.
+    "q66_topk_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr(
+          "array_join(transform(top_k_ids(l_extendedprice, l_orderkey, " +
+            "CAST(l_linenumber AS BIGINT), 3), x -> CAST(x AS STRING)), ',')")
+          .as("top_ids"))),
+
     // ---- approximate sketches: HLL++ distinct + GK-quantile ------------
     // No DuckDB oracle (different sketch families give different
     // estimates) → driver records rows-only; the error bound vs the exact
@@ -244,6 +257,16 @@ object RelEntry {
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |          FROM events)
         | WHERE rn = 1""".stripMargin,
+    "q66_topk_agg" ->
+      """SELECT l_returnflag,
+        |       string_agg(CAST(l_orderkey AS VARCHAR), ',' ORDER BY rn)
+        |         AS top_ids
+        |  FROM (SELECT l_returnflag, l_orderkey, row_number() OVER (
+        |          PARTITION BY l_returnflag
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |          AS rn
+        |          FROM lineitem)
+        | WHERE rn <= 3 GROUP BY 1""".stripMargin,
     // q59_sketches: intentionally no oracle (sketch estimates are
     // implementation-defined); bounded-error unit test instead.
   )

@@ -85,5 +85,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // naive range filters on the normalized events.ts regain parquet
     // row-group pruning (see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.PushTimestampNanosFilter)
+    // k-bounded top-k aggregate: shuffle carries ≤ k·|groups| triples
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_ids"),
+      new ExpressionInfo(classOf[TopKIds].getName, "top_k_ids"),
+      (children: Seq[Expression]) =>
+        TopKIds(children(0), children(1), children(2), children(3))))
   }
 }
