@@ -137,6 +137,32 @@ object RelEntry {
           col("value").as("latest_value"))
     }),
 
+    // ---- explicit GROUPING SETS (beyond ROLLUP's prefix lattice) -------
+    // SQL surface via the temp-view catalog (S7) — the one grouping shape
+    // the DataFrame API lacks a direct method for.
+    "q67_grouping_sets" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_type, user_bucket, count(*) AS cnt
+              |FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT)
+              |        AS user_bucket FROM events_v)
+              |GROUP BY GROUPING SETS ((event_type), (user_bucket))"""
+        .stripMargin)
+    }),
+
+    // ---- statistical aggregates ----------------------------------------
+    // stddev/var over the integer-valued quantity: the moment sums are
+    // exact in double, so both engines produce bit-identical results.
+    // corr/covar over non-integral columns differ in the last ulp across
+    // engines (different accumulation orders) — excluded from the oracle
+    // surface on purpose; see skewness/kurtosis note in SURVEY §2.6.
+    "q68_stats_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(stddev_samp(col("l_quantity")).as("sd_qty"),
+             var_samp(col("l_quantity")).as("var_qty"),
+             avg(col("l_quantity")).as("avg_qty"),
+             count(lit(1)).as("n"))),
+
     // ---- native k-bounded top-k aggregate ------------------------------
     // Same semantics as q23's window top-k, but via the custom
     // TypedImperativeAggregate `top_k_ids` (functions/TopKIds): per-group
@@ -257,6 +283,18 @@ object RelEntry {
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |          FROM events)
         | WHERE rn = 1""".stripMargin,
+    "q67_grouping_sets" ->
+      """SELECT event_type, user_bucket, count(*) AS cnt
+        |FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT)
+        |        AS user_bucket FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (user_bucket))""".stripMargin,
+    "q68_stats_agg" ->
+      """SELECT l_returnflag,
+        |       stddev_samp(l_quantity) AS sd_qty,
+        |       var_samp(l_quantity) AS var_qty,
+        |       avg(l_quantity) AS avg_qty,
+        |       count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q66_topk_agg" ->
       """SELECT l_returnflag,
         |       string_agg(CAST(l_orderkey AS VARCHAR), ',' ORDER BY rn)
