@@ -120,13 +120,19 @@ object LlmEntry {
 
     "q34_minhash_buckets" -> ((s, d) => {
       // LSH bucket-size histogram: the shape check that candidate
-      // generation is per-bucket, never all-pairs.
-      val out = DedupOps.lshBuckets(DedupOps.corpus(Tables.documents(s, d)))
+      // generation is per-bucket, never all-pairs. Signatures persist
+      // before the posexplode (same generate-re-evaluation pitfall as
+      // q61: an unpersisted computed array re-evals per emitted band).
+      val sig = DedupOps.signatures(DedupOps.corpus(Tables.documents(s, d)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = DedupOps.lshBucketsFromSig(sig)
         .groupBy(col("band_id"), col("band_key"))
         .agg(count(lit(1)).as("bucket_size"))
         .groupBy(col("band_id"), col("bucket_size"))
         .agg(count(lit(1)).as("n_buckets"))
-      out
+      val rows = out.collect()
+      sig.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     "q35_minhash_pairs" -> ((s, d) => {

@@ -163,6 +163,33 @@ object RelEntry {
              avg(col("l_quantity")).as("avg_qty"),
              count(lit(1)).as("n"))),
 
+    // ---- exact percentiles (interpolating) -----------------------------
+    // Over the integer-valued quantity the interpolation operands are
+    // exact doubles, so both engines compute identical results (the
+    // approximate twin is q59; exact percentile shuffles the full value
+    // multiset per group — use the sketch at 100 TB unless exactness is
+    // contractual).
+    "q69_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+             expr("percentile(l_quantity, 0.5)").as("p50"),
+             expr("percentile(l_quantity, 0.9)").as("p90"))),
+
+    // ---- rank-family window functions ----------------------------------
+    "q70_window_ranks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
     // ---- native k-bounded top-k aggregate ------------------------------
     // Same semantics as q23's window top-k, but via the custom
     // TypedImperativeAggregate `top_k_ids` (functions/TopKIds): per-group
@@ -283,6 +310,22 @@ object RelEntry {
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |          FROM events)
         | WHERE rn = 1""".stripMargin,
+    "q69_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90
+        |  FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q70_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       percent_rank() OVER w AS prnk,
+        |       cume_dist() OVER w AS cd,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |  FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
     "q67_grouping_sets" ->
       """SELECT event_type, user_bucket, count(*) AS cnt
         |FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT)
