@@ -379,6 +379,26 @@ object LlmEntry {
       sh.unpersist(blocking = false)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
+
+    // ---- duplicate clustering (transitive closure of near-dup pairs) ----
+    "q71_dup_clusters" -> ((s, d) => {
+      // Dedup keep-one needs COMPONENTS, not pairs: (a,b) and (b,c)
+      // verified near-dups must collapse to one cluster with one
+      // canonical survivor. Pregel-style min-label propagation over the
+      // verified pair graph (DedupOps.dupComponents) — per round one
+      // equi-join + one min-agg, converges in diameter rounds.
+      val c = DedupOps.corpus(Tables.documents(s, d))
+      val shingled = DedupOps.shingled(c)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = DedupOps.signaturesFromShingles(shingled)
+      val pairs = DedupOps.candidatePairs(DedupOps.lshBucketsFromSig(sig))
+      val verified = DedupOps
+        .jaccardVerifyShingled(shingled, pairs, JaccardThreshold)
+        .select(col("id_a"), col("id_b"))
+      val out = DedupOps.dupComponents(verified)
+      shingled.unpersist(blocking = false)
+      out
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -642,5 +662,21 @@ object LlmEntry {
          |  FROM c JOIN nb ON nb.bench_id = c.bench_id
          | WHERE CAST(c.n_common AS DOUBLE) / CAST(nb.n_bench AS DOUBLE)
          |       >= $ContainThreshold""".stripMargin,
+
+    "q71_dup_clusters" ->
+      s"""WITH RECURSIVE corpus AS (${DedupOps.corpusDuck}),
+         |shingled AS (${DedupOps.shingledDuckBody}),
+         |sigs AS (SELECT doc_id, ${DedupOps.signatureDuck("sh")} AS sig FROM shingled),
+         |buckets AS (${DedupOps.lshBucketsDuckBody}),
+         |pairs AS (${DedupOps.candidatePairsDuckBody}),
+         |verified AS (${DedupOps.jaccardVerifyDuckBody(JaccardThreshold)}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM verified),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+         |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1""".stripMargin,
   )
 }

@@ -190,6 +190,19 @@ object RelEntry {
           ntile(4).over(w).cast("long").as("quartile"))
     }),
 
+    // ---- outer-join family: full outer with side classification --------
+    // (inner/semi joins are exercised throughout; this is the NULL-side
+    // surface: unmatched rows from both inputs survive and classify)
+    "q72_join_types" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val e = Tables.events(s, d).select(col("user_id")).distinct()
+      c.join(e, col("c_custkey") === col("user_id"), "full_outer")
+        .select(when(col("c_custkey").isNull, "event_only")
+          .when(col("user_id").isNull, "customer_only")
+          .otherwise("both").as("side"))
+        .groupBy(col("side")).agg(count(lit(1)).as("n"))
+    }),
+
     // ---- native k-bounded top-k aggregate ------------------------------
     // Same semantics as q23's window top-k, but via the custom
     // TypedImperativeAggregate `top_k_ids` (functions/TopKIds): per-group
@@ -310,6 +323,15 @@ object RelEntry {
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |          FROM events)
         | WHERE rn = 1""".stripMargin,
+    "q72_join_types" ->
+      """SELECT CASE WHEN c.c_custkey IS NULL THEN 'event_only'
+        |            WHEN e.user_id IS NULL THEN 'customer_only'
+        |            ELSE 'both' END AS side,
+        |       count(*) AS n
+        |  FROM customer c
+        |  FULL OUTER JOIN (SELECT DISTINCT user_id FROM events) e
+        |    ON e.user_id = c.c_custkey
+        | GROUP BY 1""".stripMargin,
     "q69_percentile" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.25) AS p25,

@@ -220,6 +220,50 @@ object DedupOps {
              "CAST(size(array_union(sh_a, sh_b)) AS DOUBLE)").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+  /** Duplicate clustering: connected components over verified near-dup
+    * pairs, labels = min doc_id per component (deterministic canonical
+    * representative — the doc a keep-one policy retains).
+    *
+    * Iterative min-label propagation: each round joins current labels to
+    * the (symmetrized, persisted) edge list and takes the per-node min of
+    * own and neighbor labels; labels only decrease, so the label SUM is a
+    * monotone convergence witness (one scalar to the driver per round —
+    * iteration control, not data). Rounds needed = graph diameter
+    * (dup clusters are shallow; bounded by `maxIters`). This is the
+    * Pregel-style pattern that scales: per round one equi-join + one
+    * min-aggregate, both keyed on node id.
+    */
+  def dupComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist(lvl)
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var it = 0
+    var done = false
+    while (it < maxIters && !done) {
+      val next = labels
+        .join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("label"))
+        .unionAll(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(lvl)
+      val s = next.agg(sum(col("label"))).head.getLong(0)
+      labels.unpersist(blocking = false)
+      labels = next
+      if (s == prevSum) done = true else prevSum = s
+      it += 1
+    }
+    val out = labels.select(col("id").as("doc_id"), col("label").as("component"))
+    val rows = out.collect()
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    pairs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   def jaccardVerifyDuckBody(threshold: Double): String =
     s"""SELECT id_a, id_b,
        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
