@@ -203,6 +203,55 @@ object RelEntry {
         .groupBy(col("side")).agg(count(lit(1)).as("n"))
     }),
 
+    // ---- cohort retention ----------------------------------------------
+    // cohort = week of a user's first event, activity bucketed by day;
+    // one row per (cohort, activity day) with distinct active users —
+    // the standard retention triangle. Two shuffles on user_id, one on
+    // the pair. (Day/week granularity because the events table spans one
+    // month; swap the truncs for month-over-month retention.)
+    "q73_cohort_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val first = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      val act = e.select(col("user_id"),
+        date_trunc("day", col("ts")).as("act_day")).distinct()
+      act.join(first, "user_id")
+        .groupBy(col("cohort"), col("act_day"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ---- value histogram (fixed-width buckets) -------------------------
+    // floor-division bucketing (identical arithmetic cross-engine;
+    // Spark's width_bucket has no DuckDB twin), clamped into [0, 10].
+    "q74_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          least(greatest(floor(col("value") / 25.0), lit(0.0)), lit(10.0))
+            .cast("long").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- conversion funnel ---------------------------------------------
+    // Ordered-stage funnel (view → click ≥ view's ts → purchase ≥
+    // click's ts): per-stage min-ts tables joined forward, counts
+    // unioned as rows (no single-row cross join).
+    "q75_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+    }),
+
     // ---- native k-bounded top-k aggregate ------------------------------
     // Same semantics as q23's window top-k, but via the custom
     // TypedImperativeAggregate `top_k_ids` (functions/TopKIds): per-group
@@ -323,6 +372,35 @@ object RelEntry {
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |          FROM events)
         | WHERE rn = 1""".stripMargin,
+    "q73_cohort_retention" ->
+      """WITH f AS (SELECT user_id,
+        |             CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+        |               AS cohort
+        |             FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |        CAST(date_trunc('day', ts) AS TIMESTAMP) AS act_day
+        |        FROM events)
+        |SELECT f.cohort, a.act_day, count(DISTINCT a.user_id) AS n_users
+        |  FROM a JOIN f ON f.user_id = a.user_id
+        | GROUP BY 1, 2""".stripMargin,
+    "q74_histogram" ->
+      """SELECT event_type,
+        |       CAST(least(greatest(floor(value / 25.0), 0.0), 10.0)
+        |            AS BIGINT) AS bucket,
+        |       count(*) AS n
+        |  FROM events GROUP BY 1, 2""".stripMargin,
+    "q75_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |        JOIN v ON v.user_id = e.user_id AND e.ts >= v.t_view
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_buy FROM events e
+        |        JOIN c ON c.user_id = e.user_id AND e.ts >= c.t_click
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
     "q72_join_types" ->
       """SELECT CASE WHEN c.c_custkey IS NULL THEN 'event_only'
         |            WHEN e.user_id IS NULL THEN 'customer_only'

@@ -103,6 +103,15 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(got === (0 until 5).map(_.toLong -> 4L).toMap)
   }
 
+  test("dupComponents: chain merges, separate components stay apart") {
+    import graft.operators.DedupOps
+    // chain 1-2-3 (via pairs (1,2),(2,3)), separate pair (10,11)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = DedupOps.dupComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("q59 sketches: HLL and quantile estimates within bounds of exact") {
     val approx = SparkEntry.queries("q59_sketches")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
