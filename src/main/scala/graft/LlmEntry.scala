@@ -33,6 +33,14 @@ object LlmEntry {
   private val BenchMod = 10       // benchmark set: doc_id % BenchMod == 0
   private val ContainThreshold = 0.5 // decontamination containment cutoff
   private val MaxShingleDf = 20   // stop-shingle cutoff (docs per shingle)
+  private val PiiPlantN = 40      // planted PII: doc_id < N
+  // one raw regex (Java and RE2 agree on this subset); Spark SQL string
+  // literals unescape backslashes, DuckDB's don't — derive per dialect
+  private val EmailRegexRaw = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val EmailRegex = EmailRegexRaw.replace("\\", "\\\\") // Spark literal
+  private val EmailRegexDuck = EmailRegexRaw
+  private val LongDigitRegex = "[0-9]{7,}"
+  private val RepRatioMin = 0.05  // repetition-ratio report threshold
 
   /** Embedding corpus with planted near-dup vectors: v/2 keeps the sign
     * mask (same LSH bucket) and cosine ≈ 1. Near-dup dedup uses the
@@ -380,6 +388,47 @@ object LlmEntry {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // ---- PII scrubbing ---------------------------------------------------
+    // Regex redaction of emails and long digit runs, with PLANTED PII on
+    // doc_id < PiiPlantN (mirrored in the oracle) so the redaction
+    // counts prove recall. Patterns stay in the regex subset Java and
+    // RE2 agree on (no backrefs, no lookaround). Narrow map, no shuffle.
+    "q76_pii_scrub" -> ((s, d) => {
+      val planted = Tables.documents(s, d)
+        .withColumn("text",
+          when(col("doc_id") < PiiPlantN,
+            concat(col("text"), lit(" contact bob.smith@example.com or "),
+              col("doc_id").cast("string"), lit("5550123456")))
+            .otherwise(col("text")))
+      planted.select(
+        col("doc_id"),
+        expr(s"CAST(size(regexp_extract_all(text, '$EmailRegex', 0)) " +
+          "AS BIGINT)").as("n_emails"),
+        expr(s"CAST(size(regexp_extract_all(text, '$LongDigitRegex', 0)) " +
+          "AS BIGINT)").as("n_digit_runs"),
+        md5(expr(s"regexp_replace(regexp_replace(text, '$EmailRegex', " +
+          s"'[EMAIL]'), '$LongDigitRegex', '[NUM]')")).as("clean_md5"))
+    }),
+
+    // ---- repetition detection (quality filter) ---------------------------
+    // Per-doc max term frequency / n_tokens — the repetition ratio LLM
+    // pipelines threshold on. Explode feeds straight into two hash
+    // aggregates (token counts, then per-doc max); raw tokens shuffle
+    // only as (doc_id, tok) partial counts.
+    "q77_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tokCounts = docs
+        .select(col("doc_id"), explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val perDoc = tokCounts.groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_tf"), sum(col("c")).as("n_tokens"))
+      perDoc.select(col("doc_id"), col("max_tf"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          (col("max_tf").cast("double") / col("n_tokens").cast("double"))
+            .as("rep_ratio"))
+        .filter(col("rep_ratio") >= RepRatioMin)
+    }),
+
     // ---- duplicate clustering (transitive closure of near-dup pairs) ----
     "q71_dup_clusters" -> ((s, d) => {
       // Dedup keep-one needs COMPONENTS, not pairs: (a,b) and (b,c)
@@ -662,6 +711,40 @@ object LlmEntry {
          |  FROM c JOIN nb ON nb.bench_id = c.bench_id
          | WHERE CAST(c.n_common AS DOUBLE) / CAST(nb.n_bench AS DOUBLE)
          |       >= $ContainThreshold""".stripMargin,
+
+    "q76_pii_scrub" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id < $PiiPlantN
+         |         THEN text || ' contact bob.smith@example.com or ' ||
+         |              CAST(doc_id AS VARCHAR) || '5550123456'
+         |         ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRegexDuck', 0))
+         |       AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$LongDigitRegex', 0))
+         |       AS BIGINT) AS n_digit_runs,
+         |  md5(regexp_replace(regexp_replace(text, '$EmailRegexDuck',
+         |      '[EMAIL]', 'g'), '$LongDigitRegex', '[NUM]', 'g'))
+         |    AS clean_md5
+         |FROM planted""".stripMargin,
+
+    "q77_repetition" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(${tokensDuck("text")}) AS tok
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, max(c) AS max_tf,
+         |              CAST(sum(c) AS BIGINT) AS n_tokens
+         |         FROM tc GROUP BY 1)
+         |SELECT doc_id, max_tf, n_tokens,
+         |       CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |         AS rep_ratio
+         |  FROM pd
+         | WHERE CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |       >= $RepRatioMin""".stripMargin,
 
     "q71_dup_clusters" ->
       s"""WITH RECURSIVE corpus AS (${DedupOps.corpusDuck}),
