@@ -252,6 +252,23 @@ object RelEntry {
           .select(lit("3_purchase").as("stage"), col("n_users")))
     }),
 
+    // ---- MapType end-to-end (SURVEY §2.8 map-function family) ----------
+    // per-user event_type→count map built from grouped counts
+    // (map_from_entries over collect_list — key set is unique so the
+    // nondeterministic list order cannot change the map), extracted back
+    // to scalars for a representation-independent compare.
+    "q78_map_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(
+          collect_list(struct(col("event_type"), col("cnt")))).as("m"))
+        .select(col("user_id"),
+          element_at(col("m"), "click").as("clicks"),
+          element_at(col("m"), "purchase").as("purchases"),
+          size(col("m")).cast("long").as("n_keys"))),
+
     // ---- native k-bounded top-k aggregate ------------------------------
     // Same semantics as q23's window top-k, but via the custom
     // TypedImperativeAggregate `top_k_ids` (functions/TopKIds): per-group
@@ -410,6 +427,16 @@ object RelEntry {
         |  FULL OUTER JOIN (SELECT DISTINCT user_id FROM events) e
         |    ON e.user_id = c.c_custkey
         | GROUP BY 1""".stripMargin,
+    "q78_map_funcs" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |             FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, MAP(list(event_type), list(cnt)) AS m
+        |        FROM c GROUP BY 1)
+        |SELECT user_id,
+        |       map_extract(m, 'click')[1] AS clicks,
+        |       map_extract(m, 'purchase')[1] AS purchases,
+        |       CAST(cardinality(m) AS BIGINT) AS n_keys
+        |  FROM m""".stripMargin,
     "q69_percentile" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.25) AS p25,

@@ -59,4 +59,21 @@ class BucketedJoinSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS ord_bkt")
     }
   }
+
+  test("ANALYZE TABLE feeds row-count stats into the optimizer (CBO)") {
+    BucketedTables.writeBucketed(core.Tables.orders(spark, sf),
+      "ord_stats", "o_orderkey", 4)
+    spark.sql("ANALYZE TABLE ord_stats COMPUTE STATISTICS")
+    // catalog row counts reach plan Statistics only under CBO
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("ord_stats").queryExecution.optimizedPlan.stats
+      val expected = core.Tables.orders(spark, sf).count()
+      assert(stats.rowCount.exists(_.toLong == expected),
+        s"catalog stats missing/wrong: ${stats.rowCount}")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS ord_stats")
+    }
+  }
 }
