@@ -43,6 +43,29 @@ object StreamEntry {
           SessionGapNanos).toDF(),
         OutputMode.Update())),
 
+    "q79_stream_stream_join" -> ((s, d) => {
+      // Stream-stream inner join with watermarks on BOTH sides and an
+      // event-time band condition — the watermark + band bound the join
+      // state retention (without them stream-stream state grows forever).
+      // Bounded run drains in one AvailableNow batch, so the result
+      // equals the batch join exactly.
+      val ev = EventStreams.eventStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("click_id"), col("p_user"))
+      bounded(s, joined, OutputMode.Append())
+    }),
+
     "q62_stream_enrich" -> ((s, d) => {
       // Stream-static join: the unbounded stream enriched against a
       // broadcast batch dimension (the dim is re-snapshotted per
@@ -79,5 +102,13 @@ object StreamEntry {
       """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, count(*) AS cnt
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1""".stripMargin,
+
+    "q79_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.user_id AS p_user
+        |  FROM events p JOIN events c
+        |    ON c.user_id = p.user_id
+        |   AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        | WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
   )
 }
