@@ -14,6 +14,25 @@ class StreamingSpec extends SparkTestBase {
 
   private val H = 3600L * 1000000000L // one hour in nanos
 
+  test("streaming parquet sink + checkpoint lands exactly the source rows") {
+    // the fault-tolerant file sink: checkpointed offsets + transactional
+    // file commit protocol — the production landing path for streams
+    val out = java.nio.file.Files.createTempDirectory("graft_ssink").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_sck").toString
+    val q = EventStreams.eventStream(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val landed = spark.read.parquet(out)
+    val src = graft.core.Tables.events(spark, sf)
+    assert(landed.count() === src.count())
+    assert(landed.select(sum(col("event_id"))).head.getLong(0) ===
+      src.select(sum(col("event_id"))).head.getLong(0))
+  }
+
   test("sessionize merges state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
