@@ -196,6 +196,19 @@ object GraftProps extends Properties("graft") {
       got == want
     }
 
+  property("top_k_ids equals sort-take-k under the same total order") =
+    forAll(Gen.listOfN(40, for {
+      sc <- Gen.choose(0.0, 10.0); i <- Gen.choose(0L, 30L)
+      t <- Gen.choose(0L, 5L)
+    } yield (sc, i, t)), Gen.choose(1, 8)) { (rows, k) =>
+      val df = rows.toDF("s", "i", "t").repartition(3)
+      val got = df.agg(expr(s"top_k_ids(s, i, t, $k)"))
+        .head.getSeq[Long](0).toList
+      val want = rows.sortBy { case (sc, i, t) => (-sc, i, t) }
+        .take(k).map(_._2)
+      got == want
+    }
+
   property("simhash of identical docs is identical; hamming to a permuted doc is small") =
     forAll(genDoc) { text =>
       val permuted = text.split(' ').reverse.mkString(" ")
