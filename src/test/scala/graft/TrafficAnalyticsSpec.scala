@@ -56,6 +56,11 @@ class TrafficAnalyticsSpec extends SparkTestBase {
   private def toMap(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Seq[Any]] =
     df.collect().map(r => r.toSeq.take(df.columns.length - 1) -> r.toSeq).toMap
 
+  test("driver flagship entry returns a non-empty hourly histogram") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) > 0))
+  }
+
   test("accidentCount: bbox+range histogram, unparseable date kept at epoch 0") {
     val rows = ta.accidentCount(box, "2016-06-01", "2016-06-30")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
