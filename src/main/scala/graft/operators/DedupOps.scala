@@ -238,9 +238,13 @@ object DedupOps {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist(lvl)
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    // round 1 fused into init: label₀(v) = min(v, min direct neighbor)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("label")).persist(lvl)
+    def labelSum(df: DataFrame): Long =  // null-safe: empty graph → 0
+      Option(df.agg(sum(col("label"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
     var it = 0
     var done = false
     while (it < maxIters && !done) {
@@ -250,7 +254,7 @@ object DedupOps {
         .unionAll(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist(lvl)
-      val s = next.agg(sum(col("label"))).head.getLong(0)
+      val s = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
       if (s == prevSum) done = true else prevSum = s
