@@ -91,5 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKIds].getName, "top_k_ids"),
       (children: Seq[Expression]) =>
         TopKIds(children(0), children(1), children(2), children(3))))
+    // fused shingle hasher: the dedup family's hot path in one pass
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children(0), children(1))))
   }
 }

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native fused shingle hasher: `shingle_hashes(text, k)` = the distinct
+  * polynomial hashes of all k-token shingles of `text`, identical
+  * bit-for-bit to the HOF formulation in
+  * [[graft.operators.DedupOps.shingleHashesSpark]] (split on single
+  * space keeping empties → per-token rolling hash (h·31+char) mod p →
+  * k-token polynomial combine → first-occurrence-distinct).
+  *
+  * Why native: the HOF chain walks `split('')` char arrays through three
+  * nested lambda folds — interpreted, allocation-heavy, and the single
+  * hottest path of the dedup family (q34-36, q61, q71). This expression
+  * is ONE pass over the string with zero intermediate arrays; codegen
+  * emits a static call, so it stays inside the whole-stage span.
+  *
+  * Parity caveat (same as the HOF/oracle pair): characters are hashed by
+  * Java char code unit, which equals the code point the `ascii()`-based
+  * HOF and the DuckDB oracle use for ASCII corpora; supplementary-plane
+  * text would need code-point iteration in all three places.
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType &&
+        right.isInstanceOf[Literal]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "shingle_hashes expects (STRING text, INT-literal k)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(t: Any, k: Any): Any =
+    ShingleHashes.compute(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($t, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashes {
+  private val P = 2147483647L // 2^31-1, as DedupOps.P
+
+  /** One pass: token rolling hashes (split on ' ' keeping empties, like
+    * `split(text, ' ')`), k-combine, first-occurrence distinct.
+    */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    // token rolling hashes
+    var tokenHashes = new Array[Long](16)
+    var nTok = 0
+    var h = 0L
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (nTok == tokenHashes.length)
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTok * 2)
+        tokenHashes(nTok) = h; nTok += 1; h = 0L
+      } else {
+        h = (h * 31L + s.charAt(i).toLong) % P
+      }
+      i += 1
+    }
+    if (nTok < k) return new GenericArrayData(Array.emptyLongArray)
+    // combine + distinct (first occurrence order, as array_distinct)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j <= nTok - k) {
+      var x = tokenHashes(j)
+      var o = 1
+      while (o < k) { x = (x * 31L + tokenHashes(j + o)) % P; o += 1 }
+      seen.add(x)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = it.next(); n += 1 }
+    new GenericArrayData(out)
+  }
+}

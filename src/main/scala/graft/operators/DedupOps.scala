@@ -146,27 +146,30 @@ object DedupOps {
       (acc, o) => s"($acc * 31 + $sig[$b * $RowsPerBand + $o]) % $P"
     }
 
-  /** (doc_id, sig) — the minhash signature table, staged so each level
-    * (token hashes → shingle hashes → signature) is computed once.
-    * Catalyst keeps the stages separate (CollapseProject refuses to
-    * duplicate non-cheap expressions). At scale this is the table to
-    * persist (MEMORY_AND_DISK) when more than one downstream pass needs
-    * it.
+  /** (doc_id, sig) — the minhash signature table. Shingle hashing runs
+    * through the native fused expression (see [[shingled]]); the 12
+    * affine mins then fold over the small per-doc hash array. At scale
+    * this is the table to persist (MEMORY_AND_DISK) when more than one
+    * downstream pass needs it.
     */
   def signatures(c: DataFrame): DataFrame =
-    c.withColumn("hs", expr(tokenHashesSpark("text")))
-      .withColumn("xs", expr(shingleHashesSpark("hs")))
-      .select(col("doc_id"), expr(signatureSpark("xs")).as("sig"))
+    signaturesFromShingles(shingled(c))
   /** DuckDB mirror of [[signatures]] over `corpus` (staged subselects). */
   val signaturesDuckBody: String =
     s"""SELECT doc_id, ${signatureDuck("xs")} AS sig FROM (
        |  SELECT doc_id, ${shingleHashesDuck("hs")} AS xs FROM (
        |    SELECT doc_id, ${tokenHashesDuck("text")} AS hs FROM corpus))""".stripMargin
 
-  /** (doc_id, shingle-hash set) — for the Jaccard verify step. */
+  /** (doc_id, shingle-hash set) — for the Jaccard verify step and all
+    * downstream minhash/decontamination passes. Uses the native fused
+    * [[graft.functions.ShingleHashes]] expression (one pass over the
+    * string, no intermediate arrays) — proven bit-equal to the HOF
+    * formulation [[shingleHashesSpark]], which remains the
+    * cross-dialect spec the DuckDB oracle mirrors.
+    */
   def shingled(c: DataFrame): DataFrame =
-    c.withColumn("hs", expr(tokenHashesSpark("text")))
-      .select(col("doc_id"), expr(shingleHashesSpark("hs")).as("sh"))
+    c.select(col("doc_id"),
+      expr(s"shingle_hashes(text, $ShingleK)").as("sh"))
   val shingledDuckBody: String =
     s"""SELECT doc_id, ${shingleHashesDuck("hs")} AS sh FROM (
        |  SELECT doc_id, ${tokenHashesDuck("text")} AS hs FROM corpus)""".stripMargin

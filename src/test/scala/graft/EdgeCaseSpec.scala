@@ -58,4 +58,18 @@ class EdgeCaseSpec extends SparkTestBase {
     sh.values.foreach(v => assert(v >= 0 && v < (1L << TextOps.SimhashBits)))
     assert(sh(3L) == sh(4L))
   }
+
+  test("native shingle_hashes equals the HOF formulation on the corpus") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .unionAll(tiny.withColumn("lang", lit("x")).withColumn("source", lit("x"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    val native = DedupOps.shingled(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val hof = docs
+      .withColumn("hs", expr(DedupOps.tokenHashesSpark("text")))
+      .select(col("doc_id"), expr(DedupOps.shingleHashesSpark("hs")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(native === hof)
+  }
 }
