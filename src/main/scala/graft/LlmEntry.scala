@@ -138,17 +138,17 @@ object LlmEntry {
         .agg(count(lit(1)).as("bucket_size"))
         .groupBy(col("band_id"), col("bucket_size"))
         .agg(count(lit(1)).as("n_buckets"))
-      val rows = out.collect()
-      sig.unpersist(blocking = false)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      core.Materialize.detached(out) { sig.unpersist(blocking = false) }
     }),
 
     "q35_minhash_pairs" -> ((s, d) => {
       // The signature table feeds the bucket self-join AND both sides of
       // the pair-estimate join — persist it once (MEMORY_AND_DISK, the
       // 100 TB-safe level for a slim doc_id+sig[12] table) instead of
-      // recomputing the minhash 4×. The ≤|candidates| output is pinned on
-      // the driver so the cache can be released before returning.
+      // recomputing the minhash 4×. The candidate-pair output is
+      // data-dependent in size (a dup-heavy crawl makes it comparable to
+      // the corpus), so it is detached via executor-local checkpoint —
+      // never pinned on the driver — before the cache is released.
       val sig = DedupOps.signatures(DedupOps.corpus(Tables.documents(s, d)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val out = DedupOps.candidatePairs(DedupOps.lshBucketsFromSig(sig))
@@ -158,9 +158,7 @@ object LlmEntry {
           expr(s"CAST(size(filter(transform(sequence(1, ${DedupOps.NumHashes}), " +
             "i -> CASE WHEN element_at(sig_a, i) = element_at(sig_b, i) THEN 1 ELSE 0 END), " +
             s"x -> x = 1)) AS DOUBLE) / ${DedupOps.NumHashes}.0").as("est_jaccard"))
-      val rows = out.collect()
-      sig.unpersist(blocking = false)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      core.Materialize.detached(out) { sig.unpersist(blocking = false) }
     }),
 
     "q36_jaccard_verify" -> ((s, d) => {
@@ -172,9 +170,7 @@ object LlmEntry {
       val sig = DedupOps.signaturesFromShingles(shingled)
       val pairs = DedupOps.candidatePairs(DedupOps.lshBucketsFromSig(sig))
       val out = DedupOps.jaccardVerifyShingled(shingled, pairs, JaccardThreshold)
-      val rows = out.collect()
-      shingled.unpersist(blocking = false)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      core.Materialize.detached(out) { shingled.unpersist(blocking = false) }
     }),
 
     "q37_simhash" -> ((s, d) =>
@@ -383,9 +379,7 @@ object LlmEntry {
         .filter(col("containment") >= ContainThreshold)
         .select(col("train_id"), col("bench_id"), col("n_common"),
           col("containment"))
-      val rows = out.collect()
-      sh.unpersist(blocking = false)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      core.Materialize.detached(out) { sh.unpersist(blocking = false) }
     }),
 
     // ---- PII scrubbing ---------------------------------------------------

@@ -14,19 +14,14 @@ object StreamEntry {
 
   private val SessionGapNanos = 6L * 3600 * 1000000000L // 6 hours
 
-  /** Run to completion into a uniquely-named memory sink, pin the (small)
-    * result on the driver, and drop the sink view so repeated runs (bench
-    * loop) don't collide.
+  /** Run to completion via the executor-side parquet drain
+    * ([[EventStreams.runBounded]]) — each call gets its own scratch dir,
+    * so repeated runs (bench loop) don't collide, and no result row ever
+    * lands in driver memory.
     */
   private def bounded(s: SparkSession, out: DataFrame,
-                      mode: OutputMode): DataFrame = {
-    val sink = "stream_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val table = EventStreams.runBounded(s, out, sink, mode)
-    val rows = table.collect()
-    val schema = table.schema
-    s.catalog.dropTempView(sink)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+                      mode: OutputMode): DataFrame =
+    EventStreams.runBounded(s, out, "stream", mode)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_stream_hourly" -> ((s, d) =>

@@ -235,6 +235,14 @@ object DedupOps {
     * (dup clusters are shallow; bounded by `maxIters`). This is the
     * Pregel-style pattern that scales: per round one equi-join + one
     * min-aggregate, both keyed on node id.
+    *
+    * The converged label table is localCheckpoint'ed (eager) before the
+    * edge/label caches are released: only executor-local blocks are
+    * materialized — nothing but the per-round scalar label sum ever
+    * reaches the driver, so the output can be billions of rows. If the
+    * loop exits on `maxIters` before the label sum converges (component
+    * diameter > maxIters), a warning is logged: labels are then an
+    * upper-bound partition refinement, not full transitive closure.
     */
   def dupComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -263,12 +271,15 @@ object DedupOps {
       if (s == prevSum) done = true else prevSum = s
       it += 1
     }
+    if (!done)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"dupComponents: maxIters=$maxIters reached without label-sum " +
+          "convergence; labels may not be the full transitive closure")
     val out = labels.select(col("id").as("doc_id"), col("label").as("component"))
-    val rows = out.collect()
+      .localCheckpoint(eager = true)
     labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    pairs.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
+    out
   }
 
   def jaccardVerifyDuckBody(threshold: Double): String =

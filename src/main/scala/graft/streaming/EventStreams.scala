@@ -94,15 +94,37 @@ object EventStreams {
   }
 
   /** Run a streaming transform of the bounded `events` source to
-    * completion (AvailableNow) into a memory sink and return the final
-    * table — the bridge that lets streaming queries face the batch
-    * DuckDB oracle.
+    * completion (AvailableNow) and return the result — the bridge that
+    * lets streaming queries face the batch DuckDB oracle.
+    *
+    * The sink is `foreachBatch` → parquet in a scratch directory, NOT the
+    * memory sink: the memory sink pins every result row in driver memory,
+    * which for data-dependent outputs (a stream-stream join) is a driver
+    * OOM at scale. Complete mode overwrites per batch (each batch carries
+    * the full result); Append/Update append their per-batch deltas. Rows
+    * stay on executors/disk end to end; the scratch dir is removed on JVM
+    * exit.
     */
   def runBounded(spark: SparkSession, out: DataFrame, sinkName: String,
                  mode: OutputMode): DataFrame = {
-    val q = out.writeStream.format("memory").queryName(sinkName)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    val root = java.nio.file.Files.createTempDirectory(s"graft_$sinkName")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }))
+    val dataDir = root.resolve("data").toString
+    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
+    val q = out.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(saveMode).parquet(dataDir)
+      }
+      .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    spark.read.parquet(dataDir)
   }
 }

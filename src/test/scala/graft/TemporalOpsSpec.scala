@@ -112,6 +112,21 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupComponents: releases intermediate caches; result off-driver") {
+    import graft.operators.DedupOps
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = DedupOps.dupComponents(pairs)
+    // Edge/label caches from every round must be gone; the only block
+    // allowed to remain is the localCheckpoint of the returned result
+    // itself (executor-local storage, reclaimed by the ContextCleaner
+    // when the caller drops the reference — never driver memory).
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"leaked cached RDDs: $added")
+    // and the checkpointed result is still fully usable
+    assert(out.count() === 5L)
+  }
+
   test("q59 sketches: HLL and quantile estimates within bounds of exact") {
     val approx = SparkEntry.queries("q59_sketches")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
