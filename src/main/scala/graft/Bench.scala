@@ -25,10 +25,13 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     // warmup: one query per distinct codegen/JIT path (scan+agg, string
-    // exprs, HOF+explode, array-HOF+window), untimed — otherwise whichever
+    // exprs, HOF+explode, array-HOF+window, Jackson/from_json, the
+    // Structured Streaming machinery), untimed — otherwise whichever
     // query first touches a path pays its JIT cost in the reported number
+    // (VERDICT r02 §wrong-3: q49's 4 s was Jackson JIT; streaming setup
+    // similarly dominated q44/q45/q62/q79's first run)
     for (w <- Seq("q01_hourly_count", "q19_strings", "q29_top_tokens",
-                  "q38_cosine_topk"))
+                  "q38_cosine_topk", "q49_json_extract", "q44_stream_hourly"))
       try materialize(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
 
@@ -57,5 +60,10 @@ object Bench {
     println(json)
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     spark.stop()
+    // final stdout line, uniquely marked so the driver can grep it out of
+    // sbt log noise (BENCH_r02.json "parsed": null — the bare JSON line
+    // was evidently lost among [info]/log lines)
+    println("BENCHJSON " + json)
+    System.out.flush()
   }
 }

@@ -50,6 +50,22 @@ object RelEntry {
         .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"),
              count(lit(1)).as("n"))),
 
+    // ---- cube: full grouping lattice + grouping markers ----------------
+    // Completes the ROLLUP (q54) / GROUPING SETS (q67) family. The
+    // grouping()/grouping_id() markers disambiguate "NULL because
+    // subtotal" from "NULL in the data" — the reason the lattice shapes
+    // are usable at all downstream. Spark and DuckDB agree on the bit
+    // order (first cube column = most significant bit); both are cast to
+    // BIGINT (Spark's grouping() is a TINYINT, DuckDB's a BIGINT).
+    "q80_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+             count(lit(1)).as("n"),
+             grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+             grouping(col("l_linestatus")).cast("bigint").as("g_status"),
+             grouping_id().cast("bigint").as("gid"))),
+
     // ---- pivot: event_type histogram as columns ------------------------
     "q55_pivot" -> ((s, d) =>
       Tables.events(s, d)
@@ -321,6 +337,14 @@ object RelEntry {
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |       count(*) AS n
         |  FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q80_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       count(*) AS n,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |  FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q55_pivot" ->
       """SELECT user_id,
         |       count(*) FILTER (WHERE event_type = 'click')    AS click,

@@ -20,10 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * is ONE pass over the string with zero intermediate arrays; codegen
   * emits a static call, so it stays inside the whole-stage span.
   *
-  * Parity caveat (same as the HOF/oracle pair): characters are hashed by
-  * Java char code unit, which equals the code point the `ascii()`-based
-  * HOF and the DuckDB oracle use for ASCII corpora; supplementary-plane
-  * text would need code-point iteration in all three places.
+  * Characters are hashed by Unicode CODE POINT (not UTF-16 code unit),
+  * matching both the `split('')`+`ascii()` HOF (Java's empty-regex split
+  * keeps surrogate pairs whole; Spark's `ascii` returns the full code
+  * point) and DuckDB's `string_split('')`+`ascii()` — so all three
+  * implementations agree on supplementary-plane (non-BMP) text too.
   */
 case class ShingleHashes(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -64,14 +65,16 @@ object ShingleHashes {
     var i = 0
     val len = s.length
     while (i <= len) {
-      if (i == len || s.charAt(i) == ' ') {
+      if (i == len || s.charAt(i) == ' ') { // ' ' is BMP: never a surrogate
         if (nTok == tokenHashes.length)
           tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTok * 2)
         tokenHashes(nTok) = h; nTok += 1; h = 0L
+        i += 1
       } else {
-        h = (h * 31L + s.charAt(i).toLong) % P
+        val cp = s.codePointAt(i) // code point, so non-BMP text matches
+        h = (h * 31L + cp.toLong) % P // the ascii()-based HOF + oracle
+        i += Character.charCount(cp)
       }
-      i += 1
     }
     if (nTok < k) return new GenericArrayData(Array.emptyLongArray)
     // combine + distinct (first occurrence order, as array_distinct)

@@ -50,10 +50,18 @@ case class TopKIds(
   override def prettyName: String = "top_k_ids"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (score.dataType == DoubleType && id.dataType == LongType &&
-        tie.dataType == LongType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "top_k_ids expects (DOUBLE score, BIGINT id, BIGINT tie, INT k)")
+    if (!(score.dataType == DoubleType && id.dataType == LongType &&
+        tie.dataType == LongType))
+      TypeCheckResult.TypeCheckFailure(
+        "top_k_ids expects (DOUBLE score, BIGINT id, BIGINT tie, INT k)")
+    else kExpr match {
+      case Literal(v: Int, IntegerType) if v > 0 => TypeCheckResult.TypeCheckSuccess
+      case Literal(v: Long, LongType) if v > 0   => TypeCheckResult.TypeCheckSuccess
+      case Literal(_, IntegerType) | Literal(_, LongType) =>
+        TypeCheckResult.TypeCheckFailure("top_k_ids: k must be positive")
+      case _ =>
+        TypeCheckResult.TypeCheckFailure("top_k_ids: k must be an integer literal")
+    }
 
   override def createAggregationBuffer(): TopKIds.Buf = new TopKIds.Buf(k)
 
@@ -109,10 +117,15 @@ object TopKIds {
     val ties = new Array[Long](k)
     var size = 0
 
-    // true if (s1,i1,t1) ranks strictly better than (s2,i2,t2)
+    // true if (s1,i1,t1) ranks strictly better than (s2,i2,t2); scores
+    // compare via Double.compare — the same total order Spark's sort
+    // uses (NaN greater than everything, -0.0 < 0.0) — so the aggregate
+    // stays rank-identical to the q23 window formulation on NaN input
     private def better(s1: Double, i1: Long, t1: Long,
-                       s2: Double, i2: Long, t2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && (i1 < i2 || (i1 == i2 && t1 < t2)))
+                       s2: Double, i2: Long, t2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && (i1 < i2 || (i1 == i2 && t1 < t2)))
+    }
 
     def insert(s: Double, i: Long, t: Long): Unit = {
       if (size == k && !better(s, i, t, scores(k - 1), ids(k - 1), ties(k - 1)))

@@ -57,19 +57,21 @@ object TemporalOps {
     // right rows (_side=0) sort before left rows at equal ts → "<=" match
     val w = Window.partitionBy(key).orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // `_rts` is materialized BEFORE the window expressions so all the
-    // `last()`s share one spec in one select → Catalyst emits a single
-    // Window node (one pass over the sorted partition); interleaving a
-    // projection between windowed selects would split it into two.
+    // The whole right row is matched ONCE as a struct that is NULL for
+    // left-side rows, then fields are projected out of the single matched
+    // struct. A per-payload-column last(_, ignoreNulls) would be wrong
+    // when a right payload cell is legitimately NULL: that column would
+    // silently come from an OLDER right row than asof_ts — an
+    // inconsistent tuple. One struct ⇒ one window expression ⇒ one pass.
     val unioned = lSel.unionByName(rSel)
-      .withColumn("_rts", when(col("_side") === 0, col(ts)))
-    val matched = unioned.select(col("*") +:
-      (rCols.map(c => last(col(c), ignoreNulls = true).over(w)
-         .as(s"asof_$c")) :+
-       last(col("_rts"), ignoreNulls = true).over(w).as(s"asof_$ts")): _*)
+      .withColumn("_rmatch", when(col("_side") === 0,
+        struct(col(ts).as("_mts") +: rCols.map(col): _*)))
+    val matched = unioned.select(col("*"),
+      last(col("_rmatch"), ignoreNulls = true).over(w).as("_m"))
     matched.filter(col("_side") === 1)
       .select(col(key) +: col(ts) +: lCols.map(col) ++:
-        (rCols :+ ts).map(c => col(s"asof_$c")): _*)
+        (rCols.map(c => col("_m").getField(c).as(s"asof_$c")) :+
+         col("_m").getField("_mts").as(s"asof_$ts")): _*)
   }
 
   /** Bounded range self-join: per row, how many OTHER rows have |Δts| <=

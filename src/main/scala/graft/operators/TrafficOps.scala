@@ -59,13 +59,16 @@ object TrafficOps {
     * every salt value, and the join key becomes (key, salt) — a hot key's
     * rows spread over `salts` reducers instead of one. Result is exactly
     * the plain equi join (oracle-checked, q50); cost is a `salts`×
-    * replication of the SMALL side only.
+    * replication of the SMALL side only. A NULL `saltSource` row maps to
+    * salt 0 (coalesce) rather than a NULL salt — pmod(NULL) would never
+    * match any exploded salt and silently drop the row, breaking the
+    * exact-equivalence contract on nullable salt columns.
     */
   def saltedEquiJoin(big: DataFrame, small: DataFrame,
                      bigKey: String, smallKey: String,
                      saltSource: Column, salts: Int): DataFrame = {
     val saltedBig = big.withColumn("_salt",
-      pmod(saltSource, lit(salts)).cast("int"))
+      pmod(coalesce(saltSource, lit(0)), lit(salts)).cast("int"))
     val saltedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall,

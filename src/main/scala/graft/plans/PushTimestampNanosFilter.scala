@@ -18,19 +18,18 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * so any naively-written range predicate gets the pushdown for free
   * (100 TB: the time predicate is the main pruning lever).
   *
-  * Rewrites, for integer micros M of the literal and raw nanos n ≥ 0
-  * (floor/trunc agree on non-negatives; nanos are non-negative for any
-  * post-1970 timestamp, and parquet TIMESTAMP(NANOS) stats only matter
-  * there):
+  * Rewrites, for integer micros M of the literal and raw nanos n. Spark's
+  * `div` TRUNCATES (rounds toward zero), so for pre-epoch negatives trunc
+  * and floor disagree — e.g. n ∈ [−999, −1] has n div 1000 = 0 and must
+  * satisfy an `= epoch` predicate. The bound lb(M) = 1000·M for M > 0,
+  * 1000·M − 999 otherwise, makes the rewrite exact for ALL n:
   *
-  *   timestamp_micros(n div 1000) >  M  ⟺  n >= 1000·(M+1)
-  *   timestamp_micros(n div 1000) >= M  ⟺  n >= 1000·M
-  *   timestamp_micros(n div 1000) <  M  ⟺  n <  1000·M
-  *   timestamp_micros(n div 1000) <= M  ⟺  n <  1000·(M+1)
-  *   timestamp_micros(n div 1000) =  M  ⟺  1000·M <= n <= 1000·M+999
+  *   n div 1000 >= M  ⟺  n >= lb(M)          (so `> M` uses lb(M+1))
+  *   n div 1000 <  M  ⟺  n <  lb(M)          (so `<= M` uses lb(M+1))
+  *   n div 1000 =  M  ⟺  lb(M) <= n < lb(M+1)
   *
-  * The comparison node keeps its logical meaning exactly (both sides are
-  * integer floors), so results are bit-identical; only the plan changes.
+  * The comparison node keeps its logical meaning exactly, so results are
+  * bit-identical; only the plan changes.
   * Registered by [[graft.functions.GraftExtensions]] via
   * `injectOptimizerRule` — it runs to fixed point inside the operator
   * optimization batch, after alias substitution has pushed the predicate
@@ -52,14 +51,17 @@ object PushTimestampNanosFilter extends Rule[LogicalPlan] {
       case _ => None
     }
   }
+  // n >= lb(m) ⟺ n div 1000 >= m, exact for all n under truncating
+  // division (trunc ≠ floor on pre-epoch negatives)
+  private def lb(m: Long): Long = if (m > 0L) m * 1000L else m * 1000L - 999L
   private def nanosGe(n: Expression, m: Long) =
-    GreaterThanOrEqual(n, Literal(m * 1000L, LongType))
+    GreaterThanOrEqual(n, Literal(lb(m), LongType))
   private def nanosLt(n: Expression, m: Long) =
-    LessThan(n, Literal(m * 1000L, LongType))
+    LessThan(n, Literal(lb(m), LongType))
 
-  // guard: 1000·(M+1) must not overflow Long (M up to ~year 294247)
+  // guard: lb(M±1) must not overflow Long (|M| up to ~year ±294247)
   private def safe(m: Long): Boolean =
-    m >= 0L && m < Long.MaxValue / 1000L - 1L
+    m > Long.MinValue / 1000L + 1L && m < Long.MaxValue / 1000L - 1L
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
@@ -69,14 +71,14 @@ object PushTimestampNanosFilter extends Rule[LogicalPlan] {
         case LessThan(NormalizedTs(n), TsLit(m)) if safe(m)            => nanosLt(n, m)
         case LessThanOrEqual(NormalizedTs(n), TsLit(m)) if safe(m)     => nanosLt(n, m + 1)
         case EqualTo(NormalizedTs(n), TsLit(m)) if safe(m) =>
-          And(nanosGe(n, m), LessThanOrEqual(n, Literal(m * 1000L + 999L, LongType)))
+          And(nanosGe(n, m), nanosLt(n, m + 1))
         // literal-on-left orientations
         case GreaterThan(TsLit(m), NormalizedTs(n)) if safe(m)         => nanosLt(n, m)
         case GreaterThanOrEqual(TsLit(m), NormalizedTs(n)) if safe(m)  => nanosLt(n, m + 1)
         case LessThan(TsLit(m), NormalizedTs(n)) if safe(m)            => nanosGe(n, m + 1)
         case LessThanOrEqual(TsLit(m), NormalizedTs(n)) if safe(m)     => nanosGe(n, m)
         case EqualTo(TsLit(m), NormalizedTs(n)) if safe(m) =>
-          And(nanosGe(n, m), LessThanOrEqual(n, Literal(m * 1000L + 999L, LongType)))
+          And(nanosGe(n, m), nanosLt(n, m + 1))
       })
   }
 }

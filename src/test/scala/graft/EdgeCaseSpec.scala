@@ -72,4 +72,26 @@ class EdgeCaseSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
     assert(native === hof)
   }
+
+  test("non-BMP text: native, HOF, and code-point ground truth agree") {
+    // 𝄞 (U+1D11E) and 😀 (U+1F600) are supplementary-plane: one code
+    // point, two UTF-16 units. All three implementations must hash the
+    // CODE POINT (a unit-based hash diverges from the DuckDB oracle).
+    val P = 2147483647L
+    def cpHash(tok: String): Long =
+      tok.codePoints().toArray.foldLeft(0L)((h, cp) => (h * 31 + cp) % P)
+    // cross-engine anchor: DuckDB's split('')+ascii rolling hash of
+    // "a𝄞b" evaluates to 3784485 (verified against duckdb directly)
+    assert(cpHash("a𝄞b") === 3784485L)
+    val toks = Seq("a𝄞b", "x😀", "y", "z")
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val th = toks.map(cpHash)
+    val want = th.sliding(DedupOps.ShingleK).map(
+      _.reduceLeft((a, b) => (a * 31 + b) % P)).toList
+    val native = DedupOps.shingled(docs).head.getSeq[Long](1).toList
+    val hof = docs.withColumn("hs", expr(DedupOps.tokenHashesSpark("text")))
+      .select(expr(DedupOps.shingleHashesSpark("hs")))
+      .head.getSeq[Long](0).toList
+    assert(native === want && hof === want)
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.{DedupOps, TemporalOps, TextOps, TrafficOps}
@@ -90,6 +91,21 @@ object GraftProps extends Properties("graft") {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .sorted.toSeq
       salted == plain
+    }
+
+  property("salted equi join keeps rows whose salt source is NULL") =
+    forAll(Gen.listOfN(30, for {
+      k <- Gen.choose(0L, 5L)
+      id <- Gen.option(Gen.choose(0L, 1000L)) // None → NULL salt source
+    } yield (k, id)), Gen.listOfN(10, genPair)) { (ls, rs) =>
+      val big = ls.toDF("k", "id")
+      val small = rs.toDF("rk", "rv")
+      def multiset(df: DataFrame): Map[String, Int] =
+        df.select(col("k"), col("id"), col("rv")).collect()
+          .map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+      multiset(TrafficOps.saltedEquiJoin(big, small, "k", "rk",
+        col("id"), salts = 4)) ==
+        multiset(big.join(small, big("k") === small("rk")))
     }
 
   private val genDoc: Gen[String] = for {

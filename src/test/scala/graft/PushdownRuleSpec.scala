@@ -36,6 +36,24 @@ class PushdownRuleSpec extends SparkTestBase {
     assert(ids.sameElements(exp) && ids.nonEmpty)
   }
 
+  test("pre-epoch negatives: rewrite exact where trunc differs from floor") {
+    import spark.implicits._
+    // n div 1000 truncates toward zero: n in [-999, 999] lands on micro 0.
+    // Before the lb() fix the '= epoch' rewrite was the floor band
+    // [0, 999] and silently dropped the negative half.
+    val norm = Seq(-1500L, -1000L, -999L, -1L, 0L, 500L, 999L, 1000L)
+      .toDF("n").withColumn("ts", expr("timestamp_micros(n div 1000)"))
+    val filtered = norm.filter(col("ts") === lit(java.sql.Timestamp.from(
+      java.time.Instant.EPOCH)))
+    // the rule must fire: no derived-column compare left in the filter
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("timestamp_micros")),
+      s"rule did not rewrite the equality:\n${plan.take(800)}")
+    val got = filtered.select("n").collect().map(_.getLong(0)).toSet
+    assert(got === Set(-999L, -1L, 0L, 500L, 999L))
+  }
+
   test("boundary semantics: equality rewrite keeps sub-micro nanos") {
     // pick a real event timestamp; ts = that micros value must match the
     // row even though its raw nanos carry sub-microsecond digits

@@ -85,6 +85,18 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(got.length === 1 && got.head.isNullAt(3) && got.head.isNullAt(4))
   }
 
+  test("asofJoin: NULL payload in newest right row is NOT back-filled") {
+    // the match is atomic: asof payload and asof_ts come from the SAME
+    // (newest ≤) right row, even when that row's payload cell is NULL
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), Some(5L)),
+      (1L, ts("2024-01-01 09:00:00"), None)).toDF("k", "ts", "rid")
+    val got = TemporalOps.asofJoin(left, right, "k", "ts").collect().head
+    assert(got.isNullAt(3), "NULL payload must not pull from an older row")
+    assert(got.getTimestamp(4) === ts("2024-01-01 09:00:00"))
+  }
+
   test("asofJoin: duplicate left rows at one (key, ts) both match") {
     val left = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L),

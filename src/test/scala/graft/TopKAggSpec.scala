@@ -48,4 +48,23 @@ class TopKAggSpec extends SparkTestBase {
     assert(df.agg(expr("top_k_ids(s, i, t, 10)")).head.getSeq[Long](0)
       .toList === List(2L, 1L))
   }
+
+  test("k <= 0 is an analysis-time error, not a runtime crash") {
+    val df = Seq((1.0, 1L, 0L)).toDF("s", "i", "t")
+    for (k <- Seq("0", "-3"))
+      assertThrows[org.apache.spark.sql.AnalysisException] {
+        df.agg(expr(s"top_k_ids(s, i, t, $k)")).collect()
+      }
+  }
+
+  test("NaN scores rank largest — same total order as the window form") {
+    val df = Seq((Double.NaN, 1L, 0L), (7.0, 2L, 0L), (Double.NaN, 3L, 0L),
+      (Double.PositiveInfinity, 4L, 0L)).toDF("s", "i", "t")
+    val agg = df.agg(expr("top_k_ids(s, i, t, 3)")).head.getSeq[Long](0).toList
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("s").desc, col("i"), col("t"))
+    val win = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .orderBy("rn").collect().map(_.getLong(1)).toList
+    assert(agg === win && agg === List(1L, 3L, 4L))
+  }
 }
