@@ -26,6 +26,7 @@ object LlmEntry {
   private val NearDupVecN = 100   // planted scaled copies: vec_id < N at +offset
   private val NearDupVecOffset = 10000L
   private val CosineDupThreshold = 0.99
+  private val IvfNprobe = 3       // IVF lists probed per query
   private val IvfCentroidLo = 100 // deterministic coarse centroids
   private val IvfCentroidHi = 107
   private val ChunkTokens = 50    // context-window chunk size (tokens)
@@ -184,22 +185,13 @@ object LlmEntry {
     }),
 
     "q39_cosine_lsh_topk" -> ((s, d) => {
-      // Scale path: candidates restricted to the probe's LSH bucket.
-      // Corpus streams on the left; the small probe set is broadcast.
+      // Scale path: multi-table LSH (NumTables tables × TableBits sign
+      // bits over disjoint dim slices), one bucket probed per table.
+      // Corpus index streams on the left; the probe set is broadcast.
       val p = SimilarityOps.prepped(Tables.embeddings(s, d))
-      val probes = p.filter(col("vec_id") < ProbeN)
-        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-          col("nrm").as("pn"), col("bucket"))
-      val joined = p.join(broadcast(probes), Seq("bucket"))
-        .filter(col("probe_id") =!= col("vec_id"))
-        .select(col("probe_id"), col("vec_id"),
-          (expr(SimilarityOps.dotSpark("pv", "v")) / (col("pn") * col("nrm")))
-            .as("cosine"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      joined.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= LshK)
+      SimilarityOps.lshTableTopK(p, p.filter(col("vec_id") < ProbeN),
+          LshK, multiProbe = false)
+        .select(col("probe_id"), col("vec_id"), col("cosine"), col("rk"))
     }),
 
     "q40_embed_neardup" -> ((s, d) =>
@@ -269,20 +261,23 @@ object LlmEntry {
     }),
 
     "q47_lsh_multiprobe" -> ((s, d) => {
-      // Multi-probe LSH: own bucket + all 1-bit flips per probe.
+      // Multi-probe on top of the multi-table index: own bucket + all
+      // 1-bit flips, in every table.
       val p = SimilarityOps.prepped(Tables.embeddings(s, d))
-      SimilarityOps.multiProbeTopK(p, p.filter(col("vec_id") < ProbeN), LshK)
+      SimilarityOps.lshTableTopK(p, p.filter(col("vec_id") < ProbeN),
+          LshK, multiProbe = true)
         .select(col("probe_id"), col("vec_id"), col("cosine"), col("rk"))
     }),
 
     "q46_ivf_topk" -> ((s, d) => {
       // IVF scale path: deterministic coarse centroids (vec_id 100..107),
-      // nearest-centroid assignment, probe searches its inverted list.
+      // nearest-centroid assignment, probe searches its IvfNprobe
+      // nearest inverted lists.
       val p = SimilarityOps.prepped(Tables.embeddings(s, d))
       SimilarityOps.ivfTopK(p,
         p.filter(col("vec_id") < ProbeN),
         p.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi)),
-        LshK)
+        LshK, nprobe = IvfNprobe)
     }),
 
     "q43_cosine_native" -> ((s, d) => {
@@ -537,16 +532,21 @@ object LlmEntry {
     "q39_cosine_lsh_topk" ->
       s"""WITH prepped AS (
          |  SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm,
-         |         ${SimilarityOps.bucketDuck("v")} AS bucket FROM (
-         |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings))
+         |         ${SimilarityOps.tableBucketsDuck("v")} AS buckets FROM (
+         |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings)),
+         |idx AS (
+         |  SELECT vec_id, v, nrm, t.tbl, buckets[t.tbl + 1] AS bucket
+         |  FROM prepped,
+         |       (SELECT unnest(range(0, ${SimilarityOps.NumTables})) AS tbl) t),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id,
+         |    ${SimilarityOps.dotDuck("p.v", "c.v")} / (p.nrm * c.nrm) AS cosine
+         |  FROM idx p JOIN idx c ON p.tbl = c.tbl AND p.bucket = c.bucket
+         |  WHERE p.vec_id < $ProbeN AND p.vec_id <> c.vec_id)
          |SELECT probe_id, vec_id, cosine, rk FROM (
          |  SELECT probe_id, vec_id, cosine,
          |    CAST(row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM (
-         |    SELECT p.vec_id AS probe_id, c.vec_id,
-         |      ${SimilarityOps.dotDuck("p.v", "c.v")} / (p.nrm * c.nrm) AS cosine
-         |    FROM prepped p JOIN prepped c ON p.bucket = c.bucket
-         |    WHERE p.vec_id < $ProbeN AND p.vec_id <> c.vec_id))
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM cand)
          |WHERE rk <= $LshK""".stripMargin,
 
     "q40_embed_neardup" ->
@@ -592,24 +592,29 @@ object LlmEntry {
     },
 
     "q47_lsh_multiprobe" -> {
-      val flips = ("bucket" +: (0 until SimilarityOps.SignBits)
+      val flips = ("bucket" +: (0 until SimilarityOps.TableBits)
         .map(i => s"xor(bucket, ${1L << i})")).mkString("[", ", ", "]")
       s"""WITH prepped AS (
          |  SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm,
-         |         ${SimilarityOps.bucketDuck("v")} AS bucket FROM (
+         |         ${SimilarityOps.tableBucketsDuck("v")} AS buckets FROM (
          |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings)),
+         |idx AS (
+         |  SELECT vec_id, v, nrm, t.tbl, buckets[t.tbl + 1] AS bucket
+         |  FROM prepped,
+         |       (SELECT unnest(range(0, ${SimilarityOps.NumTables})) AS tbl) t),
          |probes AS (
-         |  SELECT vec_id AS probe_id, v AS pv, nrm AS pn,
-         |         unnest($flips) AS bucket
-         |  FROM prepped WHERE vec_id < $ProbeN)
+         |  SELECT probe_id, pv, pn, tbl, unnest($flips) AS bucket FROM (
+         |    SELECT vec_id AS probe_id, v AS pv, nrm AS pn, tbl, bucket
+         |    FROM idx WHERE vec_id < $ProbeN)),
+         |cand AS (
+         |  SELECT DISTINCT p.probe_id, c.vec_id,
+         |    ${SimilarityOps.dotDuck("p.pv", "c.v")} / (p.pn * c.nrm) AS cosine
+         |  FROM idx c JOIN probes p ON p.tbl = c.tbl AND p.bucket = c.bucket
+         |  WHERE p.probe_id <> c.vec_id)
          |SELECT probe_id, vec_id, cosine, rk FROM (
          |  SELECT probe_id, vec_id, cosine,
          |    CAST(row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM (
-         |    SELECT p.probe_id, c.vec_id,
-         |      ${SimilarityOps.dotDuck("p.pv", "c.v")} / (p.pn * c.nrm) AS cosine
-         |    FROM prepped c JOIN probes p ON p.bucket = c.bucket
-         |    WHERE p.probe_id <> c.vec_id))
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM cand)
          |WHERE rk <= $LshK""".stripMargin
     },
 
@@ -627,15 +632,23 @@ object LlmEntry {
          |        ORDER BY ${SimilarityOps.dotDuck("p.v", "c.cv")} / (p.nrm * c.cn) DESC,
          |                 c.cid) AS arn
          |    FROM prepped p, centroids c)
-         |  WHERE arn = 1)
+         |  WHERE arn = 1),
+         |passign AS (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT p.vec_id, p.v, p.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${SimilarityOps.dotDuck("p.v", "c.cv")} / (p.nrm * c.cn) DESC,
+         |                 c.cid) AS arn
+         |    FROM prepped p, centroids c WHERE p.vec_id < $ProbeN)
+         |  WHERE arn <= $IvfNprobe)
          |SELECT probe_id, vec_id, cid, cosine, rk FROM (
          |  SELECT probe_id, vec_id, cid, cosine,
          |    CAST(row_number() OVER (PARTITION BY probe_id
          |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM (
          |    SELECT p.vec_id AS probe_id, c.vec_id, c.cid,
          |      ${SimilarityOps.dotDuck("p.v", "c.v")} / (p.nrm * c.nrm) AS cosine
-         |    FROM assign p JOIN assign c ON p.cid = c.cid
-         |    WHERE p.vec_id < $ProbeN AND p.vec_id <> c.vec_id))
+         |    FROM passign p JOIN assign c ON p.cid = c.cid
+         |    WHERE p.vec_id <> c.vec_id))
          |WHERE rk <= $LshK""".stripMargin,
 
     "q43_cosine_native" ->

@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
 object SimilarityOps {
   val SignBits = 8 // LSH bucket = sign mask of dims 1..SignBits
 
+  // Multi-table LSH knobs: L independent tables, each hashing a DISJOINT
+  // slice of TableBits dimensions (table t = sign mask of dims
+  // [t·b+1 .. t·b+b]). One table of many bits has vanishing recall at
+  // moderate similarity (p_agree^bits); L tables recover it as
+  // 1-(1-p^b)^L at L× index cost — the standard LSH recall/cost trade.
+  // NumTables·TableBits must be ≤ the embedding dimension (64 here).
+  val NumTables = 8
+  val TableBits = 4
+
   // ---- dialect fragments -------------------------------------------------
   /** FLOAT[] → DOUBLE[] (exact widening). */
   def toDoubleSpark(c: String): String = s"transform($c, x -> CAST(x AS DOUBLE))"
@@ -58,6 +67,26 @@ object SimilarityOps {
     (0 until bits).map(i =>
       s"CASE WHEN $a[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
+
+  /** Sign-mask bucket over the dimension slice [off+1 .. off+bits]. */
+  def sliceBucketSpark(a: String, off: Int, bits: Int): String =
+    (0 until bits).map(i =>
+      s"CASE WHEN element_at($a, ${off + i + 1}) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+  def sliceBucketDuck(a: String, off: Int, bits: Int): String =
+    (0 until bits).map(i =>
+      s"CASE WHEN $a[${off + i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+
+  /** Array of per-table bucket keys, one per hash table. */
+  def tableBucketsSpark(a: String, tables: Int = NumTables,
+                        bits: Int = TableBits): String =
+    (0 until tables).map(t => sliceBucketSpark(a, t * bits, bits))
+      .mkString("array(", ", ", ")")
+  def tableBucketsDuck(a: String, tables: Int = NumTables,
+                       bits: Int = TableBits): String =
+    (0 until tables).map(t => sliceBucketDuck(a, t * bits, bits))
+      .mkString("[", ", ", "]")
 
   // ---- operators ---------------------------------------------------------
   /** Per-vector prep: id, double vector, precomputed norm (+ LSH bucket).
@@ -107,42 +136,72 @@ object SimilarityOps {
       .filter(col("rk") <= k)
   }
 
-  /** Multi-probe LSH top-k: each probe searches its own sign-mask bucket
-    * plus every 1-bit-flip neighbor bucket (bits+1 probes) — recovers
-    * most of the recall a single-probe lookup loses to near-boundary
-    * signs, at (bits+1)× the candidate volume. Each candidate lives in
-    * exactly one bucket and the probed buckets are distinct, so no pair
-    * dedup is needed.
+  /** LSH index: the corpus exploded to one row per hash table,
+    * (tbl, bucket, vec_id, v, nrm). At scale this L× index is the
+    * classic LSH storage trade — built once, map-side, no shuffle.
     */
-  def multiProbeTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-                     bits: Int = SignBits): DataFrame = {
-    val probeBuckets = (col("bucket") +:
-      (0 until bits).map(i => expr(s"CAST(bucket ^ ${1L << i} AS BIGINT)")))
-    val exploded = probes.select(col("vec_id").as("probe_id"),
-        col("v").as("pv"), col("nrm").as("pn"),
-        explode(array(probeBuckets: _*)).as("bucket"))
-    val joined = corpus.join(broadcast(exploded), Seq("bucket"))
+  def lshIndex(p: DataFrame, tables: Int = NumTables,
+               bits: Int = TableBits): DataFrame =
+    p.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(expr(tableBucketsSpark("v", tables, bits)))
+          .as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tbl").cast("long").as("tbl"), col("bucket"))
+
+  /** Multi-table LSH top-k: candidates = union over L tables of the
+    * probe's bucket (equi-join on (tbl, bucket) — never all-pairs).
+    * `multiProbe` additionally probes every 1-bit-flip bucket in each
+    * table ((bits+1)·L lookups) — the multi-probe trick that recovers
+    * near-boundary neighbors without more tables. A pair colliding in
+    * several tables is deduplicated by DISTINCT on the scored triple
+    * (the cosine is a deterministic fold — duplicate rows are
+    * bit-identical), so only the slim (probe, vec, cosine) triple
+    * shuffles, not the vectors.
+    *
+    * Recall model (random hyperplane): per-bit agreement p = 1 − θ/π;
+    * single-probe recall ≈ 1−(1−p^bits)^tables, multi-probe raises the
+    * per-table term to p^b + b·p^(b−1)(1−p). Measured on the test corpus
+    * in AnnRecallSpec.
+    */
+  def lshTableTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                   multiProbe: Boolean, tables: Int = NumTables,
+                   bits: Int = TableBits): DataFrame = {
+    val idx = lshIndex(corpus, tables, bits)
+    val pBase = lshIndex(probes, tables, bits)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pn"), col("tbl"), col("bucket"))
+    val pIdx =
+      if (!multiProbe) pBase
+      else pBase.select(col("probe_id"), col("pv"), col("pn"), col("tbl"),
+        explode(array(col("bucket") +: (0 until bits).map(i =>
+          expr(s"CAST(bucket ^ ${1L << i} AS BIGINT)")): _*)).as("bucket"))
+    val cand = idx.join(broadcast(pIdx), Seq("tbl", "bucket"))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         (expr(dotSpark("pv", "v")) / (col("pn") * col("nrm"))).as("cosine"))
+      .distinct()
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    joined.withColumn("rk", row_number().over(w).cast("long"))
+    cand.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
 
   /** IVF (inverted-file) ANN: every vector is assigned to its nearest
     * coarse centroid (one narrow pass against broadcast centroids), and a
-    * probe searches only its centroid's inverted list. nprobe=1 here; the
+    * probe searches its `nprobe` nearest centroids' inverted lists —
+    * nprobe is the recall/cost knob (recall grows with the fraction of
+    * lists scanned; cost is nprobe/|lists| of the corpus per probe). The
     * centroid count is the scale knob (≈√N lists keeps both the
     * assignment pass and the per-list candidate sets balanced).
     *
-    * Returns (probe_id, vec_id, cid, cosine, rk ≤ k). Assignment ties
-    * break on centroid id; top-k ties on neighbor id.
+    * Returns (probe_id, vec_id, cid, cosine, rk ≤ k); a corpus vector
+    * lives in exactly one list and a probe's probed lists are distinct,
+    * so no pair dedup is needed. Assignment ties break on centroid id;
+    * top-k ties on neighbor id.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
-              k: Int): DataFrame = {
-    def assign(vecs: DataFrame): DataFrame = {
+              k: Int, nprobe: Int = 1): DataFrame = {
+    def assign(vecs: DataFrame, n: Int): DataFrame = {
       val scored = vecs.crossJoin(broadcast(centroids.select(
           col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))))
         .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
@@ -150,11 +209,11 @@ object SimilarityOps {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("c_cos").desc, col("cid"))
       scored.withColumn("arn", row_number().over(w))
-        .filter(col("arn") === 1)
+        .filter(col("arn") <= n)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
     }
-    val lists = assign(corpus)
-    val p = assign(probes).select(col("vec_id").as("probe_id"),
+    val lists = assign(corpus, 1)
+    val p = assign(probes, nprobe).select(col("vec_id").as("probe_id"),
       col("v").as("pv"), col("nrm").as("pn"), col("cid"))
     val scored = lists.join(broadcast(p), Seq("cid"))
       .filter(col("probe_id") =!= col("vec_id"))

@@ -43,9 +43,15 @@ class PlanAuditSpec extends SparkTestBase {
         "q36_jaccard_verify").foreach { name =>
       SparkEntry.queries(name)(spark, sf).count()
     }
-    // unpersist(blocking=false) in the dedup queries may lag a beat
-    Thread.sleep(500)
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    // q35/q36 return localCheckpoint-backed results whose executor-local
+    // blocks are reclaimed by the ContextCleaner once the reference is
+    // dropped (it is, above) — poll for the async cleanup instead of
+    // racing it; unpersist(blocking=false) may also lag a beat
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    val deadline = System.currentTimeMillis() + 15000
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(250)
+    }
     assert(leaked.isEmpty,
       leaked.map(spark.sparkContext.getPersistentRDDs(_).name).mkString(","))
   }
