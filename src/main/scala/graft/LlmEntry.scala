@@ -27,6 +27,13 @@ object LlmEntry {
   private val NearDupVecOffset = 10000L
   private val CosineDupThreshold = 0.99
   private val IvfNprobe = 3       // IVF lists probed per query
+  private val QuantScale = 1000000L // k-means coordinate quantization
+  // mixture keep-rates as 3-hex-digit md5-prefix thresholds (of 0x1000):
+  // src0 50%, src1 75%, src2 12.5%, everything else 25%
+  private val MixRates = Seq("src0" -> "800", "src1" -> "c00", "src2" -> "200")
+  private val MixDefaultHexHi = "400"
+  private val PackCapacity = 256L // sequence-packing bin size (tokens)
+  private val TfidfK = 3          // TF-IDF terms kept per document
   private val IvfCentroidLo = 100 // deterministic coarse centroids
   private val IvfCentroidHi = 107
   private val ChunkTokens = 50    // context-window chunk size (tokens)
@@ -437,6 +444,102 @@ object LlmEntry {
       shingled.unpersist(blocking = false)
       out
     }),
+
+    // ---- IVF centroid training: one Lloyd iteration ---------------------
+    "q81_kmeans_step" -> ((s, d) => {
+      // Assign every vector to its nearest (cosine) seed centroid, then
+      // re-estimate each centroid as the member mean, emitted long-form
+      // (cid, dim, ...). Coordinates aggregate as 1e6-quantized BIGINTs:
+      // integer sums are order-free, so the result is bit-identical
+      // across engines (a raw double sum depends on accumulation order);
+      // the mean is ONE exact IEEE division at the end. Iterating this
+      // step (re-feeding means as centroids) is Lloyd's k-means — the
+      // per-step shape (broadcast centroids → narrow assign → hash agg)
+      // is the 100 TB-safe one.
+      val p = SimilarityOps.prepped(Tables.embeddings(s, d))
+      val cents = p.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+      SimilarityOps.assignToCentroids(p, cents, 1)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim0", "val")))
+        .select(col("cid"), (col("dim0") + 1).cast("long").as("dim"),
+          expr(s"CAST(round(val * $QuantScale) AS BIGINT)").as("q"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n_members"), sum(col("q")).as("sum_q"))
+        .withColumn("mean_val", col("sum_q").cast("double") /
+          (col("n_members").cast("double") * lit(QuantScale.toDouble)))
+    }),
+
+    // ---- data mixing: per-source weighted sampling ----------------------
+    "q82_mixture_sample" -> ((s, d) => {
+      // Deterministic mixture sampling: each source gets a keep-rate,
+      // applied via an md5-prefix threshold (the q57 split mechanism
+      // generalized to weighted mixing) — RNG-free, engine-independent,
+      // stable under appends, and a narrow map at any scale.
+      val kept = MixRates.foldLeft(when(lit(false), lit(""))) {
+        case (acc, (src, hexHi)) => acc.when(col("source") === src,
+          lit(hexHi))
+      }.otherwise(lit(MixDefaultHexHi))
+      Tables.documents(s, d)
+        .withColumn("keep",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 3)
+            < kept)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("keep"), col("doc_id"))).as("min_kept_id"),
+          max(when(col("keep"), col("doc_id"))).as("max_kept_id"))
+    }),
+
+    // ---- sequence packing (sample packing) ------------------------------
+    "q83_seq_packing" -> ((s, d) => {
+      // Greedy contiguous packing of docs into capacity-C token bins per
+      // language: docs are laid out in deterministic doc_id order, the
+      // running token total is cut at capacity boundaries, and a doc
+      // belongs to the bin its span STARTS in. All-integer window
+      // arithmetic → bit-exact; one shuffle on lang (at scale the
+      // partition key would be (lang, shard) to bound partition size —
+      // same plan shape).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          expr(s"CAST(size(${tokensSpark("text")}) AS BIGINT)").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin_id", expr(s"(cum - n_tokens) DIV $PackCapacity"))
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
+    // ---- TF-IDF top terms ----------------------------------------------
+    "q84_tfidf" -> ((s, d) => {
+      // Per-doc top-TfidfK terms by df-normalized relevance. idf = N/df
+      // instead of ln(N/df): ln's last ulp differs across libm
+      // implementations, N/df is rank-equivalent (ln is monotone) and
+      // products/divisions are correctly-rounded IEEE ops → the score
+      // column stays bit-exact cross-engine. Shape: explode → two hash
+      // aggs; the df table joins on term (broadcastable for a bounded
+      // vocabulary); N arrives as a broadcast single-row cross join.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(expr(tokensSpark("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf").cast("double") *
+          col("n_docs").cast("double") / col("df").cast("double"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TfidfK)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rk"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -768,5 +871,82 @@ object LlmEntry {
          |  UNION
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
          |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1""".stripMargin,
+
+    "q81_kmeans_step" ->
+      s"""WITH prepped AS (
+         |  SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm FROM (
+         |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings)),
+         |centroids AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM prepped
+         |  WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+         |assign AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT p.vec_id, p.v, c.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${SimilarityOps.dotDuck("p.v", "c.cv")} / (p.nrm * c.cn) DESC,
+         |                 c.cid) AS arn
+         |    FROM prepped p, centroids c)
+         |  WHERE arn = 1),
+         |exploded AS (
+         |  SELECT cid, unnest(range(1, len(v) + 1)) AS dim, v FROM assign),
+         |vals AS (
+         |  SELECT cid, CAST(dim AS BIGINT) AS dim,
+         |         CAST(round(v[dim] * $QuantScale) AS BIGINT) AS q
+         |  FROM exploded)
+         |SELECT cid, dim, count(*) AS n_members,
+         |  CAST(sum(q) AS BIGINT) AS sum_q,
+         |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) /
+         |    (CAST(count(*) AS DOUBLE) * ${QuantScale}.0) AS mean_val
+         |FROM vals GROUP BY cid, dim""".stripMargin,
+
+    "q82_mixture_sample" -> {
+      val arms = MixRates.map { case (src, hi) =>
+        s"WHEN source = '$src' THEN '$hi'" }.mkString(" ")
+      s"""SELECT source, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  min(CASE WHEN kept THEN doc_id END) AS min_kept_id,
+         |  max(CASE WHEN kept THEN doc_id END) AS max_kept_id
+         |FROM (
+         |  SELECT source, doc_id,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) <
+         |      (CASE $arms ELSE '$MixDefaultHexHi' END) AS kept
+         |  FROM documents)
+         |GROUP BY source""".stripMargin
+    },
+
+    "q83_seq_packing" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id,
+         |    CAST(len(${tokensDuck("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT lang, (cum - n_tokens) // $PackCapacity AS bin_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         |  min(doc_id) AS first_doc
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q84_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${tokensDuck("text")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term <> '' GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df, score, rk FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+         |      / CAST(dfreq.df AS DOUBLE) AS score,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+         |                 / CAST(dfreq.df AS DOUBLE) DESC,
+         |               tf.term) AS BIGINT) AS rk
+         |  FROM tf JOIN dfreq USING (term), n)
+         |WHERE rk <= $TfidfK""".stripMargin,
   )
 }

@@ -199,22 +199,31 @@ object SimilarityOps {
     * so no pair dedup is needed. Assignment ties break on centroid id;
     * top-k ties on neighbor id.
     */
+  /** Nearest-centroid assignment: each vector of `vecs` keeps its `n`
+    * nearest (cosine) centroids — one narrow pass against the broadcast
+    * centroid set; ties break on centroid id. The shared primitive of
+    * IVF search (list build + probing) and centroid training (q81's
+    * Lloyd step).
+    */
+  def assignToCentroids(vecs: DataFrame, centroids: DataFrame,
+                        n: Int): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(centroids.select(
+        col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        (expr(dotSpark("v", "cv")) / (col("nrm") * col("cn"))).as("c_cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cid"))
+    scored.withColumn("arn", row_number().over(w))
+      .filter(col("arn") <= n)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+  }
+
   def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 1): DataFrame = {
-    def assign(vecs: DataFrame, n: Int): DataFrame = {
-      val scored = vecs.crossJoin(broadcast(centroids.select(
-          col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-          (expr(dotSpark("v", "cv")) / (col("nrm") * col("cn"))).as("c_cos"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("cid"))
-      scored.withColumn("arn", row_number().over(w))
-        .filter(col("arn") <= n)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-    }
-    val lists = assign(corpus, 1)
-    val p = assign(probes, nprobe).select(col("vec_id").as("probe_id"),
-      col("v").as("pv"), col("nrm").as("pn"), col("cid"))
+    val lists = assignToCentroids(corpus, centroids, 1)
+    val p = assignToCentroids(probes, centroids, nprobe)
+      .select(col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("nrm").as("pn"), col("cid"))
     val scored = lists.join(broadcast(p), Seq("cid"))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"), col("cid"),

@@ -7,9 +7,11 @@ package graft
   */
 class PlanAuditSpec extends SparkTestBase {
 
-  // cross joins that are INTENTIONAL (broadcast probe/centroid sets):
+  // cross joins that are INTENTIONAL (broadcast probe/centroid sets, or
+  // a broadcast single-row scalar in q84):
   private val allowedCross = Set(
-    "q38_cosine_topk", "q43_cosine_native", "q46_ivf_topk")
+    "q38_cosine_topk", "q43_cosine_native", "q46_ivf_topk",
+    "q81_kmeans_step", "q84_tfidf")
 
   test("every query plan: no raw cartesian, broadcast where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
