@@ -143,6 +143,27 @@ class LlmOpsSpec extends SparkTestBase {
     assert(dirs.exists(_.startsWith("lang_part=")), dirs.mkString(","))
   }
 
+  test("dynamic partition pruning fires on a dim-filtered partition join") {
+    // The runtime half of the partition-pruning story: a static filter
+    // prunes at plan time (test above); DPP prunes partitions whose keys
+    // the (broadcast) dim side eliminated AT RUN time — at 100 TB this
+    // is what keeps a fact×dim join from scanning every date/lang
+    // partition when the dim filter is not a literal on the fact.
+    import graft.sources.PartitionedSink
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    PartitionedSink.writePartitioned(
+      docs.withColumn("lang_part", col("lang")), dir, Seq("lang_part"))
+    val fact = PartitionedSink.readPartitioned(spark, dir)
+    val dim = docs.select(col("lang").as("lang_part")).distinct()
+      .filter(col("lang_part").isin("en", "de"))
+    val joined = fact.join(dim, Seq("lang_part"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no DPP subquery in the partitioned scan:\n${plan.take(900)}")
+    assert(joined.count() ===
+      docs.filter(col("lang").isin("en", "de")).count())
+  }
+
   test("end-to-end multimodal: decoded features feed the ANN path") {
     // media → batched decode (stub) → feature vectors → cosine top-k:
     // the full multimodal-to-similarity pipeline over real plumbing.
