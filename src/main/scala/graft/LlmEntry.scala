@@ -34,6 +34,7 @@ object LlmEntry {
   private val MixDefaultHexHi = "400"
   private val PackCapacity = 256L // sequence-packing bin size (tokens)
   private val TfidfK = 3          // TF-IDF terms kept per document
+  private val SampleK = 20        // exact-k per-group sample size
   private val IvfCentroidLo = 100 // deterministic coarse centroids
   private val IvfCentroidHi = 107
   private val ChunkTokens = 50    // context-window chunk size (tokens)
@@ -540,6 +541,24 @@ object LlmEntry {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("score"), col("rk"))
     }),
+
+    // ---- exact-k uniform sample per group -------------------------------
+    "q85_group_sample" -> ((s, d) => {
+      // Deterministic exact-k uniform sample per language: rank rows by
+      // the md5 of their id (a fixed pseudo-random permutation — no RNG,
+      // same sample on every engine and every rerun) and keep the first
+      // SampleK. Complements q82's rate-based mixing with exact-count
+      // sampling. Plan shape: row_number + rk<=k executes with
+      // WindowGroupLimit — each map task forwards only its local top-k,
+      // so the shuffle carries ≤ k·|groups| rows at any corpus size.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= SampleK)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -948,5 +967,14 @@ object LlmEntry {
          |               tf.term) AS BIGINT) AS rk
          |  FROM tf JOIN dfreq USING (term), n)
          |WHERE rk <= $TfidfK""".stripMargin,
+
+    "q85_group_sample" ->
+      s"""SELECT lang, doc_id, h, rk FROM (
+         |  SELECT lang, doc_id, h,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+         |      AS BIGINT) AS rk
+         |  FROM (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+         |        FROM documents))
+         |WHERE rk <= $SampleK""".stripMargin,
   )
 }

@@ -116,15 +116,24 @@ object EventStreams {
       }))
     val dataDir = root.resolve("data").toString
     val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
-    val q = out.writeStream
-      .outputMode(mode)
-      .option("checkpointLocation", root.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(saveMode).parquet(dataDir)
-      }
-      .start()
-    q.awaitTermination()
+    // Stateful-operator partition count (= state store instances) is
+    // frozen from spark.sql.shuffle.partitions at query start. A
+    // production stream sizes it to key cardinality; this bounded drain
+    // can size it to the drained volume — overridable via env.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").filter(_.nonEmpty)
+      .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = out.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(saveMode).parquet(dataDir)
+        }
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.read.parquet(dataDir)
   }
 }

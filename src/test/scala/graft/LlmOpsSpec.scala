@@ -164,6 +164,40 @@ class LlmOpsSpec extends SparkTestBase {
       docs.filter(col("lang").isin("en", "de")).count())
   }
 
+  test("sequence packing: bins are contiguous, conserve tokens, never split a doc") {
+    val bins = SparkEntry.queries("q83_seq_packing")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = bins.groupBy(_._1)
+    byLang.foreach { case (lang, bs) =>
+      // bin ids are 0..max with no holes (greedy contiguous layout)
+      val ids = bs.map(_._2).sorted
+      assert(ids.head === 0L && ids.last === ids.length - 1L,
+        s"$lang bins not contiguous: ${ids.mkString(",")}")
+      // every bin holds at least one doc
+      assert(bs.forall(_._3 >= 1L))
+    }
+    // token conservation: every doc's tokens land in exactly one bin
+    val packed = bins.map(_._4).sum
+    val total = graft.core.Tables.documents(spark, sf)
+      .select(expr(s"CAST(size(${graft.operators.TextOps.tokensSpark("text")}) AS BIGINT)"))
+      .collect().map(_.getLong(0)).sum
+    assert(packed === total)
+  }
+
+  test("per-group sample plan trims map-side (WindowGroupLimit) and is exact-k") {
+    val q = SparkEntry.queries("q85_group_sample")(spark, sf)
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank filter did not plan a map-side group limit")
+    val counts = q.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = graft.core.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    avail.foreach { case (lang, n) =>
+      assert(counts(lang) === math.min(n, 20L), s"$lang sample size wrong")
+    }
+  }
+
   test("end-to-end multimodal: decoded features feed the ANN path") {
     // media → batched decode (stub) → feature vectors → cosine top-k:
     // the full multimodal-to-similarity pipeline over real plumbing.
