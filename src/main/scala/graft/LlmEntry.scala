@@ -526,13 +526,17 @@ object LlmEntry {
       val toks = docs
         .select(col("doc_id"), explode(expr(tokensSpark("text"))).as("term"))
         .filter(col("term") =!= "")
+      // tf feeds BOTH the join and the df derivation — persist once
+      // (same discipline as q35's signature table) so the explode +
+      // aggregate over raw tokens runs a single time
       val tf = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
-      tf.join(broadcast(dfreq), Seq("term"))
+      val out = tf.join(broadcast(dfreq), Seq("term"))
         .crossJoin(broadcast(nDocs))
         .withColumn("score", col("tf").cast("double") *
           col("n_docs").cast("double") / col("df").cast("double"))
@@ -540,6 +544,7 @@ object LlmEntry {
         .filter(col("rk") <= TfidfK)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("score"), col("rk"))
+      core.Materialize.detached(out) { tf.unpersist(blocking = false) }
     }),
 
     // ---- exact-k uniform sample per group -------------------------------

@@ -56,7 +56,8 @@ case class TopKIds(
         "top_k_ids expects (DOUBLE score, BIGINT id, BIGINT tie, INT k)")
     else kExpr match {
       case Literal(v: Int, IntegerType) if v > 0 => TypeCheckResult.TypeCheckSuccess
-      case Literal(v: Long, LongType) if v > 0   => TypeCheckResult.TypeCheckSuccess
+      case Literal(v: Long, LongType) if v > 0 && v <= Int.MaxValue =>
+        TypeCheckResult.TypeCheckSuccess
       case Literal(_, IntegerType) | Literal(_, LongType) =>
         TypeCheckResult.TypeCheckFailure("top_k_ids: k must be positive")
       case _ =>
@@ -123,7 +124,10 @@ object TopKIds {
     // stays rank-identical to the q23 window formulation on NaN input
     private def better(s1: Double, i1: Long, t1: Long,
                        s2: Double, i2: Long, t2: Long): Boolean = {
-      val c = java.lang.Double.compare(s1, s2)
+      // s1 == s2 short-circuit ALSO equates -0.0 with 0.0, matching
+      // Spark's SQLOrderingUtil.compareDoubles (raw Double.compare would
+      // rank +0.0 above -0.0 and break window-formulation parity)
+      val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
       c > 0 || (c == 0 && (i1 < i2 || (i1 == i2 && t1 < t2)))
     }
 

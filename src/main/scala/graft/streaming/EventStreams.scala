@@ -134,6 +134,11 @@ object EventStreams {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.read.parquet(dataDir)
+    // zero batches executed → foreachBatch never wrote dataDir; return
+    // an empty frame with the query's schema (memory-sink behavior)
+    if (java.nio.file.Files.exists(root.resolve("data")))
+      spark.read.parquet(dataDir)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), out.schema)
   }
 }

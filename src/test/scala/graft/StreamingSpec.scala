@@ -71,7 +71,6 @@ class StreamingSpec extends SparkTestBase {
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     assert(got == want, s"sizes ${got.size} vs ${want.size}")
-    spark.catalog.dropTempView("hourly_test")
   }
 
   test("streaming dedup drops in-batch and cross-batch duplicates") {

@@ -49,12 +49,18 @@ class TopKAggSpec extends SparkTestBase {
       .toList === List(2L, 1L))
   }
 
-  test("k <= 0 is an analysis-time error, not a runtime crash") {
+  test("k <= 0 or Int-overflowing k is an analysis-time error, not a crash") {
     val df = Seq((1.0, 1L, 0L)).toDF("s", "i", "t")
-    for (k <- Seq("0", "-3"))
+    for (k <- Seq("0", "-3", "2147483648L", "5000000000L"))
       assertThrows[org.apache.spark.sql.AnalysisException] {
         df.agg(expr(s"top_k_ids(s, i, t, $k)")).collect()
       }
+  }
+
+  test("-0.0 ties +0.0 (Spark SQL total order), resolved by id tiebreak") {
+    val df = Seq((-0.0, 1L, 0L), (0.0, 2L, 0L)).toDF("s", "i", "t")
+    assert(df.agg(expr("top_k_ids(s, i, t, 1)")).head.getSeq[Long](0)
+      .toList === List(1L))
   }
 
   test("NaN scores rank largest — same total order as the window form") {
