@@ -309,6 +309,41 @@ object RelEntry {
              percentile_approx(col("value"), lit(0.5), lit(10000))
                .as("p50_value"),
              count(lit(1)).as("n"))),
+
+    // ---- window navigation family (§2.7 completeness) ------------------
+    // first/nth/lag plus the IGNORE-NULLS running "most recent purchase"
+    // — the navigation functions a sessionized event feed needs. The
+    // ROWS frame is explicit and the (ts, event_id) order total, so
+    // every value is deterministic; one Window node, one exchange.
+    "q86_window_nav" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1, -1.0).over(wo).as("prev_v"),
+        first(col("event_type")).over(w).as("first_et"),
+        nth_value(col("event_type"), 2).over(w).as("second_et"),
+        last(when(col("event_type") === "purchase", col("ts")),
+          ignoreNulls = true).over(w).as("last_purchase_ts"))
+    }),
+
+    // ---- conditional / argmax aggregates (§2.6 completeness) -----------
+    // count_if / bool_or / bool_and / max_by / min_by — the modern
+    // conditional-aggregate surface; ties are impossible (event_id is
+    // unique) so max_by/min_by are deterministic.
+    "q87_conditional_aggs" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("count_if(value > 100)").as("n_big"),
+          expr("bool_or(value > 200)").as("any_huge"),
+          expr("bool_and(value >= 0)").as("all_pos"),
+          expr("max_by(user_id, event_id)").as("latest_user"),
+          expr("min_by(user_id, event_id)").as("first_user"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -501,5 +536,26 @@ object RelEntry {
         | WHERE rn <= 3 GROUP BY 1""".stripMargin,
     // q59_sketches: intentionally no oracle (sketch estimates are
     // implementation-defined); bounded-error unit test instead.
+
+    "q86_window_nav" ->
+      """SELECT user_id, event_id,
+        |  lag(value, 1, -1.0) OVER wo AS prev_v,
+        |  first_value(event_type) OVER w AS first_et,
+        |  nth_value(event_type, 2) OVER w AS second_et,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN ts END
+        |    IGNORE NULLS) OVER w AS last_purchase_ts
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS UNBOUNDED PRECEDING),
+        |       wo AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q87_conditional_aggs" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(*) FILTER (WHERE value > 100) AS n_big,
+        |  bool_or(value > 200) AS any_huge,
+        |  bool_and(value >= 0) AS all_pos,
+        |  max_by(user_id, event_id) AS latest_user,
+        |  min_by(user_id, event_id) AS first_user
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

@@ -1,0 +1,39 @@
+package graft
+
+/** Guards the driver-facing contract: every query has an oracle (the one
+  * deliberate exception is q59 — sketch families are engine-specific),
+  * no oracle SQL is orphaned, and the four query maps never shadow each
+  * other's keys (Map ++ overwrites silently — a duplicate key would make
+  * a query vanish from the driver's loop without any error).
+  */
+class ContractSpec extends SparkTestBase {
+
+  test("query and oracle maps line up (q59 is the only rows-only query)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle SQL without a query: ${o -- q}")
+    assert((q -- o) === Set("q59_sketches"), s"queries without oracle: ${q -- o}")
+  }
+
+  test("no key shadowing across the four query maps") {
+    val maps = Seq(
+      "LlmEntry" -> LlmEntry.queries.keySet,
+      "StreamEntry" -> StreamEntry.queries.keySet,
+      "RelEntry" -> RelEntry.queries.keySet)
+    for {
+      (na, a) <- maps; (nb, b) <- maps if na < nb
+    } assert((a & b).isEmpty, s"$na and $nb share keys: ${a & b}")
+    // the merged numbering is dense 1..N — a key silently shadowed by
+    // Map ++ (or a duplicated number) would leave a hole or a collision
+    val ids = SparkEntry.queries.keySet.map(_.drop(1).takeWhile(_.isDigit).toInt)
+    assert(ids === (1 to SparkEntry.queries.size).toSet,
+      s"query numbering not dense 1..${SparkEntry.queries.size}: " +
+        ((1 to SparkEntry.queries.size).toSet -- ids).mkString(","))
+  }
+
+  test("query names follow the driver's qNN_ naming and are well-formed") {
+    SparkEntry.queries.keys.foreach { k =>
+      assert(k.matches("q\\d{2}_[a-z0-9_]+"), s"bad query name: $k")
+    }
+  }
+}
