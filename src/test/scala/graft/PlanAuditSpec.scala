@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Plan-shape regression guard over EVERY SparkEntry query: the scale
   * properties the judge-facing plans must keep — no unintended cartesian
   * product, time predicates pushed into the parquet scan, and no cached
@@ -24,6 +26,18 @@ class PlanAuditSpec extends SparkTestBase {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name has an unintended nested-loop join:\n${plan.take(500)}")
     }
+  }
+
+  test("AQE coalesces the small shuffle after a grouped aggregate") {
+    // AQE is on in every session (core/Sessions); this pins that it is
+    // actually re-planning: the post-shuffle read of a tiny aggregate
+    // collapses the 4 configured shuffle partitions to fewer at runtime.
+    val df = graft.core.Tables.events(spark, sf)
+      .groupBy(col("event_type")).count()
+    df.collect() // AQE finalizes the plan only after execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"AQE did not coalesce:\n${plan.take(600)}")
   }
 
   test("events time-range queries push bounds into the parquet scan") {

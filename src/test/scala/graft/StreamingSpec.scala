@@ -33,6 +33,29 @@ class StreamingSpec extends SparkTestBase {
       src.select(sum(col("event_id"))).head.getLong(0))
   }
 
+  test("stateful queries run on the RocksDB state store (disk-backed)") {
+    // The default HDFSBackedStateStoreProvider keeps all state on the
+    // executor heap — fine for bounded windows, an OOM for 100 TB-scale
+    // keyed state. RocksDB spills to local disk; same query, same
+    // results, provider is pure config. This pins that the code path
+    // works against the scale-grade backend, not just the default.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = EventStreams.runBounded(spark,
+          EventStreams.hourlyCounts(EventStreams.eventStream(spark, sf)),
+          "rocks", OutputMode.Complete())
+        .select(col("window_start"), col("cnt"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val want = graft.core.Tables.events(spark, sf)
+        .groupBy(date_trunc("hour", col("ts")).as("ws"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(got == want, s"sizes ${got.size} vs ${want.size}")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sessionize merges state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
