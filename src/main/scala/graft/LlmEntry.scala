@@ -554,8 +554,9 @@ object LlmEntry {
       // same sample on every engine and every rerun) and keep the first
       // SampleK. Complements q82's rate-based mixing with exact-count
       // sampling. Plan shape: row_number + rk<=k executes with
-      // WindowGroupLimit — each map task forwards only its local top-k,
-      // so the shuffle carries ≤ k·|groups| rows at any corpus size.
+      // WindowGroupLimit — each map task forwards only its local top-k
+      // per group, so the shuffle carries ≤ k·|groups| rows PER MAP
+      // PARTITION instead of every group member.
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
       Tables.documents(s, d)

@@ -27,7 +27,9 @@ object SparkEntry {
       hour(col("ts")).cast("long"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  // exposed separately so ContractSpec can prove no submap shadows a
+  // base key through the silent-overwrite semantics of Map ++
+  def baseQueries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // ---- Aggregations (SURVEY §2.6) ----
     "q01_hourly_count" -> ((s, d) =>
@@ -287,7 +289,10 @@ object SparkEntry {
       c.select(col("c_mktsegment"))
         .except(c.filter(col("c_acctbal") > 2000).select(col("c_mktsegment")))
     }),
-  ) ++ LlmEntry.queries ++ StreamEntry.queries ++ RelEntry.queries
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ LlmEntry.queries ++ StreamEntry.queries ++ RelEntry.queries
 
   def oracleSql: Map[String, String] = Map(
     "q01_hourly_count" ->

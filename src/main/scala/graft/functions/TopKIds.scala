@@ -58,6 +58,9 @@ case class TopKIds(
       case Literal(v: Int, IntegerType) if v > 0 => TypeCheckResult.TypeCheckSuccess
       case Literal(v: Long, LongType) if v > 0 && v <= Int.MaxValue =>
         TypeCheckResult.TypeCheckSuccess
+      case Literal(v: Long, LongType) if v > Int.MaxValue =>
+        TypeCheckResult.TypeCheckFailure(
+          s"top_k_ids: k must fit in INT (got $v)")
       case Literal(_, IntegerType) | Literal(_, LongType) =>
         TypeCheckResult.TypeCheckFailure("top_k_ids: k must be positive")
       case _ =>

@@ -17,14 +17,17 @@ class ContractSpec extends SparkTestBase {
 
   test("no key shadowing across the four query maps") {
     val maps = Seq(
+      "SparkEntry.base" -> SparkEntry.baseQueries.keySet,
       "LlmEntry" -> LlmEntry.queries.keySet,
       "StreamEntry" -> StreamEntry.queries.keySet,
       "RelEntry" -> RelEntry.queries.keySet)
     for {
       (na, a) <- maps; (nb, b) <- maps if na < nb
     } assert((a & b).isEmpty, s"$na and $nb share keys: ${a & b}")
-    // the merged numbering is dense 1..N — a key silently shadowed by
-    // Map ++ (or a duplicated number) would leave a hole or a collision
+    // sizes must add up — Map ++ would silently drop a shadowed key
+    assert(SparkEntry.queries.size === maps.map(_._2.size).sum)
+    // and the merged numbering is dense 1..N (catches duplicate numbers
+    // under different suffixes too)
     val ids = SparkEntry.queries.keySet.map(_.drop(1).takeWhile(_.isDigit).toInt)
     assert(ids === (1 to SparkEntry.queries.size).toSet,
       s"query numbering not dense 1..${SparkEntry.queries.size}: " +
@@ -33,7 +36,7 @@ class ContractSpec extends SparkTestBase {
 
   test("query names follow the driver's qNN_ naming and are well-formed") {
     SparkEntry.queries.keys.foreach { k =>
-      assert(k.matches("q\\d{2}_[a-z0-9_]+"), s"bad query name: $k")
+      assert(k.matches("q\\d{2,}_[a-z0-9_]+"), s"bad query name: $k")
     }
   }
 }

@@ -33,6 +33,22 @@ class StreamingSpec extends SparkTestBase {
       src.select(sum(col("event_id"))).head.getLong(0))
   }
 
+  /** Bounded hourly-count run compared against the batch aggregate —
+    * shared by the default-provider and RocksDB-provider tests.
+    */
+  private def assertHourlyCountsMatchBatch(sinkName: String): Unit = {
+    val got = EventStreams.runBounded(spark,
+        EventStreams.hourlyCounts(EventStreams.eventStream(spark, sf)),
+        sinkName, OutputMode.Complete())
+      .select(col("window_start"), col("cnt"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val want = graft.core.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("ws"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got == want, s"sizes ${got.size} vs ${want.size}")
+  }
+
   test("stateful queries run on the RocksDB state store (disk-backed)") {
     // The default HDFSBackedStateStoreProvider keeps all state on the
     // executor heap — fine for bounded windows, an OOM for 100 TB-scale
@@ -41,18 +57,8 @@ class StreamingSpec extends SparkTestBase {
     // works against the scale-grade backend, not just the default.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val got = EventStreams.runBounded(spark,
-          EventStreams.hourlyCounts(EventStreams.eventStream(spark, sf)),
-          "rocks", OutputMode.Complete())
-        .select(col("window_start"), col("cnt"))
-        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
-      val want = graft.core.Tables.events(spark, sf)
-        .groupBy(date_trunc("hour", col("ts")).as("ws"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
-      assert(got == want, s"sizes ${got.size} vs ${want.size}")
-    } finally
+    try assertHourlyCountsMatchBatch("rocks")
+    finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
@@ -84,16 +90,7 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("bounded streaming hourly counts equal the batch aggregate") {
-    val stream = EventStreams.eventStream(spark, sf)
-    val got = EventStreams.runBounded(spark,
-        EventStreams.hourlyCounts(stream), "hourly_test", OutputMode.Complete())
-      .select(col("window_start"), col("cnt"))
-      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
-    val want = graft.core.Tables.events(spark, sf)
-      .groupBy(date_trunc("hour", col("ts")).as("ws"))
-      .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
-    assert(got == want, s"sizes ${got.size} vs ${want.size}")
+    assertHourlyCountsMatchBatch("hourly_test")
   }
 
   test("streaming dedup drops in-batch and cross-batch duplicates") {
