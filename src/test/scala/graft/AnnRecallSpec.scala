@@ -46,4 +46,25 @@ class AnnRecallSpec extends SparkTestBase {
     // the scanned fraction — the nprobe knob, not a defect
     assert(ivf >= 0.35, f"IVF nprobe=3 recall $ivf%.3f below floor")
   }
+
+  test("ANN output is sound: ranks dense from 1, scores non-increasing") {
+    for (name <- Seq("q39_cosine_lsh_topk", "q47_lsh_multiprobe",
+        "q46_ivf_topk")) {
+      val byProbe = SparkEntry.queries(name)(spark, dir)
+        .select("probe_id", "vec_id", "cosine", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .groupBy(_._1)
+      byProbe.foreach { case (p, rows) =>
+        val sorted = rows.sortBy(_._4)
+        assert(sorted.map(_._4).toList === (1L to sorted.length).toList,
+          s"$name probe $p ranks not dense: ${sorted.map(_._4).mkString(",")}")
+        assert(sorted.map(_._3).sliding(2).forall {
+          case Array(a, b) => a >= b; case _ => true },
+          s"$name probe $p cosine not non-increasing")
+        val ids = sorted.map(_._2)
+        assert(ids.distinct.length === ids.length,
+          s"$name probe $p returned a duplicate neighbor")
+      }
+    }
+  }
 }
