@@ -198,6 +198,50 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("iterating the Lloyd step improves the spherical k-means objective") {
+    // q81 is ONE training iteration; this proves the loop it belongs to
+    // converges: assign-by-cosine + arithmetic-mean update is spherical
+    // k-means (cosine is scale-invariant, so not normalizing the mean
+    // changes nothing), whose objective — the summed cosine of every
+    // vector to its assigned centroid — is non-decreasing per iteration.
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.types._
+    val p = SimilarityOps.prepped(graft.core.Tables.embeddings(spark, sf))
+      .cache()
+    def objective(cents: DataFrame): Double =
+      SimilarityOps.assignToCentroids(p, cents, 1)
+        .join(cents.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn")), "cid")
+        .select((expr(SimilarityOps.dotSpark("v", "cv")) /
+          (col("nrm") * col("cn"))).as("c"))
+        .agg(sum(col("c"))).head.getDouble(0)
+    def step(cents: DataFrame): DataFrame = {
+      // mean per (cid, dim) — 8×64 values, safe to pin on the driver
+      val means = SimilarityOps.assignToCentroids(p, cents, 1)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (cid, xs) =>
+          Row(cid, xs.sortBy(_._2).map(_._3).toSeq) }
+      val schema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType, containsNull = false))))
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(means.toSeq: _*), schema)
+      df.select(col("vec_id"), col("v"),
+        expr(SimilarityOps.normSpark("v")).as("nrm"))
+    }
+    var cents = p.filter(col("vec_id").between(100, 107))
+      .select("vec_id", "v", "nrm")
+    var prev = objective(cents)
+    for (i <- 1 to 3) {
+      cents = step(cents)
+      val cur = objective(cents)
+      assert(cur >= prev - 1e-9, s"iteration $i decreased objective: $prev -> $cur")
+      prev = cur
+    }
+    p.unpersist(blocking = false)
+  }
+
   test("end-to-end multimodal: decoded features feed the ANN path") {
     // media → batched decode (stub) → feature vectors → cosine top-k:
     // the full multimodal-to-similarity pipeline over real plumbing.
