@@ -547,6 +547,33 @@ object LlmEntry {
       core.Materialize.detached(out) { tf.unpersist(blocking = false) }
     }),
 
+    // ---- int8 embedding quantization ------------------------------------
+    "q88_embed_quantize" -> ((s, d) => {
+      // Symmetric int8 quantization (q = round(127·x / max_abs), the
+      // storage/bandwidth lever for embedding corpora: 4×(+) smaller
+      // vectors, cosine error bounded by the scale). Emits per-vector
+      // max_abs, the quantized checksum, and the exact reconstruction
+      // MSE — all computed with order-fixed left-to-right HOF folds and
+      // exact IEEE ops, so the doubles are bit-identical to the oracle.
+      // Narrow map, zero shuffle.
+      val p = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(SimilarityOps.toDoubleSpark("embedding")).as("v"))
+        .withColumn("max_abs",
+          expr("aggregate(v, CAST(0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
+        .withColumn("q",
+          expr("transform(v, x -> CAST(round(127.0 * x / max_abs) AS BIGINT))"))
+      // checksum folds mod 2^31−1: unmodded acc·31 overflows BIGINT
+      // within a 64-dim vector (DuckDB raises on overflow, Java wraps —
+      // either way, not comparable)
+      p.select(col("vec_id"), col("max_abs"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 2147483647)")
+          .as("q_checksum"),
+        expr("aggregate(zip_with(v, q, (x, qq) -> " +
+          "(x - qq * max_abs / 127.0) * (x - qq * max_abs / 127.0)), " +
+          "CAST(0 AS DOUBLE), (acc, e) -> acc + e) / CAST(size(v) AS DOUBLE)")
+          .as("mse"))
+    }),
+
     // ---- exact-k uniform sample per group -------------------------------
     "q85_group_sample" -> ((s, d) => {
       // Deterministic exact-k uniform sample per language: rank rows by
@@ -973,6 +1000,27 @@ object LlmEntry {
          |               tf.term) AS BIGINT) AS rk
          |  FROM tf JOIN dfreq USING (term), n)
          |WHERE rk <= $TfidfK""".stripMargin,
+
+    "q88_embed_quantize" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+        |      (a, b) -> greatest(a, b)) AS max_abs
+        |  FROM p),
+        |q AS (
+        |  SELECT vec_id, v, max_abs,
+        |    list_transform(v, x -> CAST(round(127.0 * x / max_abs) AS BIGINT)) AS qv
+        |  FROM m)
+        |SELECT vec_id, max_abs,
+        |  CAST(list_reduce(list_prepend(0::BIGINT, qv),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT) AS q_checksum,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1),
+        |    i -> (v[i] - qv[i] * max_abs / 127.0)
+        |       * (v[i] - qv[i] * max_abs / 127.0))),
+        |    (acc, e) -> acc + e) / CAST(len(v) AS DOUBLE) AS mse
+        |FROM q""".stripMargin,
 
     "q85_group_sample" ->
       s"""SELECT lang, doc_id, h, rk FROM (
