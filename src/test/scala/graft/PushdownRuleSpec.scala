@@ -36,6 +36,19 @@ class PushdownRuleSpec extends SparkTestBase {
     assert(ids.sameElements(exp) && ids.nonEmpty)
   }
 
+  test("literal-on-left orientations are rewritten and push down too") {
+    val flipped = Tables.events(spark, sf)
+      .filter(lit(lo).cast("timestamp") <= col("ts") &&
+              lit(hi).cast("timestamp") > col("ts"))
+    val plan = flipped.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts"),
+      s"flipped filter did not reach the scan:\n${plan.take(800)}")
+    val ids = flipped.select("event_id").collect().map(_.getLong(0)).sorted
+    val exp = naive.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(exp) && ids.nonEmpty)
+  }
+
   test("pre-epoch negatives: rewrite exact where trunc differs from floor") {
     import spark.implicits._
     // n div 1000 truncates toward zero: n in [-999, 999] lands on micro 0.

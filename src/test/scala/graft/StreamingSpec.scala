@@ -6,6 +6,9 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.SessionEvent
 
+/** Timestamp-only event for watermark tests (top-level for encoders). */
+case class TsEvent(ts: java.sql.Timestamp)
+
 /** Incremental-semantics tests: MemoryStream lets us control micro-batch
   * boundaries, so these check what the bounded oracle run can't — state
   * carried ACROSS batches (session merge, dedup memory, window updates).
@@ -60,6 +63,32 @@ class StreamingSpec extends SparkTestBase {
     try assertHourlyCountsMatchBatch("rocks")
     finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("windowed agg drops events older than the watermark") {
+    // THE watermark semantic: state eviction only works because late
+    // data is dropped — an event arriving behind the watermark must not
+    // resurrect its (already finalized and evicted) window.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(h: Int, m: Int = 0) =
+      TsEvent(java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00"))
+    val input = MemoryStream[TsEvent]
+    val q = EventStreams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(t(0), t(0, 30), t(1), t(10))
+    q.processAllAvailable() // watermark after batch 1: 10:00 − 2h = 8:00
+    input.addData(t(0, 45), t(20)) // 0:45 is behind the watermark → drop
+    q.processAllAvailable()
+    input.addData(t(30)) // advance once more to flush the 10:00 window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_test").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(0L) === 2L, s"late event not dropped: $rows")
+    assert(rows(1L) === 1L && rows(10L) === 1L, s"got $rows")
+    spark.catalog.dropTempView("late_test")
   }
 
   test("sessionize merges state across micro-batches") {
