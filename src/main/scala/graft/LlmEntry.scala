@@ -560,8 +560,9 @@ object LlmEntry {
         .select(col("vec_id"), expr(SimilarityOps.toDoubleSpark("embedding")).as("v"))
         .withColumn("max_abs",
           expr("aggregate(v, CAST(0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
-        .withColumn("q",
-          expr("transform(v, x -> CAST(round(127.0 * x / max_abs) AS BIGINT))"))
+        .withColumn("q", // all-zero vector: max_abs = 0 → q = 0, not NaN
+          expr("transform(v, x -> CASE WHEN max_abs = 0.0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST(round(127.0 * x / max_abs) AS BIGINT) END)"))
       // checksum folds mod 2^31−1: unmodded acc·31 overflows BIGINT
       // within a 64-dim vector (DuckDB raises on overflow, Java wraps —
       // either way, not comparable)
@@ -1011,7 +1012,8 @@ object LlmEntry {
         |  FROM p),
         |q AS (
         |  SELECT vec_id, v, max_abs,
-        |    list_transform(v, x -> CAST(round(127.0 * x / max_abs) AS BIGINT)) AS qv
+        |    list_transform(v, x -> CASE WHEN max_abs = 0.0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(round(127.0 * x / max_abs) AS BIGINT) END) AS qv
         |  FROM m)
         |SELECT vec_id, max_abs,
         |  CAST(list_reduce(list_prepend(0::BIGINT, qv),

@@ -200,10 +200,11 @@ class LlmOpsSpec extends SparkTestBase {
 
   test("iterating the Lloyd step improves the spherical k-means objective") {
     // q81 is ONE training iteration; this proves the loop it belongs to
-    // converges: assign-by-cosine + arithmetic-mean update is spherical
-    // k-means (cosine is scale-invariant, so not normalizing the mean
-    // changes nothing), whose objective — the summed cosine of every
-    // vector to its assigned centroid — is non-decreasing per iteration.
+    // converges. Spherical k-means: assign by cosine, update = mean of
+    // the UNIT-normalized members (the maximizer of summed cosine is the
+    // normalized-mean direction; a raw mean is only equivalent when the
+    // inputs are unit-norm, which must not be assumed). Objective —
+    // summed cosine to the assigned centroid — is then non-decreasing.
     import org.apache.spark.sql.{DataFrame, Row}
     import org.apache.spark.sql.types._
     val p = SimilarityOps.prepped(graft.core.Tables.embeddings(spark, sf))
@@ -216,9 +217,10 @@ class LlmOpsSpec extends SparkTestBase {
           (col("nrm") * col("cn"))).as("c"))
         .agg(sum(col("c"))).head.getDouble(0)
     def step(cents: DataFrame): DataFrame = {
-      // mean per (cid, dim) — 8×64 values, safe to pin on the driver
+      // mean of UNIT members per (cid, dim) — 8×64 values, driver-safe
       val means = SimilarityOps.assignToCentroids(p, cents, 1)
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("cid"),
+          posexplode(expr("transform(v, x -> x / nrm)")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
         .groupBy(_._1).map { case (cid, xs) =>

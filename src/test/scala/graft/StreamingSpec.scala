@@ -81,7 +81,7 @@ class StreamingSpec extends SparkTestBase {
     q.processAllAvailable() // watermark after batch 1: 10:00 − 2h = 8:00
     input.addData(t(0, 45), t(20)) // 0:45 is behind the watermark → drop
     q.processAllAvailable()
-    input.addData(t(30)) // advance once more to flush the 10:00 window
+    input.addData(t(23)) // advance once more to flush the 10:00 window
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("late_test").collect()
