@@ -361,17 +361,21 @@ object LlmEntry {
       val sh = DedupOps.shingled(DedupOps.corpus(Tables.documents(s, d)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      // the rare set is corpus-proportional (Zipf: the tail dominates
+      // the distinct-shingle universe), so it joins as a plain shuffled
+      // hash join — broadcasting it would collect corpus-scale data on
+      // the driver. The BENCH side below stays broadcast: an eval suite
+      // is fixed-size by nature, it does not grow with the corpus.
       val rare = ex.groupBy(col("h"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") <= MaxShingleDf).select(col("h"))
-      val exR = ex.join(broadcast(rare), "h")
+      val exR = ex.join(rare, "h")
       val isBench = col("doc_id") % BenchMod === 0 &&
         col("doc_id") < DedupOps.NearCopyOffset
       val be = exR.filter(isBench)
         .select(col("doc_id").as("bench_id"), col("h"))
       val nb = be.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
-      val te = exR.filter(!(col("doc_id") % BenchMod === 0 &&
-          col("doc_id") < DedupOps.NearCopyOffset))
+      val te = exR.filter(!isBench)
         .select(col("doc_id").as("train_id"), col("h"))
       val out = te.join(broadcast(be), "h")
         .groupBy(col("train_id"), col("bench_id"))

@@ -20,7 +20,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * Numeric parity: each accumulator (dot, ‖a‖², ‖b‖²) folds left-to-right
   * in double exactly like the HOF/oracle formulation, so results are
   * bit-identical to `SimilarityOps.dotSpark`-based cosine and to the
-  * DuckDB oracle mirror.
+  * DuckDB oracle mirror. NULL parity too: mismatched lengths or a NULL
+  * array element return NULL, exactly as `zip_with` (which pads the
+  * shorter array with nulls that then poison the fold) — a silent
+  * min-length fold would hand back a plausible wrong number instead.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,11 +41,21 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // schema-level: can either input array carry NULL elements?
+  private lazy val mayHaveNullElems: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (mayHaveNullElems && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
@@ -55,15 +68,25 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.getDouble($i);
-         |  double $y = $b.getDouble($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

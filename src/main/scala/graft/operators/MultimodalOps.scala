@@ -92,11 +92,18 @@ object MultimodalOps {
     * emitted as an array of (frame_id, off, len) structs that is exploded
     * downstream. Bytes are sliced only after the explode, per frame.
     */
-  def frameIndexSpark(payloadLen: String): String =
-    s"transform(sequence(0, CAST(ceil($payloadLen / ${FrameSize}.0) AS INT) - 1), " +
+  def frameIndexSpark(payloadLen: String): String = {
+    // An empty payload must yield ZERO frames. sequence(0, n-1) with
+    // n = 0 infers step -1 and returns [0, -1] (two phantom frames,
+    // diverging from DuckDB's empty range(0, 0)) — so build one slot
+    // too many from a never-negative bound and slice to the true count.
+    val n = s"CAST(ceil($payloadLen / ${FrameSize}.0) AS INT)"
+    s"slice(transform(sequence(0, greatest($n - 1, 0)), " +
       s"f -> named_struct('frame_id', CAST(f AS BIGINT), " +
       s"'off', CAST(f * $FrameSize + 1 AS BIGINT), " +
-      s"'len', CAST(least($FrameSize, $payloadLen - f * $FrameSize) AS BIGINT)))"
+      s"'len', CAST(least($FrameSize, $payloadLen - f * $FrameSize) AS BIGINT))), " +
+      s"1, $n)"
+  }
   def frameIndexDuck(payloadLen: String): String =
     s"list_transform(range(0, CAST(ceil($payloadLen / ${FrameSize}.0) AS INT)), " +
       s"f -> {frame_id: CAST(f AS BIGINT), " +

@@ -89,15 +89,17 @@ object SimilarityOps {
       .mkString("[", ", ", "]")
 
   // ---- operators ---------------------------------------------------------
-  /** Per-vector prep: id, double vector, precomputed norm (+ LSH bucket).
-    * One narrow map over the scan; norms are never recomputed per pair.
+  /** Per-vector prep: id, double vector, precomputed norm. One narrow
+    * map over the scan; norms are never recomputed per pair. Bucketing
+    * is NOT part of the prep contract — each consumer derives the
+    * bucket scheme it needs ([[lshIndex]] per-table masks, near-dup its
+    * wider mask) so no dead columns ride along.
     */
   def prepped(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
       expr(toDoubleSpark("embedding")).as("v"))
       .select(col("vec_id"), col("v"),
-        expr(normSpark("v")).as("nrm"),
-        expr(bucketSpark("v")).as("bucket"))
+        expr(normSpark("v")).as("nrm"))
 
   /** Exact top-k cosine neighbors for each probe (probe set must be small
     * — it is broadcast). Excludes self-pairs. Deterministic tie-break on

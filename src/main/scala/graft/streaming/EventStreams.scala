@@ -32,7 +32,11 @@ object EventStreams {
       .parquet(s"$dir/events.[p]arquet")
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts_nanos", col("ts"))
-        .withColumn("ts", timestamp_micros((col("ts_nanos") / 1000L).cast("long")))
+        // integer `div`, NOT `/`: Long / Long coerces to double division,
+        // and 2024-era nano timestamps (~1.7e18) exceed 2^53 — the double
+        // round-trip can land 1 µs off, silently diverging from the batch
+        // path (Tables.normalizeTs) and the oracle on boundary rows
+        .withColumn("ts", timestamp_micros(expr("ts_nanos div 1000")))
     else raw.withColumn("ts_nanos",
       (unix_micros(col("ts")) * 1000L).as("ts_nanos"))
   }

@@ -271,4 +271,25 @@ class LlmOpsSpec extends SparkTestBase {
       assert(r.getAs[Long]("first_off") == 1L)
     }
   }
+
+  test("frame index of an empty payload is empty, not phantom frames") {
+    // sequence(0, -1) infers step -1 → [0, -1]; the slice guard must
+    // cut that to zero frames (DuckDB's range(0,0) is already empty)
+    import spark.implicits._
+    val n = Seq("").toDF("text")
+      .select(expr(s"size(${MultimodalOps.frameIndexSpark("length(text)")})"))
+      .head.getInt(0)
+    assert(n === 0)
+  }
+
+  test("cosine_sim NULL parity with the HOF: length mismatch returns NULL") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val row = df.select(
+      expr("cosine_sim(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), " +
+        "(acc, v) -> acc + v)").as("hof_dot")).head
+    assert(row.isNullAt(0), "native must be NULL on mismatched lengths")
+    assert(row.isNullAt(1), "HOF reference is NULL on mismatched lengths")
+  }
 }
