@@ -20,6 +20,12 @@ object Bench {
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bounded-drain streaming queries: size stateful-operator partitions
+    // to the drained volume (sf≤0.1 ⇒ state fits in a handful of
+    // partitions). The default 32 would open 128 RocksDB state stores
+    // for the stream-stream join — ~10 s of fixed store-setup cost per
+    // run that says nothing about the plan. See EventStreams.runBounded.
+    spark.conf.set("graft.stream.partitions", "4")
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

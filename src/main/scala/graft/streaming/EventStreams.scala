@@ -123,9 +123,15 @@ object EventStreams {
     // Stateful-operator partition count (= state store instances) is
     // frozen from spark.sql.shuffle.partitions at query start. A
     // production stream sizes it to key cardinality; this bounded drain
-    // can size it to the drained volume — overridable via env.
+    // can size it to the drained volume — settable per-session via the
+    // runtime conf `graft.stream.partitions` (or the env fallback). The
+    // count matters far more than for batch shuffles: a stream-stream
+    // join opens FOUR RocksDB instances per partition, so 32 partitions
+    // = 128 store open/commit cycles per run (~10 s of fixed cost at
+    // local[32]) where 4 partitions complete the same drain in ~2.5 s.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").filter(_.nonEmpty)
+    spark.conf.getOption("graft.stream.partitions")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")).filter(_.nonEmpty)
       .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
     try {
       val q = out.writeStream
