@@ -42,6 +42,13 @@ object LlmEntry {
   private val BenchMod = 10       // benchmark set: doc_id % BenchMod == 0
   private val ContainThreshold = 0.5 // decontamination containment cutoff
   private val MaxShingleDf = 20   // stop-shingle cutoff (docs per shingle)
+  private val BloomExpected = 1L << 17 // bloom sized to an eval-suite shingle universe
+  private val BloomFpp = 1e-4    // see the q89 sizing note: a DOC passes the
+                                 // screen via FPs only if ~ScreenMinHits of its
+                                 // shingles all false-positive — P ≈ 0 here; a
+                                 // lone-FP design (threshold 1) would leak
+                                 // |sh|·fpp of the clean corpus instead
+  private val ScreenMinHits = 20 // flag docs sharing ≥ this many shingles
   private val PiiPlantN = 40      // planted PII: doc_id < N
   // one raw regex (Java and RE2 agree on this subset); Spark SQL string
   // literals unescape backslashes, DuckDB's don't — derive per dialect
@@ -597,6 +604,54 @@ object LlmEntry {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= SampleK)
     }),
+
+    // ---- bloom-screened contamination check -----------------------------
+    "q89_bloom_screen" -> ((s, d) => {
+      // Contamination SCREEN: train docs sharing ≥ ScreenMinHits
+      // shingles with the benchmark set. q61 computes rare-shingle
+      // containment (inherently needs corpus-wide df counts); this is
+      // the cheap upstream pass a 100-TB pipeline runs first, and its
+      // plan never shuffles the clean corpus:
+      //   1. the benchmark shingle universe (fixed-size — eval suites
+      //      don't grow with the corpus) aggregates into ONE Bloom
+      //      filter; partials merge by bit-OR, so the shuffle carries a
+      //      ~300 KB bitset per partition, not the shingles;
+      //   2. every corpus doc counts probe hits INSIDE its shingle
+      //      array, map-side (`size(filter(...))` + native
+      //      bloom_might_contain): docs below the threshold — the
+      //      overwhelming majority of a real crawl — drop without
+      //      shuffling a byte. The threshold carries the screen's
+      //      robustness: a clean doc would need ~ScreenMinHits
+      //      INDEPENDENT false positives to leak through (P ≈ 0), where
+      //      an any-hit screen leaks |sh|·fpp of the whole corpus;
+      //   3. only the suspects explode and equi-join the exact benchmark
+      //      set: Bloom over-admissions die here (bloom hit-counts are
+      //      ≥ true counts, so the threshold re-applies exactly), and
+      //      the no-false-negative guarantee makes the composed result
+      //      bit-exact vs the all-exact oracle.
+      val sh = DedupOps.shingled(DedupOps.corpus(Tables.documents(s, d)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isBench = col("doc_id") % BenchMod === 0 &&
+        col("doc_id") < DedupOps.NearCopyOffset
+      val bench = sh.filter(isBench).select(explode(col("sh")).as("h")).distinct()
+      // one bounded-size row (~300 KB at 2^17 items / 1e-4 fpp): a
+      // sketch constant, not data — the scalar-aggregate driver
+      // pattern, same as Spark's scalar-subquery runtime join filters
+      val bloom = bench
+        .agg(expr(s"bloom_build(h, ${BloomExpected}L, ${BloomFpp}d)"))
+        .head.getAs[Array[Byte]](0)
+      val suspects = sh.filter(!isBench)
+        .filter(size(filter(col("sh"),
+          x => call_function("bloom_might_contain", lit(bloom), x)))
+          >= ScreenMinHits)
+      val out = suspects
+        .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
+        .join(broadcast(bench), "h")
+        .groupBy(col("train_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .filter(col("n_hits") >= ScreenMinHits)
+      core.Materialize.detached(out) { sh.unpersist(blocking = false) }
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1036,5 +1091,21 @@ object LlmEntry {
          |  FROM (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
          |        FROM documents))
          |WHERE rk <= $SampleK""".stripMargin,
+
+    // The oracle is ALL-EXACT (no bloom): the screen must not change the
+    // result, only the plan — any bloom false negative would show here.
+    "q89_bloom_screen" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |shingled AS (${DedupOps.shingledDuckBody}),
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM shingled),
+         |bench AS (SELECT DISTINCT h FROM ex
+         |          WHERE doc_id % $BenchMod = 0
+         |            AND doc_id < ${DedupOps.NearCopyOffset}),
+         |tr AS (SELECT doc_id AS train_id, h FROM ex
+         |       WHERE NOT (doc_id % $BenchMod = 0
+         |              AND doc_id < ${DedupOps.NearCopyOffset}))
+         |SELECT train_id, count(*) AS n_hits
+         |  FROM tr JOIN bench USING (h) GROUP BY 1
+         |HAVING count(*) >= $ScreenMinHits""".stripMargin,
   )
 }

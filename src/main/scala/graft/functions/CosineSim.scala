@@ -119,5 +119,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children(0), children(1))))
+    // Bloom build/probe pair: map-side membership screen against a
+    // fixed-size reference set (decontamination, incremental dedup)
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
+      (children: Seq[Expression]) =>
+        BloomBuildAgg(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
   }
 }

@@ -292,4 +292,50 @@ class LlmOpsSpec extends SparkTestBase {
     assert(row.isNullAt(0), "native must be NULL on mismatched lengths")
     assert(row.isNullAt(1), "HOF reference is NULL on mismatched lengths")
   }
+
+  test("bloom screen: prunes the clean corpus tightly, misses no true positive") {
+    // Recompose the q89 pieces to measure the SCREEN itself (the query
+    // output only shows the post-verify rows). Three claims:
+    //   soundness — screen set ⊇ exact-threshold set (no false negatives
+    //     survive a bloom by construction; counting can only overcount);
+    //   tightness — screen set ≈ exact set (the threshold makes a
+    //     clean-doc leak need ~20 independent FPs, so slack stays ~0);
+    //   pruning — the screen keeps a small fraction of the corpus, which
+    //     is the whole point of running it before any shuffle.
+    val T = 20
+    val sh = DedupOps.shingled(corpus).cache()
+    val isBench = col("doc_id") % 10 === 0 && col("doc_id") < DedupOps.NearCopyOffset
+    val bench = sh.filter(isBench).select(explode(col("sh")).as("h")).distinct()
+    val bloom = bench.agg(expr("bloom_build(h, 131072L, 0.0001d)"))
+      .head.getAs[Array[Byte]](0)
+    val screened = sh.filter(!isBench)
+      .filter(size(filter(col("sh"),
+        x => call_function("bloom_might_contain", lit(bloom), x))) >= T)
+      .select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val exact = sh.filter(!isBench)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
+      .join(bench, "h").groupBy("train_id").count()
+      .filter(col("count") >= T)
+      .select(col("train_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val trainDocs = sh.filter(!isBench).count()
+    sh.unpersist()
+    assert(exact.subsetOf(screened), s"screen lost ${exact.diff(screened)}")
+    assert(screened.size <= exact.size + trainDocs / 100,
+      s"screen too loose: ${screened.size} vs exact ${exact.size}")
+    assert(screened.size <= trainDocs / 5,
+      s"screen kept ${screened.size} of $trainDocs — not pruning")
+    // the planted exact copies of benchmark docs are true positives
+    // whenever the copied doc carries ≥ T shingles
+    val expectedCopies = sh2ExpectedCopies(sh, T)
+    assert(expectedCopies.subsetOf(exact))
+  }
+
+  /** Exact-copy ids (base+20000) of benchmark docs with ≥ T shingles. */
+  private def sh2ExpectedCopies(sh: org.apache.spark.sql.DataFrame, T: Int): Set[Long] =
+    sh.filter(col("doc_id") % 10 === 0 && col("doc_id") < DedupOps.ExactCopyN &&
+        size(col("sh")) >= T)
+      .select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet.map((i: Long) => i + DedupOps.ExactCopyOffset)
 }
