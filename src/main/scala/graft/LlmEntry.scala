@@ -49,6 +49,8 @@ object LlmEntry {
                                  // lone-FP design (threshold 1) would leak
                                  // |sh|·fpp of the clean corpus instead
   private val ScreenMinHits = 20 // flag docs sharing ≥ this many shingles
+  private val NewMod = 7         // q90 snapshot split: doc_id % NewMod == NewResidue
+  private val NewResidue = 3     //   (plus all planted copies) = the "new" docs
   private val PiiPlantN = 40      // planted PII: doc_id < N
   // one raw regex (Java and RE2 agree on this subset); Spark SQL string
   // literals unescape backslashes, DuckDB's don't — derive per dialect
@@ -652,6 +654,64 @@ object LlmEntry {
         .filter(col("n_hits") >= ScreenMinHits)
       core.Materialize.detached(out) { sh.unpersist(blocking = false) }
     }),
+
+    // ---- incremental dedup vs a reference corpus ------------------------
+    "q90_incremental_dedup" -> ((s, d) => {
+      // The nightly-crawl shape: dedup ONLY the new snapshot against the
+      // accumulated reference corpus, and classify each new doc as
+      // exact-dup / near-dup / unique (exact ≻ near). Scale contract:
+      // the reference is the 100-TB side and NEVER shuffles — every
+      // join streams ref rows against a BROADCAST artifact derived from
+      // the (small) snapshot:
+      //   exact — ref content-hashes ⋈_bcast new hashes → matched ids;
+      //   near  — ref band buckets ⋈_bcast new band buckets → candidate
+      //           (new, ref) pairs; candidate ref shingle sets are then
+      //           fetched by streaming ref against the broadcast pair
+      //           set and Jaccard-verified exactly (same formulation,
+      //           and so bit-parity, as q36);
+      //   intra-snapshot duplicates are deliberately out of scope — the
+      //   full-corpus passes (q33–q36) own those; this op is the delta.
+      val c = DedupOps.corpus(Tables.documents(s, d))
+      val isNew = col("doc_id") % NewMod === NewResidue ||
+        col("doc_id") >= DedupOps.NearCopyOffset
+      val prep = c.select(col("doc_id"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+            .as("content_hash"),
+          expr(s"shingle_hashes(text, ${DedupOps.ShingleK})").as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newIds = prep.filter(isNew).select(col("doc_id"))
+      val exactIds = prep.filter(!isNew).select(col("content_hash"))
+        .join(broadcast(prep.filter(isNew)
+          .select(col("doc_id").as("new_id"), col("content_hash"))),
+          "content_hash")
+        .select(col("new_id")).distinct()
+      val buckets =
+        DedupOps.lshBucketsFromSig(DedupOps.signaturesFromShingles(prep))
+      val cand = buckets.filter(!isNew)
+        .join(broadcast(buckets.filter(isNew)
+          .select(col("doc_id").as("new_id"), col("band_id"), col("band_key"))),
+          Seq("band_id", "band_key"))
+        .select(col("new_id"), col("doc_id").as("ref_id")).distinct()
+      val nearIds = prep.filter(!isNew)
+        .select(col("doc_id").as("ref_id"), col("sh").as("sh_ref"))
+        .join(broadcast(cand), "ref_id")
+        .join(broadcast(prep.filter(isNew)
+          .select(col("doc_id").as("new_id"), col("sh").as("sh_new"))),
+          "new_id")
+        .filter(expr("CAST(size(array_intersect(sh_new, sh_ref)) AS DOUBLE) / " +
+          "CAST(size(array_union(sh_new, sh_ref)) AS DOUBLE)")
+          >= JaccardThreshold)
+        .select(col("new_id")).distinct()
+      val out = newIds
+        .join(broadcast(exactIds.select(col("new_id").as("doc_id"),
+          lit(true).as("is_exact"))), Seq("doc_id"), "left")
+        .join(broadcast(nearIds.select(col("new_id").as("doc_id"),
+          lit(true).as("is_near"))), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), "exact").when(col("is_near"), "near")
+            .otherwise("unique").as("verdict"))
+      core.Materialize.detached(out) { prep.unpersist(blocking = false) }
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1107,5 +1167,47 @@ object LlmEntry {
          |SELECT train_id, count(*) AS n_hits
          |  FROM tr JOIN bench USING (h) GROUP BY 1
          |HAVING count(*) >= $ScreenMinHits""".stripMargin,
+
+    "q90_incremental_dedup" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |prep AS (
+         |  SELECT s.doc_id, h.content_hash, s.sh
+         |  FROM (${DedupOps.shingledDuckBody}) s
+         |  JOIN (SELECT doc_id,
+         |          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+         |            AS content_hash
+         |        FROM corpus) h ON h.doc_id = s.doc_id),
+         |newdocs AS (SELECT * FROM prep
+         |            WHERE doc_id % $NewMod = $NewResidue
+         |               OR doc_id >= ${DedupOps.NearCopyOffset}),
+         |refdocs AS (SELECT * FROM prep
+         |            WHERE NOT (doc_id % $NewMod = $NewResidue
+         |                    OR doc_id >= ${DedupOps.NearCopyOffset})),
+         |exact AS (SELECT DISTINCT n.doc_id
+         |          FROM newdocs n JOIN refdocs r USING (content_hash)),
+         |sigs AS (SELECT doc_id, ${DedupOps.signatureDuck("sh")} AS sig
+         |         FROM prep),
+         |buckets AS (${DedupOps.lshBucketsDuckBody}),
+         |cand AS (
+         |  SELECT DISTINCT nb.doc_id AS new_id, rb.doc_id AS ref_id
+         |  FROM buckets nb JOIN buckets rb
+         |    ON nb.band_id = rb.band_id AND nb.band_key = rb.band_key
+         |  WHERE nb.doc_id IN (SELECT doc_id FROM newdocs)
+         |    AND rb.doc_id IN (SELECT doc_id FROM refdocs)),
+         |near AS (
+         |  SELECT DISTINCT c.new_id AS doc_id
+         |  FROM cand c
+         |  JOIN newdocs a ON a.doc_id = c.new_id
+         |  JOIN refdocs b ON b.doc_id = c.ref_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |        >= $JaccardThreshold)
+         |SELECT n.doc_id,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+         |       WHEN nr.doc_id IS NOT NULL THEN 'near'
+         |       ELSE 'unique' END AS verdict
+         |FROM newdocs n
+         |LEFT JOIN exact e ON e.doc_id = n.doc_id
+         |LEFT JOIN near nr ON nr.doc_id = n.doc_id""".stripMargin,
   )
 }

@@ -332,6 +332,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(expectedCopies.subsetOf(exact))
   }
 
+  test("incremental dedup classifies every planted copy correctly") {
+    // q90 splits: new = doc_id % 7 == 3 or planted copies (>= 10000);
+    // ref = everything else. A planted copy whose BASE doc also landed
+    // in the new snapshot has nothing to match in ref — that is the
+    // op's contract (intra-snapshot dups belong to the full-corpus
+    // passes), so those ids are exempt below.
+    val out = SparkEntry.queries("q90_incremental_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- 0L until DedupOps.ExactCopyN if i % 7 != 3)
+      assert(out(DedupOps.ExactCopyOffset + i) == "exact",
+        s"exact copy of ref doc $i")
+    for (i <- 0L until DedupOps.NearCopyN if i % 7 != 3)
+      assert(out(DedupOps.NearCopyOffset + i) == "near",
+        s"near copy of ref doc $i")
+    // base 3 is in the new snapshot, so its exact copy finds no ref match
+    assert(out(DedupOps.ExactCopyOffset + 3) != "exact")
+  }
+
   /** Exact-copy ids (base+20000) of benchmark docs with ≥ T shingles. */
   private def sh2ExpectedCopies(sh: org.apache.spark.sql.DataFrame, T: Int): Set[Long] =
     sh.filter(col("doc_id") % 10 === 0 && col("doc_id") < DedupOps.ExactCopyN &&
