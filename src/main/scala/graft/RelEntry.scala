@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.TemporalOps
+import graft.operators.{LayoutOps, TemporalOps}
 
 /** Relational/temporal engine-completeness queries (q52+): as-of join,
   * bucketed range join, ROLLUP, pivot, gap sessionization, deterministic
@@ -344,7 +344,30 @@ object RelEntry {
           expr("bool_and(value >= 0)").as("all_pos"),
           expr("max_by(user_id, event_id)").as("latest_user"),
           expr("min_by(user_id, event_id)").as("first_user"))),
+
+    // ---- z-order layout (multi-dimensional data skipping) --------------
+    "q91_zorder" -> ((s, d) => {
+      // Morton z-value per event over (user_id, value): dimension ranges
+      // come from one global min/max pass that rides along as a
+      // broadcast scalar row (how Delta's OPTIMIZE ZORDER derives its
+      // cube), then the z is pure integer DIV/MOD interleave — oracle
+      // checks the arithmetic bit-exactly; ZorderLayoutSpec proves the
+      // LAYOUT property this value buys (a range-partition on z keeps
+      // every partition's box tight in BOTH dims, so 2-D predicates
+      // prune files where any 1-D sort scans everything).
+      val ev = Tables.events(s, d)
+      val r = ev.agg(min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+        min(col("value")).as("vlo"), max(col("value")).as("vhi"))
+      ev.crossJoin(broadcast(r))
+        .select(col("event_id"),
+          expr(LayoutOps.cellSpark("user_id", "ulo", "uhi", ZBits)).as("cx"),
+          expr(LayoutOps.cellSpark("value", "vlo", "vhi", ZBits)).as("cy"))
+        .select(col("event_id"), col("cx"), col("cy"),
+          expr(LayoutOps.interleaveSpark("cx", "cy", ZBits)).as("z"))
+    }),
   )
+
+  private val ZBits = 8 // 256 cells per dimension → 16-bit z space
 
   def oracleSql: Map[String, String] = Map(
     "q52_asof_join" ->
@@ -557,5 +580,18 @@ object RelEntry {
         |  max_by(user_id, event_id) AS latest_user,
         |  min_by(user_id, event_id) AS first_user
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q91_zorder" ->
+      s"""WITH r AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+         |                  min(value) AS vlo, max(value) AS vhi
+         |           FROM events),
+         |cells AS (
+         |  SELECT event_id,
+         |    ${LayoutOps.cellDuck("user_id", "ulo", "uhi", ZBits)} AS cx,
+         |    ${LayoutOps.cellDuck("value", "vlo", "vhi", ZBits)} AS cy
+         |  FROM events, r)
+         |SELECT event_id, cx, cy,
+         |  ${LayoutOps.interleaveDuck("cx", "cy", ZBits)} AS z
+         |FROM cells""".stripMargin,
   )
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) layout: the multi-dimensional data-skipping
+  * lever for 100-TB tables.
+  *
+  * A table range-partitioned and sorted on ONE column skips files only
+  * for predicates on that column; a 2-D query (bbox, user×time,
+  * key×value band) still scans everything. Interleaving the bits of
+  * both quantized dimensions into one z-value and laying the table out
+  * in z order makes every file's (min, max) tight in BOTH dimensions at
+  * once, so parquet row-group stats prune 2-D predicates — the same
+  * mechanism behind Delta/Iceberg `OPTIMIZE ZORDER BY`. The layout pass
+  * is one `repartitionByRange` + in-partition sort: a single shuffle of
+  * slim (z, payload) rows, no driver involvement, linear at any scale.
+  *
+  * All arithmetic is integer DIV/MOD plus one clamped double
+  * quantization per dimension, expressed identically in Spark SQL and
+  * DuckDB — bit-exact across engines (no bitwise-operator dialect
+  * drift, no floating-point fold ambiguity).
+  */
+object LayoutOps {
+
+  /** Quantize `x ∈ [lo, hi]` to an integer cell in [0, 2^bits). The
+    * division is one correctly-rounded IEEE op; values at `hi` clamp to
+    * the top cell, values outside the range clamp to the edges.
+    */
+  def cellSpark(x: String, lo: String, hi: String, bits: Int): String = {
+    val n = 1 << bits
+    // hi = lo guard: a constant column would otherwise divide by zero →
+    // ±inf, and BIGINT-casting inf is engine-specific (Spark saturates,
+    // DuckDB raises) — pin the degenerate case to cell 0 in both
+    s"CASE WHEN ($hi) = ($lo) THEN 0L ELSE " +
+      s"least(${n - 1}L, greatest(0L, CAST(floor((CAST($x AS DOUBLE) - $lo) * " +
+      s"$n.0 / (($hi) - ($lo))) AS BIGINT))) END"
+  }
+  def cellDuck(x: String, lo: String, hi: String, bits: Int): String = {
+    val n = 1 << bits
+    s"CASE WHEN ($hi) = ($lo) THEN 0 ELSE " +
+      s"least(${n - 1}, greatest(0, CAST(floor((CAST($x AS DOUBLE) - $lo) * " +
+      s"$n.0 / (($hi) - ($lo))) AS BIGINT))) END"
+  }
+
+  /** Morton interleave of two `bits`-bit cells: even bit positions take
+    * `cx`, odd take `cy`. Pure integer DIV/MOD — dialect-identical.
+    */
+  def interleaveSpark(cx: String, cy: String, bits: Int): String =
+    (0 until bits).map { i =>
+      val p = 1L << i
+      s"(($cx DIV $p) % 2) * ${1L << (2 * i)}L + " +
+        s"(($cy DIV $p) % 2) * ${1L << (2 * i + 1)}L"
+    }.mkString("(", " + ", ")")
+  def interleaveDuck(cx: String, cy: String, bits: Int): String =
+    (0 until bits).map { i =>
+      val p = 1L << i
+      s"(($cx // $p) % 2) * ${1L << (2 * i)} + " +
+        s"(($cy // $p) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** Physically lay `df` out in z order: range-partition on the z column
+    * (one shuffle; boundaries from Spark's reservoir sample) and sort
+    * within partitions, so every output file covers a tight z range —
+    * i.e. a small axis-aligned box in BOTH source dimensions.
+    */
+  def zorderLayout(df: DataFrame, z: Column, numParts: Int): DataFrame =
+    df.repartitionByRange(numParts, z).sortWithinPartitions(z)
+}

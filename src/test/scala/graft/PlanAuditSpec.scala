@@ -13,7 +13,8 @@ class PlanAuditSpec extends SparkTestBase {
   // a broadcast single-row scalar in q84):
   private val allowedCross = Set(
     "q38_cosine_topk", "q43_cosine_native", "q46_ivf_topk",
-    "q81_kmeans_step", "q84_tfidf")
+    "q81_kmeans_step", "q84_tfidf",
+    "q91_zorder") // broadcast single-row min/max range — scalar by construction
 
   test("every query plan: no raw cartesian, broadcast where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
