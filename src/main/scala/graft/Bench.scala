@@ -25,7 +25,11 @@ object Bench {
     // partitions). The default 32 would open 128 RocksDB state stores
     // for the stream-stream join — ~10 s of fixed store-setup cost per
     // run that says nothing about the plan. See EventStreams.runBounded.
-    spark.conf.set("graft.stream.partitions", "4")
+    // The env knob stays the operator override (e.g. benching a larger
+    // sf): runBounded reads the conf first, so only default it when the
+    // env is unset.
+    if (sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").forall(_.isEmpty))
+      spark.conf.set("graft.stream.partitions", "4")
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

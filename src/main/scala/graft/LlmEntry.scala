@@ -635,7 +635,12 @@ object LlmEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val isBench = col("doc_id") % BenchMod === 0 &&
         col("doc_id") < DedupOps.NearCopyOffset
-      val bench = sh.filter(isBench).select(explode(col("sh")).as("h")).distinct()
+      // persisted: the explode+distinct shuffle feeds BOTH the eager
+      // bloom build below and the broadcast verify join — without the
+      // persist the benchmark-shingle aggregation would run twice
+      val bench = sh.filter(isBench).select(explode(col("sh")).as("h"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one bounded-size row (~300 KB at 2^17 items / 1e-4 fpp): a
       // sketch constant, not data — the scalar-aggregate driver
       // pattern, same as Spark's scalar-subquery runtime join filters
@@ -652,7 +657,10 @@ object LlmEntry {
         .groupBy(col("train_id"))
         .agg(count(lit(1)).as("n_hits"))
         .filter(col("n_hits") >= ScreenMinHits)
-      core.Materialize.detached(out) { sh.unpersist(blocking = false) }
+      core.Materialize.detached(out) {
+        sh.unpersist(blocking = false)
+        bench.unpersist(blocking = false)
+      }
     }),
 
     // ---- incremental dedup vs a reference corpus ------------------------
@@ -675,8 +683,7 @@ object LlmEntry {
       val isNew = col("doc_id") % NewMod === NewResidue ||
         col("doc_id") >= DedupOps.NearCopyOffset
       val prep = c.select(col("doc_id"),
-          md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
-            .as("content_hash"),
+          DedupOps.contentHashSpark.as("content_hash"),
           expr(s"shingle_hashes(text, ${DedupOps.ShingleK})").as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val newIds = prep.filter(isNew).select(col("doc_id"))
@@ -1173,8 +1180,7 @@ object LlmEntry {
          |prep AS (
          |  SELECT s.doc_id, h.content_hash, s.sh
          |  FROM (${DedupOps.shingledDuckBody}) s
-         |  JOIN (SELECT doc_id,
-         |          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+         |  JOIN (SELECT doc_id, ${DedupOps.contentHashDuck("text")}
          |            AS content_hash
          |        FROM corpus) h ON h.doc_id = s.doc_id),
          |newdocs AS (SELECT * FROM prep

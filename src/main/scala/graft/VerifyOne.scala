@@ -1,7 +1,8 @@
 package graft
 
-/** Scratch single-query runner for iteration: `runMain graft.VerifyOne
-  * <sfDir> <outDir> <name...>` — same dump format as Verify.
+/** Single-query runner for local iteration: `runMain graft.VerifyOne
+  * <sfDir> <outDir> <name...>` — shares Verify's dump + oracle-JSON
+  * code so the format can never drift from the driver's contract.
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
@@ -10,20 +11,10 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     args.drop(2).foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
-        .mode("overwrite").parquet(s"$outDir/$name")
+      Verify.dumpQuery(spark, sfDir, outDir, name)
       println(s"[verifyone] wrote $name")
     }
-    val sqls = args.drop(2).flatMap(n =>
-      SparkEntry.oracleSql.get(n).map(n -> _)).toMap
-    val json = sqls.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    Verify.writeOracleJson(outDir, args.drop(2).toSeq)
     spark.stop()
   }
 }

@@ -75,21 +75,29 @@ object DedupOps {
        |  FROM documents WHERE doc_id < $NearCopyN""".stripMargin
 
   // ---- exact dedup ------------------------------------------------------
+  /** Normalized content hash (whitespace-collapsed, trimmed, lowercased
+    * md5) — THE exact-dup identity, shared by every operator that
+    * compares content so the formula can never drift between them.
+    */
+  def contentHashSpark: org.apache.spark.sql.Column =
+    md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+  def contentHashDuck(text: String): String =
+    s"md5(lower(trim(regexp_replace($text, '\\s+', ' ', 'g'))))"
+
   /** Exact dedup on normalized content: group by md5 of the normalized
     * text (32-char shuffle key, not the document body), keep the minimum
     * doc_id, report multiplicity. Returns only groups with >1 copy.
     */
   def exactDups(c: DataFrame): DataFrame =
-    c.select(col("doc_id"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("content_hash"))
+    c.select(col("doc_id"), contentHashSpark.as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
   val exactDupsDuckBody: String =
-    """SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM (
-      |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
-      |  FROM corpus)
-      |GROUP BY content_hash HAVING count(*) > 1""".stripMargin
+    s"""SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM (
+       |  SELECT doc_id, ${contentHashDuck("text")} AS content_hash
+       |  FROM corpus)
+       |GROUP BY content_hash HAVING count(*) > 1""".stripMargin
 
   // ---- hashed shingles --------------------------------------------------
   /** Per-token rolling hashes (each token hashed once). */
