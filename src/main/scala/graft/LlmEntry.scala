@@ -38,6 +38,7 @@ object LlmEntry {
   private val IvfCentroidLo = 100 // deterministic coarse centroids
   private val IvfCentroidHi = 107
   private val ChunkTokens = 50    // context-window chunk size (tokens)
+  private val ParTokens = 20      // q92 pseudo-paragraph block size (tokens)
   private val ChunkStride = 40    // chunk stride (10-token overlap)
   private val BenchMod = 10       // benchmark set: doc_id % BenchMod == 0
   private val ContainThreshold = 0.5 // decontamination containment cutoff
@@ -719,6 +720,43 @@ object LlmEntry {
             .otherwise("unique").as("verdict"))
       core.Materialize.detached(out) { prep.unpersist(blocking = false) }
     }),
+
+    // ---- cross-document repeated-paragraph fraction ---------------------
+    "q92_par_dedup" -> ((s, d) => {
+      // The Gopher/MassiveText paragraph-level quality signal: what
+      // fraction of a doc's paragraphs also appear verbatim in OTHER
+      // docs. Boilerplate-heavy pages score high and get dropped; q77
+      // owns WITHIN-doc repetition, this owns the cross-doc kind. The
+      // fixture text has no punctuation, so "paragraph" = consecutive
+      // non-overlapping ParTokens-token block — which also makes the
+      // operator's known boundary sensitivity explicit (a one-token
+      // shift, e.g. the planted near copies, realigns every block;
+      // that is exactly how punctuation-split paragraph dedup behaves
+      // on shifted text, and why MinHash q34–q36 exists beside it).
+      // Scale shape: blocks shuffle as 32-char md5 keys only (never
+      // text); the df side is corpus-proportional (block vocabulary
+      // grows with the corpus) so it joins as a plain shuffled hash
+      // join — broadcasting it would be a driver OOM at 100 TB,
+      // exactly the q61 rare-set reasoning.
+      val W = ParTokens
+      val pars = DedupOps.corpus(Tables.documents(s, d))
+        .select(col("doc_id"), expr(tokensSpark("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, CAST(ceil(size(toks) / $W.0) AS INT)),
+             |  i -> md5(array_join(slice(toks, (i - 1) * $W + 1, $W), ' ')))"""
+            .stripMargin)).as("ph"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfq = pars.groupBy(col("ph"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      val out = pars.join(dfq, "ph")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pars"),
+          expr("count_if(ndocs > 1)").as("n_dup_pars"))
+        .withColumn("dup_frac",
+          col("n_dup_pars").cast("double") / col("n_pars").cast("double"))
+      core.Materialize.detached(out) { pars.unpersist(blocking = false) }
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1215,5 +1253,28 @@ object LlmEntry {
          |FROM newdocs n
          |LEFT JOIN exact e ON e.doc_id = n.doc_id
          |LEFT JOIN near nr ON nr.doc_id = n.doc_id""".stripMargin,
+
+    "q92_par_dedup" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |toked AS (
+         |  SELECT doc_id, ${TextOps.tokensDuck("text")} AS toks,
+         |         len(${TextOps.tokensDuck("text")}) AS n
+         |  FROM corpus),
+         |pars AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      range(1, CAST(ceil(n / $ParTokens.0) AS BIGINT) + 1),
+         |      i -> md5(array_to_string(list_slice(toks,
+         |             (i - 1) * $ParTokens + 1,
+         |             least((i - 1) * $ParTokens + $ParTokens, n)), ' '))))
+         |      AS ph
+         |  FROM toked WHERE n > 0),
+         |dfq AS (SELECT ph, count(DISTINCT doc_id) AS ndocs
+         |        FROM pars GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_pars,
+         |  count(*) FILTER (ndocs > 1) AS n_dup_pars,
+         |  CAST(count(*) FILTER (ndocs > 1) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM pars JOIN dfq USING (ph) GROUP BY 1""".stripMargin,
   )
 }
