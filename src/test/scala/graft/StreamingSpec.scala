@@ -140,4 +140,29 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.length == 3, rows.mkString(","))
     spark.catalog.dropTempView("dedup_test")
   }
+
+  test("bloom screen composes into a stream: map-side drop against a reference sketch") {
+    // The streaming deployment of q89's pattern: ingestion screens each
+    // batch against a (periodically rebuilt) reference Bloom filter.
+    // The probe is a plain scalar expression over a broadcast literal —
+    // stateless, so it rides inside any streaming plan without a state
+    // store or watermark.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val refBloom = Seq(10L, 30L, 50L).toDF("k")
+      .agg(expr("bloom_build(k, 1000L, 0.0001d)")).head.getAs[Array[Byte]](0)
+    val input = MemoryStream[Long]
+    val screened = input.toDF().toDF("user_id")
+      .filter(!call_function("bloom_might_contain", lit(refBloom), col("user_id")))
+    val q = screened.writeStream.format("memory").queryName("bloom_scr")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(10L, 20L, 30L)
+    q.processAllAvailable()
+    input.addData(40L, 50L)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("bloom_scr").as[Long].collect().toSet
+    assert(kept == Set(20L, 40L), s"got $kept")
+    spark.catalog.dropTempView("bloom_scr")
+  }
 }
