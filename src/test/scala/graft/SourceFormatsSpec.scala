@@ -51,4 +51,26 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters") && plan.contains("LessThan(event_id"),
       s"ORC lost pushdown:\n${plan.take(600)}")
   }
+
+  test("parquet schema evolution: mergeSchema unifies, old rows read NULL") {
+    // A 100-TB lake is written over years — columns get added. The
+    // contract a pipeline relies on: mergeSchema reconciles the footer
+    // schemas, pre-evolution files surface the new column as NULL, and
+    // projection pruning still reaches the scan on the merged schema.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.select(col("id"), col("score"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, "pre-evolution rows must be NULL")
+    assert(rows(3L).contains(30L) && rows(4L).contains(40L))
+    val plan = merged.select(col("id")).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint>"),
+      s"projection pruning lost on merged schema:\n${plan.take(600)}")
+  }
 }
