@@ -235,4 +235,23 @@ object GraftProps extends Properties("graft") {
       sh(0L) == sh(1L) && sh(0L) == sh(2L) &&
         sh(0L) >= 0 && sh(0L) < (1L << TextOps.SimhashBits)
     }
+
+  // The q91 oracle mirrors the SAME generated interleave formula in both
+  // dialects, so a systematic formula bug would pass the oracle compare.
+  // This property checks the semantics independently: deinterleaving the
+  // Spark-computed z in plain Scala must recover exactly (cx, cy).
+  property("z-interleave is a bijection: Scala deinterleave recovers both cells") =
+    forAll(Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L)))) { cells =>
+      val rows = cells.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val got = rows.toDF("id", "cx", "cy")
+        .select(col("id"), col("cx"), col("cy"),
+          expr(graft.operators.LayoutOps.interleaveSpark("cx", "cy", 8)).as("z"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      got.forall { case (cx, cy, z) =>
+        val dx = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+        val dy = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+        z >= 0 && z < (1L << 16) && dx == cx && dy == cy
+      }
+    }
 }
