@@ -24,12 +24,10 @@ object Bench {
     // to the drained volume (sf≤0.1 ⇒ state fits in a handful of
     // partitions). The default 32 would open 128 RocksDB state stores
     // for the stream-stream join — ~10 s of fixed store-setup cost per
-    // run that says nothing about the plan. See EventStreams.runBounded.
-    // The env knob stays the operator override (e.g. benching a larger
-    // sf): runBounded reads the conf first, so only default it when the
-    // env is unset.
-    if (sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").forall(_.isEmpty))
-      spark.conf.set("graft.stream.partitions", "4")
+    // run that says nothing about the plan. This conf is the
+    // programmatic default; the SPARK_GRAFT_STREAM_PARTITIONS env var
+    // overrides it (precedence lives in EventStreams.runBounded).
+    spark.conf.set("graft.stream.partitions", "4")
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

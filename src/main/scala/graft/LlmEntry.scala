@@ -684,7 +684,7 @@ object LlmEntry {
       val isNew = col("doc_id") % NewMod === NewResidue ||
         col("doc_id") >= DedupOps.NearCopyOffset
       val prep = c.select(col("doc_id"),
-          DedupOps.contentHashSpark.as("content_hash"),
+          DedupOps.contentHashSpark().as("content_hash"),
           expr(s"shingle_hashes(text, ${DedupOps.ShingleK})").as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val newIds = prep.filter(isNew).select(col("doc_id"))
@@ -1258,7 +1258,7 @@ object LlmEntry {
       s"""WITH corpus AS (${DedupOps.corpusDuck}),
          |toked AS (
          |  SELECT doc_id, ${TextOps.tokensDuck("text")} AS toks,
-         |         len(${TextOps.tokensDuck("text")}) AS n
+         |         len(toks) AS n
          |  FROM corpus),
          |pars AS (
          |  SELECT doc_id,

@@ -79,8 +79,8 @@ object DedupOps {
     * md5) — THE exact-dup identity, shared by every operator that
     * compares content so the formula can never drift between them.
     */
-  def contentHashSpark: org.apache.spark.sql.Column =
-    md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+  def contentHashSpark(text: org.apache.spark.sql.Column = col("text")): org.apache.spark.sql.Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
   def contentHashDuck(text: String): String =
     s"md5(lower(trim(regexp_replace($text, '\\s+', ' ', 'g'))))"
 
@@ -89,7 +89,7 @@ object DedupOps {
     * doc_id, report multiplicity. Returns only groups with >1 copy.
     */
   def exactDups(c: DataFrame): DataFrame =
-    c.select(col("doc_id"), contentHashSpark.as("content_hash"))
+    c.select(col("doc_id"), contentHashSpark().as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)

@@ -123,15 +123,19 @@ object EventStreams {
     // Stateful-operator partition count (= state store instances) is
     // frozen from spark.sql.shuffle.partitions at query start. A
     // production stream sizes it to key cardinality; this bounded drain
-    // can size it to the drained volume — settable per-session via the
-    // runtime conf `graft.stream.partitions` (or the env fallback). The
-    // count matters far more than for batch shuffles: a stream-stream
-    // join opens FOUR RocksDB instances per partition, so 32 partitions
-    // = 128 store open/commit cycles per run (~10 s of fixed cost at
-    // local[32]) where 4 partitions complete the same drain in ~2.5 s.
+    // can size it to the drained volume. The count matters far more than
+    // for batch shuffles: a stream-stream join opens FOUR RocksDB
+    // instances per partition, so 32 partitions = 128 store open/commit
+    // cycles per run (~10 s of fixed cost at local[32]) where 4
+    // partitions complete the same drain in ~2.5 s.
+    // Precedence (resolved HERE and nowhere else): the
+    // SPARK_GRAFT_STREAM_PARTITIONS env var is the operator's override
+    // and wins; the `graft.stream.partitions` runtime conf is the
+    // programmatic default (what Bench sets); otherwise the session's
+    // shuffle-partition setting stands.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.getOption("graft.stream.partitions")
-      .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")).filter(_.nonEmpty)
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").filter(_.nonEmpty)
+      .orElse(spark.conf.getOption("graft.stream.partitions").filter(_.nonEmpty))
       .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
     try {
       val q = out.writeStream
