@@ -757,6 +757,19 @@ object LlmEntry {
           col("n_dup_pars").cast("double") / col("n_pars").cast("double"))
       core.Materialize.detached(out) { pars.unpersist(blocking = false) }
     }),
+
+    // ---- shingle document frequency via the native generator ------------
+    "q93_shingle_df" -> ((s, d) =>
+      // The shared-shingle DF table (whose complement is q61's rare
+      // set), produced by the UDTF-tier `shingle_rows` generator:
+      // Generate streams straight into the partial aggregate — no
+      // per-doc shingle array is ever materialized, no persist
+      // discipline needed (see functions/ShingleRows). Only (hash,
+      // partial count) pairs shuffle.
+      DedupOps.corpus(Tables.documents(s, d))
+        .selectExpr("doc_id", s"shingle_rows(text, ${DedupOps.ShingleK})")
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1276,5 +1289,12 @@ object LlmEntry {
          |  CAST(count(*) FILTER (ndocs > 1) AS DOUBLE) /
          |    CAST(count(*) AS DOUBLE) AS dup_frac
          |FROM pars JOIN dfq USING (ph) GROUP BY 1""".stripMargin,
+
+    "q93_shingle_df" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |shingled AS (${DedupOps.shingledDuckBody})
+         |SELECT h, count(*) AS df
+         |FROM (SELECT doc_id, unnest(sh) AS h FROM shingled)
+         |GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
   )
 }

@@ -130,5 +130,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
+    // UDTF tier: streaming shingle generator (explode-of-computed-array
+    // re-evaluates the array per emitted row; this hashes once per doc)
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_rows"),
+      new ExpressionInfo(classOf[ShingleRows].getName, "shingle_rows"),
+      (children: Seq[Expression]) => ShingleRows(children(0), children(1))))
   }
 }

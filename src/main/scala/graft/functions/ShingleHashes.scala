@@ -51,24 +51,24 @@ case class ShingleHashes(left: Expression, right: Expression)
 }
 
 object ShingleHashes {
-  private val P = 2147483647L // 2^31-1, as DedupOps.P
+  val P = 2147483647L // 2^31-1, as DedupOps.P
 
-  /** One pass: token rolling hashes (split on ' ' keeping empties, like
-    * `split(text, ' ')`), k-combine, first-occurrence distinct.
+  /** Token rolling hashes (split on ' ' keeping empties, like
+    * `split(text, ' ')`), code-point safe. Returns (buffer, count) —
+    * the buffer may be over-allocated past count. Shared with the
+    * [[ShingleRows]] generator so the two can never drift.
     */
-  def compute(text: UTF8String, k: Int): ArrayData = {
-    val s = text.toString
-    // token rolling hashes
-    var tokenHashes = new Array[Long](16)
+  def tokenHashes(s: String): (Array[Long], Int) = {
+    var buf = new Array[Long](16)
     var nTok = 0
     var h = 0L
     var i = 0
     val len = s.length
     while (i <= len) {
       if (i == len || s.charAt(i) == ' ') { // ' ' is BMP: never a surrogate
-        if (nTok == tokenHashes.length)
-          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTok * 2)
-        tokenHashes(nTok) = h; nTok += 1; h = 0L
+        if (nTok == buf.length)
+          buf = java.util.Arrays.copyOf(buf, nTok * 2)
+        buf(nTok) = h; nTok += 1; h = 0L
         i += 1
       } else {
         val cp = s.codePointAt(i) // code point, so non-BMP text matches
@@ -76,6 +76,14 @@ object ShingleHashes {
         i += Character.charCount(cp)
       }
     }
+    (buf, nTok)
+  }
+
+  /** One pass: token rolling hashes, k-combine, first-occurrence
+    * distinct.
+    */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val (tokenHashes, nTok) = ShingleHashes.tokenHashes(text.toString)
     if (nTok < k) return new GenericArrayData(Array.emptyLongArray)
     // combine + distinct (first occurrence order, as array_distinct)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()

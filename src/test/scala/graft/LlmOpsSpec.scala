@@ -350,6 +350,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out(DedupOps.ExactCopyOffset + 3) != "exact")
   }
 
+  test("shingle_rows generator: bit-identical to the array expression, safe on edges") {
+    import spark.implicits._
+    val viaGen = corpus.selectExpr("doc_id", "shingle_rows(text, 8)")
+    val viaArr = corpus.selectExpr("doc_id", "explode(shingle_hashes(text, 8)) AS h")
+    assert(viaGen.exceptAll(viaArr).count() == 0L)
+    assert(viaArr.exceptAll(viaGen).count() == 0L)
+    // short doc (< k tokens), empty doc, NULL doc → zero rows, no crash
+    val edges = Seq((1L, "a b c"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "shingle_rows(text, 8)")
+    assert(edges.count() == 0L)
+    // misuse rejected at analysis time
+    intercept[Exception] {
+      corpus.selectExpr("shingle_rows(text, 0)").collect()
+    }
+    intercept[Exception] {
+      corpus.selectExpr("shingle_rows(text, doc_id)").collect()
+    }
+  }
+
   /** Exact-copy ids (base+20000) of benchmark docs with ≥ T shingles. */
   private def sh2ExpectedCopies(sh: org.apache.spark.sql.DataFrame, T: Int): Set[Long] =
     sh.filter(col("doc_id") % 10 === 0 && col("doc_id") < DedupOps.ExactCopyN &&
