@@ -79,6 +79,16 @@ object ShingleHashes {
     (buf, nTok)
   }
 
+  /** Polynomial combine of the k token hashes starting at `j` — the one
+    * shingle-hash formula, shared by [[compute]] and [[ShingleRows]].
+    */
+  def combineAt(hs: Array[Long], j: Int, k: Int): Long = {
+    var x = hs(j)
+    var o = 1
+    while (o < k) { x = (x * 31L + hs(j + o)) % P; o += 1 }
+    x
+  }
+
   /** One pass: token rolling hashes, k-combine, first-occurrence
     * distinct.
     */
@@ -89,10 +99,7 @@ object ShingleHashes {
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var j = 0
     while (j <= nTok - k) {
-      var x = tokenHashes(j)
-      var o = 1
-      while (o < k) { x = (x * 31L + tokenHashes(j + o)) % P; o += 1 }
-      seen.add(x)
+      seen.add(combineAt(tokenHashes, j, k))
       j += 1
     }
     val out = new Array[Long](seen.size)

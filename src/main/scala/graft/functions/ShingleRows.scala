@@ -24,9 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (the measured 84 s → 0.3 s persist-before-explode lesson on
   *    q61 in r2) — callers need no persist discipline.
   *
-  * Shares [[ShingleHashes.tokenHashes]] (split-on-space, code-point
-  * rolling hash mod 2³¹−1) so the two can never drift; parity with the
-  * array expression is pinned in BloomFilterSpec/LlmOpsSpec tests.
+  * Shares [[ShingleHashes.tokenHashes]] and [[ShingleHashes.combineAt]]
+  * (split-on-space, code-point rolling hash mod 2³¹−1, k-window
+  * polynomial combine) so the two can never drift; bit-parity with the
+  * array expression is pinned both directions in LlmOpsSpec.
   */
 case class ShingleRows(text: Expression, kExpr: Expression)
     extends Generator with CodegenFallback {
@@ -47,8 +48,12 @@ case class ShingleRows(text: Expression, kExpr: Expression)
     else TypeCheckResult.TypeCheckFailure(
       "shingle_rows expects (STRING text, positive INT-literal k)")
 
+  // nullable: OUTER generate pads empty docs with an all-null row; a
+  // non-nullable attribute would unbox that null to a phantom h = 0
+  // (Spark's own nullable-output generators declare true for the same
+  // reason)
   override def elementSchema: StructType =
-    new StructType().add("h", LongType, nullable = false)
+    new StructType().add("h", LongType, nullable = true)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = text.eval(input)
@@ -65,8 +70,7 @@ case class ShingleRows(text: Expression, kExpr: Expression)
       private def advance(): Unit = {
         hasNextHash = false
         while (!hasNextHash && j <= nTok - kk) {
-          var x = hs(j); var o = 1
-          while (o < kk) { x = (x * 31L + hs(j + o)) % ShingleHashes.P; o += 1 }
+          val x = ShingleHashes.combineAt(hs, j, kk)
           j += 1
           if (seen.add(x)) { nextHash = x; hasNextHash = true }
         }

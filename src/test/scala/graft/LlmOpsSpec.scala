@@ -368,6 +368,16 @@ class LlmOpsSpec extends SparkTestBase {
     intercept[Exception] {
       corpus.selectExpr("shingle_rows(text, doc_id)").collect()
     }
+    // OUTER generate pads shingle-less docs with NULL, not a phantom 0
+    Seq((1L, "a b"), (2L, "w x y z a b c d e f g h")).toDF("doc_id", "text")
+      .createOrReplaceTempView("sr_outer")
+    val outer = spark.sql(
+      "SELECT doc_id, h FROM sr_outer LATERAL VIEW OUTER shingle_rows(text, 8) g AS h")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(outer.exists { case (id, h) => id == 1L && h.isEmpty },
+      "short doc must surface as NULL under OUTER, not h = 0")
+    assert(outer.count(_._1 == 2L) == 5 && outer.filter(_._1 == 2L).forall(_._2.nonEmpty))
+    spark.catalog.dropTempView("sr_outer")
   }
 
   /** Exact-copy ids (base+20000) of benchmark docs with ≥ T shingles. */
