@@ -65,6 +65,16 @@ class ZorderLayoutSpec extends SparkTestBase {
     assert(z <= Parts / 2, s"but it must still prune: touched $z of $Parts")
   }
 
+  test("degenerate range (hi = lo) pins to cell 0 instead of inf-cast") {
+    // a constant column would otherwise divide by zero → ±inf, whose
+    // BIGINT cast is engine-specific (Spark saturates, DuckDB raises)
+    import spark.implicits._
+    val cells = Seq((1L, 5.0), (2L, 5.0)).toDF("id", "v")
+      .selectExpr(s"${LayoutOps.cellSpark("v", "5.0", "5.0", Bits)} AS c")
+      .as[Long].collect()
+    assert(cells.forall(_ == 0L))
+  }
+
   test("z partitions are tight boxes in both dims; 1-D sort in one") {
     def avgSpans(layout: org.apache.spark.sql.DataFrame): (Double, Double) = {
       val s = layout.select(spark_partition_id().as("pid"), col("cx"), col("cy"))
