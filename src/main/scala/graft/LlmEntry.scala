@@ -770,6 +770,36 @@ object LlmEntry {
         .selectExpr("doc_id", s"shingle_rows(text, ${DedupOps.ShingleK})")
         .groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2)),
+
+    // ---- length-quartile stratification ---------------------------------
+    "q94_length_strata" -> ((s, d) => {
+      // Curation report: bucket the corpus by exact token-count
+      // quartiles and count per (lang, stratum) — the length histogram
+      // behind "drop the shortest quartile / cap the longest" curation
+      // rules. Exact interpolated percentile (bit-parity with DuckDB's
+      // quantile_cont, proven on q69) computes the three thresholds in
+      // one aggregate whose result rides along as a broadcast scalar
+      // row — the corpus itself sees one narrow map + one hash agg.
+      // avg_tokens = BIGINT sum / BIGINT count in one exact IEEE
+      // division, so the double matches the oracle bit-for-bit.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr(s"CAST(size(${tokensSpark("text")}) AS BIGINT)").as("n_tokens"))
+      val th = toks.agg(
+        expr("percentile(n_tokens, 0.25)").as("q1"),
+        expr("percentile(n_tokens, 0.5)").as("q2"),
+        expr("percentile(n_tokens, 0.75)").as("q3"))
+      toks.crossJoin(broadcast(th))
+        .select(col("lang"), col("n_tokens"),
+          when(col("n_tokens") <= col("q1"), 0L)
+            .when(col("n_tokens") <= col("q2"), 1L)
+            .when(col("n_tokens") <= col("q3"), 2L)
+            .otherwise(3L).as("stratum"))
+        .groupBy(col("lang"), col("stratum"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_tokens")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_tokens"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1296,5 +1326,24 @@ object LlmEntry {
          |SELECT h, count(*) AS df
          |FROM (SELECT doc_id, unnest(sh) AS h FROM shingled)
          |GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q94_length_strata" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(${tokensDuck("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |th AS (SELECT quantile_cont(n_tokens, 0.25) AS q1,
+         |              quantile_cont(n_tokens, 0.5) AS q2,
+         |              quantile_cont(n_tokens, 0.75) AS q3
+         |       FROM toks)
+         |SELECT lang,
+         |  CASE WHEN n_tokens <= q1 THEN 0
+         |       WHEN n_tokens <= q2 THEN 1
+         |       WHEN n_tokens <= q3 THEN 2
+         |       ELSE 3 END AS stratum,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS avg_tokens
+         |FROM toks, th GROUP BY 1, 2""".stripMargin,
   )
 }

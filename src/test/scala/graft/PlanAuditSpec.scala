@@ -14,7 +14,9 @@ class PlanAuditSpec extends SparkTestBase {
   private val allowedCross = Set(
     "q38_cosine_topk", "q43_cosine_native", "q46_ivf_topk",
     "q81_kmeans_step", "q84_tfidf",
-    "q91_zorder") // broadcast single-row min/max range — scalar by construction
+    // broadcast single-row scalar frames (min/max ranges, percentile
+    // thresholds) — scalar by construction
+    "q91_zorder", "q94_length_strata")
 
   test("every query plan: no raw cartesian, broadcast where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
