@@ -10,8 +10,10 @@ import java.nio.file.{Files, Paths}
   *    whichever query runs first);
   *  - failures recorded per-query as -1 + an `"errors"` map, never
   *    swallowed;
-  *  - the result JSON is printed on its own marker line AND written to
-  *    `bench_result.json` so the driver can parse it out of sbt log noise.
+  *  - the result JSON is written full-fidelity to `bench_result.json`,
+  *    and a COMPACT copy (short keys, 3-decimal values) is the final
+  *    stdout line — the driver keeps only a 2000-char stdout tail, so
+  *    the line must fit that window whole or it can't be parsed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,24 +60,60 @@ object Bench {
         }
       name -> sec
     }
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => " "; case c => c.toString
-    }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json = fullJson(results, errors, total, sfDir)
+    println(json)
+    Files.writeString(Paths.get("bench_result.json"), json + "\n")
+    spark.stop()
+    // FINAL stdout line: the compact form. The driver stores only the
+    // last 2000 chars of stdout (BENCH_r0{1,2,3}.json "tail" is exactly
+    // 2000 chars, cut mid-JSON) — the full-name full-precision line is
+    // ~3 KB and NEVER fits whole, which is why "parsed" was null three
+    // rounds running. Short qNN keys + 3-decimal seconds keep this line
+    // under ~1.7 KB even at 120 queries (guarded by BenchEncodeSpec), so
+    // it survives the tail window with room for sbt's [success] line.
+    println(compactJson(results, errors.size, total, sfDir))
+    System.out.flush()
+  }
+
+  private[graft] def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => " "; case c => c.toString
+  }
+
+  /** Seconds with 3 decimals, locale-pinned (a comma decimal separator
+    * from a non-ROOT default locale would corrupt the JSON).
+    */
+  private[graft] def fmt3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Full-name, full-precision record — written to `bench_result.json`
+    * and printed once for human log readers.
+    */
+  private[graft] def fullJson(results: Seq[(String, Double)],
+                              errors: List[(String, String)],
+                              total: Double, sfDir: String): String = {
     val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
-    println(json)
-    Files.writeString(Paths.get("bench_result.json"), json + "\n")
-    spark.stop()
-    // final stdout line, uniquely marked so the driver can grep it out of
-    // sbt log noise (BENCH_r02.json "parsed": null — the bare JSON line
-    // was evidently lost among [info]/log lines)
-    println("BENCHJSON " + json)
-    System.out.flush()
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+  }
+
+  /** Compact single line for the driver's bounded tail window: query
+    * names truncated to their dense `qNN` prefix (unique by
+    * ContractSpec's dense-numbering guard), 3-decimal values, error
+    * COUNT instead of messages (full messages live in
+    * `bench_result.json`), numeric sf parsed from the directory name.
+    */
+  private[graft] def compactJson(results: Seq[(String, Double)],
+                                 nErrors: Int, total: Double,
+                                 sfDir: String): String = {
+    val qs = results.map { case (k, v) =>
+      s""""${esc(k.takeWhile(_ != '_'))}":${fmt3(v)}"""
+    }.mkString("{", ",", "}")
+    val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse(s""""${esc(sfDir)}"""")
+    s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"errors":$nErrors,"sf":$sf}"""
   }
 }

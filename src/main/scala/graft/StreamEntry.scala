@@ -15,67 +15,70 @@ object StreamEntry {
   private val SessionGapNanos = 6L * 3600 * 1000000000L // 6 hours
 
   /** Run to completion via the executor-side parquet drain
-    * ([[EventStreams.runBounded]]) — each call gets its own scratch dir,
-    * so repeated runs (bench loop) don't collide, and no result row ever
-    * lands in driver memory.
+    * ([[EventStreams.runBounded]]) — each call gets its own scratch
+    * subdir, so repeated runs (bench loop) don't collide, and no result
+    * row ever lands in driver memory. The build function receives the
+    * CLONED session the drain runs on (its shuffle-partition override is
+    * scoped there, invisible to the caller's session).
     */
-  private def bounded(s: SparkSession, out: DataFrame,
+  private def bounded(s: SparkSession, build: SparkSession => DataFrame,
                       mode: OutputMode): DataFrame =
-    EventStreams.runBounded(s, out, "stream", mode)
+    EventStreams.runBounded(s, build, "stream", mode)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_stream_hourly" -> ((s, d) =>
       // Event-time tumbling-window counts over the stream; Complete mode
       // because the bounded run ends before the watermark finalizes the
       // tail windows.
-      bounded(s, EventStreams.hourlyCounts(EventStreams.eventStream(s, d)),
+      bounded(s,
+        ss => EventStreams.hourlyCounts(EventStreams.eventStream(ss, d)),
         OutputMode.Complete())),
 
     "q45_stream_sessions" -> ((s, d) =>
       // Custom per-user session state via flatMapGroupsWithState.
+      // Update mode: the drain asserts the run is single-batch, else
+      // stale per-batch rows would alias the final per-user rows.
       bounded(s,
-        EventStreams.sessionize(s, EventStreams.eventStream(s, d),
+        ss => EventStreams.sessionize(ss, EventStreams.eventStream(ss, d),
           SessionGapNanos).toDF(),
         OutputMode.Update())),
 
-    "q79_stream_stream_join" -> ((s, d) => {
+    "q79_stream_stream_join" -> ((s, d) =>
       // Stream-stream inner join with watermarks on BOTH sides and an
       // event-time band condition — the watermark + band bound the join
       // state retention (without them stream-stream state grows forever).
       // Bounded run drains in one AvailableNow batch, so the result
       // equals the batch join exactly.
-      val ev = EventStreams.eventStream(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-          col("event_id").as("click_id"))
-        .withWatermark("c_ts", "1 hour")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("event_id").as("purchase_id"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = purchases.join(clicks,
-        col("c_user") === col("p_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("c_ts") <= col("p_ts"))
-        .select(col("purchase_id"), col("click_id"), col("p_user"))
-      bounded(s, joined, OutputMode.Append())
-    }),
+      bounded(s, { ss =>
+        val ev = EventStreams.eventStream(ss, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("p_ts", "1 hour")
+        purchases.join(clicks,
+          col("c_user") === col("p_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+          .select(col("purchase_id"), col("click_id"), col("p_user"))
+      }, OutputMode.Append())),
 
-    "q62_stream_enrich" -> ((s, d) => {
+    "q62_stream_enrich" -> ((s, d) =>
       // Stream-static join: the unbounded stream enriched against a
       // broadcast batch dimension (the dim is re-snapshotted per
       // micro-batch — the streaming form of JN1's small×big join), then a
       // running per-nation aggregate (Complete mode).
-      import graft.core.Tables
-      val dim = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey"))
-      bounded(s,
-        EventStreams.eventStream(s, d)
+      bounded(s, { ss =>
+        val dim = graft.core.Tables.customer(ss, d)
+          .select(col("c_custkey"), col("c_nationkey"))
+        EventStreams.eventStream(ss, d)
           .join(broadcast(dim), col("user_id") === col("c_custkey"))
           .groupBy(col("c_nationkey").cast("long").as("nationkey"))
-          .agg(count(lit(1)).as("cnt")),
-        OutputMode.Complete())
-    }),
+          .agg(count(lit(1)).as("cnt"))
+      }, OutputMode.Complete())),
   )
 
   def oracleSql: Map[String, String] = Map(

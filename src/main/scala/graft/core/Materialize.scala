@@ -1,26 +1,37 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Materializes a result off its lineage so upstream caches can be
   * released before the result is returned.
   *
   * `localCheckpoint(eager = true)` computes the plan once and stores the
-  * partitions as executor-local blocks (MEMORY_AND_DISK with replicas on
-  * a real cluster) — the result never passes through the driver, so it is
-  * safe for outputs of data-dependent size (candidate-pair sets, stream
-  * join results) where a `collect()`-pin would OOM the driver at 100 TB.
-  * The blocks are reclaimed by the ContextCleaner once the caller drops
-  * the reference. Driver-side `collect()` remains appropriate ONLY for
-  * provably tiny aggregates (fixed-cardinality group-bys).
+  * partitions as executor-local blocks — the result never passes through
+  * the driver, so it is safe for outputs of data-dependent size
+  * (candidate-pair sets, stream join results) where a `collect()`-pin
+  * would OOM the driver at 100 TB. The blocks are reclaimed by the
+  * ContextCleaner once the caller drops the reference. Driver-side
+  * `collect()` remains appropriate ONLY for provably tiny aggregates
+  * (fixed-cardinality group-bys).
+  *
+  * Durability caveat: the default storage level is MEMORY_AND_DISK with
+  * a SINGLE replica — after `release` runs, the upstream caches needed
+  * to recompute are gone, so losing an executor loses the detached
+  * result unrecoverably. Fine for local[n] (one JVM); a cluster
+  * deployment should pass `StorageLevel.MEMORY_AND_DISK_2` (or use
+  * reliable `checkpoint()` to a replicated filesystem) so a single
+  * executor loss survives.
   */
 object Materialize {
-  /** Checkpoint `df` off-lineage, then run `release` (unpersist the
-    * upstream caches the plan depended on), and return the detached
-    * result.
+  /** Checkpoint `df` off-lineage at `level`, then run `release`
+    * (unpersist the upstream caches the plan depended on), and return
+    * the detached result.
     */
-  def detached(df: DataFrame)(release: => Unit): DataFrame = {
-    val out = df.localCheckpoint(eager = true)
+  def detached(df: DataFrame,
+               level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+              (release: => Unit): DataFrame = {
+    val out = df.localCheckpoint(true, level)
     release
     out
   }

@@ -31,16 +31,21 @@ object LayoutOps {
     val n = 1 << bits
     // hi = lo guard: a constant column would otherwise divide by zero →
     // ±inf, and BIGINT-casting inf is engine-specific (Spark saturates,
-    // DuckDB raises) — pin the degenerate case to cell 0 in both
+    // DuckDB raises) — pin the degenerate case to cell 0 in both.
+    // Clamp the DOUBLE (before the cast), not the BIGINT after it: an x
+    // far outside [lo, hi] — possible when callers pass sampled or stale
+    // bounds — would otherwise reach CAST as a huge double, which DuckDB
+    // raises on. least/greatest on doubles is IEEE-identical in both
+    // engines, so the clamped path stays bit-exact.
     s"CASE WHEN ($hi) = ($lo) THEN 0L ELSE " +
-      s"least(${n - 1}L, greatest(0L, CAST(floor((CAST($x AS DOUBLE) - $lo) * " +
-      s"$n.0 / (($hi) - ($lo))) AS BIGINT))) END"
+      s"CAST(floor(least(CAST(${n - 1} AS DOUBLE), greatest(0.0D, " +
+      s"(CAST($x AS DOUBLE) - $lo) * $n.0 / (($hi) - ($lo))))) AS BIGINT) END"
   }
   def cellDuck(x: String, lo: String, hi: String, bits: Int): String = {
     val n = 1 << bits
     s"CASE WHEN ($hi) = ($lo) THEN 0 ELSE " +
-      s"least(${n - 1}, greatest(0, CAST(floor((CAST($x AS DOUBLE) - $lo) * " +
-      s"$n.0 / (($hi) - ($lo))) AS BIGINT))) END"
+      s"CAST(floor(least(CAST(${n - 1} AS DOUBLE), greatest(0.0, " +
+      s"(CAST($x AS DOUBLE) - $lo) * $n.0 / (($hi) - ($lo))))) AS BIGINT) END"
   }
 
   /** Morton interleave of two `bits`-bit cells: even bit positions take

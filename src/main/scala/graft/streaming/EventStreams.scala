@@ -97,57 +97,95 @@ object EventStreams {
       }
   }
 
+  /** Scratch root shared by every bounded run in this JVM: ONE shutdown
+    * hook cleans the whole tree — a hook per invocation would accumulate
+    * unboundedly across a long bench loop (ADVICE r3). Each run writes
+    * under its own numbered subdirectory, so repeated or concurrent runs
+    * never collide.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft_stream_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(r).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }))
+    r
+  }
+  private val runIds = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Run a streaming transform of the bounded `events` source to
     * completion (AvailableNow) and return the result — the bridge that
     * lets streaming queries face the batch DuckDB oracle.
+    *
+    * `build` receives a CLONED session (`spark.newSession`) and must
+    * construct the stream from it: the drain overrides the
+    * stateful-operator partition count (below), and setting that on the
+    * caller's session would silently apply to any concurrent batch query
+    * on the same session (ADVICE r3). The clone shares the SparkContext
+    * and cached data but owns its SQLConf; the parent's runtime confs
+    * are copied over so runtime choices (state-store provider, graft.*
+    * knobs) still apply — static confs (extensions, warehouse) can't be
+    * re-set and already match via the shared SparkConf.
     *
     * The sink is `foreachBatch` → parquet in a scratch directory, NOT the
     * memory sink: the memory sink pins every result row in driver memory,
     * which for data-dependent outputs (a stream-stream join) is a driver
     * OOM at scale. Complete mode overwrites per batch (each batch carries
     * the full result); Append/Update append their per-batch deltas. Rows
-    * stay on executors/disk end to end; the scratch dir is removed on JVM
-    * exit.
+    * stay on executors/disk end to end; the scratch tree is removed on
+    * JVM exit.
+    *
+    * Stateful-operator partition count (= state store instances) is
+    * frozen from spark.sql.shuffle.partitions at query start. A
+    * production stream sizes it to key cardinality; this bounded drain
+    * can size it to the drained volume. The count matters far more than
+    * for batch shuffles: a stream-stream join opens FOUR RocksDB
+    * instances per partition, so 32 partitions = 128 store open/commit
+    * cycles per run (~10 s of fixed cost at local[32]) where 4
+    * partitions complete the same drain in ~2.5 s.
+    * Precedence (resolved HERE and nowhere else): the
+    * SPARK_GRAFT_STREAM_PARTITIONS env var is the operator's override
+    * and wins; the `graft.stream.partitions` runtime conf is the
+    * programmatic default (what Bench sets); otherwise the session's
+    * shuffle-partition setting stands.
     */
-  def runBounded(spark: SparkSession, out: DataFrame, sinkName: String,
-                 mode: OutputMode): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory(s"graft_$sinkName")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scala.util.Try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }))
-    val dataDir = root.resolve("data").toString
-    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
-    // Stateful-operator partition count (= state store instances) is
-    // frozen from spark.sql.shuffle.partitions at query start. A
-    // production stream sizes it to key cardinality; this bounded drain
-    // can size it to the drained volume. The count matters far more than
-    // for batch shuffles: a stream-stream join opens FOUR RocksDB
-    // instances per partition, so 32 partitions = 128 store open/commit
-    // cycles per run (~10 s of fixed cost at local[32]) where 4
-    // partitions complete the same drain in ~2.5 s.
-    // Precedence (resolved HERE and nowhere else): the
-    // SPARK_GRAFT_STREAM_PARTITIONS env var is the operator's override
-    // and wins; the `graft.stream.partitions` runtime conf is the
-    // programmatic default (what Bench sets); otherwise the session's
-    // shuffle-partition setting stands.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+  def runBounded(spark: SparkSession, build: SparkSession => DataFrame,
+                 sinkName: String, mode: OutputMode): DataFrame = {
+    val root = java.nio.file.Files.createDirectories(
+      scratchRoot.resolve(s"${sinkName}_${runIds.incrementAndGet()}"))
+    val session = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(session.conf.set(k, v))
+    }
     sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").filter(_.nonEmpty)
       .orElse(spark.conf.getOption("graft.stream.partitions").filter(_.nonEmpty))
-      .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
-    try {
-      val q = out.writeStream
-        .outputMode(mode)
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode(saveMode).parquet(dataDir)
-        }
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      .foreach(n => session.conf.set("spark.sql.shuffle.partitions", n))
+    val out = build(session)
+    val dataDir = root.resolve("data").toString
+    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = out.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        batch.write.mode(saveMode).parquet(dataDir)
+      }
+      .start()
+    q.awaitTermination()
+    // Update mode emits a row per TOUCHED key per batch: with more than
+    // one batch the appended drain would carry stale earlier rows for
+    // keys touched again later. AvailableNow over the single-file test
+    // source always drains in one batch — assert that instead of
+    // depending on it silently (ADVICE r3).
+    if (mode == OutputMode.Update() && batches.get() > 1)
+      throw new IllegalStateException(
+        s"Update-mode bounded drain ran ${batches.get()} batches; stale " +
+          "per-batch rows would alias final ones — aggregate " +
+          "latest-per-key after the drain or keep the source single-batch")
     // zero batches executed → foreachBatch never wrote dataDir; return
     // an empty frame with the query's schema (memory-sink behavior)
     if (java.nio.file.Files.exists(root.resolve("data")))

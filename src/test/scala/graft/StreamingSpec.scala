@@ -41,7 +41,7 @@ class StreamingSpec extends SparkTestBase {
     */
   private def assertHourlyCountsMatchBatch(sinkName: String): Unit = {
     val got = EventStreams.runBounded(spark,
-        EventStreams.hourlyCounts(EventStreams.eventStream(spark, sf)),
+        ss => EventStreams.hourlyCounts(EventStreams.eventStream(ss, sf)),
         sinkName, OutputMode.Complete())
       .select(col("window_start"), col("cnt"))
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
