@@ -99,6 +99,67 @@ object DedupOps {
        |  FROM corpus)
        |GROUP BY content_hash HAVING count(*) > 1""".stripMargin
 
+  // ---- duplicated-span report (exact-substring dedup) --------------------
+  /** Tokens per gram for [[spanDedup]] — long enough that a collision is
+    * a real repeated passage, short enough to catch template boilerplate
+    * (the exact-substring dedup literature uses ~50-token windows on
+    * web-scale corpora; 10 fits the fixture's ~50-token docs).
+    */
+  val SpanN = 10
+
+  /** Exact-substring duplication report: for every document, the maximal
+    * RUNS of consecutive token positions whose SpanN-gram also occurs
+    * elsewhere in the corpus (another doc, or another position of the
+    * same doc). Doc-level dedup (q33/q36) misses a unique page that
+    * embeds a copied passage; this finds the passage itself — the
+    * "exact substring dedup" pass of LLM curation pipelines.
+    *
+    * Shape: one narrow map emits (doc_id, pos, md5(gram)) — grams
+    * shuffle as 32-char hashes, never text; a hash agg computes gram
+    * frequency; duplicated positions come back via an equi-join on the
+    * hash; runs are merged with the islands trick (pos − row_number is
+    * constant within a consecutive run) — one window per doc, two hash
+    * aggs. Every stage is corpus-proportional; nothing is quadratic.
+    *
+    * Returns one row per document that contains at least one duplicated
+    * gram: (doc_id, n_dup_grams, n_spans, max_span_grams,
+    * first_dup_pos); span lengths are in grams (a run of g grams covers
+    * g + SpanN − 1 tokens).
+    */
+  def spanDedup(c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = c
+      .select(col("doc_id"), expr(TextOps.tokensSpark("text")).as("toks"))
+      .filter(size(col("toks")) >= SpanN)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(toks) - ${SpanN - 1}),
+           |  i -> md5(array_join(slice(toks, i, $SpanN), ' ')))"""
+          .stripMargin)).as(Seq("pos0", "gh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // gram vocabulary is corpus-proportional → shuffled hash join, not
+    // broadcast (the q61/q92 reasoning)
+    val dupHashes = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("gcnt"))
+      .filter(col("gcnt") > 1)
+      .select(col("gh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams.join(dupHashes, "gh")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("span_len"), min(col("pos")).as("start"))
+    val out = spans.groupBy(col("doc_id"))
+      .agg(sum(col("span_len")).as("n_dup_grams"),
+        count(lit(1)).as("n_spans"),
+        max(col("span_len")).as("max_span_grams"),
+        min(col("start")).as("first_dup_pos"))
+    graft.core.Materialize.detached(out) {
+      grams.unpersist(blocking = false)
+    }
+  }
+
   // ---- hashed shingles --------------------------------------------------
   /** Per-token rolling hashes (each token hashed once). */
   def tokenHashesSpark(text: String): String =

@@ -236,6 +236,46 @@ object SimilarityOps {
       .filter(col("rk") <= k)
   }
 
+  /** Semantic dedup (the SemDeDup pipeline shape): duplicate verdicts
+    * over vectors already assigned to a semantic cluster. A vector is
+    * DROPPED when a lower-id vector in the same cluster is
+    * cosine-similar above `threshold`; the survivor is the cluster
+    * member with the smallest id — deterministic keep-one semantics,
+    * the piece the pair-emitting near-dup operators (q40) don't give.
+    *
+    * `assigned` must carry (vec_id, v, nrm, cid) — the output of
+    * [[assignToCentroids]](…, 1). Candidate pairs come from an equi-join
+    * on (cid, sign-bucket), NOT all-pairs-within-cluster: the paper's
+    * within-cluster pairwise pass is quadratic in cluster size (a
+    * skewed cluster at 100 TB is an executor OOM), while the bucket key
+    * subdivides every cluster so the join key cardinality grows with
+    * the corpus. Scaled/exact duplicates agree on every sign bit, so
+    * true-duplicate recall is unaffected by the subdivision — only
+    * sub-threshold "semantic" pairs near a hyperplane are (acceptably)
+    * split, same trade as [[bucketedNearDup]].
+    *
+    * Returns one row per dropped vector: (vec_id, cid, dup_of = the
+    * smallest qualifying lower id, n_dups = how many lower-id
+    * near-copies exist).
+    */
+  def semanticDedup(assigned: DataFrame, bits: Int,
+                    threshold: Double): DataFrame = {
+    val withBucket = assigned.withColumn("bucket",
+      expr(bucketSpark("v", bits)))
+    val a = withBucket.select(col("cid"), col("bucket"),
+      col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withBucket.select(col("cid"), col("bucket"),
+      col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cid", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter((expr(dotSpark("va", "vb")) / (col("na") * col("nb")))
+        >= threshold)
+      .groupBy(col("id_b"), col("cid"))
+      .agg(min(col("id_a")).as("dup_of"), count(lit(1)).as("n_dups"))
+      .select(col("id_b").as("vec_id"), col("cid"), col("dup_of"),
+        col("n_dups"))
+  }
+
   /** Bucketed near-duplicate pairs: equi-join on the LSH bucket, a < b,
     * cosine ≥ threshold. The bucket join is the candidate generator; the
     * cosine runs only on in-bucket pairs.
