@@ -866,12 +866,17 @@ object LlmEntry {
       val approx = methods.map { case (m, df) =>
         df.select(lit(m).as("method"), col("probe_id"), col("vec_id"))
       }.reduce(_ unionAll _)
-      val nTruth = ProbeN.toLong * LshK
+      // denominator = the ACTUAL truth-set size (ADVICE r4): if any
+      // probe has fewer than k neighbors the constant ProbeN·k would
+      // understate recall. One scalar row, broadcast onto the 3-row agg.
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       val out = approx.join(truth, Seq("probe_id", "vec_id"))
         .groupBy(col("method"))
         .agg(count(lit(1)).as("n_hits"))
-        .select(col("method"), col("n_hits"), lit(nTruth).as("n_truth"),
-          (col("n_hits").cast("double") / nTruth.toDouble).as("recall"))
+        .crossJoin(broadcast(nTruth))
+        .select(col("method"), col("n_hits"), col("n_truth"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
       core.Materialize.detached(out) {
         truth.unpersist(blocking = false); p.unpersist(blocking = false)
       }
