@@ -1452,5 +1452,171 @@ object LlmEntry {
          |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |    AS avg_tokens
          |FROM toks, th GROUP BY 1, 2""".stripMargin,
+
+    // q95 mirror: same planted corpus (vecCorpusDuck), same arn=1 nearest-
+    // centroid assignment as q46, same 16-bit sign-bucket candidate join
+    // as q40 — cosines are the identical left-to-right fold, so the
+    // threshold cut and min/count aggregates are bit-stable.
+    "q95_semantic_dedup" ->
+      s"""WITH corpus AS ($vecCorpusDuck),
+         |c AS (SELECT vec_id, v, nrm FROM corpus),
+         |centroids AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM c
+         |  WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+         |assign AS (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT p.vec_id, p.v, p.nrm, ct.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${SimilarityOps.dotDuck("p.v", "ct.cv")} / (p.nrm * ct.cn) DESC,
+         |                 ct.cid) AS arn
+         |    FROM c p, centroids ct)
+         |  WHERE arn = 1),
+         |wb AS (
+         |  SELECT vec_id, v, nrm, cid,
+         |         ${SimilarityOps.bucketDuck("v", NearDupBits)} AS bucket
+         |  FROM assign)
+         |SELECT b.vec_id AS vec_id, b.cid, min(a.vec_id) AS dup_of,
+         |  count(*) AS n_dups
+         |FROM wb a JOIN wb b ON a.cid = b.cid AND a.bucket = b.bucket
+         |  AND a.vec_id < b.vec_id
+         |WHERE ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm)
+         |  >= $CosineDupThreshold
+         |GROUP BY b.vec_id, b.cid""".stripMargin,
+
+    // q96 mirror: 1-based gram positions (Spark sequence(1, n-k+1) ≡
+    // DuckDB range(1, n-k+2)), md5 of the space-joined token slice,
+    // islands via pos − row_number — integer arithmetic end to end.
+    "q96_span_dedup" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |toks AS (SELECT doc_id, ${tokensDuck("text")} AS tk FROM corpus),
+         |grams AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    md5(array_to_string(list_slice(tk, i, i + ${DedupOps.SpanN - 1}), ' ')) AS gh
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(1, len(tk) - ${DedupOps.SpanN - 2})) AS i
+         |        FROM toks WHERE len(tk) >= ${DedupOps.SpanN})),
+         |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM grams JOIN dup USING (gh)),
+         |spans AS (
+         |  SELECT doc_id, grp, count(*) AS span_len, min(pos) AS strt
+         |  FROM marked GROUP BY doc_id, grp)
+         |SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS n_dup_grams,
+         |  count(*) AS n_spans, max(span_len) AS max_span_grams,
+         |  min(strt) AS first_dup_pos
+         |FROM spans GROUP BY doc_id""".stripMargin,
+
+    // q97 mirror: truth = q38's brute force at k=$LshK; the three
+    // approximate arms are q46/q39/q47's CTEs verbatim; hit counts are
+    // integers and recall is one exact IEEE division.
+    "q97_ann_recall" -> {
+      val flips = ("bucket" +: (0 until SimilarityOps.TableBits)
+        .map(i => s"xor(bucket, ${1L << i})")).mkString("[", ", ", "]")
+      s"""WITH prepped AS (
+         |  SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm,
+         |         ${SimilarityOps.tableBucketsDuck("v")} AS buckets FROM (
+         |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings)),
+         |truth AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, vec_id) AS rk FROM (
+         |      SELECT p.vec_id AS probe_id, c.vec_id,
+         |        ${SimilarityOps.dotDuck("p.v", "c.v")} / (p.nrm * c.nrm) AS cosine
+         |      FROM prepped p, prepped c
+         |      WHERE p.vec_id < $ProbeN AND p.vec_id <> c.vec_id))
+         |  WHERE rk <= $LshK),
+         |idx AS (
+         |  SELECT vec_id, v, nrm, t.tbl, buckets[t.tbl + 1] AS bucket
+         |  FROM prepped,
+         |       (SELECT unnest(range(0, ${SimilarityOps.NumTables})) AS tbl) t),
+         |sing AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, vec_id) AS rk FROM (
+         |      SELECT DISTINCT p.vec_id AS probe_id, c.vec_id,
+         |        ${SimilarityOps.dotDuck("p.v", "c.v")} / (p.nrm * c.nrm) AS cosine
+         |      FROM idx p JOIN idx c ON p.tbl = c.tbl AND p.bucket = c.bucket
+         |      WHERE p.vec_id < $ProbeN AND p.vec_id <> c.vec_id))
+         |  WHERE rk <= $LshK),
+         |mprobes AS (
+         |  SELECT probe_id, pv, pn, tbl, unnest($flips) AS bucket FROM (
+         |    SELECT vec_id AS probe_id, v AS pv, nrm AS pn, tbl, bucket
+         |    FROM idx WHERE vec_id < $ProbeN)),
+         |multi AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, vec_id) AS rk FROM (
+         |      SELECT DISTINCT p.probe_id, c.vec_id,
+         |        ${SimilarityOps.dotDuck("p.pv", "c.v")} / (p.pn * c.nrm) AS cosine
+         |      FROM idx c JOIN mprobes p ON p.tbl = c.tbl AND p.bucket = c.bucket
+         |      WHERE p.probe_id <> c.vec_id))
+         |  WHERE rk <= $LshK),
+         |centroids AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM prepped
+         |  WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+         |assign AS (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT p.vec_id, p.v, p.nrm, ct.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${SimilarityOps.dotDuck("p.v", "ct.cv")} / (p.nrm * ct.cn) DESC,
+         |                 ct.cid) AS arn
+         |    FROM prepped p, centroids ct)
+         |  WHERE arn = 1),
+         |passign AS (
+         |  SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT p.vec_id, p.v, p.nrm, ct.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${SimilarityOps.dotDuck("p.v", "ct.cv")} / (p.nrm * ct.cn) DESC,
+         |                 ct.cid) AS arn
+         |    FROM prepped p, centroids ct WHERE p.vec_id < $ProbeN)
+         |  WHERE arn <= $IvfNprobe),
+         |ivf AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, vec_id) AS rk FROM (
+         |      SELECT p.vec_id AS probe_id, c.vec_id,
+         |        ${SimilarityOps.dotDuck("p.v", "c.v")} / (p.nrm * c.nrm) AS cosine
+         |      FROM passign p JOIN assign c ON p.cid = c.cid
+         |      WHERE p.vec_id <> c.vec_id))
+         |  WHERE rk <= $LshK),
+         |approx AS (
+         |  SELECT 'ivf_nprobe3' AS method, probe_id, vec_id FROM ivf
+         |  UNION ALL SELECT 'lsh_single', probe_id, vec_id FROM sing
+         |  UNION ALL SELECT 'lsh_multiprobe', probe_id, vec_id FROM multi),
+         |hits AS (
+         |  SELECT method, count(*) AS n_hits
+         |  FROM approx JOIN truth USING (probe_id, vec_id) GROUP BY method),
+         |nt AS (SELECT count(*) AS n_truth FROM truth)
+         |SELECT method, n_hits, n_truth,
+         |  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+         |FROM hits, nt""".stripMargin
+    },
+
+    // q98 mirror: quality_score is the q30-parity expression; the
+    // running sum is over BIGINT token counts (integer window sums are
+    // cross-engine safe; double ones are not), one division never
+    // happens — min(quality_score) carries the double through unchanged.
+    "q98_budget_select" -> {
+      val cols = qualityDuck("text").map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
+      s"""WITH scored AS (
+         |  SELECT lang, doc_id, n_tokens, $qualityScoreExpr AS quality_score FROM (
+         |    SELECT lang, doc_id, $cols FROM documents)),
+         |c AS (
+         |  SELECT lang, n_tokens, quality_score,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY quality_score DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM scored)
+         |SELECT lang, count(*) AS n_docs_kept,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+         |  min(quality_score) AS min_quality_kept
+         |FROM c WHERE cum - n_tokens < $TokenBudget GROUP BY lang""".stripMargin
+    },
   )
 }
