@@ -22,8 +22,9 @@ object StreamEntry {
     * scoped there, invisible to the caller's session).
     */
   private def bounded(s: SparkSession, build: SparkSession => DataFrame,
-                      mode: OutputMode): DataFrame =
-    EventStreams.runBounded(s, build, "stream", mode)
+                      mode: OutputMode,
+                      updateKeys: Seq[String] = Nil): DataFrame =
+    EventStreams.runBounded(s, build, "stream", mode, updateKeys)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_stream_hourly" -> ((s, d) =>
@@ -36,12 +37,12 @@ object StreamEntry {
 
     "q45_stream_sessions" -> ((s, d) =>
       // Custom per-user session state via flatMapGroupsWithState.
-      // Update mode: the drain asserts the run is single-batch, else
-      // stale per-batch rows would alias the final per-user rows.
+      // Update mode: the drain keeps each user's row from the latest
+      // batch, so a multi-batch source split can't alias stale rows.
       bounded(s,
         ss => EventStreams.sessionize(ss, EventStreams.eventStream(ss, d),
           SessionGapNanos).toDF(),
-        OutputMode.Update())),
+        OutputMode.Update(), updateKeys = Seq("user_id"))),
 
     "q79_stream_stream_join" -> ((s, d) =>
       // Stream-stream inner join with watermarks on BOTH sides and an

@@ -152,7 +152,8 @@ object EventStreams {
     * shuffle-partition setting stands.
     */
   def runBounded(spark: SparkSession, build: SparkSession => DataFrame,
-                 sinkName: String, mode: OutputMode): DataFrame = {
+                 sinkName: String, mode: OutputMode,
+                 updateKeys: Seq[String] = Nil): DataFrame = {
     val root = java.nio.file.Files.createDirectories(
       scratchRoot.resolve(s"${sinkName}_${runIds.incrementAndGet()}"))
     val session = spark.newSession()
@@ -165,32 +166,52 @@ object EventStreams {
     val out = build(session)
     val dataDir = root.resolve("data").toString
     val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
+    val isUpdate = mode == OutputMode.Update()
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = out.writeStream
       .outputMode(mode)
       .option("checkpointLocation", root.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batches.incrementAndGet()
-        batch.write.mode(saveMode).parquet(dataDir)
+        // Update mode emits a row per TOUCHED key per batch; stamping the
+        // batch id lets the post-drain pass keep only each key's newest
+        // row, so a multi-batch drain (e.g. a maxFilesPerTrigger-style
+        // source split) stays correct instead of aliasing stale rows
+        val stamped =
+          if (isUpdate) batch.withColumn("_graft_batch", lit(batchId))
+          else batch
+        stamped.write.mode(saveMode).parquet(dataDir)
       }
       .start()
     q.awaitTermination()
-    // Update mode emits a row per TOUCHED key per batch: with more than
-    // one batch the appended drain would carry stale earlier rows for
-    // keys touched again later. AvailableNow over the single-file test
-    // source always drains in one batch — assert that instead of
-    // depending on it silently (ADVICE r3).
-    if (mode == OutputMode.Update() && batches.get() > 1)
+    // Update mode without declared keys can't be de-aliased after a
+    // multi-batch drain — fail loudly rather than return stale rows
+    // (single-batch runs are still exact). With keys, any batch count is
+    // handled below.
+    if (isUpdate && updateKeys.isEmpty && batches.get() > 1)
       throw new IllegalStateException(
-        s"Update-mode bounded drain ran ${batches.get()} batches; stale " +
-          "per-batch rows would alias final ones — aggregate " +
-          "latest-per-key after the drain or keep the source single-batch")
+        s"Update-mode bounded drain ran ${batches.get()} batches and no " +
+          "updateKeys were declared; stale per-batch rows would alias " +
+          "final ones — pass the query's grouping keys to runBounded")
     // zero batches executed → foreachBatch never wrote dataDir; return
     // an empty frame with the query's schema (memory-sink behavior)
-    if (java.nio.file.Files.exists(root.resolve("data")))
-      spark.read.parquet(dataDir)
-    else spark.createDataFrame(
+    if (java.nio.file.Files.exists(root.resolve("data"))) {
+      val drained = spark.read.parquet(dataDir)
+      if (!isUpdate) drained
+      else if (updateKeys.isEmpty) drained.drop("_graft_batch")
+      else {
+        // latest-per-key: one row per key from its highest batch. Keys
+        // are unique within a batch (one row per touched key), so the
+        // window has a total order.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(updateKeys.map(col): _*)
+          .orderBy(col("_graft_batch").desc)
+        drained.withColumn("_graft_rn", row_number().over(w))
+          .filter(col("_graft_rn") === 1)
+          .drop("_graft_batch", "_graft_rn")
+      }
+    } else spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), out.schema)
   }
 }

@@ -65,6 +65,51 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("multi-batch Update-mode drain keeps only each key's latest row") {
+    // ADVICE r5: a source split into several batches (maxFilesPerTrigger)
+    // used to hard-fail the Update-mode drain; with declared updateKeys it
+    // must instead post-aggregate latest-per-key. Split events into three
+    // time-range files with increasing mod times so the file source
+    // admits one time-ordered file per batch.
+    import java.nio.file.{Files => JFiles}
+    import scala.jdk.CollectionConverters._
+    val root = JFiles.createTempDirectory("graft_upd")
+    val tbl = root.resolve("events.parquet")
+    spark.read.parquet(s"$sf/events.parquet")
+      .repartitionByRange(3, col("ts"))
+      .write.parquet(tbl.toString)
+    val parts = JFiles.list(tbl).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+    assert(parts.size === 3)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      JFiles.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000L + i * 600000L))
+    }
+    val got = EventStreams.runBounded(spark, { ss =>
+      val schema = ss.read.parquet(tbl.toString).schema
+      val ev = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/events.[p]arquet")
+        .withColumn("ts_nanos", col("ts"))
+      EventStreams.sessionize(ss, ev, H).toDF()
+    }, "upd_multi", OutputMode.Update(), updateKeys = Seq("user_id"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ns"))
+    val want = spark.read.parquet(tbl.toString)
+      .select(col("user_id"), col("ts").as("ns"))
+      .withColumn("prev", lag(col("ns"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("prev").isNull || col("ns") - col("prev") > H, 1L)
+          .otherwise(0L)).as("n_sessions"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // one row per user (stale per-batch rows de-aliased) AND the values
+    // carry cross-batch session state, matching the batch computation
+    assert(got === want)
+  }
+
   test("windowed agg drops events older than the watermark") {
     // THE watermark semantic: state eviction only works because late
     // data is dropped — an event arriving behind the watermark must not
