@@ -10,37 +10,61 @@ package graft
   */
 class BenchEncodeSpec extends SparkTestBase {
 
-  private def fakeResults(n: Int): Seq[(String, Double)] =
-    (1 to n).map(i => (f"q$i%02d_some_descriptive_query_name", 12.3456789))
+  private def fakeResults(n: Int, runs: Seq[Double] = Seq(12.301, 12.355, 12.498))
+      : Seq[(String, Seq[Double])] =
+    (1 to n).map(i => (f"q$i%02d_some_descriptive_query_name", runs))
+
+  test("median: odd picks middle, even averages, order-independent") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
+    assert(Bench.median(Seq(7.0)) === 7.0)
+  }
 
   test("compact line fits the 2000-char tail window at 120 queries") {
     val line = Bench.compactJson(fakeResults(120), nErrors = 0,
-      total = 1234.5678, sfDir = "/root/testdata/sf0.1")
-    assert(line.length < 1900, s"compact bench line too long: ${line.length}")
+      total = 1234.5678, sfDir = "/root/testdata/sf0.1", runs = 3,
+      setupSec = 0.85)
+    assert(line.length <= 1920, s"compact bench line too long: ${line.length}")
     assert(!line.contains('\n'))
+    // degradation must keep the medians and (if anything beyond them
+    // fits) the spread — dmin is the first casualty
+    assert(line.contains(""""queries":{"""))
   }
 
-  test("compact line for the CURRENT query set fits with sbt-noise headroom") {
-    val names = SparkEntry.queries.keys.toSeq.sorted.map(n => (n, 3.14159))
+  test("compact line for the CURRENT query set carries median+dmin+spread") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .map(n => (n, Seq(3.141, 3.102, 3.188)))
     val line = Bench.compactJson(names, nErrors = 2, total = 99.999,
-      sfDir = "/root/testdata/sf0.1")
-    assert(line.length < 1800, s"compact bench line too long: ${line.length}")
+      sfDir = "/root/testdata/sf0.1", runs = 3, setupSec = 0.85)
+    assert(line.length <= 1870, s"compact bench line too long: ${line.length}")
+    // at the current query count the FULL triple must fit — if this
+    // starts failing the encoding needs a diet, not a silent drop
+    assert(line.contains(""""dmin":["""), line.takeRight(200))
+    assert(line.contains(""""spread":["""), line.takeRight(200))
   }
 
   test("compact line is valid JSON shape with the contract keys") {
-    val line = Bench.compactJson(Seq(("q01_agg", 0.5), ("q02_x", -1.0)),
-      nErrors = 1, total = 0.5, sfDir = "/root/testdata/sf0.01")
-    assert(line.startsWith("""{"metric":"total","value":0.500,"unit":"sec","queries":{"q01":0.500,"q02":-1.000},"errors":1,"sf":0.01}"""))
+    val line = Bench.compactJson(
+      Seq(("q01_agg", Seq(0.5, 0.6, 0.4)), ("q02_x", Nil)),
+      nErrors = 1, total = 0.5, sfDir = "/root/testdata/sf0.01", runs = 3,
+      setupSec = 0.2)
+    assert(line.startsWith("""{"metric":"total","value":0.500,"unit":"sec","runs":3,"setup":0.200,"""))
+    // median of (0.4,0.5,0.6) = 0.5 → 500 ms; failed query = -1
+    assert(line.contains(""""queries":{"q01":500,"q02":-1}"""), line)
+    // dmin = 500-400 = 100 ms (0 for the failed query); spread = 200 ms
+    assert(line.contains(""""dmin":[100,0]"""), line)
+    assert(line.contains(""""spread":[200,0]"""), line)
   }
 
   test("sf token is always valid JSON, even for odd directory names") {
     // "sf0.1." used to emit the bare token `0.1.` — invalid JSON
+    def compact(dir: String) =
+      Bench.compactJson(Nil, 0, 0.0, dir, runs = 3, setupSec = 0.0)
     for (dir <- Seq("/data/sf0.1.", "/data/sfX", "/data/sf.5", "/data/"))
-      assert(Bench.compactJson(Nil, 0, 0.0, dir)
-        .endsWith(s""""sf":"${dir.replace("\\", "\\\\")}"}"""),
+      assert(compact(dir).contains(s""""sf":"${dir.replace("\\", "\\\\")}""""),
         s"non-numeric sf dir must fall back to a quoted string: $dir")
-    assert(Bench.compactJson(Nil, 0, 0.0, "/data/sf0.1").endsWith(""""sf":0.1}"""))
-    assert(Bench.compactJson(Nil, 0, 0.0, "/data/sf1").endsWith(""""sf":1}"""))
+    assert(compact("/data/sf0.1").contains(""""sf":0.1"""))
+    assert(compact("/data/sf1").contains(""""sf":1"""))
   }
 
   test("qNN prefixes stay unique after truncation (driver keys by them)") {
@@ -55,5 +79,12 @@ class BenchEncodeSpec extends SparkTestBase {
       java.util.Locale.setDefault(java.util.Locale.GERMANY)
       assert(Bench.fmt3(1.5) === "1.500")
     } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("full json carries every raw run per query") {
+    val line = Bench.fullJson(Seq(("q01_agg", Seq(0.5, 0.6, 0.4))),
+      Nil, 0.5, "/data/sf0.1", runs = 3, setupSec = 0.2)
+    assert(line.contains(""""q01_agg":{"median":0.5,"min":0.4,"max":0.6,"runs":[0.5,0.6,0.4]}"""), line)
+    assert(line.contains(""""stream_setup_s":0.2"""), line)
   }
 }
