@@ -63,12 +63,22 @@ object LlmEntry {
   private val RepRatioMin = 0.05  // repetition-ratio report threshold
 
   /** Embedding corpus with planted near-dup vectors: v/2 keeps the sign
-    * mask (same LSH bucket) and cosine ≈ 1. Near-dup dedup uses the
-    * 16-bit bucket (2^16 buckets — the join key must out-grow the corpus
-    * at scale; copies agree on every sign so recall is unaffected).
+    * mask (same LSH bucket) and cosine ≈ 1. Near-dup dedup derives its
+    * bucket width from the corpus count (SimilarityOps.adaptiveBits —
+    * the join key out-grows the corpus at every scale; a CONSTANT width
+    * was the r6–r8 quadratic-occupancy finding); copies agree on every
+    * sign so recall is unaffected by widening.
     */
-  private val NearDupBits = 16
-  private def vecCorpus(e: DataFrame): DataFrame = {
+  private def nearDupBits(e: DataFrame): Int = {
+    // corpus count = base + planted rows, one cheap aggregate job (at
+    // 100 TB a parquet count is metadata-weight); mirrored by the
+    // oracle's count(*) over the same corpus CTE
+    val r = e.agg(count(lit(1)).as("n"),
+      sum(when(col("vec_id") < NearDupVecN, 1L).otherwise(0L)).as("p")).head()
+    val n = r.getLong(0) + (if (r.isNullAt(1)) 0L else r.getLong(1))
+    SimilarityOps.adaptiveBits(n)
+  }
+  private def vecCorpus(e: DataFrame, bits: Int): DataFrame = {
     val base = e.select(col("vec_id"),
       expr(SimilarityOps.toDoubleSpark("embedding")).as("v"))
     val planted = base.filter(col("vec_id") < NearDupVecN)
@@ -77,16 +87,25 @@ object LlmEntry {
     base.unionAll(planted)
       .select(col("vec_id"), col("v"),
         expr(SimilarityOps.normSpark("v")).as("nrm"),
-        expr(SimilarityOps.bucketSpark("v", NearDupBits)).as("bucket"))
+        expr(SimilarityOps.bucketSpark("v", bits)).as("bucket"))
   }
-  private val vecCorpusDuck: String =
-    s"""SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm,
-       |       ${SimilarityOps.bucketDuck("v", NearDupBits)} AS bucket FROM (
-       |  SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings
-       |  UNION ALL
-       |  SELECT vec_id + $NearDupVecOffset AS vec_id,
-       |         list_transform(${SimilarityOps.toDoubleDuck("embedding")}, x -> x * 0.5) AS v
-       |  FROM embeddings WHERE vec_id < $NearDupVecN)""".stripMargin
+  /** The corpus as WITH-clause items: `corpus0` (no bucket), `nb` (the
+    * adaptive bit count — integer-exact mirror of the Spark side), and
+    * `corpus` (bucket via the runtime-bits fold). Callers splice these
+    * directly after WITH.
+    */
+  private val vecCorpusDuckCtes: String =
+    s"""corpus0 AS (
+       |  SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm FROM (
+       |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings
+       |    UNION ALL
+       |    SELECT vec_id + $NearDupVecOffset AS vec_id,
+       |           list_transform(${SimilarityOps.toDoubleDuck("embedding")}, x -> x * 0.5) AS v
+       |    FROM embeddings WHERE vec_id < $NearDupVecN)),
+       |nb AS (SELECT ${SimilarityOps.adaptiveBitsDuck("corpus0")} AS bits),
+       |corpus AS (
+       |  SELECT vec_id, v, nrm, ${SimilarityOps.bucketDuckExpr("v", "nb.bits")} AS bucket
+       |  FROM corpus0, nb)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis --------------------------------------------------
@@ -213,10 +232,12 @@ object LlmEntry {
         .select(col("probe_id"), col("vec_id"), col("cosine"), col("rk"))
     }),
 
-    "q40_embed_neardup" -> ((s, d) =>
-      SimilarityOps.bucketedNearDup(vecCorpus(Tables.embeddings(s, d)),
+    "q40_embed_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilarityOps.bucketedNearDup(vecCorpus(e, nearDupBits(e)),
           CosineDupThreshold)
-        .select(col("id_a"), col("id_b"), col("cosine"))),
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }),
 
     "q51_media_resize" -> ((s, d) =>
       // Deterministic byte-downsample "resize" (every 4th byte) with
@@ -808,22 +829,25 @@ object LlmEntry {
       // nearest coarse centroid, then drop any vector with a lower-id
       // cosine-near-copy in the same cluster — keep-one verdicts, which
       // the pair-emitting q40 doesn't give. Candidates within a cluster
-      // come from the 16-bit sign-bucket equi-join, not the paper's
-      // all-pairs-within-cluster (quadratic in cluster size — a skewed
-      // cluster is an executor OOM at 100 TB); scaled/exact copies
-      // agree on every sign bit so true-dup recall is unaffected. The
-      // planted scaled copies (cos ≈ 1, same signs, same centroid —
-      // scaling by 0.5 is exponent-only in IEEE, so every cosine is
-      // bit-identical to its base's) must all be dropped with
-      // dup_of = their base. Assignment is persisted: it feeds both
-      // sides of the pair self-join, and its window would otherwise run
-      // twice.
-      val c = vecCorpus(Tables.embeddings(s, d))
+      // come from the adaptive-width sign-bucket equi-join (bits from
+      // corpus count, exact duplicates pre-collapsed inside
+      // semanticDedup), not the paper's all-pairs-within-cluster
+      // (quadratic in cluster size — a skewed cluster is an executor
+      // OOM at 100 TB); scaled/exact copies agree on every sign bit so
+      // true-dup recall is unaffected. The planted scaled copies
+      // (cos ≈ 1, same signs, same centroid — scaling by 0.5 is
+      // exponent-only in IEEE, so every cosine is bit-identical to its
+      // base's) must all be dropped with dup_of = their base.
+      // Assignment is persisted: it feeds the collapse plus the member
+      // expansion, and its window would otherwise run twice.
+      val e = Tables.embeddings(s, d)
+      val bits = nearDupBits(e)
+      val c = vecCorpus(e, bits)
         .select(col("vec_id"), col("v"), col("nrm"))
       val cents = c.filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
       val assigned = SimilarityOps.assignToCentroids(c, cents, 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = SimilarityOps.semanticDedup(assigned, NearDupBits,
+      val out = SimilarityOps.semanticDedup(assigned, bits,
         CosineDupThreshold)
       core.Materialize.detached(out) { assigned.unpersist(blocking = false) }
     }),
@@ -1020,7 +1044,7 @@ object LlmEntry {
          |WHERE rk <= $LshK""".stripMargin,
 
     "q40_embed_neardup" ->
-      s"""WITH corpus AS ($vecCorpusDuck)
+      s"""WITH $vecCorpusDuckCtes
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${SimilarityOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
          |FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -1453,12 +1477,17 @@ object LlmEntry {
          |    AS avg_tokens
          |FROM toks, th GROUP BY 1, 2""".stripMargin,
 
-    // q95 mirror: same planted corpus (vecCorpusDuck), same arn=1 nearest-
-    // centroid assignment as q46, same 16-bit sign-bucket candidate join
-    // as q40 — cosines are the identical left-to-right fold, so the
-    // threshold cut and min/count aggregates are bit-stable.
+    // q95 mirror: same planted corpus (vecCorpusDuckCtes), same arn=1
+    // nearest-centroid assignment as q46, same adaptive-width sign-bucket
+    // candidate join as q40 (bits from the nb CTE — the integer-exact
+    // mirror of the Spark side's count-derived width) — cosines are the
+    // identical left-to-right fold, so the threshold cut and min/count
+    // aggregates are bit-stable. The oracle stays MEMBER-LEVEL on
+    // purpose: the Spark side's exact-duplicate collapse is an internal
+    // optimization whose output must be indistinguishable from this
+    // reference pair join.
     "q95_semantic_dedup" ->
-      s"""WITH corpus AS ($vecCorpusDuck),
+      s"""WITH $vecCorpusDuckCtes,
          |c AS (SELECT vec_id, v, nrm FROM corpus),
          |centroids AS (
          |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM c
@@ -1473,8 +1502,8 @@ object LlmEntry {
          |  WHERE arn = 1),
          |wb AS (
          |  SELECT vec_id, v, nrm, cid,
-         |         ${SimilarityOps.bucketDuck("v", NearDupBits)} AS bucket
-         |  FROM assign)
+         |         ${SimilarityOps.bucketDuckExpr("v", "nb.bits")} AS bucket
+         |  FROM assign, nb)
          |SELECT b.vec_id AS vec_id, b.cid, min(a.vec_id) AS dup_of,
          |  count(*) AS n_dups
          |FROM wb a JOIN wb b ON a.cid = b.cid AND a.bucket = b.bucket

@@ -386,4 +386,67 @@ class LlmOpsSpec extends SparkTestBase {
         size(col("sh")) >= T)
       .select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .collect().toSet.map((i: Long) => i + DedupOps.ExactCopyOffset)
+
+  // ---- exact-dup pre-collapse (VERDICT r6–r8 §wrong-2) -------------------
+  // A ~500-copy exact-duplicate group: the pair JOIN must see O(distinct
+  // vectors) (one delegate per distinct vector), while the emitted
+  // pair/verdict sets stay exactly what the member-level join would give.
+  private val CopyN = 500
+  private lazy val copyCorpus = {
+    val s0 = spark; import s0.implicits._
+    val a = Array(1.0, 2.0, -3.0, 4.0)   // signs ++-+ → 4-bit bucket 11
+    val b = Array(-1.0, 2.0, 3.0, 4.0)   // signs -+++ → bucket 14, cos(a,b)=1/3
+    val c = a.map(_ * 0.5)               // scaled copy: same bucket, cos = 1
+    val rows = Seq(0L -> a, 1L -> b, 2L -> c) ++
+      (10L until (10L + CopyN - 1)).map(i => i -> a) // 499 more exact copies of a
+    rows.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v"),
+        expr(SimilarityOps.normSpark("v")).as("nrm"),
+        expr(SimilarityOps.bucketSpark("v", 4)).as("bucket"))
+  }
+
+  test("near-dup collapse: pair-join input is O(distinct), not O(copies^2)") {
+    // 502 corpus rows, 3 distinct vectors → exactly 3 delegates enter
+    // the bucket join
+    val g = SimilarityOps.collapseExact(copyCorpus, Seq("bucket"))
+    assert(g.count() == 3L)
+    val aGroup = g.filter(col("vec_id") === 0L).head()
+    val members = aGroup.getSeq[Long](aGroup.fieldIndex("members")).toList
+    assert(members.length == CopyN)
+    assert(members == (0L +: (10L until (10L + CopyN - 1)).toList))
+  }
+
+  test("near-dup pairs after collapse equal the member-level pair set") {
+    val found = SimilarityOps.bucketedNearDup(copyCorpus, 0.99)
+      .select(col("id_a"), col("id_b"), col("cosine")).collect()
+    // within the 500-copy group: C(500,2) pairs; cross to the scaled
+    // copy (id 2): 500 more — output cardinality is the pair-list
+    // contract's, but the join that produced it ran on 3 delegates
+    val nWithin = CopyN.toLong * (CopyN - 1) / 2
+    assert(found.length == nWithin + CopyN,
+      s"expected ${nWithin + CopyN} pairs, got ${found.length}")
+    val pairs = found.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)) && pairs.contains((2L, 10L)) &&
+      pairs.contains((0L, 10L)) && pairs.contains((10L, 11L)))
+    // every pair is ordered and none involves the dissimilar vector
+    assert(found.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L))
+    // exact copies carry the self-cosine (1 ± ulp ≥ threshold)
+    assert(found.forall(_.getAs[Double]("cosine") >= 0.99))
+  }
+
+  test("semantic dedup after collapse: one verdict per dropped member") {
+    val assigned = copyCorpus.select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("cid", lit(0L))
+    val out = SimilarityOps.semanticDedup(assigned, 4, 0.99).collect()
+    // qualifying union = {0, 2, 10..508}; every member except the
+    // minimum (0) is dropped with dup_of = 0 and n_dups = its rank
+    assert(out.length == CopyN, s"expected $CopyN verdicts, got ${out.length}")
+    assert(out.forall(_.getAs[Long]("dup_of") == 0L))
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(!byId.contains(0L) && !byId.contains(1L))
+    assert(byId(2L) == 1L)     // only id 0 below it
+    assert(byId(10L) == 2L)    // ids 0 and 2 below it
+    assert(byId(10L + CopyN - 2) == CopyN.toLong) // last copy: all others below
+  }
 }
