@@ -555,8 +555,12 @@ object LlmEntry {
       // implementations, N/df is rank-equivalent (ln is monotone) and
       // products/divisions are correctly-rounded IEEE ops → the score
       // column stays bit-exact cross-engine. Shape: explode → two hash
-      // aggs; the df table joins on term (broadcastable for a bounded
-      // vocabulary); N arrives as a broadcast single-row cross join.
+      // aggs; the df table joins on term UNHINTED — vocabulary grows
+      // roughly linearly on web corpora, so a forced broadcast would
+      // OOM the driver at 100 TB (VERDICT r6–r8 §wrong-3); AQE picks
+      // broadcast itself whenever the measured df size is under the
+      // threshold, and falls back to a shuffle join when it isn't. N
+      // arrives as a broadcast single-row cross join (always scalar).
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val toks = docs
@@ -572,7 +576,7 @@ object LlmEntry {
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
-      val out = tf.join(broadcast(dfreq), Seq("term"))
+      val out = tf.join(dfreq, Seq("term"))
         .crossJoin(broadcast(nDocs))
         .withColumn("score", col("tf").cast("double") *
           col("n_docs").cast("double") / col("df").cast("double"))
