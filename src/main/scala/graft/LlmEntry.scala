@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, MultimodalOps, ShardedWindows, SimilarityOps, TextOps}
 
 /** LLM-training-data-pipeline queries (q27+) over the `documents` and
   * `embeddings` tables: text analysis, dedup (exact / MinHash-LSH /
@@ -33,6 +33,8 @@ object LlmEntry {
   private val MixRates = Seq("src0" -> "800", "src1" -> "c00", "src2" -> "200")
   private val MixDefaultHexHi = "400"
   private val PackCapacity = 256L // sequence-packing bin size (tokens)
+  private val PackShardSpan = 4096L // q83 running-sum shard = doc_id range
+  private val QualityShards = 64  // q98 running-sum shards per language
   private val TfidfK = 3          // TF-IDF terms kept per document
   private val SampleK = 20        // exact-k per-group sample size
   private val IvfCentroidLo = 100 // deterministic coarse centroids
@@ -531,17 +533,19 @@ object LlmEntry {
       // Greedy contiguous packing of docs into capacity-C token bins per
       // language: docs are laid out in deterministic doc_id order, the
       // running token total is cut at capacity boundaries, and a doc
-      // belongs to the bin its span STARTS in. All-integer window
-      // arithmetic → bit-exact; one shuffle on lang (at scale the
-      // partition key would be (lang, shard) to bound partition size —
-      // same plan shape).
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      // belongs to the bin its span STARTS in. All-integer arithmetic →
+      // bit-exact. The running sum is SHARDED (ShardedWindows): the
+      // window partitions on (lang, doc_id DIV span) with per-shard
+      // offsets added back, so no single task ever sorts a whole
+      // language — the q83 shard key is an id range, order-compatible
+      // with the doc_id sort by construction. GraftProps pins
+      // sharded ≡ unsharded bit-equality across random spans.
+      val toks = Tables.documents(s, d)
         .select(col("lang"), col("doc_id"),
           expr(s"CAST(size(${tokensSpark("text")}) AS BIGINT)").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("shard", expr(s"doc_id DIV $PackShardSpan"))
+      ShardedWindows.runningSum(toks, "lang", "shard",
+          Seq(col("doc_id")), "n_tokens", "cum")
         .withColumn("bin_id", expr(s"(cum - n_tokens) DIV $PackCapacity"))
         .groupBy(col("lang"), col("bin_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
@@ -914,21 +918,25 @@ object LlmEntry {
     "q98_budget_select" -> ((s, d) => {
       // Quality-ordered token-budget curation: per language, admit
       // documents best-quality-first until the token budget; a doc is
-      // admitted if its span STARTS under budget (the q83 rule). One
-      // window (integer running sum — bit-exact cross-engine; a double
-      // cumsum would not be) + one hash agg; at 100 TB the per-lang
-      // window would range-partition on (lang, quality bucket) — same
-      // plan shape, no driver involvement.
-      import org.apache.spark.sql.expressions.Window
+      // admitted if its span STARTS under budget (the q83 rule).
+      // Integer running sum (bit-exact cross-engine; a double cumsum
+      // would not be) SHARDED on (lang, descending-quality bucket) via
+      // ShardedWindows — the bucket is a monotone function of the sort
+      // key (equal scores share a bucket, higher scores sort into lower
+      // buckets), so the regrouped sum is bit-identical to the one-task-
+      // per-language window it replaces, with QualityShards× the
+      // parallelism per language.
       val scored = qualitySpark("text").foldLeft(Tables.documents(s, d)) {
         case (df, (n, e)) => df.withColumn(n, expr(e))
       }.withColumn("quality_score", expr(qualityScoreExpr))
         .select(col("lang"), col("doc_id"), col("n_tokens"),
           col("quality_score"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("quality_score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored.withColumn("cum", sum(col("n_tokens")).over(w))
+        // quality ∈ [0,1] (GraftProps law) → shard ∈ 0..QualityShards,
+        // descending in score: shard order ≡ quality-desc order
+        .withColumn("shard",
+          expr(s"CAST(floor((1.0 - quality_score) * $QualityShards) AS INT)"))
+      ShardedWindows.runningSum(scored, "lang", "shard",
+          Seq(col("quality_score").desc, col("doc_id")), "n_tokens", "cum")
         .filter(col("cum") - col("n_tokens") < TokenBudget)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs_kept"),

@@ -254,4 +254,30 @@ object GraftProps extends Properties("graft") {
         z >= 0 && z < (1L << 16) && dx == cx && dy == cy
       }
     }
+
+  property("sharded running sum is bit-identical to the single-window sum") =
+    forAll(
+      Gen.listOfN(60, for {
+        g <- Gen.oneOf("en", "de", "fr")
+        id <- Gen.choose(0L, 500L)
+        v <- Gen.choose(0L, 300L)
+      } yield (g, id, v)),
+      Gen.choose(1L, 64L)) { (rows, span) =>
+      // order key must be total per group: keep one row per (lang, id)
+      val data = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val df = data.toDF("lang", "doc_id", "n_tokens")
+        .withColumn("shard", expr(s"doc_id DIV $span"))
+      val sharded = graft.operators.ShardedWindows
+        .runningSum(df, "lang", "shard", Seq(col("doc_id")), "n_tokens", "cum")
+        .select(col("lang"), col("doc_id"), col("cum"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val plain = df.withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("lang"), col("doc_id"), col("cum"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      sharded == plain
+    }
 }
