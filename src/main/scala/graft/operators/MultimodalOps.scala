@@ -5,13 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column handling: media payloads ride as opaque `BINARY`
   * columns with a typed metadata struct, and decode/feature-extraction is
-  * a batched per-partition operation so a real codec (image/audio lib)
+  * a batched per-partition operation so a heavier codec (JPEG/audio lib)
   * could be dropped in without touching the plan shape.
   *
-  * The container has no media codecs, so `decodeStub` is a STUB — a
-  * clearly-marked deterministic fake (byte-histogram features). The
-  * Spark-side plumbing is real: binary schema, struct metadata, typed
-  * Encoders, partition-batched decode, frame sampling, and every
+  * The decode tier is a REAL codec for a real format: binary PGM (P5 —
+  * "P5" magic, ASCII width/height/maxval with `#` comments, one
+  * whitespace, then width·height raw bytes), parsed byte-level with no
+  * library dependency. [[pgmTable]] synthesizes a deterministic PGM per
+  * document (pixels from the text bytes) so the full
+  * encode → binary column → batched decode → feature path runs end to
+  * end; an undecodable payload is quarantined as `nBytes = -1`, never an
+  * executor throw. The Spark-side plumbing is unchanged: binary schema,
+  * struct metadata, typed Encoders, partition-batched decode
+  * (Iterator → Iterator, no per-row setup), frame sampling, and every
   * SQL-expressible derivation (sizes, hashes, frame offsets) is
   * oracle-checked from `LlmEntry`.
   *
@@ -27,6 +33,8 @@ object MultimodalOps {
   final case class MediaItem(docId: Long, payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(docId: Long, nBytes: Long,
                                  features: Array[Float])
+  final case class PgmImage(width: Int, height: Int, maxVal: Int,
+                            pixels: Array[Byte])
 
   /** Synthesize the media table from `documents`: payload = UTF-8 bytes of
     * the text, metadata derived deterministically from doc fields. This is
@@ -43,27 +51,126 @@ object MultimodalOps {
         (col("n_chars") % 480).cast("int").as("height"),
         (col("n_chars") * 25L).as("duration_ms")).as("meta"))
 
-  /** STUB decode — deterministic fake standing in for an image/audio
-    * decoder. Real plumbing, fake math: consumes the payload bytes in one
-    * partition-local batch pass and emits a fixed-width feature vector
-    * (normalized 16-bin byte histogram). A real implementation would swap
-    * the body for a codec call with the SAME signature and batch shape
-    * (Iterator[MediaItem] → Iterator[MediaFeatures], one batch per
-    * partition, no per-row JNI/process setup).
+  /** Encode a binary PGM (P5): ASCII header, one `\n` separator, then
+    * `width·height` raw pixel bytes. `pixels` shorter than the raster is
+    * zero-padded; longer is truncated — encode is total so the synthetic
+    * table below can never produce a malformed image by accident.
     */
-  def decodeStub(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
+  def encodePgm(width: Int, height: Int, maxVal: Int,
+                pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && maxVal > 0 && maxVal < 256,
+      s"invalid PGM dims: ${width}x$height max $maxVal")
+    val header = s"P5\n$width $height\n$maxVal\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = java.util.Arrays.copyOf(header, header.length + width * height)
+    System.arraycopy(pixels, 0, out, header.length,
+      math.min(pixels.length, width * height))
+    out
+  }
+
+  /** Parse a binary PGM (P5). Accepts the full header grammar: tokens
+    * separated by any whitespace run, `#` comments to end-of-line
+    * anywhere between tokens, EXACTLY ONE whitespace byte after maxval,
+    * then the raw raster. Returns None (never throws) for anything
+    * malformed — wrong magic, non-numeric dims, maxval ≥ 256 (2-byte
+    * samples out of scope), or a short raster — so a corrupt payload in
+    * a 100 TB scan quarantines instead of failing the task.
+    */
+  def decodePgm(bytes: Array[Byte]): Option[PgmImage] = {
+    var i = 0
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f'
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        if (isWs(bytes(i))) i += 1
+        else if (bytes(i) == '#') {
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+        } else go = false
+      }
+    }
+    def token(): String = {
+      skipWsAndComments()
+      val s = i
+      while (i < bytes.length && !isWs(bytes(i)) && bytes(i) != '#') i += 1
+      new String(bytes, s, i - s, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    def intToken(): Option[Int] = {
+      val t = token()
+      if (t.nonEmpty && t.forall(c => c >= '0' && c <= '9') && t.length <= 9)
+        Some(t.toInt)
+      else None
+    }
+    if (token() != "P5") return None
+    (intToken(), intToken(), intToken()) match {
+      case (Some(w), Some(h), Some(mv))
+          if w > 0 && h > 0 && mv > 0 && mv < 256 =>
+        // exactly one whitespace byte separates maxval from the raster
+        // (the spec's rule — a raster may begin with whitespace-valued
+        // pixels, so skipping a RUN here would corrupt them)
+        if (i >= bytes.length || !isWs(bytes(i))) return None
+        i += 1
+        if (bytes.length - i < w.toLong * h) return None
+        Some(PgmImage(w, h, mv,
+          java.util.Arrays.copyOfRange(bytes, i, i + w * h)))
+      case _ => None
+    }
+  }
+
+  /** Batched decode — the real-codec successor of the r1–r8 byte
+    * histogram stub, same signature and batch shape (Iterator[MediaItem]
+    * → Iterator[MediaFeatures], one batch per partition, no per-row
+    * setup — a JNI/process-backed codec would reuse exactly this seam).
+    * Features = normalized 16-bin histogram over the DECODED raster (the
+    * high nibble of each pixel), nBytes = the encoded payload size.
+    * Undecodable payloads yield nBytes = -1 with zero features.
+    */
+  def decodePgmBatch(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
     items.map { m =>
-      val hist = new Array[Float](16)
-      var i = 0
-      while (i < m.payload.length) { hist((m.payload(i) & 0xff) >> 4) += 1f; i += 1 }
-      val n = math.max(1, m.payload.length).toFloat
-      var b = 0
-      while (b < 16) { hist(b) /= n; b += 1 }
-      MediaFeatures(m.docId, m.payload.length.toLong, hist)
+      decodePgm(m.payload) match {
+        case Some(img) =>
+          val hist = new Array[Float](16)
+          var i = 0
+          while (i < img.pixels.length) {
+            hist((img.pixels(i) & 0xff) >> 4) += 1f; i += 1
+          }
+          val n = math.max(1, img.pixels.length).toFloat
+          var b = 0
+          while (b < 16) { hist(b) /= n; b += 1 }
+          MediaFeatures(m.docId, m.payload.length.toLong, hist)
+        case None => MediaFeatures(m.docId, -1L, new Array[Float](16))
+      }
     }
 
-  /** Batched decode over the media table: typed Dataset → mapPartitions,
-    * preserving partitioning (no shuffle).
+  /** Synthesize a PGM-carrying media table from `documents`: each doc
+    * becomes a real P5 image whose raster is its text's UTF-8 bytes
+    * (zero-padded/truncated to the raster size) and whose dimensions
+    * derive deterministically from doc fields — the ingest shape a real
+    * image corpus would have (binary column + typed metadata), with
+    * payloads an actual decoder can decode.
+    */
+  def pgmTable(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val w = 1 + (nChars % 31).toInt
+        val h = 1 + (nChars % 17).toInt
+        val px = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaItem(id, encodePgm(w, h, 255, px), MediaMeta("pgm", w, h, 0L))
+      })
+  }
+
+  /** Batched decode over a typed media table: mapPartitions, preserving
+    * partitioning (no shuffle).
+    */
+  def decodeFeatures(media: Dataset[MediaItem]): Dataset[MediaFeatures] =
+    media.mapPartitions(decodePgmBatch)(
+      org.apache.spark.sql.Encoders.product[MediaFeatures])
+
+  /** Batched decode over the generic binary media DataFrame (same
+    * payload/meta schema as [[mediaTable]]): typed view → mapPartitions.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -73,13 +180,14 @@ object MultimodalOps {
       .as[(Long, Array[Byte], String, Int, Int, Long)]
       .mapPartitions(_.map { case (id, p, f, w, h, d) =>
         MediaItem(id, p, MediaMeta(f, w, h, d))
-      }).mapPartitions(decodeStub)
+      }).mapPartitions(decodePgmBatch)
   }
 
   /** Resize STUB — deterministic byte downsample (every factor-th byte),
-    * standing in for an image resize the way [[decodeStub]] stands in for
-    * a decoder. HOF-only, so it runs inside the scan projection; a real
-    * resize would swap into the [[decodeStub]] batch path instead.
+    * standing in for an image resize the way the byte histogram once
+    * stood in for a decoder. HOF-only, so it runs inside the scan
+    * projection; a real resize would swap into the [[decodePgmBatch]]
+    * batch path instead.
     */
   def resizeSpark(text: String, factor: Int): String =
     s"array_join(transform(sequence(0, CAST(floor((length($text) - 1) / $factor) AS INT)), " +

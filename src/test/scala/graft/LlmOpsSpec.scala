@@ -108,20 +108,50 @@ class LlmOpsSpec extends SparkTestBase {
     assert(projLine.trim.startsWith("*("), projLine)
   }
 
-  test("multimodal: decode stub preserves rows, batch shape, determinism") {
-    val media = MultimodalOps.mediaTable(docs)
-    val feats = MultimodalOps.decodeFeatures(spark, media)
+  test("multimodal: PGM decode preserves rows, batch shape, determinism") {
+    val media = MultimodalOps.pgmTable(spark, docs)
+    val feats = MultimodalOps.decodeFeatures(media)
     val rows = feats.collect()
     assert(rows.length == docs.count())
     rows.foreach { f =>
+      assert(f.nBytes > 0, s"doc ${f.docId} failed to decode") // every synthetic PGM decodes
       assert(f.features.length == 16)
-      // histogram is normalized: sums to ~1 for non-empty payloads
+      // histogram is normalized: sums to ~1 for non-empty rasters
       assert(math.abs(f.features.sum - 1f) < 1e-3)
     }
     // deterministic across runs
-    val again = MultimodalOps.decodeFeatures(spark, media).collect()
+    val again = MultimodalOps.decodeFeatures(media).collect()
     assert(rows.sortBy(_.docId).zip(again.sortBy(_.docId))
       .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("PGM codec: hand-written image round-trips; malformed inputs quarantine") {
+    // hand-written 4x3, maxval 255, with a header comment; raster bytes
+    // 0..11 — written out longhand, not via encodePgm, so the parser is
+    // tested against the FORMAT, not against the encoder
+    val hand = ("P5\n# a comment\n4 3\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      ++ (0 until 12).map(_.toByte))
+    val img = MultimodalOps.decodePgm(hand).get
+    assert(img.width == 4 && img.height == 3 && img.maxVal == 255)
+    assert(img.pixels.length == 12)
+    assert(img.pixels.sameElements((0 until 12).map(_.toByte)))
+    // encode → decode round-trip preserves dims and raster
+    val rt = MultimodalOps.decodePgm(
+      MultimodalOps.encodePgm(4, 3, 255, img.pixels)).get
+    assert(rt.width == 4 && rt.height == 3 &&
+      rt.pixels.sameElements(img.pixels))
+    // malformed inputs → None, never a throw: wrong magic, short
+    // raster, junk dims, 2-byte samples
+    assert(MultimodalOps.decodePgm("P2\n4 3\n255\n".getBytes).isEmpty)
+    assert(MultimodalOps.decodePgm(hand.dropRight(1)).isEmpty)
+    assert(MultimodalOps.decodePgm("P5\n4 x\n255\n".getBytes).isEmpty)
+    assert(MultimodalOps.decodePgm("P5\n4 3\n65535\n".getBytes).isEmpty)
+    // quarantine path: a non-PGM payload maps to nBytes = -1
+    val bad = MultimodalOps.decodePgmBatch(Iterator(
+      MultimodalOps.MediaItem(7L, "not an image".getBytes,
+        MultimodalOps.MediaMeta("txt", 0, 0, 0L)))).toSeq
+    assert(bad.head.nBytes == -1L && bad.head.features.forall(_ == 0f))
   }
 
   test("partitioned sink: layout round-trips and reads prune partitions") {
@@ -245,10 +275,10 @@ class LlmOpsSpec extends SparkTestBase {
   }
 
   test("end-to-end multimodal: decoded features feed the ANN path") {
-    // media → batched decode (stub) → feature vectors → cosine top-k:
+    // media → batched PGM decode → feature vectors → cosine top-k:
     // the full multimodal-to-similarity pipeline over real plumbing.
-    val media = MultimodalOps.mediaTable(docs)
-    val feats = MultimodalOps.decodeFeatures(spark, media).toDF()
+    val media = MultimodalOps.pgmTable(spark, docs)
+    val feats = MultimodalOps.decodeFeatures(media).toDF()
       .select(col("docId").as("vec_id"), col("features").as("embedding"))
     val p = SimilarityOps.prepped(feats)
     val topk = SimilarityOps.bruteForceTopK(p, p.filter(col("vec_id") < 3), 5)
