@@ -712,7 +712,8 @@ object LlmEntry {
       //   full-corpus passes (q33–q36) own those; this op is the delta.
       val c = DedupOps.corpus(Tables.documents(s, d))
       val isNew = col("doc_id") % NewMod === NewResidue ||
-        col("doc_id") >= DedupOps.NearCopyOffset
+        (col("doc_id") >= DedupOps.NearCopyOffset &&
+          col("doc_id") < DedupOps.PlantCeil)
       val prep = c.select(col("doc_id"),
           DedupOps.contentHashSpark().as("content_hash"),
           expr(s"shingle_hashes(text, ${DedupOps.ShingleK})").as("sh"))
@@ -1409,10 +1410,12 @@ object LlmEntry {
          |        FROM corpus) h ON h.doc_id = s.doc_id),
          |newdocs AS (SELECT * FROM prep
          |            WHERE doc_id % $NewMod = $NewResidue
-         |               OR doc_id >= ${DedupOps.NearCopyOffset}),
+         |               OR (doc_id >= ${DedupOps.NearCopyOffset}
+         |                   AND doc_id < ${DedupOps.PlantCeil})),
          |refdocs AS (SELECT * FROM prep
          |            WHERE NOT (doc_id % $NewMod = $NewResidue
-         |                    OR doc_id >= ${DedupOps.NearCopyOffset})),
+         |                    OR (doc_id >= ${DedupOps.NearCopyOffset}
+         |                        AND doc_id < ${DedupOps.PlantCeil}))),
          |exact AS (SELECT DISTINCT n.doc_id
          |          FROM newdocs n JOIN refdocs r USING (content_hash)),
          |sigs AS (SELECT doc_id, ${DedupOps.signatureDuck("sh")} AS sig

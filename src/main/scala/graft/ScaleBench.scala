@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-checkpoint main (VERDICT r08 §next-5): measure how the
+  * dedup/ANN family actually scales, instead of asserting it from plan
+  * shape. Replicates the sf0.1 corpus ×m for m ∈ SPARK_GRAFT_SCALE_MULTS
+  * (default 1,4,16 — two ×4 steps ⇒ a log-log slope β per query), runs
+  * the family at every scale, and reports per-query times plus β
+  * (time ∝ m^β; β ≈ 1 linear, β ≈ 2 quadratic). Writes
+  * `scalebench_result.json` and prints one compact JSON line.
+  *
+  * Replication must grow the corpus WITHOUT changing its duplicate
+  * density — naive row copies would make every doc an m-way exact dup,
+  * so dedup work would measure the copies, not the scaling:
+  *  - documents: replica r>0 is passed through a per-replica substitution
+  *    cipher (letter/digit rotation). Length, whitespace, and token
+  *    structure are preserved, so every within-replica duplicate/overlap
+  *    relation survives verbatim (duplicate density per replica is the
+  *    fixture's), while cross-replica shingle/gram sharing drops to ~0.
+  *  - embeddings: replica r>0 is multiplied by a per-replica ±1 sign
+  *    pattern — a diagonal orthogonal transform, so every within-replica
+  *    cosine is preserved bit-for-bit, while cross-replica vectors land
+  *    quasi-orthogonal (independent signs per coordinate).
+  *  - ids stride by 1e6 per replica, far above every planted-fixture
+  *    threshold (plant zone < 20030, probe/plant selectors < 10000), so
+  *    the planted eval sets stay fixed-size as the corpus grows — the
+  *    realistic shape: eval suites don't grow with the crawl.
+  */
+object ScaleBench {
+  /** Queries of the dedup/ANN family named by VERDICT r08 §next-5. */
+  private[graft] val Family = Seq(
+    "q33_dedup_exact", "q34_minhash_buckets", "q35_minhash_pairs",
+    "q36_jaccard_verify", "q37_simhash", "q38_cosine_topk",
+    "q39_cosine_lsh_topk", "q40_embed_neardup", "q61_decontam",
+    "q71_dup_clusters", "q89_bloom_screen", "q90_incremental_dedup",
+    "q95_semantic_dedup", "q96_span_dedup", "q97_ann_recall")
+
+  private[graft] val IdStride = 1000000L
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+  private val Digits = "0123456789"
+  private def rot(s: String, k: Int): String = s.drop(k) + s.take(k)
+
+  /** Per-replica substitution cipher: rotate letters by 1+((r-1) mod 25)
+    * and digits by 1+((r-1) mod 9) — never the identity for r > 0, so no
+    * replica shares n-grams with another (first collision at r ≡ r' mod
+    * 225). Character-for-character, so lengths/whitespace/token
+    * boundaries — everything the quality and shingle operators key on —
+    * are preserved.
+    */
+  private[graft] def cipher(text: Column, r: Int): Column =
+    if (r == 0) text
+    else {
+      val kL = 1 + (r - 1) % 25
+      val kD = 1 + (r - 1) % 9
+      translate(translate(translate(text, Lower, rot(Lower, kL)),
+        Upper, rot(Upper, kL)), Digits, rot(Digits, kD))
+    }
+
+  /** Deterministic ±1 sign for coordinate i of replica r (splitmix-style
+    * bit mix — any fixed hash works; it only has to be deterministic and
+    * roughly balanced).
+    */
+  private[graft] def sign(r: Int, i: Int): Float = {
+    var z = r.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+    z ^= z >>> 31; z *= 0x94D049BB133111EBL; z ^= z >>> 29
+    if ((z & 1L) == 0L) 1.0f else -1.0f
+  }
+
+  private[graft] def scaledDocs(base: DataFrame, m: Int): DataFrame =
+    (0 until m).map { r =>
+      base.select((col("doc_id") + lit(r * IdStride)).as("doc_id"),
+        cipher(col("text"), r).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+
+  private[graft] def scaledEmbeddings(base: DataFrame, m: Int,
+                                      dim: Int): DataFrame =
+    (0 until m).map { r =>
+      val vec =
+        if (r == 0) col("embedding")
+        else {
+          val signs = array((0 until dim).map(i => lit(sign(r, i))): _*)
+          zip_with(col("embedding"), signs,
+            (x, s) => (x * s).cast("float"))
+        }
+      base.select((col("vec_id") + lit(r * IdStride)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+
+  /** Builds the ×m corpus dir: scaled documents + embeddings parquet,
+    * symlinks for every other base table (the family only reads the two
+    * corpora; links keep any stray read working).
+    */
+  private def buildDir(spark: SparkSession, baseDir: String, m: Int,
+                       out: String): Unit = {
+    val outP = Paths.get(out)
+    if (Files.exists(outP.resolve("_DONE"))) return
+    Files.createDirectories(outP)
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // one file per ~8 base-replicas keeps file counts sane while giving
+    // the scans real parallelism at every m
+    scaledDocs(docs, m).repartition(math.max(4, m / 2))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    scaledEmbeddings(emb, m, dim).repartition(math.max(4, m / 2))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    Files.list(Paths.get(baseDir)).forEach { p =>
+      val name = p.getFileName.toString
+      val tgt = outP.resolve(name)
+      if (!Files.exists(tgt)) Files.createSymbolicLink(tgt, p)
+    }
+    Files.writeString(outP.resolve("_DONE"), "ok\n")
+  }
+
+  /** log-log least-squares slope of time vs multiplier. */
+  private[graft] def beta(points: Seq[(Int, Double)]): Double = {
+    val pts = points.filter { case (_, t) => t > 0 }
+    if (pts.size < 2) return Double.NaN
+    val xs = pts.map(p => math.log(p._1.toDouble))
+    val ys = pts.map(p => math.log(p._2))
+    val n = pts.size
+    val mx = xs.sum / n; val my = ys.sum / n
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    if (den == 0) Double.NaN
+    else xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / den
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,4,16")
+      .split(",").map(_.trim.toInt).filter(_ >= 1).distinct.sorted.toSeq
+    val runs = sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.trim.toInt)
+      .filter(_ >= 1).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "target/scalebench")
+    val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def materialize(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val t0 = System.nanoTime()
+    val dirs = mults.map { m =>
+      val d = s"$outRoot/x$m"
+      buildDir(spark, baseDir, m, d)
+      m -> d
+    }
+    val genSec = (System.nanoTime() - t0) / 1e9
+
+    // mult-major order: every query's warmup at a scale happens right
+    // before its timed runs at that scale, so JIT/codegen state is the
+    // same at every multiplier and ratios compare like with like
+    val times = scala.collection.mutable.Map.empty[(String, Int), Double]
+    var errors = List.empty[(String, String)]
+    for ((m, d) <- dirs; name <- Family) {
+      val fn = SparkEntry.queries(name)
+      try {
+        materialize(fn(spark, d)) // untimed warmup
+        val ts = (1 to runs).map { _ =>
+          val s0 = System.nanoTime()
+          materialize(fn(spark, d))
+          (System.nanoTime() - s0) / 1e9
+        }
+        times((name, m)) = Bench.median(ts)
+      } catch {
+        case e: Throwable =>
+          times((name, m)) = -1.0
+          errors ::= (s"$name@x$m",
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+      }
+    }
+    spark.stop()
+
+    def f(d: Double): String =
+      if (d.isNaN) "null" else BigDecimal(d).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toString
+    val perQuery = Family.map { name =>
+      val pts = mults.map(m => m -> times.getOrElse((name, m), -1.0))
+      val b = beta(pts)
+      val cells = pts.map { case (m, t) => s""""x$m":${f(t)}""" }.mkString(",")
+      s""""$name":{$cells,"beta":${f(b)}}"""
+    }.mkString(",")
+    val errJson = errors.reverse.map { case (k, v) =>
+      s""""$k":"${v.replace("\"", "'")}"""" }.mkString(",")
+    val json = s"""{"metric":"scale_checkpoint","unit":"sec","base":"$baseDir","mults":[${mults.mkString(",")}],"runs":$runs,"gen_s":${f(genSec)},"queries":{$perQuery},"errors":{$errJson}}"""
+    Files.writeString(Paths.get("scalebench_result.json"), json + "\n")
+    println(json)
+  }
+}

@@ -51,6 +51,14 @@ object DedupOps {
   val ExactCopyOffset = 20000L
   val NearCopyN = 50
   val NearCopyOffset = 10000L
+  /** Exclusive upper bound of the planted-copy id zone:
+    * [NearCopyOffset, NearCopyOffset+NearCopyN) ∪
+    * [ExactCopyOffset, ExactCopyOffset+ExactCopyN). Predicates that mean
+    * "is a planted copy" must test BOTH bounds — a bare
+    * `doc_id >= NearCopyOffset` silently swallows every base doc above
+    * the zone once the corpus outgrows the sf0.1 fixture's id range.
+    */
+  val PlantCeil: Long = ExactCopyOffset + ExactCopyN
 
   // ---- corpus with planted duplicates (both dialects) -------------------
   /** documents ∪ exact copies ∪ near copies. The near copy drops the
