@@ -69,8 +69,23 @@ object Bench {
       catch { case _: Throwable => () }
 
     var errors = List.empty[(String, String)]
+    // Leftover-block sweep between queries: detached results
+    // (localCheckpoint blocks, core.Materialize) are only reclaimed when
+    // the ContextCleaner notices the dropped reference — left alone they
+    // pile up in the block manager across a 98-query run, and later
+    // queries pay spill/GC pressure that depends on collector timing
+    // (measured: q61 at 16x corpus runs 2.0 s in a clean session, 7-8 s
+    // after a handful of prior queries — the same contiguous-block
+    // swings three rounds of one-shot benches misread as machine noise).
+    // Unpersisting everything still registered makes each query's
+    // timing start from an empty block manager.
+    def sweepBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
     val results: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        sweepBlocks()
         val times = Seq.newBuilder[Double]
         var failed = false
         var i = 0

@@ -138,6 +138,10 @@ object ScaleBench {
       .split(",").map(_.trim.toInt).filter(_ >= 1).distinct.sorted.toSeq
     val runs = sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.trim.toInt)
       .filter(_ >= 1).getOrElse(2)
+    // comma-separated subset of Family for re-measuring single queries
+    val family = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(Family.contains).toSeq)
+      .filter(_.nonEmpty).getOrElse(Family)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "target/scalebench")
@@ -161,8 +165,12 @@ object ScaleBench {
     // same at every multiplier and ratios compare like with like
     val times = scala.collection.mutable.Map.empty[(String, Int), Double]
     var errors = List.empty[(String, String)]
-    for ((m, d) <- dirs; name <- Family) {
+    for ((m, d) <- dirs; name <- family) {
       val fn = SparkEntry.queries(name)
+      // same leftover-block sweep as Bench: detached localCheckpoint
+      // blocks from the previous query otherwise skew this one's timing
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       try {
         materialize(fn(spark, d)) // untimed warmup
         val ts = (1 to runs).map { _ =>
@@ -183,7 +191,7 @@ object ScaleBench {
     def f(d: Double): String =
       if (d.isNaN) "null" else BigDecimal(d).setScale(3,
         BigDecimal.RoundingMode.HALF_UP).toString
-    val perQuery = Family.map { name =>
+    val perQuery = family.map { name =>
       val pts = mults.map(m => m -> times.getOrElse((name, m), -1.0))
       val b = beta(pts)
       val cells = pts.map { case (m, t) => s""""x$m":${f(t)}""" }.mkString(",")
