@@ -85,11 +85,14 @@ object Bench {
 
     val results: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        sweepBlocks()
         val times = Seq.newBuilder[Double]
         var failed = false
         var i = 0
         while (i < runs && !failed) {
+          // sweep before EVERY timed run, not just the first: a heavy
+          // query's own detached blocks from run i otherwise pressure
+          // run i+1 (q97 measured 1.6 s first run, 3.3-3.9 s later runs)
+          sweepBlocks()
           val t0 = System.nanoTime()
           try { materialize(fn(spark, sfDir)); times += (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>

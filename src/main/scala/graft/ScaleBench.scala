@@ -167,13 +167,17 @@ object ScaleBench {
     var errors = List.empty[(String, String)]
     for ((m, d) <- dirs; name <- family) {
       val fn = SparkEntry.queries(name)
-      // same leftover-block sweep as Bench: detached localCheckpoint
-      // blocks from the previous query otherwise skew this one's timing
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // same leftover-block sweep as Bench, before every run: detached
+      // localCheckpoint blocks from the previous query — or from this
+      // query's own prior run — otherwise skew the next timing
+      def sweepBlocks(): Unit =
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       try {
+        sweepBlocks()
         materialize(fn(spark, d)) // untimed warmup
         val ts = (1 to runs).map { _ =>
+          sweepBlocks()
           val s0 = System.nanoTime()
           materialize(fn(spark, d))
           (System.nanoTime() - s0) / 1e9
