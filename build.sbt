@@ -32,5 +32,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g left local[32] (32 concurrent tasks) with ~150 MB of Spark
+  // execution memory per task — heavy dedup queries at 64-256x corpora
+  // sat on the GC edge and their wall times swung 1.5-3x between
+  // sessions. The machine has 128 GiB; 64g keeps every measured
+  // workload fully in-heap while leaving half the box to the OS.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )
