@@ -79,9 +79,16 @@ object Bench {
     // swings three rounds of one-shot benches misread as machine noise).
     // Unpersisting everything still registered makes each query's
     // timing start from an empty block manager.
-    def sweepBlocks(): Unit =
+    def sweepBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // quiesce the JVM before each timed shot (the JMH discipline): the
+      // ContextCleaner only reclaims dropped checkpoint refs on a GC,
+      // and G1 carries humongous-array garbage (shingle/vector rows)
+      // across queries — measured 3-6x degradation of late-session
+      // heavies at large corpus multipliers without this
+      System.gc()
+    }
 
     val results: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
