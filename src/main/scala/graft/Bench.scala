@@ -79,16 +79,18 @@ object Bench {
     // swings three rounds of one-shot benches misread as machine noise).
     // Unpersisting everything still registered makes each query's
     // timing start from an empty block manager.
-    def sweepBlocks(): Unit = {
+    // Unpersist-only, deliberately NO forced GC here: the sweep alone
+    // already stabilized this bench (median per-query spread 0.19 s at
+    // sf0.1), while a System.gc() per query or per shot measured +10 s
+    // across the 98 queries (~0.1 s/query of code-cache/soft-ref
+    // re-warm billed to the timed shots) with NO variance reduction.
+    // ScaleBench, whose multi-hundred-MB sessions DO accumulate
+    // GC-resistant humongous-array garbage (measured 3-6x late-session
+    // degradation), keeps a per-(query, scale) GC — different workload,
+    // different hygiene.
+    def sweepBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      // quiesce the JVM before each timed shot (the JMH discipline): the
-      // ContextCleaner only reclaims dropped checkpoint refs on a GC,
-      // and G1 carries humongous-array garbage (shingle/vector rows)
-      // across queries — measured 3-6x degradation of late-session
-      // heavies at large corpus multipliers without this
-      System.gc()
-    }
 
     val results: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -170,16 +170,16 @@ object ScaleBench {
       // same leftover-block sweep as Bench, before every run: detached
       // localCheckpoint blocks from the previous query — or from this
       // query's own prior run — otherwise skew the next timing
-      def sweepBlocks(): Unit = {
+      def sweepBlocks(): Unit =
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        // quiesce before each timed shot, same rationale as Bench:
-        // without a forced GC, late-session heavies at big multipliers
-        // degraded 3-6x from accumulated humongous-array garbage
-        System.gc()
-      }
       try {
         sweepBlocks()
+        // quiesce once per (query, scale), same rationale as Bench:
+        // without a forced GC, late-session heavies at big multipliers
+        // degraded 3-6x from accumulated humongous-array garbage; the
+        // per-shot sweep alone keeps run-to-run stability
+        System.gc()
         materialize(fn(spark, d)) // untimed warmup
         val ts = (1 to runs).map { _ =>
           sweepBlocks()
