@@ -69,21 +69,18 @@ object Bench {
       catch { case _: Throwable => () }
 
     var errors = List.empty[(String, String)]
-    // Leftover-block sweep between queries: detached results
-    // (localCheckpoint blocks, core.Materialize) are only reclaimed when
-    // the ContextCleaner notices the dropped reference — left alone they
-    // pile up in the block manager across a 98-query run, and later
-    // queries pay spill/GC pressure that depends on collector timing
-    // (measured: q61 at 16x corpus runs 2.0 s in a clean session, 7-8 s
-    // after a handful of prior queries — the same contiguous-block
-    // swings three rounds of one-shot benches misread as machine noise).
-    // Unpersisting everything still registered makes each query's
-    // timing start from an empty block manager.
-    // Unpersist-only, deliberately NO forced GC here: the sweep alone
-    // already stabilized this bench (median per-query spread 0.19 s at
-    // sf0.1), while a System.gc() per query or per shot measured +10 s
-    // across the 98 queries (~0.1 s/query of code-cache/soft-ref
-    // re-warm billed to the timed shots) with NO variance reduction.
+    // Leftover-block sweep: detached results (localCheckpoint blocks,
+    // core.Materialize) are only reclaimed when the ContextCleaner
+    // notices the dropped reference — left alone they pile up in the
+    // block manager across a 98-query run, and later queries pay
+    // spill/GC pressure that depends on collector timing (measured:
+    // q61 at a 16x corpus runs 2.0 s in a clean session, 7-8 s after a
+    // handful of prior queries — the same contiguous-block swings three
+    // rounds of one-shot benches misread as machine noise). Unpersist
+    // only, deliberately NO forced GC: the sweep alone holds per-query
+    // spread to ~0.2 s at sf0.1, while a System.gc() per query or per
+    // shot measured +10 s across the 98 queries (code-cache/soft-ref
+    // re-warm billed to the timed shots) with no variance reduction.
     // ScaleBench, whose multi-hundred-MB sessions DO accumulate
     // GC-resistant humongous-array garbage (measured 3-6x late-session
     // degradation), keeps a per-(query, scale) GC — different workload,

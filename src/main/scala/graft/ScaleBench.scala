@@ -152,6 +152,16 @@ object ScaleBench {
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // 1-minute load average before/after: this VM's host contends
+    // intermittently (observed 15-min load 18 with nothing but one
+    // local[32] session running), and a contended window corrupts even
+    // within-session ratios — recording it makes a polluted checkpoint
+    // self-evident instead of silently wrong
+    def loadAvg(): Double =
+      try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
+
     val t0 = System.nanoTime()
     val dirs = mults.map { m =>
       val d = s"$outRoot/x$m"
@@ -175,10 +185,11 @@ object ScaleBench {
           .foreach(_.unpersist(blocking = false))
       try {
         sweepBlocks()
-        // quiesce once per (query, scale), same rationale as Bench:
-        // without a forced GC, late-session heavies at big multipliers
-        // degraded 3-6x from accumulated humongous-array garbage; the
-        // per-shot sweep alone keeps run-to-run stability
+        // quiesce once per (query, scale) — unlike Bench, which
+        // measured a forced GC as pure overhead at sf0.1: these
+        // multi-hundred-MB sessions degrade 3-6x late-session from
+        // accumulated humongous-array garbage without it; the per-shot
+        // sweep alone keeps run-to-run stability
         System.gc()
         materialize(fn(spark, d)) // untimed warmup
         val ts = (1 to runs).map { _ =>
@@ -208,7 +219,7 @@ object ScaleBench {
     }.mkString(",")
     val errJson = errors.reverse.map { case (k, v) =>
       s""""$k":"${v.replace("\"", "'")}"""" }.mkString(",")
-    val json = s"""{"metric":"scale_checkpoint","unit":"sec","base":"$baseDir","mults":[${mults.mkString(",")}],"runs":$runs,"gen_s":${f(genSec)},"queries":{$perQuery},"errors":{$errJson}}"""
+    val json = s"""{"metric":"scale_checkpoint","unit":"sec","base":"$baseDir","mults":[${mults.mkString(",")}],"runs":$runs,"gen_s":${f(genSec)},"load":{"start":${f(loadStart)},"end":${f(loadAvg())}},"queries":{$perQuery},"errors":{$errJson}}"""
     Files.writeString(Paths.get("scalebench_result.json"), json + "\n")
     println(json)
   }
