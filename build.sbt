@@ -37,5 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // sat on the GC edge and their wall times swung 1.5-3x between
   // sessions. The machine has 128 GiB; 64g keeps every measured
   // workload fully in-heap while leaving half the box to the OS.
+  // On smaller hosts (or under strict overcommit / address-space
+  // ulimits) export SPARK_DRIVER_MEM=8g — it overrides for every fork
+  // (tests and all run mains); 64g is only a default for THIS box.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

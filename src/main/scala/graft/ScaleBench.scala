@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.util.Using
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,6 +42,14 @@ object ScaleBench {
     "q95_semantic_dedup", "q96_span_dedup", "q97_ann_recall")
 
   private[graft] val IdStride = 1000000L
+
+  /** Bump when cipher/sign/stride/layout logic changes: the cached ×m
+    * corpora under `target/scalebench` are only valid for the generator
+    * that wrote them, and the `_DONE` marker records this tag (plus the
+    * base dir) so a stale cache rebuilds instead of silently serving
+    * wrong-scale data.
+    */
+  private[graft] val GenVersion = 2
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
@@ -97,26 +107,39 @@ object ScaleBench {
     * symlinks for every other base table (the family only reads the two
     * corpora; links keep any stray read working).
     */
-  private def buildDir(spark: SparkSession, baseDir: String, m: Int,
-                       out: String): Unit = {
+  private[graft] def buildDir(spark: SparkSession, baseDir: String, m: Int,
+                              out: String): Unit = {
     val outP = Paths.get(out)
-    if (Files.exists(outP.resolve("_DONE"))) return
+    val marker = outP.resolve("_DONE")
+    // the marker is keyed by base dir + generator version: a cache built
+    // from sf0.001 (or by older cipher/sign code) must not satisfy an
+    // sf0.1 run — it would measure the wrong corpus at every multiplier
+    val stamp = s"base=$baseDir gen=$GenVersion\n"
+    if (Files.exists(marker) && Files.readString(marker) == stamp) return
+    if (Files.exists(outP)) { // stale or partial: rebuild from scratch
+      Using.resource(Files.walk(outP)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    }
     Files.createDirectories(outP)
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    // one file per ~8 base-replicas keeps file counts sane while giving
-    // the scans real parallelism at every m
+    // one file per ~2 base-replicas keeps file counts sane while giving
+    // the scans real parallelism at every m (x256 ⇒ 128 files)
     scaledDocs(docs, m).repartition(math.max(4, m / 2))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     scaledEmbeddings(emb, m, dim).repartition(math.max(4, m / 2))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    Files.list(Paths.get(baseDir)).forEach { p =>
-      val name = p.getFileName.toString
-      val tgt = outP.resolve(name)
-      if (!Files.exists(tgt)) Files.createSymbolicLink(tgt, p)
+    Using.resource(Files.list(Paths.get(baseDir))) { ls =>
+      ls.forEach { p =>
+        val name = p.getFileName.toString
+        val tgt = outP.resolve(name)
+        if (!Files.exists(tgt)) Files.createSymbolicLink(tgt, p)
+      }
     }
-    Files.writeString(outP.resolve("_DONE"), "ok\n")
+    Files.writeString(marker, stamp)
   }
 
   /** log-log least-squares slope of time vs multiplier. */
@@ -217,9 +240,12 @@ object ScaleBench {
       val cells = pts.map { case (m, t) => s""""x$m":${f(t)}""" }.mkString(",")
       s""""$name":{$cells,"beta":${f(b)}}"""
     }.mkString(",")
+    // Bench.esc: escapes quotes/backslashes, flattens control chars —
+    // Spark exception messages routinely contain newlines, which would
+    // break both the JSON and the single-line grep contract
     val errJson = errors.reverse.map { case (k, v) =>
-      s""""$k":"${v.replace("\"", "'")}"""" }.mkString(",")
-    val json = s"""{"metric":"scale_checkpoint","unit":"sec","base":"$baseDir","mults":[${mults.mkString(",")}],"runs":$runs,"gen_s":${f(genSec)},"load":{"start":${f(loadStart)},"end":${f(loadAvg())}},"queries":{$perQuery},"errors":{$errJson}}"""
+      s""""${Bench.esc(k)}":"${Bench.esc(v)}"""" }.mkString(",")
+    val json = s"""{"metric":"scale_checkpoint","unit":"sec","base":"${Bench.esc(baseDir)}","mults":[${mults.mkString(",")}],"runs":$runs,"gen_s":${f(genSec)},"load":{"start":${f(loadStart)},"end":${f(loadAvg())}},"queries":{$perQuery},"errors":{$errJson}}"""
     Files.writeString(Paths.get("scalebench_result.json"), json + "\n")
     println(json)
   }

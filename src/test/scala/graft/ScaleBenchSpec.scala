@@ -79,6 +79,25 @@ class ScaleBenchSpec extends SparkTestBase {
     assert(ScaleBench.beta(Seq(1 -> 1.0)).isNaN)
   }
 
+  test("buildDir cache is keyed by base dir + generator version") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("scalebench-cache").toString
+    val marker = Paths.get(out, "x1", "_DONE")
+    ScaleBench.buildDir(spark, sf, 1, s"$out/x1")
+    assert(Files.readString(marker) ==
+      s"base=$sf gen=${ScaleBench.GenVersion}\n")
+    val t0 = Files.getLastModifiedTime(marker)
+    // same base + version: cache hit, nothing rewritten
+    ScaleBench.buildDir(spark, sf, 1, s"$out/x1")
+    assert(Files.getLastModifiedTime(marker) == t0)
+    // a stale marker (older generator / different base) forces a rebuild
+    Files.writeString(marker, s"base=$sf gen=${ScaleBench.GenVersion - 1}\n")
+    ScaleBench.buildDir(spark, sf, 1, s"$out/x1")
+    assert(Files.readString(marker) ==
+      s"base=$sf gen=${ScaleBench.GenVersion}\n")
+    assert(Files.exists(Paths.get(out, "x1", "documents.parquet")))
+  }
+
   test("sign pattern is deterministic and roughly balanced") {
     val s1 = (0 until 64).map(ScaleBench.sign(1, _))
     val s2 = (0 until 64).map(ScaleBench.sign(1, _))
