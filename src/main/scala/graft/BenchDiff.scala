@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Compares two `bench_result.json` files (Bench's full-precision format,
+  * which records every raw run per query) and reports which per-query
+  * changes are REAL under the instrument's own noise — the operational
+  * answer to three rounds of 2-4× phantom swings (VERDICT r6-r8): a
+  * point-estimate ratio can't distinguish a regression from host
+  * contention, but two disjoint run distributions can.
+  *
+  * Decision rule, per query: a change is significant only when the run
+  * ranges are disjoint by a margin — regression if `new.min > old.max ×
+  * margin`, improvement if `new.max < old.min ÷ margin` (default margin
+  * 1.30). With 3 runs a side this is deliberately conservative: every
+  * observed old run must be faster than every observed new run by 30%
+  * before we call it a regression. Everything else is "within noise" —
+  * which is a finding too: it's what makes "no regression" claimable.
+  *
+  * Usage: `runMain graft.BenchDiff old.json new.json [margin]`. Prints
+  * one JSON line; exit code 1 iff any regression is flagged, so the diff
+  * can gate a CI step.
+  */
+object BenchDiff {
+  final case class Stats(median: Double, min: Double, max: Double)
+
+  private[graft] def queryStats(root: JsonNode): Map[String, Stats] = {
+    val qs = root.path("queries")
+    qs.properties().asScala.map { e =>
+      val v = e.getValue
+      e.getKey -> Stats(v.path("median").asDouble(-1),
+        v.path("min").asDouble(-1), v.path("max").asDouble(-1))
+    }.toMap
+  }
+
+  sealed trait Verdict
+  case object Regression extends Verdict
+  case object Improvement extends Verdict
+  case object WithinNoise extends Verdict
+
+  /** Disjoint-range test: only the run envelopes decide, never the
+    * medians alone — medians of overlapping distributions are noise.
+    */
+  private[graft] def classify(old: Stats, nw: Stats,
+                              margin: Double): Verdict =
+    if (old.min <= 0 || nw.min <= 0) WithinNoise // errored query: no call
+    else if (nw.min > old.max * margin) Regression
+    else if (nw.max < old.min / margin) Improvement
+    else WithinNoise
+
+  private[graft] def diffJson(oldStats: Map[String, Stats],
+                              newStats: Map[String, Stats],
+                              margin: Double): (String, Boolean) = {
+    val common = oldStats.keySet.intersect(newStats.keySet).toSeq.sorted
+    val classed = common.map { q =>
+      (q, oldStats(q), newStats(q), classify(oldStats(q), newStats(q), margin))
+    }
+    def f(d: Double) = BigDecimal(d).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toString
+    def cells(sel: Verdict) = classed.collect { case (q, o, n, v) if v == sel =>
+      s""""${Bench.esc(q)}":{"old_median":${f(o.median)},"new_median":${f(n.median)},"ratio":${f(n.median / o.median)}}"""
+    }.mkString(",")
+    val nNoise = classed.count(_._4 == WithinNoise)
+    val onlyOld = (oldStats.keySet -- newStats.keySet).size
+    val onlyNew = (newStats.keySet -- oldStats.keySet).size
+    val hasRegression = classed.exists(_._4 == Regression)
+    val json = s"""{"metric":"bench_diff","margin":$margin,"compared":${common.size},"within_noise":$nNoise,"only_old":$onlyOld,"only_new":$onlyNew,"regressions":{${cells(Regression)}},"improvements":{${cells(Improvement)}}}"""
+    (json, hasRegression)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BenchDiff <old bench_result.json> <new bench_result.json> [margin]")
+    val margin = if (args.length >= 3) args(2).toDouble else 1.30
+    val mapper = new ObjectMapper()
+    def load(p: String) =
+      queryStats(mapper.readTree(Files.readString(Paths.get(p))))
+    val (json, hasRegression) =
+      diffJson(load(args(0)), load(args(1)), margin)
+    println(json)
+    if (hasRegression) sys.exit(1)
+  }
+}

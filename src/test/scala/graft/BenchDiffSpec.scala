@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** BenchDiff is only useful if its significance rule actually separates
+  * real movement from the 2-4x phantom swings documented in VERDICT
+  * r6-r8 — these tests pin the rule: disjoint-by-margin run envelopes
+  * decide, medians alone never do.
+  */
+class BenchDiffSpec extends AnyFunSuite {
+  import BenchDiff._
+
+  test("classify: overlapping ranges are noise even with a 3x median gap") {
+    // the r7/r8 phantom shape: medians swing but min-of-new < max-of-old
+    val old = Stats(median = 0.5, min = 0.4, max = 2.0)
+    val nw = Stats(median = 1.6, min = 1.2, max = 1.9)
+    assert(classify(old, nw, 1.3) == WithinNoise)
+  }
+
+  test("classify: disjoint ranges beyond the margin flag a regression") {
+    val old = Stats(median = 0.5, min = 0.4, max = 0.6)
+    val nw = Stats(median = 1.0, min = 0.9, max = 1.1)
+    assert(classify(old, nw, 1.3) == Regression)
+    // symmetric improvement
+    assert(classify(nw, old, 1.3) == Improvement)
+  }
+
+  test("classify: disjoint but inside the margin stays noise") {
+    val old = Stats(median = 0.50, min = 0.45, max = 0.55)
+    val nw = Stats(median = 0.65, min = 0.60, max = 0.70)
+    // 0.60 < 0.55 * 1.3 = 0.715 → not past the margin
+    assert(classify(old, nw, 1.3) == WithinNoise)
+  }
+
+  test("classify: errored queries (-1 sentinels) are never called") {
+    assert(classify(Stats(-1, -1, -1), Stats(1, 1, 1), 1.3) == WithinNoise)
+    assert(classify(Stats(1, 1, 1), Stats(-1, -1, -1), 1.3) == WithinNoise)
+  }
+
+  test("end-to-end: parses Bench's fullJson format and emits one line") {
+    val oldJson =
+      """{"metric":"total","value":2.0,"unit":"sec","runs":3,
+        |"stream_setup_s":0.1,"queries":{
+        |"q1":{"median":0.5,"min":0.4,"max":0.6,"runs":[0.4,0.5,0.6]},
+        |"q2":{"median":1.0,"min":0.9,"max":1.1,"runs":[0.9,1.0,1.1]},
+        |"q3":{"median":1.0,"min":0.9,"max":1.1,"runs":[0.9,1.0,1.1]}},
+        |"errors":{},"sf":"/x"}""".stripMargin
+    val newJson =
+      """{"metric":"total","value":3.0,"unit":"sec","runs":3,
+        |"stream_setup_s":0.1,"queries":{
+        |"q1":{"median":1.0,"min":0.9,"max":1.1,"runs":[0.9,1.0,1.1]},
+        |"q2":{"median":0.5,"min":0.4,"max":0.55,"runs":[0.4,0.5,0.55]},
+        |"q4":{"median":1.0,"min":0.9,"max":1.1,"runs":[0.9,1.0,1.1]}},
+        |"errors":{},"sf":"/x"}""".stripMargin
+    val m = new ObjectMapper()
+    val (json, hasRegression) = diffJson(
+      queryStats(m.readTree(oldJson)), queryStats(m.readTree(newJson)), 1.3)
+    assert(hasRegression)
+    assert(!json.contains("\n"))
+    val root = m.readTree(json) // valid JSON
+    assert(root.path("compared").asInt() == 2)
+    assert(root.path("only_old").asInt() == 1)  // q3 dropped
+    assert(root.path("only_new").asInt() == 1)  // q4 added
+    assert(root.path("regressions").has("q1"))
+    assert(root.path("improvements").has("q2"))
+    assert(root.path("regressions").path("q1").path("ratio").asDouble() == 2.0)
+  }
+}
