@@ -33,13 +33,23 @@ import org.apache.spark.sql.functions._
   *    realistic shape: eval suites don't grow with the crawl.
   */
 object ScaleBench {
-  /** Queries of the dedup/ANN family named by VERDICT r08 §next-5. */
+  /** Queries of the dedup/ANN family named by VERDICT r08 §next-5, plus
+    * the three whose scale behavior changed in r9 and deserves measuring
+    * rather than asserting: q83/q98 (sharded per-language running-sum
+    * windows — per-language volume grows linearly with the corpus) and
+    * q84 (TF-IDF with the broadcast hint removed — the cipher gives each
+    * replica a disjoint token set, so at ×m the vocabulary really is
+    * m× the base: exactly the corpus-proportional-vocabulary scenario
+    * the hint removal is for).
+    */
   private[graft] val Family = Seq(
     "q33_dedup_exact", "q34_minhash_buckets", "q35_minhash_pairs",
     "q36_jaccard_verify", "q37_simhash", "q38_cosine_topk",
     "q39_cosine_lsh_topk", "q40_embed_neardup", "q61_decontam",
-    "q71_dup_clusters", "q89_bloom_screen", "q90_incremental_dedup",
-    "q95_semantic_dedup", "q96_span_dedup", "q97_ann_recall")
+    "q71_dup_clusters", "q83_seq_packing", "q84_tfidf",
+    "q89_bloom_screen", "q90_incremental_dedup",
+    "q95_semantic_dedup", "q96_span_dedup", "q97_ann_recall",
+    "q98_budget_select")
 
   private[graft] val IdStride = 1000000L
 
@@ -142,6 +152,41 @@ object ScaleBench {
     Files.writeString(marker, stamp)
   }
 
+  /** Fixed CPU probe for cross-session comparability: the host this VM
+    * sits on contends invisibly (loadavg only sees our own runqueue;
+    * identical sessions have measured 3-4x apart on the heavy queries —
+    * q71@x16 4.1 s / 15.5 s / 58.5 s across three sessions of identical
+    * code and corpora). The probe is corpus-independent pure compute
+    * (splitmix chain), so its wall time moves ONLY with effective CPU
+    * throughput: two sessions' numbers are comparable iff their canaries
+    * match. `threads = 1` measures single-core speed; `threads = n`
+    * measures the parallel throughput the 32-task stages actually get.
+    */
+  private[graft] def canary(threads: Int, itersPerThread: Long = 200000000L): Double = {
+    def chain(seed: Long): Long = {
+      var z = seed; var acc = 0L; var i = 0L
+      while (i < itersPerThread) {
+        z += 0x9E3779B97F4A7C15L
+        var x = z
+        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+        x ^= x >>> 27; x *= 0x94D049BB133111EBL
+        x ^= x >>> 31
+        acc ^= x; i += 1
+      }
+      acc
+    }
+    val t0 = System.nanoTime()
+    val sinks = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (1 to threads).map { t =>
+      val th = new Thread(() => sinks.addAndGet(chain(t.toLong)))
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    // fold the accumulator into a side effect the JIT cannot elide
+    if (sinks.get() == 42L) System.err.println("canary collision")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** log-log least-squares slope of time vs multiplier. */
   private[graft] def beta(points: Seq[(Int, Double)]): Double = {
     val pts = points.filter { case (_, t) => t > 0 }
@@ -184,6 +229,12 @@ object ScaleBench {
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg()
+    val cpus32 = cpus.toInt
+    // canary before any Spark job: warm the loop once (JIT), then time
+    val canaryWarm = canary(1, 20000000L)
+    val canS0 = canary(1)
+    val canP0 = canary(cpus32)
+    require(canaryWarm >= 0) // keep the warmup result observable
 
     val t0 = System.nanoTime()
     val dirs = mults.map { m =>
@@ -245,7 +296,9 @@ object ScaleBench {
     // break both the JSON and the single-line grep contract
     val errJson = errors.reverse.map { case (k, v) =>
       s""""${Bench.esc(k)}":"${Bench.esc(v)}"""" }.mkString(",")
-    val json = s"""{"metric":"scale_checkpoint","unit":"sec","base":"${Bench.esc(baseDir)}","mults":[${mults.mkString(",")}],"runs":$runs,"gen_s":${f(genSec)},"load":{"start":${f(loadStart)},"end":${f(loadAvg())}},"queries":{$perQuery},"errors":{$errJson}}"""
+    val canS1 = canary(1)
+    val canP1 = canary(cpus32)
+    val json = s"""{"metric":"scale_checkpoint","unit":"sec","base":"${Bench.esc(baseDir)}","mults":[${mults.mkString(",")}],"runs":$runs,"gen_s":${f(genSec)},"load":{"start":${f(loadStart)},"end":${f(loadAvg())}},"canary":{"single_s":[${f(canS0)},${f(canS1)}],"par${cpus32}_s":[${f(canP0)},${f(canP1)}]},"queries":{$perQuery},"errors":{$errJson}}"""
     Files.writeString(Paths.get("scalebench_result.json"), json + "\n")
     println(json)
   }

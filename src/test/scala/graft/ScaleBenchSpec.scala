@@ -98,6 +98,17 @@ class ScaleBenchSpec extends SparkTestBase {
     assert(Files.exists(Paths.get(out, "x1", "documents.parquet")))
   }
 
+  test("canary probe times positive and scales with work") {
+    ScaleBench.canary(1, 4000000L) // JIT warmup — untimed, like main()
+    val short = ScaleBench.canary(1, 1000000L)
+    val long = ScaleBench.canary(1, 16000000L)
+    assert(short > 0 && long > 0)
+    // 16x the iterations must cost measurably more (loose 2x bound —
+    // this is a smoke test, not a benchmark of the benchmark)
+    assert(long > short * 2, s"canary not work-proportional: $short vs $long")
+    assert(ScaleBench.canary(2, 1000000L) > 0)
+  }
+
   test("sign pattern is deterministic and roughly balanced") {
     val s1 = (0 until 64).map(ScaleBench.sign(1, _))
     val s2 = (0 until 64).map(ScaleBench.sign(1, _))
