@@ -38,6 +38,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.trim.toInt)
       .filter(_ >= 1).getOrElse(DefaultRuns)
+    // CPU canary (ScaleBench.canary): fixed corpus-independent compute
+    // timed before any Spark work and again after spark.stop(). Two
+    // bench sessions' numbers are cross-comparable only when their
+    // canaries match — the host contends invisibly (loadavg sees only
+    // our own runqueue), and r10 measured identical sessions 3-4x apart
+    // on heavy queries while canaries moved <30%. BenchDiff reads this
+    // field and annotates comparability.
+    ScaleBench.canary(1, 20000000L) // JIT warmup, untimed
+    val canS0 = ScaleBench.canary(1)
+    val canP0 = ScaleBench.canary(cpus.toInt)
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -89,8 +99,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
 
+    // comma-separated subset for profiling one query's distribution
+    // (mirrors ScaleBench's SPARK_GRAFT_SCALE_QUERIES); unset = all
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
     val results: Seq[(String, Seq[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => subset.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val times = Seq.newBuilder[Double]
         var failed = false
         var i = 0
@@ -126,10 +142,12 @@ object Bench {
     val setupSec = if (setupTimes.isEmpty) -1.0 else median(setupTimes)
 
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
-    val json = fullJson(results, errors, total, sfDir, runs, setupSec)
+    spark.stop()
+    val canary = Seq(canS0, canP0, ScaleBench.canary(1),
+      ScaleBench.canary(cpus.toInt))
+    val json = fullJson(results, errors, total, sfDir, runs, setupSec, canary)
     println(json)
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
-    spark.stop()
     // FINAL stdout line: the compact form. The driver stores only the
     // last 2000 chars of stdout (BENCH_r0{1,2,3}.json "tail" is exactly
     // 2000 chars, cut mid-JSON) — the full-name full-precision line is
@@ -137,7 +155,8 @@ object Bench {
     // keep this line inside the tail window with room for sbt's
     // [success] line (guarded by BenchEncodeSpec, degradation order
     // documented on compactJson).
-    println(compactJson(results, errors.size, total, sfDir, runs, setupSec))
+    println(compactJson(results, errors.size, total, sfDir, runs, setupSec,
+      canary))
     System.out.flush()
   }
 
@@ -181,7 +200,8 @@ object Bench {
   private[graft] def fullJson(results: Seq[(String, Seq[Double])],
                               errors: List[(String, String)],
                               total: Double, sfDir: String,
-                              runs: Int, setupSec: Double): String = {
+                              runs: Int, setupSec: Double,
+                              canary: Seq[Double] = Nil): String = {
     val qs = results.map { case (k, ts) =>
       if (ts.isEmpty) s""""${esc(k)}":{"median":-1,"min":-1,"max":-1,"runs":[]}"""
       else {
@@ -191,7 +211,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stream_setup_s":$setupSec,"queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+    // canary = (single_start, par_start, single_end, par_end) seconds
+    val can =
+      if (canary.size != 4) ""
+      else s""","canary":{"single_s":[${canary(0)},${canary(2)}],"par_s":[${canary(1)},${canary(3)}]}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stream_setup_s":$setupSec$can,"queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
   }
 
   /** Compact single line for the driver's bounded tail window.
@@ -202,7 +226,9 @@ object Bench {
     * `spread` are positional arrays in `queries` (= sorted-name) order,
     * also integer ms: `dmin[i]` = median−min (so min = median−dmin) and
     * `spread[i]` = max−min. `value` stays the sum of medians in seconds;
-    * `setup` is the streaming fixed-cost probe median in seconds.
+    * `setup` is the streaming fixed-cost probe median in seconds; `can`
+    * is the CPU canary in integer ms (single_start, par_start,
+    * single_end, par_end — see main()).
     *
     * Tail budget: the driver keeps 2000 chars and sbt appends ~70 chars
     * of `[success]` noise, so the line must stay under ~1920. Degradation
@@ -214,7 +240,8 @@ object Bench {
   private[graft] def compactJson(results: Seq[(String, Seq[Double])],
                                  nErrors: Int, total: Double,
                                  sfDir: String, runs: Int,
-                                 setupSec: Double): String = {
+                                 setupSec: Double,
+                                 canary: Seq[Double] = Nil): String = {
     val maxLen = 1920
     def ms(v: Double): Long = Math.round(v * 1000)
     val qs = results.map { case (k, ts) =>
@@ -229,8 +256,13 @@ object Bench {
     }.mkString("[", ",", "]")
     val sf = "sf([0-9]+(?:\\.[0-9]+)?)$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse(s""""${esc(sfDir)}"""")
+    // canary rides in the always-fitting head: 4 integer-ms values
+    // (single_start, par_start, single_end, par_end) — ~30 chars that
+    // make cross-round comparability checkable from the tail alone
+    val can = if (canary.size != 4) ""
+      else s""""can":[${canary.map(ms).mkString(",")}],"""
     val head = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
-      s""""runs":$runs,"setup":${fmt3(setupSec)},""" +
+      s""""runs":$runs,"setup":${fmt3(setupSec)},$can""" +
       s""""enc":"q:median ms;dmin:med-min;spread:max-min ms, q-order",""" +
       s""""queries":$qs,"errors":$nErrors,"sf":$sf"""
     val full = s"""$head,"dmin":$dmin,"spread":$spread}"""

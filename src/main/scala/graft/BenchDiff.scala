@@ -37,6 +37,17 @@ object BenchDiff {
     }.toMap
   }
 
+  /** Best single-thread canary time of a run, if the artifact has one
+    * (Bench emits `canary.single_s` as [start, end]; min = the least
+    * contended moment of the session).
+    */
+  private[graft] def canarySingleMin(root: JsonNode): Option[Double] = {
+    val arr = root.path("canary").path("single_s")
+    if (!arr.isArray || arr.isEmpty) None
+    else Some(arr.asScala.map(_.asDouble(Double.MaxValue)).min)
+      .filter(_ > 0).filter(_ < Double.MaxValue)
+  }
+
   sealed trait Verdict
   case object Regression extends Verdict
   case object Improvement extends Verdict
@@ -54,7 +65,9 @@ object BenchDiff {
 
   private[graft] def diffJson(oldStats: Map[String, Stats],
                               newStats: Map[String, Stats],
-                              margin: Double): (String, Boolean) = {
+                              margin: Double,
+                              canaries: (Option[Double], Option[Double]) =
+                                (None, None)): (String, Boolean) = {
     val common = oldStats.keySet.intersect(newStats.keySet).toSeq.sorted
     val classed = common.map { q =>
       (q, oldStats(q), newStats(q), classify(oldStats(q), newStats(q), margin))
@@ -68,7 +81,19 @@ object BenchDiff {
     val onlyOld = (oldStats.keySet -- newStats.keySet).size
     val onlyNew = (newStats.keySet -- oldStats.keySet).size
     val hasRegression = classed.exists(_._4 == Regression)
-    val json = s"""{"metric":"bench_diff","margin":$margin,"compared":${common.size},"within_noise":$nNoise,"only_old":$onlyOld,"only_new":$onlyNew,"regressions":{${cells(Regression)}},"improvements":{${cells(Improvement)}}}"""
+    // CPU-canary comparability: sessions whose fixed-compute probes
+    // differ by more than the margin were not running on equivalent
+    // effective CPU — their query deltas say as much about the host as
+    // about the code. Annotation only; classification is unchanged
+    // (disjoint envelopes are still disjoint), the flag tells the reader
+    // how much weight the deltas can carry.
+    val canJson = canaries match {
+      case (Some(o), Some(n)) =>
+        val r = n / o
+        s""","canary_ratio":${f(r)},"comparable":${r <= margin && r >= 1.0 / margin}"""
+      case _ => s""","canary_ratio":null,"comparable":null"""
+    }
+    val json = s"""{"metric":"bench_diff","margin":$margin,"compared":${common.size},"within_noise":$nNoise,"only_old":$onlyOld,"only_new":$onlyNew$canJson,"regressions":{${cells(Regression)}},"improvements":{${cells(Improvement)}}}"""
     (json, hasRegression)
   }
 
@@ -77,10 +102,11 @@ object BenchDiff {
       "usage: BenchDiff <old bench_result.json> <new bench_result.json> [margin]")
     val margin = if (args.length >= 3) args(2).toDouble else 1.30
     val mapper = new ObjectMapper()
-    def load(p: String) =
-      queryStats(mapper.readTree(Files.readString(Paths.get(p))))
+    def root(p: String) = mapper.readTree(Files.readString(Paths.get(p)))
+    val (oldRoot, newRoot) = (root(args(0)), root(args(1)))
     val (json, hasRegression) =
-      diffJson(load(args(0)), load(args(1)), margin)
+      diffJson(queryStats(oldRoot), queryStats(newRoot), margin,
+        (canarySingleMin(oldRoot), canarySingleMin(newRoot)))
     println(json)
     if (hasRegression) sys.exit(1)
   }

@@ -39,6 +39,30 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(classify(Stats(1, 1, 1), Stats(-1, -1, -1), 1.3) == WithinNoise)
   }
 
+  test("canary comparability: matching probes pass, 2x apart fails") {
+    val m = new ObjectMapper()
+    def diff(cans: (Option[Double], Option[Double])) =
+      m.readTree(diffJson(Map("q" -> Stats(1, 1, 1)),
+        Map("q" -> Stats(1, 1, 1)), 1.3, cans)._1)
+    val ok = diff((Some(0.20), Some(0.22)))
+    assert(ok.path("comparable").asBoolean())
+    assert(ok.path("canary_ratio").asDouble() == 1.1)
+    val bad = diff((Some(0.20), Some(0.40)))
+    assert(!bad.path("comparable").asBoolean())
+    // either side missing (pre-canary artifact): null, not a verdict
+    val unknown = diff((None, Some(0.2)))
+    assert(unknown.path("comparable").isNull)
+    assert(unknown.path("canary_ratio").isNull)
+  }
+
+  test("canarySingleMin reads Bench's canary field, min of start/end") {
+    val m = new ObjectMapper()
+    val root = m.readTree(
+      """{"canary":{"single_s":[0.219,0.167],"par_s":[0.44,0.32]}}""")
+    assert(canarySingleMin(root) == Some(0.167))
+    assert(canarySingleMin(m.readTree("{}")).isEmpty)
+  }
+
   test("end-to-end: parses Bench's fullJson format and emits one line") {
     val oldJson =
       """{"metric":"total","value":2.0,"unit":"sec","runs":3,

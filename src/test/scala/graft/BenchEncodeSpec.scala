@@ -31,6 +31,18 @@ class BenchEncodeSpec extends SparkTestBase {
     assert(line.contains(""""queries":{"""))
   }
 
+  test("compact line carries the canary in integer ms and stays in budget") {
+    val can = Seq(0.219, 0.442, 0.167, 0.325)
+    val line = Bench.compactJson(fakeResults(120), nErrors = 0,
+      total = 1234.5678, sfDir = "/root/testdata/sf0.1", runs = 3,
+      setupSec = 0.85, canary = can)
+    assert(line.length <= 1920, s"compact bench line too long: ${line.length}")
+    assert(line.contains(""""can":[219,442,167,325],"""))
+    // and the full-precision twin names the arrays
+    val full = Bench.fullJson(fakeResults(2), Nil, 1.0, "/x", 3, 0.1, can)
+    assert(full.contains(""""canary":{"single_s":[0.219,0.167],"par_s":[0.442,0.325]}"""))
+  }
+
   test("compact line for the CURRENT query set carries median+dmin+spread") {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .map(n => (n, Seq(3.141, 3.102, 3.188)))
