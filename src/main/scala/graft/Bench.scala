@@ -100,9 +100,19 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
 
     // comma-separated subset for profiling one query's distribution
-    // (mirrors ScaleBench's SPARK_GRAFT_SCALE_QUERIES); unset = all
+    // (mirrors ScaleBench's SPARK_GRAFT_SCALE_QUERIES); unset = all.
+    // Unknown names abort: a typo must not silently bench nothing and
+    // clobber bench_result.json (the baseline a later diff compares to)
     val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
-      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    subset.foreach { qs =>
+      val unknown = qs -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_QUERIES names unknown queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")} (known: full names " +
+          "like q71_dup_clusters)")
+    }
     val results: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => subset.forall(_.contains(n)) }
@@ -142,7 +152,12 @@ object Bench {
     val setupSec = if (setupTimes.isEmpty) -1.0 else median(setupTimes)
 
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
-    spark.stop()
+    // a teardown failure must not discard a full session's measurements —
+    // the artifacts are written right after; the end-canary wants the
+    // post-Spark quiet JVM but survives a noisy stop just as well
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"Bench: spark.stop() failed (ignored): $e") }
     val canary = Seq(canS0, canP0, ScaleBench.canary(1),
       ScaleBench.canary(cpus.toInt))
     val json = fullJson(results, errors, total, sfDir, runs, setupSec, canary)

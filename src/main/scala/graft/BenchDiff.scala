@@ -52,13 +52,20 @@ object BenchDiff {
   case object Regression extends Verdict
   case object Improvement extends Verdict
   case object WithinNoise extends Verdict
+  case object NewlyErrored extends Verdict // ran before, errors now
+  case object Recovered extends Verdict    // errored before, runs now
 
   /** Disjoint-range test: only the run envelopes decide, never the
     * medians alone — medians of overlapping distributions are noise.
+    * A query that RAN in the old artifact and errors in the new one
+    * (Bench's -1 sentinels) is the worst regression there is, not
+    * noise — it fails the gate.
     */
   private[graft] def classify(old: Stats, nw: Stats,
                               margin: Double): Verdict =
-    if (old.min <= 0 || nw.min <= 0) WithinNoise // errored query: no call
+    if (old.min <= 0 && nw.min <= 0) WithinNoise // errored both sides
+    else if (nw.min <= 0) NewlyErrored
+    else if (old.min <= 0) Recovered
     else if (nw.min > old.max * margin) Regression
     else if (nw.max < old.min / margin) Improvement
     else WithinNoise
@@ -80,7 +87,10 @@ object BenchDiff {
     val nNoise = classed.count(_._4 == WithinNoise)
     val onlyOld = (oldStats.keySet -- newStats.keySet).size
     val onlyNew = (newStats.keySet -- oldStats.keySet).size
-    val hasRegression = classed.exists(_._4 == Regression)
+    val newlyErrored = classed.collect { case (q, _, _, NewlyErrored) => q }
+    val recovered = classed.collect { case (q, _, _, Recovered) => q }
+    val hasRegression =
+      classed.exists(_._4 == Regression) || newlyErrored.nonEmpty
     // CPU-canary comparability: sessions whose fixed-compute probes
     // differ by more than the margin were not running on equivalent
     // effective CPU — their query deltas say as much about the host as
@@ -93,7 +103,9 @@ object BenchDiff {
         s""","canary_ratio":${f(r)},"comparable":${r <= margin && r >= 1.0 / margin}"""
       case _ => s""","canary_ratio":null,"comparable":null"""
     }
-    val json = s"""{"metric":"bench_diff","margin":$margin,"compared":${common.size},"within_noise":$nNoise,"only_old":$onlyOld,"only_new":$onlyNew$canJson,"regressions":{${cells(Regression)}},"improvements":{${cells(Improvement)}}}"""
+    def names(qs: Seq[String]) =
+      qs.map(q => s""""${Bench.esc(q)}"""").mkString("[", ",", "]")
+    val json = s"""{"metric":"bench_diff","margin":$margin,"compared":${common.size},"within_noise":$nNoise,"only_old":$onlyOld,"only_new":$onlyNew$canJson,"newly_errored":${names(newlyErrored)},"recovered":${names(recovered)},"regressions":{${cells(Regression)}},"improvements":{${cells(Improvement)}}}"""
     (json, hasRegression)
   }
 
@@ -101,11 +113,29 @@ object BenchDiff {
     require(args.length >= 2,
       "usage: BenchDiff <old bench_result.json> <new bench_result.json> [margin]")
     val margin = if (args.length >= 3) args(2).toDouble else 1.30
+    require(margin >= 1.0,
+      s"margin must be >= 1.0 (a multiplicative tolerance), got $margin")
     val mapper = new ObjectMapper()
     def root(p: String) = mapper.readTree(Files.readString(Paths.get(p)))
     val (oldRoot, newRoot) = (root(args(0)), root(args(1)))
+    val (oldStats, newStats) = (queryStats(oldRoot), queryStats(newRoot))
+    val common = oldStats.keySet.intersect(newStats.keySet)
+    // zero overlap means a wiring mistake (compact line, scalebench
+    // artifact, wrong path) — a gate must not read that as "no
+    // regression"
+    // no overlap, or overlap with no usable stats on either side (e.g. a
+    // scalebench artifact whose query objects lack median/min/max), means
+    // a wiring mistake — a gate must not read that as "no regression"
+    val usable = common.exists(q =>
+      oldStats(q).min > 0 || newStats(q).min > 0)
+    if (common.isEmpty || !usable) {
+      System.err.println(s"BenchDiff: no comparable queries between " +
+        s"${args(0)} (${oldStats.size}) and ${args(1)} (${newStats.size}) " +
+        "- are both files Bench's full bench_result.json format?")
+      sys.exit(2)
+    }
     val (json, hasRegression) =
-      diffJson(queryStats(oldRoot), queryStats(newRoot), margin,
+      diffJson(oldStats, newStats, margin,
         (canarySingleMin(oldRoot), canarySingleMin(newRoot)))
     println(json)
     if (hasRegression) sys.exit(1)

@@ -126,7 +126,18 @@ object ScaleBench {
     // sf0.1 run — it would measure the wrong corpus at every multiplier
     val stamp = s"base=$baseDir gen=$GenVersion\n"
     if (Files.exists(marker) && Files.readString(marker) == stamp) return
-    if (Files.exists(outP)) { // stale or partial: rebuild from scratch
+    if (Files.exists(outP)) {
+      // Only wipe a directory THIS generator owns: a _DONE marker (any
+      // version, including the legacy "ok") proves it's our cache, so a
+      // mismatch means stale → rebuild from scratch. A marker-less
+      // non-empty directory is not ours to delete — SPARK_GRAFT_SCALE_DIR
+      // is user-controllable and silently rm -rf'ing it would destroy
+      // whatever the user pointed us at.
+      val isEmpty = Using.resource(Files.list(outP))(ls => !ls.iterator().hasNext)
+      require(Files.exists(marker) || isEmpty,
+        s"ScaleBench: $out exists, is non-empty, and has no _DONE marker " +
+          "- refusing to delete a directory this generator did not write. " +
+          "Point SPARK_GRAFT_SCALE_DIR elsewhere or clear it manually.")
       Using.resource(Files.walk(outP)) { w =>
         w.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))

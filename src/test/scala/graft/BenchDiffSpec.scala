@@ -34,9 +34,18 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(classify(old, nw, 1.3) == WithinNoise)
   }
 
-  test("classify: errored queries (-1 sentinels) are never called") {
-    assert(classify(Stats(-1, -1, -1), Stats(1, 1, 1), 1.3) == WithinNoise)
-    assert(classify(Stats(1, 1, 1), Stats(-1, -1, -1), 1.3) == WithinNoise)
+  test("classify: a query that newly errors IS a regression verdict") {
+    // ran before, -1 sentinels now: the worst regression there is —
+    // a gate that reads this as noise green-lights total breakage
+    assert(classify(Stats(1, 1, 1), Stats(-1, -1, -1), 1.3) == NewlyErrored)
+    assert(classify(Stats(-1, -1, -1), Stats(1, 1, 1), 1.3) == Recovered)
+    assert(classify(Stats(-1, -1, -1), Stats(-1, -1, -1), 1.3) == WithinNoise)
+  }
+
+  test("a newly-errored query alone fails the gate") {
+    val (_, hasRegression) = diffJson(
+      Map("q" -> Stats(1, 1, 1)), Map("q" -> Stats(-1, -1, -1)), 1.3)
+    assert(hasRegression)
   }
 
   test("canary comparability: matching probes pass, 2x apart fails") {
@@ -69,26 +78,30 @@ class BenchDiffSpec extends AnyFunSuite {
         |"stream_setup_s":0.1,"queries":{
         |"q1":{"median":0.5,"min":0.4,"max":0.6,"runs":[0.4,0.5,0.6]},
         |"q2":{"median":1.0,"min":0.9,"max":1.1,"runs":[0.9,1.0,1.1]},
-        |"q3":{"median":1.0,"min":0.9,"max":1.1,"runs":[0.9,1.0,1.1]}},
+        |"q3":{"median":1.0,"min":0.9,"max":1.1,"runs":[0.9,1.0,1.1]},
+        |"q5":{"median":1.0,"min":0.9,"max":1.1,"runs":[0.9,1.0,1.1]}},
         |"errors":{},"sf":"/x"}""".stripMargin
     val newJson =
       """{"metric":"total","value":3.0,"unit":"sec","runs":3,
         |"stream_setup_s":0.1,"queries":{
         |"q1":{"median":1.0,"min":0.9,"max":1.1,"runs":[0.9,1.0,1.1]},
         |"q2":{"median":0.5,"min":0.4,"max":0.55,"runs":[0.4,0.5,0.55]},
-        |"q4":{"median":1.0,"min":0.9,"max":1.1,"runs":[0.9,1.0,1.1]}},
-        |"errors":{},"sf":"/x"}""".stripMargin
+        |"q4":{"median":1.0,"min":0.9,"max":1.1,"runs":[0.9,1.0,1.1]},
+        |"q5":{"median":-1,"min":-1,"max":-1,"runs":[]}},
+        |"errors":{"q5":"boom"},"sf":"/x"}""".stripMargin
     val m = new ObjectMapper()
     val (json, hasRegression) = diffJson(
       queryStats(m.readTree(oldJson)), queryStats(m.readTree(newJson)), 1.3)
     assert(hasRegression)
     assert(!json.contains("\n"))
     val root = m.readTree(json) // valid JSON
-    assert(root.path("compared").asInt() == 2)
+    assert(root.path("compared").asInt() == 3)
     assert(root.path("only_old").asInt() == 1)  // q3 dropped
     assert(root.path("only_new").asInt() == 1)  // q4 added
     assert(root.path("regressions").has("q1"))
     assert(root.path("improvements").has("q2"))
     assert(root.path("regressions").path("q1").path("ratio").asDouble() == 2.0)
+    // q5 ran before and errors now: listed, and it alone fails the gate
+    assert(root.path("newly_errored").get(0).asText() == "q5")
   }
 }
