@@ -33,6 +33,14 @@ object Bench {
     */
   private[graft] val DefaultRuns = 3
 
+  /** Unpersist every registered RDD block — the shared pre-shot hygiene
+    * of both benches (see the call site in main() for the measured
+    * rationale; ScaleBench reuses this so the two sweeps cannot drift).
+    */
+  private[graft] def sweepBlocks(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -95,9 +103,7 @@ object Bench {
     // GC-resistant humongous-array garbage (measured 3-6x late-session
     // degradation), keeps a per-(query, scale) GC — different workload,
     // different hygiene.
-    def sweepBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+    def sweepBlocks(): Unit = Bench.sweepBlocks(spark)
 
     // comma-separated subset for profiling one query's distribution
     // (mirrors ScaleBench's SPARK_GRAFT_SCALE_QUERIES); unset = all.
@@ -134,7 +140,11 @@ object Bench {
           }
           i += 1
         }
-        name -> times.result()
+        // a failure on ANY run voids the query: keeping the runs that
+        // happened to succeed would report a flaky query as a valid
+        // (short) median AND list it in errors — the '-1 = error'
+        // encoding must be the single story the artifact tells
+        name -> (if (failed) Seq.empty[Double] else times.result())
       }
 
     // Streaming fixed-cost probe: the same bounded-drain machinery the

@@ -33,7 +33,8 @@ object LlmEntry {
   private val MixRates = Seq("src0" -> "800", "src1" -> "c00", "src2" -> "200")
   private val MixDefaultHexHi = "400"
   private val PackCapacity = 256L // sequence-packing bin size (tokens)
-  private val PackShardSpan = 4096L // q83 running-sum shard = doc_id range
+  private val PackShardSpan = 4096L // q83 minimum shard span (id range)
+  private val MaxPackShards = 1024L // q83 cap on shards per language
   private val QualityShards = 64  // q98 running-sum shards per language
   private val TfidfK = 3          // TF-IDF terms kept per document
   private val SampleK = 20        // exact-k per-group sample size
@@ -540,16 +541,37 @@ object LlmEntry {
       // language — the q83 shard key is an id range, order-compatible
       // with the doc_id sort by construction. GraftProps pins
       // sharded ≡ unsharded bit-equality across random spans.
-      val toks = Tables.documents(s, d)
+      // The span ADAPTS to the id range (one cheap min/max over the id
+      // column): a fixed span would grow the shard count — and the
+      // offsets table ShardedWindows prefix-sums and joins back —
+      // linearly with the corpus; capping shards-per-group at
+      // MaxPackShards bounds that table at any scale. Any span yields
+      // the same cum (the property test's point), so the oracle is
+      // span-independent.
+      val docs = Tables.documents(s, d)
+      val idr = docs.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi")).head()
+      val span =
+        if (idr.isNullAt(0)) PackShardSpan
+        else math.max(PackShardSpan,
+          (idr.getLong(1) - idr.getLong(0)) / MaxPackShards + 1)
+      // The slim tokenized projection persists: the running sum reads it
+      // twice (shard-local window + shard-totals aggregate — the
+      // optimizer prunes the window out of the totals branch, so
+      // exchange reuse can't share them) and tokenization dominates the
+      // cost; 3 narrow columns cache cheaply at any scale.
+      val toks = docs
         .select(col("lang"), col("doc_id"),
           expr(s"CAST(size(${tokensSpark("text")}) AS BIGINT)").as("n_tokens"))
-        .withColumn("shard", expr(s"doc_id DIV $PackShardSpan"))
-      ShardedWindows.runningSum(toks, "lang", "shard",
+        .withColumn("shard", expr(s"doc_id DIV $span"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = ShardedWindows.runningSum(toks, "lang", "shard",
           Seq(col("doc_id")), "n_tokens", "cum")
         .withColumn("bin_id", expr(s"(cum - n_tokens) DIV $PackCapacity"))
         .groupBy(col("lang"), col("bin_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
           min(col("doc_id")).as("first_doc"))
+      core.Materialize.detached(out) { toks.unpersist(blocking = false) }
     }),
 
     // ---- TF-IDF top terms ----------------------------------------------
@@ -711,8 +733,16 @@ object LlmEntry {
       //   intra-snapshot duplicates are deliberately out of scope — the
       //   full-corpus passes (q33–q36) own those; this op is the delta.
       val c = DedupOps.corpus(Tables.documents(s, d))
+      // the planted zones are two DISJOINT ranges — a single
+      // [NearCopyOffset, PlantCeil) interval would also swallow every
+      // base doc in the gap [NearCopyOffset+NearCopyN, ExactCopyOffset),
+      // inflating the "new" delta side (the side the scale contract
+      // requires to stay broadcast-small) on any corpus with base ids
+      // above 10050
       val isNew = col("doc_id") % NewMod === NewResidue ||
         (col("doc_id") >= DedupOps.NearCopyOffset &&
+          col("doc_id") < DedupOps.NearCopyOffset + DedupOps.NearCopyN) ||
+        (col("doc_id") >= DedupOps.ExactCopyOffset &&
           col("doc_id") < DedupOps.PlantCeil)
       val prep = c.select(col("doc_id"),
           DedupOps.contentHashSpark().as("content_hash"),
@@ -927,6 +957,10 @@ object LlmEntry {
       // buckets), so the regrouped sum is bit-identical to the one-task-
       // per-language window it replaces, with QualityShards× the
       // parallelism per language.
+      // Persisted for the same reason as q83's toks: the running sum's
+      // two branches can't share a plan (window pruned from the totals
+      // side), and the quality regexes are the dominant cost — 4 narrow
+      // columns cache cheaply.
       val scored = qualitySpark("text").foldLeft(Tables.documents(s, d)) {
         case (df, (n, e)) => df.withColumn(n, expr(e))
       }.withColumn("quality_score", expr(qualityScoreExpr))
@@ -936,13 +970,15 @@ object LlmEntry {
         // descending in score: shard order ≡ quality-desc order
         .withColumn("shard",
           expr(s"CAST(floor((1.0 - quality_score) * $QualityShards) AS INT)"))
-      ShardedWindows.runningSum(scored, "lang", "shard",
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = ShardedWindows.runningSum(scored, "lang", "shard",
           Seq(col("quality_score").desc, col("doc_id")), "n_tokens", "cum")
         .filter(col("cum") - col("n_tokens") < TokenBudget)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs_kept"),
           sum(col("n_tokens")).as("tokens_kept"),
           min(col("quality_score")).as("min_quality_kept"))
+      core.Materialize.detached(out) { scored.unpersist(blocking = false) }
     }),
   )
 
@@ -1411,10 +1447,14 @@ object LlmEntry {
          |newdocs AS (SELECT * FROM prep
          |            WHERE doc_id % $NewMod = $NewResidue
          |               OR (doc_id >= ${DedupOps.NearCopyOffset}
+         |                   AND doc_id < ${DedupOps.NearCopyOffset + DedupOps.NearCopyN})
+         |               OR (doc_id >= ${DedupOps.ExactCopyOffset}
          |                   AND doc_id < ${DedupOps.PlantCeil})),
          |refdocs AS (SELECT * FROM prep
          |            WHERE NOT (doc_id % $NewMod = $NewResidue
          |                    OR (doc_id >= ${DedupOps.NearCopyOffset}
+         |                        AND doc_id < ${DedupOps.NearCopyOffset + DedupOps.NearCopyN})
+         |                    OR (doc_id >= ${DedupOps.ExactCopyOffset}
          |                        AND doc_id < ${DedupOps.PlantCeil}))),
          |exact AS (SELECT DISTINCT n.doc_id
          |          FROM newdocs n JOIN refdocs r USING (content_hash)),

@@ -262,12 +262,11 @@ object ScaleBench {
     var errors = List.empty[(String, String)]
     for ((m, d) <- dirs; name <- family) {
       val fn = SparkEntry.queries(name)
-      // same leftover-block sweep as Bench, before every run: detached
-      // localCheckpoint blocks from the previous query — or from this
-      // query's own prior run — otherwise skew the next timing
-      def sweepBlocks(): Unit =
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+      // same leftover-block sweep as Bench (shared helper), before every
+      // run: detached localCheckpoint blocks from the previous query —
+      // or from this query's own prior run — otherwise skew the next
+      // timing
+      def sweepBlocks(): Unit = Bench.sweepBlocks(spark)
       try {
         sweepBlocks()
         // quiesce once per (query, scale) — unlike Bench, which

@@ -169,19 +169,11 @@ object MultimodalOps {
     media.mapPartitions(decodePgmBatch)(
       org.apache.spark.sql.Encoders.product[MediaFeatures])
 
-  /** Batched decode over the generic binary media DataFrame (same
-    * payload/meta schema as [[mediaTable]]): typed view → mapPartitions.
-    */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.select(col("doc_id").as("docId"), col("payload"),
-        col("meta.format").as("format"), col("meta.width").as("width"),
-        col("meta.height").as("height"), col("meta.duration_ms").as("durationMs"))
-      .as[(Long, Array[Byte], String, Int, Int, Long)]
-      .mapPartitions(_.map { case (id, p, f, w, h, d) =>
-        MediaItem(id, p, MediaMeta(f, w, h, d))
-      }).mapPartitions(decodePgmBatch)
-  }
+  // (The former DataFrame overload of decodeFeatures is gone: its
+  // documented input — mediaTable's raw UTF-8 payloads — is wholesale
+  // quarantined by the PGM decoder, so every call following its doc
+  // comment silently produced zero features. Decode paths go through
+  // pgmTable + the typed overload above.)
 
   /** Resize STUB — deterministic byte downsample (every factor-th byte),
     * standing in for an image resize the way the byte histogram once

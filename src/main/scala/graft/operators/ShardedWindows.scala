@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   *     — parallelism = groups × shards instead of groups;
   *  2. per-(group, shard) totals, exclusive-prefix-summed per group over
   *     the shards — a table of |groups|·|shards| rows, so its own window
-  *     is trivially small;
-  *  3. broadcast the offsets back and add.
+  *     is trivially small PROVIDED the caller bounds the shard count
+  *     (derive the shard key from corpus size, not a fixed span: a
+  *     constant span makes |shards| grow linearly with the data and the
+  *     offsets table with it);
+  *  3. join the offsets back (AQE broadcasts them while they're small)
+  *     and add.
   *
   * Values must be integral (BIGINT addition is associative, so the
   * regrouped sum is bit-identical to the single-window sum; a double
@@ -44,15 +48,24 @@ object ShardedWindows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = df.withColumn("_local_cum", sum(col(valueCol)).over(wLocal))
     // exclusive prefix of shard totals per group: rows = groups × shards
-    // (tiny), so this window never bottlenecks; first shard gets 0
+    // (bounded by the caller's shard-key derivation), so this window
+    // never bottlenecks; first shard gets 0. Totals aggregate from
+    // `local`, NOT from `df`: both join branches then share the window's
+    // (group, shard) exchange, so the expensive upstream (scan +
+    // tokenize/score) is computed once and reused — aggregating `df`
+    // directly re-ran the whole input a second time.
     val wShards = Window.partitionBy(col(groupCol)).orderBy(col(shardCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = df.groupBy(col(groupCol), col(shardCol))
+    val offsets = local.groupBy(col(groupCol), col(shardCol))
       .agg(sum(col(valueCol)).as("_shard_sum"))
       .withColumn("_shard_off",
         coalesce(sum(col("_shard_sum")).over(wShards), lit(0L)))
       .select(col(groupCol), col(shardCol), col("_shard_off"))
-    local.join(broadcast(offsets), Seq(groupCol, shardCol))
+    // no broadcast hint: offsets is groups × shards rows, small whenever
+    // the caller bounds the shard count, and AQE picks broadcast itself
+    // from the measured size — a forced hint here was the same
+    // unbounded-broadcast class the q84 vocabulary fix removed
+    local.join(offsets, Seq(groupCol, shardCol))
       .withColumn(cumCol, col("_local_cum") + col("_shard_off"))
       .drop("_local_cum", "_shard_off")
   }
