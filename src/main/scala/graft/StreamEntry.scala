@@ -80,6 +80,27 @@ object StreamEntry {
           .groupBy(col("c_nationkey").cast("long").as("nationkey"))
           .agg(count(lit(1)).as("cnt"))
       }, OutputMode.Complete())),
+
+    "q99_stream_dedup" -> ((s, d) =>
+      // Streaming deduplication (`dropDuplicatesWithinWatermark`) — the
+      // streaming twin of incremental dedup (q90) and the retry-collapse
+      // pass an event pipeline runs at ingest: one surviving row per
+      // (user, action, day). State is keyed by the dedup columns and
+      // expires once the watermark passes the key's last-seen event time
+      // — at 100 TB/day retention is bounded by the delay, not the
+      // stream's history. The delay here (60 days) exceeds the bounded
+      // fixture's one-month span, so no state expires mid-drain and the
+      // result is exactly the batch DISTINCT (emitted row = first seen
+      // per key, which row that is is engine-dependent — so only the key
+      // columns are projected; kept-row payloads would not be
+      // deterministic).
+      bounded(s, { ss =>
+        EventStreams.dedupWithinWatermark(
+            EventStreams.eventStream(ss, d)
+              .withColumn("day", date_trunc("day", col("ts"))),
+            Seq("user_id", "event_type", "day"), "60 days")
+          .select(col("user_id"), col("event_type"), col("day"))
+      }, OutputMode.Append())),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -109,5 +130,9 @@ object StreamEntry {
         |    ON c.user_id = p.user_id
         |   AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         | WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+
+    "q99_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  date_trunc('day', ts) AS day FROM events""".stripMargin,
   )
 }

@@ -60,6 +60,18 @@ object EventStreams {
     ev.withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Key-only streaming dedup (`dropDuplicatesWithinWatermark`): unlike
+    * [[dedupStream]], the event-time column is NOT part of the key — a
+    * key is emitted once and suppressed until the watermark passes its
+    * last-seen event time, the retry-collapse/at-least-once-ingest pass.
+    * State per key is bounded by the watermark delay, not stream
+    * history.
+    */
+  def dedupWithinWatermark(ev: DataFrame, keyCols: Seq[String],
+                           watermark: String): DataFrame =
+    ev.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---- custom state: sessionization ------------------------------------
   final case class SessionEvent(user_id: Long, ts_nanos: Long)
   final case class SessionState(lastTs: Long, sessions: Long, events: Long)

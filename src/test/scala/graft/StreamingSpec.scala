@@ -186,6 +186,34 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.dropTempView("dedup_test")
   }
 
+  test("key-only dedup suppresses within the watermark, re-admits after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val ev = input.toDF().toDF("user_id", "ts_nanos")
+      .withColumn("ts", timestamp_micros((col("ts_nanos") / 1000L).cast("long")))
+    // unlike dedupStream, ts is NOT in the key: same user at different
+    // times is still one row while its state lives
+    val dedup = EventStreams.dedupWithinWatermark(ev, Seq("user_id"), "1 hour")
+      .select(col("user_id"))
+    val q = dedup.writeStream.format("memory").queryName("wm_dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, 10 * H), (1L, 10 * H + H / 2), (2L, 10 * H))
+    q.processAllAvailable()
+    assert(spark.table("wm_dedup_test").count() == 2) // users 1, 2 once each
+    // advance the watermark far past user 1's expiry (10.5h + 1h delay)
+    input.addData((9L, 20 * H))
+    q.processAllAvailable()
+    // user 1's state expired → the key is admitted again
+    input.addData((1L, 21 * H))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("wm_dedup_test").groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 1L, 9L -> 1L), counts.toString)
+    spark.catalog.dropTempView("wm_dedup_test")
+  }
+
   test("bloom screen composes into a stream: map-side drop against a reference sketch") {
     // The streaming deployment of q89's pattern: ingestion screens each
     // batch against a (periodically rebuilt) reference Bloom filter.
