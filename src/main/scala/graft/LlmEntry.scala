@@ -36,6 +36,7 @@ object LlmEntry {
   private val PackShardSpan = 4096L // q83 minimum shard span (id range)
   private val MaxPackShards = 1024L // q83 cap on shards per language
   private val QualityShards = 64  // q98 running-sum shards per language
+  private val HhSketchCap = 4096  // q100 Misra-Gries capacity (err ≤ n/4097)
   private val TfidfK = 3          // TF-IDF terms kept per document
   private val SampleK = 20        // exact-k per-group sample size
   private val IvfCentroidLo = 100 // deterministic coarse centroids
@@ -980,6 +981,31 @@ object LlmEntry {
           min(col("quality_score")).as("min_quality_kept"))
       core.Materialize.detached(out) { scored.unpersist(blocking = false) }
     }),
+
+    "q100_heavy_hitters" -> ((s, d) => {
+      // Exact top-k tokens with a vocabulary-independent shuffle — the
+      // scale form of q29. q29's exact aggregate shuffles one partial
+      // count per DISTINCT token per map partition; on web text the
+      // vocabulary grows quasi-linearly with the corpus, so at 100 TB
+      // the shuffle IS the vocabulary. Here pass 1 builds a Misra-Gries
+      // sketch (native `mg_sketch`, state ≤ 2·cap terms per partition,
+      // k-bounded partial merge → one ≤2·cap-term struct reaches the
+      // driver), pass 2 rescans counting ONLY the broadcast candidate
+      // terms. Provably exact — not approximate — whenever the k-th
+      // candidate count exceeds the sketch's err bound (≤ n/(cap+1)):
+      // at HhSketchCap=4096 any token above 1/4097 relative frequency
+      // is guaranteed a candidate (stopwords sit ~1e-2; FreqSketchSpec
+      // pins the guarantee and demonstrates its failure mode).
+      // Two scans of the token stream vs a full-vocab shuffle is the
+      // right 100-TB trade; both scans are narrow maps into tiny aggs.
+      val toks = Tables.documents(s, d)
+        .select(explode(expr(tokensSpark("text"))).as("tok"))
+      val cands = toks.agg(expr(s"mg_sketch(tok, $HhSketchCap)").as("sk"))
+        .select(explode(col("sk.terms")).as("tok"))
+      toks.join(broadcast(cands), "tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(TopK)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1702,5 +1728,12 @@ object LlmEntry {
          |  min(quality_score) AS min_quality_kept
          |FROM c WHERE cum - n_tokens < $TokenBudget GROUP BY lang""".stripMargin
     },
+
+    // q100 is exact (the sketch only screens candidates; the counts are
+    // a rescan), so the oracle is the plain exact top-k
+    "q100_heavy_hitters" ->
+      s"""SELECT tok, count(*) AS cnt FROM (
+         |  SELECT unnest(${tokensDuck("text")}) AS tok FROM documents)
+         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT $TopK""".stripMargin,
   )
 }

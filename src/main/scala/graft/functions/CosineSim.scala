@@ -136,5 +136,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_rows"),
       new ExpressionInfo(classOf[ShingleRows].getName, "shingle_rows"),
       (children: Seq[Expression]) => ShingleRows(children(0), children(1))))
+    // Misra-Gries heavy-hitters sketch: capacity-bounded candidate
+    // screen for exact top-k over an unbounded vocabulary (q100)
+    ext.injectFunction((
+      new FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[MgSketch].getName, "mg_sketch"),
+      (children: Seq[Expression]) => MgSketch(children(0), children(1))))
   }
 }
