@@ -902,7 +902,9 @@ object LlmEntry {
       // copied passage is found at ANY offset). Planted exact copies
       // duplicate every gram; the first-token-dropped near copies
       // realign to one long span each. Plan shape in DedupOps.spanDedup:
-      // grams shuffle as md5 keys, islands merge via one window per doc.
+      // grams shuffle as a dual-modulus BIGINT pair (16 bytes, integer
+      // folds only — r10; was md5 of the joined token slice), islands
+      // merge via one window per doc.
       DedupOps.spanDedup(DedupOps.corpus(Tables.documents(s, d)))),
 
     // ---- ANN recall report -------------------------------------------------
@@ -1594,22 +1596,31 @@ object LlmEntry {
          |GROUP BY b.vec_id, b.cid""".stripMargin,
 
     // q96 mirror: 1-based gram positions (Spark sequence(1, n-k+1) ≡
-    // DuckDB range(1, n-k+2)), md5 of the space-joined token slice,
+    // DuckDB range(1, n-k+2)), dual-modulus polynomial gram key over
+    // wide per-token char hashes (bit-identical integer folds on both
+    // sides; collision-freedom argument in DedupOps.spanDedup),
     // islands via pos − row_number — integer arithmetic end to end.
     "q96_span_dedup" ->
       s"""WITH corpus AS (${DedupOps.corpusDuck}),
          |toks AS (SELECT doc_id, ${tokensDuck("text")} AS tk FROM corpus),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(tk, t -> ${DedupOps.wideHashDuck("t", DedupOps.SpanP1)}) AS h1,
+         |    list_transform(tk, t -> ${DedupOps.wideHashDuck("t", DedupOps.SpanP2)}) AS h2,
+         |    len(tk) AS n
+         |  FROM toks WHERE len(tk) >= ${DedupOps.SpanN}),
          |grams AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |    md5(array_to_string(list_slice(tk, i, i + ${DedupOps.SpanN - 1}), ' ')) AS gh
-         |  FROM (SELECT doc_id, tk,
-         |          unnest(range(1, len(tk) - ${DedupOps.SpanN - 2})) AS i
-         |        FROM toks WHERE len(tk) >= ${DedupOps.SpanN})),
-         |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+         |    ${DedupOps.spanGramDuck("h1", "i", DedupOps.SpanP1)} AS g1,
+         |    ${DedupOps.spanGramDuck("h2", "i", DedupOps.SpanP2)} AS g2
+         |  FROM (SELECT doc_id, h1, h2,
+         |          unnest(range(1, n - ${DedupOps.SpanN - 2})) AS i
+         |        FROM hs)),
+         |dup AS (SELECT g1, g2 FROM grams GROUP BY g1, g2 HAVING count(*) > 1),
          |marked AS (
          |  SELECT doc_id, pos,
          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM grams JOIN dup USING (gh)),
+         |  FROM grams JOIN dup USING (g1, g2)),
          |spans AS (
          |  SELECT doc_id, grp, count(*) AS span_len, min(pos) AS strt
          |  FROM marked GROUP BY doc_id, grp)

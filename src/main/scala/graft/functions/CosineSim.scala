@@ -142,5 +142,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("mg_sketch"),
       new ExpressionInfo(classOf[MgSketch].getName, "mg_sketch"),
       (children: Seq[Expression]) => MgSketch(children(0), children(1))))
+    // span-dedup gram generator: dual-modulus gram keys in one string
+    // pass (the q96 hot path)
+    ext.injectFunction((
+      new FunctionIdentifier("span_gram_rows"),
+      new ExpressionInfo(classOf[SpanGramRows].getName, "span_gram_rows"),
+      (children: Seq[Expression]) => SpanGramRows(children(0), children(1))))
   }
 }

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native generator: `span_gram_rows(text, k)` lateral-emits one row per
+  * k-token gram position — `(pos BIGINT 1-based, g1 BIGINT, g2 BIGINT)`
+  * — where (g1, g2) is the dual-modulus polynomial gram key of
+  * [[graft.operators.DedupOps.spanDedup]] (q96).
+  *
+  * Bit-identical to the HOF spec (`DedupOps.wideHashSpark` +
+  * `DedupOps.spanGramSpark`, which the DuckDB oracle mirrors): split on
+  * single space keeping empties, per-token code-point rolling hash
+  * (h·31+cp) mod P1/P2, k-window base-31 polynomial combine mod
+  * P1/P2. Parity is pinned both directions in LlmOpsSpec.
+  *
+  * Why native: the HOF chain walks `split('')` char arrays through
+  * nested interpreted lambda folds TWICE per token (once per modulus) —
+  * measured SLOWER than the md5-string formulation it was meant to
+  * replace (r10: 1.56 s → 2.72 s median at sf0.1). This is one pass
+  * over the string, zero intermediate arrays, and rows stream into the
+  * downstream aggregate as they are produced; `eval` runs once per
+  * INPUT row by construction, so callers need no persist-before-explode
+  * discipline (the [[ShingleRows]] lessons, applied to the span tier).
+  *
+  * Collision-freedom of the key at 100 TB is argued in
+  * `DedupOps.spanDedup`'s scaladoc (CRT over the dual moduli).
+  */
+case class SpanGramRows(text: Expression, kExpr: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(text, kExpr)
+
+  private lazy val k: Int = kExpr match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"span_gram_rows: k must be an INT literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType == StringType && kExpr.dataType == IntegerType &&
+        kExpr.isInstanceOf[Literal] &&
+        kExpr.asInstanceOf[Literal].value.asInstanceOf[Int] > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "span_gram_rows expects (STRING text, positive INT-literal k)")
+
+  // nullable: OUTER generate pads gram-less docs with an all-null row
+  // (see ShingleRows — a non-nullable attribute would unbox to 0)
+  override def elementSchema: StructType =
+    new StructType()
+      .add("pos", LongType, nullable = true)
+      .add("g1", LongType, nullable = true)
+      .add("g2", LongType, nullable = true)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = text.eval(input)
+    if (t == null) return Iterator.empty
+    val (h1, h2, nTok) =
+      SpanGramRows.dualTokenHashes(t.asInstanceOf[UTF8String].toString)
+    if (nTok < k) return Iterator.empty
+    val kk = k
+    new Iterator[InternalRow] {
+      private var j = 0
+      override def hasNext: Boolean = j <= nTok - kk
+      override def next(): InternalRow = {
+        val r = new GenericInternalRow(Array[Any](
+          (j + 1).toLong,
+          SpanGramRows.combineAt(h1, j, kk, SpanGramRows.P1),
+          SpanGramRows.combineAt(h2, j, kk, SpanGramRows.P2)))
+        j += 1
+        r
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): SpanGramRows =
+    copy(text = c(0), kExpr = c(1))
+}
+
+object SpanGramRows {
+  /** The dual moduli (primes). `acc·31 + x` with acc, x < P must stay
+    * under 2^63, so P < 2^63/32 ≈ 2.88e17 — both Spark ANSI mode and
+    * DuckDB THROW on BIGINT overflow rather than wrap.
+    * [[graft.operators.DedupOps]] re-exports these for the SQL spec and
+    * the DuckDB oracle so the three can never drift.
+    */
+  val P1 = 280000000000000001L
+  val P2 = 280000000000000079L
+
+  /** Both wide token-hash arrays in one pass over the string: split on
+    * ' ' keeping empties, code-point rolling hash mod P1 and P2.
+    * Returns (h1, h2, count); buffers may be over-allocated past count.
+    */
+  def dualTokenHashes(s: String): (Array[Long], Array[Long], Int) = {
+    var b1 = new Array[Long](16)
+    var b2 = new Array[Long](16)
+    var nTok = 0
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') { // ' ' is BMP: never a surrogate
+        if (nTok == b1.length) {
+          b1 = java.util.Arrays.copyOf(b1, nTok * 2)
+          b2 = java.util.Arrays.copyOf(b2, nTok * 2)
+        }
+        b1(nTok) = h1; b2(nTok) = h2; nTok += 1; h1 = 0L; h2 = 0L
+        i += 1
+      } else {
+        val cp = s.codePointAt(i) // code point, so non-BMP text matches
+        h1 = (h1 * 31L + cp.toLong) % P1
+        h2 = (h2 * 31L + cp.toLong) % P2
+        i += Character.charCount(cp)
+      }
+    }
+    (b1, b2, nTok)
+  }
+
+  /** Base-31 polynomial combine of the k token hashes starting at `j`,
+    * mod p — the gram-key formula of `DedupOps.spanGramSpark`.
+    */
+  def combineAt(hs: Array[Long], j: Int, k: Int, p: Long): Long = {
+    var x = hs(j)
+    var o = 1
+    while (o < k) { x = (x * 31L + hs(j + o)) % p; o += 1 }
+    x
+  }
+}

@@ -115,6 +115,37 @@ object DedupOps {
     */
   val SpanN = 10
 
+  /** Dual-modulus gram key for [[spanDedup]] (primes; see the proof in
+    * the scaladoc below). Single source of truth is the native
+    * generator ([[graft.functions.SpanGramRows]]) — re-exported here
+    * for the SQL spec and the DuckDB oracle so they can never drift.
+    */
+  val SpanP1: Long = graft.functions.SpanGramRows.P1
+  val SpanP2: Long = graft.functions.SpanGramRows.P2
+
+  /** Wide (≈58-bit) per-token polynomial char hash, mod p — the SQL
+    * spec of the native generator's token hashing (parity pinned in
+    * LlmOpsSpec); the oracle mirrors it via [[wideHashDuck]].
+    */
+  def wideHashSpark(tok: String, p: Long): String =
+    s"aggregate(transform(split($tok, ''), ch -> CAST(ascii(ch) AS BIGINT)), " +
+      s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $p)"
+  def wideHashDuck(tok: String, p: Long): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($tok, ''), " +
+      s"ch -> ascii(ch)::BIGINT)), (acc, x) -> (acc * 31 + x) % $p)"
+
+  /** SpanN-gram combine at 1-based position `i` over wide-hash array
+    * `hs`: unrolled base-31 polynomial fold mod p.
+    */
+  def spanGramSpark(hs: String, i: String, p: Long): String =
+    (2 to SpanN).foldLeft(s"element_at($hs, $i)") {
+      (acc, o) => s"($acc * 31 + element_at($hs, $i + ${o - 1})) % $p"
+    }
+  def spanGramDuck(hs: String, i: String, p: Long): String =
+    (2 to SpanN).foldLeft(s"$hs[$i]") {
+      (acc, o) => s"($acc * 31 + $hs[$i + ${o - 1}]) % $p"
+    }
+
   /** Exact-substring duplication report: for every document, the maximal
     * RUNS of consecutive token positions whose SpanN-gram also occurs
     * elsewhere in the corpus (another doc, or another position of the
@@ -122,12 +153,34 @@ object DedupOps {
     * embeds a copied passage; this finds the passage itself — the
     * "exact substring dedup" pass of LLM curation pipelines.
     *
-    * Shape: one narrow map emits (doc_id, pos, md5(gram)) — grams
-    * shuffle as 32-char hashes, never text; a hash agg computes gram
-    * frequency; duplicated positions come back via an equi-join on the
-    * hash; runs are merged with the islands trick (pos − row_number is
-    * constant within a consecutive run) — one window per doc, two hash
-    * aggs. Every stage is corpus-proportional; nothing is quadratic.
+    * Shape: the native [[graft.functions.SpanGramRows]] generator
+    * lateral-emits (pos, g1, g2) per gram in ONE pass over each string
+    * (no char arrays, no md5 — grams shuffle as TWO BIGINTs, 16 bytes
+    * fixed-width vs a 32-char varlen string). r10 measurement: equal to
+    * the md5 formulation at sf0.1 within the run envelope (medians
+    * 1.47 vs 1.56 s — the downstream shuffle+window dominate at this
+    * size); the win is the halved, fixed-width shuffle/agg key and zero
+    * per-gram string building, which is what the x64–x256 cells (where
+    * q96 is the family's most expensive member) are made of. The
+    * interpreted-HOF formulation of the same key measured 1.9× WORSE
+    * than md5 (2.72 s) — the native generator is what makes the
+    * integer key viable.
+    * A hash agg computes gram frequency; duplicated positions come back
+    * via an equi-join on (g1, g2); runs are merged with the islands
+    * trick (pos − row_number is constant within a consecutive run) —
+    * one window per doc, two hash aggs. Every stage is
+    * corpus-proportional; nothing is quadratic.
+    *
+    * Why the dual-modulus key is safe at 100 TB: g1/g2 are the SAME
+    * base-31 polynomial over the wide token hashes, reduced mod
+    * SpanP1/SpanP2. The unreduced polynomial value is < p·Σ31^j ≈
+    * 7.5e30 < SpanP1·SpanP2 ≈ 7.8e34, so by CRT two DISTINCT wide-hash
+    * sequences can never agree on BOTH residues — gram collisions
+    * reduce to token-hash collisions, and those pair up two ≈58-bit
+    * independent residues per token (≈116 bits: expected collisions
+    * over a 10^8-term vocabulary ≈ 10^-19). md5 gave 128 bits at the
+    * cost of string building; this keeps effectively the same
+    * exactness in pure codegen-able integer arithmetic.
     *
     * Returns one row per document that contains at least one duplicated
     * gram: (doc_id, n_dup_grams, n_spans, max_span_grams,
@@ -137,23 +190,16 @@ object DedupOps {
   def spanDedup(c: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = c
-      .select(col("doc_id"), expr(TextOps.tokensSpark("text")).as("toks"))
-      .filter(size(col("toks")) >= SpanN)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(1, size(toks) - ${SpanN - 1}),
-           |  i -> md5(array_join(slice(toks, i, $SpanN), ' ')))"""
-          .stripMargin)).as(Seq("pos0", "gh")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-        col("gh"))
+      .select(col("doc_id"), expr(s"span_gram_rows(text, $SpanN)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // gram vocabulary is corpus-proportional → shuffled hash join, not
     // broadcast (the q61/q92 reasoning)
-    val dupHashes = grams.groupBy(col("gh"))
+    val dupHashes = grams.groupBy(col("g1"), col("g2"))
       .agg(count(lit(1)).as("gcnt"))
       .filter(col("gcnt") > 1)
-      .select(col("gh"))
+      .select(col("g1"), col("g2"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = grams.join(dupHashes, "gh")
+    val spans = grams.join(dupHashes, Seq("g1", "g2"))
       .select(col("doc_id"), col("pos"))
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))

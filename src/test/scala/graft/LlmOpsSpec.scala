@@ -410,6 +410,41 @@ class LlmOpsSpec extends SparkTestBase {
     spark.catalog.dropTempView("sr_outer")
   }
 
+  test("span_gram_rows generator: bit-identical to the HOF spec, safe on edges") {
+    import spark.implicits._
+    val k = DedupOps.SpanN
+    val viaGen = corpus.selectExpr("doc_id", s"span_gram_rows(text, $k)")
+    // the SQL spec the DuckDB oracle mirrors: wide dual-mod token
+    // hashes, unrolled polynomial gram combine, 1-based positions
+    val viaHof = corpus
+      .selectExpr("doc_id", s"${TextOps.tokensSpark("text")} AS toks")
+      .where(s"size(toks) >= $k")
+      .selectExpr("doc_id",
+        s"transform(toks, t -> ${DedupOps.wideHashSpark("t", DedupOps.SpanP1)}) AS h1",
+        s"transform(toks, t -> ${DedupOps.wideHashSpark("t", DedupOps.SpanP2)}) AS h2")
+      .selectExpr("doc_id", s"""posexplode(transform(
+        sequence(1, size(h1) - ${k - 1}),
+        i -> named_struct(
+          'g1', ${DedupOps.spanGramSpark("h1", "i", DedupOps.SpanP1)},
+          'g2', ${DedupOps.spanGramSpark("h2", "i", DedupOps.SpanP2)})))""")
+      .selectExpr("doc_id", "CAST(pos + 1 AS BIGINT) AS pos",
+        "col.g1 AS g1", "col.g2 AS g2")
+    assert(viaGen.exceptAll(viaHof).count() == 0L)
+    assert(viaHof.exceptAll(viaGen).count() == 0L)
+    // short (< k tokens), empty, NULL → zero rows, no crash
+    val edges = Seq((1L, "a b c"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", s"span_gram_rows(text, $k)")
+    assert(edges.count() == 0L)
+    // misuse rejected at analysis time
+    intercept[Exception] {
+      corpus.selectExpr("span_gram_rows(text, 0)").collect()
+    }
+    intercept[Exception] {
+      corpus.selectExpr("span_gram_rows(text, doc_id)").collect()
+    }
+  }
+
   /** Exact-copy ids (base+20000) of benchmark docs with ≥ T shingles. */
   private def sh2ExpectedCopies(sh: org.apache.spark.sql.DataFrame, T: Int): Set[Long] =
     sh.filter(col("doc_id") % 10 === 0 && col("doc_id") < DedupOps.ExactCopyN &&
