@@ -37,6 +37,10 @@ object LlmEntry {
   private val MaxPackShards = 1024L // q83 cap on shards per language
   private val QualityShards = 64  // q98 running-sum shards per language
   private val HhSketchCap = 4096  // q100 Misra-Gries capacity (err ≤ n/4097)
+  // q101 flag threshold: mean surprisal > 65/16 = 4.0625 bits/token,
+  // compared as bits·16 > 65·n_toks — pure BIGINT, no float boundary
+  private val SurprisalFlagNum = 65L
+  private val SurprisalFlagDen = 16L
   private val TfidfK = 3          // TF-IDF terms kept per document
   private val SampleK = 20        // exact-k per-group sample size
   private val IvfCentroidLo = 100 // deterministic coarse centroids
@@ -1008,6 +1012,50 @@ object LlmEntry {
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok")).limit(TopK)
     }),
+
+    "q101_surprisal" -> ((s, d) => {
+      // Unigram-LM quality filter (the CCNet/RedPajama "perplexity
+      // filter" family member), made bit-exact: token surprisal is
+      // computed in WHOLE BITS as floor(log2(N/cnt)) =
+      // length(bin(N DIV cnt)) − 1 — pure integer arithmetic, so
+      // per-doc bit totals are BIGINTs and cross-engine exact (a
+      // transcendental ln-based score is not; the q84 reasoning).
+      // Shape: per-(doc, tok) counts (the only corpus-wide shuffle —
+      // distinct pairs, not the raw token stream), unigram totals from
+      // a second small agg, bits computed once per DISTINCT token on
+      // the vocabulary side and joined back UNHINTED (vocabulary is
+      // corpus-proportional; AQE broadcasts while small — q84), N as a
+      // broadcast scalar. The flag compare is integer-only:
+      // bits·16 > 65·n_toks ⟺ mean > 4.0625 bits/token — no float
+      // boundary can disagree between engines. Per-lang report:
+      // integer sums + ONE IEEE division per output row.
+      val pair = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tf = pair.groupBy(col("tok")).agg(sum(col("k")).as("cnt"))
+      val n = tf.agg(sum(col("cnt")).as("n"))
+      val tokBits = tf.crossJoin(broadcast(n))
+        .select(col("tok"),
+          expr("CAST(length(bin(n DIV cnt)) - 1 AS BIGINT)").as("bits"))
+      val perDoc = pair.join(tokBits, "tok")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("k") * col("bits")).as("bits"),
+          sum(col("k")).as("n_toks"))
+      val out = perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bits") * SurprisalFlagDen >
+            col("n_toks") * SurprisalFlagNum, 1L).otherwise(0L))
+            .as("flagged"),
+          sum(col("bits")).as("total_bits"),
+          sum(col("n_toks")).as("total_tokens"))
+        .withColumn("bits_per_token",
+          col("total_bits").cast("double") /
+            col("total_tokens").cast("double"))
+      core.Materialize.detached(out) { pair.unpersist(blocking = false) }
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1746,5 +1794,33 @@ object LlmEntry {
       s"""SELECT tok, count(*) AS cnt FROM (
          |  SELECT unnest(${tokensDuck("text")}) AS tok FROM documents)
          |GROUP BY tok ORDER BY cnt DESC, tok LIMIT $TopK""".stripMargin,
+
+    // q101 mirror: Spark length(bin(x)) ≡ DuckDB length(format('{:b}', x))
+    // (binary digits of a positive BIGINT, no leading zeros); everything
+    // up to the final division is BIGINT
+    "q101_surprisal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(${tokensDuck("text")}) AS tok
+         |  FROM documents),
+         |pair AS (
+         |  SELECT doc_id, lang, tok, count(*) AS k
+         |  FROM toks GROUP BY doc_id, lang, tok),
+         |tf AS (SELECT tok, CAST(sum(k) AS BIGINT) AS cnt FROM pair GROUP BY tok),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tf),
+         |tb AS (
+         |  SELECT tok, CAST(length(format('{:b}', n // cnt)) - 1 AS BIGINT) AS bits
+         |  FROM tf CROSS JOIN n),
+         |db AS (
+         |  SELECT doc_id, lang, CAST(sum(k * bits) AS BIGINT) AS bits,
+         |    CAST(sum(k) AS BIGINT) AS n_toks
+         |  FROM pair JOIN tb USING (tok) GROUP BY doc_id, lang)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(count(*) FILTER (bits * $SurprisalFlagDen
+         |    > n_toks * $SurprisalFlagNum) AS BIGINT) AS flagged,
+         |  CAST(sum(bits) AS BIGINT) AS total_bits,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum(bits) AS DOUBLE) / CAST(sum(n_toks) AS DOUBLE)
+         |    AS bits_per_token
+         |FROM db GROUP BY lang""".stripMargin,
   )
 }
