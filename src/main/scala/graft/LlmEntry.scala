@@ -41,6 +41,7 @@ object LlmEntry {
   // compared as bits·16 > 65·n_toks — pure BIGINT, no float boundary
   private val SurprisalFlagNum = 65L
   private val SurprisalFlagDen = 16L
+  private val MixTargetDocs = 1000L // q102 total target corpus size (docs)
   private val TfidfK = 3          // TF-IDF terms kept per document
   private val SampleK = 20        // exact-k per-group sample size
   private val IvfCentroidLo = 100 // deterministic coarse centroids
@@ -1056,6 +1057,31 @@ object LlmEntry {
             col("total_tokens").cast("double"))
       core.Materialize.detached(out) { pair.unpersist(blocking = false) }
     }),
+
+    "q102_temperature_mix" -> ((s, d) => {
+      // Temperature-based mixing weights (α = 0.5): the multilingual /
+      // multi-source rebalancing rule w_s ∝ n_s^α that upsamples tails
+      // relative to proportional mixing. α = 1/2 is the one temperature
+      // whose power is an IEEE-exact primitive (sqrt is correctly
+      // rounded; pow is not) — so the whole report is bit-stable
+      // cross-engine PROVIDED the normalizer Σ√n_s folds in a defined
+      // order: collect_list gives nondeterministic order, array_sort
+      // pins it, and the HOF fold is left-to-right by spec (DuckDB
+      // mirror: list_sort + list_reduce over the same values). Counts
+      // aggregate distributed; only |sources| scalars reach the fold.
+      // target_docs = floor(T·√n_s / Z) — identical op sequence on both
+      // sides, so the floor boundary cannot disagree.
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val z = counts.agg(expr(
+        """aggregate(array_sort(collect_list(sqrt(CAST(n_docs AS DOUBLE)))),
+          |  CAST(0.0 AS DOUBLE), (a, x) -> a + x)""".stripMargin).as("z"))
+      counts.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"),
+          (sqrt(col("n_docs").cast("double")) / col("z")).as("weight"),
+          expr(s"CAST(floor($MixTargetDocs * sqrt(CAST(n_docs AS DOUBLE)) / z) AS BIGINT)")
+            .as("target_docs"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1822,5 +1848,22 @@ object LlmEntry {
          |  CAST(sum(bits) AS DOUBLE) / CAST(sum(n_toks) AS DOUBLE)
          |    AS bits_per_token
          |FROM db GROUP BY lang""".stripMargin,
+
+    // q102 mirror: list_prepend(0.0) ≡ Spark's 0.0-initialized fold
+    // (0.0 + x0 = x0 exactly); list_sort ≡ array_sort on doubles
+    "q102_temperature_mix" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |z AS (
+         |  SELECT list_reduce(
+         |    list_prepend(0.0::DOUBLE,
+         |      list_sort(list(sqrt(CAST(n_docs AS DOUBLE))))),
+         |    (a, x) -> a + x) AS z
+         |  FROM counts)
+         |SELECT source, n_docs,
+         |  sqrt(CAST(n_docs AS DOUBLE)) / z AS weight,
+         |  CAST(floor($MixTargetDocs * sqrt(CAST(n_docs AS DOUBLE)) / z)
+         |    AS BIGINT) AS target_docs
+         |FROM counts CROSS JOIN z""".stripMargin,
   )
 }

@@ -40,7 +40,11 @@ object ScaleBench {
     * q84 (TF-IDF with the broadcast hint removed — the cipher gives each
     * replica a disjoint token set, so at ×m the vocabulary really is
     * m× the base: exactly the corpus-proportional-vocabulary scenario
-    * the hint removal is for).
+    * the hint removal is for). r10 adds the round's new document-corpus
+    * operators: q100 (MG heavy hitters — the sketch state must stay
+    * capacity-bounded while the true vocabulary grows m×) and q101
+    * (surprisal — distinct (doc, tok) pair shuffle + vocabulary-side
+    * join, the q84 scenario with a second corpus-wide agg on top).
     */
   private[graft] val Family = Seq(
     "q33_dedup_exact", "q34_minhash_buckets", "q35_minhash_pairs",
@@ -49,7 +53,7 @@ object ScaleBench {
     "q71_dup_clusters", "q83_seq_packing", "q84_tfidf",
     "q89_bloom_screen", "q90_incremental_dedup",
     "q95_semantic_dedup", "q96_span_dedup", "q97_ann_recall",
-    "q98_budget_select")
+    "q98_budget_select", "q100_heavy_hitters", "q101_surprisal")
 
   private[graft] val IdStride = 1000000L
 

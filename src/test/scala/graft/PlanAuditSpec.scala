@@ -15,8 +15,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q38_cosine_topk", "q43_cosine_native", "q46_ivf_topk",
     "q81_kmeans_step", "q84_tfidf",
     // broadcast single-row scalar frames (min/max ranges, percentile
-    // thresholds) — scalar by construction
-    "q91_zorder", "q94_length_strata")
+    // thresholds, fold-normalizers) — scalar by construction
+    "q91_zorder", "q94_length_strata", "q102_temperature_mix")
 
   test("every query plan: no raw cartesian, broadcast where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
