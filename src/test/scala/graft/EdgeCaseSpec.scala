@@ -94,4 +94,37 @@ class EdgeCaseSpec extends SparkTestBase {
       .head.getSeq[Long](0).toList
     assert(native === want && hof === want)
   }
+
+  test("span_gram_rows on non-BMP text: native equals HOF spec at exactly k tokens") {
+    // the span generator must hash code points like the shingle tier
+    // (a UTF-16-unit hash would diverge from the DuckDB oracle); ten
+    // tokens exactly → precisely ONE gram row from both formulations
+    val k = DedupOps.SpanN
+    val toks = Seq("a𝄞b", "x😀", "y", "z", "α", "帳", "q", "r", "s", "t")
+    require(toks.size == k)
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val gen = docs.selectExpr("doc_id", s"span_gram_rows(text, $k)")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    def wide(tok: String, p: Long): Long =
+      tok.codePoints().toArray.foldLeft(0L)((h, cp) => (h * 31 + cp) % p)
+    def gram(hs: Seq[Long], p: Long): Long =
+      hs.reduceLeft((a, b) => (a * 31 + b) % p)
+    val want = (1L,
+      gram(toks.map(wide(_, DedupOps.SpanP1)), DedupOps.SpanP1),
+      gram(toks.map(wide(_, DedupOps.SpanP2)), DedupOps.SpanP2))
+    assert(gen.toList === List(want))
+    // k-1 tokens → zero rows
+    assert(Seq((2L, toks.drop(1).mkString(" "))).toDF("doc_id", "text")
+      .selectExpr(s"span_gram_rows(text, $k)").count() === 0L)
+  }
+
+  test("mg_sketch round-trips unicode terms through serialize/merge") {
+    // forced partials (repartition) exercise serialize/deserialize on
+    // multi-byte UTF-8 terms; counts must survive exactly
+    val df = (Seq.fill(40)("𝄞😀") ++ Seq.fill(25)("帳簿") ++ Seq.fill(5)("a"))
+      .toDF("tok").repartition(6)
+    val row = df.agg(expr("mg_sketch(tok, 8)")).head.getStruct(0)
+    assert(row.getSeq[String](0).toList === List("𝄞😀", "帳簿", "a"))
+    assert(row.getLong(1) === 0L) // vocab under capacity: exact
+  }
 }
