@@ -42,6 +42,7 @@ object LlmEntry {
   private val SurprisalFlagNum = 65L
   private val SurprisalFlagDen = 16L
   private val MixTargetDocs = 1000L // q102 total target corpus size (docs)
+  private val HashDim = 16L       // q103 feature-hash embedding dimensions
   private val TfidfK = 3          // TF-IDF terms kept per document
   private val SampleK = 20        // exact-k per-group sample size
   private val IvfCentroidLo = 100 // deterministic coarse centroids
@@ -1082,6 +1083,54 @@ object LlmEntry {
           expr(s"CAST(floor($MixTargetDocs * sqrt(CAST(n_docs AS DOUBLE)) / z) AS BIGINT)")
             .as("target_docs"))
     }),
+
+    "q103_hash_embed" -> ((s, d) => {
+      // Feature-hash text embeddings (the hashing trick) + exact
+      // retrieval — text becomes a vector with NO model: bucket
+      // j = h(tok) mod D, sign from the next hash bit, weight = token
+      // count, so every coordinate is an exact BIGINT and the oracle
+      // compares bit-for-bit (dot products are integer sums; the two
+      // sqrts and one division are the only IEEE ops, identical
+      // sequence both engines). The embedding never materializes as an
+      // array: docs live as ≤ D (doc, bucket, weight) rows, dot =
+      // equi-join on bucket + integer product-sum — the relational form
+      // of cosine, which is also how the DuckDB mirror states it.
+      // Scale shape: per-doc state is ≤ D rows (narrow aggs); retrieval
+      // is brute-force against a BROADCAST probe set (the q38 cost
+      // model — exact truth; the LSH/IVF indexes q39/q46/q47 are the
+      // approximate scale path for big probe sets).
+      val pair = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+        .withColumn("h", expr(TextOps.rollingHashSpark("tok")))
+        .withColumn("j", col("h") % HashDim)
+        .withColumn("w",
+          expr(s"k * (CASE WHEN (h DIV $HashDim) % 2 = 0 THEN 1L ELSE -1L END)"))
+      val buckets = pair.groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("w")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val norms = buckets.groupBy(col("doc_id"))
+        .agg(sum(col("w") * col("w")).as("n2")).filter(col("n2") > 0)
+      val probeB = buckets.filter(col("doc_id") < ProbeN)
+        .select(col("doc_id").as("probe_id"), col("j"), col("w").as("pw"))
+      val probeN = norms.filter(col("doc_id") < ProbeN)
+        .select(col("doc_id").as("probe_id"), col("n2").as("pn2"))
+      val dots = buckets.join(broadcast(probeB), "j")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc_id"))
+        .agg(sum(col("w") * col("pw")).as("dot"))
+      val scored = dots.join(norms, "doc_id")
+        .join(broadcast(probeN), "probe_id")
+        .withColumn("cosine", col("dot").cast("double") /
+          (sqrt(col("pn2").cast("double")) * sqrt(col("n2").cast("double"))))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+      val out = scored
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= LshK)
+        .select(col("probe_id"), col("doc_id"), col("cosine"))
+      core.Materialize.detached(out) { buckets.unpersist(blocking = false) }
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1865,5 +1914,43 @@ object LlmEntry {
          |  CAST(floor($MixTargetDocs * sqrt(CAST(n_docs AS DOUBLE)) / z)
          |    AS BIGINT) AS target_docs
          |FROM counts CROSS JOIN z""".stripMargin,
+
+    // q103 mirror: the relational cosine — integer product-sums joined
+    // on the hash bucket; sqrt·sqrt then one division, same op sequence
+    "q103_hash_embed" ->
+      s"""WITH pair AS (
+         |  SELECT doc_id, tok, count(*) AS k FROM (
+         |    SELECT doc_id, unnest(${tokensDuck("text")}) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |hashed AS (
+         |  SELECT doc_id, h % $HashDim AS j,
+         |    k * (CASE WHEN (h // $HashDim) % 2 = 0 THEN 1 ELSE -1 END) AS w
+         |  FROM (SELECT doc_id, k, ${TextOps.rollingHashDuck("tok")} AS h
+         |        FROM pair)),
+         |buckets AS (
+         |  SELECT doc_id, j, CAST(sum(w) AS BIGINT) AS w
+         |  FROM hashed GROUP BY doc_id, j),
+         |norms AS (
+         |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+         |  FROM buckets GROUP BY doc_id HAVING sum(w * w) > 0),
+         |dots AS (
+         |  SELECT p.doc_id AS probe_id, c.doc_id,
+         |    CAST(sum(c.w * p.w) AS BIGINT) AS dot
+         |  FROM buckets c JOIN buckets p USING (j)
+         |  WHERE p.doc_id < $ProbeN AND c.doc_id <> p.doc_id
+         |  GROUP BY p.doc_id, c.doc_id)
+         |SELECT probe_id, doc_id, cosine FROM (
+         |  SELECT probe_id, d.doc_id,
+         |    CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(pn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+         |      AS cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY CAST(dot AS DOUBLE) /
+         |        (sqrt(CAST(pn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+         |        DESC, d.doc_id) AS rk
+         |  FROM dots d
+         |  JOIN norms cn ON d.doc_id = cn.doc_id
+         |  JOIN norms pn ON d.probe_id = pn.doc_id)
+         |WHERE rk <= $LshK""".stripMargin,
   )
 }

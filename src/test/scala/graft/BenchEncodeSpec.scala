@@ -43,20 +43,22 @@ class BenchEncodeSpec extends SparkTestBase {
     assert(full.contains(""""canary":{"single_s":[0.219,0.167],"par_s":[0.442,0.325]}"""))
   }
 
-  test("compact line for the CURRENT query set carries median+dmin+spread") {
+  test("compact line for the CURRENT query set degrades as designed") {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .map(n => (n, Seq(3.141, 3.102, 3.188)))
     val line = Bench.compactJson(names, nErrors = 2, total = 99.999,
       sfDir = "/root/testdata/sf0.1", runs = 3, setupSec = 0.85)
     // 1920 is the real contract: the driver's 2000-char tail minus
-    // sbt's ~80-char `[success] Total time ...` trailer (r10: 100
-    // queries → 1882 chars, full triple still whole). When the query
-    // count outgrows this, compactJson drops dmin FIRST (it stays in
-    // bench_result.json) — at that point move the dmin assertion below
-    // into a "degrades to spread-only" expectation, don't raise 1920.
+    // sbt's ~80-char `[success] Total time ...` trailer. At 103 queries
+    // the full median+dmin+spread triple outgrew it (r10), so the
+    // designed ladder drops dmin from the TAIL LINE first — medians and
+    // the spread (the noise envelope BenchDiff needs) must survive, and
+    // dmin keeps full fidelity in bench_result.json (fullJson below).
     assert(line.length <= 1920, s"compact bench line too long: ${line.length}")
-    assert(line.contains(""""dmin":["""), line.takeRight(200))
+    assert(line.contains(""""queries":{"""), line.takeRight(200))
     assert(line.contains(""""spread":["""), line.takeRight(200))
+    val full = Bench.fullJson(names.take(2), Nil, 1.0, "/x", 3, 0.1, Nil)
+    assert(full.contains(""""min":"""), "per-run fidelity must stay in bench_result.json")
   }
 
   test("compact line is valid JSON shape with the contract keys") {
