@@ -280,4 +280,52 @@ object GraftProps extends Properties("graft") {
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
       sharded == plain
     }
+
+  // ---- Misra-Gries sketch laws (q100) ------------------------------------
+  // plain-JVM (no Spark round-trip): adversarial streams mixing a small
+  // head with a wide tail, arbitrary capacities and split points
+  private val genMgStream: Gen[(List[String], Int)] = for {
+    cap <- Gen.choose(2, 40)
+    n <- Gen.choose(0, 400)
+    toks <- Gen.listOfN(n, Gen.frequency(
+      3 -> Gen.choose(0, 4).map(i => s"h$i"),      // heavy head
+      2 -> Gen.choose(0, 5000).map(i => s"t$i")))  // sparse tail
+  } yield (toks, cap)
+
+  private def mgLaws(b: graft.functions.MgSketch.Buf,
+                     toks: List[String], cap: Int): Prop = {
+    val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val errBound = if (toks.isEmpty) 0L else toks.size.toLong / (cap + 1)
+    def est(t: String): Long =
+      Option(b.counts.get(t)).map(_.longValue).getOrElse(0L)
+    Prop.all(
+      Prop(b.err <= errBound) :| s"err ${b.err} > n/(cap+1) $errBound",
+      Prop(b.counts.size <= 2 * cap) :| "state exceeds 2*cap",
+      Prop(truth.forall { case (t, n) => est(t) <= n }) :| "overcount",
+      Prop(truth.forall { case (t, n) => n - est(t) <= b.err }) :|
+        "undercount beyond err",
+      // the screen guarantee q100's exactness rests on
+      Prop(truth.forall { case (t, n) =>
+        n <= b.err || b.counts.containsKey(t) }) :| "heavy key evicted")
+  }
+
+  property("Misra-Gries buffer keeps the classic MG guarantees") =
+    forAll(genMgStream) { case (toks, cap) =>
+      val b = new graft.functions.MgSketch.Buf(cap)
+      toks.foreach(t => b.add(t, 1L))
+      mgLaws(b, toks, cap)
+    }
+
+  property("Misra-Gries merge preserves the guarantees at any split") =
+    forAll(genMgStream, Gen.choose(0, 400)) { case ((toks, cap), cut0) =>
+      val cut = if (toks.isEmpty) 0 else cut0 % (toks.size + 1)
+      val (a, rest) = toks.splitAt(cut)
+      val ba = new graft.functions.MgSketch.Buf(cap)
+      val bb = new graft.functions.MgSketch.Buf(cap)
+      a.foreach(t => ba.add(t, 1L))
+      rest.foreach(t => bb.add(t, 1L))
+      ba.err += bb.err // the aggregate's merge path
+      bb.counts.forEach((t, c) => ba.add(t, c.longValue))
+      mgLaws(ba, toks, cap)
+    }
 }
