@@ -19,6 +19,7 @@ object RelEntry {
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
   private val NeighborWindowSec = 300L   // ±5 min
   private val SessionGapSec = 86400L     // 1 day
+  private val SessionWindowGapSec = 3600L // q104 built-in session_window gap
   /** md5-prefix threshold ≈ 0.80 of the hex space → deterministic,
     * engine-independent, stable-under-append train/test assignment. */
   private val SplitHexHi = "cc"
@@ -365,6 +366,23 @@ object RelEntry {
         .select(col("event_id"), col("cx"), col("cy"),
           expr(LayoutOps.interleaveSpark("cx", "cy", ZBits)).as("z"))
     }),
+
+    "q104_session_window" -> ((s, d) =>
+      // The BUILT-IN gap-sessionization operator (Spark's
+      // session_window), completing the tier: q56 hand-rolls the
+      // islands form, q45 holds custom streaming state — this is the
+      // one-liner Spark answer, and in streaming it gets state merging
+      // for free. Semantics divergence worth pinning against the
+      // oracle: session_window starts a NEW session at ts − prev ≥ gap
+      // (q56's hand-rolled rule is strictly >), and window.end = last
+      // event + gap. One shuffle on user_id; per-group state is the
+      // open session only.
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$SessionWindowGapSec seconds").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))),
   )
 
   private val ZBits = 8 // 256 cells per dimension → 16-bit z space
@@ -593,5 +611,27 @@ object RelEntry {
          |SELECT event_id, cx, cy,
          |  ${LayoutOps.interleaveDuck("cx", "cy", ZBits)} AS z
          |FROM cells""".stripMargin,
+
+    // q104 mirror: islands form of session_window semantics — note >=
+    // (a gap of EXACTLY the window size starts a new session, unlike
+    // q56's strict >) and end = last event + gap
+    "q104_session_window" ->
+      s"""WITH t AS (
+         |  SELECT user_id, ts,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR ts - lag(ts) OVER w
+         |                   >= INTERVAL $SessionWindowGapSec SECOND
+         |              THEN 1 ELSE 0 END AS new_s
+         |    FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |g AS (
+         |  SELECT user_id, ts,
+         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |                          ROWS UNBOUNDED PRECEDING) AS sid
+         |    FROM t)
+         |SELECT user_id, min(ts) AS session_start,
+         |       max(ts) + INTERVAL $SessionWindowGapSec SECOND AS session_end,
+         |       count(*) AS n_events
+         |  FROM g GROUP BY user_id, sid""".stripMargin,
   )
 }
