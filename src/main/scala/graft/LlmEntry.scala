@@ -1008,11 +1008,25 @@ object LlmEntry {
       // right 100-TB trade; both scans are narrow maps into tiny aggs.
       val toks = Tables.documents(s, d)
         .select(explode(expr(tokensSpark("text"))).as("tok"))
+      // err rides on every candidate row so the exactness precondition
+      // is ENFORCED at runtime, not just documented: after the top-k
+      // cut, every surviving count must exceed err (⇒ the k-th does ⇒
+      // any true top-k member was guaranteed a candidate slot). On a
+      // distribution too flat for the capacity, assert_true raises
+      // instead of returning a plausible-looking wrong "exact" answer.
+      // isnull(assert_true(..)) = TRUE on the passing path but is not
+      // statically foldable, so the check survives optimization; the
+      // filter references err, so pruning keeps it out of the output
+      // schema without dropping the check.
       val cands = toks.agg(expr(s"mg_sketch(tok, $HhSketchCap)").as("sk"))
-        .select(explode(col("sk.terms")).as("tok"))
+        .select(explode(col("sk.terms")).as("tok"), col("sk.err").as("err"))
       toks.join(broadcast(cands), "tok")
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("tok"), col("err")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok")).limit(TopK)
+        .where(isnull(expr(
+          "assert_true(cnt > err, 'mg_sketch screen cannot certify " +
+            "exactness at this capacity: raise HhSketchCap')")))
+        .select(col("tok"), col("cnt"))
     }),
 
     "q101_surprisal" -> ((s, d) => {

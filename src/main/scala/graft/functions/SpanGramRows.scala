@@ -27,8 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * INPUT row by construction, so callers need no persist-before-explode
   * discipline (the [[ShingleRows]] lessons, applied to the span tier).
   *
-  * Collision-freedom of the key at 100 TB is argued in
-  * `DedupOps.spanDedup`'s scaladoc (CRT over the dual moduli).
+  * The pair's ≈116-bit statistical collision bound at 100 TB is argued
+  * in `DedupOps.spanDedup`'s scaladoc.
   */
 case class SpanGramRows(text: Expression, kExpr: Expression)
     extends Generator with CodegenFallback {

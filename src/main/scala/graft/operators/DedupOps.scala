@@ -125,14 +125,13 @@ object DedupOps {
 
   /** Wide (≈58-bit) per-token polynomial char hash, mod p — the SQL
     * spec of the native generator's token hashing (parity pinned in
-    * LlmOpsSpec); the oracle mirrors it via [[wideHashDuck]].
+    * LlmOpsSpec); the oracle mirrors it via [[wideHashDuck]]. Both
+    * delegate to the ONE rolling-hash formula in [[TextOps]].
     */
   def wideHashSpark(tok: String, p: Long): String =
-    s"aggregate(transform(split($tok, ''), ch -> CAST(ascii(ch) AS BIGINT)), " +
-      s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $p)"
+    TextOps.rollingHashSpark(tok, p)
   def wideHashDuck(tok: String, p: Long): String =
-    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($tok, ''), " +
-      s"ch -> ascii(ch)::BIGINT)), (acc, x) -> (acc * 31 + x) % $p)"
+    TextOps.rollingHashDuck(tok, p)
 
   /** SpanN-gram combine at 1-based position `i` over wide-hash array
     * `hs`: unrolled base-31 polynomial fold mod p.
@@ -171,16 +170,15 @@ object DedupOps {
     * one window per doc, two hash aggs. Every stage is
     * corpus-proportional; nothing is quadratic.
     *
-    * Why the dual-modulus key is safe at 100 TB: g1/g2 are the SAME
-    * base-31 polynomial over the wide token hashes, reduced mod
-    * SpanP1/SpanP2. The unreduced polynomial value is < p·Σ31^j ≈
-    * 7.5e30 < SpanP1·SpanP2 ≈ 7.8e34, so by CRT two DISTINCT wide-hash
-    * sequences can never agree on BOTH residues — gram collisions
-    * reduce to token-hash collisions, and those pair up two ≈58-bit
-    * independent residues per token (≈116 bits: expected collisions
-    * over a 10^8-term vocabulary ≈ 10^-19). md5 gave 128 bits at the
-    * cost of string building; this keeps effectively the same
-    * exactness in pure codegen-able integer arithmetic.
+    * Why the dual-modulus key is safe at 100 TB: g1 and g2 are
+    * INDEPENDENT ≈58-bit hashes (separate per-token hash arrays, mod
+    * SpanP1 and SpanP2, combined by separate base-31 polynomial folds),
+    * so the pair is a ≈116-bit statistical key — at 10^12 grams the
+    * expected number of colliding pairs is ~10^24/2^117 ≈ 6·10^-12.
+    * This is a STATISTICAL guarantee of the same kind as md5's 128
+    * bits (not a deterministic one: a base-31 polynomial over
+    * 58-bit-range coefficients is not injective), bought in pure
+    * integer arithmetic instead of per-gram string building + digest.
     *
     * Returns one row per document that contains at least one duplicated
     * gram: (doc_id, n_dup_grams, n_spans, max_span_grams,

@@ -61,12 +61,16 @@ object TextOps {
   /** Polynomial rolling hash over characters, mod 2^31-1. Identical
     * left-to-right fold in both dialects (verified: h("abc") = 96354).
     */
-  def rollingHashSpark(c: String): String =
+  // The one rolling-hash formula (split on '', code-point ascii,
+  // (acc·31+x) mod p): every tier — shingles (HashMod), span grams
+  // (DedupOps.SpanP1/P2) — must parameterize THIS definition so an
+  // edge-case fix can never desynchronize them.
+  def rollingHashSpark(c: String, p: Long = HashMod): String =
     s"aggregate(transform(split($c, ''), ch -> CAST(ascii(ch) AS BIGINT)), " +
-      s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $HashMod)"
-  def rollingHashDuck(c: String): String =
+      s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $p)"
+  def rollingHashDuck(c: String, p: Long = HashMod): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($c, ''), " +
-      s"ch -> ascii(ch)::BIGINT)), (acc, x) -> (acc * 31 + x) % $HashMod)"
+      s"ch -> ascii(ch)::BIGINT)), (acc, x) -> (acc * 31 + x) % $p)"
 
   // ---- quality scoring --------------------------------------------------
   /** Shared quality formula: 0.4·uniq_ratio + 0.3·(1−stop_ratio) +

@@ -96,6 +96,26 @@ class FreqSketchSpec extends SparkTestBase {
     assert(row.getLong(1) === 0L)
   }
 
+  test("q100's runtime guard raises on a distribution too flat to certify") {
+    // the q100 query shape with a tiny capacity against all-singleton
+    // tokens: no count can clear err, so the assert_true guard must
+    // raise instead of returning a plausible-looking wrong "exact" top-k
+    val df = (0 until 3000).map(i => s"t$i").toDF("tok").repartition(4)
+    val cands = df.agg(expr("mg_sketch(tok, 16)").as("sk"))
+      .select(explode(col("sk.terms")).as("tok"), col("sk.err").as("err"))
+    val guarded = df.join(broadcast(cands), "tok")
+      .groupBy(col("tok"), col("err")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(10)
+      .where(isnull(expr("assert_true(cnt > err, 'uncertifiable')")))
+      .select(col("tok"), col("cnt"))
+    val e = intercept[Exception] { guarded.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("uncertifiable"))),
+      s"expected the guard's message in: $e")
+  }
+
   test("failure mode is visible: sub-err tokens may vanish, err says so") {
     // adversarial: all tokens tie at count 1 with vocab >> cap — no
     // token is guaranteed a slot, and err reflects that honestly
