@@ -74,4 +74,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(leaked.isEmpty,
       leaked.map(spark.sparkContext.getPersistentRDDs(_).name).mkString(","))
   }
+
+  test("q100: sketch combines map-side and candidates ride a broadcast hash join") {
+    // the two properties q100's 100-TB cost model rests on: the MG
+    // sketch must aggregate partially BELOW its exchange (per-partition
+    // state, k-bounded merge — not a full token shuffle into one
+    // reducer), and the candidate probe must be a broadcast EQUI join
+    val plan = SparkEntry.queries("q100_heavy_hitters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_mg_sketch"),
+      s"mg_sketch lost its map-side partial:\n${plan.take(800)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate screen is not a broadcast hash join:\n${plan.take(800)}")
+  }
 }
