@@ -286,15 +286,21 @@ object Bench {
     // make cross-round comparability checkable from the tail alone
     val can = if (canary.size != 4) ""
       else s""""can":[${canary.map(ms).mkString(",")}],"""
-    val head = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
-      s""""runs":$runs,"setup":${fmt3(setupSec)},$can""" +
-      s""""enc":"q:median ms;dmin:med-min;spread:max-min ms, q-order",""" +
-      s""""queries":$qs,"errors":$nErrors,"sf":$sf"""
-    val full = s"""$head,"dmin":$dmin,"spread":$spread}"""
+    // enc must describe what THIS line actually carries — when the
+    // ladder drops dmin (or spread) for the tail budget, a fixed enc
+    // string would claim fields that aren't there
+    def head(enc: String) =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
+        s""""runs":$runs,"setup":${fmt3(setupSec)},$can""" +
+        s""""enc":"$enc",""" +
+        s""""queries":$qs,"errors":$nErrors,"sf":$sf"""
+    val full = s"""${head("q:median ms;dmin:med-min;spread:max-min ms, q-order")},"dmin":$dmin,"spread":$spread}"""
     if (full.length <= maxLen) full
     else {
-      val noDmin = s"""$head,"spread":$spread}"""
-      if (noDmin.length <= maxLen) noDmin else s"$head}"
+      val noDmin =
+        s"""${head("q:median ms;spread:max-min ms, q-order")},"spread":$spread}"""
+      if (noDmin.length <= maxLen) noDmin
+      else s"${head("q:median ms")}}"
     }
   }
 }

@@ -57,6 +57,10 @@ class BenchEncodeSpec extends SparkTestBase {
     assert(line.length <= 1920, s"compact bench line too long: ${line.length}")
     assert(line.contains(""""queries":{"""), line.takeRight(200))
     assert(line.contains(""""spread":["""), line.takeRight(200))
+    // enc must describe the degraded line, not the full triple
+    assert(line.contains(""""enc":"q:median ms;spread:max-min ms, q-order""""),
+      line.take(300))
+    assert(!line.contains("dmin"), "dropped field must vanish from enc too")
     val full = Bench.fullJson(names.take(2), Nil, 1.0, "/x", 3, 0.1, Nil)
     assert(full.contains(""""min":"""), "per-run fidelity must stay in bench_result.json")
   }
