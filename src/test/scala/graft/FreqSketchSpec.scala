@@ -96,6 +96,29 @@ class FreqSketchSpec extends SparkTestBase {
     assert(row.getLong(1) === 0L)
   }
 
+  test("grouped mg_sketch: per-group buffers screen each group exactly") {
+    // groupBy exercises the OTHER aggregate runtime path — a buffer per
+    // group, per-group serialize across the shuffle — with skew between
+    // groups (one wide-vocab group forcing purges, one tiny exact group)
+    val wide = zipfStream(tail = 4000).map(("wide", _))
+    val tiny = (Seq.fill(30)("a") ++ Seq.fill(7)("b")).map(("tiny", _))
+    val df = new scala.util.Random(11).shuffle(wide ++ tiny)
+      .toDF("grp", "tok").repartition(8)
+    val sk = df.groupBy(col("grp")).agg(expr("mg_sketch(tok, 128)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    // tiny group: under capacity → exact contents, zero err
+    assert(sk("tiny").getSeq[String](0).toList === List("a", "b"))
+    assert(sk("tiny").getLong(1) === 0L)
+    // wide group: the screen guarantee holds within ITS stream only
+    val wideTruth = wide.groupBy(_._2).view.mapValues(_.size.toLong)
+    val err = sk("wide").getLong(1)
+    assert(err <= wide.size.toLong / 129)
+    val surviving = sk("wide").getSeq[String](0).toSet
+    wideTruth.filter(_._2 > err).keys.foreach { t =>
+      assert(surviving(t), s"heavy $t missing from wide group's sketch")
+    }
+  }
+
   test("q100's runtime guard raises on a distribution too flat to certify") {
     // the q100 query shape with a tiny capacity against all-singleton
     // tokens: no count can clear err, so the assert_true guard must
