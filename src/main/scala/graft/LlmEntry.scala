@@ -1735,7 +1735,7 @@ object LlmEntry {
     // q96 mirror: 1-based gram positions (Spark sequence(1, n-k+1) ≡
     // DuckDB range(1, n-k+2)), dual-modulus polynomial gram key over
     // wide per-token char hashes (bit-identical integer folds on both
-    // sides; collision-freedom argument in DedupOps.spanDedup),
+    // sides; statistical collision bound in DedupOps.spanDedup),
     // islands via pos − row_number — integer arithmetic end to end.
     "q96_span_dedup" ->
       s"""WITH corpus AS (${DedupOps.corpusDuck}),
