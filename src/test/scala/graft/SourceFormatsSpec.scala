@@ -42,6 +42,21 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(key(back) === key(src) && key(back).nonEmpty)
   }
 
+  test("XML round-trip with explicit schema keeps micros + types") {
+    // Spark 4 upstreamed the XML source into core — the semi-structured
+    // feed format (sitemaps, legacy enterprise exports) with no extra
+    // dependency; same discipline as the other formats: explicit
+    // schema, never inference
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    val src = sample
+    src.write.mode("overwrite").option("rowTag", "event")
+      .option("timestampFormat", TsFmt).xml(dir)
+    val back = spark.read.schema(src.schema).option("rowTag", "event")
+      .option("timestampFormat", TsFmt).xml(dir)
+    assert(back.schema === src.schema)
+    assert(key(back) === key(src) && key(back).nonEmpty)
+  }
+
   test("ORC scan pushes predicates like parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc2").toString
     sample.write.mode("overwrite").orc(dir)
