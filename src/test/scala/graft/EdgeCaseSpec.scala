@@ -118,6 +118,24 @@ class EdgeCaseSpec extends SparkTestBase {
       .selectExpr(s"span_gram_rows(text, $k)").count() === 0L)
   }
 
+  test("observe: pipeline metrics ride the action, no second scan") {
+    // the 100-TB answer to "how many rows / how many nulls did this
+    // write emit": Observation metrics aggregate inside the SAME job
+    // instead of a second count() pass over the input
+    val obs = new org.apache.spark.sql.Observation("quality")
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = docs
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_texts"),
+        max(length(col("text"))).as("max_len"))
+      .filter(col("n_chars") > 0)
+    val kept = out.count() // one action drives both the filter and the metrics
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] >= kept && kept > 0)
+    assert(m("null_texts").asInstanceOf[Long] === 0L)
+    assert(m("max_len").asInstanceOf[Int] > 0)
+  }
+
   test("mg_sketch round-trips unicode terms through serialize/merge") {
     // forced partials (repartition) exercise serialize/deserialize on
     // multi-byte UTF-8 terms; counts must survive exactly
