@@ -72,6 +72,71 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(canarySingleMin(m.readTree("{}")).isEmpty)
   }
 
+  test("driver wrapper: parsed compact line yields stats + canary") {
+    // the shape of the driver's BENCH_r*.json (VERDICT r10 missing-1):
+    // compact line under "parsed", qNN keys, integer-ms medians,
+    // positional dmin/spread, canary as 4 integer-ms probes
+    val m = new ObjectMapper()
+    val wrapper = m.readTree(
+      """{"n":10,"rc":0,"cpus":32,"sf":0.1,"tail":"…cut…",
+        |"parsed":{"metric":"total","value":1.0,"unit":"sec","runs":3,
+        |"setup":0.2,"can":[378,453,343,737],
+        |"enc":"q:median ms;dmin:med-min;spread:max-min ms, q-order",
+        |"queries":{"q01":500,"q02":-1},"errors":1,"sf":0.1,
+        |"dmin":[100,0],"spread":[150,0]}}""".stripMargin)
+    val root = BenchDiff.unwrap(wrapper, m)
+    val stats = queryStats(root)
+    // median 500ms, min = 500-100 = 400ms, max = min+spread = 550ms
+    assert(stats("q01") == Stats(0.5, 0.4, 0.55))
+    assert(stats("q02") == Stats(-1, -1, -1)) // -1 sentinel survives
+    // canary: min of the two single-thread probes (indices 0 and 2), sec
+    assert(canarySingleMin(root) == Some(0.343))
+  }
+
+  test("driver wrapper: tail fallback when parsed is absent") {
+    val m = new ObjectMapper()
+    val wrapper = m.readTree(
+      """{"n":3,"rc":0,
+        |"tail":"…,\"max\":1.04} cut mid-json\n{\"metric\":\"total\",\"value\":0.5,\"runs\":3,\"enc\":\"q:median ms\",\"queries\":{\"q01\":500},\"errors\":0,\"sf\":0.1}\n"}"""
+        .stripMargin)
+    val stats = queryStats(BenchDiff.unwrap(wrapper, m))
+    // medians-only degradation: point-estimate envelope
+    assert(stats("q01") == Stats(0.5, 0.5, 0.5))
+  }
+
+  test("compact spread-only lines get the conservative superset envelope") {
+    val m = new ObjectMapper()
+    val root = m.readTree(
+      """{"metric":"total","queries":{"q01":500},"spread":[100],
+        |"enc":"q:median ms;spread:max-min ms, q-order"}""".stripMargin)
+    // true min ≥ median−spread and true max ≤ median+spread, so the
+    // widened envelope can only make the disjoint test MORE conservative
+    assert(queryStats(root)("q01") == Stats(0.5, 0.4, 0.6))
+  }
+
+  test("a clamped-to-0 envelope min is noise, never an error sentinel") {
+    // spread ≥ median legitimately clamps the conservative envelope's
+    // min to 0 — the first r09/r10 driver diff misread 13 such queries
+    // as newly_errored; only a negative MEDIAN means the query errored
+    val old = Stats(median = 0.4, min = 0.35, max = 0.45)
+    val clamped = Stats(median = 0.4, min = 0.0, max = 1.0)
+    assert(classify(old, clamped, 1.3) == WithinNoise)
+    assert(classify(clamped, old, 1.3) == WithinNoise)
+  }
+
+  test("cross-format: full-name artifact diffs against a compact one") {
+    val m = new ObjectMapper()
+    val full = queryStats(m.readTree(
+      """{"queries":{"q01_hourly_count":{"median":0.5,"min":0.4,"max":0.6,
+        |"runs":[0.4,0.5,0.6]}}}""".stripMargin))
+    val compact = queryStats(m.readTree(
+      """{"queries":{"q01":1500},"dmin":[100],"spread":[200]}"""))
+    // keys normalize to the dense qNN prefix on both sides
+    val (json, hasRegression) = diffJson(full, compact, 1.3)
+    assert(hasRegression) // 1.4s min > 0.6s max × 1.3
+    assert(m.readTree(json).path("regressions").has("q01"))
+  }
+
   test("end-to-end: parses Bench's fullJson format and emits one line") {
     val oldJson =
       """{"metric":"total","value":2.0,"unit":"sec","runs":3,
