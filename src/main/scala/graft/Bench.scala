@@ -15,6 +15,16 @@ import java.nio.file.{Files, Paths}
   *    spread (max−min) carried alongside so a claimed regression can be
   *    distinguished from machine-load/JIT noise. The total is the sum of
   *    medians;
+  *  - SPREAD-GATED RETRY (VERDICT r10 wrong-1: a contended host put
+  *    0.7–2.7 s spreads on untouched queries and the published number
+  *    carried them silently): when the tightest `Runs`-sized window of
+  *    a query's shots still spans more than `SpreadGate` (50%) of its
+  *    median, up to `MaxRetries` (2) extra shots are taken and the
+  *    tightest window of ALL shots is what's reported; the discarded
+  *    shots and retry count ride in `bench_result.json`, and a query
+  *    whose best window STILL exceeds the gate is flagged
+  *    `"contended":true` — the artifact says "this number is soft"
+  *    instead of the reader discovering it four rounds later;
   *  - streaming setup isolation: the four streaming queries pay a fresh
   *    streaming-session + state-store setup on every run; `setup` reports
   *    the median wall time of a near-empty bounded stream through the
@@ -32,6 +42,57 @@ object Bench {
     * rejects a single-run outlier; SPARK_GRAFT_BENCH_RUNS overrides.
     */
   private[graft] val DefaultRuns = 3
+
+  /** Spread gate: a reported window whose (max−min) exceeds this
+    * fraction of its median is contention-suspect — 50% is far above
+    * the ~0.2 s envelope a quiet host holds at sf0.1, and far below
+    * the 2–7× swings contention produces.
+    */
+  private[graft] val SpreadGate = 0.5
+
+  /** Extra shots a gated query may take (bounded so one contended query
+    * can't stall the whole run).
+    */
+  private[graft] val MaxRetries = 2
+
+  /** Per-query retry record carried into `bench_result.json`: how many
+    * extra shots the spread gate took, which shots the tightest-window
+    * selection discarded, and whether the best window STILL exceeds the
+    * gate (the number is soft — read it with its canary).
+    */
+  private[graft] final case class Retry(extra: Int, discarded: Seq[Double],
+                                        contended: Boolean)
+
+  /** The k shots with the smallest max−min among all sorted k-windows —
+    * the run the session WOULD have produced without the contention
+    * outliers. Ties break toward the fastest window (contention only
+    * ever adds time). k ≥ xs.size returns xs whole.
+    */
+  private[graft] def tightestWindow(xs: Seq[Double], k: Int): Seq[Double] = {
+    val s = xs.sorted
+    if (s.length <= k) s
+    else (0 to s.length - k).map(i => s.slice(i, i + k))
+      .minBy(w => (w.last - w.head, w.head))
+  }
+
+  /** Absolute spread floor (seconds) under which the gate never fires:
+    * sub-100 ms envelopes on sub-second queries are JIT/scheduler
+    * jitter, not contention — without the floor a sf0.001 session spent
+    * 73 retry shots tightening ~50 ms spreads that carry no signal
+    * (the r10 phantoms were 0.7–2.7 s spreads; the floor is an order of
+    * magnitude below them).
+    */
+  private[graft] val SpreadFloorSec = 0.1
+
+  /** True when a window of shots spans more than SpreadGate of its
+    * median AND more than the absolute floor — the retry trigger and
+    * the residual `contended` flag.
+    */
+  private[graft] def gated(ts: Seq[Double]): Boolean =
+    ts.length >= 2 && {
+      val spread = ts.max - ts.min
+      spread > SpreadGate * median(ts) && spread > SpreadFloorSec
+    }
 
   /** Unpersist every registered RDD block — the shared pre-shot hygiene
     * of both benches (see the call site in main() for the measured
@@ -119,14 +180,14 @@ object Bench {
           s"${unknown.toSeq.sorted.mkString(", ")} (known: full names " +
           "like q71_dup_clusters)")
     }
+    val retryInfo = Map.newBuilder[String, Retry]
     val results: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => subset.forall(_.contains(n)) }
         .map { case (name, fn) =>
-        val times = Seq.newBuilder[Double]
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var failed = false
-        var i = 0
-        while (i < runs && !failed) {
+        def shot(): Unit = {
           // sweep before EVERY timed run, not just the first: a heavy
           // query's own detached blocks from run i otherwise pressure
           // run i+1 (q97 measured 1.6 s first run, 3.3-3.9 s later runs)
@@ -138,13 +199,32 @@ object Bench {
               Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
             failed = true
           }
-          i += 1
+        }
+        var i = 0
+        while (i < runs && !failed) { shot(); i += 1 }
+        // spread-gated retry: while the best runs-sized window still
+        // spans > SpreadGate of its median, take a bounded number of
+        // extra shots — a contention spike hits SOME shots, so widening
+        // the sample lets the tightest-window selection route around it
+        var extra = 0
+        while (!failed && extra < MaxRetries &&
+               gated(tightestWindow(times.toSeq, runs))) {
+          shot()
+          if (!failed) extra += 1
         }
         // a failure on ANY run voids the query: keeping the runs that
         // happened to succeed would report a flaky query as a valid
         // (short) median AND list it in errors — the '-1 = error'
         // encoding must be the single story the artifact tells
-        name -> (if (failed) Seq.empty[Double] else times.result())
+        if (failed) name -> Seq.empty[Double]
+        else {
+          val window = tightestWindow(times.toSeq, runs)
+          val stillGated = gated(window)
+          if (extra > 0 || stillGated)
+            retryInfo += name -> Retry(extra, times.toSeq.diff(window).sorted,
+              stillGated)
+          name -> window
+        }
       }
 
     // Streaming fixed-cost probe: the same bounded-drain machinery the
@@ -170,7 +250,9 @@ object Bench {
       System.err.println(s"Bench: spark.stop() failed (ignored): $e") }
     val canary = Seq(canS0, canP0, ScaleBench.canary(1),
       ScaleBench.canary(cpus.toInt))
-    val json = fullJson(results, errors, total, sfDir, runs, setupSec, canary)
+    val retries = retryInfo.result()
+    val json = fullJson(results, errors, total, sfDir, runs, setupSec, canary,
+      retries)
     println(json)
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     // FINAL stdout line: the compact form. The driver stores only the
@@ -181,7 +263,7 @@ object Bench {
     // [success] line (guarded by BenchEncodeSpec, degradation order
     // documented on compactJson).
     println(compactJson(results, errors.size, total, sfDir, runs, setupSec,
-      canary))
+      canary, retries))
     System.out.flush()
   }
 
@@ -226,12 +308,22 @@ object Bench {
                               errors: List[(String, String)],
                               total: Double, sfDir: String,
                               runs: Int, setupSec: Double,
-                              canary: Seq[Double] = Nil): String = {
+                              canary: Seq[Double] = Nil,
+                              retries: Map[String, Retry] = Map.empty)
+      : String = {
     val qs = results.map { case (k, ts) =>
       if (ts.isEmpty) s""""${esc(k)}":{"median":-1,"min":-1,"max":-1,"runs":[]}"""
       else {
         val rs = ts.map(_.toString).mkString("[", ",", "]")
-        s""""${esc(k)}":{"median":${median(ts)},"min":${ts.min},"max":${ts.max},"runs":$rs}"""
+        // spread-gated queries carry their retry record: extra shots
+        // taken, the shots the tightest-window selection discarded, and
+        // whether even the best window stayed over the gate (contended
+        // = "read this number with its canary, not at face value")
+        val rt = retries.get(k).map { r =>
+          val d = r.discarded.map(_.toString).mkString("[", ",", "]")
+          s""","retries":${r.extra},"discarded":$d,"contended":${r.contended}"""
+        }.getOrElse("")
+        s""""${esc(k)}":{"median":${median(ts)},"min":${ts.min},"max":${ts.max},"runs":$rs$rt}"""
       }
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
@@ -253,7 +345,9 @@ object Bench {
     * `spread[i]` = max−min. `value` stays the sum of medians in seconds;
     * `setup` is the streaming fixed-cost probe median in seconds; `can`
     * is the CPU canary in integer ms (single_start, par_start,
-    * single_end, par_end — see main()).
+    * single_end, par_end — see main()); when the spread gate fired,
+    * `rt` = total extra shots and `cont` = count of queries whose best
+    * window still exceeds the gate (both omitted on a quiet run).
     *
     * Tail budget: the driver keeps 2000 chars and sbt appends ~70 chars
     * of `[success]` noise, so the line must stay under ~1920. Degradation
@@ -266,7 +360,9 @@ object Bench {
                                  nErrors: Int, total: Double,
                                  sfDir: String, runs: Int,
                                  setupSec: Double,
-                                 canary: Seq[Double] = Nil): String = {
+                                 canary: Seq[Double] = Nil,
+                                 retries: Map[String, Retry] = Map.empty)
+      : String = {
     val maxLen = 1920
     def ms(v: Double): Long = Math.round(v * 1000)
     val qs = results.map { case (k, ts) =>
@@ -286,12 +382,22 @@ object Bench {
     // make cross-round comparability checkable from the tail alone
     val can = if (canary.size != 4) ""
       else s""""can":[${canary.map(ms).mkString(",")}],"""
+    // spread-gate summary (~20 chars, only when the gate fired): rt =
+    // total extra shots across the run, cont = queries whose best
+    // window still exceeds the gate. Names + discarded shots live in
+    // bench_result.json; a cont>0 line says "this session was noisy"
+    // from the tail alone. Omitted when zero so quiet-host lines stay
+    // byte-identical to the pre-gate format.
+    val rt =
+      if (retries.isEmpty) ""
+      else s""""rt":${retries.valuesIterator.map(_.extra).sum},""" +
+        s""""cont":${retries.valuesIterator.count(_.contended)},"""
     // enc must describe what THIS line actually carries — when the
     // ladder drops dmin (or spread) for the tail budget, a fixed enc
     // string would claim fields that aren't there
     def head(enc: String) =
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
-        s""""runs":$runs,"setup":${fmt3(setupSec)},$can""" +
+        s""""runs":$runs,"setup":${fmt3(setupSec)},$can$rt""" +
         s""""enc":"$enc",""" +
         s""""queries":$qs,"errors":$nErrors,"sf":$sf"""
     val full = s"""${head("q:median ms;dmin:med-min;spread:max-min ms, q-order")},"dmin":$dmin,"spread":$spread}"""

@@ -103,6 +103,56 @@ class BenchEncodeSpec extends SparkTestBase {
     } finally java.util.Locale.setDefault(prev)
   }
 
+  test("tightestWindow picks the minimum-spread k-window, fastest on tie") {
+    // one contention outlier among 4 shots: the window routes around it
+    assert(Bench.tightestWindow(Seq(1.0, 1.1, 6.3, 1.05), 3) ===
+      Seq(1.0, 1.05, 1.1))
+    // tie on spread → the faster window wins (contention only adds time)
+    assert(Bench.tightestWindow(Seq(1.0, 2.0, 3.0, 4.0), 2) === Seq(1.0, 2.0))
+    // k >= n returns everything
+    assert(Bench.tightestWindow(Seq(2.0, 1.0), 5) === Seq(1.0, 2.0))
+  }
+
+  test("spread gate fires above 50% of median, never on a single shot") {
+    assert(Bench.gated(Seq(1.0, 1.1, 1.7)))        // spread 0.7 > 0.55
+    assert(!Bench.gated(Seq(1.0, 1.1, 1.2)))       // spread 0.2 < 0.55
+    assert(!Bench.gated(Seq(9.9)))                 // runs=1: no envelope
+    // absolute floor: a 60 ms envelope on a 100 ms query is jitter,
+    // not contention — must not burn retry shots
+    assert(!Bench.gated(Seq(0.10, 0.12, 0.16)))
+  }
+
+  test("retry record rides bench_result.json; quiet lines are unchanged") {
+    val retries = Map("q01_agg" ->
+      Bench.Retry(extra = 1, discarded = Seq(6.3), contended = false))
+    val full = Bench.fullJson(Seq(("q01_agg", Seq(0.5, 0.6, 0.4))),
+      Nil, 0.5, "/x", runs = 3, setupSec = 0.2, canary = Nil,
+      retries = retries)
+    assert(full.contains(""""retries":1,"discarded":[6.3],"contended":false"""),
+      full)
+    val compact = Bench.compactJson(Seq(("q01_agg", Seq(0.5, 0.6, 0.4))),
+      nErrors = 0, total = 0.5, sfDir = "/x", runs = 3, setupSec = 0.2,
+      canary = Nil, retries = Map("q01_agg" ->
+        Bench.Retry(2, Seq(6.3, 7.1), contended = true)))
+    assert(compact.contains(""""rt":2,"cont":1,"""), compact)
+    // no retries → both artifacts byte-identical to the pre-gate format
+    val quiet = Bench.compactJson(Seq(("q01_agg", Seq(0.5, 0.6, 0.4))),
+      nErrors = 0, total = 0.5, sfDir = "/x", runs = 3, setupSec = 0.2)
+    assert(!quiet.contains("\"rt\"") && !quiet.contains("\"cont\""))
+  }
+
+  test("compact line stays in budget with the gate summary at 120 queries") {
+    val retries = (1 to 120).map(i =>
+      f"q$i%02d_some_descriptive_query_name" ->
+        Bench.Retry(2, Seq(9.9, 9.8), contended = true)).toMap
+    val line = Bench.compactJson(fakeResults(120), nErrors = 0,
+      total = 1234.5678, sfDir = "/root/testdata/sf0.1", runs = 3,
+      setupSec = 0.85, canary = Seq(0.219, 0.442, 0.167, 0.325),
+      retries = retries)
+    assert(line.length <= 1920, s"compact bench line too long: ${line.length}")
+    assert(line.contains(""""rt":240,"cont":120,"""))
+  }
+
   test("full json carries every raw run per query") {
     val line = Bench.fullJson(Seq(("q01_agg", Seq(0.5, 0.6, 0.4))),
       Nil, 0.5, "/data/sf0.1", runs = 3, setupSec = 0.2)
