@@ -300,16 +300,44 @@ object RelEntry {
           .as("top_ids"))),
 
     // ---- approximate sketches: HLL++ distinct + GK-quantile ------------
-    // No DuckDB oracle (different sketch families give different
-    // estimates) → driver records rows-only; the error bound vs the exact
-    // answer is asserted in TemporalOpsSpec.
+    // Sketch ESTIMATES are engine-specific (HLL++ vs DuckDB's sketch
+    // families give different numbers), so the raw estimates can't be
+    // hash-compared — but the CLAIM a sketch makes is checkable: the
+    // estimate lies within the family's error bound of the exact answer.
+    // This query computes both sketches next to their exact twins,
+    // ENFORCES the bounds in-plan (assert_true, the q100 pattern: the
+    // isnull(..) filter survives optimization and raises instead of
+    // letting an out-of-bound sketch produce a green-looking row), and
+    // projects the exact columns plus the bound verdicts — all
+    // deterministic, so the DuckDB oracle checks every cell and the
+    // round artifact carries no null row for q59 (VERDICT r10 missing-3).
+    // Bounds: HLL++ at rsd=0.01 — 5% relative + 2 absolute is 5σ, and
+    // HLL is deterministic for fixed data, so green is stable per sf;
+    // GK at accuracy 10000 has rank error ≤ max(1, n/10000), far inside
+    // the exact 45th..55th percentile values for any sf's group sizes.
     "q59_sketches" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+             countDistinct(col("user_id")).as("exact_users"),
              percentile_approx(col("value"), lit(0.5), lit(10000))
-               .as("p50_value"),
-             count(lit(1)).as("n"))),
+               .as("p50_approx"),
+             expr("percentile(value, 0.45)").as("p45"),
+             expr("percentile(value, 0.55)").as("p55"),
+             count(lit(1)).as("n"))
+        .where(isnull(expr(
+          "assert_true(abs(approx_users - exact_users) <= " +
+            "greatest(0.05 * exact_users, 2), " +
+            "'HLL++ estimate outside its error bound')")) &&
+          isnull(expr(
+            "assert_true(p50_approx BETWEEN p45 AND p55, " +
+              "'GK median outside the exact 45th..55th percentile band')")))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.05, lit(2.0)))
+            .cast("int").as("hll_ok"),
+          (col("p50_approx").between(col("p45"), col("p55")))
+            .cast("int").as("p50_ok"))),
 
     // ---- window navigation family (§2.7 completeness) ------------------
     // first/nth/lag plus the IGNORE-NULLS running "most recent purchase"
@@ -575,8 +603,18 @@ object RelEntry {
         |          AS rn
         |          FROM lineitem)
         | WHERE rn <= 3 GROUP BY 1""".stripMargin,
-    // q59_sketches: intentionally no oracle (sketch estimates are
-    // implementation-defined); bounded-error unit test instead.
+    // q59_sketches: the raw sketch estimates are implementation-defined
+    // (HLL++ vs DuckDB's families differ), so the oracle checks the
+    // EXACT columns plus literal-true bound verdicts; the Spark side
+    // enforces those bounds in-plan via assert_true, making "1" the only
+    // value hll_ok/p50_ok can reach the sink with.
+    "q59_sketches" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       count(*) AS n,
+        |       1 AS hll_ok,
+        |       1 AS p50_ok
+        |  FROM events GROUP BY 1""".stripMargin,
 
     "q86_window_nav" ->
       """SELECT user_id, event_id,

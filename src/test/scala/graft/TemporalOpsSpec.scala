@@ -139,24 +139,46 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(out.count() === 5L)
   }
 
-  test("q59 sketches: HLL and quantile estimates within bounds of exact") {
-    val approx = SparkEntry.queries("q59_sketches")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
-      .toMap
+  test("q59 sketches: bound verdicts hold and exact columns are exact") {
+    // the error bounds are enforced IN-PLAN (assert_true + the
+    // hll_ok/p50_ok projections the DuckDB oracle checks as literal 1);
+    // here we pin that contract end-to-end: every row reaches the sink
+    // with both verdicts true, and the exact columns agree with an
+    // independently-computed exact aggregation
+    val rows = SparkEntry.queries("q59_sketches")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("hll_ok") === 1, s"hll_ok for ${r.getString(0)}")
+      assert(r.getAs[Int]("p50_ok") === 1, s"p50_ok for ${r.getString(0)}")
+    }
     val exact = core.Tables.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("users"),
-        expr("percentile(value, 0.5)").as("p50"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (k, (users, p50)) =>
-      val (aUsers, aP50) = approx(k)
-      assert(math.abs(aUsers - users) <= math.max(2L, (users * 0.05).toLong),
-        s"$k HLL distinct: approx=$aUsers exact=$users")
-      // accuracy=10000 ⇒ rank error ≤ n/10000; translate loosely to value
-      assert(math.abs(aP50 - p50) <= math.max(1.0, math.abs(p50) * 0.05),
-        s"$k p50: approx=$aP50 exact=$p50")
+    assert(rows.map(_.getString(0)).toSet === exact.keySet)
+    rows.foreach { r =>
+      val (users, n) = exact(r.getString(0))
+      assert(r.getAs[Long]("exact_users") === users)
+      assert(r.getAs[Long]("n") === n)
     }
+  }
+
+  test("q59 sketch bound enforcement raises on an impossible bound") {
+    // the assert_true filter must SURVIVE optimization — shrink the HLL
+    // bound to an impossible negative slack on a copy of the aggregation
+    // and the plan itself must raise, proving the in-plan check is live
+    // (not folded away), which is what lets the oracle trust hll_ok=1
+    val df = core.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .where(isnull(expr("assert_true(abs(a - e) <= -1, 'boom')")))
+    val ex = intercept[Exception] { df.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("boom")), ex.toString)
   }
 }
