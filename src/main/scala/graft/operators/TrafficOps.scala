@@ -93,6 +93,45 @@ object TrafficOps {
       points(pointKey) === intervals(intervalKey) && pointTs.between(lo, hi),
       "inner")
 
+  /** JN2's documented scale variant: the banded (skew-resistant) form of
+    * [[intervalJoin]] — the q53 time-bucket trick applied to the
+    * equi+interval family (SURVEY §4.3 names per-plate skew as JN2's
+    * known hazard: a fleet plate's rows all land on ONE reducer when the
+    * equi key alone decides the shuffle).
+    *
+    * Both sides shuffle on (key, band) where band = floor(ts / bandSec):
+    * a hot plate's observations spread over its time range's bands
+    * instead of one partition, and the residual BETWEEN rides inside the
+    * hash join exactly as in the plain form. The interval side explodes
+    * to every band its [lo, hi] overlaps — each matching pair is found
+    * exactly ONCE (the point's single band b satisfies band(lo) ≤ b ≤
+    * band(hi) whenever the pair matches, and the exploded sequence
+    * contains b once), so the result is multiset-equal to the residual
+    * form (GraftProps pins this on adversarially skewed plates).
+    *
+    * Cost model: interval replication = span/bandSec + 1 rows, so pick
+    * bandSec ≈ the typical interval length (replication ≈ 2×) — the same
+    * sizing rule as q53's neighbor buckets. NULL timestamps and lo > hi
+    * intervals produce no pairs in either form (BETWEEN is never true),
+    * keeping the equivalence contract exact on dirty data.
+    */
+  def intervalJoinBanded(points: DataFrame, intervals: DataFrame,
+                         pointKey: String, intervalKey: String,
+                         pointTs: Column, lo: Column, hi: Column,
+                         bandSec: Long): DataFrame = {
+    require(bandSec > 0, s"bandSec must be positive, got $bandSec")
+    val bandUs = bandSec * 1000000L
+    val p = points.withColumn("_band",
+      floor(unix_micros(pointTs.cast("timestamp")) / bandUs))
+    val iv = intervals.withColumn("_band",
+      explode(sequence(floor(unix_micros(lo.cast("timestamp")) / bandUs),
+                       floor(unix_micros(hi.cast("timestamp")) / bandUs))))
+    p.join(iv,
+        p(pointKey) === iv(intervalKey) && p("_band") === iv("_band") &&
+          pointTs.between(lo, hi), "inner")
+      .drop("_band")
+  }
+
   /** JN3: disjunctive-key join (`ON a.k = b.k1 OR a.k = b.k2`) — the
     * reference abandoned this because it forces a nested-loop join
     * (`src/OverSpeedCount.scala:122`, commented out). The scalable rewrite:

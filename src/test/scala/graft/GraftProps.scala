@@ -61,6 +61,38 @@ object GraftProps extends Properties("graft") {
       band.subsetOf(equi)
     }
 
+  property("banded interval join equals the residual form on skewed plates") =
+    forAll(
+      // points: one hot plate (the SURVEY §4.3 fleet-plate hazard) plus
+      // a sparse tail; NULL-free keys, ts in seconds
+      Gen.listOfN(40, for {
+        k <- Gen.frequency(5 -> Gen.const(7L), 1 -> Gen.choose(0L, 10L))
+        sec <- Gen.choose(0L, 3000L)
+      } yield (k, sec)),
+      // intervals: [lo, lo+len] with len spanning 0..900 s so intervals
+      // cover zero, one, and many bands; includes the hot key
+      Gen.listOfN(12, for {
+        k <- Gen.frequency(3 -> Gen.const(7L), 1 -> Gen.choose(0L, 10L))
+        lo <- Gen.choose(0L, 3000L)
+        len <- Gen.choose(0L, 900L)
+      } yield (k, lo, lo + len)),
+      Gen.choose(60L, 600L)) { (ps, ivs, band) =>
+      val points = ps.zipWithIndex
+        .map { case ((k, s), i) => (k, tsOf(s), i.toLong) }
+        .toDF("pk", "pts", "pid")
+      val intervals = ivs.zipWithIndex
+        .map { case ((k, lo, hi), i) => (k, tsOf(lo), tsOf(hi), i.toLong) }
+        .toDF("ik", "lo", "hi", "iid")
+      def pairs(df: DataFrame) =
+        df.select(col("pid"), col("iid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val residual = pairs(TrafficOps.intervalJoin(points, intervals,
+        "pk", "ik", points("pts"), intervals("lo"), intervals("hi")))
+      val banded = pairs(TrafficOps.intervalJoinBanded(points, intervals,
+        "pk", "ik", points("pts"), intervals("lo"), intervals("hi"), band))
+      banded == residual
+    }
+
   property("disjunctive-key join matches naive OR-predicate semantics") =
     forAll(Gen.listOfN(25, genPair), Gen.listOfN(8, genPair)) { (ls, rs) =>
       val l = ls.toDF("lk", "lv")

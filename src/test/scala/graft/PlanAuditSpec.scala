@@ -75,6 +75,29 @@ class PlanAuditSpec extends SparkTestBase {
       leaked.map(spark.sparkContext.getPersistentRDDs(_).name).mkString(","))
   }
 
+  test("banded interval join: hash join on (key, band), no nested loop") {
+    // JN2's scale variant must keep the plan shape its skew story rests
+    // on: an EQUI join whose keys include the time band (so a hot plate
+    // spreads over its bands instead of one reducer), with the BETWEEN
+    // as a residual condition inside that join — never a nested loop
+    import org.apache.spark.sql.functions.date_add
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val o = graft.core.Tables.orders(spark, sf)
+    val df = graft.operators.TrafficOps.intervalJoinBanded(
+      li, o, "l_orderkey", "o_orderkey",
+      li("l_shipdate"), o("o_orderdate"), date_add(o("o_orderdate"), 90),
+      bandSec = 90L * 86400)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded interval join fell out of the equi-join family:\n${plan.take(600)}")
+    // the band column participates as a join KEY (not a post-filter)
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joinLine.exists(_.contains("_band")),
+      s"_band is not a join key:\n${joinLine.getOrElse(plan.take(600))}")
+  }
+
   test("q100: sketch combines map-side and candidates ride a broadcast hash join") {
     // the two properties q100's 100-TB cost model rests on: the MG
     // sketch must aggregate partially BELOW its exchange (per-partition
