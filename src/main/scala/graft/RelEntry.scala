@@ -400,7 +400,11 @@ object RelEntry {
       // session_window), completing the tier: q56 hand-rolls the
       // islands form, q45 holds custom streaming state — this is the
       // one-liner Spark answer, and in streaming it gets state merging
-      // for free. Semantics divergence worth pinning against the
+      // for free (proven: StreamingSpec runs this same aggregation as a
+      // watermarked stream — sessions merge across micro-batches and
+      // the bounded drain equals this batch result, via
+      // EventStreams.sessionWindowCounts). Semantics divergence worth
+      // pinning against the
       // oracle: session_window starts a NEW session at ts − prev ≥ gap
       // (q56's hand-rolled rule is strictly >), and window.end = last
       // event + gap. One shuffle on user_id; per-group state is the

@@ -72,6 +72,26 @@ object EventStreams {
     ev.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** The built-in `session_window` aggregation as a stream — the
+    * streaming twin of q104 (RelEntry), completing T24's claim that the
+    * built-in gets STATE MERGING for free: when a later micro-batch
+    * delivers an event within the gap of an open session (or bridging
+    * two previously-separate sessions), the state store merges the
+    * session windows server-side — the hand-rolled q45 flatMapGroups
+    * version must code that merge by hand. Watermark bounds state: a
+    * session older than (watermark − gap) can never grow again and is
+    * evicted. Same projection as the batch q104, so the bounded drain
+    * faces the same oracle shape.
+    */
+  def sessionWindowCounts(ev: DataFrame, gapSec: Long,
+                          watermark: String = "2 hours"): DataFrame =
+    ev.withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   // ---- custom state: sessionization ------------------------------------
   final case class SessionEvent(user_id: Long, ts_nanos: Long)
   final case class SessionState(lastTs: Long, sessions: Long, events: Long)

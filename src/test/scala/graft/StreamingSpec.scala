@@ -9,6 +9,9 @@ import graft.streaming.EventStreams.SessionEvent
 /** Timestamp-only event for watermark tests (top-level for encoders). */
 case class TsEvent(ts: java.sql.Timestamp)
 
+/** (user, ts) event for session_window tests (top-level for encoders). */
+case class UserTsEvent(user_id: Long, ts: java.sql.Timestamp)
+
 /** Incremental-semantics tests: MemoryStream lets us control micro-batch
   * boundaries, so these check what the bounded oracle run can't — state
   * carried ACROSS batches (session merge, dedup memory, window updates).
@@ -165,6 +168,62 @@ class StreamingSpec extends SparkTestBase {
 
   test("bounded streaming hourly counts equal the batch aggregate") {
     assertHourlyCountsMatchBatch("hourly_test")
+  }
+
+  test("session_window merges sessions across micro-batches (T24 streaming)") {
+    // the built-in's whole streaming value: batch 2's event lands WITHIN
+    // the gap of the session batch 1 opened, and the state store merges
+    // the windows — no hand-written merge (contrast: sessionize above
+    // codes it via GroupState). Append mode + watermark: the merged
+    // session emits once the watermark passes its end, driven by a
+    // far-future flush event in the last batch.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(hours: Double) = new java.sql.Timestamp((hours * 3600 * 1000).toLong)
+    val input = MemoryStream[UserTsEvent]
+    val sessions = EventStreams.sessionWindowCounts(
+      input.toDF(), gapSec = 3600L, watermark = "2 hours")
+    val q = sessions.writeStream.format("memory").queryName("swin_merge")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 1, events at 10.0h and 10.5h → one open session
+    input.addData(UserTsEvent(1L, t(10.0)), UserTsEvent(1L, t(10.5)))
+    q.processAllAvailable()
+    // batch 2: 11.0h is 0.5h after the session's last event (< 1h gap)
+    // → must MERGE into the open session, not start a second one
+    input.addData(UserTsEvent(1L, t(11.0)))
+    q.processAllAvailable()
+    // batch 3: flush — watermark advances to 98h, far past the session
+    // end (12h), so the merged session emits; the flusher's own session
+    // stays open forever (never emitted), which is watermark semantics
+    input.addData(UserTsEvent(9L, t(100.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("swin_merge")
+      .filter(col("user_id") === 1L)
+      .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3)))
+    assert(rows.toSeq === Seq((t(10.0), t(12.0), 3L)),
+      s"expected ONE merged session [10h, 12h) of 3 events, got " +
+        rows.mkString(", "))
+    spark.catalog.dropTempView("swin_merge")
+  }
+
+  test("bounded session_window stream equals the batch q104 result") {
+    // the same aggregation q104 runs in batch, as a watermarked stream
+    // through the full bounded-drain machinery (clone session, state
+    // store, AvailableNow, parquet sink). Complete mode: every session
+    // is in the final batch's output regardless of watermark progress,
+    // so the drain is exactly the batch answer.
+    val got = EventStreams.runBounded(spark,
+        ss => EventStreams.sessionWindowCounts(
+          EventStreams.eventStream(ss, sf), gapSec = 3600L),
+        "swin_batch_eq", OutputMode.Complete())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("q104_session_window")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got === want, s"sizes ${got.size} vs ${want.size}")
   }
 
   test("streaming dedup drops in-batch and cross-batch duplicates") {
