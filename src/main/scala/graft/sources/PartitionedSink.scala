@@ -37,4 +37,90 @@ object PartitionedSink {
     */
   def readPartitioned(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  // ---- small-file compaction (the layout tier beside T9 bucketing and
+  //      T23 z-order) ---------------------------------------------------
+
+  final case class PartitionCompaction(partition: String, bytes: Long,
+                                       filesBefore: Int, filesAfter: Int,
+                                       rewritten: Boolean)
+
+  final case class CompactionReport(parts: Seq[PartitionCompaction]) {
+    def filesBefore: Int = parts.map(_.filesBefore).sum
+    def filesAfter: Int = parts.map(_.filesAfter).sum
+    def rewrittenCount: Int = parts.count(_.rewritten)
+  }
+
+  /** Target-size bin-packing rewrite of a partitioned parquet table:
+    * every leaf partition whose file count exceeds
+    * ceil(bytes / targetFileBytes) is rewritten to exactly that many
+    * files, in place, without touching its directory name — so
+    * partition pruning (and the partition column itself, which lives in
+    * the dirname) is preserved byte-for-byte.
+    *
+    * Why this exists at 100 TB: streaming ingest and per-trigger
+    * `partitionBy` writes fragment the tail of a table into thousands
+    * of KB-scale files per partition; every reader then pays one
+    * task + one open per file. Compaction is the standing repair job
+    * (the OPTIMIZE of lakehouse engines, minus the table format).
+    *
+    * Scale shape:
+    *  - ALREADY-COMPACT PARTITIONS ARE SKIPPED (filesBefore ≤ needed):
+    *    the driver loop's length is the fragmented tail (typically the
+    *    most recent ingest partitions), not the table. Old, compacted
+    *    history costs one directory listing and nothing else.
+    *  - each rewritten partition is one distributed job
+    *    (read → repartition(needed) → write); the driver only
+    *    orchestrates. Data never routes through the driver.
+    *  - the swap is write-to-sibling-tmp, delete-old, move-in: readers
+    *    racing a swap can observe a partition mid-replace (this is a
+    *    maintenance-window operator, like every in-place compactor
+    *    without a transaction log; a table format's atomic commit is
+    *    the production upgrade path).
+    */
+  def compactPartitions(spark: SparkSession, dir: String,
+                        targetFileBytes: Long): CompactionReport = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def isHidden(p: Path): Boolean =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
+    def leafDirs(p: Path): Seq[Path] = {
+      val subDirs = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath).filterNot(isHidden)
+      if (subDirs.isEmpty) Seq(p) else subDirs.flatMap(leafDirs).toSeq
+    }
+    def dataFiles(p: Path) =
+      fs.listStatus(p).filter(_.isFile).filterNot(s => isHidden(s.getPath))
+
+    val parts = leafDirs(root).sortBy(_.toString).map { leaf =>
+      val files = dataFiles(leaf)
+      val bytes = files.map(_.getLen).sum
+      val needed = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+        .toInt
+      val rel = root.toUri.relativize(leaf.toUri).getPath.stripSuffix("/")
+      if (files.length <= needed)
+        PartitionCompaction(rel, bytes, files.length, files.length,
+          rewritten = false)
+      else {
+        // rewrite this leaf's data files only: the partition COLUMN is
+        // encoded in the dirname, which never changes — reading the
+        // leaf directly yields data columns, written back 1:1
+        val tmp = new Path(leaf.getParent, s".${leaf.getName}_compact_tmp")
+        spark.read.parquet(leaf.toString)
+          .repartition(needed)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        files.foreach(f => fs.delete(f.getPath, false))
+        val moved = dataFiles(tmp)
+        moved.foreach(f => fs.rename(f.getPath,
+          new Path(leaf, f.getPath.getName)))
+        fs.delete(tmp, true)
+        PartitionCompaction(rel, bytes, files.length, moved.length,
+          rewritten = true)
+      }
+    }
+    CompactionReport(parts)
+  }
 }
