@@ -312,32 +312,47 @@ object RelEntry {
     // deterministic, so the DuckDB oracle checks every cell and the
     // round artifact carries no null row for q59 (VERDICT r10 missing-3).
     // Bounds: HLL++ at rsd=0.01 — 5% relative + 2 absolute is 5σ, and
-    // HLL is deterministic for fixed data, so green is stable per sf;
-    // GK at accuracy 10000 has rank error ≤ max(1, n/10000), far inside
-    // the exact 45th..55th percentile values for any sf's group sizes.
-    "q59_sketches" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("event_type"))
+    // HLL is deterministic for fixed data, so green is stable per sf.
+    // The GK median is verified by RANK, not by exact percentiles: pass
+    // 1 computes the sketches (fixed-size HLL registers + a compressed
+    // GK summary per group — hash aggregates, no value buffering), pass
+    // 2 joins the ≤|event_type|-row sketch frame back BROADCAST and
+    // counts how many values sit at or below the estimate; GK at
+    // accuracy 10000 guarantees that fraction lands in [0.5−1e-4,
+    // 0.5+1e-4]+tie-mass, asserted against a generous [0.45, 0.55].
+    // Two linear scans, zero sort-based aggregates: an exact
+    // `percentile()` twin measured 5.5 s at sf0.1 (it buffers every
+    // value per group — at 100 TB a per-group full sort) where this
+    // shape runs with the plain-agg family.
+    "q59_sketches" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sk = ev.groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-             countDistinct(col("user_id")).as("exact_users"),
              percentile_approx(col("value"), lit(0.5), lit(10000))
-               .as("p50_approx"),
-             expr("percentile(value, 0.45)").as("p45"),
-             expr("percentile(value, 0.55)").as("p55"),
-             count(lit(1)).as("n"))
+               .as("p50_approx"))
+      ev.join(broadcast(sk), "event_type")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+             count(lit(1)).as("n"),
+             first(col("approx_users")).as("approx_users"),
+             count(when(col("value") <= col("p50_approx"), 1))
+               .as("n_at_or_below"))
         .where(isnull(expr(
           "assert_true(abs(approx_users - exact_users) <= " +
             "greatest(0.05 * exact_users, 2), " +
             "'HLL++ estimate outside its error bound')")) &&
           isnull(expr(
-            "assert_true(p50_approx BETWEEN p45 AND p55, " +
-              "'GK median outside the exact 45th..55th percentile band')")))
+            "assert_true(n_at_or_below >= 0.45 * n AND " +
+              "n_at_or_below <= 0.55 * n, " +
+              "'GK median rank outside the 45th..55th percentile band')")))
         .select(col("event_type"), col("exact_users"), col("n"),
           (abs(col("approx_users") - col("exact_users")) <=
             greatest(col("exact_users") * 0.05, lit(2.0)))
             .cast("int").as("hll_ok"),
-          (col("p50_approx").between(col("p45"), col("p55")))
-            .cast("int").as("p50_ok"))),
+          (col("n_at_or_below") >= col("n") * 0.45 &&
+            col("n_at_or_below") <= col("n") * 0.55)
+            .cast("int").as("p50_ok"))
+    }),
 
     // ---- window navigation family (§2.7 completeness) ------------------
     // first/nth/lag plus the IGNORE-NULLS running "most recent purchase"
