@@ -123,6 +123,22 @@ object SparkEntry {
         "user_id", "c_custkey", "c_nationkey",
         Seq("event_id", "c_custkey"))),
 
+    // JN2's skew-band scale variant, oracle-checked end to end: same
+    // semantics as q12 (GraftProps proves band ≡ residual in general;
+    // this pins it against the DuckDB oracle on the real tables), but
+    // the join shuffles on (orderkey, 90-day time band) — the shape
+    // that spreads a hot key's rows across its bands at 100 TB. Band =
+    // the interval length, so each order explodes to ~2 band rows.
+    "q105_interval_band" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      TrafficOps.intervalJoinBanded(li, o, "l_orderkey", "o_orderkey",
+          li("l_shipdate"), o("o_orderdate"), date_add(o("o_orderdate"), 90),
+          bandSec = 90L * 86400)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), avg(col("l_quantity")).as("avg_qty"))
+    }),
+
     // ---- Partitioned slices + UNION semantics (SURVEY §2.2 S2, §2.7) ----
     "q14_union_months" -> ((s, d) => {
       // The reference's per-month driver loop + UNION string
@@ -321,6 +337,11 @@ object SparkEntry {
       "SELECT o.o_orderstatus, count(*) AS cnt, avg(l.l_quantity) AS avg_qty FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY GROUP BY o.o_orderstatus",
     "q13_join_or_union" ->
       "SELECT DISTINCT e.event_id, c.c_custkey FROM events e JOIN customer c ON e.user_id = c.c_custkey OR e.user_id = c.c_nationkey",
+    // q105: the banded join must produce EXACTLY the residual-form
+    // answer, so its oracle is q12's SQL verbatim — the band is a
+    // physical-plan device, never a semantic one
+    "q105_interval_band" ->
+      "SELECT o.o_orderstatus, count(*) AS cnt, avg(l.l_quantity) AS avg_qty FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY GROUP BY o.o_orderstatus",
     "q14_union_months" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
     "q15_union_distinct" ->
