@@ -118,6 +118,37 @@ class EdgeCaseSpec extends SparkTestBase {
       .selectExpr(s"span_gram_rows(text, $k)").count() === 0L)
   }
 
+  test("banded interval join drops NULL points and inverted intervals, like the residual form") {
+    // the equivalence contract on dirty data: a NULL point timestamp, a
+    // NULL interval bound, and a lo > hi interval must all produce no
+    // pairs in BOTH forms (BETWEEN is never true) — the banded form's
+    // explode(sequence(..)) must not resurrect or multiply any of them
+    import graft.operators.TrafficOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, Option(ts("2024-01-01 10:00:00")), 100L),
+      (1L, None, 101L),                          // NULL point ts
+      (2L, Option(ts("2024-01-01 10:00:00")), 102L)
+    ).toDF("pk", "pts", "pid")
+    val intervals = Seq(
+      (1L, Option(ts("2024-01-01 09:00:00")),
+        Option(ts("2024-01-01 11:00:00")), 200L),   // matches pid 100
+      (1L, Option(ts("2024-01-01 12:00:00")),
+        Option(ts("2024-01-01 09:30:00")), 201L),   // inverted: lo > hi
+      (2L, None, Option(ts("2024-01-01 11:00:00")), 202L), // NULL lo
+      (2L, Option(ts("2024-01-01 09:00:00")), None, 203L)  // NULL hi
+    ).toDF("ik", "lo", "hi", "iid")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("pid"), col("iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val residual = pairs(TrafficOps.intervalJoin(points, intervals,
+      "pk", "ik", points("pts"), intervals("lo"), intervals("hi")))
+    val banded = pairs(TrafficOps.intervalJoinBanded(points, intervals,
+      "pk", "ik", points("pts"), intervals("lo"), intervals("hi"), 1800L))
+    assert(residual === Seq((100L, 200L)))
+    assert(banded === residual)
+  }
+
   test("observe: pipeline metrics ride the action, no second scan") {
     // the 100-TB answer to "how many rows / how many nulls did this
     // write emit": Observation metrics aggregate inside the SAME job
