@@ -45,7 +45,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * queries).
   */
 object BenchDiff {
-  final case class Stats(median: Double, min: Double, max: Double)
+  final case class Stats(median: Double, min: Double, max: Double,
+                         contended: Boolean = false)
 
   /** Dense-prefix key ("q01_hourly_count" → "q01"): the join key between
     * full-format and compact-format artifacts.
@@ -81,7 +82,11 @@ object BenchDiff {
       fields.map { e =>
         val v = e.getValue
         short(e.getKey) -> Stats(v.path("median").asDouble(-1),
-          v.path("min").asDouble(-1), v.path("max").asDouble(-1))
+          v.path("min").asDouble(-1), v.path("max").asDouble(-1),
+          // Bench's spread gate marks a query whose best window still
+          // exceeds the gate — carried through so a verdict built on a
+          // soft number says so
+          v.path("contended").asBoolean(false))
       }.toMap
     } else {
       // compact line: integer-ms medians keyed qNN; dmin/spread are
@@ -176,7 +181,13 @@ object BenchDiff {
     def f(d: Double) = BigDecimal(d).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
     def cells(sel: Verdict) = classed.collect { case (q, o, n, v) if v == sel =>
-      s""""${Bench.esc(q)}":{"old_median":${f(o.median)},"new_median":${f(n.median)},"ratio":${f(n.median / o.median)}}"""
+      // a verdict built on a number Bench itself flagged contended
+      // (spread gate exhausted its retries) carries the flag — the
+      // envelope is still disjoint, but the reader should weigh it
+      // against the canary before acting on it
+      val cont = if (o.contended || n.contended) ""","contended":true"""
+                 else ""
+      s""""${Bench.esc(q)}":{"old_median":${f(o.median)},"new_median":${f(n.median)},"ratio":${f(n.median / o.median)}$cont}"""
     }.mkString(",")
     val nNoise = classed.count(_._4 == WithinNoise)
     val onlyOld = (oldStats.keySet -- newStats.keySet).size

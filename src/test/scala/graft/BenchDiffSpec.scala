@@ -124,6 +124,24 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(classify(clamped, old, 1.3) == WithinNoise)
   }
 
+  test("a verdict on a Bench-flagged contended number carries the flag") {
+    val m = new ObjectMapper()
+    val stats = queryStats(m.readTree(
+      """{"queries":{"q01":{"median":2.0,"min":1.9,"max":2.1,
+        |"runs":[1.9,2.0,2.1],"retries":2,"discarded":[9.9],
+        |"contended":true}}}""".stripMargin))
+    assert(stats("q01").contended)
+    val (json, _) = diffJson(
+      Map("q01" -> Stats(0.5, 0.4, 0.6)), stats, 1.3)
+    val root = m.readTree(json)
+    assert(root.path("regressions").path("q01").path("contended").asBoolean(),
+      json)
+    // quiet verdicts carry no flag at all (field omitted, not false)
+    val (quiet, _) = diffJson(Map("q01" -> Stats(0.5, 0.4, 0.6)),
+      Map("q01" -> Stats(2.0, 1.9, 2.1)), 1.3)
+    assert(!quiet.contains("contended"), quiet)
+  }
+
   test("cross-format: full-name artifact diffs against a compact one") {
     val m = new ObjectMapper()
     val full = queryStats(m.readTree(
