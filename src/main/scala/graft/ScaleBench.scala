@@ -206,16 +206,21 @@ object ScaleBench {
     * came from a contended-tail session and only judge forensics caught
     * it): a cell's number is trustworthy iff the single-thread canary
     * probes BRACKETING it both sit within `margin` of the session's
-    * best probe — the same disjoint-by-margin philosophy BenchDiff
-    * applies to run envelopes, applied to the probe series. A cell
-    * bracketed by a 2× probe was measured while the host was busy; its
-    * time (and any beta fitted through it) reads as much host as code.
+    * NORM — the MEDIAN of all single probes, not the minimum. The first
+    * calibration run used the min and flagged half its cells off a
+    * 0.296 s session-start probe (JIT/frequency settling, not
+    * contention) against a 0.183 s late-session best: min conflates
+    * "some later moment was faster" with "this cell's window was busy".
+    * The median is the session's typical throughput; a probe 1.3× over
+    * it is a genuine spike. A cell bracketed by such a probe was
+    * measured while the host was busy; its time (and any beta fitted
+    * through it) reads as much host as code.
     */
   private[graft] def cellComparable(before: Double, after: Double,
-                                    sessionMin: Double,
+                                    sessionNorm: Double,
                                     margin: Double = 1.3): Boolean =
-    sessionMin > 0 && before <= sessionMin * margin &&
-      after <= sessionMin * margin
+    sessionNorm > 0 && before <= sessionNorm * margin &&
+      after <= sessionNorm * margin
 
   /** log-log least-squares slope of time vs multiplier. */
   private[graft] def beta(points: Seq[(Int, Double)]): Double = {
@@ -324,16 +329,16 @@ object ScaleBench {
       if (d.isNaN) "null" else BigDecimal(d).setScale(3,
         BigDecimal.RoundingMode.HALF_UP).toString
     val canS1 = canary(1)
-    // session floor for cell comparability: the least-contended moment
-    // any single-thread probe observed (start, per-cell, end)
-    val sessionMin = (Seq(canS0, canS1) ++
-      cellProbes.valuesIterator.flatMap(p => Seq(p._1, p._2))).min
+    // session norm for cell comparability: the MEDIAN single-thread
+    // probe (start, per-cell, end) — see cellComparable for why not min
+    val sessionNorm = Bench.median((Seq(canS0, canS1) ++
+      cellProbes.valuesIterator.flatMap(p => Seq(p._1, p._2))).toSeq)
     val perQuery = family.map { name =>
       val pts = mults.map(m => m -> times.getOrElse((name, m), -1.0))
       val b = beta(pts)
       val cells = pts.map { case (m, t) =>
         val (pb, pa) = cellProbes.getOrElse((name, m), (-1.0, -1.0))
-        val cmp = cellComparable(pb, pa, sessionMin)
+        val cmp = cellComparable(pb, pa, sessionNorm)
         s""""x$m":{"t":${f(t)},"can":[${f(pb)},${f(pa)}],"comparable":$cmp}"""
       }.mkString(",")
       // beta is fitted through ALL cells; when any cell is contended the

@@ -120,19 +120,21 @@ class ScaleBenchSpec extends SparkTestBase {
     assert(ScaleBench.canary(2, 1000000L) > 0)
   }
 
-  test("cell comparability: both bracketing probes must sit near the floor") {
-    // quiet cell: both probes within 1.3x of the session's best probe
-    assert(ScaleBench.cellComparable(0.21, 0.25, sessionMin = 0.20))
+  test("cell comparability: both bracketing probes must sit near the norm") {
+    // quiet cell: both probes within 1.3x of the session's MEDIAN probe
+    // (the norm — not the min: a fast late-session moment must not
+    // retroactively discredit ordinary cells, see cellComparable)
+    assert(ScaleBench.cellComparable(0.21, 0.25, sessionNorm = 0.20))
     // contention on EITHER side of the cell marks it: the probe series
     // brackets the measurement window, and a busy host before or after
     // means the cell's own window was suspect
-    assert(!ScaleBench.cellComparable(0.45, 0.21, sessionMin = 0.20))
-    assert(!ScaleBench.cellComparable(0.21, 0.45, sessionMin = 0.20))
+    assert(!ScaleBench.cellComparable(0.45, 0.21, sessionNorm = 0.20))
+    assert(!ScaleBench.cellComparable(0.21, 0.45, sessionNorm = 0.20))
     // boundary: exactly margin passes (<=), just over fails
-    assert(ScaleBench.cellComparable(0.26, 0.26, sessionMin = 0.20))
-    assert(!ScaleBench.cellComparable(0.261, 0.20, sessionMin = 0.20))
-    // degenerate floor never certifies anything
-    assert(!ScaleBench.cellComparable(0.2, 0.2, sessionMin = 0.0))
+    assert(ScaleBench.cellComparable(0.26, 0.26, sessionNorm = 0.20))
+    assert(!ScaleBench.cellComparable(0.261, 0.20, sessionNorm = 0.20))
+    // degenerate norm never certifies anything
+    assert(!ScaleBench.cellComparable(0.2, 0.2, sessionNorm = 0.0))
   }
 
   test("sign pattern is deterministic and roughly balanced") {
