@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, Literal}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,9 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * (split-on-space, code-point rolling hash mod 2³¹−1, k-window
   * polynomial combine) so the two can never drift; bit-parity with the
   * array expression is pinned both directions in LlmOpsSpec.
+  *
+  * Codegen-capable (r11, same pattern as [[SpanGramRows]]): `doGenCode`
+  * calls the compiled [[ShingleRows.genIter]] helper, so the generate
+  * stage fuses into the enclosing whole-stage span instead of breaking
+  * it with an interpreted-eval row boundary (q93's shape is literally
+  * generate → partial hash agg).
   */
 case class ShingleRows(text: Expression, kExpr: Expression)
-    extends Generator with CodegenFallback {
+    extends Generator {
 
   override def children: Seq[Expression] = Seq(text, kExpr)
 
@@ -55,12 +62,38 @@ case class ShingleRows(text: Expression, kExpr: Expression)
   override def elementSchema: StructType =
     new StructType().add("h", LongType, nullable = true)
 
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val t = text.eval(input)
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    ShingleRows.genIter(text.eval(input).asInstanceOf[UTF8String], k)
+
+  /** See [[SpanGramRows.doGenCode]] — one generated line into the
+    * compiled iterator helper; `GenerateExec` loops over it inside the
+    * enclosing whole-stage span.
+    */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tEv = text.genCode(ctx)
+    ev.copy(code = code"""
+      |${tEv.code}
+      |scala.collection.Iterator<InternalRow> ${ev.value} =
+      |  graft.functions.ShingleRows$$.MODULE$$.genIter(
+      |    ${tEv.isNull} ? null : ${tEv.value}, $k);
+      """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ShingleRows =
+    copy(text = c(0), kExpr = c(1))
+}
+
+object ShingleRows {
+  /** Streaming distinct-shingle row iterator — the single body behind
+    * both the interpreted `eval` and the generated code (one compiled
+    * implementation, zero drift between the two execution paths).
+    * Null/short inputs yield an empty iterator (OUTER generate pads).
+    */
+  def genIter(t: UTF8String, k: Int): Iterator[InternalRow] = {
     if (t == null) return Iterator.empty
-    val (hs, nTok) = ShingleHashes.tokenHashes(t.asInstanceOf[UTF8String].toString)
+    val (hs, nTok) = ShingleHashes.tokenHashes(t.toString)
     if (nTok < k) return Iterator.empty
-    val kk = k
     new Iterator[InternalRow] {
       private val seen = new java.util.HashSet[java.lang.Long]()
       private var j = 0
@@ -69,8 +102,8 @@ case class ShingleRows(text: Expression, kExpr: Expression)
       advance()
       private def advance(): Unit = {
         hasNextHash = false
-        while (!hasNextHash && j <= nTok - kk) {
-          val x = ShingleHashes.combineAt(hs, j, kk)
+        while (!hasNextHash && j <= nTok - k) {
+          val x = ShingleHashes.combineAt(hs, j, k)
           j += 1
           if (seen.add(x)) { nextHash = x; hasNextHash = true }
         }
@@ -83,8 +116,4 @@ case class ShingleRows(text: Expression, kExpr: Expression)
       }
     }
   }
-
-  override protected def withNewChildrenInternal(
-      c: IndexedSeq[Expression]): ShingleRows =
-    copy(text = c(0), kExpr = c(1))
 }

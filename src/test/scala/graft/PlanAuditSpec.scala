@@ -98,6 +98,31 @@ class PlanAuditSpec extends SparkTestBase {
       s"_band is not a join key:\n${joinLine.getOrElse(plan.take(600))}")
   }
 
+  test("native generators fuse into whole-stage codegen (scan → generate → partial agg)") {
+    // r11: ShingleRows/SpanGramRows dropped CodegenFallback for a
+    // doGenCode into their compiled iterator helpers. The property this
+    // buys — the q93/q96 hot path runs scan, generate, and the partial
+    // hash aggregate in ONE codegen span, no interpreted-eval row
+    // boundary — only shows on the FINAL (post-AQE) plan, so execute
+    // first. A Janino failure in the generated code would silently fall
+    // back to the unfused shape; this pins that it cannot regress.
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j k l"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("pa_gen_docs")
+    for (gen <- Seq(s"span_gram_rows(text, 8) t AS pos, g1, g2",
+                    s"shingle_rows(text, 4) t AS h")) {
+      val key = if (gen.contains("span")) "g1" else "h"
+      val q = spark.sql(
+        s"SELECT $key, count(1) c FROM pa_gen_docs LATERAL VIEW $gen GROUP BY $key")
+      q.collect()
+      val fused = q.queryExecution.executedPlan.toString.linesIterator
+        .exists(l => l.contains("Generate") && l.trim.stripPrefix("+- ").startsWith("*("))
+      assert(fused, s"Generate fell out of whole-stage codegen for $gen:\n" +
+        q.queryExecution.executedPlan.toString.take(800))
+    }
+  }
+
   test("q100: sketch combines map-side and candidates ride a broadcast hash join") {
     // the two properties q100's 100-TB cost model rests on: the MG
     // sketch must aggregate partially BELOW its exchange (per-partition
