@@ -44,6 +44,8 @@ object LlmEntry {
   private val MixTargetDocs = 1000L // q102 total target corpus size (docs)
   private val HashDim = 16L       // q103 feature-hash embedding dimensions
   private val TfidfK = 3          // TF-IDF terms kept per document
+  private val Bm25ProbeN = 3L     // q106 probe docs → "more-like-this" queries
+  private val Bm25TopK = 5        // q106 results kept per query
   private val SampleK = 20        // exact-k per-group sample size
   private val IvfCentroidLo = 100 // deterministic coarse centroids
   private val IvfCentroidHi = 107
@@ -1145,6 +1147,81 @@ object LlmEntry {
         .select(col("probe_id"), col("doc_id"), col("cosine"))
       core.Materialize.detached(out) { buckets.unpersist(blocking = false) }
     }),
+
+    "q106_bm25" -> ((s, d) => {
+      // BM25 lexical "more-like-this" retrieval — the standard lexical
+      // ranking baseline a curation pipeline runs beside the embedding
+      // retrievers (q38/q103): each probe doc's top-TfidfK terms (q84's
+      // rank-stable tf·N/df selection) become a query; every doc sharing
+      // a query term is BM25-scored against it. Made bit-exact the way
+      // q101/q102 are:
+      //  - idf in WHOLE BITS: floor(log2((N−df+0.5)/(df+0.5))) =
+      //    length(bin((2N−2df+1) DIV (2df+1))) − 1 — the BM25 idf ratio
+      //    scaled by 2 into pure BIGINT arithmetic; quotient 0 (df>N/2)
+      //    gives 0 bits, i.e. stop-terms contribute nothing (the Lucene
+      //    negative-idf floor, integer-exact).
+      //  - tf normalization k1=1.2, b=0.75: 0.25 and 0.75 are
+      //    binary-exact, 1.2/2.2 parse to the same nearest-double in
+      //    both engines, and *,+,/ are correctly-rounded IEEE ops in an
+      //    identical sequence → per-term scores are bit-identical.
+      //  - the cross-term sum is an order-pinned fold (q102):
+      //    array_sort then left-fold, mirrored by list_sort+list_reduce.
+      // Scale shape: ONE corpus-wide shuffle builds tf (reused thrice —
+      // persist, the q84 discipline); df is counted only for probe-term
+      // candidates (map-side broadcast prune BEFORE the agg shuffle);
+      // the corpus joins the ≤ ProbeN·TfidfK query terms by broadcast;
+      // the dl join is unhinted (AQE decides); N/avgdl ride a broadcast
+      // scalar; top-k is a rank-filtered window (WindowGroupLimit trims
+      // map-side).
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(tokensSpark("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tot_toks"))
+      val pterm = tf.filter(col("doc_id") < Bm25ProbeN)
+        .select(col("doc_id").as("query_id"), col("term"), col("tf").as("ptf"))
+      val pvocab = pterm.select(col("term")).distinct()
+      val dfq = tf.join(broadcast(pvocab), "term")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val wsel = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("term"))
+      val qterms = pterm.join(dfq, "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("score", col("ptf").cast("double") *
+          col("n_docs").cast("double") / col("df").cast("double"))
+        .withColumn("rk", row_number().over(wsel))
+        .filter(col("rk") <= TfidfK)
+        .withColumn("bits", expr(
+          "CAST(length(bin((2 * n_docs - 2 * df + 1) DIV (2 * df + 1))) - 1 AS BIGINT)"))
+        .select(col("query_id"), col("term"), col("bits"))
+      val cand = tf.join(broadcast(qterms), "term")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("t_score", expr(
+          """CAST(bits AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2) /
+            |  (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+            |    (CAST(dl AS DOUBLE) /
+            |     (CAST(tot_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+            .stripMargin))
+      val scored = cand.groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          expr("""aggregate(array_sort(collect_list(t_score)),
+                 |  CAST(0.0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+            .as("score"))
+      val wk = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val out = scored
+        .withColumn("rk", row_number().over(wk).cast("long"))
+        .filter(col("rk") <= Bm25TopK)
+        .select(col("query_id"), col("doc_id"), col("n_terms"),
+          col("score"), col("rk"))
+      core.Materialize.detached(out) { tf.unpersist(blocking = false) }
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1966,5 +2043,61 @@ object LlmEntry {
          |  JOIN norms cn ON d.doc_id = cn.doc_id
          |  JOIN norms pn ON d.probe_id = pn.doc_id)
          |WHERE rk <= $LshK""".stripMargin,
+
+    // q106 mirror: the same whole-bit idf (format('{:b}', …) ≡ bin),
+    // the same IEEE op sequence per term score, and the q102
+    // order-pinned fold (list_prepend(0.0) ≡ the 0.0-initialized
+    // aggregate; 0.0 + x0 = x0 exactly)
+    "q106_bm25" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(${tokensDuck("text")}) AS term
+         |    FROM documents)
+         |  WHERE term <> '' GROUP BY doc_id, term),
+         |dl AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+         |  GROUP BY doc_id),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS tot_toks FROM dl),
+         |pterm AS (
+         |  SELECT doc_id AS query_id, term, tf AS ptf FROM tf
+         |  WHERE doc_id < $Bm25ProbeN),
+         |dfq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+         |  WHERE term IN (SELECT term FROM pterm) GROUP BY term),
+         |qsel AS (
+         |  SELECT query_id, term, df, n_docs,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      CAST(ptf AS DOUBLE) * CAST(n_docs AS DOUBLE)
+         |        / CAST(df AS DOUBLE) DESC, term) AS rk
+         |  FROM pterm JOIN dfq USING (term) CROSS JOIN stats),
+         |qterms AS (
+         |  SELECT query_id, term,
+         |    CAST(length(format('{:b}',
+         |      (2 * n_docs - 2 * df + 1) // (2 * df + 1))) - 1 AS BIGINT)
+         |      AS bits
+         |  FROM qsel WHERE rk <= $TfidfK),
+         |cand AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    CAST(bits AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2) /
+         |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |        (CAST(dl AS DOUBLE) /
+         |         (CAST(tot_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |      AS t_score
+         |  FROM tf t JOIN qterms q USING (term) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE t.doc_id <> q.query_id),
+         |scored AS (
+         |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(t_score))),
+         |      (a, x) -> a + x) AS score
+         |  FROM cand GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, n_terms, score, rk FROM (
+         |  SELECT query_id, doc_id, n_terms, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= $Bm25TopK""".stripMargin,
   )
 }
