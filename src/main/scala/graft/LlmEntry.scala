@@ -46,6 +46,9 @@ object LlmEntry {
   private val TfidfK = 3          // TF-IDF terms kept per document
   private val Bm25ProbeN = 3L     // q106 probe docs → "more-like-this" queries
   private val Bm25TopK = 5        // q106 results kept per query
+  private val DsirBuckets = 1024L // q107 hashed n-gram feature space
+  private val DsirTopK = 20       // q107 selected docs reported
+  private val DsirTarget = "src0" // q107 target-distribution exemplar source
   private val SampleK = 20        // exact-k per-group sample size
   private val IvfCentroidLo = 100 // deterministic coarse centroids
   private val IvfCentroidHi = 107
@@ -1149,80 +1152,168 @@ object LlmEntry {
     }),
 
     "q106_bm25" -> ((s, d) => {
-      // BM25 lexical "more-like-this" retrieval — the standard lexical
-      // ranking baseline a curation pipeline runs beside the embedding
-      // retrievers (q38/q103): each probe doc's top-TfidfK terms (q84's
-      // rank-stable tf·N/df selection) become a query; every doc sharing
-      // a query term is BM25-scored against it. Made bit-exact the way
-      // q101/q102 are:
-      //  - idf in WHOLE BITS: floor(log2((N−df+0.5)/(df+0.5))) =
-      //    length(bin((2N−2df+1) DIV (2df+1))) − 1 — the BM25 idf ratio
-      //    scaled by 2 into pure BIGINT arithmetic; quotient 0 (df>N/2)
-      //    gives 0 bits, i.e. stop-terms contribute nothing (the Lucene
-      //    negative-idf floor, integer-exact).
-      //  - tf normalization k1=1.2, b=0.75: 0.25 and 0.75 are
-      //    binary-exact, 1.2/2.2 parse to the same nearest-double in
-      //    both engines, and *,+,/ are correctly-rounded IEEE ops in an
-      //    identical sequence → per-term scores are bit-identical.
-      //  - the cross-term sum is an order-pinned fold (q102):
-      //    array_sort then left-fold, mirrored by list_sort+list_reduce.
-      // Scale shape: ONE corpus-wide shuffle builds tf (reused thrice —
-      // persist, the q84 discipline); df is counted only for probe-term
-      // candidates (map-side broadcast prune BEFORE the agg shuffle);
-      // the corpus joins the ≤ ProbeN·TfidfK query terms by broadcast;
-      // the dl join is unhinted (AQE decides); N/avgdl ride a broadcast
-      // scalar; top-k is a rank-filtered window (WindowGroupLimit trims
-      // map-side).
-      import org.apache.spark.sql.expressions.Window
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(expr(tokensSpark("text"))).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("tot_toks"))
-      val pterm = tf.filter(col("doc_id") < Bm25ProbeN)
-        .select(col("doc_id").as("query_id"), col("term"), col("tf").as("ptf"))
-      val pvocab = pterm.select(col("term")).distinct()
-      val dfq = tf.join(broadcast(pvocab), "term")
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val wsel = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("term"))
-      val qterms = pterm.join(dfq, "term")
-        .crossJoin(broadcast(stats))
-        .withColumn("score", col("ptf").cast("double") *
-          col("n_docs").cast("double") / col("df").cast("double"))
-        .withColumn("rk", row_number().over(wsel))
-        .filter(col("rk") <= TfidfK)
-        .withColumn("bits", expr(
-          "CAST(length(bin((2 * n_docs - 2 * df + 1) DIV (2 * df + 1))) - 1 AS BIGINT)"))
-        .select(col("query_id"), col("term"), col("bits"))
-      val cand = tf.join(broadcast(qterms), "term")
-        .filter(col("doc_id") =!= col("query_id"))
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("t_score", expr(
-          """CAST(bits AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2) /
-            |  (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-            |    (CAST(dl AS DOUBLE) /
-            |     (CAST(tot_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
-            .stripMargin))
-      val scored = cand.groupBy(col("query_id"), col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"),
-          expr("""aggregate(array_sort(collect_list(t_score)),
-                 |  CAST(0.0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
-            .as("score"))
-      val wk = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("doc_id"))
-      val out = scored
-        .withColumn("rk", row_number().over(wk).cast("long"))
-        .filter(col("rk") <= Bm25TopK)
-        .select(col("query_id"), col("doc_id"), col("n_terms"),
-          col("score"), col("rk"))
-      core.Materialize.detached(out) { tf.unpersist(blocking = false) }
+      val (out, release) = bm25Plan(s, d)
+      core.Materialize.detached(out)(release())
+    }),
+
+    "q107_dsir_weights" -> ((s, d) => {
+      val (out, release) = dsirPlan(s, d)
+      core.Materialize.detached(out)(release())
     }),
   )
+
+  /** q106 plan builder, un-detached so PlanAuditSpec can assert the
+    * physical shape (Materialize.detached hides the plan behind an
+    * ExistingRDD scan). Returns (plan, release-upstream-caches).
+    *
+    * BM25 lexical "more-like-this" retrieval — the standard lexical
+    * ranking baseline a curation pipeline runs beside the embedding
+    * retrievers (q38/q103): each probe doc's top-TfidfK terms (q84's
+    * rank-stable tf·N/df selection) become a query; every doc sharing
+    * a query term is BM25-scored against it. Made bit-exact the way
+    * q101/q102 are:
+    *  - idf in WHOLE BITS: floor(log2((N−df+0.5)/(df+0.5))) =
+    *    length(bin((2N−2df+1) DIV (2df+1))) − 1 — the BM25 idf ratio
+    *    scaled by 2 into pure BIGINT arithmetic; quotient 0 (df>N/2)
+    *    gives 0 bits, i.e. stop-terms contribute nothing (the Lucene
+    *    negative-idf floor, integer-exact).
+    *  - tf normalization k1=1.2, b=0.75: 0.25 and 0.75 are
+    *    binary-exact, 1.2/2.2 parse to the same nearest-double in
+    *    both engines, and *,+,/ are correctly-rounded IEEE ops in an
+    *    identical sequence → per-term scores are bit-identical.
+    *  - the cross-term sum is an order-pinned fold (q102):
+    *    array_sort then left-fold, mirrored by list_sort+list_reduce.
+    * Scale shape: ONE corpus-wide shuffle builds tf (reused thrice —
+    * persist, the q84 discipline); df is counted only for probe-term
+    * candidates (map-side broadcast prune BEFORE the agg shuffle);
+    * the corpus joins the ≤ ProbeN·TfidfK query terms by broadcast;
+    * the dl join is unhinted (AQE decides); N/avgdl ride a broadcast
+    * scalar; top-k is a rank-filtered window (WindowGroupLimit trims
+    * map-side).
+    */
+  private[graft] def bm25Plan(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(tokensSpark("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_toks"))
+    val pterm = tf.filter(col("doc_id") < Bm25ProbeN)
+      .select(col("doc_id").as("query_id"), col("term"), col("tf").as("ptf"))
+    val pvocab = pterm.select(col("term")).distinct()
+    val dfq = tf.join(broadcast(pvocab), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wsel = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("term"))
+    val qterms = pterm.join(dfq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", col("ptf").cast("double") *
+        col("n_docs").cast("double") / col("df").cast("double"))
+      .withColumn("rk", row_number().over(wsel))
+      .filter(col("rk") <= TfidfK)
+      .withColumn("bits", expr(
+        "CAST(length(bin((2 * n_docs - 2 * df + 1) DIV (2 * df + 1))) - 1 AS BIGINT)"))
+      .select(col("query_id"), col("term"), col("bits"))
+    val cand = tf.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("t_score", expr(
+        """CAST(bits AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2) /
+          |  (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+          |    (CAST(dl AS DOUBLE) /
+          |     (CAST(tot_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+          .stripMargin))
+    val scored = cand.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        expr("""aggregate(array_sort(collect_list(t_score)),
+               |  CAST(0.0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+          .as("score"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val out = scored
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("score"), col("rk"))
+    (out, () => tf.unpersist(blocking = false))
+  }
+
+  /** q107 plan builder, un-detached for the same PlanAuditSpec reason
+    * as [[bm25Plan]]. Returns (plan, release-upstream-caches).
+    *
+    * DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed n-gram
+    * features (unigrams + bigrams → DsirBuckets buckets), a target
+    * distribution estimated from one exemplar source, and per-doc
+    * importance weights Σ_b cnt_b · llr_b ranking the rest of the
+    * corpus by target-likeness. Made integer-exact: the bucket
+    * log-likelihood ratio log2(p_t[b]/p_r[b]) is quantized to WHOLE
+    * BITS as a DIFFERENCE of floor-log2s — llr_b =
+    * (len(bin(c_t))−1) − (len(bin(c_r))−1) + K with
+    * K = floor(log2(N_r)) − floor(log2(N_t)) — which never forms the
+    * cross product c_t·N_r (BIGINT-overflow-proof at any corpus
+    * size, where the exact-ratio form q101/q106 use would overflow
+    * at ~10^13 tokens), at the cost of ±1-bit quantization per term.
+    * Counts are add-1 smoothed so empty target buckets are defined.
+    * Scale shape: ONE corpus-wide shuffle builds (doc, bucket)
+    * counts; both distributions live on ≤ DsirBuckets rows (the
+    * raw-side agg partial-aggregates map-side into ≤ B groups per
+    * partition); the bucket→llr table joins back by BROADCAST; the
+    * report is a distributed top-k (TakeOrderedAndProject).
+    */
+  private[graft] def dsirPlan(s: SparkSession, d: String)
+    : (DataFrame, () => Unit) = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr(tokensSpark("text")).as("tk"))
+    val uni = toks.select(col("doc_id"), col("source"),
+      explode(col("tk")).as("g"))
+    // sequence(1, n) runs DESCENDING when n < 1 — guard size >= 2
+    val big = toks.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"""
+          .stripMargin)).as("g"))
+    val feats = uni.unionAll(big)
+      .withColumn("b", expr(s"${TextOps.rollingHashSpark("g")} % $DsirBuckets"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = feats.groupBy(col("b"))
+      .agg((sum(col("cnt")) + 1L).as("c_r"))
+    val tgt = feats.filter(col("source") === DsirTarget)
+      .groupBy(col("b")).agg(sum(col("cnt")).as("t0"))
+    val dist = raw.join(tgt, Seq("b"), "left")
+      .withColumn("c_t", coalesce(col("t0"), lit(0L)) + 1L)
+    val totals = dist.agg(sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"))
+    // floor(log2 x) = length(bin(x)) − 1; the −1s cancel in each
+    // difference, so lengths compare directly
+    val llr = dist.crossJoin(broadcast(totals))
+      .withColumn("llr", expr(
+        """(CAST(length(bin(c_t)) AS BIGINT) - CAST(length(bin(c_r)) AS BIGINT))
+          |  + (CAST(length(bin(n_r)) AS BIGINT) - CAST(length(bin(n_t)) AS BIGINT))"""
+          .stripMargin))
+      .select(col("b"), col("llr"))
+    val weights = feats.filter(col("source") =!= DsirTarget)
+      .join(broadcast(llr), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt") * col("llr")).as("weight"),
+        sum(col("cnt")).as("n_feats"))
+    // global top-k: orderBy + limit plans as TakeOrderedAndProject
+    // (per-partition heaps, k rows to the driver-side merge) — a
+    // global row_number window would funnel every doc through ONE
+    // partition
+    val out = weights
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(DsirTopK)
+      .select(col("doc_id"), col("source"), col("n_feats"), col("weight"))
+    (out, () => feats.unpersist(blocking = false))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q27_text_tokens" ->
@@ -2099,5 +2190,50 @@ object LlmEntry {
          |      ORDER BY score DESC, doc_id) AS rk
          |  FROM scored)
          |WHERE rk <= $Bm25TopK""".stripMargin,
+
+    // q107 mirror: identical hashed-feature construction (1-based list
+    // indexing ≡ element_at; range(1, len) is end-exclusive ≡
+    // sequence(1, len−1) inclusive), identical whole-bit llr via
+    // format('{:b}', …) ≡ bin, BIGINT arithmetic throughout
+    "q107_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, ${tokensDuck("text")} AS tk
+         |  FROM documents),
+         |uni AS (SELECT doc_id, source, unnest(tk) AS g FROM toks),
+         |big AS (
+         |  SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS g
+         |  FROM (SELECT doc_id, source, tk, unnest(range(1, len(tk))) AS i
+         |        FROM toks WHERE len(tk) >= 2)),
+         |feats AS (
+         |  SELECT doc_id, source,
+         |    ${TextOps.rollingHashDuck("g")} % $DsirBuckets AS b,
+         |    count(*) AS cnt
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+         |  GROUP BY doc_id, source, b),
+         |raw AS (
+         |  SELECT b, CAST(sum(cnt) + 1 AS BIGINT) AS c_r FROM feats
+         |  GROUP BY b),
+         |tgt AS (
+         |  SELECT b, CAST(sum(cnt) AS BIGINT) AS t0 FROM feats
+         |  WHERE source = '$DsirTarget' GROUP BY b),
+         |dist AS (
+         |  SELECT b, c_r, coalesce(t0, 0) + 1 AS c_t
+         |  FROM raw LEFT JOIN tgt USING (b)),
+         |totals AS (
+         |  SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+         |    CAST(sum(c_r) AS BIGINT) AS n_r FROM dist),
+         |llr AS (
+         |  SELECT b,
+         |    (CAST(length(format('{:b}', c_t)) AS BIGINT)
+         |      - CAST(length(format('{:b}', c_r)) AS BIGINT))
+         |    + (CAST(length(format('{:b}', n_r)) AS BIGINT)
+         |      - CAST(length(format('{:b}', n_t)) AS BIGINT)) AS llr
+         |  FROM dist CROSS JOIN totals)
+         |SELECT doc_id, source, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         |  CAST(sum(cnt * llr) AS BIGINT) AS weight
+         |FROM feats JOIN llr USING (b)
+         |WHERE source <> '$DsirTarget'
+         |GROUP BY doc_id, source
+         |ORDER BY weight DESC, doc_id LIMIT $DsirTopK""".stripMargin,
   )
 }

@@ -135,4 +135,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"candidate screen is not a broadcast hash join:\n${plan.take(800)}")
   }
+
+  test("q106: query terms ride broadcast joins and top-k trims map-side") {
+    // the two properties BM25's 100-TB cost model rests on: the corpus
+    // only ever joins the ≤ ProbeN·TfidfK query-term set by BROADCAST
+    // (never a shuffle keyed on a probe-sized side), and the per-query
+    // top-k is a rank-filtered window that WindowGroupLimit trims below
+    // the final sort (k rows per partition travel, not every candidate).
+    // Audited on the un-detached builder: Materialize.detached hides
+    // the executed plan behind an ExistingRDD scan.
+    val (df, release) = LlmEntry.bm25Plan(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    release()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q106 lost its broadcast query-term join:\n${plan.take(800)}")
+    assert(plan.contains("WindowGroupLimit"),
+      s"q106 top-k is not map-side trimmed (no WindowGroupLimit):\n${plan.take(800)}")
+  }
+
+  test("q107: llr table broadcasts back and the report is a distributed top-k") {
+    // DSIR's 100-TB cost model: the ≤ DsirBuckets llr table must join
+    // the corpus by BROADCAST, and the global top-k must plan as
+    // TakeOrderedAndProject (per-partition heaps) — NOT a single-
+    // partition global window
+    val (df, release) = LlmEntry.dsirPlan(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    release()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q107 lost its broadcast llr join:\n${plan.take(800)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q107 top-k is not TakeOrderedAndProject:\n${plan.take(800)}")
+  }
 }
