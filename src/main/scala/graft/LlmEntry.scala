@@ -1192,9 +1192,15 @@ object LlmEntry {
     * map-side).
     */
   private[graft] def bm25Plan(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = bm25PlanOn(Tables.documents(s, d))
+
+  /** [[bm25Plan]] over an explicit corpus — EdgeCaseSpec feeds
+    * degenerate in-memory docs through the same plan.
+    */
+  private[graft] def bm25PlanOn(docs: DataFrame)
       : (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.documents(s, d)
+    val tf = docs
       .select(col("doc_id"), explode(expr(tokensSpark("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -1267,8 +1273,14 @@ object LlmEntry {
     * report is a distributed top-k (TakeOrderedAndProject).
     */
   private[graft] def dsirPlan(s: SparkSession, d: String)
+    : (DataFrame, () => Unit) = dsirPlanOn(Tables.documents(s, d))
+
+  /** [[dsirPlan]] over an explicit corpus — EdgeCaseSpec feeds
+    * degenerate in-memory docs through the same plan.
+    */
+  private[graft] def dsirPlanOn(docs: DataFrame)
     : (DataFrame, () => Unit) = {
-    val toks = Tables.documents(s, d)
+    val toks = docs
       .select(col("doc_id"), col("source"),
         expr(tokensSpark("text")).as("tk"))
     val uni = toks.select(col("doc_id"), col("source"),

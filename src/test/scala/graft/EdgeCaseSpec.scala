@@ -176,4 +176,57 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(row.getSeq[String](0).toList === List("𝄞😀", "帳簿", "a"))
     assert(row.getLong(1) === 0L) // vocab under capacity: exact
   }
+
+  private lazy val tinyCorpus = Seq(
+    (0L, "src0", ""),              // probe with EMPTY text → no query terms
+    (1L, "src0", "x"),             // single-token probe → unigram only
+    (2L, "src0", "x y common"),    // multi-term probe
+    (10L, "src1", "x y common w"), // shares terms with probe 2
+    (11L, "src1", "common"),       // shares one term
+    (12L, "src2", "zz qq"),        // shares nothing
+    (13L, "src2", ""))             // empty non-probe doc
+    .toDF("doc_id", "source", "text")
+
+  test("bm25 on degenerate docs: empty probes vanish, self excluded, scores finite") {
+    val (df, release) = LlmEntry.bm25PlanOn(tinyCorpus)
+    val rows = df.collect()
+    release()
+    // doc 0 ("" → split gives [""], filtered) has no terms → no query;
+    // doc 13 likewise never appears as a result
+    val qids = rows.map(_.getAs[Long]("query_id")).toSet
+    assert(!qids.contains(0L), s"empty probe produced a query: $qids")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("doc_id"),
+        s"self-match leaked: $r")
+      val sc = r.getAs[Double]("score")
+      assert(!sc.isNaN && !sc.isInfinite, s"non-finite score: $r")
+      assert(r.getAs[Long]("doc_id") != 13L, "termless doc scored")
+    }
+    // probe 2 shares {x, y, common} with doc 10 — it must be retrieved
+    assert(rows.exists(r => r.getAs[Long]("query_id") == 2L &&
+      r.getAs[Long]("doc_id") == 10L), rows.mkString("\n"))
+  }
+
+  test("dsir on degenerate docs: weights defined; empty target degrades, not crashes") {
+    val (df, release) = LlmEntry.dsirPlanOn(tinyCorpus)
+    val rows = df.collect()
+    release()
+    // only non-target docs with ≥1 feature are ranked (13 is termless:
+    // "" still hashes as the [""] unigram, so it DOES carry one feature)
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(10L, 11L, 12L, 13L), ids.toString)
+    rows.foreach(r => assert(r.getAs[Long]("n_feats") >= 1L, r.toString))
+    // NO ordering assertion here deliberately: at this corpus size the
+    // ±1-bit llr quantization dominates the ratio signal (hand-checked:
+    // doc 10's 7 features land at −4 vs doc 12's 3 at −3), so
+    // target-likeness ordering is only meaningful at corpus scale —
+    // that is what the sf0.01 DuckDB oracle pins bit-exactly
+    // a target source with NO documents must not NPE: every c_t
+    // smooths to 1 and every doc ranks
+    val noTarget = tinyCorpus.filter(col("source") =!= "src0")
+    val (df2, release2) = LlmEntry.dsirPlanOn(noTarget)
+    val n2 = df2.collect().length
+    release2()
+    assert(n2 == 4, s"expected all 4 non-target docs ranked, got $n2")
+  }
 }
