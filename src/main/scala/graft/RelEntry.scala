@@ -410,6 +410,18 @@ object RelEntry {
           expr(LayoutOps.interleaveSpark("cx", "cy", ZBits)).as("z"))
     }),
 
+    // ---- T25: fuzzy-key join (edit-distance band + verify) -------------
+    "q108_fuzzy_join" -> ((s, d) =>
+      // Entity-resolution candidate pairs over customer names: every
+      // DISTINCT name pair within Levenshtein distance 1, via
+      // deletion-neighborhood banding (complete for d = 1) + exact
+      // levenshtein verify — the band-then-verify shape of q34-q36,
+      // applied to string keys instead of shingle sets. See
+      // DedupOps.editPairs for the completeness argument and the
+      // 100-TB shuffle story.
+      operators.DedupOps.editPairs(Tables.customer(s, d),
+        "c_custkey", "c_name")),
+
     "q104_session_window" -> ((s, d) =>
       // The BUILT-IN gap-sessionization operator (Spark's
       // session_window), completing the tier: q56 hand-rolls the
@@ -668,6 +680,28 @@ object RelEntry {
          |SELECT event_id, cx, cy,
          |  ${LayoutOps.interleaveDuck("cx", "cy", ZBits)} AS z
          |FROM cells""".stripMargin,
+
+    // q108 mirror: same deletion-neighborhood band (unnest(range) in
+    // place of transform(sequence)) and the same levenshtein verify;
+    // min(key) per name pair keeps both engines deterministic even if
+    // a name were duplicated
+    "q108_fuzzy_join" ->
+      """WITH keys AS (
+        |  SELECT c_custkey AS key_id, c_name AS name FROM customer),
+        |deln AS (
+        |  SELECT key_id, name, unnest(range(0, length(name) + 1)) AS i
+        |  FROM keys),
+        |vars AS (
+        |  SELECT key_id, name,
+        |         CASE WHEN i = 0 THEN name
+        |              ELSE substr(name, 1, i - 1) || substr(name, i + 1)
+        |         END AS v
+        |  FROM deln)
+        |SELECT min(a.key_id) AS key_a, a.name AS name_a,
+        |       min(b.key_id) AS key_b, b.name AS name_b
+        |FROM vars a JOIN vars b ON a.v = b.v AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |GROUP BY a.name, b.name""".stripMargin,
 
     // q104 mirror: islands form of session_window semantics — note >=
     // (a gap of EXACTLY the window size starts a new session, unlike

@@ -403,6 +403,60 @@ object DedupOps {
     out
   }
 
+  /** Fuzzy-key self-join: all DISTINCT key-string pairs within
+    * Levenshtein distance 1, found by deletion-neighborhood banding
+    * (the FastSS family, Bocek et al. 2007) — never an all-pairs
+    * product.
+    *
+    * Candidate generation: every key emits its 0- and 1-deletion
+    * variants (the string itself plus each single-character deletion,
+    * len+1 rows). Two strings at edit distance ≤ 1 ALWAYS share a
+    * variant (equal → themselves; substitution at i → both drop i;
+    * insertion → the longer drops the inserted char and meets the
+    * shorter's identity variant), so an equi-join on the variant is a
+    * complete band. It is not exact — "ab"/"ba" share variants at
+    * distance 2 — so candidates are verified with a real
+    * `levenshtein` before leaving the operator. Distance d ≥ 2 would
+    * use ≤d-deletion variants (O(len^d) rows/key) with the same
+    * join+verify shape; only d = 1 is built because that is the
+    * entity-resolution sweet spot (one-keystroke typos).
+    *
+    * Scale (100 TB): one scan of `keys` projected to two columns,
+    * exploded ×(len+1), then a shuffle equi-join on the variant — key
+    * cardinality grows with the data, so it stays shuffle-balanced.
+    * A bucket holds only strings one deletion apart (≤ alphabet·len
+    * in practice); a pathological shared-prefix key population skews
+    * single buckets, which AQE's skew-join split absorbs. The verify
+    * multiset then dedupes pair-wise (two strings can share several
+    * variants) via one more pair-keyed shuffle. Nothing is quadratic
+    * in |keys|; nothing is collected.
+    *
+    * Output: (key_a, name_a, key_b, name_b), name_a < name_b, one row
+    * per distinct (name_a, name_b) with representative ids — pairs of
+    * DISTINCT names only (lev = 0 twins are exact-dedup's job, q33).
+    */
+  def editPairs(keys: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val vars = keys.select(col(idCol).as("key_id"), col(nameCol).as("name"))
+      .select(col("key_id"), col("name"), explode(expr(
+        """transform(sequence(0, length(name)),
+          |  i -> IF(i = 0, name,
+          |          concat(substring(name, 1, i - 1), substring(name, i + 1))))"""
+          .stripMargin)).as("v"))
+    val left = vars.select(col("key_id").as("key_a"), col("name").as("name_a"),
+      col("v"))
+    val right = vars.select(col("key_id").as("key_b"), col("name").as("name_b"),
+      col("v"))
+    left.join(right, Seq("v"))
+      .filter(col("name_a") < col("name_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      // a pair found through several shared variants is ONE pair; ids
+      // are functionally dependent on names here (distinct names), but
+      // min() keeps the answer deterministic even for duplicated names
+      .groupBy(col("name_a"), col("name_b"))
+      .agg(min(col("key_a")).as("key_a"), min(col("key_b")).as("key_b"))
+      .select(col("key_a"), col("name_a"), col("key_b"), col("name_b"))
+  }
+
   def jaccardVerifyDuckBody(threshold: Double): String =
     s"""SELECT id_a, id_b,
        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /

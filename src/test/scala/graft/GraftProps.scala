@@ -348,6 +348,35 @@ object GraftProps extends Properties("graft") {
       mgLaws(b, toks, cap)
     }
 
+  // adversarial key strings: tiny alphabet (forces shared deletion
+  // variants), lengths 0-6 (empty string, single chars), duplicates
+  private val genKeyStr: Gen[String] = for {
+    n <- Gen.choose(0, 6)
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+
+  property("editPairs equals brute-force levenshtein<=1 over all distinct name pairs") =
+    forAll(Gen.listOfN(25, genKeyStr)) { names =>
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val keys = names.zipWithIndex.map { case (nm, i) => (i.toLong, nm) }
+      val got = DedupOps.editPairs(keys.toDF("id", "nm"), "id", "nm")
+        .select("name_a", "name_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val distinctNames = names.distinct
+      val want = (for {
+        a <- distinctNames; b <- distinctNames
+        if a < b && lev(a, b) <= 1
+      } yield (a, b)).toSet
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+
   property("Misra-Gries merge preserves the guarantees at any split") =
     forAll(genMgStream, Gen.choose(0, 400)) { case ((toks, cap), cut0) =>
       val cut = if (toks.isEmpty) 0 else cut0 % (toks.size + 1)
