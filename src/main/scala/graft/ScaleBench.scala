@@ -45,6 +45,12 @@ object ScaleBench {
     * capacity-bounded while the true vocabulary grows m×) and q101
     * (surprisal — distinct (doc, tok) pair shuffle + vocabulary-side
     * join, the q84 scenario with a second corpus-wide agg on top).
+    * r11 adds q106 (BM25 — fixed probe set under the id stride, so the
+    * query side stays constant while the corpus-wide tf shuffle and the
+    * probe-term-pruned df count grow; the retrieval-at-scale shape) and
+    * q107 (DSIR — one (doc, bucket) shuffle; distributions and llr live
+    * on ≤ DsirBuckets rows regardless of m, so only the feature
+    * extraction should scale).
     */
   private[graft] val Family = Seq(
     "q33_dedup_exact", "q34_minhash_buckets", "q35_minhash_pairs",
@@ -53,7 +59,8 @@ object ScaleBench {
     "q71_dup_clusters", "q83_seq_packing", "q84_tfidf",
     "q89_bloom_screen", "q90_incremental_dedup",
     "q95_semantic_dedup", "q96_span_dedup", "q97_ann_recall",
-    "q98_budget_select", "q100_heavy_hitters", "q101_surprisal")
+    "q98_budget_select", "q100_heavy_hitters", "q101_surprisal",
+    "q106_bm25", "q107_dsir_weights")
 
   private[graft] val IdStride = 1000000L
 
