@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{LayoutOps, TemporalOps}
+import graft.operators.{GraphOps, LayoutOps, TemporalOps}
 
 /** Relational/temporal engine-completeness queries (q52+): as-of join,
   * bucketed range join, ROLLUP, pivot, gap sessionization, deterministic
@@ -20,6 +20,8 @@ object RelEntry {
   private val NeighborWindowSec = 300L   // ±5 min
   private val SessionGapSec = 86400L     // 1 day
   private val SessionWindowGapSec = 3600L // q104 built-in session_window gap
+  private val PrIters = 3                 // q109 horizon; oracle unrolls EXACTLY this many rounds
+  private val PrScale = 1000000000L       // q109 rank precision (1e9 → ~1e8-node headroom)
   /** md5-prefix threshold ≈ 0.80 of the hex space → deterministic,
     * engine-independent, stable-under-append train/test assignment. */
   private val SplitHexHi = "cc"
@@ -422,6 +424,31 @@ object RelEntry {
       operators.DedupOps.editPairs(Tables.customer(s, d),
         "c_custkey", "c_name")),
 
+    // ---- T26: iterative graph centrality (integer PageRank) ------------
+    "q109_pagerank" -> ((s, d) => {
+      // Centrality over the customer-supplier trade graph: one edge per
+      // distinct (customer, supplier) pair that ever traded (orders ⋈
+      // lineitem), symmetrized so rank flows both ways and no node
+      // dangles. Node ids are parity-namespaced (customer → 2k,
+      // supplier → 2k+1) so the two key spaces can share one BIGINT
+      // column without collision. Fixed 3-iteration horizon + scaled
+      // integer arithmetic = bit-exact vs the oracle's unrolled CTEs.
+      val pairs = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      GraphOps.integerPageRank(sym, PrIters, PrScale)
+        .select(
+          when(col("id") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("id DIV 2").as("node_key"),
+          col("pr"))
+    }),
+
     "q104_session_window" -> ((s, d) =>
       // The BUILT-IN gap-sessionization operator (Spark's
       // session_window), completing the tier: q56 hand-rolls the
@@ -702,6 +729,37 @@ object RelEntry {
         |FROM vars a JOIN vars b ON a.v = b.v AND a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 1
         |GROUP BY a.name, b.name""".stripMargin,
+
+    // q109 mirror: the fixed iteration horizon is what makes PageRank
+    // SQL-expressible — each round is one CTE pair (contribution sums,
+    // then damped update over the full node universe). Integer floor
+    // division (// here, DIV in Spark) keeps every rank a BIGINT.
+    "q109_pagerank" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT id, CAST($PrScale AS BIGINT) AS pr FROM deg),
+         |s1 AS (SELECT e.dst AS id, sum(r.pr // d.deg) AS s
+         |       FROM r0 r JOIN deg d ON d.id = r.id
+         |       JOIN edges e ON e.src = r.id GROUP BY e.dst),
+         |r1 AS (SELECT d.id, CAST(${15L * PrScale / 100L} + (85 * coalesce(s1.s, 0)) // 100 AS BIGINT) AS pr
+         |       FROM deg d LEFT JOIN s1 ON s1.id = d.id),
+         |s2 AS (SELECT e.dst AS id, sum(r.pr // d.deg) AS s
+         |       FROM r1 r JOIN deg d ON d.id = r.id
+         |       JOIN edges e ON e.src = r.id GROUP BY e.dst),
+         |r2 AS (SELECT d.id, CAST(${15L * PrScale / 100L} + (85 * coalesce(s2.s, 0)) // 100 AS BIGINT) AS pr
+         |       FROM deg d LEFT JOIN s2 ON s2.id = d.id),
+         |s3 AS (SELECT e.dst AS id, sum(r.pr // d.deg) AS s
+         |       FROM r2 r JOIN deg d ON d.id = r.id
+         |       JOIN edges e ON e.src = r.id GROUP BY e.dst),
+         |r3 AS (SELECT d.id, CAST(${15L * PrScale / 100L} + (85 * coalesce(s3.s, 0)) // 100 AS BIGINT) AS pr
+         |       FROM deg d LEFT JOIN s3 ON s3.id = d.id)
+         |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+         |       id // 2 AS node_key, pr
+         |FROM r3""".stripMargin,
 
     // q104 mirror: islands form of session_window semantics — note >=
     // (a gap of EXACTLY the window size starts a new session, unlike

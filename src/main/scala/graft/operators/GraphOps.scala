@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond connected components (q71): link
+  * centrality as a data-quality prior. Web-scale pretraining curation
+  * uses link-graph centrality to rank crawl hosts (the OPIC/PageRank
+  * family); this is that operator expressed as pure relational algebra
+  * on integer arithmetic so the result is bit-exact cross-engine.
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank over a directed edge list, computed in
+    * scaled BIGINT arithmetic so every engine produces the identical
+    * ranks (no IEEE drift, no convergence-test nondeterminism).
+    *
+    * Recurrence (damping 0.85, all in integer floor division):
+    *   pr₀(v)    = scale
+    *   pr_{t+1}(v) = (15·scale) DIV 100 + (85 · Σ_{u→v} (pr_t(u) DIV deg(u))) DIV 100
+    *
+    * Semantics / preconditions:
+    *   - The node universe is the SOURCES of `edges` (nodes with
+    *     outdegree ≥ 1). The input must be dangling-free — every node
+    *     that receives rank must also emit it — or mass silently leaks;
+    *     a symmetrized (undirected) graph satisfies this by
+    *     construction, which is how q109 calls it.
+    *   - `iters` is FIXED, not convergence-tested: a convergence test
+    *     would make the output depend on runtime numerics; a fixed
+    *     horizon makes it a pure function of the edge list, which is
+    *     what lets DuckDB mirror it as `iters` unrolled CTEs.
+    *   - Overflow: rank mass is contractive (Σ pr_{t+1} ≤ 0.15·n·scale
+    *     + 0.85·Σ pr_t → fixed point n·scale), so the largest value the
+    *     85· multiply can see is ≤ n·scale; n·scale < 2^63/85 ≈ 1.1e17
+    *     is the caller's contract. scale = 1e9 holds to ~1e8 nodes,
+    *     1e6 to ~1e11 — precision (9 vs 6 digits) trades directly
+    *     against node-count headroom.
+    *
+    * Scale (100 TB): per iteration one equi-join of the rank vector
+    * with the edge list (both shuffle-partitioned on the join key and
+    * GROWING WITH THE DATA — nothing is collected or broadcast) and one
+    * sum aggregation with map-side partials; the q71 iteration
+    * discipline applies (persist per round, unpersist the previous,
+    * `localCheckpoint` the result so downstream plans don't replay
+    * `iters` joins of lineage). Hub skew in Σ contrib is an
+    * aggregation, not a join — partial aggregation absorbs it.
+    *
+    * Output: (id BIGINT, pr BIGINT) for every source node.
+    */
+  def integerPageRank(edges0: DataFrame, iters: Int, scale: Long): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = edges0
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct().persist(lvl)
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg")).persist(lvl)
+    val base = (15L * scale) / 100L
+    var pr = deg.select(col("id"), lit(scale).as("pr")).persist(lvl)
+    var it = 0
+    while (it < iters) {
+      val inbound = pr.join(deg, Seq("id"))
+        .select(col("id"), expr("pr DIV deg").as("contrib"))
+        .join(edges, col("id") === col("src"))
+        .groupBy(col("dst").as("nid")).agg(sum(col("contrib")).as("s"))
+      // left join keeps a node whose neighbors all lost rank this round
+      // at the base term, mirroring the analytic recurrence exactly
+      val next = deg.select(col("id"))
+        .join(inbound, col("id") === col("nid"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("pr"))
+        .persist(lvl)
+      next.count() // materialize before dropping the parent iteration
+      pr.unpersist(blocking = false)
+      pr = next
+      it += 1
+    }
+    val out = pr.localCheckpoint(eager = true)
+    pr.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
+  }
+}

@@ -5,7 +5,7 @@ import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{DedupOps, TemporalOps, TextOps, TrafficOps}
+import graft.operators.{DedupOps, GraphOps, TemporalOps, TextOps, TrafficOps}
 
 /** Property-based invariants (SURVEY §5.3) over generated data:
   * partition-slice aggregate consistency, interval-join containment,
@@ -375,6 +375,37 @@ object GraftProps extends Properties("graft") {
         if a < b && lev(a, b) <= 1
       } yield (a, b)).toSet
       Prop(got == want) :| s"got=$got want=$want"
+    }
+
+  // random undirected graphs incl. self-loops, multi-edges (the operator
+  // dedups), and isolated-pair components
+  private val genEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 12)
+    m <- Gen.choose(1, 24)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong - 1); b <- Gen.choose(0L, n.toLong - 1)
+    } yield (a, b))
+  } yield es
+
+  property("integerPageRank equals the exact in-memory integer recurrence") =
+    forAll(genEdges, Gen.choose(1, 4)) { (es, iters) =>
+      val scale = 1000000L
+      val sym = (es ++ es.map(_.swap)).distinct
+      val want: Map[Long, Long] = {
+        val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+        val base = 15L * scale / 100L
+        var pr = deg.keys.map(_ -> scale).toMap
+        for (_ <- 1 to iters) {
+          val inbound = sym.groupBy(_._2).map { case (v, in) =>
+            v -> in.map { case (u, _) => pr(u) / deg(u) }.sum }
+          pr = deg.keys.map(v => v -> (base + 85L * inbound.getOrElse(v, 0L) / 100L)).toMap
+        }
+        pr
+      }
+      val got = GraphOps
+        .integerPageRank(sym.toDF("src", "dst"), iters, scale)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Prop(got == want) :| s"got=$got want=$want iters=$iters"
     }
 
   property("Misra-Gries merge preserves the guarantees at any split") =
