@@ -424,6 +424,52 @@ object RelEntry {
       operators.DedupOps.editPairs(Tables.customer(s, d),
         "c_custkey", "c_name")),
 
+    // ---- T27: record linkage: rarity-weighted match scoring ------------
+    "q111_record_linkage" -> ((s, d) => {
+      // Fellegi-Sunter-flavored scoring over q108's fuzzy-name candidate
+      // pairs: each side field that AGREES contributes the surprisal of
+      // the shared value — w(v) = floor(log2(N / cnt(v))) whole bits
+      // (the q101/q106 length(bin(x))−1 trick; floor(log2(N DIV cnt)) =
+      // floor(log2(N/cnt)) because an integer floor never crosses the
+      // power-of-two below) — so agreeing on a RARE nation/segment/
+      // balance-band is strong evidence and agreeing on a common one is
+      // weak, exactly the u-probability intuition. The band is the one
+      // non-integer input: floor(acctbal/1000) is two correctly-rounded
+      // IEEE ops, identical in any engine.
+      //
+      // Scale: the candidate set comes from the deletion band (never
+      // all-pairs); the three weight tables are |distinct values| rows
+      // (≤ nations/segments/prefixes — dimension-sized, broadcast); the
+      // two attribute joins are key equi-joins that shuffle-balance
+      // with the data; N is the usual broadcast scalar.
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("key"), col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      val nAll = cust.agg(count(lit(1)).as("n_all"))
+      def wtab(c: String, w: String) = cust
+        .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(nAll))
+        .select(col(c), expr("CAST(length(bin(n_all DIV cnt)) - 1 AS BIGINT)").as(w))
+      val a = cust.select(col("key").as("key_a"), col("nat").as("nat_a"),
+        col("seg").as("seg_a"), col("band").as("band_a"))
+      val b = cust.select(col("key").as("key_b"), col("nat").as("nat_b"),
+        col("seg").as("seg_b"), col("band").as("band_b"))
+      operators.DedupOps.editPairs(Tables.customer(s, d), "c_custkey", "c_name")
+        .join(a, Seq("key_a")).join(b, Seq("key_b"))
+        .join(wtab("nat", "w_nat").withColumnRenamed("nat", "nat_a"), Seq("nat_a"))
+        .join(wtab("seg", "w_seg").withColumnRenamed("seg", "seg_a"), Seq("seg_a"))
+        .join(wtab("band", "w_band").withColumnRenamed("band", "band_a"), Seq("band_a"))
+        .select(col("key_a"), col("name_a"), col("key_b"), col("name_b"),
+          (col("nat_a") === col("nat_b")).cast("long").as("nat_agree"),
+          (col("seg_a") === col("seg_b")).cast("long").as("seg_agree"),
+          (col("band_a") === col("band_b")).cast("long").as("band_agree"),
+          (when(col("nat_a") === col("nat_b"), col("w_nat")).otherwise(0L) +
+           when(col("seg_a") === col("seg_b"), col("w_seg")).otherwise(0L) +
+           when(col("band_a") === col("band_b"), col("w_band")).otherwise(0L))
+            .as("score"))
+    }),
+
     // ---- T26: iterative graph centrality (integer PageRank) ------------
     "q109_pagerank" -> ((s, d) => {
       // Centrality over the customer-supplier trade graph: one edge per
@@ -729,6 +775,55 @@ object RelEntry {
         |FROM vars a JOIN vars b ON a.v = b.v AND a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 1
         |GROUP BY a.name, b.name""".stripMargin,
+
+    // q111 mirror: the q108 deletion band verbatim as the candidate CTE,
+    // then the same whole-bit rarity weights (format('{:b}', …) ≡ bin,
+    // // ≡ DIV) joined on the a-side value and scored only on agreement
+    "q111_record_linkage" ->
+      """WITH keys AS (
+        |  SELECT c_custkey AS key_id, c_name AS name FROM customer),
+        |deln AS (
+        |  SELECT key_id, name, unnest(range(0, length(name) + 1)) AS i
+        |  FROM keys),
+        |vars AS (
+        |  SELECT key_id, name,
+        |         CASE WHEN i = 0 THEN name
+        |              ELSE substr(name, 1, i - 1) || substr(name, i + 1)
+        |         END AS v
+        |  FROM deln),
+        |cand AS (
+        |  SELECT min(a.key_id) AS key_a, a.name AS name_a,
+        |         min(b.key_id) AS key_b, b.name AS name_b
+        |  FROM vars a JOIN vars b ON a.v = b.v AND a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 1
+        |  GROUP BY a.name, b.name),
+        |cust AS (
+        |  SELECT c_custkey AS key, c_nationkey AS nat, c_mktsegment AS seg,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        |  FROM customer),
+        |n AS (SELECT count(*) AS n_all FROM cust),
+        |wnat AS (
+        |  SELECT nat, CAST(length(format('{:b}', n_all // cnt)) - 1 AS BIGINT) AS w_nat
+        |  FROM (SELECT nat, count(*) AS cnt FROM cust GROUP BY 1), n),
+        |wseg AS (
+        |  SELECT seg, CAST(length(format('{:b}', n_all // cnt)) - 1 AS BIGINT) AS w_seg
+        |  FROM (SELECT seg, count(*) AS cnt FROM cust GROUP BY 1), n),
+        |wband AS (
+        |  SELECT band, CAST(length(format('{:b}', n_all // cnt)) - 1 AS BIGINT) AS w_band
+        |  FROM (SELECT band, count(*) AS cnt FROM cust GROUP BY 1), n)
+        |SELECT c.key_a, c.name_a, c.key_b, c.name_b,
+        |  CAST(a.nat = b.nat AS BIGINT) AS nat_agree,
+        |  CAST(a.seg = b.seg AS BIGINT) AS seg_agree,
+        |  CAST(a.band = b.band AS BIGINT) AS band_agree,
+        |  (CASE WHEN a.nat = b.nat THEN wn.w_nat ELSE 0 END
+        |   + CASE WHEN a.seg = b.seg THEN ws.w_seg ELSE 0 END
+        |   + CASE WHEN a.band = b.band THEN wb.w_band ELSE 0 END) AS score
+        |FROM cand c
+        |JOIN cust a ON a.key = c.key_a
+        |JOIN cust b ON b.key = c.key_b
+        |JOIN wnat wn ON wn.nat = a.nat
+        |JOIN wseg ws ON ws.seg = a.seg
+        |JOIN wband wb ON wb.band = a.band""".stripMargin,
 
     // q109 mirror: the fixed iteration horizon is what makes PageRank
     // SQL-expressible — each round is one CTE pair (contribution sums,

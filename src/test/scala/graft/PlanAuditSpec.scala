@@ -16,7 +16,10 @@ class PlanAuditSpec extends SparkTestBase {
     "q81_kmeans_step", "q84_tfidf",
     // broadcast single-row scalar frames (min/max ranges, percentile
     // thresholds, fold-normalizers) — scalar by construction
-    "q91_zorder", "q94_length_strata", "q102_temperature_mix")
+    "q91_zorder", "q94_length_strata", "q102_temperature_mix",
+    // q111: the three rarity-weight tables each cross a broadcast
+    // single-row N — same scalar-by-construction shape as q84
+    "q111_record_linkage")
 
   test("every query plan: no raw cartesian, broadcast where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
