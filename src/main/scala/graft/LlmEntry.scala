@@ -49,6 +49,7 @@ object LlmEntry {
   private val DsirBuckets = 1024L // q107 hashed n-gram feature space
   private val DsirTopK = 20       // q107 selected docs reported
   private val DsirTarget = "src0" // q107 target-distribution exemplar source
+  private val PostingsK = 8       // q110 impact-ordered postings kept per term
   private val SampleK = 20        // exact-k per-group sample size
   private val IvfCentroidLo = 100 // deterministic coarse centroids
   private val IvfCentroidHi = 107
@@ -1160,6 +1161,47 @@ object LlmEntry {
       val (out, release) = dsirPlan(s, d)
       core.Materialize.detached(out)(release())
     }),
+
+    // ---- inverted index build (impact-ordered, capped postings) ---------
+    "q110_inverted_index" -> ((s, d) => {
+      // The index-build counterpart of q106's query-time BM25: per term,
+      // exact df and total tf plus the top-PostingsK postings by impact
+      // (tf desc, doc_id tiebreak) rendered doc:tf — the capped
+      // "head index" WAND-style early-termination retrieval serves from
+      // memory while the full postings stay in the (term-bucketed, T9)
+      // base layout. The cap is what makes stopword terms safe: a term
+      // appearing in every doc of a 100-TB crawl still contributes ONE
+      // bounded row, not a corpus-sized array.
+      //
+      // Plan: one corpus-wide (term, doc) tf shuffle — the same
+      // unavoidable exchange q84/q106 pay, since exact df needs every
+      // posting — then the rank window and the final agg both run on
+      // that same term partitioning, so Catalyst plans ZERO further
+      // exchanges. The rank → CASE-inside-agg trick (instead of
+      // filter(rk<=k) + re-join for df) is what keeps it single-pass:
+      // collect_list skips the NULLs the CASE leaves on rank > k, and
+      // array_sort on the (rk, rendered) struct pins the emission order
+      // that collect_list alone would leave partition-dependent.
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(tokensSpark("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("term"))
+        .orderBy(col("tf").desc, col("doc_id"))
+      tf.withColumn("rk", row_number().over(w))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          sum(col("tf")).as("total_tf"),
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("rk") <= PostingsK,
+                struct(col("rk"),
+                  concat_ws(":", col("doc_id"), col("tf")).as("p"))))),
+              x => x.getField("p")),
+            ",").as("postings"))
+    }),
   )
 
   /** q106 plan builder, un-detached so PlanAuditSpec can assert the
@@ -2247,5 +2289,27 @@ object LlmEntry {
          |WHERE source <> '$DsirTarget'
          |GROUP BY doc_id, source
          |ORDER BY weight DESC, doc_id LIMIT $DsirTopK""".stripMargin,
+
+    // q110 mirror: string_agg(... ORDER BY rk) ≡ the array_sort-then-
+    // join rendering (rk is unique per term so both orders are total);
+    // aggregate functions in both engines skip the NULLs the CASE
+    // leaves on rank > k
+    "q110_inverted_index" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${tokensDuck("text")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM toks
+         |  WHERE term <> '' GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT term, doc_id, tf,
+         |    CAST(row_number() OVER (PARTITION BY term
+         |      ORDER BY tf DESC, doc_id) AS BIGINT) AS rk
+         |  FROM tf)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+         |  string_agg(CASE WHEN rk <= $PostingsK
+         |               THEN doc_id || ':' || tf END, ',' ORDER BY rk)
+         |    AS postings
+         |FROM ranked GROUP BY term""".stripMargin,
   )
 }
