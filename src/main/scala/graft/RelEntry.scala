@@ -424,6 +424,44 @@ object RelEntry {
       operators.DedupOps.editPairs(Tables.customer(s, d),
         "c_custkey", "c_name")),
 
+    // ---- T28: sketch re-aggregation (partials as data) -----------------
+    "q112_sketch_reagg" -> ((s, d) => {
+      // The incremental-pipeline pattern T8/q59 only hints at: sketches
+      // are MERGEABLE STATE, not just estimates. Per (event_type, day)
+      // this builds a Datasketches HLL of user_id — the fixed-size
+      // partial a 100-TB pipeline persists per partition/day — then
+      // re-aggregates across days with hll_union_agg and estimates,
+      // WITHOUT rescanning history: the union input is |days| sketches
+      // of a few KB, not the event stream. sum_day_users rides along as
+      // the naive alternative (summing per-day distincts overcounts
+      // returning users — the exact reason mergeable sketches exist).
+      // Correctness contract is the q59 pattern: the merged estimate is
+      // asserted against the exact twin IN-PLAN (assert_true raises
+      // instead of producing a green-looking row) and only exact,
+      // engine-independent columns reach the oracle.
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+             countDistinct(col("user_id")).as("day_users"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"),
+             count(lit(1)).as("n_days"),
+             sum(col("day_users")).as("sum_day_users"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.join(exact, "event_type")
+        .where(isnull(expr(
+          "assert_true(abs(est - exact_users) <= " +
+            "greatest(0.05 * exact_users, 2), " +
+            "'merged HLL estimate outside its error bound')")))
+        .select(col("event_type"), col("exact_users"), col("n_days"),
+          col("sum_day_users"),
+          (abs(col("est") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.05, lit(2.0)))
+            .cast("int").as("merge_ok"))
+    }),
+
     // ---- T27: record linkage: rarity-weighted match scoring ------------
     "q111_record_linkage" -> ((s, d) => {
       // Fellegi-Sunter-flavored scoring over q108's fuzzy-name candidate
@@ -775,6 +813,24 @@ object RelEntry {
         |FROM vars a JOIN vars b ON a.v = b.v AND a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 1
         |GROUP BY a.name, b.name""".stripMargin,
+
+    // q112 mirror: the sketch columns never cross engines — only the
+    // exact twins do; merge_ok is the in-plan-asserted verdict (q59
+    // pattern), so a failed bound raises in Spark rather than
+    // hash-mismatching here
+    "q112_sketch_reagg" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         count(DISTINCT user_id) AS day_users
+        |  FROM events GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY 1)
+        |SELECT d.event_type, e.exact_users, count(*) AS n_days,
+        |       CAST(sum(day_users) AS BIGINT) AS sum_day_users,
+        |       1 AS merge_ok
+        |FROM daily d JOIN exact e USING (event_type)
+        |GROUP BY d.event_type, e.exact_users""".stripMargin,
 
     // q111 mirror: the q108 deletion band verbatim as the candidate CTE,
     // then the same whole-bit rarity weights (format('{:b}', …) ≡ bin,
