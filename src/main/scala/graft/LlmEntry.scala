@@ -1173,15 +1173,23 @@ object LlmEntry {
       // appearing in every doc of a 100-TB crawl still contributes ONE
       // bounded row, not a corpus-sized array.
       //
-      // Plan: one corpus-wide (term, doc) tf shuffle — the same
-      // unavoidable exchange q84/q106 pay, since exact df needs every
-      // posting — then the rank window and the final agg both run on
-      // that same term partitioning, so Catalyst plans ZERO further
-      // exchanges. The rank → CASE-inside-agg trick (instead of
-      // filter(rk<=k) + re-join for df) is what keeps it single-pass:
-      // collect_list skips the NULLs the CASE leaves on rank > k, and
-      // array_sort on the (rk, rendered) struct pins the emission order
-      // that collect_list alone would leave partition-dependent.
+      // Plan: two exchanges, DELIBERATELY. A repartition(term) before
+      // the tf aggregate would cut this to one (term alone satisfies
+      // every downstream distribution requirement) — measured, it does —
+      // but that single exchange moves RAW tokens hashed only by term,
+      // so a stopword's entire token stream (Σ tf ≈ 50·|docs| rows for
+      // "the" on web text) lands on ONE reducer: a guaranteed straggler
+      // at 100 TB. The default plan instead shuffles (term, doc)
+      // map-side partials first — hot terms spread across their docs,
+      // volume compressed to tf rows — and only then re-shuffles the
+      // one-row-per-(term, doc) tf table on term for the window, where
+      // per-term skew is bounded by |docs| and inherent to building a
+      // per-term result at all. The rank → CASE-inside-agg trick
+      // (instead of filter(rk<=k) + re-join for df) keeps the window
+      // output single-pass: collect_list skips the NULLs the CASE
+      // leaves on rank > k, and array_sort on the (rk, rendered) struct
+      // pins the emission order that collect_list alone would leave
+      // partition-dependent.
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(expr(tokensSpark("text"))).as("term"))
