@@ -207,6 +207,34 @@ class EdgeCaseSpec extends SparkTestBase {
       r.getAs[Long]("doc_id") == 10L), rows.mkString("\n"))
   }
 
+  test("editPairs: empty input, identical-only names, and the empty string") {
+    import graft.operators.DedupOps
+    // empty relation → empty result, no job failure
+    val none = Seq.empty[(Long, String)].toDF("id", "nm")
+    assert(DedupOps.editPairs(none, "id", "nm").collect().isEmpty)
+    // a name duplicated many times is lev-0, exact-dedup's job — NO pair
+    val dup = Seq((1L, "abc"), (2L, "abc"), (3L, "abc")).toDF("id", "nm")
+    assert(DedupOps.editPairs(dup, "id", "nm").collect().isEmpty)
+    // "" pairs with every single-char name (one insertion), with min ids
+    val mixed = Seq((5L, ""), (6L, "a"), (7L, "a"), (8L, "xy")).toDF("id", "nm")
+    val got = DedupOps.editPairs(mixed, "id", "nm").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == Set((5L, "", 6L, "a")), got.toString)
+  }
+
+  test("integerPageRank: empty graph is empty; a self-loop is the exact fixed point") {
+    import graft.operators.GraphOps
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.integerPageRank(none, 3, 1000000L).collect().isEmpty)
+    // single node with a self-loop: deg 1, pr' = 0.15·scale + 0.85·pr —
+    // pr₀ = scale IS the fixed point, so every horizon returns scale
+    // exactly (integer arithmetic included: 150000 + 850000 = 1000000)
+    val loop = Seq((7L, 7L)).toDF("src", "dst")
+    val got = GraphOps.integerPageRank(loop, 3, 1000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((7L, 1000000L)), got.toString)
+  }
+
   test("dsir on degenerate docs: weights defined; empty target degrades, not crashes") {
     val (df, release) = LlmEntry.dsirPlanOn(tinyCorpus)
     val rows = df.collect()
