@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
   *    threshold (plant zone < 20030, probe/plant selectors < 10000), so
   *    the planted eval sets stay fixed-size as the corpus grows — the
   *    realistic shape: eval suites don't grow with the crawl.
+  *  - customer/orders/lineitem/events replicate with strided keys (and
+  *    ciphered names) for the relational/event family members — see
+  *    scaledCustomer's doc for the per-table structure argument.
   */
 object ScaleBench {
   /** Queries of the dedup/ANN family named by VERDICT r08 §next-5, plus
@@ -50,7 +53,20 @@ object ScaleBench {
     * probe-term-pruned df count grow; the retrieval-at-scale shape) and
     * q107 (DSIR — one (doc, bucket) shuffle; distributions and llr live
     * on ≤ DsirBuckets rows regardless of m, so only the feature
-    * extraction should scale).
+    * extraction should scale), then the round's relational/event
+    * operators, which need the keyed tables replicated too (see
+    * scaledCustomer/Orders/Lineitem/Events): q108 (fuzzy join — the
+    * explode ×(len+1) deletion band; within-replica edit pairs are
+    * preserved exactly because a bijective character substitution is a
+    * Levenshtein isometry, while ciphered digits keep replicas ≥ many
+    * edits apart), q109 (PageRank — m disjoint copies of the trade
+    * graph: the realistic shape, a crawl graph grows in nodes, not
+    * density; per-iteration join volume ×m), q110 (inverted index —
+    * corpus-wide (term, doc) tf shuffle with an m× vocabulary),
+    * q111 (linkage — the q108 band plus dimension-sized weight
+    * broadcasts that stay dimension-sized) and q112 (sketch re-agg —
+    * the stream grows m×, the per-(type, day) HLL state does NOT; the
+    * in-plan 5% assert must keep holding as exact counts grow).
     */
   private[graft] val Family = Seq(
     "q33_dedup_exact", "q34_minhash_buckets", "q35_minhash_pairs",
@@ -60,7 +76,9 @@ object ScaleBench {
     "q89_bloom_screen", "q90_incremental_dedup",
     "q95_semantic_dedup", "q96_span_dedup", "q97_ann_recall",
     "q98_budget_select", "q100_heavy_hitters", "q101_surprisal",
-    "q106_bm25", "q107_dsir_weights")
+    "q106_bm25", "q107_dsir_weights", "q108_fuzzy_join",
+    "q109_pagerank", "q110_inverted_index", "q111_record_linkage",
+    "q112_sketch_reagg")
 
   private[graft] val IdStride = 1000000L
 
@@ -70,7 +88,7 @@ object ScaleBench {
     * base dir) so a stale cache rebuilds instead of silently serving
     * wrong-scale data.
     */
-  private[graft] val GenVersion = 2
+  private[graft] val GenVersion = 3
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
@@ -124,9 +142,60 @@ object ScaleBench {
         vec.as("embedding"), col("label"))
     }.reduce(_ unionAll _)
 
-  /** Builds the ×m corpus dir: scaled documents + embeddings parquet,
-    * symlinks for every other base table (the family only reads the two
-    * corpora; links keep any stray read working).
+  /** Keyed-table replication for the relational/event family members
+    * (q108/q109/q111/q112). Same invariant as the corpora: replication
+    * must grow the input WITHOUT changing its per-replica structure.
+    *  - customer: c_custkey strides; c_name goes through the replica
+    *    cipher. A bijective character substitution preserves Levenshtein
+    *    distance exactly, so every within-replica edit pair survives
+    *    verbatim (q108's result is exactly m× the base pairs), while
+    *    cross-replica names differ at every rotated digit — far beyond
+    *    the d=1 band. Attribute columns stay: q111's w(v) =
+    *    floor(log2(N/cnt(v))) is scale-free (both N and cnt grow m×).
+    *  - orders/lineitem: order/cust/supp keys stride together, so each
+    *    replica is a disjoint, structure-identical copy of the trade
+    *    graph — q109 then ranks m independent components, the realistic
+    *    crawl-graph growth shape (more nodes, same local density).
+    *  - events: event_id/user_id stride; ts and event_type stay, so the
+    *    per-(type, day) partitioning is unchanged while each day's
+    *    stream and distinct-user count grow m× — exactly the scenario
+    *    where fixed-size mergeable sketch state (q112) earns its keep.
+    */
+  private[graft] def scaledCustomer(base: DataFrame, m: Int): DataFrame =
+    (0 until m).map { r =>
+      base.select((col("c_custkey") + lit(r * IdStride)).as("c_custkey"),
+        cipher(col("c_name"), r).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }.reduce(_ unionAll _)
+
+  private[graft] def scaledOrders(base: DataFrame, m: Int): DataFrame =
+    (0 until m).map { r =>
+      base.select((col("o_orderkey") + lit(r * IdStride)).as("o_orderkey"),
+        (col("o_custkey") + lit(r * IdStride)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionAll _)
+
+  private[graft] def scaledLineitem(base: DataFrame, m: Int): DataFrame =
+    (0 until m).map { r =>
+      base.select((col("l_orderkey") + lit(r * IdStride)).as("l_orderkey"),
+        col("l_partkey"),
+        (col("l_suppkey") + lit(r * IdStride)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }.reduce(_ unionAll _)
+
+  private[graft] def scaledEvents(base: DataFrame, m: Int): DataFrame =
+    (0 until m).map { r =>
+      base.select((col("event_id") + lit(r * IdStride)).as("event_id"),
+        col("ts"), (col("user_id") + lit(r * IdStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+
+  /** Builds the ×m corpus dir: scaled documents + embeddings +
+    * customer/orders/lineitem/events parquet, symlinks for every other
+    * base table (links keep any stray read working).
     */
   private[graft] def buildDir(spark: SparkSession, baseDir: String, m: Int,
                               out: String): Unit = {
@@ -164,6 +233,16 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     scaledEmbeddings(emb, m, dim).repartition(math.max(4, m / 2))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val keyed = Seq[(String, DataFrame => DataFrame)](
+      "customer" -> (scaledCustomer(_, m)),
+      "orders" -> (scaledOrders(_, m)),
+      "lineitem" -> (scaledLineitem(_, m)),
+      "events" -> (scaledEvents(_, m)))
+    keyed.foreach { case (name, gen) =>
+      val base = spark.read.parquet(s"$baseDir/$name.parquet")
+      gen(base).repartition(math.max(4, m / 2))
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
     Using.resource(Files.list(Paths.get(baseDir))) { ls =>
       ls.forEach { p =>
         val name = p.getFileName.toString
