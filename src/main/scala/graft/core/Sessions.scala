@@ -14,8 +14,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // testdata events.ts is TIMESTAMP(NANOS) — Spark 4 reads it only as
-      // a Long; Tables.events converts back to TimestampType.
+      // events.ts has shipped as TIMESTAMP(NANOS) (older testdata — Spark
+      // 4 reads it only as a Long under this flag) and as timestamp[us]
+      // NTZ (current testdata). The flag keeps the nanos shape readable;
+      // Tables.normalizeTs converts BOTH shapes to session-zoned
+      // TimestampType, and SourceFormatsSpec exercises both.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native function registration (cosine_sim, …)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

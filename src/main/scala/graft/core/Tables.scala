@@ -31,15 +31,26 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+  /** The testdata has shipped `events.ts` in two physical shapes across
+    * rounds: TIMESTAMP(NANOS) parquet — which Spark only reads as a
     * nanos-since-epoch Long (`spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set by [[graft.core.Sessions]]). Normalize to TimestampType (micro
-    * precision — truncation below 1µs is irrelevant to every query here).
+    * set by [[graft.core.Sessions]]) — and plain `timestamp[us]` with
+    * isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ. Both
+    * normalize HERE, once, to session-zoned TimestampType so every
+    * downstream operator sees one type: `unix_micros` and friends reject
+    * NTZ input outright (DATATYPE_MISMATCH analysis error — the round-11
+    * regression that broke 7 queries), and the session timezone is pinned
+    * UTC so the NTZ→LTZ cast is value-preserving. Nanos→micros truncation
+    * is irrelevant to every query here.
     */
   private def normalizeTs(df: DataFrame, c: String): DataFrame =
-    if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
-    else df
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -79,12 +90,19 @@ object Tables {
       val pred = if (closed) col("ts").between(lo, hi)
                  else col("ts") >= lo && col("ts") < hi
       normalizeTs(raw.filter(pred), "ts")
-    } else { // native TimestampType scan: plain comparison pushes already
+    } else {
+      // native timestamp scan (LTZ or NTZ): compare against literals cast
+      // to the COLUMN's own type, so the predicate stays a plain
+      // column-vs-literal comparison and lands in PushedFilters — casting
+      // the column instead would wrap it and forfeit row-group pruning.
+      // Session tz is UTC, so the same string denotes the same instant in
+      // both types. Normalize AFTER the filter (NTZ → LTZ, see above).
       import org.apache.spark.sql.functions.lit
-      val (lo, hi) = (lit(r.lo).cast("timestamp"), lit(r.hi).cast("timestamp"))
+      val dt = raw.schema("ts").dataType
+      val (lo, hi) = (lit(r.lo).cast(dt), lit(r.hi).cast(dt))
       val pred = if (closed) col("ts").between(lo, hi)
                  else col("ts") >= lo && col("ts") < hi
-      raw.filter(pred)
+      normalizeTs(raw.filter(pred), "ts")
     }
   }
 

@@ -83,7 +83,11 @@ object TemporalOps {
   def neighborCounts(events: DataFrame, id: String, ts: String,
                      windowSec: Long): DataFrame = {
     val win = windowSec * 1000000L // micros
-    val base = events.select(col(id), unix_micros(col(ts)).as("_us"))
+    // cast before unix_micros: a caller-supplied TIMESTAMP_NTZ column
+    // fails analysis otherwise (session tz UTC ⇒ value-preserving; on an
+    // LTZ column the cast is a no-op Catalyst removes)
+    val base = events.select(col(id),
+      unix_micros(col(ts).cast("timestamp")).as("_us"))
     val bkt = floor(col("_us") / win)
     val lhs = base.select(col(id), col("_us"),
       explode(array(bkt - 1, bkt, bkt + 1)).as("_b"))
@@ -105,7 +109,8 @@ object TemporalOps {
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_prev", lag(col(ts), 1).over(order))
       .withColumn("_new", when(col("_prev").isNull ||
-        unix_micros(col(ts)) - unix_micros(col("_prev")) > gapSec * 1000000L,
+        unix_micros(col(ts).cast("timestamp")) -
+          unix_micros(col("_prev").cast("timestamp")) > gapSec * 1000000L,
         1L).otherwise(0L))
       .withColumn("session_id", sum(col("_new")).over(run))
       .drop("_prev", "_new")

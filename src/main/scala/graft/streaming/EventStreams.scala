@@ -37,8 +37,17 @@ object EventStreams {
         // round-trip can land 1 µs off, silently diverging from the batch
         // path (Tables.normalizeTs) and the oracle on boundary rows
         .withColumn("ts", timestamp_micros(expr("ts_nanos div 1000")))
-    else raw.withColumn("ts_nanos",
-      (unix_micros(col("ts")) * 1000L).as("ts_nanos"))
+    else
+      // timestamp[us] testdata arrives as TIMESTAMP_NTZ (Spark 4 infers
+      // NTZ from isAdjustedToUTC=false); normalize to session-zoned
+      // TimestampType FIRST exactly like Tables.normalizeTs — the session
+      // tz is UTC so the cast is value-preserving, and unix_micros
+      // rejects NTZ input outright (the round-11 analysis error that
+      // broke all five streaming queries). On an already-LTZ column the
+      // cast is a no-op Catalyst removes.
+      raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        .withColumn("ts_nanos", unix_micros(col("ts")) * 1000L)
   }
 
   /** Event-time hourly histogram with watermark — the streaming mirror of

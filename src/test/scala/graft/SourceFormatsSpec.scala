@@ -67,6 +67,71 @@ class SourceFormatsSpec extends SparkTestBase {
       s"ORC lost pushdown:\n${plan.take(600)}")
   }
 
+  test("events.ts shapes: micros-NTZ and nanos-Long both normalize to LTZ") {
+    // The testdata has shipped events.ts as TIMESTAMP(NANOS) (read as a
+    // Long under nanosAsLong) and as timestamp[us] NTZ (Spark 4 infers
+    // NTZ from isAdjustedToUTC=false). unix_micros and friends REJECT
+    // NTZ input (the round-11 analysis error that broke 7 queries), so
+    // Tables.normalizeTs must fold both shapes into session-zoned
+    // TimestampType. This pins both paths with one dataset.
+    import spark.implicits._
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val micros = Seq(
+      (1L, 1717200000000000L, 10L, "view", 1.0),
+      (2L, 1717203600000000L, 10L, "click", 2.0),
+      (3L, 1717210800000000L, 11L, "view", 3.0))
+    def dump(shapeNtz: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+      val base = micros.toDF("event_id", "us", "user_id", "event_type", "value")
+      val shaped =
+        if (shapeNtz) base.withColumn("ts",
+          timestamp_micros(col("us")).cast("timestamp_ntz"))
+        else base.withColumn("ts", col("us") * 1000L) // nanos-as-Long
+      shaped.select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val (ntzDir, longDir) = (dump(true), dump(false))
+    // the NTZ dump really is NTZ on disk — otherwise this test pins nothing
+    assert(spark.read.parquet(s"$ntzDir/events.parquet")
+      .schema("ts").dataType === TimestampNTZType)
+    val (evN, evL) = (Tables.events(spark, ntzDir), Tables.events(spark, longDir))
+    for (ev <- Seq(evN, evL))
+      assert(ev.schema("ts").dataType === TimestampType)
+    def us(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select(col("event_id"), unix_micros(col("ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(us(evN) === us(evL) && us(evN).map(_._2) === micros.map(_._2))
+    // the operators ADVICE r11 flagged must analyze on a RAW NTZ frame too
+    val rawNtz = spark.read.parquet(s"$ntzDir/events.parquet")
+    val sess = graft.operators.TemporalOps.sessionize(
+      rawNtz, "user_id", "ts", "event_id", gapSec = 1800)
+    // user 10's two events are 3600s apart > 1800s gap ⇒ sessions 1,2;
+    // user 11's single event ⇒ session 1
+    assert(sess.select("session_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 1L, 2L))
+    ()
+  }
+
+  test("eventsRange pushes the time predicate on the NTZ shape") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsp").toString
+    Seq((1L, 1717200000000000L), (2L, 1717286400000000L))
+      .toDF("event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+      .select("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ranged = Tables.eventsRange(spark, dir,
+      graft.core.TimeRange("2024-06-01 00:00:00", "2024-06-01 23:59:59"))
+    assert(ranged.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(ranged.select("event_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts")
+      && plan.contains("LessThanOrEqual(ts"),
+      s"NTZ time predicate lost pushdown:\n${plan.take(800)}")
+  }
+
   test("parquet schema evolution: mergeSchema unifies, old rows read NULL") {
     // A 100-TB lake is written over years — columns get added. The
     // contract a pipeline relies on: mergeSchema reconciles the footer
