@@ -265,6 +265,13 @@ object Bench {
     println(compactJson(results, errors.size, total, sfDir, runs, setupSec,
       canary, retries))
     System.out.flush()
+    // A session with ANY erroring query must not exit 0 — round 11
+    // published rc:0 beside errors:7, so anything gating on exit status
+    // (CI, a bench loop) read a broken run as green (ADVICE r11). Exit
+    // AFTER both artifacts are written and stdout is flushed: the forked
+    // runner's extra "[error] Nonzero exit code" noise lands after the
+    // compact line and is budgeted for in compactJson's maxLen.
+    if (errors.nonEmpty) sys.exit(1)
   }
 
   /** Near-empty bounded stream through the full streaming machinery —
@@ -363,7 +370,10 @@ object Bench {
                                  canary: Seq[Double] = Nil,
                                  retries: Map[String, Retry] = Map.empty)
       : String = {
-    val maxLen = 1920
+    // 2000-char driver tail, minus ~70 chars of sbt `[success]` noise on
+    // a clean run or ~150 chars of `[error] Nonzero exit code` noise when
+    // main() exits 1 on erroring queries — budget for the louder case
+    val maxLen = 1800
     def ms(v: Double): Long = Math.round(v * 1000)
     val qs = results.map { case (k, ts) =>
       val m = if (ts.isEmpty) -1L else ms(median(ts))

@@ -33,6 +33,25 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }
 
+  /** Error MARKER result for a query that raised: a one-row frame whose
+    * single `_graft_error` column can never match any oracle's schema, so
+    * the driver's compare records a visible per-query FAILURE in its
+    * slot. Without this, a query that raises leaves NO output directory
+    * and the round artifact silently OMITS it — round 11 read as
+    * all-green while 7 queries were broken (ADVICE r11). Marker write
+    * errors are swallowed: the caller's stderr line already tells the
+    * story, and a broken slot (no files) still fails the driver compare
+    * loudly.
+    */
+  private[graft] def writeErrorMarker(spark: SparkSession, outDir: String,
+                                      name: String, e: Throwable): Unit =
+    try {
+      import spark.implicits._
+      Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+        .toDF("_graft_error").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+    } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,12 +59,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.keys.foreach { name =>
       try dumpQuery(spark, sfDir, outDir, name)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        writeErrorMarker(spark, outDir, name, e)
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.sorted.mkString(", "))
     Verify.writeOracleJson(outDir, SparkEntry.queries.keys)
     spark.stop()
   }

@@ -24,7 +24,7 @@ class BenchEncodeSpec extends SparkTestBase {
     val line = Bench.compactJson(fakeResults(120), nErrors = 0,
       total = 1234.5678, sfDir = "/root/testdata/sf0.1", runs = 3,
       setupSec = 0.85)
-    assert(line.length <= 1920, s"compact bench line too long: ${line.length}")
+    assert(line.length <= 1800, s"compact bench line too long: ${line.length}")
     assert(!line.contains('\n'))
     // degradation must keep the medians and (if anything beyond them
     // fits) the spread — dmin is the first casualty
@@ -36,7 +36,7 @@ class BenchEncodeSpec extends SparkTestBase {
     val line = Bench.compactJson(fakeResults(120), nErrors = 0,
       total = 1234.5678, sfDir = "/root/testdata/sf0.1", runs = 3,
       setupSec = 0.85, canary = can)
-    assert(line.length <= 1920, s"compact bench line too long: ${line.length}")
+    assert(line.length <= 1800, s"compact bench line too long: ${line.length}")
     assert(line.contains(""""can":[219,442,167,325],"""))
     // and the full-precision twin names the arrays
     val full = Bench.fullJson(fakeResults(2), Nil, 1.0, "/x", 3, 0.1, can)
@@ -48,13 +48,15 @@ class BenchEncodeSpec extends SparkTestBase {
       .map(n => (n, Seq(3.141, 3.102, 3.188)))
     val line = Bench.compactJson(names, nErrors = 2, total = 99.999,
       sfDir = "/root/testdata/sf0.1", runs = 3, setupSec = 0.85)
-    // 1920 is the real contract: the driver's 2000-char tail minus
-    // sbt's ~80-char `[success] Total time ...` trailer. At 103 queries
+    // 1800 is the real contract: the driver's 2000-char tail minus
+    // sbt's trailer — ~80 chars of `[success] Total time ...` on a clean
+    // run, ~150 chars of `[error] Nonzero exit code ...` now that main()
+    // exits 1 when any query errors. At 103 queries
     // the full median+dmin+spread triple outgrew it (r10), so the
     // designed ladder drops dmin from the TAIL LINE first — medians and
     // the spread (the noise envelope BenchDiff needs) must survive, and
     // dmin keeps full fidelity in bench_result.json (fullJson below).
-    assert(line.length <= 1920, s"compact bench line too long: ${line.length}")
+    assert(line.length <= 1800, s"compact bench line too long: ${line.length}")
     assert(line.contains(""""queries":{"""), line.takeRight(200))
     assert(line.contains(""""spread":["""), line.takeRight(200))
     // enc must describe the degraded line, not the full triple
@@ -149,7 +151,7 @@ class BenchEncodeSpec extends SparkTestBase {
       total = 1234.5678, sfDir = "/root/testdata/sf0.1", runs = 3,
       setupSec = 0.85, canary = Seq(0.219, 0.442, 0.167, 0.325),
       retries = retries)
-    assert(line.length <= 1920, s"compact bench line too long: ${line.length}")
+    assert(line.length <= 1800, s"compact bench line too long: ${line.length}")
     assert(line.contains(""""rt":240,"cont":120,"""))
   }
 

@@ -41,4 +41,18 @@ class ContractSpec extends SparkTestBase {
       assert(k.matches("q\\d{2,}_[a-z0-9_]+"), s"bad query name: $k")
     }
   }
+
+  test("Verify writes an error marker a failing query's slot can't hide in") {
+    // A query that raises must leave a VISIBLE failure in its output
+    // slot, not an absent directory the driver's compare silently skips
+    // (round 11 read all-green with 7 broken queries). The marker's
+    // single `_graft_error` column can never match an oracle schema.
+    val out = java.nio.file.Files.createTempDirectory("graft_vfail").toString
+    Verify.writeErrorMarker(spark, out, "q00_boom",
+      new RuntimeException("DATATYPE_MISMATCH: something broke"))
+    val marker = spark.read.parquet(s"$out/q00_boom")
+    assert(marker.columns.toSeq === Seq("_graft_error"))
+    val msg = marker.collect().map(_.getString(0))
+    assert(msg.length === 1 && msg.head.contains("DATATYPE_MISMATCH"))
+  }
 }
