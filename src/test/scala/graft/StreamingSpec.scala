@@ -94,14 +94,18 @@ class StreamingSpec extends SparkTestBase {
       val ev = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$root/events.[p]arquet")
-        .withColumn("ts_nanos", col("ts"))
+        // ts is a timestamp (NTZ in the current testdata shape) — derive
+        // the Long nanos column the way eventStream does, NOT by renaming
+        .withColumn("ts_nanos",
+          unix_micros(col("ts").cast("timestamp")) * 1000L)
       EventStreams.sessionize(ss, ev, H).toDF()
     }, "upd_multi", OutputMode.Update(), updateKeys = Seq("user_id"))
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ns"))
     val want = spark.read.parquet(tbl.toString)
-      .select(col("user_id"), col("ts").as("ns"))
+      .select(col("user_id"),
+        (unix_micros(col("ts").cast("timestamp")) * 1000L).as("ns"))
       .withColumn("prev", lag(col("ns"), 1).over(w))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
