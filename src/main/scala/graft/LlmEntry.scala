@@ -50,6 +50,29 @@ object LlmEntry {
   private val DsirTopK = 20       // q107 selected docs reported
   private val DsirTarget = "src0" // q107 target-distribution exemplar source
   private val PostingsK = 8       // q110 impact-ordered postings kept per term
+  private val CapPerSource = 10L  // q113 per-source (domain) document cap
+  private val PmiMinCount = 2L    // q114 minimum bigram support
+  private val PmiTopK = 30        // q114 collocations reported
+  private val DecontamQuant = 1000L // q115 integer grid step (overflow budget
+                                  //   in the q115 comment caps it at ~1e3)
+  private val DecontamTauNum = 19L // q115 cosine threshold τ = 19/20 = 0.95,
+  private val DecontamTauDen = 20L //   kept rational: the hit test squares it
+  private val DecontamEvalN = 20L // q115 planted eval probes: vec_id < N
+  private val DecontamEvalOffset = 20000L
+  private val CmsWidth = 256L     // q117 count-min width (over ≤ εN, ε≈e/W)
+  private val CmsA = Seq(31L, 131L, 313L, 821L) // q117 row-hash multipliers
+  private val CmsB = Seq(7L, 101L, 271L, 631L)  // q117 row-hash offsets
+  /** q117 probe watchlist: the stopword + language-marker lexicons —
+    * deterministic, includes tokens absent from the corpus (a CMS
+    * answers those with its overcount, the behavior worth pinning).
+    */
+  private def cmsProbes: Seq[String] =
+    (TextOps.Stopwords ++ TextOps.LangMarkers.flatMap(_._2)).distinct
+  /** Whole bits of a positive BIGINT: length(bin(x)) = floor(log2 x)+1 —
+    * the q101/q106/q107 integer-log family, shared by q114/q116.
+    */
+  private def bitsSpark(x: String) = s"CAST(length(bin($x)) AS BIGINT)"
+  private def bitsDuck(x: String)  = s"CAST(length(format('{:b}', $x)) AS BIGINT)"
   private val SampleK = 20        // exact-k per-group sample size
   private val IvfCentroidLo = 100 // deterministic coarse centroids
   private val IvfCentroidHi = 107
@@ -1210,6 +1233,167 @@ object LlmEntry {
               x => x.getField("p")),
             ",").as("postings"))
     }),
+
+    // ---- per-source document caps (domain anti-domination) --------------
+    "q113_source_cap" -> ((s, d) => {
+      // The C4/RefinedWeb-style domain cap: no source may contribute more
+      // than CapPerSource documents; keepers are chosen by a
+      // DETERMINISTIC quality order (distinct-token count desc, doc_id
+      // tiebreak) so reruns and the oracle agree row-for-row. rank ≤ k
+      // over a partitioned window compiles to WindowGroupLimit: each
+      // task keeps a k-row heap per source, so a skew source (one domain
+      // = half the crawl — the case the cap exists FOR) costs k rows of
+      // state, never a full per-source sort.
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        expr(s"CAST(size(array_distinct(${tokensSpark("text")})) AS BIGINT)")
+          .as("n_uniq"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_uniq").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= CapPerSource)
+    }),
+
+    // ---- bigram PMI collocation mining ----------------------------------
+    "q114_pmi_bigrams" -> ((s, d) => {
+      // Adjacent-bigram pointwise mutual information — the standard
+      // collocation detector a curation pipeline runs to find glued
+      // phrases ("new york") worth treating as units. Made bit-exact the
+      // q101/q106 way: PMI in WHOLE BITS, bits(c_ab)+bits(N) −
+      // bits(c_a)−bits(c_b) ≈ floor-log2 of (c_ab·N)/(c_a·c_b) with NO
+      // product ever formed — at 100-TB counts c_a·c_b overflows BIGINT,
+      // the per-term bit lengths never do. Marginals are aggregated from
+      // the COMPRESSED bigram table (≤ |vocab|² rows, web-real ~1e9),
+      // not by re-scanning the token stream; N is one scalar broadcast.
+      val tk = Tables.documents(s, d)
+        .select(expr(tokensSpark("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val big = tk.select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> named_struct(" +
+          "'a', element_at(tk, i), 'b', element_at(tk, i + 1)))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val cab = big.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+      val cb = cab.groupBy(col("b")).agg(sum(col("c_ab")).as("c_b"))
+      val n = cab.agg(sum(col("c_ab")).as("n_big"))
+      val out = cab.filter(col("c_ab") >= PmiMinCount)
+        .join(ca, "a").join(cb, "b").crossJoin(broadcast(n))
+        .withColumn("pmi_bits", expr(
+          s"(${bitsSpark("c_ab")} + ${bitsSpark("n_big")})" +
+            s" - (${bitsSpark("c_a")} + ${bitsSpark("c_b")})"))
+        .orderBy(col("pmi_bits").desc, col("c_ab").desc, col("a"), col("b"))
+        .limit(PmiTopK)
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+          col("pmi_bits"))
+      core.Materialize.detached(out) { cab.unpersist(blocking = false) }
+    }),
+
+    // ---- embedding-space decontamination --------------------------------
+    "q115_semantic_decontam" -> ((s, d) => {
+      // Semantic (embedding-cosine) eval-set decontamination — the
+      // companion of the n-gram decontam q61/q89 for paraphrased leaks
+      // an exact-substring screen can't see. Cost model: the eval suite
+      // is small (thousands of probes) → BROADCAST it; the corpus side
+      // is one narrow scan, no shuffle at all before the ≤|corpus|-row
+      // hit aggregate. The hit test is ALL-INTEGER: coordinates quantize
+      // to a 1/Q grid (floor, so both engines agree bit-for-bit), and
+      // cos ≥ τ with τ = 19/20 becomes dot > 0 ∧ Den²·dot² ≥
+      // Num²·|c|²·|p|² — no IEEE op survives quantization. Overflow
+      // budget at Q=1000, dim 64, coords |x| ≤ ~0.53: dot ≤ 1.8e7,
+      // Den²·dot² ≤ 1.3e17 < 2^63; n2·pn2·Num² ≤ 2.9e16. Probes are
+      // planted as half-scaled copies of vec_id < DecontamEvalN (the q40
+      // convention): cosine ≈ 1 survives quantization, so the screen
+      // must flag exactly those originals.
+      val dv = Tables.embeddings(s, d).select(col("vec_id"),
+        expr(SimilarityOps.toDoubleSpark("embedding")).as("v"))
+      def quant(e: String) =
+        s"transform($e, x -> CAST(floor(x * $DecontamQuant) AS BIGINT))"
+      def sq(c: String) =
+        s"aggregate(transform($c, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      val corpus = dv.select(col("vec_id"), expr(quant("v")).as("q"))
+        .withColumn("n2", expr(sq("q")))
+      val probes = dv.filter(col("vec_id") < DecontamEvalN)
+        .select((col("vec_id") + DecontamEvalOffset).as("probe_id"),
+          expr(quant("transform(v, x -> x * 0.5)")).as("pq"))
+        .withColumn("pn2", expr(sq("pq")))
+      corpus.crossJoin(broadcast(probes))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(q, pq, (x, y) -> x * y), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .filter(col("dot") > 0 &&
+          col("dot") * col("dot") * lit(DecontamTauDen * DecontamTauDen) >=
+            col("n2") * col("pn2") * lit(DecontamTauNum * DecontamTauNum))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_hits"))
+    }),
+
+    // ---- token-frequency spectrum (Zipf profile) ------------------------
+    "q116_freq_spectrum" -> ((s, d) =>
+      // The corpus frequency spectrum (quantitative-linguistics form of
+      // the Zipf profile): how many token TYPES occur at each count
+      // magnitude, bucketed by whole bits of the count. Chosen over the
+      // rank-axis profile deliberately: rank needs a global total order
+      // (single-partition window at 100 TB), while the spectrum is two
+      // cascaded aggregates — token (vocabulary-wide shuffle, same cost
+      // class as q29) then bits(cnt) (≤ ~40 groups) — with no sort
+      // anywhere. All integers, bit-exact.
+      Tables.documents(s, d)
+        .select(explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(expr(bitsSpark("cnt")).as("freq_bucket"))
+        .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_tokens"),
+          min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"))),
+
+    // ---- count-min sketch as relational state ---------------------------
+    "q117_cms_reagg" -> ((s, d) => {
+      // Count-min sketch built, persisted, and RE-AGGREGATED relationally
+      // (the q112 pattern for counts instead of distincts): a CMS is a
+      // D×W counter matrix, which in relational form is ≤ D·W
+      // (depth, pos, cnt) rows — so per-source partial sketches are a
+      // groupBy with a CAPACITY-BOUNDED key space (|sources|·D·W cells,
+      // independent of vocabulary!), and merging partials into the
+      // corpus sketch ≡ SUM by cell, exact by associativity. That is the
+      // whole scale story: unlike q29's vocabulary-sized shuffle, the
+      // sketch build's shuffle key space is fixed at D·W per source, and
+      // map-side combine compresses the token stream into ≤ D·W partial
+      // rows per task. Point queries join the broadcast probe watchlist
+      // against the merged cells: est = min over D rows. The CMS
+      // one-sided guarantee (est ≥ true, over ≤ εN w.h.p.) is ENFORCED
+      // in-plan via assert_true, q100-style; true counts for the ≤|probe|
+      // tokens come from a broadcast-semi-join rescan, never a full
+      // vocabulary aggregate. Probes include tokens ABSENT from the
+      // corpus — a CMS answers those with pure overcount, pinned here.
+      val P = TextOps.HashMod
+      def stackExpr = s"stack(4, " + (0 until 4).map(i =>
+        s"CAST($i AS BIGINT), ((h * ${CmsA(i)} + ${CmsB(i)}) % $P) % $CmsWidth")
+        .mkString(", ") + ") AS (depth, pos)"
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(expr(tokensSpark("text"))).as("tok"))
+      val cells = toks
+        .withColumn("h", expr(TextOps.rollingHashSpark("tok")))
+        .selectExpr("source", stackExpr)
+        .groupBy(col("source"), col("depth"), col("pos"))
+        .agg(count(lit(1)).as("cnt"))           // per-source partial sketch
+      val merged = cells.groupBy(col("depth"), col("pos"))
+        .agg(sum(col("cnt")).as("cnt"))         // sketch of the union
+      val probeToks = s.range(1).select(
+        explode(array(cmsProbes.map(lit): _*)).as("tok"))
+      val probeCells = probeToks
+        .withColumn("h", expr(TextOps.rollingHashSpark("tok")))
+        .selectExpr("tok", stackExpr)
+      val est = probeCells.join(merged, Seq("depth", "pos"), "left")
+        .groupBy(col("tok"))
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+      val truth = toks.join(broadcast(probeToks.select(col("tok"))), "tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      est.join(truth.withColumnRenamed("cnt", "true_cnt"), Seq("tok"), "left")
+        .withColumn("true_cnt", coalesce(col("true_cnt"), lit(0L)))
+        .where(isnull(expr(
+          "assert_true(est_cnt >= true_cnt, 'CMS one-sided bound violated')")))
+        .select(col("tok"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).as("overcount"))
+    }),
   )
 
   /** q106 plan builder, un-detached so PlanAuditSpec can assert the
@@ -2319,5 +2503,123 @@ object LlmEntry {
          |               THEN doc_id || ':' || tf END, ',' ORDER BY rk)
          |    AS postings
          |FROM ranked GROUP BY term""".stripMargin,
+
+    // q113 mirror: identical deterministic order (n_uniq desc, doc_id)
+    "q113_source_cap" ->
+      s"""SELECT doc_id, source, n_uniq, rk FROM (
+         |  SELECT doc_id, source, n_uniq,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY n_uniq DESC, doc_id) AS BIGINT) AS rk
+         |  FROM (SELECT doc_id, source,
+         |          CAST(len(list_distinct(${tokensDuck("text")})) AS BIGINT)
+         |            AS n_uniq
+         |        FROM documents))
+         |WHERE rk <= $CapPerSource""".stripMargin,
+
+    // q114 mirror: 1-based tk[i] ≡ element_at, range end-exclusive ≡
+    // sequence inclusive (the q107 equivalences), whole-bit pmi via
+    // format('{:b}', …) ≡ bin
+    "q114_pmi_bigrams" ->
+      s"""WITH tk AS (
+         |  SELECT ${tokensDuck("text")} AS tk FROM documents
+         |  WHERE len(${tokensDuck("text")}) >= 2),
+         |big AS (
+         |  SELECT tk[i] AS a, tk[i + 1] AS b
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tk)),
+         |cab AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM big
+         |  GROUP BY a, b),
+         |ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+         |cb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY b),
+         |nn AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_big FROM cab)
+         |SELECT a, b, c_ab, c_a, c_b,
+         |  (${bitsDuck("c_ab")} + ${bitsDuck("n_big")})
+         |    - (${bitsDuck("c_a")} + ${bitsDuck("c_b")}) AS pmi_bits
+         |FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN nn
+         |WHERE c_ab >= $PmiMinCount
+         |ORDER BY pmi_bits DESC, c_ab DESC, a, b
+         |LIMIT $PmiTopK""".stripMargin,
+
+    // q115 mirror: identical quantization (left-assoc x * 0.5 * Q, floor
+    // → BIGINT), identical integer hit test — no IEEE op differs
+    "q115_semantic_decontam" ->
+      s"""WITH dv AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, q,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(q, x -> x * x)), (acc, x) -> acc + x) AS n2
+         |  FROM (SELECT vec_id,
+         |          list_transform(v, x -> CAST(floor(x * $DecontamQuant) AS BIGINT)) AS q
+         |        FROM dv)),
+         |probes AS (
+         |  SELECT probe_id, pq,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(pq, x -> x * x)), (acc, x) -> acc + x) AS pn2
+         |  FROM (SELECT vec_id + $DecontamEvalOffset AS probe_id,
+         |          list_transform(v, x -> CAST(floor(x * 0.5 * $DecontamQuant) AS BIGINT)) AS pq
+         |        FROM dv WHERE vec_id < $DecontamEvalN)),
+         |pairs AS (
+         |  SELECT c.vec_id,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, len(q) + 1), i -> q[i] * pq[i])),
+         |      (acc, x) -> acc + x) AS dot,
+         |    n2, pn2
+         |  FROM corpus c CROSS JOIN probes)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM pairs
+         |WHERE dot > 0 AND ${DecontamTauDen * DecontamTauDen} * dot * dot >=
+         |  ${DecontamTauNum * DecontamTauNum} * n2 * pn2
+         |GROUP BY vec_id""".stripMargin,
+
+    // q116 mirror: same two cascaded aggregates, same whole-bit bucket
+    "q116_freq_spectrum" ->
+      s"""WITH cnt AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(${tokensDuck("text")}) AS tok FROM documents)
+         |  GROUP BY tok)
+         |SELECT ${bitsDuck("cnt")} AS freq_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  min(cnt) AS min_cnt, max(cnt) AS max_cnt
+         |FROM cnt GROUP BY 1""".stripMargin,
+
+    // q117 mirror: same rolling hash, same row-hash family via 1-based
+    // array-literal indexing, same left joins + coalesce for absent keys
+    "q117_cms_reagg" -> {
+      val aArr = CmsA.mkString("[", ", ", "]")
+      val bArr = CmsB.mkString("[", ", ", "]")
+      val probeArr = cmsProbes.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH toks AS (
+         |  SELECT source, unnest(${tokensDuck("text")}) AS tok FROM documents),
+         |th AS (
+         |  SELECT source, ${TextOps.rollingHashDuck("tok")} AS h FROM toks),
+         |cells AS (
+         |  SELECT source, i AS depth,
+         |    ((h * $aArr[i + 1] + $bArr[i + 1]) % ${TextOps.HashMod})
+         |      % $CmsWidth AS pos,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source, h, unnest(range(0, 4)) AS i FROM th)
+         |  GROUP BY source, depth, pos),
+         |merged AS (
+         |  SELECT depth, pos, CAST(sum(cnt) AS BIGINT) AS cnt FROM cells
+         |  GROUP BY depth, pos),
+         |probes AS (SELECT unnest($probeArr) AS tok),
+         |ph AS (SELECT tok, ${TextOps.rollingHashDuck("tok")} AS h FROM probes),
+         |pcells AS (
+         |  SELECT tok, i AS depth,
+         |    ((h * $aArr[i + 1] + $bArr[i + 1]) % ${TextOps.HashMod})
+         |      % $CmsWidth AS pos
+         |  FROM (SELECT tok, h, unnest(range(0, 4)) AS i FROM ph)),
+         |est AS (
+         |  SELECT tok, min(coalesce(cnt, 0)) AS est_cnt
+         |  FROM pcells LEFT JOIN merged USING (depth, pos) GROUP BY tok),
+         |truth AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM toks
+         |  WHERE tok IN (SELECT tok FROM probes) GROUP BY tok)
+         |SELECT e.tok, coalesce(true_cnt, 0) AS true_cnt, est_cnt,
+         |  est_cnt - coalesce(true_cnt, 0) AS overcount
+         |FROM est e LEFT JOIN truth USING (tok)""".stripMargin
+    },
   )
 }

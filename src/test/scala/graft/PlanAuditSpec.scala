@@ -19,7 +19,11 @@ class PlanAuditSpec extends SparkTestBase {
     "q91_zorder", "q94_length_strata", "q102_temperature_mix",
     // q111: the three rarity-weight tables each cross a broadcast
     // single-row N — same scalar-by-construction shape as q84
-    "q111_record_linkage")
+    "q111_record_linkage",
+    // q114: a broadcast single-row N (bigram total); q115: the corpus ×
+    // broadcast eval-probe screen — the q38 cost model (probe set is
+    // small by construction; the corpus side never shuffles)
+    "q114_pmi_bigrams", "q115_semantic_decontam")
 
   test("every query plan: no raw cartesian, broadcast where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
