@@ -1265,29 +1265,8 @@ object LlmEntry {
       // the per-term bit lengths never do. Marginals are aggregated from
       // the COMPRESSED bigram table (≤ |vocab|² rows, web-real ~1e9),
       // not by re-scanning the token stream; N is one scalar broadcast.
-      val tk = Tables.documents(s, d)
-        .select(expr(tokensSpark("text")).as("tk"))
-        .filter(size(col("tk")) >= 2)
-      val big = tk.select(explode(expr(
-        "transform(sequence(1, size(tk) - 1), i -> named_struct(" +
-          "'a', element_at(tk, i), 'b', element_at(tk, i + 1)))")).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-      val cab = big.groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("c_ab"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
-      val cb = cab.groupBy(col("b")).agg(sum(col("c_ab")).as("c_b"))
-      val n = cab.agg(sum(col("c_ab")).as("n_big"))
-      val out = cab.filter(col("c_ab") >= PmiMinCount)
-        .join(ca, "a").join(cb, "b").crossJoin(broadcast(n))
-        .withColumn("pmi_bits", expr(
-          s"(${bitsSpark("c_ab")} + ${bitsSpark("n_big")})" +
-            s" - (${bitsSpark("c_a")} + ${bitsSpark("c_b")})"))
-        .orderBy(col("pmi_bits").desc, col("c_ab").desc, col("a"), col("b"))
-        .limit(PmiTopK)
-        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
-          col("pmi_bits"))
-      core.Materialize.detached(out) { cab.unpersist(blocking = false) }
+      val (out, release) = pmiPlanOn(Tables.documents(s, d))
+      core.Materialize.detached(out)(release())
     }),
 
     // ---- embedding-space decontamination --------------------------------
@@ -1306,26 +1285,7 @@ object LlmEntry {
       // planted as half-scaled copies of vec_id < DecontamEvalN (the q40
       // convention): cosine ≈ 1 survives quantization, so the screen
       // must flag exactly those originals.
-      val dv = Tables.embeddings(s, d).select(col("vec_id"),
-        expr(SimilarityOps.toDoubleSpark("embedding")).as("v"))
-      def quant(e: String) =
-        s"transform($e, x -> CAST(floor(x * $DecontamQuant) AS BIGINT))"
-      def sq(c: String) =
-        s"aggregate(transform($c, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-      val corpus = dv.select(col("vec_id"), expr(quant("v")).as("q"))
-        .withColumn("n2", expr(sq("q")))
-      val probes = dv.filter(col("vec_id") < DecontamEvalN)
-        .select((col("vec_id") + DecontamEvalOffset).as("probe_id"),
-          expr(quant("transform(v, x -> x * 0.5)")).as("pq"))
-        .withColumn("pn2", expr(sq("pq")))
-      corpus.crossJoin(broadcast(probes))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(q, pq, (x, y) -> x * y), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-        .filter(col("dot") > 0 &&
-          col("dot") * col("dot") * lit(DecontamTauDen * DecontamTauDen) >=
-            col("n2") * col("pn2") * lit(DecontamTauNum * DecontamTauNum))
-        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_hits"))
+      decontamPlanOn(Tables.embeddings(s, d))
     }),
 
     // ---- token-frequency spectrum (Zipf profile) ------------------------
@@ -1364,35 +1324,7 @@ object LlmEntry {
       // tokens come from a broadcast-semi-join rescan, never a full
       // vocabulary aggregate. Probes include tokens ABSENT from the
       // corpus — a CMS answers those with pure overcount, pinned here.
-      val P = TextOps.HashMod
-      def stackExpr = s"stack(4, " + (0 until 4).map(i =>
-        s"CAST($i AS BIGINT), ((h * ${CmsA(i)} + ${CmsB(i)}) % $P) % $CmsWidth")
-        .mkString(", ") + ") AS (depth, pos)"
-      val toks = Tables.documents(s, d)
-        .select(col("source"), explode(expr(tokensSpark("text"))).as("tok"))
-      val cells = toks
-        .withColumn("h", expr(TextOps.rollingHashSpark("tok")))
-        .selectExpr("source", stackExpr)
-        .groupBy(col("source"), col("depth"), col("pos"))
-        .agg(count(lit(1)).as("cnt"))           // per-source partial sketch
-      val merged = cells.groupBy(col("depth"), col("pos"))
-        .agg(sum(col("cnt")).as("cnt"))         // sketch of the union
-      val probeToks = s.range(1).select(
-        explode(array(cmsProbes.map(lit): _*)).as("tok"))
-      val probeCells = probeToks
-        .withColumn("h", expr(TextOps.rollingHashSpark("tok")))
-        .selectExpr("tok", stackExpr)
-      val est = probeCells.join(merged, Seq("depth", "pos"), "left")
-        .groupBy(col("tok"))
-        .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
-      val truth = toks.join(broadcast(probeToks.select(col("tok"))), "tok")
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      est.join(truth.withColumnRenamed("cnt", "true_cnt"), Seq("tok"), "left")
-        .withColumn("true_cnt", coalesce(col("true_cnt"), lit(0L)))
-        .where(isnull(expr(
-          "assert_true(est_cnt >= true_cnt, 'CMS one-sided bound violated')")))
-        .select(col("tok"), col("true_cnt"), col("est_cnt"),
-          (col("est_cnt") - col("true_cnt")).as("overcount"))
+      cmsPlanOn(s, Tables.documents(s, d))
     }),
   )
 
@@ -1425,6 +1357,96 @@ object LlmEntry {
     * scalar; top-k is a rank-filtered window (WindowGroupLimit trims
     * map-side).
     */
+  /** q114's plan over an explicit corpus (EdgeCaseSpec feeds degenerate
+    * docs through the same plan). Returns (plan, release-caches).
+    */
+  private[graft] def pmiPlanOn(docs: DataFrame): (DataFrame, () => Unit) = {
+    val tk = docs
+      .select(expr(tokensSpark("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val big = tk.select(explode(expr(
+      "transform(sequence(1, size(tk) - 1), i -> named_struct(" +
+        "'a', element_at(tk, i), 'b', element_at(tk, i + 1)))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = big.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val cb = cab.groupBy(col("b")).agg(sum(col("c_ab")).as("c_b"))
+    val n = cab.agg(sum(col("c_ab")).as("n_big"))
+    val out = cab.filter(col("c_ab") >= PmiMinCount)
+      .join(ca, "a").join(cb, "b").crossJoin(broadcast(n))
+      .withColumn("pmi_bits", expr(
+        s"(${bitsSpark("c_ab")} + ${bitsSpark("n_big")})" +
+          s" - (${bitsSpark("c_a")} + ${bitsSpark("c_b")})"))
+      .orderBy(col("pmi_bits").desc, col("c_ab").desc, col("a"), col("b"))
+      .limit(PmiTopK)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("pmi_bits"))
+    (out, () => cab.unpersist(blocking = false))
+  }
+
+  /** q115's plan over an explicit embeddings table (EdgeCaseSpec feeds
+    * degenerate vectors — zero vectors, exact duplicates — through it).
+    */
+  private[graft] def decontamPlanOn(embs: DataFrame): DataFrame = {
+    val dv = embs.select(col("vec_id"),
+      expr(SimilarityOps.toDoubleSpark("embedding")).as("v"))
+    def quant(e: String) =
+      s"transform($e, x -> CAST(floor(x * $DecontamQuant) AS BIGINT))"
+    def sq(c: String) =
+      s"aggregate(transform($c, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    val corpus = dv.select(col("vec_id"), expr(quant("v")).as("q"))
+      .withColumn("n2", expr(sq("q")))
+    val probes = dv.filter(col("vec_id") < DecontamEvalN)
+      .select((col("vec_id") + DecontamEvalOffset).as("probe_id"),
+        expr(quant("transform(v, x -> x * 0.5)")).as("pq"))
+      .withColumn("pn2", expr(sq("pq")))
+    corpus.crossJoin(broadcast(probes))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q, pq, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(DecontamTauDen * DecontamTauDen) >=
+          col("n2") * col("pn2") * lit(DecontamTauNum * DecontamTauNum))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** q117's plan over an explicit corpus (EdgeCaseSpec: empty corpus,
+    * absent probes). The probe watchlist stays [[cmsProbes]].
+    */
+  private[graft] def cmsPlanOn(s: SparkSession, docs: DataFrame): DataFrame = {
+    val P = TextOps.HashMod
+    def stackExpr = s"stack(4, " + (0 until 4).map(i =>
+      s"CAST($i AS BIGINT), ((h * ${CmsA(i)} + ${CmsB(i)}) % $P) % $CmsWidth")
+      .mkString(", ") + ") AS (depth, pos)"
+    val toks = docs
+      .select(col("source"), explode(expr(tokensSpark("text"))).as("tok"))
+    val cells = toks
+      .withColumn("h", expr(TextOps.rollingHashSpark("tok")))
+      .selectExpr("source", stackExpr)
+      .groupBy(col("source"), col("depth"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))           // per-source partial sketch
+    val merged = cells.groupBy(col("depth"), col("pos"))
+      .agg(sum(col("cnt")).as("cnt"))         // sketch of the union
+    val probeToks = s.range(1).select(
+      explode(array(cmsProbes.map(lit): _*)).as("tok"))
+    val probeCells = probeToks
+      .withColumn("h", expr(TextOps.rollingHashSpark("tok")))
+      .selectExpr("tok", stackExpr)
+    val est = probeCells.join(merged, Seq("depth", "pos"), "left")
+      .groupBy(col("tok"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+    val truth = toks.join(broadcast(probeToks.select(col("tok"))), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    est.join(truth.withColumnRenamed("cnt", "true_cnt"), Seq("tok"), "left")
+      .withColumn("true_cnt", coalesce(col("true_cnt"), lit(0L)))
+      .where(isnull(expr(
+        "assert_true(est_cnt >= true_cnt, 'CMS one-sided bound violated')")))
+      .select(col("tok"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+  }
+
   private[graft] def bm25Plan(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = bm25PlanOn(Tables.documents(s, d))
 

@@ -235,6 +235,70 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(got == Set((7L, 1000000L)), got.toString)
   }
 
+  test("pmi bigrams: sub-bigram docs contribute nothing; empty corpus is empty") {
+    // docs with < 2 tokens have no adjacent pair — they must not reach
+    // the bigram table (sequence(1, 0) would run DESCENDING); an empty
+    // corpus must produce an empty result, not a crash on the broadcast
+    // scalar N (sum over zero rows = NULL riding through bits())
+    val docs = Seq((0L, ""), (1L, "solo"), (2L, "x y"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val (df, release) = LlmEntry.pmiPlanOn(docs)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    release()
+    // the only bigram with support ≥ 2 is (x, y): c_ab=2, N=2,
+    // c_a=c_b=2 → pmi = bits(2)+bits(2)−bits(2)−bits(2) = 0
+    assert(rows.toList === List(("x", "y", 2L, 0L)), rows.mkString(","))
+    val (empty, release2) = LlmEntry.pmiPlanOn(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val n = empty.collect().length
+    release2()
+    assert(n === 0)
+  }
+
+  test("semantic decontam: zero vectors never flag; planted probes recall exactly") {
+    // a zero vector has n2 = 0 and dot = 0 → dot > 0 excludes it from
+    // both sides with no division anywhere (the all-integer hit test's
+    // no-NaN guarantee); a duplicated non-probe vector must flag through
+    // the probe of its twin
+    val dim = 4
+    def vec(xs: Double*) = xs.toArray.map(_.toFloat)
+    val embs = Seq(
+      (0L, vec(0.4, -0.2, 0.1, 0.3)),   // probe base (vec_id < DecontamEvalN)
+      (1L, vec(0.0, 0.0, 0.0, 0.0)),    // zero vector, also a probe base
+      (30L, vec(0.4, -0.2, 0.1, 0.3)),  // duplicate of 0 → flagged via probe 0
+      (40L, vec(-0.4, 0.2, -0.1, -0.3)) // antipode of 0 → dot < 0, never flags
+    ).toDF("vec_id", "embedding")
+    val got = LlmEntry.decontamPlanOn(embs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0 and 30 match probe 0's half-scaled copy; the zero vector (and its
+    // own zero probe) and the antipode never appear
+    assert(got === Map(0L -> 1L, 30L -> 1L), got.toString)
+  }
+
+  test("cms: one-sided bound holds on a tiny corpus; empty corpus answers 0") {
+    // present probes must satisfy est ≥ true (enforced in-plan — a
+    // violation would RAISE); absent probes answer pure overcount ≥ 0;
+    // an empty corpus answers est = true = 0 for every probe
+    val docs = Seq((0L, "s0", "the the a"), (1L, "s1", "the join"))
+      .toDF("doc_id", "source", "text")
+    val rows = LlmEntry.cmsPlanOn(spark, docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows("the") ._1 === 3L && rows("the")._2 >= 3L)
+    assert(rows("a")._1 === 1L && rows("a")._2 >= 1L)
+    assert(rows("join")._1 === 1L)
+    rows.values.foreach { case (t, e, over) =>
+      assert(e >= t && over === e - t && over >= 0L)
+    }
+    // absent tokens are present in the report with true_cnt = 0
+    assert(rows.contains("window") && rows("window")._1 === 0L)
+    val empty = LlmEntry.cmsPlanOn(spark,
+      Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(empty === Set((0L, 0L)))
+  }
+
   test("dsir on degenerate docs: weights defined; empty target degrades, not crashes") {
     val (df, release) = LlmEntry.dsirPlanOn(tinyCorpus)
     val rows = df.collect()
