@@ -67,6 +67,17 @@ object ScaleBench {
     * broadcasts that stay dimension-sized) and q112 (sketch re-agg —
     * the stream grows m×, the per-(type, day) HLL state does NOT; the
     * in-plan 5% assert must keep holding as exact counts grow).
+    * r12 adds the round's curation operators: q113 (per-source caps —
+    * WindowGroupLimit must keep per-source state at k rows while each
+    * source's doc count grows m×), q114 (bigram PMI — the cipher makes
+    * each replica's bigram vocabulary disjoint, so the compressed
+    * bigram table and both marginals really grow m×), q115 (semantic
+    * decontam — probe set fixed under the id stride, corpus scan grows;
+    * the broadcast-screen linearity claim), q116 (frequency spectrum —
+    * the vocabulary-wide first aggregate at an m× vocabulary), and q117
+    * (CMS — THE capacity-bound demonstration: cell space stays D·W per
+    * source while the true vocabulary grows m×, so the shuffle after
+    * map-side combine must stay flat as the token stream scales).
     */
   private[graft] val Family = Seq(
     "q33_dedup_exact", "q34_minhash_buckets", "q35_minhash_pairs",
@@ -78,7 +89,9 @@ object ScaleBench {
     "q98_budget_select", "q100_heavy_hitters", "q101_surprisal",
     "q106_bm25", "q107_dsir_weights", "q108_fuzzy_join",
     "q109_pagerank", "q110_inverted_index", "q111_record_linkage",
-    "q112_sketch_reagg")
+    "q112_sketch_reagg",
+    "q113_source_cap", "q114_pmi_bigrams", "q115_semantic_decontam",
+    "q116_freq_spectrum", "q117_cms_reagg")
 
   private[graft] val IdStride = 1000000L
 

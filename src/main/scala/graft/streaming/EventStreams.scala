@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming surface (SURVEY §2.9 — beyond-reference): the
   * engine's aggregation and dedup paths re-expressed over an unbounded
@@ -136,6 +136,58 @@ object EventStreams {
             Iterator.single(UserSessions(user, nEvents, sessions))
           }
       }
+  }
+
+  /** [[sessionize]] re-expressed on Spark 4's `transformWithState`
+    * StatefulProcessor API — the successor of flatMapGroupsWithState
+    * (SPARK-40434): typed composable state handles (Value/List/Map) with
+    * per-state TTL instead of one opaque blob with one timeout, timers
+    * decoupled from state, and RocksDB-only by design (the scale-grade
+    * backend is the contract, not an option). Kept BESIDE the fMGWS form
+    * deliberately: same semantics, two state APIs — StreamingSpec proves
+    * them batch-for-batch identical, which is the migration-safety
+    * property a production stream needs before switching.
+    *
+    * State here is one fixed-size triple per ACTIVE user (same bound as
+    * the fMGWS version); `TTLConfig` is where an idle-user eviction
+    * policy would go — NONE keeps parity with the fMGWS NoTimeout form.
+    */
+  final class SessionizeProcessor(gapNanos: Long)
+      extends StatefulProcessor[Long, SessionEvent, UserSessions] {
+    @transient private var st: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("sess",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+                                 tv: TimerValues): Iterator[UserSessions] = {
+      val sorted = rows.map(_.ts_nanos).toArray.sorted
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var (lastTs, sessions, nEvents) =
+          if (st.exists()) { val s = st.get(); (s.lastTs, s.sessions, s.events) }
+          else (Long.MinValue, 0L, 0L)
+        sorted.foreach { t =>
+          if (lastTs == Long.MinValue || t - lastTs > gapNanos) sessions += 1
+          lastTs = t; nEvents += 1
+        }
+        st.update(SessionState(lastTs, sessions, nEvents))
+        Iterator.single(UserSessions(user, nEvents, sessions))
+      }
+    }
+  }
+
+  /** [[sessionize]] via [[SessionizeProcessor]]. Requires the RocksDB
+    * state-store provider (transformWithState refuses the default
+    * HDFS-backed one — set it on the session before starting the query).
+    */
+  def sessionizeTws(spark: SparkSession, ev: DataFrame,
+                    gapNanos: Long): Dataset[UserSessions] = {
+    import spark.implicits._
+    ev.select(col("user_id"), col("ts_nanos"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapNanos),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Scratch root shared by every bounded run in this JVM: ONE shutdown

@@ -170,6 +170,43 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.dropTempView("sess_test")
   }
 
+  test("transformWithState sessionize matches flatMapGroupsWithState across batches") {
+    // migration-safety for the state-API successor (SPARK-40434): the
+    // StatefulProcessor form must carry identical per-user session state
+    // across micro-batch boundaries as the fMGWS form it replaces —
+    // including the cross-batch session merge (user 1's 41H event starts
+    // a NEW session because state remembered lastTs = 11H). RocksDB
+    // provider is mandatory for transformWithState — part of the API's
+    // contract, set per-session here.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[SessionEvent]
+      val sessions = EventStreams.sessionizeTws(spark,
+        input.toDF().withColumn("ts_nanos", col("ts_nanos")),
+        gapNanos = 2 * H)
+      val q = sessions.writeStream.format("memory").queryName("tws_test")
+        .outputMode(OutputMode.Update()).start()
+      // the q45 fixture verbatim: two events 1h apart, then a 30h gap +
+      // a new user in a LATER batch
+      input.addData(SessionEvent(1L, 10 * H), SessionEvent(1L, 11 * H))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, 41 * H), SessionEvent(2L, 5 * H))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("tws_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val last = out.groupBy(_._1).view.mapValues(_.last).toMap
+      // identical to the fMGWS expectations in the test above
+      assert(last(1L) == ((1L, 3L, 2L)), s"got ${last(1L)}")
+      assert(last(2L) == ((2L, 1L, 1L)), s"got ${last(2L)}")
+      spark.catalog.dropTempView("tws_test")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("bounded streaming hourly counts equal the batch aggregate") {
     assertHourlyCountsMatchBatch("hourly_test")
   }
