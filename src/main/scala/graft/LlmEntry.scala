@@ -1305,6 +1305,43 @@ object LlmEntry {
         .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_tokens"),
           min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"))),
 
+    // ---- pairwise source-overlap audit ----------------------------------
+    "q118_source_overlap" -> ((s, d) => {
+      // "Is source A a mirror of source B?" — the corpus-level audit run
+      // before merging crawls (mirror sites, re-crawled dumps, and
+      // wholesale scrapes show up as high shingle-Jaccard SOURCE pairs
+      // long before doc-level dedup runs). Shingle sets per source via
+      // the `shingle_rows` generator (streams into the distinct, no
+      // per-doc array), |A∩B| by self-join on the shingle hash —
+      // per-shingle fanout is bounded by |sources|² (a few hundred), so
+      // a stop-shingle costs a bounded pair burst, never a corpus-sized
+      // one. |A|,|B| ride a broadcast (|sources| rows). The only
+      // corpus-wide shuffle is the distinct (source, shingle) pair
+      // table — q93's cost class. One IEEE division per output row,
+      // identical sequence in the oracle.
+      val ss = Tables.documents(s, d)
+        .selectExpr("source", s"shingle_rows(text, ${DedupOps.ShingleK})")
+        .select(col("source"), col("h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val shared = ss
+        .join(ss.select(col("source").as("source_b"), col("h")), "h")
+        .filter(col("source") < col("source_b"))
+        .groupBy(col("source").as("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val out = shared
+        .join(broadcast(counts.select(col("source").as("source_a"),
+          col("n_sh").as("n_a"))), "source_a")
+        .join(broadcast(counts.select(col("source").as("source_b"),
+          col("n_sh").as("n_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          (col("n_shared").cast("double") /
+            (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+            .as("jaccard"))
+      core.Materialize.detached(out) { ss.unpersist(blocking = false) }
+    }),
+
     // ---- count-min sketch as relational state ---------------------------
     "q117_cms_reagg" -> ((s, d) => {
       // Count-min sketch built, persisted, and RE-AGGREGATED relationally
@@ -2605,6 +2642,31 @@ object LlmEntry {
          |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
          |  min(cnt) AS min_cnt, max(cnt) AS max_cnt
          |FROM cnt GROUP BY 1""".stripMargin,
+
+    // q118 mirror: same distinct (source, shingle) table (per-doc
+    // distinctness subsumed by the source-level DISTINCT), same
+    // self-join + lexicographic pair order, same single division
+    "q118_source_overlap" ->
+      s"""WITH ss AS (
+         |  SELECT DISTINCT source, sh AS h FROM (
+         |    SELECT source, unnest(${DedupOps.shingleHashesDuck("hs")}) AS sh
+         |    FROM (SELECT source, ${DedupOps.tokenHashesDuck("text")} AS hs
+         |          FROM documents))),
+         |counts AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM ss
+         |  GROUP BY source),
+         |shared AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM ss a JOIN ss b USING (h)
+         |  WHERE a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared, ca.n_sh AS n_a, cb.n_sh AS n_b,
+         |  CAST(n_shared AS DOUBLE) /
+         |    CAST(ca.n_sh + cb.n_sh - n_shared AS DOUBLE) AS jaccard
+         |FROM shared
+         |JOIN counts ca ON source_a = ca.source
+         |JOIN counts cb ON source_b = cb.source""".stripMargin,
 
     // q117 mirror: same rolling hash, same row-hash family via 1-based
     // array-literal indexing, same left joins + coalesce for absent keys
