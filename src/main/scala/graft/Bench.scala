@@ -357,10 +357,13 @@ object Bench {
     * window still exceeds the gate (both omitted on a quiet run).
     *
     * Tail budget: the driver keeps 2000 chars and sbt appends ~70 chars
-    * of `[success]` noise, so the line must stay under ~1920. Degradation
-    * order when the full triple overflows (e.g. a much larger query set):
-    * drop `dmin` first (min is the least load-bearing of the three),
-    * then `spread` — medians always survive. Error messages live in
+    * of `[success]` noise (or ~150 of exit-code noise on an erroring
+    * run), so the line must stay under 1800. Degradation order when the
+    * full triple overflows (e.g. a much larger query set): drop `dmin`
+    * first (min is the least load-bearing of the three), then the
+    * positional `spread` collapses to the SPARSE `spreadx` object (only
+    * spreads above the jitter floor — what BenchDiff actually acts on),
+    * and only past that do medians ride alone. Error messages live in
     * `bench_result.json`; only the COUNT rides here.
     */
   private[graft] def compactJson(results: Seq[(String, Seq[Double])],
@@ -410,13 +413,31 @@ object Bench {
         s""""runs":$runs,"setup":${fmt3(setupSec)},$can$rt""" +
         s""""enc":"$enc",""" +
         s""""queries":$qs,"errors":$nErrors,"sf":$sf"""
+    // sparse spread rung: only queries whose spread exceeds the jitter
+    // floor (SpreadFloorSec) carry an entry — below the floor a spread
+    // is scheduler noise, not signal (the gate itself never fires on
+    // it), so dropping it loses nothing BenchDiff acts on. BenchDiff
+    // reconstructs absent entries AT the floor (not zero), keeping the
+    // envelope conservative. This is what keeps the noise envelope in
+    // the tail window once the positional array outgrows the budget
+    // (~115 queries): typical sessions have ~10-20 above-floor spreads.
+    val floorMs = Math.round(SpreadFloorSec * 1000)
+    val spreadx = results.collect {
+      case (k, ts) if ts.nonEmpty && ms(ts.max) - ms(ts.min) > floorMs =>
+        s""""${esc(k.takeWhile(_ != '_'))}":${ms(ts.max) - ms(ts.min)}"""
+    }.mkString("{", ",", "}")
     val full = s"""${head("q:median ms;dmin:med-min;spread:max-min ms, q-order")},"dmin":$dmin,"spread":$spread}"""
     if (full.length <= maxLen) full
     else {
       val noDmin =
         s"""${head("q:median ms;spread:max-min ms, q-order")},"spread":$spread}"""
       if (noDmin.length <= maxLen) noDmin
-      else s"${head("q:median ms")}}"
+      else {
+        val sparse =
+          s"""${head(s"q:median ms;spreadx:max-min ms only >${floorMs}ms")},"spreadx":$spreadx}"""
+        if (sparse.length <= maxLen) sparse
+        else s"${head("q:median ms")}}"
+      }
     }
   }
 }

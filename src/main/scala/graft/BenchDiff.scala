@@ -101,6 +101,19 @@ object BenchDiff {
       }
       val dmin = arr("dmin")
       val spread = arr("spread")
+      // sparse rung: `spreadx` object keyed qNN, carrying only spreads
+      // above Bench's jitter floor — absent entries are reconstructed
+      // AT the floor (their true spread is anywhere in [0, floor], and
+      // assuming 0 would let two quiet fast queries read as disjoint
+      // when their real envelopes overlap)
+      val spreadx: Option[Map[String, Double]] = {
+        val sx = root.path("spreadx")
+        if (sx.isObject)
+          Some(sx.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble(0)).toMap)
+        else None
+      }
+      val floorMs = Bench.SpreadFloorSec * 1000
       fields.zipWithIndex.map { case (e, i) =>
         val mMs = e.getValue.asDouble(-1)
         val stats =
@@ -114,7 +127,13 @@ object BenchDiff {
               case (None, Some(s)) => // conservative superset envelope
                 Stats(m, math.max(0.0, (mMs - s(i)) / 1000.0),
                   (mMs + s(i)) / 1000.0)
-              case _ => Stats(m, m, m) // medians-only degradation
+              case _ => spreadx match {
+                case Some(sx) =>
+                  val s = sx.getOrElse(short(e.getKey), floorMs)
+                  Stats(m, math.max(0.0, (mMs - s) / 1000.0),
+                    (mMs + s) / 1000.0)
+                case None => Stats(m, m, m) // medians-only degradation
+              }
             }
           }
         short(e.getKey) -> stats

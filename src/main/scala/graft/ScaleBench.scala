@@ -91,7 +91,13 @@ object ScaleBench {
     "q109_pagerank", "q110_inverted_index", "q111_record_linkage",
     "q112_sketch_reagg",
     "q113_source_cap", "q114_pmi_bigrams", "q115_semantic_decontam",
-    "q116_freq_spectrum", "q117_cms_reagg")
+    "q116_freq_spectrum", "q117_cms_reagg",
+    // q118: the distinct (source, shingle) table grows m× (cipher ⇒
+    // disjoint shingles per replica) while |sources| stays fixed — the
+    // self-join's per-shingle fanout bound must keep pair volume at
+    // |sources|²-bounded bursts, so wall-clock should track the distinct
+    // build, not the join output
+    "q118_source_overlap")
 
   private[graft] val IdStride = 1000000L
 

@@ -114,6 +114,21 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(queryStats(root)("q01") == Stats(0.5, 0.4, 0.6))
   }
 
+  test("sparse spreadx lines: listed spreads apply, absent ones assume the floor") {
+    val m = new ObjectMapper()
+    val root = m.readTree(
+      """{"metric":"total","queries":{"q01":500,"q02":2000},
+        |"spreadx":{"q02":700},
+        |"enc":"q:median ms;spreadx:max-min ms only >100ms"}""".stripMargin)
+    val stats = queryStats(root)
+    // q02 is listed: conservative ±700 ms envelope
+    assert(stats("q02") == Stats(2.0, 1.3, 2.7))
+    // q01 is absent = its true spread is somewhere in [0, floor]; the
+    // envelope assumes the floor, NOT zero — two quiet fast queries must
+    // not read as disjoint when their real envelopes could overlap
+    assert(stats("q01") == Stats(0.5, 0.4, 0.6))
+  }
+
   test("a clamped-to-0 envelope min is noise, never an error sentinel") {
     // spread ≥ median legitimately clamps the conservative envelope's
     // min to 0 — the first r09/r10 driver diff misread 13 such queries

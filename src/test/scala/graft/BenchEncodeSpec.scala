@@ -44,23 +44,32 @@ class BenchEncodeSpec extends SparkTestBase {
   }
 
   test("compact line for the CURRENT query set degrades as designed") {
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .map(n => (n, Seq(3.141, 3.102, 3.188)))
+    // two distinct shot profiles: a quiet one (47 ms spread, below the
+    // 100 ms jitter floor) and a noisy one (700 ms spread)
+    val names = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+      .map { case (n, i) =>
+        (n, if (i % 7 == 0) Seq(3.141, 3.402, 3.841)
+            else Seq(3.141, 3.102, 3.149))
+      }
     val line = Bench.compactJson(names, nErrors = 2, total = 99.999,
       sfDir = "/root/testdata/sf0.1", runs = 3, setupSec = 0.85)
     // 1800 is the real contract: the driver's 2000-char tail minus
     // sbt's trailer — ~80 chars of `[success] Total time ...` on a clean
     // run, ~150 chars of `[error] Nonzero exit code ...` now that main()
-    // exits 1 when any query errors. At 103 queries
-    // the full median+dmin+spread triple outgrew it (r10), so the
-    // designed ladder drops dmin from the TAIL LINE first — medians and
-    // the spread (the noise envelope BenchDiff needs) must survive, and
-    // dmin keeps full fidelity in bench_result.json (fullJson below).
+    // exits 1 when any query errors. At 103 queries the full
+    // median+dmin+spread triple outgrew it (r10); at 118 the positional
+    // spread array does too, so the ladder's next rung is the SPARSE
+    // spreadx object — medians plus the above-floor noise envelope
+    // (what BenchDiff acts on) survive, full fidelity stays in
+    // bench_result.json.
     assert(line.length <= 1800, s"compact bench line too long: ${line.length}")
     assert(line.contains(""""queries":{"""), line.takeRight(200))
-    assert(line.contains(""""spread":["""), line.takeRight(200))
+    assert(line.contains(""""spreadx":{"""), line.takeRight(400))
+    // noisy queries (spread 700 ms) carry entries; quiet ones don't
+    assert(line.contains(""""q01":700"""), line.takeRight(400))
+    assert(!line.contains(""""q02":4"""), "below-floor spread leaked")
     // enc must describe the degraded line, not the full triple
-    assert(line.contains(""""enc":"q:median ms;spread:max-min ms, q-order""""),
+    assert(line.contains(""""enc":"q:median ms;spreadx:max-min ms only >100ms""""),
       line.take(300))
     assert(!line.contains("dmin"), "dropped field must vanish from enc too")
     val full = Bench.fullJson(names.take(2), Nil, 1.0, "/x", 3, 0.1, Nil)
