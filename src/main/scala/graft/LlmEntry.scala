@@ -1319,27 +1319,8 @@ object LlmEntry {
       // corpus-wide shuffle is the distinct (source, shingle) pair
       // table — q93's cost class. One IEEE division per output row,
       // identical sequence in the oracle.
-      val ss = Tables.documents(s, d)
-        .selectExpr("source", s"shingle_rows(text, ${DedupOps.ShingleK})")
-        .select(col("source"), col("h")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val counts = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-      val shared = ss
-        .join(ss.select(col("source").as("source_b"), col("h")), "h")
-        .filter(col("source") < col("source_b"))
-        .groupBy(col("source").as("source_a"), col("source_b"))
-        .agg(count(lit(1)).as("n_shared"))
-      val out = shared
-        .join(broadcast(counts.select(col("source").as("source_a"),
-          col("n_sh").as("n_a"))), "source_a")
-        .join(broadcast(counts.select(col("source").as("source_b"),
-          col("n_sh").as("n_b"))), "source_b")
-        .select(col("source_a"), col("source_b"), col("n_shared"),
-          col("n_a"), col("n_b"),
-          (col("n_shared").cast("double") /
-            (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
-            .as("jaccard"))
-      core.Materialize.detached(out) { ss.unpersist(blocking = false) }
+      val (out, release) = overlapPlanOn(Tables.documents(s, d))
+      core.Materialize.detached(out)(release())
     }),
 
     // ---- count-min sketch as relational state ---------------------------
@@ -1394,6 +1375,34 @@ object LlmEntry {
     * scalar; top-k is a rank-filtered window (WindowGroupLimit trims
     * map-side).
     */
+  /** q118's plan over an explicit corpus (EdgeCaseSpec: disjoint
+    * sources, identical sources, sub-shingle docs).
+    */
+  private[graft] def overlapPlanOn(docs: DataFrame)
+      : (DataFrame, () => Unit) = {
+    val ss = docs
+      .selectExpr("source", s"shingle_rows(text, ${DedupOps.ShingleK})")
+      .select(col("source"), col("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val shared = ss
+      .join(ss.select(col("source").as("source_b"), col("h")), "h")
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = shared
+      .join(broadcast(counts.select(col("source").as("source_a"),
+        col("n_sh").as("n_a"))), "source_a")
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n_sh").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+    (out, () => ss.unpersist(blocking = false))
+  }
+
   /** q114's plan over an explicit corpus (EdgeCaseSpec feeds degenerate
     * docs through the same plan). Returns (plan, release-caches).
     */

@@ -299,6 +299,25 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(empty === Set((0L, 0L)))
   }
 
+  test("source overlap: disjoint sources emit no pair, identical sources hit jaccard 1") {
+    // sub-shingle docs contribute no shingles (they must not crash the
+    // generator); two sources with the SAME shingle sets land jaccard
+    // exactly 1.0; fully disjoint pairs are ABSENT (inner join), not 0
+    val docs = Seq(
+      (0L, "sa", "a b c d"),   // shingles {abc, bcd}
+      (1L, "sb", "a b c d"),   // identical set → jaccard(sa, sb) = 1
+      (2L, "sc", "x y z w"),   // disjoint from sa/sb
+      (3L, "sc", "q"),         // sub-shingle: contributes nothing
+      (4L, "sd", ""))          // empty text, source has NO shingles at all
+      .toDF("doc_id", "source", "text")
+    val (df, release) = LlmEntry.overlapPlanOn(docs)
+    val rows = df.collect().map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    release()
+    assert(rows.keySet === Set(("sa", "sb")), rows.keySet.toString)
+    assert(rows(("sa", "sb")) === ((2L, 2L, 2L, 1.0)), rows.toString)
+  }
+
   test("dsir on degenerate docs: weights defined; empty target degrades, not crashes") {
     val (df, release) = LlmEntry.dsirPlanOn(tinyCorpus)
     val rows = df.collect()

@@ -38,6 +38,30 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q113: the per-source cap plans with WindowGroupLimit") {
+    // the scale claim of L52: rank <= k over a partitioned window must
+    // compile to the group-limit pushdown (per-task k-row heaps), not a
+    // full per-source sort feeding a filter
+    val plan = SparkEntry.queries("q113_source_cap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"q113 lost the group-limit pushdown:\n${plan.take(600)}")
+  }
+
+  test("q117: sketch cells aggregate map-side before the shuffle") {
+    // the capacity-bound claim of L56: the exchange after the cell build
+    // must carry partial counts keyed (source, depth, pos) — i.e. a
+    // partial_count HashAggregate feeding the exchange (the plan prints
+    // parents above children, so the Exchange line precedes its
+    // partial-aggregate child in the text) — never raw tokens
+    val plan = SparkEntry.queries("q117_cms_reagg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchangeOverPartial =
+      "(?s)Exchange hashpartitioning\\(source[^\\n]*\\n[^\\n]*partial_count".r
+    assert(exchangeOverPartial.findFirstIn(plan).isDefined,
+      s"q117 cell build lost map-side combine:\n${plan.take(1500)}")
+  }
+
   test("AQE coalesces the small shuffle after a grouped aggregate") {
     // AQE is on in every session (core/Sessions); this pins that it is
     // actually re-planning: the post-shuffle read of a tiny aggregate
