@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming surface (SURVEY §2.9 — beyond-reference): the
   * engine's aggregation and dedup paths re-expressed over an unbounded
@@ -188,6 +188,82 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new SessionizeProcessor(gapNanos),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class OpenSession(startTs: Long, lastTs: Long, events: Long)
+  final case class ClosedSession(user_id: Long, start_nanos: Long,
+                                 end_nanos: Long, n_events: Long)
+
+  /** Timer-closed sessionization — the part of the StatefulProcessor API
+    * [[SessionizeProcessor]] doesn't exercise: EVENT-TIME TIMERS
+    * decoupled from state. A session is emitted exactly once, as a
+    * FINAL row (Append mode), when the watermark passes lastTs + gap —
+    * the fMGWS equivalent needs GroupStateTimeout plumbed through the
+    * same state blob; here the timer is a separate registration the
+    * runtime fires via [[handleExpiredTimer]]. Within a batch, earlier
+    * sessions of the same key close inline (the gap rule); only the
+    * trailing open session waits on its timer. State per key: one open
+    * session + one timer — eviction is the API's job, not a watermark
+    * side effect.
+    */
+  final class SessionCloseProcessor(gapNanos: Long)
+      extends StatefulProcessor[Long, SessionEvent, ClosedSession] {
+    @transient private var st: ValueState[OpenSession] = _
+    override def init(om: OutputMode, tm: TimeMode): Unit =
+      st = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+    private def expiryMs(lastTsNanos: Long): Long =
+      lastTsNanos / 1000000L + gapNanos / 1000000L
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+                                 tv: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.map(_.ts_nanos).toArray.sorted
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val closed =
+          scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        var open: OpenSession = if (st.exists()) st.get() else null
+        sorted.foreach { t =>
+          open =
+            if (open == null) OpenSession(t, t, 1L)
+            else if (t - open.lastTs > gapNanos) {
+              closed += ClosedSession(user, open.startTs, open.lastTs,
+                open.events)
+              OpenSession(t, t, 1L)
+            } else OpenSession(open.startTs, math.max(open.lastTs, t),
+              open.events + 1L)
+        }
+        // re-arm: ONE timer per key tracks the open session's horizon
+        // (materialize before deleting — mutating while iterating the
+        // runtime's timer iterator is undefined)
+        getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(expiryMs(open.lastTs))
+        st.update(open)
+        closed.iterator
+      }
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] =
+      if (!st.exists()) Iterator.empty
+      else {
+        val o = st.get()
+        st.clear()
+        Iterator.single(ClosedSession(user, o.startTs, o.lastTs, o.events))
+      }
+  }
+
+  /** [[SessionCloseProcessor]] as a query: watermarked event time drives
+    * the timers; output is append-mode final sessions.
+    */
+  def sessionCloseTws(spark: SparkSession, ev: DataFrame, gapNanos: Long,
+                      watermark: String = "0 seconds"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    ev.withColumn("ts", timestamp_micros(expr("ts_nanos div 1000")))
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts_nanos"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(gapNanos),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Scratch root shared by every bounded run in this JVM: ONE shutdown

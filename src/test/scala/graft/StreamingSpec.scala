@@ -207,6 +207,41 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("event-time timers close idle sessions exactly once (transformWithState)") {
+    // the timer leg of the StatefulProcessor API: a session is emitted
+    // as ONE final Append-mode row when the watermark passes
+    // lastTs + gap — driven by a registered timer, not by the next
+    // event of the same key (user 1 never speaks again, yet closes)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[SessionEvent]
+      val sessions = EventStreams.sessionCloseTws(spark,
+        input.toDF(), gapNanos = 2 * H)
+      val q = sessions.writeStream.format("memory").queryName("twst_test")
+        .outputMode(OutputMode.Append()).start()
+      input.addData(SessionEvent(1L, 10 * H), SessionEvent(1L, 11 * H))
+      q.processAllAvailable() // user 1 open, timer armed at 13H
+      input.addData(SessionEvent(2L, 50 * H)) // watermark will pass 13H
+      q.processAllAvailable()
+      input.addData(SessionEvent(3L, 90 * H)) // advance once more: fires
+      q.processAllAvailable() // user 1's timer with watermark 50H
+      q.stop()
+      val rows = spark.table("twst_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // user 1 closed by TIMER with both events; user 2 closed when the
+      // 90H watermark passed 52H; user 3 still open (no emission)
+      assert(rows.contains((1L, 10 * H, 11 * H, 2L)), rows.toString)
+      assert(rows.contains((2L, 50 * H, 50 * H, 1L)), rows.toString)
+      assert(!rows.exists(_._1 == 3L), rows.toString)
+      spark.catalog.dropTempView("twst_test")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("bounded streaming hourly counts equal the batch aggregate") {
     assertHourlyCountsMatchBatch("hourly_test")
   }
