@@ -420,4 +420,50 @@ object GraftProps extends Properties("graft") {
       bb.counts.forEach((t, c) => ba.add(t, c.longValue))
       mgLaws(ba, toks, cap)
     }
+
+  // random tiny corpora over a vocabulary that intersects the CMS probe
+  // watchlist (so true counts are nonzero sometimes) plus junk tokens
+  private val genCorpusDoc: Gen[(Long, String, String)] = for {
+    id <- Gen.choose(0L, 999L)
+    src <- Gen.oneOf("s0", "s1", "s2")
+    n <- Gen.choose(0, 12)
+    toks <- Gen.listOfN(n, Gen.oneOf(
+      "the", "a", "table", "row", "join", "zz", "qq", "ww"))
+  } yield (id, src, toks.mkString(" "))
+
+  property("CMS one-sided bound: est >= true for every probe on any corpus") =
+    forAll(Gen.listOfN(12, genCorpusDoc)) { docs =>
+      val df = docs.toDF("doc_id", "source", "text")
+      // the in-plan assert_true raises on violation, so a clean collect
+      // IS the property; cross-check the arithmetic relation anyway
+      val rows = LlmEntry.cmsPlanOn(spark, df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      Prop(rows.forall { case (_, t, e, over) => e >= t && over == e - t }) :|
+        rows.mkString(",")
+    }
+
+  property("frequency spectrum conserves both type and token mass") =
+    forAll(Gen.listOfN(12, genCorpusDoc)) { docs =>
+      val df = docs.toDF("doc_id", "source", "text")
+      val toks = df.select(explode(expr(TextOps.tokensSpark("text"))).as("t"))
+      val total = toks.count()
+      val vocab = toks.distinct().count()
+      val rows = df
+        .select(explode(expr(TextOps.tokensSpark("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(expr("CAST(length(bin(cnt)) AS BIGINT)").as("b"))
+        .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_tokens"),
+          min(col("cnt")).as("mn"), max(col("cnt")).as("mx"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      val typesOk = rows.map(_._2).sum == vocab
+      val tokensOk = rows.map(_._3).sum == total
+      // every bucket's min/max counts really have that bit length
+      val bucketOk = rows.forall { case (b, _, _, mn, mx) =>
+        java.lang.Long.toBinaryString(mn).length == b &&
+          java.lang.Long.toBinaryString(mx).length == b
+      }
+      Prop(typesOk && tokensOk && bucketOk) :| rows.mkString(",")
+    }
 }
