@@ -123,4 +123,56 @@ object PartitionedSink {
     }
     CompactionReport(parts)
   }
+
+  // ---- partition-scoped upsert (MERGE-by-key, dynamic overwrite) -------
+
+  /** Upsert `updates` into a partitioned parquet table by `keyCols`:
+    * rows whose key exists are replaced whole, new keys append — and
+    * ONLY the partitions the updates touch are rewritten. This is the
+    * plain-parquet form of `MERGE INTO` (a table format buys row-level
+    * deletes; partition-scoped rewrite is the granularity parquet
+    * itself supports), the nightly-ingest pattern at 100 TB: a day's
+    * corrections touch a handful of date partitions, and the other
+    * thousands of directories must not be read OR rewritten.
+    *
+    * Mechanics, in scale order:
+    *  1. the touched-partition set (distinct partition tuples of
+    *     `updates` — small by assumption) BROADCASTS into a left-semi
+    *     join, so the base scan prunes to touched directories
+    *     (PartitionFilters would need literal predicates; the semi join
+    *     achieves the same via DPP/broadcast pruning and stays correct
+    *     for any partition arity);
+    *  2. survivors = scoped base anti-joined on the key columns;
+    *  3. survivors ∪ updates, localCheckpoint-pinned — Spark refuses to
+    *     overwrite a path that feeds the plan being written, and the
+    *     checkpoint truncates the lineage so the self-referencing write
+    *     is safe (only touched-partition data materializes, on
+    *     executors);
+    *  4. write with `partitionOverwriteMode=dynamic`: Spark replaces
+    *     exactly the partition directories present in the output.
+    *
+    * Caller contract: `updates` carries the table's full schema, one
+    * row per key (last-writer-wins among duplicate keys is NOT
+    * resolved here — run q65's keep-latest first when updates may
+    * carry history).
+    */
+  def upsertPartitions(spark: SparkSession, dir: String, updates: DataFrame,
+                       keyCols: Seq[String],
+                       partitionCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty && partitionCols.nonEmpty)
+    val base = spark.read.parquet(dir)
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
+      s"updates schema ${updates.columns.toSeq} must match table ${base.columns.toSeq}")
+    val touched = updates.select(partitionCols.map(col): _*).distinct()
+    val scoped = base.join(broadcast(touched), partitionCols, "left_semi")
+    val survivors = scoped.join(
+      updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val out = survivors.unionByName(updates.select(base.columns.map(col): _*))
+      .localCheckpoint(true)
+    out.repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+  }
 }

@@ -71,6 +71,61 @@ class CompactionSpec extends SparkTestBase {
     assert(again.filesAfter === report.filesAfter)
   }
 
+  test("upsert rewrites only touched partitions; untouched files stay byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    Seq(
+      (1L, "d1", 10.0), (2L, "d1", 20.0),
+      (3L, "d2", 30.0), (4L, "d2", 40.0),
+      (5L, "d3", 50.0), (6L, "d3", 60.0))
+      .toDF("id", "day", "v")
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    def files(sub: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/day=$sub")
+      d.listFiles.filter(f => !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(f => f.getName -> f.lastModified).toMap
+    }
+    val d3Before = files("d3")
+    assert(d3Before.nonEmpty)
+
+    // update id=1 (d1), move nothing, insert id=9 into d2; d3 untouched
+    val updates = Seq((1L, "d1", 11.0), (9L, "d2", 90.0)).toDF("id", "day", "v")
+    PartitionedSink.upsertPartitions(spark, dir, updates,
+      keyCols = Seq("id"), partitionCols = Seq("day"))
+
+    // partitionBy moves the partition column to the tail on readback —
+    // address fields by name
+    val got = spark.read.parquet(dir)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("day"), r.getAs[Double]("v"))))
+      .toMap
+    assert(got === Map(
+      1L -> ("d1", 11.0), 2L -> ("d1", 20.0),
+      3L -> ("d2", 30.0), 4L -> ("d2", 40.0), 9L -> ("d2", 90.0),
+      5L -> ("d3", 50.0), 6L -> ("d3", 60.0)), got.toString)
+
+    // the untouched partition kept its exact files — same names, same
+    // mtimes: dynamic overwrite never visited the directory
+    assert(files("d3") === d3Before, "untouched partition was rewritten")
+
+    // pruning survives the rewrite
+    val plan = spark.read.parquet(dir).filter(col("day") === "d1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      s"day predicate lost partition pruning:\n${plan.take(600)}")
+
+    // an upsert into a NEW partition creates it without touching others
+    val d1After = files("d1")
+    PartitionedSink.upsertPartitions(spark, dir,
+      Seq((100L, "d9", 1.0)).toDF("id", "day", "v"),
+      keyCols = Seq("id"), partitionCols = Seq("day"))
+    assert(files("d9").nonEmpty)
+    assert(files("d1") === d1After && files("d3") === d3Before)
+    assert(spark.read.parquet(dir).count() === 8)
+  }
+
   test("target size is honored: small targets produce multiple files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString
     graft.core.Tables.events(spark, sf)
