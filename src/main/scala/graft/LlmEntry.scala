@@ -62,6 +62,9 @@ object LlmEntry {
   private val CmsWidth = 256L     // q117 count-min width (over ≤ εN, ε≈e/W)
   private val CmsA = Seq(31L, 131L, 313L, 821L) // q117 row-hash multipliers
   private val CmsB = Seq(7L, 101L, 271L, 631L)  // q117 row-hash offsets
+  private val PqM = 8             // q119 subquantizers (64 dims / 8)
+  private val PqSub = 8           // q119 dims per subvector
+  private val PqQuant = 1000000L  // q119 integer grid (diff² ≤ ~1.2e12, ×8 ≤ 1e13)
   /** q117 probe watchlist: the stopword + language-marker lexicons —
     * deterministic, includes tokens absent from the corpus (a CMS
     * answers those with its overcount, the behavior worth pinning).
@@ -1321,6 +1324,66 @@ object LlmEntry {
       // identical sequence in the oracle.
       val (out, release) = overlapPlanOn(Tables.documents(s, d))
       core.Materialize.detached(out)(release())
+    }),
+
+    // ---- product quantization + ADC retrieval ---------------------------
+    "q119_pq_adc" -> ((s, d) => {
+      // PQ — the missing member of the ANN tier (LSH q39/q47 buckets,
+      // IVF q46 partitions; PQ COMPRESSES): vectors become M sub-codes
+      // (here 8×3 bits vs 64 floats, a 68× memory cut), and retrieval
+      // scores candidates WITHOUT touching raw vectors via asymmetric
+      // distance (ADC): per probe, an M×K table of exact
+      // probe-subvector→centroid distances; a candidate's approximate
+      // distance is Σ_j table[j, code_j] — M lookups per candidate.
+      // Everything integer: coordinates on a 1/PqQuant grid, squared
+      // L2 in BIGINT, so codes AND rankings are oracle-bit-exact.
+      // Codebook = the q81/q46 deterministic-centroid convention
+      // (corpus vectors IvfCentroidLo..Hi supply the K=8 per-subvector
+      // centroids; a production build runs per-subvector k-means —
+      // q81's quantized Lloyd step IS that trainer, per slice).
+      // Scale shape: dist is corpus×M×K rows (constants M, K) with the
+      // centroid side BROADCAST; code assignment is a rank-1 window
+      // per (vec, j) → WindowGroupLimit, tie-pinned by (d2, c); ADC
+      // joins the per-probe distance TABLE (M·K·|probes| rows,
+      // broadcast) against codes — the corpus side never shuffles
+      // until the ≤|probes|·k top-k cut.
+      import org.apache.spark.sql.expressions.Window
+      val dv = Tables.embeddings(s, d).select(col("vec_id"),
+        expr(s"transform(${SimilarityOps.toDoubleSpark("embedding")}, " +
+          s"x -> CAST(floor(x * $PqQuant) AS BIGINT))").as("q"))
+      val sub = dv.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> named_struct(" +
+          s"'j', j, 's', slice(q, CAST(j * $PqSub + 1 AS INT), $PqSub)))"))
+        .as("p"))
+        .select(col("vec_id"), col("p.j").as("j"), col("p.s").as("s"))
+      val cent = sub
+        .filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+        .select(col("vec_id").as("c"), col("j").as("cj"), col("s").as("cs"))
+      val dist = sub.join(broadcast(cent), col("j") === col("cj"))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(s, cs, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .select(col("vec_id"), col("j"), col("c"), col("d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w1 = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("d2"), col("c"))
+      val codes = dist.withColumn("rk", row_number().over(w1))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("j"), col("c").as("code"))
+      val dtab = dist.filter(col("vec_id") < ProbeN)
+        .select(col("vec_id").as("probe_id"), col("j").as("dj"),
+          col("c").as("dc"), col("d2"))
+      val adc = codes
+        .join(broadcast(dtab),
+          col("j") === col("dj") && col("code") === col("dc"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("d2")).as("adc_dist"))
+      val w2 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+      val out = adc.withColumn("rk", row_number().over(w2).cast("long"))
+        .filter(col("rk") <= LshK)
+      core.Materialize.detached(out) { dist.unpersist(blocking = false) }
     }),
 
     // ---- count-min sketch as relational state ---------------------------
@@ -2676,6 +2739,48 @@ object LlmEntry {
          |FROM shared
          |JOIN counts ca ON source_a = ca.source
          |JOIN counts cb ON source_b = cb.source""".stripMargin,
+
+    // q119 mirror: identical quantization, 1-based list_slice ≡ slice,
+    // identical integer subvector distances, identical (d2, c) and
+    // (adc_dist, vec_id) tie-pinned orders
+    "q119_pq_adc" ->
+      s"""WITH dv AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * $PqQuant) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, j, list_slice(q, j * $PqSub + 1, j * $PqSub + $PqSub) AS s
+         |  FROM (SELECT vec_id, q, unnest(range(0, $PqM)) AS j FROM dv)),
+         |cent AS (
+         |  SELECT vec_id AS c, j, s AS cs FROM sub
+         |  WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+         |dist AS (
+         |  SELECT v.vec_id, v.j, c.c,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, $PqSub + 1),
+         |        i -> (v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i]))),
+         |      (acc, x) -> acc + x) AS d2
+         |  FROM sub v JOIN cent c USING (j)),
+         |codes AS (
+         |  SELECT vec_id, j, c AS code FROM (
+         |    SELECT vec_id, j, c,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rk
+         |    FROM dist)
+         |  WHERE rk = 1),
+         |dtab AS (
+         |  SELECT vec_id AS probe_id, j, c, d2 FROM dist
+         |  WHERE vec_id < $ProbeN),
+         |adc AS (
+         |  SELECT d.probe_id, co.vec_id, CAST(sum(d.d2) AS BIGINT) AS adc_dist
+         |  FROM codes co JOIN dtab d ON co.j = d.j AND co.code = d.c
+         |  WHERE co.vec_id <> d.probe_id
+         |  GROUP BY d.probe_id, co.vec_id)
+         |SELECT probe_id, vec_id, adc_dist, rk FROM (
+         |  SELECT probe_id, vec_id, adc_dist,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY adc_dist, vec_id) AS BIGINT) AS rk
+         |  FROM adc)
+         |WHERE rk <= $LshK""".stripMargin,
 
     // q117 mirror: same rolling hash, same row-hash family via 1-based
     // array-literal indexing, same left joins + coalesce for absent keys

@@ -97,7 +97,11 @@ object ScaleBench {
     // self-join's per-shingle fanout bound must keep pair volume at
     // |sources|²-bounded bursts, so wall-clock should track the distinct
     // build, not the join output
-    "q118_source_overlap")
+    "q118_source_overlap",
+    // q119: PQ code assignment is corpus×M×K narrow rows against
+    // broadcast centroids (probes/centroids FIXED under the id stride)
+    // — pure map+window volume, β should track the corpus
+    "q119_pq_adc")
 
   private[graft] val IdStride = 1000000L
 
