@@ -318,6 +318,21 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(rows(("sa", "sb")) === ((2L, 2L, 2L, 1.0)), rows.toString)
   }
 
+  test("pq adc: a corpus without the codebook vectors yields empty, not a crash") {
+    // the deterministic codebook comes from corpus vectors
+    // IvfCentroidLo..Hi; a corpus that lacks them (degenerate snapshot)
+    // must produce zero codes → zero retrievals — never a null/div
+    // failure. Exercised through the REAL query entry on a scratch dir.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val vecs = (0L until 5L).map(i =>
+      (i, Array.fill(64)(((i * 7 + 3) % 10).toFloat / 10f), 0))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q119_pq_adc")(spark, dir)
+    assert(out.collect().isEmpty)
+  }
+
   test("dsir on degenerate docs: weights defined; empty target degrades, not crashes") {
     val (df, release) = LlmEntry.dsirPlanOn(tinyCorpus)
     val rows = df.collect()
