@@ -64,6 +64,8 @@ object LlmEntry {
   private val CmsB = Seq(7L, 101L, 271L, 631L)  // q117 row-hash offsets
   private val PqM = 8             // q119 subquantizers (64 dims / 8)
   private val PqSub = 8           // q119 dims per subvector
+  private val PqK = 32            // q119 codes per subquantizer (5 bits)
+  private val PqCentLo = 100L     // q119 codebook = corpus vecs [lo, lo+K)
   private val PqQuant = 1000000L  // q119 integer grid (diff² ≤ ~1.2e12, ×8 ≤ 1e13)
   /** q117 probe watchlist: the stopword + language-marker lexicons —
     * deterministic, includes tokens absent from the corpus (a CMS
@@ -1338,9 +1340,11 @@ object LlmEntry {
       // Everything integer: coordinates on a 1/PqQuant grid, squared
       // L2 in BIGINT, so codes AND rankings are oracle-bit-exact.
       // Codebook = the q81/q46 deterministic-centroid convention
-      // (corpus vectors IvfCentroidLo..Hi supply the K=8 per-subvector
-      // centroids; a production build runs per-subvector k-means —
-      // q81's quantized Lloyd step IS that trainer, per slice).
+      // (corpus vectors [PqCentLo, PqCentLo+PqK) supply the K=32
+      // per-subvector centroids; a production build runs per-subvector
+      // k-means — q81's quantized Lloyd step IS that trainer, per
+      // slice — and K=256. AnnRecallSpec measures the honesty number:
+      // recall@5 vs exact L2 on this untrained codebook.)
       // Scale shape: dist is corpus×M×K rows (constants M, K) with the
       // centroid side BROADCAST; code assignment is a rank-1 window
       // per (vec, j) → WindowGroupLimit, tie-pinned by (d2, c); ADC
@@ -1357,7 +1361,7 @@ object LlmEntry {
         .as("p"))
         .select(col("vec_id"), col("p.j").as("j"), col("p.s").as("s"))
       val cent = sub
-        .filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+        .filter(col("vec_id").between(PqCentLo, PqCentLo + PqK - 1))
         .select(col("vec_id").as("c"), col("j").as("cj"), col("s").as("cs"))
       val dist = sub.join(broadcast(cent), col("j") === col("cj"))
         .withColumn("d2", expr(
@@ -2753,7 +2757,7 @@ object LlmEntry {
          |  FROM (SELECT vec_id, q, unnest(range(0, $PqM)) AS j FROM dv)),
          |cent AS (
          |  SELECT vec_id AS c, j, s AS cs FROM sub
-         |  WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+         |  WHERE vec_id BETWEEN $PqCentLo AND ${PqCentLo + PqK - 1}),
          |dist AS (
          |  SELECT v.vec_id, v.j, c.c,
          |    list_reduce(list_prepend(0::BIGINT,
