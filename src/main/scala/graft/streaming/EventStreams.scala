@@ -50,6 +50,28 @@ object EventStreams {
         .withColumn("ts_nanos", unix_micros(col("ts")) * 1000L)
   }
 
+  /** Per-window heavy hitters via the native `mg_sketch` aggregate —
+    * sketches as STREAMING STATE: the TypedImperativeAggregate's
+    * serialize/merge path (the same one batch shuffles exercise) is
+    * what the state store round-trips between micro-batches, so a
+    * window's candidate set accumulates across batches in ≤ 2·cap
+    * terms of state — the q100 vocabulary-independence argument
+    * applied to an unbounded stream, where it matters MORE: a
+    * per-window exact token count would grow state with the window's
+    * vocabulary, unevictable until the watermark closes the window.
+    * The Misra-Gries containment guarantee (any term with count >
+    * n/(cap+1) is present) holds per window regardless of how the
+    * stream was batched; `err` rides along so the consumer can apply
+    * the q100 exactness test downstream.
+    */
+  def windowedHeavyHitters(ev: DataFrame, cap: Int, termCol: String,
+                           watermark: String = "2 hours"): DataFrame =
+    ev.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr(s"mg_sketch($termCol, $cap)").as("sk"))
+      .select(col("window.start").as("window_start"),
+        col("sk.terms").as("terms"), col("sk.err").as("err"))
+
   /** Event-time hourly histogram with watermark — the streaming mirror of
     * `TrafficOps.hourlyCount`. Late data beyond the watermark is dropped;
     * window state is evicted as the watermark advances.

@@ -12,6 +12,9 @@ case class TsEvent(ts: java.sql.Timestamp)
 /** (user, ts) event for session_window tests (top-level for encoders). */
 case class UserTsEvent(user_id: Long, ts: java.sql.Timestamp)
 
+/** (ts, type) event for windowed heavy-hitter tests. */
+case class TypedEvent(ts: java.sql.Timestamp, event_type: String)
+
 /** Incremental-semantics tests: MemoryStream lets us control micro-batch
   * boundaries, so these check what the bounded oracle run can't — state
   * carried ACROSS batches (session merge, dedup memory, window updates).
@@ -240,6 +243,49 @@ class StreamingSpec extends SparkTestBase {
       spark.catalog.dropTempView("twst_test")
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("mg_sketch as streaming window state keeps its guarantee across batches") {
+    // the sketch-as-state path: a window's Misra-Gries buffer is
+    // serialized into the state store between micro-batches and merged
+    // with the next batch's partials — the containment guarantee (any
+    // term with count > n/(cap+1) surfaces) must hold for the WHOLE
+    // window no matter how the stream was batched. Terms are spread so
+    // the heavy one is only heavy in AGGREGATE: batch 1 alone would
+    // admit several pretenders, batch 2 pushes "hot" decisively over.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TypedEvent]
+    def ev(h: Int, m: Int, t: String) = TypedEvent(
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00"), t)
+    val q = EventStreams.windowedHeavyHitters(input.toDF(), cap = 4,
+        termCol = "event_type")
+      .writeStream.format("memory").queryName("hh_test")
+      .outputMode(OutputMode.Append()).start()
+    // window [10:00, 11:00): "hot" 6×, four distractors 2× each
+    input.addData(ev(10, 1, "hot"), ev(10, 2, "hot"), ev(10, 3, "a"),
+      ev(10, 4, "b"), ev(10, 5, "c"), ev(10, 6, "d"), ev(10, 7, "hot"))
+    q.processAllAvailable()
+    input.addData(ev(10, 21, "hot"), ev(10, 22, "hot"), ev(10, 23, "hot"),
+      ev(10, 24, "a"), ev(10, 25, "b"), ev(10, 26, "c"), ev(10, 27, "d"))
+    q.processAllAvailable()
+    // advance the watermark far enough (2h delay) to finalize [10, 11)
+    input.addData(ev(23, 0, "later"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hh_test").collect()
+      .map(r => (r.getTimestamp(0), r.getSeq[String](1), r.getLong(2)))
+    val w10 = rows.find(_._1 ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(w10.isDefined, rows.mkString(","))
+    // n=14, cap=4 ⇒ err ≤ n/(cap+1) = 2.8; "hot" has 6 > err ⇒ the MG
+    // guarantee REQUIRES it in the final window's candidate set, and it
+    // was only that heavy across BOTH batches — the merged state is
+    // what satisfies the bound
+    val (_, terms, err) = w10.get
+    assert(terms.contains("hot"), s"terms=$terms err=$err")
+    assert(err <= 14L / 5L + 1, s"err bound violated: $err")
+    spark.catalog.dropTempView("hh_test")
   }
 
   test("bounded streaming hourly counts equal the batch aggregate") {
