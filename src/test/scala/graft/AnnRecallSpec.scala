@@ -47,26 +47,31 @@ class AnnRecallSpec extends SparkTestBase {
     assert(ivf >= 0.35, f"IVF nprobe=3 recall $ivf%.3f below floor")
   }
 
+  // q119's integer grid, reproduced for exact in-memory ground truth
+  private val Q = 1000000L
+  private lazy val vecs: Map[Long, Array[Long]] =
+    graft.core.Tables.embeddings(spark, dir)
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * Q).toLong).toArray
+      }.toMap
+  private def d2(a: Array[Long], b: Array[Long]): Long =
+    a.indices.map(i => { val d = a(i) - b(i); d * d }).sum
+  private lazy val l2Truth: Map[Long, Set[Long]] =
+    (0L until 10L).map { p =>
+      val pv = vecs(p)
+      p -> vecs.toSeq.filter(_._1 != p)
+        .map { case (id, v) => (d2(pv, v), id) }
+        .sorted.take(K).map(_._2).toSet
+    }.toMap
+
   test("PQ/ADC recall@5 vs exact L2 brute force holds its floor") {
     // q119 ranks by approximate SQUARED-L2 (ADC over the quantized
     // grid), so its ground truth is the exact L2 top-k — not q38's
     // cosine truth (different metric, legitimately different
     // neighbors). Exact truth computed in-memory over the same
     // integer grid, same (dist, vec_id) tie order.
-    val Q = 1000000L
-    val vecs = graft.core.Tables.embeddings(spark, dir)
-      .collect().map { r =>
-        r.getLong(0) -> r.getSeq[Float](1)
-          .map(x => math.floor(x.toDouble * Q).toLong).toArray
-      }.toMap
-    def d2(a: Array[Long], b: Array[Long]): Long =
-      a.indices.map(i => { val d = a(i) - b(i); d * d }).sum
-    val truth = (0L until 10L).map { p =>
-      val pv = vecs(p)
-      p -> vecs.toSeq.filter(_._1 != p)
-        .map { case (id, v) => (d2(pv, v), id) }
-        .sorted.take(K).map(_._2).toSet
-    }.toMap
+    val truth = l2Truth
     val pq = recallAt("q119_pq_adc", truth)
     info(f"recall@$K%d pq-adc=$pq%.3f (M=8 subvectors, K=32 codes, untrained)")
     // measured 0.18 on this corpus — UNIFORM-RANDOM embeddings are
@@ -78,6 +83,57 @@ class AnnRecallSpec extends SparkTestBase {
     // of magnitude above chance" (chance at k=5 of 499 ≈ 0.01) as the
     // regression guard; the mechanics themselves are oracle-bit-exact.
     assert(pq >= 0.1, f"PQ/ADC recall $pq%.3f below floor")
+  }
+
+  test("one Lloyd step on the PQ codebook does not lose ADC recall") {
+    // substantiates the L58 claim that q81's quantized Lloyd step is
+    // the codebook trainer: starting from q119's untrained codebook
+    // (corpus vectors 100..131 per 8-dim slice), ONE assignment→mean
+    // iteration in the same integer arithmetic (order-free sums,
+    // floor-div mean — exactly q81's update rule, applied per slice)
+    // must not lose recall, and empirically gains it. Entirely
+    // in-memory: the distributed form of this loop IS q81's plan shape
+    // run once per subvector.
+    val (m, sub, kk) = (8, 8, 32)
+    def subv(v: Array[Long], j: Int): Array[Long] =
+      v.slice(j * sub, j * sub + sub)
+    val book0: Array[Array[Array[Long]]] = Array.tabulate(m)(j =>
+      (100L until (100L + kk)).map(c => subv(vecs(c), j)).toArray)
+    def assign(x: Array[Long], cb: Array[Array[Long]]): Int =
+      cb.indices.minBy(i => (d2(x, cb(i)), i))
+    def lloyd(book: Array[Array[Array[Long]]]): Array[Array[Array[Long]]] =
+      Array.tabulate(m) { j =>
+        val members = vecs.values.toSeq.map(v => subv(v, j))
+          .groupBy(x => assign(x, book(j)))
+        Array.tabulate(kk) { i =>
+          members.get(i) match {
+            case Some(xs) => // integer mean, order-free: q81's update
+              Array.tabulate(sub)(dim =>
+                Math.floorDiv(xs.map(_(dim)).sum, xs.size.toLong))
+            case None => book(j)(i) // empty cluster keeps its centroid
+          }
+        }
+      }
+    def adcRecall(book: Array[Array[Array[Long]]]): Double = {
+      val codes = vecs.map { case (id, v) =>
+        id -> Array.tabulate(m)(j => assign(subv(v, j), book(j)))
+      }
+      val per = l2Truth.map { case (p, t) =>
+        val pv = vecs(p)
+        val dtab = Array.tabulate(m)(j =>
+          book(j).map(cb => d2(subv(pv, j), cb)))
+        val top = vecs.keys.filter(_ != p).toSeq
+          .map(id => ((0 until m).map(j => dtab(j)(codes(id)(j))).sum, id))
+          .sorted.take(K).map(_._2).toSet
+        top.count(t).toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val untrained = adcRecall(book0)
+    val trained = adcRecall(lloyd(book0))
+    info(f"ADC recall@$K%d untrained=$untrained%.3f after-1-Lloyd=$trained%.3f")
+    assert(trained >= untrained,
+      f"one Lloyd step LOST recall: $untrained%.3f -> $trained%.3f")
   }
 
   test("ANN output is sound: ranks dense from 1, scores non-increasing") {
