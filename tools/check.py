@@ -37,6 +37,13 @@ def main(out_dir, sf_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+        if list(got.columns) == ["_graft_error"]:
+            # Verify's error marker: the query raised — surface the
+            # actual message instead of a generic column mismatch
+            msg = got["_graft_error"].iloc[0] if len(got) else "?"
+            print(f"FAIL {name}: query errored: {msg[:200]}")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"SKIP {name}: no oracle (rows={len(got)})"); n_noracle += 1
             continue
