@@ -2791,7 +2791,8 @@ object LlmEntry {
     "q117_cms_reagg" -> {
       val aArr = CmsA.mkString("[", ", ", "]")
       val bArr = CmsB.mkString("[", ", ", "]")
-      val probeArr = cmsProbes.map(t => s"'$t'").mkString("[", ", ", "]")
+      val probeArr = cmsProbes.map(t => s"'${t.replace("'", "''")}'")
+        .mkString("[", ", ", "]")
       s"""WITH toks AS (
          |  SELECT source, unnest(${tokensDuck("text")}) AS tok FROM documents),
          |th AS (

@@ -155,15 +155,44 @@ object PartitionedSink {
     * row per key (last-writer-wins among duplicate keys is NOT
     * resolved here — run q65's keep-latest first when updates may
     * carry history).
+    *
+    * Moved keys: an update that CHANGES a key's partition value must
+    * also rewrite the key's old partition, or the old row survives as a
+    * stale duplicate. By default that old partition is located with a
+    * key semi-join against the base — one column-pruned scan of
+    * (keyCols ++ partitionCols), no data columns — and added to the
+    * touched set; a moved key whose old partition ends up EMPTY gets
+    * its directory deleted outright (dynamic overwrite only replaces
+    * directories present in the output, so an all-stale directory
+    * would otherwise survive untouched). Callers that guarantee keys
+    * never change partition value (e.g. the partition is derived from
+    * the key) skip the locating scan with `partitionStableKeys = true`
+    * — the right call at 100 TB when the invariant holds, since the
+    * scan is the only part of this operator whose cost is
+    * table-sized rather than update-sized.
     */
   def upsertPartitions(spark: SparkSession, dir: String, updates: DataFrame,
                        keyCols: Seq[String],
-                       partitionCols: Seq[String]): Unit = {
+                       partitionCols: Seq[String],
+                       partitionStableKeys: Boolean = false): Unit = {
     require(keyCols.nonEmpty && partitionCols.nonEmpty)
     val base = spark.read.parquet(dir)
     require(base.columns.sorted.sameElements(updates.columns.sorted),
       s"updates schema ${updates.columns.toSeq} must match table ${base.columns.toSeq}")
-    val touched = updates.select(partitionCols.map(col): _*).distinct()
+    val updParts = updates.select(partitionCols.map(col): _*).distinct()
+    // materialize the touched tuples NOW (update-sized by assumption):
+    // they are consulted again after the overwrite, when the base scan
+    // they derive from no longer has its files
+    val touchedRows =
+      (if (partitionStableKeys) updParts
+       else {
+         val updKeys = updates.select(keyCols.map(col): _*).distinct()
+         val priorParts = base.join(broadcast(updKeys), keyCols, "left_semi")
+           .select(partitionCols.map(col): _*).distinct()
+         updParts.union(priorParts).distinct()
+       }).collect().toSeq
+    val touched = spark.createDataFrame(
+      spark.sparkContext.parallelize(touchedRows, 1), updParts.schema)
     val scoped = base.join(broadcast(touched), partitionCols, "left_semi")
     val survivors = scoped.join(
       updates.select(keyCols.map(col): _*), keyCols, "left_anti")
@@ -174,5 +203,25 @@ object PartitionedSink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(dir)
+    if (!partitionStableKeys) {
+      // touched partitions with zero output rows: every row they held
+      // belonged to a moved key. Both sets are update-sized (collected
+      // rows are partition TUPLES, never data).
+      def dirName(r: org.apache.spark.sql.Row): String =
+        partitionCols.indices.map { i =>
+          val v = if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+                  else r.get(i).toString
+          s"${partitionCols(i)}=$v"
+        }.mkString("/")
+      val written = out.select(partitionCols.map(col): _*).distinct()
+        .collect().map(dirName).toSet
+      val emptied = touchedRows.map(dirName).filterNot(written)
+      if (emptied.nonEmpty) {
+        import org.apache.hadoop.fs.Path
+        val root = new Path(dir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach(p => fs.delete(new Path(root, p), true))
+      }
+    }
   }
 }

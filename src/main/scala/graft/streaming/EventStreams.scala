@@ -234,8 +234,12 @@ object EventStreams {
     override def init(om: OutputMode, tm: TimeMode): Unit =
       st = getHandle.getValueState[OpenSession]("open",
         org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+    // round UP to the next whole ms: flooring lastTs and gap separately
+    // could fire the timer up to ~2 ms before the nanos-precise horizon,
+    // losing the race against a boundary event the strict-> inline rule
+    // would have merged
     private def expiryMs(lastTsNanos: Long): Long =
-      lastTsNanos / 1000000L + gapNanos / 1000000L
+      (lastTsNanos + gapNanos + 999999L) / 1000000L
     override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
                                  tv: TimerValues): Iterator[ClosedSession] = {
       val sorted = rows.map(_.ts_nanos).toArray.sorted

@@ -126,6 +126,47 @@ class CompactionSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() === 8)
   }
 
+  test("upsert handles moved keys: old partition rewritten or deleted, no stale dup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_mv").toString
+    Seq(
+      (1L, "d1", 10.0), (2L, "d1", 20.0),
+      (3L, "d2", 30.0),
+      (7L, "d7", 70.0))                       // d7 holds ONLY the moved key
+      .toDF("id", "day", "v")
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    // id=1 moves d1→d2; id=7 moves d7→d2, emptying d7 entirely
+    val updates = Seq((1L, "d2", 11.0), (7L, "d2", 77.0)).toDF("id", "day", "v")
+    PartitionedSink.upsertPartitions(spark, dir, updates,
+      keyCols = Seq("id"), partitionCols = Seq("day"))
+
+    val got = spark.read.parquet(dir)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("day"), r.getAs[Double]("v"))))
+      .toMap
+    // the contract: a key exists in exactly one partition after upsert —
+    // no stale copy of 1 in d1, and d7's all-stale directory is gone
+    assert(spark.read.parquet(dir).count() === 4,
+      "a moved key left a stale duplicate behind")
+    assert(got === Map(
+      1L -> ("d2", 11.0), 2L -> ("d1", 20.0),
+      3L -> ("d2", 30.0), 7L -> ("d2", 77.0)), got.toString)
+    assert(!new java.io.File(s"$dir/day=d7").exists(),
+      "emptied partition directory survived")
+
+    // the fast path keeps the old (documented) behavior: with
+    // partitionStableKeys the locating scan is skipped, so a violated
+    // invariant shows up as the stale duplicate the default now prevents
+    PartitionedSink.upsertPartitions(spark, dir,
+      Seq((2L, "d2", 22.0)).toDF("id", "day", "v"),
+      keyCols = Seq("id"), partitionCols = Seq("day"),
+      partitionStableKeys = true)
+    assert(spark.read.parquet(dir).filter(col("id") === 2L).count() === 2,
+      "partitionStableKeys=true should not locate prior partitions")
+  }
+
   test("target size is honored: small targets produce multiple files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString
     graft.core.Tables.events(spark, sf)
