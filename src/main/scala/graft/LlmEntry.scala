@@ -1339,18 +1339,25 @@ object LlmEntry {
       // distance is Σ_j table[j, code_j] — M lookups per candidate.
       // Everything integer: coordinates on a 1/PqQuant grid, squared
       // L2 in BIGINT, so codes AND rankings are oracle-bit-exact.
-      // Codebook = the q81/q46 deterministic-centroid convention
-      // (corpus vectors [PqCentLo, PqCentLo+PqK) supply the K=32
-      // per-subvector centroids; a production build runs per-subvector
-      // k-means — q81's quantized Lloyd step IS that trainer, per
-      // slice — and K=256. AnnRecallSpec measures the honesty number:
-      // recall@5 vs exact L2 on this untrained codebook.)
-      // Scale shape: dist is corpus×M×K rows (constants M, K) with the
-      // centroid side BROADCAST; code assignment is a rank-1 window
-      // per (vec, j) → WindowGroupLimit, tie-pinned by (d2, c); ADC
-      // joins the per-probe distance TABLE (M·K·|probes| rows,
-      // broadcast) against codes — the corpus side never shuffles
-      // until the ≤|probes|·k top-k cut.
+      // Codebook: corpus vectors [PqCentLo, PqCentLo+PqK) SEED the K=32
+      // per-subvector centroids, then ONE quantized Lloyd step — q81's
+      // assign→integer-mean update, run per slice — TRAINS them
+      // in-plan (AnnRecallSpec measured +44% ADC recall from exactly
+      // this step before it shipped; a production build iterates the
+      // same fixed-horizon step and uses K=256). The mean is
+      // floorDiv(Σq, n) = (Σq − pmod(Σq, n)) div n — order-free BIGINT
+      // sums, and the subtraction makes the quotient exactly divisible
+      // so Spark's truncating `div` and DuckDB's `//` agree on
+      // negatives; empty clusters keep their seed centroid. Σq
+      // overflows only past ~1e12 members per code at this grid.
+      // Scale shape: both the assignment pass and the final encode are
+      // corpus×M×K rows (constants M, K) against a BROADCAST codebook;
+      // the Lloyd shuffle is corpus×M rows hash-aggregated (min_by, no
+      // sort) then a ≤ M·K·PqSub-cell mean table; code assignment is a
+      // rank-1 window per (vec, j) → WindowGroupLimit, tie-pinned by
+      // (d2, c); ADC joins the per-probe distance TABLE
+      // (M·K·|probes| rows, broadcast) against codes — the corpus side
+      // never shuffles until the ≤|probes|·k top-k cut.
       import org.apache.spark.sql.expressions.Window
       val dv = Tables.embeddings(s, d).select(col("vec_id"),
         expr(s"transform(${SimilarityOps.toDoubleSpark("embedding")}, " +
@@ -1360,13 +1367,34 @@ object LlmEntry {
           s"'j', j, 's', slice(q, CAST(j * $PqSub + 1 AS INT), $PqSub)))"))
         .as("p"))
         .select(col("vec_id"), col("p.j").as("j"), col("p.s").as("s"))
-      val cent = sub
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seed = sub
         .filter(col("vec_id").between(PqCentLo, PqCentLo + PqK - 1))
         .select(col("vec_id").as("c"), col("j").as("cj"), col("s").as("cs"))
-      val dist = sub.join(broadcast(cent), col("j") === col("cj"))
-        .withColumn("d2", expr(
-          "aggregate(zip_with(s, cs, (x, y) -> (x - y) * (x - y)), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      val d2Expr = expr(
+        "aggregate(zip_with(s, cs, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+      // one Lloyd step: nearest seed per subvector (hash agg, not a
+      // window — min_by over the total order (d2, c) needs no sort),
+      // then per-(code, dim) integer means
+      val assign0 = sub.join(broadcast(seed), col("j") === col("cj"))
+        .withColumn("d2", d2Expr)
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("c"),
+          first(col("s")).as("s"))
+      val means = assign0
+        .select(col("j"), col("c"), posexplode(col("s")).as(Seq("dim0", "v")))
+        .groupBy(col("j"), col("c"), col("dim0"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("mv", expr("(sv - pmod(sv, n)) div n"))
+        .groupBy(col("j").as("tj"), col("c").as("tc"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim0, mv))), " +
+          "x -> x.mv)").as("ms"))
+      val book = seed
+        .join(means, col("cj") === col("tj") && col("c") === col("tc"), "left")
+        .select(col("c"), col("cj"), coalesce(col("ms"), col("cs")).as("cs"))
+      val dist = sub.join(broadcast(book), col("j") === col("cj"))
+        .withColumn("d2", d2Expr)
         .select(col("vec_id"), col("j"), col("c"), col("d2"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val w1 = Window.partitionBy(col("vec_id"), col("j"))
@@ -1387,7 +1415,10 @@ object LlmEntry {
         .orderBy(col("adc_dist"), col("vec_id"))
       val out = adc.withColumn("rk", row_number().over(w2).cast("long"))
         .filter(col("rk") <= LshK)
-      core.Materialize.detached(out) { dist.unpersist(blocking = false) }
+      core.Materialize.detached(out) {
+        dist.unpersist(blocking = false)
+        sub.unpersist(blocking = false)
+      }
     }),
 
     // ---- count-min sketch as relational state ---------------------------
@@ -2745,8 +2776,10 @@ object LlmEntry {
          |JOIN counts cb ON source_b = cb.source""".stripMargin,
 
     // q119 mirror: identical quantization, 1-based list_slice ≡ slice,
-    // identical integer subvector distances, identical (d2, c) and
-    // (adc_dist, vec_id) tie-pinned orders
+    // identical integer subvector distances, identical one-Lloyd-step
+    // codebook training (floor-div means via the pmod-subtraction trick,
+    // so `//` and Spark's `div` agree on negatives), identical (d2, c)
+    // and (adc_dist, vec_id) tie-pinned orders
     "q119_pq_adc" ->
       s"""WITH dv AS (
          |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
@@ -2758,13 +2791,35 @@ object LlmEntry {
          |cent AS (
          |  SELECT vec_id AS c, j, s AS cs FROM sub
          |  WHERE vec_id BETWEEN $PqCentLo AND ${PqCentLo + PqK - 1}),
+         |assign0 AS (
+         |  SELECT vec_id, j, s, c FROM (
+         |    SELECT v.vec_id, v.j, v.s, c.c,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+         |        list_reduce(list_prepend(0::BIGINT,
+         |          list_transform(range(1, $PqSub + 1),
+         |            i -> (v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i]))),
+         |          (acc, x) -> acc + x), c.c) AS rk
+         |    FROM sub v JOIN cent c USING (j))
+         |  WHERE rk = 1),
+         |sums AS (
+         |  SELECT j, c, dim, CAST(sum(s[dim]) AS BIGINT) AS sv,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM assign0, (SELECT unnest(range(1, $PqSub + 1)) AS dim) dims
+         |  GROUP BY j, c, dim),
+         |trained AS (
+         |  SELECT j, c,
+         |    list((sv - ((sv % n + n) % n)) // n ORDER BY dim) AS ms
+         |  FROM sums GROUP BY j, c),
+         |book AS (
+         |  SELECT ct.c, ct.j, coalesce(t.ms, ct.cs) AS cs
+         |  FROM cent ct LEFT JOIN trained t ON ct.j = t.j AND ct.c = t.c),
          |dist AS (
          |  SELECT v.vec_id, v.j, c.c,
          |    list_reduce(list_prepend(0::BIGINT,
          |      list_transform(range(1, $PqSub + 1),
          |        i -> (v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i]))),
          |      (acc, x) -> acc + x) AS d2
-         |  FROM sub v JOIN cent c USING (j)),
+         |  FROM sub v JOIN book c USING (j)),
          |codes AS (
          |  SELECT vec_id, j, c AS code FROM (
          |    SELECT vec_id, j, c,

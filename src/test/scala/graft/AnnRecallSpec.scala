@@ -73,27 +73,28 @@ class AnnRecallSpec extends SparkTestBase {
     // integer grid, same (dist, vec_id) tie order.
     val truth = l2Truth
     val pq = recallAt("q119_pq_adc", truth)
-    info(f"recall@$K%d pq-adc=$pq%.3f (M=8 subvectors, K=32 codes, untrained)")
-    // measured 0.18 on this corpus — UNIFORM-RANDOM embeddings are
-    // PQ's worst case (no cluster structure for the codebook to
-    // exploit; 40 bits of arbitrary-codebook code against 64 i.i.d.
-    // dims is information-theoretically starved). Real embedding
-    // corpora cluster, and the production knobs are a TRAINED codebook
-    // (q81's Lloyd step per slice) and K=256. The floor pins "an order
-    // of magnitude above chance" (chance at k=5 of 499 ≈ 0.01) as the
-    // regression guard; the mechanics themselves are oracle-bit-exact.
-    assert(pq >= 0.1, f"PQ/ADC recall $pq%.3f below floor")
+    info(f"recall@$K%d pq-adc=$pq%.3f (M=8 subvectors, K=32 codes, 1 Lloyd step)")
+    // measured 0.26 with the in-plan one-Lloyd-step codebook (0.18
+    // before training shipped) — UNIFORM-RANDOM embeddings are PQ's
+    // worst case (no cluster structure for the codebook to exploit;
+    // 40 bits of code against 64 i.i.d. dims is
+    // information-theoretically starved). Real embedding corpora
+    // cluster, and the production knobs are more Lloyd steps and
+    // K=256. The floor pins the trained level (chance at k=5 of 499
+    // ≈ 0.01); the mechanics themselves are oracle-bit-exact.
+    assert(pq >= 0.2, f"PQ/ADC recall $pq%.3f below trained floor")
   }
 
-  test("one Lloyd step on the PQ codebook does not lose ADC recall") {
+  test("shipped q119 codebook ≡ one in-memory Lloyd step; training gains recall") {
     // substantiates the L58 claim that q81's quantized Lloyd step is
-    // the codebook trainer: starting from q119's untrained codebook
-    // (corpus vectors 100..131 per 8-dim slice), ONE assignment→mean
-    // iteration in the same integer arithmetic (order-free sums,
-    // floor-div mean — exactly q81's update rule, applied per slice)
-    // must not lose recall, and empirically gains it. Entirely
-    // in-memory: the distributed form of this loop IS q81's plan shape
-    // run once per subvector.
+    // the codebook trainer — and, since r13, that q119 SHIPS it:
+    // starting from the seed codebook (corpus vectors 100..131 per
+    // 8-dim slice), ONE assignment→mean iteration in the same integer
+    // arithmetic (order-free sums, floor-div mean — exactly q81's
+    // update rule, applied per slice) must reproduce the shipped
+    // plan's top-k sets EXACTLY and must not lose recall vs the
+    // untrained book. Entirely in-memory: the distributed form of
+    // this loop IS q81's plan shape run once per subvector.
     val (m, sub, kk) = (8, 8, 32)
     def subv(v: Array[Long], j: Int): Array[Long] =
       v.slice(j * sub, j * sub + sub)
@@ -114,26 +115,36 @@ class AnnRecallSpec extends SparkTestBase {
           }
         }
       }
-    def adcRecall(book: Array[Array[Array[Long]]]): Double = {
+    def adcTopSets(book: Array[Array[Array[Long]]]): Map[Long, Set[Long]] = {
       val codes = vecs.map { case (id, v) =>
         id -> Array.tabulate(m)(j => assign(subv(v, j), book(j)))
       }
-      val per = l2Truth.map { case (p, t) =>
+      l2Truth.keys.map { p =>
         val pv = vecs(p)
         val dtab = Array.tabulate(m)(j =>
           book(j).map(cb => d2(subv(pv, j), cb)))
-        val top = vecs.keys.filter(_ != p).toSeq
+        p -> vecs.keys.filter(_ != p).toSeq
           .map(id => ((0 until m).map(j => dtab(j)(codes(id)(j))).sum, id))
           .sorted.take(K).map(_._2).toSet
-        top.count(t).toDouble / t.size
-      }
+      }.toMap
+    }
+    def recallOf(sets: Map[Long, Set[Long]]): Double = {
+      val per = l2Truth.map { case (p, t) =>
+        sets(p).count(t).toDouble / t.size }
       per.sum / per.size
     }
-    val untrained = adcRecall(book0)
-    val trained = adcRecall(lloyd(book0))
+    val trainedSets = adcTopSets(lloyd(book0))
+    val untrained = recallOf(adcTopSets(book0))
+    val trained = recallOf(trainedSets)
     info(f"ADC recall@$K%d untrained=$untrained%.3f after-1-Lloyd=$trained%.3f")
     assert(trained >= untrained,
       f"one Lloyd step LOST recall: $untrained%.3f -> $trained%.3f")
+    // the shipped plan IS this computation, distributed: same seed,
+    // same assignment tie order, same floor-div means, same (dist, id)
+    // top-k order — so the top-k SETS must agree exactly
+    val shipped = topSets("q119_pq_adc")
+    assert(shipped === trainedSets,
+      "shipped q119 top-k sets diverge from the in-memory Lloyd-trained ADC")
   }
 
   test("ANN output is sound: ranks dense from 1, scores non-increasing") {
