@@ -78,6 +78,82 @@ object LlmEntry {
     */
   private def bitsSpark(x: String) = s"CAST(length(bin($x)) AS BIGINT)"
   private def bitsDuck(x: String)  = s"CAST(length(format('{:b}', $x)) AS BIGINT)"
+
+  // ---- shared PQ machinery (q119 exhaustive ADC, q120 IVFADC) ----------
+  /** Integer squared L2 between BIGINT-array columns. */
+  private def pqD2Spark(s: String, cs: String) = expr(
+    s"aggregate(zip_with($s, $cs, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+  private def pqD2Duck(s: String, cs: String) =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range(1, ${PqSub + 1}),
+       |        i -> ($s[i] - $cs[i]) * ($s[i] - $cs[i]))),
+       |      (acc, x) -> acc + x)""".stripMargin
+  /** Explode (vec_id, <vecCol>[M·Sub]) rows into M subvector rows; the
+    * struct keeps (j, s) paired through one generator pass.
+    */
+  private def pqSubvectors(vecCol: String) = expr(
+    s"transform(sequence(0, ${PqM - 1}), j -> named_struct(" +
+      s"'j', j, 's', slice($vecCol, CAST(j * $PqSub + 1 AS INT), $PqSub)))")
+  /** PQ codebook over `sub` = (vec_id, j, s): corpus vectors
+    * [PqCentLo, PqCentLo+PqK) seed the K centroids per subquantizer,
+    * then ONE quantized Lloyd step — q81's assign→integer-mean update,
+    * per slice — trains them in-plan. The mean is floorDiv(Σs, n) =
+    * (Σs − pmod(Σs, n)) div n: order-free BIGINT sums, and the
+    * subtraction makes the quotient exactly divisible so Spark's
+    * truncating `div` and DuckDB's `//` agree on negatives; empty
+    * clusters keep their seed centroid. Σs overflows only past ~1e12
+    * members per code at the 1e6 grid. Plan shape: assignment is a
+    * broadcast-seed join hash-aggregated by min_by over the (d2, c)
+    * total order (no window, no sort); the mean table is
+    * ≤ M·K·PqSub cells. Returns (c, cj, cs) — broadcast-sized.
+    */
+  private def pqTrainedBook(sub: DataFrame): DataFrame = {
+    val seed = sub
+      .filter(col("vec_id").between(PqCentLo, PqCentLo + PqK - 1))
+      .select(col("vec_id").as("c"), col("j").as("cj"), col("s").as("cs"))
+    val assign0 = sub.join(broadcast(seed), col("j") === col("cj"))
+      .withColumn("d2", pqD2Spark("s", "cs"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("c"),
+        first(col("s")).as("s"))
+    val means = assign0
+      .select(col("j"), col("c"), posexplode(col("s")).as(Seq("dim0", "v")))
+      .groupBy(col("j"), col("c"), col("dim0"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("mv", expr("(sv - pmod(sv, n)) div n"))
+      .groupBy(col("j").as("tj"), col("c").as("tc"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim0, mv))), " +
+        "x -> x.mv)").as("ms"))
+    seed
+      .join(means, col("cj") === col("tj") && col("c") === col("tc"), "left")
+      .select(col("c"), col("cj"), coalesce(col("ms"), col("cs")).as("cs"))
+  }
+  /** Oracle mirror of [[pqTrainedBook]]: CTEs `assign0, sums, trained,
+    * book` over already-defined CTEs `sub` (vec_id, j, s, …) and `cent`
+    * (c, j, cs). Same tie order (row_number ≡ min_by over (d2, c)),
+    * same pmod-subtraction floor-div means.
+    */
+  private def pqBookCtesDuck: String =
+    s"""assign0 AS (
+       |  SELECT vec_id, j, s, c FROM (
+       |    SELECT v.vec_id, v.j, v.s, c.c,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+       |        ${pqD2Duck("v.s", "c.cs")}, c.c) AS rk
+       |    FROM sub v JOIN cent c USING (j))
+       |  WHERE rk = 1),
+       |sums AS (
+       |  SELECT j, c, dim, CAST(sum(s[dim]) AS BIGINT) AS sv,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM assign0, (SELECT unnest(range(1, ${PqSub + 1})) AS dim) dims
+       |  GROUP BY j, c, dim),
+       |trained AS (
+       |  SELECT j, c,
+       |    list((sv - ((sv % n + n) % n)) // n ORDER BY dim) AS ms
+       |  FROM sums GROUP BY j, c),
+       |book AS (
+       |  SELECT ct.c, ct.j, coalesce(t.ms, ct.cs) AS cs
+       |  FROM cent ct LEFT JOIN trained t ON ct.j = t.j AND ct.c = t.c)""".stripMargin
   private val SampleK = 20        // exact-k per-group sample size
   private val IvfCentroidLo = 100 // deterministic coarse centroids
   private val IvfCentroidHi = 107
@@ -1330,95 +1406,14 @@ object LlmEntry {
 
     // ---- product quantization + ADC retrieval ---------------------------
     "q119_pq_adc" -> ((s, d) => {
-      // PQ — the missing member of the ANN tier (LSH q39/q47 buckets,
-      // IVF q46 partitions; PQ COMPRESSES): vectors become M sub-codes
-      // (here 8×3 bits vs 64 floats, a 68× memory cut), and retrieval
-      // scores candidates WITHOUT touching raw vectors via asymmetric
-      // distance (ADC): per probe, an M×K table of exact
-      // probe-subvector→centroid distances; a candidate's approximate
-      // distance is Σ_j table[j, code_j] — M lookups per candidate.
-      // Everything integer: coordinates on a 1/PqQuant grid, squared
-      // L2 in BIGINT, so codes AND rankings are oracle-bit-exact.
-      // Codebook: corpus vectors [PqCentLo, PqCentLo+PqK) SEED the K=32
-      // per-subvector centroids, then ONE quantized Lloyd step — q81's
-      // assign→integer-mean update, run per slice — TRAINS them
-      // in-plan (AnnRecallSpec measured +44% ADC recall from exactly
-      // this step before it shipped; a production build iterates the
-      // same fixed-horizon step and uses K=256). The mean is
-      // floorDiv(Σq, n) = (Σq − pmod(Σq, n)) div n — order-free BIGINT
-      // sums, and the subtraction makes the quotient exactly divisible
-      // so Spark's truncating `div` and DuckDB's `//` agree on
-      // negatives; empty clusters keep their seed centroid. Σq
-      // overflows only past ~1e12 members per code at this grid.
-      // Scale shape: both the assignment pass and the final encode are
-      // corpus×M×K rows (constants M, K) against a BROADCAST codebook;
-      // the Lloyd shuffle is corpus×M rows hash-aggregated (min_by, no
-      // sort) then a ≤ M·K·PqSub-cell mean table; code assignment is a
-      // rank-1 window per (vec, j) → WindowGroupLimit, tie-pinned by
-      // (d2, c); ADC joins the per-probe distance TABLE
-      // (M·K·|probes| rows, broadcast) against codes — the corpus side
-      // never shuffles until the ≤|probes|·k top-k cut.
-      import org.apache.spark.sql.expressions.Window
-      val dv = Tables.embeddings(s, d).select(col("vec_id"),
-        expr(s"transform(${SimilarityOps.toDoubleSpark("embedding")}, " +
-          s"x -> CAST(floor(x * $PqQuant) AS BIGINT))").as("q"))
-      val sub = dv.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${PqM - 1}), j -> named_struct(" +
-          s"'j', j, 's', slice(q, CAST(j * $PqSub + 1 AS INT), $PqSub)))"))
-        .as("p"))
-        .select(col("vec_id"), col("p.j").as("j"), col("p.s").as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val seed = sub
-        .filter(col("vec_id").between(PqCentLo, PqCentLo + PqK - 1))
-        .select(col("vec_id").as("c"), col("j").as("cj"), col("s").as("cs"))
-      val d2Expr = expr(
-        "aggregate(zip_with(s, cs, (x, y) -> (x - y) * (x - y)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-      // one Lloyd step: nearest seed per subvector (hash agg, not a
-      // window — min_by over the total order (d2, c) needs no sort),
-      // then per-(code, dim) integer means
-      val assign0 = sub.join(broadcast(seed), col("j") === col("cj"))
-        .withColumn("d2", d2Expr)
-        .groupBy(col("vec_id"), col("j"))
-        .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("c"),
-          first(col("s")).as("s"))
-      val means = assign0
-        .select(col("j"), col("c"), posexplode(col("s")).as(Seq("dim0", "v")))
-        .groupBy(col("j"), col("c"), col("dim0"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .withColumn("mv", expr("(sv - pmod(sv, n)) div n"))
-        .groupBy(col("j").as("tj"), col("c").as("tc"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim0, mv))), " +
-          "x -> x.mv)").as("ms"))
-      val book = seed
-        .join(means, col("cj") === col("tj") && col("c") === col("tc"), "left")
-        .select(col("c"), col("cj"), coalesce(col("ms"), col("cs")).as("cs"))
-      val dist = sub.join(broadcast(book), col("j") === col("cj"))
-        .withColumn("d2", d2Expr)
-        .select(col("vec_id"), col("j"), col("c"), col("d2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w1 = Window.partitionBy(col("vec_id"), col("j"))
-        .orderBy(col("d2"), col("c"))
-      val codes = dist.withColumn("rk", row_number().over(w1))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("j"), col("c").as("code"))
-      val dtab = dist.filter(col("vec_id") < ProbeN)
-        .select(col("vec_id").as("probe_id"), col("j").as("dj"),
-          col("c").as("dc"), col("d2"))
-      val adc = codes
-        .join(broadcast(dtab),
-          col("j") === col("dj") && col("code") === col("dc"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .groupBy(col("probe_id"), col("vec_id"))
-        .agg(sum(col("d2")).as("adc_dist"))
-      val w2 = Window.partitionBy(col("probe_id"))
-        .orderBy(col("adc_dist"), col("vec_id"))
-      val out = adc.withColumn("rk", row_number().over(w2).cast("long"))
-        .filter(col("rk") <= LshK)
-      core.Materialize.detached(out) {
-        dist.unpersist(blocking = false)
-        sub.unpersist(blocking = false)
-      }
+      val (out, release) = pqAdcPlan(s, d)
+      core.Materialize.detached(out)(release())
+    }),
+
+    // ---- IVFADC: coarse inverted lists × PQ residual codes --------------
+    "q120_ivfadc" -> ((s, d) => {
+      val (out, release) = ivfadcPlan(s, d)
+      core.Materialize.detached(out)(release())
     }),
 
     // ---- count-min sketch as relational state ---------------------------
@@ -1725,6 +1720,161 @@ object LlmEntry {
       .limit(DsirTopK)
       .select(col("doc_id"), col("source"), col("n_feats"), col("weight"))
     (out, () => feats.unpersist(blocking = false))
+  }
+
+  /** q119 plan builder (un-detached for PlanAuditSpec/ScaleBench).
+    *
+    * PQ — the missing member of the ANN tier (LSH q39/q47 buckets, IVF
+    * q46 partitions; PQ COMPRESSES): vectors become M sub-codes (here
+    * 8×5 bits vs 64 floats, a 64× memory cut), and retrieval scores
+    * candidates WITHOUT touching raw vectors via asymmetric distance
+    * (ADC): per probe, an M×K table of exact probe-subvector→centroid
+    * distances; a candidate's approximate distance is Σ_j
+    * table[j, code_j] — M lookups per candidate. Everything integer:
+    * coordinates on a 1/PqQuant grid, squared L2 in BIGINT, so codes
+    * AND rankings are oracle-bit-exact. Codebook: seeded then
+    * ONE-Lloyd-step trained in-plan — see [[pqTrainedBook]]
+    * (AnnRecallSpec measured +44% ADC recall from exactly this step
+    * before it shipped, and pins the shipped top-k sets ≡ the
+    * in-memory trained ADC; a production build iterates the same
+    * fixed-horizon step and uses K=256).
+    *
+    * Scale shape: both the assignment pass and the final encode are
+    * corpus×M×K rows (constants M, K) against a BROADCAST codebook;
+    * the Lloyd shuffle is corpus×M rows hash-aggregated (min_by, no
+    * sort) then a ≤ M·K·PqSub-cell mean table; code assignment is a
+    * rank-1 window per (vec, j) → WindowGroupLimit, tie-pinned by
+    * (d2, c); ADC joins the per-probe distance TABLE (M·K·|probes|
+    * rows, broadcast) against codes — the corpus side never shuffles
+    * until the ≤|probes|·k top-k cut. This is classic exhaustive-ADC
+    * PQ (compression tier); [[ivfadcPlan]] composes the same codes
+    * with IVF partitioning into the scanned-fraction retrieval tier.
+    */
+  private[graft] def pqAdcPlan(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val dv = Tables.embeddings(s, d).select(col("vec_id"),
+      expr(s"transform(${SimilarityOps.toDoubleSpark("embedding")}, " +
+        s"x -> CAST(floor(x * $PqQuant) AS BIGINT))").as("q"))
+    val sub = dv.select(col("vec_id"), explode(pqSubvectors("q")).as("p"))
+      .select(col("vec_id"), col("p.j").as("j"), col("p.s").as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val book = pqTrainedBook(sub)
+    val dist = sub.join(broadcast(book), col("j") === col("cj"))
+      .withColumn("d2", pqD2Spark("s", "cs"))
+      .select(col("vec_id"), col("j"), col("c"), col("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w1 = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2"), col("c"))
+    val codes = dist.withColumn("rk", row_number().over(w1))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("j"), col("c").as("code"))
+    val dtab = dist.filter(col("vec_id") < ProbeN)
+      .select(col("vec_id").as("probe_id"), col("j").as("dj"),
+        col("c").as("dc"), col("d2"))
+    val adc = codes
+      .join(broadcast(dtab),
+        col("j") === col("dj") && col("code") === col("dc"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_dist"))
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    val out = adc.withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= LshK)
+    (out, () => {
+      dist.unpersist(blocking = false)
+      sub.unpersist(blocking = false)
+    })
+  }
+
+  /** q120 plan builder (un-detached for PlanAuditSpec/ScaleBench).
+    *
+    * The composed production ANN (faiss's IndexIVFPQ): q46's coarse
+    * partitioning and q119's PQ compression were each measured alone;
+    * a billion-vector deployment needs them TOGETHER — exhaustive ADC
+    * still scans corpus×M×K rows, while IVFADC scans only the nprobe
+    * probed lists' codes. Mechanics: every vector is assigned to its
+    * nearest coarse centroid (integer squared L2, min_by hash agg —
+    * no window), PQ encodes the RESIDUAL q − centroid (residuals
+    * concentrate near zero, which is what makes a shared codebook
+    * work across cells), and a probe searches its nprobe nearest
+    * cells with a PER-CELL ADC table built from ITS residual against
+    * that cell's centroid. All on the 1/PqQuant integer grid → codes,
+    * tables, and rankings are oracle-bit-exact. Codebook:
+    * [[pqTrainedBook]] on residual subvectors (seed + one Lloyd step,
+    * same trainer as q119).
+    *
+    * Scale shape: cost tracks nprobe, not corpus — the coarse
+    * assignment and encode are broadcast passes (8 centroids / M·K
+    * codebook rows); the ADC table is |probes|·nprobe·M·K rows
+    * BROADCAST into a map-side join that drops every vector outside
+    * the probed cells before any shuffle (the join key includes cid);
+    * the only corpus-keyed shuffle is the candidate aggregate
+    * (≈ nprobe/|cells| of the corpus), and the final cut is a
+    * WindowGroupLimit of ≤ |probes|·k rows. |cells| scales as √N
+    * (q46's note), holding both the assignment broadcast and the
+    * per-cell lists balanced at 10⁹ vectors.
+    */
+  private[graft] def ivfadcPlan(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val dv = Tables.embeddings(s, d).select(col("vec_id"),
+      expr(s"transform(${SimilarityOps.toDoubleSpark("embedding")}, " +
+        s"x -> CAST(floor(x * $PqQuant) AS BIGINT))").as("q"))
+    val coarse = dv
+      .filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
+      .select(col("vec_id").as("cc"), col("q").as("cq"))
+    val cd2 = pqD2Spark("q", "cq") // same form; 64-dim arrays here
+    val assigned = dv.crossJoin(broadcast(coarse))
+      .withColumn("cd2", cd2)
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cc"), col("cq")),
+        struct(col("cd2"), col("cc"))).as("a"), first(col("q")).as("q"))
+      .select(col("vec_id"), col("a.cc").as("cid"),
+        expr("zip_with(q, a.cq, (x, y) -> x - y)").as("r"))
+    val rsub = assigned
+      .select(col("vec_id"), col("cid"), explode(pqSubvectors("r")).as("p"))
+      .select(col("vec_id"), col("cid"), col("p.j").as("j"),
+        col("p.s").as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val book = pqTrainedBook(rsub.select("vec_id", "j", "s"))
+    val codes = rsub.join(broadcast(book), col("j") === col("cj"))
+      .withColumn("d2", pqD2Spark("s", "cs"))
+      .groupBy(col("vec_id"), col("cid"), col("j"))
+      .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("code"))
+    // probe side: nprobe nearest cells, residual PER PROBED CELL
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cd2"), col("cc"))
+    val plists = dv.filter(col("vec_id") < ProbeN)
+      .crossJoin(broadcast(coarse))
+      .withColumn("cd2", cd2)
+      .withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= IvfNprobe)
+      .select(col("vec_id").as("probe_id"), col("cc").as("pcid"),
+        expr("zip_with(q, cq, (x, y) -> x - y)").as("pr"))
+    val prsub = plists
+      .select(col("probe_id"), col("pcid"),
+        explode(pqSubvectors("pr")).as("p"))
+      .select(col("probe_id"), col("pcid"), col("p.j").as("dj"),
+        col("p.s").as("s"))
+    val dtab = prsub.join(broadcast(book), col("dj") === col("cj"))
+      .withColumn("pd2", pqD2Spark("s", "cs"))
+      .select(col("probe_id"), col("pcid"), col("dj"),
+        col("c").as("dc"), col("pd2"))
+    val adc = codes.join(broadcast(dtab),
+        col("cid") === col("pcid") && col("j") === col("dj") &&
+          col("code") === col("dc"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"), col("cid"))
+      .agg(sum(col("pd2")).as("adc_dist"))
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    val out = adc.withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= LshK)
+      .select(col("probe_id"), col("vec_id"), col("cid"),
+        col("adc_dist"), col("rk"))
+    (out, () => rsub.unpersist(blocking = false))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2791,34 +2941,10 @@ object LlmEntry {
          |cent AS (
          |  SELECT vec_id AS c, j, s AS cs FROM sub
          |  WHERE vec_id BETWEEN $PqCentLo AND ${PqCentLo + PqK - 1}),
-         |assign0 AS (
-         |  SELECT vec_id, j, s, c FROM (
-         |    SELECT v.vec_id, v.j, v.s, c.c,
-         |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
-         |        list_reduce(list_prepend(0::BIGINT,
-         |          list_transform(range(1, $PqSub + 1),
-         |            i -> (v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i]))),
-         |          (acc, x) -> acc + x), c.c) AS rk
-         |    FROM sub v JOIN cent c USING (j))
-         |  WHERE rk = 1),
-         |sums AS (
-         |  SELECT j, c, dim, CAST(sum(s[dim]) AS BIGINT) AS sv,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM assign0, (SELECT unnest(range(1, $PqSub + 1)) AS dim) dims
-         |  GROUP BY j, c, dim),
-         |trained AS (
-         |  SELECT j, c,
-         |    list((sv - ((sv % n + n) % n)) // n ORDER BY dim) AS ms
-         |  FROM sums GROUP BY j, c),
-         |book AS (
-         |  SELECT ct.c, ct.j, coalesce(t.ms, ct.cs) AS cs
-         |  FROM cent ct LEFT JOIN trained t ON ct.j = t.j AND ct.c = t.c),
+         |$pqBookCtesDuck,
          |dist AS (
          |  SELECT v.vec_id, v.j, c.c,
-         |    list_reduce(list_prepend(0::BIGINT,
-         |      list_transform(range(1, $PqSub + 1),
-         |        i -> (v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i]))),
-         |      (acc, x) -> acc + x) AS d2
+         |    ${pqD2Duck("v.s", "c.cs")} AS d2
          |  FROM sub v JOIN book c USING (j)),
          |codes AS (
          |  SELECT vec_id, j, c AS code FROM (
@@ -2840,6 +2966,82 @@ object LlmEntry {
          |      ORDER BY adc_dist, vec_id) AS BIGINT) AS rk
          |  FROM adc)
          |WHERE rk <= $LshK""".stripMargin,
+
+    // q120 mirror: identical coarse assignment (full-width integer L2,
+    // (cd2, cc) tie order), identical residuals, the shared trained-book
+    // CTEs over residual subvectors, identical per-cell ADC tables and
+    // (adc_dist, vec_id) final order
+    "q120_ivfadc" -> {
+      val dims = PqM * PqSub
+      def cd2(q: String, cq: String) =
+        s"""list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(range(1, ${dims + 1}),
+           |        i -> ($q[i] - $cq[i]) * ($q[i] - $cq[i]))),
+           |      (acc, x) -> acc + x)""".stripMargin
+      s"""WITH dv AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * $PqQuant) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |coarse AS (
+         |  SELECT vec_id AS cc, q AS cq FROM dv
+         |  WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+         |cassign AS (
+         |  SELECT vec_id, cc AS cid,
+         |    list_transform(range(1, ${dims + 1}), i -> q[i] - cq[i]) AS r
+         |  FROM (
+         |    SELECT d.vec_id, d.q, c.cc, c.cq,
+         |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |        ${cd2("d.q", "c.cq")}, c.cc) AS rk
+         |    FROM dv d, coarse c)
+         |  WHERE rk = 1),
+         |sub AS (
+         |  SELECT vec_id, cid, j,
+         |    list_slice(r, j * $PqSub + 1, j * $PqSub + $PqSub) AS s
+         |  FROM (SELECT vec_id, cid, r, unnest(range(0, $PqM)) AS j
+         |        FROM cassign)),
+         |cent AS (
+         |  SELECT vec_id AS c, j, s AS cs FROM sub
+         |  WHERE vec_id BETWEEN $PqCentLo AND ${PqCentLo + PqK - 1}),
+         |$pqBookCtesDuck,
+         |codes AS (
+         |  SELECT vec_id, cid, j, c AS code FROM (
+         |    SELECT v.vec_id, v.cid, v.j, b.c,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+         |        ${pqD2Duck("v.s", "b.cs")}, b.c) AS rk
+         |    FROM sub v JOIN book b USING (j))
+         |  WHERE rk = 1),
+         |passign AS (
+         |  SELECT vec_id AS probe_id, cc AS pcid,
+         |    list_transform(range(1, ${dims + 1}), i -> q[i] - cq[i]) AS pr
+         |  FROM (
+         |    SELECT d.vec_id, d.q, c.cc, c.cq,
+         |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |        ${cd2("d.q", "c.cq")}, c.cc) AS rk
+         |    FROM dv d, coarse c WHERE d.vec_id < $ProbeN)
+         |  WHERE rk <= $IvfNprobe),
+         |prsub AS (
+         |  SELECT probe_id, pcid, j,
+         |    list_slice(pr, j * $PqSub + 1, j * $PqSub + $PqSub) AS ps
+         |  FROM (SELECT probe_id, pcid, pr, unnest(range(0, $PqM)) AS j
+         |        FROM passign)),
+         |dtab AS (
+         |  SELECT p.probe_id, p.pcid, p.j, b.c,
+         |    ${pqD2Duck("p.ps", "b.cs")} AS pd2
+         |  FROM prsub p JOIN book b USING (j)),
+         |adc AS (
+         |  SELECT d.probe_id, co.vec_id, co.cid,
+         |    CAST(sum(d.pd2) AS BIGINT) AS adc_dist
+         |  FROM codes co JOIN dtab d
+         |    ON co.cid = d.pcid AND co.j = d.j AND co.code = d.c
+         |  WHERE co.vec_id <> d.probe_id
+         |  GROUP BY d.probe_id, co.vec_id, co.cid)
+         |SELECT probe_id, vec_id, cid, adc_dist, rk FROM (
+         |  SELECT probe_id, vec_id, cid, adc_dist,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY adc_dist, vec_id) AS BIGINT) AS rk
+         |  FROM adc)
+         |WHERE rk <= $LshK""".stripMargin
+    },
 
     // q117 mirror: same rolling hash, same row-hash family via 1-based
     // array-literal indexing, same left joins + coalesce for absent keys

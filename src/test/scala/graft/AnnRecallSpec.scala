@@ -147,6 +147,58 @@ class AnnRecallSpec extends SparkTestBase {
       "shipped q119 top-k sets diverge from the in-memory Lloyd-trained ADC")
   }
 
+  test("IVFADC (q120) recall sits under its exact-IVF ceiling and above its floor") {
+    // q120 scans nprobe=3 of 8 cells. Its recall is bounded above by
+    // "exact L2 over exactly those cells' members" — any true neighbor
+    // inside the scanned cells is, by definition of the global top-k,
+    // also in the scanned cells' top-k, so that ceiling equals the
+    // fraction of true neighbors the probed cells capture; ADC
+    // approximation can only lose from there. Both sides computed on
+    // the same integer grid with the same tie orders.
+    val coarseIds = (100L to 107L).toSeq
+    val cellOf: Map[Long, Long] = vecs.map { case (id, v) =>
+      id -> coarseIds.minBy(c => (d2(v, vecs(c)), c))
+    }
+    val probedCells: Map[Long, Set[Long]] = l2Truth.keys.map { p =>
+      p -> coarseIds.sortBy(c => (d2(vecs(p), vecs(c)), c)).take(3).toSet
+    }.toMap
+    val ceilingSets: Map[Long, Set[Long]] = l2Truth.keys.map { p =>
+      val cells = probedCells(p)
+      p -> vecs.keys.filter(id => id != p && cells(cellOf(id))).toSeq
+        .map(id => (d2(vecs(p), vecs(id)), id))
+        .sorted.take(K).map(_._2).toSet
+    }.toMap
+    def recallOf(sets: Map[Long, Set[Long]]): Double = {
+      val per = l2Truth.map { case (p, t) =>
+        sets.getOrElse(p, Set.empty[Long]).count(t).toDouble / t.size }
+      per.sum / per.size
+    }
+    val ceiling = recallOf(ceilingSets)
+    val got = topSets("q120_ivfadc")
+    val ivfadc = recallOf(got)
+    info(f"recall@$K%d ivfadc=$ivfadc%.3f (nprobe 3/8), exact-IVF ceiling=$ceiling%.3f")
+    assert(ivfadc <= ceiling + 1e-9,
+      f"IVFADC ($ivfadc%.3f) above its exact-scan ceiling ($ceiling%.3f)?!")
+    // every returned neighbor must come from a probed cell — the
+    // scanned-fraction contract (cost tracks nprobe) made observable
+    val byCell = SparkEntry.queries("q120_ivfadc")(spark, dir)
+      .select("probe_id", "vec_id", "cid").collect()
+    byCell.foreach { r =>
+      assert(probedCells(r.getLong(0))(r.getLong(2)),
+        s"probe ${r.getLong(0)} returned a vector from unprobed cell ${r.getLong(2)}")
+      assert(cellOf(r.getLong(1)) === r.getLong(2),
+        s"vec ${r.getLong(1)} reported in cell ${r.getLong(2)} but lives in ${cellOf(r.getLong(1))}")
+    }
+    // measured 0.120 ≈ exhaustive-ADC quality (0.26) × probed-cell
+    // capture (0.46): on UNIFORM embeddings the two losses compose
+    // multiplicatively, which is exactly the cost/recall trade IVFADC
+    // sells — same codes as q119 at ~nprobe/|cells| of its scan cost.
+    // (The composition can never beat the exact-IVF ceiling at equal
+    // nprobe; its production levers are nprobe, more Lloyd steps, and
+    // K=256 — on clustered real corpora all three bite harder.)
+    assert(ivfadc >= 0.1, f"IVFADC recall $ivfadc%.3f below floor")
+  }
+
   test("ANN output is sound: ranks dense from 1, scores non-increasing") {
     for (name <- Seq("q39_cosine_lsh_topk", "q47_lsh_multiprobe",
         "q46_ivf_topk")) {

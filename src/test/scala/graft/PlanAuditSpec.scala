@@ -23,7 +23,10 @@ class PlanAuditSpec extends SparkTestBase {
     // q114: a broadcast single-row N (bigram total); q115: the corpus ×
     // broadcast eval-probe screen — the q38 cost model (probe set is
     // small by construction; the corpus side never shuffles)
-    "q114_pmi_bigrams", "q115_semantic_decontam")
+    "q114_pmi_bigrams", "q115_semantic_decontam",
+    // q120: corpus × broadcast coarse-centroid set (8 rows), the q46
+    // assignment shape
+    "q120_ivfadc")
 
   test("every query plan: no raw cartesian, broadcast where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -182,6 +185,85 @@ class PlanAuditSpec extends SparkTestBase {
       s"q106 lost its broadcast query-term join:\n${plan.take(800)}")
     assert(plan.contains("WindowGroupLimit"),
       s"q106 top-k is not map-side trimmed (no WindowGroupLimit):\n${plan.take(800)}")
+  }
+
+  test("q114: marginals come from the cached bigram table, N rides a broadcast scalar") {
+    // PMI's 100-TB cost model: the token stream is exploded ONCE into
+    // the persisted bigram table; c_a, c_b, and N are all re-aggregated
+    // from that cache (≤ |vocab|² rows), never by re-scanning documents.
+    // In the plan text every InMemoryTableScan leaf prints its cached
+    // subtree (which contains the one Generate explode + FileScan), so
+    // the invariant is: explodes appear ONLY inside those cached-plan
+    // printouts — one per InMemoryRelation, none in the live tree —
+    // and all four consumers (filtered c_ab, c_a, c_b, N) read the
+    // cache. The single-row N joins as a broadcast nested loop.
+    val (df, release) = LlmEntry.pmiPlanOn(
+      graft.core.Tables.documents(spark, sf))
+    val plan = df.queryExecution.executedPlan.toString
+    release()
+    val explodes = "Generate explode".r.findAllIn(plan).size
+    val cachedPlans = "InMemoryRelation".r.findAllIn(plan).size
+    assert(explodes == cachedPlans,
+      s"q114 re-explodes the token stream outside the bigram cache " +
+        s"($explodes explodes, $cachedPlans cached plans):\n${plan.take(800)}")
+    val cacheReads = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cacheReads >= 4,
+      s"q114 marginals lost the bigram-table cache ($cacheReads reads):\n${plan.take(800)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q114's N is not a broadcast scalar:\n${plan.take(800)}")
+  }
+
+  test("q118: source overlap is an equi self-join on the shingle hash") {
+    // the bounded-fanout claim of L57: |A∩B| must come from a HASH/MERGE
+    // equi join keyed on the shingle hash (per-shingle fanout ≤
+    // |sources|²), never a nested loop or cartesian over shingle sets
+    val (df, release) = LlmEntry.overlapPlanOn(
+      graft.core.Tables.documents(spark, sf))
+    val plan = df.queryExecution.executedPlan.toString
+    release()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q118 fell out of the equi-join family:\n${plan.take(800)}")
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        (l.contains("BroadcastHashJoin") && l.contains("h#")))
+    assert(joinLine.exists(_.contains("h#")),
+      s"the shingle hash is not a join key:\n${joinLine.getOrElse(plan.take(800))}")
+  }
+
+  test("q119: codes and final cut are WindowGroupLimits, codebook and ADC table broadcast") {
+    // exhaustive-ADC's cost model: rank-1 code assignment and the
+    // per-probe top-k must both trim map-side (WindowGroupLimit), and
+    // the only joins the corpus side sees are BROADCAST hash joins
+    // (trained codebook; per-probe distance table)
+    val (df, release) = LlmEntry.pqAdcPlan(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    release()
+    val wgl = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(wgl >= 2,
+      s"q119 expected 2 WindowGroupLimits (codes, top-k), found $wgl:\n${plan.take(800)}")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2,
+      s"q119 expected broadcast codebook + ADC-table joins, found $bhj:\n${plan.take(800)}")
+  }
+
+  test("q120: candidate drop is a broadcast join keyed on the cell, assignment combines map-side") {
+    // IVFADC's scanned-fraction contract: the ADC table joins the code
+    // table by BROADCAST with the cell id in the key (vectors outside
+    // probed cells drop before any shuffle), coarse/code assignment is
+    // a min_by hash aggregate with a map-side partial (no sort, no
+    // window over the corpus), and the final cut is a WindowGroupLimit
+    val (df, release) = LlmEntry.ivfadcPlan(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    release()
+    val bhjCell = plan.linesIterator.find(l =>
+      l.contains("BroadcastHashJoin") && l.contains("pcid"))
+    assert(bhjCell.isDefined,
+      s"q120's ADC-table join is not broadcast-keyed on the cell:\n${plan.take(1000)}")
+    assert(plan.contains("partial_min_by"),
+      s"q120's assignment lost its map-side partial min_by:\n${plan.take(1000)}")
+    assert(plan.contains("WindowGroupLimit"),
+      s"q120's final cut is not a WindowGroupLimit:\n${plan.take(1000)}")
   }
 
   test("q107: llr table broadcasts back and the report is a distributed top-k") {
