@@ -62,6 +62,7 @@ object LlmEntry {
   private val CmsWidth = 256L     // q117 count-min width (over ≤ εN, ε≈e/W)
   private val CmsA = Seq(31L, 131L, 313L, 821L) // q117 row-hash multipliers
   private val CmsB = Seq(7L, 101L, 271L, 631L)  // q117 row-hash offsets
+  private val PipeCapPerSource = 20L // q121 per-source cap (pipeline stage 1)
   private val PqM = 8             // q119 subquantizers (64 dims / 8)
   private val PqSub = 8           // q119 dims per subvector
   private val PqK = 32            // q119 codes per subquantizer (5 bits)
@@ -1416,6 +1417,12 @@ object LlmEntry {
       core.Materialize.detached(out)(release())
     }),
 
+    // ---- end-to-end curation pipeline -----------------------------------
+    "q121_curation_pipeline" -> ((s, d) => {
+      val (out, release) = curationPlan(s, d)
+      core.Materialize.detached(out)(release())
+    }),
+
     // ---- count-min sketch as relational state ---------------------------
     "q117_cms_reagg" -> ((s, d) => {
       // Count-min sketch built, persisted, and RE-AGGREGATED relationally
@@ -1875,6 +1882,177 @@ object LlmEntry {
       .select(col("probe_id"), col("vec_id"), col("cid"),
         col("adc_dist"), col("rk"))
     (out, () => rsub.unpersist(blocking = false))
+  }
+
+  /** q121 plan builder (un-detached for PlanAuditSpec).
+    *
+    * The integration query a real 100-TB curation RUN is — five
+    * already-audited operators composed into one job over the planted-
+    * duplicate corpus, with per-source attrition accounting:
+    *
+    *   1. CAP     — q113's per-source cap (rank ≤ PipeCapPerSource over
+    *                (n_uniq DESC, doc_id) → WindowGroupLimit);
+    *   2. QUALITY — q101's whole-bit unigram surprisal, LM fit on the
+    *                stage-1 survivors; flagged docs (bits·16 > 65·n)
+    *                drop, token-less docs pass (LEFT join + coalesce);
+    *   3. EXACT   — q33's normalized content hash, keep-min-doc_id
+    *                (rank-1 window on the 32-char hash key);
+    *   4. NEAR    — q36's MinHash-LSH candidates + Jaccard ≥ 0.6
+    *                verify; a doc drops when ANY qualifying pair names
+    *                it as the higher id (keep-first, q95's rule);
+    *   5. DECONTAM— q89's two-tier screen against the benchmark
+    *                shingle universe (bloom pre-drop map-side, exact
+    *                verify for suspects); bench docs themselves leave
+    *                the training set here;
+    *   6. MIX     — q102's temperature weights (α = ½) over the
+    *                survivors, then ACTUAL selection: top-target_docs
+    *                per source in the stage-1 quality order.
+    *
+    * Output: one row per input source — doc counts after every stage,
+    * the mix weight, and the selected count. All counts integer; the
+    * weight/target arithmetic is q102's pinned-order fold.
+    *
+    * Scale notes: each stage keeps its audited shape (cap:
+    * WindowGroupLimit; LM: one corpus-wide (doc, tok) shuffle + an
+    * unhinted vocabulary join; dedup: banded candidates only; screen:
+    * ~300 KB bloom broadcast); the corpus is shingled ONCE (sh0) and
+    * reused by stages 4 and 5; the accounting joins are |sources|-row
+    * broadcasts. The dynamic per-source limit in stage 6 is a
+    * rank-filter against a joined target (not a constant k, so no
+    * WindowGroupLimit — it trims at the filter, k rows per source
+    * survive the window's sort).
+    */
+  private[graft] def curationPlan(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      col("text"))
+    // the q33/q36 planted-duplicate corpus, with source carried through
+    // (copies inherit the original's source)
+    val exact = docs.filter(col("doc_id") < DedupOps.ExactCopyN)
+      .select((col("doc_id") + DedupOps.ExactCopyOffset).as("doc_id"),
+        col("source"), col("text"))
+    val near = docs.filter(col("doc_id") < DedupOps.NearCopyN)
+      .select((col("doc_id") + DedupOps.NearCopyOffset).as("doc_id"),
+        col("source"),
+        expr(s"substr(text, length(element_at(${tokensSpark("text")}, 1)) + 2)")
+          .as("text"))
+    val c0 = docs.unionAll(exact).unionAll(near)
+      .withColumn("n_uniq",
+        expr(s"CAST(size(array_distinct(${tokensSpark("text")})) AS BIGINT)"))
+      .persist(lvl)
+    // stage 1: per-source cap
+    val w1 = Window.partitionBy(col("source"))
+      .orderBy(col("n_uniq").desc, col("doc_id"))
+    val s1 = c0.withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= PipeCapPerSource).drop("rk")
+      .persist(lvl)
+    // stage 2: unigram-surprisal quality filter, LM fit on s1
+    val pair = s1
+      .select(col("doc_id"), explode(expr(tokensSpark("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+      .persist(lvl)
+    val tf = pair.groupBy(col("tok")).agg(sum(col("k")).as("cnt"))
+    val nTot = tf.agg(sum(col("cnt")).as("n"))
+    val tokBits = tf.crossJoin(broadcast(nTot))
+      .select(col("tok"),
+        expr("CAST(length(bin(n DIV cnt)) - 1 AS BIGINT)").as("bits"))
+    val docBits = pair.join(tokBits, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * col("bits")).as("bits"), sum(col("k")).as("n_toks"))
+    val s2 = s1.join(docBits, Seq("doc_id"), "left")
+      .filter(coalesce(
+        col("bits") * SurprisalFlagDen <= col("n_toks") * SurprisalFlagNum,
+        lit(true)))
+      .select(col("doc_id"), col("source"), col("text"), col("n_uniq"))
+    // stage 3: exact dedup, keep-first on the normalized content hash
+    val w3 = Window.partitionBy(col("ch")).orderBy(col("doc_id"))
+    val s3 = s2.withColumn("ch", DedupOps.contentHashSpark())
+      .withColumn("rk", row_number().over(w3))
+      .filter(col("rk") === 1).drop("ch", "rk")
+      .persist(lvl)
+    // one shingle pass serves BOTH stage 4 (survivor dedup) and stage 5
+    // (bench universe): sh0 covers all of c0, filtered per use
+    val sh0 = DedupOps.shingled(c0.select(col("doc_id"), col("text")))
+      .persist(lvl)
+    val survSh = sh0.join(s3.select(col("doc_id")), "doc_id")
+    // stage 4: near dedup over survivors (banded candidates only)
+    val sig = DedupOps.signaturesFromShingles(survSh)
+    val cand = DedupOps.candidatePairs(DedupOps.lshBucketsFromSig(sig))
+    val nearDrop = DedupOps
+      .jaccardVerifyShingled(survSh, cand, JaccardThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    val s4 = s3.join(nearDrop, Seq("doc_id"), "left_anti")
+    // stage 5: decontamination against the benchmark shingle universe
+    // (fixed eval suite: bench docs of the BASE corpus, q89's set)
+    val isBench = col("doc_id") % BenchMod === 0 &&
+      col("doc_id") < DedupOps.NearCopyOffset
+    val bench = sh0.filter(isBench).select(explode(col("sh")).as("h"))
+      .distinct()
+      .persist(lvl)
+    val bloom = bench
+      .agg(expr(s"bloom_build(h, ${BloomExpected}L, ${BloomFpp}d)"))
+      .head.getAs[Array[Byte]](0)
+    val s4sh = sh0.join(s4.select(col("doc_id")), "doc_id")
+      .filter(!isBench)
+    val suspects = s4sh.filter(size(filter(col("sh"),
+        x => call_function("bloom_might_contain", lit(bloom), x)))
+        >= ScreenMinHits)
+    val contam = suspects
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= ScreenMinHits)
+      .select(col("doc_id"))
+    val s5 = s4.filter(!isBench)
+      .join(contam, Seq("doc_id"), "left_anti")
+      .persist(lvl)
+    // stage 6: temperature mixing over survivors + actual selection
+    val counts5 = s5.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val z = counts5.agg(expr(
+      """aggregate(array_sort(collect_list(sqrt(CAST(n_docs AS DOUBLE)))),
+        |  CAST(0.0 AS DOUBLE), (a, x) -> a + x)""".stripMargin).as("z"))
+    val targets = counts5.crossJoin(broadcast(z))
+      .select(col("source"),
+        (sqrt(col("n_docs").cast("double")) / col("z")).as("weight"),
+        expr(s"CAST(floor($MixTargetDocs * sqrt(CAST(n_docs AS DOUBLE)) / z) AS BIGINT)")
+          .as("target_docs"))
+    val w6 = Window.partitionBy(col("source"))
+      .orderBy(col("n_uniq").desc, col("doc_id"))
+    val nSel = s5.withColumn("rk", row_number().over(w6))
+      .join(targets, "source")
+      .filter(col("rk") <= col("target_docs"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_selected"))
+    // per-source attrition accounting (|sources|-row joins)
+    def stageCount(df: DataFrame, name: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    val out = stageCount(c0, "n_input")
+      .join(stageCount(s1, "n_cap"), Seq("source"), "left")
+      .join(stageCount(s2, "n_quality"), Seq("source"), "left")
+      .join(stageCount(s3, "n_exact"), Seq("source"), "left")
+      .join(stageCount(s4, "n_near"), Seq("source"), "left")
+      .join(stageCount(s5, "n_decontam"), Seq("source"), "left")
+      .join(targets, Seq("source"), "left")
+      .join(nSel, Seq("source"), "left")
+      .select(col("source"), col("n_input"),
+        coalesce(col("n_cap"), lit(0L)).as("n_cap"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("n_decontam"), lit(0L)).as("n_decontam"),
+        coalesce(col("weight"), lit(0.0)).as("weight"),
+        coalesce(col("target_docs"), lit(0L)).as("target_docs"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"))
+    (out, () => {
+      s5.unpersist(blocking = false)
+      bench.unpersist(blocking = false)
+      sh0.unpersist(blocking = false)
+      s3.unpersist(blocking = false)
+      pair.unpersist(blocking = false)
+      s1.unpersist(blocking = false)
+      c0.unpersist(blocking = false)
+    })
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3042,6 +3220,121 @@ object LlmEntry {
          |  FROM adc)
          |WHERE rk <= $LshK""".stripMargin
     },
+
+    // q121 mirror: the five stage mirrors chained verbatim — q113's
+    // window cap, q101's whole-bit LM (LEFT join + coalesce for
+    // token-less docs), q33's keep-first hash window, q36's
+    // LSH-candidate + Jaccard verify (drop the higher id of any
+    // qualifying pair), q89's all-exact screen (the Spark bloom is a
+    // pre-screen only), q102's pinned-order fold + floor targets
+    "q121_curation_pipeline" ->
+      s"""WITH c0 AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len(list_distinct(${tokensDuck("text")})) AS BIGINT) AS n_uniq
+         |  FROM (
+         |    SELECT doc_id, source, text FROM documents
+         |    UNION ALL SELECT doc_id + ${DedupOps.ExactCopyOffset} AS doc_id,
+         |      source, text FROM documents WHERE doc_id < ${DedupOps.ExactCopyN}
+         |    UNION ALL SELECT doc_id + ${DedupOps.NearCopyOffset} AS doc_id,
+         |      source, substr(text, length(${tokensDuck("text")}[1]) + 2) AS text
+         |      FROM documents WHERE doc_id < ${DedupOps.NearCopyN})),
+         |s1 AS (
+         |  SELECT doc_id, source, text, n_uniq FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source
+         |      ORDER BY n_uniq DESC, doc_id) AS rk FROM c0)
+         |  WHERE rk <= $PipeCapPerSource),
+         |pair AS (
+         |  SELECT doc_id, tok, count(*) AS k FROM (
+         |    SELECT doc_id, unnest(${tokensDuck("text")}) AS tok FROM s1)
+         |  GROUP BY doc_id, tok),
+         |tf AS (SELECT tok, CAST(sum(k) AS BIGINT) AS cnt FROM pair GROUP BY tok),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tf),
+         |tb AS (
+         |  SELECT tok, CAST(length(format('{:b}', n // cnt)) - 1 AS BIGINT) AS bits
+         |  FROM tf CROSS JOIN n),
+         |db AS (
+         |  SELECT doc_id, CAST(sum(k * bits) AS BIGINT) AS bits,
+         |    CAST(sum(k) AS BIGINT) AS n_toks
+         |  FROM pair JOIN tb USING (tok) GROUP BY doc_id),
+         |s2 AS (
+         |  SELECT s1.doc_id, source, text, n_uniq FROM s1 LEFT JOIN db USING (doc_id)
+         |  WHERE coalesce(bits * $SurprisalFlagDen
+         |    <= n_toks * $SurprisalFlagNum, TRUE)),
+         |s3 AS (
+         |  SELECT doc_id, source, text, n_uniq FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY ${DedupOps.contentHashDuck("text")}
+         |      ORDER BY doc_id) AS rk FROM s2)
+         |  WHERE rk = 1),
+         |corpus AS (SELECT doc_id, text FROM c0),
+         |shingled AS (${DedupOps.shingledDuckBody}),
+         |sigs AS (
+         |  SELECT doc_id, ${DedupOps.signatureDuck("sh")} AS sig FROM shingled
+         |  WHERE doc_id IN (SELECT doc_id FROM s3)),
+         |buckets AS (${DedupOps.lshBucketsDuckBody}),
+         |pairs AS (${DedupOps.candidatePairsDuckBody}),
+         |neardrop AS (
+         |  SELECT DISTINCT id_b AS doc_id FROM (
+         |    ${DedupOps.jaccardVerifyDuckBody(JaccardThreshold)})),
+         |s4 AS (
+         |  SELECT * FROM s3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+         |ex AS (SELECT doc_id, unnest(sh) AS h FROM shingled),
+         |benchsh AS (
+         |  SELECT DISTINCT h FROM ex
+         |  WHERE doc_id % $BenchMod = 0 AND doc_id < ${DedupOps.NearCopyOffset}),
+         |contam AS (
+         |  SELECT ex.doc_id FROM ex JOIN benchsh USING (h)
+         |  WHERE ex.doc_id IN (SELECT doc_id FROM s4)
+         |    AND NOT (ex.doc_id % $BenchMod = 0
+         |             AND ex.doc_id < ${DedupOps.NearCopyOffset})
+         |  GROUP BY ex.doc_id HAVING count(*) >= $ScreenMinHits),
+         |s5 AS (
+         |  SELECT * FROM s4
+         |  WHERE NOT (doc_id % $BenchMod = 0
+         |             AND doc_id < ${DedupOps.NearCopyOffset})
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |counts5 AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM s5
+         |  GROUP BY source),
+         |z AS (
+         |  SELECT list_reduce(
+         |    list_prepend(0.0::DOUBLE,
+         |      list_sort(list(sqrt(CAST(n_docs AS DOUBLE))))),
+         |    (a, x) -> a + x) AS z
+         |  FROM counts5),
+         |targets AS (
+         |  SELECT source, sqrt(CAST(n_docs AS DOUBLE)) / z AS weight,
+         |    CAST(floor($MixTargetDocs * sqrt(CAST(n_docs AS DOUBLE)) / z)
+         |      AS BIGINT) AS target_docs
+         |  FROM counts5 CROSS JOIN z),
+         |sel AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_selected FROM (
+         |    SELECT s5.source, target_docs, row_number() OVER (
+         |      PARTITION BY s5.source
+         |      ORDER BY n_uniq DESC, doc_id) AS rk
+         |    FROM s5 JOIN targets USING (source))
+         |  WHERE rk <= target_docs GROUP BY source),
+         |n0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_input FROM c0 GROUP BY source),
+         |n1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_cap FROM s1 GROUP BY source),
+         |n2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_quality FROM s2 GROUP BY source),
+         |n3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM s3 GROUP BY source),
+         |n4 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_near FROM s4 GROUP BY source),
+         |n5 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_decontam FROM s5 GROUP BY source)
+         |SELECT n0.source, n_input,
+         |  coalesce(n_cap, 0) AS n_cap,
+         |  coalesce(n_quality, 0) AS n_quality,
+         |  coalesce(n_exact, 0) AS n_exact,
+         |  coalesce(n_near, 0) AS n_near,
+         |  coalesce(n_decontam, 0) AS n_decontam,
+         |  coalesce(weight, 0.0) AS weight,
+         |  coalesce(target_docs, 0) AS target_docs,
+         |  coalesce(n_selected, 0) AS n_selected
+         |FROM n0
+         |LEFT JOIN n1 USING (source) LEFT JOIN n2 USING (source)
+         |LEFT JOIN n3 USING (source) LEFT JOIN n4 USING (source)
+         |LEFT JOIN n5 USING (source)
+         |LEFT JOIN targets USING (source) LEFT JOIN sel USING (source)""".stripMargin,
 
     // q117 mirror: same rolling hash, same row-hash family via 1-based
     // array-literal indexing, same left joins + coalesce for absent keys

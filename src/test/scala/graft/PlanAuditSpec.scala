@@ -93,7 +93,10 @@ class PlanAuditSpec extends SparkTestBase {
     // cached fixtures — assert the QUERIES add nothing persistent
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Seq("q16_cache_reuse", "q22_avgspeed_pipeline", "q35_minhash_pairs",
-        "q36_jaccard_verify").foreach { name =>
+        "q36_jaccard_verify",
+        // q121 pins SEVEN caches across five composed stages — the
+        // cross-operator uncache discipline is the point of the test
+        "q121_curation_pipeline").foreach { name =>
       SparkEntry.queries(name)(spark, sf).count()
     }
     // q35/q36 return localCheckpoint-backed results whose executor-local
@@ -264,6 +267,27 @@ class PlanAuditSpec extends SparkTestBase {
       s"q120's assignment lost its map-side partial min_by:\n${plan.take(1000)}")
     assert(plan.contains("WindowGroupLimit"),
       s"q120's final cut is not a WindowGroupLimit:\n${plan.take(1000)}")
+  }
+
+  test("q121: composed pipeline keeps its stages' audited shapes in one plan") {
+    // the integration claim: composition must not degrade any stage's
+    // plan — the cap still compiles to WindowGroupLimit, the near-dedup
+    // candidate join stays banded (equi keys incl. band_key, no nested
+    // loop on the corpus side), and the bench screen joins by broadcast
+    val (df, release) = LlmEntry.curationPlan(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    release()
+    assert(plan.contains("WindowGroupLimit"),
+      s"q121 lost the cap's group-limit pushdown:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"q121 has a raw cartesian:\n${plan.take(800)}")
+    val bandJoin = plan.linesIterator.find(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("band_key"))
+    assert(bandJoin.isDefined,
+      s"q121's near-dedup candidates are not a banded equi join:\n${plan.take(1000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q121's bench screen lost its broadcast join:\n${plan.take(800)}")
   }
 
   test("q107: llr table broadcasts back and the report is a distributed top-k") {
