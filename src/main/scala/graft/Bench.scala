@@ -18,8 +18,9 @@ import java.nio.file.{Files, Paths}
   *  - SPREAD-GATED RETRY (VERDICT r10 wrong-1: a contended host put
   *    0.7–2.7 s spreads on untouched queries and the published number
   *    carried them silently): when the tightest `Runs`-sized window of
-  *    a query's shots still spans more than `SpreadGate` (50%) of its
-  *    median, up to `MaxRetries` (2) extra shots are taken and the
+  *    a query's shots still spans more than its median-scaled gate
+  *    (`SpreadGate` 50%, tightening to `SpreadGateHeavy` 12% above a
+  *    2 s median — r13), up to `MaxRetries` (2) extra shots are taken and the
   *    tightest window of ALL shots is what's reported; the discarded
   *    shots and retry count ride in `bench_result.json`, and a query
   *    whose best window STILL exceeds the gate is flagged
@@ -49,6 +50,17 @@ object Bench {
     * the 2–7× swings contention produces.
     */
   private[graft] val SpreadGate = 0.5
+
+  /** Tighter relative gate for HEAVY queries (median > HeavyMedianSec):
+    * the absolute envelope a quiet host holds is roughly constant
+    * (~0.2 s), so on a 5 s median a 50% gate tolerates a 2.5 s spread —
+    * 10× the quiet envelope (r12: q108/q111 carried 0.5–0.7 s spreads
+    * under the gate yet dominated the residual bench noise). Scaling
+    * the threshold DOWN with the median buys those queries the same
+    * one-or-two gated extra shots the rest of the run gets.
+    */
+  private[graft] val SpreadGateHeavy = 0.12
+  private[graft] val HeavyMedianSec = 2.0
 
   /** Extra shots a gated query may take (bounded so one contended query
     * can't stall the whole run).
@@ -84,14 +96,18 @@ object Bench {
     */
   private[graft] val SpreadFloorSec = 0.1
 
-  /** True when a window of shots spans more than SpreadGate of its
-    * median AND more than the absolute floor — the retry trigger and
-    * the residual `contended` flag.
+  /** True when a window of shots spans more than its median-scaled gate
+    * fraction AND more than the absolute floor — the retry trigger and
+    * the residual `contended` flag. The gate fraction tightens from
+    * SpreadGate to SpreadGateHeavy once the median clears
+    * HeavyMedianSec (see those constants for the rationale).
     */
   private[graft] def gated(ts: Seq[Double]): Boolean =
     ts.length >= 2 && {
       val spread = ts.max - ts.min
-      spread > SpreadGate * median(ts) && spread > SpreadFloorSec
+      val med = median(ts)
+      val gate = if (med > HeavyMedianSec) SpreadGateHeavy else SpreadGate
+      spread > gate * med && spread > SpreadFloorSec
     }
 
   /** Unpersist every registered RDD block — the shared pre-shot hygiene
@@ -339,7 +355,11 @@ object Bench {
     val can =
       if (canary.size != 4) ""
       else s""","canary":{"single_s":[${canary(0)},${canary(2)}],"par_s":[${canary(1)},${canary(3)}]}"""
-    s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stream_setup_s":$setupSec$can,"queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+    // the gate parameters ride in the artifact so a diff reader knows
+    // WHICH retry policy produced the envelopes it is comparing
+    val gate = s""","gate":{"base":$SpreadGate,"heavy":$SpreadGateHeavy,""" +
+      s""""heavy_min_s":$HeavyMedianSec,"floor_s":$SpreadFloorSec}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stream_setup_s":$setupSec$can$gate,"queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
   }
 
   /** Compact single line for the driver's bounded tail window.

@@ -1921,6 +1921,18 @@ object LlmEntry {
     * rank-filter against a joined target (not a constant k, so no
     * WindowGroupLimit — it trims at the filter, k rows per source
     * survive the window's sort).
+    *
+    * Cost profile: ~14 s at BOTH sf0.001 and sf0.1 (measured) — i.e.
+    * the local bench number is the fixed scheduling cost of ~20 AQE
+    * stages, not data cost; β ≈ 0 across that 100× corpus step. The
+    * per-stage accounting deliberately stays 6 tiny map-side-partial
+    * aggregates + |sources|-row joins (the alternative — annotating
+    * every doc with 5 survival flags to fuse the accounting into one
+    * aggregate — trades them for 5 corpus-sized joins, wrong at
+    * 100 TB). Every multi-consumer stage frame is persisted: the
+    * accounting DAG references each stage from its successor AND its
+    * count branch, and an unpersisted shared subtree re-runs its whole
+    * chain per reference (measured 27 s vs 14 s at sf0.001).
     */
   private[graft] def curationPlan(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
@@ -1966,6 +1978,7 @@ object LlmEntry {
         col("bits") * SurprisalFlagDen <= col("n_toks") * SurprisalFlagNum,
         lit(true)))
       .select(col("doc_id"), col("source"), col("text"), col("n_uniq"))
+      .persist(lvl)
     // stage 3: exact dedup, keep-first on the normalized content hash
     val w3 = Window.partitionBy(col("ch")).orderBy(col("doc_id"))
     val s3 = s2.withColumn("ch", DedupOps.contentHashSpark())
@@ -1984,6 +1997,7 @@ object LlmEntry {
       .jaccardVerifyShingled(survSh, cand, JaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()
     val s4 = s3.join(nearDrop, Seq("doc_id"), "left_anti")
+      .persist(lvl)
     // stage 5: decontamination against the benchmark shingle universe
     // (fixed eval suite: bench docs of the BASE corpus, q89's set)
     val isBench = col("doc_id") % BenchMod === 0 &&
@@ -2018,6 +2032,7 @@ object LlmEntry {
         (sqrt(col("n_docs").cast("double")) / col("z")).as("weight"),
         expr(s"CAST(floor($MixTargetDocs * sqrt(CAST(n_docs AS DOUBLE)) / z) AS BIGINT)")
           .as("target_docs"))
+      .persist(lvl)
     val w6 = Window.partitionBy(col("source"))
       .orderBy(col("n_uniq").desc, col("doc_id"))
     val nSel = s5.withColumn("rk", row_number().over(w6))
@@ -2045,10 +2060,13 @@ object LlmEntry {
         coalesce(col("target_docs"), lit(0L)).as("target_docs"),
         coalesce(col("n_selected"), lit(0L)).as("n_selected"))
     (out, () => {
+      targets.unpersist(blocking = false)
       s5.unpersist(blocking = false)
+      s4.unpersist(blocking = false)
       bench.unpersist(blocking = false)
       sh0.unpersist(blocking = false)
       s3.unpersist(blocking = false)
+      s2.unpersist(blocking = false)
       pair.unpersist(blocking = false)
       s1.unpersist(blocking = false)
       c0.unpersist(blocking = false)

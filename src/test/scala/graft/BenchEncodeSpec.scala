@@ -133,6 +133,18 @@ class BenchEncodeSpec extends SparkTestBase {
     assert(!Bench.gated(Seq(0.10, 0.12, 0.16)))
   }
 
+  test("spread gate tightens to 12% above a 2 s median (r13 heavy tier)") {
+    // the r12 q108/q111 shape: ~0.7 s spread on a ~5 s median sat under
+    // the 50% gate yet dominated residual bench noise — the heavy tier
+    // gates it now (0.7 > 0.12 * 5.1)
+    assert(Bench.gated(Seq(5.0, 5.1, 5.7)))
+    // a quiet heavy query stays ungated (0.5 s < 0.612)
+    assert(!Bench.gated(Seq(5.0, 5.1, 5.5)))
+    // just under the heavy boundary keeps the base gate (spread 0.7
+    // on median 1.9: 0.7 < 0.95 → quiet)
+    assert(!Bench.gated(Seq(1.6, 1.9, 2.3)))
+  }
+
   test("retry record rides bench_result.json; quiet lines are unchanged") {
     val retries = Map("q01_agg" ->
       Bench.Retry(extra = 1, discarded = Seq(6.3), contended = false))
