@@ -182,4 +182,21 @@ class BenchEncodeSpec extends SparkTestBase {
     assert(line.contains(""""q01_agg":{"median":0.5,"min":0.4,"max":0.6,"runs":[0.5,0.6,0.4]}"""), line)
     assert(line.contains(""""stream_setup_s":0.2"""), line)
   }
+
+  test("ExplainAudit.nodeCounts: node names only, codegen stars and headers stripped") {
+    val plan =
+      """AdaptiveSparkPlan isFinalPlan=false
+        |+- == Initial Plan ==
+        |   Sort [a#1 ASC], true
+        |   +- Exchange rangepartitioning(a#1 ASC, 32)
+        |      +- *(2) HashAggregate(keys=[a#1], functions=[count(1)])
+        |         +- Exchange hashpartitioning(a#1, 32)
+        |            +- *(1) HashAggregate(keys=[a#1], functions=[partial_count(1)])
+        |               :- BroadcastHashJoin [a#1], [b#2], Inner
+        |               +- FileScan parquet [a#1]""".stripMargin
+    val counts = ExplainAudit.nodeCounts(plan)
+    assert(counts === Map("AdaptiveSparkPlan" -> 1, "Sort" -> 1,
+      "Exchange" -> 2, "HashAggregate" -> 2, "BroadcastHashJoin" -> 1,
+      "FileScan" -> 1), counts.toString)
+  }
 }
