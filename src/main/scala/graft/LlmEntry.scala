@@ -1823,7 +1823,8 @@ object LlmEntry {
     * (q46's note), holding both the assignment broadcast and the
     * per-cell lists balanced at 10⁹ vectors.
     */
-  private[graft] def ivfadcPlan(s: SparkSession, d: String)
+  private[graft] def ivfadcPlan(s: SparkSession, d: String,
+                                nprobe: Int = IvfNprobe)
       : (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val dv = Tables.embeddings(s, d).select(col("vec_id"),
@@ -1857,7 +1858,7 @@ object LlmEntry {
       .crossJoin(broadcast(coarse))
       .withColumn("cd2", cd2)
       .withColumn("prk", row_number().over(wp))
-      .filter(col("prk") <= IvfNprobe)
+      .filter(col("prk") <= nprobe)
       .select(col("vec_id").as("probe_id"), col("cc").as("pcid"),
         expr("zip_with(q, cq, (x, y) -> x - y)").as("pr"))
     val prsub = plists

@@ -101,7 +101,19 @@ object ScaleBench {
     // q119: PQ code assignment is corpus×M×K narrow rows against
     // broadcast centroids (probes/centroids FIXED under the id stride)
     // — pure map+window volume, β should track the corpus
-    "q119_pq_adc")
+    "q119_pq_adc",
+    // q120: IVFADC — coarse cells, codebook, and probes all fixed under
+    // the id stride while the encode pass and the probed lists' code
+    // volume grow m×; the scanned-fraction claim says β tracks the
+    // corpus (encode) with the candidate aggregate staying ~nprobe/8
+    // of it, never super-linear
+    "q120_ivfadc",
+    // q121: the composed curation pipeline — measured scale-INVARIANT
+    // at local[32] (≈14 s at both sf0.001 and sf0.1): the cost is ~20
+    // AQE stages of fixed scheduling overhead, so β ≈ 0 is the
+    // expected reading and a β drifting toward 1 would mean a stage
+    // lost its bounded-shuffle shape
+    "q121_curation_pipeline")
 
   private[graft] val IdStride = 1000000L
 
