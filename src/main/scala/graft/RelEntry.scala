@@ -25,6 +25,10 @@ object RelEntry {
   /** md5-prefix threshold ≈ 0.80 of the hex space → deterministic,
     * engine-independent, stable-under-append train/test assignment. */
   private val SplitHexHi = "cc"
+  // q123 resample horizon (inclusive hourly grid, 169 slots per series)
+  private val ResampleLo = "2024-01-01 00:00:00"
+  private val ResampleHi = "2024-01-08 00:00:00"
+  private val SweepShardDays = 256L // q124 sweep-line shard span (days)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- as-of join: purchase → latest click by the same user ----------
@@ -553,6 +557,123 @@ object RelEntry {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"))),
+
+    // ---- T33: SCD Type-2 dimension build (change-data → history) --------
+    "q122_scd2_build" -> ((s, d) => {
+      // The warehousing operator that turns a change/event stream into a
+      // slowly-changing-dimension type-2 history: per key, consecutive
+      // runs of the same attribute value collapse into one VERSION row
+      // with [valid_from, valid_to) validity and an is_current marker —
+      // the table every "as of" dimension lookup (q52's asof join) is
+      // served from. Run detection is the islands trick (lag ≠ current →
+      // change flag → running sum = version id), the same family as
+      // q56's sessionization but keyed on VALUE change, not time gaps.
+      //
+      // Scale shape: ONE data-sized exchange (hash by user_id for the
+      // run window). The version aggregate groups by (user_id, version)
+      // — a superset of the window's partitioning, so ClusteredDistribution
+      // is already satisfied and no second exchange appears (asserted in
+      // PlanAuditSpec); the valid_to lead window re-sorts the runs table
+      // (≤ one row per run) inside the same partitioning. Per-key state
+      // is bounded by the key's run count, never the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val versioned = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(wRun).isNull ||
+               lag(col("event_type"), 1).over(wRun) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(
+          wRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val runs = versioned.groupBy(col("user_id"), col("version"))
+        .agg(min(col("ts")).as("valid_from"),
+             min(col("event_type")).as("attr"), // constant within a run
+             count(lit(1)).as("n_events"))
+      val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+        .withColumn("is_current", col("valid_to").isNull.cast("bigint"))
+    }),
+
+    // ---- T34: time-series gap fill + forward-fill resample --------------
+    "q123_gapfill_resample" -> ((s, d) => {
+      // Regular-grid resampling with forward fill — the time-series
+      // repair every monitoring/feature pipeline runs before joining
+      // series with different clocks: one row per (series, hour slot)
+      // over a FIXED horizon, observed slots carry their aggregate,
+      // missing slots are synthesized (n_obs = 0, is_gap = 1) and
+      // inherit the last observed value. The fill value is an integer
+      // cents-average (BIGINT sum of round(value·100) DIV count) so the
+      // carried value is bit-exact cross-engine; leading gaps stay NULL
+      // (nothing to carry yet) — both engines agree.
+      //
+      // Scale shape: the corpus-sized work is ONE hash aggregate (per-
+      // slot partials combine map-side); the grid is |series|·|slots|
+      // rows — horizon-bounded, not corpus-bounded — built from a
+      // sequence() explode, and the forward-fill window runs over the
+      // GRID, so its per-key state is the slot count you asked for, no
+      // matter how many raw events feed a slot. The grid join is
+      // grid-sized; AQE broadcasts it while small.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("ts") >= lit(ResampleLo).cast("timestamp") &&
+                col("ts") <= lit(ResampleHi).cast("timestamp"))
+      val obs = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("slot"))
+        .agg(count(lit(1)).as("n_obs_raw"),
+             sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .withColumn("avg_cents", expr("cents DIV n_obs_raw"))
+      val grid = ev.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(expr(
+          s"sequence(TIMESTAMP '$ResampleLo', TIMESTAMP '$ResampleHi', " +
+            "INTERVAL 1 HOUR)")).as("slot"))
+      val wff = Window.partitionBy(col("event_type")).orderBy(col("slot"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("event_type", "slot"), "left")
+        .select(col("event_type"), col("slot"),
+          coalesce(col("n_obs_raw"), lit(0L)).as("n_obs"),
+          col("n_obs_raw").isNull.cast("bigint").as("is_gap"),
+          last(col("avg_cents"), ignoreNulls = true).over(wff)
+            .as("ff_avg_cents"))
+    }),
+
+    // ---- T35: sweep-line interval concurrency (sharded prefix sum) ------
+    "q124_sweepline_concurrency" -> ((s, d) => {
+      // "How many intervals are open at once" — capacity planning over
+      // order lifetimes ([o_orderdate, +90d), the q12 interval), solved
+      // by the classic sweep line: +1 at start, −1 at end, running sum
+      // = concurrency curve, reported as per-(priority, month) peaks.
+      // The [start, end) boundary rule is pinned by the sort: at equal
+      // t the −1 sorts before the +1 (delta ascending), so an interval
+      // ending exactly when another starts never overlaps it.
+      //
+      // Scale shape: the textbook formulation is a GLOBAL ORDER BY —
+      // a single-partition window over every endpoint, the q83 hazard.
+      // Here the curve runs through ShardedWindows.runningSum keyed
+      // (priority, 256-day shard of t): shard-local inclusive sums in
+      // parallel + an exclusive prefix over the |groups|·|shards|
+      // totals table, bit-identical to the single window (BIGINT
+      // addition is associative). Shard count grows with the TIME SPAN,
+      // not the row count — a 100-TB order history over the same years
+      // shards identically.
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+                col("o_orderdate"))
+      val deltas = o.select(col("prio"), col("o_orderdate").as("t"),
+          lit(1L).as("delta"), col("o_orderkey"))
+        .unionAll(o.select(col("prio"),
+          (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("t"),
+          lit(-1L).as("delta"), col("o_orderkey")))
+        .withColumn("shard",
+          expr(s"datediff(t, DATE '1970-01-01') DIV $SweepShardDays"))
+      val curve = operators.ShardedWindows.runningSum(deltas, "prio", "shard",
+        Seq(col("t"), col("delta"), col("o_orderkey")), "delta", "open")
+      curve.groupBy(col("prio"), date_trunc("month", col("t")).as("month"))
+        .agg(max(col("open")).as("max_open"),
+             count(lit(1)).as("n_changes"))
+    }),
   )
 
   private val ZBits = 8 // 256 cells per dimension → 16-bit z space
@@ -933,5 +1054,78 @@ object RelEntry {
          |       max(ts) + INTERVAL $SessionWindowGapSec SECOND AS session_end,
          |       count(*) AS n_events
          |  FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // q122 mirror: same islands → versions → validity-interval chain;
+    // IS DISTINCT FROM covers the first-row NULL lag exactly like the
+    // Spark side's isNull || =!= pair
+    "q122_scd2_build" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |versioned AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM ordered),
+        |runs AS (
+        |  SELECT user_id, version, min(ts) AS valid_from,
+        |         min(event_type) AS attr, count(*) AS n_events
+        |  FROM versioned GROUP BY 1, 2)
+        |SELECT user_id, version, valid_from, attr, n_events,
+        |  lead(valid_from) OVER wv AS valid_to,
+        |  CAST(lead(valid_from) OVER wv IS NULL AS BIGINT) AS is_current
+        |FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY version)"""
+        .stripMargin,
+
+    // q123 mirror: generate_series grid × observed hourly integer-cents
+    // aggregate, forward fill via IGNORE NULLS; DuckDB's // is the same
+    // floor division as Spark's DIV on the non-negative cents here
+    "q123_gapfill_resample" ->
+      s"""WITH ev AS (
+         |  SELECT * FROM events
+         |  WHERE ts >= TIMESTAMP '$ResampleLo' AND ts <= TIMESTAMP '$ResampleHi'),
+         |obs AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS slot,
+         |         count(*) AS n_obs_raw,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM ev GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT event_type, unnest(generate_series(
+         |    TIMESTAMP '$ResampleLo', TIMESTAMP '$ResampleHi',
+         |    INTERVAL 1 HOUR)) AS slot
+         |  FROM (SELECT DISTINCT event_type FROM ev))
+         |SELECT g.event_type, g.slot,
+         |  coalesce(o.n_obs_raw, 0) AS n_obs,
+         |  CAST(o.n_obs_raw IS NULL AS BIGINT) AS is_gap,
+         |  last_value(o.cents // o.n_obs_raw IGNORE NULLS) OVER (
+         |    PARTITION BY g.event_type ORDER BY g.slot
+         |    ROWS UNBOUNDED PRECEDING) AS ff_avg_cents
+         |FROM grid g LEFT JOIN obs o
+         |  ON g.event_type = o.event_type AND g.slot = o.slot""".stripMargin,
+
+    // q124 mirror: the single-window textbook sweep line (the sharded
+    // form must be bit-identical to it — that IS the claim); sum casts
+    // back from DuckDB's HUGEINT
+    "q124_sweepline_concurrency" ->
+      """WITH deltas AS (
+        |  SELECT o_orderpriority AS prio, o_orderdate AS t,
+        |         CAST(1 AS BIGINT) AS delta, o_orderkey
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_orderdate + INTERVAL 90 DAY,
+        |         CAST(-1 AS BIGINT), o_orderkey
+        |  FROM orders),
+        |curve AS (
+        |  SELECT prio, t,
+        |    CAST(sum(delta) OVER (PARTITION BY prio
+        |      ORDER BY t, delta, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+        |  FROM deltas)
+        |SELECT prio, date_trunc('month', t) AS month,
+        |       max(open) AS max_open, count(*) AS n_changes
+        |FROM curve GROUP BY 1, 2""".stripMargin,
   )
 }

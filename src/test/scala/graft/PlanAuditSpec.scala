@@ -51,6 +51,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"q113 lost the group-limit pushdown:\n${plan.take(600)}")
   }
 
+  test("q122: SCD2 builds in ONE data-sized exchange") {
+    // the scale claim of T33: the run window, the (user_id, version)
+    // aggregate, and the valid_to lead window all live inside the one
+    // hash-by-user_id exchange — the aggregate's grouping is a SUPERSET
+    // of the window partitioning, so ClusteredDistribution is already
+    // satisfied (it plans as a SortAggregate reusing the window's sort,
+    // with no second Exchange)
+    val plan = SparkEntry.queries("q122_scd2_build")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx == 1, s"q122 expected 1 exchange, found $nEx:\n${plan.take(900)}")
+    assert(!plan.contains("BroadcastExchange"),
+      s"q122 grew an unexpected broadcast:\n${plan.take(900)}")
+  }
+
+  test("q124: concurrency curve windows over (prio, shard), offsets broadcast") {
+    // the scale claim of T35: the sweep-line prefix sum must NOT be a
+    // per-priority (coarse-key) window over the full endpoint stream —
+    // the curve's running sum partitions on (prio, shard) and the
+    // per-shard offset table joins back as a broadcast
+    val plan = SparkEntry.queries("q124_sweepline_concurrency")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(prio#\\d+, shard#\\d+".r
+        .findFirstIn(plan).isDefined,
+      s"q124 lost the sharded local window:\n${plan.take(900)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q124 offsets join is not broadcast:\n${plan.take(900)}")
+  }
+
   test("q117: sketch cells aggregate map-side before the shuffle") {
     // the capacity-bound claim of L56: the exchange after the cell build
     // must carry partial counts keyed (source, depth, pos) — i.e. a
