@@ -68,6 +68,7 @@ object LlmEntry {
   private val PqK = 32            // q119 codes per subquantizer (5 bits)
   private val PqCentLo = 100L     // q119 codebook = corpus vecs [lo, lo+K)
   private val PqQuant = 1000000L  // q119 integer grid (diff² ≤ ~1.2e12, ×8 ≤ 1e13)
+  private val RerankR = 40        // q125 ADC over-fetch before exact re-rank (8·LshK)
   /** q117 probe watchlist: the stopword + language-marker lexicons —
     * deterministic, includes tokens absent from the corpus (a CMS
     * answers those with its overcount, the behavior worth pinning).
@@ -155,6 +156,83 @@ object LlmEntry {
        |book AS (
        |  SELECT ct.c, ct.j, coalesce(t.ms, ct.cs) AS cs
        |  FROM cent ct LEFT JOIN trained t ON ct.j = t.j AND ct.c = t.c)""".stripMargin
+  /** Full-width (M·Sub-dim) integer squared L2 — the q120 coarse
+    * assignment / q125 refine distance, DuckDB side.
+    */
+  private def fullD2Duck(q: String, cq: String) =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range(1, ${PqM * PqSub + 1}),
+       |        i -> ($q[i] - $cq[i]) * ($q[i] - $cq[i]))),
+       |      (acc, x) -> acc + x)""".stripMargin
+  /** Oracle CTE chain shared by q120 (cut at LshK) and q125 (cut at
+    * RerankR + exact refine): grid corpus `dv`, coarse cells, residual
+    * subvectors, the trained book, per-vector codes, probe lists, and
+    * the per-cell ADC aggregate — everything through `adc`
+    * (probe_id, vec_id, cid, adc_dist). Mirrors [[ivfadcPlan]]:
+    * identical coarse assignment (full-width integer L2, (cd2, cc) tie
+    * order), identical residuals, identical per-cell ADC tables.
+    */
+  private def ivfadcCtesDuck: String = {
+    val dims = PqM * PqSub
+    def cd2(q: String, cq: String) = fullD2Duck(q, cq)
+    s"""WITH dv AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * $PqQuant) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |coarse AS (
+       |  SELECT vec_id AS cc, q AS cq FROM dv
+       |  WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+       |cassign AS (
+       |  SELECT vec_id, cc AS cid,
+       |    list_transform(range(1, ${dims + 1}), i -> q[i] - cq[i]) AS r
+       |  FROM (
+       |    SELECT d.vec_id, d.q, c.cc, c.cq,
+       |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |        ${cd2("d.q", "c.cq")}, c.cc) AS rk
+       |    FROM dv d, coarse c)
+       |  WHERE rk = 1),
+       |sub AS (
+       |  SELECT vec_id, cid, j,
+       |    list_slice(r, j * $PqSub + 1, j * $PqSub + $PqSub) AS s
+       |  FROM (SELECT vec_id, cid, r, unnest(range(0, $PqM)) AS j
+       |        FROM cassign)),
+       |cent AS (
+       |  SELECT vec_id AS c, j, s AS cs FROM sub
+       |  WHERE vec_id BETWEEN $PqCentLo AND ${PqCentLo + PqK - 1}),
+       |$pqBookCtesDuck,
+       |codes AS (
+       |  SELECT vec_id, cid, j, c AS code FROM (
+       |    SELECT v.vec_id, v.cid, v.j, b.c,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+       |        ${pqD2Duck("v.s", "b.cs")}, b.c) AS rk
+       |    FROM sub v JOIN book b USING (j))
+       |  WHERE rk = 1),
+       |passign AS (
+       |  SELECT vec_id AS probe_id, cc AS pcid,
+       |    list_transform(range(1, ${dims + 1}), i -> q[i] - cq[i]) AS pr
+       |  FROM (
+       |    SELECT d.vec_id, d.q, c.cc, c.cq,
+       |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |        ${cd2("d.q", "c.cq")}, c.cc) AS rk
+       |    FROM dv d, coarse c WHERE d.vec_id < $ProbeN)
+       |  WHERE rk <= $IvfNprobe),
+       |prsub AS (
+       |  SELECT probe_id, pcid, j,
+       |    list_slice(pr, j * $PqSub + 1, j * $PqSub + $PqSub) AS ps
+       |  FROM (SELECT probe_id, pcid, pr, unnest(range(0, $PqM)) AS j
+       |        FROM passign)),
+       |dtab AS (
+       |  SELECT p.probe_id, p.pcid, p.j, b.c,
+       |    ${pqD2Duck("p.ps", "b.cs")} AS pd2
+       |  FROM prsub p JOIN book b USING (j)),
+       |adc AS (
+       |  SELECT d.probe_id, co.vec_id, co.cid,
+       |    CAST(sum(d.pd2) AS BIGINT) AS adc_dist
+       |  FROM codes co JOIN dtab d
+       |    ON co.cid = d.pcid AND co.j = d.j AND co.code = d.c
+       |  WHERE co.vec_id <> d.probe_id
+       |  GROUP BY d.probe_id, co.vec_id, co.cid)""".stripMargin
+  }
   private val SampleK = 20        // exact-k per-group sample size
   private val IvfCentroidLo = 100 // deterministic coarse centroids
   private val IvfCentroidHi = 107
@@ -1417,6 +1495,12 @@ object LlmEntry {
       core.Materialize.detached(out)(release())
     }),
 
+    // ---- IVFADC + exact re-rank (the refine tier) -----------------------
+    "q125_ivfadc_rerank" -> ((s, d) => {
+      val (out, release) = ivfadcRerankPlan(s, d)
+      core.Materialize.detached(out)(release())
+    }),
+
     // ---- end-to-end curation pipeline -----------------------------------
     "q121_curation_pipeline" -> ((s, d) => {
       val (out, release) = curationPlan(s, d)
@@ -1823,13 +1907,18 @@ object LlmEntry {
     * (q46's note), holding both the assignment broadcast and the
     * per-cell lists balanced at 10⁹ vectors.
     */
-  private[graft] def ivfadcPlan(s: SparkSession, d: String,
-                                nprobe: Int = IvfNprobe)
-      : (DataFrame, () => Unit) = {
-    import org.apache.spark.sql.expressions.Window
-    val dv = Tables.embeddings(s, d).select(col("vec_id"),
+  /** The corpus on q119's integer grid: (vec_id, q BIGINT[64]). */
+  private def quantVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
       expr(s"transform(${SimilarityOps.toDoubleSpark("embedding")}, " +
         s"x -> CAST(floor(x * $PqQuant) AS BIGINT))").as("q"))
+
+  private[graft] def ivfadcPlan(s: SparkSession, d: String,
+                                nprobe: Int = IvfNprobe,
+                                topK: Int = LshK)
+      : (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val dv = quantVecs(s, d)
     val coarse = dv
       .filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
       .select(col("vec_id").as("cc"), col("q").as("cq"))
@@ -1879,10 +1968,52 @@ object LlmEntry {
     val w2 = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc_dist"), col("vec_id"))
     val out = adc.withColumn("rk", row_number().over(w2).cast("long"))
-      .filter(col("rk") <= LshK)
+      .filter(col("rk") <= topK)
       .select(col("probe_id"), col("vec_id"), col("cid"),
         col("adc_dist"), col("rk"))
     (out, () => rsub.unpersist(blocking = false))
+  }
+
+  /** q125 plan builder: IVFADC + exact re-rank (faiss's refine tier,
+    * IndexRefineFlat over IndexIVFPQ). The ADC ranking inside the
+    * probed cells is the cheap-but-lossy part of q120 — compressed
+    * codes can put a true neighbor at rank 12 of 20. The standard
+    * production fix costs almost nothing: over-fetch the candidate
+    * list (RerankR = 8·k), fetch JUST those candidates' raw vectors,
+    * and re-rank by exact distance. Recall then climbs from
+    * ADC-quality × cell-capture toward the cell-capture ceiling —
+    * measured 0.12 → 0.32 vs the exact-IVF ceiling 0.46
+    * (AnnRecallSpec; the residual gap is true neighbors the ADC order
+    * pushed below rank R — the RerankR knob, worst-case-shaped here by
+    * the uniform fixture) — while the corpus-sized cost stays q120's.
+    *
+    * Scale shape: the candidate set is ≤ |probes|·RerankR rows, so it
+    * BROADCASTS into the raw-vector fetch — the corpus scan is never
+    * shuffled and drops every non-candidate map-side (the same
+    * broadcast-screen shape as q89); probe vectors ride a second
+    * |probes|-row broadcast; the exact distances and the final
+    * WindowGroupLimit run over candidate-sized frames only. At 10⁹
+    * vectors the refine step touches RerankR·|probes| raw vectors —
+    * independent of corpus size.
+    */
+  private[graft] def ivfadcRerankPlan(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val (adcTop, release) = ivfadcPlan(s, d, IvfNprobe, RerankR)
+    val cand = adcTop.select(col("probe_id"), col("vec_id"), col("adc_dist"))
+    val dv = quantVecs(s, d)
+    val probes = dv.filter(col("vec_id") < ProbeN)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+    val exact = dv.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("exact_d2", pqD2Spark("q", "pq")) // full-width 64-dim L2
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("exact_d2"), col("vec_id"))
+    val out = exact.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= LshK)
+      .select(col("probe_id"), col("vec_id"), col("adc_dist"),
+        col("exact_d2"), col("rk"))
+    (out, release)
   }
 
   /** q121 plan builder (un-detached for PlanAuditSpec).
@@ -3168,77 +3299,39 @@ object LlmEntry {
     // (cd2, cc) tie order), identical residuals, the shared trained-book
     // CTEs over residual subvectors, identical per-cell ADC tables and
     // (adc_dist, vec_id) final order
-    "q120_ivfadc" -> {
-      val dims = PqM * PqSub
-      def cd2(q: String, cq: String) =
-        s"""list_reduce(list_prepend(0::BIGINT,
-           |      list_transform(range(1, ${dims + 1}),
-           |        i -> ($q[i] - $cq[i]) * ($q[i] - $cq[i]))),
-           |      (acc, x) -> acc + x)""".stripMargin
-      s"""WITH dv AS (
-         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-         |    x -> CAST(floor(x * $PqQuant) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |coarse AS (
-         |  SELECT vec_id AS cc, q AS cq FROM dv
-         |  WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
-         |cassign AS (
-         |  SELECT vec_id, cc AS cid,
-         |    list_transform(range(1, ${dims + 1}), i -> q[i] - cq[i]) AS r
-         |  FROM (
-         |    SELECT d.vec_id, d.q, c.cc, c.cq,
-         |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
-         |        ${cd2("d.q", "c.cq")}, c.cc) AS rk
-         |    FROM dv d, coarse c)
-         |  WHERE rk = 1),
-         |sub AS (
-         |  SELECT vec_id, cid, j,
-         |    list_slice(r, j * $PqSub + 1, j * $PqSub + $PqSub) AS s
-         |  FROM (SELECT vec_id, cid, r, unnest(range(0, $PqM)) AS j
-         |        FROM cassign)),
-         |cent AS (
-         |  SELECT vec_id AS c, j, s AS cs FROM sub
-         |  WHERE vec_id BETWEEN $PqCentLo AND ${PqCentLo + PqK - 1}),
-         |$pqBookCtesDuck,
-         |codes AS (
-         |  SELECT vec_id, cid, j, c AS code FROM (
-         |    SELECT v.vec_id, v.cid, v.j, b.c,
-         |      row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
-         |        ${pqD2Duck("v.s", "b.cs")}, b.c) AS rk
-         |    FROM sub v JOIN book b USING (j))
-         |  WHERE rk = 1),
-         |passign AS (
-         |  SELECT vec_id AS probe_id, cc AS pcid,
-         |    list_transform(range(1, ${dims + 1}), i -> q[i] - cq[i]) AS pr
-         |  FROM (
-         |    SELECT d.vec_id, d.q, c.cc, c.cq,
-         |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
-         |        ${cd2("d.q", "c.cq")}, c.cc) AS rk
-         |    FROM dv d, coarse c WHERE d.vec_id < $ProbeN)
-         |  WHERE rk <= $IvfNprobe),
-         |prsub AS (
-         |  SELECT probe_id, pcid, j,
-         |    list_slice(pr, j * $PqSub + 1, j * $PqSub + $PqSub) AS ps
-         |  FROM (SELECT probe_id, pcid, pr, unnest(range(0, $PqM)) AS j
-         |        FROM passign)),
-         |dtab AS (
-         |  SELECT p.probe_id, p.pcid, p.j, b.c,
-         |    ${pqD2Duck("p.ps", "b.cs")} AS pd2
-         |  FROM prsub p JOIN book b USING (j)),
-         |adc AS (
-         |  SELECT d.probe_id, co.vec_id, co.cid,
-         |    CAST(sum(d.pd2) AS BIGINT) AS adc_dist
-         |  FROM codes co JOIN dtab d
-         |    ON co.cid = d.pcid AND co.j = d.j AND co.code = d.c
-         |  WHERE co.vec_id <> d.probe_id
-         |  GROUP BY d.probe_id, co.vec_id, co.cid)
+    "q120_ivfadc" ->
+      s"""$ivfadcCtesDuck
          |SELECT probe_id, vec_id, cid, adc_dist, rk FROM (
          |  SELECT probe_id, vec_id, cid, adc_dist,
          |    CAST(row_number() OVER (PARTITION BY probe_id
          |      ORDER BY adc_dist, vec_id) AS BIGINT) AS rk
          |  FROM adc)
-         |WHERE rk <= $LshK""".stripMargin
-    },
+         |WHERE rk <= $LshK""".stripMargin,
+
+    // q125 mirror: q120's chain cut at RerankR, then exact full-width
+    // integer L2 over just the candidates, re-ranked (exact_d2, vec_id)
+    "q125_ivfadc_rerank" ->
+      s"""$ivfadcCtesDuck,
+         |cand AS (
+         |  SELECT probe_id, vec_id, adc_dist FROM (
+         |    SELECT probe_id, vec_id, adc_dist,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY adc_dist, vec_id) AS rk
+         |    FROM adc)
+         |  WHERE rk <= $RerankR),
+         |refine AS (
+         |  SELECT c.probe_id, c.vec_id, c.adc_dist,
+         |    ${fullD2Duck("cv.q", "pv.q")} AS exact_d2
+         |  FROM cand c
+         |  JOIN dv cv ON cv.vec_id = c.vec_id
+         |  JOIN dv pv ON pv.vec_id = c.probe_id)
+         |SELECT probe_id, vec_id, adc_dist, exact_d2, rk FROM (
+         |  SELECT probe_id, vec_id, adc_dist, exact_d2,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY exact_d2, vec_id) AS BIGINT) AS rk
+         |  FROM refine)
+         |WHERE rk <= $LshK""".stripMargin,
+
 
     // q121 mirror: the five stage mirrors chained verbatim — q113's
     // window cap, q101's whole-bit LM (LEFT join + coalesce for

@@ -199,6 +199,49 @@ class AnnRecallSpec extends SparkTestBase {
     assert(ivfadc >= 0.1, f"IVFADC recall $ivfadc%.3f below floor")
   }
 
+  test("exact re-rank (q125) recovers recall toward the exact-IVF ceiling") {
+    // the refine-tier claim of L61: over-fetching RerankR=20 ADC
+    // candidates and re-ranking by EXACT distance undoes the code-
+    // quantization loss — recall must strictly beat raw IVFADC (0.120
+    // measured) and sit within reach of the exact-scan ceiling for the
+    // same probed cells (0.460 measured): any remaining gap is true
+    // neighbors the ADC ranking pushed below rank 20, not ranking error.
+    val coarseIds = (100L to 107L).toSeq
+    val cellOf: Map[Long, Long] = vecs.map { case (id, v) =>
+      id -> coarseIds.minBy(c => (d2(v, vecs(c)), c))
+    }
+    val probedCells: Map[Long, Set[Long]] = l2Truth.keys.map { p =>
+      p -> coarseIds.sortBy(c => (d2(vecs(p), vecs(c)), c)).take(3).toSet
+    }.toMap
+    val ceilingSets: Map[Long, Set[Long]] = l2Truth.keys.map { p =>
+      val cells = probedCells(p)
+      p -> vecs.keys.filter(id => id != p && cells(cellOf(id))).toSeq
+        .map(id => (d2(vecs(p), vecs(id)), id))
+        .sorted.take(K).map(_._2).toSet
+    }.toMap
+    def recallOf(sets: Map[Long, Set[Long]]): Double = {
+      val per = l2Truth.map { case (p, t) =>
+        sets.getOrElse(p, Set.empty[Long]).count(t).toDouble / t.size }
+      per.sum / per.size
+    }
+    val raw = recallAt("q120_ivfadc", l2Truth)
+    val reranked = recallAt("q125_ivfadc_rerank", l2Truth)
+    val ceiling = recallOf(ceilingSets)
+    info(f"recall@$K%d ivfadc=$raw%.3f reranked=$reranked%.3f ceiling=$ceiling%.3f")
+    assert(reranked >= raw,
+      f"exact re-rank LOST recall: $raw%.3f -> $reranked%.3f")
+    assert(reranked <= ceiling + 1e-9,
+      f"re-rank ($reranked%.3f) above its probed-cell ceiling ($ceiling%.3f)?!")
+    assert(reranked >= 0.3, f"re-ranked recall $reranked%.3f below floor")
+    // within the returned set, exact_d2 must be genuinely exact — each
+    // reported distance equals the in-memory integer L2
+    SparkEntry.queries("q125_ivfadc_rerank")(spark, dir)
+      .select("probe_id", "vec_id", "exact_d2").collect().foreach { r =>
+        assert(r.getLong(2) === d2(vecs(r.getLong(0)), vecs(r.getLong(1))),
+          s"probe ${r.getLong(0)} vec ${r.getLong(1)}: exact_d2 mismatch")
+      }
+  }
+
   test("ANN output is sound: ranks dense from 1, scores non-increasing") {
     for (name <- Seq("q39_cosine_lsh_topk", "q47_lsh_multiprobe",
         "q46_ivf_topk")) {

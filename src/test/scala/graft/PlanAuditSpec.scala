@@ -25,8 +25,8 @@ class PlanAuditSpec extends SparkTestBase {
     // small by construction; the corpus side never shuffles)
     "q114_pmi_bigrams", "q115_semantic_decontam",
     // q120: corpus × broadcast coarse-centroid set (8 rows), the q46
-    // assignment shape
-    "q120_ivfadc")
+    // assignment shape; q125 embeds q120's chain as its candidate source
+    "q120_ivfadc", "q125_ivfadc_rerank")
 
   test("every query plan: no raw cartesian, broadcast where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -49,6 +49,21 @@ class PlanAuditSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
       s"q113 lost the group-limit pushdown:\n${plan.take(600)}")
+  }
+
+  test("q125: refine fetch is broadcast-screened, final cut a WindowGroupLimit") {
+    // the refine-tier scale claim of L61: the candidate list (≤
+    // |probes|·RerankR rows) must ride a BROADCAST into the raw-vector
+    // fetch — the corpus scan drops non-candidates map-side and never
+    // shuffles — and the exact re-rank's rank<=k compiles to
+    // WindowGroupLimit over the candidate-sized frame
+    val plan = LlmEntry.ivfadcRerankPlan(spark, sf)._1
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"q125 lost the top-k group limit:\n${plan.take(900)}")
+    val bhjOnVec = "BroadcastHashJoin \\[vec_id".r.findFirstIn(plan)
+    assert(bhjOnVec.isDefined,
+      s"q125 candidate fetch is not a broadcast join on vec_id:\n${plan.take(1200)}")
   }
 
   test("q122: SCD2 builds in ONE data-sized exchange") {
