@@ -69,6 +69,9 @@ object LlmEntry {
   private val PqCentLo = 100L     // q119 codebook = corpus vecs [lo, lo+K)
   private val PqQuant = 1000000L  // q119 integer grid (diff² ≤ ~1.2e12, ×8 ≤ 1e13)
   private val RerankR = 40        // q125 ADC over-fetch before exact re-rank (8·LshK)
+  private val DriftSplitId = 250L // q128 snapshot seam: doc_id < 250 = "last
+                                  //   crawl" A, rest + planted copies = B
+  private val DriftTopK = 40      // q128 drifted tokens reported
   private val RpDims = 16         // q127 projected dimensions (64 → 16, 4×)
   private val RpMod = 2147483647L // q127 sign-hash modulus
   private val RpBit = 4096L       // q127 sign = bit 12 of the cubic mix
@@ -1573,6 +1576,46 @@ object LlmEntry {
     "q120_ivfadc" -> ((s, d) => {
       val (out, release) = ivfadcPlan(s, d)
       core.Materialize.detached(out)(release())
+    }),
+
+    // ---- corpus drift audit (snapshot-over-snapshot) --------------------
+    "q128_corpus_drift" -> ((s, d) => {
+      // The ingest monitor a recurring crawl runs BEFORE accepting a new
+      // snapshot into the training mix: which tokens changed frequency
+      // most between crawl A and crawl B? A drift burst is how template
+      // spam, a new boilerplate family, or a scraper regression
+      // surfaces — at the corpus level, before any doc-level filter
+      // sees it. Score = the token's log-frequency-ratio in WHOLE BITS
+      // (bits(c_b+1) − bits(N_b)) − (bits(c_a+1) − bits(N_a)) — the
+      // q107 llr quantization with add-1 smoothing, so absent-in-one-
+      // snapshot tokens score finitely and nothing ever overflows (no
+      // c·N product forms, the L50/L53 discipline). The fixture seam
+      // puts all planted duplicates in snapshot B, so the top of the
+      // report is the duplicated content — a real drift signal, not
+      // parity noise.
+      //
+      // Scale shape: ONE vocabulary-wide shuffle (the compressed
+      // (tok, c_a, c_b) table via count_if partials — both snapshots
+      // counted in one pass, no self-join of count tables); totals ride
+      // a broadcast scalar row; the report is a distributed top-k
+      // (TakeOrderedAndProject), never a global-window sort.
+      val toks = DedupOps.corpus(Tables.documents(s, d))
+        .withColumn("snap",
+          when(col("doc_id") < DriftSplitId, "a").otherwise("b"))
+        .select(col("snap"), explode(expr(tokensSpark("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val counts = toks.groupBy(col("tok"))
+        .agg(expr("count_if(snap = 'a')").as("c_a"),
+             expr("count_if(snap = 'b')").as("c_b"))
+      val totals = counts.agg(sum(col("c_a")).as("n_a"),
+        sum(col("c_b")).as("n_b"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("tok"), col("c_a"), col("c_b"),
+          (expr(bitsSpark("c_b + 1")) - expr(bitsSpark("n_b")) -
+           expr(bitsSpark("c_a + 1")) + expr(bitsSpark("n_a")))
+            .as("drift_bits"))
+        .orderBy(abs(col("drift_bits")).desc, col("tok"))
+        .limit(DriftTopK)
     }),
 
     // ---- random-projection (JL) compression + retrieval -----------------
@@ -3461,6 +3504,32 @@ object LlmEntry {
          |      ORDER BY adc_dist, vec_id) AS BIGINT) AS rk
          |  FROM adc)
          |WHERE rk <= $LshK""".stripMargin,
+
+    // q128 mirror: same one-pass FILTER counts, same add-1 whole-bit
+    // llr, same (|drift| desc, tok) report order
+    "q128_corpus_drift" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |toks AS (
+         |  SELECT CASE WHEN doc_id < $DriftSplitId THEN 'a' ELSE 'b' END
+         |           AS snap,
+         |         unnest(${tokensDuck("text")}) AS tok
+         |  FROM corpus),
+         |counts AS (
+         |  SELECT tok,
+         |    CAST(count(*) FILTER (snap = 'a') AS BIGINT) AS c_a,
+         |    CAST(count(*) FILTER (snap = 'b') AS BIGINT) AS c_b
+         |  FROM toks WHERE length(tok) > 0 GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+         |         CAST(sum(c_b) AS BIGINT) AS n_b
+         |  FROM counts)
+         |SELECT tok, c_a, c_b,
+         |  ${bitsDuck("c_b + 1")} - ${bitsDuck("n_b")}
+         |    - ${bitsDuck("c_a + 1")} + ${bitsDuck("n_a")} AS drift_bits
+         |FROM counts CROSS JOIN tot
+         |ORDER BY abs(${bitsDuck("c_b + 1")} - ${bitsDuck("n_b")}
+         |    - ${bitsDuck("c_a + 1")} + ${bitsDuck("n_a")}) DESC, tok
+         |LIMIT $DriftTopK""".stripMargin,
 
     // q127 mirror: identical sign hash (same integer mix, // ≡ div on
     // the non-negative operands), identical projected-L2 tie order

@@ -29,6 +29,35 @@ object RelEntry {
   private val ResampleLo = "2024-01-01 00:00:00"
   private val ResampleHi = "2024-01-08 00:00:00"
   private val SweepShardDays = 256L // q124 sweep-line shard span (days)
+  // q129 delta seam: the "last ingest batch" — touches 64 of 150 keys
+  // at sf0.01, so both the pass-through and recompute branches are real
+  private val ScdSeam = "2024-01-30 18:00:00"
+
+  /** q122's SCD2 chain over any (user_id, ts, event_id, event_type)
+    * frame — shared by the full build (q122) and the incremental apply
+    * (q129). One data-sized exchange; see the q122 comment.
+    */
+  private def scd2Build(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val versioned = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wRun).isNull ||
+             lag(col("event_type"), 1).over(wRun) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        wRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = versioned.groupBy(col("user_id"), col("version"))
+      .agg(min(col("ts")).as("valid_from"),
+           min(col("event_type")).as("attr"), // constant within a run
+           count(lit(1)).as("n_events"))
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .withColumn("is_current", col("valid_to").isNull.cast("bigint"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- as-of join: purchase → latest click by the same user ----------
@@ -576,25 +605,43 @@ object RelEntry {
       // PlanAuditSpec); the valid_to lead window re-sorts the runs table
       // (≤ one row per run) inside the same partitioning. Per-key state
       // is bounded by the key's run count, never the corpus.
-      import org.apache.spark.sql.expressions.Window
-      val wRun = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val versioned = Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("chg",
-          when(lag(col("event_type"), 1).over(wRun).isNull ||
-               lag(col("event_type"), 1).over(wRun) =!= col("event_type"), 1L)
-            .otherwise(0L))
-        .withColumn("version", sum(col("chg")).over(
-          wRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val runs = versioned.groupBy(col("user_id"), col("version"))
-        .agg(min(col("ts")).as("valid_from"),
-             min(col("event_type")).as("attr"), // constant within a run
-             count(lit(1)).as("n_events"))
-      val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
-      runs
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
-        .withColumn("is_current", col("valid_to").isNull.cast("bigint"))
+      scd2Build(Tables.events(s, d))
+    }),
+
+    // ---- T36: incremental SCD2 maintenance (delta apply ≡ recompute) ----
+    "q129_scd2_incremental" -> ((s, d) => {
+      // The nightly form of q122: a delta batch of new events arrives
+      // and the SCD2 table must be AMENDED, not rebuilt — the CDC-apply
+      // pattern every warehouse dimension lives by (T31 owns the file-
+      // level merge; this owns the history-semantics level). Keys with
+      // no delta events pass through UNTOUCHED (their history cannot
+      // change — events are append-only and runs only extend at the
+      // tail); touched keys' histories are re-derived from their base
+      // events + delta. The ORACLE is q122's full recompute over all
+      // events — incremental-equals-recompute IS the claim, checked
+      // hash-exact.
+      //
+      // Scale shape: the touched-key set (|keys active in the delta| —
+      // 64 of 150 here; a sliver of a 100-TB key space) broadcasts into
+      // a semi-join that prunes the recompute to touched keys' events,
+      // and an anti-join that forwards untouched history rows AS DATA
+      // (no window, no re-sort — at scale this branch is a partition-
+      // pruned pass-through of the stored SCD2 table). Only the touched
+      // slice pays the q122 window chain.
+      val seam = lit(ScdSeam).cast("timestamp")
+      val ev = Tables.events(s, d)
+      val base = ev.filter(col("ts") < seam)
+      val delta = ev.filter(col("ts") >= seam)
+      val touched = delta.select(col("user_id")).distinct()
+      val untouched = scd2Build(base)
+        .join(broadcast(touched), Seq("user_id"), "left_anti")
+      val evCols = Seq(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      val recomputed = scd2Build(
+        base.join(broadcast(touched), Seq("user_id"), "left_semi")
+          .select(evCols: _*)
+          .unionAll(delta.select(evCols: _*)))
+      untouched.unionAll(recomputed)
     }),
 
     // ---- T34: time-series gap fill + forward-fill resample --------------
@@ -1059,6 +1106,32 @@ object RelEntry {
     // IS DISTINCT FROM covers the first-row NULL lag exactly like the
     // Spark side's isNull || =!= pair
     "q122_scd2_build" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |versioned AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM ordered),
+        |runs AS (
+        |  SELECT user_id, version, min(ts) AS valid_from,
+        |         min(event_type) AS attr, count(*) AS n_events
+        |  FROM versioned GROUP BY 1, 2)
+        |SELECT user_id, version, valid_from, attr, n_events,
+        |  lead(valid_from) OVER wv AS valid_to,
+        |  CAST(lead(valid_from) OVER wv IS NULL AS BIGINT) AS is_current
+        |FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY version)"""
+        .stripMargin,
+
+    // q129 mirror: q122's FULL RECOMPUTE verbatim — the incremental
+    // apply must be indistinguishable from rebuilding the history, the
+    // same oracle philosophy as q105's band (a physical device, never a
+    // semantic one)
+    "q129_scd2_incremental" ->
       """WITH ordered AS (
         |  SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type

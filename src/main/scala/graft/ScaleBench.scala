@@ -113,7 +113,34 @@ object ScaleBench {
     // AQE stages of fixed scheduling overhead, so β ≈ 0 is the
     // expected reading and a β drifting toward 1 would mean a stage
     // lost its bounded-shuffle shape
-    "q121_curation_pipeline")
+    "q121_curation_pipeline",
+    // r13 additions:
+    // q122: SCD2 — users stride under replication, so runs grow m×
+    // while per-key run counts stay fixed; the one-exchange window
+    // chain should scale with the key parallelism (β ~ 1 expected on
+    // the data term, absorbed by idle width early)
+    "q122_scd2_build",
+    // q123: gap-fill — the grid and fill window are HORIZON-bounded
+    // (fixed |series|·|slots| regardless of m); only the observed
+    // hash aggregate sees the m× stream, so β should stay well under 1
+    "q123_gapfill_resample",
+    // q124: sweep-line — endpoint volume grows m× but shards are
+    // TIME-bounded (fixed span), so per-(prio, shard) window input
+    // grows m×: the documented trade of a time-keyed shard; β ~ 1 on
+    // the curve term with fixed parallelism = the honest reading
+    "q124_sweepline_concurrency",
+    // q125: the refine tier — candidates stay |probes|·R under the id
+    // stride, so the delta over q120 (raw-vector fetch + re-rank) is
+    // corpus-INDEPENDENT; β should track q120's encode-dominated curve
+    "q125_ivfadc_rerank",
+    // q126: block-dedup rewrite — cipher makes replica blocks disjoint,
+    // so the df table and surviving-block rebuild both grow m×; linear
+    // by design, and the boilerplate mass (high-df) leaves the rebuild
+    // shuffle before it forms
+    "q126_block_dedup_rewrite",
+    // q127: random projection — a narrow map (m× rows) + a fixed
+    // broadcast probe set; the purest linear-scan member of the family
+    "q127_random_projection")
 
   private[graft] val IdStride = 1000000L
 

@@ -28,8 +28,9 @@ class PlanAuditSpec extends SparkTestBase {
     // assignment shape; q125 embeds q120's chain as its candidate source
     "q120_ivfadc", "q125_ivfadc_rerank",
     // q127: projected corpus × broadcast probe set — the q38 exact-truth
-    // cost model in the projected space
-    "q127_random_projection")
+    // cost model in the projected space; q128: vocabulary × a broadcast
+    // single-row totals scalar (the q84 shape)
+    "q127_random_projection", "q128_corpus_drift")
 
   test("every query plan: no raw cartesian, broadcast where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -67,6 +68,30 @@ class PlanAuditSpec extends SparkTestBase {
     val bhjOnVec = "BroadcastHashJoin \\[vec_id".r.findFirstIn(plan)
     assert(bhjOnVec.isDefined,
       s"q125 candidate fetch is not a broadcast join on vec_id:\n${plan.take(1200)}")
+  }
+
+  test("q128: drift report is a distributed top-k, not a global sort") {
+    // the q107 pattern: ORDER BY abs(drift) LIMIT k must plan as
+    // TakeOrderedAndProject (per-partition heaps + driver merge of k
+    // rows), never a single-partition global Sort
+    val plan = SparkEntry.queries("q128_corpus_drift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q128 report lost its distributed top-k:\n${plan.take(900)}")
+  }
+
+  test("q129: incremental SCD2 prunes by broadcast key joins") {
+    // the delta-apply scale claim of T36: the touched-key set must ride
+    // BROADCASTs into both branches — a semi join pruning the recompute
+    // and an anti join forwarding untouched history — so the untouched
+    // side never shuffles on the key set's account
+    val plan = SparkEntry.queries("q129_scd2_incremental")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val semis = "BroadcastHashJoin \\[user_id[^\\n]*Left(Semi|Anti)".r
+      .findAllIn(plan).toSeq
+    assert(semis.exists(_.contains("LeftSemi")) &&
+           semis.exists(_.contains("LeftAnti")),
+      s"q129 lost a broadcast semi/anti prune:\n${plan.take(1200)}")
   }
 
   test("q122: SCD2 builds in ONE data-sized exchange") {
