@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.{DedupOps, MultimodalOps, ShardedWindows, SimilarityOps, TextOps}
@@ -90,12 +90,24 @@ object LlmEntry {
     val a = s"(($i) * $RpDims + ($k) + 7)"
     s"(1 - 2 * (((($a * $a * $a) % $RpMod) $fdiv $RpBit) % 2))"
   }
+  /** q127 sign, evaluated at PLAN TIME: the matrix is a compile-time
+    * constant, so the Spark side UNROLLS p[k] = Σ ±q[i] into flat
+    * BIGINT adds (whole-stage-codegen'd) instead of nested HOF lambdas
+    * (interpreted per element — measured 8× slower at sf0.1). The
+    * formula is verbatim [[rpSign]], so the Duck mirror — which keeps
+    * the SQL form — computes identical signs.
+    */
+  private def rpSignScala(i: Int, k: Int): Long = {
+    val a = i.toLong * RpDims + k + 7
+    1L - 2L * (((a * a * a % RpMod) / RpBit) % 2L)
+  }
   /** q127 projection of grid vector `q`: p[k] = Σ_i sign(i,k)·q[i+1]. */
-  private def rpProjSpark = "transform(sequence(0, " + (RpDims - 1) + "), " +
-    "k -> aggregate(sequence(0, " + (PqM * PqSub - 1) + "), " +
-    "CAST(0 AS BIGINT), (acc, i) -> acc + " +
-    "element_at(q, CAST(i + 1 AS INT)) * " +
-    rpSign("CAST(i AS BIGINT)", "CAST(k AS BIGINT)", "div") + "))"
+  private def rpProjSpark: Column = array((0 until RpDims).map { k =>
+    (0 until PqM * PqSub).map { i =>
+      val e = element_at(col("q"), i + 1)
+      if (rpSignScala(i, k) > 0) e else negate(e)
+    }.reduce(_ + _)
+  }: _*)
   private def rpProjDuck = s"list_transform(range(0, $RpDims), " +
     s"k -> list_reduce(list_prepend(0::BIGINT, " +
     s"list_transform(range(0, ${PqM * PqSub}), " +
@@ -1641,8 +1653,15 @@ object LlmEntry {
       // index machinery composes on top of `p` unchanged when the
       // corpus outgrows brute force); top-k cut = WindowGroupLimit.
       import org.apache.spark.sql.expressions.Window
+      // persist-before-fanout (the q61 lesson): the 1024-term projection
+      // must evaluate ONCE per vector — unpersisted, Catalyst inlines it
+      // past the cross join and pays it |probes|+1 times per vector.
+      // (The projection itself is the UNROLLED codegen form — see
+      // rpProjSpark: the HOF-lambda form evaluated interpreted and
+      // measured 8× slower for the whole query at sf0.1.)
       val proj = quantVecs(s, d).select(col("vec_id"),
-        expr(rpProjSpark).as("p"))
+        rpProjSpark.as("p"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val probes = proj.filter(col("vec_id") < ProbeN)
         .select(col("vec_id").as("probe_id"), col("p").as("pp"))
       val scored = proj.crossJoin(broadcast(probes))
@@ -1652,9 +1671,10 @@ object LlmEntry {
             "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("proj_d2"), col("vec_id"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
+      val out = scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= LshK)
         .select(col("probe_id"), col("vec_id"), col("proj_d2"), col("rk"))
+      core.Materialize.detached(out) { proj.unpersist(blocking = false) }
     }),
 
     // ---- IVFADC + exact re-rank (the refine tier) -----------------------
@@ -2209,24 +2229,29 @@ object LlmEntry {
     * Scale notes: each stage keeps its audited shape (cap:
     * WindowGroupLimit; LM: one corpus-wide (doc, tok) shuffle + an
     * unhinted vocabulary join; dedup: banded candidates only; screen:
-    * ~300 KB bloom broadcast); the corpus is shingled ONCE (sh0) and
-    * reused by stages 4 and 5; the accounting joins are |sources|-row
-    * broadcasts. The dynamic per-source limit in stage 6 is a
+    * ~300 KB bloom broadcast); shingles are computed only for the docs
+    * that need them — the bench slice (from cached c0) and the capped
+    * survivors (from cached s3), each a shallow one-hop frame (see the
+    * in-body note for why the one-pass union form measured 6× slower);
+    * the accounting joins are |sources|-row broadcasts. The dynamic per-source limit in stage 6 is a
     * rank-filter against a joined target (not a constant k, so no
     * WindowGroupLimit — it trims at the filter, k rows per source
     * survive the window's sort).
     *
-    * Cost profile: ~14 s at BOTH sf0.001 and sf0.1 (measured) — i.e.
-    * the local bench number is the fixed scheduling cost of ~20 AQE
-    * stages, not data cost; β ≈ 0 across that 100× corpus step. The
+    * Cost profile: ~7 s at sf0.1 (r13 final; the corpus term is ~1.5 MB
+    * of text, so the number is fixed scheduling + planning cost of ~20
+    * AQE stages, not data cost — β ≈ 0 across corpus steps). The
     * per-stage accounting deliberately stays 6 tiny map-side-partial
     * aggregates + |sources|-row joins (the alternative — annotating
     * every doc with 5 survival flags to fuse the accounting into one
     * aggregate — trades them for 5 corpus-sized joins, wrong at
-    * 100 TB). Every multi-consumer stage frame is persisted: the
-    * accounting DAG references each stage from its successor AND its
-    * count branch, and an unpersisted shared subtree re-runs its whole
-    * chain per reference (measured 27 s vs 14 s at sf0.001).
+    * 100 TB). Every multi-consumer stage frame is persisted AND forced
+    * in dependency order (A3 count-as-materializer): the accounting DAG
+    * references each stage from its successor AND its count branch, and
+    * concurrent first-use of an unmaterialized shared subtree re-runs
+    * its chain per branch. s5 is localCheckpoint'ed, not persisted —
+    * see the in-body note on the bloom-literal planning cost (the r13
+    * 35→7 s fix).
     */
   private[graft] def curationPlan(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
@@ -2279,11 +2304,24 @@ object LlmEntry {
       .withColumn("rk", row_number().over(w3))
       .filter(col("rk") === 1).drop("ch", "rk")
       .persist(lvl)
-    // one shingle pass serves BOTH stage 4 (survivor dedup) and stage 5
-    // (bench universe): sh0 covers all of c0, filtered per use
-    val sh0 = DedupOps.shingled(c0.select(col("doc_id"), col("text")))
+    // shingles are needed by two consumers — stage 4 (survivor dedup)
+    // and stage 5 (bench universe) — but NOT by the whole corpus: the
+    // bench set is the BenchMod-th of the base docs and the survivors
+    // are ≤ cap·|sources| rows after stage 3 (400 of 5800 at sf0.1).
+    // The r13 first cut shingled all of c0 (one corpus-sized array
+    // materialization mostly for rows the cap had already dropped); a
+    // union(bench, s3) single pass embedded the whole stage-1..3 chain
+    // in the shingle frame's lineage and measured SLOWER. The shipped
+    // shape keeps both shingle frames SHALLOW: benchSh is a pure
+    // function of cached c0, survSh of cached s3 — each a one-hop
+    // lineage over an already-materialized parent.
+    val isBench = col("doc_id") % BenchMod === 0 &&
+      col("doc_id") < DedupOps.NearCopyOffset
+    val benchSh = DedupOps
+      .shingled(c0.select(col("doc_id"), col("text")).filter(isBench))
       .persist(lvl)
-    val survSh = sh0.join(s3.select(col("doc_id")), "doc_id")
+    val survSh = DedupOps.shingled(s3.select(col("doc_id"), col("text")))
+      .persist(lvl)
     // stage 4: near dedup over survivors (banded candidates only)
     val sig = DedupOps.signaturesFromShingles(survSh)
     val cand = DedupOps.candidatePairs(DedupOps.lshBucketsFromSig(sig))
@@ -2294,15 +2332,20 @@ object LlmEntry {
       .persist(lvl)
     // stage 5: decontamination against the benchmark shingle universe
     // (fixed eval suite: bench docs of the BASE corpus, q89's set)
-    val isBench = col("doc_id") % BenchMod === 0 &&
-      col("doc_id") < DedupOps.NearCopyOffset
-    val bench = sh0.filter(isBench).select(explode(col("sh")).as("h"))
+    val bench = benchSh.select(explode(col("sh")).as("h"))
       .distinct()
       .persist(lvl)
     val bloom = bench
       .agg(expr(s"bloom_build(h, ${BloomExpected}L, ${BloomFpp}d)"))
       .head.getAs[Array[Byte]](0)
-    val s4sh = sh0.join(s4.select(col("doc_id")), "doc_id")
+    // A3 count-as-materializer, stage by stage: the accounting DAG fans
+    // 8 branches into these caches CONCURRENTLY, and a branch that
+    // reaches a not-yet-materialized InMemoryRelation computes its
+    // whole chain itself. Forcing each persisted frame in dependency
+    // order makes every later read a cache hit; each count is one small
+    // job over an already-warm parent.
+    Seq(s1, pair, s2, s3, survSh, s4).foreach(_.count())
+    val s4sh = survSh.join(s4.select(col("doc_id")), "doc_id")
       .filter(!isBench)
     val suspects = s4sh.filter(size(filter(col("sh"),
         x => call_function("bloom_might_contain", lit(bloom), x)))
@@ -2313,9 +2356,19 @@ object LlmEntry {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= ScreenMinHits)
       .select(col("doc_id"))
+    // s5 is the LAST frame whose plan carries the ~300 KB bloom
+    // LITERAL (inside the suspects lambda). That literal is poison for
+    // every DOWNSTREAM action: each one re-canonicalizes / re-optimizes
+    // a plan embedding 300 KB of constant — probe-measured 10-25 s of
+    // pure driver-side planning PER ACTION over a cached s5 (data cost
+    // ≈ 0; q89 pays it once and is fine). localCheckpoint truncates the
+    // lineage — the literal-bearing plan executes exactly once and
+    // stage 6 + the accounting read a leaf. (Executor-local blocks,
+    // reclaimed by the ContextCleaner on ref drop — the q35/q36
+    // pattern; the cache-leak test covers it.)
     val s5 = s4.filter(!isBench)
       .join(contam, Seq("doc_id"), "left_anti")
-      .persist(lvl)
+      .localCheckpoint(true)
     // stage 6: temperature mixing over survivors + actual selection
     val counts5 = s5.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val z = counts5.agg(expr(
@@ -2327,6 +2380,7 @@ object LlmEntry {
         expr(s"CAST(floor($MixTargetDocs * sqrt(CAST(n_docs AS DOUBLE)) / z) AS BIGINT)")
           .as("target_docs"))
       .persist(lvl)
+    targets.count() // same discipline for the last multi-consumer frame
     val w6 = Window.partitionBy(col("source"))
       .orderBy(col("n_uniq").desc, col("doc_id"))
     val nSel = s5.withColumn("rk", row_number().over(w6))
@@ -2354,11 +2408,14 @@ object LlmEntry {
         coalesce(col("target_docs"), lit(0L)).as("target_docs"),
         coalesce(col("n_selected"), lit(0L)).as("n_selected"))
     (out, () => {
+      // s5 is localCheckpoint-backed: its executor-local blocks are
+      // reclaimed by the ContextCleaner once the reference drops (the
+      // q35/q36 pattern) — there is no cache entry to unpersist.
       targets.unpersist(blocking = false)
-      s5.unpersist(blocking = false)
       s4.unpersist(blocking = false)
       bench.unpersist(blocking = false)
-      sh0.unpersist(blocking = false)
+      benchSh.unpersist(blocking = false)
+      survSh.unpersist(blocking = false)
       s3.unpersist(blocking = false)
       s2.unpersist(blocking = false)
       pair.unpersist(blocking = false)

@@ -209,4 +209,99 @@ object MultimodalOps {
       s"f -> {frame_id: CAST(f AS BIGINT), " +
       s"off: CAST(f * $FrameSize + 1 AS BIGINT), " +
       s"len: CAST(least($FrameSize, $payloadLen - f * $FrameSize) AS BIGINT)})"
+
+  // ---- perceptual near-dup: difference hash over the decoded raster ----
+
+  val DHashGridW = 9 // 9×8 gray cells → 8 comparisons × 8 rows = 64 bits
+  val DHashGridH = 8
+  val DHashBands = 8 // 8 bands × 8 bits: pigeonhole-complete to hamming 7
+  val DHashHamMax = 6
+
+  final case class MediaHash(docId: Long, dhash: Long)
+
+  /** 64-bit difference hash (dHash) of a decoded raster: integer
+    * box-average downsample to a 9×8 gray grid, bit (r, c) set iff
+    * cell(r, c) < cell(r, c+1). The hash keys on GRADIENTS, so any
+    * clamp-free uniform brightness shift — the classic re-encode
+    * artifact — preserves every comparison and collides exactly; a
+    * different image flips roughly half the bits. Pure integer
+    * (box sums / counts, truncating division), so the hash is
+    * deterministic across platforms.
+    */
+  def dHash(img: PgmImage): Long = {
+    val (gw, gh) = (DHashGridW, DHashGridH)
+    val cells = Array.ofDim[Long](gh, gw)
+    var r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw) {
+        val y0 = r * img.height / gh
+        val y1 = math.min(img.height, math.max(y0 + 1, (r + 1) * img.height / gh))
+        val x0 = c * img.width / gw
+        val x1 = math.min(img.width, math.max(x0 + 1, (c + 1) * img.width / gw))
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            s += img.pixels(y * img.width + x) & 0xff; n += 1; x += 1
+          }
+          y += 1
+        }
+        cells(r)(c) = if (n == 0) 0L else s / n
+        c += 1
+      }
+      r += 1
+    }
+    var h = 0L; var bit = 0
+    r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw - 1) {
+        if (cells(r)(c) < cells(r)(c + 1)) h |= 1L << bit
+        bit += 1; c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** (doc_id, dhash) per decodable payload — batched mapPartitions like
+    * [[decodeFeatures]], quarantined payloads dropped (they have no
+    * raster to hash).
+    */
+  def dHashTable(media: Dataset[MediaItem]): Dataset[MediaHash] =
+    media.mapPartitions(_.flatMap(m =>
+      decodePgm(m.payload).map(img => MediaHash(m.docId, dHash(img)))))(
+      org.apache.spark.sql.Encoders.product[MediaHash])
+
+  /** Image near-dup pairs by banded hamming join: the 64-bit hash splits
+    * into DHashBands 8-bit bands; a pair at hamming ≤ 7 shares at least
+    * one clean band (pigeonhole over 8 bands), so the (band, key)
+    * self-equi-join is a COMPLETE candidate generator for
+    * hamMax ≤ DHashHamMax — the q34–q36 band-then-verify family applied
+    * to pixels. Verify = bit_count(xor) ≤ hamMax on candidates only;
+    * never all-pairs. DISTINCT dedupes multi-band hits before the
+    * (cheap) verify, the q39 pattern.
+    */
+  def imageNearDup(hashes: DataFrame, hamMax: Int = DHashHamMax): DataFrame = {
+    require(hamMax < DHashBands,
+      s"banding is only complete to hamming ${DHashBands - 1}")
+    val bands = hashes.select(col("docId").as("doc_id"), col("dhash"),
+      explode(expr(s"transform(sequence(0, ${DHashBands - 1}), " +
+        "b -> named_struct('band', b, " +
+        "'key', shiftright(dhash, b * 8) & 255))")).as("p"))
+      .select(col("doc_id"), col("dhash"),
+        col("p.band").as("band"), col("p.key").as("key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= hamMax)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

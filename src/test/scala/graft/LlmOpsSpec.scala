@@ -125,6 +125,64 @@ class LlmOpsSpec extends SparkTestBase {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("image dHash: brightness-invariant, discriminative, deterministic") {
+    // dHash keys on gradients: a clamp-free uniform brightness shift
+    // (the classic re-encode artifact) preserves every cell comparison
+    // — the invariance image near-dup rests on. The synthetic rasters
+    // are ASCII bytes (< 248), so +8 never clamps.
+    val imgs = MultimodalOps.pgmTable(spark, docs).collect()
+      .flatMap(m => MultimodalOps.decodePgm(m.payload).map(m.docId -> _))
+      .toMap
+    assert(imgs.size == docs.count())
+    imgs.foreach { case (id, img) =>
+      val bright = img.pixels.map(b => ((b & 0xff) + 8).toByte)
+      assert(MultimodalOps.dHash(img) ==
+        MultimodalOps.dHash(graft.operators.MultimodalOps.PgmImage(
+          img.width, img.height, img.maxVal, bright)),
+        s"doc $id: dHash not brightness-invariant")
+    }
+    // discriminative on this corpus: distinct-text images do not all
+    // collapse (collisions allowed, mass collapse is a bug)
+    val distinctHashes = imgs.values.map(MultimodalOps.dHash).toSet
+    assert(distinctHashes.size > imgs.size / 2,
+      s"only ${distinctHashes.size} distinct hashes for ${imgs.size} images")
+  }
+
+  test("image near-dup: banded hamming join ≡ brute force; planted pairs found") {
+    import spark.implicits._
+    // planted: every doc < 40 gets a brightened re-encode at id+90000 —
+    // same gradients, hamming 0. The band join must find EXACTLY the
+    // brute-force hamming<=max pairs (pigeonhole completeness: <=6
+    // differing bits over 8 bands leave a clean shared band).
+    val media = MultimodalOps.pgmTable(spark, docs)
+    val planted = media.filter(_.docId < 40).map(m =>
+      MultimodalOps.MediaItem(m.docId + 90000L,
+        MultimodalOps.decodePgm(m.payload).map { img =>
+          MultimodalOps.encodePgm(img.width, img.height, img.maxVal,
+            img.pixels.map(b => ((b & 0xff) + 8).toByte))
+        }.getOrElse(m.payload), m.meta))
+    val hashes = MultimodalOps.dHashTable(media.union(planted))
+    val got = MultimodalOps.imageNearDup(hashes.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    // every planted pair present at hamming 0
+    (0L until 40L).foreach { i =>
+      assert(gotPairs((i, i + 90000L)), s"planted pair $i missing")
+    }
+    assert(got.filter(t => t._2 - t._1 == 90000L && t._1 < 40)
+      .forall(_._3 == 0L), "planted brightened pair with nonzero hamming")
+    // completeness + soundness vs in-memory brute force
+    val hs = hashes.collect().map(h => h.docId -> h.dhash)
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= MultimodalOps.DHashHamMax
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got.toSet == brute,
+      s"band join ≠ brute force: missing ${brute.diff(got.toSet).take(3)}, " +
+        s"extra ${got.toSet.diff(brute).take(3)}")
+  }
+
   test("PGM codec: hand-written image round-trips; malformed inputs quarantine") {
     // hand-written 4x3, maxval 255, with a header comment; raster bytes
     // 0..11 — written out longhand, not via encodePgm, so the parser is
