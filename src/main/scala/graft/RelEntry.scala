@@ -32,6 +32,15 @@ object RelEntry {
   // q129 delta seam: the "last ingest batch" — touches 64 of 150 keys
   // at sf0.01, so both the pass-through and recompute branches are real
   private val ScdSeam = "2024-01-30 18:00:00"
+  // q130 histogram geometry: B·W = 1024 covers 2× the observed value
+  // max (560); W = 4.0 is an exact double so bucket edges are bit-stable
+  private val HistB = 256L
+  private val HistW = 4.0
+  // q131 skipping layout: 16 range-clustered files; the query band is
+  // ~1/10 of the value range so pruning has room to show
+  private val SkipFiles = 16
+  private val SkipLo = 40.0
+  private val SkipHi = 90.0
 
   /** q122's SCD2 chain over any (user_id, ts, event_id, event_type)
     * frame — shared by the full build (q122) and the incremental apply
@@ -587,6 +596,89 @@ object RelEntry {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"))),
 
+    // ---- T37: mergeable quantile histograms (percentile re-agg) ---------
+    "q130_histogram_percentiles" -> ((s, d) => {
+      // T28's partials-as-data pattern for QUANTILES: exact percentiles
+      // (T16) shuffle the full value multiset and approx sketches (T8)
+      // aren't engine-portable — the incremental-pipeline answer is a
+      // FIXED-WIDTH histogram per (series, day): a B-bucket integer
+      // vector any engine computes identically, merged across days by
+      // plain SUM-by-bucket (associative ⇒ exact re-aggregation, no
+      // history rescan — merge input is |days|·B rows, not the event
+      // stream). Quantile estimate = upper edge of the first bucket
+      // whose cumulative count reaches the target rank; bucket
+      // selection is an all-integer compare (cum·100 ≥ n·P — no float
+      // boundary), and the estimate's error is bounded by construction:
+      // ≤ 2 bucket widths vs the exact interpolated percentile (one
+      // width for in-bucket position + one for the rank-straddle), an
+      // assert_true'd in-plan contract (q59/q112 pattern). Values
+      // beyond B·W saturate into the top bucket — the documented
+      // failure mode of any fixed-range summary (range here: 2× max).
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("value"))
+      val partials = ev
+        .select(col("event_type"), col("day"),
+          least(lit(HistB - 1),
+            floor(col("value") / HistW).cast("long")).as("bucket"))
+        .groupBy(col("event_type"), col("day"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val merged = partials.groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"),
+             countDistinct(col("day")).as("n_days"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("event_type"))
+      val cum = merged
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wt))
+      def bEst(p: Int) = (min(when(col("cum") * 100 >= col("n") * p,
+        col("bucket"))) + 1) * HistW
+      val ests = cum.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), sum(col("n_days")).as("day_parts"),
+          bEst(50).as("p50_est"), bEst(90).as("p90_est"),
+          bEst(99).as("p99_est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50_exact"),
+             expr("percentile(value, 0.9)").as("p90_exact"),
+             expr("percentile(value, 0.99)").as("p99_exact"))
+      ests.join(exact, "event_type")
+        .where(isnull(expr(
+          s"""assert_true(
+             |  abs(p50_est - p50_exact) <= ${2 * HistW} AND
+             |  abs(p90_est - p90_exact) <= ${2 * HistW} AND
+             |  abs(p99_est - p99_exact) <= ${2 * HistW},
+             |  'histogram percentile outside its 2-bucket error bound')"""
+            .stripMargin)))
+        .select(col("event_type"), col("n"), col("day_parts"),
+          col("p50_est"), col("p90_est"), col("p99_est"),
+          col("p50_exact"), col("p90_exact"), col("p99_exact"))
+    }),
+
+    // ---- T38: min-max file skipping (manifest-pruned range scan) --------
+    "q131_minmax_skipping" -> ((s, d) => {
+      // The data-skipping index a lakehouse format maintains per file,
+      // rebuilt from plain parquet (LayoutOps Scaladoc has the design):
+      // range-clustered layout on `value`, per-file (lo, hi) stats,
+      // manifest-style overlap pruning, residual re-filter. The result
+      // is layout-INDEPENDENT (any boundaries prune correctly, just
+      // less selectively), so it faces the plain-SQL oracle hash-exact;
+      // LayoutSkipSpec asserts the selectivity side — that a selective
+      // band actually reads a strict minority of the files. Sums are
+      // integer cents (q123's discipline) so the aggregate is bit-exact.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_skip_" +
+        Integer.toHexString(d.hashCode)
+      operators.LayoutOps.skippingLayout(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        col("value"), dir, SkipFiles)
+      val (pruned, _, _) = operators.LayoutOps.skippingRead(
+        s, dir, "value", SkipLo, SkipHi)
+      pruned.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    }),
+
     // ---- T33: SCD Type-2 dimension build (change-data → history) --------
     "q122_scd2_build" -> ((s, d) => {
       // The warehousing operator that turns a change/event stream into a
@@ -1126,6 +1218,56 @@ object RelEntry {
         |  CAST(lead(valid_from) OVER wv IS NULL AS BIGINT) AS is_current
         |FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY version)"""
         .stripMargin,
+
+    // q131 mirror: the plain range scan — skipping is a physical
+    // device, never a semantic one (the q105 philosophy)
+    "q131_minmax_skipping" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |FROM events WHERE value >= $SkipLo AND value <= $SkipHi
+         |GROUP BY 1""".stripMargin,
+
+    // q130 mirror: same day-partial → SUM-merge → integer-compare
+    // bucket selection; exact side is quantile_cont (bit-parity with
+    // Spark's percentile, proven on q69)
+    "q130_histogram_percentiles" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+         |partials AS (
+         |  SELECT event_type, day,
+         |    least(${HistB - 1}, CAST(floor(value / $HistW) AS BIGINT))
+         |      AS bucket,
+         |    count(*) AS cnt
+         |  FROM ev GROUP BY 1, 2, 3),
+         |merged AS (
+         |  SELECT event_type, bucket, CAST(sum(cnt) AS BIGINT) AS cnt,
+         |         count(DISTINCT day) AS n_days
+         |  FROM partials GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT event_type, bucket, cnt, n_days,
+         |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM merged),
+         |ests AS (
+         |  SELECT event_type, max(n) AS n,
+         |    CAST(sum(n_days) AS BIGINT) AS day_parts,
+         |    (min(CASE WHEN cum * 100 >= n * 50 THEN bucket END) + 1)
+         |      * $HistW AS p50_est,
+         |    (min(CASE WHEN cum * 100 >= n * 90 THEN bucket END) + 1)
+         |      * $HistW AS p90_est,
+         |    (min(CASE WHEN cum * 100 >= n * 99 THEN bucket END) + 1)
+         |      * $HistW AS p99_est
+         |  FROM cum GROUP BY 1),
+         |exact AS (
+         |  SELECT event_type,
+         |    quantile_cont(value, 0.5) AS p50_exact,
+         |    quantile_cont(value, 0.9) AS p90_exact,
+         |    quantile_cont(value, 0.99) AS p99_exact
+         |  FROM ev GROUP BY 1)
+         |SELECT e.event_type, e.n, e.day_parts, e.p50_est, e.p90_est,
+         |       e.p99_est, x.p50_exact, x.p90_exact, x.p99_exact
+         |FROM ests e JOIN exact x USING (event_type)""".stripMargin,
 
     // q129 mirror: q122's FULL RECOMPUTE verbatim — the incremental
     // apply must be indistinguishable from rebuilding the history, the

