@@ -442,10 +442,18 @@ object Bench {
     // the tail window once the positional array outgrows the budget
     // (~115 queries): typical sessions have ~10-20 above-floor spreads.
     val floorMs = Math.round(SpreadFloorSec * 1000)
-    val spreadx = results.collect {
+    // above-floor spreads, noisiest first (name tiebreak): the order the
+    // top-N rung truncates in — dropping the SMALLEST noisy entries
+    // loses the least envelope (BenchDiff reconstructs absentees at the
+    // floor, so truncation only understates spreads that were barely
+    // above it)
+    val spreadEntries = results.collect {
       case (k, ts) if ts.nonEmpty && ms(ts.max) - ms(ts.min) > floorMs =>
-        s""""${esc(k.takeWhile(_ != '_'))}":${ms(ts.max) - ms(ts.min)}"""
-    }.mkString("{", ",", "}")
+        (ms(ts.max) - ms(ts.min), esc(k.takeWhile(_ != '_')))
+    }.sortBy { case (s, k) => (-s, k) }
+    def spreadxOf(es: Seq[(Long, String)]) =
+      es.map { case (s, k) => s""""$k":$s""" }.mkString("{", ",", "}")
+    val spreadx = spreadxOf(spreadEntries)
     val full = s"""${head("q:median ms;dmin:med-min;spread:max-min ms, q-order")},"dmin":$dmin,"spread":$spread}"""
     if (full.length <= maxLen) full
     else {
@@ -456,7 +464,20 @@ object Bench {
         val sparse =
           s"""${head(s"q:median ms;spreadx:max-min ms only >${floorMs}ms")},"spreadx":$spreadx}"""
         if (sparse.length <= maxLen) sparse
-        else s"${head("q:median ms")}}"
+        else {
+          // top-N rung (r13, ~130 queries): keep the LARGEST above-floor
+          // spreads that fit — the envelope BenchDiff acts on survives
+          // for the queries where it matters most, truncation documented
+          // in enc as topN
+          def topLine(n: Int) = {
+            val es = spreadEntries.take(n)
+            s"""${head(s"q:median ms;spreadx:top${es.size} max-min ms only >${floorMs}ms")},"spreadx":${spreadxOf(es)}}"""
+          }
+          val n = (spreadEntries.size to 0 by -1)
+            .find(n => topLine(n).length <= maxLen)
+          n.filter(_ > 0).map(topLine)
+            .getOrElse(s"${head("q:median ms")}}")
+        }
       }
     }
   }

@@ -64,12 +64,17 @@ class BenchEncodeSpec extends SparkTestBase {
     // bench_result.json.
     assert(line.length <= 1800, s"compact bench line too long: ${line.length}")
     assert(line.contains(""""queries":{"""), line.takeRight(200))
+    // at ~130 queries the full sparse object itself outgrows the tail,
+    // so the ladder's r13 rung keeps the LARGEST above-floor spreads
+    // that fit (topN, documented in enc); the noise envelope survives
+    // for the queries where BenchDiff needs it most
     assert(line.contains(""""spreadx":{"""), line.takeRight(400))
     // noisy queries (spread 700 ms) carry entries; quiet ones don't
     assert(line.contains(""""q01":700"""), line.takeRight(400))
     assert(!line.contains(""""q02":4"""), "below-floor spread leaked")
     // enc must describe the degraded line, not the full triple
-    assert(line.contains(""""enc":"q:median ms;spreadx:max-min ms only >100ms""""),
+    assert(line.contains(""""enc":"q:median ms;spreadx:top""") ||
+      line.contains(""""enc":"q:median ms;spreadx:max-min ms only >100ms""""),
       line.take(300))
     assert(!line.contains("dmin"), "dropped field must vanish from enc too")
     val full = Bench.fullJson(names.take(2), Nil, 1.0, "/x", 3, 0.1, Nil)
