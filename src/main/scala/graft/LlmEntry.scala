@@ -1524,6 +1524,66 @@ object LlmEntry {
       core.Materialize.detached(out)(release())
     }),
 
+    // ---- bigram-LM quality scoring (transition surprisal) ---------------
+    "q132_bigram_lm_score" -> ((s, d) => {
+      // The 2-gram upgrade of q101's unigram surprisal filter — the
+      // published perplexity-filter family's actual shape (CCNet scores
+      // with an n-gram LM, not a unigram one): a doc whose WORDS are
+      // common but whose TRANSITIONS are broken (scrambled text, word-
+      // salad spam, bad OCR segment order) sails through q101 and is
+      // exactly what this catches. Per-transition surprisal in WHOLE
+      // BITS with add-1 smoothing over the vocabulary:
+      // bits(a→b) = floor(log2((c_a + V)/(c_ab + 1)))
+      //           = length(bin((c_a + V) DIV (c_ab + 1))) − 1
+      // (pure BIGINT; the integer floor never crosses the power of two
+      // below — the q101/q111 identity; c_a + V ≥ c_ab + 1 always, so
+      // the ratio ≥ 1 and the bin length is defined). The flag compare
+      // is integer-only: bits·16 > 65·n_trans ⟺ mean > 4.0625
+      // bits/transition. Per-lang report; one IEEE division per row.
+      //
+      // Scale shape: ONE corpus-wide shuffle — the per-doc compressed
+      // (doc, a, b, k) table (distinct transitions per doc, not the raw
+      // stream); corpus bigram counts and the left-context marginal
+      // aggregate FROM it (q114's compressed-table discipline); V and
+      // nothing else broadcasts as a scalar; the transition-bits table
+      // joins back unhinted (bigram vocabulary is corpus-proportional —
+      // the q84 no-forced-broadcast reasoning).
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr(tokensSpark("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val pair = docs
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> named_struct(" +
+            "'a', element_at(tk, i), 'b', element_at(tk, i + 1)))")).as("p"))
+        .groupBy(col("doc_id"), col("lang"),
+          col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cab = pair.groupBy(col("a"), col("b"))
+        .agg(sum(col("k")).as("c_ab"))
+      val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+      val v = cab.select(col("b")).distinct()
+        .agg(count(lit(1)).as("v"))
+      val tb = cab.join(ca, "a").crossJoin(broadcast(v))
+        .select(col("a"), col("b"), expr(
+          "CAST(length(bin((c_a + v) DIV (c_ab + 1))) - 1 AS BIGINT)")
+          .as("tbits"))
+      val db = pair.join(tb, Seq("a", "b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("k") * col("tbits")).as("bits"),
+             sum(col("k")).as("n_trans"))
+      val out = db
+        .withColumn("flagged",
+          (col("bits") * SurprisalFlagDen >
+            col("n_trans") * SurprisalFlagNum).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("flagged")).as("n_flagged"),
+          sum(col("bits")).as("sum_bits"), sum(col("n_trans")).as("sum_trans"))
+        .withColumn("avg_bits",
+          col("sum_bits").cast("double") / col("sum_trans").cast("double"))
+      core.Materialize.detached(out) { pair.unpersist(blocking = false) }
+    }),
+
     // ---- embedding-space decontamination --------------------------------
     "q115_semantic_decontam" -> ((s, d) => {
       // Semantic (embedding-cosine) eval-set decontamination — the
@@ -3437,6 +3497,41 @@ object LlmEntry {
          |WHERE c_ab >= $PmiMinCount
          |ORDER BY pmi_bits DESC, c_ab DESC, a, b
          |LIMIT $PmiTopK""".stripMargin,
+
+    // q132 mirror: same compressed per-doc transition table, same add-1
+    // whole-bit surprisal ((c_a + V) // (c_ab + 1) then bin length),
+    // same integer flag compare, one IEEE division per report row
+    "q132_bigram_lm_score" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, ${tokensDuck("text")} AS tk FROM documents
+         |  WHERE len(${tokensDuck("text")}) >= 2),
+         |pair AS (
+         |  SELECT doc_id, lang, a, b, CAST(count(*) AS BIGINT) AS k FROM (
+         |    SELECT doc_id, lang, tk[i] AS a, tk[i + 1] AS b
+         |    FROM (SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i
+         |          FROM docs))
+         |  GROUP BY 1, 2, 3, 4),
+         |cab AS (
+         |  SELECT a, b, CAST(sum(k) AS BIGINT) AS c_ab FROM pair
+         |  GROUP BY a, b),
+         |ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+         |vv AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS v FROM cab),
+         |tb AS (
+         |  SELECT a, b,
+         |    CAST(length(format('{:b}', (c_a + v) // (c_ab + 1))) - 1
+         |      AS BIGINT) AS tbits
+         |  FROM cab JOIN ca USING (a) CROSS JOIN vv),
+         |db AS (
+         |  SELECT doc_id, lang, CAST(sum(k * tbits) AS BIGINT) AS bits,
+         |         CAST(sum(k) AS BIGINT) AS n_trans
+         |  FROM pair JOIN tb USING (a, b) GROUP BY 1, 2)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CAST(bits * $SurprisalFlagDen
+         |    > n_trans * $SurprisalFlagNum AS BIGINT)) AS BIGINT) AS n_flagged,
+         |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+         |  CAST(sum(n_trans) AS BIGINT) AS sum_trans,
+         |  CAST(sum(bits) AS DOUBLE) / CAST(sum(n_trans) AS DOUBLE) AS avg_bits
+         |FROM db GROUP BY 1""".stripMargin,
 
     // q115 mirror: identical quantization (left-assoc x * 0.5 * Q, floor
     // → BIGINT), identical integer hit test — no IEEE op differs
