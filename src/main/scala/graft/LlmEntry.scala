@@ -1548,40 +1548,8 @@ object LlmEntry {
       // nothing else broadcasts as a scalar; the transition-bits table
       // joins back unhinted (bigram vocabulary is corpus-proportional —
       // the q84 no-forced-broadcast reasoning).
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), expr(tokensSpark("text")).as("tk"))
-        .filter(size(col("tk")) >= 2)
-      val pair = docs
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(sequence(1, size(tk) - 1), i -> named_struct(" +
-            "'a', element_at(tk, i), 'b', element_at(tk, i + 1)))")).as("p"))
-        .groupBy(col("doc_id"), col("lang"),
-          col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("k"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cab = pair.groupBy(col("a"), col("b"))
-        .agg(sum(col("k")).as("c_ab"))
-      val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
-      val v = cab.select(col("b")).distinct()
-        .agg(count(lit(1)).as("v"))
-      val tb = cab.join(ca, "a").crossJoin(broadcast(v))
-        .select(col("a"), col("b"), expr(
-          "CAST(length(bin((c_a + v) DIV (c_ab + 1))) - 1 AS BIGINT)")
-          .as("tbits"))
-      val db = pair.join(tb, Seq("a", "b"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("k") * col("tbits")).as("bits"),
-             sum(col("k")).as("n_trans"))
-      val out = db
-        .withColumn("flagged",
-          (col("bits") * SurprisalFlagDen >
-            col("n_trans") * SurprisalFlagNum).cast("long"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("flagged")).as("n_flagged"),
-          sum(col("bits")).as("sum_bits"), sum(col("n_trans")).as("sum_trans"))
-        .withColumn("avg_bits",
-          col("sum_bits").cast("double") / col("sum_trans").cast("double"))
-      core.Materialize.detached(out) { pair.unpersist(blocking = false) }
+      val (out, release) = bigramLmPlanOn(Tables.documents(s, d))
+      core.Materialize.detached(out)(release())
     }),
 
     // ---- embedding-space decontamination --------------------------------
@@ -1832,6 +1800,52 @@ object LlmEntry {
   /** q114's plan over an explicit corpus (EdgeCaseSpec feeds degenerate
     * docs through the same plan). Returns (plan, release-caches).
     */
+  /** q132's plan over an explicit documents table (LlmOpsSpec feeds a
+    * corpus with a planted token-scrambled doc through it — same words,
+    * broken transitions: the case q101 passes and this flags). Returns
+    * per-DOC scores when `perDoc`, else the per-lang report.
+    */
+  private[graft] def bigramLmPlanOn(docsIn: DataFrame,
+                                    perDoc: Boolean = false)
+      : (DataFrame, () => Unit) = {
+    val docs = docsIn
+      .select(col("doc_id"), col("lang"), expr(tokensSpark("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pair = docs
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> named_struct(" +
+          "'a', element_at(tk, i), 'b', element_at(tk, i + 1)))")).as("p"))
+      .groupBy(col("doc_id"), col("lang"),
+        col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cab = pair.groupBy(col("a"), col("b"))
+      .agg(sum(col("k")).as("c_ab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val v = cab.select(col("b")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val tb = cab.join(ca, "a").crossJoin(broadcast(v))
+      .select(col("a"), col("b"), expr(
+        "CAST(length(bin((c_a + v) DIV (c_ab + 1))) - 1 AS BIGINT)")
+        .as("tbits"))
+    val db = pair.join(tb, Seq("a", "b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("k") * col("tbits")).as("bits"),
+           sum(col("k")).as("n_trans"))
+      .withColumn("flagged",
+        (col("bits") * SurprisalFlagDen >
+          col("n_trans") * SurprisalFlagNum).cast("long"))
+    val out =
+      if (perDoc) db
+      else db
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("flagged")).as("n_flagged"),
+          sum(col("bits")).as("sum_bits"), sum(col("n_trans")).as("sum_trans"))
+        .withColumn("avg_bits",
+          col("sum_bits").cast("double") / col("sum_trans").cast("double"))
+    (out, () => pair.unpersist(blocking = false))
+  }
+
   private[graft] def pmiPlanOn(docs: DataFrame): (DataFrame, () => Unit) = {
     val tk = docs
       .select(expr(tokensSpark("text")).as("tk"))

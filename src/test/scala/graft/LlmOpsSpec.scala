@@ -125,6 +125,36 @@ class LlmOpsSpec extends SparkTestBase {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("bigram LM flags a scrambled doc the unigram filter cannot see") {
+    import spark.implicits._
+    // A corpus with strong transition structure: 50 docs cycling the
+    // same 6-token sentence (every in-corpus transition is a chain
+    // step), plus ONE doc with the SAME token multiset sorted — its
+    // unigram statistics are identical to a normal doc's BY
+    // CONSTRUCTION (q101-family scores depend only on the multiset),
+    // but its transitions (self-pairs, alphabetical steps) never occur
+    // in the chain: c_ab = 0, so each costs ~log2(c_a + V) ≈ 8 bits
+    // vs ~0–1 for a chain step. The bigram scorer must (a) rank it
+    // strictly worst and (b) flag it alone at the 65/16 threshold.
+    val sentence = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val normal = Seq.fill(5)(sentence).flatten.mkString(" ")
+    val scrambled = Seq.fill(5)(sentence).flatten.sorted.mkString(" ")
+    val docs = ((0L until 50L).map(i => (i, "en", normal)) :+
+      (999L, "en", scrambled)).toDF("doc_id", "lang", "text")
+    val (perDoc, release) = LlmEntry.bigramLmPlanOn(docs, perDoc = true)
+    val rows = perDoc.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap // doc_id -> (bits, n_trans, flagged)
+    release()
+    val (sBits, sN, sFlag) = rows(999L)
+    assert(sFlag == 1L, s"scrambled doc not flagged: $sBits bits / $sN")
+    rows.filter(_._1 != 999L).foreach { case (id, (b, n, f)) =>
+      assert(f == 0L, s"chain doc $id flagged ($b bits / $n)")
+      assert(sBits.toDouble / sN > b.toDouble / n,
+        s"scrambled doc not strictly worst vs $id")
+    }
+  }
+
   test("image dHash: brightness-invariant, discriminative, deterministic") {
     // dHash keys on gradients: a clamp-free uniform brightness shift
     // (the classic re-encode artifact) preserves every cell comparison
