@@ -149,7 +149,21 @@ object ScaleBench {
     // touched-key fraction stays ~43% while both branches' volumes grow
     // m×; the broadcast prunes must keep the untouched branch
     // window-free at every scale
-    "q129_scd2_incremental")
+    "q129_scd2_incremental",
+    // q130: histogram percentiles — partials stay |days|·B rows at any
+    // m (day/bucket spaces are fixed), so cost tracks the one partial-
+    // building scan; the in-plan 2-bucket error assert must keep
+    // holding as exact percentiles shift under replication
+    "q130_histogram_percentiles",
+    // q131: min-max skipping — file count is fixed (SkipFiles), files
+    // grow m× fatter; the prune fraction is layout-determined, so cost
+    // tracks the kept-file bytes, ~band-fraction of the corpus
+    "q131_minmax_skipping",
+    // q132: bigram LM — cipher keeps replica transition structure
+    // intact while making replica bigram vocabularies disjoint: the
+    // compressed per-doc transition table and the corpus bigram counts
+    // both really grow m×
+    "q132_bigram_lm_score")
 
   private[graft] val IdStride = 1000000L
 
