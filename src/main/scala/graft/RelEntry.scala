@@ -41,6 +41,9 @@ object RelEntry {
   private val SkipFiles = 16
   private val SkipLo = 40.0
   private val SkipHi = 90.0
+  // q133 as-of match-age bound (1 h): old enough that most purchases
+  // keep their click, young enough that many lose it — both paths real
+  private val AsofTolSec = 3600L
 
   /** q122's SCD2 chain over any (user_id, ts, event_id, event_type)
     * frame — shared by the full build (q122) and the incremental apply
@@ -79,6 +82,26 @@ object RelEntry {
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id"))
       TemporalOps.asofJoin(purchases, clicks, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("asof_ts"), col("asof_click_id"))
+    }),
+
+    // ---- as-of join with tolerance (merge_asof tolerance semantics) -----
+    "q133_asof_tolerance" -> ((s, d) => {
+      // T1 with a match-age bound — pandas merge_asof(tolerance=...):
+      // a click older than AsofTolSec before the purchase no longer
+      // attributes (stale-quote semantics in market data, stale-touch
+      // in attribution). Same join-free plan as q52 (union + one window
+      // on the key); the tolerance is a post-window projection, so the
+      // shuffle story is unchanged and the operator stays 100-TB-safe.
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      TemporalOps.asofJoin(purchases, clicks, "user_id", "ts",
+          toleranceSec = Some(AsofTolSec))
         .select(col("event_id"), col("user_id"), col("ts"),
                 col("asof_ts"), col("asof_click_id"))
     }),
@@ -831,6 +854,23 @@ object RelEntry {
         |       c.click_id AS asof_click_id
         |  FROM m LEFT JOIN c
         |    ON c.user_id = m.user_id AND c.ts = m.asof_ts""".stripMargin,
+    // q133 mirror: q52's shape with the age bound inside the LEFT JOIN
+    // condition — too-old matches fall to NULL, never to a dropped row
+    "q133_asof_tolerance" ->
+      s"""WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+         |             FROM events WHERE event_type='click' GROUP BY 1, 2),
+         |     p AS (SELECT user_id, ts, event_id
+         |             FROM events WHERE event_type='purchase'),
+         |     m AS (SELECT p.event_id, p.user_id, p.ts, max(c.ts) AS asof_ts
+         |             FROM p LEFT JOIN c
+         |               ON c.user_id = p.user_id AND c.ts <= p.ts
+         |              AND c.ts >= p.ts - INTERVAL $AsofTolSec SECOND
+         |            GROUP BY 1, 2, 3)
+         |SELECT m.event_id, m.user_id, m.ts, m.asof_ts,
+         |       c.click_id AS asof_click_id
+         |  FROM m LEFT JOIN c
+         |    ON c.user_id = m.user_id AND c.ts = m.asof_ts""".stripMargin,
+
     "q53_range_join" ->
       """SELECT a.event_id, count(*) AS n_neighbors
         |  FROM events a JOIN events b

@@ -42,8 +42,15 @@ object TemporalOps {
     * must be high-cardinality at scale (doc ids, plates); for few hot keys
     * the per-key sort dominates — same caveat as any PARTITION BY.
     */
+  /** `toleranceSec`: pandas merge_asof semantics — a match older than
+    * `ts − tolerance` is discarded (all asof_ columns NULL), so a stale
+    * quote/click/reading never attributes to a far-future event. Applied
+    * as a post-window projection on the matched struct: the plan shape
+    * (one union, one window, one shuffle on the key) is unchanged.
+    */
   def asofJoin(left: DataFrame, right: DataFrame,
-               key: String, ts: String): DataFrame = {
+               key: String, ts: String,
+               toleranceSec: Option[Long] = None): DataFrame = {
     val lCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
     val rCols = right.columns.toSeq.filterNot(c => c == key || c == ts)
     require(lCols.intersect(rCols).isEmpty,
@@ -66,8 +73,14 @@ object TemporalOps {
     val unioned = lSel.unionByName(rSel)
       .withColumn("_rmatch", when(col("_side") === 0,
         struct(col(ts).as("_mts") +: rCols.map(col): _*)))
-    val matched = unioned.select(col("*"),
-      last(col("_rmatch"), ignoreNulls = true).over(w).as("_m"))
+    val matched0 = unioned.select(col("*"),
+      last(col("_rmatch"), ignoreNulls = true).over(w).as("_m0"))
+    val matched = toleranceSec match {
+      case None => matched0.withColumn("_m", col("_m0"))
+      case Some(tol) => matched0.withColumn("_m",
+        when(col("_m0").getField("_mts") >=
+          col(ts) - expr(s"INTERVAL $tol SECONDS"), col("_m0")))
+    }
     matched.filter(col("_side") === 1)
       .select(col(key) +: col(ts) +: lCols.map(col) ++:
         (rCols.map(c => col("_m").getField(c).as(s"asof_$c")) :+

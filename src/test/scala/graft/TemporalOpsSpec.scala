@@ -37,6 +37,28 @@ class TemporalOpsSpec extends SparkTestBase {
       (301L, None, None)))
   }
 
+  test("asofJoin tolerance: boundary match survives, one-second older drops") {
+    // pandas merge_asof(tolerance) semantics: a match exactly AT
+    // ts − tolerance is kept (>= boundary), one second older falls to
+    // NULL — the row itself never drops
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L), // right@09:00 = exactly 1 h → keep
+      (2L, ts("2024-01-01 10:00:00"), 201L), // right@08:59:59 → too old → NULL
+      (3L, ts("2024-01-01 10:00:00"), 301L)  // right@09:30 well inside → keep
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 11L),
+      (2L, ts("2024-01-01 08:59:59"), 21L),
+      (3L, ts("2024-01-01 09:30:00"), 31L)
+    ).toDF("k", "ts", "rid")
+    val got = TemporalOps.asofJoin(left, right, "k", "ts",
+        toleranceSec = Some(3600L))
+      .select("lid", "asof_rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got === Map(101L -> Some(11L), 201L -> None, 301L -> Some(31L)))
+  }
+
   test("asofJoin plan: no join operator — one window over a union") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("k", "ts", "lid")
     val right = Seq((1L, ts("2024-01-01 09:00:00"), 2L)).toDF("k", "ts", "rid")
