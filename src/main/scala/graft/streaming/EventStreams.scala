@@ -72,6 +72,25 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("sk.terms").as("terms"), col("sk.err").as("err"))
 
+  /** Event-time windowed VALUE histogram (T40): the streaming producer
+    * of q130's mergeable quantile partials — per (hour window, fixed
+    * bucket) integer counts, watermark-evicted. State per window is
+    * ≤ histB rows regardless of event volume or value distribution (the
+    * same capacity-bound story as [[windowedHeavyHitters]], for
+    * quantiles), and the emitted partials merge downstream by plain
+    * SUM-by-bucket — percentile estimates over any window span without
+    * rescanning the stream, with q130's ≤ 2-bucket error bound.
+    */
+  def windowedValueHistogram(ev: DataFrame, histB: Long, histW: Double,
+                             watermark: String = "2 hours"): DataFrame =
+    ev.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"),
+        least(lit(histB - 1),
+          floor(col("value") / histW).cast("long")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("bucket"),
+        col("cnt"))
+
   /** Event-time hourly histogram with watermark — the streaming mirror of
     * `TrafficOps.hourlyCount`. Late data beyond the watermark is dropped;
     * window state is evicted as the watermark advances.

@@ -58,6 +58,50 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want, s"sizes ${got.size} vs ${want.size}")
   }
 
+  test("windowed value histogram: stream partials merge to the batch truth") {
+    // T40: the streaming producer of q130's mergeable quantile partials.
+    // Three claims: (a) the bounded stream emits exactly the batch
+    // per-(window, bucket) counts; (b) merging the emitted partials by
+    // SUM equals the whole-corpus histogram (no stream rescan); (c) a
+    // percentile estimated from the merged partials obeys q130's
+    // 2-bucket error bound vs the exact percentile.
+    val (histB, histW) = (256L, 4.0)
+    val got = EventStreams.runBounded(spark,
+        ss => EventStreams.windowedValueHistogram(
+          EventStreams.eventStream(ss, sf), histB, histW),
+        "vhist", OutputMode.Complete())
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val want = graft.core.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("ws"),
+        least(lit(histB - 1), floor(col("value") / histW).cast("long"))
+          .as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want, s"sizes ${got.size} vs ${want.size}")
+    // (b) merge by SUM across windows
+    val merged = got.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val batchAll = graft.core.Tables.events(spark, sf)
+      .groupBy(least(lit(histB - 1),
+        floor(col("value") / histW).cast("long")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == batchAll)
+    // (c) p90 from the merged histogram within 2 bucket widths of exact
+    val n = merged.values.sum
+    val est = {
+      var cum = 0L
+      (merged.toSeq.sortBy(_._1).find { case (_, c) =>
+        cum += c; cum * 100 >= n * 90
+      }.get._1 + 1) * histW
+    }
+    val exact = graft.core.Tables.events(spark, sf)
+      .agg(expr("percentile(value, 0.9)")).head.getDouble(0)
+    assert(math.abs(est - exact) <= 2 * histW,
+      s"stream-merged p90 $est vs exact $exact")
+  }
+
   test("stateful queries run on the RocksDB state store (disk-backed)") {
     // The default HDFSBackedStateStoreProvider keeps all state on the
     // executor heap — fine for bounded windows, an OOM for 100 TB-scale
