@@ -256,6 +256,30 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(n === 0)
   }
 
+  test("bigram LM: sub-bigram docs vanish; deterministic corpus scores zero bits") {
+    // the q132 contracts a degenerate corpus pins: (a) docs with < 2
+    // tokens have no transition and must not reach the report (the
+    // size >= 2 guard — sequence(1, 0) would run DESCENDING); (b) in a
+    // fully deterministic corpus every transition is its context's only
+    // continuation, so with V = 1 the smoothed surprisal is exactly
+    // bits((c_a + 1) DIV (c_ab + 1)) = bits(1) = 0 — nothing flags;
+    // (c) an empty corpus yields an empty report, not a crash on the
+    // broadcast V scalar
+    val docs = Seq((0L, "en", ""), (1L, "en", "solo"),
+      (2L, "en", "x y"), (3L, "en", "x y"))
+      .toDF("doc_id", "lang", "text")
+    val (df, release) = LlmEntry.bigramLmPlanOn(docs)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    release()
+    assert(rows.toList === List(("en", 2L, 0L, 0L, 2L)), rows.mkString(","))
+    val (empty, release2) = LlmEntry.bigramLmPlanOn(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text"))
+    val n = empty.collect().length
+    release2()
+    assert(n === 0)
+  }
+
   test("semantic decontam: zero vectors never flag; planted probes recall exactly") {
     // a zero vector has n2 = 0 and dot = 0 → dot > 0 excludes it from
     // both sides with no division anywhere (the all-integer hit test's
