@@ -679,6 +679,59 @@ object RelEntry {
           col("p50_exact"), col("p90_exact"), col("p99_exact"))
     }),
 
+    // ---- T41: grouped linear regression (integer sufficient stats) ------
+    "q134_grouped_regression" -> ((s, d) => {
+      // The canonical in-database ML primitive: per-group least squares
+      // from sufficient statistics — ONE aggregate computing (n, Σx, Σy,
+      // Σxy, Σx²), slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — the form
+      // regr_slope implements, made ORACLE-BIT-EXACT the house way: x =
+      // whole seconds from a fixed epoch (≤ 2.6e6 over the fixture
+      // month), y = integer cents, so every sufficient statistic is an
+      // exact BIGINT. The normal-equation PRODUCTS need more than 64
+      // bits — n·Σx² reaches 9.4e18 on this fixture, past BIGINT, where
+      // Spark would silently WRAP (right answer only by modular luck)
+      // and DuckDB raises — so they are computed in exact 128-bit
+      // integers (DECIMAL(38,0) here, HUGEINT in the mirror): exact
+      // until 38 digits (n²·T·Y < 1e38 ⇒ n ≲ 1e13 at this T·Y — no
+      // real corpus reaches it), then ONE correctly-rounded cast to
+      // DOUBLE per operand and single IEEE divisions — bit-identical
+      // cross-engine. An in-plan cross-check pins the exact-integer
+      // slope against Spark's own double-path regr_slope to 1e-9
+      // relative.
+      //
+      // Scale shape: one map-side-combined hash aggregate — the
+      // sufficient statistics ARE the shuffle payload (5 BIGINTs per
+      // group per task), the same partials-as-data story as T28/T37.
+      val x = expr(
+        "unix_seconds(ts) - unix_seconds(TIMESTAMP '2024-01-01 00:00:00')")
+      val y = expr("CAST(round(value * 100) AS BIGINT)")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      Tables.events(s, d)
+        .select(col("event_type"), x.as("x"), y.as("y"),
+          col("ts"), col("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          expr("regr_slope(CAST(round(value * 100) AS BIGINT), " +
+            "unix_seconds(ts) - unix_seconds(TIMESTAMP '2024-01-01 00:00:00'))")
+            .as("ref_slope"))
+        .withColumn("slope",
+          (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+            .cast("double") /
+          (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+            .cast("double"))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+            / col("n").cast("double"))
+        .where(isnull(expr(
+          "assert_true(abs(slope - ref_slope) <= 1e-9 * greatest(abs(ref_slope), 1e-12), " +
+            "'integer-exact slope diverges from regr_slope')")))
+        .select(col("event_type"), col("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), col("slope"), col("intercept"))
+    }),
+
     // ---- T38: min-max file skipping (manifest-pruned range scan) --------
     "q131_minmax_skipping" -> ((s, d) => {
       // The data-skipping index a lakehouse format maintains per file,
@@ -1258,6 +1311,41 @@ object RelEntry {
         |  CAST(lead(valid_from) OVER wv IS NULL AS BIGINT) AS is_current
         |FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY version)"""
         .stripMargin,
+
+    // q134 mirror: identical integer sufficient statistics; the normal-
+    // equation products run in HUGEINT (the mirror of Spark's
+    // DECIMAL(38,0) — both exact 128-bit, both then one correctly-
+    // rounded cast to DOUBLE), so slope/intercept are bit-identical;
+    // the regr_slope cross-check is Spark-side only (engine double
+    // paths differ in the last ulp)
+    "q134_grouped_regression" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    -- date_diff, NOT CAST(epoch(...)): epoch() returns
+        |    -- FRACTIONAL seconds and the cast rounds half-up where
+        |    -- Spark's unix_seconds truncates — a one-second x skew on
+        |    -- ~half the rows
+        |    CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+        |      AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM t GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n, sx, sy, sxy, sxx,
+        |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |      AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |      AS DOUBLE) AS slope
+        |  FROM s)
+        |SELECT event_type, n, sx, sy, sxy, sxx, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept
+        |FROM d""".stripMargin,
 
     // q131 mirror: the plain range scan — skipping is a physical
     // device, never a semantic one (the q105 philosophy)
