@@ -732,6 +732,36 @@ object RelEntry {
           col("sxy"), col("sxx"), col("slope"), col("intercept"))
     }),
 
+    // ---- T41b: grouped Pearson correlation (same exact-stat machinery) --
+    "q135_grouped_corr" -> ((s, d) => {
+      // corr(x, y) from q134's sufficient statistics plus Σy²: the
+      // numerator is the exact 128-bit covariance term; the denominator
+      // is two CORRECTLY-ROUNDED sqrts of exact-integer variances — an
+      // identical IEEE op sequence in both engines (sqrt is exact per
+      // IEEE-754, unlike pow — the q102 α=½ reasoning), so even the
+      // doubles face the hash compare. Same one-aggregate scale shape.
+      val x = expr(
+        "unix_seconds(ts) - unix_seconds(TIMESTAMP '2024-01-01 00:00:00')")
+      val y = expr("CAST(round(value * 100) AS BIGINT)")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      Tables.events(s, d)
+        .select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("corr_xy",
+          (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+            .cast("double") /
+          (sqrt((dec(col("n")) * dec(col("sxx")) -
+                 dec(col("sx")) * dec(col("sx"))).cast("double")) *
+           sqrt((dec(col("n")) * dec(col("syy")) -
+                 dec(col("sy")) * dec(col("sy"))).cast("double"))))
+        .select(col("event_type"), col("n"), col("syy"), col("corr_xy"))
+    }),
+
     // ---- T38: min-max file skipping (manifest-pruned range scan) --------
     "q131_minmax_skipping" -> ((s, d) => {
       // The data-skipping index a lakehouse format maintains per file,
@@ -1346,6 +1376,31 @@ object RelEntry {
         |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) AS intercept
         |FROM d""".stripMargin,
+
+    // q135 mirror: q134's stats + Σy²; numerator exact 128-bit, then
+    // sqrt·sqrt division in the identical IEEE sequence
+    "q135_grouped_corr" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+        |      AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n, syy,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |    AS DOUBLE)
+        |  / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |       AS DOUBLE))
+        |     * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+        |       AS DOUBLE))) AS corr_xy
+        |FROM s""".stripMargin,
 
     // q131 mirror: the plain range scan — skipping is a physical
     // device, never a semantic one (the q105 philosophy)
