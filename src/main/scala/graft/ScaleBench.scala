@@ -163,7 +163,11 @@ object ScaleBench {
     // intact while making replica bigram vocabularies disjoint: the
     // compressed per-doc transition table and the corpus bigram counts
     // both really grow m×
-    "q132_bigram_lm_score")
+    "q132_bigram_lm_score",
+    // q134: grouped regression — the purest partials-as-data member:
+    // the shuffle carries 5 BIGINTs per (group, task) at every m, so
+    // cost is the one map-side-combined scan
+    "q134_grouped_regression")
 
   private[graft] val IdStride = 1000000L
 
