@@ -773,8 +773,14 @@ object RelEntry {
       // LayoutSkipSpec asserts the selectivity side — that a selective
       // band actually reads a strict minority of the files. Sums are
       // integer cents (q123's discipline) so the aggregate is bit-exact.
+      // layout-cache key: md5 of the dataset path (32-bit String.hashCode
+      // collides across paths and would silently serve another dataset's
+      // layout) plus the process id, so two concurrent JVMs on the same
+      // dataset never race overwrite-vs-read on shared file paths
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_skip_" +
-        Integer.toHexString(d.hashCode)
+        s"${dirKey}_${ProcessHandle.current().pid()}"
       operators.LayoutOps.skippingLayout(
         Tables.events(s, d).select(col("event_type"), col("value")),
         col("value"), dir, SkipFiles)

@@ -98,8 +98,13 @@ object LayoutOps {
     val stats = minMaxStats(spark, dir, on).collect()
     val keep = stats.filter(r =>
       r.getDouble(2) >= qLo && r.getDouble(1) <= qHi).map(_.getString(0))
-    val df = spark.read.parquet(keep.toIndexedSeq: _*)
-      .filter(col(on) >= qLo && col(on) <= qHi)
+    // a band overlapping NO file is a legitimate query (out-of-range
+    // predicate) and must yield zero rows, not a zero-path read error —
+    // reuse the layout's own schema via a never-true residual
+    val df =
+      if (keep.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+        .filter(col(on) >= qLo && col(on) <= qHi)
     (df, keep.length, stats.length)
   }
 

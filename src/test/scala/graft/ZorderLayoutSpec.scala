@@ -116,5 +116,15 @@ class ZorderLayoutSpec extends SparkTestBase {
       assert(r.getDouble(1) <= r.getDouble(2),
         s"file ${r.getString(0)} has lo > hi")
     }
+    // ADVICE r13: a band overlapping NO file (out-of-range predicate)
+    // must return an empty frame with the layout's schema, not crash on
+    // a zero-path parquet read
+    val (empty, readN, totalN) = LayoutOps.skippingRead(
+      spark, dir, "value", 1e9, 2e9)
+    assert(readN === 0 && totalN === total,
+      s"out-of-range band kept $readN of $totalN files")
+    assert(empty.count() === 0L, "out-of-range band returned rows")
+    assert(empty.columns.toSeq === Seq("event_type", "value"),
+      "empty-prune frame lost the layout schema")
   }
 }
