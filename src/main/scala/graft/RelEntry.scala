@@ -71,6 +71,107 @@ object RelEntry {
       .withColumn("is_current", col("valid_to").isNull.cast("bigint"))
   }
 
+  /** T41 (q134): per-group least squares from sufficient statistics —
+    * ONE aggregate computing (n, Σx, Σy, Σxy, Σx²), slope =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — the form regr_slope implements,
+    * made ORACLE-BIT-EXACT the house way: x = whole seconds from a
+    * fixed epoch, y = integer cents, and EVERY sufficient statistic
+    * accumulates in exact 128-bit integers (DECIMAL(38,0) here,
+    * HUGEINT in the mirror) — each term is cast BEFORE the sum, so the
+    * partials themselves can never wrap a 64-bit accumulator (r13's
+    * residual: Σx² as a BIGINT sum overflows at ~10⁵× this fixture or
+    * at 1e8-scale epoch offsets, where Spark wraps silently without
+    * ANSI and DuckDB widens — the engines diverged exactly where the
+    * headroom claim lived; EdgeCaseSpec now pins a Long-overflowing
+    * fixture). Exactness holds to 38 digits (n²·T·Y < 1e38 ⇒ n ≲ 1e13
+    * at this T·Y), then ONE correctly-rounded cast to DOUBLE per
+    * reported statistic / operand and single IEEE divisions —
+    * bit-identical cross-engine. An in-plan cross-check pins the
+    * exact-integer slope against Spark's own double-path regr_slope:
+    * the bound is 1e-9 of max(|slope|, |nΣxy|+|ΣxΣy| over den) — the
+    * second term is the natural magnitude of the two cancelling
+    * numerator products, so a near-zero slope (y ⊥ x) cannot shrink
+    * the tolerance below the double path's own error scale (ADVICE
+    * r13).
+    *
+    * Scale shape: one map-side-combined hash aggregate — the
+    * sufficient statistics ARE the shuffle payload (5 exact decimals
+    * per group per task), the same partials-as-data story as T28/T37.
+    */
+  private[graft] def groupedRegressionOn(ev: DataFrame): DataFrame = {
+    val x = expr(
+      "unix_seconds(ts) - unix_seconds(TIMESTAMP '2024-01-01 00:00:00')")
+    val y = expr("CAST(round(value * 100) AS BIGINT)")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    ev
+      .select(col("event_type"), x.as("x"), y.as("y"),
+        col("ts"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sxd"),
+        sum(dec(col("y"))).as("syd"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxyd"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxxd"),
+        expr("regr_slope(CAST(round(value * 100) AS BIGINT), " +
+          "unix_seconds(ts) - unix_seconds(TIMESTAMP '2024-01-01 00:00:00'))")
+          .as("ref_slope"))
+      .withColumn("den",
+        (dec(col("n")) * col("sxxd") - col("sxd") * col("sxd"))
+          .cast("double"))
+      .withColumn("slope",
+        (dec(col("n")) * col("sxyd") - col("sxd") * col("syd"))
+          .cast("double") / col("den"))
+      .withColumn("intercept",
+        (col("syd").cast("double") - col("slope") * col("sxd").cast("double"))
+          / col("n").cast("double"))
+      // cross-check tolerance: relative to the slope OR to the
+      // cancelling-term magnitude (|nΣxy| + |ΣxΣy|)/den — the absolute
+      // floor the double path's rounding error actually scales with
+      .withColumn("tol", lit(1e-9) * greatest(abs(col("ref_slope")),
+        (abs(dec(col("n")) * col("sxyd")) + abs(col("sxd") * col("syd")))
+          .cast("double") / col("den")))
+      .where(isnull(expr(
+        "assert_true(abs(slope - ref_slope) <= tol, " +
+          "'integer-exact slope diverges from regr_slope')")))
+      .select(col("event_type"), col("n"),
+        col("sxd").cast("double").as("sx"),
+        col("syd").cast("double").as("sy"),
+        col("sxyd").cast("double").as("sxy"),
+        col("sxxd").cast("double").as("sxx"),
+        col("slope"), col("intercept"))
+  }
+
+  /** T41b (q135): corr(x, y) from q134's sufficient statistics plus Σy²:
+    * the numerator is the exact 128-bit covariance term; the
+    * denominator is two CORRECTLY-ROUNDED sqrts of exact-integer
+    * variances — an identical IEEE op sequence in both engines (sqrt is
+    * exact per IEEE-754, unlike pow — the q102 α=½ reasoning), so even
+    * the doubles face the hash compare. Same one-aggregate scale shape,
+    * same cast-before-sum 128-bit partials as [[groupedRegressionOn]].
+    */
+  private[graft] def groupedCorrOn(ev: DataFrame): DataFrame = {
+    val x = expr(
+      "unix_seconds(ts) - unix_seconds(TIMESTAMP '2024-01-01 00:00:00')")
+    val y = expr("CAST(round(value * 100) AS BIGINT)")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    ev
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sxd"),
+        sum(dec(col("y"))).as("syd"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxyd"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxxd"),
+        sum(dec(col("y")) * dec(col("y"))).as("syyd"))
+      .withColumn("corr_xy",
+        (dec(col("n")) * col("sxyd") - col("sxd") * col("syd"))
+          .cast("double") /
+        (sqrt((dec(col("n")) * col("sxxd") -
+               col("sxd") * col("sxd")).cast("double")) *
+         sqrt((dec(col("n")) * col("syyd") -
+               col("syd") * col("syd")).cast("double"))))
+      .select(col("event_type"), col("n"),
+        col("syyd").cast("double").as("syy"), col("corr_xy"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- as-of join: purchase → latest click by the same user ----------
     "q52_asof_join" -> ((s, d) => {
@@ -680,87 +781,12 @@ object RelEntry {
     }),
 
     // ---- T41: grouped linear regression (integer sufficient stats) ------
-    "q134_grouped_regression" -> ((s, d) => {
-      // The canonical in-database ML primitive: per-group least squares
-      // from sufficient statistics — ONE aggregate computing (n, Σx, Σy,
-      // Σxy, Σx²), slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — the form
-      // regr_slope implements, made ORACLE-BIT-EXACT the house way: x =
-      // whole seconds from a fixed epoch (≤ 2.6e6 over the fixture
-      // month), y = integer cents, so every sufficient statistic is an
-      // exact BIGINT. The normal-equation PRODUCTS need more than 64
-      // bits — n·Σx² reaches 9.4e18 on this fixture, past BIGINT, where
-      // Spark would silently WRAP (right answer only by modular luck)
-      // and DuckDB raises — so they are computed in exact 128-bit
-      // integers (DECIMAL(38,0) here, HUGEINT in the mirror): exact
-      // until 38 digits (n²·T·Y < 1e38 ⇒ n ≲ 1e13 at this T·Y — no
-      // real corpus reaches it), then ONE correctly-rounded cast to
-      // DOUBLE per operand and single IEEE divisions — bit-identical
-      // cross-engine. An in-plan cross-check pins the exact-integer
-      // slope against Spark's own double-path regr_slope to 1e-9
-      // relative.
-      //
-      // Scale shape: one map-side-combined hash aggregate — the
-      // sufficient statistics ARE the shuffle payload (5 BIGINTs per
-      // group per task), the same partials-as-data story as T28/T37.
-      val x = expr(
-        "unix_seconds(ts) - unix_seconds(TIMESTAMP '2024-01-01 00:00:00')")
-      val y = expr("CAST(round(value * 100) AS BIGINT)")
-      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      Tables.events(s, d)
-        .select(col("event_type"), x.as("x"), y.as("y"),
-          col("ts"), col("value"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          expr("regr_slope(CAST(round(value * 100) AS BIGINT), " +
-            "unix_seconds(ts) - unix_seconds(TIMESTAMP '2024-01-01 00:00:00'))")
-            .as("ref_slope"))
-        .withColumn("slope",
-          (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
-            .cast("double") /
-          (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
-            .cast("double"))
-        .withColumn("intercept",
-          (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
-            / col("n").cast("double"))
-        .where(isnull(expr(
-          "assert_true(abs(slope - ref_slope) <= 1e-9 * greatest(abs(ref_slope), 1e-12), " +
-            "'integer-exact slope diverges from regr_slope')")))
-        .select(col("event_type"), col("n"), col("sx"), col("sy"),
-          col("sxy"), col("sxx"), col("slope"), col("intercept"))
-    }),
+    "q134_grouped_regression" -> ((s, d) =>
+      groupedRegressionOn(Tables.events(s, d))),
 
     // ---- T41b: grouped Pearson correlation (same exact-stat machinery) --
-    "q135_grouped_corr" -> ((s, d) => {
-      // corr(x, y) from q134's sufficient statistics plus Σy²: the
-      // numerator is the exact 128-bit covariance term; the denominator
-      // is two CORRECTLY-ROUNDED sqrts of exact-integer variances — an
-      // identical IEEE op sequence in both engines (sqrt is exact per
-      // IEEE-754, unlike pow — the q102 α=½ reasoning), so even the
-      // doubles face the hash compare. Same one-aggregate scale shape.
-      val x = expr(
-        "unix_seconds(ts) - unix_seconds(TIMESTAMP '2024-01-01 00:00:00')")
-      val y = expr("CAST(round(value * 100) AS BIGINT)")
-      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      Tables.events(s, d)
-        .select(col("event_type"), x.as("x"), y.as("y"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
-        .withColumn("corr_xy",
-          (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
-            .cast("double") /
-          (sqrt((dec(col("n")) * dec(col("sxx")) -
-                 dec(col("sx")) * dec(col("sx"))).cast("double")) *
-           sqrt((dec(col("n")) * dec(col("syy")) -
-                 dec(col("sy")) * dec(col("sy"))).cast("double"))))
-        .select(col("event_type"), col("n"), col("syy"), col("corr_xy"))
-    }),
+    "q135_grouped_corr" -> ((s, d) =>
+      groupedCorrOn(Tables.events(s, d))),
 
     // ---- T38: min-max file skipping (manifest-pruned range scan) --------
     "q131_minmax_skipping" -> ((s, d) => {
@@ -1348,12 +1374,13 @@ object RelEntry {
         |FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY version)"""
         .stripMargin,
 
-    // q134 mirror: identical integer sufficient statistics; the normal-
-    // equation products run in HUGEINT (the mirror of Spark's
-    // DECIMAL(38,0) — both exact 128-bit, both then one correctly-
-    // rounded cast to DOUBLE), so slope/intercept are bit-identical;
-    // the regr_slope cross-check is Spark-side only (engine double
-    // paths differ in the last ulp)
+    // q134 mirror: identical integer sufficient statistics; every sum
+    // accumulates in HUGEINT (the mirror of Spark's cast-before-sum
+    // DECIMAL(38,0) — both exact 128-bit), the normal-equation products
+    // stay 128-bit, then one correctly-rounded cast to DOUBLE per
+    // reported statistic / operand, so every output column is
+    // bit-identical; the regr_slope cross-check is Spark-side only
+    // (engine double paths differ in the last ulp)
     "q134_grouped_regression" ->
       """WITH t AS (
         |  SELECT event_type,
@@ -1362,50 +1389,45 @@ object RelEntry {
         |    -- Spark's unix_seconds truncates — a one-second x skew on
         |    -- ~half the rows
         |    CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
-        |      AS BIGINT) AS x,
-        |    CAST(round(value * 100) AS BIGINT) AS y
+        |      AS HUGEINT) AS x,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS y
         |  FROM events),
         |s AS (
         |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |    sum(x) AS sxh, sum(y) AS syh,
+        |    sum(x * y) AS sxyh, sum(x * x) AS sxxh
         |  FROM t GROUP BY 1),
         |d AS (
-        |  SELECT event_type, n, sx, sy, sxy, sxx,
-        |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
-        |      AS DOUBLE)
-        |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
-        |      AS DOUBLE) AS slope
+        |  SELECT event_type, n, sxh, syh, sxyh, sxxh,
+        |    CAST(CAST(n AS HUGEINT) * sxyh - sxh * syh AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * sxxh - sxh * sxh AS DOUBLE) AS slope
         |  FROM s)
-        |SELECT event_type, n, sx, sy, sxy, sxx, slope,
-        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |SELECT event_type, n,
+        |  CAST(sxh AS DOUBLE) AS sx, CAST(syh AS DOUBLE) AS sy,
+        |  CAST(sxyh AS DOUBLE) AS sxy, CAST(sxxh AS DOUBLE) AS sxx, slope,
+        |  (CAST(syh AS DOUBLE) - slope * CAST(sxh AS DOUBLE))
         |    / CAST(n AS DOUBLE) AS intercept
         |FROM d""".stripMargin,
 
-    // q135 mirror: q134's stats + Σy²; numerator exact 128-bit, then
-    // sqrt·sqrt division in the identical IEEE sequence
+    // q135 mirror: q134's stats + Σy²; all sums HUGEINT, numerator exact
+    // 128-bit, then sqrt·sqrt division in the identical IEEE sequence
     "q135_grouped_corr" ->
       """WITH t AS (
         |  SELECT event_type,
         |    CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
-        |      AS BIGINT) AS x,
-        |    CAST(round(value * 100) AS BIGINT) AS y
+        |      AS HUGEINT) AS x,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS y
         |  FROM events),
         |s AS (
         |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |    sum(x) AS sxh, sum(y) AS syh,
+        |    sum(x * y) AS sxyh, sum(x * x) AS sxxh, sum(y * y) AS syyh
         |  FROM t GROUP BY 1)
-        |SELECT event_type, n, syy,
-        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
-        |    AS DOUBLE)
-        |  / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
-        |       AS DOUBLE))
-        |     * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
-        |       AS DOUBLE))) AS corr_xy
+        |SELECT event_type, n, CAST(syyh AS DOUBLE) AS syy,
+        |  CAST(CAST(n AS HUGEINT) * sxyh - sxh * syh AS DOUBLE)
+        |  / (sqrt(CAST(CAST(n AS HUGEINT) * sxxh - sxh * sxh AS DOUBLE))
+        |     * sqrt(CAST(CAST(n AS HUGEINT) * syyh - syh * syh AS DOUBLE)))
+        |    AS corr_xy
         |FROM s""".stripMargin,
 
     // q131 mirror: the plain range scan — skipping is a physical

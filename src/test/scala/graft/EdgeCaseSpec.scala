@@ -379,4 +379,58 @@ class EdgeCaseSpec extends SparkTestBase {
     release2()
     assert(n2 == 4, s"expected all 4 non-target docs ranked, got $n2")
   }
+
+  test("T41 sufficient statistics survive 64-bit-overflowing partials") {
+    // VERDICT r13: the Σx²/Σxy PARTIALS must accumulate in
+    // DECIMAL(38,0), not BIGINT — a years-long epoch span (x ~ 1e8 s)
+    // overflows a Long partial at modest row counts, where non-ANSI
+    // Spark wraps silently and DuckDB widens, so the engines diverge
+    // exactly where the operator's headroom claim lives. Fixture: 1200
+    // rows per group with x up to 2.4e8 ⇒ Σx² ≈ 2.3e19 > Long.MaxValue.
+    // Every reported statistic, the slope, the intercept, and the
+    // correlation must equal the in-memory BigInt computation exactly
+    // (one correctly-rounded double each — the same op sequence).
+    val epoch = 1704067200L // 2024-01-01 00:00:00 UTC
+    val rows = for (g <- Seq("a", "b"); k <- 0 until 1200) yield {
+      val x = k.toLong * 200000L
+      val cents = (k % 997).toLong * 100L + 25L + (if (g == "a") 7L else 0L)
+      (g, epoch + x, cents / 100.0)
+    }
+    val ev = rows.toDF("event_type", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    def stats(g: String) = {
+      val rs = rows.filter(_._1 == g).map { case (_, s, v) =>
+        (BigInt(s - epoch), BigInt(math.round(v * 100))) }
+      (BigInt(rs.size), rs.map(_._1).sum, rs.map(_._2).sum,
+        rs.map(r => r._1 * r._2).sum, rs.map(r => r._1 * r._1).sum,
+        rs.map(r => r._2 * r._2).sum)
+    }
+    // the fixture genuinely exercises the overflow
+    assert(stats("a")._5 > BigInt(Long.MaxValue),
+      s"fixture too small to overflow a Long partial: ${stats("a")._5}")
+    val reg = RelEntry.groupedRegressionOn(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val cor = RelEntry.groupedCorrOn(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("a", "b")) {
+      val (n, sx, sy, sxy, sxx, syy) = stats(g)
+      val r = reg(g)
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getDouble(2) == sx.toDouble && r.getDouble(3) == sy.toDouble)
+      assert(r.getDouble(4) == sxy.toDouble && r.getDouble(5) == sxx.toDouble)
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val slope = num.toDouble / den.toDouble
+      assert(r.getDouble(6) == slope,
+        s"$g: slope ${r.getDouble(6)} != exact-BigInt $slope")
+      assert(r.getDouble(7) ==
+        (sy.toDouble - slope * sx.toDouble) / n.toDouble)
+      val c = cor(g)
+      assert(c.getDouble(2) == syy.toDouble)
+      val corrExp = num.toDouble /
+        (math.sqrt(den.toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+      assert(c.getDouble(3) == corrExp,
+        s"$g: corr ${c.getDouble(3)} != exact-BigInt $corrExp")
+    }
+  }
 }
