@@ -34,8 +34,8 @@ object RelEntry {
   private val ScdSeam = "2024-01-30 18:00:00"
   // q130 histogram geometry: B·W = 1024 covers 2× the observed value
   // max (560); W = 4.0 is an exact double so bucket edges are bit-stable
-  private val HistB = 256L
-  private val HistW = 4.0
+  private[graft] val HistB = 256L
+  private[graft] val HistW = 4.0
   // q131 skipping layout: 16 range-clustered files; the query band is
   // ~1/10 of the value range so pruning has room to show
   private val SkipFiles = 16
@@ -69,6 +69,70 @@ object RelEntry {
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
       .withColumn("is_current", col("valid_to").isNull.cast("bigint"))
+  }
+
+  /** T37 (q130): T28's partials-as-data pattern for QUANTILES: exact
+    * percentiles (T16) shuffle the full value multiset and approx
+    * sketches (T8) aren't engine-portable — the incremental-pipeline
+    * answer is a FIXED-WIDTH histogram per (series, day): a B-bucket
+    * integer vector any engine computes identically, merged across
+    * days by plain SUM-by-bucket (associative ⇒ exact re-aggregation,
+    * no history rescan — merge input is |days|·B rows, not the event
+    * stream). Quantile estimate = upper edge of the first bucket whose
+    * cumulative count reaches the target rank; bucket selection is an
+    * all-integer compare (cum·100 ≥ n·P — no float boundary).
+    *
+    * Error contract (ADVICE r13 corrected): what fixed-width
+    * histograms guarantee BY CONSTRUCTION is est − x₍ᵣ₎ ∈ (0, W] for
+    * the FLOOR ORDER STATISTIC at the target rank r = ⌈n·p/100⌉ —
+    * x₍ᵣ₎ lives in the selected bucket by minimality, so the bucket's
+    * upper edge overshoots it by at most one width. The previously
+    * assert_true'd "≤ 2 widths vs the INTERPOLATED percentile" is NOT
+    * guaranteed: interpolation reaches toward x₍ᵣ₊₁₎, which a sparse
+    * histogram can place many empty buckets away (90 values at 1 + 10
+    * at 500 puts p90_est at 4 vs interpolated 50.9) — a legitimate
+    * distribution must not throw in-plan, so the order-stat bound is
+    * enforced in EdgeCaseSpec (fixture-adversarial) instead, and the
+    * exact interpolated percentiles stay REPORTED columns for the
+    * consumer's own error accounting. Values beyond B·W saturate into
+    * the top bucket — the documented failure mode of any fixed-range
+    * summary (range here: 2× max; a saturated estimate reads B·W and
+    * the order-stat bound's upper half is void there).
+    */
+  private[graft] def histogramPercentilesOn(evRaw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = evRaw
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value"))
+    val partials = ev
+      .select(col("event_type"), col("day"),
+        least(lit(HistB - 1),
+          floor(col("value") / HistW).cast("long")).as("bucket"))
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = partials.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"),
+           countDistinct(col("day")).as("n_days"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("event_type"))
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(wt))
+    def bEst(p: Int) = (min(when(col("cum") * 100 >= col("n") * p,
+      col("bucket"))) + 1) * HistW
+    val ests = cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), sum(col("n_days")).as("day_parts"),
+        bEst(50).as("p50_est"), bEst(90).as("p90_est"),
+        bEst(99).as("p99_est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50_exact"),
+           expr("percentile(value, 0.9)").as("p90_exact"),
+           expr("percentile(value, 0.99)").as("p99_exact"))
+    ests.join(exact, "event_type")
+      .select(col("event_type"), col("n"), col("day_parts"),
+        col("p50_est"), col("p90_est"), col("p99_est"),
+        col("p50_exact"), col("p90_exact"), col("p99_exact"))
   }
 
   /** T41 (q134): per-group least squares from sufficient statistics —
@@ -721,64 +785,8 @@ object RelEntry {
           col("sw.end").as("session_end"), col("n_events"))),
 
     // ---- T37: mergeable quantile histograms (percentile re-agg) ---------
-    "q130_histogram_percentiles" -> ((s, d) => {
-      // T28's partials-as-data pattern for QUANTILES: exact percentiles
-      // (T16) shuffle the full value multiset and approx sketches (T8)
-      // aren't engine-portable — the incremental-pipeline answer is a
-      // FIXED-WIDTH histogram per (series, day): a B-bucket integer
-      // vector any engine computes identically, merged across days by
-      // plain SUM-by-bucket (associative ⇒ exact re-aggregation, no
-      // history rescan — merge input is |days|·B rows, not the event
-      // stream). Quantile estimate = upper edge of the first bucket
-      // whose cumulative count reaches the target rank; bucket
-      // selection is an all-integer compare (cum·100 ≥ n·P — no float
-      // boundary), and the estimate's error is bounded by construction:
-      // ≤ 2 bucket widths vs the exact interpolated percentile (one
-      // width for in-bucket position + one for the rank-straddle), an
-      // assert_true'd in-plan contract (q59/q112 pattern). Values
-      // beyond B·W saturate into the top bucket — the documented
-      // failure mode of any fixed-range summary (range here: 2× max).
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), to_date(col("ts")).as("day"),
-          col("value"))
-      val partials = ev
-        .select(col("event_type"), col("day"),
-          least(lit(HistB - 1),
-            floor(col("value") / HistW).cast("long")).as("bucket"))
-        .groupBy(col("event_type"), col("day"), col("bucket"))
-        .agg(count(lit(1)).as("cnt"))
-      val merged = partials.groupBy(col("event_type"), col("bucket"))
-        .agg(sum(col("cnt")).as("cnt"),
-             countDistinct(col("day")).as("n_days"))
-      val wc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wt = Window.partitionBy(col("event_type"))
-      val cum = merged
-        .withColumn("cum", sum(col("cnt")).over(wc))
-        .withColumn("n", sum(col("cnt")).over(wt))
-      def bEst(p: Int) = (min(when(col("cum") * 100 >= col("n") * p,
-        col("bucket"))) + 1) * HistW
-      val ests = cum.groupBy(col("event_type"))
-        .agg(max(col("n")).as("n"), sum(col("n_days")).as("day_parts"),
-          bEst(50).as("p50_est"), bEst(90).as("p90_est"),
-          bEst(99).as("p99_est"))
-      val exact = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.5)").as("p50_exact"),
-             expr("percentile(value, 0.9)").as("p90_exact"),
-             expr("percentile(value, 0.99)").as("p99_exact"))
-      ests.join(exact, "event_type")
-        .where(isnull(expr(
-          s"""assert_true(
-             |  abs(p50_est - p50_exact) <= ${2 * HistW} AND
-             |  abs(p90_est - p90_exact) <= ${2 * HistW} AND
-             |  abs(p99_est - p99_exact) <= ${2 * HistW},
-             |  'histogram percentile outside its 2-bucket error bound')"""
-            .stripMargin)))
-        .select(col("event_type"), col("n"), col("day_parts"),
-          col("p50_est"), col("p90_est"), col("p99_est"),
-          col("p50_exact"), col("p90_exact"), col("p99_exact"))
-    }),
+    "q130_histogram_percentiles" -> ((s, d) =>
+      histogramPercentilesOn(Tables.events(s, d))),
 
     // ---- T41: grouped linear regression (integer sufficient stats) ------
     "q134_grouped_regression" -> ((s, d) =>
