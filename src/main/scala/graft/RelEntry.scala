@@ -44,6 +44,9 @@ object RelEntry {
   // q133 as-of match-age bound (1 h): old enough that most purchases
   // keep their click, young enough that many lose it — both paths real
   private val AsofTolSec = 3600L
+  // q136/q137 subquery threshold: ~1/5 of orders qualify, so both the
+  // EXISTS and NOT-EXISTS sides keep real row sets
+  private val SubqPriceHi = 400000.0
 
   /** q122's SCD2 chain over any (user_id, ts, event_id, event_type)
     * frame — shared by the full build (q122) and the incremental apply
@@ -959,6 +962,73 @@ object RelEntry {
         .agg(max(col("open")).as("max_open"),
              count(lit(1)).as("n_changes"))
     }),
+
+    // ---- T42–T44: correlated subqueries (VERDICT r13 gap 1) -------------
+    // The warehouse-SQL surface every porting user hits on day one:
+    // WHERE EXISTS / NOT EXISTS, a correlated scalar subquery in SELECT,
+    // and IN (subquery). Expressed as actual SQL subqueries ON PURPOSE —
+    // the engine property these rows pin is Catalyst's DECORRELATION
+    // (RewritePredicateSubquery / RewriteCorrelatedScalarSubquery): the
+    // per-row-re-execution reading of a correlated subquery must compile
+    // to one semi/anti/outer equi-join per subquery, which PlanAuditSpec
+    // machine-asserts. At 100 TB each decorrelated join is an ordinary
+    // keyed join — broadcast when the subquery side is dim-sized (AQE
+    // decides from measured size), hash-shuffle otherwise — so the
+    // operator inherits the engine's whole join scale story instead of
+    // a nested-loop one.
+    "q136_subquery_exists" -> ((s, d) => {
+      // customers with at least one high-value order: EXISTS → LeftSemi
+      Tables.customer(s, d).createOrReplaceTempView("graft_q136_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_q136_orders")
+      s.sql(
+        s"""SELECT c_custkey, c_mktsegment FROM graft_q136_customer c
+           |WHERE EXISTS (SELECT 1 FROM graft_q136_orders o
+           |              WHERE o.o_custkey = c.c_custkey
+           |                AND o.o_totalprice > $SubqPriceHi)"""
+          .stripMargin)
+    }),
+
+    "q137_subquery_not_exists" -> ((s, d) => {
+      // customers with NO high-value order: NOT EXISTS → LeftAnti (the
+      // null-safe complement a NOT IN over a nullable key would botch)
+      Tables.customer(s, d).createOrReplaceTempView("graft_q137_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_q137_orders")
+      s.sql(
+        s"""SELECT c_custkey, c_acctbal FROM graft_q137_customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM graft_q137_orders o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND o.o_totalprice > $SubqPriceHi)"""
+          .stripMargin)
+    }),
+
+    "q138_subquery_scalar" -> ((s, d) => {
+      // correlated scalar subqueries in SELECT — max (NULL on empty
+      // match, both engines) and COUNT (the classic decorrelation trap:
+      // an outer-join rewrite must coalesce the no-match group to 0, not
+      // NULL — both engines agree and the hash compare pins it)
+      Tables.customer(s, d).createOrReplaceTempView("graft_q138_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_q138_orders")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT max(o_totalprice) FROM graft_q138_orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS max_price,
+          |  CAST((SELECT count(*) FROM graft_q138_orders o
+          |        WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+          |FROM graft_q138_customer c WHERE c_custkey < 500"""
+          .stripMargin)
+    }),
+
+    "q139_subquery_in" -> ((s, d) => {
+      // IN (subquery) over a non-null key: plans as LeftSemi, same as
+      // EXISTS — pinned so the two spellings stay plan-equivalent
+      Tables.customer(s, d).createOrReplaceTempView("graft_q139_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_q139_orders")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM graft_q139_orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM graft_q139_customer
+          |                    WHERE c_mktsegment = 'BUILDING')"""
+          .stripMargin)
+    }),
   )
 
   private val ZBits = 8 // 256 cells per dimension → 16-bit z space
@@ -1539,6 +1609,35 @@ object RelEntry {
          |    ROWS UNBOUNDED PRECEDING) AS ff_avg_cents
          |FROM grid g LEFT JOIN obs o
          |  ON g.event_type = o.event_type AND g.slot = o.slot""".stripMargin,
+
+    // q136–q139 mirrors: the IDENTICAL subquery SQL (DuckDB decorrelates
+    // too) — the semantic claim is engine-independent subquery meaning,
+    // the plan claim (semi/anti/outer join, no per-row re-execution) is
+    // PlanAuditSpec's
+    "q136_subquery_exists" ->
+      s"""SELECT c_custkey, c_mktsegment FROM customer c
+         |WHERE EXISTS (SELECT 1 FROM orders o
+         |              WHERE o.o_custkey = c.c_custkey
+         |                AND o.o_totalprice > $SubqPriceHi)""".stripMargin,
+
+    "q137_subquery_not_exists" ->
+      s"""SELECT c_custkey, c_acctbal FROM customer c
+         |WHERE NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_totalprice > $SubqPriceHi)""".stripMargin,
+
+    "q138_subquery_scalar" ->
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price,
+        |  CAST((SELECT count(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        |FROM customer c WHERE c_custkey < 500""".stripMargin,
+
+    "q139_subquery_in" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin,
 
     // q124 mirror: the single-window textbook sweep line (the sharded
     // form must be bit-identical to it — that IS the claim); sum casts

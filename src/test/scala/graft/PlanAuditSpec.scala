@@ -94,6 +94,29 @@ class PlanAuditSpec extends SparkTestBase {
       s"q129 lost a broadcast semi/anti prune:\n${plan.take(1200)}")
   }
 
+  test("q136–q139: correlated subqueries decorrelate to joins, never re-execute per row") {
+    // the T42–T44 engine claim: WHERE EXISTS / NOT EXISTS / IN compile
+    // to semi/anti joins and a correlated scalar subquery to an
+    // aggregate + outer join — no per-outer-row subquery execution
+    // survives into the physical plan
+    def plan(n: String) = SparkEntry.queries(n)(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan("q136_subquery_exists").contains("LeftSemi"),
+      "q136 EXISTS did not decorrelate to a semi join")
+    assert(plan("q137_subquery_not_exists").contains("LeftAnti"),
+      "q137 NOT EXISTS did not decorrelate to an anti join")
+    assert(plan("q139_subquery_in").contains("LeftSemi"),
+      "q139 IN did not decorrelate to a semi join")
+    val scalar = plan("q138_subquery_scalar")
+    assert("LeftOuter".r.findAllIn(scalar).size == 2,
+      s"q138 expected 2 decorrelated outer joins:\n${scalar.take(900)}")
+    Seq("q136_subquery_exists", "q137_subquery_not_exists",
+        "q138_subquery_scalar", "q139_subquery_in").foreach { n =>
+      assert(!plan(n).contains("Subquery"),
+        s"$n kept a per-row subquery node in the physical plan")
+    }
+  }
+
   test("q122: SCD2 builds in ONE data-sized exchange") {
     // the scale claim of T33: the run window, the (user_id, version)
     // aggregate, and the valid_to lead window all live inside the one
