@@ -222,9 +222,27 @@ object LlmEntry {
        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |    x -> CAST(floor(x * $PqQuant) AS BIGINT)) AS q
        |  FROM embeddings),
-       |coarse AS (
+       |seedc AS (
        |  SELECT vec_id AS cc, q AS cq FROM dv
        |  WHERE vec_id BETWEEN $IvfCentroidLo AND $IvfCentroidHi),
+       |seedassign AS (
+       |  SELECT vec_id, q, cc FROM (
+       |    SELECT d.vec_id, d.q, c.cc,
+       |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |        ${cd2("d.q", "c.cq")}, c.cc) AS rk
+       |    FROM dv d, seedc c)
+       |  WHERE rk = 1),
+       |csums AS (
+       |  SELECT cc, dim, CAST(sum(q[dim]) AS BIGINT) AS sv,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM seedassign, (SELECT unnest(range(1, ${dims + 1})) AS dim) dims
+       |  GROUP BY cc, dim),
+       |ctrained AS (
+       |  SELECT cc, list((sv - ((sv % n + n) % n)) // n ORDER BY dim) AS ms
+       |  FROM csums GROUP BY cc),
+       |coarse AS (
+       |  SELECT s.cc, coalesce(t.ms, s.cq) AS cq
+       |  FROM seedc s LEFT JOIN ctrained t USING (cc)),
        |cassign AS (
        |  SELECT vec_id, cc AS cid,
        |    list_transform(range(1, ${dims + 1}), i -> q[i] - cq[i]) AS r
@@ -277,8 +295,8 @@ object LlmEntry {
        |  GROUP BY d.probe_id, co.vec_id, co.cid)""".stripMargin
   }
   private val SampleK = 20        // exact-k per-group sample size
-  private val IvfCentroidLo = 100 // deterministic coarse centroids
-  private val IvfCentroidHi = 107
+  private val IvfCentroidLo = 100 // deterministic coarse SEEDS (q120
+  private val IvfCentroidHi = 107 //   trains them with one Lloyd step)
   private val ChunkTokens = 50    // context-window chunk size (tokens)
   private val ParTokens = 20      // q92 pseudo-paragraph block size (tokens)
   private val ChunkStride = 40    // chunk stride (10-token overlap)
@@ -2148,9 +2166,12 @@ object LlmEntry {
     * work across cells), and a probe searches its nprobe nearest
     * cells with a PER-CELL ADC table built from ITS residual against
     * that cell's centroid. All on the 1/PqQuant integer grid → codes,
-    * tables, and rankings are oracle-bit-exact. Codebook:
-    * [[pqTrainedBook]] on residual subvectors (seed + one Lloyd step,
-    * same trainer as q119).
+    * tables, and rankings are oracle-bit-exact. BOTH quantizer levels
+    * train in-plan since r14: the coarse centroids get one quantized
+    * Lloyd step (below — cell-capture ceiling 0.460 → 0.540, composed
+    * recall 0.120 → 0.200, re-ranked 0.320 → 0.500, AnnRecallSpec),
+    * and the residual codebook is [[pqTrainedBook]] (seed + one Lloyd
+    * step, same trainer as q119).
     *
     * Scale shape: cost tracks nprobe, not corpus — the coarse
     * assignment and encode are broadcast passes (8 centroids / M·K
@@ -2175,10 +2196,40 @@ object LlmEntry {
       : (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val dv = quantVecs(s, d)
-    val coarse = dv
+    val cd2 = pqD2Spark("q", "cq") // same form; 64-dim arrays here
+    // coarse centroids TRAINED in-plan (r13 left them as raw seed
+    // vectors; the PQ codebook precedent is pqTrainedBook): seed with
+    // corpus vectors [IvfCentroidLo, IvfCentroidHi], then ONE quantized
+    // Lloyd step at the COARSE level — assign every vector to its
+    // nearest seed (min_by hash agg over the (cd2, cc) total order, no
+    // window), per-(cell, dim) integer mean via the same
+    // pmod-subtraction floor-div as the codebook trainer (order-free
+    // BIGINT sums ⇒ engine-exact; Σq over a cell overflows only past
+    // ~9e12 members at the 1e6 grid), empty cells keep their seed.
+    // Training raises the cell-capture ceiling that multiplies into
+    // q120/q125 recall (AnnRecallSpec measures it). The means table is
+    // ≤ |cells|·dims cells; the extra corpus pass is one more
+    // broadcast-seed join, and the ~8-row trained table broadcasts
+    // everywhere downstream exactly as the seeds did.
+    val seedCoarse = dv
       .filter(col("vec_id").between(IvfCentroidLo, IvfCentroidHi))
       .select(col("vec_id").as("cc"), col("q").as("cq"))
-    val cd2 = pqD2Spark("q", "cq") // same form; 64-dim arrays here
+    val seedAssign = dv.crossJoin(broadcast(seedCoarse))
+      .withColumn("cd2", cd2)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cc"), struct(col("cd2"), col("cc"))).as("cc"),
+        first(col("q")).as("q"))
+    val coarseMeans = seedAssign
+      .select(col("cc"), posexplode(col("q")).as(Seq("dim0", "v")))
+      .groupBy(col("cc"), col("dim0"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("mv", expr("(sv - pmod(sv, n)) div n"))
+      .groupBy(col("cc").as("tc"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim0, mv))), " +
+        "x -> x.mv)").as("ms"))
+    val coarse = seedCoarse
+      .join(coarseMeans, col("cc") === col("tc"), "left")
+      .select(col("cc"), coalesce(col("ms"), col("cq")).as("cq"))
     val assigned = dv.crossJoin(broadcast(coarse))
       .withColumn("cd2", cd2)
       .groupBy(col("vec_id"))
@@ -2238,10 +2289,11 @@ object LlmEntry {
     * list (RerankR = 8·k), fetch JUST those candidates' raw vectors,
     * and re-rank by exact distance. Recall then climbs from
     * ADC-quality × cell-capture toward the cell-capture ceiling —
-    * measured 0.12 → 0.32 vs the exact-IVF ceiling 0.46
-    * (AnnRecallSpec; the residual gap is true neighbors the ADC order
-    * pushed below rank R — the RerankR knob, worst-case-shaped here by
-    * the uniform fixture) — while the corpus-sized cost stays q120's.
+    * measured 0.20 → 0.50 vs the exact-IVF ceiling 0.54 with the r14
+    * trained coarse level (0.32 vs 0.46 untrained; AnnRecallSpec — the
+    * residual gap is true neighbors the ADC order pushed below rank R,
+    * the RerankR knob, worst-case-shaped here by the uniform fixture)
+    * — while the corpus-sized cost stays q120's.
     *
     * Scale shape: the candidate set is ≤ |probes|·RerankR rows, so it
     * BROADCASTS into the raw-vector fetch — the corpus scan is never
