@@ -15,10 +15,13 @@ package graft
   * diff. Queries added/removed between snapshots are reported but not
   * failures — the inventory is allowed to grow.
   *
-  * Caveat: detached queries (core.Materialize) snapshot as their
-  * post-materialize scan; their full shapes are guarded individually in
-  * PlanAuditSpec via the un-detached builders. The snapshot still pins
-  * the ~90 live plans and detects accidental UN-detaching.
+  * Detached queries (core.Materialize): this main flips
+  * `Materialize.auditPassthrough` so the FULL un-checkpointed plan is
+  * what gets snapshotted/printed — without it, ~27 queries recorded a
+  * bare post-checkpoint `{"Scan":1}` and plancheck could not watch
+  * precisely the most intricate plans (VERDICT r13 gap 2). Passthrough
+  * is plan-inspection-only: queries are never EXECUTED here, so the
+  * skipped checkpoint/release side effects don't matter.
   */
 object ExplainAudit {
 
@@ -47,6 +50,7 @@ object ExplainAudit {
     }
     val spark = graft.core.Sessions.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.core.Materialize.auditPassthrough = true
     snapshot match {
       case Some((file, sel)) =>
         val names = if (sel.nonEmpty) sel else SparkEntry.queries.keys.toSeq.sorted

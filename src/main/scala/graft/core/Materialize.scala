@@ -24,15 +24,30 @@ import org.apache.spark.storage.StorageLevel
   * executor loss survives.
   */
 object Materialize {
+  /** When true (set ONLY by ExplainAudit), [[detached]] returns the
+    * un-checkpointed frame so the FULL plan stays visible to plan-shape
+    * tooling — r13's snapshot recorded ~27 detached queries as a bare
+    * post-checkpoint `{"Scan":1}`, blinding `tools/plancheck.py` to
+    * precisely the most intricate plans. The release closure is NOT run
+    * in this mode: nothing was materialized, the upstream persist marks
+    * are lazy no-ops, and releasing them would unpersist frames the
+    * returned plan still references. Never enable outside plan
+    * inspection — execution paths rely on the checkpoint both for the
+    * re-planning fence (q121's bloom literal) and for cache release.
+    */
+  @volatile var auditPassthrough: Boolean = false
+
   /** Checkpoint `df` off-lineage at `level`, then run `release`
     * (unpersist the upstream caches the plan depended on), and return
     * the detached result.
     */
   def detached(df: DataFrame,
                level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
-              (release: => Unit): DataFrame = {
-    val out = df.localCheckpoint(true, level)
-    release
-    out
-  }
+              (release: => Unit): DataFrame =
+    if (auditPassthrough) df
+    else {
+      val out = df.localCheckpoint(true, level)
+      release
+      out
+    }
 }

@@ -396,11 +396,14 @@ object DedupOps {
       org.apache.log4j.Logger.getLogger(getClass)
         .warn(s"dupComponents: maxIters=$maxIters reached without label-sum " +
           "convergence; labels may not be the full transitive closure")
-    val out = labels.select(col("id").as("doc_id"), col("label").as("component"))
-      .localCheckpoint(eager = true)
-    labels.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
-    out
+    // detach via Materialize (≡ the previous eager localCheckpoint +
+    // unpersist, but honors the plan-audit passthrough so q71 snapshots
+    // its final-round shape instead of a bare post-checkpoint scan)
+    graft.core.Materialize.detached(
+      labels.select(col("id").as("doc_id"), col("label").as("component"))) {
+      labels.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+    }
   }
 
   /** Fuzzy-key self-join: all DISTINCT key-string pairs within
