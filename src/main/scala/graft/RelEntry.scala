@@ -29,6 +29,7 @@ object RelEntry {
   private val ResampleLo = "2024-01-01 00:00:00"
   private val ResampleHi = "2024-01-08 00:00:00"
   private val SweepShardDays = 256L // q124 sweep-line shard span (days)
+  private val SweepSubShards = 32L  // q124 rank-range sub-shards per shard
   // q129 delta seam: the "last ingest batch" — touches 64 of 150 keys
   // at sf0.01, so both the pass-through and recompute branches are real
   private val ScdSeam = "2024-01-30 18:00:00"
@@ -940,12 +941,32 @@ object RelEntry {
       // Scale shape: the textbook formulation is a GLOBAL ORDER BY —
       // a single-partition window over every endpoint, the q83 hazard.
       // Here the curve runs through ShardedWindows.runningSum keyed
-      // (priority, 256-day shard of t): shard-local inclusive sums in
-      // parallel + an exclusive prefix over the |groups|·|shards|
-      // totals table, bit-identical to the single window (BIGINT
-      // addition is associative). Shard count grows with the TIME SPAN,
-      // not the row count — a 100-TB order history over the same years
-      // shards identically.
+      // (priority, 256-day shard of t, DATA-ADAPTIVE sub-shard):
+      // shard-local inclusive sums in parallel + an exclusive prefix
+      // over the |groups|·|shards|·S totals table, bit-identical to the
+      // single window (BIGINT addition is associative).
+      //
+      // The sub-shard (r14; was the one honest-but-avoidable β 0.69
+      // curve in SCALING §8l): a pure time shard keeps the window's key
+      // space FIXED (|groups|·|shards| ≈ 50 keys) while endpoint volume
+      // grows, so per-key window input grows linearly AND ~50 keys hash
+      // unevenly over the task width (longest-task dominated). Splitting
+      // each shard into S rank ranges of its DAY-MASS distribution caps
+      // both: boundaries are computed DRIVER-SIDE from the exact
+      // (shard, day, count) table — span-bounded, one row per day, the
+      // q131 manifest argument for a driver collect, and exactly how
+      // Spark's own RangePartitioner derives boundaries (sampled there,
+      // exact here) — then ride back as a ≤|days|-row broadcast mapping
+      // day → composite shard key. Sub-shard = start_rank·S DIV total
+      // puts ≈ 1/S of a shard's ROWS in each sub-shard no matter how
+      // skewed the days are (an in-plan join-back of a windowed rank
+      // table was measured 2× slower: two extra corpus-sized branches).
+      // Order-compatible by construction: days are assigned whole
+      // (equal-t rows share a sub-shard) and ranks are monotone in t;
+      // the offsets table stays |groups|·|shards|·S — bounded by the
+      // span and a constant, never the corpus. Day mass is aggregated
+      // over ALL groups (balance only — correctness never depends on
+      // the assignment, and per-group mass tracks the global mix).
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
                 col("o_orderdate"))
@@ -954,10 +975,35 @@ object RelEntry {
         .unionAll(o.select(col("prio"),
           (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("t"),
           lit(-1L).as("delta"), col("o_orderkey")))
-        .withColumn("shard",
-          expr(s"datediff(t, DATE '1970-01-01') DIV $SweepShardDays"))
-      val curve = operators.ShardedWindows.runningSum(deltas, "prio", "shard",
-        Seq(col("t"), col("delta"), col("o_orderkey")), "delta", "open")
+      val dayMass = deltas
+        .groupBy(expr("CAST(datediff(t, DATE '1970-01-01') AS BIGINT)")
+          .as("dday"))
+        .agg(count(lit(1)).as("dcnt"))
+        .collect()
+      val dayToCshard: Seq[(Long, Long)] = dayMass
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1 / SweepShardDays).toSeq
+        .flatMap { case (shard, rows) =>
+          val sorted = rows.sortBy(_._1)
+          val total = sorted.map(_._2).sum
+          var run = 0L
+          sorted.map { case (dday, cnt) =>
+            val sub = run * SweepSubShards / total
+            run += cnt
+            (dday, shard * (SweepSubShards * 4) + sub)
+          }
+        }
+      val subTable = {
+        import s.implicits._
+        dayToCshard.toDF("dday", "cshard")
+      }
+      val sharded = deltas
+        .withColumn("dday",
+          expr("CAST(datediff(t, DATE '1970-01-01') AS BIGINT)"))
+        .join(broadcast(subTable), Seq("dday"))
+      val curve = operators.ShardedWindows.runningSum(sharded, "prio",
+        "cshard", Seq(col("t"), col("delta"), col("o_orderkey")),
+        "delta", "open")
       curve.groupBy(col("prio"), date_trunc("month", col("t")).as("month"))
         .agg(max(col("open")).as("max_open"),
              count(lit(1)).as("n_changes"))

@@ -132,14 +132,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"q122 grew an unexpected broadcast:\n${plan.take(900)}")
   }
 
-  test("q124: concurrency curve windows over (prio, shard), offsets broadcast") {
+  test("q124: concurrency curve windows over (prio, cshard), offsets broadcast") {
     // the scale claim of T35: the sweep-line prefix sum must NOT be a
     // per-priority (coarse-key) window over the full endpoint stream —
-    // the curve's running sum partitions on (prio, shard) and the
-    // per-shard offset table joins back as a broadcast
+    // the curve's running sum partitions on (prio, cshard) (the r14
+    // data-adaptive rank-range sub-shard) and the per-shard offset
+    // table joins back as a broadcast
     val plan = SparkEntry.queries("q124_sweepline_concurrency")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert("windowspecdefinition\\(prio#\\d+, shard#\\d+".r
+    assert("windowspecdefinition\\(prio#\\d+, cshard#\\d+".r
         .findFirstIn(plan).isDefined,
       s"q124 lost the sharded local window:\n${plan.take(900)}")
     assert(plan.contains("BroadcastHashJoin"),
