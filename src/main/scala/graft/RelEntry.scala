@@ -103,8 +103,34 @@ object RelEntry {
     * summary (range here: 2× max; a saturated estimate reads B·W and
     * the order-stat bound's upper half is void there).
     */
-  private[graft] def histogramPercentilesOn(evRaw: DataFrame): DataFrame = {
+  /** The SUM-merge + integer-compare estimate stage shared by q130
+    * (day partials) and the streaming bridge q140 (hour-window partials
+    * drained from T40): `partials` must carry (event_type, `partCol`,
+    * bucket, cnt); returns one row per event_type with n, the
+    * distinct-partial count (as `partsAlias`), and the three estimates.
+    * Merge input is |parts|·B rows — never the event stream.
+    */
+  private[graft] def histogramEsts(partials: DataFrame, partCol: String,
+                                   partsAlias: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val merged = partials.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"),
+           countDistinct(col(partCol)).as("n_parts"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("event_type"))
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(wt))
+    def bEst(p: Int) = (min(when(col("cum") * 100 >= col("n") * p,
+      col("bucket"))) + 1) * HistW
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), sum(col("n_parts")).as(partsAlias),
+        bEst(50).as("p50_est"), bEst(90).as("p90_est"),
+        bEst(99).as("p99_est"))
+  }
+
+  private[graft] def histogramPercentilesOn(evRaw: DataFrame): DataFrame = {
     val ev = evRaw
       .select(col("event_type"), to_date(col("ts")).as("day"),
         col("value"))
@@ -114,21 +140,7 @@ object RelEntry {
           floor(col("value") / HistW).cast("long")).as("bucket"))
       .groupBy(col("event_type"), col("day"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val merged = partials.groupBy(col("event_type"), col("bucket"))
-      .agg(sum(col("cnt")).as("cnt"),
-           countDistinct(col("day")).as("n_days"))
-    val wc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wt = Window.partitionBy(col("event_type"))
-    val cum = merged
-      .withColumn("cum", sum(col("cnt")).over(wc))
-      .withColumn("n", sum(col("cnt")).over(wt))
-    def bEst(p: Int) = (min(when(col("cum") * 100 >= col("n") * p,
-      col("bucket"))) + 1) * HistW
-    val ests = cum.groupBy(col("event_type"))
-      .agg(max(col("n")).as("n"), sum(col("n_days")).as("day_parts"),
-        bEst(50).as("p50_est"), bEst(90).as("p90_est"),
-        bEst(99).as("p99_est"))
+    val ests = histogramEsts(partials, "day", "day_parts")
     val exact = ev.groupBy(col("event_type"))
       .agg(expr("percentile(value, 0.5)").as("p50_exact"),
            expr("percentile(value, 0.9)").as("p90_exact"),

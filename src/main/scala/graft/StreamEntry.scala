@@ -101,6 +101,25 @@ object StreamEntry {
             Seq("user_id", "event_type", "day"), "60 days")
           .select(col("user_id"), col("event_type"), col("day"))
       }, OutputMode.Append())),
+
+    "q140_stream_histogram_merge" -> ((s, d) => {
+      // T40 → T37 end to end (VERDICT r13 task 7): the streaming
+      // windowed value histogram EMITS per-(event_type, hour window,
+      // bucket) integer partials; this query drains them bounded and
+      // SUM-merges them into q130's percentile estimates — the
+      // "partials as data" loop a 100-TB incremental pipeline actually
+      // runs (stream keeps ≤ B rows of state per open window; the
+      // merge touches |windows|·B rows, never the event stream; the
+      // estimates are all-integer bucket compares, so the whole chain
+      // faces the batch oracle hash-exact). Until r14 the merge was
+      // proven in StreamingSpec only; now it ships as a query.
+      val partials = bounded(s, ss =>
+        EventStreams.windowedValueHistogram(
+          EventStreams.eventStream(ss, d), RelEntry.HistB, RelEntry.HistW,
+          extraKeys = Seq("event_type")),
+        OutputMode.Complete())
+      RelEntry.histogramEsts(partials, "window_start", "win_parts")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -134,5 +153,37 @@ object StreamEntry {
     "q99_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,
         |  date_trunc('day', ts) AS day FROM events""".stripMargin,
+
+    // q140 mirror: the same partial → SUM-merge → integer-compare
+    // estimate chain as q130's oracle, with hour windows as the partial
+    // key (stream window.start ≡ date_trunc('hour', ts) for tumbling
+    // 1-hour windows — pinned by StreamingSpec's T40 contract)
+    "q140_stream_histogram_merge" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS ws, value FROM events),
+        |partials AS (
+        |  SELECT event_type, ws,
+        |    least(255, CAST(floor(value / 4.0) AS BIGINT)) AS bucket,
+        |    count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2, 3),
+        |merged AS (
+        |  SELECT event_type, bucket, CAST(sum(cnt) AS BIGINT) AS cnt,
+        |         count(DISTINCT ws) AS n_parts
+        |  FROM partials GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bucket, cnt, n_parts,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM merged)
+        |SELECT event_type, max(n) AS n,
+        |  CAST(sum(n_parts) AS BIGINT) AS win_parts,
+        |  (min(CASE WHEN cum * 100 >= n * 50 THEN bucket END) + 1)
+        |    * 4.0 AS p50_est,
+        |  (min(CASE WHEN cum * 100 >= n * 90 THEN bucket END) + 1)
+        |    * 4.0 AS p90_est,
+        |  (min(CASE WHEN cum * 100 >= n * 99 THEN bucket END) + 1)
+        |    * 4.0 AS p99_est
+        |FROM cum GROUP BY 1""".stripMargin,
   )
 }

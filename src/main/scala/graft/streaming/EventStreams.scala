@@ -82,14 +82,16 @@ object EventStreams {
     * rescanning the stream, with q130's ≤ 2-bucket error bound.
     */
   def windowedValueHistogram(ev: DataFrame, histB: Long, histW: Double,
-                             watermark: String = "2 hours"): DataFrame =
+                             watermark: String = "2 hours",
+                             extraKeys: Seq[String] = Nil): DataFrame =
     ev.withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour"),
+      .groupBy(window(col("ts"), "1 hour") +:
         least(lit(histB - 1),
-          floor(col("value") / histW).cast("long")).as("bucket"))
+          floor(col("value") / histW).cast("long")).as("bucket") +:
+        extraKeys.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-      .select(col("window.start").as("window_start"), col("bucket"),
-        col("cnt"))
+      .select(col("window.start").as("window_start") +: col("bucket") +:
+        col("cnt") +: extraKeys.map(col): _*)
 
   /** Event-time hourly histogram with watermark — the streaming mirror of
     * `TrafficOps.hourlyCount`. Late data beyond the watermark is dropped;
