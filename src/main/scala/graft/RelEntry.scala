@@ -183,14 +183,22 @@ object RelEntry {
       "unix_seconds(ts) - unix_seconds(TIMESTAMP '2024-01-01 00:00:00')")
     val y = expr("CAST(round(value * 100) AS BIGINT)")
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // per-TERM products stay BIGINT codegen (the operator's domain bound:
+    // a term x², x·y must fit 64 bits ⇒ |x| ≤ 3e9 s ≈ a 95-year span —
+    // documented, EdgeCaseSpec-pinned); ONE cast wraps the long into a
+    // compact DECIMAL(19,0) and only the SUM accumulates in 128-bit.
+    // Summing decimal(38,0)·decimal(38,0) products instead ran the
+    // per-row multiply on the BigDecimal slow path — measured 10× on
+    // q135 (BenchDiff r14) for identical results.
+    def dec19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     ev
       .select(col("event_type"), x.as("x"), y.as("y"),
         col("ts"), col("value"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sxd"),
-        sum(dec(col("y"))).as("syd"),
-        sum(dec(col("x")) * dec(col("y"))).as("sxyd"),
-        sum(dec(col("x")) * dec(col("x"))).as("sxxd"),
+      .agg(count(lit(1)).as("n"), sum(dec19(col("x"))).as("sxd"),
+        sum(dec19(col("y"))).as("syd"),
+        sum(dec19(col("x") * col("y"))).as("sxyd"),
+        sum(dec19(col("x") * col("x"))).as("sxxd"),
         expr("regr_slope(CAST(round(value * 100) AS BIGINT), " +
           "unix_seconds(ts) - unix_seconds(TIMESTAMP '2024-01-01 00:00:00'))")
           .as("ref_slope"))
@@ -233,14 +241,15 @@ object RelEntry {
       "unix_seconds(ts) - unix_seconds(TIMESTAMP '2024-01-01 00:00:00')")
     val y = expr("CAST(round(value * 100) AS BIGINT)")
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def dec19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     ev
       .select(col("event_type"), x.as("x"), y.as("y"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sxd"),
-        sum(dec(col("y"))).as("syd"),
-        sum(dec(col("x")) * dec(col("y"))).as("sxyd"),
-        sum(dec(col("x")) * dec(col("x"))).as("sxxd"),
-        sum(dec(col("y")) * dec(col("y"))).as("syyd"))
+      .agg(count(lit(1)).as("n"), sum(dec19(col("x"))).as("sxd"),
+        sum(dec19(col("y"))).as("syd"),
+        sum(dec19(col("x") * col("y"))).as("sxyd"),
+        sum(dec19(col("x") * col("x"))).as("sxxd"),
+        sum(dec19(col("y") * col("y"))).as("syyd"))
       .withColumn("corr_xy",
         (dec(col("n")) * col("sxyd") - col("sxd") * col("syd"))
           .cast("double") /
