@@ -2227,9 +2227,15 @@ object LlmEntry {
       .groupBy(col("cc").as("tc"))
       .agg(expr("transform(array_sort(collect_list(struct(dim0, mv))), " +
         "x -> x.mv)").as("ms"))
-    val coarse = seedCoarse
+    // the trained table is |cells| rows but its lineage is a corpus
+    // pass; it feeds TWO broadcast sites (corpus assignment + probe
+    // assignment), so pin it off-lineage once — the training pass runs
+    // exactly once per build instead of per broadcast (8-row
+    // checkpoint; audit passthrough keeps the full shape visible to
+    // the plan snapshot)
+    val coarse = core.Materialize.detached(seedCoarse
       .join(coarseMeans, col("cc") === col("tc"), "left")
-      .select(col("cc"), coalesce(col("ms"), col("cq")).as("cq"))
+      .select(col("cc"), coalesce(col("ms"), col("cq")).as("cq")))(())
     val assigned = dv.crossJoin(broadcast(coarse))
       .withColumn("cd2", cd2)
       .groupBy(col("vec_id"))
