@@ -1096,6 +1096,75 @@ object RelEntry {
           |                    WHERE c_mktsegment = 'BUILDING')"""
           .stripMargin)
     }),
+
+    "q141_subquery_not_in" -> ((s, d) => {
+      // NOT IN three-valued logic, the most-botched subquery semantics
+      // in warehouse SQL, pinned in BOTH regimes in one query: branch
+      // 'clean' runs NOT IN over a null-free subquery (≡ anti join —
+      // real rows survive); branch 'nullable' injects a NULL into the
+      // subquery, which per SQL makes `k NOT IN (S)` UNKNOWN for every
+      // non-member — the branch must yield ZERO rows, never the anti
+      // join a naive rewrite would produce. Engines that "fix" this
+      // silently (or users who port NOT IN → anti join) diverge here;
+      // the hash compare pins the standard behavior. Plans as a
+      // null-aware anti join (BroadcastNestedLoopJoin in Spark for the
+      // nullable branch — the documented cost of NOT IN on a nullable
+      // key, and THE reason q137's NOT EXISTS spelling is the 100-TB
+      // recommendation).
+      Tables.customer(s, d).createOrReplaceTempView("graft_q141_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_q141_orders")
+      s.sql(
+        s"""SELECT 'clean' AS branch, count(*) AS n FROM graft_q141_orders
+           |WHERE o_custkey NOT IN (
+           |  SELECT c_custkey FROM graft_q141_customer
+           |  WHERE c_mktsegment = 'BUILDING')
+           |UNION ALL
+           |SELECT 'nullable' AS branch, count(*) AS n FROM graft_q141_orders
+           |WHERE o_custkey NOT IN (
+           |  SELECT CASE WHEN c_acctbal < 500 THEN NULL ELSE c_custkey END
+           |  FROM graft_q141_customer WHERE c_mktsegment = 'BUILDING')"""
+          .stripMargin)
+    }),
+
+    // ---- T45: LATERAL subquery joins ------------------------------------
+    // The other day-one warehouse surface (alongside T42–T44): a
+    // correlated subquery in the FROM clause. The engine property pinned
+    // is again decorrelation — Spark rewrites a correlated LATERAL with
+    // ORDER BY + LIMIT into WindowGroupLimit + equi-join (per-task k-row
+    // heaps — the q113/q23 scale shape, NOT a per-outer-row re-execution),
+    // machine-asserted in PlanAuditSpec. DuckDB executes the identical
+    // SQL text, so the semantics face the hash compare.
+    "q142_lateral_topk" -> ((s, d) => {
+      // top-2 orders per customer, the "top-k per group" idiom users
+      // write as LATERAL when they come from Postgres
+      Tables.customer(s, d).createOrReplaceTempView("graft_q142_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_q142_orders")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM graft_q142_customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM graft_q142_orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c.c_custkey < 300""".stripMargin)
+    }),
+
+    "q143_lateral_left" -> ((s, d) => {
+      // LEFT JOIN LATERAL: customers keep a NULL-extended row when the
+      // lateral aggregate matches nothing — the outer-join face of
+      // decorrelation (count coalesces to 0 on no match, q138's trap,
+      // here through the FROM-clause spelling)
+      Tables.customer(s, d).createOrReplaceTempView("graft_q143_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_q143_orders")
+      s.sql(
+        s"""SELECT c.c_custkey, t.n_hi, t.max_price
+           |FROM graft_q143_customer c LEFT JOIN LATERAL (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_hi,
+           |         max(o_totalprice) AS max_price
+           |  FROM graft_q143_orders o
+           |  WHERE o.o_custkey = c.c_custkey
+           |    AND o.o_totalprice > $SubqPriceHi) t ON true
+           |WHERE c.c_custkey < 300""".stripMargin)
+    }),
   )
 
   private val ZBits = 8 // 256 cells per dimension → 16-bit z space
@@ -1705,6 +1774,35 @@ object RelEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
+    "q141_subquery_not_in" ->
+      """SELECT 'clean' AS branch, count(*) AS n FROM orders
+        |WHERE o_custkey NOT IN (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT 'nullable' AS branch, count(*) AS n FROM orders
+        |WHERE o_custkey NOT IN (
+        |  SELECT CASE WHEN c_acctbal < 500 THEN NULL ELSE c_custkey END
+        |  FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
+    "q142_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey < 300""".stripMargin,
+
+    "q143_lateral_left" ->
+      """SELECT c.c_custkey, t.n_hi, t.max_price
+        |FROM customer c LEFT JOIN LATERAL (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_hi,
+        |         max(o_totalprice) AS max_price
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > 400000.0) t ON true
+        |WHERE c.c_custkey < 300""".stripMargin,
 
     // q124 mirror: the single-window textbook sweep line (the sharded
     // form must be bit-identical to it — that IS the claim); sum casts

@@ -117,6 +117,38 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q141–q143: NOT IN regimes and LATERAL decorrelation plan as claimed") {
+    def plan(n: String) = SparkEntry.queries(n)(spark, sf)
+      .queryExecution.executedPlan.toString
+    // q141: both NOT IN branches execute as NULL-AWARE anti joins —
+    // Spark 4's SPARK-32290 single-column optimization keeps even the
+    // nullable-key case a BroadcastHashJoin LeftAnti (the trailing
+    // `true` = isNullAwareAntiJoin; the parquet keys are nullable so
+    // Catalyst can't downgrade either branch), never a nested loop.
+    // Losing the flag would mean three-valued NOT IN semantics silently
+    // degraded to a plain anti join.
+    val notIn = plan("q141_subquery_not_in")
+    val nullAware = "LeftAnti, BuildRight, true".r.findAllIn(notIn).size
+    assert(nullAware == 2,
+      s"q141 expected 2 null-aware anti joins, found $nullAware:\n${notIn.take(900)}")
+    assert(notIn.contains("CASE WHEN"),
+      "q141's nullable branch lost its NULL-injecting subquery key")
+    assert(!notIn.contains("BroadcastNestedLoopJoin"),
+      "q141 fell back to a nested-loop anti join")
+    // q142: correlated LATERAL + ORDER BY + LIMIT must decorrelate to
+    // WindowGroupLimit + equi-join — per-task k-row heaps, never a
+    // per-outer-row subquery execution
+    val topk = plan("q142_lateral_topk")
+    assert(topk.contains("WindowGroupLimit"),
+      s"q142 lateral top-k lost its group limit:\n${topk.take(900)}")
+    assert(!topk.contains("Subquery"),
+      "q142 kept a per-row subquery node")
+    // q143: LEFT lateral aggregate = aggregate + LeftOuter join
+    val left = plan("q143_lateral_left")
+    assert(left.contains("LeftOuter"),
+      s"q143 left lateral did not decorrelate to an outer join:\n${left.take(900)}")
+  }
+
   test("q122: SCD2 builds in ONE data-sized exchange") {
     // the scale claim of T33: the run window, the (user_id, version)
     // aggregate, and the valid_to lead window all live inside the one
