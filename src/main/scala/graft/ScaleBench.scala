@@ -165,9 +165,34 @@ object ScaleBench {
     // both really grow m×
     "q132_bigram_lm_score",
     // q134: grouped regression — the purest partials-as-data member:
-    // the shuffle carries 5 BIGINTs per (group, task) at every m, so
-    // cost is the one map-side-combined scan
-    "q134_grouped_regression")
+    // the shuffle carries 5 exact decimals per (group, task) at every
+    // m, so cost is the one map-side-combined scan
+    "q134_grouped_regression",
+    // r14 additions — the subquery/lateral surface and the streaming
+    // bridge, scaled on the replicated keyed tables:
+    // q136: EXISTS decorrelates to a semi join whose BUILD side (orders
+    // over the price cut) grows m× with the corpus — the decorrelation
+    // claim's scale half: cost must track the two scans + one keyed
+    // join, never a per-outer-row pattern (which would go quadratic
+    // under replication)
+    "q136_subquery_exists",
+    // q138: two correlated scalar subqueries = two aggregate+outer-join
+    // pairs; the c_custkey < 500 probe side stays FIXED under the id
+    // stride while the aggregates' input grows m× — map-side combine
+    // should absorb most of it
+    "q138_subquery_scalar",
+    // q141: both NOT IN branches are null-aware broadcast anti joins
+    // with an m×-growing probe side and a fixed-selectivity build side
+    "q141_subquery_not_in",
+    // q142: lateral top-k — WindowGroupLimit holds per-customer state
+    // at k rows while each customer's order count stays fixed and the
+    // customer count grows m× (users stride): the per-task heap claim
+    // at a growing key space
+    "q142_lateral_topk",
+    // q140: the streaming histogram bridge — stream state stays ≤ B
+    // rows per open window and the merge stays |windows|·B rows at any
+    // m; only the drain's one corpus-sized pass should scale
+    "q140_stream_histogram_merge")
 
   private[graft] val IdStride = 1000000L
 
