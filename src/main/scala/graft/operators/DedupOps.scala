@@ -439,7 +439,17 @@ object DedupOps {
     * DISTINCT names only (lev = 0 twins are exact-dedup's job, q33).
     */
   def editPairs(keys: DataFrame, idCol: String, nameCol: String): DataFrame = {
-    val vars = keys.select(col(idCol).as("key_id"), col(nameCol).as("name"))
+    // a dimension-sized key table usually arrives as ONE parquet file =
+    // one partition, and the ×(len+1) deletion explode below multiplies
+    // work BEFORE the join — left single-partition, the whole band
+    // (and the broadcast build of the self-join side) runs as one 5 s
+    // task at sf0.1 (r14 stage probe). Round-robin the narrow input
+    // across the session's width first: the explode, the variant
+    // hashing, and the broadcast build all parallelize, and at real
+    // dim sizes the downstream v-join's shuffle is unchanged.
+    val spread = keys.repartition(
+      keys.sparkSession.sparkContext.defaultParallelism)
+    val vars = spread.select(col(idCol).as("key_id"), col(nameCol).as("name"))
       .select(col("key_id"), col("name"), explode(expr(
         """transform(sequence(0, length(name)),
           |  i -> IF(i = 0, name,
