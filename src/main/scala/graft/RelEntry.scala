@@ -1148,6 +1148,27 @@ object RelEntry {
           |WHERE c.c_custkey < 300""".stripMargin)
     }),
 
+    // ---- T39b: forward as-of join (merge_asof direction='forward') ------
+    "q144_asof_forward" -> ((s, d) => {
+      // purchase → the NEXT click at-or-after it by the same user: the
+      // follow-up/response attribution read, completing the as-of
+      // direction pair (q52 backward, q133 backward+tolerance). Same
+      // join-free plan — one union, one window on the key — with the
+      // frame flipped to currentRow..following and `first` instead of
+      // `last`; equal-ts clicks match (>= semantics), pinned in
+      // TemporalOpsSpec.
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      TemporalOps.asofJoin(purchases, clicks, "user_id", "ts",
+          forward = true)
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("asof_ts"), col("asof_click_id"))
+    }),
+
     "q143_lateral_left" -> ((s, d) => {
       // LEFT JOIN LATERAL: customers keep a NULL-extended row when the
       // lateral aggregate matches nothing — the outer-join face of
@@ -1183,6 +1204,22 @@ object RelEntry {
         |       c.click_id AS asof_click_id
         |  FROM m LEFT JOIN c
         |    ON c.user_id = m.user_id AND c.ts = m.asof_ts""".stripMargin,
+    // q144 mirror: q52's shape with the direction flipped — min(c.ts)
+    // over c.ts >= p.ts is the earliest at-or-after match
+    "q144_asof_forward" ->
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |             FROM events WHERE event_type='click' GROUP BY 1, 2),
+        |     p AS (SELECT user_id, ts, event_id
+        |             FROM events WHERE event_type='purchase'),
+        |     m AS (SELECT p.event_id, p.user_id, p.ts, min(c.ts) AS asof_ts
+        |             FROM p LEFT JOIN c
+        |               ON c.user_id = p.user_id AND c.ts >= p.ts
+        |            GROUP BY 1, 2, 3)
+        |SELECT m.event_id, m.user_id, m.ts, m.asof_ts,
+        |       c.click_id AS asof_click_id
+        |  FROM m LEFT JOIN c
+        |    ON c.user_id = m.user_id AND c.ts = m.asof_ts""".stripMargin,
+
     // q133 mirror: q52's shape with the age bound inside the LEFT JOIN
     // condition — too-old matches fall to NULL, never to a dropped row
     "q133_asof_tolerance" ->

@@ -47,10 +47,19 @@ object TemporalOps {
     * quote/click/reading never attributes to a far-future event. Applied
     * as a post-window projection on the matched struct: the plan shape
     * (one union, one window, one shuffle on the key) is unchanged.
+    *
+    * `forward = true` flips the direction (merge_asof
+    * direction='forward'): for each left row, the EARLIEST right row
+    * with right.ts >= left.ts (ties at equal ts match), the
+    * next-response/next-quote attribution. Same plan — the window frame
+    * becomes currentRow..unboundedFollowing with `first` instead of
+    * `last`, and at equal ts the LEFT row orders first so the tie stays
+    * inside the frame; tolerance then bounds `_mts <= ts + tol`.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, ts: String,
-               toleranceSec: Option[Long] = None): DataFrame = {
+               toleranceSec: Option[Long] = None,
+               forward: Boolean = false): DataFrame = {
     val lCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
     val rCols = right.columns.toSeq.filterNot(c => c == key || c == ts)
     require(lCols.intersect(rCols).isEmpty,
@@ -61,9 +70,17 @@ object TemporalOps {
     val rSel = right.select(col(key) +: col(ts) +: lit(0).as("_side") +:
       (lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
        rCols.map(col)): _*)
-    // right rows (_side=0) sort before left rows at equal ts → "<=" match
-    val w = Window.partitionBy(key).orderBy(col(ts), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: right rows (_side=0) sort before left rows at equal ts →
+    // "<=" match inside the preceding frame; forward: left rows sort
+    // first (desc on _side) so an equal-ts right row stays inside the
+    // following frame → ">=" match
+    val w =
+      if (forward)
+        Window.partitionBy(key).orderBy(col(ts), col("_side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy(key).orderBy(col(ts), col("_side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // The whole right row is matched ONCE as a struct that is NULL for
     // left-side rows, then fields are projected out of the single matched
     // struct. A per-payload-column last(_, ignoreNulls) would be wrong
@@ -73,10 +90,15 @@ object TemporalOps {
     val unioned = lSel.unionByName(rSel)
       .withColumn("_rmatch", when(col("_side") === 0,
         struct(col(ts).as("_mts") +: rCols.map(col): _*)))
-    val matched0 = unioned.select(col("*"),
-      last(col("_rmatch"), ignoreNulls = true).over(w).as("_m0"))
+    val matchAgg =
+      if (forward) first(col("_rmatch"), ignoreNulls = true)
+      else last(col("_rmatch"), ignoreNulls = true)
+    val matched0 = unioned.select(col("*"), matchAgg.over(w).as("_m0"))
     val matched = toleranceSec match {
       case None => matched0.withColumn("_m", col("_m0"))
+      case Some(tol) if forward => matched0.withColumn("_m",
+        when(col("_m0").getField("_mts") <=
+          col(ts) + expr(s"INTERVAL $tol SECONDS"), col("_m0")))
       case Some(tol) => matched0.withColumn("_m",
         when(col("_m0").getField("_mts") >=
           col(ts) - expr(s"INTERVAL $tol SECONDS"), col("_m0")))

@@ -59,6 +59,35 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(got === Map(101L -> Some(11L), 201L -> None, 301L -> Some(31L)))
   }
 
+  test("asofJoin forward: >= match, equal-ts tie matches, tolerance bounds ahead") {
+    // merge_asof direction='forward': earliest right at-or-after left;
+    // an equal-ts right row MATCHES (>= semantics); nothing later →
+    // NULL; with tolerance, a match beyond ts + tol falls to NULL
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L), // rights at 10:00 and 11:00 → tie matches
+      (2L, ts("2024-01-01 10:00:00"), 201L), // right only at 09:00 → no forward match
+      (3L, ts("2024-01-01 10:00:00"), 301L)  // right at 12:00 only
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 11L),
+      (1L, ts("2024-01-01 11:00:00"), 12L),
+      (2L, ts("2024-01-01 09:00:00"), 21L),
+      (3L, ts("2024-01-01 12:00:00"), 31L)
+    ).toDF("k", "ts", "rid")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "asof_rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+    val got = collect(TemporalOps.asofJoin(left, right, "k", "ts",
+      forward = true))
+    assert(got === Map(101L -> Some(11L), 201L -> None, 301L -> Some(31L)))
+    // tolerance 1 h: key 3's match at +2 h is beyond the bound → NULL;
+    // key 1's equal-ts match is inside (0 ≤ tol)
+    val tol = collect(TemporalOps.asofJoin(left, right, "k", "ts",
+      toleranceSec = Some(3600L), forward = true))
+    assert(tol === Map(101L -> Some(11L), 201L -> None, 301L -> None))
+  }
+
   test("asofJoin plan: no join operator — one window over a union") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("k", "ts", "lid")
     val right = Seq((1L, ts("2024-01-01 09:00:00"), 2L)).toDF("k", "ts", "rid")
