@@ -26,7 +26,8 @@ import java.nio.file.{Files, Paths}
   *    whose best window STILL exceeds the gate is flagged
   *    `"contended":true` — the artifact says "this number is soft"
   *    instead of the reader discovering it four rounds later;
-  *  - streaming setup isolation: the four streaming queries pay a fresh
+  *  - streaming setup isolation: the six streaming queries (q44/q45/q62/
+  *    q79/q99/q140) pay a fresh
   *    streaming-session + state-store setup on every run; `setup` reports
   *    the median wall time of a near-empty bounded stream through the
   *    same machinery (watermark + windowed agg + parquet drain), i.e. the
@@ -244,11 +245,11 @@ object Bench {
       }
 
     // Streaming fixed-cost probe: the same bounded-drain machinery the
-    // four streaming queries run through (fresh cloned session, event-time
+    // streaming queries run through (fresh cloned session, event-time
     // window agg + watermark, state store, AvailableNow drain, parquet
     // sink) over a source filtered to ~nothing — its wall time IS the
     // per-run setup a production (long-lived) stream pays once, reported
-    // separately so q44/q45/q62/q79 can be read net of it.
+    // separately so the streaming queries can be read net of it.
     val setupTimes = (1 to runs).flatMap { _ =>
       val t0 = System.nanoTime()
       try { materialize(streamSetupProbe(spark, sfDir))
