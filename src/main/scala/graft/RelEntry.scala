@@ -1148,6 +1148,32 @@ object RelEntry {
           |WHERE c.c_custkey < 300""".stripMargin)
     }),
 
+    // ---- T46: time-interval RANGE window frame --------------------------
+    "q145_range_frame" -> ((s, d) => {
+      // The trailing-time-window idiom every monitoring/feature pipeline
+      // writes — "events and spend in the last hour, per user, at every
+      // event" — via a RANGE frame over event time (q58's running
+      // frames are ROWS frames; RANGE is the time-based member). The
+      // semantics worth pinning cross-engine: a RANGE frame includes
+      // ALL PEERS of the current ts, so ties contribute symmetrically
+      // and the result is deterministic under any tie order (a ROWS
+      // frame would depend on it — exactly why naive ports of this
+      // query go nondeterministic). Sum is integer cents. Scale: one
+      // hash exchange on user_id + per-partition sort — the frame
+      // bound evicts state at |events-in-window| per key, the same
+      // bounded-state story as the streaming watermark twin (q44).
+      Tables.events(s, d).createOrReplaceTempView("graft_q145_events")
+      s.sql(
+        """SELECT user_id, ts, event_id,
+          |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+          |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+          |    AS cents_1h
+          |FROM graft_q145_events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+          |                       AND CURRENT ROW)""".stripMargin)
+    }),
+
     // ---- T39b: forward as-of join (merge_asof direction='forward') ------
     "q144_asof_forward" -> ((s, d) => {
       // purchase → the NEXT click at-or-after it by the same user: the
@@ -1204,6 +1230,18 @@ object RelEntry {
         |       c.click_id AS asof_click_id
         |  FROM m LEFT JOIN c
         |    ON c.user_id = m.user_id AND c.ts = m.asof_ts""".stripMargin,
+    // q145 mirror: identical WINDOW clause text — RANGE peers semantics
+    // is the cross-engine claim
+    "q145_range_frame" ->
+      """SELECT user_id, ts, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+        |                       AND CURRENT ROW)""".stripMargin,
+
     // q144 mirror: q52's shape with the direction flipped — min(c.ts)
     // over c.ts >= p.ts is the earliest at-or-after match
     "q144_asof_forward" ->
