@@ -1148,6 +1148,35 @@ object RelEntry {
           |WHERE c.c_custkey < 300""".stripMargin)
     }),
 
+    // ---- T47: the ranking-function family under ties --------------------
+    "q146_rank_family" -> ((s, d) => {
+      // rank / dense_rank / percent_rank / cume_dist / ntile in one
+      // query — the analytics surface q23's row_number only samples.
+      // The semantics worth pinning are TIE behavior: rank leaves gaps,
+      // dense_rank doesn't, percent_rank = (rank−1)/(n−1) and
+      // cume_dist = |peers ≤ x|/n are tie-deterministic BY DEFINITION
+      // (they depend only on the order key, so a non-unique ORDER BY is
+      // safe), while ntile SPLITS peers across tiles and is only
+      // deterministic over a unique order — hence the two WINDOW
+      // clauses, which is itself the teaching point. The two ratio
+      // columns are single IEEE divisions of exact integers —
+      // bit-identical cross-engine.
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q146_lineitem")
+      s.sql(
+        """SELECT l_orderkey, l_linenumber,
+          |  CAST(rank() OVER wt AS BIGINT) AS rnk,
+          |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+          |  percent_rank() OVER wt AS prnk,
+          |  cume_dist() OVER wt AS cdist,
+          |  CAST(ntile(4) OVER wu AS BIGINT) AS quartile
+          |FROM graft_q146_lineitem WHERE l_orderkey < 2000
+          |WINDOW
+          |  wt AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+          |  wu AS (PARTITION BY l_returnflag
+          |         ORDER BY l_quantity, l_orderkey, l_linenumber)"""
+          .stripMargin)
+    }),
+
     // ---- T46: time-interval RANGE window frame --------------------------
     "q145_range_frame" -> ((s, d) => {
       // The trailing-time-window idiom every monitoring/feature pipeline
@@ -1230,6 +1259,21 @@ object RelEntry {
         |       c.click_id AS asof_click_id
         |  FROM m LEFT JOIN c
         |    ON c.user_id = m.user_id AND c.ts = m.asof_ts""".stripMargin,
+    // q146 mirror: identical text modulo the view name; the CASTs align
+    // Spark's INT rank outputs with DuckDB's BIGINT
+    "q146_rank_family" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(rank() OVER wt AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+        |  percent_rank() OVER wt AS prnk,
+        |  cume_dist() OVER wt AS cdist,
+        |  CAST(ntile(4) OVER wu AS BIGINT) AS quartile
+        |FROM lineitem WHERE l_orderkey < 2000
+        |WINDOW
+        |  wt AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+        |  wu AS (PARTITION BY l_returnflag
+        |         ORDER BY l_quantity, l_orderkey, l_linenumber)""".stripMargin,
+
     // q145 mirror: identical WINDOW clause text — RANGE peers semantics
     // is the cross-engine claim
     "q145_range_frame" ->
