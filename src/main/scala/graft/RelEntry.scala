@@ -1148,6 +1148,35 @@ object RelEntry {
           |WHERE c.c_custkey < 300""".stripMargin)
     }),
 
+    // ---- T48: recursive CTE (iterative in-engine computation) -----------
+    "q147_recursive_chain" -> ((s, d) => {
+      // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
+      // big warehouse-SQL construct this surface lacked: hierarchy
+      // walks, BOM explosions, reachability. Here every supplier walks
+      // a synthetic parent chain (parent = key DIV 10 — a
+      // real-data-derived tree with depth = the key's digit count)
+      // down to the root, aggregating per-origin depth/length/ancestor
+      // sums — all-integer, so the hash compare pins the full
+      // recursion cross-engine (DuckDB runs the same recursion with //
+      // for DIV). Scale shape: the anchor and the step are ORDINARY
+      // distributed plans; the engine iterates the step until the
+      // frontier empties (UnionLoop), so total work is
+      // Σ_depth |frontier_d| — depth-bounded here (≤ digits), with
+      // per-iteration cost an equi-projection, never a driver loop
+      // (contrast q71's driver-side label propagation, which predates
+      // engine recursion and owns the convergence-test variant).
+      Tables.supplier(s, d).createOrReplaceTempView("graft_q147_supplier")
+      s.sql(
+        """WITH RECURSIVE chain(k, anc, depth) AS (
+          |  SELECT s_suppkey, s_suppkey, 0 FROM graft_q147_supplier
+          |  UNION ALL
+          |  SELECT k, anc DIV 10, depth + 1 FROM chain WHERE anc > 0)
+          |SELECT k AS s_suppkey, CAST(max(depth) AS BIGINT) AS depth_to_root,
+          |  CAST(count(*) AS BIGINT) AS chain_len,
+          |  CAST(sum(anc) AS BIGINT) AS anc_sum
+          |FROM chain GROUP BY k""".stripMargin)
+    }),
+
     // ---- T47: the ranking-function family under ties --------------------
     "q146_rank_family" -> ((s, d) => {
       // rank / dense_rank / percent_rank / cume_dist / ntile in one
@@ -1259,6 +1288,18 @@ object RelEntry {
         |       c.click_id AS asof_click_id
         |  FROM m LEFT JOIN c
         |    ON c.user_id = m.user_id AND c.ts = m.asof_ts""".stripMargin,
+    // q147 mirror: the same recursion with DuckDB's // for DIV (both
+    // truncate identically on the non-negative keys here)
+    "q147_recursive_chain" ->
+      """WITH RECURSIVE chain(k, anc, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        |  UNION ALL
+        |  SELECT k, anc // 10, depth + 1 FROM chain WHERE anc > 0)
+        |SELECT k AS s_suppkey, CAST(max(depth) AS BIGINT) AS depth_to_root,
+        |  CAST(count(*) AS BIGINT) AS chain_len,
+        |  CAST(sum(anc) AS BIGINT) AS anc_sum
+        |FROM chain GROUP BY k""".stripMargin,
+
     // q146 mirror: identical text modulo the view name; the CASTs align
     // Spark's INT rank outputs with DuckDB's BIGINT
     "q146_rank_family" ->
