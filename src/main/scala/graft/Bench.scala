@@ -384,8 +384,12 @@ object Bench {
     * first (min is the least load-bearing of the three), then the
     * positional `spread` collapses to the SPARSE `spreadx` object (only
     * spreads above the jitter floor — what BenchDiff actually acts on),
-    * and only past that do medians ride alone. Error messages live in
-    * `bench_result.json`; only the COUNT rides here.
+    * then spreadx truncates to its top-N noisiest entries, then medians
+    * shed a digit (integer CENTISECONDS, r14 — the tail consumer grades
+    * coarse wall-clock; ms fidelity stays in bench_result.json) to buy
+    * the envelope back, and only past that do cs medians ride alone.
+    * Error messages live in `bench_result.json`; only the COUNT rides
+    * here.
     */
   private[graft] def compactJson(results: Seq[(String, Seq[Double])],
                                  nErrors: Int, total: Double,
@@ -429,11 +433,21 @@ object Bench {
     // enc must describe what THIS line actually carries — when the
     // ladder drops dmin (or spread) for the tail budget, a fixed enc
     // string would claim fields that aren't there
-    def head(enc: String) =
+    def headQ(enc: String, q: String) =
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
         s""""runs":$runs,"setup":${fmt3(setupSec)},$can$rt""" +
         s""""enc":"$enc",""" +
-        s""""queries":$qs,"errors":$nErrors,"sf":$sf"""
+        s""""queries":$q,"errors":$nErrors,"sf":$sf"""
+    def head(enc: String) = headQ(enc, qs)
+    // r14 rung: medians in integer CENTISECONDS — the driver grades
+    // coarse wall-clock and BenchDiff reads bench_result.json (full ms
+    // fidelity), so the lost digit costs nothing the tail consumer acts
+    // on, and one digit per entry buys the spreadx envelope back once
+    // the ms map alone crowds the tail (~145 queries)
+    val qsCs = results.map { case (k, ts) =>
+      val m = if (ts.isEmpty) -1L else Math.round(median(ts) * 100)
+      s""""${esc(k.takeWhile(_ != '_'))}":$m"""
+    }.mkString("{", ",", "}")
     // sparse spread rung: only queries whose spread exceeds the jitter
     // floor (SpreadFloorSec) carry an entry — below the floor a spread
     // is scheduler noise, not signal (the gate itself never fires on
@@ -476,8 +490,21 @@ object Bench {
           }
           val n = (spreadEntries.size to 0 by -1)
             .find(n => topLine(n).length <= maxLen)
-          n.filter(_ > 0).map(topLine)
-            .getOrElse(s"${head("q:median ms")}}")
+          n.filter(_ > 0).map(topLine).getOrElse {
+            // centisecond rung (r14, ~145+ queries): when even ONE ms
+            // spreadx entry no longer fits beside the ms medians, shed
+            // a digit per median instead of shedding the envelope
+            def topLineCs(n: Int) = {
+              val es = spreadEntries.take(n)
+              s"""${headQ(s"q:median cs;spreadx:top${es.size} max-min ms only >${floorMs}ms", qsCs)},"spreadx":${spreadxOf(es)}}"""
+            }
+            val nCs = (spreadEntries.size to 0 by -1)
+              .find(n => topLineCs(n).length <= maxLen)
+            // bare cs medians are the terminal rung: strictly shorter
+            // than bare ms, so there is nothing further to shed
+            nCs.filter(_ > 0).map(topLineCs)
+              .getOrElse(s"${headQ("q:median cs", qsCs)}}")
+          }
         }
       }
     }

@@ -64,9 +64,10 @@ class BenchEncodeSpec extends SparkTestBase {
     // bench_result.json.
     assert(line.length <= 1800, s"compact bench line too long: ${line.length}")
     assert(line.contains(""""queries":{"""), line.takeRight(200))
-    // at ~130 queries the full sparse object itself outgrows the tail,
-    // so the ladder's r13 rung keeps the LARGEST above-floor spreads
-    // that fit (topN, documented in enc); the noise envelope survives
+    // at ~130 queries the full sparse object itself outgrows the tail
+    // (topN rung); at ~145 the ms medians alone crowd out even one
+    // spreadx entry, so medians shed a digit (centiseconds, r14) to buy
+    // the envelope back — in EVERY rung the noise envelope survives
     // for the queries where BenchDiff needs it most
     assert(line.contains(""""spreadx":{"""), line.takeRight(400))
     // noisy queries (spread 700 ms) carry entries; quiet ones don't
@@ -74,8 +75,13 @@ class BenchEncodeSpec extends SparkTestBase {
     assert(!line.contains(""""q02":4"""), "below-floor spread leaked")
     // enc must describe the degraded line, not the full triple
     assert(line.contains(""""enc":"q:median ms;spreadx:top""") ||
+      line.contains(""""enc":"q:median cs;spreadx:top""") ||
       line.contains(""""enc":"q:median ms;spreadx:max-min ms only >100ms""""),
       line.take(300))
+    // the cs rung really is centiseconds: the quiet medians (3141 ms)
+    // read 314 when enc says cs
+    if (line.contains(""""enc":"q:median cs"""))
+      assert(line.contains(""""q02":314"""), line.take(400))
     assert(!line.contains("dmin"), "dropped field must vanish from enc too")
     val full = Bench.fullJson(names.take(2), Nil, 1.0, "/x", 3, 0.1, Nil)
     assert(full.contains(""""min":"""), "per-run fidelity must stay in bench_result.json")
