@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming surface (SURVEY §2.9 — beyond-reference): the
   * engine's aggregation and dedup paths re-expressed over an unbounded
@@ -296,6 +296,76 @@ object EventStreams {
         st.clear()
         Iterator.single(ClosedSession(user, o.startTs, o.lastTs, o.events))
       }
+  }
+
+  final case class UserEvent(user_id: Long, ts_nanos: Long,
+                             event_id: Long, event_type: String)
+  final case class RecentEv(ts_nanos: Long, event_id: Long)
+  final case class UserTypeStats(user_id: Long, n_types: Long,
+                                 n_events: Long, last_ids: Seq[Long])
+
+  /** Composite-state processor — the two transformWithState state KINDS
+    * the sessionizers don't exercise: a MapState (per-user counts keyed
+    * by event type — state the size of the user's TYPE set, not their
+    * history) and a bounded ListState (the K most recent (ts, id)
+    * pairs, trimmed every batch — a ring buffer the fMGWS API could
+    * only fake inside one opaque blob). Emits the running per-user
+    * summary each batch (Update mode). The composition is the point:
+    * one key owns three independently-typed state handles (the
+    * SessionizeProcessor's ValueState tier showed one), each with its
+    * own TTL policy slot, which is exactly the API migration target
+    * SPARK-40434 sells over flatMapGroupsWithState.
+    */
+  final class TypeStatsProcessor(k: Int)
+      extends StatefulProcessor[Long, UserEvent, UserTypeStats] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var recent: ListState[RecentEv] = _
+    override def init(om: OutputMode, tm: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getListState[RecentEv]("recent",
+        org.apache.spark.sql.Encoders.product[RecentEv], TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+                                 tv: TimerValues): Iterator[UserTypeStats] = {
+      val batch = rows.toArray
+      if (batch.isEmpty) Iterator.empty
+      else {
+        batch.groupBy(_.event_type).foreach { case (t, es) =>
+          val prev = if (counts.containsKey(t)) counts.getValue(t) else 0L
+          counts.updateValue(t, prev + es.length)
+        }
+        // merge the batch into the bounded ring: keep the K largest
+        // (ts, id) pairs across state + batch — clear-and-rewrite is
+        // the ListState trim idiom (appendList alone only grows)
+        val merged = (recent.get().toSeq ++
+            batch.map(e => RecentEv(e.ts_nanos, e.event_id)))
+          .sortBy(r => (-r.ts_nanos, -r.event_id)).take(k)
+        recent.clear()
+        recent.appendList(merged.toArray)
+        var nTypes = 0L
+        var nEvents = 0L
+        val it = counts.iterator()
+        while (it.hasNext) { nTypes += 1; nEvents += it.next()._2 }
+        Iterator.single(UserTypeStats(user, nTypes, nEvents,
+          merged.map(_.event_id)))
+      }
+    }
+  }
+
+  /** [[TypeStatsProcessor]] as a query (RocksDB provider required, as
+    * [[sessionizeTws]]).
+    */
+  def typeStatsTws(spark: SparkSession, ev: DataFrame,
+                   k: Int): Dataset[UserTypeStats] = {
+    import spark.implicits._
+    ev.select(col("user_id"), col("ts_nanos"), col("event_id"),
+        col("event_type"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeStatsProcessor(k),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** [[SessionCloseProcessor]] as a query: watermarked event time drives

@@ -380,6 +380,22 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(n2 == 4, s"expected all 4 non-target docs ranked, got $n2")
   }
 
+  test("recursive CTE: empty anchor yields empty immediately, never iterates") {
+    // T48's degenerate contract: WITH RECURSIVE over an empty anchor
+    // must terminate with zero rows on the first frontier check — a
+    // hang or an error here would be an engine-integration bug the
+    // oracle row (non-empty fixture) cannot see
+    spark.range(0).selectExpr("id AS s_suppkey")
+      .createOrReplaceTempView("graft_edge_supplier")
+    val out = spark.sql(
+      """WITH RECURSIVE chain(k, anc, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM graft_edge_supplier
+        |  UNION ALL
+        |  SELECT k, anc DIV 10, depth + 1 FROM chain WHERE anc > 0)
+        |SELECT k, max(depth) AS d FROM chain GROUP BY k""".stripMargin)
+    assert(out.collect().isEmpty)
+  }
+
   test("T37 histogram percentiles: order-stat bound holds, sparse gaps don't throw") {
     // ADVICE r13: the old in-plan assert compared the estimate against
     // the INTERPOLATED percentile with a 2-width bound that sparse

@@ -289,6 +289,53 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("MapState + ListState compose per key across batches (transformWithState)") {
+    // the two state KINDS the sessionizers don't exercise: per-user
+    // type counts in a MapState (state = |type set|, not history) and a
+    // bounded last-K ring in a ListState (clear-and-rewrite trim). The
+    // cross-batch claims: counts ACCUMULATE (batch 2 must see batch 1's
+    // map), the ring keeps the K newest across batch boundaries even
+    // when batch 2 delivers OLDER events, and the emitted Update row
+    // reflects the merged state — three handles on one key, each
+    // independently typed.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStreams.UserEvent
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserEvent]
+      val out = EventStreams.typeStatsTws(spark, input.toDF(), k = 3)
+      val q = out.writeStream.format("memory").queryName("tstats_test")
+        .outputMode(OutputMode.Update()).start()
+      input.addData(
+        UserEvent(1L, 100L, 10L, "click"),
+        UserEvent(1L, 200L, 11L, "view"),
+        UserEvent(1L, 300L, 12L, "click"),
+        UserEvent(2L, 100L, 20L, "view"))
+      q.processAllAvailable()
+      val mid = spark.table("tstats_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3)))
+      assert(mid.contains((1L, 2L, 3L, Seq(12L, 11L, 10L))), mid.toSeq)
+      assert(mid.contains((2L, 1L, 1L, Seq(20L))), mid.toSeq)
+      // batch 2: an OLDER event (ts 150) and a newer one — the ring
+      // must keep the 3 newest ACROSS batches (300, 200, 150 after 400
+      // arrives -> 400, 300, 200); counts accumulate to 5 over 3 types
+      input.addData(
+        UserEvent(1L, 150L, 13L, "purchase"),
+        UserEvent(1L, 400L, 14L, "view"))
+      q.processAllAvailable()
+      q.stop()
+      val fin = spark.table("tstats_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3)))
+      assert(fin.contains((1L, 3L, 5L, Seq(14L, 12L, 11L))), fin.toSeq)
+      spark.catalog.dropTempView("tstats_test")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("mg_sketch as streaming window state keeps its guarantee across batches") {
     // the sketch-as-state path: a window's Misra-Gries buffer is
     // serialized into the state store between micro-batches and merged
