@@ -1148,6 +1148,32 @@ object RelEntry {
           |WHERE c.c_custkey < 300""".stripMargin)
     }),
 
+    // ---- T49: aggregate modifiers (FILTER + multi-DISTINCT) -------------
+    "q148_agg_modifiers" -> ((s, d) => {
+      // the standard-SQL aggregate modifiers a warehouse port uses on
+      // day one: per-aggregate FILTER (WHERE …) — the conditional-agg
+      // form that replaces sum(CASE WHEN …) — and MULTIPLE DISTINCT
+      // aggregates over DIFFERENT columns in one SELECT. The second is
+      // the scale story: Catalyst rewrites multi-distinct through an
+      // Expand operator (one input row fans out once per distinct
+      // group), so the shuffle carries ~|distinct-groups|× the input —
+      // the documented price of mixing distinct columns in one
+      // aggregate, machine-asserted in PlanAuditSpec so a future Spark
+      // can't silently change the shape out from under the cost model.
+      // FILTER composes with DISTINCT (n_hi_users) — the combination
+      // most engines historically botched.
+      Tables.events(s, d).createOrReplaceTempView("graft_q148_events")
+      s.sql(
+        """SELECT event_type,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(count(*) FILTER (WHERE value > 150) AS BIGINT) AS n_hi,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          |  CAST(count(DISTINCT user_id) FILTER (WHERE value > 150)
+          |    AS BIGINT) AS n_hi_users,
+          |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+          |FROM graft_q148_events GROUP BY event_type""".stripMargin)
+    }),
+
     // ---- T48: recursive CTE (iterative in-engine computation) -----------
     "q147_recursive_chain" -> ((s, d) => {
       // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
@@ -1288,6 +1314,17 @@ object RelEntry {
         |       c.click_id AS asof_click_id
         |  FROM m LEFT JOIN c
         |    ON c.user_id = m.user_id AND c.ts = m.asof_ts""".stripMargin,
+    // q148 mirror: identical text modulo the view name
+    "q148_agg_modifiers" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE value > 150) AS BIGINT) AS n_hi,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT user_id) FILTER (WHERE value > 150)
+        |    AS BIGINT) AS n_hi_users,
+        |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+        |FROM events GROUP BY event_type""".stripMargin,
+
     // q147 mirror: the same recursion with DuckDB's // for DIV (both
     // truncate identically on the non-negative keys here)
     "q147_recursive_chain" ->

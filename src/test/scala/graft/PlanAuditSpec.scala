@@ -149,6 +149,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"q143 left lateral did not decorrelate to an outer join:\n${left.take(900)}")
   }
 
+  test("q148: multi-distinct aggregates rewrite through Expand") {
+    // the T49 scale claim: mixing DISTINCT columns in one aggregate
+    // fans each input row out once per distinct group (Expand) before
+    // the shuffle — the documented ~|groups|× volume price; losing the
+    // node would mean the cost model no longer matches the plan
+    val plan = SparkEntry.queries("q148_agg_modifiers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      s"q148 lost the multi-distinct Expand rewrite:\n${plan.take(900)}")
+  }
+
   test("q122: SCD2 builds in ONE data-sized exchange") {
     // the scale claim of T33: the run window, the (user_id, version)
     // aggregate, and the valid_to lead window all live inside the one
