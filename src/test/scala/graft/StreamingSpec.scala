@@ -289,6 +289,64 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stream-stream LEFT OUTER join: null-extension waits for the watermark") {
+    // the outer leg q79's inner join doesn't exercise — THE semantics
+    // that makes outer stream-stream joins hard: an unmatched left row
+    // cannot emit until the RIGHT watermark proves no future right row
+    // can still match its time band (r_ts ∈ [l_ts − 1h, l_ts]). Pinned:
+    // (a) the matched pair emits with the data batch; (b) the unmatched
+    // row is HELD — not emitted null-extended prematurely — until a
+    // later right batch advances the watermark past its band, then
+    // emits exactly once with NULL right columns.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val H = 3600L * 1000000000L
+    val lIn = MemoryStream[SessionEvent]
+    val rIn = MemoryStream[SessionEvent]
+    def sideDF(m: MemoryStream[SessionEvent], u: String, t: String) =
+      m.toDF()
+        .withColumn(t, timestamp_micros(expr("ts_nanos div 1000")))
+        .select(col("user_id").as(u), col(t))
+    val lt = sideDF(lIn, "l_user", "l_ts").withWatermark("l_ts", "0 seconds")
+    val rt = sideDF(rIn, "r_user", "r_ts").withWatermark("r_ts", "0 seconds")
+    val joined = lt.join(rt,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
+        col("r_ts") <= col("l_ts"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssoj_test")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("ssoj_test").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // batch 1: user 1 matches (right 30 min earlier); user 2 unmatched
+    lIn.addData(SessionEvent(1L, 10 * H), SessionEvent(2L, 10 * H))
+    rIn.addData(SessionEvent(1L, 10 * H - H / 2))
+    q.processAllAvailable()
+    val mid = rows()
+    assert(mid.contains((1L, Some(1L))), mid.toSeq)
+    assert(!mid.exists(_._1 == 2L),
+      s"unmatched row emitted before the watermark proved no match: ${mid.toSeq}")
+    // batch 2: later events on BOTH sides — the GLOBAL watermark is
+    // min(left, right), so a right-only advance leaves it pinned at
+    // user 2's own l_ts and the held row would wait forever (the
+    // real-world "quiet side stalls the watermark" gotcha, worth
+    // pinning in itself)
+    lIn.addData(SessionEvent(88L, 12 * H))
+    rIn.addData(SessionEvent(99L, 12 * H))
+    q.processAllAvailable()
+    // eviction emits in the batch after the watermark commit — nudge
+    // with one more batch on both sides before asserting
+    lIn.addData(SessionEvent(88L, 13 * H))
+    rIn.addData(SessionEvent(99L, 13 * H))
+    q.processAllAvailable()
+    q.stop()
+    val fin = rows()
+    assert(fin.count(_ == ((2L, None))) == 1,
+      s"expected exactly one null-extended row for user 2: ${fin.toSeq}")
+    spark.catalog.dropTempView("ssoj_test")
+  }
+
   test("MapState + ListState compose per key across batches (transformWithState)") {
     // the two state KINDS the sessionizers don't exercise: per-user
     // type counts in a MapState (state = |type set|, not history) and a
