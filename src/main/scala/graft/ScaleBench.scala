@@ -192,7 +192,29 @@ object ScaleBench {
     // q140: the streaming histogram bridge — stream state stays ≤ B
     // rows per open window and the merge stays |windows|·B rows at any
     // m; only the drain's one corpus-sized pass should scale
-    "q140_stream_histogram_merge")
+    "q140_stream_histogram_merge",
+    // q144: forward as-of — the same union+window plan as q52/q133
+    // (one exchange on user_id); users stride so per-key row counts
+    // stay fixed while the key space grows m×
+    "q144_asof_forward",
+    // q145: interval RANGE frame — one exchange + per-partition sort
+    // with frame-bounded state; per-user densities are fixed under the
+    // stride, so cost tracks the sort volume
+    "q145_range_frame",
+    // q146: ranking family — NOTE the l_orderkey < 2000 predicate keeps
+    // only replica-0 rows under the id stride, so this cell measures
+    // filter pushdown against an m×-growing file (β ≈ 0 expected), not
+    // window-volume growth; the unfiltered window-growth story is
+    // q124/q58's
+    "q146_rank_family",
+    // q147: recursive CTE — frontier_0 = suppliers (m×), depth fixed
+    // by key digits: total work Σ_d |frontier_d| grows m× linearly,
+    // iterations do NOT multiply
+    "q147_recursive_chain",
+    // q148: FILTER + multi-distinct — the Expand rewrite triples the
+    // pre-shuffle row volume at every m (the documented constant
+    // factor); partials still combine map-side per distinct group
+    "q148_agg_modifiers")
 
   private[graft] val IdStride = 1000000L
 
