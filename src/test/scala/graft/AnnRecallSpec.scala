@@ -208,14 +208,17 @@ class AnnRecallSpec extends SparkTestBase {
         s"vec ${r.getLong(1)} reported in cell ${r.getLong(2)} but lives in ${cellOf(r.getLong(1))}")
     }
     // measured 0.200 with the r14 trained coarse level (0.120 with raw
-    // seed centroids; the ceiling rose 0.460 → 0.540) ≈ exhaustive-ADC
-    // quality (0.26) × probed-cell capture (0.54): on UNIFORM
-    // embeddings the two losses compose multiplicatively, which is
-    // exactly the cost/recall trade IVFADC sells — same codes as q119
-    // at ~nprobe/|cells| of its scan cost. (The composition can never
-    // beat the exact-IVF ceiling at equal nprobe; its production
-    // levers are nprobe, more Lloyd steps, and K=256 — on clustered
-    // real corpora all three bite harder.)
+    // seed centroids; the ceiling rose 0.460 → 0.540). The untrained
+    // losses composed multiplicatively (0.26 ADC × 0.46 capture ≈
+    // 0.120 measured); the TRAINED composition beats the naive product
+    // (0.26 × 0.54 = 0.14 < 0.200) because coarse training doesn't
+    // just capture more neighbors — it SHRINKS the residuals the
+    // shared codebook quantizes, so ADC quality inside probed cells
+    // improves too and the two losses are no longer independent. Both
+    // effects are the trade IVFADC sells — same codes as q119 at
+    // ~nprobe/|cells| of its scan cost; the composition can never beat
+    // the exact-IVF ceiling at equal nprobe, and the production levers
+    // are nprobe, more Lloyd steps, and K=256.
     assert(ivfadc >= 0.15, f"IVFADC recall $ivfadc%.3f below trained floor")
   }
 
