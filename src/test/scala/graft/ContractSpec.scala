@@ -10,6 +10,31 @@ package graft
   */
 class ContractSpec extends SparkTestBase {
 
+  test("single-pass observability: attrition metrics ride the job, no rescan") {
+    // the production affordance a 100-TB curation run needs for its
+    // per-stage accounting (q121's attrition table): df.observe()
+    // collects numeric metrics DURING the action — no second scan, no
+    // cache — via an accumulator the driver reads after completion.
+    // Pinned: the observed counts equal independently recomputed
+    // aggregates, and the observe node is metrics-only (the surviving
+    // row set is untouched).
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation("ingest")
+    val ev = graft.core.Tables.events(spark, sf)
+    val kept = ev.observe(obs,
+        count(lit(1)).as("n_in"),
+        sum(when(col("value") > 150, 1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"))
+      .filter(col("value") > 150)
+    val nKept = kept.count()
+    val m = obs.get
+    assert(m("n_hi") == nKept,
+      s"observed n_hi ${m("n_hi")} != surviving rows $nKept")
+    assert(m("n_in") == ev.count(), s"observed n_in ${m("n_in")}")
+    assert(m("n_null_props") ==
+      ev.filter(col("props").isNull).count(), m.toString)
+  }
+
   test("query and oracle maps line up (every query is oracle-checked)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
