@@ -213,6 +213,34 @@ object GraftProps extends Properties("graft") {
       got == want
     }
 
+  property("forward asofJoin equals the naive min-right-ts-per-left-row semantics") =
+    forAll(Gen.listOfN(25, genTimed), Gen.listOfN(15, genTimed)) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, s), i) => (k, tsOf(s), i.toLong) }
+        .toDF("k", "ts", "lid")
+      val rUniq = rs.zipWithIndex
+        .map { case ((k, s), i) => ((k, s), i.toLong) }
+        .groupBy(_._1).map { case ((k, s), xs) => (k, s, xs.map(_._2).max) }
+        .toSeq
+      val right = rUniq.map { case (k, s, rid) => (k, tsOf(s), rid) }
+        .toDF("k", "ts", "rid")
+      val got = TemporalOps.asofJoin(left, right, "k", "ts", forward = true)
+        .select(col("lid"), col("asof_rid"))
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      // forward truth: EARLIEST right at-or-after (ties on ts break by
+      // the same (ts, rid) order the operator's first() sees — rid is
+      // unique per (k, ts) by the pre-aggregation, so minBy on ts alone
+      // is already total)
+      val want = ls.zipWithIndex.map { case ((k, s), i) =>
+        val cands = rUniq.filter(r => r._1 == k && r._2 >= s)
+        i.toLong -> (if (cands.isEmpty) None
+                     else Some(cands.minBy(_._2)._3))
+      }.toMap
+      got == want
+    }
+
   property("neighborCounts equals the brute-force pair count") =
     forAll(Gen.listOfN(30, Gen.choose(0L, 3000L)),
            Gen.choose(60L, 900L)) { (secs0, win) =>
