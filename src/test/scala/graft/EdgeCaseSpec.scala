@@ -380,6 +380,45 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(n2 == 4, s"expected all 4 non-target docs ranked, got $n2")
   }
 
+  test("decorrelated subqueries over an EMPTY inner table keep their semantics") {
+    // the decorrelation rewrites must preserve empty-input semantics:
+    // EXISTS → no rows, NOT EXISTS → all rows, scalar max → NULL,
+    // scalar COUNT → 0 (the outer-join rewrite's coalesce — the
+    // classic bug is NULL here), LEFT lateral → NULL-extended rows.
+    // The oracle fixture always has orders; this pins the empty side.
+    import spark.implicits._
+    Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+      .createOrReplaceTempView("graft_edge_cust")
+    spark.emptyDataset[(Long, Double)].toDF("o_custkey", "o_totalprice")
+      .createOrReplaceTempView("graft_edge_ord")
+    assert(spark.sql(
+      """SELECT c_custkey FROM graft_edge_cust c WHERE EXISTS
+        |  (SELECT 1 FROM graft_edge_ord o WHERE o.o_custkey = c.c_custkey)"""
+        .stripMargin).count() == 0)
+    assert(spark.sql(
+      """SELECT c_custkey FROM graft_edge_cust c WHERE NOT EXISTS
+        |  (SELECT 1 FROM graft_edge_ord o WHERE o.o_custkey = c.c_custkey)"""
+        .stripMargin).count() == 2)
+    val scalar = spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM graft_edge_ord o
+        |   WHERE o.o_custkey = c.c_custkey) AS mx,
+        |  (SELECT count(*) FROM graft_edge_ord o
+        |   WHERE o.o_custkey = c.c_custkey) AS n
+        |FROM graft_edge_cust c""".stripMargin).collect()
+    scalar.foreach { r =>
+      assert(r.isNullAt(1), s"empty-match max must be NULL: $r")
+      assert(r.getLong(2) == 0L, s"empty-match COUNT must be 0, not NULL: $r")
+    }
+    val lat = spark.sql(
+      """SELECT c.c_custkey, t.n FROM graft_edge_cust c
+        |LEFT JOIN LATERAL (
+        |  SELECT count(*) AS n FROM graft_edge_ord o
+        |  WHERE o.o_custkey = c.c_custkey) t ON true""".stripMargin).collect()
+    assert(lat.length == 2 && lat.forall(_.getLong(1) == 0L),
+      lat.mkString(","))
+  }
+
   test("recursive CTE: empty anchor yields empty immediately, never iterates") {
     // T48's degenerate contract: WITH RECURSIVE over an empty anchor
     // must terminate with zero rows on the first frontier check — a
