@@ -125,10 +125,12 @@ object LlmEntry {
   private def bitsDuck(x: String)  = s"CAST(length(format('{:b}', $x)) AS BIGINT)"
 
   // ---- shared PQ machinery (q119 exhaustive ADC, q120 IVFADC) ----------
-  /** Integer squared L2 between BIGINT-array columns. */
-  private def pqD2Spark(s: String, cs: String) = expr(
-    s"aggregate(zip_with($s, $cs, (x, y) -> (x - y) * (x - y)), " +
-      "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+  /** Integer squared L2 between BIGINT-array columns — the native
+    * codegen'd [[graft.functions.IntL2Sq]] (r14; the HOF
+    * `aggregate(zip_with(...))` form it replaces evaluated interpreted
+    * per element — bit-identical results, LlmOpsSpec-asserted).
+    */
+  private def pqD2Spark(s: String, cs: String) = expr(s"int_l2sq($s, $cs)")
   private def pqD2Duck(s: String, cs: String) =
     s"""list_reduce(list_prepend(0::BIGINT,
        |      list_transform(range(1, ${PqSub + 1}),
@@ -1712,9 +1714,7 @@ object LlmEntry {
         .select(col("vec_id").as("probe_id"), col("p").as("pp"))
       val scored = proj.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("proj_d2", expr(
-          "aggregate(zip_with(p, pp, (x, y) -> (x - y) * (x - y)), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("proj_d2", expr("int_l2sq(p, pp)"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("proj_d2"), col("vec_id"))
       val out = scored.withColumn("rk", row_number().over(w).cast("long"))

@@ -40,6 +40,12 @@ case class CosineSim(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // NULL can arise INTERNALLY (length mismatch, null element), not just
+  // from null inputs — the BinaryExpression default (children's
+  // nullability) would let codegen consumers skip the isNull check and
+  // read a garbage value when both inputs are non-nullable (latent
+  // until r14's int_l2sq literal-argument test surfaced the class)
+  override def nullable: Boolean = true
 
   // schema-level: can either input array carry NULL elements?
   private lazy val mayHaveNullElems: Boolean = Seq(left, right).exists {
@@ -148,5 +154,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("span_gram_rows"),
       new ExpressionInfo(classOf[SpanGramRows].getName, "span_gram_rows"),
       (children: Seq[Expression]) => SpanGramRows(children(0), children(1))))
+    // integer squared L2: the ANN tier's fused inner loop (q119/q120/q125)
+    ext.injectFunction((
+      new FunctionIdentifier("int_l2sq"),
+      new ExpressionInfo(classOf[IntL2Sq].getName, "int_l2sq"),
+      (children: Seq[Expression]) => IntL2Sq(children(0), children(1))))
   }
 }

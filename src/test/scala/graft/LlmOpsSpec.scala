@@ -108,6 +108,39 @@ class LlmOpsSpec extends SparkTestBase {
     assert(projLine.trim.startsWith("*("), projLine)
   }
 
+  test("native int_l2sq is bit-identical to the HOF fold, codegens, NULL-pars") {
+    // the ANN tier's fused inner loop (pqD2Spark since r14): distance,
+    // square, and sum in one codegen'd primitive loop — results must be
+    // bit-identical to the interpreted aggregate(zip_with(...)) fold it
+    // replaced, including Long wrap semantics and NULL behavior
+    import spark.implicits._
+    val q = Tables.embeddings(spark, sf).select(col("vec_id"),
+      expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+        "x -> CAST(floor(x * 1000000) AS BIGINT))").as("q"))
+    val pairs = q.crossJoin(
+        q.select(col("vec_id").as("vec_id2"), col("q").as("q2")))
+      .filter(col("vec_id") < col("vec_id2") && col("vec_id2") < 60)
+    val both = pairs.select(
+      expr("int_l2sq(q, q2)").as("native"),
+      expr("aggregate(zip_with(q, q2, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    val codegen = q.select(expr("int_l2sq(q, q)").as("d"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(400))
+    val projLine = codegen.linesIterator
+      .find(l => l.contains("Project") && l.contains("int_l2sq")).get
+    assert(projLine.trim.startsWith("*("), projLine)
+    // NULL parity: mismatched lengths and a NULL element both → NULL,
+    // exactly like the padded-then-poisoned HOF fold
+    val r = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L)))
+      .toDF("a", "b")
+      .select(expr("int_l2sq(a, b)").as("mismatch"),
+        expr("int_l2sq(array(1L, NULL), array(1L, 2L))").as("nullelem"))
+      .head
+    assert(r.isNullAt(0) && r.isNullAt(1), r.toString)
+  }
+
   test("multimodal: PGM decode preserves rows, batch shape, determinism") {
     val media = MultimodalOps.pgmTable(spark, docs)
     val feats = MultimodalOps.decodeFeatures(media)
@@ -409,6 +442,14 @@ class LlmOpsSpec extends SparkTestBase {
         "(acc, v) -> acc + v)").as("hof_dot")).head
     assert(row.isNullAt(0), "native must be NULL on mismatched lengths")
     assert(row.isNullAt(1), "HOF reference is NULL on mismatched lengths")
+    // NON-NULLABLE inputs (array literals): the internal NULL must still
+    // surface — with the BinaryExpression nullable default, codegen
+    // consumers skipped the isNull check and read garbage (the r14
+    // nullable-override regression class, found via int_l2sq)
+    val lit = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D)) AS c").head
+    assert(lit.isNullAt(0),
+      "internal NULL lost through non-nullable literal inputs")
   }
 
   test("bloom screen: prunes the clean corpus tightly, misses no true positive") {
