@@ -1106,11 +1106,13 @@ object RelEntry {
       // non-member — the branch must yield ZERO rows, never the anti
       // join a naive rewrite would produce. Engines that "fix" this
       // silently (or users who port NOT IN → anti join) diverge here;
-      // the hash compare pins the standard behavior. Plans as a
-      // null-aware anti join (BroadcastNestedLoopJoin in Spark for the
-      // nullable branch — the documented cost of NOT IN on a nullable
-      // key, and THE reason q137's NOT EXISTS spelling is the 100-TB
-      // recommendation).
+      // the hash compare pins the standard behavior. BOTH branches plan
+      // as a null-aware BroadcastHashJoin LeftAnti (`... BuildRight, true`
+      // — SPARK-32290), never a BroadcastNestedLoopJoin; PlanAuditSpec
+      // machine-asserts this. The residual cost of NOT IN on a nullable
+      // key is the null-aware probe (any-null short-circuit per row),
+      // which is why q137's NOT EXISTS spelling remains the 100-TB
+      // recommendation when the key is provably non-null.
       Tables.customer(s, d).createOrReplaceTempView("graft_q141_customer")
       Tables.orders(s, d).createOrReplaceTempView("graft_q141_orders")
       s.sql(
