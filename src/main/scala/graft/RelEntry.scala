@@ -835,11 +835,14 @@ object RelEntry {
       // layout-cache key: md5 of the dataset path (32-bit String.hashCode
       // collides across paths and would silently serve another dataset's
       // layout) plus the process id, so two concurrent JVMs on the same
-      // dataset never race overwrite-vs-read on shared file paths
+      // dataset never race overwrite-vs-read on shared file paths; the
+      // pid-fresh dir is registered for shutdown-hook deletion so runs
+      // don't accumulate temp-dir garbage
       val dirKey = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_skip_" +
         s"${dirKey}_${ProcessHandle.current().pid()}"
+      operators.LayoutOps.cleanupOnExit(dir)
       operators.LayoutOps.skippingLayout(
         Tables.events(s, d).select(col("event_type"), col("value")),
         col("value"), dir, SkipFiles)
@@ -1994,14 +1997,14 @@ object RelEntry {
         |WHERE c.c_custkey < 300""".stripMargin,
 
     "q143_lateral_left" ->
-      """SELECT c.c_custkey, t.n_hi, t.max_price
-        |FROM customer c LEFT JOIN LATERAL (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_hi,
-        |         max(o_totalprice) AS max_price
-        |  FROM orders o
-        |  WHERE o.o_custkey = c.c_custkey
-        |    AND o.o_totalprice > 400000.0) t ON true
-        |WHERE c.c_custkey < 300""".stripMargin,
+      s"""SELECT c.c_custkey, t.n_hi, t.max_price
+         |FROM customer c LEFT JOIN LATERAL (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hi,
+         |         max(o_totalprice) AS max_price
+         |  FROM orders o
+         |  WHERE o.o_custkey = c.c_custkey
+         |    AND o.o_totalprice > $SubqPriceHi) t ON true
+         |WHERE c.c_custkey < 300""".stripMargin,
 
     // q124 mirror: the single-window textbook sweep line (the sharded
     // form must be bit-identical to it — that IS the claim); sum casts

@@ -28,12 +28,16 @@ object Materialize {
     * un-checkpointed frame so the FULL plan stays visible to plan-shape
     * tooling — r13's snapshot recorded ~27 detached queries as a bare
     * post-checkpoint `{"Scan":1}`, blinding `tools/plancheck.py` to
-    * precisely the most intricate plans. The release closure is NOT run
-    * in this mode: nothing was materialized, the upstream persist marks
-    * are lazy no-ops, and releasing them would unpersist frames the
-    * returned plan still references. Never enable outside plan
-    * inspection — execution paths rely on the checkpoint both for the
-    * re-planning fence (q121's bloom literal) and for cache release.
+    * precisely the most intricate plans. The release closure still runs
+    * in this mode: the audit never EXECUTES the returned frame, so
+    * unpersisting is always safe, and some builders (q71's
+    * dupComponents convergence loop) run count() actions while the
+    * frame is being BUILT — their persisted intermediates are real and
+    * would otherwise accumulate across the ~150-query audit JVM.
+    * Unpersisting also yields a fuller lineage snapshot (no
+    * InMemoryRelation stubs). Never enable outside plan inspection —
+    * execution paths rely on the checkpoint both for the re-planning
+    * fence (q121's bloom literal) and for cache release.
     */
   @volatile var auditPassthrough: Boolean = false
 
@@ -44,7 +48,7 @@ object Materialize {
   def detached(df: DataFrame,
                level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
               (release: => Unit): DataFrame =
-    if (auditPassthrough) df
+    if (auditPassthrough) { release; df }
     else {
       val out = df.localCheckpoint(true, level)
       release

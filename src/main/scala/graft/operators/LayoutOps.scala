@@ -81,6 +81,31 @@ object LayoutOps {
     df.repartitionByRange(nFiles, on).sortWithinPartitions(on)
       .write.mode("overwrite").parquet(dir)
 
+  // Scratch-layout lifetime: q131 keys its layout dir by (dataset md5,
+  // pid) so concurrent JVMs never race overwrite-vs-read on shared file
+  // paths — which means each run mints a FRESH dir that nothing reuses.
+  // One JVM-wide shutdown hook deletes every registered scratch dir so
+  // temp-dir garbage can't accumulate across runs (r14 advice).
+  private val exitDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val exitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitDirs.forEach { d =>
+        scala.util.Try {
+          val p = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(p)) {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            finally walk.close()
+          }
+        }
+        ()
+      }))
+
+  /** Register `dir` for recursive deletion at JVM exit (idempotent). */
+  def cleanupOnExit(dir: String): Unit = { exitHook; exitDirs.add(dir); () }
+
   /** Per-file (file, lo, hi) stats over the skip column. */
   def minMaxStats(spark: SparkSession, dir: String, on: String): DataFrame =
     spark.read.parquet(dir)
