@@ -1179,6 +1179,33 @@ object RelEntry {
           |FROM graft_q148_events GROUP BY event_type""".stripMargin)
     }),
 
+    // ---- T51: UNPIVOT / melt (T4's inverse) -----------------------------
+    "q149_unpivot" -> ((s, d) => {
+      // the wide→long reshape every metrics/ML-feature port hits in its
+      // first week — T4 (q55) ships pivot; this is its inverse. Input is
+      // q55's natural output: the per-user event-type count matrix,
+      // built WITHOUT na.fill so absent (user, type) cells stay NULL —
+      // because the semantics worth pinning is NULL-cell handling: SQL
+      // UNPIVOT drops NULL cells by default (EXCLUDE NULLS — both Spark
+      // 4 SPARK-39877 and DuckDB agree), while the Dataset.unpivot/melt
+      // API RETAINS them; the long output here must therefore hold
+      // exactly the observed (user, type) pairs, never a dense
+      // |users|×|types| grid (EdgeCaseSpec pins the API-vs-SQL split
+      // and the unpivot∘pivot ≡ identity round trip). Scale shape: unpivot
+      // is a narrow per-row Expand (one input row → ≤ |value columns|
+      // output rows, no exchange) — the transpose itself never
+      // shuffles; only the upstream pivot aggregate does.
+      val wide = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+      wide.createOrReplaceTempView("graft_q149_wide")
+      s.sql(
+        """SELECT user_id, event_type, n FROM graft_q149_wide
+          |UNPIVOT (n FOR event_type IN
+          |  (click, error, purchase, signup, view))""".stripMargin)
+    }),
+
     // ---- T48: recursive CTE (iterative in-engine computation) -----------
     "q147_recursive_chain" -> ((s, d) => {
       // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
@@ -1329,6 +1356,24 @@ object RelEntry {
         |    AS BIGINT) AS n_hi_users,
         |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q149 mirror: the wide matrix is rebuilt via FILTER counts with
+    // NULLIF(·, 0) — a pivot cell is NULL exactly when no rows of that
+    // type exist, which is when the FILTER count is 0 — then the SAME
+    // standard-SQL UNPIVOT text runs in DuckDB (EXCLUDE NULLS default
+    // in both engines; the dropped cells ARE the claim)
+    "q149_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    NULLIF(count(*) FILTER (WHERE event_type = 'click'), 0)    AS click,
+        |    NULLIF(count(*) FILTER (WHERE event_type = 'error'), 0)    AS error,
+        |    NULLIF(count(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase,
+        |    NULLIF(count(*) FILTER (WHERE event_type = 'signup'), 0)   AS signup,
+        |    NULLIF(count(*) FILTER (WHERE event_type = 'view'), 0)     AS view
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, event_type, n FROM wide
+        |UNPIVOT (n FOR event_type IN
+        |  (click, error, purchase, signup, view))""".stripMargin,
 
     // q147 mirror: the same recursion with DuckDB's // for DIV (both
     // truncate identically on the non-negative keys here)

@@ -526,4 +526,44 @@ class EdgeCaseSpec extends SparkTestBase {
         s"$g: corr ${c.getDouble(3)} != exact-BigInt $corrExp")
     }
   }
+
+  test("unpivot: API retains NULL cells, SQL drops them, round trip is identity") {
+    // T51 (q149) contract. A sparse wide matrix — NULL marks absent
+    // cells, and a genuine 0 value must NOT be confused with absent.
+    val wide = Seq(
+      (1L, Some(3L), None,       Some(0L)),
+      (2L, None,     Some(5L),   None),
+      (3L, None,     None,       None))     // all-NULL row
+      .toDF("user_id", "click", "error", "purchase")
+    val ids = Array(col("user_id"))
+    val vals = Array(col("click"), col("error"), col("purchase"))
+    val api = wide.unpivot(ids, vals, "event_type", "n")
+    // Dataset.unpivot/melt RETAINS NULL cells: dense |rows|×|values|
+    assert(api.count() == 9L)
+    wide.createOrReplaceTempView("ec_unpivot_wide")
+    val sql = spark.sql(
+      """SELECT user_id, event_type, n FROM ec_unpivot_wide
+        |UNPIVOT (n FOR event_type IN (click, error, purchase))"""
+        .stripMargin)
+    // SQL UNPIVOT defaults to EXCLUDE NULLS: only observed cells — and
+    // the 0-valued cell survives (0 is a value, not absence)
+    val sqlRows = sql.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(sqlRows == Set((1L, "click", 3L), (1L, "purchase", 0L),
+      (2L, "error", 5L)))
+    // SQL ≡ API + IS NOT NULL filter (the entire semantic difference)
+    assert(api.filter(col("n").isNotNull).except(sql).isEmpty &&
+      sql.except(api.filter(col("n").isNotNull)).isEmpty)
+    // round trip: re-pivoting the API long form reproduces the wide
+    // matrix exactly, NULLs included (first() over the singleton cell)
+    val back = api.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase"))
+      .agg(first(col("n")))
+    assert(back.except(wide).isEmpty && wide.except(back).isEmpty)
+    // scale shape: the transpose is a narrow per-row Expand — it adds
+    // ZERO exchanges over its input plan
+    val plan = api.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
