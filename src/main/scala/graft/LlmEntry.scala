@@ -538,6 +538,53 @@ object LlmEntry {
         .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))),
 
+    // ---- L67: VARIANT semi-structured tier (q49's schema-less sibling) --
+    "q150_variant_extract" -> ((s, d) => {
+      // Spark 4's VARIANT type — the tier an LLM-data pipeline actually
+      // meets in crawl metadata, where no static from_json schema exists
+      // because the JSON SHAPE varies row to row. The fixture derives
+      // three deterministic shapes from events (web: integer score +
+      // tags array; api: STRING score + extra n field; crawl: score
+      // absent), then extracts through ONE parse: parse_json → binary
+      // variant, variant_get typed paths. The semantics pinned
+      // cross-engine: try_variant_get returns NULL on a TYPE MISMATCH
+      // (the api rows' string score under a bigint target) and plain
+      // NULL on an absent path — so n_int_score counts exactly the web
+      // rows and min_n only ever sees api rows; DuckDB mirrors with
+      // json_type-guarded extraction. EdgeCaseSpec owns the
+      // malformed-JSON contract (try_parse_json NULL vs parse_json
+      // error, try_variant_get NULL vs variant_get error, JSON-null vs
+      // absent via is_variant_null). Scale shape: parse once per row
+      // into the columnar-friendly binary encoding, every path access
+      // is a narrow projection off that one variant — no re-parse per
+      // field, no shuffle beyond the final aggregate.
+      Tables.events(s, d).createOrReplaceTempView("graft_q150_events")
+      s.sql(
+        """WITH j AS (
+          |  SELECT event_id,
+          |    CASE pmod(event_id, 3)
+          |      WHEN 0 THEN concat('{"meta": {"src": "web", "score": ',
+          |        get_json_object(props, '$.k'),
+          |        '}, "tags": ["alpha", "beta"]}')
+          |      WHEN 1 THEN concat('{"meta": {"src": "api", "score": "s',
+          |        get_json_object(props, '$.k'), '"}, "n": ',
+          |        CAST(event_id AS STRING), '}')
+          |      ELSE '{"meta": {"src": "crawl"}}'
+          |    END AS jstr
+          |  FROM graft_q150_events),
+          |v AS (SELECT event_id, parse_json(jstr) AS var FROM j)
+          |SELECT variant_get(var, '$.meta.src', 'string') AS src,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(count(try_variant_get(var, '$.meta.score', 'bigint'))
+          |    AS BIGINT) AS n_int_score,
+          |  CAST(sum(try_variant_get(var, '$.meta.score', 'bigint'))
+          |    AS BIGINT) AS sum_score,
+          |  CAST(count(variant_get(var, '$.tags[0]', 'string'))
+          |    AS BIGINT) AS n_tag0,
+          |  CAST(min(variant_get(var, '$.n', 'bigint')) AS BIGINT) AS min_n
+          |FROM v GROUP BY src""".stripMargin)
+    }),
+
     "q48_llm_pipeline" -> ((s, d) => {
       // The composed LLM preprocessing chain: exact-dedup keep-first
       // (semi-join against min-id per content hash) → quality scoring →
@@ -2689,6 +2736,36 @@ object LlmEntry {
       """SELECT k % 10 AS k_mod, count(*) AS cnt, min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY k % 10""".stripMargin,
+
+    // q150 mirror: the same three JSON shapes, extracted with DuckDB's
+    // JSON functions; try_variant_get's NULL-on-type-mismatch becomes a
+    // json_type guard (integer-typed score cells only), absent paths
+    // are NULL in both engines
+    "q150_variant_extract" ->
+      """WITH j AS (
+        |  SELECT event_id,
+        |    CASE event_id % 3
+        |      WHEN 0 THEN '{"meta": {"src": "web", "score": ' ||
+        |        json_extract_string(props, '$.k') ||
+        |        '}, "tags": ["alpha", "beta"]}'
+        |      WHEN 1 THEN '{"meta": {"src": "api", "score": "s' ||
+        |        json_extract_string(props, '$.k') || '"}, "n": ' ||
+        |        CAST(event_id AS VARCHAR) || '}'
+        |      ELSE '{"meta": {"src": "crawl"}}'
+        |    END AS jstr
+        |  FROM events)
+        |SELECT json_extract_string(jstr, '$.meta.src') AS src,
+        |  count(*) AS n,
+        |  count(CASE WHEN json_type(jstr, '$.meta.score')
+        |               IN ('BIGINT', 'UBIGINT') THEN 1 END) AS n_int_score,
+        |  CAST(sum(CASE WHEN json_type(jstr, '$.meta.score')
+        |                  IN ('BIGINT', 'UBIGINT')
+        |                THEN CAST(json_extract(jstr, '$.meta.score') AS BIGINT)
+        |           END) AS BIGINT) AS sum_score,
+        |  count(json_extract_string(jstr, '$.tags[0]')) AS n_tag0,
+        |  CAST(min(CAST(json_extract(jstr, '$.n') AS BIGINT)) AS BIGINT)
+        |    AS min_n
+        |FROM j GROUP BY src""".stripMargin,
 
     "q48_llm_pipeline" -> {
       val cols = qualityDuck("text").map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")

@@ -527,6 +527,37 @@ class EdgeCaseSpec extends SparkTestBase {
     }
   }
 
+  test("variant: try_* degrade to NULL where strict errors; JSON null != absent") {
+    // L67 (q150) contract. Malformed input: try_parse_json degrades to
+    // NULL, parse_json raises — the screen-vs-trust pair.
+    val bad = Seq("{\"a\": 1", "not json at all").toDF("s")
+    assert(bad.select(expr("try_parse_json(s)").as("v"))
+      .filter(col("v").isNull).count() == 2L)
+    intercept[Exception] {
+      bad.select(expr("parse_json(s)")).collect()
+    }
+    // type mismatch at a present path: try_variant_get NULL, strict errors
+    val doc = Seq("""{"a": "xyz", "b": null, "i": 7}""").toDF("s")
+      .select(expr("parse_json(s)").as("v"))
+    assert(doc.select(expr("try_variant_get(v, '$.a', 'bigint')").as("x"))
+      .head.isNullAt(0))
+    intercept[Exception] {
+      doc.select(expr("variant_get(v, '$.a', 'bigint')")).collect()
+    }
+    // a present, well-typed path extracts under both forms
+    assert(doc.select(expr("variant_get(v, '$.i', 'bigint')").as("x"))
+      .head.getLong(0) == 7L)
+    // absent path: plain NULL even under STRICT variant_get (absence is
+    // not an error), and is_variant_null distinguishes JSON null (a
+    // present null VALUE) from absence (no variant at all)
+    val r = doc.select(
+      expr("variant_get(v, '$.zz', 'bigint')").as("absent"),
+      expr("is_variant_null(variant_get(v, '$.b'))").as("b_is_jnull"),
+      expr("is_variant_null(variant_get(v, '$.zz'))").as("zz_is_jnull"))
+      .head
+    assert(r.isNullAt(0) && r.getBoolean(1) && !r.getBoolean(2))
+  }
+
   test("unpivot: API retains NULL cells, SQL drops them, round trip is identity") {
     // T51 (q149) contract. A sparse wide matrix — NULL marks absent
     // cells, and a genuine 0 value must NOT be confused with absent.
