@@ -1206,6 +1206,55 @@ object RelEntry {
           |  (click, error, purchase, signup, view))""".stripMargin)
     }),
 
+    // ---- T52: collation-aware compare / group / join (UTF8_LCASE) -------
+    "q151_collated_group_join" -> ((s, d) => {
+      // Spark 4 collations — the semantics a porting user hits when
+      // leaving an engine that defaults case-insensitive: a UTF8_LCASE
+      // column compares, groups, and joins case-insensitively WITHOUT
+      // rewriting every predicate through lower(). The fixture derives a
+      // mixed-case segment column (even keys lowercased, odd keys kept
+      // upper), tags it COLLATE UTF8_LCASE, then joins it to a
+      // lowercase dim and groups on it: both case variants of a segment
+      // land in ONE group (n_case_variants = 2 proves the merge — the
+      // inner count(DISTINCT) is over the BINARY string) and the
+      // lowercase dim matches the uppercase rows. The output label is
+      // lower()ed and cast back to UTF8_BINARY so the result is
+      // representative-independent (which case variant a group reports
+      // is engine-internal — never output a collated key raw). Oracle:
+      // the lower()-rewrite formulation in DuckDB, pinned ≡ hash-exact
+      // (on ASCII data UTF8_LCASE equality IS lower() equality). The
+      // engine property is the COST of that convenience, measured and
+      // machine-asserted in PlanAuditSpec: Spark 4.1 keys without
+      // binary equality keep hash PARTITIONING (Exchange
+      // hashpartitioning on the collated key — distribution and skew
+      // handling survive) but lose the hash OPERATORS — the join falls
+      // to SortMergeJoin and the aggregate to SortAggregate, while the
+      // semantically-identical lower() rewrite keeps BroadcastHashJoin
+      // + HashAggregate. The 100-TB recommendation follows: collate at
+      // the EDGE for correctness, rewrite hot join/agg keys through
+      // lower() (exactly what this oracle proves is equivalent).
+      Tables.customer(s, d).createOrReplaceTempView("graft_q151_customer")
+      s.sql(
+        """WITH c AS (
+          |  SELECT c_custkey, c_acctbal,
+          |    CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+          |         ELSE c_mktsegment END AS seg_mixed
+          |  FROM graft_q151_customer),
+          |coll AS (
+          |  SELECT c_custkey, c_acctbal, seg_mixed,
+          |    seg_mixed COLLATE UTF8_LCASE AS seg
+          |  FROM c),
+          |dim AS (SELECT * FROM VALUES ('building'), ('MACHINERY'),
+          |                             ('Household') AS t(name))
+          |SELECT CAST(lower(seg) AS STRING) AS seg_l,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(count(DISTINCT seg_mixed) AS BIGINT) AS n_case_variants,
+          |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+          |    AS cents
+          |FROM coll JOIN dim ON coll.seg = dim.name COLLATE UTF8_LCASE
+          |GROUP BY seg""".stripMargin)
+    }),
+
     // ---- T48: recursive CTE (iterative in-engine computation) -----------
     "q147_recursive_chain" -> ((s, d) => {
       // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
@@ -1356,6 +1405,25 @@ object RelEntry {
         |    AS BIGINT) AS n_hi_users,
         |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q151 mirror: the lower()-rewrite formulation — on ASCII data
+    // UTF8_LCASE equality/grouping IS lower() equality/grouping, which
+    // is exactly the equivalence the query claims
+    "q151_collated_group_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+        |         ELSE c_mktsegment END AS seg_mixed
+        |  FROM customer),
+        |dim AS (SELECT * FROM (VALUES ('building'), ('MACHINERY'),
+        |                              ('Household')) t(name))
+        |SELECT lower(seg_mixed) AS seg_l,
+        |  count(*) AS n,
+        |  count(DISTINCT seg_mixed) AS n_case_variants,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM c JOIN dim ON lower(seg_mixed) = lower(name)
+        |GROUP BY lower(seg_mixed)""".stripMargin,
 
     // q149 mirror: the wide matrix is rebuilt via FILTER counts with
     // NULLIF(·, 0) — a pivot cell is NULL exactly when no rows of that

@@ -94,6 +94,48 @@ class PlanAuditSpec extends SparkTestBase {
       s"q129 lost a broadcast semi/anti prune:\n${plan.take(1200)}")
   }
 
+  test("q151: collated keys keep hash partitioning but cost the hash operators") {
+    // the T52 engine claim, pinned as MEASURED (not as hoped): Spark
+    // 4.1 keys without binary equality (UTF8_LCASE) still hash-
+    // PARTITION — distribution and skew handling survive — but the
+    // join falls back to SortMergeJoin and the aggregate to
+    // SortAggregate; the semantically-equivalent lower() rewrite (the
+    // oracle formulation) keeps BroadcastHashJoin + HashAggregate.
+    // This asymmetry IS the 100-TB advice: collate at the edge,
+    // lower()-rewrite hot join/agg keys.
+    val collPlan = SparkEntry.queries("q151_collated_group_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(collPlan.contains("SortMergeJoin") &&
+           collPlan.contains("SortAggregate"),
+      s"collated keys no longer sort-fallback — re-measure the claim:\n${collPlan.take(800)}")
+    assert(collPlan.contains("Exchange hashpartitioning"),
+      s"collated keys lost hash partitioning:\n${collPlan.take(800)}")
+    assert(!collPlan.contains("HashAggregate") &&
+           !collPlan.contains("BroadcastHashJoin"),
+      s"hash operators appeared on collated keys — Spark upgraded; update T52's cost story:\n${collPlan.take(800)}")
+    // the equivalent lower() rewrite (customer view registered above)
+    val lowPlan = spark.sql(
+      """WITH c AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+        |         ELSE c_mktsegment END AS seg_mixed
+        |  FROM graft_q151_customer),
+        |dim AS (SELECT * FROM VALUES ('building'), ('MACHINERY'),
+        |                             ('Household') AS t(name))
+        |SELECT lower(seg_mixed) AS seg_l,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT seg_mixed) AS BIGINT) AS n_case_variants,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM c JOIN dim ON lower(seg_mixed) = lower(name)
+        |GROUP BY lower(seg_mixed)""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(lowPlan.contains("HashAggregate") &&
+           lowPlan.contains("BroadcastHashJoin") &&
+           !lowPlan.contains("SortMergeJoin"),
+      s"the lower() rewrite lost its hash operators:\n${lowPlan.take(800)}")
+  }
+
   test("q136–q139: correlated subqueries decorrelate to joins, never re-execute per row") {
     // the T42–T44 engine claim: WHERE EXISTS / NOT EXISTS / IN compile
     // to semi/anti joins and a correlated scalar subquery to an
