@@ -1255,6 +1255,42 @@ object RelEntry {
           |GROUP BY seg""".stripMargin)
     }),
 
+    // ---- T53: SQL-language UDFs (CREATE FUNCTION ... RETURN expr) -------
+    "q152_sql_udf" -> ((s, d) => {
+      // the one function-registry surface this repo's "no UDFs" policy
+      // can embrace: Spark 4 SQL scalar UDFs (SPARK-46246) INLINE their
+      // body into the plan at analysis — no black-box eval node, no
+      // codegen break, full Catalyst visibility (pushdown/folding work
+      // through them) — unlike a Scala/Python UDF, which is an opaque
+      // call forever. Registered here: the two house formulas (integer
+      // cents, whole-bit log2) plus a COMPOSED function calling another
+      // SQL UDF — composition must flatten through, the registry
+      // analogue of the native-expression tier's codegen claim.
+      // PlanAuditSpec machine-asserts the property: the aggregate's
+      // expressions contain the inlined bin()/round() bodies and the
+      // plan has no ScalaUDF/Invoke node. Oracle: the same formulas
+      // written out longhand in DuckDB — which is exactly what
+      // "inlined" means semantically.
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(v DOUBLE)
+              |RETURNS BIGINT RETURN CAST(round(v * 100) AS BIGINT)"""
+        .stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_bits(x BIGINT)
+              |RETURNS BIGINT RETURN CAST(length(bin(x)) AS BIGINT)"""
+        .stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
+              |graft_weighted_bits(x BIGINT, w BIGINT)
+              |RETURNS BIGINT RETURN graft_bits(x) * w""".stripMargin)
+      Tables.events(s, d).createOrReplaceTempView("graft_q152_events")
+      s.sql(
+        """SELECT event_type,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(graft_cents(value)) AS BIGINT) AS cents,
+          |  CAST(sum(graft_bits(event_id)) AS BIGINT) AS sum_bits,
+          |  CAST(max(graft_weighted_bits(event_id, 3)) AS BIGINT)
+          |    AS max_wbits
+          |FROM graft_q152_events GROUP BY event_type""".stripMargin)
+    }),
+
     // ---- T48: recursive CTE (iterative in-engine computation) -----------
     "q147_recursive_chain" -> ((s, d) => {
       // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
@@ -1424,6 +1460,17 @@ object RelEntry {
         |    AS cents
         |FROM c JOIN dim ON lower(seg_mixed) = lower(name)
         |GROUP BY lower(seg_mixed)""".stripMargin,
+
+    // q152 mirror: the SQL-UDF bodies written out longhand — which is
+    // exactly what "the registry inlines" means semantically
+    "q152_sql_udf" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(CAST(length(format('{:b}', event_id)) AS BIGINT))
+        |    AS BIGINT) AS sum_bits,
+        |  CAST(max(CAST(length(format('{:b}', event_id)) AS BIGINT) * 3)
+        |    AS BIGINT) AS max_wbits
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // q149 mirror: the wide matrix is rebuilt via FILTER counts with
     // NULLIF(·, 0) — a pivot cell is NULL exactly when no rows of that

@@ -136,6 +136,27 @@ class PlanAuditSpec extends SparkTestBase {
       s"the lower() rewrite lost its hash operators:\n${lowPlan.take(800)}")
   }
 
+  test("q152: SQL UDFs inline into the plan — no black-box eval node") {
+    // the T53 registry claim: CREATE FUNCTION ... RETURN expr bodies
+    // (including a UDF composed of another UDF) must appear INLINED in
+    // the physical plan — bin()/round() visible inside the aggregate —
+    // with no opaque call node (ScalaUDF / Invoke) anywhere; that is
+    // what keeps SQL UDFs inside whole-stage codegen and Catalyst's
+    // reach, unlike a Scala/Python UDF
+    val df = SparkEntry.queries("q152_sql_udf")(spark, sf)
+    df.collect()  // finalize AQE so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bin(") && plan.contains("round("),
+      s"q152's SQL-UDF bodies are not visibly inlined:\n${plan.take(900)}")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Invoke") &&
+           !plan.contains("BatchEvalPython"),
+      s"q152 has an opaque UDF eval node:\n${plan.take(900)}")
+    // whole-stage codegen survives the registry surface: the final
+    // plan's aggregates carry the *(n) codegen-span markers
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(plan).isDefined,
+      s"q152's aggregate fell out of whole-stage codegen:\n${plan.take(900)}")
+  }
+
   test("q136–q139: correlated subqueries decorrelate to joins, never re-execute per row") {
     // the T42–T44 engine claim: WHERE EXISTS / NOT EXISTS / IN compile
     // to semi/anti joins and a correlated scalar subquery to an
