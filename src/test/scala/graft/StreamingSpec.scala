@@ -347,6 +347,113 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.dropTempView("ssoj_test")
   }
 
+  test("stream-stream RIGHT OUTER join: the mirrored leg holds on the LEFT watermark") {
+    // the side-swapped twin of the LEFT OUTER contract: an unmatched
+    // RIGHT row (band l_ts ∈ [r_ts, r_ts + 1h]) cannot null-extend
+    // until the LEFT watermark proves no future left row can reach its
+    // band. Same three pins: matched emits with the batch, unmatched is
+    // held, then emits exactly once with NULL left columns.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val H = 3600L * 1000000000L
+    val lIn = MemoryStream[SessionEvent]
+    val rIn = MemoryStream[SessionEvent]
+    def sideDF(m: MemoryStream[SessionEvent], u: String, t: String) =
+      m.toDF()
+        .withColumn(t, timestamp_micros(expr("ts_nanos div 1000")))
+        .select(col("user_id").as(u), col(t))
+    val lt = sideDF(lIn, "l_user", "l_ts").withWatermark("l_ts", "0 seconds")
+    val rt = sideDF(rIn, "r_user", "r_ts").withWatermark("r_ts", "0 seconds")
+    val joined = lt.join(rt,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
+        col("r_ts") <= col("l_ts"),
+      "right_outer")
+    val q = joined.writeStream.format("memory").queryName("ssroj_test")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("ssroj_test").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(2)))
+    // user 1: right row 30 min before a left row — matched; user 2: a
+    // right row no left ever answers — held
+    lIn.addData(SessionEvent(1L, 10 * H))
+    rIn.addData(SessionEvent(1L, 10 * H - H / 2), SessionEvent(2L, 10 * H))
+    q.processAllAvailable()
+    val mid = rows()
+    assert(mid.contains((Some(1L), 1L)), mid.toSeq)
+    assert(!mid.exists(_._2 == 2L),
+      s"unmatched right row emitted before the left watermark cleared its band: ${mid.toSeq}")
+    // advance BOTH watermarks past user 2's band top (10H + 1h), then
+    // nudge one more batch so the eviction batch runs
+    lIn.addData(SessionEvent(88L, 12 * H))
+    rIn.addData(SessionEvent(99L, 12 * H))
+    q.processAllAvailable()
+    lIn.addData(SessionEvent(88L, 13 * H))
+    rIn.addData(SessionEvent(99L, 13 * H))
+    q.processAllAvailable()
+    q.stop()
+    val fin = rows()
+    assert(fin.count(_ == ((None, 2L))) == 1,
+      s"expected exactly one null-extended row for right user 2: ${fin.toSeq}")
+    spark.catalog.dropTempView("ssroj_test")
+  }
+
+  test("stream-stream FULL OUTER join: both sides null-extend, each on the other's watermark") {
+    // the last leg of the outer matrix: one query must simultaneously
+    // (a) emit matches with the data batch, (b) hold an unmatched LEFT
+    // row until the right watermark clears [l_ts − 1h, l_ts], and (c)
+    // hold an unmatched RIGHT row until the left watermark clears
+    // [r_ts, r_ts + 1h] — then each null-extends exactly once, on its
+    // own side's schedule, sharing the same join state.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val H = 3600L * 1000000000L
+    val lIn = MemoryStream[SessionEvent]
+    val rIn = MemoryStream[SessionEvent]
+    def sideDF(m: MemoryStream[SessionEvent], u: String, t: String) =
+      m.toDF()
+        .withColumn(t, timestamp_micros(expr("ts_nanos div 1000")))
+        .select(col("user_id").as(u), col(t))
+    val lt = sideDF(lIn, "l_user", "l_ts").withWatermark("l_ts", "0 seconds")
+    val rt = sideDF(rIn, "r_user", "r_ts").withWatermark("r_ts", "0 seconds")
+    val joined = lt.join(rt,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR") &&
+        col("r_ts") <= col("l_ts"),
+      "full_outer")
+    val q = joined.writeStream.format("memory").queryName("ssfoj_test")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("ssfoj_test").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // user 1 matched; user 2 left-only; user 3 right-only
+    lIn.addData(SessionEvent(1L, 10 * H), SessionEvent(2L, 10 * H))
+    rIn.addData(SessionEvent(1L, 10 * H - H / 2), SessionEvent(3L, 10 * H))
+    q.processAllAvailable()
+    val mid = rows()
+    assert(mid.contains((Some(1L), Some(1L))), mid.toSeq)
+    assert(!mid.exists(r => r._1 == Some(2L) && r._2.isEmpty),
+      s"left row null-extended prematurely: ${mid.toSeq}")
+    assert(!mid.exists(r => r._1.isEmpty && r._2 == Some(3L)),
+      s"right row null-extended prematurely: ${mid.toSeq}")
+    // user 2's hold clears when the watermark passes 10H (its band
+    // top); user 3's when it passes 11H (= r_ts + 1h) — advancing both
+    // sides to 12H clears both at once, nudge flushes the evictions
+    lIn.addData(SessionEvent(88L, 12 * H))
+    rIn.addData(SessionEvent(99L, 12 * H))
+    q.processAllAvailable()
+    lIn.addData(SessionEvent(88L, 13 * H))
+    rIn.addData(SessionEvent(99L, 13 * H))
+    q.processAllAvailable()
+    q.stop()
+    val fin = rows()
+    assert(fin.count(_ == ((Some(2L), None))) == 1,
+      s"expected exactly one left null-extension for user 2: ${fin.toSeq}")
+    assert(fin.count(_ == ((None, Some(3L)))) == 1,
+      s"expected exactly one right null-extension for user 3: ${fin.toSeq}")
+    spark.catalog.dropTempView("ssfoj_test")
+  }
+
   test("MapState + ListState compose per key across batches (transformWithState)") {
     // the two state KINDS the sessionizers don't exercise: per-user
     // type counts in a MapState (state = |type set|, not history) and a
