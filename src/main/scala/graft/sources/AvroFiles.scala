@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader,
+  GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Avro container-file source/sink (T11's remaining common interchange
+  * format) built directly on the Avro CORE library — the `spark-avro`
+  * module is an external dependency this deployment doesn't carry, and
+  * the container format itself needs only `org.apache.avro` (present as
+  * a Spark transitive). Same discipline as the other formats in
+  * `SourceFormatsSpec`: EXPLICIT schema both ways, never inference.
+  *
+  * Timestamp handling: Spark `TimestampType` maps to Avro
+  * `long` + `timestamp-micros` LOGICAL TYPE — declared in the file
+  * schema (interoperable with any Avro reader), converted at the
+  * engine boundary by Spark expressions (`unix_micros` on write,
+  * `timestamp_micros` on read) so no JVM Date object ever rides the
+  * rows and micro precision survives bit-exact.
+  *
+  * Scale shape: write is one container file per partition through the
+  * Hadoop FileSystem API (cluster-correct: HDFS/S3A resolve by
+  * scheme); read is `binaryFiles` + a streaming decoder per file —
+  * `mapPartitions`-at-the-codec-boundary, the MultimodalOps rule; no
+  * shuffle either way. Files are deflate-compressed (JDK codec — no
+  * native lib dependency). Values map by FIELD NAME, not position, so
+  * a reader schema may project/reorder a writer schema's fields.
+  */
+object AvroFiles {
+
+  private def avroType(dt: DataType): Schema = dt match {
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(
+        Schema.create(Schema.Type.LONG))
+    case other => throw new IllegalArgumentException(
+      s"AvroFiles does not map Spark type $other")
+  }
+
+  /** Avro record schema for a Spark struct (nullable → union[null, T]). */
+  def avroSchema(st: StructType, name: String = "graft_record"): Schema = {
+    val fields = new java.util.ArrayList[Schema.Field]()
+    st.fields.foreach { f =>
+      val base = avroType(f.dataType)
+      val t =
+        if (f.nullable)
+          Schema.createUnion(java.util.Arrays.asList(
+            Schema.create(Schema.Type.NULL), base))
+        else base
+      fields.add(new Schema.Field(f.name, t, null, null.asInstanceOf[AnyRef]))
+    }
+    Schema.createRecord(name, null, "graft", false, fields)
+  }
+
+  /** Write `df` as one Avro container file per partition under `dir`. */
+  def write(df: DataFrame, dir: String): Unit = {
+    val tsCols = df.schema.fields.collect {
+      case f if f.dataType == TimestampType => f.name
+    }
+    // timestamps to micros IN-PLAN; the avro schema (from the ORIGINAL
+    // struct) still declares the logical type over the long
+    val flat = tsCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, unix_micros(col(c))))
+    val schemaJson = avroSchema(df.schema).toString
+    val names = df.schema.fieldNames
+    flat.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val path = new Path(dir, f"part-$idx%05d.avro")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(path, true)
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        w.setCodec(CodecFactory.deflateCodec(6))
+        w.create(schema, out)
+        var n = 0L
+        it.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < names.length) {
+            val v =
+              if (row.isNullAt(i)) null
+              else row.get(i) match {
+                case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+                case x              => x.asInstanceOf[AnyRef]
+              }
+            rec.put(names(i), v)
+            i += 1
+          }
+          w.append(rec)
+          n += 1
+        }
+        w.close()
+        Iterator.single(n)
+      }
+    }.count(): Unit
+  }
+
+  /** Read Avro container files under `dir` with an EXPLICIT Spark
+    * schema; fields resolve by name against each file's writer schema.
+    */
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val interm = StructType(schema.fields.map(f =>
+      if (f.dataType == TimestampType) f.copy(dataType = LongType) else f))
+    val names = schema.fieldNames
+    val rows = spark.sparkContext.binaryFiles(dir + "/part-*.avro")
+      .flatMap { case (_, pds) =>
+        val rdr = new DataFileStream(pds.open(),
+          new GenericDatumReader[GenericRecord]())
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = rdr.hasNext
+            if (!h) rdr.close()
+            h
+          }
+          def next(): Row = {
+            val rec = rdr.next()
+            Row.fromSeq(names.toIndexedSeq.map { n =>
+              rec.get(n) match {
+                case null                               => null
+                case u: org.apache.avro.util.Utf8       => u.toString
+                case b: java.nio.ByteBuffer =>
+                  val a = new Array[Byte](b.remaining()); b.get(a); a
+                case x                                  => x
+              }
+            })
+          }
+        }
+      }
+    val flat = spark.createDataFrame(rows, interm)
+    schema.fields.collect { case f if f.dataType == TimestampType => f.name }
+      .foldLeft(flat)((d, c) => d.withColumn(c, timestamp_micros(col(c))))
+      .select(names.map(col).toIndexedSeq: _*)
+  }
+}

@@ -57,6 +57,40 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(key(back) === key(src) && key(back).nonEmpty)
   }
 
+  test("Avro container round-trip keeps micros + types; logical type declared") {
+    // spark-avro (the external module) isn't deployed here, so the
+    // container format runs through AvroFiles — avro CORE + the Hadoop
+    // FileSystem API; explicit schema both ways like every other format
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
+    val src = sample
+    graft.sources.AvroFiles.write(src, dir)
+    val back = graft.sources.AvroFiles.read(spark, dir, src.schema)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(key(back) === key(src) && key(back).nonEmpty)
+    // the FILE schema declares timestamp-micros — interop contract: any
+    // plain Avro reader sees a logical timestamp, not a bare long
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.toString.endsWith(".avro")).findFirst().get()
+    val rdr = new org.apache.avro.file.DataFileStream(
+      java.nio.file.Files.newInputStream(f),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val tsField = rdr.getSchema.getField("ts").schema()
+    rdr.close()
+    import scala.jdk.CollectionConverters._
+    val nonNull = tsField.getTypes.asScala
+      .find(_.getType != org.apache.avro.Schema.Type.NULL).get
+    assert(nonNull.getLogicalType != null &&
+      nonNull.getLogicalType.getName == "timestamp-micros", tsField.toString)
+    // by-name resolution: a projecting, reordered reader schema works
+    val proj = org.apache.spark.sql.types.StructType(Seq(
+      src.schema("event_type"), src.schema("event_id")))
+    val narrow = graft.sources.AvroFiles.read(spark, dir, proj)
+    assert(narrow.columns.toSeq == Seq("event_type", "event_id"))
+    assert(narrow.count() == src.count())
+  }
+
   test("ORC scan pushes predicates like parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc2").toString
     sample.write.mode("overwrite").orc(dir)
