@@ -527,6 +527,32 @@ class EdgeCaseSpec extends SparkTestBase {
     }
   }
 
+  test("recursive CTE cannot aggregate over the recursive reference (q109's reason to stay a driver loop)") {
+    // SCALING §8p: the categorical answer to "rewrite q109's PageRank
+    // on q147's recursion" — Spark 4.1's UnionLoop rejects aggregates
+    // (and outer-join keep-alives) over the recursive reference, which
+    // is exactly the frontier-MERGE shape PageRank's per-round SUM
+    // needs. If a future Spark lifts this, this test fails and the
+    // driver-loop-vs-engine-recursion measurement reopens.
+    spark.range(2).selectExpr("id AS src", "id + 1 AS dst")
+      .createOrReplaceTempView("ec_rec_edges")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """WITH RECURSIVE pr(id, v, it) AS (
+          |  SELECT src AS id, CAST(1 AS BIGINT) AS v, 0 AS it
+          |  FROM ec_rec_edges
+          |  UNION ALL
+          |  SELECT s.nid, s.s, s.it + 1
+          |  FROM (SELECT e.dst AS nid, sum(p.v) AS s, max(p.it) AS it
+          |        FROM pr p JOIN ec_rec_edges e ON p.id = e.src
+          |        WHERE p.it < 3 GROUP BY e.dst) s)
+          |SELECT * FROM pr""".stripMargin).collect()
+    }
+    assert(e.getCondition != null &&
+      e.getCondition.startsWith("INVALID_RECURSIVE_REFERENCE"),
+      s"expected INVALID_RECURSIVE_REFERENCE, got ${e.getCondition}: ${e.getMessage.take(200)}")
+  }
+
   test("variant: try_* degrade to NULL where strict errors; JSON null != absent") {
     // L67 (q150) contract. Malformed input: try_parse_json degrades to
     // NULL, parse_json raises — the screen-vs-trust pair.
