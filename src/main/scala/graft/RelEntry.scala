@@ -1291,6 +1291,101 @@ object RelEntry {
           |FROM graft_q152_events GROUP BY event_type""".stripMargin)
     }),
 
+    // ---- T54: time-grid gap fill + LOCF (IGNORE NULLS windows) ----------
+    "q153_gapfill_locf" -> ((s, d) => {
+      // the time-series regularization every metrics pipeline runs
+      // before resampling/joining: densify each key's observations onto
+      // a fixed hourly grid (sequence + explode — generation is IN-PLAN
+      // and narrow, never a driver loop), left-join the real
+      // observations, then carry the last observation forward with
+      // last_value(...) IGNORE NULLS over an unbounded-preceding ROWS
+      // frame — the LOCF idiom, and THE place the IGNORE NULLS window
+      // modifier earns its keep (a plain last_value returns the current
+      // row's NULL). Grid starts at each key's own min hour, so slot 1
+      // always holds an observation and locf is total. Output is
+      // per-user slot/observation/mass aggregates — compact,
+      // deterministic, integer-cents. Scale: grid size = keys × span
+      // (bounded by calendar time, not event volume); one keyed
+      // equi-join + ONE window exchange per key; the window state is a
+      // single running value, frame-bounded.
+      Tables.events(s, d).createOrReplaceTempView("graft_q153_events")
+      s.sql(
+        """WITH obs AS (
+          |  SELECT user_id, date_trunc('hour', ts) AS h,
+          |         max(CAST(round(value * 100) AS BIGINT)) AS cents
+          |  FROM graft_q153_events WHERE user_id < 50
+          |  GROUP BY user_id, date_trunc('hour', ts)),
+          |bounds AS (
+          |  SELECT user_id, min(h) AS lo, max(h) AS hi
+          |  FROM obs GROUP BY user_id),
+          |grid AS (
+          |  SELECT user_id, explode(sequence(lo, hi, INTERVAL 1 HOUR)) AS h
+          |  FROM bounds),
+          |filled AS (
+          |  SELECT g.user_id, g.h, o.cents,
+          |    last_value(o.cents) IGNORE NULLS OVER (
+          |      PARTITION BY g.user_id ORDER BY g.h
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS cents_locf
+          |  FROM grid g LEFT JOIN obs o
+          |    ON g.user_id = o.user_id AND g.h = o.h)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_slots,
+          |  CAST(count(cents) AS BIGINT) AS n_obs,
+          |  CAST(sum(cents_locf) AS BIGINT) AS locf_mass,
+          |  CAST(max(cents_locf) AS BIGINT) AS max_cents
+          |FROM filled GROUP BY user_id""".stripMargin)
+    }),
+
+    // ---- T55: ordered string aggregation (listagg WITHIN GROUP) ---------
+    "q154_listagg" -> ((s, d) => {
+      // Spark 4.0's listagg — the report-building aggregate every
+      // warehouse port greps for (string_agg/group_concat elsewhere).
+      // Two facets on one grain: a non-DISTINCT list ordered by a
+      // NUMERIC key that is not the value (suppliers per nation — the
+      // order key freedom), and a DISTINCT list (where SQL requires the
+      // order key to BE the value, pinned here because engines differ
+      // on enforcing it). Determinism discipline: every list is either
+      // unique-keyed or DISTINCT-deduped, so the concatenated string
+      // faces the hash compare; an unordered listagg would be
+      // nondeterministic by construction and never ships. Scale: an
+      // ordered listagg is a sort-based aggregate — per-group state is
+      // the LIST (unbounded by default); capped lists (q113's
+      // WindowGroupLimit) remain the 100-TB form when groups can be
+      // hot.
+      Tables.supplier(s, d).createOrReplaceTempView("graft_q154_supplier")
+      s.sql(
+        """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+          |  listagg(CAST(s_suppkey AS STRING), ',')
+          |    WITHIN GROUP (ORDER BY s_suppkey) AS suppliers,
+          |  listagg(DISTINCT CAST(s_suppkey % 7 AS STRING), ',')
+          |    WITHIN GROUP (ORDER BY CAST(s_suppkey % 7 AS STRING))
+          |    AS mod_classes,
+          |  CAST(count(*) AS BIGINT) AS n_supp
+          |FROM graft_q154_supplier GROUP BY s_nationkey""".stripMargin)
+    }),
+
+    // ---- T56: GROUPING SETS (arbitrary multi-grain aggregation) ---------
+    "q155_grouping_sets" -> ((s, d) => {
+      // the general form q54's CUBE and rollup only sample: an ARBITRARY
+      // set list — here the two single-column grains plus the pair,
+      // deliberately WITHOUT the grand total (the shape cube cannot
+      // express). grouping_id() disambiguates the NULL-as-group-marker
+      // from a genuine NULL key, same discipline as q54. One scan, one
+      // Expand (one input row fans out once per set — the documented
+      // |sets|× shuffle cost shared with q148's multi-DISTINCT), one
+      // aggregate. DuckDB runs near-identical text.
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q155_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  count(*) AS n,
+          |  CAST(grouping_id() AS BIGINT) AS gid
+          |FROM graft_q155_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_returnflag), (l_linestatus))"""
+          .stripMargin)
+    }),
+
     // ---- T48: recursive CTE (iterative in-engine computation) -----------
     "q147_recursive_chain" -> ((s, d) => {
       // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
@@ -1471,6 +1566,59 @@ object RelEntry {
         |  CAST(max(CAST(length(format('{:b}', event_id)) AS BIGINT) * 3)
         |    AS BIGINT) AS max_wbits
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q153 mirror: generate_series + unnest for the grid, IGNORE NULLS
+    // spelled inside the call (DuckDB's placement), same LOCF frame
+    "q153_gapfill_locf" ->
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |         max(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events WHERE user_id < 50
+        |  GROUP BY user_id, date_trunc('hour', ts)),
+        |bounds AS (
+        |  SELECT user_id, min(h) AS lo, max(h) AS hi
+        |  FROM obs GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |    AS h
+        |  FROM bounds),
+        |filled AS (
+        |  SELECT g.user_id, g.h, o.cents,
+        |    last_value(o.cents IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cents_locf
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.h = o.h)
+        |SELECT user_id, count(*) AS n_slots,
+        |  count(cents) AS n_obs,
+        |  CAST(sum(cents_locf) AS BIGINT) AS locf_mass,
+        |  CAST(max(cents_locf) AS BIGINT) AS max_cents
+        |FROM filled GROUP BY user_id""".stripMargin,
+
+    // q154 mirror: string_agg with the ORDER BY inside the aggregate
+    // (DuckDB's spelling of WITHIN GROUP)
+    "q154_listagg" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |  string_agg(CAST(s_suppkey AS VARCHAR), ','
+        |             ORDER BY s_suppkey) AS suppliers,
+        |  string_agg(DISTINCT CAST(s_suppkey % 7 AS VARCHAR), ','
+        |             ORDER BY CAST(s_suppkey % 7 AS VARCHAR))
+        |    AS mod_classes,
+        |  count(*) AS n_supp
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
+
+    // q155 mirror: identical text modulo the view name and DuckDB's
+    // two-argument GROUPING in place of grouping_id()
+    "q155_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))"""
+        .stripMargin,
 
     // q149 mirror: the wide matrix is rebuilt via FILTER counts with
     // NULLIF(·, 0) — a pivot cell is NULL exactly when no rows of that
