@@ -71,4 +71,44 @@ class RuntimeFilterSpec extends SparkTestBase {
         "bloom-filtered join changed the result")
     } finally restore()
   }
+
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    // the partition-level sibling of the bloom filter, and at 100 TB the
+    // bigger lever: when the fact table is HIVE-PARTITIONED on the join
+    // key and the dim side carries a selective predicate, Catalyst
+    // plants a DynamicPruningExpression into the fact scan's
+    // PartitionFilters — the pruned partitions' files are never even
+    // LISTED into tasks, a zero-IO skip no post-scan filter can match.
+    // Static pruning can't do this (the matching keys are only known
+    // after the dim's filter runs); DPP reuses the broadcast exchange to
+    // learn them at runtime.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val ev = core.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    graft.sources.PartitionedSink.writePartitioned(ev, dir, Seq("event_type"))
+    val fact = graft.sources.PartitionedSink.readPartitioned(spark, dir)
+    // dim with a likely-selective (IN) predicate — what
+    // PartitionPruning's hasSelectivePredicate looks for. The dim must
+    // be a REAL source: over a LocalRelation the filter constant-folds
+    // into the local scan at optimization time and the heuristic never
+    // sees a selective Filter node (measured here — no DPP injects)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dppd").toString
+    Seq("click", "purchase", "view", "error", "signup").toDF("t")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+      .filter(col("t").isin("click", "purchase"))
+    val joined = fact.join(dim, fact("event_type") === dim("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val rows = joined.collect().map(_.toSeq).toSet
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan carries no DynamicPruningExpression:\n${plan.take(1500)}")
+    // semantically transparent: equals the static-filter formulation
+    val expect = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type").as("t")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(rows == expect && rows.nonEmpty,
+      s"DPP changed the result: $rows vs $expect")
+  }
 }
