@@ -214,7 +214,35 @@ object ScaleBench {
     // q148: FILTER + multi-distinct — the Expand rewrite triples the
     // pre-shuffle row volume at every m (the documented constant
     // factor); partials still combine map-side per distinct group
-    "q148_agg_modifiers")
+    "q148_agg_modifiers",
+    // r15 additions:
+    // q149: unpivot — users stride so the wide matrix grows m× rows
+    // (types fixed); the transpose Expand is narrow and exchange-free,
+    // so cost must track the upstream pivot aggregate alone
+    "q149_unpivot",
+    // q150: VARIANT extraction — parse-once + narrow typed projections
+    // over an m× event stream; the purest linear-scan member of the
+    // r15 wave (the final 3-group aggregate is fixed-size)
+    "q150_variant_extract",
+    // q151: collated group/join — the MEASURED cost of losing hash
+    // operators: the SortMergeJoin/SortAggregate fallback's sort volume
+    // grows m× (customers stride) while the 3-row dim stays fixed; β
+    // here prices the collate-at-the-edge recommendation
+    "q151_collated_group_join",
+    // q152: SQL UDFs — inlined bodies inside one map-side-combined
+    // aggregate over an m× stream; if inlining ever regressed to an
+    // opaque eval the cell would show it as a constant-factor jump
+    "q152_sql_udf",
+    // q153: gap-fill+LOCF — NOTE user_id < 50 keeps only replica-0
+    // users under the id stride, so like q146 this cell measures
+    // predicate pushdown against an m×-growing file (β ≈ 0 expected);
+    // the unfiltered grid-growth story is horizon-bounded by design
+    // (grid = keys × calendar span, the q123 argument)
+    "q153_gapfill_locf",
+    // q155: GROUPING SETS — the Expand fans each of the m× lineitem
+    // rows out once per set (×3, fixed factor); partials combine
+    // map-side per grain, so β should track the scan
+    "q155_grouping_sets")
 
   private[graft] val IdStride = 1000000L
 

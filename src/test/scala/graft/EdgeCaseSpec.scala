@@ -527,6 +527,42 @@ class EdgeCaseSpec extends SparkTestBase {
     }
   }
 
+  test("overflow tiers: strict throws (ANSI default), try_* NULLs, T41's DECIMAL never hits either") {
+    // the engine's three answers to 64-bit overflow, pinned together:
+    // (1) this session runs Spark 4's ANSI default, so PLAIN Long
+    // arithmetic — scalar and SUM alike — THROWS on overflow (no
+    // silent wrap anywhere in the engine); (2) the try_* family is the
+    // per-expression escape hatch that degrades the same overflow to
+    // NULL (and try_divide absorbs div-by-zero); (3) q134/q135 need
+    // neither, because T41 fixes overflow STRUCTURALLY — partials cast
+    // to DECIMAL(38,0) BEFORE the sum, so the stats stay exact where
+    // try_sum would return NULL and strict would kill the job.
+    import spark.implicits._
+    val df = Seq((Long.MaxValue, 2L, 0L)).toDF("big", "two", "zero")
+    intercept[ArithmeticException] {
+      df.select(expr("big + 1L")).collect()
+    }
+    val r = df.select(
+      expr("try_add(big, 1L)").as("t_add"),
+      expr("try_multiply(big, two)").as("t_mul"),
+      expr("try_divide(two, zero)").as("t_div"),
+      expr("try_add(two, 1L)").as("ok")).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getLong(3) == 3L)
+    val over = Seq(Long.MaxValue, Long.MaxValue).toDF("x")
+    intercept[ArithmeticException] {
+      over.select(expr("sum(x)")).collect()
+    }
+    assert(over.select(expr("try_sum(x)")).head.isNullAt(0),
+      "try_sum did not NULL on overflow")
+    // the T41 tier: the same sum is EXACT through DECIMAL(38,0)
+    val exact = over.select(
+      expr("sum(CAST(x AS DECIMAL(38,0)))").as("s")).head.getDecimal(0)
+    assert(exact.toBigInteger ==
+      java.math.BigInteger.valueOf(Long.MaxValue).multiply(
+        java.math.BigInteger.TWO))
+  }
+
   test("recursive CTE cannot aggregate over the recursive reference (q109's reason to stay a driver loop)") {
     // SCALING §8p: the categorical answer to "rewrite q109's PageRank
     // on q147's recursion" — Spark 4.1's UnionLoop rejects aggregates
