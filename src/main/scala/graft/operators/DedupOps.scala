@@ -446,13 +446,17 @@ object DedupOps {
     // task at sf0.1 (r14 stage probe). Round-robin the narrow input
     // across the session's width first: the explode, the variant
     // hashing, and the broadcast build all parallelize, and at real
-    // dim sizes the downstream v-join's shuffle is unchanged. Only
-    // spread when actually under-partitioned — an input already at (or
-    // above) session width keeps its partitioning, avoiding both a
-    // pointless full shuffle and a width DOWNGRADE (r14 advice).
-    val par = keys.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (keys.rdd.getNumPartitions < par) keys.repartition(par) else keys
+    // dim sizes the downstream v-join's shuffle is unchanged.
+    // UNCONDITIONAL on purpose (r15): the r14-advice guard
+    // (`if (keys.rdd.getNumPartitions < par) ...`) was tried and
+    // MEASURED a 2.0×/1.7× regression on q108/q111 — the input is
+    // dimension-sized by contract and arrives effectively narrow (one
+    // file, or an AQE-coalesced shuffle the pre-execution partition
+    // probe misjudges), so skipping the spread serializes the ×(len+1)
+    // explode again; the spread itself shuffles only a dimension table
+    // and is noise by comparison.
+    val spread = keys.repartition(
+      keys.sparkSession.sparkContext.defaultParallelism)
     val vars = spread.select(col(idCol).as("key_id"), col(nameCol).as("name"))
       .select(col("key_id"), col("name"), explode(expr(
         """transform(sequence(0, length(name)),
