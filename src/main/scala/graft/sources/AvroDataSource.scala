@@ -1,0 +1,206 @@
+package graft.sources
+
+import java.util
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 face of [[AvroFiles]] — `spark.read.format("graft-avro")
+  * .load(dir)` — the connector-API tier the sources family otherwise
+  * only consumes (parquet/ORC/JSON/XML are built-ins; AvroFiles.read is
+  * a driver-composed RDD). Implemented here because a complete engine
+  * must also be EXTENSIBLE at the table level, and DSv2 is the public
+  * surface for that: TableProvider → ScanBuilder → Batch → per-partition
+  * readers producing InternalRow directly.
+  *
+  * What the implementation demonstrates, each load-bearing at scale:
+  * - **Schema inference without a data scan**: the Avro CONTAINER
+  *   declares its writer schema in the file header, so inference reads
+  *   one header (first file), never rows — unlike JSON/CSV inference,
+  *   which is a full pass (the reason SourceFormatsSpec mandates
+  *   explicit schemas there). `timestamp-micros` logical types map back
+  *   to Spark TimestampType.
+  * - **Planning**: one InputPartition per container file (the split
+  *   unit Avro sync markers would refine; file granularity is correct
+  *   and sufficient for the one-file-per-write-partition layout
+  *   AvroFiles.write produces). |files| objects on the driver —
+  *   manifest-sized, the q131 argument.
+  * - **Column pruning** (SupportsPushDownRequiredColumns): the pruned
+  *   schema reaches the reader factory. Avro is ROW-MAJOR, so pruning
+  *   cannot skip IO the way parquet does — it skips per-field
+  *   CONVERSION (Utf8→UTF8String etc.) and shrinks the rows handed to
+  *   Spark; the spec asserts the scan's output really is the pruned
+  *   set (`[event_type]`, not all five columns).
+  * - **InternalRow production**: readers emit catalyst values directly
+  *   (UTF8String, micros long for timestamps) — no Row→encoder hop.
+  *
+  * Registered as `graft-avro` via DataSourceRegister +
+  * META-INF/services.
+  */
+class AvroDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-avro"
+
+  private def dir(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-avro needs a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    AvroDataSource.inferFromFirstFile(dir(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new AvroTable(schema, properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object AvroDataSource {
+  def listFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(p).toSeq
+      .filter((s: FileStatus) => s.isFile &&
+        s.getPath.getName.endsWith(".avro"))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Schema from the FIRST container file's header — no row is read. */
+  private[sources] def inferFromFirstFile(dir: String): StructType = {
+    val files = listFiles(dir)
+    require(files.nonEmpty, s"no .avro files under $dir")
+    val p = new Path(files.head)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val rdr = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+    try sparkType(rdr.getSchema)
+    finally rdr.close()
+  }
+
+  private def nonNull(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val ts = s.getTypes
+      val nn = new util.ArrayList[Schema]()
+      ts.forEach(t => if (t.getType != Schema.Type.NULL) nn.add(t))
+      require(nn.size == 1, s"only union[null, T] supported, got $s")
+      (nn.get(0), ts.size > nn.size)
+    } else (s, false)
+
+  private[sources] def sparkType(record: Schema): StructType = {
+    require(record.getType == Schema.Type.RECORD, s"not a record: $record")
+    val fields = new scala.collection.mutable.ArrayBuffer[StructField]()
+    record.getFields.forEach { f =>
+      val (t, nullable) = nonNull(f.schema())
+      val dt = t.getType match {
+        case Schema.Type.LONG =>
+          if (t.getLogicalType != null &&
+              t.getLogicalType.getName == "timestamp-micros") TimestampType
+          else LongType
+        case Schema.Type.INT     => IntegerType
+        case Schema.Type.DOUBLE  => DoubleType
+        case Schema.Type.FLOAT   => FloatType
+        case Schema.Type.STRING  => StringType
+        case Schema.Type.BOOLEAN => BooleanType
+        case Schema.Type.BYTES   => BinaryType
+        case other => throw new IllegalArgumentException(
+          s"graft-avro does not map Avro type $other (field ${f.name})")
+      }
+      fields += StructField(f.name, dt, nullable)
+    }
+    StructType(fields.toSeq)
+  }
+}
+
+private[sources] class AvroTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-avro `$path`"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(schema, path)
+}
+
+private[sources] class AvroScanBuilder(full: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep OUR field metadata/nullability; honor the engine's field set
+    required = StructType(
+      requiredSchema.fieldNames.flatMap(n => full.find(_.name == n)).toSeq)
+  override def build(): Scan = new AvroScan(required, path)
+}
+
+private[sources] class AvroScan(readSchema: StructType, path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = readSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-avro $path ${readSchema.fieldNames.mkString("[", ",", "]")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    AvroDataSource.listFiles(path).map(AvroFilePartition(_): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroPartitionReaderFactory(readSchema)
+}
+
+private[sources] case class AvroFilePartition(file: String)
+    extends InputPartition
+
+private[sources] class AvroPartitionReaderFactory(readSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[AvroFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val p = new Path(file)
+      private val in =
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+      private val rdr =
+        new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+      private val names = readSchema.fieldNames
+      private val types = readSchema.fields.map(_.dataType)
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (rdr.hasNext) { row = convert(rdr.next()); true } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = rdr.close()
+      private def convert(rec: GenericRecord): InternalRow = {
+        val vals = new Array[Any](names.length)
+        var i = 0
+        while (i < names.length) {
+          // by-name resolution; only REQUIRED fields convert — pruning
+          // skips the per-field work a row-major container can't skip
+          // at the IO level
+          val v = rec.get(names(i))
+          vals(i) =
+            if (v == null) null
+            else types(i) match {
+              case StringType => UTF8String.fromString(v.toString)
+              case TimestampType => v.asInstanceOf[java.lang.Long].longValue()
+              case BinaryType =>
+                val b = v.asInstanceOf[java.nio.ByteBuffer]
+                val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+              case _ => v
+            }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+    }
+  }
+}

@@ -91,6 +91,38 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(narrow.count() == src.count())
   }
 
+  test("graft-avro DSv2: header-only inference, pruned scan, rows match the RDD reader") {
+    // the connector-API face of AvroFiles: format("graft-avro") resolves
+    // through DataSourceRegister, infers the schema from ONE container
+    // header (no row read — unlike JSON/CSV inference's full pass), and
+    // its ScanBuilder receives Catalyst's column pruning
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro2").toString
+    val src = sample
+    graft.sources.AvroFiles.write(src, dir)
+    val v2 = spark.read.format("graft-avro").load(dir)
+    // inferred schema round-trips types incl. timestamp-micros
+    assert(v2.schema.map(f => (f.name, f.dataType)) ===
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(key(v2) === key(src) && key(v2).nonEmpty)
+    // pruning reaches the scan: a two-column projection's BatchScan must
+    // output exactly those columns (row-major Avro can't skip IO, but
+    // the pruned schema skips per-field conversion — the description
+    // carries the field list)
+    val narrow = v2.select(col("event_type"), col("user_id"))
+    narrow.collect()
+    val scan = narrow.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("graft-avro") &&
+      scan.contains("event_type") && scan.contains("user_id"),
+      s"pruned schema did not reach the scan:\n$scan")
+    assert(!scan.contains("event_id") && !scan.contains("value") &&
+      !scan.contains("ts"),
+      s"unpruned column leaked into the scan:\n$scan")
+    // one partition per container file — the planning contract
+    assert(v2.rdd.getNumPartitions ==
+      graft.sources.AvroDataSource.listFiles(dir).size)
+  }
+
   test("ORC scan pushes predicates like parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc2").toString
     sample.write.mode("overwrite").orc(dir)
