@@ -8,12 +8,15 @@ import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead,
+  SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -127,13 +130,136 @@ object AvroDataSource {
 }
 
 private[sources] class AvroTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-avro `$path`"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(schema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(info.schema(), path)
+}
+
+/** Write path: the DSv2 commit protocol done properly, because THIS is
+  * what a 1000-executor writer actually needs — task isolation under
+  * retries and speculation. Each task writes an invisible
+  * `.part-<partition>-<task>.avro.inprogress` file; `commit()` on the
+  * task returns its (temp, final) pair as the WriterCommitMessage and
+  * the DRIVER finalizes: job commit renames every committed temp to
+  * its final name (|files| renames — manifest-sized) and, under
+  * truncate (SaveMode.Overwrite), deletes the pre-existing container
+  * files it recorded at build time. A failed/aborted job renames
+  * nothing, so readers never observe a half-written table; Spark's
+  * commit coordinator guarantees one committing attempt per partition.
+  */
+private[sources] class AvroWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new AvroBatchWrite(AvroFiles.avroSchema(schema).toString,
+        schema, path, doTruncate)
+  }
+}
+
+private[sources] case class AvroCommitMessage(temp: String, fin: String)
+    extends WriterCommitMessage
+
+private[sources] class AvroBatchWrite(schemaJson: String,
+    schema: StructType, path: String, truncate: Boolean) extends BatchWrite {
+  // recorded on the DRIVER at build time: the files truncate replaces
+  private val preExisting: Seq[String] =
+    if (truncate) scala.util.Try(AvroDataSource.listFiles(path))
+      .getOrElse(Nil)
+    else Nil
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AvroWriterFactory(schemaJson, schema, path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new Path(path).getFileSystem(conf)
+    val committed = messages.collect {
+      case AvroCommitMessage(t, f) if t.nonEmpty =>
+        val ok = fs.rename(new Path(t), new Path(f))
+        require(ok, s"graft-avro commit: rename $t -> $f failed")
+        f
+    }.toSet
+    preExisting.filterNot(committed).foreach(f =>
+      fs.delete(new Path(f), false))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    messages.foreach {
+      case AvroCommitMessage(t, _) if t != null && t.nonEmpty =>
+        fs.delete(new Path(t), false); ()
+      case _ => ()
+    }
+  }
+}
+
+private[sources] class AvroWriterFactory(schemaJson: String,
+    schema: StructType, dir: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      import org.apache.avro.file.{CodecFactory, DataFileWriter}
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+      private val temp =
+        new Path(dir, f".part-$partitionId%05d-$taskId.avro.inprogress")
+      private val fin = new Path(dir, f"part-$partitionId%05d-$taskId.avro")
+      private val avro = new Schema.Parser().parse(schemaJson)
+      private val names = schema.fieldNames
+      private val types = schema.fields.map(_.dataType)
+      private var w: DataFileWriter[GenericRecord] = _
+      private def writer(): DataFileWriter[GenericRecord] = {
+        if (w == null) {  // lazy: an empty partition leaves no file
+          val fs = temp.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avro))
+          w.setCodec(CodecFactory.deflateCodec(6))
+          w.create(avro, fs.create(temp, true))
+        }
+        w
+      }
+      override def write(row: InternalRow): Unit = {
+        val rec = new GenericData.Record(avro)
+        var i = 0
+        while (i < names.length) {
+          val v: AnyRef =
+            if (row.isNullAt(i)) null
+            else types(i) match {
+              case StringType    => row.getUTF8String(i).toString
+              case TimestampType => java.lang.Long.valueOf(row.getLong(i))
+              case LongType      => java.lang.Long.valueOf(row.getLong(i))
+              case IntegerType   => java.lang.Integer.valueOf(row.getInt(i))
+              case DoubleType    => java.lang.Double.valueOf(row.getDouble(i))
+              case FloatType     => java.lang.Float.valueOf(row.getFloat(i))
+              case BooleanType   => java.lang.Boolean.valueOf(row.getBoolean(i))
+              case BinaryType    => java.nio.ByteBuffer.wrap(row.getBinary(i))
+              case other => throw new IllegalArgumentException(
+                s"graft-avro cannot write $other")
+            }
+          rec.put(names(i), v)
+          i += 1
+        }
+        writer().append(rec); ()
+      }
+      override def commit(): WriterCommitMessage =
+        if (w == null) AvroCommitMessage("", "")
+        else { w.close(); AvroCommitMessage(temp.toString, fin.toString) }
+      override def abort(): Unit = {
+        if (w != null) scala.util.Try(w.close())
+        val fs = temp.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        fs.delete(temp, false); ()
+      }
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class AvroScanBuilder(full: StructType, path: String)

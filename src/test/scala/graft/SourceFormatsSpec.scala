@@ -123,6 +123,36 @@ class SourceFormatsSpec extends SparkTestBase {
       graft.sources.AvroDataSource.listFiles(dir).size)
   }
 
+  test("graft-avro DSv2 write: commit protocol — overwrite replaces, append adds, temps invisible") {
+    // the write half of the V2 face: tasks write dot-prefixed
+    // .inprogress temps, the DRIVER renames on job commit (and under
+    // truncate deletes the files it replaces) — so a reader never sees
+    // a half-written table and SaveMode semantics hold exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_w").toString
+    val src = sample
+    src.write.format("graft-avro").mode("overwrite").save(dir)
+    val back1 = spark.read.format("graft-avro").load(dir)
+    assert(key(back1) === key(src) && key(back1).nonEmpty)
+    // no temp debris after commit
+    import scala.jdk.CollectionConverters._
+    def entries() = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).toList
+    // visible files are all containers; no .inprogress debris anywhere
+    // (dot-prefixed .crc sidecars are the local ChecksumFileSystem's —
+    // hidden by convention, absent on HDFS/S3A)
+    assert(entries().filterNot(_.startsWith("."))
+      .forall(_.endsWith(".avro")), entries().toString)
+    assert(entries().forall(!_.contains("inprogress")), entries().toString)
+    // overwrite replaces (same count), append doubles
+    src.write.format("graft-avro").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() == src.count())
+    src.write.format("graft-avro").mode("append").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() == 2 * src.count())
+    // interop both directions: the RDD reader consumes V2-written files
+    val viaRdd = graft.sources.AvroFiles.read(spark, dir, src.schema)
+    assert(viaRdd.count() == 2 * src.count())
+  }
+
   test("ORC scan pushes predicates like parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc2").toString
     sample.write.mode("overwrite").orc(dir)
