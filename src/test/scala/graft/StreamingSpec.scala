@@ -454,6 +454,45 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.dropTempView("ssfoj_test")
   }
 
+  test("idempotentBatchWrite: a re-delivered batch replaces its own output, never duplicates") {
+    // the exactly-once sink contract: checkpoint replay (the engine's
+    // half) re-delivers batches the sink may have already written, so
+    // the sink's half is per-batchId idempotence — dynamic partition
+    // overwrite keyed on batch_id. Pinned by doing exactly what a
+    // post-failure replay does: write the same batchId twice.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_eo").toString
+    val in = MemoryStream[SessionEvent]
+    val q = in.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventStreams.idempotentBatchWrite(b, id, dir)
+      }
+      .start()
+    in.addData(SessionEvent(1L, 100L), SessionEvent(2L, 200L))
+    q.processAllAvailable()
+    in.addData(SessionEvent(3L, 300L))
+    q.processAllAvailable()
+    q.stop()
+    def sink() = spark.read.parquet(dir)
+      .select(col("user_id"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val afterRun = sink()
+    assert(afterRun.map(_._1).sorted == Seq(1L, 2L, 3L), afterRun.toString)
+    val lastBatch = afterRun.map(_._2).max
+    // simulate the replay: re-deliver the LAST batch verbatim
+    val replayRows = spark.read.parquet(dir)
+      .filter(col("batch_id") === lastBatch).drop("batch_id")
+    EventStreams.idempotentBatchWrite(replayRows, lastBatch, dir)
+    assert(sink() == afterRun,
+      s"replayed batch changed the sink: ${sink()} vs $afterRun")
+    // and the granularity claim: replay touched ONLY its own partition
+    // (other batches' rows survive byte-identical through the rewrite)
+    val otherBatches = afterRun.filter(_._2 != lastBatch)
+    assert(sink().filter(_._2 != lastBatch) == otherBatches)
+  }
+
   test("MapState + ListState compose per key across batches (transformWithState)") {
     // the two state KINDS the sessionizers don't exercise: per-user
     // type counts in a MapState (state = |type set|, not history) and a
