@@ -17,7 +17,10 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.SupportsPushDownFilters
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
+  GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan,
+  LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -263,33 +266,103 @@ private[sources] class AvroWriterFactory(schemaJson: String,
 }
 
 private[sources] class AvroScanBuilder(full: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep OUR field metadata/nullability; honor the engine's field set
     required = StructType(
       requiredSchema.fieldNames.flatMap(n => full.find(_.name == n)).toSeq)
-  override def build(): Scan = new AvroScan(required, path)
+
+  // Accept the comparison/null filters we can evaluate EXACTLY against
+  // the decoded record (primitive columns only — timestamp filters
+  // carry engine-side temporal values and stay with Spark). Returning
+  // only the rejected filters tells Catalyst the accepted ones need NO
+  // post-scan re-evaluation, so the Filter node disappears — the
+  // reader's evaluation is authoritative, and the spec holds it to
+  // that (row-major Avro still decodes every record; what pushdown
+  // saves is per-field conversion + the row hand-off for dropped rows).
+  private def supported(f: Filter): Boolean = {
+    def prim(a: String) = full.find(_.name == a).exists(_.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType | StringType |
+           BooleanType => true
+      case _ => false
+    })
+    f match {
+      case EqualTo(a, _)            => prim(a)
+      case GreaterThan(a, _)        => prim(a)
+      case GreaterThanOrEqual(a, _) => prim(a)
+      case LessThan(a, _)           => prim(a)
+      case LessThanOrEqual(a, _)    => prim(a)
+      case IsNull(a)                => full.exists(_.name == a)
+      case IsNotNull(a)             => full.exists(_.name == a)
+      case _                        => false
+    }
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(supported)
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new AvroScan(required, path, pushed)
 }
 
-private[sources] class AvroScan(readSchema: StructType, path: String)
-    extends Scan with Batch {
+private[sources] object AvroFilterEval {
+  private def norm(x: AnyRef): AnyRef = x match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case o                            => o
+  }
+  private def cmp(a: AnyRef, b: Any): Option[Int] = (norm(a), b) match {
+    case (x: java.lang.Long, y: Long)       => Some(x.compareTo(y))
+    case (x: java.lang.Integer, y: Int)     => Some(x.compareTo(y))
+    case (x: java.lang.Double, y: Double)   => Some(x.compareTo(y))
+    case (x: java.lang.Float, y: Float)     => Some(x.compareTo(y))
+    case (x: String, y: String)             => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: Boolean) => Some(x.compareTo(y))
+    case _                                  => None
+  }
+  /** SQL semantics: a comparison against NULL (or an unexpected type
+    * pairing) is not-true → the row is dropped by that predicate.
+    */
+  def eval(f: Filter, rec: GenericRecord): Boolean = f match {
+    case IsNull(a)    => rec.get(a) == null
+    case IsNotNull(a) => rec.get(a) != null
+    case EqualTo(a, v) =>
+      rec.get(a) != null && cmp(rec.get(a), v).contains(0)
+    case GreaterThan(a, v) =>
+      rec.get(a) != null && cmp(rec.get(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) =>
+      rec.get(a) != null && cmp(rec.get(a), v).exists(_ >= 0)
+    case LessThan(a, v) =>
+      rec.get(a) != null && cmp(rec.get(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) =>
+      rec.get(a) != null && cmp(rec.get(a), v).exists(_ <= 0)
+    case _ => true
+  }
+}
+
+private[sources] class AvroScan(readSchema: StructType, path: String,
+    filters: Array[Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-avro $path ${readSchema.fieldNames.mkString("[", ",", "]")}"
+    s"graft-avro $path ${readSchema.fieldNames.mkString("[", ",", "]")}" +
+      (if (filters.isEmpty) ""
+       else filters.mkString(" PushedFilters: [", ", ", "]"))
   override def planInputPartitions(): Array[InputPartition] =
     AvroDataSource.listFiles(path).map(AvroFilePartition(_): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroPartitionReaderFactory(readSchema)
+    new AvroPartitionReaderFactory(readSchema, filters)
 }
 
 private[sources] case class AvroFilePartition(file: String)
     extends InputPartition
 
-private[sources] class AvroPartitionReaderFactory(readSchema: StructType)
-    extends PartitionReaderFactory {
+private[sources] class AvroPartitionReaderFactory(readSchema: StructType,
+    filters: Array[Filter] = Array.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[AvroFilePartition].file
     new PartitionReader[InternalRow] {
@@ -301,8 +374,17 @@ private[sources] class AvroPartitionReaderFactory(readSchema: StructType)
       private val names = readSchema.fieldNames
       private val types = readSchema.fields.map(_.dataType)
       private var row: InternalRow = _
-      override def next(): Boolean =
-        if (rdr.hasNext) { row = convert(rdr.next()); true } else false
+      override def next(): Boolean = {
+        // evaluate pushed filters on the RAW record, before any
+        // conversion: dropped rows never materialize
+        while (rdr.hasNext) {
+          val rec = rdr.next()
+          if (filters.forall(AvroFilterEval.eval(_, rec))) {
+            row = convert(rec); return true
+          }
+        }
+        false
+      }
       override def get(): InternalRow = row
       override def close(): Unit = rdr.close()
       private def convert(rec: GenericRecord): InternalRow = {

@@ -123,6 +123,44 @@ class SourceFormatsSpec extends SparkTestBase {
       graft.sources.AvroDataSource.listFiles(dir).size)
   }
 
+  test("graft-avro DSv2 filter pushdown: accepted predicates vanish from the plan, rows exact") {
+    // SupportsPushDownFilters with AUTHORITATIVE evaluation: the
+    // builder keeps comparison/null filters on primitive columns and
+    // returns only the rest, so Catalyst plans NO post-scan Filter for
+    // them — the reader drops rows against the raw record before any
+    // conversion. Exactness is therefore load-bearing (nothing
+    // re-checks), which is exactly what this test holds it to.
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_f").toString
+    val src = sample
+    graft.sources.AvroFiles.write(src, dir)
+    val v2 = spark.read.format("graft-avro").load(dir)
+      .filter(col("user_id") < 50 && col("event_type") === "click")
+    val got = key(v2)
+    val want = key(src.filter(col("user_id") < 50 &&
+      col("event_type") === "click"))
+    assert(got === want && got.nonEmpty)
+    // the predicate really moved into the scan: no FilterExec survives
+    // (IsNotNull legs included — all accepted), and the scan
+    // description advertises the pushed set
+    val plan = v2.queryExecution.executedPlan
+    assert(!plan.toString.contains("Filter ("),
+      s"post-scan Filter survived pushdown:\n${plan.toString.take(800)}")
+    assert(plan.toString.contains("PushedFilters: ["),
+      s"scan does not advertise pushed filters:\n${plan.toString.take(800)}")
+    // boundary semantics: a comparison against NULL drops the row (SQL
+    // not-true), IsNull keeps exactly the null rows
+    import spark.implicits._
+    val ndir = java.nio.file.Files.createTempDirectory("graft_avro_n").toString
+    graft.sources.AvroFiles.write(
+      Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+        .toDF("id", "s"), ndir)
+    val nv2 = spark.read.format("graft-avro").load(ndir)
+    assert(nv2.filter(col("s") > "a").collect().map(_.getLong(0)).toSeq
+      == Seq(3L))
+    assert(nv2.filter(col("s").isNull).collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+  }
+
   test("graft-avro DSv2 write: commit protocol — overwrite replaces, append adds, temps invisible") {
     // the write half of the V2 face: tasks write dot-prefixed
     // .inprogress temps, the DRIVER renames on job commit (and under
