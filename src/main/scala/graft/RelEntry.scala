@@ -1386,6 +1386,43 @@ object RelEntry {
           .stripMargin)
     }),
 
+    // ---- T58: median + deterministic mode (order-statistic aggregates) --
+    "q156_median_mode" -> ((s, d) => {
+      // the two order-statistic aggregates the T-family still lacked.
+      // median: Spark's and DuckDB's interpolate identically (mean of
+      // the two middles on even counts), and over INTEGER CENTS that
+      // mean is a single exact IEEE operation — so a double faces the
+      // hash compare safely (the q134 discipline). mode: the native
+      // mode() is NONDETERMINISTIC under ties in both engines, so it
+      // never ships; the deterministic spelling is counts + min_by over
+      // a composite ordering (maximize cnt, tie → smallest user_id) ≡
+      // DuckDB's row_number formulation — the [[spark-graft-oracle-
+      // tricks]] tie-order pattern, here AS the operator. Scale: counts
+      // are one map-side-combined aggregate; the arg-min another; the
+      // join is |event_type|-row broadcast; median's sort is the honest
+      // cost (exact order statistics need the value multiset — the
+      // sketch tier (q130) is the 100-TB alternative when ±ε is
+      // acceptable).
+      Tables.events(s, d).createOrReplaceTempView("graft_q156_events")
+      s.sql(
+        """WITH cents AS (
+          |  SELECT event_type, user_id,
+          |         CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM graft_q156_events),
+          |counts AS (
+          |  SELECT event_type, user_id, count(*) AS cnt
+          |  FROM cents GROUP BY event_type, user_id),
+          |md AS (
+          |  SELECT event_type,
+          |    min_by(named_struct('u', user_id, 'c', cnt),
+          |           named_struct('nc', -cnt, 'u', user_id)) AS m
+          |  FROM counts GROUP BY event_type)
+          |SELECT c.event_type, median(c.c) AS med_cents,
+          |  md.m.u AS mode_user, md.m.c AS mode_cnt
+          |FROM cents c JOIN md ON c.event_type = md.event_type
+          |GROUP BY c.event_type, md.m.u, md.m.c""".stripMargin)
+    }),
+
     // ---- T48: recursive CTE (iterative in-engine computation) -----------
     "q147_recursive_chain" -> ((s, d) => {
       // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
@@ -1566,6 +1603,27 @@ object RelEntry {
         |  CAST(max(CAST(length(format('{:b}', event_id)) AS BIGINT) * 3)
         |    AS BIGINT) AS max_wbits
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q156 mirror: same counts, the arg-min spelled as row_number (the
+    // tie-order equivalence), same interpolating median
+    "q156_median_mode" ->
+      """WITH cents AS (
+        |  SELECT event_type, user_id,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |counts AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM cents GROUP BY event_type, user_id),
+        |md AS (
+        |  SELECT event_type, user_id AS mode_user, cnt AS mode_cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cnt DESC, user_id) AS rn
+        |  FROM counts)
+        |SELECT c.event_type, median(c.c) AS med_cents,
+        |  md.mode_user, CAST(md.mode_cnt AS BIGINT) AS mode_cnt
+        |FROM cents c JOIN md
+        |  ON c.event_type = md.event_type AND md.rn = 1
+        |GROUP BY c.event_type, md.mode_user, md.mode_cnt""".stripMargin,
 
     // q153 mirror: generate_series + unnest for the grid, IGNORE NULLS
     // spelled inside the call (DuckDB's placement), same LOCF frame
