@@ -1423,6 +1423,67 @@ object RelEntry {
           |GROUP BY c.event_type, md.m.u, md.m.c""".stripMargin)
     }),
 
+    // ---- T59: bag-semantics set operations (INTERSECT/EXCEPT ALL) -------
+    "q157_bag_setops" -> ((s, d) => {
+      // q25/q26 pin the DISTINCT set ops; these are their BAG twins,
+      // and multiplicity is the entire claim: INTERSECT ALL keeps
+      // min(m, n) copies of each row, EXCEPT ALL max(0, m − n) — the
+      // semantics a dedup-accounting or diff query actually needs
+      // (DISTINCT set ops silently collapse counts; porting users hit
+      // the difference on day one). Counting per type makes the
+      // multiplicities face the hash compare; identical SQL text runs
+      // in DuckDB. Scale: both rewrite to a count-per-side aggregate +
+      // generate (Spark: aggregate + replication via sum/sequence
+      // under the hood) — one shuffle per side on the row value, no
+      // pairwise join.
+      Tables.events(s, d).createOrReplaceTempView("graft_q157_events")
+      s.sql(
+        """SELECT 'ia' AS op, event_type, CAST(count(*) AS BIGINT) AS n
+          |FROM (SELECT event_type FROM graft_q157_events WHERE value > 150
+          |      INTERSECT ALL
+          |      SELECT event_type FROM graft_q157_events WHERE user_id < 500)
+          |GROUP BY event_type
+          |UNION ALL
+          |SELECT 'ea' AS op, event_type, CAST(count(*) AS BIGINT) AS n
+          |FROM (SELECT event_type FROM graft_q157_events WHERE value > 150
+          |      EXCEPT ALL
+          |      SELECT event_type FROM graft_q157_events WHERE user_id < 500)
+          |GROUP BY event_type""".stripMargin)
+    }),
+
+    // ---- T60: NULL ordering + OFFSET pagination --------------------------
+    "q158_nulls_offset_page" -> ((s, d) => {
+      // two porting traps in one query. (1) NULL placement: Spark's
+      // ascending default is NULLS FIRST, DuckDB's is NULLS LAST — the
+      // SAME unannotated ORDER BY returns different pages, so portable
+      // SQL must say it explicitly; both explicit legs are pinned here
+      // cross-engine. (2) OFFSET pagination: deterministic ONLY over a
+      // total order (the unique event_id tiebreak), and the scale
+      // story is the anti-pattern itself — OFFSET n discards n sorted
+      // rows AFTER the global sort, so page depth costs O(offset +
+      // limit) every page; at 100 TB the scalable form is KEYSET
+      // pagination (WHERE (score, id) > (last_score, last_id) ORDER BY
+      // ... LIMIT k — an indexable/skippable predicate, constant per
+      // page). This query ships the portable spelling and documents
+      // the trade; the engine cost is visible in the plan (global Sort
+      // + GlobalLimit with offset, single-stream cut).
+      Tables.events(s, d).createOrReplaceTempView("graft_q158_events")
+      s.sql(
+        """WITH t AS (
+          |  SELECT event_id,
+          |    CASE WHEN event_id % 7 = 0 THEN NULL
+          |         ELSE CAST(round(value * 100) AS BIGINT) END AS score
+          |  FROM graft_q158_events WHERE event_id < 2000)
+          |SELECT 'nf' AS leg, event_id, score FROM (
+          |  SELECT event_id, score FROM t
+          |  ORDER BY score ASC NULLS FIRST, event_id LIMIT 40 OFFSET 80)
+          |UNION ALL
+          |SELECT 'nl' AS leg, event_id, score FROM (
+          |  SELECT event_id, score FROM t
+          |  ORDER BY score ASC NULLS LAST, event_id LIMIT 40 OFFSET 80)"""
+          .stripMargin)
+    }),
+
     // ---- T48: recursive CTE (iterative in-engine computation) -----------
     "q147_recursive_chain" -> ((s, d) => {
       // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
@@ -1603,6 +1664,38 @@ object RelEntry {
         |  CAST(max(CAST(length(format('{:b}', event_id)) AS BIGINT) * 3)
         |    AS BIGINT) AS max_wbits
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q157 mirror: identical text modulo the view name
+    "q157_bag_setops" ->
+      """SELECT 'ia' AS op, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT event_type FROM events WHERE value > 150
+        |      INTERSECT ALL
+        |      SELECT event_type FROM events WHERE user_id < 500)
+        |GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ea' AS op, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT event_type FROM events WHERE value > 150
+        |      EXCEPT ALL
+        |      SELECT event_type FROM events WHERE user_id < 500)
+        |GROUP BY event_type""".stripMargin,
+
+    // q158 mirror: identical text — which is the point: only the
+    // EXPLICIT NULLS FIRST/LAST spelling is portable (the engines'
+    // unannotated ascending defaults differ)
+    "q158_nulls_offset_page" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE CAST(round(value * 100) AS BIGINT) END AS score
+        |  FROM events WHERE event_id < 2000)
+        |SELECT 'nf' AS leg, event_id, score FROM (
+        |  SELECT event_id, score FROM t
+        |  ORDER BY score ASC NULLS FIRST, event_id LIMIT 40 OFFSET 80)
+        |UNION ALL
+        |SELECT 'nl' AS leg, event_id, score FROM (
+        |  SELECT event_id, score FROM t
+        |  ORDER BY score ASC NULLS LAST, event_id LIMIT 40 OFFSET 80)"""
+        .stripMargin,
 
     // q156 mirror: same counts, the arg-min spelled as row_number (the
     // tie-order equivalence), same interpolating median

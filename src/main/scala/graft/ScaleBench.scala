@@ -242,7 +242,22 @@ object ScaleBench {
     // q155: GROUPING SETS — the Expand fans each of the m× lineitem
     // rows out once per set (×3, fixed factor); partials combine
     // map-side per grain, so β should track the scan
-    "q155_grouping_sets")
+    "q155_grouping_sets",
+    // q156: median + deterministic mode — counts and arg-min are
+    // map-side-combined; median's exact order statistic needs the
+    // value multiset, so β should track the per-group sort volume (the
+    // honest exact-tier cost q130's histograms avoid)
+    "q156_median_mode",
+    // q157: bag set ops — both sides' value-shuffles grow m× (events
+    // replicate), multiplicities per type grow m×; the count-per-side
+    // rewrite keeps it one aggregate per side, β ~ scan
+    "q157_bag_setops",
+    // q158: NOTE event_id < 2000 keeps only replica-0 rows under the
+    // id stride — like q146/q153 this cell measures filter pushdown
+    // against an m×-growing file (β ≈ 0 expected); the OFFSET
+    // anti-pattern's depth cost is documented in the query, not
+    // measurable under a fixed page
+    "q158_nulls_offset_page")
 
   private[graft] val IdStride = 1000000L
 
