@@ -1005,7 +1005,7 @@ object LlmEntry {
       // pattern, same as Spark's scalar-subquery runtime join filters
       val bloom = bench
         .agg(expr(s"bloom_build(h, ${BloomExpected}L, ${BloomFpp}d)"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val suspects = sh.filter(!isBench)
         .filter(size(filter(col("sh"),
           x => call_function("bloom_might_contain", lit(bloom), x)))
@@ -2516,7 +2516,7 @@ object LlmEntry {
       .persist(lvl)
     val bloom = bench
       .agg(expr(s"bloom_build(h, ${BloomExpected}L, ${BloomFpp}d)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     // A3 count-as-materializer, stage by stage: the accounting DAG fans
     // 8 branches into these caches CONCURRENTLY, and a branch that
     // reaches a not-yet-materialized InMemoryRelation computes its

@@ -374,7 +374,7 @@ object DedupOps {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(col("src"), min(col("dst"))).as("label")).persist(lvl)
     def labelSum(df: DataFrame): Long =  // null-safe: empty graph → 0
-      Option(df.agg(sum(col("label"))).head.get(0))
+      Option(df.agg(sum(col("label"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = labelSum(labels)
     var it = 0

@@ -196,7 +196,7 @@ object PartitionedSink {
     val scoped = base.join(broadcast(touched), partitionCols, "left_semi")
     val survivors = scoped.join(
       updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val out = survivors.unionByName(updates.select(base.columns.map(col): _*))
+    val out = survivors.unionByName(updates.select(base.columns.toIndexedSeq.map(col): _*))
       .localCheckpoint(true)
     out.repartition(partitionCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
