@@ -454,6 +454,56 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.dropTempView("ssfoj_test")
   }
 
+  test("restart from checkpoint: offsets and state survive a stop/start cycle") {
+    // the lifecycle half of the exactly-once story (idempotentBatchWrite
+    // owns the sink half): a stateful query stopped and RESTARTED on the
+    // same checkpoint must (a) not reprocess already-committed input —
+    // the file source's offset log records consumed files — and (b)
+    // resume its aggregation STATE, not recompute from scratch. One
+    // assertion pins both: user 1 gets v=10 before the restart and v=7
+    // after; a correct resume reports s=17/n=2 (state restored, batch 1
+    // not replayed), while a replay would show n=3 and a state loss
+    // s=7/n=1. Update-mode memory sink after restart holds only keys
+    // TOUCHED since the restart — user 2 (pre-restart only) must be
+    // absent, which is itself the Update-contract worth pinning.
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_loc")
+    def addFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(srcDir.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    // memory sink refuses checkpoint recovery (pinned by the engine
+    // itself); foreachBatch is the recoverable sink — capture per
+    // run-phase so pre- and post-restart emissions stay separable
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Long, Long, Long)]()
+    def startQ(phase: Int) = spark.readStream
+      .schema("user_id LONG, v LONG")
+      .json(srcDir.toString)
+      .groupBy(col("user_id"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          got.add((phase, r.getLong(0), r.getLong(1), r.getLong(2)))); ()
+      }
+      .start()
+    addFile("b1.json", """{"user_id":1,"v":10}""", """{"user_id":2,"v":5}""")
+    val q1 = startQ(1); q1.processAllAvailable(); q1.stop()
+    addFile("b2.json", """{"user_id":1,"v":7}""")
+    val q2 = startQ(2); q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    val pre = got.asScala.filter(_._1 == 1).map(t => t._2 -> ((t._3, t._4))).toMap
+    val post = got.asScala.filter(_._1 == 2).map(t => t._2 -> ((t._3, t._4))).toMap
+    assert(pre.get(1L).contains((10L, 1L)) && pre.get(2L).contains((5L, 1L)),
+      s"pre-restart batch wrong: $pre")
+    assert(post.get(1L).contains((17L, 2L)),
+      s"state not resumed or input replayed: $post")
+    assert(!post.contains(2L),
+      s"untouched key leaked into the post-restart Update emission: $post")
+  }
+
   test("idempotentBatchWrite: a re-delivered batch replaces its own output, never duplicates") {
     // the exactly-once sink contract: checkpoint replay (the engine's
     // half) re-delivers batches the sink may have already written, so
