@@ -111,6 +111,12 @@ object AvroFiles {
     * schema; fields resolve by name against each file's writer schema.
     */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    // a dir with no containers (e.g. an all-empty-partition write —
+    // lazy writers leave no files) is an EMPTY table, not an error;
+    // binaryFiles would throw on the zero-match glob
+    if (scala.util.Try(AvroDataSource.listFiles(dir)).getOrElse(Nil).isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val interm = StructType(schema.fields.map(f =>
       if (f.dataType == TimestampType) f.copy(dataType = LongType) else f))
     val names = schema.fieldNames

@@ -191,6 +191,39 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(viaRdd.count() == 2 * src.count())
   }
 
+  test("graft-avro DSv2 abort: a failing job leaves no debris, prior table intact") {
+    // the abort leg of the commit protocol: a job that dies mid-write
+    // must rename NOTHING — the pre-existing table stays byte-intact
+    // and no .inprogress temp survives (task abort deletes its own)
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_a").toString
+    val src = sample
+    src.write.format("graft-avro").mode("overwrite").save(dir)
+    val before = spark.read.format("graft-avro").load(dir).count()
+    // a row-level bomb: evaluation throws mid-partition on the writer
+    intercept[Exception] {
+      src.withColumn("event_id",
+        sexpr("CASE WHEN event_id = 100 THEN " +
+          "CAST(assert_true(false, 'boom') AS BIGINT) ELSE event_id END"))
+        .write.format("graft-avro").mode("overwrite").save(dir)
+    }
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).toList
+    assert(files.forall(!_.contains("inprogress")), files.toString)
+    assert(spark.read.format("graft-avro").load(dir).count() == before,
+      "failed overwrite damaged the existing table")
+    // empty-input behavior: zero rows commit cleanly (lazy writers leave
+    // no files), and the RDD reader returns an empty frame while DSv2
+    // inference — which needs one header — refuses loudly
+    val edir = java.nio.file.Files.createTempDirectory("graft_avro_e").toString
+    graft.sources.AvroFiles.write(src.limit(0), edir)
+    assert(graft.sources.AvroFiles.read(spark, edir, src.schema).count() == 0L)
+    intercept[Exception] {
+      spark.read.format("graft-avro").load(edir).collect()
+    }
+  }
+
   test("ORC scan pushes predicates like parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc2").toString
     sample.write.mode("overwrite").orc(dir)
