@@ -500,10 +500,34 @@ object Bench {
             }
             val nCs = (spreadEntries.size to 0 by -1)
               .find(n => topLineCs(n).length <= maxLen)
-            // bare cs medians are the terminal rung: strictly shorter
-            // than bare ms, so there is nothing further to shed
-            nCs.filter(_ > 0).map(topLineCs)
-              .getOrElse(s"${headQ("q:median cs", qsCs)}}")
+            nCs.filter(_ > 0).map(topLineCs).getOrElse {
+              // bare-key rung (r15, ~158 queries): every key starts
+              // with the same 'q', so the prefix carries zero
+              // information — shed it (enc documents the decode:
+              // prepend 'q') before shedding the noise envelope. 158
+              // keys buy ~160 chars ≈ a dozen spreadx entries.
+              def bare(s: String) = {
+                val k = s.takeWhile(_ != '_').stripPrefix("q")
+                esc(if (k.isEmpty) "q" else k)
+              }
+              val qsCsBare = results.map { case (k, ts) =>
+                val m =
+                  if (ts.isEmpty) -1L else Math.round(median(ts) * 100)
+                s""""${bare(k)}":$m"""
+              }.mkString("{", ",", "}")
+              val spreadBare = spreadEntries.map { case (s, k) =>
+                (s, esc(k.stripPrefix("q")))
+              }
+              def topLineBare(n: Int) = {
+                val es = spreadBare.take(n)
+                s"""${headQ(s"q:median cs keys sans q;spreadx:top${es.size} max-min ms only >${floorMs}ms", qsCsBare)},"spreadx":${spreadxOf(es)}}"""
+              }
+              val nB = (spreadBare.size to 0 by -1)
+                .find(n => topLineBare(n).length <= maxLen)
+              // terminal rung: bare-key cs medians, no envelope
+              nB.filter(_ > 0).map(topLineBare)
+                .getOrElse(s"${headQ("q:median cs keys sans q", qsCsBare)}}")
+            }
           }
         }
       }

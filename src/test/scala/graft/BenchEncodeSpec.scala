@@ -71,17 +71,22 @@ class BenchEncodeSpec extends SparkTestBase {
     // for the queries where BenchDiff needs it most
     assert(line.contains(""""spreadx":{"""), line.takeRight(400))
     // noisy queries (spread 700 ms) carry entries; quiet ones don't
-    assert(line.contains(""""q01":700"""), line.takeRight(400))
-    assert(!line.contains(""""q02":4"""), "below-floor spread leaked")
+    // (keys read "q01" on the named rungs, "01" on the bare-key rung)
+    assert(line.contains(""""q01":700""") || line.contains(""""01":700"""),
+      line.takeRight(400))
+    assert(!line.contains(""""q02":4""") && !line.contains(""""02":4,"""),
+      "below-floor spread leaked")
     // enc must describe the degraded line, not the full triple
     assert(line.contains(""""enc":"q:median ms;spreadx:top""") ||
       line.contains(""""enc":"q:median cs;spreadx:top""") ||
+      line.contains(""""enc":"q:median cs keys sans q;spreadx:top""") ||
       line.contains(""""enc":"q:median ms;spreadx:max-min ms only >100ms""""),
       line.take(300))
     // the cs rung really is centiseconds: the quiet medians (3141 ms)
     // read 314 when enc says cs
     if (line.contains(""""enc":"q:median cs"""))
-      assert(line.contains(""""q02":314"""), line.take(400))
+      assert(line.contains(""""q02":314""") || line.contains(""""02":314"""),
+        line.take(400))
     assert(!line.contains("dmin"), "dropped field must vanish from enc too")
     val full = Bench.fullJson(names.take(2), Nil, 1.0, "/x", 3, 0.1, Nil)
     assert(full.contains(""""min":"""), "per-run fidelity must stay in bench_result.json")
