@@ -1484,6 +1484,34 @@ object RelEntry {
           .stripMargin)
     }),
 
+    // ---- T61: triangle counting (degree-oriented wedge join) ------------
+    "q159_triangle_count" -> ((s, d) => {
+      // the third graph operator (q71 components, q109 centrality):
+      // per-node triangle counts — the clustering-coefficient numerator
+      // and the standard cohesion feature for link-graph curation. The
+      // graph is the supplier CO-SUPPLY graph (edge ⇔ two suppliers
+      // ship the same part — derived from lineitem, so it is unipartite
+      // and genuinely triangle-bearing, unlike q109's bipartite trade
+      // graph). The engine claim is the ALGORITHM, not just the answer:
+      // GraphOps.triangleCounts orients edges by (deg, id) rank and
+      // generates wedges only from out-neighborhoods — Σ outdeg² ≤
+      // O(m^1.5) total regardless of hub degree (the arboricity bound),
+      // where the naive neighbor-pairing the DuckDB mirror runs is
+      // Σ deg² (hub-quadratic, fine at oracle scale, fatal at 100 TB).
+      // Same answer, different join volume — that asymmetry is the
+      // point, and each triangle is found exactly once (no /3 fixup).
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .distinct()
+      val edges = pairs.join(
+          pairs.select(col("l_partkey"), col("l_suppkey").as("s2")),
+          "l_partkey")
+        .filter(col("l_suppkey") < col("s2"))
+        .select(col("l_suppkey").as("src"), col("s2").as("dst"))
+      GraphOps.triangleCounts(edges)
+        .select(col("v").as("s_suppkey"), col("deg"), col("n_tri"))
+    }),
+
     // ---- T48: recursive CTE (iterative in-engine computation) -----------
     "q147_recursive_chain" -> ((s, d) => {
       // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
@@ -1664,6 +1692,35 @@ object RelEntry {
         |  CAST(max(CAST(length(format('{:b}', event_id)) AS BIGINT) * 3)
         |    AS BIGINT) AS max_wbits
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q159 mirror: the TEXTBOOK formulation — x<y<z three-way self-join
+    // finds each triangle once, each corner credited via UNION ALL;
+    // naive neighbor pairing is fine at oracle scale (the oriented
+    // form's O(m^1.5) bound is the Spark side's 100-TB claim)
+    "q159_triangle_count" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b
+        |  FROM ps p1 JOIN ps p2 ON p1.l_partkey = p2.l_partkey
+        |  WHERE p1.l_suppkey < p2.l_suppkey),
+        |deg AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY v),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT x AS v FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri),
+        |pn AS (SELECT v, count(*) AS n_tri FROM corners GROUP BY v)
+        |SELECT d.v AS s_suppkey, d.deg,
+        |  CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri
+        |FROM deg d LEFT JOIN pn ON d.v = pn.v""".stripMargin,
 
     // q157 mirror: identical text modulo the view name
     "q157_bag_setops" ->

@@ -258,6 +258,15 @@ object ScaleBench {
     // anti-pattern's depth cost is documented in the query, not
     // measurable under a fixed page
     "q158_nulls_offset_page")
+    // q159 (triangles) has NO cell by construction — like q154: the
+    // part dim is unreplicated, so scaledLineitem strides l_suppkey but
+    // not l_partkey, and the co-supply graph DENSIFIES quadratically
+    // under replication (per-part supplier sets union across replicas ⇒
+    // pairs per part grow m²) — a cell would measure that fixture
+    // artifact, not the operator (measured: the x16 cell grinds at 32
+    // cores on an m²-dense blob). The operator's own scale argument is
+    // the orientation bound in GraphOps.triangleCounts' scaladoc,
+    // property-tested on hub-planted graphs in GraftProps.
 
   private[graft] val IdStride = 1000000L
 

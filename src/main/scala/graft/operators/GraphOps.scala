@@ -81,4 +81,69 @@ object GraphOps {
     edges.unpersist(blocking = false)
     out
   }
+
+  /** Per-node triangle counts over an undirected edge list, by
+    * DEGREE-ORIENTED wedge join — the distributed-triangle algorithm
+    * whose intermediate size is bounded by graph structure instead of
+    * hub degree.
+    *
+    * Why orientation is the whole story: the naive wedge join pairs
+    * every two neighbors of every node — Σ deg(v)² rows, quadratic in
+    * the hottest hub (a crawl-graph hub with 10⁶ neighbors yields 10¹²
+    * wedges). Orienting each edge from its lower-(deg, id)-rank
+    * endpoint to its higher one and generating wedges only from OUT-
+    * neighborhoods bounds the fanout by out-degree ≤ O(√m) per node
+    * (the arboricity argument of Chiba–Nishizeki / the MR triangle
+    * literature): Σ outdeg(v)² ≤ O(m^1.5) TOTAL, independent of hub
+    * degree. Each triangle {x,y,z} then appears exactly once — as the
+    * wedge at its lowest-rank corner closed by the oriented edge
+    * between the other two — so no post-hoc dedup or /3 correction is
+    * needed; per-node counts come from crediting all three corners.
+    *
+    * All joins are keyed equi-joins on node ids (shuffle-partitioned,
+    * growing with the data, nothing collected); the rank tiebreak (deg,
+    * id) makes the orientation — and therefore the join volume, not
+    * just the answer — deterministic.
+    *
+    * Output: (v BIGINT, deg BIGINT, n_tri BIGINT) for every node with
+    * degree ≥ 1 (n_tri = 0 for triangle-free nodes).
+    */
+  def triangleCounts(edges0: DataFrame): DataFrame = {
+    // canonical undirected form: a < b, self-loops dropped, multi-edges
+    // collapsed (a triangle is a property of the simple graph)
+    val e = edges0.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient by rank = (deg, id): src = lower rank, dst = higher
+    val da = deg.select(col("v").as("a"), col("deg").as("dega"))
+    val db = deg.select(col("v").as("b"), col("deg").as("degb"))
+    val aLower = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("a") < col("b"))
+    val o = e.join(da, "a").join(db, "b")
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("u"),
+        when(aLower, col("b")).otherwise(col("a")).as("w"),
+        when(aLower, col("degb")).otherwise(col("dega")).as("degw"))
+    // wedges from out-neighborhoods, ordered by the same rank so the
+    // closing edge (w1 → w2) is oriented exactly when the pair is
+    val w1 = o.select(col("u"), col("w").as("w1"), col("degw").as("d1"))
+    val w2 = o.select(col("u"), col("w").as("w2"), col("degw").as("d2"))
+    val wedges = w1.join(w2, "u")
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("w1") < col("w2")))
+    val closing = o.select(col("u").as("w1"), col("w").as("w2"))
+    val tris = wedges.join(closing, Seq("w1", "w2"))
+      .select(col("u"), col("w1"), col("w2"))
+    val perNode = tris.select(col("u").as("v"))
+      .unionAll(tris.select(col("w1").as("v")))
+      .unionAll(tris.select(col("w2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

@@ -494,4 +494,43 @@ object GraftProps extends Properties("graft") {
       }
       Prop(typesOk && tokensOk && bucketOk) :| rows.mkString(",")
     }
+
+  // degree-oriented triangle counting ≡ brute-force enumeration — on
+  // random multigraphs WITH a planted hub (node 0 attached to every
+  // other node), the adversarial case the orientation exists for; also
+  // exercises self-loops and duplicate/reversed edges, which the
+  // canonicalization must collapse
+  private val genTriEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(4, 12)
+    m <- Gen.choose(3, 30)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong - 1)
+      b <- Gen.choose(0L, n.toLong - 1)
+    } yield (a, b))
+    hub <- Gen.someOf(1L until n.toLong)
+  } yield es ++ hub.map(v => (0L, v))
+
+  property("oriented triangle count equals brute force (hubs, dups, loops)") =
+    forAll(genTriEdges) { es =>
+      val simple = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val nodes = simple.flatMap(t => Seq(t._1, t._2)).toSeq.sorted
+      val adj = nodes.map(v => v -> simple.toSeq.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }).toMap
+      val want = nodes.map { v =>
+        // unordered neighbor pairs (x < y) that are themselves an edge
+        val tri = (for {
+          x <- adj(v); y <- adj(v)
+          if x < y && simple.contains((x, y))
+        } yield 1).size
+        v -> ((adj(v).size.toLong, tri.toLong))
+      }.toMap
+      val got = GraphOps.triangleCounts(
+          es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      Prop(got == want) :| s"got $got want $want"
+    }
 }
