@@ -1512,6 +1512,65 @@ object RelEntry {
         .select(col("v").as("s_suppkey"), col("deg"), col("n_tri"))
     }),
 
+    // ---- T62: schema-drift union (unionByName + missing columns) --------
+    "q160_union_by_name" -> ((s, d) => {
+      // the corpus-snapshot reality q68's mergeSchema covers at the
+      // FILE level, here at the FRAME level: two snapshots whose
+      // schemas drifted (v1 carries n_chars, v2 replaced it with
+      // source) must union BY NAME — positional UNION ALL would
+      // silently zip n_chars against source (same arity, both
+      // readable as strings = the nastiest kind of wrong) — with
+      // absent columns null-filled. Spark: unionByName(…,
+      // allowMissingColumns = true); DuckDB runs UNION ALL BY NAME,
+      // the same semantics natively in SQL. The per-lang counts of
+      // each column's presence pin the NULL-fill pattern exactly.
+      // Scale: union is a zero-shuffle plan node; only the final
+      // aggregate exchanges.
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val v2 = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_with_chars"),
+          count(col("source")).as("n_with_source"))
+    }),
+
+    // ---- T63: bitmap exact-distinct re-aggregation ----------------------
+    "q161_bitmap_distinct" -> ((s, d) => {
+      // the EXACT member of the mergeable-distinct family q112's HLL
+      // approximates: Spark's bitmap tier (SPARK-44154) packs integer
+      // keys into 4 KB/32768-bit bucket bitmaps —
+      // bitmap_construct_agg(bitmap_bit_position(k)) per (group, day,
+      // bucket) is the partial any engine can persist, and
+      // bitmap_or_agg re-aggregates across days EXACTLY (OR is
+      // idempotent — the same user on ten days is one bit), so
+      // sum(bitmap_count) over merged buckets IS count(DISTINCT k)
+      // with no error bound and no rescan of history. The trade vs
+      // HLL is the 100-TB story: bitmap state is O(key-range/8 bytes)
+      // per group — exact and mergeable when keys are dense integers
+      // (user ids here), hopeless for sparse 64-bit spaces where
+      // HLL's fixed KBs win; a pipeline needs BOTH, and the oracle
+      // pins this one against the plain DISTINCT (bucket counts
+      // included, so the packing itself is checked).
+      Tables.events(s, d).createOrReplaceTempView("graft_q161_events")
+      s.sql(
+        """WITH partials AS (
+          |  SELECT event_type, to_date(ts) AS day,
+          |    bitmap_bucket_number(user_id) AS bkt,
+          |    bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          |  FROM graft_q161_events GROUP BY 1, 2, 3),
+          |merged AS (
+          |  SELECT event_type, bkt, bitmap_or_agg(bm) AS bm
+          |  FROM partials GROUP BY 1, 2)
+          |SELECT event_type,
+          |  CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users,
+          |  CAST(count(*) AS BIGINT) AS n_buckets
+          |FROM merged GROUP BY event_type""".stripMargin)
+    }),
+
     // ---- T48: recursive CTE (iterative in-engine computation) -----------
     "q147_recursive_chain" -> ((s, d) => {
       // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
@@ -1691,6 +1750,33 @@ object RelEntry {
         |    AS BIGINT) AS sum_bits,
         |  CAST(max(CAST(length(format('{:b}', event_id)) AS BIGINT) * 3)
         |    AS BIGINT) AS max_wbits
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // q160 mirror: DuckDB's native UNION ALL BY NAME — the same
+    // null-fill-by-name semantics Spark spells allowMissingColumns
+    "q160_union_by_name" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) AS n,
+        |  count(n_chars) AS n_with_chars,
+        |  count(source) AS n_with_source
+        |FROM u GROUP BY lang""".stripMargin,
+
+    // q161 mirror: the plain DISTINCT the bitmap machinery must equal,
+    // bucket counts included. Spark's bitmap_bucket_number(x) is
+    // FLOOR((x−1)/32768)+1 — 1-indexed positions, so id 0 falls in its
+    // own bucket below ids 1..32768 (measured: the naive x//32768
+    // mirror undercounts by exactly that bucket, and DuckDB's //
+    // TRUNCATES toward zero where Spark floors — the oracle-tricks
+    // pmod-subtraction identity makes the floor exact at x−1 = −1)
+    "q161_bitmap_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT ((user_id - 1) -
+        |    (((user_id - 1) % 32768 + 32768) % 32768)) // 32768)
+        |    AS n_buckets
         |FROM events GROUP BY event_type""".stripMargin,
 
     // q159 mirror: the TEXTBOOK formulation — x<y<z three-way self-join

@@ -257,7 +257,17 @@ object ScaleBench {
     // against an m×-growing file (β ≈ 0 expected); the OFFSET
     // anti-pattern's depth cost is documented in the query, not
     // measurable under a fixed page
-    "q158_nulls_offset_page")
+    "q158_nulls_offset_page",
+    // q160: schema-drift union — both snapshot halves grow m× (docs
+    // replicate), the by-name union stays a zero-shuffle node, so β
+    // should track the one aggregate's scan
+    "q160_union_by_name",
+    // q161: bitmap distincts — user ids STRIDE, so each replica's ids
+    // land ~30 buckets apart (1e6/32768) and bitmap state grows m×
+    // with the key range — exactly the stated O(key-range) trade; the
+    // per-(group, day, bucket) partials still combine map-side, β ~
+    // scan with the state-size caveat on record
+    "q161_bitmap_distinct")
     // q159 (triangles) has NO cell by construction — like q154: the
     // part dim is unreplicated, so scaledLineitem strides l_suppkey but
     // not l_partkey, and the co-supply graph DENSIFIES quadratically
