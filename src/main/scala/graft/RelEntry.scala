@@ -1492,7 +1492,14 @@ object RelEntry {
       // graph is the supplier CO-SUPPLY graph (edge ⇔ two suppliers
       // ship the same part — derived from lineitem, so it is unipartite
       // and genuinely triangle-bearing, unlike q109's bipartite trade
-      // graph). The engine claim is the ALGORITHM, not just the answer:
+      // graph). Co-occurrence needs a TIGHT window or it degenerates:
+      // bare same-part co-supply is near-COMPLETE on this data (~30
+      // suppliers per part ⇒ ~C(1000,2) edges at sf0.1 — measured, the
+      // bench cell ground for 2 minutes on ~10⁸ wedges), the same
+      // reason co-occurrence graphs drop stopwords (L53/q114); keyed
+      // on (part, ship WEEK) the per-key fanout is ≤ 4 and the graph
+      // is genuinely sparse (~25k edges / 1000 nodes at sf0.1). The
+      // engine claim is the ALGORITHM, not just the answer:
       // GraphOps.triangleCounts orients edges by (deg, id) rank and
       // generates wedges only from out-neighborhoods — Σ outdeg² ≤
       // O(m^1.5) total regardless of hub degree (the arboricity bound),
@@ -1501,11 +1508,13 @@ object RelEntry {
       // Same answer, different join volume — that asymmetry is the
       // point, and each triangle is found exactly once (no /3 fixup).
       val pairs = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_suppkey"))
+        .select(col("l_partkey"),
+          date_trunc("week", col("l_shipdate")).as("w"), col("l_suppkey"))
         .distinct()
       val edges = pairs.join(
-          pairs.select(col("l_partkey"), col("l_suppkey").as("s2")),
-          "l_partkey")
+          pairs.select(col("l_partkey"), col("w"),
+            col("l_suppkey").as("s2")),
+          Seq("l_partkey", "w"))
         .filter(col("l_suppkey") < col("s2"))
         .select(col("l_suppkey").as("src"), col("s2").as("dst"))
       GraphOps.triangleCounts(edges)
@@ -1785,10 +1794,13 @@ object RelEntry {
     // form's O(m^1.5) bound is the Spark side's 100-TB claim)
     "q159_triangle_count" ->
       """WITH ps AS (
-        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |  SELECT DISTINCT l_partkey, date_trunc('week', l_shipdate) AS w,
+        |    l_suppkey
+        |  FROM lineitem),
         |e AS (
         |  SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b
-        |  FROM ps p1 JOIN ps p2 ON p1.l_partkey = p2.l_partkey
+        |  FROM ps p1 JOIN ps p2
+        |    ON p1.l_partkey = p2.l_partkey AND p1.w = p2.w
         |  WHERE p1.l_suppkey < p2.l_suppkey),
         |deg AS (
         |  SELECT v, count(*) AS deg FROM (
