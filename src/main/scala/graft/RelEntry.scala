@@ -1580,6 +1580,32 @@ object RelEntry {
           |FROM merged GROUP BY event_type""".stripMargin)
     }),
 
+    // ---- T64: calendar arithmetic edges ---------------------------------
+    "q162_calendar_edges" -> ((s, d) => {
+      // the date-math porting traps, pinned row-level over real order
+      // dates (the span covers leap years and every month-end):
+      // add_months CLAMPS at month ends (Jan 31 + 1 month = Feb 28/29 —
+      // both engines agree, but only because both clamp; engines that
+      // overflow into March diverge here), last_day, quarter
+      // date_trunc, and the day-of-week numbering trap — Spark's
+      // dayofweek is 1-based Sunday-first while DuckDB's dayofweek is
+      // 0-based: the portable meeting point is ISO (Monday=1), reached
+      // as Spark weekday()+1 ≡ DuckDB isodow(). Date outputs ship as
+      // ISO strings (CAST to STRING is 'YYYY-MM-DD' in both engines),
+      // keeping the driver compare to proven dtypes. DISTINCT dates
+      // keep the row count calendar-bounded.
+      Tables.orders(s, d).createOrReplaceTempView("graft_q162_orders")
+      s.sql(
+        """SELECT DISTINCT
+          |  CAST(o_orderdate AS STRING) AS dt,
+          |  CAST(add_months(o_orderdate, 1) AS STRING) AS next_month,
+          |  CAST(last_day(o_orderdate) AS STRING) AS month_end,
+          |  CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE)
+          |    AS STRING) AS quarter_start,
+          |  CAST(weekday(o_orderdate) + 1 AS BIGINT) AS iso_dow
+          |FROM graft_q162_orders WHERE o_orderkey < 4000""".stripMargin)
+    }),
+
     // ---- T48: recursive CTE (iterative in-engine computation) -----------
     "q147_recursive_chain" -> ((s, d) => {
       // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
@@ -1760,6 +1786,19 @@ object RelEntry {
         |  CAST(max(CAST(length(format('{:b}', event_id)) AS BIGINT) * 3)
         |    AS BIGINT) AS max_wbits
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q162 mirror: + INTERVAL 1 MONTH is DuckDB's clamping add_months;
+    // isodow is the ISO day Spark reaches as weekday()+1
+    "q162_calendar_edges" ->
+      """SELECT DISTINCT
+        |  CAST(o_orderdate AS VARCHAR) AS dt,
+        |  CAST(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS VARCHAR)
+        |    AS next_month,
+        |  CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+        |  CAST(date_trunc('quarter', o_orderdate) AS VARCHAR)
+        |    AS quarter_start,
+        |  CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow
+        |FROM orders WHERE o_orderkey < 4000""".stripMargin,
 
     // q160 mirror: DuckDB's native UNION ALL BY NAME — the same
     // null-fill-by-name semantics Spark spells allowMissingColumns

@@ -267,7 +267,11 @@ object ScaleBench {
     // with the key range — exactly the stated O(key-range) trade; the
     // per-(group, day, bucket) partials still combine map-side, β ~
     // scan with the state-size caveat on record
-    "q161_bitmap_distinct")
+    "q161_bitmap_distinct",
+    // q162: calendar edges — o_orderkey < 4000 keeps replica-0 rows
+    // under the id stride (the q146/q153/q158 pushdown-cell family);
+    // the date math itself is row-local and calendar-bounded
+    "q162_calendar_edges")
     // q159 (triangles) has NO cell by construction — like q154: the
     // part dim is unreplicated, so scaledLineitem strides l_suppkey but
     // not l_partkey, and the co-supply graph DENSIFIES quadratically
