@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{GraphOps, LayoutOps, TemporalOps}
+import graft.operators.{GraphOps, LayoutOps, SpatialOps, TemporalOps}
 
 /** Relational/temporal engine-completeness queries (q52+): as-of join,
   * bucketed range join, ROLLUP, pivot, gap sessionization, deterministic
@@ -1606,6 +1606,36 @@ object RelEntry {
           |FROM graft_q162_orders WHERE o_orderkey < 4000""".stripMargin)
     }),
 
+    // ---- T65: spatial grid neighbor join (2-D band-then-verify) ---------
+    "q163_spatial_neighbors" -> ((s, d) => {
+      // the 2-D member of the band-then-verify family (T2 buckets 1-D
+      // time, q108 bands strings): all point pairs within Euclidean
+      // radius r, via 3x3 grid-cell candidate generation + exact
+      // integer d² verify (SpatialOps.neighborPairs — the operator the
+      // reference's rectangle-filter-only geo surface lacks). Points
+      // are a deterministic integer lattice scramble of customer keys
+      // (k·48271 mod 99991, k·69621 mod 99991) — pure arithmetic both
+      // engines compute identically, standing in for fixed-point
+      // microdegree site coordinates. The modulus is PRIME for
+      // ScaleBench's sake: replica keys stride by 1e6, and a 1e5
+      // modulus would land every replica on the exact same points
+      // (1e6·48271 ≡ 0 mod 1e5 — the cell would measure coordinate
+      // copies); mod 99991 each replica shifts by 44777, so the cell
+      // honestly measures density growth. The DuckDB mirror deliberately
+      // runs the NAIVE all-pairs filter join (fine at oracle scale):
+      // same answer, |points|² vs cell-bounded candidate volume is the
+      // documented asymmetry, exactly q159's oracle philosophy. Closed
+      // ball (d² ≤ r²) so boundary pairs match; grid ≡ brute force is
+      // property-tested in GraftProps on adversarial point sets
+      // (negative coordinates, duplicates, exact-boundary pairs).
+      val pts = Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        (col("c_custkey") * lit(48271L) % lit(99991L)).as("x"),
+        (col("c_custkey") * lit(69621L) % lit(99991L)).as("y"))
+      SpatialOps.neighborPairs(pts, radius = 4000L)
+        .select(col("id_a"), col("id_b"), col("d2").cast("long").as("d2"))
+    }),
+
     // ---- T48: recursive CTE (iterative in-engine computation) -----------
     "q147_recursive_chain" -> ((s, d) => {
       // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
@@ -1826,6 +1856,23 @@ object RelEntry {
         |    (((user_id - 1) % 32768 + 32768) % 32768)) // 32768)
         |    AS n_buckets
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q163 mirror: the NAIVE all-pairs distance filter — |points|² pair
+    // evaluations, fine at oracle scale; the Spark side's grid banding
+    // bounds candidates by cell occupancy (same answer, different
+    // volume — the q159 oracle philosophy in 2-D)
+    "q163_spatial_neighbors" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    (c_custkey * 48271) % 99991 AS x,
+        |    (c_custkey * 69621) % 99991 AS y
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST((a.x - b.x) * (a.x - b.x)
+        |     + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x)
+        |    + (a.y - b.y) * (a.y - b.y) <= 16000000""".stripMargin,
 
     // q159 mirror: the TEXTBOOK formulation — x<y<z three-way self-join
     // finds each triangle once, each corner credited via UNION ALL;

@@ -271,7 +271,15 @@ object ScaleBench {
     // q162: calendar edges — o_orderkey < 4000 keeps replica-0 rows
     // under the id stride (the q146/q153/q158 pushdown-cell family);
     // the date math itself is row-local and calendar-bounded
-    "q162_calendar_edges")
+    "q162_calendar_edges",
+    // q163: spatial neighbors — replicas shift by 44777 per replica
+    // (prime modulus; see the q163 comment), so point density in the
+    // FIXED ~1e5² box grows m× and qualifying pairs grow ~m²: the
+    // cell is OUTPUT-BOUND by design (close pairs at fixed radius
+    // under densification ARE quadratic in density — the honest
+    // operator behavior, not a fixture artifact); candidate volume
+    // stays cell-occupancy-bounded, never |points|²
+    "q163_spatial_neighbors")
     // q159 (triangles) has NO cell by construction — like q154: the
     // part dim is unreplicated, so scaledLineitem strides l_suppkey but
     // not l_partkey, and the co-supply graph DENSIFIES quadratically

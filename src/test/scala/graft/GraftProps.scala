@@ -5,7 +5,7 @@ import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{DedupOps, GraphOps, TemporalOps, TextOps, TrafficOps}
+import graft.operators.{DedupOps, GraphOps, SpatialOps, TemporalOps, TextOps, TrafficOps}
 
 /** Property-based invariants (SURVEY §5.3) over generated data:
   * partition-slice aggregate consistency, interval-join containment,
@@ -532,5 +532,35 @@ object GraftProps extends Properties("graft") {
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
         .toMap
       Prop(got == want) :| s"got $got want $want"
+    }
+
+  // grid-banded spatial neighbor join ≡ brute-force all-pairs — on
+  // point sets with NEGATIVE coordinates (floor- vs truncating-division
+  // bucketing diverges exactly there), duplicate coordinates (d² = 0),
+  // and cell-straddling near pairs; radius chosen small vs the
+  // coordinate range so both empty and dense results occur, and the
+  // closed-ball boundary (d² = r² matches) is exercised by the integer
+  // grid making exact-radius pairs likely
+  private val genPoints: Gen[(List[(Long, Long, Long)], Long)] = for {
+    n <- Gen.choose(2, 25)
+    r <- Gen.choose(1L, 12L)
+    ps <- Gen.listOfN(n, for {
+      x <- Gen.choose(-30L, 30L)
+      y <- Gen.choose(-30L, 30L)
+    } yield (x, y))
+  } yield (ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }, r)
+
+  property("grid neighbor join equals brute force (negatives, dups, boundary)") =
+    forAll(genPoints) { case (pts, r) =>
+      val want = (for {
+        (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+        if ia < ib
+        d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+        if d2 <= r * r
+      } yield (ia, ib, d2)).toSet
+      val got = SpatialOps.neighborPairs(pts.toDF("id", "x", "y"), r)
+        .collect().map(row =>
+          (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
+      Prop(got == want) :| s"r=$r got $got want $want"
     }
 }
