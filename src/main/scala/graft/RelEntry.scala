@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{GraphOps, LayoutOps, SpatialOps, TemporalOps}
+import graft.operators.{GraphOps, LayoutOps, ReconcileOps, SpatialOps, TemporalOps}
 
 /** Relational/temporal engine-completeness queries (q52+): as-of join,
   * bucketed range join, ROLLUP, pivot, gap sessionization, deterministic
@@ -1636,6 +1636,44 @@ object RelEntry {
         .select(col("id_a"), col("id_b"), col("d2").cast("long").as("d2"))
     }),
 
+    // ---- T66: snapshot reconciliation (bucket-fingerprint table diff) ---
+    "q164_snapshot_diff" -> ((s, d) => {
+      // the migration-sign-off / drift-detection operator: classify
+      // every row two snapshots disagree on WITHOUT full-outer-joining
+      // the snapshots — bucket fingerprints (count + Σ 60-bit md5
+      // digest, map-side-combinable, |buckets| output rows) locate the
+      // drifted key ranges, then only those buckets rescan into the
+      // row-level classify (ReconcileOps.snapshotDiff). The drifted
+      // snapshot v2 derives deterministically in-query so the oracle
+      // can mirror it: 200 deletions ([2000,2200)), 300 amendments
+      // ([5000,5300) priority rewritten), 50 inserts (keys +107e6,
+      // far above any ScaleBench replica stride) — drift LOCALIZED in
+      // the key space, so 5 of ~59 buckets mismatch (pruning pinned in
+      // ReconcileSpec). The DuckDB mirror runs the NAIVE form — full
+      // outer join of both entire snapshots on the key — same answer:
+      // a data-sized shuffle per side vs fingerprint partials + a
+      // drift-sized drill is the documented asymmetry. Canonical
+      // content renders engine-portably: cents as BIGINT (never
+      // double→string), epoch seconds (unix_seconds ≡ date_diff), and
+      // the md5 of identical strings is identical hex both engines.
+      val o = Tables.orders(s, d)
+      val v2 = o.filter(!col("o_orderkey").between(2000L, 2199L))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey").between(5000L, 5299L), lit("AMENDED"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(o.filter(col("o_orderkey").between(100L, 149L))
+          .withColumn("o_orderkey", col("o_orderkey") + lit(107000000L)))
+      def keyed(df: DataFrame) = df.select(
+        col("o_orderkey").as("k"),
+        concat_ws("|", col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long"),
+          // NTZ parquet column → session-zoned (UTC) first; identity
+          // wall-clock, and unix_seconds requires TIMESTAMP
+          expr("unix_seconds(CAST(o_orderdate AS TIMESTAMP))"),
+          col("o_orderpriority")).as("canon"))
+      ReconcileOps.snapshotDiff(keyed(o), keyed(v2), bucketWidth = 256L)
+    }),
+
     // ---- T48: recursive CTE (iterative in-engine computation) -----------
     "q147_recursive_chain" -> ((s, d) => {
       // WITH RECURSIVE — new in Spark 4 (SPARK-24497) and the last
@@ -1856,6 +1894,44 @@ object RelEntry {
         |    (((user_id - 1) % 32768 + 32768) % 32768)) // 32768)
         |    AS n_buckets
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q164 mirror: the NAIVE form — full outer join of both ENTIRE
+    // snapshots on the key (a data-sized shuffle per side, every run,
+    // however small the drift); the Spark side's fingerprint partials
+    // + drift-sized drill produce the same rows
+    "q164_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate,
+        |    CASE WHEN o_orderkey BETWEEN 5000 AND 5299 THEN 'AMENDED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey NOT BETWEEN 2000 AND 2199
+        |  UNION ALL
+        |  SELECT o_orderkey + 107000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey BETWEEN 100 AND 149),
+        |a AS (
+        |  SELECT o_orderkey AS k, md5(concat_ws('|', o_orderkey,
+        |    o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT),
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |      o_orderdate),
+        |    o_orderpriority)) AS m
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderkey AS k, md5(concat_ws('|', o_orderkey,
+        |    o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT),
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |      o_orderdate),
+        |    o_orderpriority)) AS m
+        |  FROM v2)
+        |SELECT coalesce(a.k, b.k) AS k,
+        |  CASE WHEN a.k IS NULL THEN 'added'
+        |       WHEN b.k IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL JOIN b ON a.k = b.k
+        |WHERE a.k IS NULL OR b.k IS NULL OR a.m <> b.m""".stripMargin,
 
     // q163 mirror: the NAIVE all-pairs distance filter — |points|² pair
     // evaluations, fine at oracle scale; the Spark side's grid banding

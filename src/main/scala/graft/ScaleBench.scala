@@ -279,7 +279,13 @@ object ScaleBench {
     // under densification ARE quadratic in density — the honest
     // operator behavior, not a fixture artifact); candidate volume
     // stays cell-occupancy-bounded, never |points|²
-    "q163_spatial_neighbors")
+    "q163_spatial_neighbors",
+    // q164: snapshot diff — orders replicate m× but the planted drift
+    // zones are key-range-bounded to replica 0, so the DRILL stays
+    // constant-size while the fingerprint pass grows with the scan:
+    // the incremental-diff claim (cost ~ scan + drift, not ~ full
+    // outer join) is exactly what the curve should show, β ~ scan
+    "q164_snapshot_diff")
     // q159 (triangles) has NO cell by construction — like q154: the
     // part dim is unreplicated, so scaledLineitem strides l_suppkey but
     // not l_partkey, and the co-supply graph DENSIFIES quadratically
