@@ -5,7 +5,9 @@ import java.util
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileStream
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead,
@@ -24,6 +26,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 face of [[AvroFiles]] — `spark.read.format("graft-avro")
   * .load(dir)` — the connector-API tier the sources family otherwise
@@ -45,6 +48,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   and sufficient for the one-file-per-write-partition layout
   *   AvroFiles.write produces). |files| objects on the driver —
   *   manifest-sized, the q131 argument.
+  * - **File skipping**: each writer tracks per-numeric-column (lo,hi)
+  *   while streaming rows out; job commit publishes them as a sidecar
+  *   manifest (`_graft_stats`, swapped in by rename). At planning time
+  *   pushed range/equality filters are tested against each file's
+  *   interval and files that cannot match are never opened — the
+  *   row-major container's answer to parquet row-group pruning, and
+  *   the piece that makes pushdown save IO rather than just conversion.
+  *   Files absent from the manifest are conservatively kept.
   * - **Column pruning** (SupportsPushDownRequiredColumns): the pruned
   *   schema reaches the reader factory. Avro is ROW-MAJOR, so pruning
   *   cannot skip IO the way parquet does — it skips per-field
@@ -53,6 +64,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   set (`[event_type]`, not all five columns).
   * - **InternalRow production**: readers emit catalyst values directly
   *   (UTF8String, micros long for timestamps) — no Row→encoder hop.
+  * - **Hadoop conf threading**: every FileSystem resolution goes
+  *   through the SESSION hadoopConfiguration (captured on the driver,
+  *   shipped to tasks via SerializableConfiguration), so runtime
+  *   `spark.hadoop.*` settings — S3A credentials, endpoints — reach
+  *   the readers and writers. A fresh `new Configuration()` would
+  *   silently drop them.
   *
   * Registered as `graft-avro` via DataSourceRegister +
   * META-INF/services.
@@ -77,23 +94,40 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
 }
 
 object AvroDataSource {
-  def listFiles(dir: String): Seq[String] = {
+  /** Session Hadoop conf — carries runtime `spark.hadoop.*` overrides.
+    * Driver-side only; tasks receive it via SerializableConfiguration.
+    */
+  private[sources] def sessionConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  /** Sidecar manifest holding per-file column stats (see [[AvroStats]]). */
+  private[sources] val StatsFile = "_graft_stats"
+
+  def listFiles(dir: String): Seq[String] = listFiles(dir, sessionConf())
+
+  def listFiles(dir: String, conf: Configuration): Seq[String] = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     fs.listStatus(p).toSeq
       .filter((s: FileStatus) => s.isFile &&
         s.getPath.getName.endsWith(".avro"))
       .map(_.getPath.toString).sorted
   }
 
-  /** Schema from the FIRST container file's header — no row is read. */
+  /** Schema from the FIRST container file's header — no row is read.
+    * The raw input stream is closed even when the container constructor
+    * throws (truncated/non-Avro file), so inference never leaks a
+    * handle.
+    */
   private[sources] def inferFromFirstFile(dir: String): StructType = {
     val files = listFiles(dir)
     require(files.nonEmpty, s"no .avro files under $dir")
     val p = new Path(files.head)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(sessionConf())
     val in = fs.open(p)
-    val rdr = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+    val rdr =
+      try new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+      catch { case t: Throwable => in.close(); throw t }
     try sparkType(rdr.getSchema)
     finally rdr.close()
   }
@@ -142,64 +176,90 @@ private[sources] class AvroTable(schema: StructType, path: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(schema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AvroWriteBuilder(info.schema(), path)
+    new AvroWriteBuilder(info.schema(), path, info.queryId())
 }
 
 /** Write path: the DSv2 commit protocol done properly, because THIS is
   * what a 1000-executor writer actually needs — task isolation under
   * retries and speculation. Each task writes an invisible
-  * `.part-<partition>-<task>.avro.inprogress` file; `commit()` on the
-  * task returns its (temp, final) pair as the WriterCommitMessage and
-  * the DRIVER finalizes: job commit renames every committed temp to
-  * its final name (|files| renames — manifest-sized) and, under
-  * truncate (SaveMode.Overwrite), deletes the pre-existing container
-  * files it recorded at build time. A failed/aborted job renames
-  * nothing, so readers never observe a half-written table; Spark's
-  * commit coordinator guarantees one committing attempt per partition.
+  * `.part-<partition>-<task>-<queryId>.avro.inprogress` file;
+  * `commit()` on the task returns its (temp, final) pair plus the
+  * column stats it observed as the WriterCommitMessage and the DRIVER
+  * finalizes: job commit renames every committed temp to its final
+  * name (|files| renames — manifest-sized), swaps in the stats
+  * manifest, and, under truncate (SaveMode.Overwrite), deletes the
+  * pre-existing container files it recorded at build time. A
+  * failed/aborted job renames nothing, so readers never observe a
+  * half-written table; Spark's commit coordinator guarantees one
+  * committing attempt per partition.
+  *
+  * File names embed the job's `queryId` (a driver-minted UUID from
+  * LogicalWriteInfo): task ids RESTART per application, so without a
+  * job-unique token an append from a later JVM could collide with a
+  * file an earlier job committed — HDFS rename would fail the job,
+  * local rename would silently replace data.
   */
-private[sources] class AvroWriteBuilder(schema: StructType, path: String)
-    extends WriteBuilder with SupportsTruncate {
+private[sources] class AvroWriteBuilder(schema: StructType, path: String,
+    queryId: String) extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new AvroBatchWrite(AvroFiles.avroSchema(schema).toString,
-        schema, path, doTruncate)
+        schema, path, doTruncate, queryId)
   }
 }
 
-private[sources] case class AvroCommitMessage(temp: String, fin: String)
-    extends WriterCommitMessage
+/** stats: one line per tracked column, `col\tkind\tlo\thi` (see
+  * [[AvroStats]]); empty for an empty partition or no trackable column.
+  */
+private[sources] case class AvroCommitMessage(temp: String, fin: String,
+    stats: Array[String] = Array.empty) extends WriterCommitMessage
 
 private[sources] class AvroBatchWrite(schemaJson: String,
-    schema: StructType, path: String, truncate: Boolean) extends BatchWrite {
+    schema: StructType, path: String, truncate: Boolean, queryId: String)
+    extends BatchWrite {
+  // captured on the DRIVER: the session conf for commit/abort and (via
+  // the factory) every task-side FileSystem call
+  private val sconf =
+    new SerializableConfiguration(AvroDataSource.sessionConf())
   // recorded on the DRIVER at build time: the files truncate replaces
   private val preExisting: Seq[String] =
-    if (truncate) scala.util.Try(AvroDataSource.listFiles(path))
-      .getOrElse(Nil)
+    if (truncate)
+      scala.util.Try(AvroDataSource.listFiles(path, sconf.value)).getOrElse(Nil)
     else Nil
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AvroWriterFactory(schemaJson, schema, path)
+    new AvroWriterFactory(schemaJson, schema, path, queryId, sconf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val fs = new Path(path).getFileSystem(conf)
+    val fs = new Path(path).getFileSystem(sconf.value)
+    val newStats = scala.collection.mutable.ArrayBuffer[String]()
     val committed = messages.collect {
-      case AvroCommitMessage(t, f) if t.nonEmpty =>
+      case AvroCommitMessage(t, f, st) if t.nonEmpty =>
         val ok = fs.rename(new Path(t), new Path(f))
         require(ok, s"graft-avro commit: rename $t -> $f failed")
+        val name = new Path(f).getName
+        st.foreach(line => newStats += s"$name\t$line")
         f
     }.toSet
     preExisting.filterNot(committed).foreach(f =>
       fs.delete(new Path(f), false))
+    // survivors of an append keep their manifest lines; truncate starts
+    // clean (pre-existing files are gone). Published by rename so a
+    // reader sees either the old manifest or the new, never a torn one.
+    val keepNames: Set[String] =
+      if (truncate) Set.empty
+      else scala.util.Try(AvroDataSource.listFiles(path, sconf.value))
+        .getOrElse(Nil).map(new Path(_).getName).toSet -- committed.map(
+          f => new Path(f).getName)
+    AvroStats.publish(path, keepNames, newStats.toSeq, sconf.value)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(
-      new org.apache.hadoop.conf.Configuration())
+    val fs = new Path(path).getFileSystem(sconf.value)
     messages.foreach {
-      case AvroCommitMessage(t, _) if t != null && t.nonEmpty =>
+      case AvroCommitMessage(t, _, _) if t != null && t.nonEmpty =>
         fs.delete(new Path(t), false); ()
       case _ => ()
     }
@@ -207,22 +267,26 @@ private[sources] class AvroBatchWrite(schemaJson: String,
 }
 
 private[sources] class AvroWriterFactory(schemaJson: String,
-    schema: StructType, dir: String) extends DataWriterFactory {
+    schema: StructType, dir: String, queryId: String,
+    sconf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       import org.apache.avro.file.{CodecFactory, DataFileWriter}
       import org.apache.avro.generic.{GenericData, GenericDatumWriter}
-      private val temp =
-        new Path(dir, f".part-$partitionId%05d-$taskId.avro.inprogress")
-      private val fin = new Path(dir, f"part-$partitionId%05d-$taskId.avro")
+      // temp is ATTEMPT-unique (taskId); final is JOB-unique (queryId) —
+      // speculative attempts never share a temp, successive jobs never
+      // share a final name
+      private val temp = new Path(dir,
+        f".part-$partitionId%05d-$taskId-$queryId.avro.inprogress")
+      private val fin = new Path(dir, f"part-$partitionId%05d-$queryId.avro")
       private val avro = new Schema.Parser().parse(schemaJson)
       private val names = schema.fieldNames
       private val types = schema.fields.map(_.dataType)
+      private val tracker = new AvroStats.Tracker(schema)
       private var w: DataFileWriter[GenericRecord] = _
       private def writer(): DataFileWriter[GenericRecord] = {
         if (w == null) {  // lazy: an empty partition leaves no file
-          val fs = temp.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
+          val fs = temp.getFileSystem(sconf.value)
           w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avro))
           w.setCodec(CodecFactory.deflateCodec(6))
           w.create(avro, fs.create(temp, true))
@@ -250,15 +314,18 @@ private[sources] class AvroWriterFactory(schemaJson: String,
           rec.put(names(i), v)
           i += 1
         }
+        tracker.observe(row)
         writer().append(rec); ()
       }
       override def commit(): WriterCommitMessage =
         if (w == null) AvroCommitMessage("", "")
-        else { w.close(); AvroCommitMessage(temp.toString, fin.toString) }
+        else {
+          w.close()
+          AvroCommitMessage(temp.toString, fin.toString, tracker.lines)
+        }
       override def abort(): Unit = {
         if (w != null) scala.util.Try(w.close())
-        val fs = temp.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        val fs = temp.getFileSystem(sconf.value)
         fs.delete(temp, false); ()
       }
       override def close(): Unit = ()
@@ -282,7 +349,8 @@ private[sources] class AvroScanBuilder(full: StructType, path: String)
   // post-scan re-evaluation, so the Filter node disappears — the
   // reader's evaluation is authoritative, and the spec holds it to
   // that (row-major Avro still decodes every record; what pushdown
-  // saves is per-field conversion + the row hand-off for dropped rows).
+  // saves is per-field conversion + the row hand-off for dropped rows,
+  // plus whole FILES via the stats manifest).
   private def supported(f: Filter): Boolean = {
     def prim(a: String) = full.find(_.name == a).exists(_.dataType match {
       case LongType | IntegerType | DoubleType | FloatType | StringType |
@@ -306,7 +374,8 @@ private[sources] class AvroScanBuilder(full: StructType, path: String)
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new AvroScan(required, path, pushed)
+  override def build(): Scan = new AvroScan(required, path, pushed,
+    new SerializableConfiguration(AvroDataSource.sessionConf()))
 }
 
 private[sources] object AvroFilterEval {
@@ -314,12 +383,25 @@ private[sources] object AvroFilterEval {
     case u: org.apache.avro.util.Utf8 => u.toString
     case o                            => o
   }
+  // -0.0 folds into +0.0 before compareTo, matching Spark's
+  // NormalizeFloatingNumbers semantics (EqualTo(0.0) keeps -0.0 rows);
+  // NaN keeps Java ordering (NaN = NaN, NaN > everything) — same as
+  // Spark's.
+  private def normD(d: Double): Double = if (d == 0.0d) 0.0d else d
+  private def normF(f: Float): Float = if (f == 0.0f) 0.0f else f
   private def cmp(a: AnyRef, b: Any): Option[Int] = (norm(a), b) match {
-    case (x: java.lang.Long, y: Long)       => Some(x.compareTo(y))
-    case (x: java.lang.Integer, y: Int)     => Some(x.compareTo(y))
-    case (x: java.lang.Double, y: Double)   => Some(x.compareTo(y))
-    case (x: java.lang.Float, y: Float)     => Some(x.compareTo(y))
-    case (x: String, y: String)             => Some(x.compareTo(y))
+    case (x: java.lang.Long, y: Long)   => Some(x.compareTo(y))
+    case (x: java.lang.Integer, y: Int) => Some(x.compareTo(y))
+    case (x: java.lang.Double, y: Double) =>
+      Some(java.lang.Double.compare(normD(x.doubleValue()), normD(y)))
+    case (x: java.lang.Float, y: Float) =>
+      Some(java.lang.Float.compare(normF(x.floatValue()), normF(y)))
+    case (x: String, y: String) =>
+      // Spark's default-collation order is UTF-8 BINARY (codepoint);
+      // Java String.compareTo is UTF-16 code-unit order — they diverge
+      // for supplementary vs high-BMP characters, so route through
+      // UTF8String like the engine does.
+      Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
     case (x: java.lang.Boolean, y: Boolean) => Some(x.compareTo(y))
     case _                                  => None
   }
@@ -344,40 +426,57 @@ private[sources] object AvroFilterEval {
 }
 
 private[sources] class AvroScan(readSchema: StructType, path: String,
-    filters: Array[Filter] = Array.empty) extends Scan with Batch {
+    filters: Array[Filter], sconf: SerializableConfiguration)
+    extends Scan with Batch {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-avro $path ${readSchema.fieldNames.mkString("[", ",", "]")}" +
       (if (filters.isEmpty) ""
        else filters.mkString(" PushedFilters: [", ", ", "]"))
-  override def planInputPartitions(): Array[InputPartition] =
-    AvroDataSource.listFiles(path).map(AvroFilePartition(_): InputPartition)
-      .toArray
+  /** One partition per file that COULD satisfy the pushed filters:
+    * files whose manifest (lo,hi) interval refutes a pushed range or
+    * equality predicate are skipped without being opened. Files with
+    * no manifest entry are kept — skipping is an optimization, never a
+    * correctness dependency.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = AvroDataSource.listFiles(path, sconf.value)
+    val stats = AvroStats.load(path, sconf.value)
+    all.filter { f =>
+      val name = new Path(f).getName
+      stats.get(name) match {
+        case Some(cols) => filters.forall(AvroStats.mayMatch(_, cols))
+        case None       => true
+      }
+    }.map(AvroFilePartition(_): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroPartitionReaderFactory(readSchema, filters)
+    new AvroPartitionReaderFactory(readSchema, filters, sconf)
 }
 
 private[sources] case class AvroFilePartition(file: String)
     extends InputPartition
 
 private[sources] class AvroPartitionReaderFactory(readSchema: StructType,
-    filters: Array[Filter] = Array.empty) extends PartitionReaderFactory {
+    filters: Array[Filter], sconf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[AvroFilePartition].file
     new PartitionReader[InternalRow] {
       private val p = new Path(file)
-      private val in =
-        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+      private val in = p.getFileSystem(sconf.value).open(p)
       private val rdr =
-        new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+        try new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+        catch { case t: Throwable => in.close(); throw t }
       private val names = readSchema.fieldNames
       private val types = readSchema.fields.map(_.dataType)
       private var row: InternalRow = _
+      private var closed = false
       override def next(): Boolean = {
         // evaluate pushed filters on the RAW record, before any
         // conversion: dropped rows never materialize
-        while (rdr.hasNext) {
+        while (!closed && rdr.hasNext) {
           val rec = rdr.next()
           if (filters.forall(AvroFilterEval.eval(_, rec))) {
             row = convert(rec); return true
@@ -386,7 +485,8 @@ private[sources] class AvroPartitionReaderFactory(readSchema: StructType,
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = rdr.close()
+      override def close(): Unit =
+        if (!closed) { closed = true; rdr.close() }
       private def convert(rec: GenericRecord): InternalRow = {
         val vals = new Array[Any](names.length)
         var i = 0

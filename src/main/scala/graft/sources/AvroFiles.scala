@@ -63,7 +63,19 @@ object AvroFiles {
     Schema.createRecord(name, null, "graft", false, fields)
   }
 
-  /** Write `df` as one Avro container file per partition under `dir`. */
+  /** Write `df` as one Avro container file per partition under `dir`.
+    *
+    * Task-commit protocol: each task streams into an ATTEMPT-unique
+    * `.part-<idx>-<attempt>.avro.inprogress` temp and renames it to the
+    * final `part-<idx>.avro` only after a clean close — a speculative
+    * or retried attempt never interleaves writes with the original
+    * (each owns its temp), and the final name only ever receives a
+    * complete container (rename is atomic per file; duplicate attempts
+    * of the same partition carry identical rows, so last-rename-wins is
+    * content-equal). Production multi-job writes should prefer the
+    * DSv2 `graft-avro` path, whose DRIVER-side job commit additionally
+    * makes the whole table flip at once and names files job-uniquely.
+    */
   def write(df: DataFrame, dir: String): Unit = {
     val tsCols = df.schema.fields.collect {
       case f if f.dataType == TimestampType => f.name
@@ -74,13 +86,18 @@ object AvroFiles {
       d.withColumn(c, unix_micros(col(c))))
     val schemaJson = avroSchema(df.schema).toString
     val names = df.schema.fieldNames
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
     flat.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.isEmpty) Iterator.empty
       else {
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val schema = new Schema.Parser().parse(schemaJson)
-        val path = new Path(dir, f"part-$idx%05d.avro")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(path, true)
+        val temp = new Path(dir, f".part-$idx%05d-$attempt.avro.inprogress")
+        val fin = new Path(dir, f"part-$idx%05d.avro")
+        val fs = temp.getFileSystem(sconf.value)
+        val out = fs.create(temp, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         w.setCodec(CodecFactory.deflateCodec(6))
         w.create(schema, out)
@@ -102,6 +119,8 @@ object AvroFiles {
           n += 1
         }
         w.close()
+        fs.delete(fin, false)
+        require(fs.rename(temp, fin), s"AvroFiles.write: rename $temp failed")
         Iterator.single(n)
       }
     }.count(): Unit
@@ -122,12 +141,22 @@ object AvroFiles {
     val names = schema.fieldNames
     val rows = spark.sparkContext.binaryFiles(dir + "/part-*.avro")
       .flatMap { case (_, pds) =>
-        val rdr = new DataFileStream(pds.open(),
-          new GenericDatumReader[GenericRecord]())
+        val in = pds.open()
+        val rdr =
+          try new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+          catch { case t: Throwable => in.close(); throw t }
+        // a partially consumed scan (limit/take) never drains the
+        // iterator — the task-completion listener closes the handle
+        // regardless, and the closed flag keeps hasNext from touching
+        // a closed stream
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; rdr.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         new Iterator[Row] {
-          def hasNext: Boolean = {
+          def hasNext: Boolean = !closed && {
             val h = rdr.hasNext
-            if (!h) rdr.close()
+            if (!h) closeOnce()
             h
           }
           def next(): Row = {

@@ -176,9 +176,10 @@ class SourceFormatsSpec extends SparkTestBase {
     def entries() = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       .iterator().asScala.map(_.getFileName.toString).toList
     // visible files are all containers; no .inprogress debris anywhere
-    // (dot-prefixed .crc sidecars are the local ChecksumFileSystem's —
-    // hidden by convention, absent on HDFS/S3A)
-    assert(entries().filterNot(_.startsWith("."))
+    // (dot-prefixed .crc sidecars are the local ChecksumFileSystem's,
+    // _-prefixed is the stats manifest — both hidden by the Hadoop
+    // convention, like _SUCCESS)
+    assert(entries().filterNot(n => n.startsWith(".") || n.startsWith("_"))
       .forall(_.endsWith(".avro")), entries().toString)
     assert(entries().forall(!_.contains("inprogress")), entries().toString)
     // overwrite replaces (same count), append doubles
@@ -222,6 +223,87 @@ class SourceFormatsSpec extends SparkTestBase {
     intercept[Exception] {
       spark.read.format("graft-avro").load(edir).collect()
     }
+  }
+
+  test("graft-avro file skipping: the stats manifest prunes non-matching containers at planning") {
+    // the move that turns pushdown into IO savings: each DSv2 writer
+    // tracks per-numeric-column (lo,hi) while streaming rows, job
+    // commit publishes a rename-swapped `_graft_stats` sidecar, and
+    // planInputPartitions refutes pushed range/equality predicates
+    // against each file's interval — files that cannot match are never
+    // opened. On a range-clustered layout a selective range predicate
+    // must plan strictly fewer partitions than there are containers,
+    // with the answer unchanged (T38's selectivity assert, now inside
+    // the connector).
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_s").toString
+    val src = sample
+    src.repartitionByRange(8, col("user_id"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val files = graft.sources.AvroDataSource.listFiles(dir).size
+    assert(files >= 4, s"layout too coarse to test skipping: $files files")
+    val cut = src.selectExpr("percentile_approx(user_id, 0.25)")
+      .head.getLong(0)
+    val filtered = spark.read.format("graft-avro").load(dir)
+      .filter(col("user_id") <= cut)
+    val planned = filtered.rdd.getNumPartitions
+    assert(planned < files,
+      s"range predicate on a range-clustered layout planned all $files files")
+    assert(planned > 0 && key(filtered) === key(src.filter(col("user_id") <= cut)))
+    // equality on a clustered key: at most the covering file(s) plan
+    val point = spark.read.format("graft-avro").load(dir)
+      .filter(col("user_id") === cut)
+    assert(point.rdd.getNumPartitions < files)
+    assert(point.count() == src.filter(col("user_id") === cut).count())
+    // skipping is an optimization, never a dependency: a directory
+    // with NO manifest (utility-written containers) plans every file
+    // and still answers exactly
+    val udir = java.nio.file.Files.createTempDirectory("graft_avro_u").toString
+    graft.sources.AvroFiles.write(
+      src.repartitionByRange(4, col("user_id")), udir)
+    val uf = spark.read.format("graft-avro").load(udir)
+      .filter(col("user_id") <= cut)
+    assert(uf.rdd.getNumPartitions ==
+      graft.sources.AvroDataSource.listFiles(udir).size)
+    assert(key(uf) === key(src.filter(col("user_id") <= cut)))
+    // append preserves surviving manifest lines: after an append the
+    // ORIGINAL files still skip (their lines were carried over)
+    src.write.format("graft-avro").mode("append").save(dir)
+    val after = spark.read.format("graft-avro").load(dir)
+      .filter(col("user_id") <= cut)
+    val filesAfter = graft.sources.AvroDataSource.listFiles(dir).size
+    assert(after.rdd.getNumPartitions < filesAfter,
+      "append lost the surviving files' manifest lines")
+  }
+
+  test("graft-avro filter eval matches engine semantics: -0.0 and supplementary code points") {
+    // pushed filters are AUTHORITATIVE (nothing re-checks), so their
+    // evaluation must match Spark's exactly at the two classic
+    // divergence points: IEEE -0.0 (Spark normalizes; plain
+    // Double.compareTo would drop -0.0 rows from EqualTo(0.0)) and
+    // string order (Spark compares UTF-8 bytes = codepoints; Java
+    // String.compareTo compares UTF-16 code units, which ranks
+    // supplementary chars BELOW high-BMP ones)
+    import spark.implicits._
+    val zdir = java.nio.file.Files.createTempDirectory("graft_avro_z").toString
+    Seq((1L, -0.0), (2L, 0.0), (3L, 1.5)).toDF("id", "v")
+      .coalesce(1).write.format("graft-avro").mode("overwrite").save(zdir)
+    val zv = spark.read.format("graft-avro").load(zdir)
+    assert(zv.filter(col("v") === 0.0).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L), "-0.0 must satisfy EqualTo(0.0) like the engine")
+    assert(zv.filter(col("v") < 1.0).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L))
+    // U+1F600 (supplementary, UTF-8 F0 9F 98 80) vs U+FFFD (high BMP,
+    // EF BF BD): codepoint order says emoji > U+FFFD; UTF-16 code-unit
+    // order says the opposite (D83D < FFFD)
+    val sdir = java.nio.file.Files.createTempDirectory("graft_avro_cp").toString
+    Seq((1L, "�"), (2L, "😀")).toDF("id", "s")
+      .coalesce(1).write.format("graft-avro").mode("overwrite").save(sdir)
+    val sv = spark.read.format("graft-avro").load(sdir)
+    assert(sv.filter(col("s") > "�").collect().map(_.getLong(0))
+      .toSeq == Seq(2L),
+      "string pushdown must use UTF-8 binary order, not UTF-16 code units")
+    assert(sv.filter(col("s") <= "�").collect().map(_.getLong(0))
+      .toSeq == Seq(1L))
   }
 
   test("ORC scan pushes predicates like parquet") {
