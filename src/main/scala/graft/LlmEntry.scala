@@ -1507,6 +1507,19 @@ object LlmEntry {
       core.Materialize.detached(out)(release())
     }),
 
+    // ---- classifier-based quality filtering (supervised NB) -------------
+    "q165_quality_classifier" -> ((s, d) => {
+      // The GPT-3/LLaMA-family supervised quality filter: train a
+      // multinomial Naive Bayes on exemplar-source positives vs the
+      // rest, score every doc by its integer log-odds margin, keep on
+      // score > 0 — see [[nbScoresOn]] for the whole-bit training
+      // identity and the one-shuffle scale shape. Reported per source
+      // (the corpus-level audit view); per-doc decisions + planted
+      // on/off-distribution recall are pinned in LlmOpsSpec.
+      val (out, release) = nbClassifierPlanOn(Tables.documents(s, d))
+      core.Materialize.detached(out)(release())
+    }),
+
     // ---- inverted index build (impact-ordered, capped postings) ---------
     "q110_inverted_index" -> ((s, d) => {
       // The index-build counterpart of q106's query-time BM25: per term,
@@ -2082,11 +2095,13 @@ object LlmEntry {
   private[graft] def dsirPlan(s: SparkSession, d: String)
     : (DataFrame, () => Unit) = dsirPlanOn(Tables.documents(s, d))
 
-  /** [[dsirPlan]] over an explicit corpus — EdgeCaseSpec feeds
-    * degenerate in-memory docs through the same plan.
+  /** Hashed uni+bigram feature table (doc_id, source, b, cnt) — the
+    * L48/L50 hashing-trick machinery shared by q107 (DSIR importance
+    * weights) and q165 (NB quality classifier): one corpus-wide shuffle
+    * producing the COMPRESSED per-doc feature-count table; everything
+    * downstream aggregates from it. Unpersisted — callers own caching.
     */
-  private[graft] def dsirPlanOn(docs: DataFrame)
-    : (DataFrame, () => Unit) = {
+  private def hashedFeatsOn(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("source"),
         expr(tokensSpark("text")).as("tk"))
@@ -2098,10 +2113,18 @@ object LlmEntry {
         """transform(sequence(1, size(tk) - 1),
           |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"""
           .stripMargin)).as("g"))
-    val feats = uni.unionAll(big)
+    uni.unionAll(big)
       .withColumn("b", expr(s"${TextOps.rollingHashSpark("g")} % $DsirBuckets"))
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[dsirPlan]] over an explicit corpus — EdgeCaseSpec feeds
+    * degenerate in-memory docs through the same plan.
+    */
+  private[graft] def dsirPlanOn(docs: DataFrame)
+    : (DataFrame, () => Unit) = {
+    val feats = hashedFeatsOn(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = feats.groupBy(col("b"))
       .agg((sum(col("cnt")) + 1L).as("c_r"))
@@ -2132,6 +2155,69 @@ object LlmEntry {
       .limit(DsirTopK)
       .select(col("doc_id"), col("source"), col("n_feats"), col("weight"))
     (out, () => feats.unpersist(blocking = false))
+  }
+
+  /** Per-doc scores of the q165 multinomial Naive-Bayes quality
+    * classifier — the GPT-3/LLaMA-style supervised filter (the one
+    * published curation-family member q101/q132's LM filters don't
+    * cover): positives = the exemplar source's documents (q107's
+    * convention), negatives = everything else; features = the hashed
+    * uni+bigram buckets of [[hashedFeatsOn]]; per-feature weight = the
+    * whole-bit log-odds of the two add-1-smoothed class likelihoods,
+    *   w(b) = floor(log2 (c_pos+1)) − floor(log2 (c_neg+1))
+    *        + floor(log2 (N_neg+B)) − floor(log2 (N_pos+B))
+    * via length(bin(·)) (the −1s cancel pairwise — the q107 identity),
+    * so training IS two integer aggregates and never forms a cross
+    * product (the L50 overflow discipline: bit lengths of 100-TB counts
+    * stay < 64 where likelihood ratios would not). A doc's score is the
+    * NB log-posterior margin Σ_b cnt·w(b) under equal priors — keep ⟺
+    * score > 0, a pure BIGINT compare.
+    *
+    * Scale shape: ONE corpus-wide shuffle (the compressed feature
+    * table); class counts collapse to ≤ B rows; the weight table is B
+    * rows broadcast back into the per-doc aggregate — the corpus never
+    * shuffles a second time. Returns (doc_id, source, n_feats, score);
+    * release() drops the shared feature cache.
+    */
+  private[graft] def nbScoresOn(docs: DataFrame): (DataFrame, () => Unit) = {
+    val feats = hashedFeatsOn(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cls = feats.groupBy(col("b")).agg(
+      coalesce(sum(when(col("source") === DsirTarget, col("cnt"))), lit(0L))
+        .as("c_pos"),
+      coalesce(sum(when(col("source") =!= DsirTarget, col("cnt"))), lit(0L))
+        .as("c_neg"))
+    val totals = cls.agg(sum(col("c_pos")).as("np0"), sum(col("c_neg")).as("nn0"))
+    val wts = cls.crossJoin(broadcast(totals))
+      .withColumn("w", expr(
+        s"""(CAST(length(bin(c_pos + 1)) AS BIGINT)
+           |   - CAST(length(bin(c_neg + 1)) AS BIGINT))
+           | + (CAST(length(bin(nn0 + $DsirBuckets)) AS BIGINT)
+           |   - CAST(length(bin(np0 + $DsirBuckets)) AS BIGINT))"""
+          .stripMargin))
+      .select(col("b"), col("w"))
+    val scored = feats.join(broadcast(wts), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("w")).as("score"))
+    (scored, () => feats.unpersist(blocking = false))
+  }
+
+  /** q165 report: per-source keep counts under the trained classifier —
+    * the corpus-level view a curation run reads first (which sources
+    * the filter would gut, which pass). n_kept counts score > 0; one
+    * IEEE division per output row for the kept fraction.
+    */
+  private[graft] def nbClassifierPlanOn(docs: DataFrame)
+      : (DataFrame, () => Unit) = {
+    val (scored, release) = nbScoresOn(docs)
+    val out = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("score")).as("total_score"))
+      .withColumn("kept_frac",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+    (out, release)
   }
 
   /** q119 plan builder (un-detached for PlanAuditSpec/ScaleBench).
@@ -3588,6 +3674,52 @@ object LlmEntry {
          |WHERE source <> '$DsirTarget'
          |GROUP BY doc_id, source
          |ORDER BY weight DESC, doc_id LIMIT $DsirTopK""".stripMargin,
+
+    // q165 mirror: identical feature CTEs as q107; class counts via
+    // FILTERed sums, the same bit-length log-odds, the same integer
+    // keep compare; one division per output row, identical sequence
+    "q165_quality_classifier" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, ${tokensDuck("text")} AS tk
+         |  FROM documents),
+         |uni AS (SELECT doc_id, source, unnest(tk) AS g FROM toks),
+         |big AS (
+         |  SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS g
+         |  FROM (SELECT doc_id, source, tk, unnest(range(1, len(tk))) AS i
+         |        FROM toks WHERE len(tk) >= 2)),
+         |feats AS (
+         |  SELECT doc_id, source,
+         |    ${TextOps.rollingHashDuck("g")} % $DsirBuckets AS b,
+         |    count(*) AS cnt
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+         |  GROUP BY doc_id, source, b),
+         |cls AS (
+         |  SELECT b,
+         |    CAST(coalesce(sum(CASE WHEN source = '$DsirTarget'
+         |      THEN cnt END), 0) AS BIGINT) AS c_pos,
+         |    CAST(coalesce(sum(CASE WHEN source <> '$DsirTarget'
+         |      THEN cnt END), 0) AS BIGINT) AS c_neg
+         |  FROM feats GROUP BY b),
+         |totals AS (
+         |  SELECT CAST(sum(c_pos) AS BIGINT) AS np0,
+         |    CAST(sum(c_neg) AS BIGINT) AS nn0 FROM cls),
+         |wts AS (
+         |  SELECT b,
+         |    (${bitsDuck("c_pos + 1")} - ${bitsDuck("c_neg + 1")})
+         |    + (${bitsDuck(s"nn0 + $DsirBuckets")}
+         |       - ${bitsDuck(s"np0 + $DsirBuckets")}) AS w
+         |  FROM cls CROSS JOIN totals),
+         |scored AS (
+         |  SELECT doc_id, source, CAST(sum(cnt * w) AS BIGINT) AS score
+         |  FROM feats JOIN wts USING (b)
+         |  GROUP BY doc_id, source)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN score > 0 THEN 1 END), 0) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(score) AS BIGINT) AS total_score,
+         |  CAST(coalesce(sum(CASE WHEN score > 0 THEN 1 END), 0) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS kept_frac
+         |FROM scored GROUP BY source""".stripMargin,
 
     // q110 mirror: string_agg(... ORDER BY rk) ≡ the array_sort-then-
     // join rendering (rk is unique per term so both orders are total);

@@ -643,4 +643,48 @@ class LlmOpsSpec extends SparkTestBase {
     assert(byId(10L) == 2L)    // ids 0 and 2 below it
     assert(byId(10L + CopyN - 2) == CopyN.toLong) // last copy: all others below
   }
+
+  test("q165 NB classifier: planted on/off-distribution docs — full recall, zero false keeps") {
+    // the supervised-filter contract: train on exemplar-source (src0)
+    // positives vs everything else, then the score's SIGN must separate
+    // planted on-distribution docs (exemplar vocabulary, foreign
+    // source label) from off-distribution ones (disjoint vocabulary) —
+    // recall 1.0 and false-keep 0, deterministic because the
+    // vocabularies are disjoint and the log-odds are whole-bit integers
+    import spark.implicits._
+    val vocabA = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val vocabB = Seq("zork", "quux", "blarg", "fnord", "grue",
+      "wumpus", "xyzzy", "plugh")
+    def doc(words: Seq[String], seed: Int): String =
+      (0 until 12).map(i => words((seed + i * 7) % words.length))
+        .mkString(" ")
+    val corpus = (
+      (0 until 30).map(i => (i.toLong, "src0", doc(vocabA, i))) ++
+      (0 until 40).map(i => ((100 + i).toLong, "src1", doc(vocabB, i))) ++
+      (0 until 10).map(i => ((200 + i).toLong, "eval_on", doc(vocabA, i + 3))) ++
+      (0 until 10).map(i => ((300 + i).toLong, "eval_off", doc(vocabB, i + 3)))
+    ).toDF("doc_id", "source", "text")
+    val (scored, release) = LlmEntry.nbScoresOn(corpus)
+    val rows = scored.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("score")))
+    release()
+    def kept(src: String) = rows.filter(_._2 == src).count(_._3 > 0)
+    def total(src: String) = rows.count(_._2 == src)
+    assert(total("eval_on") == 10 && kept("eval_on") == 10,
+      s"on-distribution recall ${kept("eval_on")}/10")
+    assert(kept("eval_off") == 0,
+      s"off-distribution false keeps: ${kept("eval_off")}/10")
+    // self-consistency: the training positives all classify positive,
+    // the pure-background source all negative
+    assert(kept("src0") == 30 && kept("src1") == 0)
+    // the per-source report aggregates the same decisions
+    val (report, release2) = LlmEntry.nbClassifierPlanOn(corpus)
+    val bySrc = report.collect().map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    release2()
+    assert(bySrc("eval_on") == ((10L, 10L)) && bySrc("eval_off")._2 == 0L)
+    assert(bySrc("src0") == ((30L, 30L)) && bySrc("src1")._2 == 0L)
+  }
 }
