@@ -1636,6 +1636,27 @@ object RelEntry {
         .select(col("id_a"), col("id_b"), col("d2").cast("long").as("d2"))
     }),
 
+    // ---- T67: kNN join (expanding grid rings + rank cut) -----------------
+    "q166_knn_join" -> ((s, d) => {
+      // k-nearest-per-probe over q163's integer point lattice — the
+      // spatial join shape a fixed radius can't emulate when density
+      // varies (SpatialOps.knnJoin: ring-1 dense path settles probes
+      // whose k-th candidate is provably within one cell; only the
+      // sparse tail expands to the full ring horizon). k=5 within
+      // horizon rings·cell = 16000; at sf0.01's density the corpus
+      // genuinely SPLITS across the two paths, so the oracle compare
+      // exercises both and the union seam. The DuckDB mirror runs the
+      // naive all-pairs rank — same answer, |points|² vs
+      // density-bounded candidates is the documented asymmetry. Grid ≡
+      // brute force (ties, negatives, sparse clusters) is
+      // property-tested in GraftProps.
+      val pts = Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        (col("c_custkey") * lit(48271L) % lit(99991L)).as("x"),
+        (col("c_custkey") * lit(69621L) % lit(99991L)).as("y"))
+      SpatialOps.knnJoin(pts, pts, k = 5, cell = 4000L, rings = 4)
+    }),
+
     // ---- T66: snapshot reconciliation (bucket-fingerprint table diff) ---
     "q164_snapshot_diff" -> ((s, d) => {
       // the migration-sign-off / drift-detection operator: classify
@@ -1949,6 +1970,31 @@ object RelEntry {
         |FROM p a JOIN p b ON a.id < b.id
         |WHERE (a.x - b.x) * (a.x - b.x)
         |    + (a.y - b.y) * (a.y - b.y) <= 16000000""".stripMargin,
+
+    // q166 mirror: the NAIVE form — all-pairs distances, horizon filter,
+    // rank per probe; the Spark side's two-phase ring expansion is the
+    // density-bounded path (same answer, tie order (d2, neighbor_id)
+    // pinned on both sides)
+    "q166_knn_join" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    (c_custkey * 48271) % 99991 AS x,
+        |    (c_custkey * 69621) % 99991 AS y
+        |  FROM customer),
+        |cand AS (
+        |  SELECT a.id AS probe_id, b.id AS neighbor_id,
+        |    CAST((a.x - b.x) * (a.x - b.x)
+        |       + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+        |  FROM p a JOIN p b ON a.id <> b.id
+        |  WHERE (a.x - b.x) * (a.x - b.x)
+        |      + (a.y - b.y) * (a.y - b.y) <= 256000000),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, d2,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY d2, neighbor_id) AS BIGINT) AS rk
+        |  FROM cand)
+        |SELECT probe_id, neighbor_id, d2, rk FROM ranked
+        |WHERE rk <= 5""".stripMargin,
 
     // q159 mirror: the TEXTBOOK formulation — x<y<z three-way self-join
     // finds each triangle once, each corner credited via UNION ALL;

@@ -47,6 +47,88 @@ object SpatialOps {
     * rather than wrapping, so the bound is load-bearing, not advisory
     * (microdegrees span ±1.8e8, well inside).
     */
+  /** k nearest neighbors per probe within horizon `rings·cell` — the
+    * OTHER spatial/entity-resolution join shape (q163's radius join
+    * can't emulate it when density varies: a fixed radius floods dense
+    * cells and starves sparse ones; kNN adapts per probe).
+    *
+    * Inputs: `probes`/`hosts` as (id, x, y) integer-coordinate frames
+    * sharing an id namespace (same-id pairs are excluded — pass the
+    * same frame twice for self-kNN). Output: (probe_id, neighbor_id,
+    * d2, rk) with rk ∈ [1, k] ranked by the total order (d2,
+    * neighbor_id) — ties are pinned, reruns and the oracle agree
+    * row-for-row. Contract: the k nearest AMONG hosts within Euclidean
+    * distance ≤ rings·cell (closed ball); probes with fewer neighbors
+    * in the horizon return what exists.
+    *
+    * Expanding-ring mechanics, Spark-shaped (set-based two-phase, no
+    * per-probe iteration):
+    * - **Ring 1 (dense path)**: candidates from the probe's 3×3 cell
+    *   neighborhood, top-k by (d2, neighbor_id) via a rank-filtered
+    *   window — WindowGroupLimit, so a dense city cell costs a k-row
+    *   heap per task, never a full sort. A probe is SETTLED when its
+    *   k-th candidate lies within ONE cell (d² ≤ cell²): every point
+    *   that close is inside the 3×3 by pigeonhole, so ≥ k candidates
+    *   within cell distance exist globally, the true k-th distance is
+    *   ≤ cell, and everything outside the 3×3 is farther than cell —
+    *   the ring-1 top-k IS the global top-k, tie order included.
+    * - **Ring `rings` (sparse remainder)**: only UNSETTLED probes —
+    *   the low-density tail, by construction — re-probe the full
+    *   (2·rings+1)² neighborhood, filter to the horizon ball, same
+    *   rank cut. Complete for the horizon by the same pigeonhole.
+    *
+    * Scale (100 TB): the ×9 (dense) explode rides the narrow probe
+    * side; the ×(2r+1)² explode rides only the sparse tail, whose
+    * per-cell candidate volume is small BECAUSE it is sparse — total
+    * candidate volume stays density-bounded on both paths. The settled
+    * semi/anti joins key on probe_id, aligned with the window's
+    * partitioning. Caller contract: coordinate span < 2³⁰ per axis
+    * (ANSI throws on overflow rather than wrapping).
+    */
+  def knnJoin(probes: DataFrame, hosts: DataFrame, k: Int, cell: Long,
+      rings: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(cell >= 1, s"cell must be >= 1, got $cell")
+    require(rings >= 1, s"rings must be >= 1, got $rings")
+    import org.apache.spark.sql.expressions.Window
+    def fdiv(c: String) = expr(s"($c - pmod($c, ${cell}L)) DIV ${cell}L")
+    val pr = probes.select(col("id").cast("long").as("probe_id"),
+      col("x").cast("long").as("xa"), col("y").cast("long").as("ya"))
+      .withColumn("cx", fdiv("xa")).withColumn("cy", fdiv("ya"))
+    val ho = hosts.select(col("id").cast("long").as("neighbor_id"),
+      col("x").cast("long").as("xb"), col("y").cast("long").as("yb"))
+      .withColumn("pcx", fdiv("xb")).withColumn("pcy", fdiv("yb"))
+    def ringOffsets(r: Int) = array((for { dx <- -r to r; dy <- -r to r }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    def candidates(ps: DataFrame, r: Int) = {
+      val dx = col("xa") - col("xb")
+      val dy = col("ya") - col("yb")
+      ps.withColumn("o", explode(ringOffsets(r)))
+        .select(col("probe_id"), col("xa"), col("ya"),
+          (col("cx") + col("o.dx")).as("pcx"),
+          (col("cy") + col("o.dy")).as("pcy"))
+        .join(ho, Seq("pcx", "pcy"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("d2", dx * dx + dy * dy)
+    }
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    val top1 = candidates(pr, 1)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+    val settled = top1
+      .filter(col("rk") === k && col("d2") <= lit(cell * cell))
+      .select(col("probe_id"))
+    val horizon = cell * rings
+    val out1 = top1.join(settled, Seq("probe_id"), "left_semi")
+    val out2 = candidates(pr.join(settled, Seq("probe_id"), "left_anti"), rings)
+      .filter(col("d2") <= lit(horizon * horizon))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+    val cols = Seq(col("probe_id"), col("neighbor_id"), col("d2"), col("rk"))
+    out1.select(cols: _*).unionByName(out2.select(cols: _*))
+  }
+
   def neighborPairs(points: DataFrame, radius: Long,
       cellSize: Long = 0L): DataFrame = {
     require(radius >= 1, s"radius must be >= 1, got $radius")
