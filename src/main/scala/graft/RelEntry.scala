@@ -261,6 +261,23 @@ object RelEntry {
         col("syyd").cast("double").as("syy"), col("corr_xy"))
   }
 
+  /** The (part, ship-week)-windowed supplier co-supply graph shared by
+    * q159/q167/q168: DISTINCT (part, week, supplier) rows self-joined
+    * on (part, week) — the window is the load-bearing sparsifier (bare
+    * same-part co-supply is near-complete; see q159's comment).
+    */
+  private def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        date_trunc("week", col("l_shipdate")).as("w"), col("l_suppkey"))
+      .distinct()
+    pairs.join(
+        pairs.select(col("l_partkey"), col("w"), col("l_suppkey").as("s2")),
+        Seq("l_partkey", "w"))
+      .filter(col("l_suppkey") < col("s2"))
+      .select(col("l_suppkey").as("src"), col("s2").as("dst"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- as-of join: purchase → latest click by the same user ----------
     "q52_asof_join" -> ((s, d) => {
@@ -1507,18 +1524,39 @@ object RelEntry {
       // Σ deg² (hub-quadratic, fine at oracle scale, fatal at 100 TB).
       // Same answer, different join volume — that asymmetry is the
       // point, and each triangle is found exactly once (no /3 fixup).
-      val pairs = Tables.lineitem(s, d)
-        .select(col("l_partkey"),
-          date_trunc("week", col("l_shipdate")).as("w"), col("l_suppkey"))
-        .distinct()
-      val edges = pairs.join(
-          pairs.select(col("l_partkey"), col("w"),
-            col("l_suppkey").as("s2")),
-          Seq("l_partkey", "w"))
-        .filter(col("l_suppkey") < col("s2"))
-        .select(col("l_suppkey").as("src"), col("s2").as("dst"))
-      GraphOps.triangleCounts(edges)
+      GraphOps.triangleCounts(coSupplyEdges(s, d))
         .select(col("v").as("s_suppkey"), col("deg"), col("n_tri"))
+    }),
+
+    // ---- T68: local clustering coefficient ------------------------------
+    "q167_clustering_coeff" -> ((s, d) => {
+      // q159's (deg, n_tri) completed into the coefficient — the
+      // density-vs-mass graph signal (a hub with many non-adjacent
+      // neighbors scores 0; a clique member scores 1): c(v) =
+      // 2·n_tri/(deg·(deg−1)), ONE exact IEEE division over exact
+      // BIGINTs, NULL where deg < 2 (undefined, not zero). Same
+      // oriented O(m^1.5) wedge join underneath; the DuckDB mirror
+      // runs the naive three-join + the same division.
+      GraphOps.clusteringCoefficients(coSupplyEdges(s, d))
+        .select(col("v").as("s_suppkey"), col("deg"), col("n_tri"),
+          col("coeff"))
+    }),
+
+    // ---- T69: fixed-horizon k-core peeling -------------------------------
+    "q168_kcore" -> ((s, d) => {
+      // k-core membership after a FIXED peel horizon over the co-supply
+      // graph (GraphOps.kCorePeel: driver-orchestrated by engine
+      // restriction — each round aggregates degrees over the recursive
+      // frontier, exactly what UnionLoop rejects; q109's discipline).
+      // k=36 sits INSIDE this near-regular graph's degree distribution,
+      // so peeling genuinely cascades (sf0.01: 100 → 71 → 9 nodes; the
+      // full peel collapses to an EMPTY 36-core — the fragility the
+      // fixed horizon makes observable, and why the horizon is the
+      // contract rather than convergence). The DuckDB mirror unrolls
+      // the same two rounds as CTE stages — identical induced
+      // subgraphs, identical survivor degrees.
+      GraphOps.kCorePeel(coSupplyEdges(s, d), k = 36L, rounds = 2)
+        .select(col("v").as("s_suppkey"), col("deg"))
     }),
 
     // ---- T62: schema-drift union (unionByName + missing columns) --------
@@ -2027,6 +2065,74 @@ object RelEntry {
         |SELECT d.v AS s_suppkey, d.deg,
         |  CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri
         |FROM deg d LEFT JOIN pn ON d.v = pn.v""".stripMargin,
+
+    // q167 mirror: q159's naive triangle join + the one IEEE division
+    // of the coefficient (exact BIGINT operands, correctly rounded the
+    // same on both engines); NULL where deg < 2
+    "q167_clustering_coeff" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, date_trunc('week', l_shipdate) AS w,
+        |    l_suppkey
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b
+        |  FROM ps p1 JOIN ps p2
+        |    ON p1.l_partkey = p2.l_partkey AND p1.w = p2.w
+        |  WHERE p1.l_suppkey < p2.l_suppkey),
+        |deg AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY v),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT x AS v FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri),
+        |pn AS (SELECT v, count(*) AS n_tri FROM corners GROUP BY v)
+        |SELECT d.v AS s_suppkey, d.deg,
+        |  CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    CAST(coalesce(pn.n_tri, 0) * 2 AS DOUBLE)
+        |      / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+        |  END AS coeff
+        |FROM deg d LEFT JOIN pn ON d.v = pn.v""".stripMargin,
+
+    // q168 mirror: the SAME two peel rounds unrolled as CTE stages —
+    // degrees over e0 gate e1, degrees over e1 gate e2, survivors
+    // reported with their e2-induced degrees
+    "q168_kcore" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, date_trunc('week', l_shipdate) AS w,
+        |    l_suppkey
+        |  FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT p1.l_suppkey AS a, p2.l_suppkey AS b
+        |  FROM ps p1 JOIN ps p2
+        |    ON p1.l_partkey = p2.l_partkey AND p1.w = p2.w
+        |  WHERE p1.l_suppkey < p2.l_suppkey),
+        |d0 AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+        |  GROUP BY v),
+        |k0 AS (SELECT v FROM d0 WHERE deg >= 36),
+        |e1 AS (
+        |  SELECT e.a, e.b FROM e0 e
+        |  JOIN k0 x ON e.a = x.v JOIN k0 y ON e.b = y.v),
+        |d1 AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT a AS v FROM e1 UNION ALL SELECT b AS v FROM e1)
+        |  GROUP BY v),
+        |k1 AS (SELECT v FROM d1 WHERE deg >= 36),
+        |e2 AS (
+        |  SELECT e.a, e.b FROM e1 e
+        |  JOIN k1 x ON e.a = x.v JOIN k1 y ON e.b = y.v)
+        |SELECT v AS s_suppkey, count(*) AS deg FROM (
+        |  SELECT a AS v FROM e2 UNION ALL SELECT b AS v FROM e2)
+        |GROUP BY v""".stripMargin,
 
     // q157 mirror: identical text modulo the view name
     "q157_bag_setops" ->

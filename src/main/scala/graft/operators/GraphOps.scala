@@ -146,4 +146,73 @@ object GraphOps {
       .select(col("v"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Local clustering coefficient per node — [[triangleCounts]] plus
+    * the one exact IEEE division the coefficient is:
+    * c(v) = 2·n_tri(v) / (deg(v)·(deg(v)−1)), NULL where deg < 2 (the
+    * denominator vanishes; the coefficient is undefined, and NULL says
+    * so louder than a sentinel 0 would — a degree-1 node is not
+    * "perfectly unclustered"). Both operands are exact BIGINTs, so the
+    * single correctly-rounded division is bit-identical cross-engine.
+    * Output: (v, deg, n_tri, coeff).
+    */
+  def clusteringCoefficients(edges0: DataFrame): DataFrame =
+    triangleCounts(edges0).withColumn("coeff",
+      when(col("deg") >= 2L, (col("n_tri") * 2L).cast("double") /
+        (col("deg") * (col("deg") - 1L)).cast("double")))
+
+  /** Fixed-horizon k-core peeling: `rounds` applications of
+    * G_{i+1} = subgraph of G_i induced on {v : deg_{G_i}(v) ≥ k},
+    * returning (v, deg) over the FINAL edge set — the standard
+    * link-graph curation signal (a crawl host's k-core membership is a
+    * spam/quality prior the PageRank tier doesn't capture: cores
+    * require mutual density, not just inbound mass).
+    *
+    * The horizon is FIXED, not convergence-tested — q109's discipline:
+    * the result is a pure function of (edges, k, rounds), which is
+    * what lets DuckDB mirror it as `rounds` unrolled CTE stages and
+    * keeps runtimes predictable (full peeling is data-dependently deep;
+    * a production run picks the horizon and reads the survivor curve).
+    * Peeling is DRIVER-orchestrated by engine restriction, like q109:
+    * WITH RECURSIVE cannot aggregate over the recursive reference
+    * (INVALID_RECURSIVE_REFERENCE, contract-pinned in EdgeCaseSpec),
+    * and each round needs exactly that — degrees over the shrinking
+    * edge set.
+    *
+    * Scale (100 TB): per round one map-side-combined degree aggregate
+    * plus two semi-joins keyed on node ids — everything
+    * shuffle-partitioned and GROWING WITH THE DATA, nothing collected
+    * or broadcast; the edge set only shrinks. The q71/q109 iteration
+    * discipline applies verbatim: persist per round, unpersist the
+    * previous, localCheckpoint the result so downstream plans don't
+    * replay `rounds` join rounds of lineage.
+    */
+  def kCorePeel(edges0: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def degrees(e: DataFrame) =
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    var e = edges0.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct().persist(lvl)
+    var it = 0
+    while (it < rounds) {
+      val keep = degrees(e).filter(col("deg") >= k)
+      val next = e
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .persist(lvl)
+      next.count() // materialize before dropping the parent round
+      e.unpersist(blocking = false)
+      e = next
+      it += 1
+    }
+    val out = degrees(e).localCheckpoint(eager = true)
+    e.unpersist(blocking = false)
+    out
+  }
 }

@@ -534,6 +534,32 @@ object GraftProps extends Properties("graft") {
       Prop(got == want) :| s"got $got want $want"
     }
 
+  // fixed-horizon k-core peel ≡ in-memory recurrence — on the same
+  // adversarial multigraphs (hubs, dups, self-loops); k inside the
+  // small-graph degree range so rounds genuinely remove nodes, horizon
+  // 1–3 so mid-cascade states (not just fixpoints) are compared
+  private val genCoreCase: Gen[(List[(Long, Long)], Long, Int)] = for {
+    es <- genTriEdges
+    k <- Gen.choose(1L, 4L)
+    rounds <- Gen.choose(1, 3)
+  } yield (es, k, rounds)
+
+  property("fixed-horizon k-core peel equals in-memory recurrence") =
+    forAll(genCoreCase) { case (es, k, rounds) =>
+      var simple = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      for (_ <- 1 to rounds) {
+        val deg = simple.toSeq.flatMap(t => Seq(t._1, t._2))
+          .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+        simple = simple.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+      }
+      val want = simple.toSeq.flatMap(t => Seq(t._1, t._2))
+        .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+      val got = GraphOps.kCorePeel(es.toDF("src", "dst"), k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Prop(got == want) :| s"k=$k rounds=$rounds got $got want $want"
+    }
+
   // grid-banded spatial neighbor join ≡ brute-force all-pairs — on
   // point sets with NEGATIVE coordinates (floor- vs truncating-division
   // bucketing diverges exactly there), duplicate coordinates (d² = 0),
