@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{GraphOps, LayoutOps, ReconcileOps, SpatialOps, TemporalOps}
+import graft.operators.{GraphOps, LayoutOps, ReconcileOps, SpatialOps,
+  TemporalOps, TextOps}
 
 /** Relational/temporal engine-completeness queries (q52+): as-of join,
   * bucketed range join, ROLLUP, pivot, gap sessionization, deterministic
@@ -39,6 +40,8 @@ object RelEntry {
   private[graft] val HistW = 4.0
   // q131 skipping layout: 16 range-clustered files; the query band is
   // ~1/10 of the value range so pruning has room to show
+  private val TfChunkTokens = 60  // q169 table-function chunk window
+  private val TfChunkStride = 30  // q169 stride (differs from q60's 40/50)
   private val SkipFiles = 16
   private val SkipLo = 40.0
   private val SkipHi = 90.0
@@ -1559,6 +1562,41 @@ object RelEntry {
         .select(col("v").as("s_suppkey"), col("deg"))
     }),
 
+    // ---- T70: SQL TABLE functions (CREATE FUNCTION ... RETURNS TABLE) ---
+    "q169_table_function" -> ((s, d) => {
+      // the table-valued half of q152's registry tier: a SQL-language
+      // UDTF (Spark 4) whose body is a full query — here the house
+      // chunk-grid reshape (one row per stride start, the q60 chunker's
+      // generator) — invoked CORRELATED via LATERAL against each doc's
+      // token count. Like the scalar tier, the body INLINES into the
+      // plan at analysis: no opaque eval node, the generator fuses into
+      // the lateral join exactly as if written longhand (PlanAuditSpec
+      // machine-asserts: a Generate/explode node present, no
+      // ScalaUDF/InvokeLike, plan ≡ the longhand's shape). Stride 30 /
+      // window 60 deliberately differ from q60's 40/50 so the two
+      // results stay distinguishable. Oracle: the longhand
+      // generate_series form — which is what "inlined" means.
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_chunk_grid(n BIGINT)
+           |RETURNS TABLE (chunk_id BIGINT, start BIGINT)
+           |RETURN SELECT CAST((s - 1) DIV $TfChunkStride AS BIGINT)
+           |    AS chunk_id,
+           |  CAST(s AS BIGINT) AS start
+           |FROM (SELECT explode(sequence(1, n, $TfChunkStride)) AS s)"""
+          .stripMargin)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(TextOps.tokensSpark("text")).as("toks"))
+        .createOrReplaceTempView("graft_q169_toks")
+      s.sql(
+        s"""SELECT t.doc_id, g.chunk_id, g.start,
+           |  CAST(size(slice(t.toks, CAST(g.start AS INT), $TfChunkTokens))
+           |    AS BIGINT) AS n_chunk_tokens,
+           |  md5(array_join(slice(t.toks, CAST(g.start AS INT),
+           |    $TfChunkTokens), ' ')) AS chunk_md5
+           |FROM graft_q169_toks t,
+           |  LATERAL graft_chunk_grid(size(t.toks)) g""".stripMargin)
+    }),
+
     // ---- T62: schema-drift union (unionByName + missing columns) --------
     "q160_union_by_name" -> ((s, d) => {
       // the corpus-snapshot reality q68's mergeSchema covers at the
@@ -2133,6 +2171,25 @@ object RelEntry {
         |SELECT v AS s_suppkey, count(*) AS deg FROM (
         |  SELECT a AS v FROM e2 UNION ALL SELECT b AS v FROM e2)
         |GROUP BY v""".stripMargin,
+
+    // q169 mirror: the LONGHAND form of the table function — the grid
+    // generator written out as generate_series+unnest, which is what
+    // "the UDTF body inlines" means semantically
+    "q169_table_function" ->
+      s"""SELECT doc_id,
+         |  CAST((start - 1) // $TfChunkStride AS BIGINT) AS chunk_id,
+         |  CAST(start AS BIGINT) AS start,
+         |  CAST(len(list_slice(toks, start,
+         |    least(start + ${TfChunkTokens - 1}, n))) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  md5(array_to_string(list_slice(toks, start,
+         |    least(start + ${TfChunkTokens - 1}, n)), ' ')) AS chunk_md5
+         |FROM (
+         |  SELECT doc_id, toks, n,
+         |         unnest(generate_series(1, n, $TfChunkStride)) AS start
+         |  FROM (SELECT doc_id, ${TextOps.tokensDuck("text")} AS toks,
+         |               len(${TextOps.tokensDuck("text")}) AS n
+         |        FROM documents))""".stripMargin,
 
     // q157 mirror: identical text modulo the view name
     "q157_bag_setops" ->

@@ -157,6 +157,28 @@ class PlanAuditSpec extends SparkTestBase {
       s"q152's aggregate fell out of whole-stage codegen:\n${plan.take(900)}")
   }
 
+  test("q169: SQL TABLE function inlines — generator fused, no opaque node") {
+    // the T70 half of the registry claim: a CREATE FUNCTION ... RETURNS
+    // TABLE body (a full query) invoked via correlated LATERAL must
+    // inline to the same plan shape the longhand generator would get —
+    // a Generate/explode node over sequence(), fused with the outer
+    // scan; no opaque UDTF eval node, no ScalaUDF/Invoke, no extra join
+    // machinery beyond the lateral Generate itself
+    val df = SparkEntry.queries("q169_table_function")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") && plan.contains("sequence("),
+      s"q169's table-function body did not inline to a generator:\n${
+        plan.take(900)}")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Invoke") &&
+           !plan.contains("BatchEvalPython"),
+      s"q169 has an opaque eval node:\n${plan.take(900)}")
+    // the lateral correlation resolved to a plain generator, not a join
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"q169's lateral fell back to a join:\n${plan.take(900)}")
+  }
+
   test("q136–q139: correlated subqueries decorrelate to joins, never re-execute per row") {
     // the T42–T44 engine claim: WHERE EXISTS / NOT EXISTS / IN compile
     // to semi/anti joins and a correlated scalar subquery to an
