@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-swap publication over plain parquet — the atomic
+  * MULTI-partition commit [[PartitionedSink]] documents as its missing
+  * production upgrade: `upsertPartitions` / `compactPartitions` are
+  * idempotent per partition, but a reader racing a half-done job can
+  * see mixed old/new partitions. Here readers never resolve the file
+  * list from the directory at all — they resolve it through ONE
+  * manifest, and the manifest changes by a single atomic rename, so a
+  * multi-file write/compaction flips all-or-nothing (the lakehouse
+  * table-format construction — Iceberg/Delta's snapshot pointer —
+  * minus the format dependency).
+  *
+  * Layout under the table root:
+  *  - `data-<uuid>/part-*.parquet` — immutable staged data dirs; every
+  *    job writes a FRESH dir (Spark's own task-commit protocol handles
+  *    task retries inside it), so concurrent readers of the previous
+  *    snapshot never observe files changing underneath them.
+  *  - `_manifests/manifest-<v>` — one relative file path per line; the
+  *    snapshot at version v. Written as a dot-temp then RENAMED into
+  *    place: readers see a complete manifest or none. The CURRENT
+  *    snapshot is the highest v — no mutable pointer file exists, so
+  *    nothing is ever updated in place.
+  *
+  * Commit protocol: stage files → write manifest-(maxV+1) by rename.
+  * A job that dies mid-stage leaves orphan data files and NO new
+  * manifest — the old snapshot stays live and readable (the abort leg
+  * CompactionSpec pins). Orphans and superseded snapshots' files are
+  * reclaimed by [[vacuum]], the explicitly separate maintenance pass —
+  * deletion is decoupled from publication precisely so in-flight
+  * readers of older snapshots finish safely.
+  *
+  * Concurrency: HDFS rename-without-overwrite makes manifest creation
+  * a compare-and-swap — of two racing committers one loses the rename
+  * and retries at the next version. Local-filesystem rename overwrites
+  * (POSIX), so multi-writer safety needs HDFS/object-store semantics;
+  * single-writer is assumed on local FS (test scale).
+  *
+  * Scale: the manifest is |files| lines on the driver — manifest-sized
+  * by definition (the q131 argument); data never routes through it.
+  */
+object ManifestedTable {
+
+  private val ManifestDir = "_manifests"
+  private val ManifestPrefix = "manifest-"
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** (version, path) of every committed manifest, ascending. */
+  private def manifestVersions(fs: FileSystem, root: Path): Seq[(Long, Path)] = {
+    val mdir = new Path(root, ManifestDir)
+    if (!fs.exists(mdir)) Nil
+    else fs.listStatus(mdir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
+      .flatMap { s =>
+        scala.util.Try(
+          s.getPath.getName.stripPrefix(ManifestPrefix).toLong).toOption
+          .map(_ -> s.getPath)
+      }.sortBy(_._1)
+  }
+
+  private def readManifest(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var r = in.read(buf)
+      while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+        .split('\n').toSeq.filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** Current snapshot's relative file paths (empty table ⇒ empty list;
+    * NO manifest at all ⇒ error — an unpublished dir is not a table).
+    */
+  def currentFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val vs = manifestVersions(fs, new Path(dir))
+    require(vs.nonEmpty, s"no committed manifest under $dir")
+    readManifest(fs, vs.last._2)
+  }
+
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val fs = fsOf(spark, dir)
+    manifestVersions(fs, new Path(dir)).lastOption.map(_._1).getOrElse(0L)
+  }
+
+  /** CAS-commit `files` as the next snapshot; returns its version. */
+  private def commit(fs: FileSystem, root: Path, files: Seq[String]): Long = {
+    val mdir = new Path(root, ManifestDir)
+    fs.mkdirs(mdir)
+    val body = files.mkString("", "\n", if (files.isEmpty) "" else "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    var attempt = 0
+    while (attempt < 64) {
+      val v = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(0L) + 1
+      val tmp = new Path(mdir,
+        s".$ManifestPrefix$v.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      val fin = new Path(mdir, f"$ManifestPrefix$v%06d")
+      // rename-without-overwrite = compare-and-swap on HDFS: a racing
+      // committer that claimed v first makes this rename fail → retry
+      if (!fs.exists(fin) && fs.rename(tmp, fin)) return v
+      fs.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"manifest commit lost the version race 64 times under $root")
+  }
+
+  private def stageFiles(df: DataFrame, root: Path,
+      fs: FileSystem): Seq[String] = {
+    val stage = s"data-${java.util.UUID.randomUUID()}"
+    df.write.parquet(new Path(root, stage).toString)
+    fs.listStatus(new Path(root, stage)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$stage/${s.getPath.getName}").sorted
+  }
+
+  /** Publish `df` as the table's next snapshot. `overwrite = false`
+    * appends: the new snapshot = previous files ++ staged files. The
+    * table only changes at the final manifest rename — a reader sees
+    * the old snapshot or the new one, never a mixture, regardless of
+    * how many files/partitions the job wrote.
+    */
+  def write(df: DataFrame, dir: String, overwrite: Boolean = true): Long = {
+    val spark = df.sparkSession
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(root)
+    val staged = stageFiles(df, root, fs)
+    val prior =
+      if (overwrite) Nil
+      else manifestVersions(fs, root).lastOption
+        .map(v => readManifest(fs, v._2)).getOrElse(Nil)
+    commit(fs, root, prior ++ staged)
+  }
+
+  /** Read the current snapshot — by manifest, never by listing: orphan
+    * files (aborted jobs, in-flight stages, superseded snapshots) are
+    * invisible by construction.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = currentFiles(spark, dir)
+    require(files.nonEmpty, s"manifested table $dir is empty — " +
+      "schemaless empty reads are not supported")
+    val root = new Path(dir)
+    spark.read.parquet(files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** ATOMIC compaction: rewrite the current snapshot into
+    * ceil(bytes/targetFileBytes) files staged in a fresh dir, then one
+    * manifest rename swaps the whole table — the upgrade over
+    * [[PartitionedSink.compactPartitions]]'s documented mid-swap
+    * window. A no-op (already compact) commits nothing. Old files stay
+    * until [[vacuum]] so readers mid-scan on the previous snapshot
+    * finish cleanly.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val files = currentFiles(spark, dir)
+    val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+    val needed =
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (files.size <= needed) return currentVersion(spark, dir)
+    val compacted = read(spark, dir).repartition(needed)
+    val staged = stageFiles(compacted, root, fs)
+    commit(fs, root, staged)
+  }
+
+  /** Reclaim files no snapshot ≥ the current one references: orphans
+    * from aborted stages and data superseded by overwrite/compaction,
+    * plus all manifests but the latest (history retention is a policy
+    * knob real table formats add; this keeps exactly one snapshot).
+    * Returns the number of data files deleted. Run OUT-OF-BAND — the
+    * separation of publication (atomic, instant) from deletion (lazy,
+    * maintenance) is what makes racing readers safe.
+    */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val vs = manifestVersions(fs, root)
+    require(vs.nonEmpty, s"no committed manifest under $dir")
+    val live = readManifest(fs, vs.last._2).toSet
+    var deleted = 0
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
+      .foreach { d =>
+        val stage = d.getPath.getName
+        fs.listStatus(d.getPath).toSeq.filter(_.isFile).foreach { f =>
+          val rel = s"$stage/${f.getPath.getName}"
+          val keep = live.contains(rel) ||
+            f.getPath.getName.startsWith("_") // Spark's _SUCCESS markers
+          if (!keep) { fs.delete(f.getPath, false); deleted += 1 }
+        }
+        if (fs.listStatus(d.getPath).forall(s =>
+            s.getPath.getName.startsWith("_")))
+          fs.delete(d.getPath, true)
+      }
+    vs.dropRight(1).foreach(v => fs.delete(v._2, false))
+    deleted
+  }
+}

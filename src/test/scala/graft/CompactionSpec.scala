@@ -191,4 +191,75 @@ class CompactionSpec extends SparkTestBase {
     assert(got.filesAfter === 2,
       s"expected ceil bin-packing to 2 files for $part, got $got")
   }
+
+  test("manifested table: multi-file commits flip all-or-nothing; abort leaves the old snapshot live") {
+    // the atomic upgrade over compactPartitions' documented mid-swap
+    // window: readers resolve the file list through ONE rename-swapped
+    // manifest, never by listing — so a multi-file overwrite,
+    // compaction, or aborted job can never show a mixed table
+    import graft.sources.ManifestedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mani").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    val v1 = ev.filter(col("event_id") < 300)
+    val v2 = ev.filter(col("event_id") >= 300 && col("event_id") < 500)
+
+    // overwrite publishes, append unions — each via one manifest rename
+    ManifestedTable.write(v1.repartition(6), dir, overwrite = true)
+    assert(ManifestedTable.read(spark, dir).count() == v1.count())
+    ManifestedTable.write(v2.repartition(3), dir, overwrite = false)
+    assert(ManifestedTable.read(spark, dir).count() == v1.count() + v2.count())
+
+    // all-or-nothing evidence: a rogue parquet file landed in the table
+    // dir (an aborted/foreign writer) is INVISIBLE — reads resolve only
+    // through the manifest
+    val rogue = new java.io.File(dir, "data-rogue")
+    v1.limit(10).coalesce(1).write.parquet(rogue.toString)
+    assert(ManifestedTable.read(spark, dir).count() == v1.count() + v2.count(),
+      "a file outside the manifest leaked into the snapshot")
+
+    // abort leg: a job that dies mid-stage writes NO manifest — the old
+    // snapshot stays live and byte-identical
+    val vBefore = ManifestedTable.currentVersion(spark, dir)
+    val before = ManifestedTable.read(spark, dir)
+      .orderBy("event_id").collect().toSeq
+    intercept[Exception] {
+      ManifestedTable.write(
+        v1.withColumn("event_id",
+          expr("CASE WHEN event_id = 100 THEN " +
+            "CAST(assert_true(false, 'boom') AS BIGINT) ELSE event_id END")),
+        dir, overwrite = true)
+    }
+    assert(ManifestedTable.currentVersion(spark, dir) == vBefore,
+      "an aborted job advanced the snapshot version")
+    assert(ManifestedTable.read(spark, dir)
+      .orderBy("event_id").collect().toSeq == before,
+      "an aborted job changed the visible table")
+
+    // atomic compaction: one rename swaps the whole rewrite; rows exact
+    val filesBefore = ManifestedTable.currentFiles(spark, dir).size
+    assert(filesBefore >= 9)
+    ManifestedTable.compact(spark, dir, targetFileBytes = 1L << 30)
+    val filesAfter = ManifestedTable.currentFiles(spark, dir).size
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    assert(ManifestedTable.read(spark, dir)
+      .orderBy("event_id").collect().toSeq == before)
+
+    // vacuum reclaims superseded + orphan + rogue-stage files; the
+    // current snapshot still reads exactly
+    val deleted = ManifestedTable.vacuum(spark, dir)
+    assert(deleted > 0)
+    assert(ManifestedTable.read(spark, dir)
+      .orderBy("event_id").collect().toSeq == before)
+    // nothing unreferenced survives: every remaining data file is in
+    // the live manifest
+    val live = ManifestedTable.currentFiles(spark, dir).toSet
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+    val leftovers = walk(new java.io.File(dir))
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => new java.io.File(dir).toPath.relativize(f.toPath).toString)
+      .filterNot(live)
+    assert(leftovers.isEmpty, s"vacuum left unreferenced data: $leftovers")
+  }
 }
