@@ -285,7 +285,20 @@ object ScaleBench {
     // constant-size while the fingerprint pass grows with the scan:
     // the incremental-diff claim (cost ~ scan + drift, not ~ full
     // outer join) is exactly what the curve should show, β ~ scan
-    "q164_snapshot_diff")
+    "q164_snapshot_diff",
+    // q165: NB classifier — documents replicate m×, so the feature
+    // table, class counts, and per-doc score aggregate all grow
+    // linearly; the B-row weight table is constant. β ~ 1 is the claim
+    "q165_quality_classifier",
+    // q166: kNN join — replication DENSIFIES the fixed lattice (the
+    // q163 caveat), with two honest consequences the curve should
+    // show: output stays m-LINEAR (k per probe), but ring-1 candidate
+    // volume is probes × cell occupancy ∝ m² — the real cost model of
+    // grid kNN under densification (a production run shrinks the cell
+    // with density; the cell size here is fixture-fixed). Expect β
+    // between 1 (output) and 2 (candidates); the dense path also
+    // settles MORE probes as density rises, starving the sparse leg
+    "q166_knn_join")
     // q159 (triangles) has NO cell by construction — like q154: the
     // part dim is unreplicated, so scaledLineitem strides l_suppkey but
     // not l_partkey, and the co-supply graph DENSIFIES quadratically
@@ -295,6 +308,12 @@ object ScaleBench {
     // cores on an m²-dense blob). The operator's own scale argument is
     // the orientation bound in GraphOps.triangleCounts' scaladoc,
     // property-tested on hub-planted graphs in GraftProps.
+    // q167/q168 (clustering coefficient, k-core) run on the SAME
+    // co-supply graph and inherit the same exclusion: their cells
+    // would measure the m²-dense fixture blob, not the operators
+    // (q167 adds one projection to q159; q168's per-round cost is a
+    // degree aggregate + two semi-joins on whatever edge set it is
+    // given — linear in |E| by plan shape).
 
   private[graft] val IdStride = 1000000L
 

@@ -47,7 +47,14 @@ object SpatialOps {
     * rather than wrapping, so the bound is load-bearing, not advisory
     * (microdegrees span ±1.8e8, well inside).
     */
-  /** k nearest neighbors per probe within horizon `rings·cell` — the
+  /** Sparse-path explode width cap for [[knnJoin]]: the auto-grid
+    * never picks a cell smaller than horizon/MaxKnnRings, so the
+    * unsettled-probe neighborhood is at most (2·16+1)² = 1089 cells —
+    * bounded fan-out on a path that only the low-density tail takes.
+    */
+  val MaxKnnRings = 16
+
+  /** k nearest neighbors per probe within Euclidean `horizon` — the
     * OTHER spatial/entity-resolution join shape (q163's radius join
     * can't emulate it when density varies: a fixed radius floods dense
     * cells and starves sparse ones; kNN adapts per probe).
@@ -57,12 +64,26 @@ object SpatialOps {
     * same frame twice for self-kNN). Output: (probe_id, neighbor_id,
     * d2, rk) with rk ∈ [1, k] ranked by the total order (d2,
     * neighbor_id) — ties are pinned, reruns and the oracle agree
-    * row-for-row. Contract: the k nearest AMONG hosts within Euclidean
-    * distance ≤ rings·cell (closed ball); probes with fewer neighbors
-    * in the horizon return what exists.
+    * row-for-row. Contract: the k nearest AMONG hosts within distance
+    * ≤ `horizon` (closed ball); probes with fewer neighbors in the
+    * horizon return what exists. The contract names ONLY (k, horizon)
+    * — the grid underneath is pure implementation, so the answer never
+    * depends on how the space was cut.
+    *
+    * Grid choice: with `cellSize = 0` (the default) the cell is sized
+    * FROM DATA DENSITY — one bounded 1-row stats aggregate (count +
+    * extent) picks cell ≈ √(2k·area/n), i.e. ~2k hosts per cell, then
+    * clamps into [horizon/MaxKnnRings, horizon]. That makes ring-1
+    * candidate volume ≈ 9·2k·|probes| REGARDLESS of density — a 16×
+    * densified corpus re-grids finer instead of paying 16× per probe
+    * (measured: the fixed-cell form scaled at β ≈ 1.9 under ScaleBench
+    * densification — candidate volume ∝ n·density; auto-gridding is
+    * the production answer, and the expected ball(cell) occupancy
+    * ≈ π·2k ≫ k keeps the dense path's settle rate high). An explicit
+    * `cellSize` overrides (tests pin both paths).
     *
     * Expanding-ring mechanics, Spark-shaped (set-based two-phase, no
-    * per-probe iteration):
+    * per-probe iteration), rings = ceil(horizon/cell):
     * - **Ring 1 (dense path)**: candidates from the probe's 3×3 cell
     *   neighborhood, top-k by (d2, neighbor_id) via a rank-filtered
     *   window — WindowGroupLimit, so a dense city cell costs a k-row
@@ -70,26 +91,31 @@ object SpatialOps {
     *   k-th candidate lies within ONE cell (d² ≤ cell²): every point
     *   that close is inside the 3×3 by pigeonhole, so ≥ k candidates
     *   within cell distance exist globally, the true k-th distance is
-    *   ≤ cell, and everything outside the 3×3 is farther than cell —
-    *   the ring-1 top-k IS the global top-k, tie order included.
+    *   ≤ cell ≤ horizon, and everything outside the 3×3 is farther
+    *   than cell — the ring-1 top-k IS the horizon-contract top-k,
+    *   tie order included.
     * - **Ring `rings` (sparse remainder)**: only UNSETTLED probes —
     *   the low-density tail, by construction — re-probe the full
     *   (2·rings+1)² neighborhood, filter to the horizon ball, same
-    *   rank cut. Complete for the horizon by the same pigeonhole.
+    *   rank cut. Complete for the horizon by pigeonhole
+    *   (rings·cell ≥ horizon).
     *
     * Scale (100 TB): the ×9 (dense) explode rides the narrow probe
     * side; the ×(2r+1)² explode rides only the sparse tail, whose
-    * per-cell candidate volume is small BECAUSE it is sparse — total
-    * candidate volume stays density-bounded on both paths. The settled
-    * semi/anti joins key on probe_id, aligned with the window's
-    * partitioning. Caller contract: coordinate span < 2³⁰ per axis
-    * (ANSI throws on overflow rather than wrapping).
+    * per-cell candidate volume is small BECAUSE it is sparse — with
+    * auto-gridding, total candidate volume stays ~k·|probes| at any
+    * density. The settled semi/anti joins key on probe_id, aligned
+    * with the window's partitioning. Caller contract: coordinate span
+    * < 2³⁰ per axis (ANSI throws on overflow rather than wrapping).
     */
-  def knnJoin(probes: DataFrame, hosts: DataFrame, k: Int, cell: Long,
-      rings: Int = 4): DataFrame = {
+  def knnJoin(probes: DataFrame, hosts: DataFrame, k: Int, horizon: Long,
+      cellSize: Long = 0L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(cell >= 1, s"cell must be >= 1, got $cell")
-    require(rings >= 1, s"rings must be >= 1, got $rings")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(cellSize <= horizon,
+      s"cell $cellSize > horizon $horizon would skip the ring-1 settle")
+    val cell = if (cellSize > 0L) cellSize else autoCell(hosts, k, horizon)
+    val rings = ((horizon + cell - 1L) / cell).toInt
     import org.apache.spark.sql.expressions.Window
     def fdiv(c: String) = expr(s"($c - pmod($c, ${cell}L)) DIV ${cell}L")
     val pr = probes.select(col("id").cast("long").as("probe_id"),
@@ -119,7 +145,6 @@ object SpatialOps {
     val settled = top1
       .filter(col("rk") === k && col("d2") <= lit(cell * cell))
       .select(col("probe_id"))
-    val horizon = cell * rings
     val out1 = top1.join(settled, Seq("probe_id"), "left_semi")
     val out2 = candidates(pr.join(settled, Seq("probe_id"), "left_anti"), rings)
       .filter(col("d2") <= lit(horizon * horizon))
@@ -127,6 +152,27 @@ object SpatialOps {
       .filter(col("rk") <= k)
     val cols = Seq(col("probe_id"), col("neighbor_id"), col("d2"), col("rk"))
     out1.select(cols: _*).unionByName(out2.select(cols: _*))
+  }
+
+  /** Density-derived grid cell for [[knnJoin]]: ~2k hosts per cell,
+    * clamped into [ceil(horizon/MaxKnnRings), horizon]. The stats
+    * aggregate is ONE row collected on the driver — bounded by
+    * construction (count + 4 extremes), the q131 kind of scalar.
+    */
+  private def autoCell(hosts: DataFrame, k: Int, horizon: Long): Long = {
+    val r = hosts.select(col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("x0"),
+        max(col("x")).as("x1"), min(col("y")).as("y0"),
+        max(col("y")).as("y1"))
+      .head()
+    val lo = (horizon + MaxKnnRings - 1L) / MaxKnnRings
+    if (r.getLong(0) == 0L) return horizon
+    val n = r.getLong(0).toDouble
+    val area = (r.getLong(2) - r.getLong(1) + 1L).toDouble *
+      (r.getLong(4) - r.getLong(3) + 1L).toDouble
+    val ideal = math.ceil(math.sqrt(2.0 * k * area / n)).toLong
+    math.min(horizon, math.max(ideal, lo))
   }
 
   def neighborPairs(points: DataFrame, radius: Long,

@@ -594,22 +594,24 @@ object GraftProps extends Properties("graft") {
   // generator's density spread makes some probes settle on the ring-1
   // dense path (k-th within one cell) and others fall to the ring-R
   // sparse expansion, so the property exercises both paths, the union
-  // seam, tie distances (duplicate coordinates), and negatives
-  private val genKnn: Gen[(List[(Long, Long, Long)], Int, Long, Int)] = for {
+  // seam, tie distances (duplicate coordinates), and negatives; cell
+  // 0 exercises the density-derived auto-grid, explicit cells pin the
+  // manual path — the answer must depend on (k, horizon) alone
+  private val genKnn: Gen[(List[(Long, Long, Long)], Int, Long, Long)] = for {
     n <- Gen.choose(2, 22)
     k <- Gen.choose(1, 4)
-    cell <- Gen.choose(2L, 8L)
-    rings <- Gen.choose(1, 3)
+    horizon <- Gen.choose(2L, 24L)
+    cell <- Gen.oneOf(Gen.const(0L), Gen.choose(1L, horizon))
     ps <- Gen.listOfN(n, for {
       x <- Gen.choose(-20L, 20L)
       y <- Gen.choose(-20L, 20L)
     } yield (x, y))
   } yield (ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) },
-    k, cell, rings)
+    k, horizon, cell)
 
   property("kNN join equals brute-force horizon rank (both paths, ties)") =
-    forAll(genKnn) { case (pts, k, cell, rings) =>
-      val h2 = (cell * rings) * (cell * rings)
+    forAll(genKnn) { case (pts, k, horizon, cell) =>
+      val h2 = horizon * horizon
       val want = pts.flatMap { case (i, x, y) =>
         pts.collect { case (j, xj, yj) if j != i &&
             (x - xj) * (x - xj) + (y - yj) * (y - yj) <= h2 =>
@@ -618,9 +620,10 @@ object GraftProps extends Properties("graft") {
           .zipWithIndex.map { case ((j, d2), r) => (i, j, d2, r + 1L) }
       }.toSet
       val df = pts.toDF("id", "x", "y")
-      val got = SpatialOps.knnJoin(df, df, k, cell, rings)
+      val got = SpatialOps.knnJoin(df, df, k, horizon, cell)
         .collect().map(row => (row.getLong(0), row.getLong(1),
           row.getLong(2), row.getLong(3))).toSet
-      Prop(got == want) :| s"k=$k cell=$cell rings=$rings got $got want $want"
+      Prop(got == want) :| s"k=$k horizon=$horizon cell=$cell " +
+        s"got $got want $want"
     }
 }
