@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{DedupOps, MultimodalOps, ShardedWindows, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, MultimodalOps, SetJoinOps, ShardedWindows, SimilarityOps, TextOps}
 
 /** LLM-training-data-pipeline queries (q27+) over the `documents` and
   * `embeddings` tables: text analysis, dedup (exact / MinHash-LSH /
@@ -20,6 +20,10 @@ object LlmEntry {
   import TextOps._
 
   private val JaccardThreshold = 0.6
+  /** q170 exact-join threshold as a rational (= [[JaccardThreshold]]) so
+    * the keep test is a pure integer compare in both engines. */
+  private val SetSimTNum = 3L
+  private val SetSimTDen = 5L
   private val TopK = 10
   private val LshK = 5
   private val ProbeN = 10         // probe set: vec_id < ProbeN
@@ -476,6 +480,22 @@ object LlmEntry {
 
     "q37_simhash" -> ((s, d) =>
       TextOps.simhashSpark(DedupOps.corpus(Tables.documents(s, d)), "doc_id", "text")),
+
+    // ---- exact set-similarity join (prefix filter) ----------------------
+    "q170_setsim_join" -> ((s, d) => {
+      // The EXACT counterpart of q34–q36's MinHash-LSH: same shingle
+      // sets, but candidates come from the prefix-filter theorem
+      // (recall 1 by construction) instead of probabilistic banding —
+      // see [[SetJoinOps.similarPairs]] for the lemma and the
+      // rare-first ordering that keeps the self-join off the frequency
+      // head. Jaccard reported as exact integer permille.
+      val c = DedupOps.corpus(Tables.documents(s, d))
+      val elems = DedupOps.shingled(c)
+        .select(col("doc_id").as("set_id"), explode(col("sh")).as("elem"))
+      SetJoinOps.similarPairs(elems, SetSimTNum, SetSimTDen)
+        .select(col("id_a"), col("id_b"), col("ov"), col("un"),
+          expr("(1000 * ov) DIV un").as("jac_pm"))
+    }),
 
     // ---- similarity search ----------------------------------------------
     "q38_cosine_topk" -> ((s, d) => {
@@ -2764,6 +2784,26 @@ object LlmEntry {
     "q37_simhash" ->
       s"""WITH corpus AS (${DedupOps.corpusDuck})
          |${TextOps.simhashDuck("corpus", "doc_id", "text")}""".stripMargin,
+
+    // q170 mirror: the NAIVE shared-element join — every pair sharing
+    // ANY shingle, overlap counted by the element join, then the same
+    // integer threshold test. Deliberately oblivious to the prefix
+    // filter: equality proves the filter lossless (recall 1), which is
+    // the theorem q170 exists to pin.
+    "q170_setsim_join" ->
+      s"""WITH corpus AS (${DedupOps.corpusDuck}),
+         |shingled AS (${DedupOps.shingledDuckBody}),
+         |sh AS (SELECT doc_id, unnest(sh) AS sg FROM shingled),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ov AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ov
+         |  FROM sh a JOIN sh b USING (sg) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, ov, na.n + nb.n - ov AS un,
+         |       (1000 * ov) // (na.n + nb.n - ov) AS jac_pm
+         |FROM ov JOIN n na ON na.doc_id = id_a
+         |        JOIN n nb ON nb.doc_id = id_b
+         |WHERE $SetSimTDen * ov >= $SetSimTNum * (na.n + nb.n - ov)""".stripMargin,
 
     "q38_cosine_topk" ->
       s"""WITH prepped AS (

@@ -5,7 +5,7 @@ import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{DedupOps, GraphOps, SpatialOps, TemporalOps, TextOps, TrafficOps}
+import graft.operators.{DedupOps, GraphOps, SetJoinOps, SpatialOps, TemporalOps, TextOps, TrafficOps}
 
 /** Property-based invariants (SURVEY §5.3) over generated data:
   * partition-slice aggregate consistency, interval-join containment,
@@ -625,5 +625,33 @@ object GraftProps extends Properties("graft") {
           row.getLong(2), row.getLong(3))).toSet
       Prop(got == want) :| s"k=$k horizon=$horizon cell=$cell " +
         s"got $got want $want"
+    }
+
+  // prefix-filtered set-similarity join ≡ brute-force Jaccard — the tiny
+  // universe (10 elements) forces heavy overlap, df ties in the global
+  // order, identical sets (J = 1), and subset/superset pairs; the
+  // threshold grid includes t = 1 (only identical sets qualify, prefix
+  // length collapses to 1) and t = 1/2 (long prefixes, many candidates)
+  private val genSimSets: Gen[(List[(Long, Set[Long])], Long, Long)] = for {
+    n <- Gen.choose(2, 12)
+    t <- Gen.oneOf((1L, 2L), (3L, 5L), (2L, 3L), (1L, 1L))
+    ss <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.choose(0L, 9L)).map(_.toSet))
+  } yield (ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }, t._1, t._2)
+
+  property("prefix-filtered set-similarity join equals brute-force jaccard") =
+    forAll(genSimSets) { case (sets, tn, td) =>
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib
+        ov = (sa & sb).size.toLong
+        un = (sa | sb).size.toLong
+        if td * ov >= tn * un
+      } yield (ia, ib, ov, un)).toSet
+      val df = sets.flatMap { case (i, s) => s.toList.map(e => (i, e)) }
+        .toDF("set_id", "elem")
+      val got = SetJoinOps.similarPairs(df, tn, td)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      Prop(got == want) :| s"t=$tn/$td got $got want $want"
     }
 }
