@@ -1597,6 +1597,44 @@ object RelEntry {
            |  LATERAL graft_chunk_grid(size(t.toks)) g""".stripMargin)
     }),
 
+    // ---- T72: change-data-feed between table snapshots ------------------
+    "q171_manifest_cdf" -> ((s, d) => {
+      // CDF off [[graft.sources.ManifestedTable]]'s version manifests:
+      // v1 = an order-book snapshot, v2 = the next one with deletes
+      // (key % 7 = 0), updates (+100 cents on key % 5 = 0) and inserts
+      // (the key % 4 = 3 stratum) — the CDF must emit exactly the
+      // delete images, both update images, and the inserts, bag
+      // semantics. The Spark side computes it FROM THE MANIFESTS
+      // (changesBetween — file-granular pruning at scale, see its
+      // scaladoc); the oracle recomputes the same diff purely
+      // relationally with EXCEPT ALL. Equality proves the table-level
+      // machinery returns exactly the logical row diff.
+      import graft.sources.ManifestedTable
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      val v1df = base.filter(col("o_orderkey") % 4 < 3)
+      val v2df = base
+        .filter(col("o_orderkey") % 4 < 3 && !(col("o_orderkey") % 7 === 0))
+        .withColumn("price_cents",
+          when(col("o_orderkey") % 5 === 0, col("price_cents") + 100)
+            .otherwise(col("price_cents")))
+        .unionAll(base.filter(col("o_orderkey") % 4 === 3))
+      val v1 = ManifestedTable.write(v1df, dir, overwrite = true)
+      val v2 = ManifestedTable.write(v2df, dir, overwrite = true)
+      val (added, removed) = ManifestedTable.changesBetween(s, dir, v1, v2)
+      val out = added.withColumn("change", lit("add"))
+        .unionAll(removed.withColumn("change", lit("remove")))
+      core.Materialize.detached(out) {
+        // the scratch table is consumed; reclaim it once materialized
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
     // ---- T62: schema-drift union (unionByName + missing columns) --------
     "q160_union_by_name" -> ((s, d) => {
       // the corpus-snapshot reality q68's mergeSchema covers at the
@@ -2194,6 +2232,29 @@ object RelEntry {
          |  FROM (SELECT doc_id, ${TextOps.tokensDuck("text")} AS toks,
          |               len(${TextOps.tokensDuck("text")}) AS n
          |        FROM documents))""".stripMargin,
+
+    // q171 mirror: the same two snapshot images derived relationally,
+    // diffed with EXCEPT ALL — deliberately oblivious to manifests and
+    // files; equality proves changesBetween returns exactly the
+    // logical bag diff
+    "q171_manifest_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |v1 AS (SELECT * FROM base WHERE o_orderkey % 4 < 3),
+        |v2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 100
+        |              ELSE price_cents END AS price_cents
+        |  FROM base WHERE o_orderkey % 4 < 3 AND NOT (o_orderkey % 7 = 0)
+        |  UNION ALL
+        |  SELECT * FROM base WHERE o_orderkey % 4 = 3)
+        |SELECT o_orderkey, o_custkey, price_cents, 'add' AS change
+        |FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, price_cents, 'remove' AS change
+        |FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)""".stripMargin,
 
     // q157 mirror: identical text modulo the view name
     "q157_bag_setops" ->

@@ -92,6 +92,83 @@ object ManifestedTable {
     manifestVersions(fs, new Path(dir)).lastOption.map(_._1).getOrElse(0L)
   }
 
+  /** All retained snapshot versions, ascending. [[vacuum]] collapses
+    * history to the latest — time travel and [[changesBetween]] operate
+    * on what retention kept, and fail loudly past it.
+    */
+  def versions(spark: SparkSession, dir: String): Seq[Long] =
+    manifestVersions(fsOf(spark, dir), new Path(dir)).map(_._1)
+
+  private def filesAt(fs: FileSystem, root: Path, version: Long): Seq[String] = {
+    val vs = manifestVersions(fs, root)
+    val p = vs.find(_._1 == version).map(_._2).getOrElse(throw
+      new IllegalArgumentException(s"version $version not retained under " +
+        s"$root (have ${vs.map(_._1).mkString(",")})"))
+    readManifest(fs, p)
+  }
+
+  /** Time travel: read the snapshot at an explicit retained version —
+    * the immutable-data-dir + per-version manifest layout makes this
+    * free (old snapshots' files are untouched until [[vacuum]]).
+    */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val root = new Path(dir)
+    val files = filesAt(fsOf(spark, dir), root, version)
+    require(files.nonEmpty, s"snapshot $version of $dir is empty — " +
+      "schemaless empty reads are not supported")
+    spark.read.parquet(files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** Manifest-level diff between two retained snapshots:
+    * (files only in `toV`, files only in `fromV`), relative paths.
+    * Computed from two |files|-line manifests on the driver — no data
+    * IO at all.
+    */
+  def changedFiles(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): (Seq[String], Seq[String]) = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    val from = filesAt(fs, root, fromV).toSet
+    val to = filesAt(fs, root, toV).toSet
+    ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
+  }
+
+  /** Row-level change-data-feed between two retained snapshots:
+    * (added rows, removed rows), BAG semantics. A row mutated between
+    * the versions appears once on each side (its old and new images) —
+    * MERGE-style consumers apply removes then adds.
+    *
+    * The scale property is what makes this a table-format feature and
+    * not a reconciliation query (q164 diffs two tables it must READ in
+    * full): data dirs are immutable, so a file present in both
+    * manifests contributes identical rows to both sides, and identical
+    * rows CANCEL in a multiset difference — with new = common ⊎ A and
+    * old = common ⊎ R, new∖old = A∖R and old∖new = R∖A. The diff over
+    * only the manifest-symmetric-difference files therefore equals the
+    * diff over the full snapshots, and the unchanged mass (at 100 TB,
+    * nearly all of an append- or upsert-shaped table) is never opened:
+    * an append's CDF reads exactly the appended files (CompactionSpec
+    * pins this via inputFiles), while a full rewrite (compaction)
+    * degrades to reading both sides and returns the empty diff.
+    */
+  def changesBetween(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): (DataFrame, DataFrame) = {
+    val root = new Path(dir)
+    val (addedF, removedF) = changedFiles(spark, dir, fromV, toV)
+    def rd(fs: Seq[String]): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(spark.read.parquet(fs.map(f => new Path(root, f).toString): _*))
+    (rd(addedF), rd(removedF)) match {
+      case (None, None) =>
+        // identical manifests — an empty diff with the table's schema
+        val empty = read(spark, dir).limit(0)
+        (empty, empty)
+      case (Some(a), None) => (a, a.limit(0))
+      case (None, Some(r)) => (r.limit(0), r)
+      case (Some(a), Some(r)) => (a.exceptAll(r), r.exceptAll(a))
+    }
+  }
+
   /** CAS-commit `files` as the next snapshot; returns its version. */
   private def commit(fs: FileSystem, root: Path, files: Seq[String]): Long = {
     val mdir = new Path(root, ManifestDir)

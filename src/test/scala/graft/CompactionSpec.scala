@@ -262,4 +262,63 @@ class CompactionSpec extends SparkTestBase {
       .filterNot(live)
     assert(leftovers.isEmpty, s"vacuum left unreferenced data: $leftovers")
   }
+
+  test("manifested table: time travel + file-granular CDF reads only changed files") {
+    import graft.sources.ManifestedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf_spec").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    val a = ev.filter(col("event_id") < 300)
+    val b = ev.filter(col("event_id") >= 300 && col("event_id") < 500)
+
+    val v1 = ManifestedTable.write(a.repartition(4), dir, overwrite = true)
+    val v2 = ManifestedTable.write(b.repartition(2), dir, overwrite = false)
+
+    // time travel: v1 still reads exactly after the append; versions list
+    assert(ManifestedTable.versions(spark, dir) == Seq(v1, v2))
+    assert(ManifestedTable.readAt(spark, dir, v1).count() == a.count())
+    assert(ManifestedTable.readAt(spark, dir, v2).count() == a.count() + b.count())
+
+    // append CDF: added = exactly the appended rows, removed empty —
+    // and the added side's scan plans ONLY the appended files (the
+    // manifest-diff pruning changesBetween's scaladoc claims)
+    val (appAdd, appRem) = ManifestedTable.changesBetween(spark, dir, v1, v2)
+    assert(appRem.isEmpty, "append produced removed rows")
+    assert(appAdd.orderBy("event_id").collect().toSeq ==
+      b.orderBy("event_id").collect().toSeq)
+    val (newFiles, goneFiles) = ManifestedTable.changedFiles(spark, dir, v1, v2)
+    assert(goneFiles.isEmpty && newFiles.size == 2)
+    val opened = appAdd.inputFiles.toSeq
+    assert(opened.nonEmpty && opened.forall(p => newFiles.exists(p.endsWith)),
+      s"CDF opened unchanged files: $opened vs $newFiles")
+
+    // upsert CDF: deletes + both update images + inserts, bag-exact
+    val v3df = ev.filter(col("event_id") < 450 && col("event_id") % 7 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 5 === 0, col("value") + 1).otherwise(col("value")))
+    val v3 = ManifestedTable.write(v3df.repartition(5), dir, overwrite = true)
+    val (upAdd, upRem) = ManifestedTable.changesBetween(spark, dir, v2, v3)
+    val v2full = a.unionAll(b)
+    assert(upAdd.orderBy("event_id", "value").collect().toSeq ==
+      v3df.exceptAll(v2full).orderBy("event_id", "value").collect().toSeq)
+    assert(upRem.orderBy("event_id", "value").collect().toSeq ==
+      v2full.exceptAll(v3df).orderBy("event_id", "value").collect().toSeq)
+
+    // pure rewrite (compaction): every file changes, no row does — the
+    // CDF degrades to reading both sides and returns the empty diff
+    val v4 = ManifestedTable.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(v4 > v3)
+    val (cAdd, cRem) = ManifestedTable.changesBetween(spark, dir, v3, v4)
+    assert(cAdd.isEmpty && cRem.isEmpty, "compaction leaked a row diff")
+
+    // vacuum collapses history: past versions fail loudly, not wrongly
+    ManifestedTable.vacuum(spark, dir)
+    assert(ManifestedTable.versions(spark, dir) == Seq(v4))
+    intercept[IllegalArgumentException] {
+      ManifestedTable.changesBetween(spark, dir, v1, v4)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestedTable.readAt(spark, dir, v3)
+    }
+  }
 }
