@@ -18,6 +18,13 @@ import graft.operators.{GraphOps, LayoutOps, ReconcileOps, SpatialOps,
 object RelEntry {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q172 octagon vertex directions, CCW, closed by wrap-around — the
+    * single source both the Spark vertex arrays and the oracle's edge
+    * VALUES derive from so the fences can never drift.
+    */
+  private val PipDirs = Seq((4L, 0L), (3L, 3L), (0L, 4L), (-3L, 3L),
+    (-4L, 0L), (-3L, -3L), (0L, -4L), (3L, -3L))
   private val NeighborWindowSec = 300L   // ±5 min
   private val SessionGapSec = 86400L     // 1 day
   private val SessionWindowGapSec = 3600L // q104 built-in session_window gap
@@ -1775,6 +1782,38 @@ object RelEntry {
       SpatialOps.knnJoin(pts, pts, k = 5, horizon = 16000L)
     }),
 
+    // ---- T73: point-in-polygon join (geofencing containment) ------------
+    "q172_point_in_polygon" -> ((s, d) => {
+      // the containment member of the spatial tier over q163's point
+      // lattice: 25 deterministic octagon fences derived from nation
+      // keys by pure arithmetic both engines compute identically —
+      // center (k·37199 % 90000 + 5000, k·52711 % 90000 + 5000),
+      // radius 3000 + (k % 5)·1500 (always divisible by 4, so the
+      // (dir·r) DIV 4 vertex offsets are EXACT division and the
+      // truncate-vs-floor DIV divergence on negatives never fires).
+      // Spark runs the grid operator (bbox cell cover + one codegen'd
+      // ray-parity HOF per candidate — SpatialOps.pointInPolygonJoin);
+      // the DuckDB mirror runs the NAIVE points x edges crossing sum.
+      // Same answer; |pts|·|edges| vs cell-bounded candidates is the
+      // documented asymmetry. Grid ≡ brute force incl. non-convex and
+      // self-intersecting polygons is property-tested in GraftProps.
+      val pts = Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        (col("c_custkey") * lit(48271L) % lit(99991L)).as("x"),
+        (col("c_custkey") * lit(69621L) % lit(99991L)).as("y"))
+      val vsExpr = PipDirs.map { case (dx, dy) =>
+        s"struct(CAST(cx + ($dx * r) DIV 4 AS BIGINT) AS x, " +
+          s"CAST(cy + ($dy * r) DIV 4 AS BIGINT) AS y)" }
+        .mkString("array(", ", ", ")")
+      val polys = Tables.nation(s, d).selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS poly_id",
+        "(n_nationkey * 37199) % 90000 + 5000 AS cx",
+        "(n_nationkey * 52711) % 90000 + 5000 AS cy",
+        "3000 + (n_nationkey % 5) * 1500 AS r")
+        .selectExpr("poly_id", s"$vsExpr AS vs")
+      SpatialOps.pointInPolygonJoin(pts, polys, cell = 8192L)
+    }),
+
     // ---- T66: snapshot reconciliation (bucket-fingerprint table diff) ---
     "q164_snapshot_diff" -> ((s, d) => {
       // the migration-sign-off / drift-detection operator: classify
@@ -2232,6 +2271,41 @@ object RelEntry {
          |  FROM (SELECT doc_id, ${TextOps.tokensDuck("text")} AS toks,
          |               len(${TextOps.tokensDuck("text")}) AS n
          |        FROM documents))""".stripMargin,
+
+    // q172 mirror: the NAIVE points × edges crossing sum — no grid, no
+    // bbox; the same integer ray-parity rule (exact DIV 4 keeps the
+    // truncate-vs-floor divergence dormant), so equality proves the
+    // grid candidate generation lossless
+    "q172_point_in_polygon" -> {
+      val edgeVals = PipDirs.zipWithIndex.map { case ((dx, dy), i) =>
+        val (ex, ey) = PipDirs((i + 1) % PipDirs.size)
+        s"($dx, $dy, $ex, $ey)"
+      }.mkString(", ")
+      s"""WITH pts AS (
+         |  SELECT c_custkey AS pid, (c_custkey * 48271) % 99991 AS px,
+         |         (c_custkey * 69621) % 99991 AS py FROM customer),
+         |polys AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+         |         (n_nationkey * 37199) % 90000 + 5000 AS cx,
+         |         (n_nationkey * 52711) % 90000 + 5000 AS cy,
+         |         3000 + (n_nationkey % 5) * 1500 AS r FROM nation),
+         |dirs(dx, dy, ex, ey) AS (VALUES $edgeVals),
+         |edges AS (
+         |  SELECT poly_id,
+         |         cx + (dx * r) // 4 AS x1, cy + (dy * r) // 4 AS y1,
+         |         cx + (ex * r) // 4 AS x2, cy + (ey * r) // 4 AS y2
+         |  FROM polys, dirs),
+         |par AS (
+         |  SELECT pid, poly_id,
+         |    sum(CASE WHEN (y1 > py) <> (y2 > py)
+         |          AND ((y2 > y1
+         |                AND (px - x1) * (y2 - y1) < (py - y1) * (x2 - x1))
+         |            OR (y2 < y1
+         |                AND (px - x1) * (y2 - y1) > (py - y1) * (x2 - x1)))
+         |        THEN 1 ELSE 0 END) AS k
+         |  FROM pts, edges GROUP BY pid, poly_id)
+         |SELECT pid, poly_id FROM par WHERE k % 2 = 1""".stripMargin
+    },
 
     // q171 mirror: the same two snapshot images derived relationally,
     // diffed with EXCEPT ALL — deliberately oblivious to manifests and

@@ -204,4 +204,91 @@ object SpatialOps {
       .filter(col("d2") <= lit(radius * radius))
       .select(col("id_a"), col("id_b"), col("d2"))
   }
+
+  /** Point-in-polygon join by even-odd ray parity — the containment
+    * member of the spatial tier (T65 answers "within distance r", T67
+    * "k nearest"; this answers "inside which fence"), the geofencing /
+    * region-rollup join of GIS warehouses.
+    *
+    * Exact test, all-integer: cast a +x ray from the point and count
+    * crossing edges. Edge (x1,y1)→(x2,y2) crosses iff the edge spans
+    * the point's y strictly-above/not-above ((y1 > py) ≠ (y2 > py) —
+    * which also zeroes horizontal edges) AND the point lies left of the
+    * edge at height py: px < x1 + (py−y1)(x2−x1)/(y2−y1), evaluated
+    * WITHOUT division as (px−x1)(y2−y1) < (py−y1)(x2−x1) for y2 > y1
+    * and with the inequality flipped for y2 < y1 (dividing by a
+    * negative). Odd crossing count = inside. Even-odd parity needs no
+    * convexity, orientation, or even simplicity from the polygon;
+    * boundary points resolve by the strict inequalities —
+    * deterministically, identically in the oracle's longhand form.
+    *
+    * Scale shape — band-then-verify like T65, but the verify is a
+    * SCALAR, not a join: each polygon explodes to the grid cells of
+    * its bounding box (area-proportional, the geometry's own size);
+    * points join their single home cell (points >> polygons, so
+    * points shuffle ONCE on cell id and the polygon side is the small
+    * exploded one — broadcastable when |polys| is dimension-like); a
+    * bbox compare prunes corner candidates; then the whole
+    * vertex-loop parity test runs as ONE codegen'd HOF expression
+    * (transform + aggregate over the vertex array) per surviving
+    * candidate — no edge explode, no per-edge groupBy, no second
+    * shuffle. Candidate count per point = polygons whose bbox covers
+    * its cell — density-bounded, never |points|·|polys|.
+    *
+    * @param points (id, x, y) integer points
+    * @param polys  (poly_id, vs: array<struct<x,y>>) closed polygons
+    *               (last vertex implicitly joins the first), ≥ 3
+    *               vertices, bbox diameter assumed ≤ a few cells
+    * @param cell   grid cell size (≥ 1)
+    * @return (pid, poly_id) — strict-interior memberships
+    */
+  def pointInPolygonJoin(points: DataFrame, polys: DataFrame,
+      cell: Long): DataFrame = {
+    require(cell >= 1, s"cell must be >= 1, got $cell")
+    def fdiv(c: String) =
+      expr(s"($c - pmod($c, ${cell}L)) DIV ${cell}L")
+    val pb = polys.select(col("poly_id"), col("vs"),
+      expr("aggregate(vs, element_at(vs, 1).x, (a, v) -> least(a, v.x))").as("xmin"),
+      expr("aggregate(vs, element_at(vs, 1).x, (a, v) -> greatest(a, v.x))").as("xmax"),
+      expr("aggregate(vs, element_at(vs, 1).y, (a, v) -> least(a, v.y))").as("ymin"),
+      expr("aggregate(vs, element_at(vs, 1).y, (a, v) -> greatest(a, v.y))").as("ymax"))
+    // polygon → every cell of its bbox (area-proportional cover)
+    val cover = pb
+      .withColumn("ccx", explode(expr(
+        s"sequence((xmin - pmod(xmin, ${cell}L)) DIV ${cell}L, " +
+          s"(xmax - pmod(xmax, ${cell}L)) DIV ${cell}L)")))
+      .withColumn("ccy", explode(expr(
+        s"sequence((ymin - pmod(ymin, ${cell}L)) DIV ${cell}L, " +
+          s"(ymax - pmod(ymax, ${cell}L)) DIV ${cell}L)")))
+    val pts = points.select(col("id").cast("long").as("pid"),
+      col("x").cast("long").as("px"), col("y").cast("long").as("py"),
+      fdiv("x").as("ccx"), fdiv("y").as("ccy"))
+    // the whole ray-parity loop as one scalar expression over vs
+    val parity =
+      """(aggregate(transform(sequence(1, size(vs)), i ->
+        |  CASE WHEN (element_at(vs, i).y > py)
+        |            != (element_at(vs, (i % size(vs)) + 1).y > py)
+        |        AND ((element_at(vs, (i % size(vs)) + 1).y
+        |                > element_at(vs, i).y
+        |              AND (px - element_at(vs, i).x)
+        |                  * (element_at(vs, (i % size(vs)) + 1).y
+        |                     - element_at(vs, i).y)
+        |                < (py - element_at(vs, i).y)
+        |                  * (element_at(vs, (i % size(vs)) + 1).x
+        |                     - element_at(vs, i).x))
+        |         OR (element_at(vs, (i % size(vs)) + 1).y
+        |                < element_at(vs, i).y
+        |              AND (px - element_at(vs, i).x)
+        |                  * (element_at(vs, (i % size(vs)) + 1).y
+        |                     - element_at(vs, i).y)
+        |                > (py - element_at(vs, i).y)
+        |                  * (element_at(vs, (i % size(vs)) + 1).x
+        |                     - element_at(vs, i).x)))
+        |  THEN 1 ELSE 0 END), 0, (a, e) -> a + e) % 2) = 1""".stripMargin
+    pts.join(cover, Seq("ccx", "ccy"))
+      .filter(col("px").between(col("xmin"), col("xmax")) &&
+        col("py").between(col("ymin"), col("ymax")))
+      .filter(expr(parity))
+      .select(col("pid"), col("poly_id"))
+  }
 }

@@ -627,6 +627,52 @@ object GraftProps extends Properties("graft") {
         s"got $got want $want"
     }
 
+  // grid point-in-polygon join ≡ brute-force ray parity — random vertex
+  // lists are mostly NON-convex and often self-intersecting, which the
+  // even-odd rule handles without caring; tiny cells vs polygon-sized
+  // cells exercise multi-cell bbox covers vs single-cell ones, and the
+  // coordinate ranges overlap so boundary/vertex hits occur
+  private val genPip: Gen[(List[(Long, Long, Long)],
+      List[(Long, List[(Long, Long)])], Long)] = for {
+    np <- Gen.choose(1, 15)
+    pts <- Gen.listOfN(np, for {
+      x <- Gen.choose(-25L, 25L); y <- Gen.choose(-25L, 25L) } yield (x, y))
+    npoly <- Gen.choose(1, 4)
+    polys <- Gen.listOfN(npoly, for {
+      nv <- Gen.choose(3, 8)
+      vs <- Gen.listOfN(nv, for {
+        x <- Gen.choose(-20L, 20L); y <- Gen.choose(-20L, 20L) } yield (x, y))
+    } yield vs)
+    cell <- Gen.choose(1L, 9L)
+  } yield (pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) },
+    polys.zipWithIndex.map { case (vs, i) => (i.toLong, vs) }, cell)
+
+  property("point-in-polygon grid join equals brute-force ray parity") =
+    forAll(genPip) { case (pts, polys, cell) =>
+      def inside(px: Long, py: Long, vs: List[(Long, Long)]): Boolean = {
+        val n = vs.size
+        var k = 0
+        for (i <- 0 until n) {
+          val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % n)
+          if ((y1 > py) != (y2 > py)) {
+            val a = (px - x1) * (y2 - y1); val b = (py - y1) * (x2 - x1)
+            if ((y2 > y1 && a < b) || (y2 < y1 && a > b)) k += 1
+          }
+        }
+        k % 2 == 1
+      }
+      val want = (for {
+        (pid, px, py) <- pts; (gid, vs) <- polys if inside(px, py, vs)
+      } yield (pid, gid)).toSet
+      val ptsDf = pts.toDF("id", "x", "y")
+      val polysDf = polys.toDF("poly_id", "raw")
+        .selectExpr("poly_id",
+          "transform(raw, v -> struct(v._1 AS x, v._2 AS y)) AS vs")
+      val got = SpatialOps.pointInPolygonJoin(ptsDf, polysDf, cell)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Prop(got == want) :| s"cell=$cell got $got want $want"
+    }
+
   // prefix-filtered set-similarity join ≡ brute-force Jaccard — the tiny
   // universe (10 elements) forces heavy overlap, df ties in the global
   // order, identical sets (J = 1), and subset/superset pairs; the
