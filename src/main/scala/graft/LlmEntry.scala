@@ -49,6 +49,12 @@ object LlmEntry {
   private val HashDim = 16L       // q103 feature-hash embedding dimensions
   private val TfidfK = 3          // TF-IDF terms kept per document
   private val Bm25ProbeN = 3L     // q106 probe docs → "more-like-this" queries
+  /** q173 RRF fusion: standard k=60, contribution scaled to integer
+    * points (1e6 DIV (k + rank)) so the fused score is a pure BIGINT —
+    * the ranks are integers, so nothing about fusion needs a float. */
+  private val RrfK = 60L
+  private val RrfScale = 1000000L
+  private val FusedK = 10L
   private val Bm25TopK = 5        // q106 results kept per query
   private val DsirBuckets = 1024L // q107 hashed n-gram feature space
   private val DsirTopK = 20       // q107 selected docs reported
@@ -1540,6 +1546,41 @@ object LlmEntry {
       core.Materialize.detached(out)(release())
     }),
 
+    // ---- hybrid retrieval: reciprocal-rank fusion -----------------------
+    "q173_rrf_fusion" -> ((s, d) => {
+      // the production retrieval stack's merge step: a LEXICAL ranker
+      // (q106 BM25 more-like-this) and a SEMANTIC one (q38 brute-force
+      // cosine) rank the same corpus for the same probes, and RRF
+      // fuses them on RANKS ALONE — rrf(d) = Σ_lists 1/(k + rank_d),
+      // k = 60 — so the fusion is scoring-scale-free (BM25 bits and
+      // cosine doubles never meet) and integer-exact once scaled:
+      // points = 1e6 DIV (60 + rank), a BIGINT sum. Docs surfaced by
+      // BOTH rankers rise (n_lists = 2); each side's contribution is
+      // bounded by its rank. Scale: both inputs are already top-K per
+      // probe (|probes|·K rows each), so fusion is a union + one tiny
+      // hash aggregate + one WindowGroupLimit — the heavy lifting
+      // stays inside the rankers, which is the point of fusing ranks
+      // instead of re-scoring.
+      import org.apache.spark.sql.expressions.Window
+      val (bm, release) = bm25Plan(s, d)
+      val lex = bm.select(col("query_id"), col("doc_id"),
+        col("rk").cast("long").as("rk"))
+      val p = SimilarityOps.prepped(Tables.embeddings(s, d))
+      val sem = SimilarityOps.bruteForceTopK(p,
+          p.filter(col("vec_id") < Bm25ProbeN), TopK)
+        .select(col("probe_id").as("query_id"), col("vec_id").as("doc_id"),
+          col("rk").cast("long").as("rk"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      val out = lex.unionAll(sem)
+        .withColumn("pts", expr(s"$RrfScale DIV ($RrfK + rk)"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("pts")).as("rrf"), count(lit(1)).as("n_lists"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= FusedK)
+      core.Materialize.detached(out)(release())
+    }),
+
     // ---- inverted index build (impact-ordered, capped postings) ---------
     "q110_inverted_index" -> ((s, d) => {
       // The index-build counterpart of q106's query-time BM25: per term,
@@ -2709,6 +2750,76 @@ object LlmEntry {
     })
   }
 
+  /** q106 oracle body — a val so q173's fusion oracle composes the
+    * SAME text verbatim (rank drift between the two would be a bug,
+    * not a tolerance). */
+  private lazy val Bm25DuckSql: String =
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(${tokensDuck("text")}) AS term
+         |    FROM documents)
+         |  WHERE term <> '' GROUP BY doc_id, term),
+         |dl AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+         |  GROUP BY doc_id),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS tot_toks FROM dl),
+         |pterm AS (
+         |  SELECT doc_id AS query_id, term, tf AS ptf FROM tf
+         |  WHERE doc_id < $Bm25ProbeN),
+         |dfq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+         |  WHERE term IN (SELECT term FROM pterm) GROUP BY term),
+         |qsel AS (
+         |  SELECT query_id, term, df, n_docs,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      CAST(ptf AS DOUBLE) * CAST(n_docs AS DOUBLE)
+         |        / CAST(df AS DOUBLE) DESC, term) AS rk
+         |  FROM pterm JOIN dfq USING (term) CROSS JOIN stats),
+         |qterms AS (
+         |  SELECT query_id, term,
+         |    CAST(length(format('{:b}',
+         |      (2 * n_docs - 2 * df + 1) // (2 * df + 1))) - 1 AS BIGINT)
+         |      AS bits
+         |  FROM qsel WHERE rk <= $TfidfK),
+         |cand AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    CAST(bits AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2) /
+         |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |        (CAST(dl AS DOUBLE) /
+         |         (CAST(tot_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |      AS t_score
+         |  FROM tf t JOIN qterms q USING (term) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats
+         |  WHERE t.doc_id <> q.query_id),
+         |scored AS (
+         |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(t_score))),
+         |      (a, x) -> a + x) AS score
+         |  FROM cand GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, n_terms, score, rk FROM (
+         |  SELECT query_id, doc_id, n_terms, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= $Bm25TopK""".stripMargin
+
+  /** q38 oracle body, shared by q173 for the same no-drift reason. */
+  private lazy val CosineTopkDuckSql: String =
+      s"""WITH prepped AS (
+         |  SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm FROM (
+         |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings))
+         |SELECT probe_id, vec_id, cosine, rk FROM (
+         |  SELECT probe_id, vec_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id,
+         |      ${SimilarityOps.dotDuck("p.v", "c.v")} / (p.nrm * c.nrm) AS cosine
+         |    FROM prepped p, prepped c
+         |    WHERE p.vec_id < $ProbeN AND p.vec_id <> c.vec_id))
+         |WHERE rk <= $TopK""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q27_text_tokens" ->
       s"""SELECT doc_id, CAST(len(${tokensDuck("text")}) AS BIGINT) AS n_tokens,
@@ -2805,19 +2916,8 @@ object LlmEntry {
          |        JOIN n nb ON nb.doc_id = id_b
          |WHERE $SetSimTDen * ov >= $SetSimTNum * (na.n + nb.n - ov)""".stripMargin,
 
-    "q38_cosine_topk" ->
-      s"""WITH prepped AS (
-         |  SELECT vec_id, v, ${SimilarityOps.normDuck("v")} AS nrm FROM (
-         |    SELECT vec_id, ${SimilarityOps.toDoubleDuck("embedding")} AS v FROM embeddings))
-         |SELECT probe_id, vec_id, cosine, rk FROM (
-         |  SELECT probe_id, vec_id, cosine,
-         |    CAST(row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk FROM (
-         |    SELECT p.vec_id AS probe_id, c.vec_id,
-         |      ${SimilarityOps.dotDuck("p.v", "c.v")} / (p.nrm * c.nrm) AS cosine
-         |    FROM prepped p, prepped c
-         |    WHERE p.vec_id < $ProbeN AND p.vec_id <> c.vec_id))
-         |WHERE rk <= $TopK""".stripMargin,
+    "q38_cosine_topk" -> CosineTopkDuckSql,
+
 
     "q39_cosine_lsh_topk" ->
       s"""WITH prepped AS (
@@ -3618,57 +3718,31 @@ object LlmEntry {
     // the same IEEE op sequence per term score, and the q102
     // order-pinned fold (list_prepend(0.0) ≡ the 0.0-initialized
     // aggregate; 0.0 + x0 = x0 exactly)
-    "q106_bm25" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(${tokensDuck("text")}) AS term
-         |    FROM documents)
-         |  WHERE term <> '' GROUP BY doc_id, term),
-         |dl AS (
-         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
-         |  GROUP BY doc_id),
-         |stats AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(dl) AS BIGINT) AS tot_toks FROM dl),
-         |pterm AS (
-         |  SELECT doc_id AS query_id, term, tf AS ptf FROM tf
-         |  WHERE doc_id < $Bm25ProbeN),
-         |dfq AS (
-         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
-         |  WHERE term IN (SELECT term FROM pterm) GROUP BY term),
-         |qsel AS (
-         |  SELECT query_id, term, df, n_docs,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY
-         |      CAST(ptf AS DOUBLE) * CAST(n_docs AS DOUBLE)
-         |        / CAST(df AS DOUBLE) DESC, term) AS rk
-         |  FROM pterm JOIN dfq USING (term) CROSS JOIN stats),
-         |qterms AS (
-         |  SELECT query_id, term,
-         |    CAST(length(format('{:b}',
-         |      (2 * n_docs - 2 * df + 1) // (2 * df + 1))) - 1 AS BIGINT)
-         |      AS bits
-         |  FROM qsel WHERE rk <= $TfidfK),
-         |cand AS (
-         |  SELECT q.query_id, t.doc_id,
-         |    CAST(bits AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2) /
-         |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-         |        (CAST(dl AS DOUBLE) /
-         |         (CAST(tot_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-         |      AS t_score
-         |  FROM tf t JOIN qterms q USING (term) JOIN dl USING (doc_id)
-         |  CROSS JOIN stats
-         |  WHERE t.doc_id <> q.query_id),
-         |scored AS (
-         |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-         |    list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(t_score))),
-         |      (a, x) -> a + x) AS score
-         |  FROM cand GROUP BY query_id, doc_id)
-         |SELECT query_id, doc_id, n_terms, score, rk FROM (
-         |  SELECT query_id, doc_id, n_terms, score,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id) AS rk
-         |  FROM scored)
-         |WHERE rk <= $Bm25TopK""".stripMargin,
+    "q106_bm25" -> Bm25DuckSql,
+
+    // q173 mirror: both ranker CTEs are the SAME oracle texts as
+    // q106/q38 (shared vals — rank drift would be a bug), fused on
+    // ranks with the identical integer point formula
+    "q173_rrf_fusion" ->
+      s"""WITH bm AS (
+         |  SELECT query_id, doc_id, rk FROM ($Bm25DuckSql)),
+         |cs AS (
+         |  SELECT probe_id AS query_id, vec_id AS doc_id, rk
+         |  FROM ($CosineTopkDuckSql) WHERE probe_id < $Bm25ProbeN),
+         |u AS (
+         |  SELECT query_id, doc_id, $RrfScale // ($RrfK + rk) AS pts
+         |  FROM (SELECT * FROM bm UNION ALL SELECT * FROM cs)),
+         |f AS (
+         |  SELECT query_id, doc_id, CAST(sum(pts) AS BIGINT) AS rrf,
+         |         CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, rrf, n_lists, rk FROM (
+         |  SELECT query_id, doc_id, rrf, n_lists,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+         |  FROM f)
+         |WHERE rk <= $FusedK""".stripMargin,
+
 
     // q107 mirror: identical hashed-feature construction (1-based list
     // indexing ≡ element_at; range(1, len) is end-exclusive ≡
