@@ -1782,6 +1782,46 @@ object RelEntry {
       SpatialOps.knnJoin(pts, pts, k = 5, horizon = 16000L)
     }),
 
+    // ---- T74: data-quality expectation suite ----------------------------
+    "q174_quality_audit" -> ((s, d) => {
+      // the pre-publication audit as ONE declarative suite
+      // (AuditOps): every row-predicate check on a table folds into a
+      // single conditional aggregate over a single scan (PlanAuditSpec
+      // asserts one FileScan for the 4-check events suite);
+      // key-uniqueness pays its one genuine shuffle; referential
+      // integrity is a LeftAnti on the key column only. The suite
+      // mixes GREEN checks (orderkey unique, no FK orphans, quantity
+      // in range) with REAL violations (the 'error' event type,
+      // values past 400, duplicated custkeys, pre-1996 staleness,
+      // >8% discounts) so the report proves it counts, not rubber-
+      // stamps. n_bad for uniqueness = Σ(multiplicity − 1) — the
+      // minimum deletions to make the key unique.
+      import graft.operators.AuditOps
+      val ev = Tables.events(s, d)
+      val evChecks = AuditOps.rowChecks(ev, Seq(
+        "events.value_in_range" -> !col("value").between(0d, 400d),
+        "events.type_accepted" ->
+          !col("event_type").isin("click", "view", "purchase", "signup"),
+        "events.user_id_not_null" -> col("user_id").isNull,
+        "events.props_not_null" -> col("props").isNull))
+      val li = Tables.lineitem(s, d)
+      val liChecks = AuditOps.rowChecks(li, Seq(
+        "lineitem.quantity_in_range" -> !col("l_quantity").between(1d, 50d),
+        "lineitem.discount_le_8pct" -> (col("l_discount") > 0.08d)))
+      val o = Tables.orders(s, d)
+      val oChecks = AuditOps.rowChecks(o, Seq(
+        "orders.status_accepted" -> !col("o_orderstatus").isin("O", "F", "P"),
+        "orders.fresh_since_1996" ->
+          (col("o_orderdate") < lit("1996-01-01").cast("date"))))
+      evChecks.unionAll(liChecks).unionAll(oChecks)
+        .unionAll(AuditOps.uniqueCheck("orders.orderkey_unique", o,
+          Seq("o_orderkey")))
+        .unionAll(AuditOps.uniqueCheck("orders.custkey_unique", o,
+          Seq("o_custkey")))
+        .unionAll(AuditOps.fkCheck("lineitem.orderkey_fk", li,
+          "l_orderkey", o, "o_orderkey"))
+    }),
+
     // ---- T73: point-in-polygon join (geofencing containment) ------------
     "q172_point_in_polygon" -> ((s, d) => {
       // the containment member of the spatial tier over q163's point
@@ -2271,6 +2311,65 @@ object RelEntry {
          |  FROM (SELECT doc_id, ${TextOps.tokensDuck("text")} AS toks,
          |               len(${TextOps.tokensDuck("text")}) AS n
          |        FROM documents))""".stripMargin,
+
+    // q174 mirror: one aggregate per check family, longhand — the
+    // Spark side's single-scan folding is a PLAN property
+    // (PlanAuditSpec), not a result property, so the oracle spells
+    // each count independently
+    "q174_quality_audit" ->
+      """SELECT 'events.value_in_range' AS chk,
+        |  CAST(sum(CASE WHEN NOT (value BETWEEN 0 AND 400)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(count(*) AS BIGINT) AS n_rows FROM events
+        |UNION ALL
+        |SELECT 'events.type_accepted',
+        |  CAST(sum(CASE WHEN event_type NOT IN
+        |    ('click', 'view', 'purchase', 'signup')
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'events.user_id_not_null',
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'events.props_not_null',
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'lineitem.quantity_in_range',
+        |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.discount_le_8pct',
+        |  CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders.status_accepted',
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'orders.fresh_since_1996',
+        |  CAST(sum(CASE WHEN o_orderdate < DATE '1996-01-01'
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'orders.orderkey_unique',
+        |  CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+        |  CAST(coalesce(sum(c), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'orders.custkey_unique',
+        |  CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+        |  CAST(coalesce(sum(c), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)
+        |UNION ALL
+        |SELECT 'lineitem.orderkey_fk',
+        |  CAST((SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM lineitem""".stripMargin,
 
     // q172 mirror: the NAIVE points × edges crossing sum — no grid, no
     // bbox; the same integer ray-parity rule (exact DIV 4 keeps the

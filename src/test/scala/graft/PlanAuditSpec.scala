@@ -527,4 +527,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"q107 top-k is not TakeOrderedAndProject:\n${plan.take(800)}")
   }
+
+  test("audit rowChecks: N expectations fold into ONE scan of the table") {
+    // the T74 scale claim: every row-predicate check on a table is a
+    // conditional sum in a single aggregate — four checks, one
+    // FileScan, no join/union fan-out
+    import graft.operators.AuditOps
+    val ev = graft.core.Tables.events(spark, sf)
+    val plan = AuditOps.rowChecks(ev, Seq(
+        "a" -> !col("value").between(0d, 400d),
+        "b" -> !col("event_type").isin("click", "view"),
+        "c" -> col("user_id").isNull,
+        "d" -> col("props").isNull))
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan for 4 row checks, got $scans:\n" +
+      plan.take(800))
+    assert(!plan.contains("Union"),
+      s"row checks fanned out into a union:\n${plan.take(800)}")
+  }
 }
