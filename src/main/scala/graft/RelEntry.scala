@@ -1782,6 +1782,62 @@ object RelEntry {
       SpatialOps.knnJoin(pts, pts, k = 5, horizon = 16000L)
     }),
 
+    // ---- T75: incremental aggregate maintenance off the CDF -------------
+    "q175_incremental_mv" -> ((s, d) => {
+      // materialized-view maintenance as delta application — the
+      // composition T72 exists to enable: the MV is an additive
+      // aggregate (per-customer order count + cents) over snapshot v1;
+      // when the table moves to v2, the refresh consumes ONLY the CDF
+      // (added rows count +1/+cents, removed rows −1/−cents — a
+      // mutated row's two images cancel in count and adjust the sum),
+      // re-aggregates, and drops groups whose count reaches zero
+      // (fully-deleted customers must VANISH, not linger at 0). The
+      // oracle recomputes the aggregate directly from the v2 image:
+      // equality IS the delta-apply ≡ recompute theorem, the T36
+      // discipline lifted from SCD2 rows to additive aggregates.
+      // Scale: the refresh shuffles |groups| + |changes| rows — never
+      // the unchanged data mass, which changesBetween never even
+      // reads (its file-granular pruning).
+      import graft.sources.ManifestedTable
+      val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      // deletions: key % 7, PLUS the entire custkey % 211 = 5 stratum
+      // (and those customers get no inserts either) — q171's recipe
+      // alone never empties a customer at sf0.01, which would leave
+      // the drop-to-zero branch oracle-unexercised
+      val v1df = base.filter(col("o_orderkey") % 4 < 3)
+      val v2df = base
+        .filter(col("o_orderkey") % 4 < 3 && !(col("o_orderkey") % 7 === 0)
+          && !(col("o_custkey") % 211 === 5))
+        .withColumn("price_cents",
+          when(col("o_orderkey") % 5 === 0, col("price_cents") + 100)
+            .otherwise(col("price_cents")))
+        .unionAll(base.filter(col("o_orderkey") % 4 === 3
+          && !(col("o_custkey") % 211 === 5)))
+      val v1 = ManifestedTable.write(v1df, dir, overwrite = true)
+      val v2 = ManifestedTable.write(v2df, dir, overwrite = true)
+      val mv1 = ManifestedTable.readAt(s, dir, v1)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("cents"))
+      val (added, removed) = ManifestedTable.changesBetween(s, dir, v1, v2)
+      val out = mv1.select(col("o_custkey"), col("n_orders"), col("cents"))
+        .unionAll(added.select(col("o_custkey"), lit(1L),
+          col("price_cents")))
+        .unionAll(removed.select(col("o_custkey"), lit(-1L),
+          -col("price_cents")))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n_orders")).as("n_orders"), sum(col("cents")).as("cents"))
+        .filter(col("n_orders") > 0)
+      core.Materialize.detached(out) {
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -2311,6 +2367,27 @@ object RelEntry {
          |  FROM (SELECT doc_id, ${TextOps.tokensDuck("text")} AS toks,
          |               len(${TextOps.tokensDuck("text")}) AS n
          |        FROM documents))""".stripMargin,
+
+    // q175 mirror: the DIRECT aggregate over the v2 image — no MV, no
+    // delta; equality is the delta-apply ≡ recompute theorem (BIGINT
+    // cast pins DuckDB's HUGEINT sum back to the shared dtype)
+    "q175_incremental_mv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 100
+        |              ELSE price_cents END AS price_cents
+        |  FROM base WHERE o_orderkey % 4 < 3 AND NOT (o_orderkey % 7 = 0)
+        |    AND NOT (o_custkey % 211 = 5)
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE o_orderkey % 4 = 3 AND NOT (o_custkey % 211 = 5))
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(price_cents) AS BIGINT) AS cents
+        |FROM v2 GROUP BY o_custkey""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property
