@@ -32,15 +32,103 @@ import org.apache.spark.sql.types._
   * time and NaN ranks greatest, matching both Spark's ordering and
   * [[AvroFilterEval]].
   *
-  * Manifest line format (tab-separated):
-  * `fileName  column  kind  lo  hi` with kind `i` (long/int) or `f`
-  * (double/float, raw-bits encoded).
+  * Two stat kinds per file-column:
+  *  - INTERVALS (numeric columns) refute range and equality predicates
+  *    whose value falls outside [lo,hi];
+  *  - BLOOMS (numeric AND string columns) refute EQUALITY where
+  *    intervals can't — keys interleaved across files (every file's
+  *    interval covers the probe) and string columns (no interval at
+  *    all). A bloom false positive only KEEPS a file; pruning requires
+  *    a present value to probe absent, which cannot happen.
+  *
+  * Manifest line formats (tab-separated):
+  * `fileName  column  i|f  lo  hi` (intervals; `f` raw-bits encoded) and
+  * `fileName  column  b  base64(bits)` (blooms).
   */
 private[sources] object AvroStats {
 
   sealed trait ColRange
   final case class LongRange(lo: Long, hi: Long) extends ColRange
   final case class DblRange(lo: Double, hi: Double) extends ColRange
+
+  /** Per-file per-column stats: interval (numeric columns) and/or a
+    * small bloom (numeric AND string columns — equality pruning where
+    * intervals can't help: overlapping ranges, string keys).
+    */
+  final case class ColStats(range: Option[ColRange],
+      bloom: Option[Array[Long]])
+
+  // ---- fixed-size per-column bloom --------------------------------------
+  // 1024 bits / 4 probes: ~1% false-keep at ~100 distinct values per
+  // file-column, saturating (= never pruning, always safe) beyond a few
+  // hundred. Production files would size m by tracked ndv; the SHAPE —
+  // observe at write, refute EqualTo at planning — is what's load-
+  // bearing. A false POSITIVE only keeps a file; pruning is wrong only
+  // if a present value probes absent, which cannot happen.
+  private val BloomWords = 16        // 16 × 64 = 1024 bits
+  private val BloomK = 4
+  private val GoldenGamma = 0x9E3779B97F4A7C15L
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + GoldenGamma
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private def hashBytes(bs: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a 64
+    var i = 0
+    while (i < bs.length) { h = (h ^ (bs(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+  /** The value → probe-hash mapping, shared verbatim by observe (write
+    * side) and refute (plan side) — fold -0.0 exactly as the interval
+    * tracker does so EqualTo(0.0) still sees -0.0 rows.
+    */
+  private def valueHash(v: Any): Option[Long] = v match {
+    case y: Long    => Some(mix64(y))
+    case y: Int     => Some(mix64(y.toLong))
+    case y: Double  =>
+      Some(mix64(java.lang.Double.doubleToLongBits(if (y == 0.0d) 0.0d else y)))
+    case y: Float   =>
+      Some(mix64(java.lang.Double.doubleToLongBits(
+        if (y == 0.0f) 0.0d else y.toDouble)))
+    case y: String  =>
+      Some(mix64(hashBytes(y.getBytes(StandardCharsets.UTF_8))))
+    case y: org.apache.spark.unsafe.types.UTF8String =>
+      Some(mix64(hashBytes(y.getBytes)))
+    case _ => None
+  }
+  private def setBits(bits: Array[Long], h1: Long): Unit = {
+    val h2 = mix64(h1)
+    var i = 0
+    while (i < BloomK) {
+      val idx = ((h1 + i * h2) & Long.MaxValue) % (BloomWords * 64)
+      bits((idx >>> 6).toInt) |= 1L << (idx & 63)
+      i += 1
+    }
+  }
+  private def testBits(bits: Array[Long], h1: Long): Boolean = {
+    val h2 = mix64(h1)
+    var i = 0
+    while (i < BloomK) {
+      val idx = ((h1 + i * h2) & Long.MaxValue) % (BloomWords * 64)
+      if ((bits((idx >>> 6).toInt) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+  private def bloomEncode(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(BloomWords * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+  private def bloomDecode(s: String): Option[Array[Long]] =
+    scala.util.Try {
+      val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+      require(bb.remaining() == BloomWords * 8)
+      Array.fill(BloomWords)(bb.getLong)
+    }.toOption
 
   /** Streaming (lo,hi) tracker over the numeric fields of `schema`. */
   final class Tracker(schema: StructType) {
@@ -60,8 +148,43 @@ private[sources] object AvroStats {
     private val loD = new Array[Double](n)
     private val hiD = new Array[Double](n)
     private val seen = new Array[Boolean](n)
+    // bloom-tracked: the numeric columns PLUS strings (equality-only)
+    private val btracked = schema.fields.zipWithIndex.filter { case (f, _) =>
+      f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType |
+             StringType => true
+        case _ => false
+      }
+    }
+    private val bn = btracked.length
+    private val bnames = btracked.map(_._1.name)
+    private val bdts = btracked.map(_._1.dataType)
+    private val bpos = btracked.map(_._2)
+    private val blooms = Array.fill(bn)(new Array[Long](BloomWords))
+    private val bseen = new Array[Boolean](bn)
 
     def observe(row: InternalRow): Unit = {
+      var j = 0
+      while (j < bn) {
+        val i = bpos(j)
+        if (!row.isNullAt(i)) {
+          // EXACTLY valueHash's mapping, per type (incl. the -0.0 fold)
+          val h = bdts(j) match {
+            case LongType    => mix64(row.getLong(i))
+            case IntegerType => mix64(row.getInt(i).toLong)
+            case DoubleType  =>
+              val d = row.getDouble(i)
+              mix64(java.lang.Double.doubleToLongBits(if (d == 0.0d) 0.0d else d))
+            case FloatType   =>
+              val d = row.getFloat(i).toDouble
+              mix64(java.lang.Double.doubleToLongBits(if (d == 0.0d) 0.0d else d))
+            case _ => mix64(hashBytes(row.getUTF8String(i).getBytes))
+          }
+          setBits(blooms(j), h)
+          bseen(j) = true
+        }
+        j += 1
+      }
       var k = 0
       while (k < n) {
         val i = pos(k)
@@ -90,16 +213,20 @@ private[sources] object AvroStats {
       }
     }
 
-    /** One manifest payload line per column that saw a non-null value. */
+    /** One interval line per numeric column and one bloom line per
+      * bloom-tracked column that saw a non-null value.
+      */
     def lines: Array[String] =
-      (0 until n).iterator.filter(seen).map { k =>
+      ((0 until n).iterator.filter(seen).map { k =>
         if (isInt(k)) s"${names(k)}\ti\t${loL(k)}\t${hiL(k)}"
         else {
           val lo = java.lang.Double.doubleToRawLongBits(loD(k))
           val hi = java.lang.Double.doubleToRawLongBits(hiD(k))
           s"${names(k)}\tf\t$lo\t$hi"
         }
-      }.toArray
+      } ++ (0 until bn).iterator.filter(bseen).map { j =>
+        s"${bnames(j)}\tb\t${bloomEncode(blooms(j))}"
+      }).toArray
   }
 
   private def manifest(dir: String) = new Path(dir, AvroDataSource.StatsFile)
@@ -142,21 +269,28 @@ private[sources] object AvroStats {
       s"graft-avro stats publish: rename failed under $dir")
   }
 
-  /** fileName → column → interval; empty when absent/unreadable. */
-  def load(dir: String, conf: Configuration): Map[String, Map[String, ColRange]] =
+  /** fileName → column → stats; empty when absent/unreadable. */
+  def load(dir: String, conf: Configuration): Map[String, Map[String, ColStats]] =
     loadLines(dir, conf).flatMap { line =>
       line.split('\t') match {
         case Array(file, col, "i", lo, hi) =>
-          scala.util.Try(
-            (file, col, LongRange(lo.toLong, hi.toLong): ColRange)).toOption
+          scala.util.Try((file, col,
+            Left(LongRange(lo.toLong, hi.toLong): ColRange))).toOption
         case Array(file, col, "f", lo, hi) =>
-          scala.util.Try((file, col, DblRange(
+          scala.util.Try((file, col, Left(DblRange(
             java.lang.Double.longBitsToDouble(lo.toLong),
-            java.lang.Double.longBitsToDouble(hi.toLong)): ColRange)).toOption
+            java.lang.Double.longBitsToDouble(hi.toLong)): ColRange))).toOption
+        case Array(file, col, "b", payload) =>
+          bloomDecode(payload).map(b => (file, col,
+            Right(b): Either[ColRange, Array[Long]]))
         case _ => None
       }
     }.groupBy(_._1).map { case (f, ls) =>
-      f -> ls.map(t => t._2 -> t._3).toMap
+      f -> ls.groupBy(_._2).map { case (c, es) =>
+        c -> ColStats(
+          es.collectFirst { case (_, _, Left(r)) => r },
+          es.collectFirst { case (_, _, Right(b)) => b })
+      }
     }
 
   // (cmp(v,lo), cmp(v,hi)) under the engine's ordering, or None when
@@ -177,24 +311,34 @@ private[sources] object AvroStats {
     case _ => None
   }
 
-  /** Could ANY row of a file with intervals `cols` satisfy `f`?
+  /** Could ANY row of a file with stats `cols` satisfy `f`?
     * Conservative: unknown columns/filter shapes keep the file (stats
     * lines exist only for columns with ≥1 non-null value, so IsNull /
-    * IsNotNull never prune — null counts aren't tracked).
+    * IsNotNull never prune — null counts aren't tracked). EqualTo
+    * refutes by interval AND by bloom — the bloom is what prunes when
+    * intervals overlap (high-cardinality keys interleaved across
+    * files) and on string columns, which have no interval at all.
     */
-  def mayMatch(f: Filter, cols: Map[String, ColRange]): Boolean = f match {
-    case EqualTo(a, v) =>
-      cols.get(a).flatMap(bounds(v, _)).forall {
-        case (cl, ch) => cl >= 0 && ch <= 0
-      }
-    case GreaterThan(a, v) =>
-      cols.get(a).flatMap(bounds(v, _)).forall { case (_, ch) => ch < 0 }
-    case GreaterThanOrEqual(a, v) =>
-      cols.get(a).flatMap(bounds(v, _)).forall { case (_, ch) => ch <= 0 }
-    case LessThan(a, v) =>
-      cols.get(a).flatMap(bounds(v, _)).forall { case (cl, _) => cl > 0 }
-    case LessThanOrEqual(a, v) =>
-      cols.get(a).flatMap(bounds(v, _)).forall { case (cl, _) => cl >= 0 }
-    case _ => true
+  def mayMatch(f: Filter, cols: Map[String, ColStats]): Boolean = {
+    def rng(a: String) = cols.get(a).flatMap(_.range)
+    f match {
+      case EqualTo(a, v) =>
+        val rangeOk = rng(a).flatMap(bounds(v, _)).forall {
+          case (cl, ch) => cl >= 0 && ch <= 0
+        }
+        val bloomOk = (for {
+          st <- cols.get(a); b <- st.bloom; h <- valueHash(v)
+        } yield testBits(b, h)).getOrElse(true)
+        rangeOk && bloomOk
+      case GreaterThan(a, v) =>
+        rng(a).flatMap(bounds(v, _)).forall { case (_, ch) => ch < 0 }
+      case GreaterThanOrEqual(a, v) =>
+        rng(a).flatMap(bounds(v, _)).forall { case (_, ch) => ch <= 0 }
+      case LessThan(a, v) =>
+        rng(a).flatMap(bounds(v, _)).forall { case (cl, _) => cl > 0 }
+      case LessThanOrEqual(a, v) =>
+        rng(a).flatMap(bounds(v, _)).forall { case (cl, _) => cl >= 0 }
+      case _ => true
+    }
   }
 }

@@ -275,6 +275,38 @@ class SourceFormatsSpec extends SparkTestBase {
       "append lost the surviving files' manifest lines")
   }
 
+  test("graft-avro bloom skipping: equality prunes interleaved keys and string columns") {
+    // the complement of interval skipping: when key ranges OVERLAP
+    // (here: evens [0,198] vs odds [1,199] — every interval covers
+    // every probe) intervals prune nothing, and string columns have no
+    // interval at all; the per-file-column bloom is what turns point
+    // predicates into file skips. A bloom false positive only keeps a
+    // file, so pruning is never a correctness dependency.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_b").toString
+    val evens = (0L until 200L by 2).map(i => (i, s"alpha_$i")).toDF("k", "s")
+    val odds = (1L until 200L by 2).map(i => (i, s"beta_$i")).toDF("k", "s")
+    evens.coalesce(1).write.format("graft-avro").mode("overwrite").save(dir)
+    odds.coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    assert(graft.sources.AvroDataSource.listFiles(dir).size == 2)
+    val rd = spark.read.format("graft-avro").load(dir)
+    // numeric key inside BOTH intervals: only the bloom can prune
+    val hit = rd.filter(col("k") === 42L)
+    assert(hit.rdd.getNumPartitions == 1,
+      "bloom failed to prune the odd-keys file on an interleaved key")
+    assert(hit.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((42L, "alpha_42")))
+    // string equality: no interval exists; the bloom is the only pruner
+    val sf2 = rd.filter(col("s") === "beta_101")
+    assert(sf2.rdd.getNumPartitions == 1,
+      "bloom failed to prune on a string key")
+    assert(sf2.collect().map(_.getLong(0)).toSeq == Seq(101L))
+    // absent value: every file refuted — empty scan, exact answer
+    val none = rd.filter(col("k") === 1000L)
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0)
+  }
+
   test("graft-avro filter eval matches engine semantics: -0.0 and supplementary code points") {
     // pushed filters are AUTHORITATIVE (nothing re-checks), so their
     // evaluation must match Spark's exactly at the two classic
