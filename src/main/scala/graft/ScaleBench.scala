@@ -298,7 +298,39 @@ object ScaleBench {
     // with density; the cell size here is fixture-fixed). Expect β
     // between 1 (output) and 2 (candidates); the dense path also
     // settles MORE probes as density rises, starving the sparse leg
-    "q166_knn_join")
+    "q166_knn_join",
+    // q170: set-similarity join — the substitution cipher gives each
+    // replica a disjoint shingle vocabulary, so cross-replica prefix
+    // collisions are ~0 and within-replica candidate structure is
+    // preserved verbatim: vocabulary, prefix buckets, candidates, and
+    // true pairs all grow m×. β ~ 1 is the prefix-filter claim
+    // itself (a bare all-pairs would be m²)
+    "q170_setsim_join",
+    // q171: manifest CDF — orders replicate m×, so both snapshot
+    // writes and the overwrite-shaped diff grow m× (a full rewrite is
+    // the CDF's degenerate worst case: every file in the symmetric
+    // difference). The cell measures write + write + diff; the
+    // file-SKIPPING claim (append CDF reads only appended files) is
+    // spec-pinned via inputFiles, not wall-clock
+    "q171_manifest_cdf",
+    // q172: point-in-polygon — customers replicate (strided keys), so
+    // point density in the fixed ~1e5² box grows m× while the 25
+    // nation fences stay FIXED: the production shape (fences are a
+    // dimension; points are the fact). Candidates = points × covering
+    // fences grow m×, output grows m×, β ~ 1
+    "q172_point_in_polygon",
+    // q174: quality audit — every row-check table grows m×; the suite
+    // is a union of one-scan aggregates + one key shuffle + one
+    // anti-join, so β ~ scan. The single-scan folding is the
+    // PlanAuditSpec assert; the cell shows the whole suite tracks IO
+    "q174_quality_audit")
+    // q173 (RRF fusion) has NO cell: its cost IS q106 + q38 (the two
+    // rankers, both covered), and the fusion itself is |probes|·K
+    // rows — constant under replication by construction.
+    // q175 (incremental MV) has NO cell: its scratch-table machinery
+    // is q171's (covered); the refresh is |groups| + |changes| rows
+    // by plan shape, and its delta ≡ recompute claim is the oracle
+    // equality, not a curve.
     // q159 (triangles) has NO cell by construction — like q154: the
     // part dim is unreplicated, so scaledLineitem strides l_suppkey but
     // not l_partkey, and the co-supply graph DENSIFIES quadratically
@@ -673,7 +705,13 @@ object ScaleBench {
       s""""${Bench.esc(k)}":"${Bench.esc(v)}"""" }.mkString(",")
     val canP1 = canary(cpus32)
     val json = s"""{"metric":"scale_checkpoint","unit":"sec","base":"${Bench.esc(baseDir)}","mults":[${mults.mkString(",")}],"runs":$runs,"gen_s":${f(genSec)},"load":{"start":${f(loadStart)},"end":${f(loadAvg())}},"canary":{"single_s":[${f(canS0)},${f(canS1)}],"par${cpus32}_s":[${f(canP0)},${f(canP1)}]},"queries":{$perQuery},"errors":{$errJson}}"""
-    Files.writeString(Paths.get("scalebench_result.json"), json + "\n")
+    // APPEND, never overwrite: the artifact is the session HISTORY
+    // (JSON-lines) — the full cell matrix across rounds stays
+    // committed instead of each session clobbering the last (r15
+    // verdict hygiene item)
+    Files.writeString(Paths.get("scalebench_result.json"), json + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     println(json)
   }
 }

@@ -256,20 +256,25 @@ object ManifestedTable {
     commit(fs, root, staged)
   }
 
-  /** Reclaim files no snapshot ≥ the current one references: orphans
-    * from aborted stages and data superseded by overwrite/compaction,
-    * plus all manifests but the latest (history retention is a policy
-    * knob real table formats add; this keeps exactly one snapshot).
-    * Returns the number of data files deleted. Run OUT-OF-BAND — the
-    * separation of publication (atomic, instant) from deletion (lazy,
-    * maintenance) is what makes racing readers safe.
+  /** Reclaim files the RETAINED snapshots don't reference: orphans
+    * from aborted stages and data superseded past the retention
+    * horizon. `keepLast` is the retention policy — the newest n
+    * manifests survive, so [[readAt]]/[[changesBetween]] keep working
+    * across exactly that window (time travel and vacuum compose
+    * instead of excluding each other); the default keeps only the
+    * current snapshot. Returns the number of data files deleted. Run
+    * OUT-OF-BAND — the separation of publication (atomic, instant)
+    * from deletion (lazy, maintenance) is what makes racing readers
+    * safe.
     */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $dir")
-    val live = readManifest(fs, vs.last._2).toSet
+    val retained = vs.takeRight(keepLast)
+    val live = retained.flatMap(v => readManifest(fs, v._2)).toSet
     var deleted = 0
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
@@ -285,7 +290,7 @@ object ManifestedTable {
             s.getPath.getName.startsWith("_")))
           fs.delete(d.getPath, true)
       }
-    vs.dropRight(1).foreach(v => fs.delete(v._2, false))
+    vs.dropRight(keepLast).foreach(v => fs.delete(v._2, false))
     deleted
   }
 }

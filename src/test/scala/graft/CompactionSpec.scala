@@ -311,7 +311,18 @@ class CompactionSpec extends SparkTestBase {
     val (cAdd, cRem) = ManifestedTable.changesBetween(spark, dir, v3, v4)
     assert(cAdd.isEmpty && cRem.isEmpty, "compaction leaked a row diff")
 
-    // vacuum collapses history: past versions fail loudly, not wrongly
+    // retention: keepLast=2 keeps time travel + CDF alive across
+    // exactly the retained window and reclaims everything older
+    ManifestedTable.vacuum(spark, dir, keepLast = 2)
+    assert(ManifestedTable.versions(spark, dir) == Seq(v3, v4))
+    assert(ManifestedTable.readAt(spark, dir, v3).count() == v3df.count())
+    val (rAdd, rRem) = ManifestedTable.changesBetween(spark, dir, v3, v4)
+    assert(rAdd.isEmpty && rRem.isEmpty)
+    intercept[IllegalArgumentException] {
+      ManifestedTable.readAt(spark, dir, v2)
+    }
+
+    // full vacuum collapses history: past versions fail loudly, not wrongly
     ManifestedTable.vacuum(spark, dir)
     assert(ManifestedTable.versions(spark, dir) == Seq(v4))
     intercept[IllegalArgumentException] {
