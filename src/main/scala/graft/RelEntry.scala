@@ -1838,6 +1838,77 @@ object RelEntry {
       }
     }),
 
+    // ---- T76: row-level MERGE (copy-on-write upsert) ---------------------
+    "q176_merge_upsert" -> ((s, d) => {
+      // MERGE INTO as a table OPERATION, completing the manifest
+      // tier's DML surface (T72 reads row changes, T75 consumes them,
+      // THIS writes them): the scratch order book becomes a manifested
+      // table laid out key-clustered (repartitionByRange, so the
+      // copy-on-write file pruning below is non-trivial — matched keys
+      // concentrate in few files), then a delta merges in: price
+      // corrections (+5000 cents on the key % 7 = 2 stratum) REPLACE
+      // their rows, late bookings (keys shifted +10^7, past any
+      // ScaleBench replica stride) INSERT, and every file holding no
+      // matched key rides into the new snapshot BY REFERENCE —
+      // CompactionSpec pins the file-level claim (untouched paths +
+      // mtimes identical, removed set == exactly the touched files);
+      // the oracle pins the row-level one: the post-merge table equals
+      // the relational upsert image src ⊎ (base ∖ src-keys). Scale:
+      // find-touched is a key-column scan + semi join (composable with
+      // q131 min-max pruning); the rewrite moves only touched files +
+      // the delta; publication is one manifest rename.
+      import graft.sources.ManifestedTable
+      val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      ManifestedTable.write(
+        base.repartitionByRange(8, col("o_orderkey")), dir)
+      val source = base.filter(col("o_orderkey") % 7 === 2)
+        .withColumn("price_cents", col("price_cents") + 5000L)
+        .unionAll(base.filter(col("o_orderkey") % 13 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      ManifestedTable.merge(s, dir, source, Seq("o_orderkey"))
+      val out = ManifestedTable.read(s, dir)
+      core.Materialize.detached(out) {
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
+    // ---- T77: row-level DELETE WHERE (three-valued predicate) -----------
+    "q177_delete_where" -> ((s, d) => {
+      // DELETE's SQL semantics pinned through the hash compare: rows
+      // are removed where the predicate is TRUE — FALSE **and NULL**
+      // rows survive, the three-valued edge a naive !cond rewrite gets
+      // wrong (NOT NULL is NULL, which a filter drops). The fixture
+      // NULLs score on the key % 11 = 0 stratum, so the predicate
+      // score > 2·10^7 faces genuine UNKNOWN rows and the oracle's
+      // explicit `score IS NULL OR NOT (...)` spelling must agree
+      // row-for-row. Copy-on-write as in q176: only files holding a
+      // TRUE row rewrite (with the null-safe negation); a no-match
+      // delete commits nothing.
+      import graft.sources.ManifestedTable
+      val dir = java.nio.file.Files.createTempDirectory("graft_del").toString
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("bigint").as("score"))
+      ManifestedTable.write(
+        base.repartitionByRange(8, col("o_orderkey")), dir)
+      ManifestedTable.deleteWhere(s, dir, col("score") > 20000000L)
+      val out = ManifestedTable.read(s, dir)
+      core.Materialize.detached(out) {
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -2388,6 +2459,39 @@ object RelEntry {
         |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(price_cents) AS BIGINT) AS cents
         |FROM v2 GROUP BY o_custkey""".stripMargin,
+
+    // q176 mirror: the relational upsert image — src wins, base keys
+    // not in src pass through; equality proves the copy-on-write MERGE
+    // (file pruning, partial rewrite, manifest swap) returns exactly
+    // the logical upsert
+    "q176_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, price_cents + 5000 AS price_cents
+        |  FROM base WHERE o_orderkey % 7 = 2
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, price_cents
+        |  FROM base WHERE o_orderkey % 13 = 1)
+        |SELECT o_orderkey, o_custkey, price_cents FROM src
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_custkey, b.price_cents FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM src s
+        |                  WHERE s.o_orderkey = b.o_orderkey)""".stripMargin,
+
+    // q177 mirror: DELETE's survivors spelled with the explicit
+    // null-keeping disjunction — NULL scores are UNKNOWN under the
+    // predicate and must SURVIVE
+    "q177_delete_where" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS score
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, score FROM base
+        |WHERE score IS NULL OR NOT (score > 20000000)""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property

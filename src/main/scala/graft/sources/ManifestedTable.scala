@@ -3,7 +3,8 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit}
 
 /** Manifest-swap publication over plain parquet — the atomic
   * MULTI-partition commit [[PartitionedSink]] documents as its missing
@@ -254,6 +255,96 @@ object ManifestedTable {
     val compacted = read(spark, dir).repartition(needed)
     val staged = stageFiles(compacted, root, fs)
     commit(fs, root, staged)
+  }
+
+  /** Relative paths of the current snapshot's files that hold at least
+    * one row of `hits` — the copy-on-write DML planner's "find touched
+    * files" pass. The scan is COLUMN-PRUNED to whatever `hits` needs
+    * plus the virtual file name, and the result is ≤ |files| rows, so
+    * the collect is manifest-sized by construction (never data-sized).
+    */
+  private def touchedFiles(cur: Seq[String], hits: DataFrame): Seq[String] = {
+    // `hits` must carry `__file` captured AT SCAN TIME (input_file_name
+    // is per-task scan state — after a shuffle join it reads empty)
+    val uris = hits.select(col("__file"))
+      .distinct().collect().map(_.getString(0)).toSet
+    cur.filter(f => uris.exists(_.endsWith("/" + f)))
+  }
+
+  private def absPaths(root: Path, rel: Seq[String]): Seq[String] =
+    rel.map(f => new Path(root, f).toString)
+
+  /** Row-level MERGE (upsert) — the copy-on-write `MERGE INTO` a
+    * lakehouse table format runs, on the manifest layout: source rows
+    * REPLACE base rows with equal `keys` and INSERT where unmatched.
+    *
+    * Copy-on-write file pruning is the scale property: phase 1 finds
+    * the files containing ≥ 1 matched key via a key-column-pruned scan
+    * + semi join (what Delta's findTouchedFiles does; composes with
+    * q131's min-max stats to prune even that scan on a key-clustered
+    * layout), phase 2 rewrites ONLY those files (matched rows dropped
+    * by anti join, source unioned in), and the new manifest carries
+    * every untouched file BY REFERENCE — at 100 TB an upsert touching
+    * 0.1% of files moves 0.1% of the data and zero bytes of the rest
+    * (CompactionSpec pins paths + mtimes unchanged). Publication is
+    * the usual single manifest rename: readers see pre- or post-merge,
+    * never a mixture; a mid-job death leaves the old snapshot live.
+    *
+    * Multiple source rows per key would make the upsert
+    * order-dependent, so it throws (the MERGE cardinality rule) —
+    * the check costs one aggregate over the delta, never the table.
+    */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val cur = currentFiles(spark, dir)
+    val base = read(spark, dir)
+    require(base.columns.sorted.sameElements(source.columns.sorted),
+      s"merge source columns [${source.columns.sorted.mkString(",")}] " +
+        s"must match table [${base.columns.sorted.mkString(",")}]")
+    val dupKeys = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+    require(dupKeys.isEmpty,
+      "merge source has multiple rows per key — the upsert would be " +
+        "order-dependent (MERGE cardinality violation)")
+    val srcKeys = source.select(keys.map(col): _*)
+    val touched = touchedFiles(cur,
+      base.select((keys.map(col) :+ input_file_name().as("__file")): _*)
+        .join(srcKeys, keys, "left_semi"))
+    val kept = cur.filterNot(touched.toSet)
+    val rewrite =
+      if (touched.isEmpty) source
+      else spark.read.parquet(absPaths(root, touched): _*)
+        .join(srcKeys, keys, "left_anti")
+        .unionByName(source)
+    val staged = stageFiles(
+      rewrite.select(base.columns.map(col).toIndexedSeq: _*), root, fs)
+    commit(fs, root, kept ++ staged)
+  }
+
+  /** Row-level DELETE WHERE — `cond` follows SQL DELETE semantics:
+    * rows where it evaluates TRUE are removed; FALSE and NULL rows
+    * SURVIVE (the three-valued-logic edge CompactionSpec pins).
+    * Same copy-on-write plan as [[merge]]: only files holding ≥ 1
+    * matching row are rewritten (with the negated, null-safe filter),
+    * everything else rides into the new manifest by reference; a
+    * predicate matching nothing commits nothing (version unchanged).
+    */
+  def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val cur = currentFiles(spark, dir)
+    val base = read(spark, dir)
+    val touched = touchedFiles(cur,
+      base.withColumn("__file", input_file_name()).filter(cond))
+    if (touched.isEmpty) return currentVersion(spark, dir)
+    val kept = cur.filterNot(touched.toSet)
+    val survivors = spark.read.parquet(absPaths(root, touched): _*)
+      .filter(!coalesce(cond, lit(false)))
+    val staged = stageFiles(survivors, root, fs)
+    commit(fs, root, kept ++ staged)
   }
 
   /** Reclaim files the RETAINED snapshots don't reference: orphans

@@ -332,4 +332,90 @@ class CompactionSpec extends SparkTestBase {
       ManifestedTable.readAt(spark, dir, v3)
     }
   }
+
+  test("manifested table: copy-on-write MERGE/DELETE rewrite only touched files") {
+    import graft.sources.ManifestedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") < 800)
+    // key-clustered 8-file layout, so a key-local delta touches few files
+    ManifestedTable.write(ev.repartitionByRange(8, col("event_id")), dir)
+    val v1Files = ManifestedTable.currentFiles(spark, dir)
+    assert(v1Files.size == 8)
+    def mtimes(rel: Seq[String]): Map[String, Long] =
+      rel.map(f => f -> new java.io.File(dir, f).lastModified()).toMap
+    val t1 = mtimes(v1Files)
+
+    // merge: updates confined to [0,100) + inserts keyed past the range
+    val srcUpd = ev.filter(col("event_id") < 100)
+      .withColumn("value", col("value") + 1000d)
+    val srcIns = ev.filter(col("event_id") < 50)
+      .withColumn("event_id", col("event_id") + 100000L)
+    val v2 = ManifestedTable.merge(spark, dir,
+      srcUpd.unionByName(srcIns), Seq("event_id"))
+
+    // file-level claim: the removed set is exactly the files whose key
+    // range intersects [0,100) — every other v1 file rides by REFERENCE
+    // (same relative path, same bytes: mtime unchanged)
+    val (addedF, removedF) =
+      ManifestedTable.changedFiles(spark, dir,
+        ManifestedTable.versions(spark, dir).head, v2)
+    val lowKeyFiles = v1Files.filter { f =>
+      spark.read.parquet(new java.io.File(dir, f).toString)
+        .filter(col("event_id") < 100).limit(1).count() > 0
+    }
+    assert(removedF.toSet == lowKeyFiles.toSet,
+      s"merge rewrote beyond the touched files: $removedF vs $lowKeyFiles")
+    assert(removedF.size < v1Files.size)
+    val carried = v1Files.filterNot(removedF.toSet)
+    assert(ManifestedTable.currentFiles(spark, dir).toSet
+      .intersect(carried.toSet) == carried.toSet)
+    assert(carried.forall(f => mtimes(Seq(f))(f) == t1(f)),
+      "an untouched file was rewritten in place")
+    assert(addedF.nonEmpty)
+
+    // row-level claim: the table equals the relational upsert image
+    val expect = srcUpd.unionByName(srcIns).unionByName(
+      ev.filter(col("event_id") >= 100))
+    assert(ManifestedTable.read(spark, dir)
+      .orderBy("event_id").collect().toSeq ==
+      expect.orderBy("event_id").collect().toSeq)
+
+    // cardinality rule: two source rows per key throw, table unchanged
+    val vBefore = ManifestedTable.currentVersion(spark, dir)
+    intercept[IllegalArgumentException] {
+      ManifestedTable.merge(spark, dir,
+        srcUpd.unionByName(srcUpd), Seq("event_id"))
+    }
+    assert(ManifestedTable.currentVersion(spark, dir) == vBefore)
+
+    // delete: TRUE rows go, FALSE and NULL rows SURVIVE (SQL DELETE's
+    // three-valued semantics — the naive !cond filter would drop NULLs)
+    val nulled = ManifestedTable.read(spark, dir)
+      .withColumn("value",
+        when(col("event_id") % 13 === 0, lit(null)).otherwise(col("value")))
+    ManifestedTable.write(
+      nulled.repartitionByRange(8, col("event_id")), dir)
+    val preFiles = ManifestedTable.currentFiles(spark, dir)
+    val preT = mtimes(preFiles)
+    val vDel = ManifestedTable.deleteWhere(spark, dir,
+      col("value") > 1000d && col("event_id") < 100)
+    val survivors = ManifestedTable.read(spark, dir)
+    assert(survivors.filter(
+      col("value") > 1000d && col("event_id") < 100).count() == 0)
+    assert(survivors.filter(col("value").isNull).count() ==
+      nulled.filter(col("value").isNull).count(),
+      "DELETE dropped NULL-predicate rows")
+    val (_, delRemoved) = ManifestedTable.changedFiles(spark, dir,
+      vDel - 1, vDel)
+    assert(delRemoved.nonEmpty && delRemoved.size < preFiles.size)
+    val delCarried = preFiles.filterNot(delRemoved.toSet)
+    assert(delCarried.forall(f => mtimes(Seq(f))(f) == preT(f)))
+
+    // a predicate matching nothing commits nothing
+    val vSame = ManifestedTable.deleteWhere(spark, dir,
+      col("event_id") === -1L)
+    assert(vSame == vDel, "a no-match DELETE advanced the version")
+  }
 }
