@@ -12,16 +12,20 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead,
   SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
+  SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.read.SupportsPushDownFilters
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
-  GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan,
+  GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
   LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,6 +60,17 @@ import org.apache.spark.util.SerializableConfiguration
   *   row-major container's answer to parquet row-group pruning, and
   *   the piece that makes pushdown save IO rather than just conversion.
   *   Files absent from the manifest are conservatively kept.
+  * - **Runtime (join-driven) filtering** (SupportsRuntimeFiltering):
+  *   the DSv2 face of dynamic partition pruning — Catalyst executes a
+  *   selective join's build side FIRST and hands the observed keys in
+  *   as an In filter before partitions are planned, so container files
+  *   whose stats refute every probed key are skipped on information
+  *   that only exists at runtime.
+  * - **Aggregate pushdown** (SupportsPushDownAggregates): global
+  *   MIN/MAX/COUNT(*) answer from the manifest's exact intervals and
+  *   row counts — |files| lines, zero data IO; anything the stats
+  *   can't answer exactly (filters, GROUP BY, uncovered files,
+  *   all-NULL columns) declines and falls back to a real scan.
   * - **Column pruning** (SupportsPushDownRequiredColumns): the pruned
   *   schema reaches the reader factory. Avro is ROW-MAJOR, so pruning
   *   cannot skip IO the way parquet does — it skips per-field
@@ -334,9 +349,10 @@ private[sources] class AvroWriterFactory(schemaJson: String,
 
 private[sources] class AvroScanBuilder(full: StructType, path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var aggPushed: Option[(StructType, Array[Array[Any]])] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep OUR field metadata/nullability; honor the engine's field set
     required = StructType(
@@ -374,8 +390,112 @@ private[sources] class AvroScanBuilder(full: StructType, path: String)
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new AvroScan(required, path, pushed,
-    new SerializableConfiguration(AvroDataSource.sessionConf()))
+
+  /** MIN / MAX / COUNT(*) answered FROM THE STATS MANIFEST — zero data
+    * IO: the writers already track exact per-file (lo,hi) intervals
+    * (null-ignoring, exactly SQL MIN/MAX semantics) and exact row
+    * counts, so a global aggregate over them needs |files| manifest
+    * lines, not a scan. Accepted only when NOTHING forces real rows:
+    * no pushed filters, no GROUP BY, every listed file covered by the
+    * manifest for every needed column (an all-NULL file-column has no
+    * interval line and correctly forces the fallback — stats can't
+    * distinguish it from untracked data). PARTIAL pushdown
+    * (supportCompletePushDown stays false): the scan returns one
+    * partial row per file and Spark's final aggregate merges
+    * min-of-mins / max-of-maxes / sum-of-counts, so a manifest that
+    * goes missing mid-plan degrades to a correct scan, never a wrong
+    * answer. One documented edge: the tracker folds -0.0 into +0.0
+    * (Spark's NormalizeFloatingNumbers convention), so MIN over
+    * all-negative-zero data reports +0.0 — equal under SQL comparison.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    val conf = AvroDataSource.sessionConf()
+    val files = scala.util.Try(
+      AvroDataSource.listFiles(path, conf)).getOrElse(Nil)
+    if (files.isEmpty) return false
+    val names = files.map(f => new Path(f).getName)
+    val stats = AvroStats.load(path, conf)
+    val counts = AvroStats.loadCounts(path, conf)
+    def fieldOf(e: V2Expression): Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        full.find(_.name == nr.fieldNames()(0))
+      case _ => None
+    }
+    // per output column: (schema field, one partial value per file) —
+    // every file must contribute or the whole pushdown is declined
+    def edge(f: StructField, lo: Boolean): Option[(StructField, Seq[Any])] = {
+      val vs = names.map(n => stats.get(n).flatMap(_.get(f.name))
+        .flatMap(_.range).flatMap { r =>
+          (r, f.dataType) match {
+            case (AvroStats.LongRange(l, h), LongType) => Some(if (lo) l else h)
+            case (AvroStats.LongRange(l, h), IntegerType) =>
+              Some(if (lo) l.toInt else h.toInt)
+            case (AvroStats.DblRange(l, h), DoubleType) => Some(if (lo) l else h)
+            case (AvroStats.DblRange(l, h), FloatType) =>
+              Some(if (lo) l.toFloat else h.toFloat)
+            case _ => None
+          }
+        })
+      if (vs.forall(_.isDefined))
+        Some((StructField(s"${if (lo) "min" else "max"}(${f.name})",
+          f.dataType), vs.map(_.get)))
+      else None
+    }
+    val cols = agg.aggregateExpressions().toSeq.map {
+      case m: Min => fieldOf(m.column()).flatMap(edge(_, lo = true))
+      case m: Max => fieldOf(m.column()).flatMap(edge(_, lo = false))
+      case _: CountStar =>
+        val cs = names.map(counts.get)
+        if (cs.forall(_.isDefined))
+          Some((StructField("count(*)", LongType, nullable = false),
+            cs.map(_.get)))
+        else None
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) return false
+    val picked = cols.map(_.get)
+    aggPushed = Some((StructType(picked.map(_._1)),
+      names.indices.map(i => picked.map(_._2(i)).toArray).toArray))
+    true
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some((schema, rows)) => new AvroAggScan(path, schema, rows)
+    case None => new AvroScan(required, path, pushed,
+      new SerializableConfiguration(AvroDataSource.sessionConf()))
+  }
+}
+
+/** The stats-only scan [[AvroScanBuilder.pushAggregation]] plans: one
+  * partial-aggregate row per container file, all computed on the driver
+  * from the manifest — no file is opened, no task reads a byte of data.
+  */
+private[sources] class AvroAggScan(path: String, schema: StructType,
+    rows: Array[Array[Any]]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-avro $path agg-from-stats " +
+      schema.fieldNames.mkString("[", ",", "]")
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AvroAggPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    AvroAggReaderFactory
+}
+
+private[sources] case class AvroAggPartition(rows: Array[Array[Any]])
+    extends InputPartition
+
+private[sources] object AvroAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[AvroAggPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] object AvroFilterEval {
@@ -427,18 +547,41 @@ private[sources] object AvroFilterEval {
 
 private[sources] class AvroScan(readSchema: StructType, path: String,
     filters: Array[Filter], sconf: SerializableConfiguration)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-avro $path ${readSchema.fieldNames.mkString("[", ",", "]")}" +
       (if (filters.isEmpty) ""
        else filters.mkString(" PushedFilters: [", ", ", "]"))
-  /** One partition per file that COULD satisfy the pushed filters:
-    * files whose manifest (lo,hi) interval refutes a pushed range or
-    * equality predicate are skipped without being opened. Files with
-    * no manifest entry are kept — skipping is an optimization, never a
-    * correctness dependency.
+
+  // ---- runtime (join-derived) filtering --------------------------------
+  // The DSv2 face of dynamic partition pruning: when this scan probes a
+  // join whose other side carries a selective predicate, Catalyst plants
+  // a DynamicPruning subquery, evaluates the build side FIRST, and hands
+  // the observed join-key values here as an In filter BEFORE input
+  // partitions are planned (BatchScanExec.filteredPartitions) — so whole
+  // container files whose stats refute every probed key are never
+  // opened, based on information that only EXISTS at runtime. Static
+  // pushdown cannot do this; at 100 TB it is the difference between
+  // scanning the fact table and scanning the matching slice. Declaring
+  // only stats-tracked columns keeps Catalyst from planting subqueries
+  // the planner can't cash.
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    readSchema.fields.collect {
+      case f if AvroStats.trackable(f.dataType) =>
+        Expressions.column(f.name)
+    }
+  override def filter(rf: Array[Filter]): Unit = { runtime = rf }
+
+  /** One partition per file that COULD satisfy the pushed + runtime
+    * filters: files whose manifest stats (interval or bloom) refute a
+    * range/equality/In predicate are skipped without being opened.
+    * Files with no manifest entry are kept — skipping is an
+    * optimization, never a correctness dependency. Runtime filters
+    * prune PLANNING only (the join itself re-checks every row), so
+    * they are not handed to the row-level reader.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val all = AvroDataSource.listFiles(path, sconf.value)
@@ -446,8 +589,10 @@ private[sources] class AvroScan(readSchema: StructType, path: String,
     all.filter { f =>
       val name = new Path(f).getName
       stats.get(name) match {
-        case Some(cols) => filters.forall(AvroStats.mayMatch(_, cols))
-        case None       => true
+        case Some(cols) =>
+          (filters.iterator ++ runtime.iterator)
+            .forall(AvroStats.mayMatch(_, cols))
+        case None => true
       }
     }.map(AvroFilePartition(_): InputPartition).toArray
   }

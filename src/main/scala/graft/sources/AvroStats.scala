@@ -6,7 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, LessThan, LessThanOrEqual}
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 
 /** Per-file column statistics for the `graft-avro` connector — the
@@ -46,6 +46,16 @@ import org.apache.spark.sql.types._
   * `fileName  column  b  base64(bits)` (blooms).
   */
 private[sources] object AvroStats {
+
+  /** Types the write-side [[Tracker]] keeps stats for — numerics carry
+    * (lo,hi) intervals + blooms, strings blooms only. The scan's
+    * runtime-filterable attribute set is derived from this, so Catalyst
+    * only plants dynamic-pruning subqueries the planner can cash.
+    */
+  def trackable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | StringType => true
+    case _ => false
+  }
 
   sealed trait ColRange
   final case class LongRange(lo: Long, hi: Long) extends ColRange
@@ -162,8 +172,10 @@ private[sources] object AvroStats {
     private val bpos = btracked.map(_._2)
     private val blooms = Array.fill(bn)(new Array[Long](BloomWords))
     private val bseen = new Array[Boolean](bn)
+    private var rows = 0L
 
     def observe(row: InternalRow): Unit = {
+      rows += 1
       var j = 0
       while (j < bn) {
         val i = bpos(j)
@@ -214,7 +226,11 @@ private[sources] object AvroStats {
     }
 
     /** One interval line per numeric column and one bloom line per
-      * bloom-tracked column that saw a non-null value.
+      * bloom-tracked column that saw a non-null value, plus the file's
+      * exact ROW COUNT (`_  n  <rows>` — the `_` pseudo-column can
+      * never parse as a real column's interval/bloom, so old readers
+      * skip it): the piece that lets COUNT(*) answer from the manifest
+      * with zero data IO.
       */
     def lines: Array[String] =
       ((0 until n).iterator.filter(seen).map { k =>
@@ -226,7 +242,7 @@ private[sources] object AvroStats {
         }
       } ++ (0 until bn).iterator.filter(bseen).map { j =>
         s"${bnames(j)}\tb\t${bloomEncode(blooms(j))}"
-      }).toArray
+      } ++ Iterator.single(s"_\tn\t$rows")).toArray
   }
 
   private def manifest(dir: String) = new Path(dir, AvroDataSource.StatsFile)
@@ -293,6 +309,19 @@ private[sources] object AvroStats {
       }
     }
 
+  /** fileName → exact row count, for files whose manifest carries the
+    * `_ n` line (written since the count tier; older manifests simply
+    * lack entries and aggregate pushdown falls back to a real scan).
+    */
+  def loadCounts(dir: String, conf: Configuration): Map[String, Long] =
+    loadLines(dir, conf).flatMap { line =>
+      line.split('\t') match {
+        case Array(file, "_", "n", rows) =>
+          scala.util.Try(file -> rows.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+
   // (cmp(v,lo), cmp(v,hi)) under the engine's ordering, or None when
   // the filter value's type doesn't pair with the stored interval —
   // None always KEEPS the file.
@@ -338,6 +367,10 @@ private[sources] object AvroStats {
         rng(a).flatMap(bounds(v, _)).forall { case (cl, _) => cl > 0 }
       case LessThanOrEqual(a, v) =>
         rng(a).flatMap(bounds(v, _)).forall { case (cl, _) => cl >= 0 }
+      // the runtime-filter shape (DPP hands the build side's observed
+      // join keys as one In): the file survives iff ANY probed key may
+      // be present — each key tested by interval AND bloom as EqualTo
+      case In(a, vs) => vs.exists(v => mayMatch(EqualTo(a, v), cols))
       case _ => true
     }
   }

@@ -307,6 +307,109 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("graft-avro runtime filtering: a filtered dim prunes container files at runtime") {
+    // the DSv2 face of dynamic partition pruning, completing the
+    // pushdown story: static predicates skip files at planning (above),
+    // but a JOIN's matching keys only exist at runtime — the scan
+    // declares its stats-tracked columns via SupportsRuntimeFiltering,
+    // Catalyst plants a DynamicPruning subquery on the fact side,
+    // executes the dim FIRST, and hands the observed join keys in as an
+    // In filter before input partitions are planned: container files
+    // whose interval+bloom refute every probed key are never opened.
+    // At 100 TB this is scanning the matching slice of the fact table
+    // instead of all of it, driven by information no static plan has.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // classic (non-AQE) DPP path so the executed plan is directly
+      // traversable; the pruning itself is planner-level either way
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val dir = java.nio.file.Files.createTempDirectory("graft_avro_rf").toString
+      val src = sample
+      src.repartitionByRange(8, col("user_id"))
+        .write.format("graft-avro").mode("overwrite").save(dir)
+      val files = graft.sources.AvroDataSource.listFiles(dir).size
+      assert(files >= 4, s"layout too coarse: $files files")
+      // dim over a REAL source (a LocalRelation's filter constant-folds
+      // away and the DPP heuristic never sees it — the q-T57 gotcha)
+      val dimDir = java.nio.file.Files.createTempDirectory("graft_avro_rfd").toString
+      src.select(col("user_id").as("u")).distinct()
+        .write.mode("overwrite").parquet(dimDir)
+      val probes = src.select("user_id").distinct().orderBy("user_id")
+        .limit(2).collect().map(_.getLong(0))
+      val dim = spark.read.parquet(dimDir)
+        .filter(col("u").isin(probes.toIndexedSeq: _*))
+      val fact = spark.read.format("graft-avro").load(dir)
+      val joined = fact.join(dim, col("user_id") === col("u"))
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.toLowerCase.contains("dynamicpruning"),
+        s"no DynamicPruning planted on the fact scan:\n${plan.toString.take(1500)}")
+      val scans = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().startsWith("graft-avro") => b
+      }
+      assert(scans.size == 1, s"expected one graft-avro scan, got $scans")
+      val planned = scans.head.inputRDD.partitions.length
+      assert(planned < files,
+        s"runtime filter pruned nothing: planned $planned of $files files")
+      // semantically transparent: equals the static formulation
+      val expect = src.filter(col("user_id").isin(probes.toIndexedSeq: _*))
+      assert(rows.length == expect.count(),
+        s"runtime filtering changed the result: ${rows.length} rows")
+      assert(rows.nonEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("graft-avro aggregate pushdown: MIN/MAX/COUNT answer from the stats manifest") {
+    // the third pushdown tier: the writers already record exact
+    // per-file (lo,hi) intervals and row counts, so a global
+    // MIN/MAX/COUNT(*) needs |files| manifest lines and ZERO data IO —
+    // the scan the builder plans (agg-from-stats) returns one partial
+    // row per file from the driver-loaded manifest and never opens a
+    // container. Partial pushdown: Spark still merges min-of-mins /
+    // sum-of-counts, so a missing manifest degrades to a real scan,
+    // never a wrong answer — the fallback legs are pinned below.
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_g").toString
+    val src = sample
+    src.repartitionByRange(4, col("user_id"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val rd = spark.read.format("graft-avro").load(dir)
+    val agg = rd.agg(min(col("user_id")).as("lo"), max(col("value")).as("hi"),
+      count(lit(1)).as("n"))
+    assert(agg.queryExecution.executedPlan.toString.contains("agg-from-stats"),
+      s"aggregate did not push into the scan:\n${agg.queryExecution.executedPlan.toString.take(900)}")
+    val got = agg.head
+    val want = src.agg(min(col("user_id")), max(col("value")),
+      count(lit(1))).head
+    assert(got.getLong(0) == want.getLong(0) &&
+      got.getDouble(1) == want.getDouble(1) &&
+      got.getLong(2) == want.getLong(2))
+    // a filter forces real rows: pushdown declines, answer exact
+    val filt = rd.filter(col("user_id") < 50)
+      .agg(count(lit(1)).as("n"), min(col("user_id")).as("lo"))
+    assert(!filt.queryExecution.executedPlan.toString.contains("agg-from-stats"))
+    assert(filt.head.getLong(0) ==
+      src.filter(col("user_id") < 50).count())
+    // a string MIN has no interval: pushdown declines, answer exact
+    val sm = rd.agg(min(col("event_type")).as("m"))
+    assert(!sm.queryExecution.executedPlan.toString.contains("agg-from-stats"))
+    assert(sm.head.getString(0) ==
+      src.agg(min(col("event_type"))).head.getString(0))
+    // GROUP BY is not answerable from global stats: declines, exact
+    val gb = rd.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    assert(!gb.queryExecution.executedPlan.toString.contains("agg-from-stats"))
+    assert(gb.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      src.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+    // a manifest-less dir (utility-written containers): declines, exact
+    val udir = java.nio.file.Files.createTempDirectory("graft_avro_gu").toString
+    graft.sources.AvroFiles.write(src, udir)
+    val u = spark.read.format("graft-avro").load(udir)
+      .agg(count(lit(1)).as("n"))
+    assert(!u.queryExecution.executedPlan.toString.contains("agg-from-stats"))
+    assert(u.head.getLong(0) == src.count())
+  }
+
   test("graft-avro filter eval matches engine semantics: -0.0 and supplementary code points") {
     // pushed filters are AUTHORITATIVE (nothing re-checks), so their
     // evaluation must match Spark's exactly at the two classic
