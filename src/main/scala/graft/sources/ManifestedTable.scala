@@ -66,7 +66,7 @@ object ManifestedTable {
       }.sortBy(_._1)
   }
 
-  private def readManifest(fs: FileSystem, p: Path): Seq[String] = {
+  private def readManifestRaw(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     try {
       val bytes = new java.io.ByteArrayOutputStream()
@@ -77,6 +77,12 @@ object ManifestedTable {
         .split('\n').toSeq.filter(_.nonEmpty)
     } finally in.close()
   }
+
+  // `#`-prefixed manifest lines are snapshot METADATA (the streaming
+  // txn marker below), never file paths — every file-list consumer
+  // (read, CDF, vacuum) sees only data lines
+  private def readManifest(fs: FileSystem, p: Path): Seq[String] =
+    readManifestRaw(fs, p).filterNot(_.startsWith("#"))
 
   /** Current snapshot's relative file paths (empty table ⇒ empty list;
     * NO manifest at all ⇒ error — an unpublished dir is not a table).
@@ -170,15 +176,37 @@ object ManifestedTable {
     }
   }
 
-  /** CAS-commit `files` as the next snapshot; returns its version. */
-  private def commit(fs: FileSystem, root: Path, files: Seq[String]): Long = {
+  /** `#key=value` metadata of the snapshot at manifest path `p`. */
+  private def readMeta(fs: FileSystem, p: Path): Map[String, String] =
+    readManifestRaw(fs, p).collect {
+      case l if l.startsWith("#") && l.contains('=') =>
+        val i = l.indexOf('=')
+        l.substring(1, i) -> l.substring(i + 1)
+    }.toMap
+
+  /** CAS-commit `files` as the next snapshot; returns its version.
+    * Snapshot metadata (`#key=value` lines ahead of the file list)
+    * rides the SAME atomic rename as the data it describes, and the
+    * PREVIOUS snapshot's metadata is carried forward with `meta`
+    * overriding per key — so the streaming txn marker survives
+    * unrelated commits (compaction, DML) and vacuum's history
+    * collapse: the latest manifest always knows the last applied
+    * batch.
+    */
+  private def commit(fs: FileSystem, root: Path, files: Seq[String],
+      meta: Map[String, String] = Map.empty): Long = {
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
-    val body = files.mkString("", "\n", if (files.isEmpty) "" else "\n")
-      .getBytes(StandardCharsets.UTF_8)
     var attempt = 0
     while (attempt < 64) {
-      val v = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(0L) + 1
+      val prev = manifestVersions(fs, root).lastOption
+      val v = prev.map(_._1).getOrElse(0L) + 1
+      val merged =
+        prev.map(p => readMeta(fs, p._2)).getOrElse(Map.empty) ++ meta
+      val all = merged.toSeq.sortBy(_._1)
+        .map { case (k, x) => s"#$k=$x" } ++ files
+      val body = all.mkString("", "\n", if (all.isEmpty) "" else "\n")
+        .getBytes(StandardCharsets.UTF_8)
       val tmp = new Path(mdir,
         s".$ManifestPrefix$v.${java.util.UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, true)
@@ -186,6 +214,8 @@ object ManifestedTable {
       val fin = new Path(mdir, f"$ManifestPrefix$v%06d")
       // rename-without-overwrite = compare-and-swap on HDFS: a racing
       // committer that claimed v first makes this rename fail → retry
+      // (prev meta is re-read per attempt, so the merge never loses a
+      // racing writer's marker)
       if (!fs.exists(fin) && fs.rename(tmp, fin)) return v
       fs.delete(tmp, false)
       attempt += 1
@@ -255,6 +285,50 @@ object ManifestedTable {
     val compacted = read(spark, dir).repartition(needed)
     val staged = stageFiles(compacted, root, fs)
     commit(fs, root, staged)
+  }
+
+  private val TxnKey = "txn-batch"
+
+  /** The highest streaming batch id ever committed through
+    * [[appendBatch]] (carried forward across every later commit —
+    * compaction, DML, vacuum — see [[commit]]); None for a table no
+    * stream has written or with no manifest yet.
+    */
+  def lastBatchId(spark: SparkSession, dir: String): Option[Long] = {
+    val fs = fsOf(spark, dir)
+    manifestVersions(fs, new Path(dir)).lastOption
+      .flatMap(v => readMeta(fs, v._2).get(TxnKey))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+  }
+
+  /** EXACTLY-ONCE streaming append — the foreachBatch sink that makes
+    * the manifest layout a streaming table: Structured Streaming
+    * guarantees at-least-once foreachBatch delivery with MONOTONE
+    * batch ids, so recording the applied id inside the same atomic
+    * manifest rename as the data turns redelivery into a provable
+    * no-op. A batch id ≤ the recorded one returns false and commits
+    * NOTHING (the restart-after-commit-before-checkpoint window); a
+    * fresh id stages and commits data + marker in one rename. A crash
+    * after staging but before the rename leaves orphans (vacuumed
+    * later) and no marker — the redelivery re-stages and commits,
+    * which is exactly-once END TO END. L28c's dynamic-overwrite sink
+    * replaces a batch's own partition; this is the APPEND-shaped form
+    * with multi-file atomicity, and the table keeps its whole feature
+    * set (time travel, CDF, compaction, DML) under the stream.
+    * Single writing stream per table assumed (the id sequence is the
+    * stream's); Spark's checkpoint lock serializes batch attempts.
+    */
+  def appendBatch(df: DataFrame, dir: String, batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(root)
+    if (lastBatchId(spark, dir).exists(_ >= batchId)) return false
+    val staged = stageFiles(df, root, fs)
+    val prior = manifestVersions(fs, root).lastOption
+      .map(v => readManifest(fs, v._2)).getOrElse(Nil)
+    commit(fs, root, prior ++ staged, Map(TxnKey -> batchId.toString))
+    true
   }
 
   /** Relative paths of the current snapshot's files that hold at least

@@ -543,6 +543,57 @@ class StreamingSpec extends SparkTestBase {
     assert(sink().filter(_._2 != lastBatch) == otherBatches)
   }
 
+  test("appendBatch: exactly-once streaming ingestion into the manifested table") {
+    // the lakehouse completion of the exactly-once pair: L28c's sink
+    // replaces a batch's OWN partition (overwrite-shaped); this one is
+    // APPEND-shaped — the applied batch id commits inside the same
+    // atomic manifest rename as the data, so a checkpoint replay's
+    // redelivery is detected and commits NOTHING, while the table
+    // keeps its whole feature set (versions, CDF, compaction, DML)
+    // under the stream.
+    import graft.sources.ManifestedTable
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mtx").toString
+    val in = MemoryStream[SessionEvent]
+    val q = in.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ManifestedTable.appendBatch(b, dir, id); ()
+      }
+      .start()
+    in.addData(SessionEvent(1L, 100L), SessionEvent(2L, 200L))
+    q.processAllAvailable()
+    in.addData(SessionEvent(3L, 300L))
+    q.processAllAvailable()
+    q.stop()
+    def rows() = ManifestedTable.read(spark, dir)
+      .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows() == Seq(1L, 2L, 3L))
+    val lastBatch = ManifestedTable.lastBatchId(spark, dir).get
+    val vBefore = ManifestedTable.currentVersion(spark, dir)
+    // the replay window: redeliver the last batch verbatim → no-op
+    val replay = Seq(SessionEvent(3L, 300L)).toDF()
+    assert(!ManifestedTable.appendBatch(replay, dir, lastBatch),
+      "a redelivered batch was applied twice")
+    assert(ManifestedTable.currentVersion(spark, dir) == vBefore)
+    assert(rows() == Seq(1L, 2L, 3L))
+    // a STALE id (older than the marker) is refused too
+    assert(!ManifestedTable.appendBatch(replay, dir, lastBatch - 1))
+    // the marker survives unrelated commits: compaction, then the same
+    // redelivery is still a no-op (without carry-forward, a compacted
+    // table would silently re-apply the batch)
+    ManifestedTable.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(ManifestedTable.lastBatchId(spark, dir).contains(lastBatch),
+      "compaction dropped the txn marker")
+    assert(!ManifestedTable.appendBatch(replay, dir, lastBatch))
+    assert(rows() == Seq(1L, 2L, 3L))
+    // and a genuinely new batch still lands
+    assert(ManifestedTable.appendBatch(
+      Seq(SessionEvent(4L, 400L)).toDF(), dir, lastBatch + 1))
+    assert(rows() == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("MapState + ListState compose per key across batches (transformWithState)") {
     // the two state KINDS the sessionizers don't exercise: per-user
     // type counts in a MapState (state = |type set|, not history) and a
