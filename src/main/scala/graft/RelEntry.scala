@@ -1909,6 +1909,56 @@ object RelEntry {
       }
     }),
 
+    // ---- T79: CDC replication (CDF-apply keeps a follower exact) ---------
+    "q178_cdc_replicate" -> ((s, d) => {
+      // the cross-table composition the manifest tier builds to — a
+      // FOLLOWER table tracks a leader through its change feed alone
+      // (cross-region replicas, downstream marts, disaster copies):
+      // leader moves v1 → v2 (deletes, updates, inserts — q171's
+      // recipe); the follower, bootstrapped from the v1 snapshot and
+      // key-clustered so the delta-apply's copy-on-write pruning is
+      // non-trivial, consumes ONLY changesBetween's row images —
+      // added rows MERGE in (updates replace, inserts land), keys
+      // removed-and-not-re-added DELETE out (deleteMatching, the
+      // key-IN-subquery form) — and must then EQUAL the leader's v2
+      // image row-for-row, which is exactly what the oracle checks
+      // (the replication-correctness theorem; T36/T75's delta-apply ≡
+      // recompute discipline lifted to whole-table DML). Scale: the
+      // CDF never reads unchanged leader files, and the apply
+      // rewrites only the follower files holding changed keys — the
+      // unchanged mass moves ZERO bytes on either side.
+      import graft.sources.ManifestedTable
+      val ldir = java.nio.file.Files.createTempDirectory("graft_cdcl").toString
+      val fdir = java.nio.file.Files.createTempDirectory("graft_cdcf").toString
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      val v1df = base.filter(col("o_orderkey") % 4 < 3)
+      val v2df = base
+        .filter(col("o_orderkey") % 4 < 3 && !(col("o_orderkey") % 7 === 0))
+        .withColumn("price_cents",
+          when(col("o_orderkey") % 5 === 0, col("price_cents") + 100)
+            .otherwise(col("price_cents")))
+        .unionAll(base.filter(col("o_orderkey") % 4 === 3))
+      val v1 = ManifestedTable.write(v1df, ldir, overwrite = true)
+      val v2 = ManifestedTable.write(v2df, ldir, overwrite = true)
+      ManifestedTable.write(ManifestedTable.readAt(s, ldir, v1)
+        .repartitionByRange(8, col("o_orderkey")), fdir)
+      val (added, removed) = ManifestedTable.changesBetween(s, ldir, v1, v2)
+      ManifestedTable.merge(s, fdir, added, Seq("o_orderkey"))
+      ManifestedTable.deleteMatching(s, fdir,
+        removed.select("o_orderkey").except(added.select("o_orderkey")))
+      val out = ManifestedTable.read(s, fdir)
+      core.Materialize.detached(out) {
+        val conf = s.sessionState.newHadoopConf()
+        Seq(ldir, fdir).foreach { dd =>
+          new org.apache.hadoop.fs.Path(dd).getFileSystem(conf)
+            .delete(new org.apache.hadoop.fs.Path(dd), true)
+        }
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -2492,6 +2542,22 @@ object RelEntry {
         |  FROM orders)
         |SELECT o_orderkey, o_custkey, score FROM base
         |WHERE score IS NULL OR NOT (score > 20000000)""".stripMargin,
+
+    // q178 mirror: the leader's v2 image DIRECTLY (q171's v2 CTE) —
+    // equality is the replication theorem: CDF-apply (merge + keyed
+    // delete) left the follower exactly at the leader's snapshot
+    "q178_cdc_replicate" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 100
+        |            ELSE price_cents END AS price_cents
+        |FROM base WHERE o_orderkey % 4 < 3 AND NOT (o_orderkey % 7 = 0)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, price_cents
+        |FROM base WHERE o_orderkey % 4 = 3""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property

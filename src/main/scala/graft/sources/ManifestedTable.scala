@@ -421,6 +421,36 @@ object ManifestedTable {
     commit(fs, root, kept ++ staged)
   }
 
+  /** Row-level DELETE by key set — `DELETE WHERE key IN (subquery)`,
+    * the form CDC apply needs (the keys come from a change feed, not a
+    * predicate): rows whose key tuple appears in `keys` (whose columns
+    * name the key) are removed under SQL IN semantics (NULL keys never
+    * match). Same copy-on-write plan as [[merge]]: touched files found
+    * by a key-column scan + semi join, only those rewritten (anti
+    * join), the rest ride by reference; an empty match commits
+    * nothing.
+    */
+  def deleteMatching(spark: SparkSession, dir: String,
+      keys: DataFrame): Long = {
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val cur = currentFiles(spark, dir)
+    val base = read(spark, dir)
+    val k = keys.distinct()
+    val touched = touchedFiles(cur,
+      base.select((keyCols.map(col) :+ input_file_name().as("__file")): _*)
+        .join(k, keyCols, "left_semi"))
+    if (touched.isEmpty) return currentVersion(spark, dir)
+    val kept = cur.filterNot(touched.toSet)
+    val survivors = spark.read.parquet(absPaths(root, touched): _*)
+      .join(k, keyCols, "left_anti")
+    val staged = stageFiles(
+      survivors.select(base.columns.map(col).toIndexedSeq: _*), root, fs)
+    commit(fs, root, kept ++ staged)
+  }
+
   /** Reclaim files the RETAINED snapshots don't reference: orphans
     * from aborted stages and data superseded past the retention
     * horizon. `keepLast` is the retention policy — the newest n

@@ -417,5 +417,20 @@ class CompactionSpec extends SparkTestBase {
     val vSame = ManifestedTable.deleteWhere(spark, dir,
       col("event_id") === -1L)
     assert(vSame == vDel, "a no-match DELETE advanced the version")
+
+    // keyed delete (the CDC-apply form): exactly the keyed rows go,
+    // and an absent key set commits nothing
+    import spark.implicits._
+    val present = ManifestedTable.read(spark, dir)
+      .select("event_id").limit(3).collect().map(_.getLong(0)).toSeq
+    val nBefore = ManifestedTable.read(spark, dir).count()
+    ManifestedTable.deleteMatching(spark, dir, present.toDF("event_id"))
+    val after = ManifestedTable.read(spark, dir)
+    assert(after.count() == nBefore - present.size)
+    assert(after.filter(col("event_id").isin(present: _*)).count() == 0)
+    val vk = ManifestedTable.currentVersion(spark, dir)
+    assert(ManifestedTable.deleteMatching(spark, dir,
+      Seq(-5L, -6L).toDF("event_id")) == vk,
+      "a no-match keyed DELETE advanced the version")
   }
 }
