@@ -1847,7 +1847,7 @@ object RelEntry {
       // copy-on-write file pruning below is non-trivial — matched keys
       // concentrate in few files), then a delta merges in: price
       // corrections (+5000 cents on the key % 7 = 2 stratum) REPLACE
-      // their rows, late bookings (keys shifted +10^7, past any
+      // their rows, late bookings (keys shifted +107e6, past any
       // ScaleBench replica stride) INSERT, and every file holding no
       // matched key rides into the new snapshot BY REFERENCE —
       // CompactionSpec pins the file-level claim (untouched paths +
@@ -1867,7 +1867,9 @@ object RelEntry {
       val source = base.filter(col("o_orderkey") % 7 === 2)
         .withColumn("price_cents", col("price_cents") + 5000L)
         .unionAll(base.filter(col("o_orderkey") % 13 === 1)
-          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+          // +107e6: above any ScaleBench replica stride (q164's rule),
+          // so scaled replicas' inserts never collide with base keys
+          .withColumn("o_orderkey", col("o_orderkey") + 107000000L))
       ManifestedTable.merge(s, dir, source, Seq("o_orderkey"))
       val out = ManifestedTable.read(s, dir)
       core.Materialize.detached(out) {
@@ -2523,7 +2525,7 @@ object RelEntry {
         |  SELECT o_orderkey, o_custkey, price_cents + 5000 AS price_cents
         |  FROM base WHERE o_orderkey % 7 = 2
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, price_cents
+        |  SELECT o_orderkey + 107000000 AS o_orderkey, o_custkey, price_cents
         |  FROM base WHERE o_orderkey % 13 = 1)
         |SELECT o_orderkey, o_custkey, price_cents FROM src
         |UNION ALL

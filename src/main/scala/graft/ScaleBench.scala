@@ -323,7 +323,22 @@ object ScaleBench {
     // is a union of one-scan aggregates + one key shuffle + one
     // anti-join, so β ~ scan. The single-scan folding is the
     // PlanAuditSpec assert; the cell shows the whole suite tracks IO
-    "q174_quality_audit")
+    "q174_quality_audit",
+    // q176: copy-on-write MERGE — orders (and the strata-derived
+    // delta) replicate m×, so table write, find-touched scan, and the
+    // rewrite all grow m×: β ~ 1 over the write+merge+read cycle. The
+    // claim replication CAN'T show (the delta here is table-
+    // proportional by fixture) — a FIXED delta rewrites only touched
+    // files — is the CompactionSpec mtime assert, not a curve
+    "q176_merge_upsert",
+    // q178: CDC replication — leader snapshots, CDF, and the
+    // follower's merge + keyed delete are all m×-proportional (the
+    // changed strata scale with the table), so the whole
+    // leader→feed→follower cycle should track the scan, β ~ 1
+    "q178_cdc_replicate")
+    // q177 (delete) has NO cell: its machinery is q176's find-touched
+    // + rewrite with a predicate instead of a key join (covered), and
+    // its semantics claim (NULL rows survive) is the oracle equality.
     // q173 (RRF fusion) has NO cell: its cost IS q106 + q38 (the two
     // rankers, both covered), and the fusion itself is |probes|·K
     // rows — constant under replication by construction.

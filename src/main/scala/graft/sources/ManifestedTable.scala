@@ -451,6 +451,33 @@ object ManifestedTable {
     commit(fs, root, kept ++ staged)
   }
 
+  /** ATOMIC CLUSTERED compaction — the `OPTIMIZE ... ZORDER BY` /
+    * cluster-by maintenance move: like [[compact]] but the rewrite
+    * range-partitions and sorts on `clusterBy` (one shuffle; pass a
+    * z-interleave column — `LayoutOps.zorderLayout`'s construction —
+    * for multi-dimensional keys), so every output file covers a TIGHT
+    * key range and per-file (lo,hi) stats turn from useless (every
+    * hash-partitioned file spans the whole range) to selective —
+    * the write-side move that makes q131-style manifest skipping and
+    * [[merge]]/[[deleteMatching]]'s find-touched pruning cheap. Always
+    * rewrites (re-clustering IS the point, unlike [[compact]]'s
+    * already-compact no-op); same single-rename publication.
+    */
+  def compactClustered(spark: SparkSession, dir: String,
+      targetFileBytes: Long, clusterBy: Column): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val files = currentFiles(spark, dir)
+    val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+    val needed =
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val clustered = read(spark, dir)
+      .repartitionByRange(needed, clusterBy)
+      .sortWithinPartitions(clusterBy)
+    commit(fs, root, stageFiles(clustered, root, fs))
+  }
+
   /** Reclaim files the RETAINED snapshots don't reference: orphans
     * from aborted stages and data superseded past the retention
     * horizon. `keepLast` is the retention policy — the newest n

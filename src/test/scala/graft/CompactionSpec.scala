@@ -333,6 +333,42 @@ class CompactionSpec extends SparkTestBase {
     }
   }
 
+  test("manifested table: clustered compaction turns file stats selective") {
+    import graft.sources.ManifestedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_clus").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") < 800)
+    // pathological layout: hash-partitioned on an unrelated key, so
+    // EVERY file spans the whole event_id range — stats prune nothing
+    ManifestedTable.write(ev.repartition(8, col("user_id")), dir)
+    def overlaps(loQ: Long, hiQ: Long): (Long, Long) = {
+      val st = ManifestedTable.read(spark, dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+        .collect()
+      (st.count(r => r.getLong(2) >= loQ && r.getLong(1) <= hiQ).toLong,
+        st.length.toLong)
+    }
+    val (hit0, tot0) = overlaps(0L, 99L)
+    assert(tot0 >= 4 && hit0 == tot0,
+      s"fixture not pathological: $hit0 of $tot0 files overlap the band")
+    val before = ManifestedTable.read(spark, dir)
+      .orderBy("event_id").collect().toSeq
+    // OPTIMIZE: rewrite clustered on event_id at ~8-file granularity
+    val total = ManifestedTable.currentFiles(spark, dir)
+      .map(f => new java.io.File(dir, f).length()).sum
+    ManifestedTable.compactClustered(spark, dir,
+      math.max(1L, total / 8), col("event_id"))
+    val (hit1, tot1) = overlaps(0L, 99L)
+    assert(tot1 >= 4, s"clustered rewrite produced only $tot1 files")
+    assert(hit1 * 2 < tot1,
+      s"clustering did not make stats selective: $hit1 of $tot1 overlap")
+    // rows exact through the rewrite; publication stayed atomic
+    assert(ManifestedTable.read(spark, dir)
+      .orderBy("event_id").collect().toSeq == before)
+  }
+
   test("manifested table: copy-on-write MERGE/DELETE rewrite only touched files") {
     import graft.sources.ManifestedTable
     val dir = java.nio.file.Files.createTempDirectory("graft_dml").toString
