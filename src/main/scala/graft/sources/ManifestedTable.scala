@@ -118,12 +118,14 @@ object ManifestedTable {
     * the immutable-data-dir + per-version manifest layout makes this
     * free (old snapshots' files are untouched until [[vacuum]]).
     */
-  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+  def readAt(spark: SparkSession, dir: String, version: Long,
+      mergeSchema: Boolean = false): DataFrame = {
     val root = new Path(dir)
     val files = filesAt(fsOf(spark, dir), root, version)
     require(files.nonEmpty, s"snapshot $version of $dir is empty — " +
       "schemaless empty reads are not supported")
-    spark.read.parquet(files.map(f => new Path(root, f).toString): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(f => new Path(root, f).toString): _*)
   }
 
   /** Manifest-level diff between two retained snapshots:
@@ -164,15 +166,30 @@ object ManifestedTable {
     val (addedF, removedF) = changedFiles(spark, dir, fromV, toV)
     def rd(fs: Seq[String]): Option[DataFrame] =
       if (fs.isEmpty) None
-      else Some(spark.read.parquet(fs.map(f => new Path(root, f).toString): _*))
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(f => new Path(root, f).toString): _*))
     (rd(addedF), rd(removedF)) match {
       case (None, None) =>
         // identical manifests — an empty diff with the table's schema
-        val empty = read(spark, dir).limit(0)
+        val empty = read(spark, dir, mergeSchema = true).limit(0)
         (empty, empty)
       case (Some(a), None) => (a, a.limit(0))
       case (None, Some(r)) => (r.limit(0), r)
-      case (Some(a), Some(r)) => (a.exceptAll(r), r.exceptAll(a))
+      case (Some(a0), Some(r0)) =>
+        // align both sides by NAME to the superset schema (absent
+        // columns NULL) so a CDF window straddling a schema-widening
+        // append still diffs: a row unchanged across the seam cancels
+        // in its unified image, and pre-seam rows surface the new
+        // column as NULL — parquet by-name resolution + the same
+        // missing→NULL convention as unionByName(allowMissing)
+        val a = r0.schema.filterNot(f => a0.columns.contains(f.name))
+          .foldLeft(a0)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        val rAll = a0.schema.filterNot(f => r0.columns.contains(f.name))
+          .foldLeft(r0)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        val r = rAll.select(a.columns.map(col).toIndexedSeq: _*)
+        (a.exceptAll(r), r.exceptAll(a))
     }
   }
 
@@ -255,13 +272,22 @@ object ManifestedTable {
   /** Read the current snapshot — by manifest, never by listing: orphan
     * files (aborted jobs, in-flight stages, superseded snapshots) are
     * invisible by construction.
+    *
+    * `mergeSchema = true` is the SCHEMA-EVOLUTION read: snapshots whose
+    * appends widened the schema (a column added mid-history) unify to
+    * the superset schema with absent cells NULL — parquet's by-name
+    * field resolution does the row-level work; the cost is one footer
+    * read per file at planning (|files|, manifest-sized — why it is
+    * opt-in rather than the default).
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String,
+      mergeSchema: Boolean = false): DataFrame = {
     val files = currentFiles(spark, dir)
     require(files.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
     val root = new Path(dir)
-    spark.read.parquet(files.map(f => new Path(root, f).toString): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(f => new Path(root, f).toString): _*)
   }
 
   /** ATOMIC compaction: rewrite the current snapshot into

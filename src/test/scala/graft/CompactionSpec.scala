@@ -333,6 +333,44 @@ class CompactionSpec extends SparkTestBase {
     }
   }
 
+  test("manifested table: schema evolution — widened appends unify, CDF crosses the seam") {
+    import graft.sources.ManifestedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id")
+    val narrow = ev.filter(col("event_id") < 300)
+    val wide = ev.filter(col("event_id") >= 300 && col("event_id") < 500)
+      .withColumn("score", col("user_id") * 2)
+    val v1 = ManifestedTable.write(narrow.repartition(3), dir)
+    val v2 = ManifestedTable.write(wide.repartition(2), dir,
+      overwrite = false)
+
+    // mergeSchema read: superset schema, absent cells NULL
+    val unified = ManifestedTable.read(spark, dir, mergeSchema = true)
+    assert(unified.columns.toSet == Set("event_id", "user_id", "score"))
+    assert(unified.count() == narrow.count() + wide.count())
+    assert(unified.filter(col("score").isNull).count() == narrow.count(),
+      "pre-seam rows did not surface the new column as NULL")
+
+    // append CDF over the seam: added = exactly the widened rows
+    val (a12, r12) = ManifestedTable.changesBetween(spark, dir, v1, v2)
+    assert(r12.isEmpty)
+    assert(a12.count() == wide.count() &&
+      a12.columns.toSet == Set("event_id", "user_id", "score"))
+
+    // the alignment case: v3 overwrites with the UNIFIED image, so the
+    // v1→v3 diff has an all-narrow removed side vs an all-wide added
+    // side — pre-seam rows must CANCEL through their NULL-extended
+    // image (else every unchanged old row would spuriously appear on
+    // both sides), leaving exactly the widened rows as adds
+    val v3 = ManifestedTable.write(unified, dir, overwrite = true)
+    val (a13, r13) = ManifestedTable.changesBetween(spark, dir, v1, v3)
+    assert(r13.isEmpty,
+      "unchanged pre-seam rows failed to cancel across the schema seam")
+    assert(a13.filter(col("score").isNotNull).count() == wide.count())
+    assert(a13.count() == wide.count())
+  }
+
   test("manifested table: clustered compaction turns file stats selective") {
     import graft.sources.ManifestedTable
     val dir = java.nio.file.Files.createTempDirectory("graft_clus").toString
