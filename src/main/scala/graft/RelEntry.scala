@@ -1961,6 +1961,37 @@ object RelEntry {
       }
     }),
 
+    // ---- T11 extension: graft-avro connector end-to-end, oracle-checked --
+    "q179_avro_pipeline" -> ((s, d) => {
+      // the DSv2 connector as a QUERY surface, not just a spec: events
+      // round-trip through graft-avro (real commit protocol, stats
+      // sidecar published at job commit), read back through the
+      // connector with a pushed filter — so the whole stack is in the
+      // oracle-checked path: micros-timestamp logical-type fidelity,
+      // authoritative row-level filter eval (nothing re-checks),
+      // interval/bloom file skipping, column pruning. The oracle
+      // computes the same aggregate from the parquet table directly;
+      // hash equality proves the round trip value-faithful including
+      // the timestamp micros (unix_seconds ≡ date_diff both engines).
+      val dir = java.nio.file.Files.createTempDirectory("graft_avroq").toString
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      ev.write.format("graft-avro").mode("overwrite").save(dir)
+      val out = s.read.format("graft-avro").load(dir)
+        .filter(col("user_id") < 400)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"),
+          min(expr("unix_seconds(ts)")).as("lo_s"),
+          max(expr("unix_seconds(ts)")).as("hi_s"))
+      core.Materialize.detached(out) {
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -2560,6 +2591,20 @@ object RelEntry {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, price_cents
         |FROM base WHERE o_orderkey % 4 = 3""".stripMargin,
+
+    // q179 mirror: the same aggregate straight off the parquet table —
+    // equality proves the avro round trip value-faithful (micros
+    // timestamps via unix_seconds ≡ date_diff('second', epoch, ts))
+    "q179_avro_pipeline" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(min(date_diff('second',
+        |    TIMESTAMP '1970-01-01 00:00:00', ts)) AS BIGINT) AS lo_s,
+        |  CAST(max(date_diff('second',
+        |    TIMESTAMP '1970-01-01 00:00:00', ts)) AS BIGINT) AS hi_s
+        |FROM events WHERE user_id < 400
+        |GROUP BY event_type""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property
