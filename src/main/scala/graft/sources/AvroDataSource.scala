@@ -187,7 +187,8 @@ private[sources] class AvroTable(schema: StructType, path: String)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(schema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -598,6 +599,15 @@ private[sources] class AvroScan(readSchema: StructType, path: String,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroPartitionReaderFactory(readSchema, filters, sconf)
+
+  /** The streaming face (see [[AvroMicroBatchStream]]): same pruned
+    * schema, same pushed filters, same per-file readers — the stream
+    * differs only in WHICH files a batch covers.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroMicroBatchStream(path, readSchema, filters, sconf,
+      checkpointLocation)
 }
 
 private[sources] case class AvroFilePartition(file: String)

@@ -410,6 +410,58 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(u.head.getLong(0) == src.count())
   }
 
+  test("graft-avro streaming source: tailing, deterministic assignment, restart resumes") {
+    // the SOURCE half of the connector's streaming story (T78's
+    // appendBatch is the exactly-once sink): a micro-batch stream
+    // tails the container directory; new files are assigned to a
+    // batch by a rename-published checkpoint-local log, planning
+    // resolves batches FROM THE LOG (deterministic replay), and a
+    // restarted query resumes from its committed offset instead of
+    // re-reading history.
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_t").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_avro_tc").toString
+    val src = sample
+    graft.sources.AvroFiles.write(src.filter(col("event_id") < 100), dir)
+
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def start() = spark.readStream.format("graft-avro").load(dir)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.add(b.select("event_id").collect().map(_.getLong(0)).toSeq.sorted)
+        ()
+      }
+      .start()
+    def drained(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.flatten.sorted
+    }
+    def expect(p: org.apache.spark.sql.Column): Seq[Long] =
+      src.filter(p).select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    val q = start()
+    q.processAllAvailable()
+    assert(drained() == expect(col("event_id") < 100))
+
+    // new containers land (DSv2 append → job-unique names + stats):
+    // the next batch covers exactly the new files, nothing replays
+    src.filter(col("event_id") >= 100 && col("event_id") < 150)
+      .write.format("graft-avro").mode("append").save(dir)
+    q.processAllAvailable()
+    assert(drained() == expect(col("event_id") < 150))
+    q.stop()
+
+    // files arriving while the query is DOWN; restart from the same
+    // checkpoint picks them up without re-reading committed history
+    src.filter(col("event_id") >= 150)
+      .write.format("graft-avro").mode("append").save(dir)
+    buf.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(drained() == expect(col("event_id") >= 150),
+      s"restart replayed committed batches: ${drained().take(10)}...")
+  }
+
   test("graft-avro filter eval matches engine semantics: -0.0 and supplementary code points") {
     // pushed filters are AUTHORITATIVE (nothing re-checks), so their
     // evaluation must match Spark's exactly at the two classic
