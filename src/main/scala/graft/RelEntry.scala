@@ -1992,6 +1992,41 @@ object RelEntry {
       }
     }),
 
+    // ---- T80: transparent MV rewrite (optimizer rule) --------------------
+    "q180_mv_rewrite" -> ((s, d) => {
+      // the query-rewrite half of the MV story (q175 maintains the
+      // view; THIS makes it transparent): the query below is written
+      // against the BASE order book at a COARSER grain than the
+      // registered (status, priority) view — Catalyst's injected
+      // MvRewrite rule re-targets it to the materialized partials
+      // (count→Σcnt, sum→Σsum, min/max→min/max of partials), so the
+      // fact scan becomes a |groups|-row read. The require() makes the
+      // correctness run itself fail loudly if the rule ever silently
+      // stops matching — the oracle then proves the REWRITTEN plan
+      // returns exactly the recompute's rows, which is the rewrite-
+      // soundness theorem (partials re-aggregate exactly: all-BIGINT).
+      import graft.plans.MvCatalog
+      val dir = java.nio.file.Files.createTempDirectory("graft_mvq").toString
+      val src = Tables.orders(s, d).select(col("o_orderstatus"),
+        col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      MvCatalog.register("graft_q180", src,
+        Seq("o_orderstatus", "o_orderpriority"), Seq("cents"), dir)
+      val q = src.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      require(q.queryExecution.executedPlan.toString
+        .contains(new java.io.File(dir).getName),
+        "q180: the MV rewrite did not fire")
+      core.Materialize.detached(q) {
+        MvCatalog.unregister("graft_q180")
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -2605,6 +2640,20 @@ object RelEntry {
         |    TIMESTAMP '1970-01-01 00:00:00', ts)) AS BIGINT) AS hi_s
         |FROM events WHERE user_id < 400
         |GROUP BY event_type""".stripMargin,
+
+    // q180 mirror: the straight recompute off the base table — the
+    // Spark side runs the MV-REWRITTEN plan (require()-proven), so
+    // equality is rewrite soundness
+    "q180_mv_rewrite" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS lo,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS hi
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property

@@ -114,6 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // naive range filters on the normalized events.ts regain parquet
     // row-group pruning (see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.PushTimestampNanosFilter)
+    // transparent MV rewrite: aggregates over a registered base table
+    // re-target the materialized partials (no-op while the MvCatalog
+    // is empty — registration is per-query/spec-scoped)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     // k-bounded top-k aggregate: shuffle carries ≤ k·|groups| triples
     ext.injectFunction((
       new FunctionIdentifier("top_k_ids"),
