@@ -524,9 +524,28 @@ object Bench {
               }
               val nB = (spreadBare.size to 0 by -1)
                 .find(n => topLineBare(n).length <= maxLen)
-              // terminal rung: bare-key cs medians, no envelope
-              nB.filter(_ > 0).map(topLineBare)
-                .getOrElse(s"${headQ("q:median cs keys sans q", qsCsBare)}}")
+              nB.filter(_ > 0).map(topLineBare).getOrElse {
+                // positional rung (r16, ~180 queries): with cs values
+                // at 2-4 digits the KEYS are now the budget hog —
+                // shed them entirely: "queries" becomes the cs-median
+                // ARRAY in SORTED query-name order (the decode key:
+                // the artifact is committed beside the repo whose
+                // query list names the positions), buying ~6 chars per
+                // query back for the envelope. spreadx keys stay named
+                // (bare) — a sparse map can't go positional.
+                val qvArr = results.sortBy(_._1).map { case (_, ts) =>
+                  if (ts.isEmpty) -1L else Math.round(median(ts) * 100)
+                }.mkString("[", ",", "]")
+                def topLinePos(n: Int) = {
+                  val es = spreadBare.take(n)
+                  s"""${headQ(s"q:median cs array sorted by name;spreadx:top${es.size} max-min ms only >${floorMs}ms keys sans q", qvArr)},"spreadx":${spreadxOf(es)}}"""
+                }
+                val nP = (spreadBare.size to 0 by -1)
+                  .find(n => topLinePos(n).length <= maxLen)
+                // terminal rung: positional cs medians, no envelope
+                nP.filter(_ > 0).map(topLinePos).getOrElse(
+                  s"${headQ("q:median cs array sorted by name", qvArr)}}")
+              }
             }
           }
         }

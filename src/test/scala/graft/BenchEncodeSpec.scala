@@ -63,7 +63,11 @@ class BenchEncodeSpec extends SparkTestBase {
     // (what BenchDiff acts on) survive, full fidelity stays in
     // bench_result.json.
     assert(line.length <= 1800, s"compact bench line too long: ${line.length}")
-    assert(line.contains(""""queries":{"""), line.takeRight(200))
+    // named-map rungs carry "queries":{...}; the r16 positional rung
+    // (~180 queries: the keys themselves became the budget hog) carries
+    // the cs-median ARRAY in sorted-name order instead
+    assert(line.contains(""""queries":{""") ||
+      line.contains(""""queries":["""), line.takeRight(200))
     // at ~130 queries the full sparse object itself outgrows the tail
     // (topN rung); at ~145 the ms medians alone crowd out even one
     // spreadx entry, so medians shed a digit (centiseconds, r14) to buy
@@ -73,20 +77,26 @@ class BenchEncodeSpec extends SparkTestBase {
     // noisy queries (spread 700 ms) carry entries; quiet ones don't
     // (keys read "q01" on the named rungs, "01" on the bare-key rung)
     assert(line.contains(""""q01":700""") || line.contains(""""01":700"""),
-      line.takeRight(400))
+      line.takeRight(400)) // spreadx keys stay named on every rung
     assert(!line.contains(""""q02":4""") && !line.contains(""""02":4,"""),
       "below-floor spread leaked")
     // enc must describe the degraded line, not the full triple
     assert(line.contains(""""enc":"q:median ms;spreadx:top""") ||
       line.contains(""""enc":"q:median cs;spreadx:top""") ||
       line.contains(""""enc":"q:median cs keys sans q;spreadx:top""") ||
+      line.contains(""""enc":"q:median cs array sorted by name;spreadx:top""") ||
       line.contains(""""enc":"q:median ms;spreadx:max-min ms only >100ms""""),
       line.take(300))
     // the cs rung really is centiseconds: the quiet medians (3141 ms)
     // read 314 when enc says cs
-    if (line.contains(""""enc":"q:median cs"""))
+    if (line.contains(""""enc":"q:median cs;""") ||
+        line.contains(""""enc":"q:median cs keys"""))
       assert(line.contains(""""q02":314""") || line.contains(""""02":314"""),
         line.take(400))
+    // the positional rung really is centiseconds in sorted order: the
+    // quiet medians (3141 ms) read 314 somewhere in the array
+    if (line.contains("cs array sorted by name"))
+      assert(line.contains(""",314,"""), line.take(400))
     assert(!line.contains("dmin"), "dropped field must vanish from enc too")
     val full = Bench.fullJson(names.take(2), Nil, 1.0, "/x", 3, 0.1, Nil)
     assert(full.contains(""""min":"""), "per-run fidelity must stay in bench_result.json")

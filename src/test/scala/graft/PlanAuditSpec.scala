@@ -30,7 +30,11 @@ class PlanAuditSpec extends SparkTestBase {
     // q127: projected corpus × broadcast probe set — the q38 exact-truth
     // cost model in the projected space; q128: vocabulary × a broadcast
     // single-row totals scalar (the q84 shape)
-    "q127_random_projection", "q128_corpus_drift")
+    "q127_random_projection", "q128_corpus_drift",
+    // q174: AuditOps.fkCheck pairs the 1-row orphan count with the
+    // 1-row n_rows aggregate — a cross of two single-row frames,
+    // scalar by construction (the q84/q91 shape)
+    "q174_quality_audit")
 
   test("every query plan: no raw cartesian, broadcast where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
