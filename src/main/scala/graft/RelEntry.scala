@@ -2027,6 +2027,64 @@ object RelEntry {
       }
     }),
 
+    // ---- T82: MV lifecycle — incremental refresh keeps the rewrite fresh
+    "q181_mv_refresh" -> ((s, d) => {
+      // the composition T72+T75+T80 build to, in one lifecycle: an MV
+      // registers over a MANIFESTED table at v1; the table moves to v2
+      // (deletes incl. a fully-emptied custkey stratum, updates,
+      // inserts); refreshFromTable consumes ONLY the CDF — untouched
+      // groups pass through the old MV as data, touched groups
+      // recompute from the v2 snapshot via a semi join (the move that
+      // keeps MIN/MAX honest under deletes, where q175's add/subtract
+      // arithmetic cannot — a delete can RAISE a min) — and the
+      // re-registered signature makes the rewrite serve v2 queries
+      // immediately: the aggregate below runs against the table read
+      // but executes against the refreshed MV (require()-proven). The
+      // oracle recomputes directly from the v2 image, so equality is
+      // refresh-soundness AND rewrite-soundness composed — with
+      // min/max facing deletions and vanished groups in the compare.
+      import graft.plans.MvCatalog
+      import graft.sources.ManifestedTable
+      val tdir = java.nio.file.Files.createTempDirectory("graft_mvt").toString
+      val mdir = java.nio.file.Files.createTempDirectory("graft_mvm").toString
+      val base = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      val v1df = base.filter(col("o_orderkey") % 4 < 3)
+      val v2df = base
+        .filter(col("o_orderkey") % 4 < 3 && !(col("o_orderkey") % 7 === 0)
+          && !(col("o_custkey") % 211 === 5))
+        .withColumn("price_cents",
+          when(col("o_orderkey") % 5 === 0, col("price_cents") + 100)
+            .otherwise(col("price_cents")))
+        .unionAll(base.filter(col("o_orderkey") % 4 === 3
+          && !(col("o_custkey") % 211 === 5)))
+      val v1 = ManifestedTable.write(
+        v1df.repartitionByRange(8, col("o_custkey")), tdir)
+      MvCatalog.registerOnTable("graft_q181", s, tdir,
+        Seq("o_custkey"), Seq("price_cents"), mdir)
+      val v2 = ManifestedTable.write(v2df, tdir, overwrite = true)
+      MvCatalog.refreshFromTable("graft_q181", s, tdir, v1, v2)
+      val q = ManifestedTable.read(s, tdir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("cents"),
+          min(col("price_cents")).as("lo"),
+          max(col("price_cents")).as("hi"))
+      require(q.queryExecution.executedPlan.toString
+        .contains(new java.io.File(mdir).getName),
+        "q181: the rewrite did not serve the refreshed MV")
+      core.Materialize.detached(q) {
+        MvCatalog.unregister("graft_q181")
+        val conf = s.sessionState.newHadoopConf()
+        Seq(tdir, mdir).foreach { dd =>
+          new org.apache.hadoop.fs.Path(dd).getFileSystem(conf)
+            .delete(new org.apache.hadoop.fs.Path(dd), true)
+        }
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -2654,6 +2712,30 @@ object RelEntry {
         |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
         |    AS BIGINT) AS hi
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // q181 mirror: the direct recompute off the v2 image (q175's CTE
+    // plus min/max) — the Spark side runs refresh + rewrite, so
+    // equality composes refresh-soundness with rewrite-soundness,
+    // min/max facing real deletions
+    "q181_mv_refresh" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 100
+        |              ELSE price_cents END AS price_cents
+        |  FROM base WHERE o_orderkey % 4 < 3 AND NOT (o_orderkey % 7 = 0)
+        |    AND NOT (o_custkey % 211 = 5)
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE o_orderkey % 4 = 3 AND NOT (o_custkey % 211 = 5))
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(price_cents) AS BIGINT) AS cents,
+        |       CAST(min(price_cents) AS BIGINT) AS lo,
+        |       CAST(max(price_cents) AS BIGINT) AS hi
+        |FROM v2 GROUP BY o_custkey""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property

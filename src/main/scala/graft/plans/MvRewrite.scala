@@ -63,12 +63,24 @@ object MvCatalog {
   def register(name: String, source: DataFrame, keys: Seq[String],
       measures: Seq[String], dir: String): MvDef = {
     require(keys.nonEmpty && measures.nonEmpty)
-    val partials = measures.flatMap(m => Seq(
+    source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), partialCols(measures): _*)
+      .write.mode("overwrite").parquet(dir)
+    registerSignature(name, source, keys, measures, dir)
+  }
+
+  private def partialCols(measures: Seq[String]) =
+    measures.flatMap(m => Seq(
       sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"),
       max(col(m)).as(s"max_$m")))
-    source.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("cnt"), partials: _*)
-      .write.mode("overwrite").parquet(dir)
+
+  /** Record (or replace) the match signature for an ALREADY
+    * materialized MV at `dir` — the refresh path's tail, where the
+    * data was just rewritten incrementally and re-deriving it whole
+    * would defeat the point.
+    */
+  private def registerSignature(name: String, source: DataFrame,
+      keys: Seq[String], measures: Seq[String], dir: String): MvDef = {
     // the match signature: analyzed + fully-optimized canonical forms
     // of the source AND of every column-subset projection of it. The
     // rule runs inside the operator-optimization fixed point, where
@@ -93,6 +105,58 @@ object MvCatalog {
   }
 
   def unregister(name: String): Unit = { views.remove(name); () }
+
+  /** Register an MV over a [[graft.sources.ManifestedTable]] — the
+    * pairing [[refreshFromTable]] needs: the table's versioned
+    * manifests are what make the refresh incremental.
+    */
+  def registerOnTable(name: String, spark: SparkSession, tableDir: String,
+      keys: Seq[String], measures: Seq[String], mvDir: String): MvDef =
+    register(name, graft.sources.ManifestedTable.read(spark, tableDir),
+      keys, measures, mvDir)
+
+  /** INCREMENTAL refresh off the table's change feed, closing the MV
+    * lifecycle loop (register → rewrite → REFRESH → rewrite serves the
+    * new data): groups untouched by the fromV→toV CDF pass through the
+    * old MV AS DATA (append-only reasoning — their rows didn't change,
+    * so no partial changed); touched groups RECOMPUTE from the new
+    * snapshot restricted to them by a semi join. The touched-group
+    * recompute — rather than q175's add/subtract delta — is what keeps
+    * the NON-ADDITIVE partials honest: +/− maintains cnt and sum_, but
+    * a delete can raise a MIN, and no arithmetic on (min, removed-row)
+    * recovers it — the touched slice must re-derive. Fully-deleted
+    * groups are touched and recompute to NO row, so they VANISH (the
+    * q175 drop-to-zero branch, for free). Scale: the CDF reads only
+    * changed files (T72), the untouched side is |groups| rows, and the
+    * recompute's semi join prunes the snapshot scan to touched keys
+    * (composable with key-clustered layout + stats skipping). The MV
+    * parquet is rewritten whole — it is |groups| rows by construction.
+    * Re-registers the match signature against the NEW snapshot's read,
+    * so the rewrite immediately serves post-refresh queries.
+    */
+  def refreshFromTable(name: String, spark: SparkSession, tableDir: String,
+      fromV: Long, toV: Long): MvDef = {
+    val old = views.get(name)
+    require(old != null, s"no registered MV named $name")
+    import graft.sources.ManifestedTable
+    val keyCols = old.keys.map(col)
+    val (added, removed) =
+      ManifestedTable.changesBetween(spark, tableDir, fromV, toV)
+    val touched = added.select(keyCols: _*)
+      .unionByName(removed.select(keyCols: _*)).distinct()
+    val mvOld = spark.read.parquet(old.path)
+    val untouched = mvOld.join(touched, old.keys, "left_anti")
+    val snapshot = ManifestedTable.read(spark, tableDir)
+    val recomputed = snapshot.join(touched, old.keys, "left_semi")
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("cnt"), partialCols(old.measures): _*)
+    // pin the new rows off the old MV's lineage before overwriting it
+    val newMv = untouched.unionByName(
+      recomputed.select(mvOld.columns.map(col).toIndexedSeq: _*))
+      .localCheckpoint(true)
+    newMv.write.mode("overwrite").parquet(old.path)
+    registerSignature(name, snapshot, old.keys, old.measures, old.path)
+  }
 
   private[plans] def find(child: LogicalPlan): Option[MvDef] = {
     if (views.isEmpty) return None

@@ -61,4 +61,51 @@ class MvRewriteSpec extends SparkTestBase {
       assert(got.nonEmpty && gotRoll.nonEmpty)
     } finally MvCatalog.unregister("spec_orders_mv")
   }
+
+  test("incremental refresh off the CDF equals a from-scratch rebuild") {
+    // the refresh-soundness half in isolation: after the table moves
+    // v1 → v2 (deletes that RAISE mins, updates, inserts, one fully
+    // emptied key), refreshFromTable's MV parquet must equal the MV a
+    // from-scratch register on v2 would build — row for row, min/max
+    // included (the partials q175-style add/subtract arithmetic cannot
+    // maintain), vanished groups absent.
+    import graft.sources.ManifestedTable
+    val tdir = java.nio.file.Files.createTempDirectory("graft_mv_t").toString
+    val mdir = java.nio.file.Files.createTempDirectory("graft_mv_m").toString
+    val rdir = java.nio.file.Files.createTempDirectory("graft_mv_r").toString
+    val ev = core.Tables.events(spark, sf)
+      .select(col("user_id").as("k"), col("event_id"),
+        (col("event_id") % 97).as("m"))
+    val v1df = ev
+    // deletes skewed toward LOW m values (mins rise), updates, inserts,
+    // and user 7's rows vanish entirely
+    val v2df = ev
+      .filter(col("m") > 5 && col("k") =!= 7L)
+      .withColumn("m", when(col("event_id") % 4 === 0, col("m") + 1000)
+        .otherwise(col("m")))
+      .unionByName(ev.filter(col("k") =!= 7L)
+        .withColumn("event_id", col("event_id") + 100000L)
+        .limit(50))
+    val v1 = ManifestedTable.write(
+      v1df.repartitionByRange(6, col("k")), tdir)
+    MvCatalog.register("spec_refresh_mv",
+      ManifestedTable.read(spark, tdir), Seq("k"), Seq("m"), mdir)
+    try {
+      val v2 = ManifestedTable.write(v2df, tdir, overwrite = true)
+      MvCatalog.refreshFromTable("spec_refresh_mv", spark, tdir, v1, v2)
+      val refreshed = spark.read.parquet(mdir)
+      // reference: rebuild from the v2 snapshot wholesale
+      MvCatalog.register("spec_rebuild_mv",
+        ManifestedTable.read(spark, tdir), Seq("k"), Seq("m"), rdir)
+      MvCatalog.unregister("spec_rebuild_mv")
+      val rebuilt = spark.read.parquet(rdir)
+      val key = (df: org.apache.spark.sql.DataFrame) => df
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      assert(key(refreshed) == key(rebuilt),
+        "incremental refresh diverged from the from-scratch rebuild")
+      assert(refreshed.filter(col("k") === 7L).count() == 0,
+        "a fully-deleted group lingered in the refreshed MV")
+      assert(refreshed.count() > 0)
+    } finally MvCatalog.unregister("spec_refresh_mv")
+  }
 }
