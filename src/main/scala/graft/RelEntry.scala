@@ -2085,6 +2085,58 @@ object RelEntry {
       }
     }),
 
+    // ---- T83: lakehouse lifecycle integration ----------------------------
+    "q182_lakehouse_lifecycle" -> ((s, d) => {
+      // the q121 discipline (one integration query proving the pieces
+      // COMPOSE) for the table tier: a manifested table lives a full
+      // production life in one oracle-checked flow — three exactly-once
+      // streaming batches land (appendBatch; batch 1 REDELIVERED
+      // mid-flow and require()-proven a no-op), a price-correction
+      // delta MERGEs (copy-on-write), cancellations DELETE (three-
+      // valued predicate), clustered compaction rewrites the layout
+      // (and must preserve both rows and the txn marker) — and the
+      // final aggregate faces the oracle's straight relational
+      // pipeline over the same arithmetic. Every seam the lifecycle
+      // crosses (ingest idempotence, DML, maintenance) is inside the
+      // hash compare.
+      import graft.sources.ManifestedTable
+      val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      def batch(i: Int) = base.filter(col("o_orderkey") % 3 === i)
+      (0 to 2).foreach(i => ManifestedTable.appendBatch(
+        batch(i).repartitionByRange(4, col("o_orderkey")), dir, i.toLong))
+      // checkpoint replay: batch 1 redelivered — must commit NOTHING
+      val vPre = ManifestedTable.currentVersion(s, dir)
+      require(!ManifestedTable.appendBatch(batch(1), dir, 1L) &&
+        ManifestedTable.currentVersion(s, dir) == vPre,
+        "q182: a redelivered batch was applied twice")
+      // correction delta: +700 cents on the % 11 = 3 stratum
+      ManifestedTable.merge(s, dir,
+        base.filter(col("o_orderkey") % 11 === 3)
+          .withColumn("price_cents", col("price_cents") + 700L),
+        Seq("o_orderkey"))
+      // cancellations: the % 13 = 6 stratum leaves
+      ManifestedTable.deleteWhere(s, dir, col("o_orderkey") % 13 === 6)
+      // maintenance: clustered rewrite must keep rows AND the marker
+      ManifestedTable.compactClustered(s, dir,
+        targetFileBytes = 1L << 22, col("o_orderkey"))
+      require(ManifestedTable.lastBatchId(s, dir).contains(2L),
+        "q182: compaction dropped the txn marker")
+      val out = ManifestedTable.read(s, dir)
+        .groupBy((col("o_custkey") % 97).as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("cents"),
+          min(col("o_orderkey")).as("first_key"))
+      core.Materialize.detached(out) {
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -2736,6 +2788,29 @@ object RelEntry {
         |       CAST(min(price_cents) AS BIGINT) AS lo,
         |       CAST(max(price_cents) AS BIGINT) AS hi
         |FROM v2 GROUP BY o_custkey""".stripMargin,
+
+    // q182 mirror: the straight relational pipeline — all three
+    // batches are the whole table (% 3 partitions the keys), the merge
+    // is an upsert CASE (the stratum's keys all pre-exist), the delete
+    // a filter; compaction and exactly-once ingest have no relational
+    // image, which is the point: they must be INVISIBLE to the rows
+    "q182_lakehouse_lifecycle" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |corrected AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 11 = 3 THEN price_cents + 700
+        |              ELSE price_cents END AS price_cents
+        |  FROM base),
+        |alive AS (
+        |  SELECT * FROM corrected WHERE NOT (o_orderkey % 13 = 6))
+        |SELECT o_custkey % 97 AS cohort,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(price_cents) AS BIGINT) AS cents,
+        |       CAST(min(o_orderkey) AS BIGINT) AS first_key
+        |FROM alive GROUP BY o_custkey % 97""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property

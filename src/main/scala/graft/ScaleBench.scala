@@ -339,6 +339,17 @@ object ScaleBench {
     // q177 (delete) has NO cell: its machinery is q176's find-touched
     // + rewrite with a predicate instead of a key join (covered), and
     // its semantics claim (NULL rows survive) is the oracle equality.
+    // q179 (avro round trip) has NO cell: the container write/read is
+    // a row-linear codec pass with no join/shuffle structure to curve
+    // (the pushdown/skipping claims are SourceFormatsSpec plan
+    // properties, not wall-clock).
+    // q180/q181 (MV rewrite/refresh) have NO cells: their queries()
+    // entries REGISTER the view (a full-scan materialization) before
+    // querying it, so a replication curve would measure the
+    // materialize, not the |groups|-row rewritten read the rule buys;
+    // the rewrite/refresh claims are plan-asserted (require() in the
+    // queries, MvRewriteSpec) and the refresh's incrementality is
+    // structural (CDF file pruning + semi-join-pruned recompute).
     // q173 (RRF fusion) has NO cell: its cost IS q106 + q38 (the two
     // rankers, both covered), and the fusion itself is |probes|·K
     // rows — constant under replication by construction.
