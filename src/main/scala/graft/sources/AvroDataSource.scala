@@ -18,8 +18,8 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
   CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
-  SupportsRuntimeFiltering}
+  SupportsPushDownAggregates, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
@@ -350,10 +350,21 @@ private[sources] class AvroWriterFactory(schemaJson: String,
 
 private[sources] class AvroScanBuilder(full: StructType, path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var aggPushed: Option[(StructType, Array[Array[Any]])] = None
+  private var limit: Int = -1
+
+  /** PARTIAL limit pushdown (isPartiallyPushed stays true): each
+    * per-file reader stops decoding after `limit` rows — a LIMIT n
+    * over a row-major container costs n decoded records per file
+    * instead of the whole container — and Spark's own GlobalLimit
+    * still trims across partitions, so correctness never depends on
+    * the source's cooperation.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep OUR field metadata/nullability; honor the engine's field set
     required = StructType(
@@ -464,7 +475,7 @@ private[sources] class AvroScanBuilder(full: StructType, path: String)
   override def build(): Scan = aggPushed match {
     case Some((schema, rows)) => new AvroAggScan(path, schema, rows)
     case None => new AvroScan(required, path, pushed,
-      new SerializableConfiguration(AvroDataSource.sessionConf()))
+      new SerializableConfiguration(AvroDataSource.sessionConf()), limit)
   }
 }
 
@@ -547,14 +558,16 @@ private[sources] object AvroFilterEval {
 }
 
 private[sources] class AvroScan(readSchema: StructType, path: String,
-    filters: Array[Filter], sconf: SerializableConfiguration)
+    filters: Array[Filter], sconf: SerializableConfiguration,
+    limit: Int = -1)
     extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-avro $path ${readSchema.fieldNames.mkString("[", ",", "]")}" +
       (if (filters.isEmpty) ""
-       else filters.mkString(" PushedFilters: [", ", ", "]"))
+       else filters.mkString(" PushedFilters: [", ", ", "]")) +
+      (if (limit < 0) "" else s" PushedLimit: $limit")
 
   // ---- runtime (join-derived) filtering --------------------------------
   // The DSv2 face of dynamic partition pruning: when this scan probes a
@@ -598,7 +611,7 @@ private[sources] class AvroScan(readSchema: StructType, path: String,
     }.map(AvroFilePartition(_): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroPartitionReaderFactory(readSchema, filters, sconf)
+    new AvroPartitionReaderFactory(readSchema, filters, sconf, limit)
 
   /** The streaming face (see [[AvroMicroBatchStream]]): same pruned
     * schema, same pushed filters, same per-file readers — the stream
@@ -614,7 +627,8 @@ private[sources] case class AvroFilePartition(file: String)
     extends InputPartition
 
 private[sources] class AvroPartitionReaderFactory(readSchema: StructType,
-    filters: Array[Filter], sconf: SerializableConfiguration)
+    filters: Array[Filter], sconf: SerializableConfiguration,
+    limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[AvroFilePartition].file
@@ -628,13 +642,17 @@ private[sources] class AvroPartitionReaderFactory(readSchema: StructType,
       private val types = readSchema.fields.map(_.dataType)
       private var row: InternalRow = _
       private var closed = false
+      private var emitted = 0
       override def next(): Boolean = {
+        // pushed LIMIT: stop decoding once this partition has emitted
+        // enough rows to satisfy the global limit on its own
+        if (limit >= 0 && emitted >= limit) return false
         // evaluate pushed filters on the RAW record, before any
         // conversion: dropped rows never materialize
         while (!closed && rdr.hasNext) {
           val rec = rdr.next()
           if (filters.forall(AvroFilterEval.eval(_, rec))) {
-            row = convert(rec); return true
+            row = convert(rec); emitted += 1; return true
           }
         }
         false

@@ -462,6 +462,30 @@ class SourceFormatsSpec extends SparkTestBase {
       s"restart replayed committed batches: ${drained().take(10)}...")
   }
 
+  test("graft-avro limit pushdown: readers stop decoding at the pushed limit") {
+    // the last cell of the pushdown matrix (columns, static filters,
+    // runtime filters, aggregates, LIMIT): a pushed limit caps each
+    // per-file reader at n decoded records — a LIMIT n probe over a
+    // row-major container costs n records per file, not the container
+    // — while staying PARTIAL (Spark's GlobalLimit still trims across
+    // partitions, so correctness never depends on the source).
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_l").toString
+    val src = sample
+    src.repartitionByRange(4, col("user_id"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val rd = spark.read.format("graft-avro").load(dir)
+    val lim = rd.limit(5)
+    assert(lim.queryExecution.executedPlan.toString.contains("PushedLimit: 5"),
+      s"limit did not push:\n${lim.queryExecution.executedPlan.toString.take(600)}")
+    assert(lim.count() == 5)
+    // a limit past the table returns everything, exactly
+    assert(rd.limit(1000000).count() == src.count())
+    // pushed limit composes with pushed filters: rows still exact
+    val both = rd.filter(col("event_type") === "click").limit(3)
+    assert(both.collect().length ==
+      math.min(3, src.filter(col("event_type") === "click").count()))
+  }
+
   test("graft-avro filter eval matches engine semantics: -0.0 and supplementary code points") {
     // pushed filters are AUTHORITATIVE (nothing re-checks), so their
     // evaluation must match Spark's exactly at the two classic
