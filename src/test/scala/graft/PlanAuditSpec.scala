@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Plan-shape regression guard over EVERY SparkEntry query: the scale
   * properties the judge-facing plans must keep — no unintended cartesian
@@ -291,6 +291,29 @@ class PlanAuditSpec extends SparkTestBase {
       "(?s)Exchange hashpartitioning\\(source[^\\n]*\\n[^\\n]*partial_count".r
     assert(exchangeOverPartial.findFirstIn(plan).isDefined,
       s"q117 cell build lost map-side combine:\n${plan.take(1500)}")
+  }
+
+  test("identical subplans reuse one exchange (self-union aggregates once)") {
+    // the dedup-of-work feature every report query leans on: a frame
+    // referenced twice (self-union here; CTEs and shared-dimension
+    // trees in general) must SHUFFLE ONCE — Catalyst's ReuseExchange
+    // replaces the second identical exchange with a ReusedExchange
+    // pointer, and at 100 TB that is half the job. Pinned under the
+    // classic planner (AQE reuses stages through its cache instead —
+    // the same property, less greppable); result exactness asserted.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val a = core.Tables.events(spark, sf)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val u = a.unionAll(a)
+      val plan = u.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"self-union re-shuffled instead of reusing:\n${plan.take(900)}")
+      val rows = u.collect().map(r => (r.getString(0), r.getLong(1)))
+      val one = a.collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.sorted.toSeq == (one ++ one).sorted.toSeq)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
   test("AQE coalesces the small shuffle after a grouped aggregate") {
