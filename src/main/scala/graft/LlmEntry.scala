@@ -974,6 +974,37 @@ object LlmEntry {
     }),
 
     // ---- exact-k uniform sample per group -------------------------------
+    // ---- L71: training-data ordering (seeded epoch shuffle + shards) ----
+    "q183_epoch_order" -> ((s, d) => {
+      // the data-ORDERING operator a training run needs after curation
+      // picks WHAT to train on (L36 samples, L34 packs, THIS orders):
+      // a deterministic, seeded global shuffle with fixed shard
+      // assignment — md5(seed:doc_id) is the permutation key, so the
+      // order is reproducible across engines/reruns (no RNG), any
+      // worker re-derives ITS shard's order independently (resumable
+      // mid-epoch from (shard, pos) alone — no central shuffle index),
+      // and a new epoch = a new seed, decorrelating consecutive passes
+      // without reshuffling bytes. Scale: NO global sort — the shard
+      // is the hash's first hex byte (256-way, deterministic, balanced
+      // in expectation) and position is a SHARD-LOCAL window, so the
+      // plan is one narrow map + parallel per-shard sorts; the same
+      // construction at 100 TB emits shard files a data loader streams
+      // in (shard, pos) order. Both epochs face the hash compare.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val epochs = Seq("ep1", "ep2").map { seed =>
+        docs.withColumn("epoch", lit(seed))
+          .withColumn("h", md5(concat(lit(seed + ":"),
+            col("doc_id").cast("string")).cast("binary")))
+      }
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      epochs.reduce(_.unionAll(_))
+        .withColumn("shard", substring(col("h"), 1, 2))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("epoch"), col("shard"), col("doc_id"), col("pos"))
+    }),
+
     "q85_group_sample" -> ((s, d) => {
       // Deterministic exact-k uniform sample per language: rank rows by
       // the md5 of their id (a fixed pseudo-random permutation — no RNG,
@@ -3287,6 +3318,21 @@ object LlmEntry {
         |       * (v[i] - qv[i] * max_abs / 127.0))),
         |    (acc, e) -> acc + e) / CAST(len(v) AS DOUBLE) AS mse
         |FROM q""".stripMargin,
+
+    // q183 mirror: identical permutation arithmetic — md5 of the same
+    // seeded preimage, the same first-hex-byte shard, the same
+    // shard-local rank; hex text order is portable (q85's idiom)
+    "q183_epoch_order" ->
+      """WITH e AS (
+        |  SELECT 'ep1' AS epoch, doc_id,
+        |         md5('ep1:' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+        |  UNION ALL
+        |  SELECT 'ep2' AS epoch, doc_id,
+        |         md5('ep2:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+        |SELECT epoch, substr(h, 1, 2) AS shard, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY epoch, substr(h, 1, 2)
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM e""".stripMargin,
 
     "q85_group_sample" ->
       s"""SELECT lang, doc_id, h, rk FROM (
