@@ -335,7 +335,15 @@ object ScaleBench {
     // follower's merge + keyed delete are all m×-proportional (the
     // changed strata scale with the table), so the whole
     // leader→feed→follower cycle should track the scan, β ~ 1
-    "q178_cdc_replicate")
+    "q178_cdc_replicate",
+    // q183: epoch ordering — documents replicate m×, the hash map is
+    // row-linear, and the 256 shard-local sorts each grow m×; the
+    // NO-global-sort claim is the plan shape. MEASURED β ≈ 0 at these
+    // sizes (0.44–0.46 s flat to x16): the doc table is so small the
+    // cell is fixed-overhead-dominated — kept as the honest record
+    // that the operator's cost floor, not its scaling, is what the
+    // fixture can see
+    "q183_epoch_order")
     // q177 (delete) has NO cell: its machinery is q176's find-touched
     // + rewrite with a predicate instead of a key join (covered), and
     // its semantics claim (NULL rows survive) is the oracle equality.
