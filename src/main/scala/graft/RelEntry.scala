@@ -2137,6 +2137,36 @@ object RelEntry {
       }
     }),
 
+    // ---- T85: null-safe equality join (<=> vs =) -------------------------
+    "q184_nullsafe_join" -> ((s, d) => {
+      // the join-key twin of q141's NOT IN trap: dimensions with a
+      // genuine "unknown" bucket (NULL-keyed rows on BOTH sides) need
+      // <=> / IS NOT DISTINCT FROM — under plain `=` a NULL key
+      // matches NOTHING (comparison is UNKNOWN), so every unknown-
+      // bucket fact row silently vanishes from the join; the null-safe
+      // spelling matches NULL to NULL. Both legs run in one query so
+      // the hash compare pins the divergence itself: the eq leg has no
+      // grp_null row, the ns leg counts every ninth event there.
+      // Scale note: Spark plans EqualNullSafe as a HASH join key (the
+      // engine folds it to coalesce+isnull key equality) — no
+      // nested-loop penalty for the correct spelling; PlanAuditSpec's
+      // every-query assert holds this query to that.
+      val ev = Tables.events(s, d).select(col("event_id"),
+        when(col("event_id") % 9 === 0, lit(null))
+          .otherwise(col("event_id") % 5).cast("long").as("g"))
+      val dim = s.sql(
+        """SELECT CAST(g AS BIGINT) AS gd, label FROM VALUES
+          |  (0, 'grp_0'), (1, 'grp_1'), (2, 'grp_2'), (3, 'grp_3'),
+          |  (4, 'grp_4'), (CAST(NULL AS INT), 'grp_null') AS t(g, label)"""
+          .stripMargin)
+      def leg(name: String, cond: org.apache.spark.sql.Column) =
+        ev.join(dim, cond)
+          .groupBy(col("label")).agg(count(lit(1)).as("n"))
+          .select(lit(name).as("leg"), col("label"), col("n"))
+      leg("eq", col("g") === col("gd"))
+        .unionAll(leg("ns", col("g") <=> col("gd")))
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -2811,6 +2841,24 @@ object RelEntry {
         |       CAST(sum(price_cents) AS BIGINT) AS cents,
         |       CAST(min(o_orderkey) AS BIGINT) AS first_key
         |FROM alive GROUP BY o_custkey % 97""".stripMargin,
+
+    // q184 mirror: identical text modulo the operator spelling —
+    // DuckDB's IS NOT DISTINCT FROM is Spark's <=>
+    "q184_nullsafe_join" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 9 = 0 THEN NULL
+        |         ELSE event_id % 5 END AS g
+        |  FROM events),
+        |dim AS (SELECT * FROM (VALUES
+        |  (0, 'grp_0'), (1, 'grp_1'), (2, 'grp_2'), (3, 'grp_3'),
+        |  (4, 'grp_4'), (NULL, 'grp_null')) AS t(g, label))
+        |SELECT 'eq' AS leg, label, CAST(count(*) AS BIGINT) AS n
+        |FROM ev JOIN dim ON ev.g = dim.g GROUP BY label
+        |UNION ALL
+        |SELECT 'ns' AS leg, label, CAST(count(*) AS BIGINT) AS n
+        |FROM ev JOIN dim ON ev.g IS NOT DISTINCT FROM dim.g
+        |GROUP BY label""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property
