@@ -2167,6 +2167,25 @@ object RelEntry {
         .unionAll(leg("ns", col("g") <=> col("gd")))
     }),
 
+    // ---- T86: GROUP BY ALL (the analyst-SQL grouping shorthand) ----------
+    "q185_group_by_all" -> ((s, d) => {
+      // the Spark-4 surface row the q149–q158 wave missed: GROUP BY
+      // ALL groups by every non-aggregate select item (SPARK-44143;
+      // DuckDB pioneered the spelling, so the IDENTICAL text runs in
+      // both engines — which is exactly what the hash compare pins,
+      // including that a computed projection like the day truncation
+      // counts as a grouping item while the aggregates don't). Same
+      // plan as the explicit list: one map-side-combined aggregate.
+      Tables.events(s, d).createOrReplaceTempView("graft_q185_events")
+      s.sql(
+        """SELECT event_type, CAST(CAST(ts AS DATE) AS STRING) AS day,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |    AS cents
+          |FROM graft_q185_events
+          |GROUP BY ALL""".stripMargin)
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -2859,6 +2878,16 @@ object RelEntry {
         |SELECT 'ns' AS leg, label, CAST(count(*) AS BIGINT) AS n
         |FROM ev JOIN dim ON ev.g IS NOT DISTINCT FROM dim.g
         |GROUP BY label""".stripMargin,
+
+    // q185 mirror: IDENTICAL text modulo the view name — GROUP BY ALL
+    // is the same spelling in both engines (DuckDB pioneered it)
+    "q185_group_by_all" ->
+      """SELECT event_type, CAST(CAST(ts AS DATE) AS STRING) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events
+        |GROUP BY ALL""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property
