@@ -59,6 +59,26 @@ class MvRewriteSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSet)
       assert(gotRoll == grain("o_orderstatus").collect().map(_.toSeq).toSet)
       assert(got.nonEmpty && gotRoll.nonEmpty)
+
+      // the SQL-text face: a query typed against a temp view of the
+      // source must rewrite too — EliminateSubqueryAliases strips the
+      // view wrapper before the rule runs, so the canonical child is
+      // the same source subtree the DataFrame form matches
+      MvCatalog.register("spec_orders_mv", src,
+        Seq("o_orderstatus", "o_orderpriority"), Seq("cents"), dir)
+      src.createOrReplaceTempView("mv_spec_src")
+      val sqlQ = spark.sql(
+        """SELECT o_orderstatus, count(*) AS n, sum(cents) AS s
+          |FROM mv_spec_src GROUP BY o_orderstatus""".stripMargin)
+      assert(sqlQ.queryExecution.executedPlan.toString
+        .contains(new java.io.File(dir).getName),
+        "the SQL-text spelling did not rewrite")
+      val sqlRows = sqlQ.collect().map(_.toSeq).toSet
+      MvCatalog.unregister("spec_orders_mv")
+      assert(sqlRows == spark.sql(
+        """SELECT o_orderstatus, count(*) AS n, sum(cents) AS s
+          |FROM mv_spec_src GROUP BY o_orderstatus""".stripMargin)
+        .collect().map(_.toSeq).toSet)
     } finally MvCatalog.unregister("spec_orders_mv")
   }
 
