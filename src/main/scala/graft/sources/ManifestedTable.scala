@@ -393,9 +393,15 @@ object ManifestedTable {
     * Multiple source rows per key would make the upsert
     * order-dependent, so it throws (the MERGE cardinality rule) —
     * the check costs one aggregate over the delta, never the table.
+    *
+    * `deleteWhen` is the WHEN MATCHED ... THEN DELETE clause — the CDC
+    * delete-flag form (a feed row marked op='d'): source rows where it
+    * evaluates TRUE remove their matched base row and are NOT
+    * re-inserted; FALSE/NULL rows upsert normally. The flag rows still
+    * count as touched (their files rewrite), they just never re-enter.
     */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
-      keys: Seq[String]): Long = {
+      keys: Seq[String], deleteWhen: Option[Column] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
@@ -414,11 +420,16 @@ object ManifestedTable {
       base.select((keys.map(col) :+ input_file_name().as("__file")): _*)
         .join(srcKeys, keys, "left_semi"))
     val kept = cur.filterNot(touched.toSet)
+    // WHEN MATCHED ... DELETE: flagged source rows never re-enter;
+    // everything else (FALSE and NULL flags) upserts
+    val reinsert = deleteWhen
+      .map(c => source.filter(!coalesce(c, lit(false))))
+      .getOrElse(source)
     val rewrite =
-      if (touched.isEmpty) source
+      if (touched.isEmpty) reinsert
       else spark.read.parquet(absPaths(root, touched): _*)
         .join(srcKeys, keys, "left_anti")
-        .unionByName(source)
+        .unionByName(reinsert.select(base.columns.map(col).toIndexedSeq: _*))
     val staged = stageFiles(
       rewrite.select(base.columns.map(col).toIndexedSeq: _*), root, fs)
     commit(fs, root, kept ++ staged)

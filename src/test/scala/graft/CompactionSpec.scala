@@ -492,6 +492,27 @@ class CompactionSpec extends SparkTestBase {
       col("event_id") === -1L)
     assert(vSame == vDel, "a no-match DELETE advanced the version")
 
+    // MERGE's WHEN MATCHED ... DELETE clause (the CDC delete-flag
+    // form): flagged source rows remove their base row and never
+    // re-enter; unflagged rows upsert in the same commit
+    val pre = ManifestedTable.read(spark, dir)
+    val someKeys = pre.filter(col("value").isNotNull)
+      .select("event_id").orderBy("event_id")
+      .limit(4).collect().map(_.getLong(0))
+    val (delK, updK) = (someKeys.take(2).toSeq, someKeys.drop(2).toSeq)
+    val delta = pre.filter(col("event_id").isin(delK ++ updK: _*))
+      .withColumn("value", col("value") + 5000d)
+    val nPre = pre.count()
+    ManifestedTable.merge(spark, dir, delta, Seq("event_id"),
+      deleteWhen = Some(col("event_id").isin(delK: _*)))
+    val post = ManifestedTable.read(spark, dir)
+    assert(post.count() == nPre - delK.size)
+    assert(post.filter(col("event_id").isin(delK: _*)).count() == 0,
+      "a delete-flagged source row survived the merge")
+    assert(post.filter(col("event_id").isin(updK: _*)
+      && col("value") >= 5000d).count() == updK.size,
+      "an unflagged source row failed to upsert in the same commit")
+
     // keyed delete (the CDC-apply form): exactly the keyed rows go,
     // and an absent key set commits nothing
     import spark.implicits._
