@@ -515,6 +515,30 @@ object ManifestedTable {
     commit(fs, root, stageFiles(clustered, root, fs))
   }
 
+  /** Table-health report — the numbers the OPTIMIZE decision is made
+    * from, computed WITHOUT reading data: one row per current-snapshot
+    * file with its byte size (driver-side FileSystem metadata, |files|
+    * calls — manifest-sized), plus a `small` flag under
+    * `smallFileBytes`. The classic lakehouse failure mode this
+    * surfaces is small-file creep: streaming appends land a file per
+    * batch per partition, and a thousand 100 KB files cost a thousand
+    * task launches + footer reads per scan — the report's
+    * small-file count is the [[compact]] trigger a maintenance loop
+    * polls. Returned as a DataFrame so the report composes (alerting
+    * thresholds, per-table rollups) like any other table.
+    */
+  def describeLayout(spark: SparkSession, dir: String,
+      smallFileBytes: Long = 32L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val rows = currentFiles(spark, dir).map { f =>
+      val len = fs.getFileStatus(new Path(root, f)).getLen
+      (f, len, len < smallFileBytes)
+    }
+    rows.toDF("file", "bytes", "small")
+  }
+
   /** Reclaim files the RETAINED snapshots don't reference: orphans
     * from aborted stages and data superseded past the retention
     * horizon. `keepLast` is the retention policy — the newest n

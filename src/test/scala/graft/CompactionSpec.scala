@@ -371,6 +371,31 @@ class CompactionSpec extends SparkTestBase {
     assert(a13.count() == wide.count())
   }
 
+  test("manifested table: describeLayout flags small-file creep; compact clears it") {
+    import graft.sources.ManifestedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_health").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    // simulate streaming small-file creep: five tiny appends
+    (0 until 5).foreach { i =>
+      ManifestedTable.appendBatch(
+        ev.filter(col("event_id") % 5 === i).repartition(3), dir, i.toLong)
+    }
+    val before = ManifestedTable.describeLayout(spark, dir,
+      smallFileBytes = 1L << 20)
+    assert(before.count() >= 10, "creep fixture produced too few files")
+    assert(before.filter(col("small")).count() == before.count(),
+      "every tiny append file should flag small")
+    // the maintenance loop's response; the report must come back clean
+    ManifestedTable.compact(spark, dir, targetFileBytes = 1L << 30)
+    val after = ManifestedTable.describeLayout(spark, dir,
+      smallFileBytes = 1L << 20)
+    assert(after.count() < before.count())
+    // rows untouched by the whole loop, and the txn marker survived
+    assert(ManifestedTable.read(spark, dir).count() == ev.count())
+    assert(ManifestedTable.lastBatchId(spark, dir).contains(4L))
+  }
+
   test("manifested table: clustered compaction turns file stats selective") {
     import graft.sources.ManifestedTable
     val dir = java.nio.file.Files.createTempDirectory("graft_clus").toString
