@@ -2186,6 +2186,42 @@ object RelEntry {
           |GROUP BY ALL""".stripMargin)
     }),
 
+    // ---- T87: fixed-width text round trip (mainframe feed ingest) -------
+    "q186_fixed_width" -> ((s, d) => {
+      // the delimiter-free batch-feed format (COBOL copybook exports)
+      // as a source: events render to 34-byte fixed records
+      // (type:10 left-aligned / id:12 cents:12 right-aligned) through
+      // FixedWidth.write and come back through substring+trim+cast
+      // slicing — all codegen'd column expressions over the engine's
+      // own text source, no UDFs. The oracle computes the same
+      // aggregate straight off parquet, so hash equality proves the
+      // byte layout + padding conventions round-trip value-faithfully;
+      // the in-plan overflow guard (a wide value would silently shift
+      // every later column) errors rather than misparses.
+      import graft.sources.FixedWidth
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val dir = java.nio.file.Files.createTempDirectory("graft_fw").toString
+      val spec = Seq(
+        FixedWidth.Col("event_type", 1, 10, StringType),
+        FixedWidth.Col("event_id", 11, 12, LongType),
+        FixedWidth.Col("cents", 23, 12, LongType))
+      val ev = Tables.events(s, d).select(col("event_type"),
+        col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      FixedWidth.write(ev, dir, spec)
+      val out = FixedWidth.read(s, dir, spec)
+        .filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          max(col("event_id")).as("hi_id"))
+      core.Materialize.detached(out) {
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -2888,6 +2924,17 @@ object RelEntry {
         |    AS cents
         |FROM events
         |GROUP BY ALL""".stripMargin,
+
+    // q186 mirror: the same aggregate straight off parquet — equality
+    // proves the fixed-width byte layout round-trips value-faithfully
+    "q186_fixed_width" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(max(event_id) AS BIGINT) AS hi_id
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY event_type""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property
