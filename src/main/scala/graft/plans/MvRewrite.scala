@@ -168,6 +168,15 @@ object MvCatalog {
 
 object MvRewrite extends Rule[LogicalPlan] {
 
+  import org.apache.spark.sql.types.{ByteType, DataType, DecimalType,
+    IntegerType, LongType, ShortType}
+
+  private def exactNumeric(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   /** One query output → its spelling over the MV partials, or None if
     * not derivable (which vetoes the whole rewrite).
     */
@@ -177,7 +186,13 @@ object MvRewrite extends Rule[LogicalPlan] {
         if groupNames.contains(a.name) && mv.keys.contains(a.name) =>
       Some(col(a.name))
     case Alias(AggregateExpression(f, _, false, None, _), name) => f match {
-      case Sum(x: AttributeReference, _) if mv.measures.contains(x.name) =>
+      // SUM rewrites only for EXACT numeric measures: sum-of-partial-
+      // sums reorders IEEE addition, so a float/double measure through
+      // the MV could differ in the last bit from the direct aggregate —
+      // the same hazard that excludes AVG. Integral/decimal sums are
+      // associative exactly, so only they re-derive.
+      case Sum(x: AttributeReference, _) if mv.measures.contains(x.name) &&
+          exactNumeric(x.dataType) =>
         Some(sum(col(s"sum_${x.name}")).as(name))
       case Min(x: AttributeReference) if mv.measures.contains(x.name) =>
         Some(min(col(s"min_${x.name}")).as(name))
@@ -190,9 +205,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  // `groupExprs.nonEmpty`: a GLOBAL aggregate does not rewrite —
+  // COUNT(*) over an empty base is 0, but sum(cnt) over the (empty) MV
+  // would be NULL; declining the empty-GROUP-BY shape keeps the
+  // rewrite row-identical on every input, including the empty table
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupExprs, aggExprs, child, _)
-        if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        if groupExprs.nonEmpty &&
+          groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
       MvCatalog.find(child) match {
         case Some(mv) =>
           val groupNames =

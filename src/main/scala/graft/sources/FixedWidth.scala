@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lpad, rpad, substring,
-  trim}
+import org.apache.spark.sql.functions.{col, concat, lpad, rpad, rtrim,
+  substring, trim}
 import org.apache.spark.sql.types.DataType
 
 /** Fixed-width text feeds — the mainframe/EDI ingest format Spark has
@@ -27,12 +27,19 @@ object FixedWidth {
   /** One column: `name`, 1-based `start`, byte `len`, target type. */
   final case class Col(name: String, start: Int, len: Int, dt: DataType)
 
-  /** Read `dir` (text files) under the fixed-width `spec`. */
+  /** Read `dir` (text files) under the fixed-width `spec`. Strings are
+    * RIGHT-trimmed only — left-aligned is the write contract, so
+    * leading spaces inside the slot are significant data and round-trip
+    * intact; numerics (right-aligned, space-padded on the left) trim
+    * both ends before the cast.
+    */
   def read(spark: SparkSession, dir: String, spec: Seq[Col]): DataFrame = {
     require(spec.nonEmpty)
     spark.read.text(dir).select(spec.map { c =>
-      trim(substring(col("value"), c.start, c.len))
-        .cast(c.dt).as(c.name)
+      val slice = substring(col("value"), c.start, c.len)
+      val cleaned =
+        if (c.dt.typeName == "string") rtrim(slice) else trim(slice)
+      cleaned.cast(c.dt).as(c.name)
     }: _*)
   }
 

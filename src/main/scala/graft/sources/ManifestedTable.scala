@@ -410,7 +410,13 @@ object ManifestedTable {
     require(base.columns.sorted.sameElements(source.columns.sorted),
       s"merge source columns [${source.columns.sorted.mkString(",")}] " +
         s"must match table [${base.columns.sorted.mkString(",")}]")
-    val dupKeys = source.groupBy(keys.map(col): _*)
+    // NULL-keyed source rows can never match a base row (the semi/anti
+    // joins use SQL equality), so each simply inserts — they are
+    // exempt from the cardinality rule rather than spuriously grouped
+    // together by groupBy's NULL-bucketing
+    val dupKeys = source
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
     require(dupKeys.isEmpty,
       "merge source has multiple rows per key — the upsert would be " +
@@ -539,6 +545,13 @@ object ManifestedTable {
     rows.toDF("file", "bytes", "small")
   }
 
+  /** Default [[vacuum]] retention: unreferenced files younger than
+    * this survive (Delta's 7-day VACUUM default — long enough that any
+    * in-flight stage or straggling reader of a superseded snapshot has
+    * finished).
+    */
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   /** Reclaim files the RETAINED snapshots don't reference: orphans
     * from aborted stages and data superseded past the retention
     * horizon. `keepLast` is the retention policy — the newest n
@@ -549,13 +562,25 @@ object ManifestedTable {
     * OUT-OF-BAND — the separation of publication (atomic, instant)
     * from deletion (lazy, maintenance) is what makes racing readers
     * safe.
+    *
+    * `minAgeMillis` is the age guard that makes out-of-band safe
+    * against CONCURRENT WRITERS too: a racing job's staged-but-
+    * uncommitted files are unreferenced by every manifest, and
+    * deleting them would let its later commit publish references to
+    * missing data — the table would be permanently unreadable. Files
+    * whose mtime is within the threshold are therefore skipped (the
+    * Delta VACUUM retention construction); pass 0 ONLY when no writer
+    * can be in flight.
     */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Int = {
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
+      minAgeMillis: Long = DefaultVacuumRetentionMs): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    require(minAgeMillis >= 0, s"minAgeMillis must be >= 0, got $minAgeMillis")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $dir")
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     val retained = vs.takeRight(keepLast)
     val live = retained.flatMap(v => readManifest(fs, v._2)).toSet
     var deleted = 0
@@ -566,11 +591,15 @@ object ManifestedTable {
         fs.listStatus(d.getPath).toSeq.filter(_.isFile).foreach { f =>
           val rel = s"$stage/${f.getPath.getName}"
           val keep = live.contains(rel) ||
+            f.getModificationTime > cutoff || // possibly mid-commit
             f.getPath.getName.startsWith("_") // Spark's _SUCCESS markers
           if (!keep) { fs.delete(f.getPath, false); deleted += 1 }
         }
-        if (fs.listStatus(d.getPath).forall(s =>
-            s.getPath.getName.startsWith("_")))
+        // the dir itself is subject to the same age guard: a racing
+        // writer may have created its stage dir but written nothing yet
+        if (d.getModificationTime <= cutoff &&
+            fs.listStatus(d.getPath).forall(s =>
+              s.getPath.getName.startsWith("_")))
           fs.delete(d.getPath, true)
       }
     vs.dropRight(keepLast).foreach(v => fs.delete(v._2, false))

@@ -245,9 +245,16 @@ class CompactionSpec extends SparkTestBase {
     assert(ManifestedTable.read(spark, dir)
       .orderBy("event_id").collect().toSeq == before)
 
+    // retention guard first: everything here is seconds old, so a
+    // DEFAULT vacuum (7-day age floor) must reclaim NOTHING — the
+    // guard that keeps out-of-band vacuum from eating a concurrent
+    // writer's staged-but-uncommitted files
+    assert(ManifestedTable.vacuum(spark, dir) === 0,
+      "default-retention vacuum deleted young files")
     // vacuum reclaims superseded + orphan + rogue-stage files; the
-    // current snapshot still reads exactly
-    val deleted = ManifestedTable.vacuum(spark, dir)
+    // current snapshot still reads exactly (minAge 0: single-writer
+    // test, nothing can be mid-stage)
+    val deleted = ManifestedTable.vacuum(spark, dir, minAgeMillis = 0L)
     assert(deleted > 0)
     assert(ManifestedTable.read(spark, dir)
       .orderBy("event_id").collect().toSeq == before)
@@ -313,7 +320,7 @@ class CompactionSpec extends SparkTestBase {
 
     // retention: keepLast=2 keeps time travel + CDF alive across
     // exactly the retained window and reclaims everything older
-    ManifestedTable.vacuum(spark, dir, keepLast = 2)
+    ManifestedTable.vacuum(spark, dir, keepLast = 2, minAgeMillis = 0L)
     assert(ManifestedTable.versions(spark, dir) == Seq(v3, v4))
     assert(ManifestedTable.readAt(spark, dir, v3).count() == v3df.count())
     val (rAdd, rRem) = ManifestedTable.changesBetween(spark, dir, v3, v4)
@@ -323,7 +330,7 @@ class CompactionSpec extends SparkTestBase {
     }
 
     // full vacuum collapses history: past versions fail loudly, not wrongly
-    ManifestedTable.vacuum(spark, dir)
+    ManifestedTable.vacuum(spark, dir, minAgeMillis = 0L)
     assert(ManifestedTable.versions(spark, dir) == Seq(v4))
     intercept[IllegalArgumentException] {
       ManifestedTable.changesBetween(spark, dir, v1, v4)
@@ -488,6 +495,21 @@ class CompactionSpec extends SparkTestBase {
         srcUpd.unionByName(srcUpd), Seq("event_id"))
     }
     assert(ManifestedTable.currentVersion(spark, dir) == vBefore)
+
+    // ...but NULL-keyed source rows are EXEMPT: they can never match a
+    // base row (SQL equality), so each takes the insert path — two of
+    // them is not a cardinality violation, just two inserts
+    val nullKeyed = srcUpd.limit(2).withColumn("event_id",
+      lit(null).cast("bigint"))
+    val preNullMerge = ManifestedTable.read(spark, dir).count()
+    ManifestedTable.merge(spark, dir, nullKeyed, Seq("event_id"))
+    assert(ManifestedTable.read(spark, dir).count() == preNullMerge + 2,
+      "NULL-keyed source rows failed to insert through merge")
+    assert(ManifestedTable.read(spark, dir)
+      .filter(col("event_id").isNull).count() == 2)
+    // clean the NULL rows back out so the later legs' fixtures hold
+    ManifestedTable.deleteWhere(spark, dir, col("event_id").isNull)
+    assert(ManifestedTable.read(spark, dir).count() == preNullMerge)
 
     // delete: TRUE rows go, FALSE and NULL rows SURVIVE (SQL DELETE's
     // three-valued semantics — the naive !cond filter would drop NULLs)

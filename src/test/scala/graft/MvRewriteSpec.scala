@@ -60,6 +60,14 @@ class MvRewriteSpec extends SparkTestBase {
       assert(gotRoll == grain("o_orderstatus").collect().map(_.toSeq).toSet)
       assert(got.nonEmpty && gotRoll.nonEmpty)
 
+      // a GLOBAL aggregate (empty GROUP BY) must NOT rewrite: over an
+      // empty base, count(*) is 0 but sum(cnt) over the empty MV would
+      // be NULL — the shape is declined wholesale
+      val globalQ = src.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      assert(globalQ.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "a global aggregate wrongly rewrote to the MV")
+
       // the SQL-text face: a query typed against a temp view of the
       // source must rewrite too — EliminateSubqueryAliases strips the
       // view wrapper before the rule runs, so the canonical child is
@@ -80,6 +88,36 @@ class MvRewriteSpec extends SparkTestBase {
           |FROM mv_spec_src GROUP BY o_orderstatus""".stripMargin)
         .collect().map(_.toSeq).toSet)
     } finally MvCatalog.unregister("spec_orders_mv")
+  }
+
+  test("SUM over a floating-point measure declines the rewrite") {
+    // sum-of-partial-sums reorders IEEE addition — the exact hazard
+    // that excludes AVG — so a double measure must fall through to the
+    // direct aggregate (bit-exact), while its MIN/MAX (order-free)
+    // still rewrite
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_fp").toString
+    val fsrc = core.Tables.orders(spark, sf).select(
+      col("o_orderstatus"), col("o_totalprice"))
+    MvCatalog.register("spec_fp_mv", fsrc,
+      Seq("o_orderstatus"), Seq("o_totalprice"), dir)
+    try {
+      val sumQ = fsrc.groupBy(col("o_orderstatus"))
+        .agg(sum(col("o_totalprice")).as("s"))
+      assert(sumQ.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "SUM(double) wrongly rewrote through re-summed partials")
+      val mmQ = fsrc.groupBy(col("o_orderstatus"))
+        .agg(min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+      assert(mmQ.queryExecution.executedPlan.toString
+        .contains(new java.io.File(dir).getName),
+        "MIN/MAX over a double measure should still rewrite (order-free)")
+      val got = mmQ.collect().map(_.toSeq).toSet
+      MvCatalog.unregister("spec_fp_mv")
+      assert(got == fsrc.groupBy(col("o_orderstatus"))
+        .agg(min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi")).collect().map(_.toSeq).toSet)
+    } finally MvCatalog.unregister("spec_fp_mv")
   }
 
   test("incremental refresh off the CDF equals a from-scratch rebuild") {

@@ -660,4 +660,29 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(plan.contains("ReadSchema: struct<id:bigint>"),
       s"projection pruning lost on merged schema:\n${plan.take(600)}")
   }
+
+  test("fixed-width: leading spaces in string fields round-trip intact") {
+    // the contract is left-aligned / RIGHT-trimmed — a value with
+    // significant leading spaces (' x') must survive the write/read
+    // cycle byte-faithfully; only the right-side slot padding strips
+    import spark.implicits._
+    import graft.sources.FixedWidth
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_fw_ls").toString
+    val spec = Seq(
+      FixedWidth.Col("id", 1, 6, LongType),
+      FixedWidth.Col("tag", 7, 8, StringType))
+    val src = Seq((1L, " lead"), (2L, "  two"), (3L, "plain"), (4L, ""))
+      .toDF("id", "tag")
+    FixedWidth.write(src, dir, spec)
+    val back = FixedWidth.read(spark, dir, spec)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(back(1L) == " lead", s"leading space lost: '${back(1L)}'")
+    assert(back(2L) == "  two")
+    assert(back(3L) == "plain")
+    // an all-space slot right-trims to the empty string; the numeric
+    // path still blank→NULL-casts independently of the string rule
+    assert(back(4L) == "")
+  }
 }
