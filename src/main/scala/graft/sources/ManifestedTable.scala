@@ -6,6 +6,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit}
 
+/** Thrown when a commit's optimistic-concurrency validation cannot
+  * serialize it against commits that landed after its base snapshot:
+  * publishing anyway would silently revert the interleaved changes
+  * (the lost-update anomaly). The losing operation must be re-run
+  * against the new snapshot — its COMPUTATION, not just its manifest,
+  * is stale.
+  */
+final class ConcurrentWriteException(msg: String)
+  extends RuntimeException(msg)
+
 /** Manifest-swap publication over plain parquet — the atomic
   * MULTI-partition commit [[PartitionedSink]] documents as its missing
   * production upgrade: `upsertPartitions` / `compactPartitions` are
@@ -41,6 +51,23 @@ import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, li
   * and retries at the next version. Local-filesystem rename overwrites
   * (POSIX), so multi-writer safety needs HDFS/object-store semantics;
   * single-writer is assumed on local FS (test scale).
+  *
+  * The CAS alone only makes each VERSION unique — it does not make the
+  * loser's retry SOUND, because the operation was computed against a
+  * snapshot that is no longer current (a merge planned at v10 blindly
+  * republished as v12 would revert v11's rows: the lost update). So
+  * every commit goes through [[publish]], which carries the commit's
+  * logical intent and re-validates it per attempt (the Delta commit-
+  * protocol conflict check): appends rebase onto whatever is current
+  * (they read nothing, so they serialize after anything); blind
+  * overwrites replace whatever is current by definition; snapshot-
+  * reading rewrites (DML, compaction) prove DISJOINTNESS against every
+  * interleaved commit — none of the files they rewrote was concurrently
+  * removed, and no interleaved commit ADDED rows inside their read
+  * scope — and then rebase their untouched-file references, or throw
+  * [[ConcurrentWriteException]] loudly. The serial order of a rebased
+  * rewrite is "rewrite first, interleaved commits after", which the
+  * disjointness proof makes row-for-row equal to any other order.
   *
   * Scale: the manifest is |files| lines on the driver — manifest-sized
   * by definition (the q131 argument); data never routes through it.
@@ -201,27 +228,96 @@ object ManifestedTable {
         l.substring(1, i) -> l.substring(i + 1)
     }.toMap
 
-  /** CAS-commit `files` as the next snapshot; returns its version.
-    * Snapshot metadata (`#key=value` lines ahead of the file list)
-    * rides the SAME atomic rename as the data it describes, and the
-    * PREVIOUS snapshot's metadata is carried forward with `meta`
-    * overriding per key — so the streaming txn marker survives
+  /** What a commit MEANS, so a lost version race can be re-validated
+    * rather than blindly retried (optimistic concurrency).
+    */
+  private sealed trait CommitMode
+  /** Blind replace: the new snapshot is the staged files, whatever is
+    * current — INSERT OVERWRITE semantics; serializes after anything.
+    */
+  private case object Replace extends CommitMode
+  /** Blind append: staged files join whatever is current. Reads
+    * nothing, so it rebases freely — appends never conflict.
+    */
+  private case object AppendFiles extends CommitMode
+  /** A rewrite computed against snapshot `baseV` (= `baseFiles`) that
+    * claims `touched` ⊆ baseFiles (the files it rewrote) and carries
+    * everything else by reference. On a version race the interleaved
+    * commits must be provably disjoint: none removed a touched file,
+    * and `scopeOverlaps` (given the interleave's ADDED files, absolute
+    * paths) must find no row inside the operation's read scope — then
+    * the untouched references rebase onto the current file list.
+    * Otherwise [[ConcurrentWriteException]].
+    */
+  private final case class RewriteFiles(baseV: Long, baseFiles: Seq[String],
+      touched: Set[String], opName: String,
+      scopeOverlaps: Seq[String] => Boolean) extends CommitMode
+
+  /** Test-only injection point: fired ONCE per publish, between an
+    * operation's compute phase and its first version read — the
+    * deterministic way to interleave a concurrent committer
+    * (CompactionSpec's race legs). Self-resets to a no-op before
+    * firing, so a hook that itself commits cannot recurse.
+    */
+  private[graft] var beforePublish: () => Unit = () => ()
+
+  /** Validate-and-CAS-commit the next snapshot under `mode`; returns
+    * its version. Snapshot metadata (`#key=value` lines ahead of the
+    * file list) rides the SAME atomic rename as the data it describes,
+    * and the PREVIOUS snapshot's metadata is carried forward with
+    * `meta` overriding per key — so the streaming txn marker survives
     * unrelated commits (compaction, DML) and vacuum's history
     * collapse: the latest manifest always knows the last applied
-    * batch.
+    * batch. Every attempt re-reads the current snapshot and re-runs
+    * the mode's conflict validation — losing the CAS means the world
+    * changed, so the proof must be redone against the new world.
     */
-  private def commit(fs: FileSystem, root: Path, files: Seq[String],
-      meta: Map[String, String] = Map.empty): Long = {
+  private def publish(fs: FileSystem, root: Path, mode: CommitMode,
+      staged: Seq[String], meta: Map[String, String] = Map.empty): Long = {
+    val hook = beforePublish
+    beforePublish = () => ()
+    hook()
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
     var attempt = 0
     while (attempt < 64) {
       val prev = manifestVersions(fs, root).lastOption
-      val v = prev.map(_._1).getOrElse(0L) + 1
+      val curV = prev.map(_._1).getOrElse(0L)
+      val curFiles = prev.map(p => readManifest(fs, p._2)).getOrElse(Nil)
+      val kept: Seq[String] = mode match {
+        case Replace => Nil
+        case AppendFiles => curFiles
+        case rw: RewriteFiles =>
+          if (curV != rw.baseV) {
+            // interleaved commits landed since this op read its
+            // snapshot — prove disjointness or abort, never revert
+            val curSet = curFiles.toSet
+            val clash = rw.baseFiles
+              .filter(f => rw.touched(f) && !curSet(f))
+            if (clash.nonEmpty) throw new ConcurrentWriteException(
+              s"${rw.opName} computed against v${rw.baseV} of $root, but " +
+                s"a concurrent commit (now v$curV) rewrote or removed " +
+                s"file(s) it touched: ${clash.take(3).mkString(", ")}" +
+                (if (clash.size > 3) s" (+${clash.size - 3} more)" else "") +
+                " — re-run against the current snapshot")
+            val baseSet = rw.baseFiles.toSet
+            val addedSinceBase = curFiles.filterNot(baseSet)
+            if (addedSinceBase.nonEmpty &&
+                rw.scopeOverlaps(absPaths(root, addedSinceBase)))
+              throw new ConcurrentWriteException(
+                s"${rw.opName} computed against v${rw.baseV} of $root, but " +
+                  s"a concurrent commit (now v$curV) added rows inside its " +
+                  "read scope — re-run against the current snapshot")
+          }
+          // proof holds: untouched references rebase onto the current
+          // list (serial order: this rewrite first, interleave after)
+          curFiles.filterNot(rw.touched)
+      }
+      val v = curV + 1
       val merged =
         prev.map(p => readMeta(fs, p._2)).getOrElse(Map.empty) ++ meta
       val all = merged.toSeq.sortBy(_._1)
-        .map { case (k, x) => s"#$k=$x" } ++ files
+        .map { case (k, x) => s"#$k=$x" } ++ kept ++ staged
       val body = all.mkString("", "\n", if (all.isEmpty) "" else "\n")
         .getBytes(StandardCharsets.UTF_8)
       val tmp = new Path(mdir,
@@ -231,14 +327,24 @@ object ManifestedTable {
       val fin = new Path(mdir, f"$ManifestPrefix$v%06d")
       // rename-without-overwrite = compare-and-swap on HDFS: a racing
       // committer that claimed v first makes this rename fail → retry
-      // (prev meta is re-read per attempt, so the merge never loses a
-      // racing writer's marker)
+      // (snapshot, meta, AND the conflict proof are all redone per
+      // attempt, so a lost race never publishes stale references)
       if (!fs.exists(fin) && fs.rename(tmp, fin)) return v
       fs.delete(tmp, false)
       attempt += 1
     }
     throw new IllegalStateException(
       s"manifest commit lost the version race 64 times under $root")
+  }
+
+  /** (version, files) of the current snapshot in ONE manifest read —
+    * the base a rewrite's conflict proof is anchored to (reading
+    * version and files separately could straddle a concurrent commit).
+    */
+  private def currentSnapshot(fs: FileSystem, root: Path): (Long, Seq[String]) = {
+    val vs = manifestVersions(fs, root)
+    require(vs.nonEmpty, s"no committed manifest under $root")
+    (vs.last._1, readManifest(fs, vs.last._2))
   }
 
   private def stageFiles(df: DataFrame, root: Path,
@@ -262,11 +368,10 @@ object ManifestedTable {
     val fs = fsOf(spark, dir)
     fs.mkdirs(root)
     val staged = stageFiles(df, root, fs)
-    val prior =
-      if (overwrite) Nil
-      else manifestVersions(fs, root).lastOption
-        .map(v => readManifest(fs, v._2)).getOrElse(Nil)
-    commit(fs, root, prior ++ staged)
+    // the prior file list is resolved INSIDE publish, per CAS attempt —
+    // an append racing another append rebases onto the winner's files
+    // instead of silently dropping them
+    publish(fs, root, if (overwrite) Replace else AppendFiles, staged)
   }
 
   /** Read the current snapshot — by manifest, never by listing: orphan
@@ -303,14 +408,19 @@ object ManifestedTable {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val files = currentFiles(spark, dir)
+    val (baseV, files) = currentSnapshot(fs, root)
     val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val needed =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    if (files.size <= needed) return currentVersion(spark, dir)
-    val compacted = read(spark, dir).repartition(needed)
+    if (files.size <= needed) return baseV
+    val compacted = spark.read.parquet(absPaths(root, files): _*)
+      .repartition(needed)
     val staged = stageFiles(compacted, root, fs)
-    commit(fs, root, staged)
+    // row-preserving rewrite of the WHOLE base: an interleaved append
+    // rebases (its files ride uncompacted), an interleaved DML
+    // conflicts (it removed files this rewrite claims)
+    publish(fs, root,
+      RewriteFiles(baseV, files, files.toSet, "compact", _ => false), staged)
   }
 
   private val TxnKey = "txn-batch"
@@ -351,9 +461,7 @@ object ManifestedTable {
     fs.mkdirs(root)
     if (lastBatchId(spark, dir).exists(_ >= batchId)) return false
     val staged = stageFiles(df, root, fs)
-    val prior = manifestVersions(fs, root).lastOption
-      .map(v => readManifest(fs, v._2)).getOrElse(Nil)
-    commit(fs, root, prior ++ staged, Map(TxnKey -> batchId.toString))
+    publish(fs, root, AppendFiles, staged, Map(TxnKey -> batchId.toString))
     true
   }
 
@@ -367,8 +475,21 @@ object ManifestedTable {
     // `hits` must carry `__file` captured AT SCAN TIME (input_file_name
     // is per-task scan state — after a shuffle join it reads empty)
     val uris = hits.select(col("__file"))
-      .distinct().collect().map(_.getString(0)).toSet
-    cur.filter(f => uris.exists(_.endsWith("/" + f)))
+      .distinct().collect().map(_.getString(0))
+    // O(|uris| + |files|), not |uris|×|files|: relative paths are
+    // exactly two components (data-<uuid>/<name>) by the staging
+    // layout, so keying each URI by its last two components makes the
+    // match a set lookup — at 10⁵ files a wide DML stays linear
+    def lastTwo(s: String): String = {
+      val i = s.lastIndexOf('/')
+      if (i < 0) s
+      else {
+        val j = s.lastIndexOf('/', i - 1)
+        s.substring(j + 1)
+      }
+    }
+    val keys = uris.map(lastTwo).toSet
+    cur.filter(keys.contains)
   }
 
   private def absPaths(root: Path, rel: Seq[String]): Seq[String] =
@@ -405,8 +526,10 @@ object ManifestedTable {
     require(keys.nonEmpty, "merge needs at least one key column")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val cur = currentFiles(spark, dir)
-    val base = read(spark, dir)
+    val (baseV, cur) = currentSnapshot(fs, root)
+    require(cur.nonEmpty, s"manifested table $dir is empty — " +
+      "schemaless empty reads are not supported")
+    val base = spark.read.parquet(absPaths(root, cur): _*)
     require(base.columns.sorted.sameElements(source.columns.sorted),
       s"merge source columns [${source.columns.sorted.mkString(",")}] " +
         s"must match table [${base.columns.sorted.mkString(",")}]")
@@ -425,7 +548,6 @@ object ManifestedTable {
     val touched = touchedFiles(cur,
       base.select((keys.map(col) :+ input_file_name().as("__file")): _*)
         .join(srcKeys, keys, "left_semi"))
-    val kept = cur.filterNot(touched.toSet)
     // WHEN MATCHED ... DELETE: flagged source rows never re-enter;
     // everything else (FALSE and NULL flags) upserts
     val reinsert = deleteWhen
@@ -438,7 +560,14 @@ object ManifestedTable {
         .unionByName(reinsert.select(base.columns.map(col).toIndexedSeq: _*))
     val staged = stageFiles(
       rewrite.select(base.columns.map(col).toIndexedSeq: _*), root, fs)
-    commit(fs, root, kept ++ staged)
+    // conflict scope: ANY source key — an interleaved commit that
+    // added a row this merge would have matched (updated, or collided
+    // with an insert) cannot serialize either side of it
+    val overlaps = (paths: Seq[String]) =>
+      !spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        .select(keys.map(col): _*).join(srcKeys, keys, "left_semi").isEmpty
+    publish(fs, root,
+      RewriteFiles(baseV, cur, touched.toSet, "merge", overlaps), staged)
   }
 
   /** Row-level DELETE WHERE — `cond` follows SQL DELETE semantics:
@@ -452,16 +581,24 @@ object ManifestedTable {
   def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long = {
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val cur = currentFiles(spark, dir)
-    val base = read(spark, dir)
+    val (baseV, cur) = currentSnapshot(fs, root)
+    require(cur.nonEmpty, s"manifested table $dir is empty — " +
+      "schemaless empty reads are not supported")
+    val base = spark.read.parquet(absPaths(root, cur): _*)
     val touched = touchedFiles(cur,
       base.withColumn("__file", input_file_name()).filter(cond))
-    if (touched.isEmpty) return currentVersion(spark, dir)
-    val kept = cur.filterNot(touched.toSet)
+    if (touched.isEmpty) return baseV
     val survivors = spark.read.parquet(absPaths(root, touched): _*)
       .filter(!coalesce(cond, lit(false)))
     val staged = stageFiles(survivors, root, fs)
-    commit(fs, root, kept ++ staged)
+    // conflict scope: the delete predicate — interleaved rows it would
+    // have deleted make the serial orders disagree
+    val overlaps = (paths: Seq[String]) =>
+      !spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        .filter(cond).isEmpty
+    publish(fs, root,
+      RewriteFiles(baseV, cur, touched.toSet, "deleteWhere", overlaps),
+      staged)
   }
 
   /** Row-level DELETE by key set — `DELETE WHERE key IN (subquery)`,
@@ -479,19 +616,25 @@ object ManifestedTable {
     require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val cur = currentFiles(spark, dir)
-    val base = read(spark, dir)
+    val (baseV, cur) = currentSnapshot(fs, root)
+    require(cur.nonEmpty, s"manifested table $dir is empty — " +
+      "schemaless empty reads are not supported")
+    val base = spark.read.parquet(absPaths(root, cur): _*)
     val k = keys.distinct()
     val touched = touchedFiles(cur,
       base.select((keyCols.map(col) :+ input_file_name().as("__file")): _*)
         .join(k, keyCols, "left_semi"))
-    if (touched.isEmpty) return currentVersion(spark, dir)
-    val kept = cur.filterNot(touched.toSet)
+    if (touched.isEmpty) return baseV
     val survivors = spark.read.parquet(absPaths(root, touched): _*)
       .join(k, keyCols, "left_anti")
     val staged = stageFiles(
       survivors.select(base.columns.map(col).toIndexedSeq: _*), root, fs)
-    commit(fs, root, kept ++ staged)
+    val overlaps = (paths: Seq[String]) =>
+      !spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        .select(keyCols.map(col): _*).join(k, keyCols, "left_semi").isEmpty
+    publish(fs, root,
+      RewriteFiles(baseV, cur, touched.toSet, "deleteMatching", overlaps),
+      staged)
   }
 
   /** ATOMIC CLUSTERED compaction — the `OPTIMIZE ... ZORDER BY` /
@@ -511,14 +654,19 @@ object ManifestedTable {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val files = currentFiles(spark, dir)
+    val (baseV, files) = currentSnapshot(fs, root)
+    require(files.nonEmpty, s"manifested table $dir is empty — " +
+      "schemaless empty reads are not supported")
     val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val needed =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val clustered = read(spark, dir)
+    val clustered = spark.read.parquet(absPaths(root, files): _*)
       .repartitionByRange(needed, clusterBy)
       .sortWithinPartitions(clusterBy)
-    commit(fs, root, stageFiles(clustered, root, fs))
+    val staged = stageFiles(clustered, root, fs)
+    publish(fs, root,
+      RewriteFiles(baseV, files, files.toSet, "compactClustered",
+        _ => false), staged)
   }
 
   /** Table-health report — the numbers the OPTIMIZE decision is made

@@ -575,4 +575,150 @@ class CompactionSpec extends SparkTestBase {
       Seq(-5L, -6L).toDF("event_id")) == vk,
       "a no-match keyed DELETE advanced the version")
   }
+
+  test("manifested table: optimistic concurrency — racing commits serialize or abort, never revert") {
+    // the lost-update window: an operation COMPUTED against v(n) must
+    // not blindly publish after a concurrent commit landed v(n+1) —
+    // publish() re-validates the base snapshot per CAS attempt and
+    // either proves disjointness (rebasing untouched references) or
+    // throws ConcurrentWriteException. beforePublish is the
+    // deterministic interleave point: it fires between an operation's
+    // compute phase and its publication.
+    import graft.sources.{ConcurrentWriteException, ManifestedTable}
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") < 800)
+    def fresh(): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_occ").toString
+      ManifestedTable.write(ev.repartitionByRange(8, col("event_id")), d)
+      d
+    }
+    def rows(d: String) = ManifestedTable.read(spark, d)
+      .orderBy("event_id", "value").collect().toSeq
+
+    // (1) append racing append: the loser REBASES onto the winner's
+    // files — both land, nothing is silently dropped (the pre-OCC code
+    // read the prior file list once and would have reverted the winner)
+    locally {
+      val d = fresh()
+      val mine = ev.limit(50).withColumn("event_id", col("event_id") + 10000L)
+      val theirs = ev.limit(30).withColumn("event_id", col("event_id") + 20000L)
+      ManifestedTable.beforePublish =
+        () => ManifestedTable.write(theirs, d, overwrite = false)
+      ManifestedTable.write(mine, d, overwrite = false)
+      val got = ManifestedTable.read(spark, d)
+      assert(got.count() == ev.count() + 50 + 30,
+        "a racing append's files were dropped by the loser's retry")
+      assert(got.filter(col("event_id") >= 20000L).count() == 30)
+      assert(got.filter(col("event_id") >= 10000L &&
+        col("event_id") < 20000L).count() == 50)
+    }
+
+    // (2) merge racing a DISJOINT delete: file sets and row scopes are
+    // disjoint, so the merge rebases — BOTH effects present, equal to
+    // either serial order
+    locally {
+      val d = fresh()
+      val src = ev.filter(col("event_id") < 100)
+        .withColumn("value", col("value") + 1000d)
+      ManifestedTable.beforePublish = () => ManifestedTable.deleteWhere(
+        spark, d, col("event_id") >= 600 && col("event_id") < 700)
+      ManifestedTable.merge(spark, d, src, Seq("event_id"))
+      val expect = src.unionByName(ev.filter(col("event_id") >= 100))
+        .filter(!(col("event_id") >= 600 && col("event_id") < 700))
+      assert(rows(d) == expect.orderBy("event_id", "value").collect().toSeq,
+        "disjoint racing commits did not serialize")
+    }
+
+    // (3) merge racing an OVERLAPPING delete (same key range): the
+    // delete removed files the merge rewrote — conflict, loud abort,
+    // table = the delete's image (nothing reverted, nothing doubled)
+    locally {
+      val d = fresh()
+      val src = ev.filter(col("event_id") < 100)
+        .withColumn("value", col("value") + 1000d)
+      ManifestedTable.beforePublish = () =>
+        ManifestedTable.deleteWhere(spark, d, col("event_id") < 50)
+      val vPre = ManifestedTable.currentVersion(spark, d)
+      intercept[ConcurrentWriteException] {
+        ManifestedTable.merge(spark, d, src, Seq("event_id"))
+      }
+      assert(ManifestedTable.currentVersion(spark, d) == vPre + 1,
+        "only the interleaved delete should have committed")
+      assert(rows(d) ==
+        ev.filter(col("event_id") >= 50).orderBy("event_id", "value")
+          .collect().toSeq,
+        "the aborted merge corrupted the table")
+    }
+
+    // (4) merge racing an append INTO its key scope: no file was
+    // removed, but the appended rows carry keys the merge matched —
+    // the row-level scope check must catch it (file-level disjointness
+    // alone would publish a missed update / duplicate key)
+    locally {
+      val d = fresh()
+      val src = ev.filter(col("event_id") < 100)
+        .withColumn("value", col("value") + 1000d)
+      val intruder = ev.filter(col("event_id") === 42L)
+        .withColumn("value", lit(-1d))
+      ManifestedTable.beforePublish =
+        () => ManifestedTable.write(intruder, d, overwrite = false)
+      intercept[ConcurrentWriteException] {
+        ManifestedTable.merge(spark, d, src, Seq("event_id"))
+      }
+      // ...while an append OUTSIDE the scope rebases fine
+      val outsider = ev.limit(5)
+        .withColumn("event_id", col("event_id") + 50000L)
+      ManifestedTable.beforePublish =
+        () => ManifestedTable.write(outsider, d, overwrite = false)
+      ManifestedTable.merge(spark, d, src, Seq("event_id"))
+      val got = ManifestedTable.read(spark, d)
+      assert(got.filter(col("event_id") >= 50000L).count() == 5)
+      // the low-key slice equals the merge source exactly: updates
+      // applied, and the intruder's duplicate key-42 image subsumed
+      assert(got.filter(col("event_id") < 100)
+        .orderBy("event_id", "value").collect().toSeq ==
+        src.orderBy("event_id", "value").collect().toSeq,
+        "the rebased merge lost updates or kept a stale duplicate")
+    }
+
+    // (5) compaction racing an append: row-preserving rewrite rebases,
+    // the appended files ride uncompacted; racing a DML: conflict (the
+    // DML removed files the compaction claims) — maintenance retries,
+    // data wins
+    locally {
+      val d = fresh()
+      val extra = ev.limit(20).withColumn("event_id", col("event_id") + 30000L)
+      ManifestedTable.beforePublish =
+        () => ManifestedTable.write(extra, d, overwrite = false)
+      ManifestedTable.compact(spark, d, targetFileBytes = 1L << 30)
+      val got = ManifestedTable.read(spark, d)
+      assert(got.count() == ev.count() + 20,
+        "compaction racing an append lost the appended rows")
+      ManifestedTable.beforePublish = () =>
+        ManifestedTable.deleteWhere(spark, d, col("event_id") < 10)
+      intercept[ConcurrentWriteException] {
+        ManifestedTable.compactClustered(spark, d, 1L << 30, col("event_id"))
+      }
+      assert(ManifestedTable.read(spark, d)
+        .filter(col("event_id") < 10).count() == 0,
+        "the aborted compaction reverted the racing delete")
+    }
+
+    // (6) DML racing a compaction: the compaction rewrote EVERY file
+    // the merge touched — conflict, the merge must recompute
+    locally {
+      val d = fresh()
+      val src = ev.filter(col("event_id") < 100)
+        .withColumn("value", col("value") + 1000d)
+      ManifestedTable.beforePublish =
+        () => ManifestedTable.compact(spark, d, 1L << 30)
+      intercept[ConcurrentWriteException] {
+        ManifestedTable.merge(spark, d, src, Seq("event_id"))
+      }
+      assert(rows(d) == ev.orderBy("event_id", "value").collect().toSeq,
+        "the aborted merge changed rows through a racing compaction")
+    }
+  }
 }
