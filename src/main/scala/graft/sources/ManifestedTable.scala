@@ -106,10 +106,20 @@ object ManifestedTable {
   }
 
   // `#`-prefixed manifest lines are snapshot METADATA (the streaming
-  // txn marker below), never file paths — every file-list consumer
-  // (read, CDF, vacuum) sees only data lines
-  private def readManifest(fs: FileSystem, p: Path): Seq[String] =
+  // txn marker below), never file entries — every file-list consumer
+  // (read, CDF, vacuum) sees only data lines. A data line is the
+  // file's relative path followed by OPTIONAL tab-separated stat
+  // tokens (see [[FileStats]]); path consumers read the head token.
+  private def readDataLines(fs: FileSystem, p: Path): Seq[String] =
     readManifestRaw(fs, p).filterNot(_.startsWith("#"))
+
+  private def pathOf(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line else line.substring(0, i)
+  }
+
+  private def readManifest(fs: FileSystem, p: Path): Seq[String] =
+    readDataLines(fs, p).map(pathOf)
 
   /** Current snapshot's relative file paths (empty table ⇒ empty list;
     * NO manifest at all ⇒ error — an unpublished dir is not a table).
@@ -220,6 +230,175 @@ object ManifestedTable {
     }
   }
 
+  // ---- per-file column stats, embedded in the manifest -----------------
+  //
+  // Each committed file's manifest line carries (lo,hi) intervals and a
+  // row count read from its parquet FOOTER at stage time — zero data
+  // IO, |staged| footer reads, and the stats ride the same atomic
+  // rename as the file list. Because data files are immutable, a kept
+  // file's line (stats included) carries into the next manifest
+  // byte-identical — stats are computed exactly once per file, ever.
+  // This is the Delta/Iceberg per-file-stats construction, and the
+  // same exact-encoding discipline as the graft-avro sidecar
+  // (AvroStats): integers as decimal text, floating point as raw IEEE
+  // bits, strings as base64 UTF-8 — reload never rounds.
+  //
+  // Token grammar after the path, tab-separated:
+  //   `n:<rows>`                          row count
+  //   `<col>=i:<lo>:<hi>`                 integral interval (INT32/64)
+  //   `<col>=f:<rawLo>:<rawHi>`           float interval (IEEE bits)
+  //   `<col>=s:<b64lo>:<b64hi>`           string interval (UTF-8 bytes)
+  //
+  // Stats are an OPTIMIZATION, never a correctness dependency: a file
+  // with no token for a column (all-NULL chunk, NaN-poisoned float
+  // stats, >64-byte string bounds, exotic type) is simply always a
+  // candidate, and every pruning consumer re-verifies row-level.
+
+  /** Decoded stats of one manifest entry. String bounds are UTF-8 byte
+    * arrays compared UNSIGNED lexicographic — the ordering parquet's
+    * UTF8 comparator and Spark's UTF8String share (String.compareTo's
+    * UTF-16 order disagrees past the BMP, so bytes are the contract).
+    */
+  final case class FileStats(rows: Option[Long],
+      longs: Map[String, (Long, Long)],
+      dbls: Map[String, (Double, Double)],
+      strs: Map[String, (Array[Byte], Array[Byte])])
+
+  private val EmptyStats = FileStats(None, Map.empty, Map.empty, Map.empty)
+
+  private def parseEntry(line: String): (String, FileStats) = {
+    val parts = line.split('\t')
+    if (parts.length <= 1) return (line, EmptyStats)
+    var rows: Option[Long] = None
+    val ls = Map.newBuilder[String, (Long, Long)]
+    val ds = Map.newBuilder[String, (Double, Double)]
+    val ss = Map.newBuilder[String, (Array[Byte], Array[Byte])]
+    parts.iterator.drop(1).foreach { tok =>
+      if (tok.startsWith("n:")) {
+        rows = scala.util.Try(tok.substring(2).toLong).toOption
+      } else {
+        val eq = tok.indexOf('=')
+        if (eq > 0) {
+          val colName = tok.substring(0, eq)
+          tok.substring(eq + 1).split(':') match {
+            case Array("i", lo, hi) =>
+              scala.util.Try(ls += colName -> (lo.toLong, hi.toLong))
+            case Array("f", lo, hi) =>
+              scala.util.Try(ds += colName ->
+                (java.lang.Double.longBitsToDouble(lo.toLong),
+                  java.lang.Double.longBitsToDouble(hi.toLong)))
+            case Array("s", lo, hi) =>
+              scala.util.Try {
+                val dec = java.util.Base64.getDecoder
+                ss += colName -> (dec.decode(lo), dec.decode(hi))
+              }
+            case _ => // unknown kind: forward-compatible skip
+          }
+        }
+      }
+    }
+    (parts(0), FileStats(rows, ls.result(), ds.result(), ss.result()))
+  }
+
+  private def entriesAt(fs: FileSystem, p: Path): Seq[(String, FileStats)] =
+    readDataLines(fs, p).map(parseEntry)
+
+  /** Encode the manifest line for a freshly staged file: path + stat
+    * tokens from ONE footer read. Any column whose chunks lack usable
+    * statistics (or whose name would collide with the token grammar)
+    * contributes no token — it is just never pruned on.
+    */
+  private def statLine(fs: FileSystem, root: Path, rel: String): String = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(root, rel), fs.getConf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        toks += s"n:${blocks.map(_.getRowCount).sum}"
+        // fold chunk stats per column across blocks; a single unusable
+        // chunk poisons (drops) that column's token
+        val longLo = scala.collection.mutable.Map.empty[String, Long]
+        val longHi = scala.collection.mutable.Map.empty[String, Long]
+        val dblLo = scala.collection.mutable.Map.empty[String, Double]
+        val dblHi = scala.collection.mutable.Map.empty[String, Double]
+        val strLo = scala.collection.mutable.Map.empty[String, Array[Byte]]
+        val strHi = scala.collection.mutable.Map.empty[String, Array[Byte]]
+        val dead = scala.collection.mutable.Set.empty[String]
+        for (b <- blocks; c <- b.getColumns.asScala) {
+          val name = c.getPath.toDotString
+          if (!dead(name) && !name.contains('=') && !name.contains(':') &&
+              !name.contains('\t')) {
+            val st = c.getStatistics
+            val usable = st != null && !st.isEmpty &&
+              (st.hasNonNullValue || st.getNumNulls == b.getRowCount)
+            if (!usable) {
+              dead += name
+              longLo -= name; dblLo -= name; strLo -= name
+            } else if (st.hasNonNullValue) {
+              val isStr = c.getPrimitiveType.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              (st.genericGetMin, st.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  longLo.updateWith(name)(v =>
+                    Some(v.fold(lo.longValue)(math.min(_, lo.longValue))))
+                  longHi.updateWith(name)(v =>
+                    Some(v.fold(hi.longValue)(math.max(_, hi.longValue))))
+                case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                  longLo.updateWith(name)(v =>
+                    Some(v.fold(lo.longValue)(math.min(_, lo.longValue))))
+                  longHi.updateWith(name)(v =>
+                    Some(v.fold(hi.longValue)(math.max(_, hi.longValue))))
+                case (lo: java.lang.Double, hi: java.lang.Double) =>
+                  dblLo.updateWith(name)(v =>
+                    Some(v.fold(lo.doubleValue)(math.min(_, lo.doubleValue))))
+                  dblHi.updateWith(name)(v =>
+                    Some(v.fold(hi.doubleValue)(math.max(_, hi.doubleValue))))
+                case (lo: java.lang.Float, hi: java.lang.Float) =>
+                  dblLo.updateWith(name)(v => Some(
+                    v.fold(lo.doubleValue)(math.min(_, lo.doubleValue))))
+                  dblHi.updateWith(name)(v => Some(
+                    v.fold(hi.doubleValue)(math.max(_, hi.doubleValue))))
+                case (lo: Binary, hi: Binary) if isStr &&
+                    lo.length <= 64 && hi.length <= 64 =>
+                  val (lb, hb) = (lo.getBytes, hi.getBytes)
+                  strLo.updateWith(name)(v =>
+                    Some(v.fold(lb)(p => if (cmpBytes(lb, p) < 0) lb else p)))
+                  strHi.updateWith(name)(v =>
+                    Some(v.fold(hb)(p => if (cmpBytes(hb, p) > 0) hb else p)))
+                case _ =>
+                  dead += name
+                  longLo -= name; dblLo -= name; strLo -= name
+              }
+            }
+            // all-NULL chunk with usable stats: contributes no bound
+            // but does not poison — other chunks may carry values
+          }
+        }
+        val enc = java.util.Base64.getEncoder
+        longLo.toSeq.sortBy(_._1).foreach { case (n2, lo) =>
+          toks += s"$n2=i:$lo:${longHi(n2)}" }
+        dblLo.toSeq.sortBy(_._1).foreach { case (n2, lo) =>
+          toks += s"$n2=f:${java.lang.Double.doubleToLongBits(lo)}:" +
+            s"${java.lang.Double.doubleToLongBits(dblHi(n2))}" }
+        strLo.toSeq.sortBy(_._1).foreach { case (n2, lo) =>
+          toks += s"$n2=s:${enc.encodeToString(lo)}:" +
+            s"${enc.encodeToString(strHi(n2))}" }
+      } finally reader.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        // unreadable footer: commit the bare path — stats are an
+        // optimization, publication must not depend on them
+        return rel
+    }
+    (rel +: toks.toSeq).mkString("\t")
+  }
+
   /** `#key=value` metadata of the snapshot at manifest path `p`. */
   private def readMeta(fs: FileSystem, p: Path): Map[String, String] =
     readManifestRaw(fs, p).collect {
@@ -283,10 +462,13 @@ object ManifestedTable {
     while (attempt < 64) {
       val prev = manifestVersions(fs, root).lastOption
       val curV = prev.map(_._1).getOrElse(0L)
-      val curFiles = prev.map(p => readManifest(fs, p._2)).getOrElse(Nil)
+      // full LINES, not just paths: a kept file's embedded stats carry
+      // into the next manifest byte-identical (computed once, ever)
+      val curLines = prev.map(p => readDataLines(fs, p._2)).getOrElse(Nil)
+      val curFiles = curLines.map(pathOf)
       val kept: Seq[String] = mode match {
         case Replace => Nil
-        case AppendFiles => curFiles
+        case AppendFiles => curLines
         case rw: RewriteFiles =>
           if (curV != rw.baseV) {
             // interleaved commits landed since this op read its
@@ -311,7 +493,7 @@ object ManifestedTable {
           }
           // proof holds: untouched references rebase onto the current
           // list (serial order: this rewrite first, interleave after)
-          curFiles.filterNot(rw.touched)
+          curLines.filterNot(l => rw.touched(pathOf(l)))
       }
       val v = curV + 1
       val merged =
@@ -337,16 +519,101 @@ object ManifestedTable {
       s"manifest commit lost the version race 64 times under $root")
   }
 
-  /** (version, files) of the current snapshot in ONE manifest read —
-    * the base a rewrite's conflict proof is anchored to (reading
-    * version and files separately could straddle a concurrent commit).
+  /** (version, entry LINES) of the current snapshot in ONE manifest
+    * read — the base a rewrite's conflict proof is anchored to
+    * (reading version and files separately could straddle a concurrent
+    * commit). Lines carry the embedded per-file stats; `pathOf` maps
+    * to the file list.
     */
   private def currentSnapshot(fs: FileSystem, root: Path): (Long, Seq[String]) = {
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $root")
-    (vs.last._1, readManifest(fs, vs.last._2))
+    (vs.last._1, readDataLines(fs, vs.last._2))
   }
 
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** File paths among `entries` that COULD hold a row whose `keys`
+    * match some row of `probe` — refuted per column by intersecting
+    * the file's manifest (lo,hi) interval with the probe's own bounds
+    * (one tiny aggregate over the probe, zero table IO). A file
+    * without a token for a column is never refuted on it; refutation
+    * on ANY key column removes the file (an equality on all keys needs
+    * every column inside its interval). This is what makes
+    * find-touched CHEAP on a clustered layout: a key-local DML opens
+    * the files whose range it hits, not the table.
+    */
+  private def pruneByKeyBounds(entries: Seq[(String, FileStats)],
+      probe: DataFrame, keys: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val aggCols = keys.flatMap(k => Seq(
+      org.apache.spark.sql.functions.min(col(k)),
+      org.apache.spark.sql.functions.max(col(k))))
+    val row = probe.agg(aggCols.head, aggCols.tail: _*).head()
+    val schema = probe.schema
+    val refuters: Seq[FileStats => Boolean] =
+      keys.zipWithIndex.flatMap { case (k, i) =>
+        val (loI, hiI) = (2 * i, 2 * i + 1)
+        if (row.isNullAt(loI)) None // no non-null probe key: no pruning
+        else schema(k).dataType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            def asLong(a: Any): Long = a match {
+              case x: Long => x
+              case x: Int => x.toLong
+              case x: Short => x.toLong
+              case x: Byte => x.toLong
+            }
+            val (lo, hi) = (asLong(row.get(loI)), asLong(row.get(hiI)))
+            Some((st: FileStats) => st.longs.get(k)
+              .exists { case (flo, fhi) => fhi < lo || flo > hi })
+          case DoubleType | FloatType =>
+            def asDbl(a: Any): Double = a match {
+              case x: Double => x
+              case x: Float => x.toDouble
+            }
+            val (lo, hi) = (asDbl(row.get(loI)), asDbl(row.get(hiI)))
+            Some((st: FileStats) => st.dbls.get(k)
+              .exists { case (flo, fhi) => fhi < lo || flo > hi })
+          case StringType =>
+            val lo = row.getString(loI).getBytes(StandardCharsets.UTF_8)
+            val hi = row.getString(hiI).getBytes(StandardCharsets.UTF_8)
+            Some((st: FileStats) => st.strs.get(k)
+              .exists { case (flo, fhi) =>
+                cmpBytes(fhi, lo) < 0 || cmpBytes(flo, hi) > 0 })
+          case _ => None // exotic key type: stats don't track it
+        }
+      }
+    entries.filterNot { case (_, st) =>
+      // a known-empty file (0 rows, so no column chunks and no
+      // intervals) can never hold a match; otherwise refutation on any
+      // key column drops the file
+      st.rows.contains(0L) || refuters.exists(_(st))
+    }.map(_._1)
+  }
+
+  /** Test/inspection face of the find-touched pruning: the candidate
+    * file paths a keyed DML against the CURRENT snapshot would open.
+    */
+  private[graft] def keyCandidates(spark: SparkSession, dir: String,
+      probe: DataFrame, keys: Seq[String]): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val (_, lines) = currentSnapshot(fs, new Path(dir))
+    pruneByKeyBounds(lines.map(parseEntry), probe, keys)
+  }
+
+  /** Stage `df` in a fresh immutable dir and return the staged files'
+    * MANIFEST LINES — path + footer-derived stat tokens (one footer
+    * read per file, no data IO; see [[statLine]]).
+    */
   private def stageFiles(df: DataFrame, root: Path,
       fs: FileSystem): Seq[String] = {
     val stage = s"data-${java.util.UUID.randomUUID()}"
@@ -354,6 +621,7 @@ object ManifestedTable {
     fs.listStatus(new Path(root, stage)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$stage/${s.getPath.getName}").sorted
+      .map(rel => statLine(fs, root, rel))
   }
 
   /** Publish `df` as the table's next snapshot. `overwrite = false`
@@ -395,6 +663,35 @@ object ManifestedTable {
       .parquet(files.map(f => new Path(root, f).toString): _*)
   }
 
+  /** Current-snapshot read pruned by the MANIFEST's per-file stats:
+    * plans only the files whose (lo,hi) interval for `column`
+    * intersects [lo, hi] — the skip decision costs zero data IO (the
+    * q131 construction, served from the manifest instead of a footer
+    * pass), and the residual predicate still applies row-level, so a
+    * file without stats is read, never wrongly skipped. On a
+    * [[compactClustered]] layout this is the selective path: a narrow
+    * band opens a handful of files out of thousands.
+    */
+  def readRange(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val (_, lines) = currentSnapshot(fs, root)
+    require(lines.nonEmpty, s"manifested table $dir is empty — " +
+      "schemaless empty reads are not supported")
+    val keep = lines.map(parseEntry).filter { case (_, st) =>
+      !st.rows.contains(0L) && (st.longs.get(column) match {
+        case Some((flo, fhi)) => fhi >= lo && flo <= hi
+        case None => true // no stats: always a candidate
+      })
+    }.map(_._1)
+    val cond = col(column) >= lo && col(column) <= hi
+    if (keep.isEmpty)
+      spark.read.parquet(absPaths(root, lines.map(pathOf)): _*)
+        .filter(cond).limit(0)
+    else spark.read.parquet(absPaths(root, keep): _*).filter(cond)
+  }
+
   /** ATOMIC compaction: rewrite the current snapshot into
     * ceil(bytes/targetFileBytes) files staged in a fresh dir, then one
     * manifest rename swaps the whole table — the upgrade over
@@ -408,7 +705,8 @@ object ManifestedTable {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val (baseV, files) = currentSnapshot(fs, root)
+    val (baseV, baseLines) = currentSnapshot(fs, root)
+    val files = baseLines.map(pathOf)
     val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val needed =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -526,7 +824,8 @@ object ManifestedTable {
     require(keys.nonEmpty, "merge needs at least one key column")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val (baseV, cur) = currentSnapshot(fs, root)
+    val (baseV, baseLines) = currentSnapshot(fs, root)
+    val cur = baseLines.map(pathOf)
     require(cur.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
     val base = spark.read.parquet(absPaths(root, cur): _*)
@@ -545,9 +844,18 @@ object ManifestedTable {
       "merge source has multiple rows per key — the upsert would be " +
         "order-dependent (MERGE cardinality violation)")
     val srcKeys = source.select(keys.map(col): _*)
-    val touched = touchedFiles(cur,
-      base.select((keys.map(col) :+ input_file_name().as("__file")): _*)
-        .join(srcKeys, keys, "left_semi"))
+    // find-touched is stats-pruned BEFORE any data IO: only files whose
+    // manifest key interval intersects the source's key bounds are
+    // scanned for the exact semi join — on a key-clustered layout a
+    // key-local delta opens a handful of files, not the table
+    val candidates = pruneByKeyBounds(baseLines.map(parseEntry),
+      srcKeys, keys)
+    val touched =
+      if (candidates.isEmpty) Seq.empty[String]
+      else touchedFiles(candidates,
+        spark.read.parquet(absPaths(root, candidates): _*)
+          .select((keys.map(col) :+ input_file_name().as("__file")): _*)
+          .join(srcKeys, keys, "left_semi"))
     // WHEN MATCHED ... DELETE: flagged source rows never re-enter;
     // everything else (FALSE and NULL flags) upserts
     val reinsert = deleteWhen
@@ -581,7 +889,8 @@ object ManifestedTable {
   def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long = {
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val (baseV, cur) = currentSnapshot(fs, root)
+    val (baseV, baseLines) = currentSnapshot(fs, root)
+    val cur = baseLines.map(pathOf)
     require(cur.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
     val base = spark.read.parquet(absPaths(root, cur): _*)
@@ -616,14 +925,21 @@ object ManifestedTable {
     require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val (baseV, cur) = currentSnapshot(fs, root)
+    val (baseV, baseLines) = currentSnapshot(fs, root)
+    val cur = baseLines.map(pathOf)
     require(cur.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
     val base = spark.read.parquet(absPaths(root, cur): _*)
     val k = keys.distinct()
-    val touched = touchedFiles(cur,
-      base.select((keyCols.map(col) :+ input_file_name().as("__file")): _*)
-        .join(k, keyCols, "left_semi"))
+    // same stats-pruned find-touched as merge: the key feed's bounds
+    // refute non-intersecting files from the manifest alone
+    val candidates = pruneByKeyBounds(baseLines.map(parseEntry), k, keyCols)
+    val touched =
+      if (candidates.isEmpty) Seq.empty[String]
+      else touchedFiles(candidates,
+        spark.read.parquet(absPaths(root, candidates): _*)
+          .select((keyCols.map(col) :+ input_file_name().as("__file")): _*)
+          .join(k, keyCols, "left_semi"))
     if (touched.isEmpty) return baseV
     val survivors = spark.read.parquet(absPaths(root, touched): _*)
       .join(k, keyCols, "left_anti")
@@ -654,7 +970,8 @@ object ManifestedTable {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val (baseV, files) = currentSnapshot(fs, root)
+    val (baseV, baseLines) = currentSnapshot(fs, root)
+    val files = baseLines.map(pathOf)
     require(files.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
     val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum

@@ -576,6 +576,73 @@ class CompactionSpec extends SparkTestBase {
       "a no-match keyed DELETE advanced the version")
   }
 
+  test("manifested table: manifest-embedded stats prune find-touched and range reads") {
+    // every commit embeds per-file (lo,hi) column intervals + row
+    // counts read from the parquet FOOTER at stage time (zero data
+    // IO); kept files carry their stats lines byte-identical. On a
+    // key-clustered layout that makes (a) merge/deleteMatching's
+    // find-touched pass open a strict MINORITY of files and (b) a
+    // range read plan only intersecting files — with rows identical to
+    // the unpruned paths in both cases.
+    import graft.sources.ManifestedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mstats").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") < 800)
+    ManifestedTable.write(ev.repartitionByRange(8, col("event_id")), dir)
+    val all = ManifestedTable.currentFiles(spark, dir)
+    assert(all.size == 8)
+
+    // the pruning face: a low-key probe's candidate set is a strict
+    // minority (the manifest stats are real and selective)
+    val probe = ev.filter(col("event_id") < 100).select("event_id")
+    val cands = ManifestedTable.keyCandidates(spark, dir, probe,
+      Seq("event_id"))
+    assert(cands.nonEmpty && cands.size * 2 < all.size,
+      s"stats did not prune: ${cands.size} of ${all.size} candidates")
+
+    // merge through the pruned path: the files it rewrote are a subset
+    // of the candidates, and the table equals the relational upsert
+    val src = ev.filter(col("event_id") < 100)
+      .withColumn("value", col("value") + 1000d)
+    val v1 = ManifestedTable.currentVersion(spark, dir)
+    val v2 = ManifestedTable.merge(spark, dir, src, Seq("event_id"))
+    val (_, removed) = ManifestedTable.changedFiles(spark, dir, v1, v2)
+    assert(removed.nonEmpty && removed.toSet.subsetOf(cands.toSet),
+      s"merge opened beyond the stats candidates: $removed vs $cands")
+    val expect = src.unionByName(ev.filter(col("event_id") >= 100))
+    assert(ManifestedTable.read(spark, dir)
+      .orderBy("event_id", "value").collect().toSeq ==
+      expect.orderBy("event_id", "value").collect().toSeq)
+
+    // stats survive the merge: carried files kept their lines, staged
+    // files got fresh ones — the post-merge table still prunes
+    val cands2 = ManifestedTable.keyCandidates(spark, dir,
+      ev.filter(col("event_id") >= 700).select("event_id"), Seq("event_id"))
+    assert(cands2.size * 2 < ManifestedTable.currentFiles(spark, dir).size,
+      "stats stopped pruning after a merge commit")
+
+    // range read served from the manifest: plans a strict minority of
+    // files (inputFiles is the machine check), rows ≡ full-scan filter
+    val rr = ManifestedTable.readRange(spark, dir, "event_id", 200L, 299L)
+    val planned = rr.inputFiles.length
+    assert(planned * 2 < ManifestedTable.currentFiles(spark, dir).size,
+      s"readRange planned $planned files")
+    assert(rr.orderBy("event_id", "value").collect().toSeq ==
+      ManifestedTable.read(spark, dir)
+        .filter(col("event_id") >= 200L && col("event_id") <= 299L)
+        .orderBy("event_id", "value").collect().toSeq)
+
+    // a probe outside every interval: zero candidates, and the DML
+    // no-ops without opening anything
+    import spark.implicits._
+    val ghost = Seq(10L * 1000 * 1000).toDF("event_id")
+    assert(ManifestedTable.keyCandidates(spark, dir, ghost,
+      Seq("event_id")).isEmpty)
+    val vSame = ManifestedTable.deleteMatching(spark, dir, ghost)
+    assert(vSame == v2, "a stats-refuted keyed DELETE advanced the version")
+  }
+
   test("manifested table: optimistic concurrency — racing commits serialize or abort, never revert") {
     // the lost-update window: an operation COMPUTED against v(n) must
     // not blindly publish after a concurrent commit landed v(n+1) —
