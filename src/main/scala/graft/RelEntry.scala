@@ -2222,6 +2222,53 @@ object RelEntry {
       }
     }),
 
+    // ---- T88: DSv2 SQL face of the manifested table ----------------------
+    "q187_manifest_sql_face" -> ((s, d) => {
+      // the graft-manifest connector end to end, oracled: the order
+      // book becomes a manifested table (key-clustered), a price
+      // correction MERGEs it to v2, and then PLAIN SQL — two
+      // `CREATE TEMPORARY VIEW ... USING graft-manifest` views, one
+      // pinned with versionAsOf — joins the current snapshot against
+      // its own past to report each audited customer's order count,
+      // current cents, and the correction mass the merge applied.
+      // Everything the face claims is on the hash path: snapshot
+      // resolution through the manifest (a rogue file can't leak),
+      // option-driven time travel, column pruning into the projected
+      // parquet read, and interval file skipping under the join. The
+      // oracle recomputes both images relationally. Scale: the face's
+      // readers are row-materialized (the SQL access tier);
+      // ManifestedTable.read stays the vectorized bulk path — both
+      // resolve the identical snapshot.
+      import graft.sources.ManifestedTable
+      val dir = java.nio.file.Files.createTempDirectory("graft_face").toString
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      val v1 = ManifestedTable.write(
+        base.repartitionByRange(8, col("o_orderkey")), dir)
+      val src = base.filter(col("o_orderkey") % 7 === 2)
+        .withColumn("price_cents", col("price_cents") + 5000L)
+      ManifestedTable.merge(s, dir, src, Seq("o_orderkey"))
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW g187_v1 " +
+        s"USING `graft-manifest` OPTIONS (path '$dir', versionAsOf '$v1')")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW g187_cur " +
+        s"USING `graft-manifest` OPTIONS (path '$dir')")
+      val out = s.sql(
+        """SELECT c.o_custkey AS custkey,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  sum(c.price_cents) AS cents_now,
+          |  sum(c.price_cents - p.price_cents) AS correction
+          |FROM g187_cur c JOIN g187_v1 p ON c.o_orderkey = p.o_orderkey
+          |WHERE c.o_custkey % 10 = 3
+          |GROUP BY c.o_custkey""".stripMargin)
+      core.Materialize.detached(out) {
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -2935,6 +2982,27 @@ object RelEntry {
         |  CAST(max(event_id) AS BIGINT) AS hi_id
         |FROM events WHERE event_id % 2 = 0
         |GROUP BY event_type""".stripMargin,
+
+    // q187 mirror: both snapshot images recomputed relationally —
+    // equality proves the SQL face resolves current AND versioned
+    // snapshots exactly (cents sums stay in BIGINT on both engines)
+    "q187_manifest_sql_face" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |cur AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 7 = 2 THEN price_cents + 5000
+        |              ELSE price_cents END AS price_cents
+        |  FROM base)
+        |SELECT c.o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c.price_cents) AS BIGINT) AS cents_now,
+        |  CAST(sum(c.price_cents - p.price_cents) AS BIGINT) AS correction
+        |FROM cur c JOIN base p ON c.o_orderkey = p.o_orderkey
+        |WHERE c.o_custkey % 10 = 3
+        |GROUP BY c.o_custkey""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property

@@ -1,0 +1,388 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns,
+  SupportsRuntimeFiltering}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo,
+  Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual,
+  Or}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 face of [[ManifestedTable]] —
+  * `spark.read.format("graft-manifest").load(dir)` — the SQL access
+  * tier the lakehouse table was missing: until now the table was
+  * object-API only, so a SQL-first user could not query it at all, let
+  * alone time travel. The face closes that:
+  *
+  *  - **Current-snapshot reads** resolve the file list through the
+  *    manifest exactly like the object API — orphans, in-flight stages
+  *    and superseded snapshots are invisible by construction.
+  *  - **Time travel** via `.option("versionAsOf", v)` — and because
+  *    the option rides DDL too, plain SQL reaches any retained
+  *    version: `CREATE TEMPORARY VIEW t USING \`graft-manifest\`
+  *    OPTIONS (path '...', versionAsOf '3')`.
+  *  - **Column pruning** (SupportsPushDownRequiredColumns): the pruned
+  *    schema becomes a per-file projected parquet read schema, so
+  *    parquet's columnar layout skips unrequested columns' IO; an
+  *    EMPTY projection (`count(*)`) answers from footer row counts —
+  *    zero data IO.
+  *  - **File skipping**: pushed range/equality/In predicates are
+  *    refuted against the MANIFEST's embedded per-file (lo,hi)
+  *    intervals (see [[ManifestedTable.FileStats]]) at planning — no
+  *    footer pass, no data IO for excluded files. Filters stay
+  *    residual (Spark re-applies them row-level), so skipping is an
+  *    optimization, never a correctness dependency.
+  *  - **Runtime (join-driven) filtering** (SupportsRuntimeFiltering):
+  *    the same recipe proven in [[AvroDataSource]] — Catalyst executes
+  *    a selective join's build side first and hands the observed keys
+  *    in as an In filter before partitions are planned, so files whose
+  *    intervals refute every probed key are never opened.
+  *
+  * Readers materialize rows via parquet-hadoop's example Group reader
+  * (flat primitive schemas — exactly what the DML tier produces) and
+  * convert straight to catalyst values (UTF8String, micros longs).
+  * That is a row-materialized path: honest for the SQL face at
+  * interactive scale, while [[ManifestedTable.read]] remains the
+  * vectorized fast path for bulk work — both resolve the identical
+  * snapshot, so they interchange freely.
+  *
+  * Registered as `graft-manifest` via DataSourceRegister +
+  * META-INF/services.
+  */
+class ManifestDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-manifest"
+
+  private def dir(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-manifest needs a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ManifestDataSource.schemaOf(dir(options),
+      ManifestDataSource.versionOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ManifestTable(schema,
+      dir(new CaseInsensitiveStringMap(properties)))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object ManifestDataSource {
+  private[sources] def versionOf(
+      options: CaseInsensitiveStringMap): Option[Long] = {
+    val v = options.get("versionAsOf")
+    if (v == null || v.isEmpty) None else Some(v.toLong)
+  }
+
+  /** Schema from ONE file's footer (via the engine's own parquet
+    * reader — a footer read, never a data scan), taken from the first
+    * non-empty snapshot entry. Heterogeneous snapshots (mid-history
+    * schema widening) read at the resolved file's schema; the unified
+    * superset view stays with `ManifestedTable.read(mergeSchema)`.
+    */
+  private[sources] def schemaOf(dir: String,
+      version: Option[Long]): StructType = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val entries = ManifestedTable.snapshotEntries(conf, dir, version)
+    require(entries.nonEmpty, s"manifested table $dir is empty — " +
+      "schemaless empty reads are not supported")
+    val pick = entries.find(!_._2.rows.contains(0L)).getOrElse(entries.head)
+    spark.read.parquet(new Path(new Path(dir), pick._1).toString).schema
+  }
+
+  /** Can `f` possibly match a row of a file with stats `st`? False
+    * only on a PROVEN refutation (value outside the column's exact
+    * interval); anything unknown — no token, untracked type, exotic
+    * filter — conservatively matches.
+    */
+  private[sources] def mayMatch(st: ManifestedTable.FileStats,
+      f: Filter): Boolean = {
+    def longB(a: String): Option[(Long, Long)] = st.longs.get(a)
+    def dblB(a: String): Option[(Double, Double)] = st.dbls.get(a)
+    def strB(a: String): Option[(Array[Byte], Array[Byte])] = st.strs.get(a)
+    def asLong(v: Any): Option[Long] = v match {
+      case x: Long => Some(x)
+      case x: Int => Some(x.toLong)
+      case x: Short => Some(x.toLong)
+      case x: Byte => Some(x.toLong)
+      case _ => None
+    }
+    def asDbl(v: Any): Option[Double] = v match {
+      case x: Double => Some(x)
+      case x: Float => Some(x.toDouble)
+      case _ => None
+    }
+    def asBytes(v: Any): Option[Array[Byte]] = v match {
+      case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case u: UTF8String => Some(u.getBytes)
+      case _ => None
+    }
+    def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    // one interval test per (column, value): inside ⇒ may match
+    def inside(a: String, v: Any, loOk: Boolean, hiOk: Boolean): Boolean = {
+      val refuted =
+        asLong(v).flatMap(x => longB(a).map { case (lo, hi) =>
+          (loOk && x < lo) || (hiOk && x > hi) }).getOrElse(
+        asDbl(v).flatMap(x => dblB(a).map { case (lo, hi) =>
+          (loOk && x < lo) || (hiOk && x > hi) }).getOrElse(
+        asBytes(v).flatMap(x => strB(a).map { case (lo, hi) =>
+          (loOk && cmp(x, lo) < 0) || (hiOk && cmp(x, hi) > 0) })
+          .getOrElse(false)))
+      !refuted
+    }
+    f match {
+      case EqualTo(a, v) => inside(a, v, loOk = true, hiOk = true)
+      case In(a, vs) =>
+        vs.isEmpty || vs.exists(v => inside(a, v, loOk = true, hiOk = true))
+      case GreaterThan(a, v) => inside(a, v, loOk = false, hiOk = true)
+      case GreaterThanOrEqual(a, v) => inside(a, v, loOk = false, hiOk = true)
+      case LessThan(a, v) => inside(a, v, loOk = true, hiOk = false)
+      case LessThanOrEqual(a, v) => inside(a, v, loOk = true, hiOk = false)
+      case And(l, r) => mayMatch(st, l) && mayMatch(st, r)
+      case Or(l, r) => mayMatch(st, l) || mayMatch(st, r)
+      case _ => true
+    }
+  }
+}
+
+private[sources] class ManifestTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-manifest `$path`"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestScanBuilder(schema, path,
+      ManifestDataSource.versionOf(options))
+}
+
+private[sources] class ManifestScanBuilder(full: StructType, path: String,
+    version: Option[Long]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept what the manifest intervals can refute; return EVERYTHING
+    * as residual — pushed filters prune FILES here, rows are always
+    * re-checked by the engine, so a stale/missing stat can only cost
+    * IO, never correctness.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def tracked(a: String) = full.find(_.name == a).exists(_.dataType match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | StringType => true
+      case _ => false
+    })
+    def usable(f: Filter): Boolean = f match {
+      case EqualTo(a, _) => tracked(a)
+      case In(a, _) => tracked(a)
+      case GreaterThan(a, _) => tracked(a)
+      case GreaterThanOrEqual(a, _) => tracked(a)
+      case LessThan(a, _) => tracked(a)
+      case LessThanOrEqual(a, _) => tracked(a)
+      case And(l, r) => usable(l) && usable(r)
+      case Or(l, r) => usable(l) && usable(r)
+      case _ => false
+    }
+    pushed = filters.filter(usable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    new ManifestScan(required, path, version, pushed,
+      new SerializableConfiguration(conf))
+  }
+}
+
+private[sources] class ManifestScan(readSchema: StructType, path: String,
+    version: Option[Long], filters: Array[Filter],
+    sconf: SerializableConfiguration)
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  override def readSchema(): StructType = readSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-manifest $path" + version.fold("")(v => s" @v$v") +
+      s" ${readSchema.fieldNames.mkString("[", ",", "]")}" +
+      (if (filters.isEmpty) ""
+       else filters.mkString(" PushedFilters: [", ", ", "]"))
+
+  // the AvroScan recipe verbatim: declare only columns the stats can
+  // cash, receive join-observed keys as an In filter before planning
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    readSchema.fields.collect {
+      case f if (f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType |
+             StringType => true
+        case _ => false
+      }) => Expressions.column(f.name)
+    }
+  override def filter(rf: Array[Filter]): Unit = { runtime = rf }
+
+  /** One partition per snapshot file that COULD satisfy the pushed +
+    * runtime filters, decided from the manifest's embedded intervals —
+    * the skip itself costs zero IO (the lines were read anyway to
+    * resolve the snapshot). Known-empty files (n:0) never plan.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new Path(path)
+    ManifestedTable.snapshotEntries(sconf.value, path, version)
+      .filter { case (_, st) =>
+        !st.rows.contains(0L) &&
+          (filters.iterator ++ runtime.iterator)
+            .forall(ManifestDataSource.mayMatch(st, _))
+      }
+      .map { case (rel, _) =>
+        ManifestFilePartition(new Path(root, rel).toString): InputPartition
+      }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestPartitionReaderFactory(readSchema, sconf)
+}
+
+private[sources] case class ManifestFilePartition(file: String)
+    extends InputPartition
+
+/** Per-file parquet readers over the example Group materialization:
+  * the requested columns are intersected with the FILE's own schema
+  * (schema-evolution reads surface absent columns as NULL) and pushed
+  * to parquet as a projected read schema, so unrequested columns'
+  * pages are never read. Conversion targets catalyst values directly.
+  */
+private[sources] class ManifestPartitionReaderFactory(
+    readSchema: StructType, sconf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[ManifestFilePartition].file
+    val conf = new Configuration(sconf.value)
+    val p = new Path(file)
+    val fileSchema: MessageType = {
+      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    }
+    if (readSchema.isEmpty) {
+      // COUNT(*)-shaped scan: the row count is footer metadata — emit
+      // that many empty rows without opening a single page
+      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      val n = try {
+        import scala.jdk.CollectionConverters._
+        fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally fr.close()
+      new PartitionReader[InternalRow] {
+        private var i = 0L
+        private val empty = new GenericInternalRow(0)
+        override def next(): Boolean = { i += 1; i <= n }
+        override def get(): InternalRow = empty
+        override def close(): Unit = ()
+      }
+    } else {
+      val presentNames = (0 until fileSchema.getFieldCount)
+        .map(fileSchema.getFieldName).toSet
+      val present = readSchema.fields.filter(f => presentNames(f.name))
+      // the projection reuses the FILE's own field types, so it is
+      // compatible by construction; requested-but-absent columns are
+      // filled NULL at conversion (the mergeSchema convention)
+      val projected = new MessageType(fileSchema.getName,
+        present.map(f =>
+          fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
+      val reader: ParquetReader[Group] =
+        ParquetReader.builder(new GroupReadSupport(), p).withConf(conf).build()
+      val projIdx = present.map(_.name).zipWithIndex.toMap
+      val fills: Array[(Group, GenericInternalRow) => Unit] =
+        readSchema.fields.zipWithIndex.map { case (f, out) =>
+          projIdx.get(f.name) match {
+            case None =>
+              (_: Group, row: GenericInternalRow) => row.update(out, null)
+            case Some(j) =>
+              val get = valueGetter(f, projected, j, file)
+              (g: Group, row: GenericInternalRow) =>
+                row.update(out,
+                  if (g.getFieldRepetitionCount(j) == 0) null else get(g))
+          }
+        }
+      new PartitionReader[InternalRow] {
+        private var cur: Group = _
+        override def next(): Boolean = { cur = reader.read(); cur != null }
+        override def get(): InternalRow = {
+          val row = new GenericInternalRow(readSchema.length)
+          var i = 0
+          while (i < fills.length) { fills(i)(cur, row); i += 1 }
+          row
+        }
+        override def close(): Unit = reader.close()
+      }
+    }
+  }
+
+  private def valueGetter(f: StructField, projected: MessageType,
+      j: Int, file: String): Group => Any = f.dataType match {
+    case LongType => g => g.getLong(j, 0)
+    case IntegerType => g => g.getInteger(j, 0)
+    case ShortType => g => g.getInteger(j, 0).toShort
+    case ByteType => g => g.getInteger(j, 0).toByte
+    case DoubleType => g => g.getDouble(j, 0)
+    case FloatType => g => g.getFloat(j, 0)
+    case BooleanType => g => g.getBoolean(j, 0)
+    case StringType => g => UTF8String.fromBytes(g.getBinary(j, 0).getBytes)
+    case BinaryType => g => g.getBinary(j, 0).getBytes
+    case DateType => g => g.getInteger(j, 0)
+    case TimestampType =>
+      projected.getType(j).asPrimitiveType().getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+          g => g.getLong(j, 0)
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+          g => g.getLong(j, 0) * 1000L
+        case other => throw new UnsupportedOperationException(
+          s"graft-manifest: timestamp encoding $other of ${f.name} in " +
+            s"$file is not supported (INT64 micros/millis only)")
+      }
+    case other => throw new UnsupportedOperationException(
+      s"graft-manifest: column ${f.name} of type $other is not supported " +
+        "by the SQL face (flat primitive schemas only — use " +
+        "ManifestedTable.read for nested/decimal data)")
+  }
+}

@@ -600,6 +600,27 @@ object ManifestedTable {
     }.map(_._1)
   }
 
+  /** Snapshot entries (relative path, decoded stats) for the DSv2 face
+    * ([[ManifestDataSource]]): current snapshot, or an explicit
+    * retained version (its `versionAsOf` option). Conf-parameterized —
+    * DSv2 planning threads the session Hadoop conf, not a SparkSession.
+    */
+  private[sources] def snapshotEntries(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      version: Option[Long]): Seq[(String, FileStats)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val vs = manifestVersions(fs, root)
+    require(vs.nonEmpty, s"no committed manifest under $dir")
+    val p = version match {
+      case Some(v) => vs.find(_._1 == v).map(_._2).getOrElse(throw
+        new IllegalArgumentException(s"version $v not retained under " +
+          s"$dir (have ${vs.map(_._1).mkString(",")})"))
+      case None => vs.last._2
+    }
+    readDataLines(fs, p).map(parseEntry)
+  }
+
   /** Test/inspection face of the find-touched pruning: the candidate
     * file paths a keyed DML against the CURRENT snapshot would open.
     */

@@ -661,6 +661,122 @@ class SourceFormatsSpec extends SparkTestBase {
       s"projection pruning lost on merged schema:\n${plan.take(600)}")
   }
 
+  test("graft-manifest DSv2: SQL face — snapshot reads, versionAsOf, pruning, skipping") {
+    import graft.sources.ManifestedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mface").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") < 800)
+    val v1 = ManifestedTable.write(
+      ev.repartitionByRange(8, col("event_id")), dir)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "user_id", "event_type", "value")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+    // the face resolves the snapshot through the manifest, exactly the
+    // object API's rows — and a rogue file in the dir stays invisible
+    ev.limit(7).coalesce(1).write
+      .parquet(new java.io.File(dir, "data-rogue").toString)
+    val face = spark.read.format("graft-manifest").load(dir)
+    assert(face.schema.fieldNames.toSeq ==
+      Seq("event_id", "user_id", "event_type", "value"))
+    assert(keyed(face) == keyed(ManifestedTable.read(spark, dir)),
+      "the DSv2 face diverged from the object-API read")
+
+    // count(*): the empty projection answers from footer row counts
+    assert(face.count() == ev.count())
+
+    // DML moves the table; the face tracks the CURRENT snapshot and
+    // versionAsOf reaches the retained past
+    val src = ev.filter(col("event_id") < 100)
+      .withColumn("value", col("value") + 1000d)
+    ManifestedTable.merge(spark, dir, src, Seq("event_id"))
+    val cur = spark.read.format("graft-manifest").load(dir)
+    assert(keyed(cur) == keyed(ManifestedTable.read(spark, dir)))
+    assert(cur.filter(col("event_id") < 100 && col("value") >= 1000d)
+      .count() == src.count())
+    val past = spark.read.format("graft-manifest")
+      .option("versionAsOf", v1.toString).load(dir)
+    assert(keyed(past) == keyed(ev), "versionAsOf did not time travel")
+
+    // column pruning reaches the scan (projected parquet read schema)
+    val pruned = cur.select("event_type")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.description().startsWith("graft-manifest") => b
+    }
+    assert(scan.size == 1 &&
+      scan.head.scan.description().contains("[event_type]"),
+      s"pruning lost: ${scan.headOption.map(_.scan.description())}")
+    assert(pruned.distinct().collect().map(_.getString(0)).sorted.toSeq ==
+      ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq)
+
+    // file skipping from the manifest's embedded intervals: a narrow
+    // band on the clustered key plans a strict minority of partitions
+    val files = ManifestedTable.currentFiles(spark, dir).size
+    val band = cur.filter(col("event_id") >= 300L && col("event_id") <= 399L)
+    assert(band.rdd.getNumPartitions < files,
+      s"interval skipping planned all $files files")
+    assert(keyed(band) == keyed(ManifestedTable.read(spark, dir)
+      .filter(col("event_id") >= 300L && col("event_id") <= 399L)))
+
+    // plain SQL DDL reaches it, time travel included
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW mani_spec_v " +
+      s"USING `graft-manifest` OPTIONS (path '$dir', versionAsOf '$v1')")
+    assert(spark.sql("SELECT count(*) AS n FROM mani_spec_v")
+      .head.getLong(0) == ev.count())
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM mani_spec_v WHERE value >= 1000")
+      .head.getLong(0) ==
+      ev.filter(col("value") >= 1000d).count(),
+      "the v1 view leaked post-merge rows")
+  }
+
+  test("graft-manifest DSv2 runtime filtering: a filtered dim prunes snapshot files") {
+    // the AvroDataSource recipe pointed at the manifest layout: the
+    // scan declares its stats-covered columns, Catalyst executes the
+    // selective dim first and hands the observed join keys in as an In
+    // filter before partitions are planned — snapshot files whose
+    // manifest intervals refute every probed key never open
+    import graft.sources.ManifestedTable
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val dir = java.nio.file.Files.createTempDirectory("graft_mrf").toString
+      val ev = Tables.events(spark, sf)
+        .select("event_id", "user_id", "event_type", "value")
+        .filter(col("event_id") < 800)
+      ManifestedTable.write(ev.repartitionByRange(8, col("event_id")), dir)
+      val files = ManifestedTable.currentFiles(spark, dir).size
+      assert(files >= 4)
+      val dimDir = java.nio.file.Files.createTempDirectory("graft_mrfd").toString
+      ev.select(col("event_id").as("e")).distinct()
+        .write.mode("overwrite").parquet(dimDir)
+      val probes = ev.select("event_id").orderBy("event_id")
+        .limit(2).collect().map(_.getLong(0))
+      val dim = spark.read.parquet(dimDir)
+        .filter(col("e").isin(probes.toIndexedSeq: _*))
+      val fact = spark.read.format("graft-manifest").load(dir)
+      val joined = fact.join(dim, col("event_id") === col("e"))
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.toLowerCase.contains("dynamicpruning"),
+        s"no DynamicPruning planted:\n${plan.toString.take(1200)}")
+      val scans = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().startsWith("graft-manifest") => b
+      }
+      assert(scans.size == 1)
+      val planned = scans.head.inputRDD.partitions.length
+      assert(planned < files,
+        s"runtime filter pruned nothing: $planned of $files")
+      assert(rows.length ==
+        ev.filter(col("event_id").isin(probes.toIndexedSeq: _*)).count())
+      assert(rows.nonEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("fixed-width: leading spaces in string fields round-trip intact") {
     // the contract is left-aligned / RIGHT-trimmed — a value with
     // significant leading spaces (' x') must survive the write/read
