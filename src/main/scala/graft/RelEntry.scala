@@ -2269,6 +2269,49 @@ object RelEntry {
       }
     }),
 
+    // ---- T89: MERGE matrix (full-sync reconciliation) --------------------
+    "q188_merge_full_sync" -> ((s, d) => {
+      // the complete MERGE clause matrix in one reconciliation, the
+      // form CDC full-sync needs: the feed re-delivers the even-key
+      // half of the book (with corrections) plus genuinely new keys —
+      // matched rows update ONLY where the feed's version is newer
+      // (WHEN MATCHED AND s.ver > t.ver THEN UPDATE: the ver=2 stratum
+      // keeps its base image), unmatched feed rows insert only for
+      // even customers (WHEN NOT MATCHED AND ... THEN INSERT), and
+      // base rows the feed stopped covering delete where ver=0 (WHEN
+      // NOT MATCHED BY SOURCE AND ... THEN DELETE). The oracle spells
+      // all four outcomes relationally; hash equality pins the per-
+      // target-row semantics (conditional update keeps the base image,
+      // not a rewrite of it). Copy-on-write as in q176, plus the
+      // by-source find-touched pass over the unmatched mass.
+      import graft.sources.ManifestedTable
+      import graft.sources.ManifestedTable.BySourceDelete
+      val dir = java.nio.file.Files.createTempDirectory("graft_sync").toString
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        (col("o_orderkey") % 3).as("ver"))
+      ManifestedTable.write(
+        base.repartitionByRange(8, col("o_orderkey")), dir)
+      val src = base.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("cents", col("cents") + 7777L)
+        .withColumn("ver", lit(2L))
+        .unionByName(base.filter(col("o_orderkey") % 5 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 207000000L)
+          .withColumn("ver", lit(2L)))
+      ManifestedTable.merge(s, dir, src, Seq("o_orderkey"),
+        updateWhen = Some(col("ver") > col("__base_ver")),
+        insertWhen = Some(col("o_custkey") % 2 === 0),
+        bySource = Some(BySourceDelete(Some(col("ver") === 0L))))
+      val out = ManifestedTable.read(s, dir)
+      core.Materialize.detached(out) {
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -3003,6 +3046,27 @@ object RelEntry {
         |FROM cur c JOIN base p ON c.o_orderkey = p.o_orderkey
         |WHERE c.o_custkey % 10 = 3
         |GROUP BY c.o_custkey""".stripMargin,
+
+    // q188 mirror: all four MERGE outcomes spelled relationally —
+    // newer-wins updates, untouched matched stratum, condition-guarded
+    // by-source deletes, condition-guarded inserts
+    "q188_merge_full_sync" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderkey % 3 AS ver
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN ver < 2 THEN cents + 7777 ELSE cents END AS cents,
+        |  CASE WHEN ver < 2 THEN 2 ELSE ver END AS ver
+        |FROM base WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, cents, ver FROM base
+        |WHERE o_orderkey % 2 = 1 AND ver <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 207000000 AS o_orderkey, o_custkey, cents,
+        |       2 AS ver
+        |FROM base WHERE o_orderkey % 5 = 1 AND o_custkey % 2 = 0""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property

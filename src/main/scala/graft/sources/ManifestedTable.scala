@@ -4,7 +4,8 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit}
+import org.apache.spark.sql.functions.{coalesce, col, count,
+  input_file_name, lit, when}
 
 /** Thrown when a commit's optimistic-concurrency validation cannot
   * serialize it against commits that landed after its base snapshot:
@@ -814,34 +815,70 @@ object ManifestedTable {
   private def absPaths(root: Path, rel: Seq[String]): Seq[String] =
     rel.map(f => new Path(root, f).toString)
 
-  /** Row-level MERGE (upsert) — the copy-on-write `MERGE INTO` a
-    * lakehouse table format runs, on the manifest layout: source rows
-    * REPLACE base rows with equal `keys` and INSERT where unmatched.
+  /** `WHEN NOT MATCHED BY SOURCE ...` action for [[merge]] — the
+    * full-sync half of the MERGE matrix: what happens to BASE rows no
+    * source row matched. Conditions evaluate over the base row's own
+    * columns; None = unconditional.
+    */
+  sealed trait BySourceAction
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE` — with no
+    * cond this makes merge a full synchronization: the table becomes
+    * exactly the source's image (the CDC reconciliation form).
+    */
+  final case class BySourceDelete(cond: Option[Column] = None)
+    extends BySourceAction
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET col = expr`
+    * — e.g. flagging rows the feed stopped covering as stale.
+    */
+  final case class BySourceUpdate(set: Seq[(String, Column)],
+      cond: Option[Column] = None) extends BySourceAction
+
+  /** Row-level MERGE — the copy-on-write `MERGE INTO` a lakehouse
+    * table format runs, on the manifest layout, with the FULL clause
+    * matrix:
+    *
+    *  - `WHEN MATCHED [AND deleteWhen] THEN DELETE` — the CDC
+    *    delete-flag form: source rows where it evaluates TRUE remove
+    *    their matched base row and never re-enter (FALSE/NULL upsert).
+    *  - `WHEN MATCHED [AND updateWhen] THEN UPDATE` — conditional
+    *    update: matched base rows take the source image only where the
+    *    condition holds, and SURVIVE UNCHANGED otherwise (the
+    *    only-if-newer CDC guard). The condition sees the source row's
+    *    columns by name and the base row's as `__base_<col>`; when
+    *    given, matching follows SQL MERGE's per-target-row semantics
+    *    (each matched base row decides independently).
+    *  - `WHEN NOT MATCHED [AND insertWhen] THEN INSERT` — unmatched
+    *    source rows insert only where the condition holds (TRUE).
+    *  - `WHEN NOT MATCHED BY SOURCE THEN DELETE/UPDATE` (`bySource`) —
+    *    base rows no source row matched delete (full sync) or update
+    *    (stale-flagging), optionally condition-guarded over the base
+    *    row.
     *
     * Copy-on-write file pruning is the scale property: phase 1 finds
-    * the files containing ≥ 1 matched key via a key-column-pruned scan
-    * + semi join (what Delta's findTouchedFiles does; composes with
-    * q131's min-max stats to prune even that scan on a key-clustered
-    * layout), phase 2 rewrites ONLY those files (matched rows dropped
-    * by anti join, source unioned in), and the new manifest carries
-    * every untouched file BY REFERENCE — at 100 TB an upsert touching
-    * 0.1% of files moves 0.1% of the data and zero bytes of the rest
-    * (CompactionSpec pins paths + mtimes unchanged). Publication is
-    * the usual single manifest rename: readers see pre- or post-merge,
-    * never a mixture; a mid-job death leaves the old snapshot live.
+    * the files containing ≥ 1 matched key via a stats-pruned
+    * key-column scan + semi join (what Delta's findTouchedFiles does;
+    * the manifest's embedded per-file intervals prune the scan itself
+    * on a key-clustered layout), phase 2 rewrites ONLY those files,
+    * and the new manifest carries every untouched file BY REFERENCE —
+    * at 100 TB an upsert touching 0.1% of files moves 0.1% of the data
+    * (CompactionSpec pins paths + mtimes unchanged). A `bySource`
+    * clause additionally touches every file holding an APPLICABLE
+    * unmatched row — with no condition that is the whole unmatched
+    * mass, which is what full synchronization means; the condition
+    * narrows it. Publication is the usual single validated manifest
+    * rename (see [[publish]]).
     *
     * Multiple source rows per key would make the upsert
     * order-dependent, so it throws (the MERGE cardinality rule) —
-    * the check costs one aggregate over the delta, never the table.
-    *
-    * `deleteWhen` is the WHEN MATCHED ... THEN DELETE clause — the CDC
-    * delete-flag form (a feed row marked op='d'): source rows where it
-    * evaluates TRUE remove their matched base row and are NOT
-    * re-inserted; FALSE/NULL rows upsert normally. The flag rows still
-    * count as touched (their files rewrite), they just never re-enter.
+    * NULL-keyed source rows are exempt (they match nothing and simply
+    * insert). The check costs one aggregate over the delta, never the
+    * table.
     */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
-      keys: Seq[String], deleteWhen: Option[Column] = None): Long = {
+      keys: Seq[String], deleteWhen: Option[Column] = None,
+      updateWhen: Option[Column] = None,
+      insertWhen: Option[Column] = None,
+      bySource: Option[BySourceAction] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
@@ -865,36 +902,102 @@ object ManifestedTable {
       "merge source has multiple rows per key — the upsert would be " +
         "order-dependent (MERGE cardinality violation)")
     val srcKeys = source.select(keys.map(col): _*)
+    val cols = base.columns.toSeq
     // find-touched is stats-pruned BEFORE any data IO: only files whose
     // manifest key interval intersects the source's key bounds are
     // scanned for the exact semi join — on a key-clustered layout a
     // key-local delta opens a handful of files, not the table
     val candidates = pruneByKeyBounds(baseLines.map(parseEntry),
       srcKeys, keys)
-    val touched =
+    val matchTouched =
       if (candidates.isEmpty) Seq.empty[String]
       else touchedFiles(candidates,
         spark.read.parquet(absPaths(root, candidates): _*)
           .select((keys.map(col) :+ input_file_name().as("__file")): _*)
           .join(srcKeys, keys, "left_semi"))
-    // WHEN MATCHED ... DELETE: flagged source rows never re-enter;
-    // everything else (FALSE and NULL flags) upserts
-    val reinsert = deleteWhen
-      .map(c => source.filter(!coalesce(c, lit(false))))
-      .getOrElse(source)
-    val rewrite =
-      if (touched.isEmpty) reinsert
-      else spark.read.parquet(absPaths(root, touched): _*)
-        .join(srcKeys, keys, "left_anti")
-        .unionByName(reinsert.select(base.columns.map(col).toIndexedSeq: _*))
+    // a by-source clause also touches every file holding an APPLICABLE
+    // unmatched row — unprunable in general (the condition is over
+    // arbitrary base columns), inherent to full-sync semantics
+    val bySourceTouched = bySource match {
+      case None => Seq.empty[String]
+      case Some(a) =>
+        val unmatched = base.withColumn("__file", input_file_name())
+          .join(srcKeys, keys, "left_anti")
+        val applicable = (a match {
+          case BySourceDelete(c) => c
+          case BySourceUpdate(_, c) => c
+        }).map(unmatched.filter).getOrElse(unmatched)
+        touchedFiles(cur, applicable)
+    }
+    val touched = (matchTouched ++ bySourceTouched).distinct
+    val delC = deleteWhen.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    val rewrite: DataFrame =
+      if (touched.isEmpty) {
+        // nothing matched, nothing by-source-applicable: pure insert
+        insertWhen.map(c => source.filter(coalesce(c, lit(false))))
+          .getOrElse(source).filter(!delC)
+      } else {
+        val t = spark.read.parquet(absPaths(root, touched): _*)
+        val tKeys = t.select(keys.map(col): _*)
+        // NOT MATCHED BY SOURCE: unmatched base rows in touched files
+        val um = t.join(srcKeys, keys, "left_anti")
+        val umOut = bySource match {
+          case None => um
+          case Some(BySourceDelete(c)) =>
+            um.filter(!coalesce(c.getOrElse(lit(true)), lit(false)))
+          case Some(BySourceUpdate(set, c)) =>
+            val setM = set.toMap
+            require(setM.keySet.subsetOf(cols.toSet),
+              s"bySource UPDATE sets unknown column(s): " +
+                s"${setM.keySet.diff(cols.toSet).mkString(",")}")
+            val cc = coalesce(c.getOrElse(lit(true)), lit(false))
+            um.select(cols.map(n => setM.get(n)
+              .map(e => when(cc, e).otherwise(col(n)))
+              .getOrElse(col(n)).as(n)): _*)
+        }
+        // MATCHED: source rows whose key exists in a touched file
+        val srcMatched = source.join(tKeys, keys, "left_semi")
+        val matchedOut = updateWhen match {
+          case None =>
+            // unconditional upsert fast path: matched base images drop
+            // (they are not in um), flag-free source images re-enter
+            srcMatched.filter(!delC)
+          case Some(u) =>
+            // SQL MERGE's per-target-row semantics: every matched base
+            // row decides via the (source, __base_*) pair — update
+            // where TRUE, survive UNCHANGED otherwise
+            val bRenamed = cols.filterNot(keys.contains)
+              .foldLeft(t)((d, c) => d.withColumnRenamed(c, s"__base_$c"))
+            val joined = bRenamed.join(source, keys, "inner")
+            val uc = coalesce(u, lit(false))
+            joined.filter(!delC).select(cols.map { c =>
+              (if (keys.contains(c)) col(c)
+               else when(uc, col(c)).otherwise(col(s"__base_$c"))).as(c)
+            }: _*)
+        }
+        // NOT MATCHED: unmatched source rows insert (condition-guarded)
+        val srcUnmatched = source.join(tKeys, keys, "left_anti")
+        val inserts = insertWhen
+          .map(c => srcUnmatched.filter(coalesce(c, lit(false))))
+          .getOrElse(srcUnmatched).filter(!delC)
+        umOut.select(cols.map(col): _*)
+          .unionByName(matchedOut.select(cols.map(col): _*))
+          .unionByName(inserts.select(cols.map(col): _*))
+      }
     val staged = stageFiles(
-      rewrite.select(base.columns.map(col).toIndexedSeq: _*), root, fs)
+      rewrite.select(cols.map(col): _*), root, fs)
     // conflict scope: ANY source key — an interleaved commit that
     // added a row this merge would have matched (updated, or collided
-    // with an insert) cannot serialize either side of it
+    // with an insert) cannot serialize either side of it. A by-source
+    // clause reads the WHOLE unmatched mass, so there ANY interleaved
+    // row conflicts.
     val overlaps = (paths: Seq[String]) =>
-      !spark.read.option("mergeSchema", "true").parquet(paths: _*)
-        .select(keys.map(col): _*).join(srcKeys, keys, "left_semi").isEmpty
+      if (bySource.isDefined)
+        !spark.read.option("mergeSchema", "true").parquet(paths: _*).isEmpty
+      else
+        !spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          .select(keys.map(col): _*).join(srcKeys, keys, "left_semi").isEmpty
     publish(fs, root,
       RewriteFiles(baseV, cur, touched.toSet, "merge", overlaps), staged)
   }

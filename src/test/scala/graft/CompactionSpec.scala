@@ -576,6 +576,104 @@ class CompactionSpec extends SparkTestBase {
       "a no-match keyed DELETE advanced the version")
   }
 
+  test("manifested table: MERGE matrix — conditional clauses and NOT MATCHED BY SOURCE") {
+    import graft.sources.ManifestedTable
+    import graft.sources.ManifestedTable.{BySourceDelete, BySourceUpdate}
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") < 600)
+    def fresh(): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_mm").toString
+      ManifestedTable.write(ev.repartitionByRange(6, col("event_id")), d)
+      d
+    }
+    def rows(d: String) = ManifestedTable.read(spark, d)
+      .orderBy("event_id", "value").collect().toSeq
+    def img(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id", "value").collect().toSeq
+
+    // (1) NOT MATCHED BY SOURCE DELETE, unconditional = FULL SYNC: the
+    // table becomes exactly the source image — updates applied,
+    // missing rows gone, new rows in
+    locally {
+      val d = fresh()
+      val src = ev.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") + 1000d)
+        .unionByName(ev.filter(col("event_id") % 3 === 1)
+          .withColumn("event_id", col("event_id") + 90000L))
+      ManifestedTable.merge(spark, d, src, Seq("event_id"),
+        bySource = Some(BySourceDelete()))
+      assert(rows(d) == img(src), "full sync diverged from the source image")
+    }
+
+    // (2) conditional by-source DELETE: only unmatched rows satisfying
+    // the condition go; NULL/false-condition rows survive
+    locally {
+      val d = fresh()
+      val src = ev.filter(col("event_id") % 3 === 0)
+      ManifestedTable.merge(spark, d, src, Seq("event_id"),
+        bySource = Some(BySourceDelete(Some(col("user_id") < 5))))
+      val expect = ev.filter(col("event_id") % 3 === 0)
+        .unionByName(ev.filter(col("event_id") % 3 =!= 0)
+          .filter(!(col("user_id") < 5)))
+      assert(rows(d) == img(expect))
+    }
+
+    // (3) by-source UPDATE: stale-flagging — unmatched rows take the
+    // SET expressions (condition-guarded), matched rows upsert normally
+    locally {
+      val d = fresh()
+      val src = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + 1000d)
+      ManifestedTable.merge(spark, d, src, Seq("event_id"),
+        bySource = Some(BySourceUpdate(
+          Seq("value" -> lit(-1d), "event_type" -> lit("stale")),
+          Some(col("user_id") >= 10))))
+      val got = ManifestedTable.read(spark, d)
+      assert(got.filter(col("event_id") % 2 === 0 && col("value") < 1000d)
+        .count() == 0, "a matched row missed its update")
+      val stale = ev.filter(col("event_id") % 2 =!= 0 && col("user_id") >= 10)
+      assert(got.filter(col("event_type") === "stale").count() ==
+        stale.count())
+      assert(got.filter(col("event_id") % 2 =!= 0 && col("user_id") < 10 &&
+        col("event_type") === "stale").count() == 0,
+        "the by-source condition was ignored")
+      assert(got.count() == ev.count(), "by-source UPDATE changed cardinality")
+    }
+
+    // (4) conditional matched UPDATE (only-if-newer guard): matched
+    // rows where the condition is FALSE survive UNCHANGED — and the
+    // condition sees both sides (source by name, base as __base_*)
+    locally {
+      val d = fresh()
+      val src = ev.filter(col("event_id") < 200)
+        .withColumn("value", when(col("event_id") % 2 === 0,
+          col("value") + 1000d).otherwise(col("value") - 1000d))
+      ManifestedTable.merge(spark, d, src, Seq("event_id"),
+        updateWhen = Some(col("value") > col("__base_value")))
+      val expect = ev.filter(col("event_id") < 200)
+        .withColumn("value", when(col("event_id") % 2 === 0,
+          col("value") + 1000d).otherwise(col("value")))
+        .unionByName(ev.filter(col("event_id") >= 200))
+      assert(rows(d) == img(expect),
+        "conditional matched UPDATE did not follow the newer-wins guard")
+    }
+
+    // (5) conditional INSERT: unmatched source rows insert only where
+    // the condition holds
+    locally {
+      val d = fresh()
+      val src = ev.filter(col("event_id") % 5 === 0)
+        .withColumn("event_id", col("event_id") + 90000L)
+      ManifestedTable.merge(spark, d, src, Seq("event_id"),
+        insertWhen = Some(col("user_id") % 2 === 0))
+      val expect = ev.unionByName(src.filter(col("user_id") % 2 === 0))
+      assert(rows(d) == img(expect))
+    }
+  }
+
   test("manifested table: manifest-embedded stats prune find-touched and range reads") {
     // every commit embeds per-file (lo,hi) column intervals + row
     // counts read from the parquet FOOTER at stage time (zero data
