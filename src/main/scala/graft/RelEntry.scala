@@ -2312,6 +2312,48 @@ object RelEntry {
       }
     }),
 
+    // ---- T90: merge-on-read deletion vectors ------------------------------
+    "q189_deletion_vectors" -> ((s, d) => {
+      // merge-on-read DML on the hash path: a keyed CDC delete feed,
+      // a predicate delete, and a correction merge all run at
+      // dvMaxFraction=1 — every qualifying file keeps its bytes and
+      // takes a (file, pos) sidecar instead (a one-row delete in a
+      // 1 GB file moves ~16 bytes; CompactionSpec pins the zero-
+      // movement claim via paths+mtimes). The final read reassembles
+      // live rows through MERGED sidecar generations (a later DML on
+      // the same file replaces, not chains, its vector) via an anti
+      // join on parquet's _metadata row identity; the oracle computes
+      // the same three-step image relationally, so hash equality
+      // proves read-side DV application exact — deleted rows gone,
+      // survivors intact, re-inserted keys (a delete then a merge of
+      // the same key) present exactly once.
+      import graft.sources.ManifestedTable
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_dvq").toString
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      ManifestedTable.write(
+        base.repartitionByRange(8, col("o_orderkey")), dir)
+      ManifestedTable.deleteMatching(s, dir,
+        base.filter(col("o_orderkey") % 9 === 4).select("o_orderkey"),
+        dvMaxFraction = 1.0)
+      ManifestedTable.deleteWhere(s, dir,
+        col("cents") > 30000000L && col("o_orderkey") % 5 === 3,
+        dvMaxFraction = 1.0)
+      val src = base.filter(col("o_orderkey") % 11 === 7)
+        .withColumn("cents", col("cents") + 11L)
+      ManifestedTable.merge(s, dir, src, Seq("o_orderkey"),
+        dvMaxFraction = 1.0)
+      val out = ManifestedTable.read(s, dir)
+      core.Materialize.detached(out) {
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -3067,6 +3109,27 @@ object RelEntry {
         |SELECT o_orderkey + 207000000 AS o_orderkey, o_custkey, cents,
         |       2 AS ver
         |FROM base WHERE o_orderkey % 5 = 1 AND o_custkey % 2 = 0""".stripMargin,
+
+    // q189 mirror: the three MoR steps composed relationally — keyed
+    // delete, predicate delete, then the merge image src ⊎ (live ∖ keys)
+    "q189_deletion_vectors" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |live1 AS (
+        |  SELECT * FROM base WHERE NOT (o_orderkey % 9 = 4)),
+        |live2 AS (
+        |  SELECT * FROM live1
+        |  WHERE NOT (cents > 30000000 AND o_orderkey % 5 = 3)),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, cents + 11 AS cents
+        |  FROM base WHERE o_orderkey % 11 = 7)
+        |SELECT o_orderkey, o_custkey, cents FROM src
+        |UNION ALL
+        |SELECT l.o_orderkey, l.o_custkey, l.cents FROM live2 l
+        |WHERE NOT EXISTS (SELECT 1 FROM src s
+        |                  WHERE s.o_orderkey = l.o_orderkey)""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property

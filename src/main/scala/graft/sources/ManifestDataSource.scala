@@ -261,7 +261,10 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
   /** One partition per snapshot file that COULD satisfy the pushed +
     * runtime filters, decided from the manifest's embedded intervals —
     * the skip itself costs zero IO (the lines were read anyway to
-    * resolve the snapshot). Known-empty files (n:0) never plan.
+    * resolve the snapshot). Known-empty files (n:0) never plan. A
+    * file's deletion-vector sidecar rides into its partition: the
+    * reader skips DV'd positions, so merge-on-read deletes are
+    * invisible through the SQL face too.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
@@ -271,16 +274,17 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
           (filters.iterator ++ runtime.iterator)
             .forall(ManifestDataSource.mayMatch(st, _))
       }
-      .map { case (rel, _) =>
-        ManifestFilePartition(new Path(root, rel).toString): InputPartition
+      .map { case (rel, st) =>
+        ManifestFilePartition(new Path(root, rel).toString, rel,
+          st.dv.map(d => new Path(root, d).toString)): InputPartition
       }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestPartitionReaderFactory(readSchema, sconf)
 }
 
-private[sources] case class ManifestFilePartition(file: String)
-    extends InputPartition
+private[sources] case class ManifestFilePartition(file: String,
+    rel: String, dv: Option[String]) extends InputPartition
 
 /** Per-file parquet readers over the example Group materialization:
   * the requested columns are intersected with the FILE's own schema
@@ -292,22 +296,54 @@ private[sources] class ManifestPartitionReaderFactory(
     readSchema: StructType, sconf: SerializableConfiguration)
     extends PartitionReaderFactory {
 
+  /** The partition's deleted row positions (from its DV sidecar) — a
+    * small set by the MoR write policy; empty when the file is clean.
+    */
+  private def dvPositions(part: ManifestFilePartition,
+      conf: Configuration): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    part.dv.foreach { dvPath =>
+      val p = new Path(dvPath)
+      val fileSchema: MessageType = {
+        val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      }
+      val c = new Configuration(conf)
+      c.set(ReadSupport.PARQUET_READ_SCHEMA, fileSchema.toString)
+      val r = ParquetReader.builder(new GroupReadSupport(), p)
+        .withConf(c).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          // the sidecar is shared across a commit's DV'd files — keep
+          // only this file's positions
+          if (g.getBinary("file", 0).toStringUsingUTF8 == part.rel)
+            set.add(g.getLong("pos", 0))
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    set
+  }
+
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[ManifestFilePartition].file
+    val part = partition.asInstanceOf[ManifestFilePartition]
+    val file = part.file
     val conf = new Configuration(sconf.value)
     val p = new Path(file)
     val fileSchema: MessageType = {
       val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try fr.getFooter.getFileMetaData.getSchema finally fr.close()
     }
+    val deleted = dvPositions(part, conf)
     if (readSchema.isEmpty) {
-      // COUNT(*)-shaped scan: the row count is footer metadata — emit
-      // that many empty rows without opening a single page
+      // COUNT(*)-shaped scan: the row count is footer metadata minus
+      // the DV'd positions — still no page is opened
       val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       val n = try {
         import scala.jdk.CollectionConverters._
-        fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum - deleted.size
       } finally fr.close()
       new PartitionReader[InternalRow] {
         private var i = 0L
@@ -344,7 +380,19 @@ private[sources] class ManifestPartitionReaderFactory(
         }
       new PartitionReader[InternalRow] {
         private var cur: Group = _
-        override def next(): Boolean = { cur = reader.read(); cur != null }
+        // ordinal = physical row index: the Group reader materializes
+        // rows sequentially with no row-group skipping, so the counter
+        // IS `_metadata.row_index` — the DV's position space
+        private var ordinal = -1L
+        override def next(): Boolean = {
+          cur = reader.read()
+          ordinal += 1
+          while (cur != null && deleted.contains(ordinal)) {
+            cur = reader.read()
+            ordinal += 1
+          }
+          cur != null
+        }
         override def get(): InternalRow = {
           val row = new GenericInternalRow(readSchema.length)
           var i = 0

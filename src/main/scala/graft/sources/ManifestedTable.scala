@@ -4,8 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count,
-  input_file_name, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
 
 /** Thrown when a commit's optimistic-concurrency validation cannot
   * serialize it against commits that landed after its base snapshot:
@@ -144,26 +143,29 @@ object ManifestedTable {
   def versions(spark: SparkSession, dir: String): Seq[Long] =
     manifestVersions(fsOf(spark, dir), new Path(dir)).map(_._1)
 
-  private def filesAt(fs: FileSystem, root: Path, version: Long): Seq[String] = {
+  private def linesAt(fs: FileSystem, root: Path, version: Long): Seq[String] = {
     val vs = manifestVersions(fs, root)
     val p = vs.find(_._1 == version).map(_._2).getOrElse(throw
       new IllegalArgumentException(s"version $version not retained under " +
         s"$root (have ${vs.map(_._1).mkString(",")})"))
-    readManifest(fs, p)
+    readDataLines(fs, p)
   }
+
+  private def filesAt(fs: FileSystem, root: Path, version: Long): Seq[String] =
+    linesAt(fs, root, version).map(pathOf)
 
   /** Time travel: read the snapshot at an explicit retained version —
     * the immutable-data-dir + per-version manifest layout makes this
-    * free (old snapshots' files are untouched until [[vacuum]]).
+    * free (old snapshots' files are untouched until [[vacuum]], and a
+    * version's deletion vectors apply with it).
     */
   def readAt(spark: SparkSession, dir: String, version: Long,
       mergeSchema: Boolean = false): DataFrame = {
     val root = new Path(dir)
-    val files = filesAt(fsOf(spark, dir), root, version)
-    require(files.nonEmpty, s"snapshot $version of $dir is empty — " +
+    val lines = linesAt(fsOf(spark, dir), root, version)
+    require(lines.nonEmpty, s"snapshot $version of $dir is empty — " +
       "schemaless empty reads are not supported")
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(files.map(f => new Path(root, f).toString): _*)
+    readLive(spark, root, lines.map(parseEntry), mergeSchema)
   }
 
   /** Manifest-level diff between two retained snapshots:
@@ -197,16 +199,29 @@ object ManifestedTable {
     * an append's CDF reads exactly the appended files (CompactionSpec
     * pins this via inputFiles), while a full rewrite (compaction)
     * degrades to reading both sides and returns the empty diff.
+    *
+    * Deletion vectors compose: an entry's identity is (path, dv), so a
+    * merge-on-read DELETE — same file, new sidecar — puts the file's
+    * old image on the removed side and its new image on the added
+    * side, and the surviving rows CANCEL, leaving exactly the deleted
+    * rows as removes. The data file is still opened only when its
+    * logical content changed.
     */
   def changesBetween(spark: SparkSession, dir: String, fromV: Long,
       toV: Long): (DataFrame, DataFrame) = {
     val root = new Path(dir)
-    val (addedF, removedF) = changedFiles(spark, dir, fromV, toV)
-    def rd(fs: Seq[String]): Option[DataFrame] =
-      if (fs.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(fs.map(f => new Path(root, f).toString): _*))
-    (rd(addedF), rd(removedF)) match {
+    val fs = fsOf(spark, dir)
+    val fromE = linesAt(fs, root, fromV).map(parseEntry)
+    val toE = linesAt(fs, root, toV).map(parseEntry)
+    def k(e: (String, FileStats)) = (e._1, e._2.dv)
+    val fromK = fromE.map(k).toSet
+    val toK = toE.map(k).toSet
+    val addedE = toE.filterNot(e => fromK(k(e)))
+    val removedE = fromE.filterNot(e => toK(k(e)))
+    def rd(es: Seq[(String, FileStats)]): Option[DataFrame] =
+      if (es.isEmpty) None
+      else Some(readLive(spark, root, es, mergeSchema = true))
+    (rd(addedE), rd(removedE)) match {
       case (None, None) =>
         // identical manifests — an empty diff with the table's schema
         val empty = read(spark, dir, mergeSchema = true).limit(0)
@@ -259,24 +274,37 @@ object ManifestedTable {
     * arrays compared UNSIGNED lexicographic — the ordering parquet's
     * UTF8 comparator and Spark's UTF8String share (String.compareTo's
     * UTF-16 order disagrees past the BMP, so bytes are the contract).
+    *
+    * `rows` counts PHYSICAL rows (footer metadata — never recomputed);
+    * `dv` is the file's deletion-vector sidecar, if any: the relative
+    * path of a tiny parquet of (file, pos) pairs whose positions are
+    * row indexes DELETED from this file (merge-on-read — see
+    * [[deleteWhere]]). Intervals stay sound under a DV (deletion only
+    * narrows the true range), and `rows` overstates live rows, which
+    * every consumer treats conservatively.
     */
   final case class FileStats(rows: Option[Long],
       longs: Map[String, (Long, Long)],
       dbls: Map[String, (Double, Double)],
-      strs: Map[String, (Array[Byte], Array[Byte])])
+      strs: Map[String, (Array[Byte], Array[Byte])],
+      dv: Option[String] = None)
 
-  private val EmptyStats = FileStats(None, Map.empty, Map.empty, Map.empty)
+  private val EmptyStats =
+    FileStats(None, Map.empty, Map.empty, Map.empty, None)
 
   private def parseEntry(line: String): (String, FileStats) = {
     val parts = line.split('\t')
     if (parts.length <= 1) return (line, EmptyStats)
     var rows: Option[Long] = None
+    var dv: Option[String] = None
     val ls = Map.newBuilder[String, (Long, Long)]
     val ds = Map.newBuilder[String, (Double, Double)]
     val ss = Map.newBuilder[String, (Array[Byte], Array[Byte])]
     parts.iterator.drop(1).foreach { tok =>
       if (tok.startsWith("n:")) {
         rows = scala.util.Try(tok.substring(2).toLong).toOption
+      } else if (tok.startsWith("dv:")) {
+        dv = Some(tok.substring(3)).filter(_.nonEmpty)
       } else {
         val eq = tok.indexOf('=')
         if (eq > 0) {
@@ -298,8 +326,16 @@ object ManifestedTable {
         }
       }
     }
-    (parts(0), FileStats(rows, ls.result(), ds.result(), ss.result()))
+    (parts(0), FileStats(rows, ls.result(), ds.result(), ss.result(), dv))
   }
+
+  /** Re-encode `line` with its `dv:` token replaced by `dvPath` (all
+    * other tokens — stats, row count — carried verbatim: they describe
+    * the immutable PHYSICAL file, which did not change).
+    */
+  private def withDvToken(line: String, dvPath: String): String =
+    (line.split('\t').filterNot(_.startsWith("dv:")) :+ s"dv:$dvPath")
+      .mkString("\t")
 
   private def entriesAt(fs: FileSystem, p: Path): Seq[(String, FileStats)] =
     readDataLines(fs, p).map(parseEntry)
@@ -677,12 +713,11 @@ object ManifestedTable {
     */
   def read(spark: SparkSession, dir: String,
       mergeSchema: Boolean = false): DataFrame = {
-    val files = currentFiles(spark, dir)
-    require(files.nonEmpty, s"manifested table $dir is empty — " +
-      "schemaless empty reads are not supported")
     val root = new Path(dir)
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(files.map(f => new Path(root, f).toString): _*)
+    val (_, lines) = currentSnapshot(fsOf(spark, dir), root)
+    require(lines.nonEmpty, s"manifested table $dir is empty — " +
+      "schemaless empty reads are not supported")
+    readLive(spark, root, lines.map(parseEntry), mergeSchema)
   }
 
   /** Current-snapshot read pruned by the MANIFEST's per-file stats:
@@ -706,12 +741,11 @@ object ManifestedTable {
         case Some((flo, fhi)) => fhi >= lo && flo <= hi
         case None => true // no stats: always a candidate
       })
-    }.map(_._1)
+    }
     val cond = col(column) >= lo && col(column) <= hi
     if (keep.isEmpty)
-      spark.read.parquet(absPaths(root, lines.map(pathOf)): _*)
-        .filter(cond).limit(0)
-    else spark.read.parquet(absPaths(root, keep): _*).filter(cond)
+      readLive(spark, root, lines.map(parseEntry)).filter(cond).limit(0)
+    else readLive(spark, root, keep).filter(cond)
   }
 
   /** ATOMIC compaction: rewrite the current snapshot into
@@ -728,13 +762,16 @@ object ManifestedTable {
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
     val (baseV, baseLines) = currentSnapshot(fs, root)
+    val entries = baseLines.map(parseEntry)
     val files = baseLines.map(pathOf)
     val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val needed =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    if (files.size <= needed) return baseV
-    val compacted = spark.read.parquet(absPaths(root, files): _*)
-      .repartition(needed)
+    // a DV'd file always warrants the rewrite: compaction reads
+    // THROUGH the deletion vectors and so materializes them away
+    if (files.size <= needed && entries.forall(_._2.dv.isEmpty))
+      return baseV
+    val compacted = readLive(spark, root, entries).repartition(needed)
     val staged = stageFiles(compacted, root, fs)
     // row-preserving rewrite of the WHOLE base: an interleaved append
     // rebases (its files ride uncompacted), an interleaved DML
@@ -785,35 +822,100 @@ object ManifestedTable {
     true
   }
 
-  /** Relative paths of the current snapshot's files that hold at least
-    * one row of `hits` — the copy-on-write DML planner's "find touched
-    * files" pass. The scan is COLUMN-PRUNED to whatever `hits` needs
-    * plus the virtual file name, and the result is ≤ |files| rows, so
-    * the collect is manifest-sized by construction (never data-sized).
-    */
-  private def touchedFiles(cur: Seq[String], hits: DataFrame): Seq[String] = {
-    // `hits` must carry `__file` captured AT SCAN TIME (input_file_name
-    // is per-task scan state — after a shuffle join it reads empty)
-    val uris = hits.select(col("__file"))
-      .distinct().collect().map(_.getString(0))
-    // O(|uris| + |files|), not |uris|×|files|: relative paths are
-    // exactly two components (data-<uuid>/<name>) by the staging
-    // layout, so keying each URI by its last two components makes the
-    // match a set lookup — at 10⁵ files a wide DML stays linear
-    def lastTwo(s: String): String = {
-      val i = s.lastIndexOf('/')
-      if (i < 0) s
-      else {
-        val j = s.lastIndexOf('/', i - 1)
-        s.substring(j + 1)
-      }
-    }
-    val keys = uris.map(lastTwo).toSet
-    cur.filter(keys.contains)
-  }
-
   private def absPaths(root: Path, rel: Seq[String]): Seq[String] =
     rel.map(f => new Path(root, f).toString)
+
+  // ---- merge-on-read: deletion vectors ----------------------------------
+  //
+  // A one-row DELETE in a 1 GB file should not move 1 GB. When a DML's
+  // per-file deleted fraction is small (≤ dvMaxFraction), the file is
+  // NOT rewritten: the deleted rows' PHYSICAL positions are written to
+  // a tiny parquet sidecar of (file, pos) pairs, and the file's
+  // manifest line gains a `dv:<sidecar>` token — same stats, same
+  // bytes, new logical content. Readers apply the DV as an anti join
+  // on (file, row_index) over parquet's `_metadata` columns; a later
+  // DML on the same file writes a MERGED sidecar (old ∪ new pairs,
+  // replacing the token); compaction reads through the DV and so
+  // MATERIALIZES it away; vacuum retains referenced sidecars. The
+  // construction is Delta/Iceberg deletion vectors; positions-in-file
+  // is the natural row identity because data files are immutable.
+
+  /** The `stage/name` relative path of a scanned row's file — the two
+    * trailing components of `_metadata.file_path`, matching the
+    * manifest's entry paths by the staging layout.
+    */
+  private def relOfCol(c: Column): Column =
+    org.apache.spark.sql.functions.regexp_extract(c, "([^/]+/[^/]+)$", 1)
+
+  /** The LIVE rows of `entries`: clean files read directly; files
+    * carrying a deletion vector read with their physical positions and
+    * anti-joined against the DV pairs. `withMeta` attaches `__file`
+    * (relative path) and `__pos` (physical row index) — captured AT
+    * SCAN TIME via parquet's `_metadata`, the same rule as
+    * input_file_name.
+    */
+  private def readLive(spark: SparkSession, root: Path,
+      entries: Seq[(String, FileStats)], mergeSchema: Boolean = false,
+      withMeta: Boolean = false): DataFrame = {
+    require(entries.nonEmpty, "readLive over an empty entry list")
+    val (dirty, clean) = entries.partition(_._2.dv.isDefined)
+    def meta(df: DataFrame): DataFrame = df
+      .withColumn("__file", relOfCol(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    def rd(paths: Seq[String]): DataFrame = spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(absPaths(root, paths): _*)
+    val cleanDf =
+      if (clean.isEmpty) None
+      else {
+        val d = rd(clean.map(_._1))
+        Some(if (withMeta) meta(d) else d)
+      }
+    val dirtyDf =
+      if (dirty.isEmpty) None
+      else {
+        val dvPaths = dirty.flatMap(_._2.dv).distinct
+        val pairs = spark.read.parquet(absPaths(root, dvPaths): _*)
+          .select(col("file").as("__file"), col("pos").as("__pos"))
+        val d = meta(rd(dirty.map(_._1)))
+          .join(pairs, Seq("__file", "__pos"), "left_anti")
+        Some(if (withMeta) d else d.drop("__file", "__pos"))
+      }
+    (cleanDf, dirtyDf) match {
+      case (Some(a), Some(b)) =>
+        a.unionByName(b, allowMissingColumns = mergeSchema)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Stage a deletion-vector sidecar (one parquet file of (file, pos)
+    * pairs) and return its relative path.
+    */
+  private def stageDv(pairs: DataFrame, root: Path,
+      fs: FileSystem): String = {
+    val stage = s"dv-${java.util.UUID.randomUUID()}"
+    pairs.coalesce(1).write.parquet(new Path(root, stage).toString)
+    fs.listStatus(new Path(root, stage)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$stage/${s.getPath.getName}").head
+  }
+
+  /** Merged DV pairs for `files`: freshly deleted positions plus the
+    * files' EXISTING sidecar pairs (a later DML replaces, not chains,
+    * the token — readers apply exactly one sidecar per file).
+    */
+  private def mergedDvPairs(spark: SparkSession, root: Path,
+      fresh: DataFrame, files: Seq[String],
+      entryMap: Map[String, FileStats]): DataFrame = {
+    val oldDvPaths = files.flatMap(entryMap(_).dv).distinct
+    if (oldDvPaths.isEmpty) fresh
+    else fresh.unionByName(
+      spark.read.parquet(absPaths(root, oldDvPaths): _*)
+        .filter(col("file").isin(files: _*))
+        .select(col("file"), col("pos")))
+  }
 
   /** `WHEN NOT MATCHED BY SOURCE ...` action for [[merge]] — the
     * full-sync half of the MERGE matrix: what happens to BASE rows no
@@ -878,15 +980,27 @@ object ManifestedTable {
       keys: Seq[String], deleteWhen: Option[Column] = None,
       updateWhen: Option[Column] = None,
       insertWhen: Option[Column] = None,
-      bySource: Option[BySourceAction] = None): Long = {
+      bySource: Option[BySourceAction] = None,
+      dvMaxFraction: Double = 0.0): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
+      s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
     val (baseV, baseLines) = currentSnapshot(fs, root)
     val cur = baseLines.map(pathOf)
     require(cur.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
-    val base = spark.read.parquet(absPaths(root, cur): _*)
+    val entries = baseLines.map(parseEntry)
+    val entryMap = entries.toMap
+    val lineMap = baseLines.map(l => pathOf(l) -> l).toMap
+    val base = readLive(spark, root, entries)
+    // merge-on-read applies only to the plain upsert shape: matched
+    // rows' old images DV out, source images stage fresh. Conditional
+    // updates keep base images and by-source clauses rewrite unmatched
+    // rows — both need the physical rewrite anyway.
+    val dvFrac =
+      if (updateWhen.isEmpty && bySource.isEmpty) dvMaxFraction else 0.0
     require(base.columns.sorted.sameElements(source.columns.sorted),
       s"merge source columns [${source.columns.sorted.mkString(",")}] " +
         s"must match table [${base.columns.sorted.mkString(",")}]")
@@ -907,29 +1021,51 @@ object ManifestedTable {
     // manifest key interval intersects the source's key bounds are
     // scanned for the exact semi join — on a key-clustered layout a
     // key-local delta opens a handful of files, not the table
-    val candidates = pruneByKeyBounds(baseLines.map(parseEntry),
-      srcKeys, keys)
-    val matchTouched =
-      if (candidates.isEmpty) Seq.empty[String]
-      else touchedFiles(candidates,
-        spark.read.parquet(absPaths(root, candidates): _*)
-          .select((keys.map(col) :+ input_file_name().as("__file")): _*)
-          .join(srcKeys, keys, "left_semi"))
+    val candidates = pruneByKeyBounds(entries, srcKeys, keys)
+    // matched-hit counts per file in one LIVE pass: find-touched and
+    // the MoR split from the same manifest-sized collect
+    val matchHits =
+      if (candidates.isEmpty) Map.empty[String, Long]
+      else readLive(spark, root,
+        entries.filter(e => candidates.contains(e._1)), withMeta = true)
+        .join(srcKeys, keys, "left_semi")
+        .groupBy(col("__file")).agg(count(lit(1)).as("__n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val matchTouched = cur.filter(matchHits.contains)
     // a by-source clause also touches every file holding an APPLICABLE
     // unmatched row — unprunable in general (the condition is over
     // arbitrary base columns), inherent to full-sync semantics
     val bySourceTouched = bySource match {
       case None => Seq.empty[String]
       case Some(a) =>
-        val unmatched = base.withColumn("__file", input_file_name())
+        val unmatched = readLive(spark, root, entries, withMeta = true)
           .join(srcKeys, keys, "left_anti")
         val applicable = (a match {
           case BySourceDelete(c) => c
           case BySourceUpdate(_, c) => c
         }).map(unmatched.filter).getOrElse(unmatched)
-        touchedFiles(cur, applicable)
+        applicable.select(col("__file")).distinct().collect()
+          .map(_.getString(0)).toSet.toSeq.sorted
     }
     val touched = (matchTouched ++ bySourceTouched).distinct
+    // MoR split: matched files whose hit fraction is small keep their
+    // bytes — old images DV out, new images ride the staged delta
+    val (dvT, rwT) = touched.partition { f =>
+      bySourceTouched.isEmpty && matchHits.contains(f) &&
+        entryMap(f).rows.exists(n =>
+          n > 0 && matchHits(f).toDouble / n <= dvFrac)
+    }
+    val dvLines =
+      if (dvT.isEmpty) Nil
+      else {
+        val fresh = readLive(spark, root,
+          entries.filter(e => dvT.contains(e._1)), withMeta = true)
+          .join(srcKeys, keys, "left_semi")
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+        val dvRel = stageDv(
+          mergedDvPairs(spark, root, fresh, dvT, entryMap), root, fs)
+        dvT.map(f => withDvToken(lineMap(f), dvRel))
+      }
     val delC = deleteWhen.map(c => coalesce(c, lit(false)))
       .getOrElse(lit(false))
     val rewrite: DataFrame =
@@ -938,10 +1074,17 @@ object ManifestedTable {
         insertWhen.map(c => source.filter(coalesce(c, lit(false))))
           .getOrElse(source).filter(!delC)
       } else {
-        val t = spark.read.parquet(absPaths(root, touched): _*)
+        val t = readLive(spark, root,
+          entries.filter(e => touched.contains(e._1)))
         val tKeys = t.select(keys.map(col): _*)
         // NOT MATCHED BY SOURCE: unmatched base rows in touched files
-        val um = t.join(srcKeys, keys, "left_anti")
+        // — only REWRITTEN files re-emit them; a DV'd file's unmatched
+        // rows stay physically in place
+        val um =
+          if (rwT.isEmpty) t.join(srcKeys, keys, "left_anti").limit(0)
+          else readLive(spark, root,
+            entries.filter(e => rwT.contains(e._1)))
+            .join(srcKeys, keys, "left_anti")
         val umOut = bySource match {
           case None => um
           case Some(BySourceDelete(c)) =>
@@ -986,7 +1129,7 @@ object ManifestedTable {
           .unionByName(inserts.select(cols.map(col): _*))
       }
     val staged = stageFiles(
-      rewrite.select(cols.map(col): _*), root, fs)
+      rewrite.select(cols.map(col): _*), root, fs) ++ dvLines
     // conflict scope: ANY source key — an interleaved commit that
     // added a row this merge would have matched (updated, or collided
     // with an insert) cannot serialize either side of it. A by-source
@@ -1005,25 +1148,59 @@ object ManifestedTable {
   /** Row-level DELETE WHERE — `cond` follows SQL DELETE semantics:
     * rows where it evaluates TRUE are removed; FALSE and NULL rows
     * SURVIVE (the three-valued-logic edge CompactionSpec pins).
-    * Same copy-on-write plan as [[merge]]: only files holding ≥ 1
-    * matching row are rewritten (with the negated, null-safe filter),
-    * everything else rides into the new manifest by reference; a
-    * predicate matching nothing commits nothing (version unchanged).
+    * Copy-on-write by default: only files holding ≥ 1 matching row
+    * rewrite (with the negated, null-safe filter), everything else
+    * rides into the new manifest by reference; a predicate matching
+    * nothing commits nothing (version unchanged).
+    *
+    * `dvMaxFraction` enables MERGE-ON-READ per file: a touched file
+    * whose deleted fraction (hits / physical rows) is ≤ the threshold
+    * is NOT rewritten — the deleted positions go to a deletion-vector
+    * sidecar and the file keeps riding by reference (a one-row delete
+    * in a 1 GB file moves ~16 bytes, not 1 GB). 0 (the default) keeps
+    * pure copy-on-write; the threshold is deployment policy — read
+    * amplification (an anti join per dirty file) against write
+    * amplification.
     */
-  def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long = {
+  def deleteWhere(spark: SparkSession, dir: String, cond: Column,
+      dvMaxFraction: Double = 0.0): Long = {
+    require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
+      s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
     val (baseV, baseLines) = currentSnapshot(fs, root)
     val cur = baseLines.map(pathOf)
     require(cur.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
-    val base = spark.read.parquet(absPaths(root, cur): _*)
-    val touched = touchedFiles(cur,
-      base.withColumn("__file", input_file_name()).filter(cond))
-    if (touched.isEmpty) return baseV
-    val survivors = spark.read.parquet(absPaths(root, touched): _*)
-      .filter(!coalesce(cond, lit(false)))
-    val staged = stageFiles(survivors, root, fs)
+    val entries = baseLines.map(parseEntry)
+    val entryMap = entries.toMap
+    val lineMap = baseLines.map(l => pathOf(l) -> l).toMap
+    val live = readLive(spark, root, entries, withMeta = true)
+    // per-file hit counts in one pass — manifest-sized collect, and
+    // exactly the number the MoR split needs
+    val hits = live.filter(cond).groupBy(col("__file"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (hits.isEmpty) return baseV
+    val touched = cur.filter(hits.contains)
+    val (dvT, rwT) = touched.partition { f =>
+      entryMap(f).rows.exists(n =>
+        n > 0 && hits(f).toDouble / n <= dvMaxFraction)
+    }
+    val dvLines =
+      if (dvT.isEmpty) Nil
+      else {
+        val fresh = live.filter(cond && col("__file").isin(dvT: _*))
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+        val dvRel = stageDv(
+          mergedDvPairs(spark, root, fresh, dvT, entryMap), root, fs)
+        dvT.map(f => withDvToken(lineMap(f), dvRel))
+      }
+    val rwStaged =
+      if (rwT.isEmpty) Nil
+      else stageFiles(
+        readLive(spark, root, entries.filter(e => rwT.contains(e._1)))
+          .filter(!coalesce(cond, lit(false))), root, fs)
     // conflict scope: the delete predicate — interleaved rows it would
     // have deleted make the serial orders disagree
     val overlaps = (paths: Seq[String]) =>
@@ -1031,7 +1208,7 @@ object ManifestedTable {
         .filter(cond).isEmpty
     publish(fs, root,
       RewriteFiles(baseV, cur, touched.toSet, "deleteWhere", overlaps),
-      staged)
+      rwStaged ++ dvLines)
   }
 
   /** Row-level DELETE by key set — `DELETE WHERE key IN (subquery)`,
@@ -1044,37 +1221,63 @@ object ManifestedTable {
     * nothing.
     */
   def deleteMatching(spark: SparkSession, dir: String,
-      keys: DataFrame): Long = {
+      keys: DataFrame, dvMaxFraction: Double = 0.0): Long = {
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
+    require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
+      s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
     val (baseV, baseLines) = currentSnapshot(fs, root)
     val cur = baseLines.map(pathOf)
     require(cur.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
-    val base = spark.read.parquet(absPaths(root, cur): _*)
+    val entries = baseLines.map(parseEntry)
+    val entryMap = entries.toMap
+    val lineMap = baseLines.map(l => pathOf(l) -> l).toMap
     val k = keys.distinct()
     // same stats-pruned find-touched as merge: the key feed's bounds
-    // refute non-intersecting files from the manifest alone
-    val candidates = pruneByKeyBounds(baseLines.map(parseEntry), k, keyCols)
-    val touched =
-      if (candidates.isEmpty) Seq.empty[String]
-      else touchedFiles(candidates,
-        spark.read.parquet(absPaths(root, candidates): _*)
-          .select((keyCols.map(col) :+ input_file_name().as("__file")): _*)
-          .join(k, keyCols, "left_semi"))
-    if (touched.isEmpty) return baseV
-    val survivors = spark.read.parquet(absPaths(root, touched): _*)
-      .join(k, keyCols, "left_anti")
-    val staged = stageFiles(
-      survivors.select(base.columns.map(col).toIndexedSeq: _*), root, fs)
+    // refute non-intersecting files from the manifest alone; the scan
+    // reads LIVE rows (already-deleted positions never re-match) and
+    // yields the per-file hit counts the MoR split needs
+    val candidates = pruneByKeyBounds(entries, k, keyCols)
+    if (candidates.isEmpty) return baseV
+    val candEntries = entries.filter(e => candidates.contains(e._1))
+    val hits = readLive(spark, root, candEntries, withMeta = true)
+      .join(k, keyCols, "left_semi")
+      .groupBy(col("__file")).agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (hits.isEmpty) return baseV
+    val touched = cur.filter(hits.contains)
+    val (dvT, rwT) = touched.partition { f =>
+      entryMap(f).rows.exists(n =>
+        n > 0 && hits(f).toDouble / n <= dvMaxFraction)
+    }
+    val dvLines =
+      if (dvT.isEmpty) Nil
+      else {
+        val dvEntries = entries.filter(e => dvT.contains(e._1))
+        val fresh = readLive(spark, root, dvEntries, withMeta = true)
+          .join(k, keyCols, "left_semi")
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+        val dvRel = stageDv(
+          mergedDvPairs(spark, root, fresh, dvT, entryMap), root, fs)
+        dvT.map(f => withDvToken(lineMap(f), dvRel))
+      }
+    val rwStaged =
+      if (rwT.isEmpty) Nil
+      else {
+        val survivors = readLive(spark, root,
+          entries.filter(e => rwT.contains(e._1)))
+          .join(k, keyCols, "left_anti")
+        stageFiles(survivors, root, fs)
+      }
     val overlaps = (paths: Seq[String]) =>
       !spark.read.option("mergeSchema", "true").parquet(paths: _*)
         .select(keyCols.map(col): _*).join(k, keyCols, "left_semi").isEmpty
     publish(fs, root,
       RewriteFiles(baseV, cur, touched.toSet, "deleteMatching", overlaps),
-      staged)
+      rwStaged ++ dvLines)
   }
 
   /** ATOMIC CLUSTERED compaction — the `OPTIMIZE ... ZORDER BY` /
@@ -1101,7 +1304,7 @@ object ManifestedTable {
     val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val needed =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val clustered = spark.read.parquet(absPaths(root, files): _*)
+    val clustered = readLive(spark, root, baseLines.map(parseEntry))
       .repartitionByRange(needed, clusterBy)
       .sortWithinPartitions(clusterBy)
     val staged = stageFiles(clustered, root, fs)
@@ -1171,10 +1374,15 @@ object ManifestedTable {
     require(vs.nonEmpty, s"no committed manifest under $dir")
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val retained = vs.takeRight(keepLast)
-    val live = retained.flatMap(v => readManifest(fs, v._2)).toSet
+    // live = every data file AND deletion-vector sidecar a retained
+    // manifest references — a dv-* dir is reclaimed exactly like a
+    // data-* dir once nothing points at its files
+    val live = retained.flatMap(v => entriesAt(fs, v._2))
+      .flatMap(e => e._1 +: e._2.dv.toSeq).toSet
     var deleted = 0
     fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
+      .filter(s => s.isDirectory && (s.getPath.getName.startsWith("data-") ||
+        s.getPath.getName.startsWith("dv-")))
       .foreach { d =>
         val stage = d.getPath.getName
         fs.listStatus(d.getPath).toSeq.filter(_.isFile).foreach { f =>

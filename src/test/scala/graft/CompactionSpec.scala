@@ -741,6 +741,110 @@ class CompactionSpec extends SparkTestBase {
     assert(vSame == v2, "a stats-refuted keyed DELETE advanced the version")
   }
 
+  test("manifested table: deletion vectors — a 1-row delete moves zero data bytes") {
+    // merge-on-read: when a DML's per-file deleted fraction is under
+    // dvMaxFraction, the file is NOT rewritten — deleted positions go
+    // to a (file, pos) sidecar referenced from the file's manifest
+    // line, readers apply it as an anti join on parquet's _metadata
+    // row identity, CDF diffs through it (entry identity = path + dv),
+    // compaction materializes it away, vacuum reclaims it
+    import graft.sources.ManifestedTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") < 800)
+    val v1 = ManifestedTable.write(
+      ev.repartitionByRange(8, col("event_id")), dir)
+    val dataFiles = ManifestedTable.currentFiles(spark, dir)
+    def mtimes() = dataFiles
+      .map(f => f -> new java.io.File(dir, f).lastModified()).toMap
+    val t0 = mtimes()
+
+    // one-row keyed delete under the MoR threshold: ZERO data files
+    // move — the manifest's path set is unchanged and every data
+    // file's bytes are untouched (mtimes identical)
+    val kDel = ev.select("event_id").orderBy("event_id").head.getLong(0)
+    val v2 = ManifestedTable.deleteMatching(spark, dir,
+      Seq(kDel).toDF("event_id"), dvMaxFraction = 0.5)
+    val (addedF, removedF) = ManifestedTable.changedFiles(spark, dir, v1, v2)
+    assert(addedF.isEmpty && removedF.isEmpty,
+      s"a 1-row MoR delete moved data files: +$addedF -$removedF")
+    assert(mtimes() == t0, "a data file was rewritten in place")
+    assert(ManifestedTable.currentFiles(spark, dir).sorted ==
+      dataFiles.sorted)
+
+    // rows correct through read, time travel, and the SQL face
+    assert(ManifestedTable.read(spark, dir).count() == ev.count() - 1)
+    assert(ManifestedTable.read(spark, dir)
+      .filter(col("event_id") === kDel).count() == 0)
+    assert(ManifestedTable.readAt(spark, dir, v1).count() == ev.count(),
+      "the DV leaked into the pre-delete snapshot")
+    val face = spark.read.format("graft-manifest").load(dir)
+    assert(face.count() == ev.count() - 1,
+      "the SQL face's footer-count path ignored the DV")
+    assert(face.filter(col("event_id") === kDel).count() == 0,
+      "the SQL face resurrected a DV'd row")
+
+    // CDF through the DV: entry identity is (path, dv), so the file
+    // diffs against itself and surviving rows cancel — removed side is
+    // EXACTLY the deleted row
+    val (cdfAdd, cdfRem) = ManifestedTable.changesBetween(spark, dir, v1, v2)
+    assert(cdfAdd.isEmpty, "a MoR delete produced added rows")
+    assert(cdfRem.select("event_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(kDel))
+
+    // a second delete on the SAME file merges the sidecars: both rows
+    // gone, still zero data movement
+    val kDel2 = ev.select("event_id").orderBy("event_id")
+      .limit(2).collect().map(_.getLong(0)).last
+    val v3 = ManifestedTable.deleteWhere(spark, dir,
+      col("event_id") === kDel2, dvMaxFraction = 0.5)
+    assert(ManifestedTable.changedFiles(spark, dir, v2, v3)._2.isEmpty)
+    assert(mtimes() == t0)
+    assert(ManifestedTable.read(spark, dir).count() == ev.count() - 2)
+    assert(ManifestedTable.read(spark, dir)
+      .filter(col("event_id").isin(kDel, kDel2)).count() == 0)
+
+    // merge-on-read MERGE: a small matched delta DVs the old images
+    // and stages only the delta — the touched file's bytes stay put
+    val updKeys = ev.select("event_id").orderBy(col("event_id").desc)
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val src = ev.filter(col("event_id").isin(updKeys: _*))
+      .withColumn("value", col("value") + 9999d)
+    val v4 = ManifestedTable.merge(spark, dir, src, Seq("event_id"),
+      dvMaxFraction = 0.5)
+    assert(ManifestedTable.changedFiles(spark, dir, v3, v4)._2.isEmpty,
+      "a MoR merge removed data files")
+    assert(mtimes() == t0, "a MoR merge rewrote a data file")
+    val postMerge = ManifestedTable.read(spark, dir)
+    assert(postMerge.count() == ev.count() - 2)
+    assert(postMerge.filter(col("event_id").isin(updKeys: _*))
+      .collect().forall(_.getAs[Double]("value") >= 9999d),
+      "a MoR merge lost an update")
+    assert(postMerge.filter(col("event_id").isin(updKeys: _*)).count() == 2,
+      "a MoR merge duplicated or dropped matched keys")
+
+    // stats-served range read still applies the DV
+    assert(ManifestedTable.readRange(spark, dir, "event_id", kDel, kDel)
+      .count() == 0)
+
+    // compaction reads THROUGH the vectors and so materializes them;
+    // vacuum then reclaims the orphaned sidecars — and the table stays
+    // row-identical
+    val img = postMerge.orderBy("event_id", "value").collect().toSeq
+    ManifestedTable.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(ManifestedTable.read(spark, dir)
+      .orderBy("event_id", "value").collect().toSeq == img)
+    ManifestedTable.vacuum(spark, dir, minAgeMillis = 0L)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+    assert(!walk(new java.io.File(dir)).exists(_.getPath.contains("/dv-")),
+      "vacuum left an unreferenced deletion-vector sidecar")
+    assert(ManifestedTable.read(spark, dir)
+      .orderBy("event_id", "value").collect().toSeq == img)
+  }
+
   test("manifested table: optimistic concurrency — racing commits serialize or abort, never revert") {
     // the lost-update window: an operation COMPUTED against v(n) must
     // not blindly publish after a concurrent commit landed v(n+1) —
