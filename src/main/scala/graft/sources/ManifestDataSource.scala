@@ -184,14 +184,19 @@ private[sources] class ManifestTable(schema: StructType, path: String)
   override def name(): String = s"graft-manifest `$path`"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(schema, path,
-      ManifestDataSource.versionOf(options))
+      ManifestDataSource.versionOf(options),
+      Option(options.get("startingVersion")).filter(_.nonEmpty)
+        .map(_.toLong).getOrElse(0L),
+      options.getBoolean("ignoreChanges", false))
 }
 
 private[sources] class ManifestScanBuilder(full: StructType, path: String,
-    version: Option[Long]) extends ScanBuilder
+    version: Option[Long], startingVersion: Long = 0L,
+    ignoreChanges: Boolean = false) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
@@ -229,13 +234,14 @@ private[sources] class ManifestScanBuilder(full: StructType, path: String,
   override def build(): Scan = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     new ManifestScan(required, path, version, pushed,
-      new SerializableConfiguration(conf))
+      new SerializableConfiguration(conf), startingVersion, ignoreChanges)
   }
 }
 
 private[sources] class ManifestScan(readSchema: StructType, path: String,
     version: Option[Long], filters: Array[Filter],
-    sconf: SerializableConfiguration)
+    sconf: SerializableConfiguration, startingVersion: Long = 0L,
+    ignoreChanges: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
@@ -281,10 +287,110 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestPartitionReaderFactory(readSchema, sconf)
+
+  /** The streaming face: offsets are MANIFEST VERSIONS — the table's
+    * own commit log is the batch log, so replay determinism is free
+    * (manifests are immutable) and no checkpoint-local file log is
+    * needed, unlike the directory-tailing avro source.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestMicroBatchStream(path, readSchema, filters, sconf,
+      startingVersion, ignoreChanges)
 }
 
 private[sources] case class ManifestFilePartition(file: String,
     rel: String, dv: Option[String]) extends InputPartition
+
+/** Streaming offset = manifest version (O(1), human-readable). */
+private[sources] case class ManifestSourceOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** `readStream.format("graft-manifest")` — the table's CHANGE FEED as
+  * a micro-batch stream, making T79's follower replication continuous:
+  * each batch covers the versions committed since the last poll, and a
+  * batch's rows are the entries those versions ADDED (entry identity =
+  * path + deletion vector, so a MoR delete surfaces the file's new
+  * image). Offsets are version numbers checkpointed by the engine —
+  * restart resumes from the committed version with nothing replayed
+  * and nothing skipped, and a stream that fell behind vacuum's
+  * retention fails loudly (the manifest is gone) rather than silently
+  * jumping the gap.
+  *
+  * Non-append commits (DML, compaction) REMOVE entries; their removed
+  * rows cannot stream, so such a version fails the query with a
+  * pointer at `ignoreChanges` — exactly Delta's streaming-source
+  * contract. With `ignoreChanges=true` the version's added entries
+  * stream instead (rewritten files re-deliver their surviving rows;
+  * the documented at-least-once degradation for downstream sinks that
+  * dedup by key).
+  *
+  * `startingVersion` (default 0) picks the bootstrap: 0 streams the
+  * table's whole retained history — for an append-only table a bounded
+  * drain therefore equals the current snapshot — while
+  * `startingVersion = currentVersion` tails only new commits.
+  */
+private[sources] class ManifestMicroBatchStream(path: String,
+    readSchema: StructType, filters: Array[Filter],
+    sconf: SerializableConfiguration, startingVersion: Long,
+    ignoreChanges: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = ManifestSourceOffset(startingVersion)
+  override def deserializeOffset(json: String): Offset =
+    ManifestSourceOffset(json.toLong)
+
+  override def latestOffset(): Offset = ManifestSourceOffset(
+    math.max(startingVersion,
+      ManifestedTable.currentVersionConf(sconf.value, path)))
+
+  /** Batches (start, end]: per version, the entry-level diff against
+    * its predecessor — resolved from the immutable manifests
+    * themselves, so a post-failure replay is bit-identical to the
+    * original planning. Pushed filters skip refuted files exactly as
+    * on the batch side.
+    */
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ManifestSourceOffset].version
+    val e = end.asInstanceOf[ManifestSourceOffset].version
+    val root = new Path(path)
+    ((s + 1) to e).flatMap { v =>
+      val prev = ManifestedTable
+        .entriesAtVersion(sconf.value, path, v - 1)
+      val curE = ManifestedTable.entriesAtVersion(sconf.value, path, v)
+      def k(x: (String, ManifestedTable.FileStats)) = (x._1, x._2.dv)
+      val prevK = prev.map(k).toSet
+      val curK = curE.map(k).toSet
+      val gone = prev.filterNot(x => curK(k(x)))
+      if (gone.nonEmpty && !ignoreChanges)
+        throw new IllegalStateException(
+          s"graft-manifest stream: version $v of $path removed or " +
+            s"rewrote ${gone.size} file(s) (DML/compaction) — removed " +
+            "rows cannot stream. Set option ignoreChanges=true to " +
+            "stream the version's added files instead (surviving rows " +
+            "of rewritten files re-deliver).")
+      curE.filterNot(x => prevK(k(x)))
+        .filter { case (_, st) =>
+          !st.rows.contains(0L) &&
+            filters.forall(ManifestDataSource.mayMatch(st, _))
+        }
+        .map { case (rel, st) =>
+          ManifestFilePartition(new Path(root, rel).toString, rel,
+            st.dv.map(dp => new Path(root, dp).toString)): InputPartition
+        }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestPartitionReaderFactory(readSchema, sconf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 /** Per-file parquet readers over the example Group materialization:
   * the requested columns are intersected with the FILE's own schema

@@ -658,6 +658,28 @@ object ManifestedTable {
     readDataLines(fs, p).map(parseEntry)
   }
 
+  /** Current version under `dir`, 0 when no manifest exists —
+    * conf-parameterized for the DSv2 streaming source's offset poll.
+    */
+  private[sources] def currentVersionConf(
+      conf: org.apache.hadoop.conf.Configuration, dir: String): Long = {
+    val root = new Path(dir)
+    manifestVersions(root.getFileSystem(conf), root)
+      .lastOption.map(_._1).getOrElse(0L)
+  }
+
+  /** Entries of retained version `v`; version 0 (before any commit)
+    * is the empty snapshot. Throws past the retention horizon — a
+    * stream that fell behind vacuum must fail loudly, not skip.
+    */
+  private[sources] def entriesAtVersion(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      v: Long): Seq[(String, FileStats)] = {
+    if (v == 0L) return Nil
+    val root = new Path(dir)
+    linesAt(root.getFileSystem(conf), root, v).map(parseEntry)
+  }
+
   /** Test/inspection face of the find-touched pruning: the candidate
     * file paths a keyed DML against the CURRENT snapshot would open.
     */

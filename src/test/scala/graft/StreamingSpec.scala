@@ -594,6 +594,145 @@ class StreamingSpec extends SparkTestBase {
     assert(rows() == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("graft-manifest streaming source: version offsets, restart resumes, non-append fails loudly") {
+    // the table's CHANGE FEED as a stream, making T79 replication
+    // continuous: offsets are manifest versions (the commit log IS the
+    // batch log — replay determinism is free from immutable
+    // manifests), a batch covers the entries its versions ADDED, a
+    // restart resumes from the checkpointed version, and a non-append
+    // commit fails the query with a pointer at ignoreChanges (removed
+    // rows cannot stream) — Delta's streaming-source contract.
+    import graft.sources.ManifestedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mstream").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_mschk").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") < 500)
+    ManifestedTable.write(ev.filter(col("event_id") < 100), dir)
+
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def start(opts: Map[String, String] = Map.empty) = {
+      val r = spark.readStream.format("graft-manifest")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(dir).writeStream.option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.add(b.select("event_id").collect().map(_.getLong(0)).toSeq)
+          ()
+        }
+        .start()
+    }
+    def drained(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.flatten.sorted
+    }
+    def expect(p: org.apache.spark.sql.Column): Seq[Long] =
+      ev.filter(p).select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // bootstrap from version 0: the drain equals the current snapshot
+    // (append-only table ⇒ history = image)
+    val q = start()
+    q.processAllAvailable()
+    assert(drained() == expect(col("event_id") < 100))
+
+    // appends while running: each commit becomes a batch of exactly
+    // its added files' rows
+    ManifestedTable.write(
+      ev.filter(col("event_id") >= 100 && col("event_id") < 200), dir,
+      overwrite = false)
+    q.processAllAvailable()
+    assert(drained() == expect(col("event_id") < 200))
+    q.stop()
+
+    // appends while DOWN; the restart resumes from the committed
+    // version — nothing replays, nothing skips
+    ManifestedTable.write(
+      ev.filter(col("event_id") >= 200 && col("event_id") < 300), dir,
+      overwrite = false)
+    buf.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(drained() == expect(
+      col("event_id") >= 200 && col("event_id") < 300),
+      s"restart replayed or skipped: ${drained().take(8)}...")
+
+    // a non-append commit (copy-on-write DELETE removes files) fails
+    // the stream loudly
+    ManifestedTable.deleteWhere(spark, dir, col("event_id") < 10)
+    buf.clear()
+    val q3 = start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage else rootMsg(t.getCause)
+    assert(rootMsg(err).contains("ignoreChanges"),
+      s"wrong failure: ${rootMsg(err)}")
+    q3.stop()
+
+    // ignoreChanges streams the rewrite's added files instead — the
+    // surviving rows of the rewritten file re-deliver (the documented
+    // at-least-once degradation), and new appends keep flowing
+    buf.clear()
+    val q4 = start(Map("ignoreChanges" -> "true"))
+    q4.processAllAvailable()
+    val afterDelete = drained()
+    assert(afterDelete.nonEmpty && !afterDelete.exists(_ < 10),
+      "the rewritten file's deleted rows leaked into the stream")
+    ManifestedTable.write(
+      ev.filter(col("event_id") >= 300 && col("event_id") < 350), dir,
+      overwrite = false)
+    q4.processAllAvailable()
+    q4.stop()
+    assert(drained().count(id => id >= 300 && id < 350) ==
+      expect(col("event_id") >= 300 && col("event_id") < 350).size)
+  }
+
+  test("continuous CDC replication: manifest stream into the exactly-once sink") {
+    // T79 made continuous: the follower is maintained by a STREAM over
+    // the leader's manifest versions feeding appendBatch — both halves
+    // of the exactly-once pair on the same table format. For an
+    // append-shaped leader the follower equals the leader exactly
+    // after a bounded drain, across a restart.
+    import graft.sources.ManifestedTable
+    val leader = java.nio.file.Files.createTempDirectory("graft_cdcl").toString
+    val follower = java.nio.file.Files.createTempDirectory("graft_cdcf").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_cdck").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") < 400)
+    ManifestedTable.write(ev.filter(col("event_id") < 150), leader)
+
+    def start() = spark.readStream.format("graft-manifest").load(leader)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ManifestedTable.appendBatch(b, follower, id); ()
+      }
+      .start()
+    def img(d: String) = ManifestedTable.read(spark, d)
+      .orderBy("event_id", "value").collect().toSeq
+
+    val q = start()
+    q.processAllAvailable()
+    assert(img(follower) == img(leader), "bootstrap replication diverged")
+    ManifestedTable.write(
+      ev.filter(col("event_id") >= 150 && col("event_id") < 250),
+      leader, overwrite = false)
+    q.processAllAvailable()
+    assert(img(follower) == img(leader))
+    q.stop()
+
+    // leader moves while the replicator is down; restart catches up
+    // exactly once (the sink's txn marker suppresses any replay)
+    ManifestedTable.write(
+      ev.filter(col("event_id") >= 250), leader, overwrite = false)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(img(follower) == img(leader),
+      "restarted replication skipped or duplicated rows")
+  }
+
   test("MapState + ListState compose per key across batches (transformWithState)") {
     // the two state KINDS the sessionizers don't exercise: per-user
     // type counts in a MapState (state = |type set|, not history) and a
