@@ -2354,6 +2354,52 @@ object RelEntry {
       }
     }),
 
+    // ---- T92: session-catalog SQL lifecycle (graft-manifest catalog) -----
+    "q190_catalog_sql" -> ((s, d) => {
+      // the lakehouse tier driven ENTIRELY from SQL — the
+      // TableCatalog face: CTAS creates the manifested order book,
+      // INSERT INTO appends a late feed, DELETE FROM runs the
+      // copy-on-write delete, and the final SELECT joins the CURRENT
+      // snapshot against VERSION AS OF 2 (the post-CTAS image) —
+      // per audited customer, current count/cents beside the original
+      // cents (the versioned join is what a reconciliation report
+      // actually does). The oracle replays the three statements
+      // relationally. Catalog state is the filesystem (one
+      // ManifestedTable dir per table), so this composes with every
+      // object-API operation on the same directory.
+      val wh = java.nio.file.Files.createTempDirectory("graft_cat_q").toString
+      s.conf.set("spark.sql.catalog.g190", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g190.root", wh)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g190_src")
+      s.sql("DROP TABLE IF EXISTS g190.book")
+      s.sql("""CREATE TABLE g190.book AS
+              |SELECT * FROM g190_src WHERE o_orderkey % 4 < 3""".stripMargin)
+      s.sql("""INSERT INTO g190.book
+              |SELECT o_orderkey + 307000000, o_custkey, cents
+              |FROM g190_src WHERE o_orderkey % 10 = 9""".stripMargin)
+      s.sql("DELETE FROM g190.book " +
+        "WHERE cents > 25000000 AND o_custkey % 7 = 3")
+      val out = s.sql(
+        """SELECT c.o_custkey AS custkey,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  sum(c.cents) AS cents_now,
+          |  sum(p.cents) AS cents_at_v2
+          |FROM g190.book c
+          |LEFT JOIN (SELECT * FROM g190.book VERSION AS OF 2) p
+          |  ON c.o_orderkey = p.o_orderkey
+          |WHERE c.o_custkey % 10 = 3
+          |GROUP BY c.o_custkey""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g190.book")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -3130,6 +3176,32 @@ object RelEntry {
         |SELECT l.o_orderkey, l.o_custkey, l.cents FROM live2 l
         |WHERE NOT EXISTS (SELECT 1 FROM src s
         |                  WHERE s.o_orderkey = l.o_orderkey)""".stripMargin,
+
+    // q190 mirror: the three SQL statements replayed relationally —
+    // CTAS image, appended feed, null-kept delete semantics, and the
+    // current-vs-v2 left join (inserted keys have NULL v2 cents)
+    "q190_catalog_sql" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v2 AS (SELECT * FROM base WHERE o_orderkey % 4 < 3),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  UNION ALL
+        |  SELECT o_orderkey + 307000000, o_custkey, cents
+        |  FROM base WHERE o_orderkey % 10 = 9),
+        |cur AS (
+        |  SELECT * FROM v3
+        |  WHERE NOT (cents > 25000000 AND o_custkey % 7 = 3))
+        |SELECT c.o_custkey AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c.cents) AS BIGINT) AS cents_now,
+        |  CAST(sum(p.cents) AS BIGINT) AS cents_at_v2
+        |FROM cur c
+        |LEFT JOIN v2 p ON c.o_orderkey = p.o_orderkey
+        |WHERE c.o_custkey % 10 = 3
+        |GROUP BY c.o_custkey""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property

@@ -21,9 +21,11 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns,
   SupportsRuntimeFiltering}
-import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo,
-  Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual,
-  Or}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.sources.{And, DataSourceRegister,
+  EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In,
+  IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or,
+  StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -81,7 +83,7 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ManifestDataSource.schemaOf(dir(options),
-      ManifestDataSource.versionOf(options))
+      ManifestDataSource.versionOf(options, dir(options)))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -92,10 +94,21 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
 }
 
 object ManifestDataSource {
-  private[sources] def versionOf(
-      options: CaseInsensitiveStringMap): Option[Long] = {
+  /** The snapshot an option map pins: `versionAsOf` wins, else
+    * `timestampAsOf` (epoch millis, or `yyyy-MM-dd HH:mm:ss[.f]`)
+    * resolves through the manifest commit times, else the current
+    * snapshot (None).
+    */
+  private[sources] def versionOf(options: CaseInsensitiveStringMap,
+      dir: String): Option[Long] = {
     val v = options.get("versionAsOf")
-    if (v == null || v.isEmpty) None else Some(v.toLong)
+    if (v != null && v.nonEmpty) return Some(v.toLong)
+    val t = options.get("timestampAsOf")
+    if (t == null || t.isEmpty) return None
+    val millis = scala.util.Try(t.toLong).getOrElse(
+      java.sql.Timestamp.valueOf(t).getTime)
+    Some(ManifestedTable.versionAtTimestamp(
+      SparkSession.active.sessionState.newHadoopConf(), dir, millis))
   }
 
   /** Schema from ONE file's footer (via the engine's own parquet
@@ -103,16 +116,96 @@ object ManifestDataSource {
     * non-empty snapshot entry. Heterogeneous snapshots (mid-history
     * schema widening) read at the resolved file's schema; the unified
     * superset view stays with `ManifestedTable.read(mergeSchema)`.
+    * An EMPTY table (the catalog's CREATE TABLE before the first
+    * insert) serves the declared schema recorded in the manifest meta.
     */
   private[sources] def schemaOf(dir: String,
       version: Option[Long]): StructType = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val entries = ManifestedTable.snapshotEntries(conf, dir, version)
-    require(entries.nonEmpty, s"manifested table $dir is empty — " +
-      "schemaless empty reads are not supported")
+    if (entries.isEmpty) {
+      val json = ManifestedTable.snapshotMeta(conf, dir)
+        .getOrElse(ManifestedTable.SchemaKey, throw
+          new IllegalArgumentException(s"manifested table $dir is " +
+            "empty and declares no schema — schemaless empty reads " +
+            "are not supported"))
+      return org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType]
+    }
     val pick = entries.find(!_._2.rows.contains(0L)).getOrElse(entries.head)
     spark.read.parquet(new Path(new Path(dir), pick._1).toString).schema
+  }
+
+  /** A connector V2 expression as a Column, or None when
+    * untranslatable — the SQL `DELETE FROM` bridge: SupportsDeleteV2
+    * hands the WHERE clause here as a Predicate tree (which, unlike V1
+    * filters, carries arbitrary scalar expressions — `k % 7 = 3`
+    * included) and the copy-on-write/MoR machinery runs it with full
+    * three-valued semantics (the predicates describe rows to DELETE;
+    * NULL-predicate rows survive, matching SQL DELETE). An expression
+    * outside the mapped surface returns None, which fails the DELETE
+    * at ANALYSIS (canDeleteWhere=false) — loud, never wrong.
+    */
+  private[sources] def predicateToColumn(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[Column] = {
+    import org.apache.spark.sql.connector.expressions.{
+      GeneralScalarExpression, Literal => V2Literal,
+      NamedReference}
+    import org.apache.spark.sql.functions.{col => c, lit}
+    def litOf(l: V2Literal[_]): Option[Column] = l.dataType match {
+      case StringType =>
+        Some(lit(if (l.value == null) null else l.value.toString))
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | BooleanType => Some(lit(l.value))
+      case _: DecimalType => Some(lit(
+        l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal))
+      case DateType => Some(lit(
+        java.time.LocalDate.ofEpochDay(
+          l.value.asInstanceOf[Number].longValue())))
+      case TimestampType => Some(lit(java.time.Instant.EPOCH.plus(
+        l.value.asInstanceOf[Number].longValue(),
+        java.time.temporal.ChronoUnit.MICROS)))
+      case _ => None
+    }
+    def kids(g: GeneralScalarExpression): Option[Seq[Column]] = {
+      val ks = g.children().toSeq.map(predicateToColumn)
+      if (ks.forall(_.isDefined)) Some(ks.map(_.get)) else None
+    }
+    e match {
+      case f: NamedReference => Some(c(f.fieldNames().mkString(".")))
+      case l: V2Literal[_] => litOf(l)
+      case g: GeneralScalarExpression => g.name match {
+        case "ALWAYS_TRUE" => Some(lit(true))
+        case "ALWAYS_FALSE" => Some(lit(false))
+        case "AND" => kids(g).map(k => k(0) && k(1))
+        case "OR" => kids(g).map(k => k(0) || k(1))
+        case "NOT" => kids(g).map(k => !k(0))
+        case "IS_NULL" => kids(g).map(k => k(0).isNull)
+        case "IS_NOT_NULL" => kids(g).map(k => k(0).isNotNull)
+        case "=" => kids(g).map(k => k(0) === k(1))
+        case "<>" | "!=" => kids(g).map(k => k(0) =!= k(1))
+        case "<=>" => kids(g).map(k => k(0) <=> k(1))
+        case ">" => kids(g).map(k => k(0) > k(1))
+        case ">=" => kids(g).map(k => k(0) >= k(1))
+        case "<" => kids(g).map(k => k(0) < k(1))
+        case "<=" => kids(g).map(k => k(0) <= k(1))
+        case "+" => kids(g).map(k => k(0) + k(1))
+        case "-" => kids(g).map(k =>
+          if (k.size == 1) -k(0) else k(0) - k(1))
+        case "*" => kids(g).map(k => k(0) * k(1))
+        case "/" => kids(g).map(k => k(0) / k(1))
+        case "%" => kids(g).map(k => k(0) % k(1))
+        case "IN" => kids(g).map(k => k(0).isin(k.tail: _*))
+        case "STARTS_WITH" => kids(g).map(k => k(0).startsWith(k(1)))
+        case "ENDS_WITH" => kids(g).map(k => k(0).endsWith(k(1)))
+        case "CONTAINS" => kids(g).map(k => k(0).contains(k(1)))
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   /** Can `f` possibly match a row of a file with stats `st`? False
@@ -179,19 +272,80 @@ object ManifestDataSource {
   }
 }
 
-private[sources] class ManifestTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
-  override def name(): String = s"graft-manifest `$path`"
+/** The table object, shared by the anonymous `format("graft-manifest")`
+  * path and [[ManifestCatalog]]. `pinnedVersion` is the catalog's
+  * `VERSION AS OF` / `TIMESTAMP AS OF` (resolved to a version at
+  * loadTable time); option-level versionAsOf/timestampAsOf still win
+  * for the anonymous path.
+  *
+  * Writes go through V1Write → InsertableRelation (the Delta
+  * construction): the engine's own parquet writer stages the data and
+  * [[ManifestedTable.write]] publishes it atomically — append and
+  * truncate-overwrite map to the table's two blind commit modes, so
+  * `df.write.format("graft-manifest")` and SQL `INSERT INTO` /
+  * `INSERT OVERWRITE` land with full OCC semantics. SQL `DELETE FROM`
+  * rides SupportsDelete: translatable predicates become a
+  * [[ManifestedTable.deleteWhere]] (copy-on-write, stats-pruned);
+  * untranslatable ones refuse loudly at analysis.
+  */
+private[sources] class ManifestTable(schema: StructType, path: String,
+    pinnedVersion: Option[Long] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+  override def name(): String = s"graft-manifest `$path`" +
+    pinnedVersion.fold("")(v => s"@v$v")
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(schema, path,
-      ManifestDataSource.versionOf(options),
+      ManifestDataSource.versionOf(options, path).orElse(pinnedVersion),
       Option(options.get("startingVersion")).filter(_.nonEmpty)
         .map(_.toLong).getOrElse(0L),
       options.getBoolean("ignoreChanges", false))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      "cannot write to a time-travelled snapshot")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              ManifestedTable.write(data, path, overwrite = overwrite)
+              ()
+            }
+        }
+    }
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Boolean =
+    predicates.forall(p =>
+      ManifestDataSource.predicateToColumn(p).isDefined)
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    val cond = predicates.flatMap(ManifestDataSource.predicateToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    ManifestedTable.deleteWhere(SparkSession.active, path, cond)
+    ()
+  }
 }
 
 private[sources] class ManifestScanBuilder(full: StructType, path: String,

@@ -533,8 +533,15 @@ object ManifestedTable {
           curLines.filterNot(l => rw.touched(pathOf(l)))
       }
       val v = curV + 1
-      val merged =
-        prev.map(p => readMeta(fs, p._2)).getOrElse(Map.empty) ++ meta
+      // `op` describes THIS commit and is excluded from carry-forward
+      // (unlike the txn marker, which must survive unrelated commits)
+      val opMeta = Map(OpKey -> (mode match {
+        case Replace => "overwrite"
+        case AppendFiles => "append"
+        case rw: RewriteFiles => rw.opName
+      }))
+      val merged = prev.map(p => readMeta(fs, p._2))
+        .getOrElse(Map.empty) - OpKey ++ opMeta ++ meta
       val all = merged.toSeq.sortBy(_._1)
         .map { case (k, x) => s"#$k=$x" } ++ kept ++ staged
       val body = all.mkString("", "\n", if (all.isEmpty) "" else "\n")
@@ -658,6 +665,55 @@ object ManifestedTable {
     readDataLines(fs, p).map(parseEntry)
   }
 
+  /** Create an EMPTY table with a declared schema — the catalog's
+    * CREATE TABLE: version 1 carries no files and a `#schema=<json>`
+    * meta line, so the SQL face can plan (and inserts can resolve)
+    * before the first row lands. Fails if the table already exists.
+    */
+  private[sources] def createEmpty(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      schemaJson: String): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    require(manifestVersions(fs, root).isEmpty,
+      s"a manifested table already exists at $dir")
+    publish(fs, root, Replace, Nil,
+      Map(SchemaKey -> schemaJson, OpKey -> "create"))
+  }
+
+  /** Latest snapshot's `#key=value` metadata (conf-parameterized for
+    * the DSv2/catalog faces). Empty map when no manifest exists.
+    */
+  private[sources] def snapshotMeta(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: String): Map[String, String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    manifestVersions(fs, root).lastOption
+      .map(v => readMeta(fs, v._2)).getOrElse(Map.empty)
+  }
+
+  /** The latest version committed at or before `tsMillis` — time
+    * travel by TIMESTAMP (manifest mtimes are the commit times, the
+    * same clock [[history]] reports). Errors when the timestamp
+    * precedes the oldest retained commit.
+    */
+  private[sources] def versionAtTimestamp(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      tsMillis: Long): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val vs = manifestVersions(fs, root)
+    require(vs.nonEmpty, s"no committed manifest under $dir")
+    val at = vs.filter(v =>
+      fs.getFileStatus(v._2).getModificationTime <= tsMillis)
+    require(at.nonEmpty, s"no version of $dir at or before $tsMillis " +
+      s"(oldest retained commit: " +
+      s"${fs.getFileStatus(vs.head._2).getModificationTime})")
+    at.last._1
+  }
+
   /** Current version under `dir`, 0 when no manifest exists —
     * conf-parameterized for the DSv2 streaming source's offset poll.
     */
@@ -698,10 +754,26 @@ object ManifestedTable {
       fs: FileSystem): Seq[String] = {
     val stage = s"data-${java.util.UUID.randomUUID()}"
     df.write.parquet(new Path(root, stage).toString)
-    fs.listStatus(new Path(root, stage)).toSeq
+    val rels = fs.listStatus(new Path(root, stage)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$stage/${s.getPath.getName}").sorted
-      .map(rel => statLine(fs, root, rel))
+    // the footer reads are independent driver-side I/O — a small fixed
+    // pool keeps the per-commit constant at ~max(footer) instead of
+    // Σ(footer): sequential opens would tax every commit by hundreds
+    // of ms once a job stages dozens of files (Hadoop FileSystem
+    // handles are thread-safe)
+    if (rels.size <= 1) rels.map(rel => statLine(fs, root, rel))
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(16, rels.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(rels.map(rel =>
+          new java.util.concurrent.Callable[String] {
+            override def call(): String = statLine(fs, root, rel)
+          }).asJava).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    }
   }
 
   /** Publish `df` as the table's next snapshot. `overwrite = false`
@@ -803,6 +875,42 @@ object ManifestedTable {
   }
 
   private val TxnKey = "txn-batch"
+  private val OpKey = "op"
+  private[sources] val SchemaKey = "schema"
+
+  /** Commit history — the `DESCRIBE HISTORY` face: one row per
+    * RETAINED version with its commit time (manifest mtime), the
+    * operation that produced it (recorded per commit, never carried),
+    * file count, and deletion-vector count. Driver-side manifest
+    * reads only — |versions| × |files| lines, no data IO.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val vs = manifestVersions(fs, root)
+    require(vs.nonEmpty, s"no committed manifest under $dir")
+    vs.map { case (v, p) =>
+      val entries = readDataLines(fs, p).map(parseEntry)
+      (v, fs.getFileStatus(p).getModificationTime,
+        readMeta(fs, p).getOrElse(OpKey, "unknown"),
+        entries.size.toLong, entries.count(_._2.dv.isDefined).toLong)
+    }.toDF("version", "commit_ms", "op", "n_files", "n_dv")
+  }
+
+  /** RESTORE (rollback): republish a retained version's entries as
+    * the table's NEXT version — history moves forward, nothing is
+    * erased (the new snapshot simply references the old files, which
+    * retention kept alive precisely because their manifest is
+    * retained), and time travel across the restore still works. The
+    * Delta RESTORE semantics.
+    */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val lines = linesAt(fs, root, version)
+    publish(fs, root, Replace, lines, Map(OpKey -> s"restore(v$version)"))
+  }
 
   /** The highest streaming batch id ever committed through
     * [[appendBatch]] (carried forward across every later commit —
@@ -867,7 +975,9 @@ object ManifestedTable {
     * manifest's entry paths by the staging layout.
     */
   private def relOfCol(c: Column): Column =
-    org.apache.spark.sql.functions.regexp_extract(c, "([^/]+/[^/]+)$", 1)
+    // last two path components via a plain right-scan — evaluated per
+    // scanned row in the meta branch, so no regexp machinery
+    org.apache.spark.sql.functions.substring_index(c, "/", -2)
 
   /** The LIVE rows of `entries`: clean files read directly; files
     * carrying a deletion vector read with their physical positions and
@@ -1095,6 +1205,15 @@ object ManifestedTable {
         // nothing matched, nothing by-source-applicable: pure insert
         insertWhen.map(c => source.filter(coalesce(c, lit(false))))
           .getOrElse(source).filter(!delC)
+      } else if (updateWhen.isEmpty && insertWhen.isEmpty &&
+          bySource.isEmpty && dvT.isEmpty) {
+        // plain-upsert fast path (the overwhelmingly common shape):
+        // ONE anti join over the touched files + the blind source
+        // union — no matched/unmatched source split, so the touched
+        // files scan once, not three times
+        readLive(spark, root, entries.filter(e => touched.contains(e._1)))
+          .join(srcKeys, keys, "left_anti")
+          .unionByName(source.filter(!delC).select(cols.map(col): _*))
       } else {
         val t = readLive(spark, root,
           entries.filter(e => touched.contains(e._1)))

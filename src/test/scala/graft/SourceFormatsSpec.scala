@@ -733,6 +733,92 @@ class SourceFormatsSpec extends SparkTestBase {
       "the v1 view leaked post-merge rows")
   }
 
+  test("graft-manifest catalog: SQL-only lifecycle — CREATE/INSERT/DELETE/time travel/interop") {
+    import graft.sources.ManifestedTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    spark.conf.set("spark.sql.catalog.gm_spec",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_spec.root", wh)
+    try {
+      // CREATE TABLE: an empty table is queryable and insertable —
+      // the declared schema rides the manifest meta
+      spark.sql(
+        "CREATE TABLE gm_spec.book (k BIGINT, tag STRING, v DOUBLE)")
+      assert(spark.sql("SELECT * FROM gm_spec.book").count() == 0)
+      assert(spark.sql("SELECT * FROM gm_spec.book").columns.toSeq ==
+        Seq("k", "tag", "v"))
+
+      // INSERT INTO through the V1Write face; versions advance
+      spark.sql("""INSERT INTO gm_spec.book
+        SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END,
+               CAST(id AS DOUBLE) FROM range(100)""")
+      val tsAfterInsert = new java.sql.Timestamp(
+        System.currentTimeMillis()).toString
+      assert(spark.sql("SELECT count(*) AS n FROM gm_spec.book")
+        .head.getLong(0) == 100)
+      spark.sql("""INSERT INTO gm_spec.book
+        SELECT id + 100, 'late', CAST(id AS DOUBLE) FROM range(50)""")
+
+      // DELETE FROM via SupportsDelete → copy-on-write deleteWhere
+      spark.sql("DELETE FROM gm_spec.book WHERE tag = 'odd'")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_spec.book")
+        .head.getLong(0) == 100)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_spec.book WHERE tag = 'odd'")
+        .head.getLong(0) == 0)
+
+      // time travel: VERSION AS OF (v1 create, v2 insert, v3 insert,
+      // v4 delete) and TIMESTAMP AS OF through commit mtimes
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_spec.book VERSION AS OF 2")
+        .head.getLong(0) == 100)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_spec.book VERSION AS OF 3")
+        .head.getLong(0) == 150)
+      assert(spark.sql("SELECT count(*) AS n FROM gm_spec.book " +
+        s"TIMESTAMP AS OF '$tsAfterInsert'").head.getLong(0) == 100)
+
+      // INSERT OVERWRITE = the blind replace commit
+      spark.sql("""INSERT OVERWRITE gm_spec.book
+        SELECT id, 'ow', CAST(id AS DOUBLE) FROM range(7)""")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_spec.book")
+        .head.getLong(0) == 7)
+
+      // CTAS: create + append in one statement
+      spark.sql("""CREATE TABLE gm_spec.book2 AS
+        SELECT k, v FROM gm_spec.book WHERE k < 5""")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_spec.book2")
+        .head.getLong(0) == 5)
+
+      // interop: the catalog table IS a ManifestedTable directory —
+      // an object-API merge is visible to the next SQL read
+      import spark.implicits._
+      val dir = s"$wh/book2"
+      ManifestedTable.merge(spark, dir,
+        Seq((0L, 100.0), (90L, 900.0)).toDF("k", "v"), Seq("k"))
+      assert(spark.sql("SELECT count(*) AS n FROM gm_spec.book2")
+        .head.getLong(0) == 6)
+      assert(spark.sql("SELECT v FROM gm_spec.book2 WHERE k = 0")
+        .head.getDouble(0) == 100.0)
+      // history records the operations; restore rolls forward to v2's
+      // image and SQL sees it
+      val hist = ManifestedTable.history(spark, dir)
+        .orderBy("version").collect().map(_.getString(2)).toSeq
+      assert(hist.take(3) == Seq("create", "append", "merge"), hist)
+      ManifestedTable.restore(spark, dir, 2L)
+      assert(spark.sql("SELECT count(*) AS n FROM gm_spec.book2")
+        .head.getLong(0) == 5, "restore did not roll the SQL view back")
+
+      // DROP TABLE
+      spark.sql("DROP TABLE gm_spec.book2")
+      assert(!new java.io.File(dir, "_manifests").exists())
+      intercept[Exception] { spark.sql("SELECT * FROM gm_spec.book2") }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gm_spec")
+      spark.conf.unset("spark.sql.catalog.gm_spec.root")
+    }
+  }
+
   test("graft-manifest DSv2 runtime filtering: a filtered dim prunes snapshot files") {
     // the AvroDataSource recipe pointed at the manifest layout: the
     // scan declares its stats-covered columns, Catalyst executes the
