@@ -2400,6 +2400,41 @@ object RelEntry {
       }
     }),
 
+    // ---- T93: manifest-served aggregate pushdown --------------------------
+    "q191_manifest_agg" -> ((s, d) => {
+      // zero-IO global aggregates through the SQL face: COUNT(*) and
+      // MIN/MAX over integer, and string columns fold entirely from
+      // the manifest's embedded per-file stats into ONE literal
+      // partition — no data file opens (SourceFormatsSpec pins the
+      // pushed-scan plan shape plus the decline legs: pushed filters,
+      // deletion vectors, missing tokens all fall back to a real
+      // scan). The oracle computes the same aggregates from the raw
+      // table, so hash equality proves the manifest's exact-encoding
+      // discipline end to end — decimal text for integers, base64
+      // UTF-8 for strings, unsigned-byte string ordering.
+      import graft.sources.ManifestedTable
+      val dir = java.nio.file.Files.createTempDirectory("graft_magg_q").toString
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      ManifestedTable.write(
+        base.repartitionByRange(8, col("o_orderkey")), dir)
+      val out = s.read.format("graft-manifest").load(dir)
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("k_lo"),
+          max(col("o_orderkey")).as("k_hi"),
+          min(col("cents")).as("c_lo"),
+          max(col("cents")).as("c_hi"),
+          min(col("o_orderpriority")).as("p_lo"),
+          max(col("o_orderpriority")).as("p_hi"))
+      core.Materialize.detached(out) {
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -3202,6 +3237,20 @@ object RelEntry {
         |LEFT JOIN v2 p ON c.o_orderkey = p.o_orderkey
         |WHERE c.o_custkey % 10 = 3
         |GROUP BY c.o_custkey""".stripMargin,
+
+    // q191 mirror: the same global aggregates from the raw table —
+    // equality proves the manifest-served fold exact per type
+    "q191_manifest_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS k_lo,
+        |  CAST(max(o_orderkey) AS BIGINT) AS k_hi,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS c_lo,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS c_hi,
+        |  min(o_orderpriority) AS p_lo,
+        |  max(o_orderpriority) AS p_hi
+        |FROM orders""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property

@@ -351,12 +351,138 @@ private[sources] class ManifestTable(schema: StructType, path: String,
 private[sources] class ManifestScanBuilder(full: StructType, path: String,
     version: Option[Long], startingVersion: Long = 0L,
     ignoreChanges: Boolean = false) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var aggRows: Option[(StructType, Array[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Global MIN/MAX/COUNT answered from the MANIFEST alone — |files|
+    * lines, zero data IO (the graft-avro construction pointed at the
+    * embedded stats). Sound only when nothing narrows or shifts what
+    * the stats describe, so it declines whenever: filters are pushed,
+    * grouping is present, a column lacks a token on ANY file, or —
+    * the deletion-vector subtlety — a file carries a DV (the vector
+    * may have deleted the extreme row, and COUNT must subtract |DV|;
+    * rather than re-deriving, decline and let the scan answer).
+    * Complete pushdown (one row, no partial merge) since the manifest
+    * already IS the global fold.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = pushAggregation(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{
+      Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val entries = ManifestedTable.snapshotEntries(conf, path, version)
+    if (entries.exists(e => e._2.dv.isDefined || e._2.rows.isEmpty))
+      return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case n: NamedReference if n.fieldNames().length == 1 =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val ok = agg.aggregateExpressions().forall {
+      case _: CountStar =>
+        fields += StructField("count(*)", LongType, nullable = false)
+        values += entries.map(_._2.rows.get).sum
+        true
+      case m: Min => colOf(m.column()).exists { name =>
+        val f = full.find(_.name == name)
+        statFold(entries, name, f.map(_.dataType), lo = true) match {
+          case Some(v) =>
+            fields += StructField(s"min($name)", f.get.dataType)
+            values += v
+            true
+          case None => false
+        }
+      }
+      case m: Max => colOf(m.column()).exists { name =>
+        val f = full.find(_.name == name)
+        statFold(entries, name, f.map(_.dataType), lo = false) match {
+          case Some(v) =>
+            fields += StructField(s"max($name)", f.get.dataType)
+            values += v
+            true
+          case None => false
+        }
+      }
+      case c: Count if !c.isDistinct =>
+        // COUNT(col) needs null counts, which the stats don't carry
+        false
+      case _ => false
+    }
+    if (!ok) return false
+    aggRows = Some((StructType(fields.toSeq), values.toArray))
+    true
+  }
+
+  /** Fold one column's per-file bounds to the global extreme; None if
+    * any NON-EMPTY file lacks the token (all-NULL files carry no bound
+    * and contribute nothing — MIN/MAX ignore NULLs).
+    */
+  private def statFold(
+      entries: Seq[(String, ManifestedTable.FileStats)], name: String,
+      dt: Option[org.apache.spark.sql.types.DataType],
+      lo: Boolean): Option[Any] = {
+    val nonEmpty = entries.filterNot(_._2.rows.contains(0L))
+    dt match {
+      case Some(LongType | IntegerType | ShortType | ByteType) =>
+        val bs = nonEmpty.flatMap(_._2.longs.get(name))
+        // a non-empty file without the token could be all-NULL (fine)
+        // or untracked (unsound) — only all-token coverage is provable
+        if (bs.size != nonEmpty.size || bs.isEmpty) None
+        else {
+          val v = if (lo) bs.map(_._1).min else bs.map(_._2).max
+          dt.get match {
+            case LongType => Some(v)
+            case IntegerType => Some(v.toInt)
+            case ShortType => Some(v.toShort)
+            case ByteType => Some(v.toByte)
+            case _ => None
+          }
+        }
+      case Some(DoubleType | FloatType) =>
+        val bs = nonEmpty.flatMap(_._2.dbls.get(name))
+        if (bs.size != nonEmpty.size || bs.isEmpty) None
+        else {
+          val v = if (lo) bs.map(_._1).min else bs.map(_._2).max
+          if (dt.get == DoubleType) Some(v) else Some(v.toFloat)
+        }
+      case Some(StringType) =>
+        val bs = nonEmpty.flatMap(_._2.strs.get(name))
+        if (bs.size != nonEmpty.size || bs.isEmpty) None
+        else {
+          def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+            var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) {
+              val d = (a(i) & 0xff) - (b(i) & 0xff)
+              if (d != 0) return d
+              i += 1
+            }
+            a.length - b.length
+          }
+          val v =
+            if (lo) bs.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+            else bs.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+          Some(UTF8String.fromBytes(v))
+        }
+      case _ => None
+    }
+  }
 
   /** Accept what the manifest intervals can refute; return EVERYTHING
     * as residual — pushed filters prune FILES here, rows are always
@@ -387,16 +513,77 @@ private[sources] class ManifestScanBuilder(full: StructType, path: String,
 
   override def build(): Scan = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    new ManifestScan(required, path, version, pushed,
-      new SerializableConfiguration(conf), startingVersion, ignoreChanges)
+    aggRows match {
+      case Some((schema, row)) => new ManifestAggScan(path, schema, row)
+      case None =>
+        new ManifestScan(required, path, version, pushed,
+          new SerializableConfiguration(conf), startingVersion,
+          ignoreChanges)
+    }
   }
 }
+
+/** The one-row answer of a fully pushed-down global aggregate — the
+  * manifest already held the fold, so the "scan" is a single literal
+  * partition.
+  */
+private[sources] class ManifestAggScan(path: String, schema: StructType,
+    row: Array[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-manifest $path [aggregate pushdown: " +
+      s"${schema.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private var done = false
+      private val r = partition.asInstanceOf[ManifestAggPartition].row
+      override def next(): Boolean = { val t = !done; done = true; t }
+      override def get(): InternalRow = new GenericInternalRow(r)
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] case class ManifestAggPartition(row: Array[Any])
+    extends InputPartition
 
 private[sources] class ManifestScan(readSchema: StructType, path: String,
     version: Option[Long], filters: Array[Filter],
     sconf: SerializableConfiguration, startingVersion: Long = 0L,
     ignoreChanges: Boolean = false)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Size/row statistics served from the manifest — what lets Catalyst
+    * make the BROADCAST decision for joins through this face without
+    * listing or opening a single data file. Computed over the entries
+    * the pushed filters keep (post-skipping selectivity), with row
+    * counts offered only when exact (every surviving file carries
+    * `n:` and no deletion vector overstates it).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val kept = ManifestedTable.snapshotEntries(sconf.value, path, version)
+      .filter { case (_, st) =>
+        !st.rows.contains(0L) &&
+          filters.forall(ManifestDataSource.mayMatch(st, _))
+      }.map(_._2)
+    val size = kept.flatMap(_.bytes) match {
+      case bs if bs.size == kept.size =>
+        java.util.OptionalLong.of(bs.sum)
+      case _ => java.util.OptionalLong.empty()
+    }
+    val rows =
+      if (kept.forall(st => st.rows.isDefined && st.dv.isEmpty))
+        java.util.OptionalLong.of(kept.flatMap(_.rows).sum)
+      else java.util.OptionalLong.empty()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
   override def description(): String =

@@ -287,22 +287,26 @@ object ManifestedTable {
       longs: Map[String, (Long, Long)],
       dbls: Map[String, (Double, Double)],
       strs: Map[String, (Array[Byte], Array[Byte])],
-      dv: Option[String] = None)
+      dv: Option[String] = None,
+      bytes: Option[Long] = None)
 
   private val EmptyStats =
-    FileStats(None, Map.empty, Map.empty, Map.empty, None)
+    FileStats(None, Map.empty, Map.empty, Map.empty, None, None)
 
   private def parseEntry(line: String): (String, FileStats) = {
     val parts = line.split('\t')
     if (parts.length <= 1) return (line, EmptyStats)
     var rows: Option[Long] = None
     var dv: Option[String] = None
+    var bytes: Option[Long] = None
     val ls = Map.newBuilder[String, (Long, Long)]
     val ds = Map.newBuilder[String, (Double, Double)]
     val ss = Map.newBuilder[String, (Array[Byte], Array[Byte])]
     parts.iterator.drop(1).foreach { tok =>
       if (tok.startsWith("n:")) {
         rows = scala.util.Try(tok.substring(2).toLong).toOption
+      } else if (tok.startsWith("b:")) {
+        bytes = scala.util.Try(tok.substring(2).toLong).toOption
       } else if (tok.startsWith("dv:")) {
         dv = Some(tok.substring(3)).filter(_.nonEmpty)
       } else {
@@ -326,7 +330,8 @@ object ManifestedTable {
         }
       }
     }
-    (parts(0), FileStats(rows, ls.result(), ds.result(), ss.result(), dv))
+    (parts(0),
+      FileStats(rows, ls.result(), ds.result(), ss.result(), dv, bytes))
   }
 
   /** Re-encode `line` with its `dv:` token replaced by `dvPath` (all
@@ -358,6 +363,7 @@ object ManifestedTable {
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
         toks += s"n:${blocks.map(_.getRowCount).sum}"
+        toks += s"b:${fs.getFileStatus(new Path(root, rel)).getLen}"
         // fold chunk stats per column across blocks; a single unusable
         // chunk poisons (drops) that column's token
         val longLo = scala.collection.mutable.Map.empty[String, Long]

@@ -733,6 +733,69 @@ class SourceFormatsSpec extends SparkTestBase {
       "the v1 view leaked post-merge rows")
   }
 
+  test("graft-manifest aggregate pushdown + statistics: the manifest answers, data stays closed") {
+    import graft.sources.ManifestedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_magg").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") < 800)
+    ManifestedTable.write(ev.repartitionByRange(8, col("event_id")), dir)
+    val face = spark.read.format("graft-manifest").load(dir)
+
+    // global MIN/MAX/COUNT fold to ONE literal partition served from
+    // the manifest's embedded stats — the plan shows the pushed scan
+    val agg = face.agg(count(lit(1)).as("n"),
+      min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+      min(col("event_type")).as("t_lo"), max(col("value")).as("v_hi"))
+    val scans = agg.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        => b.scan.description()
+    }
+    assert(scans.exists(_.contains("aggregate pushdown")),
+      s"aggregate did not push: $scans")
+    val got = agg.head
+    val want = ev.agg(count(lit(1)), min(col("event_id")),
+      max(col("event_id")), min(col("event_type")),
+      max(col("value"))).head
+    assert(got == want, s"pushed aggregate answered wrong: $got vs $want")
+
+    // decline legs — a pushed filter and a deletion vector both make
+    // the manifest fold unsound, so the scan answers (rows still exact)
+    val filtered = face.filter(col("user_id") >= 3)
+      .agg(max(col("event_id")).as("hi"))
+    assert(!filtered.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        => b.scan.description()
+    }.exists(_.contains("aggregate pushdown")),
+      "a filtered aggregate wrongly pushed down")
+    assert(filtered.head.getLong(0) ==
+      ev.filter(col("user_id") >= 3).agg(max(col("event_id")))
+        .head.getLong(0))
+    val hiKey = ev.agg(max(col("event_id"))).head.getLong(0)
+    ManifestedTable.deleteMatching(spark, dir,
+      { import spark.implicits._; Seq(hiKey).toDF("event_id") },
+      dvMaxFraction = 1.0)
+    val afterDv = spark.read.format("graft-manifest").load(dir)
+      .agg(count(lit(1)).as("n"), max(col("event_id")).as("hi")).head
+    assert(afterDv.getLong(0) == ev.count() - 1,
+      "COUNT ignored the deletion vector")
+    assert(afterDv.getLong(1) ==
+      ev.filter(col("event_id") =!= hiKey).agg(max(col("event_id")))
+        .head.getLong(0),
+      "MAX served a DV-deleted extreme from stale stats")
+
+    // statistics: the optimizer sees manifest-derived sizes (post-
+    // filter-skipping), not the unknown-source default — the number
+    // that drives broadcast decisions through this face
+    val band = spark.read.format("graft-manifest").load(dir)
+      .filter(col("event_id") >= 0L && col("event_id") <= 99L)
+    val sz = band.queryExecution.optimizedPlan.stats.sizeInBytes
+    val allBytes = ManifestedTable.currentFiles(spark, dir)
+      .map(f => new java.io.File(dir, f).length()).sum
+    assert(sz > 0 && sz < BigInt(allBytes) / 2,
+      s"band stats not manifest-served: $sz vs table $allBytes")
+  }
+
   test("graft-manifest catalog: SQL-only lifecycle — CREATE/INSERT/DELETE/time travel/interop") {
     import graft.sources.ManifestedTable
     val wh = java.nio.file.Files.createTempDirectory("graft_cat").toString
