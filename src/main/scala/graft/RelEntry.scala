@@ -2435,6 +2435,56 @@ object RelEntry {
       }
     }),
 
+    // ---- T94: SQL UPDATE + MERGE INTO (row-level operations) -------------
+    "q192_sql_update_merge" -> ((s, d) => {
+      // the engine-planned DML pair on the hash path: UPDATE re-prices
+      // the low-key urgent stratum and MERGE INTO reconciles a
+      // correction feed (matched keys re-priced, unmatched keys
+      // inserted) — both rewritten by Spark into ReplaceData plans
+      // over the connector's row-level operation, with the matched
+      // FILES found by the engine's own runtime group filter and the
+      // commit one OCC-validated manifest rename (SourceFormatsSpec
+      // pins the strict-minority rewrite claim). The oracle replays
+      // both statements relationally; hash equality pins the clause
+      // semantics end to end, inserted keys exactly once.
+      val wh = java.nio.file.Files.createTempDirectory("graft_rl_q").toString
+      s.conf.set("spark.sql.catalog.g192", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g192.root", wh)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g192_src")
+      s.sql("DROP TABLE IF EXISTS g192.book")
+      s.sql("CREATE TABLE g192.book AS SELECT * FROM g192_src")
+      s.sql("""UPDATE g192.book SET cents = cents + 99
+              |WHERE o_orderkey % 6 = 1
+              |  AND o_orderpriority = '1-URGENT'""".stripMargin)
+      s.sql("""MERGE INTO g192.book t
+              |USING (SELECT o_orderkey, o_custkey, o_orderpriority,
+              |              cents - 77 AS cents
+              |       FROM g192_src WHERE o_orderkey % 9 = 2
+              |       UNION ALL
+              |       SELECT o_orderkey + 407000000, o_custkey,
+              |              '9-FEED' AS o_orderpriority, cents
+              |       FROM g192_src WHERE o_orderkey % 9 = 5) s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET cents = s.cents,
+              |  o_orderpriority = s.o_orderpriority
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = s.sql(
+        """SELECT o_custkey AS custkey, o_orderpriority AS prio,
+          |  CAST(count(*) AS BIGINT) AS n, sum(cents) AS cents
+          |FROM g192.book WHERE o_custkey % 10 = 3
+          |GROUP BY o_custkey, o_orderpriority""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g192.book")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -3251,6 +3301,37 @@ object RelEntry {
         |  min(o_orderpriority) AS p_lo,
         |  max(o_orderpriority) AS p_hi
         |FROM orders""".stripMargin,
+
+    // q192 mirror: UPDATE then MERGE replayed relationally — note the
+    // merge's matched branch re-prices from the ORIGINAL cents (its
+    // source is the raw view), overriding the earlier UPDATE where the
+    // strata intersect
+    "q192_sql_update_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         o_orderpriority AS p,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, c, p,
+        |         CASE WHEN k % 6 = 1 AND p = '1-URGENT'
+        |              THEN cents + 99 ELSE cents END AS cents
+        |  FROM base),
+        |m AS (
+        |  SELECT u.k, u.c, u.p,
+        |         CASE WHEN u.k % 9 = 2 THEN b.cents - 77
+        |              ELSE u.cents END AS cents
+        |  FROM upd u JOIN base b ON u.k = b.k),
+        |fin AS (
+        |  SELECT * FROM m
+        |  UNION ALL
+        |  SELECT k + 407000000, c, '9-FEED', cents FROM base
+        |  WHERE k % 9 = 5)
+        |SELECT c AS custkey, p AS prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM fin WHERE c % 10 = 3
+        |GROUP BY c, p""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property

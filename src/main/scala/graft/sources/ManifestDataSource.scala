@@ -292,7 +292,37 @@ private[sources] class ManifestTable(schema: StructType, path: String,
     pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** `_file`/`_pos`: the row's physical identity, synthesized by the
+    * readers — what the engine's row-level rewrites (SQL UPDATE/MERGE)
+    * group and prune by.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          StringType
+        override def isNullable: Boolean = false
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          LongType
+        override def isNullable: Boolean = false
+      })
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      "cannot run DML against a time-travelled snapshot")
+    () => new ManifestRowLevelOperation(schema, path, info.command())
+  }
   override def name(): String = s"graft-manifest `$path`" +
     pinnedVersion.fold("")(v => s"@v$v")
   override def schema(): StructType = schema
@@ -802,51 +832,92 @@ private[sources] class ManifestPartitionReaderFactory(
     } else {
       val presentNames = (0 until fileSchema.getFieldCount)
         .map(fileSchema.getFieldName).toSet
-      val present = readSchema.fields.filter(f => presentNames(f.name))
-      // the projection reuses the FILE's own field types, so it is
-      // compatible by construction; requested-but-absent columns are
-      // filled NULL at conversion (the mergeSchema convention)
-      val projected = new MessageType(fileSchema.getName,
-        present.map(f =>
-          fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
-      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
-      val reader: ParquetReader[Group] =
-        ParquetReader.builder(new GroupReadSupport(), p).withConf(conf).build()
+      // `_file`/`_pos` are the table's METADATA columns (row-level ops
+      // group by them) — synthesized per partition, never read
+      val present = readSchema.fields.filter(f =>
+        presentNames(f.name) && f.name != "_file" && f.name != "_pos")
       val projIdx = present.map(_.name).zipWithIndex.toMap
-      val fills: Array[(Group, GenericInternalRow) => Unit] =
+      val relU = UTF8String.fromString(part.rel)
+      def fillsFor(projected: MessageType)
+          : Array[(Group, GenericInternalRow, Long) => Unit] =
         readSchema.fields.zipWithIndex.map { case (f, out) =>
-          projIdx.get(f.name) match {
+          if (f.name == "_file")
+            (_: Group, row: GenericInternalRow, _: Long) =>
+              row.update(out, relU)
+          else if (f.name == "_pos")
+            (_: Group, row: GenericInternalRow, ord: Long) =>
+              row.update(out, ord)
+          else projIdx.get(f.name) match {
             case None =>
-              (_: Group, row: GenericInternalRow) => row.update(out, null)
+              // requested-but-absent column: NULL (the mergeSchema
+              // convention for schema-widening histories)
+              (_: Group, row: GenericInternalRow, _: Long) =>
+                row.update(out, null)
             case Some(j) =>
               val get = valueGetter(f, projected, j, file)
-              (g: Group, row: GenericInternalRow) =>
+              (g: Group, row: GenericInternalRow, _: Long) =>
                 row.update(out,
                   if (g.getFieldRepetitionCount(j) == 0) null else get(g))
           }
         }
-      new PartitionReader[InternalRow] {
-        private var cur: Group = _
-        // ordinal = physical row index: the Group reader materializes
-        // rows sequentially with no row-group skipping, so the counter
-        // IS `_metadata.row_index` — the DV's position space
-        private var ordinal = -1L
-        override def next(): Boolean = {
-          cur = reader.read()
-          ordinal += 1
-          while (cur != null && deleted.contains(ordinal)) {
+      if (present.isEmpty) {
+        // metadata-only projection: ordinals from the footer count,
+        // no page opened
+        val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        val n = try {
+          import scala.jdk.CollectionConverters._
+          fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        } finally fr.close()
+        val fills = fillsFor(new MessageType(fileSchema.getName))
+        new PartitionReader[InternalRow] {
+          private var ordinal = -1L
+          override def next(): Boolean = {
+            ordinal += 1
+            while (ordinal < n && deleted.contains(ordinal)) ordinal += 1
+            ordinal < n
+          }
+          override def get(): InternalRow = {
+            val row = new GenericInternalRow(readSchema.length)
+            var i = 0
+            while (i < fills.length) { fills(i)(null, row, ordinal); i += 1 }
+            row
+          }
+          override def close(): Unit = ()
+        }
+      } else {
+        // the projection reuses the FILE's own field types, so it is
+        // compatible by construction
+        val projected = new MessageType(fileSchema.getName,
+          present.map(f =>
+            fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
+        conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
+        val reader: ParquetReader[Group] =
+          ParquetReader.builder(new GroupReadSupport(), p)
+            .withConf(conf).build()
+        val fills = fillsFor(projected)
+        new PartitionReader[InternalRow] {
+          private var cur: Group = _
+          // ordinal = physical row index: the Group reader materializes
+          // rows sequentially with no row-group skipping, so the counter
+          // IS `_metadata.row_index` — the DV's position space
+          private var ordinal = -1L
+          override def next(): Boolean = {
             cur = reader.read()
             ordinal += 1
+            while (cur != null && deleted.contains(ordinal)) {
+              cur = reader.read()
+              ordinal += 1
+            }
+            cur != null
           }
-          cur != null
+          override def get(): InternalRow = {
+            val row = new GenericInternalRow(readSchema.length)
+            var i = 0
+            while (i < fills.length) { fills(i)(cur, row, ordinal); i += 1 }
+            row
+          }
+          override def close(): Unit = reader.close()
         }
-        override def get(): InternalRow = {
-          val row = new GenericInternalRow(readSchema.length)
-          var i = 0
-          while (i < fills.length) { fills(i)(cur, row); i += 1 }
-          row
-        }
-        override def close(): Unit = reader.close()
       }
     }
   }

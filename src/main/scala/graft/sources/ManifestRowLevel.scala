@@ -1,0 +1,299 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter,
+  GroupWriteSupport}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType,
+  PrimitiveType, Type, Types}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** SQL `UPDATE` / `MERGE INTO` / rewrite-path `DELETE` for the
+  * manifested table — the group-based (copy-on-write) row-level
+  * operation protocol, the same construction Iceberg's Spark
+  * integration ships:
+  *
+  *  1. Spark rewrites the DML into a ReplaceData plan over this
+  *     operation's OWN scan and write.
+  *  2. The scan exposes the `_file` metadata column; Spark evaluates
+  *     the DML's condition FIRST (a dynamic-pruning subquery) and
+  *     hands the matching files back through runtime V2 filtering —
+  *     so only groups that actually contain affected rows are read
+  *     and rewritten, exactly [[ManifestedTable.merge]]'s
+  *     find-touched discipline arrived at through the engine's own
+  *     planner.
+  *  3. Replacement rows (updated + surviving rows of the touched
+  *     groups, computed by the engine) flow through real DSv2 writers
+  *     (parquet via the example Group writer — the mirror of the read
+  *     face), task commits are tracked per file, and the job commit
+  *     publishes ONE validated manifest rename: touched groups out,
+  *     replacement files in, untouched files by reference, with the
+  *     full OCC story anchored at the snapshot the operation was
+  *     CREATED against (a concurrent commit aborts the SQL statement
+  *     rather than silently losing either side).
+  *
+  * The operation reads through deletion vectors (its scan partitions
+  * carry them) and a replaced group's DV token drops with the group —
+  * a SQL UPDATE therefore also materializes the touched files'
+  * vectors, like compaction does.
+  */
+private[sources] class ManifestRowLevelOperation(tableSchema: StructType,
+    private[sources] val path: String, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  private val conf = SparkSession.active.sessionState.newHadoopConf()
+  // the anchor snapshot: scan and commit both resolve from THESE lines
+  private[sources] val (baseV, baseLines) =
+    ManifestedTable.snapshotLinesConf(conf, path)
+  private[sources] val baseEntries = baseLines.map(ManifestedTable.parseLine)
+  // groups the (runtime-filtered) scan finally planned — what commit
+  // replaces; defaults to everything until the scan narrows it
+  @volatile private[sources] var scanned: Seq[String] =
+    baseEntries.map(_._1)
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"graft-manifest row-level $cmd `$path` @v$baseV"
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ManifestRowLevelScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new ManifestReplaceWrite(ManifestRowLevelOperation.this,
+          info.schema())
+    }
+}
+
+private[sources] class ManifestRowLevelScanBuilder(
+    op: ManifestRowLevelOperation) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = null
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    new ManifestRowLevelScan(op,
+      Option(required).getOrElse(StructType(Nil)),
+      new SerializableConfiguration(conf))
+  }
+}
+
+/** The operation's scan: the anchor snapshot's files, narrowed to the
+  * matched groups by runtime V2 filtering on `_file` — and the planned
+  * set is REPORTED BACK to the operation, because those are exactly
+  * the groups its write must replace.
+  */
+private[sources] class ManifestRowLevelScan(op: ManifestRowLevelOperation,
+    readSchema: StructType, sconf: SerializableConfiguration)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  override def readSchema(): StructType = readSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-manifest row-level-scan ${op.description()}"
+
+  @volatile private var keep: Option[Set[String]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    // the engine evaluated the DML condition and is telling us which
+    // groups contain matches: In(_file, <rel paths>)
+    import org.apache.spark.sql.connector.expressions.{
+      GeneralScalarExpression, Literal => V2Literal}
+    predicates.foreach {
+      case g: GeneralScalarExpression if g.name == "IN" =>
+        val vals = g.children().toSeq.drop(1).collect {
+          case l: V2Literal[_] if l.value != null => l.value.toString
+        }
+        keep = Some(vals.toSet)
+      case _ => // unknown runtime predicate: keep everything (safe)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new Path(op.path)
+    val planned = op.baseEntries
+      .filterNot(_._2.rows.contains(0L))
+      .filter(e => keep.forall(_.contains(e._1)))
+    // what the write replaces = what this scan read
+    op.scanned = planned.map(_._1)
+    planned.map { case (rel, st) =>
+      ManifestFilePartition(new Path(root, rel).toString, rel,
+        st.dv.map(d => new Path(root, d).toString)): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestPartitionReaderFactory(readSchema, sconf)
+
+}
+
+private[sources] case class ManifestWriteMessage(rel: String)
+  extends WriterCommitMessage
+
+/** The replace write: real DSv2 parquet writers (one staged file per
+  * non-empty task), job commit = one OCC-validated manifest rename
+  * swapping the scanned groups for the written files.
+  */
+private[sources] class ManifestReplaceWrite(op: ManifestRowLevelOperation,
+    writeSchema: StructType) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graft-manifest replace-write ${op.description()}"
+
+  private val stage = s"data-${java.util.UUID.randomUUID()}"
+  private def conf = SparkSession.active.sessionState.newHadoopConf()
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    // metadata columns preserved through the replacement plan are not
+    // table data — drop them at the writer boundary
+    val dataSchema = StructType(writeSchema.fields
+      .filterNot(f => f.name == "_file" || f.name == "_pos"))
+    new ManifestRowWriterFactory(op.path, stage, dataSchema.json,
+      new SerializableConfiguration(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rels = messages.collect {
+      case ManifestWriteMessage(rel) if rel.nonEmpty => rel
+    }.toSeq.sorted
+    val lines = ManifestedTable.statLines(conf, op.path, rels)
+    ManifestedTable.replaceGroups(conf, op.path, op.baseV,
+      op.baseEntries.map(_._1), op.scanned.toSet, lines,
+      s"${op.command().toString.toLowerCase}_sql")
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(op.path).getFileSystem(conf)
+    fs.delete(new Path(new Path(op.path), stage), true)
+    ()
+  }
+}
+
+private[sources] class ManifestRowWriterFactory(path: String,
+    stage: String, schemaJson: String, sconf: SerializableConfiguration)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val msgType = ManifestRowWriterFactory.messageType(schema)
+    val rel = f"$stage/part-$partitionId%05d-$taskId.parquet"
+    val file = new Path(new Path(path), rel)
+    new DataWriter[InternalRow] {
+      private var writer: org.apache.parquet.hadoop.ParquetWriter[
+        org.apache.parquet.example.data.Group] = _
+      private def ensure(): Unit = if (writer == null) {
+        val c = new org.apache.hadoop.conf.Configuration(sconf.value)
+        GroupWriteSupport.setSchema(msgType, c)
+        writer = ExampleParquetWriter.builder(file).withConf(c)
+          .withType(msgType).build()
+      }
+      override def write(row: InternalRow): Unit = {
+        ensure()
+        val g = new SimpleGroup(msgType)
+        var i = 0
+        while (i < schema.length) {
+          if (!row.isNullAt(i)) schema.fields(i).dataType match {
+            case LongType | TimestampType => g.add(i, row.getLong(i))
+            case IntegerType | DateType => g.add(i, row.getInt(i))
+            case ShortType => g.add(i, row.getShort(i).toInt)
+            case ByteType => g.add(i, row.getByte(i).toInt)
+            case DoubleType => g.add(i, row.getDouble(i))
+            case FloatType => g.add(i, row.getFloat(i))
+            case BooleanType => g.add(i, row.getBoolean(i))
+            case StringType => g.add(i,
+              Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+            case BinaryType => g.add(i,
+              Binary.fromConstantByteArray(row.getBinary(i)))
+            case other => throw new UnsupportedOperationException(
+              s"graft-manifest row-level write: unsupported type $other")
+          }
+          i += 1
+        }
+        writer.write(g)
+      }
+      override def commit(): WriterCommitMessage = {
+        // an empty task writes nothing — no zero-row files to carry
+        if (writer == null) ManifestWriteMessage("")
+        else { writer.close(); ManifestWriteMessage(rel) }
+      }
+      override def abort(): Unit = {
+        if (writer != null) writer.close()
+        new Path(path).getFileSystem(sconf.value).delete(file, false)
+        ()
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] object ManifestRowWriterFactory {
+  /** Flat parquet schema mirroring the table's Spark schema — the
+    * write-side twin of the read face's per-file projection, with the
+    * logical annotations that make the files read back at the SAME
+    * Spark types through both the Group readers and the vectorized
+    * engine reader.
+    */
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val prim: Type = f.dataType match {
+        case LongType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.INT64).named(f.name)
+        case IntegerType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.INT32).named(f.name)
+        case ShortType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.intType(16, true)).named(f.name)
+        case ByteType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.intType(8, true)).named(f.name)
+        case DoubleType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.DOUBLE).named(f.name)
+        case FloatType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.FLOAT).named(f.name)
+        case BooleanType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.BOOLEAN)
+            .named(f.name)
+        case StringType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case BinaryType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+            .named(f.name)
+        case TimestampType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timestampType(true,
+              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case DateType =>
+          Types.optional(PrimitiveType.PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case other => throw new UnsupportedOperationException(
+          s"graft-manifest row-level write: unsupported type $other " +
+            s"for column ${f.name}")
+      }
+      b.addField(prim)
+    }
+    b.named("spark_schema")
+  }
+}

@@ -671,6 +671,62 @@ object ManifestedTable {
     readDataLines(fs, p).map(parseEntry)
   }
 
+  /** (version, raw entry lines) of the current snapshot — the base a
+    * SQL row-level operation (UPDATE/MERGE rewrite) anchors both its
+    * scan and its replace-commit to.
+    */
+  private[sources] def snapshotLinesConf(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: String): (Long, Seq[String]) = {
+    val root = new Path(dir)
+    currentSnapshot(root.getFileSystem(conf), root)
+  }
+
+  private[sources] def pathOfLine(line: String): String = pathOf(line)
+  private[sources] def parseLine(line: String): (String, FileStats) =
+    parseEntry(line)
+
+  /** Encode manifest lines (path + footer stats) for files already on
+    * disk — the DSv2 replace-write's commit step (same pooled footer
+    * reads as [[stageFiles]]).
+    */
+  private[sources] def statLines(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      rels: Seq[String]): Seq[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (rels.size <= 1) rels.map(rel => statLine(fs, root, rel))
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(16, rels.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(rels.map(rel =>
+          new java.util.concurrent.Callable[String] {
+            override def call(): String = statLine(fs, root, rel)
+          }).asJava).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    }
+  }
+
+  /** Publish a SQL row-level operation's result: the `touched` groups
+    * (files its runtime-filtered scan planned) drop, the staged
+    * replacement lines join, every untouched file rides by reference —
+    * under the full OCC validation anchored at `baseV`. The conflict
+    * scope is conservative: ANY interleaved added row aborts (the SQL
+    * rewrite read the whole snapshot's semantics).
+    */
+  private[sources] def replaceGroups(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      baseV: Long, baseFiles: Seq[String], touched: Set[String],
+      stagedLines: Seq[String], opName: String): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    publish(fs, root,
+      RewriteFiles(baseV, baseFiles, touched, opName, _ => true),
+      stagedLines)
+  }
+
   /** Create an EMPTY table with a declared schema — the catalog's
     * CREATE TABLE: version 1 carries no files and a `#schema=<json>`
     * meta line, so the SQL face can plan (and inserts can resolve)

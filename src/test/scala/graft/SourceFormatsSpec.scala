@@ -882,6 +882,78 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest SQL UPDATE and MERGE INTO: group-based row-level operations") {
+    // the last SQL DML gap: Spark rewrites UPDATE/MERGE on a
+    // SupportsRowLevelOperations table into a ReplaceData plan over
+    // the operation's own scan and write — the engine evaluates the
+    // condition first and hands the MATCHING FILES back through
+    // runtime V2 filtering on the _file metadata column, so only
+    // groups holding affected rows are rewritten (find-touched, done
+    // by the planner); the job commit is one OCC-validated manifest
+    // rename anchored at the operation's base snapshot
+    import graft.sources.ManifestedTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_rl").toString
+    spark.conf.set("spark.sql.catalog.gm_rl",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_rl.root", wh)
+    try {
+      // range() is ordered, so the CTAS files are key-clustered —
+      // a key-local UPDATE must replace a strict minority of them
+      spark.sql("""CREATE TABLE gm_rl.t AS
+        SELECT id AS k, CAST(id AS DOUBLE) AS v,
+               CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS tag
+        FROM range(0, 800, 1, 8)""")
+      val dir = s"$wh/t"
+      val v0 = ManifestedTable.currentVersion(spark, dir)
+      val files0 = ManifestedTable.currentFiles(spark, dir)
+      assert(files0.size >= 4, s"fixture too coarse: ${files0.size}")
+
+      spark.sql("UPDATE gm_rl.t SET v = v + 1000 WHERE k < 100 AND tag = 'even'")
+      val v1 = ManifestedTable.currentVersion(spark, dir)
+      assert(v1 == v0 + 1)
+      // row-level exactness
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_rl.t WHERE v >= 1000 AND k < 800")
+        .head.getLong(0) == 50)
+      assert(spark.sql("SELECT sum(v) AS s FROM gm_rl.t").head.getDouble(0)
+        == (0 until 800).map(_.toDouble).sum + 50 * 1000d)
+      assert(spark.sql("SELECT count(*) AS n FROM gm_rl.t")
+        .head.getLong(0) == 800)
+      // group-level claim: the runtime filter confined the rewrite to
+      // the files actually holding k < 100 evens — a strict minority
+      val (_, removed) = ManifestedTable.changedFiles(spark, dir, v0, v1)
+      assert(removed.nonEmpty && removed.size * 2 < files0.size,
+        s"UPDATE rewrote ${removed.size} of ${files0.size} files")
+
+      // MERGE INTO: updates + inserts through the same protocol
+      spark.sql("""SELECT id * 2 AS k, CAST(-1 AS DOUBLE) AS v,
+          'merged' AS tag FROM range(390, 410)""")
+        .createOrReplaceTempView("gm_rl_src")
+      spark.sql("""MERGE INTO gm_rl.t t USING gm_rl_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+        WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, s.tag)""")
+      // src keys 780..818 step 2: matched = 780..798 even (10 rows
+      // update), unmatched = 800..818 (10 rows insert)
+      assert(spark.sql("SELECT count(*) AS n FROM gm_rl.t")
+        .head.getLong(0) == 810)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_rl.t WHERE tag = 'merged'")
+        .head.getLong(0) == 20)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_rl.t WHERE tag = 'merged' AND k < 800")
+        .head.getLong(0) == 10)
+
+      // the object API sees the SQL DML's commits (same table format)
+      assert(ManifestedTable.read(spark, dir).count() == 810)
+      val ops = ManifestedTable.history(spark, dir)
+        .orderBy("version").collect().map(_.getString(2)).toSeq
+      assert(ops.contains("update_sql") && ops.contains("merge_sql"), ops)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gm_rl")
+      spark.conf.unset("spark.sql.catalog.gm_rl.root")
+    }
+  }
+
   test("graft-manifest DSv2 runtime filtering: a filtered dim prunes snapshot files") {
     // the AvroDataSource recipe pointed at the manifest layout: the
     // scan declares its stats-covered columns, Catalyst executes the
