@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Catalog state IS the filesystem: no metastore to drift from the
   * truth, listTables is one directory listing.
   */
-class ManifestCatalog extends TableCatalog {
+class ManifestCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catalogName: String = _
   private var root: String = _
 
@@ -126,16 +127,101 @@ class ManifestCatalog extends TableCatalog {
     new ManifestTable(schema, dir)
   }
 
+  /** `ALTER TABLE ... ADD COLUMNS` — the DDL face of the format's
+    * schema-widening story: the new declared schema commits as a
+    * no-file manifest version (versioned like data), existing rows
+    * read the column as NULL (the readers' absent-column convention),
+    * and the next INSERT resolves against the widened schema. Only
+    * top-level nullable appends are supported — exactly the evolution
+    * the widened-append read path already handles; anything else
+    * (drops, renames, repositioning) refuses loudly.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolves through widened " +
-        "appends (mergeSchema reads)")
+      changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    val cur = ManifestDataSource.schemaOf(dir, None)
+    val widened = changes.foldLeft(cur) {
+      case (s, add: TableChange.AddColumn)
+          if add.fieldNames().length == 1 && add.isNullable &&
+            add.position() == null =>
+        require(!s.fieldNames.contains(add.fieldNames()(0)),
+          s"column ${add.fieldNames()(0)} already exists")
+        s.add(org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType(), nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"ALTER TABLE: only top-level nullable ADD COLUMNS is " +
+          s"supported (schema widens, never mutates); got $other")
+    }
+    ManifestedTable.updateSchemaMeta(conf, dir, widened.json)
+    new ManifestTable(widened, dir)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
     if (!isTable(dir)) false
     else fs.delete(new Path(dir), true)
+  }
+
+  // ---- namespaces: directories that aren't tables -----------------------
+  // `SHOW TABLES IN g.ns`, `CREATE NAMESPACE` etc. — the namespace
+  // tree IS the directory tree, same no-metastore discipline as tables
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(new Path(root))((p, s) => new Path(p, s))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    val base = nsPath(namespace)
+    if (!fs.exists(base))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && !isTable(s.getPath.toString))
+      .map(s => namespace :+ s.getPath.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(nsPath(namespace)) &&
+        !isTable(nsPath(namespace).toString))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*)
+      : Unit =
+    throw new UnsupportedOperationException(
+      "namespaces carry no mutable metadata here")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    val p = nsPath(namespace)
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    fs.delete(p, true)
   }
 
   override def renameTable(oldIdent: Identifier,

@@ -123,15 +123,21 @@ object ManifestDataSource {
       version: Option[Long]): StructType = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
+    // a DECLARED schema (CREATE TABLE / ALTER TABLE) is authoritative:
+    // columns added by ALTER exist in no file yet and read NULL (the
+    // readers' absent-column convention) — footer inference is the
+    // fallback for object-API-built tables, which declare nothing
+    val declared = ManifestedTable.snapshotMeta(conf, dir)
+      .get(ManifestedTable.SchemaKey)
+      .map(json => org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType])
+    if (version.isEmpty && declared.isDefined) return declared.get
     val entries = ManifestedTable.snapshotEntries(conf, dir, version)
     if (entries.isEmpty) {
-      val json = ManifestedTable.snapshotMeta(conf, dir)
-        .getOrElse(ManifestedTable.SchemaKey, throw
-          new IllegalArgumentException(s"manifested table $dir is " +
-            "empty and declares no schema — schemaless empty reads " +
-            "are not supported"))
-      return org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[StructType]
+      return declared.getOrElse(throw
+        new IllegalArgumentException(s"manifested table $dir is " +
+          "empty and declares no schema — schemaless empty reads " +
+          "are not supported"))
     }
     val pick = entries.find(!_._2.rows.contains(0L)).getOrElse(entries.head)
     spark.read.parquet(new Path(new Path(dir), pick._1).toString).schema

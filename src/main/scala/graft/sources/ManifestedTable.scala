@@ -744,6 +744,19 @@ object ManifestedTable {
       Map(SchemaKey -> schemaJson, OpKey -> "create"))
   }
 
+  /** Record a new declared schema (the catalog's ALTER TABLE ADD
+    * COLUMNS): one no-file commit that carries every current entry by
+    * reference and swaps the `#schema=` meta — the declared schema is
+    * versioned exactly like data.
+    */
+  private[sources] def updateSchemaMeta(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      schemaJson: String): Long = {
+    val root = new Path(dir)
+    publish(root.getFileSystem(conf), root, AppendFiles, Nil,
+      Map(SchemaKey -> schemaJson, OpKey -> "alter"))
+  }
+
   /** Latest snapshot's `#key=value` metadata (conf-parameterized for
     * the DSv2/catalog faces). Empty map when no manifest exists.
     */

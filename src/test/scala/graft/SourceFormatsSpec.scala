@@ -872,6 +872,40 @@ class SourceFormatsSpec extends SparkTestBase {
       assert(spark.sql("SELECT count(*) AS n FROM gm_spec.book2")
         .head.getLong(0) == 5, "restore did not roll the SQL view back")
 
+      // ALTER TABLE ADD COLUMNS: the declared schema widens as a
+      // versioned no-file commit; existing rows read NULL, the next
+      // INSERT resolves against the widened shape, DML can use it
+      spark.sql("ALTER TABLE gm_spec.book2 ADD COLUMNS (note STRING)")
+      assert(spark.sql("SELECT * FROM gm_spec.book2").columns.toSeq ==
+        Seq("k", "v", "note"))
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_spec.book2 WHERE note IS NULL")
+        .head.getLong(0) == 5, "pre-ALTER rows must read NULL")
+      spark.sql(
+        "INSERT INTO gm_spec.book2 VALUES (200, CAST(7 AS DOUBLE), 'x')")
+      assert(spark.sql(
+        "SELECT note FROM gm_spec.book2 WHERE k = 200").head.getString(0)
+        == "x")
+      spark.sql("UPDATE gm_spec.book2 SET note = 'old' WHERE k < 2")
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_spec.book2 WHERE note = 'old'")
+        .head.getLong(0) == 2)
+      // only widening is supported — a drop refuses loudly
+      intercept[Exception] {
+        spark.sql("ALTER TABLE gm_spec.book2 DROP COLUMN note")
+      }
+
+      // namespaces are directories: create, list into, drop
+      spark.sql("CREATE NAMESPACE gm_spec.teams")
+      spark.sql("""CREATE TABLE gm_spec.teams.scores AS
+        SELECT id AS k FROM range(3)""")
+      assert(spark.sql("SHOW TABLES IN gm_spec.teams")
+        .collect().map(_.getString(1)).toSeq == Seq("scores"))
+      assert(spark.sql("SELECT count(*) AS n FROM gm_spec.teams.scores")
+        .head.getLong(0) == 3)
+      spark.sql("DROP TABLE gm_spec.teams.scores")
+      spark.sql("DROP NAMESPACE gm_spec.teams")
+
       // DROP TABLE
       spark.sql("DROP TABLE gm_spec.book2")
       assert(!new java.io.File(dir, "_manifests").exists())
