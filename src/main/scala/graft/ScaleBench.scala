@@ -331,6 +331,21 @@ object ScaleBench {
     // proportional by fixture) — a FIXED delta rewrites only touched
     // files — is the CompactionSpec mtime assert, not a curve
     "q176_merge_upsert",
+    // q189: merge-on-read deletion vectors — the matched strata grow
+    // m× with the table, so the three sidecar-writing DMLs (keyed
+    // delete, predicate delete, correction merge, all at
+    // dvMaxFraction=1) each run an m×-grown stats-pruned find-touched
+    // scan and write m×-grown (file,pos) sidecars while NO data file
+    // ever rewrites: β prices the claim that MoR cost tracks the
+    // matched-row mass plus one key-column scan, never the table's
+    // data volume
+    "q189_deletion_vectors",
+    // q192: SQL UPDATE + MERGE INTO through the row-level operation —
+    // the engine's runtime group filter confines each rewrite to the
+    // files actually holding matches; matched strata and file sizes
+    // both grow with m, so cost tracks condition scan + matched-group
+    // rewrite (find-touched found by the PLANNER, measured at scale)
+    "q192_sql_update_merge",
     // q178: CDC replication — leader snapshots, CDF, and the
     // follower's merge + keyed delete are all m×-proportional (the
     // changed strata scale with the table), so the whole

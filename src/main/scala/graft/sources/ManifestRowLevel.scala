@@ -175,6 +175,12 @@ private[sources] class ManifestReplaceWrite(op: ManifestRowLevelOperation,
     val rels = messages.collect {
       case ManifestWriteMessage(rel) if rel.nonEmpty => rel
     }.toSeq.sorted
+    // a DML matching nothing scanned no groups and wrote no rows —
+    // commit NOTHING (version unchanged), mirroring the object API's
+    // no-match contract. (Empty rels with a non-empty scanned set is
+    // different: every row of the scanned groups was deleted, and the
+    // commit must still drop them.)
+    if (rels.isEmpty && op.scanned.isEmpty) return
     val lines = ManifestedTable.statLines(conf, op.path, rels)
     ManifestedTable.replaceGroups(conf, op.path, op.baseV,
       op.baseEntries.map(_._1), op.scanned.toSet, lines,
