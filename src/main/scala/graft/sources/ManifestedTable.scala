@@ -494,16 +494,31 @@ object ManifestedTable {
     * the mode's conflict validation — losing the CAS means the world
     * changed, so the proof must be redone against the new world.
     */
+  // On HDFS/object stores, rename-without-overwrite IS the CAS. POSIX
+  // rename OVERWRITES, so the exists+rename pair is a TOCTOU window on
+  // local FS — per-table JVM locks close it for same-process writers
+  // (the test/dev reality; cross-process local FS remains documented
+  // single-writer, and real deployments are on HDFS semantics anyway).
+  private val localCasLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def publish(fs: FileSystem, root: Path, mode: CommitMode,
       staged: Seq[String], meta: Map[String, String] = Map.empty): Long = {
     val hook = beforePublish
     beforePublish = () => ()
     hook()
+    val casLock =
+      if (fs.getScheme == "file")
+        localCasLocks.computeIfAbsent(root.toString, _ => new Object)
+      else null
+    def locked[A](body: => A): A =
+      if (casLock == null) body else casLock.synchronized(body)
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
     var attempt = 0
     while (attempt < 64) {
-      val prev = manifestVersions(fs, root).lastOption
+      val committed: Long = locked {
+        val prev = manifestVersions(fs, root).lastOption
       val curV = prev.map(_._1).getOrElse(0L)
       // full LINES, not just paths: a kept file's embedded stats carry
       // into the next manifest byte-identical (computed once, ever)
@@ -561,8 +576,10 @@ object ManifestedTable {
       // committer that claimed v first makes this rename fail → retry
       // (snapshot, meta, AND the conflict proof are all redone per
       // attempt, so a lost race never publishes stale references)
-      if (!fs.exists(fin) && fs.rename(tmp, fin)) return v
-      fs.delete(tmp, false)
+      if (!fs.exists(fin) && fs.rename(tmp, fin)) v
+        else { fs.delete(tmp, false); -1L }
+      }
+      if (committed > 0) return committed
       attempt += 1
     }
     throw new IllegalStateException(

@@ -741,6 +741,86 @@ class CompactionSpec extends SparkTestBase {
     assert(vSame == v2, "a stats-refuted keyed DELETE advanced the version")
   }
 
+  test("manifested table: TRUE concurrent writers — appends never lose, merges serialize or retry") {
+    // no interleave hook here: four real threads hammer one table.
+    // Appends are blind — every one must land (the rebase path) with
+    // one version per commit. Merges on disjoint key strata race their
+    // publications — each either rebases (disjointness proven) or gets
+    // ConcurrentWriteException and RECOMPUTES; after the storm the
+    // table must hold every stratum's final image. (Local FS: the CAS
+    // is JVM-linearized per table — the HDFS rename semantics
+    // same-process; cross-process local FS stays single-writer.)
+    import graft.sources.{ConcurrentWriteException, ManifestedTable}
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_thr").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") < 800)
+    ManifestedTable.write(ev.repartitionByRange(8, col("event_id")), dir)
+    val v0 = ManifestedTable.currentVersion(spark, dir)
+
+    // phase 1: 4 threads × 5 appends of 10 rows each, distinct keys
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val appendJobs = (0 until 4).map { t =>
+        new Callable[Unit] {
+          override def call(): Unit = (0 until 5).foreach { i =>
+            val chunk = ev.limit(10).withColumn("event_id",
+              col("event_id") + lit(100000L * (t * 5 + i + 1)))
+            ManifestedTable.write(chunk, dir, overwrite = false)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(appendJobs.asJava).asScala.foreach(_.get())
+      assert(ManifestedTable.read(spark, dir).count() ==
+        ev.count() + 20 * 10,
+        "a racing append lost rows")
+      assert(ManifestedTable.currentVersion(spark, dir) == v0 + 20,
+        "append commits did not each take exactly one version")
+
+      // phase 2: 4 threads merge their own DISJOINT stratum, retrying
+      // on conflict — the retry recomputes against the new snapshot,
+      // which is the exception's contract
+      val mergeJobs = (0 until 4).map { t =>
+        new Callable[Unit] {
+          override def call(): Unit = {
+            val lo = t * 200L
+            val src = ev
+              .filter(col("event_id") >= lo && col("event_id") < lo + 200)
+              .withColumn("value", col("value") + lit(10000d * (t + 1)))
+            var done = false
+            var tries = 0
+            while (!done && tries < 12) {
+              tries += 1
+              try {
+                ManifestedTable.merge(spark, dir, src, Seq("event_id"))
+                done = true
+              } catch { case _: ConcurrentWriteException => }
+            }
+            require(done, s"stratum $t never committed in $tries tries")
+          }
+        }
+      }
+      pool.invokeAll(mergeJobs.asJava).asScala.foreach(_.get())
+      val got = ManifestedTable.read(spark, dir)
+      (0 until 4).foreach { t =>
+        val lo = t * 200L
+        val n = ev.filter(col("event_id") >= lo &&
+          col("event_id") < lo + 200).count()
+        assert(got.filter(col("event_id") >= lo && col("event_id") < lo + 200
+          && col("value") >= 10000d * (t + 1)).count() == n,
+          s"stratum $t lost its merge under concurrency")
+      }
+      assert(got.count() == ev.count() + 200,
+        "concurrent merges changed cardinality")
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(60, TimeUnit.SECONDS)
+      ()
+    }
+  }
+
   test("manifested table: deletion vectors — a 1-row delete moves zero data bytes") {
     // merge-on-read: when a DML's per-file deleted fraction is under
     // dvMaxFraction, the file is NOT rewritten — deleted positions go
