@@ -592,6 +592,13 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
+  // snapshot ISOLATION: the entry list is pinned when the scan is
+  // built (analysis time), so a commit landing between planning and
+  // execution — or between two subplans of the same query reading the
+  // same table — cannot shift what this scan reads
+  private val entries =
+    ManifestedTable.snapshotEntries(sconf.value, path, version)
+
   /** Size/row statistics served from the manifest — what lets Catalyst
     * make the BROADCAST decision for joins through this face without
     * listing or opening a single data file. Computed over the entries
@@ -601,8 +608,7 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val kept = ManifestedTable.snapshotEntries(sconf.value, path, version)
-      .filter { case (_, st) =>
+    val kept = entries.filter { case (_, st) =>
         !st.rows.contains(0L) &&
           filters.forall(ManifestDataSource.mayMatch(st, _))
       }.map(_._2)
@@ -651,7 +657,7 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
-    ManifestedTable.snapshotEntries(sconf.value, path, version)
+    entries
       .filter { case (_, st) =>
         !st.rows.contains(0L) &&
           (filters.iterator ++ runtime.iterator)
