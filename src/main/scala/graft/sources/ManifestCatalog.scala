@@ -44,7 +44,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * truth, listTables is one directory listing.
   */
 class ManifestCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -164,6 +165,26 @@ class ManifestCatalog extends TableCatalog
     if (!isTable(dir)) false
     else fs.delete(new Path(dir), true)
   }
+
+  // ---- maintenance procedures: CALL <catalog>.system.<proc>(...) --------
+  // (see [[ManifestProcedures]]; table names resolve under this
+  // catalog's root, so SQL maintenance composes with every other face)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace().sameElements(Array("system"))
+    (if (ok) ManifestProcedures.load(ident.name(),
+      tbl => dirOf(Identifier.of(Array.empty, tbl))) else None)
+      .getOrElse(throw new RuntimeException(
+        s"no procedure $ident — have system.{" +
+          s"${ManifestProcedures.Names.mkString(",")}}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      ManifestProcedures.Names
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // ---- namespaces: directories that aren't tables -----------------------
   // `SHOW TABLES IN g.ns`, `CREATE NAMESPACE` etc. — the namespace

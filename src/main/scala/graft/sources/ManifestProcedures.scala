@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` face of the maintenance tier — the operations a table
+  * needs that are not DML and have no ANSI spelling (every production
+  * lakehouse grows a procedure namespace for exactly these; this is
+  * Spark 4's own ProcedureCatalog protocol, so the spelling is the
+  * engine's):
+  *
+  * {{{
+  * CALL g.system.compact('tbl', 134217728)
+  * CALL g.system.optimize('tbl', 134217728, 'event_id')   -- clustered
+  * CALL g.system.vacuum('tbl', 1, 0)
+  * CALL g.system.restore('tbl', 3)
+  * }}}
+  *
+  * Each returns a one-row result (the new version / reclaimed count) —
+  * the procedure's receipt. Arguments bind by position or name with
+  * engine-side type coercion; the table name resolves under the
+  * catalog's own root, so procedures compose with every other face of
+  * the same directory.
+  */
+private[sources] object ManifestProcedures {
+
+  private def conf = SparkSession.active.sessionState.newHadoopConf()
+
+  private def oneRow(schema: StructType, values: Any*): Scan = {
+    val row = new GenericInternalRow(values.toArray)
+    new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+      override def description(): String = "graft-manifest procedure result"
+    }
+  }
+
+  private val VersionOut =
+    StructType(Seq(StructField("version", LongType, nullable = false)))
+
+  /** One maintenance procedure: fixed parameter list, one-row result. */
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      out: StructType)(run: (String, InternalRow) => Any)
+      (resolveDir: String => String): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String =
+        s"graft-manifest maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String =
+            s"graft-manifest maintenance: $procName"
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            val dir = resolveDir(input.getUTF8String(0).toString)
+            Collections.singletonList(
+              oneRow(out, run(dir, input))).iterator()
+          }
+        }
+    }
+
+  /** The procedures under `<catalog>.system`, with `resolveDir`
+    * mapping a table name to its directory under the catalog root.
+    */
+  def load(name: String, resolveDir: String => String)
+      : Option[UnboundProcedure] = {
+    val table = ProcedureParameter.in("table", StringType).build()
+    name match {
+      case "compact" => Some(proc("compact", Seq(table,
+        ProcedureParameter.in("target_bytes", LongType).build()),
+        VersionOut) { (dir, in) =>
+        ManifestedTable.compact(SparkSession.active, dir, in.getLong(1))
+      }(resolveDir))
+      case "optimize" => Some(proc("optimize", Seq(table,
+        ProcedureParameter.in("target_bytes", LongType).build(),
+        ProcedureParameter.in("cluster_by", StringType).build()),
+        VersionOut) { (dir, in) =>
+        ManifestedTable.compactClustered(SparkSession.active, dir,
+          in.getLong(1),
+          org.apache.spark.sql.functions.col(in.getUTF8String(2).toString))
+      }(resolveDir))
+      case "vacuum" => Some(proc("vacuum", Seq(table,
+        ProcedureParameter.in("keep_last", IntegerType).build(),
+        ProcedureParameter.in("min_age_ms", LongType).build()),
+        StructType(Seq(
+          StructField("deleted_files", IntegerType, nullable = false)))) {
+        (dir, in) =>
+          ManifestedTable.vacuum(SparkSession.active, dir, in.getInt(1),
+            in.getLong(2))
+      }(resolveDir))
+      case "restore" => Some(proc("restore", Seq(table,
+        ProcedureParameter.in("version", LongType).build()),
+        VersionOut) { (dir, in) =>
+        ManifestedTable.restore(SparkSession.active, dir, in.getLong(1))
+      }(resolveDir))
+      case _ => None
+    }
+  }
+
+  val Names: Seq[String] = Seq("compact", "optimize", "vacuum", "restore")
+}

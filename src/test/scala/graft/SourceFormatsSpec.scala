@@ -988,6 +988,67 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest catalog: CALL procedures — compact/optimize/vacuum/restore from SQL") {
+    import graft.sources.ManifestedTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_proc").toString
+    spark.conf.set("spark.sql.catalog.gm_proc",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_proc.root", wh)
+    try {
+      // small-file creep via five SQL inserts
+      spark.sql("CREATE TABLE gm_proc.t (k BIGINT, v DOUBLE)")
+      (0 until 5).foreach { i =>
+        spark.sql(s"INSERT INTO gm_proc.t SELECT id, CAST(id AS DOUBLE) " +
+          s"FROM range(${i * 100}, ${i * 100 + 100})")
+      }
+      val dir = s"$wh/t"
+      val before = ManifestedTable.currentFiles(spark, dir).size
+      assert(before >= 5)
+
+      // OPTIMIZE (clustered compaction) through plain SQL — the
+      // receipt row carries the new version
+      val ov = spark.sql(
+        "CALL gm_proc.system.optimize('t', 1073741824, 'k')")
+        .head.getLong(0)
+      assert(ov == ManifestedTable.currentVersion(spark, dir))
+      assert(ManifestedTable.currentFiles(spark, dir).size < before)
+      assert(spark.sql("SELECT count(*) AS n FROM gm_proc.t")
+        .head.getLong(0) == 500)
+      // clustered: a key band now prunes through the face
+      val band = spark.read.format("graft-manifest").load(dir)
+        .filter(col("k") >= 0L && col("k") <= 49L)
+      assert(band.rdd.getNumPartitions <
+        ManifestedTable.currentFiles(spark, dir).size ||
+        ManifestedTable.currentFiles(spark, dir).size == 1)
+
+      // RESTORE to the pre-optimize version, then VACUUM with age 0
+      // reclaims everything unreferenced; the table still reads exact
+      spark.sql(s"CALL gm_proc.system.restore('t', ${ov - 1})")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_proc.t")
+        .head.getLong(0) == 500)
+      val deleted = spark.sql(
+        "CALL gm_proc.system.vacuum('t', 1, 0)").head.getInt(0)
+      assert(deleted > 0, "vacuum reclaimed nothing after the restore")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_proc.t")
+        .head.getLong(0) == 500)
+
+      // plain compact is callable too and no-ops when already compact
+      spark.sql("CALL gm_proc.system.compact('t', 1073741824)")
+      val v = ManifestedTable.currentVersion(spark, dir)
+      spark.sql("CALL gm_proc.system.compact('t', 1073741824)")
+      assert(ManifestedTable.currentVersion(spark, dir) == v,
+        "a no-op compact advanced the version")
+
+      // unknown procedures refuse loudly
+      intercept[Exception] {
+        spark.sql("CALL gm_proc.system.explode('t')")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gm_proc")
+      spark.conf.unset("spark.sql.catalog.gm_proc.root")
+    }
+  }
+
   test("graft-manifest DSv2 runtime filtering: a filtered dim prunes snapshot files") {
     // the AvroDataSource recipe pointed at the manifest layout: the
     // scan declares its stats-covered columns, Catalyst executes the
