@@ -105,9 +105,49 @@ private[sources] object ManifestProcedures {
         VersionOut) { (dir, in) =>
         ManifestedTable.restore(SparkSession.active, dir, in.getLong(1))
       }(resolveDir))
+      case "history" => Some(new UnboundProcedure {
+        // DESCRIBE HISTORY as a procedure: one row per retained
+        // version (version, commit time, operation, file + DV counts)
+        override def name(): String = "history"
+        override def description(): String =
+          "graft-manifest maintenance: history"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "history"
+            override def description(): String =
+              "graft-manifest maintenance: history"
+            override def parameters(): Array[ProcedureParameter] =
+              Array(table)
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow)
+                : java.util.Iterator[Scan] = {
+              val dir = resolveDir(input.getUTF8String(0).toString)
+              val out = StructType(Seq(
+                StructField("version", LongType, nullable = false),
+                StructField("commit_ms", LongType, nullable = false),
+                StructField("op", StringType, nullable = false),
+                StructField("n_files", LongType, nullable = false),
+                StructField("n_dv", LongType, nullable = false)))
+              val hist = ManifestedTable
+                .history(SparkSession.active, dir)
+                .orderBy("version").collect().map { r =>
+                  new GenericInternalRow(Array[Any](r.getLong(0),
+                    r.getLong(1), UTF8String.fromString(r.getString(2)),
+                    r.getLong(3), r.getLong(4))): InternalRow
+                }
+              Collections.singletonList(new LocalScan {
+                override def rows(): Array[InternalRow] = hist
+                override def readSchema(): StructType = out
+                override def description(): String =
+                  "graft-manifest history"
+              }: Scan).iterator()
+            }
+          }
+      })
       case _ => None
     }
   }
 
-  val Names: Seq[String] = Seq("compact", "optimize", "vacuum", "restore")
+  val Names: Seq[String] =
+    Seq("compact", "optimize", "vacuum", "restore", "history")
 }

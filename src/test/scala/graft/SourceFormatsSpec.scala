@@ -1039,6 +1039,25 @@ class SourceFormatsSpec extends SparkTestBase {
       assert(ManifestedTable.currentVersion(spark, dir) == v,
         "a no-op compact advanced the version")
 
+      // DESCRIBE HISTORY as a procedure: per-version op trail
+      val hist = spark.sql("CALL gm_proc.system.history('t')")
+        .orderBy("version").collect()
+      assert(hist.length ==
+        ManifestedTable.versions(spark, dir).size)
+      assert(hist.map(_.getString(2)).toSeq
+        .containsSlice(Seq("restore(v7)")) ||
+        hist.map(_.getString(2)).exists(_.startsWith("restore")),
+        hist.map(_.getString(2)).mkString(","))
+
+      // the _file metadata column works from SQL — per-file row
+      // counts without any helper API (the layout report as a query)
+      val perFile = spark.sql(
+        "SELECT _file, count(*) AS n FROM gm_proc.t GROUP BY _file")
+        .collect()
+      assert(perFile.nonEmpty &&
+        perFile.map(_.getLong(1)).sum == 500,
+        s"metadata-column counts wrong: ${perFile.mkString(",")}")
+
       // unknown procedures refuse loudly
       intercept[Exception] {
         spark.sql("CALL gm_proc.system.explode('t')")
