@@ -125,6 +125,14 @@ class ManifestCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     ManifestedTable.createEmpty(conf, dir, schema.json)
+    // user TBLPROPERTIES persist in the manifest meta (engine-reserved
+    // creation keys stay out); graft.dv-max-fraction is the one the
+    // engine itself reads (the SQL DELETE merge-on-read dial)
+    import scala.jdk.CollectionConverters._
+    val userProps = properties.asScala.toMap -- Seq("provider",
+      "location", "owner", "comment", "external")
+    if (userProps.nonEmpty)
+      ManifestedTable.setTableProperties(conf, dir, userProps)
     new ManifestTable(schema, dir)
   }
 
@@ -144,6 +152,7 @@ class ManifestCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
     val cur = ManifestDataSource.schemaOf(dir, None)
+    val setProps = scala.collection.mutable.Map.empty[String, String]
     val widened = changes.foldLeft(cur) {
       case (s, add: TableChange.AddColumn)
           if add.fieldNames().length == 1 && add.isNullable &&
@@ -152,11 +161,17 @@ class ManifestCatalog extends TableCatalog
           s"column ${add.fieldNames()(0)} already exists")
         s.add(org.apache.spark.sql.types.StructField(
           add.fieldNames()(0), add.dataType(), nullable = true))
+      case (s, p: TableChange.SetProperty) =>
+        setProps += p.property() -> p.value(); s
       case (_, other) => throw new UnsupportedOperationException(
-        s"ALTER TABLE: only top-level nullable ADD COLUMNS is " +
-          s"supported (schema widens, never mutates); got $other")
+        s"ALTER TABLE: only top-level nullable ADD COLUMNS and SET " +
+          s"TBLPROPERTIES are supported (schema widens, never " +
+          s"mutates; the meta merge cannot unset); got $other")
     }
-    ManifestedTable.updateSchemaMeta(conf, dir, widened.json)
+    if (widened != cur)
+      ManifestedTable.updateSchemaMeta(conf, dir, widened.json)
+    if (setProps.nonEmpty)
+      ManifestedTable.setTableProperties(conf, dir, setProps.toMap)
     new ManifestTable(widened, dir)
   }
 

@@ -376,11 +376,24 @@ private[sources] class ManifestTable(schema: StructType, path: String,
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions
         .filter.Predicate]): Unit = {
+    val spark = SparkSession.active
     val cond = predicates.flatMap(ManifestDataSource.predicateToColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    ManifestedTable.deleteWhere(SparkSession.active, path, cond)
+    // the table's own MoR dial: with graft.dv-max-fraction set, a SQL
+    // DELETE under the threshold writes a deletion-vector sidecar
+    // instead of rewriting the file
+    val dvFrac = ManifestedTable
+      .tableProperties(spark.sessionState.newHadoopConf(), path)
+      .get("graft.dv-max-fraction").map(_.toDouble).getOrElse(0.0)
+    ManifestedTable.deleteWhere(spark, path, cond, dvFrac)
     ()
+  }
+
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    ManifestedTable.tableProperties(
+      SparkSession.active.sessionState.newHadoopConf(), path).asJava
   }
 }
 

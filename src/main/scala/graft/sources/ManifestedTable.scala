@@ -774,6 +774,31 @@ object ManifestedTable {
       Map(SchemaKey -> schemaJson, OpKey -> "alter"))
   }
 
+  /** Table properties ride the manifest meta under `prop.` keys —
+    * carried forward like the txn marker, so a property survives every
+    * commit and vacuum's history collapse. The one the engine reads
+    * itself: `graft.dv-max-fraction` (the merge-on-read threshold SQL
+    * DELETEs apply — Delta's enableDeletionVectors, as a dial).
+    */
+  private[sources] val PropPrefix = "prop."
+
+  private[sources] def tableProperties(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: String): Map[String, String] =
+    snapshotMeta(conf, dir).collect {
+      case (k, v) if k.startsWith(PropPrefix) =>
+        k.stripPrefix(PropPrefix) -> v
+    }
+
+  private[sources] def setTableProperties(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      props: Map[String, String]): Long = {
+    val root = new Path(dir)
+    publish(root.getFileSystem(conf), root, AppendFiles, Nil,
+      props.map { case (k, v) => s"$PropPrefix$k" -> v } +
+        (OpKey -> "set-properties"))
+  }
+
   /** Latest snapshot's `#key=value` metadata (conf-parameterized for
     * the DSv2/catalog faces). Empty map when no manifest exists.
     */

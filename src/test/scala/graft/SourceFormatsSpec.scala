@@ -1039,6 +1039,22 @@ class SourceFormatsSpec extends SparkTestBase {
       assert(ManifestedTable.currentVersion(spark, dir) == v,
         "a no-op compact advanced the version")
 
+      // TBLPROPERTIES persist in the manifest and the engine reads its
+      // own dial: with graft.dv-max-fraction set, a 1-row SQL DELETE
+      // writes a deletion-vector sidecar — zero data files move
+      spark.sql("ALTER TABLE gm_proc.t SET TBLPROPERTIES " +
+        "('graft.dv-max-fraction' = '0.2')")
+      val vProp = ManifestedTable.currentVersion(spark, dir)
+      val filesProp = ManifestedTable.currentFiles(spark, dir).sorted
+      spark.sql("DELETE FROM gm_proc.t WHERE k = 123")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_proc.t")
+        .head.getLong(0) == 499)
+      val (adds, rems) = ManifestedTable.changedFiles(spark, dir,
+        vProp, vProp + 1)
+      assert(adds.isEmpty && rems.isEmpty,
+        s"a MoR-dialed SQL DELETE moved data files: +$adds -$rems")
+      assert(ManifestedTable.currentFiles(spark, dir).sorted == filesProp)
+
       // DESCRIBE HISTORY as a procedure: per-version op trail
       val hist = spark.sql("CALL gm_proc.system.history('t')")
         .orderBy("version").collect()
@@ -1055,8 +1071,8 @@ class SourceFormatsSpec extends SparkTestBase {
         "SELECT _file, count(*) AS n FROM gm_proc.t GROUP BY _file")
         .collect()
       assert(perFile.nonEmpty &&
-        perFile.map(_.getLong(1)).sum == 500,
-        s"metadata-column counts wrong: ${perFile.mkString(",")}")
+        perFile.map(_.getLong(1)).sum == 499,
+        s"metadata-column counts wrong (DV-aware): ${perFile.mkString(",")}")
 
       // unknown procedures refuse loudly
       intercept[Exception] {
