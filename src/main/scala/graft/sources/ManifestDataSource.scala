@@ -336,7 +336,8 @@ private[sources] class ManifestTable(schema: StructType, path: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(schema, path,
       ManifestDataSource.versionOf(options, path).orElse(pinnedVersion),
@@ -364,6 +365,15 @@ private[sources] class ManifestTable(schema: StructType, path: String,
               ManifestedTable.write(data, path, overwrite = overwrite)
               ()
             }
+          // the NATIVE streaming sink: epoch-named task files, one
+          // txn-marked manifest rename per epoch — exactly-once
+          // without a foreachBatch shim (see ManifestStreamingWrite)
+          override def toStreaming: org.apache.spark.sql.connector
+              .write.streaming.StreamingWrite = {
+            require(!overwrite,
+              "graft-manifest streaming: append mode only")
+            new ManifestStreamingWrite(path, info.schema())
+          }
         }
     }
   }

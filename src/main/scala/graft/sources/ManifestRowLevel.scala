@@ -197,13 +197,28 @@ private[sources] class ManifestReplaceWrite(op: ManifestRowLevelOperation,
 
 private[sources] class ManifestRowWriterFactory(path: String,
     stage: String, schemaJson: String, sconf: SerializableConfiguration)
-    extends DataWriterFactory {
+    extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] = {
+      taskId: Long): DataWriter[InternalRow] =
+    mkWriter(partitionId, taskId, None)
+
+  /** The streaming flavor: the EPOCH joins the file name, so replayed
+    * epochs re-stage under fresh names and never collide with the
+    * committed attempt's files.
+    */
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    mkWriter(partitionId, taskId, Some(epochId))
+
+  private def mkWriter(partitionId: Int, taskId: Long,
+      epoch: Option[Long]): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val msgType = ManifestRowWriterFactory.messageType(schema)
-    val rel = f"$stage/part-$partitionId%05d-$taskId.parquet"
+    val rel = f"$stage/part-${epoch.fold("")(e => s"e$e-")}%s" +
+      f"$partitionId%05d-$taskId.parquet"
     val file = new Path(new Path(path), rel)
     new DataWriter[InternalRow] {
       private var writer: org.apache.parquet.hadoop.ParquetWriter[
@@ -301,5 +316,50 @@ private[sources] object ManifestRowWriterFactory {
       b.addField(prim)
     }
     b.named("spark_schema")
+  }
+}
+
+/** `writeStream.format("graft-manifest")` — the CONNECTOR-NATIVE
+  * exactly-once streaming sink (T78's appendBatch without the
+  * foreachBatch shim): each epoch's tasks stage epoch-named parquet
+  * files through the same Group writers as the batch faces, and the
+  * epoch commit is ONE manifest rename carrying the txn marker — a
+  * replayed epoch finds its id ≤ the recorded marker and commits
+  * NOTHING (its re-staged files become orphans for vacuum), which is
+  * exactly-once end to end under the engine's at-least-once epoch
+  * delivery. Append mode only; the table keeps every other face
+  * (time travel, CDF, DML, compaction) live under the stream.
+  */
+private[sources] class ManifestStreamingWrite(path: String,
+    writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val stage = s"data-${java.util.UUID.randomUUID()}"
+  private def conf = SparkSession.active.sessionState.newHadoopConf()
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ManifestRowWriterFactory(path, stage, writeSchema.json,
+      new SerializableConfiguration(conf))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val rels = messages.collect {
+      case ManifestWriteMessage(rel) if rel.nonEmpty => rel
+    }.toSeq.sorted
+    // false = the marker already covers this epoch (replay) — the
+    // re-staged files stay orphans until vacuum; nothing double-lands
+    ManifestedTable.appendStagedBatch(conf, path, rels, epochId)
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf)
+    messages.collect { case ManifestWriteMessage(rel) if rel.nonEmpty =>
+      fs.delete(new Path(new Path(path), rel), false)
+    }
+    ()
   }
 }

@@ -774,6 +774,27 @@ object ManifestedTable {
       Map(SchemaKey -> schemaJson, OpKey -> "alter"))
   }
 
+  /** Commit already-staged files as an EXACTLY-ONCE streaming batch —
+    * the connector-native twin of [[appendBatch]] (same txn-marker
+    * discipline, same atomic rename), for the DSv2 streaming sink
+    * whose tasks wrote the files themselves. Returns false (commits
+    * NOTHING) when `batchId` is ≤ the recorded marker: the engine's
+    * epoch replay becomes a provable no-op, files orphaned for vacuum.
+    */
+  private[sources] def appendStagedBatch(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      rels: Seq[String], batchId: Long): Boolean = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val last = snapshotMeta(conf, dir).get(TxnKey)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    if (last.exists(_ >= batchId)) return false
+    val lines = statLines(conf, dir, rels)
+    publish(fs, root, AppendFiles, lines, Map(TxnKey -> batchId.toString))
+    true
+  }
+
   /** Table properties ride the manifest meta under `prop.` keys —
     * carried forward like the txn marker, so a property survives every
     * commit and vacuum's history collapse. The one the engine reads

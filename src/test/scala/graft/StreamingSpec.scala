@@ -688,6 +688,58 @@ class StreamingSpec extends SparkTestBase {
       expect(col("event_id") >= 300 && col("event_id") < 350).size)
   }
 
+  test("graft-manifest NATIVE streaming sink: exactly-once epochs, no foreachBatch shim") {
+    // T78's appendBatch semantics inside the connector itself:
+    // writeStream.format("graft-manifest") stages epoch-named files
+    // through the DSv2 writers and commits each epoch as one
+    // txn-marked manifest rename — restart resumes with nothing
+    // double-landed, and the table keeps its whole feature set live
+    import graft.sources.ManifestedTable
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsink").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_nsinkc").toString
+    val in = MemoryStream[SessionEvent]
+    def start() = in.toDF().writeStream
+      .format("graft-manifest")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", chk)
+      .start(dir)
+
+    val q = start()
+    in.addData(SessionEvent(1L, 100L), SessionEvent(2L, 200L))
+    q.processAllAvailable()
+    in.addData(SessionEvent(3L, 300L))
+    q.processAllAvailable()
+    q.stop()
+    def users() = ManifestedTable.read(spark, dir)
+      .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(users() == Seq(1L, 2L, 3L))
+    val marker = ManifestedTable.lastBatchId(spark, dir)
+    assert(marker.isDefined, "the native sink did not record txn markers")
+
+    // restart from the same checkpoint: nothing replays, new data lands
+    val q2 = start()
+    in.addData(SessionEvent(4L, 400L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(users() == Seq(1L, 2L, 3L, 4L),
+      "restart duplicated or dropped epochs")
+    assert(ManifestedTable.lastBatchId(spark, dir).get > marker.get)
+
+    // a direct replay of the recorded epoch is a provable no-op
+    val v = ManifestedTable.currentVersion(spark, dir)
+    assert(!ManifestedTable.appendBatch(
+      Seq(SessionEvent(4L, 400L)).toDF(), dir,
+      ManifestedTable.lastBatchId(spark, dir).get))
+    assert(ManifestedTable.currentVersion(spark, dir) == v)
+
+    // the table's other faces stay live under the stream's commits
+    assert(spark.read.format("graft-manifest").load(dir).count() == 4)
+    assert(ManifestedTable.history(spark, dir)
+      .collect().map(_.getString(2)).forall(_ == "append"))
+  }
+
   test("continuous CDC replication: manifest stream into the exactly-once sink") {
     // T79 made continuous: the follower is maintained by a STREAM over
     // the leader's manifest versions feeding appendBatch — both halves
