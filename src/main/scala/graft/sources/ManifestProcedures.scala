@@ -128,6 +128,7 @@ private[sources] object ManifestProcedures {
                 StructField("op", StringType, nullable = false),
                 StructField("n_files", LongType, nullable = false),
                 StructField("n_dv", LongType, nullable = false)))
+              // |retained versions| rows — manifest-sized
               val hist = ManifestedTable
                 .history(SparkSession.active, dir)
                 .orderBy("version").collect().map { r =>

@@ -1314,6 +1314,7 @@ object ManifestedTable {
           case BySourceDelete(c) => c
           case BySourceUpdate(_, c) => c
         }).map(unmatched.filter).getOrElse(unmatched)
+        // distinct file names: ≤ |files| rows — manifest-sized
         applicable.select(col("__file")).distinct().collect()
           .map(_.getString(0)).toSet.toSeq.sorted
     }
