@@ -2360,7 +2360,7 @@ object RelEntry {
       // TableCatalog face: CTAS creates the manifested order book,
       // INSERT INTO appends a late feed, DELETE FROM runs the
       // copy-on-write delete, and the final SELECT joins the CURRENT
-      // snapshot against VERSION AS OF 2 (the post-CTAS image) —
+      // snapshot against VERSION AS OF <post-CTAS version> —
       // per audited customer, current count/cents beside the original
       // cents (the versioned join is what a reconciliation report
       // actually does). The oracle replays the three statements
@@ -2376,18 +2376,26 @@ object RelEntry {
       s.sql("DROP TABLE IF EXISTS g190.book")
       s.sql("""CREATE TABLE g190.book AS
               |SELECT * FROM g190_src WHERE o_orderkey % 4 < 3""".stripMargin)
+      // the post-CTAS version, resolved from the table itself rather
+      // than hardcoded: CTAS commits create(v1)+insert(v2) TODAY, but
+      // any engine-supplied table property outside createTable's strip
+      // list would add a set-properties commit and silently shift the
+      // numbering — the snapshot the reconciliation reads must be
+      // anchored to the OPERATION, not to a version constant
+      val postCtasV = graft.sources.ManifestedTable.currentVersion(
+        s, new org.apache.hadoop.fs.Path(wh, "book").toString)
       s.sql("""INSERT INTO g190.book
               |SELECT o_orderkey + 307000000, o_custkey, cents
               |FROM g190_src WHERE o_orderkey % 10 = 9""".stripMargin)
       s.sql("DELETE FROM g190.book " +
         "WHERE cents > 25000000 AND o_custkey % 7 = 3")
       val out = s.sql(
-        """SELECT c.o_custkey AS custkey,
+        s"""SELECT c.o_custkey AS custkey,
           |  CAST(count(*) AS BIGINT) AS n,
           |  sum(c.cents) AS cents_now,
           |  sum(p.cents) AS cents_at_v2
           |FROM g190.book c
-          |LEFT JOIN (SELECT * FROM g190.book VERSION AS OF 2) p
+          |LEFT JOIN (SELECT * FROM g190.book VERSION AS OF $postCtasV) p
           |  ON c.o_orderkey = p.o_orderkey
           |WHERE c.o_custkey % 10 = 3
           |GROUP BY c.o_custkey""".stripMargin)

@@ -126,18 +126,21 @@ object ManifestDataSource {
     // a DECLARED schema (CREATE TABLE / ALTER TABLE) is authoritative:
     // columns added by ALTER exist in no file yet and read NULL (the
     // readers' absent-column convention) — footer inference is the
-    // fallback for object-API-built tables, which declare nothing
-    val declared = ManifestedTable.snapshotMeta(conf, dir)
+    // fallback for object-API-built tables, which declare nothing.
+    // For a PINNED version the declared schema comes from THAT
+    // snapshot's own manifest meta (the schema is versioned like
+    // data): an ALTER must neither leak backwards into older versioned
+    // reads nor vanish from a versioned read after the ALTER.
+    val declared = ManifestedTable.snapshotMeta(conf, dir, version)
       .get(ManifestedTable.SchemaKey)
       .map(json => org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[StructType])
-    if (version.isEmpty && declared.isDefined) return declared.get
+    if (declared.isDefined) return declared.get
     val entries = ManifestedTable.snapshotEntries(conf, dir, version)
     if (entries.isEmpty) {
-      return declared.getOrElse(throw
-        new IllegalArgumentException(s"manifested table $dir is " +
-          "empty and declares no schema — schemaless empty reads " +
-          "are not supported"))
+      throw new IllegalArgumentException(s"manifested table $dir is " +
+        "empty and declares no schema — schemaless empty reads " +
+        "are not supported")
     }
     val pick = entries.find(!_._2.rows.contains(0L)).getOrElse(entries.head)
     spark.read.parquet(new Path(new Path(dir), pick._1).toString).schema

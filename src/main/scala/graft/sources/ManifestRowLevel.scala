@@ -183,7 +183,7 @@ private[sources] class ManifestReplaceWrite(op: ManifestRowLevelOperation,
     if (rels.isEmpty && op.scanned.isEmpty) return
     val lines = ManifestedTable.statLines(conf, op.path, rels)
     ManifestedTable.replaceGroups(conf, op.path, op.baseV,
-      op.baseEntries.map(_._1), op.scanned.toSet, lines,
+      op.baseLines, op.scanned.toSet, lines,
       s"${op.command().toString.toLowerCase}_sql")
     ()
   }

@@ -462,16 +462,21 @@ object ManifestedTable {
     * nothing, so it rebases freely — appends never conflict.
     */
   private case object AppendFiles extends CommitMode
-  /** A rewrite computed against snapshot `baseV` (= `baseFiles`) that
-    * claims `touched` ⊆ baseFiles (the files it rewrote) and carries
+  /** A rewrite computed against snapshot `baseV` (= `baseLines`) that
+    * claims `touched` ⊆ base paths (the files it rewrote) and carries
     * everything else by reference. On a version race the interleaved
-    * commits must be provably disjoint: none removed a touched file,
-    * and `scopeOverlaps` (given the interleave's ADDED files, absolute
-    * paths) must find no row inside the operation's read scope — then
-    * the untouched references rebase onto the current file list.
-    * Otherwise [[ConcurrentWriteException]].
+    * commits must be provably disjoint: every touched file's CURRENT
+    * manifest line must be byte-identical to its base line — removal
+    * catches a racing rewrite, and LINE identity (not just path)
+    * catches a racing merge-on-read commit that changed the file's
+    * `dv:` sidecar without moving the file, whose deletes a base-built
+    * republish would silently resurrect — and `scopeOverlaps` (given
+    * the interleave's ADDED files, absolute paths) must find no row
+    * inside the operation's read scope — then the untouched references
+    * rebase onto the current file list. Otherwise
+    * [[ConcurrentWriteException]].
     */
-  private final case class RewriteFiles(baseV: Long, baseFiles: Seq[String],
+  private final case class RewriteFiles(baseV: Long, baseLines: Seq[String],
       touched: Set[String], opName: String,
       scopeOverlaps: Seq[String] => Boolean) extends CommitMode
 
@@ -507,9 +512,13 @@ object ManifestedTable {
     val hook = beforePublish
     beforePublish = () => ()
     hook()
+    // canonicalize the key: 'file:///tmp/t', '/tmp/t', and a trailing
+    // slash must all take the SAME lock or the TOCTOU window reopens
+    // for differently-spelled callers of one table
     val casLock =
       if (fs.getScheme == "file")
-        localCasLocks.computeIfAbsent(root.toString, _ => new Object)
+        localCasLocks.computeIfAbsent(
+          fs.makeQualified(root).toUri.toString, _ => new Object)
       else null
     def locked[A](body: => A): A =
       if (casLock == null) body else casLock.synchronized(body)
@@ -528,19 +537,26 @@ object ManifestedTable {
         case Replace => Nil
         case AppendFiles => curLines
         case rw: RewriteFiles =>
+          val baseFiles = rw.baseLines.map(pathOf)
           if (curV != rw.baseV) {
             // interleaved commits landed since this op read its
-            // snapshot — prove disjointness or abort, never revert
-            val curSet = curFiles.toSet
-            val clash = rw.baseFiles
-              .filter(f => rw.touched(f) && !curSet(f))
+            // snapshot — prove disjointness or abort, never revert.
+            // Identity is the full manifest LINE, not the path: a
+            // merge-on-read interleave changes a file's `dv:` token
+            // while the path survives, and republishing content built
+            // from the BASE line would resurrect its deleted rows.
+            val curLineByPath = curLines.map(l => pathOf(l) -> l).toMap
+            val baseLineByPath = rw.baseLines.map(l => pathOf(l) -> l).toMap
+            val clash = baseFiles.filter(f => rw.touched(f) &&
+              !curLineByPath.get(f).contains(baseLineByPath(f)))
             if (clash.nonEmpty) throw new ConcurrentWriteException(
               s"${rw.opName} computed against v${rw.baseV} of $root, but " +
-                s"a concurrent commit (now v$curV) rewrote or removed " +
-                s"file(s) it touched: ${clash.take(3).mkString(", ")}" +
+                s"a concurrent commit (now v$curV) rewrote, removed, or " +
+                s"re-vectored file(s) it touched: " +
+                clash.take(3).mkString(", ") +
                 (if (clash.size > 3) s" (+${clash.size - 3} more)" else "") +
                 " — re-run against the current snapshot")
-            val baseSet = rw.baseFiles.toSet
+            val baseSet = baseFiles.toSet
             val addedSinceBase = curFiles.filterNot(baseSet)
             if (addedSinceBase.nonEmpty &&
                 rw.scopeOverlaps(absPaths(root, addedSinceBase)))
@@ -735,12 +751,12 @@ object ManifestedTable {
     */
   private[sources] def replaceGroups(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
-      baseV: Long, baseFiles: Seq[String], touched: Set[String],
+      baseV: Long, baseLines: Seq[String], touched: Set[String],
       stagedLines: Seq[String], opName: String): Long = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     publish(fs, root,
-      RewriteFiles(baseV, baseFiles, touched, opName, _ => true),
+      RewriteFiles(baseV, baseLines, touched, opName, _ => true),
       stagedLines)
   }
 
@@ -820,16 +836,30 @@ object ManifestedTable {
         (OpKey -> "set-properties"))
   }
 
-  /** Latest snapshot's `#key=value` metadata (conf-parameterized for
-    * the DSv2/catalog faces). Empty map when no manifest exists.
+  /** `#key=value` metadata of the latest snapshot — or of a PINNED
+    * retained version: the declared schema (and every other meta key)
+    * is versioned exactly like data, so a `VERSION AS OF` read must
+    * resolve the schema THAT snapshot declared, not the current one
+    * (an ALTER-added column must not leak backwards, nor vanish from a
+    * versioned read after the ALTER). Empty map when no manifest
+    * exists (current) — a pinned version that is not retained throws,
+    * like every other versioned resolver.
     */
   private[sources] def snapshotMeta(
-      conf: org.apache.hadoop.conf.Configuration,
-      dir: String): Map[String, String] = {
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      version: Option[Long] = None): Map[String, String] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    manifestVersions(fs, root).lastOption
-      .map(v => readMeta(fs, v._2)).getOrElse(Map.empty)
+    val vs = manifestVersions(fs, root)
+    version match {
+      case Some(v) =>
+        val p = vs.find(_._1 == v).map(_._2).getOrElse(throw
+          new IllegalArgumentException(s"version $v not retained under " +
+            s"$dir (have ${vs.map(_._1).mkString(",")})"))
+        readMeta(fs, p)
+      case None =>
+        vs.lastOption.map(v => readMeta(fs, v._2)).getOrElse(Map.empty)
+    }
   }
 
   /** The latest version committed at or before `tsMillis` — time
@@ -1009,7 +1039,8 @@ object ManifestedTable {
     // rebases (its files ride uncompacted), an interleaved DML
     // conflicts (it removed files this rewrite claims)
     publish(fs, root,
-      RewriteFiles(baseV, files, files.toSet, "compact", _ => false), staged)
+      RewriteFiles(baseV, baseLines, files.toSet, "compact", _ => false),
+      staged)
   }
 
   private val TxnKey = "txn-batch"
@@ -1422,7 +1453,8 @@ object ManifestedTable {
         !spark.read.option("mergeSchema", "true").parquet(paths: _*)
           .select(keys.map(col): _*).join(srcKeys, keys, "left_semi").isEmpty
     publish(fs, root,
-      RewriteFiles(baseV, cur, touched.toSet, "merge", overlaps), staged)
+      RewriteFiles(baseV, baseLines, touched.toSet, "merge", overlaps),
+      staged)
   }
 
   /** Row-level DELETE WHERE — `cond` follows SQL DELETE semantics:
@@ -1487,7 +1519,7 @@ object ManifestedTable {
       !spark.read.option("mergeSchema", "true").parquet(paths: _*)
         .filter(cond).isEmpty
     publish(fs, root,
-      RewriteFiles(baseV, cur, touched.toSet, "deleteWhere", overlaps),
+      RewriteFiles(baseV, baseLines, touched.toSet, "deleteWhere", overlaps),
       rwStaged ++ dvLines)
   }
 
@@ -1556,8 +1588,8 @@ object ManifestedTable {
       !spark.read.option("mergeSchema", "true").parquet(paths: _*)
         .select(keyCols.map(col): _*).join(k, keyCols, "left_semi").isEmpty
     publish(fs, root,
-      RewriteFiles(baseV, cur, touched.toSet, "deleteMatching", overlaps),
-      rwStaged ++ dvLines)
+      RewriteFiles(baseV, baseLines, touched.toSet, "deleteMatching",
+        overlaps), rwStaged ++ dvLines)
   }
 
   /** ATOMIC CLUSTERED compaction — the `OPTIMIZE ... ZORDER BY` /
@@ -1589,7 +1621,7 @@ object ManifestedTable {
       .sortWithinPartitions(clusterBy)
     val staged = stageFiles(clustered, root, fs)
     publish(fs, root,
-      RewriteFiles(baseV, files, files.toSet, "compactClustered",
+      RewriteFiles(baseV, baseLines, files.toSet, "compactClustered",
         _ => false), staged)
   }
 
@@ -1653,7 +1685,15 @@ object ManifestedTable {
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $dir")
     val cutoff = System.currentTimeMillis() - minAgeMillis
-    val retained = vs.takeRight(keepLast)
+    // manifests get the SAME age guard as data files: an in-flight
+    // time-travel read, changesBetween, or streaming batch planning
+    // that already listed versions must not lose its manifest
+    // mid-query inside the retention window — so superseded manifests
+    // younger than the cutoff survive this pass (and their entries
+    // join the live set, keeping those versions fully READABLE, not
+    // just listable)
+    val retained = vs.takeRight(keepLast) ++ vs.dropRight(keepLast)
+      .filter(v => fs.getFileStatus(v._2).getModificationTime > cutoff)
     // live = every data file AND deletion-vector sidecar a retained
     // manifest references — a dv-* dir is reclaimed exactly like a
     // data-* dir once nothing points at its files
@@ -1679,7 +1719,9 @@ object ManifestedTable {
               s.getPath.getName.startsWith("_")))
           fs.delete(d.getPath, true)
       }
-    vs.dropRight(keepLast).foreach(v => fs.delete(v._2, false))
+    vs.dropRight(keepLast)
+      .filter(v => fs.getFileStatus(v._2).getModificationTime <= cutoff)
+      .foreach(v => fs.delete(v._2, false))
     deleted
   }
 }

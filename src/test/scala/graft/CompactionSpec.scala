@@ -1069,5 +1069,32 @@ class CompactionSpec extends SparkTestBase {
       assert(rows(d) == ev.orderBy("event_id", "value").collect().toSeq,
         "the aborted merge changed rows through a racing compaction")
     }
+
+    // (7) merge-on-read DELETE racing another MoR delete on the SAME
+    // file: neither commit adds or removes a PATH — each only swaps
+    // the file's `dv:` token — so a path-identity conflict check
+    // passes both legs and the loser's base-built sidecar (computed
+    // without the winner's pairs) would silently RESURRECT the
+    // winner's deleted rows. Conflict identity is therefore the full
+    // manifest LINE: the interleave must abort the loser loudly, with
+    // the winner's image intact and the loser's rows untouched.
+    locally {
+      val d = fresh()
+      ManifestedTable.beforePublish = () =>
+        ManifestedTable.deleteWhere(spark, d, col("event_id") < 5,
+          dvMaxFraction = 1.0)
+      intercept[ConcurrentWriteException] {
+        ManifestedTable.deleteWhere(spark, d,
+          col("event_id") >= 5 && col("event_id") < 10,
+          dvMaxFraction = 1.0)
+      }
+      val got = ManifestedTable.read(spark, d)
+      assert(got.filter(col("event_id") < 5).count() == 0,
+        "the aborted MoR delete resurrected the interleaved DV's rows")
+      assert(got.filter(col("event_id") >= 5 && col("event_id") < 10)
+        .count() ==
+        ev.filter(col("event_id") >= 5 && col("event_id") < 10).count(),
+        "the aborted MoR delete half-applied its own predicate")
+    }
   }
 }

@@ -875,9 +875,25 @@ class SourceFormatsSpec extends SparkTestBase {
       // ALTER TABLE ADD COLUMNS: the declared schema widens as a
       // versioned no-file commit; existing rows read NULL, the next
       // INSERT resolves against the widened shape, DML can use it
+      val vPreAlter = ManifestedTable.currentVersion(spark, dir)
       spark.sql("ALTER TABLE gm_spec.book2 ADD COLUMNS (note STRING)")
+      val vPostAlter = ManifestedTable.currentVersion(spark, dir)
       assert(spark.sql("SELECT * FROM gm_spec.book2").columns.toSeq ==
         Seq("k", "v", "note"))
+      // the declared schema is VERSIONED like data: a versioned read
+      // of a pre-ALTER snapshot serves THAT snapshot's own declared
+      // schema (no `note` — the ALTER must not leak backwards), and a
+      // versioned read AT the ALTER commit keeps the added column even
+      // though zero files carry it yet (it reads NULL, not vanishes)
+      assert(spark.sql(
+        s"SELECT * FROM gm_spec.book2 VERSION AS OF $vPreAlter")
+        .columns.toSeq == Seq("k", "v"),
+        "an ALTER-added column leaked into an older versioned read")
+      val atAlter = spark.sql(
+        s"SELECT * FROM gm_spec.book2 VERSION AS OF $vPostAlter")
+      assert(atAlter.columns.toSeq == Seq("k", "v", "note"),
+        "the ALTER-added column vanished from its own versioned read")
+      assert(atAlter.filter("note IS NULL").count() == 5)
       assert(spark.sql(
         "SELECT count(*) AS n FROM gm_spec.book2 WHERE note IS NULL")
         .head.getLong(0) == 5, "pre-ALTER rows must read NULL")
