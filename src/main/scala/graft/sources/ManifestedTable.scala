@@ -32,11 +32,27 @@ final class ConcurrentWriteException(msg: String)
   *    job writes a FRESH dir (Spark's own task-commit protocol handles
   *    task retries inside it), so concurrent readers of the previous
   *    snapshot never observe files changing underneath them.
-  *  - `_manifests/manifest-<v>` — one relative file path per line; the
-  *    snapshot at version v. Written as a dot-temp then RENAMED into
-  *    place: readers see a complete manifest or none. The CURRENT
-  *    snapshot is the highest v — no mutable pointer file exists, so
-  *    nothing is ever updated in place.
+  *  - `_manifests/manifest-<v>` — the snapshot at version v. Written
+  *    as a dot-temp then RENAMED into place: readers see a complete
+  *    manifest or none. The CURRENT snapshot is the highest v — no
+  *    mutable pointer file exists, so nothing is ever updated in
+  *    place. A manifest is either FULL (one entry line per file —
+  *    what Replace-shaped commits write, a natural chain reset) or a
+  *    DELTA against version v−1 (marked `#base=<v-1>`; lines are
+  *    `+<entry>` for added files and `-<path>` for removed ones), so
+  *    an append or keyed DML writes O(commit) metadata bytes, never
+  *    O(table) — the term that would otherwise make epoch-rate
+  *    streaming commits scale with table size. Snapshot metadata
+  *    (`#key=value`) is carried IN FULL in every manifest, delta or
+  *    not, so meta reads never chase the chain.
+  *  - `_manifests/checkpoint-<v>` — a DERIVED sidecar holding version
+  *    v's fully resolved entry lines, written best-effort every
+  *    checkpoint-interval-th delta commit (and by [[vacuum]] for the
+  *    oldest retained version before older manifests drop). Resolution
+  *    walks back from v to the nearest full manifest or checkpoint and
+  *    folds the deltas forward — one full read plus a bounded tail.
+  *    Being derivable, a crash between the manifest rename and the
+  *    checkpoint write costs nothing.
   *
   * Commit protocol: stage files → write manifest-(maxV+1) by rename.
   * A job that dies mid-stage leaves orphan data files and NO new
@@ -76,6 +92,15 @@ object ManifestedTable {
 
   private val ManifestDir = "_manifests"
   private val ManifestPrefix = "manifest-"
+  private val CheckpointPrefix = "checkpoint-"
+
+  /** Every `interval`-th delta commit materializes a `checkpoint-<v>`
+    * sidecar (Delta's log-checkpoint construction), bounding every
+    * snapshot resolution to one full read + at most `interval` small
+    * delta reads. Overridable per table via the
+    * `graft.checkpoint-interval` property.
+    */
+  private val DefaultCheckpointInterval = 8L
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -118,17 +143,15 @@ object ManifestedTable {
     if (i < 0) line else line.substring(0, i)
   }
 
-  private def readManifest(fs: FileSystem, p: Path): Seq[String] =
-    readDataLines(fs, p).map(pathOf)
-
   /** Current snapshot's relative file paths (empty table ⇒ empty list;
     * NO manifest at all ⇒ error — an unpublished dir is not a table).
     */
   def currentFiles(spark: SparkSession, dir: String): Seq[String] = {
     val fs = fsOf(spark, dir)
-    val vs = manifestVersions(fs, new Path(dir))
+    val root = new Path(dir)
+    val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $dir")
-    readManifest(fs, vs.last._2)
+    resolveDataLines(fs, root, vs.toMap, vs.last._1).map(pathOf)
   }
 
   def currentVersion(spark: SparkSession, dir: String): Long = {
@@ -145,10 +168,10 @@ object ManifestedTable {
 
   private def linesAt(fs: FileSystem, root: Path, version: Long): Seq[String] = {
     val vs = manifestVersions(fs, root)
-    val p = vs.find(_._1 == version).map(_._2).getOrElse(throw
+    if (!vs.exists(_._1 == version)) throw
       new IllegalArgumentException(s"version $version not retained under " +
-        s"$root (have ${vs.map(_._1).mkString(",")})"))
-    readDataLines(fs, p)
+        s"$root (have ${vs.map(_._1).mkString(",")})")
+    resolveDataLines(fs, root, vs.toMap, version)
   }
 
   private def filesAt(fs: FileSystem, root: Path, version: Long): Seq[String] =
@@ -342,9 +365,6 @@ object ManifestedTable {
     (line.split('\t').filterNot(_.startsWith("dv:")) :+ s"dv:$dvPath")
       .mkString("\t")
 
-  private def entriesAt(fs: FileSystem, p: Path): Seq[(String, FileStats)] =
-    readDataLines(fs, p).map(parseEntry)
-
   /** Encode the manifest line for a freshly staged file: path + stat
     * tokens from ONE footer read. Any column whose chunks lack usable
     * statistics (or whose name would collide with the token grammar)
@@ -442,13 +462,75 @@ object ManifestedTable {
     (rel +: toks.toSeq).mkString("\t")
   }
 
-  /** `#key=value` metadata of the snapshot at manifest path `p`. */
-  private def readMeta(fs: FileSystem, p: Path): Map[String, String] =
-    readManifestRaw(fs, p).collect {
-      case l if l.startsWith("#") && l.contains('=') =>
+  /** `#key=value` metadata of the snapshot at manifest path `p`.
+    * Meta lines lead the file, so the read stops at the first entry
+    * line — O(meta) even when `p` is a full manifest of a huge table
+    * (the append fast path reads ONLY this from its predecessor).
+    */
+  private def readMeta(fs: FileSystem, p: Path): Map[String, String] = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    try {
+      val m = Map.newBuilder[String, String]
+      var l = in.readLine()
+      while (l != null && l.startsWith("#")) {
         val i = l.indexOf('=')
-        l.substring(1, i) -> l.substring(i + 1)
-    }.toMap
+        if (i > 0) m += l.substring(1, i) -> l.substring(i + 1)
+        l = in.readLine()
+      }
+      m.result()
+    } finally in.close()
+  }
+
+  private def checkpointPathOf(root: Path, v: Long): Path =
+    new Path(new Path(root, ManifestDir), f"$CheckpointPrefix$v%06d")
+
+  /** Apply one delta manifest's entry lines to a resolved base:
+    * `-path` lines drop the path's entry, `+entry` lines append. A
+    * same-path remove+add pair (a deletion-vector swap, a stats
+    * refresh) replaces the line in one delta.
+    */
+  private def applyDelta(base: Seq[String], delta: Seq[String]): Seq[String] = {
+    val removed = delta.iterator
+      .filter(_.startsWith("-")).map(_.substring(1)).toSet
+    val added = delta.filter(_.startsWith("+")).map(_.substring(1))
+    (if (removed.isEmpty) base
+     else base.filterNot(l => removed(pathOf(l)))) ++ added
+  }
+
+  /** Entry lines of retained version `v`, resolving the delta chain:
+    * walk back to the nearest full manifest or checkpoint sidecar and
+    * fold the deltas forward. Version 0 is the empty pre-creation
+    * snapshot. Cost: one full read + O(chain) delta reads, the chain
+    * bounded by the checkpoint interval — never O(versions).
+    */
+  private def resolveDataLines(fs: FileSystem, root: Path,
+      byV: Map[Long, Path], v: Long): Seq[String] = {
+    var deltas = List.empty[Seq[String]]
+    var cur = v
+    var base: Seq[String] = null
+    while (base == null) {
+      if (cur == 0L) base = Seq.empty
+      else {
+        val cp = checkpointPathOf(root, cur)
+        if (fs.exists(cp)) base = readDataLines(fs, cp)
+        else byV.get(cur) match {
+          case None => throw new IllegalStateException(
+            s"version $v of $root is not resolvable: its delta chain " +
+              s"needs version $cur, which is neither retained nor " +
+              "checkpointed")
+          case Some(p) =>
+            val raw = readManifestRaw(fs, p)
+            val lines = raw.filterNot(_.startsWith("#"))
+            if (raw.exists(_.startsWith(s"#$BaseKey="))) {
+              deltas ::= lines
+              cur -= 1
+            } else base = lines
+        }
+      }
+    }
+    deltas.foldLeft(base)(applyDelta)
+  }
 
   /** What a commit MEANS, so a lost version race can be re-validated
     * rather than blindly retried (optimistic concurrency).
@@ -527,80 +609,138 @@ object ManifestedTable {
     var attempt = 0
     while (attempt < 64) {
       val committed: Long = locked {
-        val prev = manifestVersions(fs, root).lastOption
-      val curV = prev.map(_._1).getOrElse(0L)
-      // full LINES, not just paths: a kept file's embedded stats carry
-      // into the next manifest byte-identical (computed once, ever)
-      val curLines = prev.map(p => readDataLines(fs, p._2)).getOrElse(Nil)
-      val curFiles = curLines.map(pathOf)
-      val kept: Seq[String] = mode match {
-        case Replace => Nil
-        case AppendFiles => curLines
-        case rw: RewriteFiles =>
-          val baseFiles = rw.baseLines.map(pathOf)
-          if (curV != rw.baseV) {
-            // interleaved commits landed since this op read its
-            // snapshot — prove disjointness or abort, never revert.
-            // Identity is the full manifest LINE, not the path: a
-            // merge-on-read interleave changes a file's `dv:` token
-            // while the path survives, and republishing content built
-            // from the BASE line would resurrect its deleted rows.
-            val curLineByPath = curLines.map(l => pathOf(l) -> l).toMap
-            val baseLineByPath = rw.baseLines.map(l => pathOf(l) -> l).toMap
-            val clash = baseFiles.filter(f => rw.touched(f) &&
-              !curLineByPath.get(f).contains(baseLineByPath(f)))
-            if (clash.nonEmpty) throw new ConcurrentWriteException(
-              s"${rw.opName} computed against v${rw.baseV} of $root, but " +
-                s"a concurrent commit (now v$curV) rewrote, removed, or " +
-                s"re-vectored file(s) it touched: " +
-                clash.take(3).mkString(", ") +
-                (if (clash.size > 3) s" (+${clash.size - 3} more)" else "") +
-                " — re-run against the current snapshot")
-            val baseSet = baseFiles.toSet
-            val addedSinceBase = curFiles.filterNot(baseSet)
-            if (addedSinceBase.nonEmpty &&
-                rw.scopeOverlaps(absPaths(root, addedSinceBase)))
-              throw new ConcurrentWriteException(
+        val vsAll = manifestVersions(fs, root)
+        val prev = vsAll.lastOption
+        val curV = prev.map(_._1).getOrElse(0L)
+        // the commit body is DELTA-encoded for appends and rewrites —
+        // O(commit) lines (`+entry` / `-path`), never O(table): kept
+        // files ride by OMISSION, so a kept file's embedded stats stay
+        // byte-identical for free and an epoch-rate streaming append
+        // costs the epoch, not the table. Replace writes the full new
+        // snapshot (a chain reset). Only a RACED rewrite resolves the
+        // current snapshot at all — for its conflict proof.
+        val entryLines: Seq[String] = mode match {
+          case Replace => staged
+          case AppendFiles => staged.map("+" + _)
+          case rw: RewriteFiles =>
+            val baseFiles = rw.baseLines.map(pathOf)
+            if (curV != rw.baseV) {
+              // interleaved commits landed since this op read its
+              // snapshot — prove disjointness or abort, never revert.
+              // Identity is the full manifest LINE, not the path: a
+              // merge-on-read interleave changes a file's `dv:` token
+              // while the path survives, and republishing content built
+              // from the BASE line would resurrect its deleted rows.
+              val curLines = resolveDataLines(fs, root, vsAll.toMap, curV)
+              val curLineByPath = curLines.map(l => pathOf(l) -> l).toMap
+              val baseLineByPath = rw.baseLines.map(l => pathOf(l) -> l).toMap
+              val clash = baseFiles.filter(f => rw.touched(f) &&
+                !curLineByPath.get(f).contains(baseLineByPath(f)))
+              if (clash.nonEmpty) throw new ConcurrentWriteException(
                 s"${rw.opName} computed against v${rw.baseV} of $root, but " +
-                  s"a concurrent commit (now v$curV) added rows inside its " +
-                  "read scope — re-run against the current snapshot")
-          }
-          // proof holds: untouched references rebase onto the current
-          // list (serial order: this rewrite first, interleave after)
-          curLines.filterNot(l => rw.touched(pathOf(l)))
-      }
-      val v = curV + 1
-      // `op` describes THIS commit and is excluded from carry-forward
-      // (unlike the txn marker, which must survive unrelated commits)
-      val opMeta = Map(OpKey -> (mode match {
-        case Replace => "overwrite"
-        case AppendFiles => "append"
-        case rw: RewriteFiles => rw.opName
-      }))
-      val merged = prev.map(p => readMeta(fs, p._2))
-        .getOrElse(Map.empty) - OpKey ++ opMeta ++ meta
-      val all = merged.toSeq.sortBy(_._1)
-        .map { case (k, x) => s"#$k=$x" } ++ kept ++ staged
-      val body = all.mkString("", "\n", if (all.isEmpty) "" else "\n")
-        .getBytes(StandardCharsets.UTF_8)
-      val tmp = new Path(mdir,
-        s".$ManifestPrefix$v.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(body) finally out.close()
-      val fin = new Path(mdir, f"$ManifestPrefix$v%06d")
-      // rename-without-overwrite = compare-and-swap on HDFS: a racing
-      // committer that claimed v first makes this rename fail → retry
-      // (snapshot, meta, AND the conflict proof are all redone per
-      // attempt, so a lost race never publishes stale references)
-      if (!fs.exists(fin) && fs.rename(tmp, fin)) v
+                  s"a concurrent commit (now v$curV) rewrote, removed, or " +
+                  s"re-vectored file(s) it touched: " +
+                  clash.take(3).mkString(", ") +
+                  (if (clash.size > 3) s" (+${clash.size - 3} more)" else "") +
+                  " — re-run against the current snapshot")
+              val baseSet = baseFiles.toSet
+              val addedSinceBase = curLines.map(pathOf).filterNot(baseSet)
+              if (addedSinceBase.nonEmpty &&
+                  rw.scopeOverlaps(absPaths(root, addedSinceBase)))
+                throw new ConcurrentWriteException(
+                  s"${rw.opName} computed against v${rw.baseV} of $root, but " +
+                    s"a concurrent commit (now v$curV) added rows inside its " +
+                    "read scope — re-run against the current snapshot")
+            }
+            // proof holds: untouched references rebase IMPLICITLY (the
+            // delta only names touched paths and staged lines; serial
+            // order: this rewrite first, interleave after)
+            rw.touched.toSeq.sorted.map("-" + _) ++ staged.map("+" + _)
+        }
+        val v = curV + 1
+        // `op` and `base` describe THIS commit and are excluded from
+        // carry-forward (unlike the txn marker, which must survive
+        // unrelated commits)
+        val opMeta = Map(OpKey -> (mode match {
+          case Replace => "overwrite"
+          case AppendFiles => "append"
+          case rw: RewriteFiles => rw.opName
+        })) ++ (if (mode == Replace) Map.empty
+                else Map(BaseKey -> curV.toString))
+        val merged = prev.map(p => readMeta(fs, p._2))
+          .getOrElse(Map.empty) - OpKey - BaseKey ++ opMeta ++ meta
+        val all = merged.toSeq.sortBy(_._1)
+          .map { case (k, x) => s"#$k=$x" } ++ entryLines
+        val body = all.mkString("", "\n", if (all.isEmpty) "" else "\n")
+          .getBytes(StandardCharsets.UTF_8)
+        val tmp = new Path(mdir,
+          s".$ManifestPrefix$v.${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(body) finally out.close()
+        val fin = new Path(mdir, f"$ManifestPrefix$v%06d")
+        // rename-without-overwrite = compare-and-swap on HDFS: a racing
+        // committer that claimed v first makes this rename fail → retry
+        // (snapshot, meta, AND the conflict proof are all redone per
+        // attempt, so a lost race never publishes stale references)
+        if (!fs.exists(fin) && fs.rename(tmp, fin)) v
         else { fs.delete(tmp, false); -1L }
       }
-      if (committed > 0) return committed
+      if (committed > 0) {
+        if (mode != Replace) maybeCheckpoint(fs, root, committed)
+        return committed
+      }
       attempt += 1
     }
     throw new IllegalStateException(
       s"manifest commit lost the version race 64 times under $root")
   }
+
+  /** Best-effort checkpoint sidecar after every checkpoint-interval-th
+    * delta commit: materialize version `v`'s resolved entry lines as
+    * `checkpoint-<v>` so later resolutions stop here instead of
+    * walking the whole chain. DERIVED state — a crash before the
+    * rename costs nothing (resolution falls through the deltas), a
+    * duplicate racer writes identical content, and Replace commits
+    * skip it (a full manifest already resets the chain).
+    */
+  private def maybeCheckpoint(fs: FileSystem, root: Path,
+      v: Long): Unit =
+    if (v % checkpointIntervalOf(fs, root) == 0L)
+      writeCheckpointAt(fs, root, v)
+
+  /** Materialize version `v`'s resolved entry lines as
+    * `checkpoint-<v>` — idempotent and best-effort (derived state:
+    * the caller decides whether absence matters; [[vacuum]] re-checks
+    * existence before deleting the chain the checkpoint replaces).
+    */
+  private def writeCheckpointAt(fs: FileSystem, root: Path,
+      v: Long): Unit = {
+    val cp = checkpointPathOf(root, v)
+    if (fs.exists(cp)) return
+    try {
+      val lines = resolveDataLines(fs, root,
+        manifestVersions(fs, root).toMap, v)
+      val body = lines.mkString("", "\n", if (lines.isEmpty) "" else "\n")
+        .getBytes(StandardCharsets.UTF_8)
+      val tmp = new Path(new Path(root, ManifestDir),
+        s".$CheckpointPrefix$v.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      if (!fs.rename(tmp, cp)) fs.delete(tmp, false)
+    } catch {
+      // a checkpoint is an optimization; never fail the commit for it
+      case scala.util.control.NonFatal(_) => ()
+    }
+    ()
+  }
+
+  private def checkpointIntervalOf(fs: FileSystem, root: Path): Long =
+    manifestVersions(fs, root).lastOption
+      .flatMap(p => readMeta(fs, p._2)
+        .get(s"$PropPrefix$CheckpointIntervalProp"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .filter(_ > 0L)
+      .getOrElse(DefaultCheckpointInterval)
 
   /** (version, entry LINES) of the current snapshot in ONE manifest
     * read — the base a rewrite's conflict proof is anchored to
@@ -611,7 +751,7 @@ object ManifestedTable {
   private def currentSnapshot(fs: FileSystem, root: Path): (Long, Seq[String]) = {
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $root")
-    (vs.last._1, readDataLines(fs, vs.last._2))
+    (vs.last._1, resolveDataLines(fs, root, vs.toMap, vs.last._1))
   }
 
   private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
@@ -695,13 +835,15 @@ object ManifestedTable {
     val fs = root.getFileSystem(conf)
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $dir")
-    val p = version match {
-      case Some(v) => vs.find(_._1 == v).map(_._2).getOrElse(throw
-        new IllegalArgumentException(s"version $v not retained under " +
-          s"$dir (have ${vs.map(_._1).mkString(",")})"))
-      case None => vs.last._2
+    val v = version match {
+      case Some(x) =>
+        if (!vs.exists(_._1 == x)) throw
+          new IllegalArgumentException(s"version $x not retained under " +
+            s"$dir (have ${vs.map(_._1).mkString(",")})")
+        x
+      case None => vs.last._1
     }
-    readDataLines(fs, p).map(parseEntry)
+    resolveDataLines(fs, root, vs.toMap, v).map(parseEntry)
   }
 
   /** (version, raw entry lines) of the current snapshot — the base a
@@ -827,7 +969,7 @@ object ManifestedTable {
         k.stripPrefix(PropPrefix) -> v
     }
 
-  private[sources] def setTableProperties(
+  private[graft] def setTableProperties(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
       props: Map[String, String]): Long = {
     val root = new Path(dir)
@@ -1045,7 +1187,9 @@ object ManifestedTable {
 
   private val TxnKey = "txn-batch"
   private val OpKey = "op"
+  private val BaseKey = "base"
   private[sources] val SchemaKey = "schema"
+  private val CheckpointIntervalProp = "graft.checkpoint-interval"
 
   /** Commit history — the `DESCRIBE HISTORY` face: one row per
     * RETAINED version with its commit time (manifest mtime), the
@@ -1059,12 +1203,25 @@ object ManifestedTable {
     val fs = fsOf(spark, dir)
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $dir")
-    vs.map { case (v, p) =>
-      val entries = readDataLines(fs, p).map(parseEntry)
+    // forward fold over the retained, CONTIGUOUS version range: the
+    // oldest resolves once (checkpoint/full + tail), every later
+    // version applies its own delta — O(versions) small reads total,
+    // not O(versions × chain)
+    var lines: Seq[String] = null
+    val rows = vs.map { case (v, p) =>
+      val raw = readManifestRaw(fs, p)
+      val dataLines = raw.filterNot(_.startsWith("#"))
+      lines =
+        if (lines == null) resolveDataLines(fs, root, vs.toMap, v)
+        else if (raw.exists(_.startsWith(s"#$BaseKey=")))
+          applyDelta(lines, dataLines)
+        else dataLines
+      val entries = lines.map(parseEntry)
       (v, fs.getFileStatus(p).getModificationTime,
         readMeta(fs, p).getOrElse(OpKey, "unknown"),
         entries.size.toLong, entries.count(_._2.dv.isDefined).toLong)
-    }.toDF("version", "commit_ms", "op", "n_files", "n_dv")
+    }
+    rows.toDF("version", "commit_ms", "op", "n_files", "n_dv")
   }
 
   /** RESTORE (rollback): republish a retained version's entries as
@@ -1685,20 +1842,44 @@ object ManifestedTable {
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $dir")
     val cutoff = System.currentTimeMillis() - minAgeMillis
+    val byV = vs.toMap
     // manifests get the SAME age guard as data files: an in-flight
     // time-travel read, changesBetween, or streaming batch planning
     // that already listed versions must not lose its manifest
     // mid-query inside the retention window — so superseded manifests
     // younger than the cutoff survive this pass (and their entries
     // join the live set, keeping those versions fully READABLE, not
-    // just listable)
-    val retained = vs.takeRight(keepLast) ++ vs.dropRight(keepLast)
-      .filter(v => fs.getFileStatus(v._2).getModificationTime > cutoff)
-    // live = every data file AND deletion-vector sidecar a retained
-    // manifest references — a dv-* dir is reclaimed exactly like a
-    // data-* dir once nothing points at its files
-    val live = retained.flatMap(v => entriesAt(fs, v._2))
-      .flatMap(e => e._1 +: e._2.dv.toSeq).toSet
+    // just listable). Commit mtimes are monotone, so the age-retained
+    // set is a contiguous suffix and `retained` stays gap-free.
+    val dropped = vs.dropRight(keepLast)
+      .filter(v => fs.getFileStatus(v._2).getModificationTime <= cutoff)
+    val droppedSet = dropped.map(_._1).toSet
+    val retained = vs.filterNot(v => droppedSet(v._1))
+    // every retained version must stay RESOLVABLE once the manifests
+    // below it drop: delta chains walk contiguously backward, so ONE
+    // checkpoint at the oldest retained version fences every retained
+    // chain off the dropped prefix. The write must SUCCEED before any
+    // manifest deletion — a failed fence skips the manifest pass
+    // (derived state: retrying next vacuum is free).
+    val fenced = dropped.isEmpty || {
+      val oldest = retained.head._1
+      writeCheckpointAt(fs, root, oldest)
+      fs.exists(checkpointPathOf(root, oldest)) ||
+        !readMeta(fs, byV(oldest)).contains(BaseKey) // full: self-fencing
+    }
+    // forward fold for the live set, same as history: resolve the
+    // oldest retained once, apply each later version's delta
+    var cursor: Seq[String] = null
+    val live = retained.flatMap { case (v, p) =>
+      val raw = readManifestRaw(fs, p)
+      val dataLines = raw.filterNot(_.startsWith("#"))
+      cursor =
+        if (cursor == null) resolveDataLines(fs, root, byV, v)
+        else if (raw.exists(_.startsWith(s"#$BaseKey=")))
+          applyDelta(cursor, dataLines)
+        else dataLines
+      cursor.map(parseEntry)
+    }.flatMap(e => e._1 +: e._2.dv.toSeq).toSet
     var deleted = 0
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && (s.getPath.getName.startsWith("data-") ||
@@ -1719,9 +1900,12 @@ object ManifestedTable {
               s.getPath.getName.startsWith("_")))
           fs.delete(d.getPath, true)
       }
-    vs.dropRight(keepLast)
-      .filter(v => fs.getFileStatus(v._2).getModificationTime <= cutoff)
-      .foreach(v => fs.delete(v._2, false))
+    if (fenced) dropped.foreach { v =>
+      fs.delete(v._2, false)
+      // a dropped version's checkpoint sidecar goes with it
+      val cp = checkpointPathOf(root, v._1)
+      if (fs.exists(cp)) fs.delete(cp, false)
+    }
     deleted
   }
 }

@@ -821,6 +821,94 @@ class CompactionSpec extends SparkTestBase {
     }
   }
 
+  test("manifested table: delta manifests + checkpoints — a commit writes O(commit) metadata, not O(table)") {
+    // the last O(table)-per-commit term: every commit used to rewrite
+    // the FULL |files| line set. Now appends and rewrites write a
+    // DELTA (`+entry` / `-path` against the previous version) and a
+    // periodic checkpoint sidecar bounds snapshot resolution to one
+    // full read + a short tail — epoch-rate streaming commits cost
+    // O(epoch), the Delta-log/Iceberg-manifest-list construction.
+    import graft.sources.ManifestedTable
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mdir = new java.io.File(d, "_manifests")
+    def msize(v: Int): Long =
+      new java.io.File(mdir, f"manifest-$v%06d").length()
+    def cp(v: Int): java.io.File =
+      new java.io.File(mdir, f"checkpoint-$v%06d")
+
+    // v1: overwrite = FULL manifest over a 64-file layout
+    ManifestedTable.write(
+      (0L until 200L).map(k => (k, s"s$k")).toDF("k", "s").repartition(64), d)
+    // v2..v9: single-file appends — each a one-line delta
+    for (i <- 2 to 9)
+      ManifestedTable.write(
+        Seq((1000L + i, "late")).toDF("k", "s").coalesce(1), d,
+        overwrite = false)
+
+    // O(commit) metadata: an append's delta is a fraction of the full
+    // v1 manifest and does NOT grow as the table does
+    assert(msize(2) < msize(1) / 10,
+      s"append delta (${msize(2)}B) is not O(commit) vs full ${msize(1)}B")
+    assert(msize(9) <= msize(2) * 2,
+      "delta size grew with table size — the commit is not incremental")
+    // the periodic checkpoint landed at the interval (default 8)...
+    assert(cp(8).exists(), "no checkpoint sidecar at the interval commit")
+    // ...and is table-sized (it IS the resolved snapshot)
+    assert(cp(8).length() > msize(1) / 2)
+
+    // resolution is correct across the chain: current, time travel, CDF
+    assert(ManifestedTable.read(spark, d).count() == 208)
+    assert(ManifestedTable.readAt(spark, d, 5).count() == 204)
+    val (add56, rem56) = ManifestedTable.changesBetween(spark, d, 5, 6)
+    assert(add56.collect().toSeq ==
+      Seq(org.apache.spark.sql.Row(1006L, "late")) && rem56.isEmpty,
+      "CDF across delta manifests broke")
+
+    // resolution reads checkpoint + tail ONLY: drop every manifest
+    // strictly below the checkpoint (simulating a vacuumed prefix) —
+    // the current snapshot and the checkpointed version stay readable
+    for (v <- 1 to 7) {
+      assert(new java.io.File(mdir, f"manifest-$v%06d").delete())
+      if (cp(v).exists()) cp(v).delete()
+    }
+    assert(ManifestedTable.read(spark, d).count() == 208,
+      "resolution walked below the checkpoint")
+    assert(ManifestedTable.readAt(spark, d, 8).count() == 207)
+
+    // a DML mid-chain delta (`-` + `+` lines) composes with resolution
+    ManifestedTable.deleteWhere(spark, d, col("k") < 3)
+    assert(ManifestedTable.read(spark, d).count() == 205)
+
+    // vacuum fences the oldest retained version with a checkpoint
+    // BEFORE dropping the manifests below it — every retained version
+    // stays fully resolvable with no full manifest left in the chain
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    ManifestedTable.write(
+      (0L until 50L).map(k => (k, k * 2.0)).toDF("k", "v").repartition(8), d2)
+    for (i <- 2 to 5)
+      ManifestedTable.write(Seq((100L + i, 1.0)).toDF("k", "v"), d2,
+        overwrite = false)
+    ManifestedTable.vacuum(spark, d2, keepLast = 3, minAgeMillis = 0L)
+    assert(ManifestedTable.versions(spark, d2) == Seq(3L, 4L, 5L))
+    assert(new java.io.File(d2, "_manifests/checkpoint-000003").exists(),
+      "vacuum dropped the chain without fencing the oldest retained")
+    assert(ManifestedTable.readAt(spark, d2, 3).count() == 52)
+    assert(ManifestedTable.read(spark, d2).count() == 54)
+
+    // the interval is a table property: graft.checkpoint-interval=2
+    // checkpoints every other commit from then on
+    val conf = spark.sessionState.newHadoopConf()
+    ManifestedTable.setTableProperties(conf, d2,
+      Map("graft.checkpoint-interval" -> "2"))  // v6
+    ManifestedTable.write(Seq((900L, 0.0)).toDF("k", "v"), d2,
+      overwrite = false)                        // v7
+    ManifestedTable.write(Seq((901L, 0.0)).toDF("k", "v"), d2,
+      overwrite = false)                        // v8
+    assert(new java.io.File(d2, "_manifests/checkpoint-000008").exists(),
+      "the per-table checkpoint-interval property was ignored")
+  }
+
   test("manifested table: deletion vectors — a 1-row delete moves zero data bytes") {
     // merge-on-read: when a DML's per-file deleted fraction is under
     // dvMaxFraction, the file is NOT rewritten — deleted positions go
