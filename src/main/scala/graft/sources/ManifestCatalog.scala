@@ -31,8 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    copy-on-write/MoR deleteWhere.
   *  - `SELECT * FROM graft.t VERSION AS OF 3` / `TIMESTAMP AS OF …` —
   *    TableCatalog's versioned loadTable resolves through the manifest
-  *    log (timestamps via commit mtimes, the [[ManifestedTable.history]]
-  *    clock).
+  *    log (timestamps via the in-manifest `#ts=` commit clock, the
+  *    [[ManifestedTable.history]] clock).
   *  - `DROP TABLE graft.t`.
   *
   * Layout: one directory per table under `root` (namespaces become

@@ -661,14 +661,20 @@ object ManifestedTable {
         // `op` and `base` describe THIS commit and are excluded from
         // carry-forward (unlike the txn marker, which must survive
         // unrelated commits)
-        val opMeta = Map(OpKey -> (mode match {
-          case Replace => "overwrite"
-          case AppendFiles => "append"
-          case rw: RewriteFiles => rw.opName
-        })) ++ (if (mode == Replace) Map.empty
-                else Map(BaseKey -> curV.toString))
+        val opMeta = Map(
+          OpKey -> (mode match {
+            case Replace => "overwrite"
+            case AppendFiles => "append"
+            case rw: RewriteFiles => rw.opName
+          }),
+          // the commit time lives IN the manifest, not in file mtimes:
+          // TIMESTAMP AS OF and history() must survive clock-skewed
+          // object-store copies, backup/restore, and plain `touch`
+          TsKey -> System.currentTimeMillis().toString
+        ) ++ (if (mode == Replace) Map.empty
+              else Map(BaseKey -> curV.toString))
         val merged = prev.map(p => readMeta(fs, p._2))
-          .getOrElse(Map.empty) - OpKey - BaseKey ++ opMeta ++ meta
+          .getOrElse(Map.empty) - OpKey - BaseKey - TsKey ++ opMeta ++ meta
         val all = merged.toSeq.sortBy(_._1)
           .map { case (k, x) => s"#$k=$x" } ++ entryLines
         val body = all.mkString("", "\n", if (all.isEmpty) "" else "\n")
@@ -1004,10 +1010,19 @@ object ManifestedTable {
     }
   }
 
+  /** A version's commit time: the `#ts=` meta its commit stamped
+    * (self-contained — survives clock skew, backups, object-store
+    * copies), with the manifest mtime as the fallback for pre-`#ts=`
+    * history. The same clock [[history]] reports.
+    */
+  private def commitMs(fs: FileSystem, p: Path): Long =
+    readMeta(fs, p).get(TsKey)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(fs.getFileStatus(p).getModificationTime)
+
   /** The latest version committed at or before `tsMillis` — time
-    * travel by TIMESTAMP (manifest mtimes are the commit times, the
-    * same clock [[history]] reports). Errors when the timestamp
-    * precedes the oldest retained commit.
+    * travel by TIMESTAMP over the in-manifest commit clock. Errors
+    * when the timestamp precedes the oldest retained commit.
     */
   private[sources] def versionAtTimestamp(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
@@ -1016,11 +1031,9 @@ object ManifestedTable {
     val fs = root.getFileSystem(conf)
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $dir")
-    val at = vs.filter(v =>
-      fs.getFileStatus(v._2).getModificationTime <= tsMillis)
+    val at = vs.filter(v => commitMs(fs, v._2) <= tsMillis)
     require(at.nonEmpty, s"no version of $dir at or before $tsMillis " +
-      s"(oldest retained commit: " +
-      s"${fs.getFileStatus(vs.head._2).getModificationTime})")
+      s"(oldest retained commit: ${commitMs(fs, vs.head._2)})")
     at.last._1
   }
 
@@ -1188,11 +1201,13 @@ object ManifestedTable {
   private val TxnKey = "txn-batch"
   private val OpKey = "op"
   private val BaseKey = "base"
+  private val TsKey = "ts"
   private[sources] val SchemaKey = "schema"
   private val CheckpointIntervalProp = "graft.checkpoint-interval"
 
   /** Commit history — the `DESCRIBE HISTORY` face: one row per
-    * RETAINED version with its commit time (manifest mtime), the
+    * RETAINED version with its commit time (the in-manifest `#ts=`
+    * clock; mtime fallback for pre-`#ts=` history), the
     * operation that produced it (recorded per commit, never carried),
     * file count, and deletion-vector count. Driver-side manifest
     * reads only — |versions| × |files| lines, no data IO.
@@ -1217,7 +1232,7 @@ object ManifestedTable {
           applyDelta(lines, dataLines)
         else dataLines
       val entries = lines.map(parseEntry)
-      (v, fs.getFileStatus(p).getModificationTime,
+      (v, commitMs(fs, p),
         readMeta(fs, p).getOrElse(OpKey, "unknown"),
         entries.size.toLong, entries.count(_._2.dv.isDefined).toLong)
     }

@@ -831,7 +831,8 @@ class SourceFormatsSpec extends SparkTestBase {
         .head.getLong(0) == 0)
 
       // time travel: VERSION AS OF (v1 create, v2 insert, v3 insert,
-      // v4 delete) and TIMESTAMP AS OF through commit mtimes
+      // v4 delete) and TIMESTAMP AS OF through the in-manifest #ts=
+      // commit clock
       assert(spark.sql(
         "SELECT count(*) AS n FROM gm_spec.book VERSION AS OF 2")
         .head.getLong(0) == 100)
@@ -840,6 +841,20 @@ class SourceFormatsSpec extends SparkTestBase {
         .head.getLong(0) == 150)
       assert(spark.sql("SELECT count(*) AS n FROM gm_spec.book " +
         s"TIMESTAMP AS OF '$tsAfterInsert'").head.getLong(0) == 100)
+      // the commit clock is SELF-CONTAINED: scrambling every manifest
+      // file's mtime (touch / backup-restore / object-store copy) must
+      // not move timestamp resolution — the #ts= meta token is the
+      // clock, mtimes are only the pre-#ts fallback
+      new java.io.File(s"$wh/book", "_manifests").listFiles()
+        .filter(_.getName.startsWith("manifest-"))
+        .foreach(f => assert(f.setLastModified(1000L)))
+      // v2 has no 'late' rows (v3 inserted them); a resolver that
+      // trusts the scrambled mtimes would land on v4, which has 50
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_spec.book " +
+          s"TIMESTAMP AS OF '$tsAfterInsert' WHERE tag = 'late'")
+        .head.getLong(0) == 0,
+        "timestamp time travel followed file mtimes, not the commit clock")
 
       // INSERT OVERWRITE = the blind replace commit
       spark.sql("""INSERT OVERWRITE gm_spec.book
