@@ -136,14 +136,24 @@ class ManifestCatalog extends TableCatalog
     new ManifestTable(schema, dir)
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS` — the DDL face of the format's
-    * schema-widening story: the new declared schema commits as a
-    * no-file manifest version (versioned like data), existing rows
-    * read the column as NULL (the readers' absent-column convention),
-    * and the next INSERT resolves against the widened schema. Only
-    * top-level nullable appends are supported — exactly the evolution
-    * the widened-append read path already handles; anything else
-    * (drops, renames, repositioning) refuses loudly.
+  /** `ALTER TABLE ... ADD COLUMNS / RENAME COLUMN / DROP COLUMN` —
+    * the DDL face of the format's schema evolution, all METADATA-ONLY
+    * commits (a no-file manifest version carrying the new declared
+    * schema + one appended field-id epoch; zero data files move):
+    *
+    *  - ADD COLUMNS (top-level, nullable, un-positioned): existing
+    *    rows read the column as NULL, the next INSERT resolves against
+    *    the widened schema. The column gets a FRESH field id — re-using
+    *    a previously dropped NAME cannot resurrect the dead id's bytes.
+    *  - RENAME COLUMN: the field keeps its id; files written under the
+    *    old name keep serving the column through the per-file schema
+    *    epoch (`se:` token) → id → physical-name translation.
+    *  - DROP COLUMN: the id leaves the current epoch; the bytes stay
+    *    in place (readers project the declared schema) until
+    *    compaction rewrites them away.
+    *
+    * Anything else (type changes, repositioning, nested fields)
+    * refuses loudly.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -152,27 +162,72 @@ class ManifestCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
     val cur = ManifestDataSource.schemaOf(dir, None)
+    // tables created before field-id support initialize epoch 0 from
+    // the current schema — their files carry no `se:` token, which
+    // reads as epoch 0: by-id equals by-name for them, exactly right
+    // since no rename could have happened yet
+    val epochs0 = ManifestedTable.epochsOf(
+      ManifestedTable.snapshotMeta(conf, dir))
+    val initEpochs =
+      if (epochs0.nonEmpty) epochs0
+      else Seq(cur.fieldNames.zipWithIndex
+        .map { case (n, i) => (i + 1) -> n }.toMap)
+    // ids are NEVER recycled: fresh ids allocate above every id any
+    // epoch ever used, so a drop + re-add cannot alias the dead id
+    var maxId = initEpochs.flatMap(_.keys).maxOption.getOrElse(0)
+    var last = initEpochs.last
+    var schema = cur
+    var schemaChanged = false
     val setProps = scala.collection.mutable.Map.empty[String, String]
-    val widened = changes.foldLeft(cur) {
-      case (s, add: TableChange.AddColumn)
+    changes.foreach {
+      case add: TableChange.AddColumn
           if add.fieldNames().length == 1 && add.isNullable &&
             add.position() == null =>
-        require(!s.fieldNames.contains(add.fieldNames()(0)),
-          s"column ${add.fieldNames()(0)} already exists")
-        s.add(org.apache.spark.sql.types.StructField(
-          add.fieldNames()(0), add.dataType(), nullable = true))
-      case (s, p: TableChange.SetProperty) =>
-        setProps += p.property() -> p.value(); s
-      case (_, other) => throw new UnsupportedOperationException(
-        s"ALTER TABLE: only top-level nullable ADD COLUMNS and SET " +
-          s"TBLPROPERTIES are supported (schema widens, never " +
-          s"mutates; the meta merge cannot unset); got $other")
+        val n = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(n),
+          s"column $n already exists")
+        schema = schema.add(org.apache.spark.sql.types.StructField(
+          n, add.dataType(), nullable = true))
+        maxId += 1
+        last = last + (maxId -> n)
+        schemaChanged = true
+      case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        require(schema.fieldNames.contains(from), s"no column $from")
+        require(!schema.fieldNames.contains(to),
+          s"column $to already exists")
+        schema = org.apache.spark.sql.types.StructType(schema.fields.map(
+          f => if (f.name == from) f.copy(name = to) else f))
+        val id = last.collectFirst { case (i, n) if n == from => i }.get
+        last = last + (id -> to)
+        schemaChanged = true
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        val n = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(n)) {
+          if (!del.ifExists()) throw new IllegalArgumentException(
+            s"no column $n to drop")
+        } else {
+          require(schema.length > 1, "cannot drop the last column")
+          schema = org.apache.spark.sql.types.StructType(
+            schema.fields.filterNot(_.name == n))
+          val id = last.collectFirst { case (i, m) if m == n => i }.get
+          last = last - id
+          schemaChanged = true
+        }
+      case p: TableChange.SetProperty =>
+        setProps += p.property() -> p.value()
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE: supported are top-level nullable ADD COLUMNS, " +
+          s"RENAME COLUMN, DROP COLUMN, and SET TBLPROPERTIES; " +
+          s"got $other")
     }
-    if (widened != cur)
-      ManifestedTable.updateSchemaMeta(conf, dir, widened.json)
+    if (schemaChanged)
+      ManifestedTable.updateSchemaMeta(conf, dir, schema.json,
+        Some(initEpochs :+ last))
     if (setProps.nonEmpty)
       ManifestedTable.setTableProperties(conf, dir, setProps.toMap)
-    new ManifestTable(widened, dir)
+    new ManifestTable(schema, dir)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -445,7 +445,14 @@ private[sources] class ManifestScanBuilder(full: StructType, path: String,
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     val conf = SparkSession.active.sessionState.newHadoopConf()
+    // stats re-keyed to current names (field-id translation): a
+    // renamed column folds through its old tokens, a dead id's tokens
+    // vanish → statFold sees a coverage gap and declines (never a
+    // wrong answer off resurrected bytes)
+    val aggEpochs = ManifestedTable.epochsOf(
+      ManifestedTable.snapshotMeta(conf, path, version))
     val entries = ManifestedTable.snapshotEntries(conf, path, version)
+      .map(e => (e._1, ManifestedTable.rekeyStats(aggEpochs, e._2)))
     if (entries.exists(e => e._2.dv.isDefined || e._2.rows.isEmpty))
       return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -624,6 +631,13 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
   // same table — cannot shift what this scan reads
   private val entries =
     ManifestedTable.snapshotEntries(sconf.value, path, version)
+  // field-id history pinned with the snapshot; stats re-keyed to
+  // CURRENT names so skipping/statistics operate on what the query
+  // names (a dead id's token vanishes instead of wrongly pruning)
+  private val epochs = ManifestedTable.epochsOf(
+    ManifestedTable.snapshotMeta(sconf.value, path, version))
+  private val entriesEff =
+    entries.map(e => (e._1, ManifestedTable.rekeyStats(epochs, e._2)))
 
   /** Size/row statistics served from the manifest — what lets Catalyst
     * make the BROADCAST decision for joins through this face without
@@ -634,7 +648,7 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val kept = entries.filter { case (_, st) =>
+    val kept = entriesEff.filter { case (_, st) =>
         !st.rows.contains(0L) &&
           filters.forall(ManifestDataSource.mayMatch(st, _))
       }.map(_._2)
@@ -683,15 +697,16 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
-    entries
-      .filter { case (_, st) =>
-        !st.rows.contains(0L) &&
+    entries.zip(entriesEff)
+      .filter { case (_, (_, eff)) =>
+        !eff.rows.contains(0L) &&
           (filters.iterator ++ runtime.iterator)
-            .forall(ManifestDataSource.mayMatch(st, _))
+            .forall(ManifestDataSource.mayMatch(eff, _))
       }
-      .map { case (rel, st) =>
+      .map { case ((rel, st), _) =>
         ManifestFilePartition(new Path(root, rel).toString, rel,
-          st.dv.map(d => new Path(root, d).toString)): InputPartition
+          st.dv.map(d => new Path(root, d).toString),
+          ManifestedTable.physMap(epochs, st)): InputPartition
       }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -708,8 +723,15 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
       startingVersion, ignoreChanges)
 }
 
+/** `physOf`: CURRENT-name → PHYSICAL-name translation for this file's
+  * schema epoch (field-id resolution). None = no field-id history:
+  * resolve by name. When Some, it is AUTHORITATIVE — a requested
+  * column absent from the map reads NULL even if a same-named physical
+  * column exists (its bytes belong to a dead field id).
+  */
 private[sources] case class ManifestFilePartition(file: String,
-    rel: String, dv: Option[String]) extends InputPartition
+    rel: String, dv: Option[String],
+    physOf: Option[Map[String, String]] = None) extends InputPartition
 
 /** Streaming offset = manifest version (O(1), human-readable). */
 private[sources] case class ManifestSourceOffset(version: Long)
@@ -767,6 +789,8 @@ private[sources] class ManifestMicroBatchStream(path: String,
     val s = start.asInstanceOf[ManifestSourceOffset].version
     val e = end.asInstanceOf[ManifestSourceOffset].version
     val root = new Path(path)
+    val epochs = ManifestedTable.epochsOf(
+      ManifestedTable.snapshotMeta(sconf.value, path))
     ((s + 1) to e).flatMap { v =>
       val prev = ManifestedTable
         .entriesAtVersion(sconf.value, path, v - 1)
@@ -784,12 +808,14 @@ private[sources] class ManifestMicroBatchStream(path: String,
             "of rewritten files re-deliver).")
       curE.filterNot(x => prevK(k(x)))
         .filter { case (_, st) =>
-          !st.rows.contains(0L) &&
-            filters.forall(ManifestDataSource.mayMatch(st, _))
+          val eff = ManifestedTable.rekeyStats(epochs, st)
+          !eff.rows.contains(0L) &&
+            filters.forall(ManifestDataSource.mayMatch(eff, _))
         }
         .map { case (rel, st) =>
           ManifestFilePartition(new Path(root, rel).toString, rel,
-            st.dv.map(dp => new Path(root, dp).toString)): InputPartition
+            st.dv.map(dp => new Path(root, dp).toString),
+            ManifestedTable.physMap(epochs, st)): InputPartition
         }
     }.toArray
   }
@@ -870,10 +896,19 @@ private[sources] class ManifestPartitionReaderFactory(
     } else {
       val presentNames = (0 until fileSchema.getFieldCount)
         .map(fileSchema.getFieldName).toSet
+      // field-id resolution: a requested CURRENT column reads the
+      // file's PHYSICAL column of the same field id. physOf is
+      // authoritative when present — a name it doesn't map reads NULL
+      // even if the file has same-named bytes (dead id).
+      def physName(n: String): Option[String] = part.physOf match {
+        case Some(m) => m.get(n)
+        case None => Some(n)
+      }
       // `_file`/`_pos` are the table's METADATA columns (row-level ops
       // group by them) — synthesized per partition, never read
       val present = readSchema.fields.filter(f =>
-        presentNames(f.name) && f.name != "_file" && f.name != "_pos")
+        f.name != "_file" && f.name != "_pos" &&
+          physName(f.name).exists(presentNames))
       val projIdx = present.map(_.name).zipWithIndex.toMap
       val relU = UTF8String.fromString(part.rel)
       def fillsFor(projected: MessageType)
@@ -926,8 +961,8 @@ private[sources] class ManifestPartitionReaderFactory(
         // the projection reuses the FILE's own field types, so it is
         // compatible by construction
         val projected = new MessageType(fileSchema.getName,
-          present.map(f =>
-            fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
+          present.map(f => fileSchema.getType(
+            fileSchema.getFieldIndex(physName(f.name).get))): _*)
         conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
         val reader: ParquetReader[Group] =
           ParquetReader.builder(new GroupReadSupport(), p)

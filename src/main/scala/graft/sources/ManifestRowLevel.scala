@@ -130,6 +130,11 @@ private[sources] class ManifestRowLevelScan(op: ManifestRowLevelOperation,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(op.path)
+    // field-id translation for the operation's anchor snapshot: the
+    // DML condition names CURRENT columns; files staged under earlier
+    // epochs read through their physical names
+    val epochs = ManifestedTable.epochsOf(
+      ManifestedTable.snapshotMeta(sconf.value, op.path))
     val planned = op.baseEntries
       .filterNot(_._2.rows.contains(0L))
       .filter(e => keep.forall(_.contains(e._1)))
@@ -137,7 +142,8 @@ private[sources] class ManifestRowLevelScan(op: ManifestRowLevelOperation,
     op.scanned = planned.map(_._1)
     planned.map { case (rel, st) =>
       ManifestFilePartition(new Path(root, rel).toString, rel,
-        st.dv.map(d => new Path(root, d).toString)): InputPartition
+        st.dv.map(d => new Path(root, d).toString),
+        ManifestedTable.physMap(epochs, st)): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
+import org.apache.spark.sql.types.StructType
 
 /** Thrown when a commit's optimistic-concurrency validation cannot
   * serialize it against commits that landed after its base snapshot:
@@ -185,10 +186,12 @@ object ManifestedTable {
   def readAt(spark: SparkSession, dir: String, version: Long,
       mergeSchema: Boolean = false): DataFrame = {
     val root = new Path(dir)
-    val lines = linesAt(fsOf(spark, dir), root, version)
+    val fs = fsOf(spark, dir)
+    val lines = linesAt(fs, root, version)
     require(lines.nonEmpty, s"snapshot $version of $dir is empty — " +
       "schemaless empty reads are not supported")
-    readLive(spark, root, lines.map(parseEntry), mergeSchema)
+    readLive(spark, root, lines.map(parseEntry), mergeSchema,
+      schemaCtx = schemaCtxAt(fs, root, Some(version)))
   }
 
   /** Manifest-level diff between two retained snapshots:
@@ -236,6 +239,11 @@ object ManifestedTable {
     val fs = fsOf(spark, dir)
     val fromE = linesAt(fs, root, fromV).map(parseEntry)
     val toE = linesAt(fs, root, toV).map(parseEntry)
+    // both sides resolve through the TO version's schema context:
+    // epochs are append-only, so toV's history covers fromV's files,
+    // unified images cancel across a rename, and a RENAME-ONLY commit
+    // diffs empty (no data changed)
+    val ctx = schemaCtxAt(fs, root, Some(toV))
     def k(e: (String, FileStats)) = (e._1, e._2.dv)
     val fromK = fromE.map(k).toSet
     val toK = toE.map(k).toSet
@@ -243,7 +251,8 @@ object ManifestedTable {
     val removedE = fromE.filterNot(e => toK(k(e)))
     def rd(es: Seq[(String, FileStats)]): Option[DataFrame] =
       if (es.isEmpty) None
-      else Some(readLive(spark, root, es, mergeSchema = true))
+      else Some(readLive(spark, root, es, mergeSchema = true,
+        schemaCtx = ctx))
     (rd(addedE), rd(removedE)) match {
       case (None, None) =>
         // identical manifests — an empty diff with the table's schema
@@ -287,6 +296,8 @@ object ManifestedTable {
   //   `<col>=i:<lo>:<hi>`                 integral interval (INT32/64)
   //   `<col>=f:<rawLo>:<rawHi>`           float interval (IEEE bits)
   //   `<col>=s:<b64lo>:<b64hi>`           string interval (UTF-8 bytes)
+  //   `se:<epoch>`                        schema epoch at stage time
+  //                                       (see the field-id section)
   //
   // Stats are an OPTIMIZATION, never a correctness dependency: a file
   // with no token for a column (all-NULL chunk, NaN-poisoned float
@@ -311,10 +322,11 @@ object ManifestedTable {
       dbls: Map[String, (Double, Double)],
       strs: Map[String, (Array[Byte], Array[Byte])],
       dv: Option[String] = None,
-      bytes: Option[Long] = None)
+      bytes: Option[Long] = None,
+      epoch: Option[Int] = None)
 
   private val EmptyStats =
-    FileStats(None, Map.empty, Map.empty, Map.empty, None, None)
+    FileStats(None, Map.empty, Map.empty, Map.empty, None, None, None)
 
   private def parseEntry(line: String): (String, FileStats) = {
     val parts = line.split('\t')
@@ -322,6 +334,7 @@ object ManifestedTable {
     var rows: Option[Long] = None
     var dv: Option[String] = None
     var bytes: Option[Long] = None
+    var epoch: Option[Int] = None
     val ls = Map.newBuilder[String, (Long, Long)]
     val ds = Map.newBuilder[String, (Double, Double)]
     val ss = Map.newBuilder[String, (Array[Byte], Array[Byte])]
@@ -332,6 +345,8 @@ object ManifestedTable {
         bytes = scala.util.Try(tok.substring(2).toLong).toOption
       } else if (tok.startsWith("dv:")) {
         dv = Some(tok.substring(3)).filter(_.nonEmpty)
+      } else if (tok.startsWith("se:")) {
+        epoch = scala.util.Try(tok.substring(3).toInt).toOption
       } else {
         val eq = tok.indexOf('=')
         if (eq > 0) {
@@ -354,16 +369,128 @@ object ManifestedTable {
       }
     }
     (parts(0),
-      FileStats(rows, ls.result(), ds.result(), ss.result(), dv, bytes))
+      FileStats(rows, ls.result(), ds.result(), ss.result(), dv, bytes,
+        epoch))
   }
 
   /** Re-encode `line` with its `dv:` token replaced by `dvPath` (all
-    * other tokens — stats, row count — carried verbatim: they describe
-    * the immutable PHYSICAL file, which did not change).
+    * other tokens — stats, row count, schema epoch — carried verbatim:
+    * they describe the immutable PHYSICAL file, which did not change).
     */
   private def withDvToken(line: String, dvPath: String): String =
     (line.split('\t').filterNot(_.startsWith("dv:")) :+ s"dv:$dvPath")
       .mkString("\t")
+
+  // ---- field IDs: rename/drop-safe schema evolution ----------------------
+  //
+  // Declared tables carry a `#fieldepochs=` meta: an APPEND-ONLY list
+  // of schema epochs, each mapping a stable FIELD ID to that column's
+  // physical name under that epoch. Every staged file records the
+  // epoch it was written under (`se:` token), so readers resolve a
+  // CURRENT column to a file's PHYSICAL column by ID, not by name —
+  // RENAME COLUMN becomes one metadata commit (no file moves), and a
+  // dropped-then-re-added name gets a FRESH id, so old files' bytes
+  // for the dead id read NULL instead of silently resurrecting
+  // (Iceberg's field-id mapping, carried in the manifest meta instead
+  // of the parquet footers). Object-API tables declare nothing and
+  // keep pure by-name resolution (empty epoch history).
+  //
+  // Encoding (same base64 discipline as the stat tokens, so names with
+  // delimiters round-trip): epochs ';'-joined, each epoch a ','-joined
+  // list of `id:b64(name)`.
+
+  private[sources] val FieldEpochsKey = "fieldepochs"
+
+  private[sources] def encodeEpochs(es: Seq[Map[Int, String]]): String = {
+    val enc = java.util.Base64.getEncoder
+    es.map(_.toSeq.sortBy(_._1).map { case (i, n) =>
+      s"$i:${enc.encodeToString(n.getBytes(StandardCharsets.UTF_8))}"
+    }.mkString(",")).mkString(";")
+  }
+
+  private[sources] def decodeEpochs(s: String): Seq[Map[Int, String]] = {
+    val dec = java.util.Base64.getDecoder
+    s.split(';').toSeq.map(_.split(',').iterator.filter(_.nonEmpty).map { t =>
+      val i = t.indexOf(':')
+      t.take(i).toInt ->
+        new String(dec.decode(t.substring(i + 1)), StandardCharsets.UTF_8)
+    }.toMap)
+  }
+
+  private[sources] def epochsOf(meta: Map[String, String]): Seq[Map[Int, String]] =
+    meta.get(FieldEpochsKey).map(decodeEpochs).getOrElse(Nil)
+
+  /** CURRENT-name → PHYSICAL-name translation for a file staged under
+    * `st.epoch`: a current column maps iff its field id already
+    * existed at that epoch — a dropped-and-re-added name maps to
+    * nothing there (the old bytes belong to a dead id and must read
+    * NULL). None = the table has no field-id history: resolve by name,
+    * as ever. A missing `se:` token means epoch 0 (the file predates
+    * every schema change — this code stamps every staged file).
+    */
+  private[sources] def physMap(epochs: Seq[Map[Int, String]],
+      st: FileStats): Option[Map[String, String]] =
+    // a single epoch means no rename/drop ever happened: physical
+    // names ARE current names for every file — by-name resolution is
+    // correct and costs nothing extra
+    if (epochs.size <= 1) None
+    else {
+      val cur = epochs.last
+      val e = epochs(math.min(st.epoch.getOrElse(0), epochs.size - 1))
+      Some(cur.flatMap { case (id, curName) => e.get(id).map(curName -> _) })
+    }
+
+  /** `st` with its stat intervals RE-KEYED from physical to current
+    * names, so every stats consumer (file skipping, find-touched
+    * pruning, aggregate pushdown, scan statistics) keeps operating on
+    * current names — a token whose physical column is not live under
+    * the current schema simply disappears (no pruning, never a wrong
+    * prune on a dead id's bytes).
+    */
+  private[sources] def rekeyStats(epochs: Seq[Map[Int, String]],
+      st: FileStats): FileStats =
+    physMap(epochs, st) match {
+      case None => st
+      case Some(m) => st.copy(
+        longs = m.flatMap { case (c, p) => st.longs.get(p).map(c -> _) },
+        dbls = m.flatMap { case (c, p) => st.dbls.get(p).map(c -> _) },
+        strs = m.flatMap { case (c, p) => st.strs.get(p).map(c -> _) })
+    }
+
+  /** (declared current schema, epoch history) of a declared table at
+    * the pinned (or latest) version; None for object-API tables — the
+    * switch between id-resolved and by-name reads.
+    */
+  private def schemaCtxAt(fs: FileSystem, root: Path,
+      version: Option[Long]): Option[(org.apache.spark.sql.types.StructType,
+        Seq[Map[Int, String]])] = {
+    val vs = manifestVersions(fs, root)
+    val p = version match {
+      case Some(v) => vs.find(_._1 == v).map(_._2)
+      case None => vs.lastOption.map(_._2)
+    }
+    val meta = p.map(readMeta(fs, _)).getOrElse(Map.empty)
+    for {
+      ej <- meta.get(FieldEpochsKey)
+      sj <- meta.get(SchemaKey)
+    } yield (org.apache.spark.sql.types.DataType.fromJson(sj)
+      .asInstanceOf[org.apache.spark.sql.types.StructType],
+      decodeEpochs(ej))
+  }
+
+  /** The `se:` token staged lines carry under the table's CURRENT
+    * epoch; None when the table has no field-id history.
+    */
+  private def epochToken(fs: FileSystem, root: Path): Option[String] = {
+    val vs = manifestVersions(fs, root)
+    vs.lastOption.map(p => readMeta(fs, p._2))
+      .flatMap(_.get(FieldEpochsKey))
+      .map(e => s"se:${decodeEpochs(e).size - 1}")
+  }
+
+  private def stampEpoch(lines: Seq[String],
+      tok: Option[String]): Seq[String] =
+    tok.fold(lines)(t => lines.map(l => s"$l\t$t"))
 
   /** Encode the manifest line for a freshly staged file: path + stat
     * tokens from ONE footer read. Any column whose chunks lack usable
@@ -781,9 +908,14 @@ object ManifestedTable {
     * find-touched CHEAP on a clustered layout: a key-local DML opens
     * the files whose range it hits, not the table.
     */
-  private def pruneByKeyBounds(entries: Seq[(String, FileStats)],
-      probe: DataFrame, keys: Seq[String]): Seq[String] = {
+  private def pruneByKeyBounds(entries0: Seq[(String, FileStats)],
+      probe: DataFrame, keys: Seq[String],
+      epochs: Seq[Map[Int, String]] = Nil): Seq[String] = {
     import org.apache.spark.sql.types._
+    // translate per-file stats to CURRENT names first: a renamed key
+    // column still prunes through its old token, and a file that
+    // cannot translate simply stays a candidate
+    val entries = entries0.map(e => (e._1, rekeyStats(epochs, e._2)))
     val aggCols = keys.flatMap(k => Seq(
       org.apache.spark.sql.functions.min(col(k)),
       org.apache.spark.sql.functions.max(col(k))))
@@ -876,6 +1008,11 @@ object ManifestedTable {
       rels: Seq[String]): Seq[String] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
+    stampEpoch(statLinesRaw(fs, root, rels), epochToken(fs, root))
+  }
+
+  private def statLinesRaw(fs: FileSystem, root: Path,
+      rels: Seq[String]): Seq[String] = {
     if (rels.size <= 1) rels.map(rel => statLine(fs, root, rel))
     else {
       val pool = java.util.concurrent.Executors
@@ -921,8 +1058,15 @@ object ManifestedTable {
     fs.mkdirs(root)
     require(manifestVersions(fs, root).isEmpty,
       s"a manifested table already exists at $dir")
+    // epoch 0: field ids 1..n in declared order — the anchor every
+    // later RENAME/DROP/ADD evolves from
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+    val epoch0 = schema.fieldNames.zipWithIndex
+      .map { case (n, i) => (i + 1) -> n }.toMap
     publish(fs, root, Replace, Nil,
-      Map(SchemaKey -> schemaJson, OpKey -> "create"))
+      Map(SchemaKey -> schemaJson, OpKey -> "create",
+        FieldEpochsKey -> encodeEpochs(Seq(epoch0))))
   }
 
   /** Record a new declared schema (the catalog's ALTER TABLE ADD
@@ -932,10 +1076,12 @@ object ManifestedTable {
     */
   private[sources] def updateSchemaMeta(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
-      schemaJson: String): Long = {
+      schemaJson: String,
+      fieldEpochs: Option[Seq[Map[Int, String]]] = None): Long = {
     val root = new Path(dir)
     publish(root.getFileSystem(conf), root, AppendFiles, Nil,
-      Map(SchemaKey -> schemaJson, OpKey -> "alter"))
+      Map(SchemaKey -> schemaJson, OpKey -> "alter") ++
+        fieldEpochs.map(es => FieldEpochsKey -> encodeEpochs(es)))
   }
 
   /** Commit already-staged files as an EXACTLY-ONCE streaming batch —
@@ -1065,8 +1211,10 @@ object ManifestedTable {
   private[graft] def keyCandidates(spark: SparkSession, dir: String,
       probe: DataFrame, keys: Seq[String]): Seq[String] = {
     val fs = fsOf(spark, dir)
-    val (_, lines) = currentSnapshot(fs, new Path(dir))
-    pruneByKeyBounds(lines.map(parseEntry), probe, keys)
+    val root = new Path(dir)
+    val (_, lines) = currentSnapshot(fs, root)
+    pruneByKeyBounds(lines.map(parseEntry), probe, keys,
+      schemaCtxAt(fs, root, None).map(_._2).getOrElse(Nil))
   }
 
   /** Stage `df` in a fresh immutable dir and return the staged files'
@@ -1085,18 +1233,7 @@ object ManifestedTable {
     // Σ(footer): sequential opens would tax every commit by hundreds
     // of ms once a job stages dozens of files (Hadoop FileSystem
     // handles are thread-safe)
-    if (rels.size <= 1) rels.map(rel => statLine(fs, root, rel))
-    else {
-      val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(16, rels.size))
-      try {
-        import scala.jdk.CollectionConverters._
-        pool.invokeAll(rels.map(rel =>
-          new java.util.concurrent.Callable[String] {
-            override def call(): String = statLine(fs, root, rel)
-          }).asJava).asScala.map(_.get()).toSeq
-      } finally pool.shutdown()
-    }
+    stampEpoch(statLinesRaw(fs, root, rels), epochToken(fs, root))
   }
 
   /** Publish `df` as the table's next snapshot. `overwrite = false`
@@ -1131,10 +1268,12 @@ object ManifestedTable {
   def read(spark: SparkSession, dir: String,
       mergeSchema: Boolean = false): DataFrame = {
     val root = new Path(dir)
-    val (_, lines) = currentSnapshot(fsOf(spark, dir), root)
+    val fs = fsOf(spark, dir)
+    val (_, lines) = currentSnapshot(fs, root)
     require(lines.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
-    readLive(spark, root, lines.map(parseEntry), mergeSchema)
+    readLive(spark, root, lines.map(parseEntry), mergeSchema,
+      schemaCtx = schemaCtxAt(fs, root, None))
   }
 
   /** Current-snapshot read pruned by the MANIFEST's per-file stats:
@@ -1153,7 +1292,10 @@ object ManifestedTable {
     val (_, lines) = currentSnapshot(fs, root)
     require(lines.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
-    val keep = lines.map(parseEntry).filter { case (_, st) =>
+    val ctx = schemaCtxAt(fs, root, None)
+    val epochs = ctx.map(_._2).getOrElse(Nil)
+    val keep = lines.map(parseEntry).filter { case (_, st0) =>
+      val st = rekeyStats(epochs, st0)
       !st.rows.contains(0L) && (st.longs.get(column) match {
         case Some((flo, fhi)) => fhi >= lo && flo <= hi
         case None => true // no stats: always a candidate
@@ -1161,8 +1303,9 @@ object ManifestedTable {
     }
     val cond = col(column) >= lo && col(column) <= hi
     if (keep.isEmpty)
-      readLive(spark, root, lines.map(parseEntry)).filter(cond).limit(0)
-    else readLive(spark, root, keep).filter(cond)
+      readLive(spark, root, lines.map(parseEntry), schemaCtx = ctx)
+        .filter(cond).limit(0)
+    else readLive(spark, root, keep, schemaCtx = ctx).filter(cond)
   }
 
   /** ATOMIC compaction: rewrite the current snapshot into
@@ -1188,7 +1331,8 @@ object ManifestedTable {
     // THROUGH the deletion vectors and so materializes them away
     if (files.size <= needed && entries.forall(_._2.dv.isEmpty))
       return baseV
-    val compacted = readLive(spark, root, entries).repartition(needed)
+    val compacted = readLive(spark, root, entries,
+      schemaCtx = schemaCtxAt(fs, root, None)).repartition(needed)
     val staged = stageFiles(compacted, root, fs)
     // row-preserving rewrite of the WHOLE base: an interleaved append
     // rebases (its files ride uncompacted), an interleaved DML
@@ -1329,8 +1473,38 @@ object ManifestedTable {
     */
   private def readLive(spark: SparkSession, root: Path,
       entries: Seq[(String, FileStats)], mergeSchema: Boolean = false,
-      withMeta: Boolean = false): DataFrame = {
+      withMeta: Boolean = false,
+      schemaCtx: Option[(StructType, Seq[Map[Int, String]])] = None)
+      : DataFrame = {
     require(entries.nonEmpty, "readLive over an empty entry list")
+    schemaCtx match {
+      case Some((declared, epochs)) if epochs.size > 1 =>
+        // FIELD-ID resolution: group the files by the schema epoch
+        // they were staged under (one or two groups in practice), read
+        // each group at its PHYSICAL names, then project every group
+        // onto the declared current schema — a renamed column reads
+        // its old bytes, a column whose id didn't exist at the file's
+        // epoch (incl. a dropped-and-re-added name) reads NULL. Each
+        // group keeps the vectorized bulk read; the union is by-name
+        // over identical schemas.
+        val groups = entries.groupBy(e =>
+          math.min(e._2.epoch.getOrElse(0), epochs.size - 1))
+        val cur = epochs.last
+        return groups.toSeq.sortBy(_._1).map { case (ei, es) =>
+          val em = epochs(ei)
+          val phys = cur.flatMap { case (id, c) => em.get(id).map(c -> _) }
+          val df = readLive(spark, root, es, mergeSchema = true, withMeta)
+          val avail = df.columns.toSet
+          val metaCols = if (withMeta) Seq("__file", "__pos") else Nil
+          df.select(declared.fields.toSeq.map { f =>
+            phys.get(f.name).filter(avail) match {
+              case Some(pn) => col(pn).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
+          } ++ metaCols.map(col): _*)
+        }.reduce(_.unionByName(_))
+      case _ =>
+    }
     val (dirty, clean) = entries.partition(_._2.dv.isDefined)
     def meta(df: DataFrame): DataFrame = df
       .withColumn("__file", relOfCol(col("_metadata.file_path")))
@@ -1467,7 +1641,9 @@ object ManifestedTable {
     val entries = baseLines.map(parseEntry)
     val entryMap = entries.toMap
     val lineMap = baseLines.map(l => pathOf(l) -> l).toMap
-    val base = readLive(spark, root, entries)
+    val ctx = schemaCtxAt(fs, root, None)
+    val epochs = ctx.map(_._2).getOrElse(Nil)
+    val base = readLive(spark, root, entries, schemaCtx = ctx)
     // merge-on-read applies only to the plain upsert shape: matched
     // rows' old images DV out, source images stage fresh. Conditional
     // updates keep base images and by-source clauses rewrite unmatched
@@ -1494,13 +1670,14 @@ object ManifestedTable {
     // manifest key interval intersects the source's key bounds are
     // scanned for the exact semi join — on a key-clustered layout a
     // key-local delta opens a handful of files, not the table
-    val candidates = pruneByKeyBounds(entries, srcKeys, keys)
+    val candidates = pruneByKeyBounds(entries, srcKeys, keys, epochs)
     // matched-hit counts per file in one LIVE pass: find-touched and
     // the MoR split from the same manifest-sized collect
     val matchHits =
       if (candidates.isEmpty) Map.empty[String, Long]
       else readLive(spark, root,
-        entries.filter(e => candidates.contains(e._1)), withMeta = true)
+        entries.filter(e => candidates.contains(e._1)), withMeta = true,
+        schemaCtx = ctx)
         .join(srcKeys, keys, "left_semi")
         .groupBy(col("__file")).agg(count(lit(1)).as("__n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1511,7 +1688,8 @@ object ManifestedTable {
     val bySourceTouched = bySource match {
       case None => Seq.empty[String]
       case Some(a) =>
-        val unmatched = readLive(spark, root, entries, withMeta = true)
+        val unmatched = readLive(spark, root, entries, withMeta = true,
+          schemaCtx = ctx)
           .join(srcKeys, keys, "left_anti")
         val applicable = (a match {
           case BySourceDelete(c) => c
@@ -1533,7 +1711,8 @@ object ManifestedTable {
       if (dvT.isEmpty) Nil
       else {
         val fresh = readLive(spark, root,
-          entries.filter(e => dvT.contains(e._1)), withMeta = true)
+          entries.filter(e => dvT.contains(e._1)), withMeta = true,
+          schemaCtx = ctx)
           .join(srcKeys, keys, "left_semi")
           .select(col("__file").as("file"), col("__pos").as("pos"))
         val dvRel = stageDv(
@@ -1553,12 +1732,13 @@ object ManifestedTable {
         // ONE anti join over the touched files + the blind source
         // union — no matched/unmatched source split, so the touched
         // files scan once, not three times
-        readLive(spark, root, entries.filter(e => touched.contains(e._1)))
+        readLive(spark, root, entries.filter(e => touched.contains(e._1)),
+          schemaCtx = ctx)
           .join(srcKeys, keys, "left_anti")
           .unionByName(source.filter(!delC).select(cols.map(col): _*))
       } else {
         val t = readLive(spark, root,
-          entries.filter(e => touched.contains(e._1)))
+          entries.filter(e => touched.contains(e._1)), schemaCtx = ctx)
         val tKeys = t.select(keys.map(col): _*)
         // NOT MATCHED BY SOURCE: unmatched base rows in touched files
         // — only REWRITTEN files re-emit them; a DV'd file's unmatched
@@ -1566,7 +1746,7 @@ object ManifestedTable {
         val um =
           if (rwT.isEmpty) t.join(srcKeys, keys, "left_anti").limit(0)
           else readLive(spark, root,
-            entries.filter(e => rwT.contains(e._1)))
+            entries.filter(e => rwT.contains(e._1)), schemaCtx = ctx)
             .join(srcKeys, keys, "left_anti")
         val umOut = bySource match {
           case None => um
@@ -1659,7 +1839,9 @@ object ManifestedTable {
     val entries = baseLines.map(parseEntry)
     val entryMap = entries.toMap
     val lineMap = baseLines.map(l => pathOf(l) -> l).toMap
-    val live = readLive(spark, root, entries, withMeta = true)
+    val ctx = schemaCtxAt(fs, root, None)
+    val live = readLive(spark, root, entries, withMeta = true,
+      schemaCtx = ctx)
     // per-file hit counts in one pass — manifest-sized collect, and
     // exactly the number the MoR split needs
     val hits = live.filter(cond).groupBy(col("__file"))
@@ -1683,7 +1865,8 @@ object ManifestedTable {
     val rwStaged =
       if (rwT.isEmpty) Nil
       else stageFiles(
-        readLive(spark, root, entries.filter(e => rwT.contains(e._1)))
+        readLive(spark, root, entries.filter(e => rwT.contains(e._1)),
+          schemaCtx = ctx)
           .filter(!coalesce(cond, lit(false))), root, fs)
     // conflict scope: the delete predicate — interleaved rows it would
     // have deleted make the serial orders disagree
@@ -1720,14 +1903,17 @@ object ManifestedTable {
     val entryMap = entries.toMap
     val lineMap = baseLines.map(l => pathOf(l) -> l).toMap
     val k = keys.distinct()
+    val ctx = schemaCtxAt(fs, root, None)
+    val epochs = ctx.map(_._2).getOrElse(Nil)
     // same stats-pruned find-touched as merge: the key feed's bounds
     // refute non-intersecting files from the manifest alone; the scan
     // reads LIVE rows (already-deleted positions never re-match) and
     // yields the per-file hit counts the MoR split needs
-    val candidates = pruneByKeyBounds(entries, k, keyCols)
+    val candidates = pruneByKeyBounds(entries, k, keyCols, epochs)
     if (candidates.isEmpty) return baseV
     val candEntries = entries.filter(e => candidates.contains(e._1))
-    val hits = readLive(spark, root, candEntries, withMeta = true)
+    val hits = readLive(spark, root, candEntries, withMeta = true,
+      schemaCtx = ctx)
       .join(k, keyCols, "left_semi")
       .groupBy(col("__file")).agg(count(lit(1)).as("__n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1741,7 +1927,8 @@ object ManifestedTable {
       if (dvT.isEmpty) Nil
       else {
         val dvEntries = entries.filter(e => dvT.contains(e._1))
-        val fresh = readLive(spark, root, dvEntries, withMeta = true)
+        val fresh = readLive(spark, root, dvEntries, withMeta = true,
+          schemaCtx = ctx)
           .join(k, keyCols, "left_semi")
           .select(col("__file").as("file"), col("__pos").as("pos"))
         val dvRel = stageDv(
@@ -1752,7 +1939,7 @@ object ManifestedTable {
       if (rwT.isEmpty) Nil
       else {
         val survivors = readLive(spark, root,
-          entries.filter(e => rwT.contains(e._1)))
+          entries.filter(e => rwT.contains(e._1)), schemaCtx = ctx)
           .join(k, keyCols, "left_anti")
         stageFiles(survivors, root, fs)
       }
@@ -1788,7 +1975,8 @@ object ManifestedTable {
     val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val needed =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val clustered = readLive(spark, root, baseLines.map(parseEntry))
+    val clustered = readLive(spark, root, baseLines.map(parseEntry),
+      schemaCtx = schemaCtxAt(fs, root, None))
       .repartitionByRange(needed, clusterBy)
       .sortWithinPartitions(clusterBy)
     val staged = stageFiles(clustered, root, fs)

@@ -921,9 +921,10 @@ class SourceFormatsSpec extends SparkTestBase {
       assert(spark.sql(
         "SELECT count(*) AS n FROM gm_spec.book2 WHERE note = 'old'")
         .head.getLong(0) == 2)
-      // only widening is supported — a drop refuses loudly
+      // rename/drop are supported via field ids (their own spec);
+      // unsupported evolution — a type change — still refuses loudly
       intercept[Exception] {
-        spark.sql("ALTER TABLE gm_spec.book2 DROP COLUMN note")
+        spark.sql("ALTER TABLE gm_spec.book2 ALTER COLUMN v TYPE STRING")
       }
 
       // namespaces are directories: create, list into, drop
@@ -944,6 +945,94 @@ class SourceFormatsSpec extends SparkTestBase {
     } finally {
       spark.conf.unset("spark.sql.catalog.gm_spec")
       spark.conf.unset("spark.sql.catalog.gm_spec.root")
+    }
+  }
+
+  test("graft-manifest field ids: RENAME/DROP COLUMN are metadata-only and dead ids never resurrect") {
+    // Iceberg's field-id construction, carried in the manifest meta:
+    // every staged file records its schema epoch, readers resolve a
+    // CURRENT column to a file's PHYSICAL column by stable field id —
+    // so a rename moves zero data bytes, and a dropped-then-re-added
+    // NAME gets a fresh id whose pre-drop bytes read NULL (never the
+    // dead id's values)
+    import graft.sources.ManifestedTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_fid").toString
+    spark.conf.set("spark.sql.catalog.gm_fid",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_fid.root", wh)
+    try {
+      spark.sql("CREATE TABLE gm_fid.t (k BIGINT, v DOUBLE)")
+      spark.sql("INSERT INTO gm_fid.t VALUES (1, 10.0), (2, 20.0)")
+      val dir = s"$wh/t"
+      def dataFiles(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+        new java.io.File(dir).listFiles.toSeq
+          .filter(d => d.isDirectory && d.getName.startsWith("data-"))
+          .flatMap(walk).filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified).toMap
+      }
+      val vPreRename = ManifestedTable.currentVersion(spark, dir)
+      val filesPre = dataFiles()
+
+      // RENAME: one metadata commit, zero data movement
+      spark.sql("ALTER TABLE gm_fid.t RENAME COLUMN v TO w")
+      assert(dataFiles() == filesPre, "RENAME COLUMN moved data files")
+      assert(spark.sql("SELECT w FROM gm_fid.t WHERE k = 1")
+        .head.getDouble(0) == 10.0,
+        "old bytes did not serve the renamed column")
+      // mixed epochs: a post-rename file stores physical 'w'
+      spark.sql("INSERT INTO gm_fid.t VALUES (3, 30.0)")
+      assert(spark.sql("SELECT sum(w) AS s FROM gm_fid.t")
+        .head.getDouble(0) == 60.0)
+      // filters on the current name reach pre-rename files (and the
+      // per-file stats still prune through the old token)
+      assert(spark.sql("SELECT k FROM gm_fid.t WHERE w = 20.0")
+        .head.getLong(0) == 2)
+      // the object API resolves identically (DML reads ride on it)
+      assert(ManifestedTable.read(spark, dir).columns.toSeq ==
+        Seq("k", "w"))
+      // a versioned read serves the OLD name — the schema history is
+      // versioned with the snapshot
+      assert(spark.sql(
+        s"SELECT * FROM gm_fid.t VERSION AS OF $vPreRename")
+        .columns.toSeq == Seq("k", "v"))
+
+      // DROP + re-ADD the same name: fresh id — pre-drop bytes stay
+      // dead. Note k=3's file PHYSICALLY stores a column named 'w';
+      // it must still read NULL (its bytes belong to the dead id).
+      spark.sql("ALTER TABLE gm_fid.t DROP COLUMN w")
+      assert(spark.sql("SELECT * FROM gm_fid.t").columns.toSeq == Seq("k"))
+      spark.sql("ALTER TABLE gm_fid.t ADD COLUMNS (w DOUBLE)")
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_fid.t WHERE w IS NULL")
+        .head.getLong(0) == 3,
+        "a dead field id's bytes resurrected under a re-added name")
+      spark.sql("INSERT INTO gm_fid.t VALUES (4, 400.0)")
+      assert(spark.sql("SELECT sum(w) AS s FROM gm_fid.t")
+        .head.getDouble(0) == 400.0)
+
+      // DML through the rename history: engine-planned UPDATE rewrites
+      // a pre-rename file correctly, DELETE prunes on the new id
+      spark.sql("UPDATE gm_fid.t SET w = 5.0 WHERE k = 1")
+      assert(spark.sql("SELECT w FROM gm_fid.t WHERE k = 1")
+        .head.getDouble(0) == 5.0)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_fid.t WHERE w IS NULL")
+        .head.getLong(0) == 2, "the UPDATE rewrite disturbed other rows")
+      spark.sql("DELETE FROM gm_fid.t WHERE w = 400.0")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_fid.t")
+        .head.getLong(0) == 3)
+
+      // compaction materializes current names; everything still reads
+      ManifestedTable.compact(spark, dir, 1L << 30)
+      assert(spark.sql("SELECT sum(w) AS s FROM gm_fid.t")
+        .head.getDouble(0) == 5.0)
+      assert(spark.sql("SELECT count(*) AS n FROM gm_fid.t")
+        .head.getLong(0) == 3)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gm_fid")
+      spark.conf.unset("spark.sql.catalog.gm_fid.root")
     }
   }
 
