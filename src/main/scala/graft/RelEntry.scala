@@ -2493,6 +2493,55 @@ object RelEntry {
       }
     }),
 
+    // ---- T97: field-id schema evolution (rename/drop/re-add) ------------
+    "q193_schema_evolution" -> ((s, d) => {
+      // the full evolution lifecycle against the order book, every
+      // step through plain SQL: CTAS, RENAME COLUMN (metadata-only —
+      // old files keep serving the column through its field id), an
+      // INSERT under the renamed schema (mixed physical names), DROP
+      // + re-ADD of a second column (fresh id: every pre-drop row
+      // reads NULL — count(flag) is the resurrection detector), a
+      // second feed under the re-added schema, and an engine-planned
+      // UPDATE whose predicate spans all three file generations. The
+      // oracle replays the lifecycle relationally; hash equality pins
+      // id-resolution end to end.
+      val wh = java.nio.file.Files.createTempDirectory("graft_fid_q").toString
+      s.conf.set("spark.sql.catalog.g193", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g193.root", wh)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g193_src")
+      s.sql("DROP TABLE IF EXISTS g193.t")
+      s.sql("""CREATE TABLE g193.t AS
+              |SELECT o_orderkey AS k, o_custkey AS c, cents,
+              |       o_orderkey % 7 AS flag
+              |FROM g193_src WHERE o_orderkey % 3 < 2""".stripMargin)
+      s.sql("ALTER TABLE g193.t RENAME COLUMN cents TO amount")
+      s.sql("""INSERT INTO g193.t
+              |SELECT o_orderkey + 507000000, o_custkey, cents,
+              |       o_orderkey % 7
+              |FROM g193_src WHERE o_orderkey % 10 = 4""".stripMargin)
+      s.sql("ALTER TABLE g193.t DROP COLUMN flag")
+      s.sql("ALTER TABLE g193.t ADD COLUMNS (flag BIGINT)")
+      s.sql("""INSERT INTO g193.t
+              |SELECT o_orderkey + 607000000, o_custkey, cents + 5,
+              |       CAST(1 AS BIGINT)
+              |FROM g193_src WHERE o_orderkey % 10 = 6""".stripMargin)
+      s.sql("UPDATE g193.t SET amount = amount + 7 WHERE k % 11 = 3")
+      val out = s.sql(
+        """SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
+          |  sum(amount) AS amt, CAST(count(flag) AS BIGINT) AS n_flag
+          |FROM g193.t WHERE c % 10 = 3
+          |GROUP BY c""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g193.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -3340,6 +3389,41 @@ object RelEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM fin WHERE c % 10 = 3
         |GROUP BY c, p""".stripMargin,
+
+    // q193 mirror: the evolution lifecycle replayed relationally —
+    // rename = aliasing, drop+re-add = every prior row's flag NULLed
+    // (a resurrected dead id would inflate n_flag), the update spans
+    // all three generations
+    "q193_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (
+        |  SELECT k, c, cents AS amount, k % 7 AS flag
+        |  FROM base WHERE k % 3 < 2),
+        |f1 AS (
+        |  SELECT k + 507000000 AS k, c, cents AS amount, k % 7 AS flag
+        |  FROM base WHERE k % 10 = 4),
+        |dropped AS (
+        |  SELECT k, c, amount, CAST(NULL AS BIGINT) AS flag FROM v1
+        |  UNION ALL
+        |  SELECT k, c, amount, CAST(NULL AS BIGINT) AS flag FROM f1),
+        |f2 AS (
+        |  SELECT k + 607000000 AS k, c, cents + 5 AS amount,
+        |         CAST(1 AS BIGINT) AS flag
+        |  FROM base WHERE k % 10 = 6),
+        |cur AS (
+        |  SELECT k, c,
+        |         CASE WHEN k % 11 = 3 THEN amount + 7 ELSE amount END
+        |           AS amount,
+        |         flag
+        |  FROM (SELECT * FROM dropped UNION ALL SELECT * FROM f2))
+        |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(amount) AS BIGINT) AS amt,
+        |  CAST(count(flag) AS BIGINT) AS n_flag
+        |FROM cur WHERE c % 10 = 3
+        |GROUP BY c""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the
     // Spark side's single-scan folding is a PLAN property
