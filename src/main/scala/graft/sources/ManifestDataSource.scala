@@ -335,12 +335,20 @@ private[sources] class ManifestTable(schema: StructType, path: String,
   override def name(): String = s"graft-manifest `$path`" +
     pinnedVersion.fold("")(v => s"@v$v")
   override def schema(): StructType = schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
+    // declaring V1_BATCH_WRITE forces the V1 shim for EVERY write; a
+    // table with a declared cluster key writes through the native
+    // DSv2 face instead, so RequiresDistributionAndOrdering applies
+    if (!ManifestedTable.tableProperties(
+        SparkSession.active.sessionState.newHadoopConf(), path)
+        .contains("graft.cluster-by"))
+      caps.add(TableCapability.V1_BATCH_WRITE)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(schema, path,
       ManifestDataSource.versionOf(options, path).orElse(pinnedVersion),
@@ -353,6 +361,30 @@ private[sources] class ManifestTable(schema: StructType, path: String,
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(pinnedVersion.isEmpty,
       "cannot write to a time-travelled snapshot")
+    val props = ManifestedTable.tableProperties(
+      SparkSession.active.sessionState.newHadoopConf(), path)
+    props.get("graft.cluster-by") match {
+      case Some(cols) =>
+        // declared cluster key: the DSv2 write face with
+        // RequiresDistributionAndOrdering — the ENGINE range-partitions
+        // + sorts the incoming rows, so INSERT/CTAS land per-file
+        // disjoint key intervals (stats-prunable with no CALL optimize)
+        val clusterCols = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val numParts = props.get("graft.write-partitions")
+          .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+        return new org.apache.spark.sql.connector.write.WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate {
+          private var overwrite = false
+          override def truncate()
+              : org.apache.spark.sql.connector.write.WriteBuilder = {
+            overwrite = true; this
+          }
+          override def build(): org.apache.spark.sql.connector.write.Write =
+            new ManifestClusteredWrite(path, info.schema(), clusterCols,
+              overwrite, numParts)
+        }
+      case None =>
+    }
     new org.apache.spark.sql.connector.write.WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var overwrite = false

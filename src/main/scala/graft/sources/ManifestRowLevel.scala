@@ -159,13 +159,35 @@ private[sources] case class ManifestWriteMessage(rel: String)
   * swapping the scanned groups for the written files.
   */
 private[sources] class ManifestReplaceWrite(op: ManifestRowLevelOperation,
-    writeSchema: StructType) extends Write with BatchWrite {
+    writeSchema: StructType) extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
   override def description(): String =
     s"graft-manifest replace-write ${op.description()}"
 
   private val stage = s"data-${java.util.UUID.randomUUID()}"
   private def conf = SparkSession.active.sessionState.newHadoopConf()
+
+  // a table with a declared cluster key keeps its layout THROUGH
+  // row-level rewrites: the replacement rows re-sort on the key, so a
+  // DML never degrades the stats-prunable layout ingest established
+  private val clusterSorts = ManifestedTable
+    .tableProperties(conf, op.path).get("graft.cluster-by")
+    .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    .getOrElse(Nil)
+    .map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    .toArray
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (clusterSorts.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions
+      .ordered(clusterSorts)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    clusterSorts
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -322,6 +344,81 @@ private[sources] object ManifestRowWriterFactory {
       b.addField(prim)
     }
     b.named("spark_schema")
+  }
+}
+
+/** The CLUSTERED batch write — what a table with a declared
+  * `graft.cluster-by` key gets for INSERT/CTAS/INSERT OVERWRITE:
+  * [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+  * asks the ENGINE for a range distribution + within-partition sort on
+  * the cluster key before the writers run, so ingest lands per-file
+  * DISJOINT key intervals — the layout that makes manifest stats
+  * pruning (find-touched, range reads, file skipping) selective from
+  * the first commit, with no separate `CALL optimize` pass. The
+  * `graft.write-partitions` property (0 = engine/AQE decides) pins the
+  * shuffle width where file-count control matters. Files stage through
+  * the same Group writers as the row-level face; the job commit is one
+  * validated manifest rename.
+  */
+private[sources] class ManifestClusteredWrite(path: String,
+    writeSchema: StructType, clusterCols: Seq[String], overwrite: Boolean,
+    numParts: Int) extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution,
+    Distributions}
+  import org.apache.spark.sql.connector.expressions.{
+    SortDirection, SortOrder => V2SortOrder}
+  import org.apache.spark.sql.connector.expressions.{
+    Expressions => V2Expressions}
+
+  private val stage = s"data-${java.util.UUID.randomUUID()}"
+  private def conf = SparkSession.active.sessionState.newHadoopConf()
+
+  private def sorts: Array[V2SortOrder] = clusterCols.map(c =>
+    V2Expressions.sort(V2Expressions.column(c),
+      SortDirection.ASCENDING)).toArray
+  // ORDERED (range) distribution, not clustered (hash): disjoint
+  // per-partition key intervals are the whole point — hash partitions
+  // would each span the full key range and prune nothing
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(sorts)
+  override def requiredOrdering(): Array[V2SortOrder] = sorts
+  override def requiredNumPartitions(): Int = numParts
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graft-manifest clustered-write `$path` by " +
+      clusterCols.mkString(",")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestRowWriterFactory(path, stage, writeSchema.json,
+      new SerializableConfiguration(conf))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rels = messages.collect {
+      case ManifestWriteMessage(rel) if rel.nonEmpty => rel
+    }.toSeq.sorted
+    // an all-empty write still commits on overwrite (truncate to
+    // empty is a real result); a no-row append commits nothing
+    if (rels.isEmpty && !overwrite) return
+    ManifestedTable.commitStagedFiles(conf, path, rels, overwrite)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf)
+    fs.delete(new Path(new Path(path), stage), true)
+    ()
+  }
+
+  /** A stream into a clustered table appends through the same
+    * exactly-once epoch sink as unclustered tables (micro-batch
+    * epochs are small; clustering stays the maintenance pass's job).
+    */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!overwrite, "graft-manifest streaming: append mode only")
+    new ManifestStreamingWrite(path, writeSchema)
   }
 }
 

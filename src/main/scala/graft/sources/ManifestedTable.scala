@@ -1027,6 +1027,23 @@ object ManifestedTable {
     }
   }
 
+  /** Commit already-staged files as the table's next snapshot — the
+    * DSv2 clustered-write face's job commit (append, or
+    * truncate-overwrite): footer stats + epoch stamp per staged file,
+    * one validated manifest rename, exactly like [[write]] minus the
+    * staging (the engine's own distributed writers already landed the
+    * files).
+    */
+  private[sources] def commitStagedFiles(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      rels: Seq[String], overwrite: Boolean): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val lines = statLines(conf, dir, rels)
+    publish(fs, root, if (overwrite) Replace else AppendFiles, lines)
+  }
+
   /** Publish a SQL row-level operation's result: the `touched` groups
     * (files its runtime-filtered scan planned) drop, the staged
     * replacement lines join, every untouched file rides by reference —

@@ -948,6 +948,83 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest clustered writes: ingest lands stats-prunable layouts with no optimize pass") {
+    // RequiresDistributionAndOrdering: a table with a declared
+    // graft.cluster-by key asks the ENGINE for a range distribution +
+    // sort before its writers run, so INSERT/CTAS produce per-file
+    // DISJOINT key intervals — manifest stats pruning is selective
+    // from the first commit, no CALL optimize needed
+    import graft.sources.ManifestedTable
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_dw").toString
+    spark.conf.set("spark.sql.catalog.gm_dw",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_dw.root", wh)
+    try {
+      spark.sql("""CREATE TABLE gm_dw.t (k BIGINT, v DOUBLE)
+        TBLPROPERTIES ('graft.cluster-by'='k',
+                       'graft.write-partitions'='8')""")
+      // a deliberately SCRAMBLED source: the multiplicative hash kills
+      // any incidental ordering, so disjoint per-file intervals can
+      // only come from the write's own required distribution
+      spark.sql("""INSERT INTO gm_dw.t
+        SELECT (id * 2654435761) % 4000 AS k, CAST(id AS DOUBLE) AS v
+        FROM range(0, 4000)""")
+      val dir = s"$wh/t"
+      val files = ManifestedTable.currentFiles(spark, dir)
+      assert(files.size == 8, s"expected 8 clustered files, got $files")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_dw.t")
+        .head.getLong(0) == 4000)
+
+      // keyed probes open a STRICT MINORITY of files, and disjoint key
+      // ranges hit DISJOINT file sets — the layout proof
+      def cands(lo: Long, hi: Long): Set[String] =
+        ManifestedTable.keyCandidates(spark, dir,
+          spark.range(lo, hi).toDF("k"), Seq("k")).toSet
+      val a = cands(0L, 200L)
+      val b = cands(2000L, 2200L)
+      val c = cands(3800L, 3999L)
+      assert(a.nonEmpty && b.nonEmpty && c.nonEmpty)
+      assert(a.size < files.size / 2 && b.size < files.size / 2,
+        s"keyed probes are not selective: ${a.size}/${files.size}")
+      assert((a & b).isEmpty && (b & c).isEmpty && (a & c).isEmpty,
+        "file key intervals overlap — ingest did not range-cluster")
+
+      // a keyed DELETE therefore rewrites only the hit files
+      val before = ManifestedTable.currentFiles(spark, dir).toSet
+      val expectDel = spark.sql(
+        """SELECT count(*) AS n FROM
+          |(SELECT (id * 2654435761) % 4000 AS k FROM range(0, 4000))
+          |WHERE k >= 0 AND k < 200""".stripMargin).head.getLong(0)
+      spark.sql("DELETE FROM gm_dw.t WHERE k >= 0 AND k < 200")
+      val after = ManifestedTable.currentFiles(spark, dir).toSet
+      val removed = before -- after
+      assert(removed.subsetOf(a),
+        s"the keyed DELETE rewrote files outside the key range: " +
+          s"${removed -- a}")
+      assert((before -- removed).subsetOf(after),
+        "untouched files did not ride by reference")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_dw.t")
+        .head.getLong(0) == 4000 - expectDel)
+
+      // a row-level UPDATE keeps the clustered layout (the replace
+      // write re-sorts): a later probe is still a strict minority
+      spark.sql("UPDATE gm_dw.t SET v = v + 1 WHERE k >= 3000 AND k < 3100")
+      val again = cands(3000L, 3100L)
+      assert(again.size < ManifestedTable.currentFiles(spark, dir).size / 2,
+        "the DML rewrite degraded the clustered layout")
+
+      // INSERT OVERWRITE routes through the clustered write's truncate
+      spark.sql("""INSERT OVERWRITE gm_dw.t
+        SELECT id AS k, CAST(0 AS DOUBLE) AS v FROM range(100)""")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_dw.t")
+        .head.getLong(0) == 100)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gm_dw")
+      spark.conf.unset("spark.sql.catalog.gm_dw.root")
+    }
+  }
+
   test("graft-manifest field ids: RENAME/DROP COLUMN are metadata-only and dead ids never resurrect") {
     // Iceberg's field-id construction, carried in the manifest meta:
     // every staged file records its schema epoch, readers resolve a
