@@ -824,8 +824,15 @@ private[sources] class ManifestMicroBatchStream(path: String,
     val epochs = ManifestedTable.epochsOf(
       ManifestedTable.snapshotMeta(sconf.value, path))
     ((s + 1) to e).flatMap { v =>
+      val (isMain, baseV) =
+        ManifestedTable.versionLineage(sconf.value, path, v)
+      // branch staging commits are invisible to the main change feed —
+      // their rows surface when (and only when) the branch promotes;
+      // each main version diffs against its TRUE lineage parent
+      if (!isMain) Nil
+      else {
       val prev = ManifestedTable
-        .entriesAtVersion(sconf.value, path, v - 1)
+        .entriesAtVersion(sconf.value, path, baseV)
       val curE = ManifestedTable.entriesAtVersion(sconf.value, path, v)
       def k(x: (String, ManifestedTable.FileStats)) = (x._1, x._2.dv)
       val prevK = prev.map(k).toSet
@@ -849,6 +856,7 @@ private[sources] class ManifestMicroBatchStream(path: String,
             st.dv.map(dp => new Path(root, dp).toString),
             ManifestedTable.physMap(epochs, st)): InputPartition
         }
+      }
     }.toArray
   }
 

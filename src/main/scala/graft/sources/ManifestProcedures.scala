@@ -126,6 +126,7 @@ private[sources] object ManifestProcedures {
                 StructField("version", LongType, nullable = false),
                 StructField("commit_ms", LongType, nullable = false),
                 StructField("op", StringType, nullable = false),
+                StructField("branch", StringType, nullable = false),
                 StructField("n_files", LongType, nullable = false),
                 StructField("n_dv", LongType, nullable = false)))
               // |retained versions| rows — manifest-sized
@@ -134,7 +135,8 @@ private[sources] object ManifestProcedures {
                 .orderBy("version").collect().map { r =>
                   new GenericInternalRow(Array[Any](r.getLong(0),
                     r.getLong(1), UTF8String.fromString(r.getString(2)),
-                    r.getLong(3), r.getLong(4))): InternalRow
+                    UTF8String.fromString(r.getString(3)),
+                    r.getLong(4), r.getLong(5))): InternalRow
                 }
               Collections.singletonList(new LocalScan {
                 override def rows(): Array[InternalRow] = hist

@@ -152,13 +152,17 @@ object ManifestedTable {
     val root = new Path(dir)
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $dir")
-    resolveDataLines(fs, root, vs.toMap, vs.last._1).map(pathOf)
+    val (hv, _) = headVersion(fs, root, None).getOrElse(throw
+      new IllegalStateException(s"no main commit under $dir"))
+    resolveDataLines(fs, root, vs.toMap, hv).map(pathOf)
   }
 
-  def currentVersion(spark: SparkSession, dir: String): Long = {
-    val fs = fsOf(spark, dir)
-    manifestVersions(fs, new Path(dir)).lastOption.map(_._1).getOrElse(0L)
-  }
+  /** Version of the current MAIN snapshot — unpromoted branch commits
+    * are invisible here, exactly as to [[read]].
+    */
+  def currentVersion(spark: SparkSession, dir: String): Long =
+    headVersion(fsOf(spark, dir), new Path(dir), None)
+      .map(_._1).getOrElse(0L)
 
   /** All retained snapshot versions, ascending. [[vacuum]] collapses
     * history to the latest — time travel and [[changesBetween]] operate
@@ -649,14 +653,69 @@ object ManifestedTable {
           case Some(p) =>
             val raw = readManifestRaw(fs, p)
             val lines = raw.filterNot(_.startsWith("#"))
-            if (raw.exists(_.startsWith(s"#$BaseKey="))) {
-              deltas ::= lines
-              cur -= 1
-            } else base = lines
+            // follow the EXPLICIT parent pointer, not v−1: once
+            // branches exist history is a tree, and a commit's
+            // predecessor is whatever head it was committed against
+            raw.collectFirst {
+              case l if l.startsWith(s"#$DeltaKey=") =>
+                l.substring(DeltaKey.length + 2).toLong
+            } match {
+              case Some(b) =>
+                deltas ::= lines
+                cur = b
+              case None => base = lines
+            }
         }
       }
     }
     deltas.foldLeft(base)(applyDelta)
+  }
+
+  /** Memoized per-version line resolver over one listing — the shared
+    * machinery of [[history]] and [[vacuum]]'s live-set fold: each
+    * version resolves once (checkpoint hit, full manifest, or one
+    * delta application on its memoized parent), O(versions) small
+    * reads total even though history is a TREE under branches.
+    */
+  private def lineageResolver(fs: FileSystem, root: Path,
+      byV: Map[Long, Path]): Long => Seq[String] = {
+    val cache = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    cache(0L) = Seq.empty
+    def linesOf(v: Long): Seq[String] = cache.getOrElseUpdate(v, {
+      val cp = checkpointPathOf(root, v)
+      if (fs.exists(cp)) readDataLines(fs, cp)
+      else {
+        val raw = readManifestRaw(fs, byV(v))
+        val dataLines = raw.filterNot(_.startsWith("#"))
+        raw.collectFirst {
+          case l if l.startsWith(s"#$DeltaKey=") =>
+            l.substring(DeltaKey.length + 2).toLong
+        } match {
+          case Some(b) => applyDelta(linesOf(b), dataLines)
+          case None => dataLines
+        }
+      }
+    })
+    linesOf
+  }
+
+  /** Head (version, manifest path) of a lineage: the newest retained
+    * version on `ref` — a branch name, or None for MAIN (no branch
+    * meta). A dropped branch has no head. For main this reads ONE
+    * meta in the common case (the newest version is a main commit).
+    */
+  private def headVersion(fs: FileSystem, root: Path,
+      ref: Option[String]): Option[(Long, Path)] = {
+    // newest commit ON the lineage decides: a drop tombstone is the
+    // branch's newest commit, so a dropped branch has NO head (the
+    // older branch commits must not resurrect it)
+    manifestVersions(fs, root).reverseIterator
+      .map { case (v, p) => (v, p, readMeta(fs, p)) }
+      .collectFirst {
+        case (v, p, m) if m.get(BranchKey) == ref => (v, p, m)
+      }
+      .filter { case (_, _, m) => !m.contains(DroppedKey) }
+      .map(t => (t._1, t._2))
   }
 
   /** What a commit MEANS, so a lost version race can be re-validated
@@ -717,7 +776,8 @@ object ManifestedTable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def publish(fs: FileSystem, root: Path, mode: CommitMode,
-      staged: Seq[String], meta: Map[String, String] = Map.empty): Long = {
+      staged: Seq[String], meta: Map[String, String] = Map.empty,
+      ref: Option[String] = None): Long = {
     val hook = beforePublish
     beforePublish = () => ()
     hook()
@@ -737,8 +797,14 @@ object ManifestedTable {
     while (attempt < 64) {
       val committed: Long = locked {
         val vsAll = manifestVersions(fs, root)
-        val prev = vsAll.lastOption
+        // the commit's PARENT is the head of its lineage (main, or a
+        // branch) — not necessarily the newest version: a write-audit-
+        // publish branch interleaves its staging commits into the same
+        // global version sequence, invisible to the other lineages
+        val prev = headVersion(fs, root, ref)
+          .orElse(if (ref.isDefined) headVersion(fs, root, None) else None)
         val curV = prev.map(_._1).getOrElse(0L)
+        val nextV = vsAll.lastOption.map(_._1).getOrElse(0L) + 1L
         // the commit body is DELTA-encoded for appends and rewrites —
         // O(commit) lines (`+entry` / `-path`), never O(table): kept
         // files ride by OMISSION, so a kept file's embedded stats stay
@@ -784,8 +850,9 @@ object ManifestedTable {
             // order: this rewrite first, interleave after)
             rw.touched.toSeq.sorted.map("-" + _) ++ staged.map("+" + _)
         }
-        val v = curV + 1
-        // `op` and `base` describe THIS commit and are excluded from
+        val v = nextV
+        // per-commit keys (op, lineage parent, delta marker, branch,
+        // commit time) describe THIS commit and are excluded from
         // carry-forward (unlike the txn marker, which must survive
         // unrelated commits)
         val opMeta = Map(
@@ -797,11 +864,14 @@ object ManifestedTable {
           // the commit time lives IN the manifest, not in file mtimes:
           // TIMESTAMP AS OF and history() must survive clock-skewed
           // object-store copies, backup/restore, and plain `touch`
-          TsKey -> System.currentTimeMillis().toString
+          TsKey -> System.currentTimeMillis().toString,
+          BaseKey -> curV.toString
         ) ++ (if (mode == Replace) Map.empty
-              else Map(BaseKey -> curV.toString))
+              else Map(DeltaKey -> curV.toString)) ++
+          ref.map(BranchKey -> _)
         val merged = prev.map(p => readMeta(fs, p._2))
-          .getOrElse(Map.empty) - OpKey - BaseKey - TsKey ++ opMeta ++ meta
+          .getOrElse(Map.empty) - OpKey - BaseKey - DeltaKey -
+          BranchKey - DroppedKey - TsKey ++ opMeta ++ meta
         val all = merged.toSeq.sortBy(_._1)
           .map { case (k, x) => s"#$k=$x" } ++ entryLines
         val body = all.mkString("", "\n", if (all.isEmpty) "" else "\n")
@@ -884,7 +954,9 @@ object ManifestedTable {
   private def currentSnapshot(fs: FileSystem, root: Path): (Long, Seq[String]) = {
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $root")
-    (vs.last._1, resolveDataLines(fs, root, vs.toMap, vs.last._1))
+    val (hv, _) = headVersion(fs, root, None).getOrElse(throw
+      new IllegalStateException(s"no main commit under $root"))
+    (hv, resolveDataLines(fs, root, vs.toMap, hv))
   }
 
   private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
@@ -979,7 +1051,8 @@ object ManifestedTable {
           new IllegalArgumentException(s"version $x not retained under " +
             s"$dir (have ${vs.map(_._1).mkString(",")})")
         x
-      case None => vs.last._1
+      case None => headVersion(fs, root, None).map(_._1).getOrElse(throw
+        new IllegalStateException(s"no main commit under $dir"))
     }
     resolveDataLines(fs, root, vs.toMap, v).map(parseEntry)
   }
@@ -1169,7 +1242,8 @@ object ManifestedTable {
             s"$dir (have ${vs.map(_._1).mkString(",")})"))
         readMeta(fs, p)
       case None =>
-        vs.lastOption.map(v => readMeta(fs, v._2)).getOrElse(Map.empty)
+        headVersion(fs, root, None).map(h => readMeta(fs, h._2))
+          .getOrElse(Map.empty)
     }
   }
 
@@ -1361,7 +1435,16 @@ object ManifestedTable {
 
   private val TxnKey = "txn-batch"
   private val OpKey = "op"
+  // lineage parent of EVERY commit (the snapshot it was committed
+  // against) — what makes history a TREE once branches exist
   private val BaseKey = "base"
+  // marks a DELTA-encoded manifest (value = the version its +/− lines
+  // apply to; full manifests carry no delta key)
+  private val DeltaKey = "delta"
+  // the branch a commit belongs to; absent = main. Per-commit, never
+  // carried — main readers resolve the newest UNBRANCHED version.
+  private val BranchKey = "branch"
+  private val DroppedKey = "branch-dropped"
   private val TsKey = "ts"
   private[sources] val SchemaKey = "schema"
   private val CheckpointIntervalProp = "graft.checkpoint-interval"
@@ -1379,25 +1462,18 @@ object ManifestedTable {
     val fs = fsOf(spark, dir)
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $dir")
-    // forward fold over the retained, CONTIGUOUS version range: the
-    // oldest resolves once (checkpoint/full + tail), every later
-    // version applies its own delta — O(versions) small reads total,
-    // not O(versions × chain)
-    var lines: Seq[String] = null
+    // memoized tree fold: each version resolves against its OWN
+    // lineage parent (main and branch commits interleave in the global
+    // sequence) — O(versions) small reads total
+    val linesOf = lineageResolver(fs, root, vs.toMap)
     val rows = vs.map { case (v, p) =>
-      val raw = readManifestRaw(fs, p)
-      val dataLines = raw.filterNot(_.startsWith("#"))
-      lines =
-        if (lines == null) resolveDataLines(fs, root, vs.toMap, v)
-        else if (raw.exists(_.startsWith(s"#$BaseKey=")))
-          applyDelta(lines, dataLines)
-        else dataLines
-      val entries = lines.map(parseEntry)
-      (v, commitMs(fs, p),
-        readMeta(fs, p).getOrElse(OpKey, "unknown"),
+      val meta = readMeta(fs, p)
+      val entries = linesOf(v).map(parseEntry)
+      (v, commitMs(fs, p), meta.getOrElse(OpKey, "unknown"),
+        meta.getOrElse(BranchKey, ""),
         entries.size.toLong, entries.count(_._2.dv.isDefined).toLong)
     }
-    rows.toDF("version", "commit_ms", "op", "n_files", "n_dv")
+    rows.toDF("version", "commit_ms", "op", "branch", "n_files", "n_dv")
   }
 
   /** RESTORE (rollback): republish a retained version's entries as
@@ -1421,7 +1497,7 @@ object ManifestedTable {
     */
   def lastBatchId(spark: SparkSession, dir: String): Option[Long] = {
     val fs = fsOf(spark, dir)
-    manifestVersions(fs, new Path(dir)).lastOption
+    headVersion(fs, new Path(dir), None)
       .flatMap(v => readMeta(fs, v._2).get(TxnKey))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
   }
@@ -1456,6 +1532,142 @@ object ManifestedTable {
 
   private def absPaths(root: Path, rel: Seq[String]): Seq[String] =
     rel.map(f => new Path(root, f).toString)
+
+  // ---- branches: write-audit-publish -------------------------------------
+  //
+  // Named refs over manifest versions (Iceberg branches): staging
+  // commits carry a `#branch=<name>` marker and interleave into the
+  // SAME global version sequence, but every lineage resolves through
+  // explicit parent pointers — so main readers never see a staged
+  // commit, audit queries read the branch head, and PROMOTE is one
+  // atomic, fast-forward-validated main commit. The WAP pattern a
+  // 100-TB curation pipeline runs before exposing a snapshot.
+
+  private def checkRefName(branch: String): Unit =
+    require(branch.nonEmpty && branch.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"branch name must be [A-Za-z0-9._-]+, got '$branch'")
+
+  /** Stage `df` on `branch` — invisible to every main reader. The
+    * first commit on a branch forks from the current MAIN head;
+    * later ones extend the branch. `overwrite` replaces the branch's
+    * content (not main's).
+    */
+  def writeBranch(df: DataFrame, dir: String, branch: String,
+      overwrite: Boolean = false): Long = {
+    checkRefName(branch)
+    val spark = df.sparkSession
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(root)
+    val staged = stageFiles(df, root, fs)
+    publish(fs, root, if (overwrite) Replace else AppendFiles, staged,
+      ref = Some(branch))
+  }
+
+  /** The branch head's snapshot — what the AUDIT step of
+    * write-audit-publish queries.
+    */
+  def readBranch(spark: SparkSession, dir: String,
+      branch: String): DataFrame = {
+    checkRefName(branch)
+    val fs = fsOf(spark, dir)
+    val (hv, _) = headVersion(fs, new Path(dir), Some(branch))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no branch '$branch' under $dir"))
+    readAt(spark, dir, hv)
+  }
+
+  /** Live branches (name, head version). */
+  def branches(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val fs = fsOf(spark, dir)
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Boolean)]
+    manifestVersions(fs, new Path(dir)).reverseIterator.foreach {
+      case (v, p) =>
+        val m = readMeta(fs, p)
+        m.get(BranchKey).foreach { b =>
+          if (!seen.contains(b)) seen(b) = (v, m.contains(DroppedKey))
+        }
+    }
+    seen.collect { case (b, (v, false)) => (b, v) }.toSeq.sortBy(_._1)
+  }
+
+  /** PUBLISH: promote `branch` onto main as one atomic commit —
+    * fast-forward ONLY. Main must not have advanced past the branch's
+    * fork point (checked here AND re-validated per CAS attempt inside
+    * [[publish]], so a racing main commit aborts the promote loudly
+    * instead of being silently overwritten). Main readers see the
+    * whole audited snapshot at the rename, never a partial state.
+    */
+  def promoteBranch(spark: SparkSession, dir: String,
+      branch: String): Long = {
+    checkRefName(branch)
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val vs = manifestVersions(fs, root)
+    val byV = vs.toMap
+    val (bHead, _) = headVersion(fs, root, Some(branch))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no branch '$branch' under $dir"))
+    val branchLines = resolveDataLines(fs, root, byV, bHead)
+    // fork point: walk the branch commits' parent pointers down to
+    // the first non-branch ancestor
+    var fork = bHead
+    var walking = true
+    while (walking) {
+      val m = readMeta(fs, byV(fork))
+      if (m.get(BranchKey).contains(branch))
+        fork = m.get(BaseKey).map(_.toLong).getOrElse(0L)
+      else walking = false
+      if (fork == 0L) walking = false
+    }
+    val (mv, mainLines) = currentSnapshot(fs, root)
+    if (mv != fork) throw new ConcurrentWriteException(
+      s"promote($branch) of $dir is not a fast-forward: main advanced " +
+        s"past the fork (v$fork → v$mv) — re-stage against the " +
+        "current snapshot")
+    // claim every main file; branch lines land verbatim (stats, DVs
+    // and schema epochs included). Any interleaved main commit fails
+    // the rewrite validation → loud retry-level abort.
+    publish(fs, root,
+      RewriteFiles(mv, mainLines, mainLines.map(pathOf).toSet,
+        s"promote($branch)", _ => true),
+      branchLines, Map(OpKey -> s"promote($branch)"))
+  }
+
+  /** Drop `branch`: one tombstone commit — the staged snapshot
+    * becomes invisible and its files become vacuum-reclaimable.
+    */
+  def dropBranch(spark: SparkSession, dir: String,
+      branch: String): Long = {
+    checkRefName(branch)
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    require(headVersion(fs, root, Some(branch)).isDefined,
+      s"no branch '$branch' under $dir")
+    publish(fs, root, AppendFiles, Nil,
+      Map(OpKey -> s"drop-branch($branch)", DroppedKey -> "1"),
+      ref = Some(branch))
+  }
+
+  /** (isMain, lineage parent) of retained version `v` — the streaming
+    * change feed plans its per-version diff against the TRUE parent
+    * and skips branch staging commits entirely (their rows surface at
+    * the promote commit).
+    */
+  private[sources] def versionLineage(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      v: Long): (Boolean, Long) = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val p = manifestVersions(fs, root).find(_._1 == v).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"version $v not retained under $dir"))
+    val m = readMeta(fs, p)
+    (!m.contains(BranchKey),
+      m.get(BaseKey).map(_.toLong).getOrElse(v - 1))
+  }
 
   // ---- merge-on-read: deletion vectors ----------------------------------
   //
@@ -2069,37 +2281,63 @@ object ManifestedTable {
     // mid-query inside the retention window — so superseded manifests
     // younger than the cutoff survive this pass (and their entries
     // join the live set, keeping those versions fully READABLE, not
-    // just listable). Commit mtimes are monotone, so the age-retained
-    // set is a contiguous suffix and `retained` stays gap-free.
+    // just listable). LIVE BRANCH HEADS are additionally retained
+    // regardless of age: an unpromoted write-audit-publish staging
+    // snapshot must survive maintenance until promoted or dropped.
+    val branchHeadVs: Set[Long] = {
+      val seen = scala.collection.mutable.Map.empty[String, (Long, Boolean)]
+      vs.reverseIterator.foreach { case (v, p) =>
+        val m = readMeta(fs, p)
+        m.get(BranchKey).foreach { b =>
+          if (!seen.contains(b)) seen(b) = (v, m.contains(DroppedKey))
+        }
+      }
+      seen.values.collect { case (v, false) => v }.toSet
+    }
+    // the MAIN head is retained unconditionally too: with a branch
+    // commit as the newest global version, keepLast alone could drop
+    // the snapshot every main reader resolves
+    val mainHeadV = headVersion(fs, root, None).map(_._1).getOrElse(0L)
     val dropped = vs.dropRight(keepLast)
-      .filter(v => fs.getFileStatus(v._2).getModificationTime <= cutoff)
+      .filter(v => !branchHeadVs(v._1) && v._1 != mainHeadV &&
+        fs.getFileStatus(v._2).getModificationTime <= cutoff)
     val droppedSet = dropped.map(_._1).toSet
     val retained = vs.filterNot(v => droppedSet(v._1))
     // every retained version must stay RESOLVABLE once the manifests
-    // below it drop: delta chains walk contiguously backward, so ONE
-    // checkpoint at the oldest retained version fences every retained
-    // chain off the dropped prefix. The write must SUCCEED before any
-    // manifest deletion — a failed fence skips the manifest pass
-    // (derived state: retrying next vacuum is free).
-    val fenced = dropped.isEmpty || {
-      val oldest = retained.head._1
-      writeCheckpointAt(fs, root, oldest)
-      fs.exists(checkpointPathOf(root, oldest)) ||
-        !readMeta(fs, byV(oldest)).contains(BaseKey) // full: self-fencing
+    // below it drop: a retained delta whose PARENT CHAIN crosses the
+    // dropped set gets a checkpoint fence first (with branches the
+    // chain follows explicit parent pointers, so each lineage fences
+    // independently — for a linear history this degenerates to the
+    // single oldest-retained checkpoint). Every fence must verifiably
+    // EXIST before any manifest deletion — a failed write skips the
+    // manifest pass (derived state: retrying next vacuum is free).
+    def chainNeedsFence(v: Long): Boolean = {
+      var cur = v
+      while (true) {
+        if (cur == 0L) return false
+        if (cur != v && fs.exists(checkpointPathOf(root, cur)))
+          return false
+        byV.get(cur) match {
+          case None => return true // already gone, no checkpoint
+          case Some(pp) =>
+            if (cur != v && droppedSet(cur)) return true
+            readMeta(fs, pp).get(DeltaKey) match {
+              case None => return false // full manifest, retained
+              case Some(b) => cur = b.toLong
+            }
+        }
+      }
+      false
     }
-    // forward fold for the live set, same as history: resolve the
-    // oldest retained once, apply each later version's delta
-    var cursor: Seq[String] = null
-    val live = retained.flatMap { case (v, p) =>
-      val raw = readManifestRaw(fs, p)
-      val dataLines = raw.filterNot(_.startsWith("#"))
-      cursor =
-        if (cursor == null) resolveDataLines(fs, root, byV, v)
-        else if (raw.exists(_.startsWith(s"#$BaseKey=")))
-          applyDelta(cursor, dataLines)
-        else dataLines
-      cursor.map(parseEntry)
-    }.flatMap(e => e._1 +: e._2.dv.toSeq).toSet
+    val needFence = retained.map(_._1).filter(chainNeedsFence)
+    needFence.foreach(v => writeCheckpointAt(fs, root, v))
+    val fenced =
+      needFence.forall(v => fs.exists(checkpointPathOf(root, v)))
+    // memoized tree fold for the live set (each lineage resolves its
+    // own parents; O(retained) small reads)
+    val linesOf = lineageResolver(fs, root, byV)
+    val live = retained.flatMap(r => linesOf(r._1).map(parseEntry))
+      .flatMap(e => e._1 +: e._2.dv.toSeq).toSet
     var deleted = 0
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && (s.getPath.getName.startsWith("data-") ||

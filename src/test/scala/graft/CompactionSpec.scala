@@ -821,6 +821,72 @@ class CompactionSpec extends SparkTestBase {
     }
   }
 
+  test("manifested table: branches — write-audit-publish with fast-forward promote") {
+    // the WAP pattern: stage on a branch (invisible to main), audit
+    // the branch head, promote atomically — fast-forward only, so a
+    // racing main commit aborts the promote instead of being silently
+    // overwritten. Branch commits interleave into the global version
+    // sequence but every lineage resolves through explicit parent
+    // pointers.
+    import graft.sources.{ConcurrentWriteException, ManifestedTable}
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_wap").toString
+    ManifestedTable.write(
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "s"), d)
+    val mainV = ManifestedTable.currentVersion(spark, d)
+
+    // WRITE: staged commits are invisible to every main reader
+    ManifestedTable.writeBranch(
+      (100L until 150L).map(k => (k, "staged")).toDF("k", "s"), d, "wap")
+    assert(ManifestedTable.read(spark, d).count() == 100,
+      "a staged branch commit leaked into the main read")
+    assert(ManifestedTable.currentVersion(spark, d) == mainV,
+      "a staged branch commit moved the main version")
+    // AUDIT: the branch head = fork + staged, and the branch can grow
+    assert(ManifestedTable.readBranch(spark, d, "wap").count() == 150)
+    ManifestedTable.writeBranch(
+      (150L until 160L).map(k => (k, "staged2")).toDF("k", "s"), d, "wap")
+    assert(ManifestedTable.read(spark, d).count() == 100)
+    assert(ManifestedTable.readBranch(spark, d, "wap").count() == 160)
+    assert(ManifestedTable.branches(spark, d) ==
+      Seq("wap" -> ManifestedTable.versions(spark, d).max))
+
+    // PUBLISH: one atomic main commit; time travel crosses it; the
+    // main change feed surfaces the staged rows exactly at promote
+    val pv = ManifestedTable.promoteBranch(spark, d, "wap")
+    assert(ManifestedTable.read(spark, d).count() == 160)
+    assert(ManifestedTable.currentVersion(spark, d) == pv)
+    assert(ManifestedTable.readAt(spark, d, mainV).count() == 100)
+    val (added, removed) = ManifestedTable.changesBetween(spark, d, mainV, pv)
+    assert(added.count() == 60 && removed.isEmpty,
+      "the promote's change feed is not exactly the staged rows")
+
+    // fast-forward only: main advancing past the fork aborts loudly
+    ManifestedTable.writeBranch(
+      Seq((900L, "x")).toDF("k", "s"), d, "wap2")
+    ManifestedTable.write(
+      Seq((901L, "y")).toDF("k", "s"), d, overwrite = false)
+    intercept[ConcurrentWriteException] {
+      ManifestedTable.promoteBranch(spark, d, "wap2")
+    }
+    val got = ManifestedTable.read(spark, d)
+    assert(got.count() == 161 && got.filter(col("k") === 900L).isEmpty,
+      "the failed promote changed main")
+
+    // DROP: the branch disappears; vacuum keeps LIVE branches readable
+    ManifestedTable.dropBranch(spark, d, "wap2")
+    intercept[IllegalArgumentException] {
+      ManifestedTable.readBranch(spark, d, "wap2")
+    }
+    ManifestedTable.writeBranch(
+      Seq((950L, "z")).toDF("k", "s"), d, "wap3")
+    ManifestedTable.vacuum(spark, d, keepLast = 1, minAgeMillis = 0L)
+    assert(ManifestedTable.read(spark, d).count() == 161,
+      "vacuum with a live branch broke the main read")
+    assert(ManifestedTable.readBranch(spark, d, "wap3").count() == 162,
+      "vacuum reclaimed a live branch's staging snapshot")
+  }
+
   test("manifested table: delta manifests + checkpoints — a commit writes O(commit) metadata, not O(table)") {
     // the last O(table)-per-commit term: every commit used to rewrite
     // the FULL |files| line set. Now appends and rewrites write a
