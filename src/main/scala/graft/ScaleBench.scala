@@ -346,6 +346,14 @@ object ScaleBench {
     // both grow with m, so cost tracks condition scan + matched-group
     // rewrite (find-touched found by the PLANNER, measured at scale)
     "q192_sql_update_merge",
+    // q187: the SQL face's bulk read — the backing table replicates
+    // m×, so the face's snapshot write + versioned/filtered reads all
+    // grow m×. With the vectorized ColumnarBatch path now serving the
+    // clean legs, β prices the r17 verdict's open question: the DSv2
+    // face's bulk read must track data volume like
+    // ManifestedTable.read (Group readers remain only on the
+    // DV/metadata/translated legs)
+    "q187_manifest_sql_face",
     // q178: CDC replication — leader snapshots, CDF, and the
     // follower's merge + keyed delete are all m×-proportional (the
     // changed strata scale with the table), so the whole

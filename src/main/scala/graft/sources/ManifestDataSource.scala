@@ -741,8 +741,29 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
           ManifestedTable.physMap(epochs, st)): InputPartition
       }.toArray
   }
+  /** ColumnarBatch partitions for the CLEAN bulk case, decided over
+    * the whole pinned entry set (the engine rejects mixed scans): a
+    * non-empty plain-column projection with no deletion vector on any
+    * file and no field-id translation vectorizes through Spark's own
+    * parquet reader; everything else keeps the row-materialized Group
+    * readers (which own the DV anti-join, `_file`/`_pos` synthesis,
+    * epoch translation, and the zero-IO footer-count projections).
+    */
+  private def columnarEligible: Boolean =
+    readSchema.nonEmpty &&
+      !readSchema.fieldNames.exists(n => n == "_file" || n == "_pos") &&
+      epochs.size <= 1 &&
+      entries.forall(e => e._2.dv.isEmpty && !e._2.rows.contains(0L)) &&
+      readSchema.fields.forall(_.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType |
+             FloatType | BooleanType | StringType | BinaryType |
+             DateType | TimestampType => true
+        case _ => false
+      })
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestPartitionReaderFactory(readSchema, sconf)
+    new ManifestPartitionReaderFactory(readSchema, sconf,
+      columnar = columnarEligible)
 
   /** The streaming face: offsets are MANIFEST VERSIONS — the table's
     * own commit log is the batch log, so replay determinism is free
@@ -874,8 +895,70 @@ private[sources] class ManifestMicroBatchStream(path: String,
   * pages are never read. Conversion targets catalyst values directly.
   */
 private[sources] class ManifestPartitionReaderFactory(
-    readSchema: StructType, sconf: SerializableConfiguration)
+    readSchema: StructType, sconf: SerializableConfiguration,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** Scan-level columnar eligibility, decided by the SCAN over its
+    * whole planned set (the engine requires all-or-nothing): ColumnarBatch
+    * partitions through Spark's own vectorized parquet reader for
+    * clean bulk scans; per-row Group readers stay for the paths that
+    * need them (deletion vectors, `_file`/`_pos` metadata columns,
+    * field-id translation, footer-count empty projections).
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = partition.asInstanceOf[ManifestFilePartition]
+    val conf = new Configuration(sconf.value)
+    // the engine's own vectorized reader consumes the catalyst
+    // requested schema from the conf (the ParquetFileFormat recipe):
+    // column pruning, request-order projection, and missing-column
+    // null vectors all come with it
+    conf.set(
+      org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+      readSchema.json)
+    // schema-converter inputs ParquetFileFormat would have prepared
+    conf.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport].getName)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", false)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    val p = new Path(part.file)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    // the reader expects the OLD-API split flavor (mapred.FileSplit)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      p, 0, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    // INT64 micros timestamps only (the write faces' contract), so the
+    // rebase story is trivially CORRECTED and no session zone applies
+    val reader = new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    var initialized = false
+    try {
+      reader.initialize(split, ctx)
+      reader.initBatch(new StructType(),
+        org.apache.spark.sql.catalyst.InternalRow.empty)
+      reader.enableReturningBatches()
+      initialized = true
+    } finally if (!initialized) reader.close()
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = reader.nextKeyValue()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        reader.getCurrentValue
+          .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+      override def close(): Unit = reader.close()
+    }
+  }
 
   /** The partition's deleted row positions (from its DV sidecar) — a
     * small set by the MoR write policy; empty when the file is clean.

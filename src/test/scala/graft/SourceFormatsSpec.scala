@@ -948,6 +948,46 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest vectorized read path: clean bulk scans plan ColumnarBatch partitions") {
+    // the SQL face's bulk reader is Spark's own vectorized parquet
+    // reader (ColumnarBatch partitions) whenever the scan is clean —
+    // no deletion vectors, no metadata columns, no field-id
+    // translation; the dirty paths keep the row-materialized Group
+    // readers. Rows must be byte-identical either way.
+    import graft.sources.ManifestedTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec").toString
+    val src = (0L until 5000L)
+      .map(k => (k, k * 0.5, s"tag${k % 7}", k % 2 == 0))
+      .toDF("k", "v", "tag", "flag")
+    ManifestedTable.write(src.repartition(4), dir)
+
+    val face = spark.read.format("graft-manifest").load(dir)
+      .filter(col("k") < 1000L).select("k", "v", "tag")
+    val plan = face.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"clean bulk scan did not vectorize:\n${plan.take(600)}")
+    assert(face.orderBy("k").collect().toSeq ==
+      ManifestedTable.read(spark, dir).filter(col("k") < 1000L)
+        .select("k", "v", "tag").orderBy("k").collect().toSeq,
+      "the vectorized face diverged from the object API")
+
+    // count(*) keeps the zero-IO footer path (empty projection is
+    // served from metadata, better than any batch read)
+    assert(spark.read.format("graft-manifest").load(dir).count() == 5000)
+
+    // a deletion vector on ANY file drops the whole scan to the row
+    // readers — and the rows stay exact
+    ManifestedTable.deleteWhere(spark, dir, col("k") === 7L,
+      dvMaxFraction = 1.0)
+    val dv = spark.read.format("graft-manifest").load(dir)
+      .filter(col("k") < 1000L).select("k", "v", "tag")
+    assert(!dv.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a DV'd snapshot must not vectorize (positions need the row path)")
+    assert(dv.count() == 999)
+    assert(dv.filter(col("k") === 7L).isEmpty)
+  }
+
   test("graft-manifest clustered writes: ingest lands stats-prunable layouts with no optimize pass") {
     // RequiresDistributionAndOrdering: a table with a declared
     // graft.cluster-by key asks the ENGINE for a range distribution +
