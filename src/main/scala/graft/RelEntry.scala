@@ -2542,6 +2542,58 @@ object RelEntry {
       }
     }),
 
+    // ---- T98: branch refs / write-audit-publish --------------------------
+    "q194_wap_branch" -> ((s, d) => {
+      // the WAP lifecycle against the order book: feed A stages on a
+      // branch (require() pins that main never moves), the AUDIT step
+      // queries the branch head and passes, a second SUSPECT feed
+      // stages, fails its audit, and is DROPPED, then feed A promotes
+      // as one atomic fast-forward commit. The final aggregate over
+      // MAIN must contain exactly base ∪ feed A — the dropped feed's
+      // absence and the staged feed's presence are both part of the
+      // oracle-checked result, not just spec assertions.
+      import graft.sources.ManifestedTable
+      val dir = java.nio.file.Files.createTempDirectory("graft_wap_q").toString
+      val book = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      ManifestedTable.write(
+        book.filter(col("k") % 3 < 2).repartitionByRange(8, col("k")), dir)
+      val mainV = ManifestedTable.currentVersion(s, dir)
+      // WRITE: stage the audited feed on a branch — main stays dark
+      val feedA = book.filter(col("k") % 10 === 1)
+        .select((col("k") + 707000000L).as("k"), col("c"),
+          (col("cents") + 3L).as("cents"))
+      ManifestedTable.writeBranch(feedA, dir, "incoming")
+      require(ManifestedTable.currentVersion(s, dir) == mainV,
+        "a staged branch commit moved the main version")
+      // AUDIT: quality gate over the branch head
+      require(ManifestedTable.readBranch(s, dir, "incoming")
+        .filter(col("cents") <= 0L).isEmpty, "feed A failed its audit")
+      // a SUSPECT feed fails the same gate and is dropped, not merged
+      val feedB = book.filter(col("k") % 10 === 2)
+        .select((col("k") + 807000000L).as("k"), col("c"),
+          lit(-1L).as("cents"))
+      ManifestedTable.writeBranch(feedB, dir, "suspect")
+      require(!ManifestedTable.readBranch(s, dir, "suspect")
+        .filter(col("cents") <= 0L).isEmpty,
+        "the suspect feed should fail the audit")
+      ManifestedTable.dropBranch(s, dir, "suspect")
+      // PUBLISH: one atomic fast-forward promote
+      ManifestedTable.promoteBranch(s, dir, "incoming")
+      val out = ManifestedTable.read(s, dir)
+        .filter(col("c") % 10 === 3)
+        .groupBy(col("c").as("custkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).as("cents_sum"))
+      core.Materialize.detached(out) {
+        new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -3422,6 +3474,23 @@ object RelEntry {
         |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(amount) AS BIGINT) AS amt,
         |  CAST(count(flag) AS BIGINT) AS n_flag
+        |FROM cur WHERE c % 10 = 3
+        |GROUP BY c""".stripMargin,
+
+    // q194 mirror: main after the WAP cycle = base ∪ the PROMOTED
+    // feed; the dropped suspect feed contributes nothing
+    "q194_wap_branch" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT * FROM base WHERE k % 3 < 2),
+        |fa AS (
+        |  SELECT k + 707000000 AS k, c, cents + 3 AS cents
+        |  FROM base WHERE k % 10 = 1),
+        |cur AS (SELECT * FROM v1 UNION ALL SELECT * FROM fa)
+        |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM cur WHERE c % 10 = 3
         |GROUP BY c""".stripMargin,
 
