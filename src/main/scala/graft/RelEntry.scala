@@ -2381,9 +2381,15 @@ object RelEntry {
       // any engine-supplied table property outside createTable's strip
       // list would add a set-properties commit and silently shift the
       // numbering — the snapshot the reconciliation reads must be
-      // anchored to the OPERATION, not to a version constant
-      val postCtasV = graft.sources.ManifestedTable.currentVersion(
-        s, new org.apache.hadoop.fs.Path(wh, "book").toString)
+      // anchored to the OPERATION, not to a version constant. Resolved
+      // THROUGH the catalog (history procedure), because Spark caches
+      // the catalog instance by name with its FIRST root — on a
+      // repeated run (bench) the run-local temp dir and the catalog's
+      // actual root diverge, and only the catalog's view is the truth
+      // the VERSION AS OF below will read.
+      val postCtasV = s.sql("CALL g190.system.history('book')")
+        .agg(org.apache.spark.sql.functions.max("version"))
+        .head.getLong(0)
       s.sql("""INSERT INTO g190.book
               |SELECT o_orderkey + 307000000, o_custkey, cents
               |FROM g190_src WHERE o_orderkey % 10 = 9""".stripMargin)
