@@ -88,13 +88,20 @@ class ManifestCatalog extends TableCatalog
     new ManifestTable(ManifestDataSource.schemaOf(dir, None), dir)
   }
 
-  /** `VERSION AS OF v` — the snapshot pinned at load time. */
+  /** `VERSION AS OF v` — the snapshot pinned at load time. A
+    * NON-numeric version is a BRANCH name (the Iceberg convention):
+    * `SELECT ... FROM t VERSION AS OF 'staging'` reads the branch
+    * head — the write-audit-publish AUDIT step in plain SQL.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident)
-    val v = version.toLong
+    val v = scala.util.Try(version.toLong).getOrElse(
+      ManifestedTable.branchHeadVersion(conf, dir, version)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no branch '$version' under $dir")))
     new ManifestTable(ManifestDataSource.schemaOf(dir, Some(v)), dir,
       pinnedVersion = Some(v))
   }

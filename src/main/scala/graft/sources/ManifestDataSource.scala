@@ -102,7 +102,15 @@ object ManifestDataSource {
   private[sources] def versionOf(options: CaseInsensitiveStringMap,
       dir: String): Option[Long] = {
     val v = options.get("versionAsOf")
-    if (v != null && v.nonEmpty) return Some(v.toLong)
+    // a NON-numeric version is a BRANCH name (the Iceberg convention):
+    // `VERSION AS OF 'staging'` pins the branch head — the SQL face of
+    // the write-audit-publish AUDIT step
+    if (v != null && v.nonEmpty) return Some(
+      scala.util.Try(v.toLong).getOrElse(
+        ManifestedTable.branchHeadVersion(
+          SparkSession.active.sessionState.newHadoopConf(), dir, v)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no branch '$v' under $dir"))))
     val t = options.get("timestampAsOf")
     if (t == null || t.isEmpty) return None
     val millis = scala.util.Try(t.toLong).getOrElse(
@@ -363,6 +371,9 @@ private[sources] class ManifestTable(schema: StructType, path: String,
       "cannot write to a time-travelled snapshot")
     val props = ManifestedTable.tableProperties(
       SparkSession.active.sessionState.newHadoopConf(), path)
+    // `.option("branch", name)` stages the write on a branch — the
+    // WRITE step of write-audit-publish from the DataFrame API
+    val branch = Option(info.options.get("branch")).filter(_.nonEmpty)
     props.get("graft.cluster-by") match {
       case Some(cols) =>
         // declared cluster key: the DSv2 write face with
@@ -381,7 +392,7 @@ private[sources] class ManifestTable(schema: StructType, path: String,
           }
           override def build(): org.apache.spark.sql.connector.write.Write =
             new ManifestClusteredWrite(path, info.schema(), clusterCols,
-              overwrite, numParts)
+              overwrite, numParts, branch)
         }
       case None =>
     }
@@ -397,7 +408,8 @@ private[sources] class ManifestTable(schema: StructType, path: String,
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
-              ManifestedTable.write(data, path, overwrite = overwrite)
+              ManifestedTable.write(data, path, overwrite = overwrite,
+                branch = branch)
               ()
             }
           // the NATIVE streaming sink: epoch-named task files, one
@@ -407,6 +419,9 @@ private[sources] class ManifestTable(schema: StructType, path: String,
               .write.streaming.StreamingWrite = {
             require(!overwrite,
               "graft-manifest streaming: append mode only")
+            require(branch.isEmpty,
+              "graft-manifest streaming: branch staging is batch-only " +
+                "(the txn marker is a per-lineage sequence)")
             new ManifestStreamingWrite(path, info.schema())
           }
         }

@@ -147,10 +147,62 @@ private[sources] object ManifestProcedures {
             }
           }
       })
+      case "promote_branch" => Some(proc("promote_branch", Seq(table,
+        ProcedureParameter.in("branch", StringType).build()),
+        VersionOut) { (dir, in) =>
+        // the PUBLISH step of write-audit-publish from SQL: one atomic
+        // fast-forward commit (a racing main commit aborts loudly)
+        ManifestedTable.promoteBranch(SparkSession.active, dir,
+          in.getUTF8String(1).toString)
+      }(resolveDir))
+      case "drop_branch" => Some(proc("drop_branch", Seq(table,
+        ProcedureParameter.in("branch", StringType).build()),
+        VersionOut) { (dir, in) =>
+        ManifestedTable.dropBranch(SparkSession.active, dir,
+          in.getUTF8String(1).toString)
+      }(resolveDir))
+      case "branches" => Some(new UnboundProcedure {
+        // live branch heads: (branch, head_version)
+        override def name(): String = "branches"
+        override def description(): String =
+          "graft-manifest maintenance: branches"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "branches"
+            override def description(): String =
+              "graft-manifest maintenance: branches"
+            override def parameters(): Array[ProcedureParameter] =
+              Array(table)
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow)
+                : java.util.Iterator[Scan] = {
+              val dir = resolveDir(input.getUTF8String(0).toString)
+              val out = StructType(Seq(
+                StructField("branch", StringType, nullable = false),
+                StructField("head_version", LongType, nullable = false)))
+              // |branches| rows — ref-sized. NB the result is bound
+              // OUTSIDE the anonymous class: `override def rows() =
+              // rows` would resolve to the method itself (an infinite
+              // self tail-call), not this val
+              val brRows = ManifestedTable
+                .branches(SparkSession.active, dir).map { case (b, v) =>
+                  new GenericInternalRow(Array[Any](
+                    UTF8String.fromString(b), v)): InternalRow
+                }.toArray
+              Collections.singletonList(new LocalScan {
+                override def rows(): Array[InternalRow] = brRows
+                override def readSchema(): StructType = out
+                override def description(): String =
+                  "graft-manifest branches"
+              }: Scan).iterator()
+            }
+          }
+      })
       case _ => None
     }
   }
 
   val Names: Seq[String] =
-    Seq("compact", "optimize", "vacuum", "restore", "history")
+    Seq("compact", "optimize", "vacuum", "restore", "history",
+      "promote_branch", "drop_branch", "branches")
 }

@@ -362,7 +362,8 @@ private[sources] object ManifestRowWriterFactory {
   */
 private[sources] class ManifestClusteredWrite(path: String,
     writeSchema: StructType, clusterCols: Seq[String], overwrite: Boolean,
-    numParts: Int) extends Write with BatchWrite
+    numParts: Int, branch: Option[String] = None)
+    extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution,
     Distributions}
@@ -401,7 +402,7 @@ private[sources] class ManifestClusteredWrite(path: String,
     // an all-empty write still commits on overwrite (truncate to
     // empty is a real result); a no-row append commits nothing
     if (rels.isEmpty && !overwrite) return
-    ManifestedTable.commitStagedFiles(conf, path, rels, overwrite)
+    ManifestedTable.commitStagedFiles(conf, path, rels, overwrite, branch)
     ()
   }
 
@@ -418,6 +419,8 @@ private[sources] class ManifestClusteredWrite(path: String,
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!overwrite, "graft-manifest streaming: append mode only")
+    require(branch.isEmpty,
+      "graft-manifest streaming: branch staging is batch-only")
     new ManifestStreamingWrite(path, writeSchema)
   }
 }

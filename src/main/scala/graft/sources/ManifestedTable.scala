@@ -699,23 +699,49 @@ object ManifestedTable {
     linesOf
   }
 
+  /** Live branch heads (name, head version, manifest path), newest
+    * commit per name, honoring both retirement forms: a DROP tombstone
+    * is the branch's own newest commit; a PROMOTE retires the name
+    * from the main commit that published it (commits newer than the
+    * promote under the same name are a FRESH branch).
+    */
+  private def liveBranchHeads(fs: FileSystem,
+      root: Path): Seq[(String, Long, Path)] = {
+    val dead = scala.collection.mutable.Set.empty[String]
+    val heads =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Path)]
+    manifestVersions(fs, root).reverseIterator.foreach { case (v, p) =>
+      val m = readMeta(fs, p)
+      m.get(BranchKey) match {
+        case Some(b) =>
+          if (!heads.contains(b) && !dead(b)) {
+            if (m.contains(DroppedKey)) dead += b
+            else heads(b) = (v, p)
+          }
+        case None => m.get(PromotedKey).foreach(dead += _)
+      }
+    }
+    heads.toSeq.map { case (b, (v, p)) => (b, v, p) }.sortBy(_._1)
+  }
+
   /** Head (version, manifest path) of a lineage: the newest retained
     * version on `ref` — a branch name, or None for MAIN (no branch
-    * meta). A dropped branch has no head. For main this reads ONE
-    * meta in the common case (the newest version is a main commit).
+    * meta). A dropped or promoted branch has no head. For main this
+    * reads ONE meta in the common case (the newest version is a main
+    * commit).
     */
   private def headVersion(fs: FileSystem, root: Path,
-      ref: Option[String]): Option[(Long, Path)] = {
-    // newest commit ON the lineage decides: a drop tombstone is the
-    // branch's newest commit, so a dropped branch has NO head (the
-    // older branch commits must not resurrect it)
-    manifestVersions(fs, root).reverseIterator
-      .map { case (v, p) => (v, p, readMeta(fs, p)) }
-      .collectFirst {
-        case (v, p, m) if m.get(BranchKey) == ref => (v, p, m)
+      ref: Option[String]): Option[(Long, Path)] = ref match {
+    case Some(b) =>
+      liveBranchHeads(fs, root).collectFirst {
+        case (`b`, v, p) => (v, p)
       }
-      .filter { case (_, _, m) => !m.contains(DroppedKey) }
-      .map(t => (t._1, t._2))
+    case None =>
+      manifestVersions(fs, root).reverseIterator
+        .map { case (v, p) => (v, p, readMeta(fs, p)) }
+        .collectFirst {
+          case (v, p, m) if !m.contains(BranchKey) => (v, p)
+        }
   }
 
   /** What a commit MEANS, so a lost version race can be re-validated
@@ -871,7 +897,7 @@ object ManifestedTable {
           ref.map(BranchKey -> _)
         val merged = prev.map(p => readMeta(fs, p._2))
           .getOrElse(Map.empty) - OpKey - BaseKey - DeltaKey -
-          BranchKey - DroppedKey - TsKey ++ opMeta ++ meta
+          BranchKey - DroppedKey - PromotedKey - TsKey ++ opMeta ++ meta
         val all = merged.toSeq.sortBy(_._1)
           .map { case (k, x) => s"#$k=$x" } ++ entryLines
         val body = all.mkString("", "\n", if (all.isEmpty) "" else "\n")
@@ -1109,12 +1135,15 @@ object ManifestedTable {
     */
   private[sources] def commitStagedFiles(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
-      rels: Seq[String], overwrite: Boolean): Long = {
+      rels: Seq[String], overwrite: Boolean,
+      branch: Option[String] = None): Long = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
+    branch.foreach(checkRefName)
     val lines = statLines(conf, dir, rels)
-    publish(fs, root, if (overwrite) Replace else AppendFiles, lines)
+    publish(fs, root, if (overwrite) Replace else AppendFiles, lines,
+      ref = branch)
   }
 
   /** Publish a SQL row-level operation's result: the `touched` groups
@@ -1333,16 +1362,19 @@ object ManifestedTable {
     * the old snapshot or the new one, never a mixture, regardless of
     * how many files/partitions the job wrote.
     */
-  def write(df: DataFrame, dir: String, overwrite: Boolean = true): Long = {
+  def write(df: DataFrame, dir: String, overwrite: Boolean = true,
+      branch: Option[String] = None): Long = {
     val spark = df.sparkSession
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
     fs.mkdirs(root)
+    branch.foreach(checkRefName)
     val staged = stageFiles(df, root, fs)
     // the prior file list is resolved INSIDE publish, per CAS attempt —
     // an append racing another append rebases onto the winner's files
     // instead of silently dropping them
-    publish(fs, root, if (overwrite) Replace else AppendFiles, staged)
+    publish(fs, root, if (overwrite) Replace else AppendFiles, staged,
+      ref = branch)
   }
 
   /** Read the current snapshot — by manifest, never by listing: orphan
@@ -1445,6 +1477,11 @@ object ManifestedTable {
   // carried — main readers resolve the newest UNBRANCHED version.
   private val BranchKey = "branch"
   private val DroppedKey = "branch-dropped"
+  // stamped on a PROMOTE commit (main lineage): the named branch is
+  // retired atomically with the publish — its job is done, its staged
+  // files are now main's, and a later writeBranch with the same name
+  // forks FRESH from the current main head
+  private val PromotedKey = "promoted-branch"
   private val TsKey = "ts"
   private[sources] val SchemaKey = "schema"
   private val CheckpointIntervalProp = "graft.checkpoint-interval"
@@ -1578,20 +1615,12 @@ object ManifestedTable {
     readAt(spark, dir, hv)
   }
 
-  /** Live branches (name, head version). */
-  def branches(spark: SparkSession, dir: String): Seq[(String, Long)] = {
-    val fs = fsOf(spark, dir)
-    val seen = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Long, Boolean)]
-    manifestVersions(fs, new Path(dir)).reverseIterator.foreach {
-      case (v, p) =>
-        val m = readMeta(fs, p)
-        m.get(BranchKey).foreach { b =>
-          if (!seen.contains(b)) seen(b) = (v, m.contains(DroppedKey))
-        }
-    }
-    seen.collect { case (b, (v, false)) => (b, v) }.toSeq.sortBy(_._1)
-  }
+  /** Live branches (name, head version) — dropped and promoted
+    * branches excluded.
+    */
+  def branches(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    liveBranchHeads(fsOf(spark, dir), new Path(dir))
+      .map { case (b, v, _) => (b, v) }
 
   /** PUBLISH: promote `branch` onto main as one atomic commit —
     * fast-forward ONLY. Main must not have advanced past the branch's
@@ -1633,7 +1662,8 @@ object ManifestedTable {
     publish(fs, root,
       RewriteFiles(mv, mainLines, mainLines.map(pathOf).toSet,
         s"promote($branch)", _ => true),
-      branchLines, Map(OpKey -> s"promote($branch)"))
+      branchLines,
+      Map(OpKey -> s"promote($branch)", PromotedKey -> branch))
   }
 
   /** Drop `branch`: one tombstone commit — the staged snapshot
@@ -1649,6 +1679,16 @@ object ManifestedTable {
     publish(fs, root, AppendFiles, Nil,
       Map(OpKey -> s"drop-branch($branch)", DroppedKey -> "1"),
       ref = Some(branch))
+  }
+
+  /** Head version of `branch` (conf-parameterized for the DSv2/
+    * catalog faces) — what `VERSION AS OF '<branch>'` pins.
+    */
+  private[sources] def branchHeadVersion(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      branch: String): Option[Long] = {
+    val root = new Path(dir)
+    headVersion(root.getFileSystem(conf), root, Some(branch)).map(_._1)
   }
 
   /** (isMain, lineage parent) of retained version `v` — the streaming
@@ -2284,16 +2324,8 @@ object ManifestedTable {
     // just listable). LIVE BRANCH HEADS are additionally retained
     // regardless of age: an unpromoted write-audit-publish staging
     // snapshot must survive maintenance until promoted or dropped.
-    val branchHeadVs: Set[Long] = {
-      val seen = scala.collection.mutable.Map.empty[String, (Long, Boolean)]
-      vs.reverseIterator.foreach { case (v, p) =>
-        val m = readMeta(fs, p)
-        m.get(BranchKey).foreach { b =>
-          if (!seen.contains(b)) seen(b) = (v, m.contains(DroppedKey))
-        }
-      }
-      seen.values.collect { case (v, false) => v }.toSet
-    }
+    val branchHeadVs: Set[Long] =
+      liveBranchHeads(fs, root).map(_._2).toSet
     // the MAIN head is retained unconditionally too: with a branch
     // commit as the newest global version, keepLast alone could drop
     // the snapshot every main reader resolves

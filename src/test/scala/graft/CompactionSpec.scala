@@ -854,6 +854,8 @@ class CompactionSpec extends SparkTestBase {
     // PUBLISH: one atomic main commit; time travel crosses it; the
     // main change feed surfaces the staged rows exactly at promote
     val pv = ManifestedTable.promoteBranch(spark, d, "wap")
+    assert(ManifestedTable.branches(spark, d).isEmpty,
+      "promote must retire the branch ref atomically")
     assert(ManifestedTable.read(spark, d).count() == 160)
     assert(ManifestedTable.currentVersion(spark, d) == pv)
     assert(ManifestedTable.readAt(spark, d, mainV).count() == 100)

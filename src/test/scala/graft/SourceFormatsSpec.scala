@@ -948,6 +948,58 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest WAP in SQL: branch writes, VERSION AS OF '<branch>', CALL promote/drop") {
+    // the whole write-audit-publish loop without Scala: stage with a
+    // DataFrame write option, audit via VERSION AS OF '<branch>' (a
+    // non-numeric version is a branch name — the Iceberg convention),
+    // publish/drop via CALL procedures
+    val wh = java.nio.file.Files.createTempDirectory("graft_wapsql").toString
+    spark.conf.set("spark.sql.catalog.gm_wap",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_wap.root", wh)
+    try {
+      spark.sql("""CREATE TABLE gm_wap.t AS
+        SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(100)""")
+      // WRITE: stage on a branch through the catalog write face
+      spark.range(100, 150)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .writeTo("gm_wap.t").option("branch", "stage").append()
+      assert(spark.sql("SELECT count(*) AS n FROM gm_wap.t")
+        .head.getLong(0) == 100,
+        "a branch-staged SQL write leaked into main")
+      // AUDIT: the branch head via VERSION AS OF '<branch>'
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_wap.t VERSION AS OF 'stage'")
+        .head.getLong(0) == 150)
+      assert(spark.sql("CALL gm_wap.system.branches('t')")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("stage", 3L)))
+      // PUBLISH: CALL promote_branch — atomic fast-forward
+      spark.sql("CALL gm_wap.system.promote_branch('t', 'stage')")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_wap.t")
+        .head.getLong(0) == 150)
+      // a rejected feed: stage, verify main dark, CALL drop_branch
+      spark.range(900, 910)
+        .selectExpr("id AS k", "CAST(-1 AS DOUBLE) AS v")
+        .writeTo("gm_wap.t").option("branch", "suspect").append()
+      assert(spark.sql("SELECT count(*) AS n FROM gm_wap.t")
+        .head.getLong(0) == 150)
+      spark.sql("CALL gm_wap.system.drop_branch('t', 'suspect')")
+      assert(spark.sql("CALL gm_wap.system.branches('t')")
+        .collect().isEmpty)
+      intercept[Exception] {
+        spark.sql(
+          "SELECT count(*) FROM gm_wap.t VERSION AS OF 'suspect'")
+          .collect()
+      }
+      assert(spark.sql("SELECT count(*) AS n FROM gm_wap.t")
+        .head.getLong(0) == 150)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gm_wap")
+      spark.conf.unset("spark.sql.catalog.gm_wap.root")
+    }
+  }
+
   test("graft-manifest vectorized read path: clean bulk scans plan ColumnarBatch partitions") {
     // the SQL face's bulk reader is Spark's own vectorized parquet
     // reader (ColumnarBatch partitions) whenever the scan is clean —
