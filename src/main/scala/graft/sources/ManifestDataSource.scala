@@ -778,7 +778,8 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestPartitionReaderFactory(readSchema, sconf,
-      columnar = columnarEligible)
+      columnar = columnarEligible,
+      pushedFilters = filters ++ runtime)
 
   /** The streaming face: offsets are MANIFEST VERSIONS — the table's
     * own commit log is the batch log, so replay determinism is free
@@ -911,7 +912,8 @@ private[sources] class ManifestMicroBatchStream(path: String,
   */
 private[sources] class ManifestPartitionReaderFactory(
     readSchema: StructType, sconf: SerializableConfiguration,
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    pushedFilters: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
 
   /** Scan-level columnar eligibility, decided by the SCAN over its
@@ -928,6 +930,35 @@ private[sources] class ManifestPartitionReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = partition.asInstanceOf[ManifestFilePartition]
     val conf = new Configuration(sconf.value)
+    // ROW-GROUP (and page-index) skipping INSIDE surviving files: the
+    // pushed filters translate to parquet FilterPredicates against the
+    // file's own schema, so a selective scan of a big sorted file
+    // reads only the row groups whose stats admit a match — the same
+    // pruning ParquetFileFormat wires up, one level below the
+    // manifest's whole-file skipping. Spark re-applies every filter
+    // row-level, so this is IO-only, never correctness.
+    if (pushedFilters.nonEmpty) {
+      try {
+        val footer = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new Path(part.file), conf))
+        val fileSchema =
+          try footer.getFooter.getFileMetaData.getSchema
+          finally footer.close()
+        val pf = new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFilters(fileSchema, false, false, false, true, 10,
+            false, org.apache.spark.sql.catalyst.util.RebaseDateTime
+              .RebaseSpec(
+                org.apache.spark.sql.internal.LegacyBehaviorPolicy
+                  .CORRECTED, None))
+        pushedFilters.flatMap(pf.createFilter)
+          .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+          .foreach(pred => org.apache.parquet.hadoop.ParquetInputFormat
+            .setFilterPredicate(conf, pred))
+      } catch {
+        // untranslatable filters just skip the optimization
+        case scala.util.control.NonFatal(_) => ()
+      }
+    }
     // the engine's own vectorized reader consumes the catalyst
     // requested schema from the conf (the ParquetFileFormat recipe):
     // column pruning, request-order projection, and missing-column

@@ -820,6 +820,7 @@ object ManifestedTable {
     val mdir = new Path(root, ManifestDir)
     fs.mkdirs(mdir)
     var attempt = 0
+    var committedMeta: Map[String, String] = Map.empty
     while (attempt < 64) {
       val committed: Long = locked {
         val vsAll = manifestVersions(fs, root)
@@ -898,6 +899,7 @@ object ManifestedTable {
         val merged = prev.map(p => readMeta(fs, p._2))
           .getOrElse(Map.empty) - OpKey - BaseKey - DeltaKey -
           BranchKey - DroppedKey - PromotedKey - TsKey ++ opMeta ++ meta
+        committedMeta = merged
         val all = merged.toSeq.sortBy(_._1)
           .map { case (k, x) => s"#$k=$x" } ++ entryLines
         val body = all.mkString("", "\n", if (all.isEmpty) "" else "\n")
@@ -915,7 +917,8 @@ object ManifestedTable {
         else { fs.delete(tmp, false); -1L }
       }
       if (committed > 0) {
-        if (mode != Replace) maybeCheckpoint(fs, root, committed)
+        if (mode != Replace) maybeCheckpoint(fs, root, committed,
+          committedMeta)
         return committed
       }
       attempt += 1
@@ -932,10 +935,15 @@ object ManifestedTable {
     * duplicate racer writes identical content, and Replace commits
     * skip it (a full manifest already resets the chain).
     */
-  private def maybeCheckpoint(fs: FileSystem, root: Path,
-      v: Long): Unit =
-    if (v % checkpointIntervalOf(fs, root) == 0L)
-      writeCheckpointAt(fs, root, v)
+  private def maybeCheckpoint(fs: FileSystem, root: Path, v: Long,
+      commitMeta: Map[String, String]): Unit = {
+    // the interval comes from the meta THIS commit just wrote — no
+    // extra listing or meta read on the commit hot path
+    val interval = commitMeta.get(s"$PropPrefix$CheckpointIntervalProp")
+      .flatMap(x => scala.util.Try(x.toLong).toOption).filter(_ > 0L)
+      .getOrElse(DefaultCheckpointInterval)
+    if (v % interval == 0L) writeCheckpointAt(fs, root, v)
+  }
 
   /** Materialize version `v`'s resolved entry lines as
     * `checkpoint-<v>` — idempotent and best-effort (derived state:
@@ -962,14 +970,6 @@ object ManifestedTable {
     }
     ()
   }
-
-  private def checkpointIntervalOf(fs: FileSystem, root: Path): Long =
-    manifestVersions(fs, root).lastOption
-      .flatMap(p => readMeta(fs, p._2)
-        .get(s"$PropPrefix$CheckpointIntervalProp"))
-      .flatMap(s => scala.util.Try(s.toLong).toOption)
-      .filter(_ > 0L)
-      .getOrElse(DefaultCheckpointInterval)
 
   /** (version, entry LINES) of the current snapshot in ONE manifest
     * read — the base a rewrite's conflict proof is anchored to

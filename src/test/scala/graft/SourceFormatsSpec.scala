@@ -1040,6 +1040,45 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(dv.filter(col("k") === 7L).isEmpty)
   }
 
+  test("graft-manifest row-group skipping: pushed filters prune inside surviving files") {
+    // one level below the manifest's whole-file skipping: the pushed
+    // filters translate to parquet FilterPredicates, so a selective
+    // scan of a big SORTED file reads only the row groups whose stats
+    // admit a match — observable through the scan's output-rows
+    // metric (rows materialized from surviving row groups), which must
+    // be a small fraction of the file while the answer stays exact
+    import graft.sources.ManifestedTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rg").toString
+    // ~200k sorted rows in ONE file with tiny row groups (the block
+    // size rides the hadoop conf into the staging write)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 65536)
+    try {
+      ManifestedTable.write(
+        (0L until 200000L).map(k => (k, k * 1.5)).toDF("k", "v")
+          .coalesce(1).sortWithinPartitions("k"), dir)
+    } finally {
+      if (prevBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prevBlock)
+    }
+    val df = spark.read.format("graft-manifest").load(dir)
+      .filter(col("k") >= 1000L && col("k") < 2000L)
+    val rows = df.collect()
+    assert(rows.length == 1000)
+    assert(rows.map(_.getLong(0)).min == 1000L &&
+      rows.map(_.getLong(0)).max == 1999L)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec => b
+    }.get
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned < 200000L / 2,
+      s"no row-group skipping: the scan materialized $scanned of 200000 " +
+        "rows for a 1000-row band over a sorted single-file table")
+  }
+
   test("graft-manifest clustered writes: ingest lands stats-prunable layouts with no optimize pass") {
     // RequiresDistributionAndOrdering: a table with a declared
     // graft.cluster-by key asks the ENGINE for a range distribution +
