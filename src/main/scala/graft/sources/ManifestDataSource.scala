@@ -372,8 +372,11 @@ private[sources] class ManifestTable(schema: StructType, path: String,
     val props = ManifestedTable.tableProperties(
       SparkSession.active.sessionState.newHadoopConf(), path)
     // `.option("branch", name)` stages the write on a branch — the
-    // WRITE step of write-audit-publish from the DataFrame API
+    // WRITE step of write-audit-publish from the DataFrame API; the
+    // session-level `spark.graft.wap.branch` conf routes a whole SQL
+    // pipeline's writes the same way (Iceberg's spark.wap.branch)
     val branch = Option(info.options.get("branch")).filter(_.nonEmpty)
+      .orElse(ManifestedTable.sessionWapBranch(SparkSession.active))
     props.get("graft.cluster-by") match {
       case Some(cols) =>
         // declared cluster key: the DSv2 write face with
@@ -442,11 +445,13 @@ private[sources] class ManifestTable(schema: StructType, path: String,
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     // the table's own MoR dial: with graft.dv-max-fraction set, a SQL
     // DELETE under the threshold writes a deletion-vector sidecar
-    // instead of rewriting the file
+    // instead of rewriting the file; under a session WAP branch the
+    // delete stages on the branch like every other write
     val dvFrac = ManifestedTable
       .tableProperties(spark.sessionState.newHadoopConf(), path)
       .get("graft.dv-max-fraction").map(_.toDouble).getOrElse(0.0)
-    ManifestedTable.deleteWhere(spark, path, cond, dvFrac)
+    ManifestedTable.deleteWhere(spark, path, cond, dvFrac,
+      ManifestedTable.sessionWapBranch(spark))
     ()
   }
 

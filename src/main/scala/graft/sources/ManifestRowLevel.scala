@@ -55,9 +55,13 @@ private[sources] class ManifestRowLevelOperation(tableSchema: StructType,
     extends RowLevelOperation {
 
   private val conf = SparkSession.active.sessionState.newHadoopConf()
+  // under a session WAP branch the whole DML anchors AND commits on
+  // the branch — UPDATE/MERGE INTO stage for audit like every write
+  private[sources] val wapBranch =
+    ManifestedTable.sessionWapBranch(SparkSession.active)
   // the anchor snapshot: scan and commit both resolve from THESE lines
   private[sources] val (baseV, baseLines) =
-    ManifestedTable.snapshotLinesConf(conf, path)
+    ManifestedTable.snapshotLinesForConf(conf, path, wapBranch)
   private[sources] val baseEntries = baseLines.map(ManifestedTable.parseLine)
   // groups the (runtime-filtered) scan finally planned — what commit
   // replaces; defaults to everything until the scan narrows it
@@ -134,7 +138,8 @@ private[sources] class ManifestRowLevelScan(op: ManifestRowLevelOperation,
     // DML condition names CURRENT columns; files staged under earlier
     // epochs read through their physical names
     val epochs = ManifestedTable.epochsOf(
-      ManifestedTable.snapshotMeta(sconf.value, op.path))
+      ManifestedTable.snapshotMeta(sconf.value, op.path,
+        Some(op.baseV)))
     val planned = op.baseEntries
       .filterNot(_._2.rows.contains(0L))
       .filter(e => keep.forall(_.contains(e._1)))
@@ -209,10 +214,11 @@ private[sources] class ManifestReplaceWrite(op: ManifestRowLevelOperation,
     // different: every row of the scanned groups was deleted, and the
     // commit must still drop them.)
     if (rels.isEmpty && op.scanned.isEmpty) return
-    val lines = ManifestedTable.statLines(conf, op.path, rels)
+    val lines = ManifestedTable.statLines(conf, op.path, rels,
+      op.wapBranch)
     ManifestedTable.replaceGroups(conf, op.path, op.baseV,
       op.baseLines, op.scanned.toSet, lines,
-      s"${op.command().toString.toLowerCase}_sql")
+      s"${op.command().toString.toLowerCase}_sql", op.wapBranch)
     ()
   }
 

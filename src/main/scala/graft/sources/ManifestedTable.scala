@@ -482,12 +482,16 @@ object ManifestedTable {
       decodeEpochs(ej))
   }
 
-  /** The `se:` token staged lines carry under the table's CURRENT
-    * epoch; None when the table has no field-id history.
+  /** The `se:` token staged lines carry under the target LINEAGE's
+    * current epoch (a branch forks its schema history at fork time;
+    * ALTERs land on main) — None when the table has no field-id
+    * history.
     */
-  private def epochToken(fs: FileSystem, root: Path): Option[String] = {
-    val vs = manifestVersions(fs, root)
-    vs.lastOption.map(p => readMeta(fs, p._2))
+  private def epochToken(fs: FileSystem, root: Path,
+      branch: Option[String] = None): Option[String] = {
+    val head = headVersion(fs, root, branch)
+      .orElse(if (branch.isDefined) headVersion(fs, root, None) else None)
+    head.map(h => readMeta(fs, h._2))
       .flatMap(_.get(FieldEpochsKey))
       .map(e => s"se:${decodeEpochs(e).size - 1}")
   }
@@ -971,6 +975,25 @@ object ManifestedTable {
     ()
   }
 
+  /** The DML anchor snapshot for a lineage: the branch head when
+    * `branch` is set (forking from MAIN if the branch has no commits
+    * yet — the first branch DML behaves like the first branch write),
+    * else the main head.
+    */
+  private def snapshotFor(fs: FileSystem, root: Path,
+      branch: Option[String]): (Long, Seq[String]) = branch match {
+    case None => currentSnapshot(fs, root)
+    case Some(b) =>
+      checkRefName(b)
+      val vs = manifestVersions(fs, root)
+      require(vs.nonEmpty, s"no committed manifest under $root")
+      val hv = headVersion(fs, root, Some(b)).map(_._1)
+        .orElse(headVersion(fs, root, None).map(_._1))
+        .getOrElse(throw new IllegalStateException(
+          s"no main commit under $root"))
+      (hv, resolveDataLines(fs, root, vs.toMap, hv))
+  }
+
   /** (version, entry LINES) of the current snapshot in ONE manifest
     * read — the base a rewrite's conflict proof is anchored to
     * (reading version and files separately could straddle a concurrent
@@ -1083,16 +1106,6 @@ object ManifestedTable {
     resolveDataLines(fs, root, vs.toMap, v).map(parseEntry)
   }
 
-  /** (version, raw entry lines) of the current snapshot — the base a
-    * SQL row-level operation (UPDATE/MERGE rewrite) anchors both its
-    * scan and its replace-commit to.
-    */
-  private[sources] def snapshotLinesConf(
-      conf: org.apache.hadoop.conf.Configuration,
-      dir: String): (Long, Seq[String]) = {
-    val root = new Path(dir)
-    currentSnapshot(root.getFileSystem(conf), root)
-  }
 
   private[sources] def pathOfLine(line: String): String = pathOf(line)
   private[sources] def parseLine(line: String): (String, FileStats) =
@@ -1104,10 +1117,10 @@ object ManifestedTable {
     */
   private[sources] def statLines(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
-      rels: Seq[String]): Seq[String] = {
+      rels: Seq[String], branch: Option[String] = None): Seq[String] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    stampEpoch(statLinesRaw(fs, root, rels), epochToken(fs, root))
+    stampEpoch(statLinesRaw(fs, root, rels), epochToken(fs, root, branch))
   }
 
   private def statLinesRaw(fs: FileSystem, root: Path,
@@ -1141,7 +1154,7 @@ object ManifestedTable {
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
     branch.foreach(checkRefName)
-    val lines = statLines(conf, dir, rels)
+    val lines = statLines(conf, dir, rels, branch)
     publish(fs, root, if (overwrite) Replace else AppendFiles, lines,
       ref = branch)
   }
@@ -1156,12 +1169,13 @@ object ManifestedTable {
   private[sources] def replaceGroups(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
       baseV: Long, baseLines: Seq[String], touched: Set[String],
-      stagedLines: Seq[String], opName: String): Long = {
+      stagedLines: Seq[String], opName: String,
+      branch: Option[String] = None): Long = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     publish(fs, root,
       RewriteFiles(baseV, baseLines, touched, opName, _ => true),
-      stagedLines)
+      stagedLines, ref = branch)
   }
 
   /** Create an EMPTY table with a declared schema — the catalog's
@@ -1332,9 +1346,9 @@ object ManifestedTable {
       probe: DataFrame, keys: Seq[String]): Seq[String] = {
     val fs = fsOf(spark, dir)
     val root = new Path(dir)
-    val (_, lines) = currentSnapshot(fs, root)
+    val (hv, lines) = currentSnapshot(fs, root)
     pruneByKeyBounds(lines.map(parseEntry), probe, keys,
-      schemaCtxAt(fs, root, None).map(_._2).getOrElse(Nil))
+      schemaCtxAt(fs, root, Some(hv)).map(_._2).getOrElse(Nil))
   }
 
   /** Stage `df` in a fresh immutable dir and return the staged files'
@@ -1342,7 +1356,7 @@ object ManifestedTable {
     * read per file, no data IO; see [[statLine]]).
     */
   private def stageFiles(df: DataFrame, root: Path,
-      fs: FileSystem): Seq[String] = {
+      fs: FileSystem, branch: Option[String] = None): Seq[String] = {
     val stage = s"data-${java.util.UUID.randomUUID()}"
     df.write.parquet(new Path(root, stage).toString)
     val rels = fs.listStatus(new Path(root, stage)).toSeq
@@ -1353,7 +1367,8 @@ object ManifestedTable {
     // Σ(footer): sequential opens would tax every commit by hundreds
     // of ms once a job stages dozens of files (Hadoop FileSystem
     // handles are thread-safe)
-    stampEpoch(statLinesRaw(fs, root, rels), epochToken(fs, root))
+    stampEpoch(statLinesRaw(fs, root, rels),
+      epochToken(fs, root, branch))
   }
 
   /** Publish `df` as the table's next snapshot. `overwrite = false`
@@ -1369,7 +1384,7 @@ object ManifestedTable {
     val fs = fsOf(spark, dir)
     fs.mkdirs(root)
     branch.foreach(checkRefName)
-    val staged = stageFiles(df, root, fs)
+    val staged = stageFiles(df, root, fs, branch)
     // the prior file list is resolved INSIDE publish, per CAS attempt —
     // an append racing another append rebases onto the winner's files
     // instead of silently dropping them
@@ -1392,11 +1407,14 @@ object ManifestedTable {
       mergeSchema: Boolean = false): DataFrame = {
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val (_, lines) = currentSnapshot(fs, root)
+    val (hv, lines) = currentSnapshot(fs, root)
     require(lines.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
+    // schema context at the ANCHOR version: the newest manifest can be
+    // a staged branch commit whose (carried) epochs predate a main
+    // ALTER — the main read must resolve through main's own meta
     readLive(spark, root, lines.map(parseEntry), mergeSchema,
-      schemaCtx = schemaCtxAt(fs, root, None))
+      schemaCtx = schemaCtxAt(fs, root, Some(hv)))
   }
 
   /** Current-snapshot read pruned by the MANIFEST's per-file stats:
@@ -1412,10 +1430,10 @@ object ManifestedTable {
       lo: Long, hi: Long): DataFrame = {
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val (_, lines) = currentSnapshot(fs, root)
+    val (hv, lines) = currentSnapshot(fs, root)
     require(lines.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
-    val ctx = schemaCtxAt(fs, root, None)
+    val ctx = schemaCtxAt(fs, root, Some(hv))
     val epochs = ctx.map(_._2).getOrElse(Nil)
     val keep = lines.map(parseEntry).filter { case (_, st0) =>
       val st = rekeyStats(epochs, st0)
@@ -1455,7 +1473,7 @@ object ManifestedTable {
     if (files.size <= needed && entries.forall(_._2.dv.isEmpty))
       return baseV
     val compacted = readLive(spark, root, entries,
-      schemaCtx = schemaCtxAt(fs, root, None)).repartition(needed)
+      schemaCtx = schemaCtxAt(fs, root, Some(baseV))).repartition(needed)
     val staged = stageFiles(compacted, root, fs)
     // row-preserving rewrite of the WHOLE base: an interleaved append
     // rebases (its files ride uncompacted), an interleaved DML
@@ -1597,7 +1615,7 @@ object ManifestedTable {
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
     fs.mkdirs(root)
-    val staged = stageFiles(df, root, fs)
+    val staged = stageFiles(df, root, fs, Some(branch))
     publish(fs, root, if (overwrite) Replace else AppendFiles, staged,
       ref = Some(branch))
   }
@@ -1689,6 +1707,28 @@ object ManifestedTable {
       branch: String): Option[Long] = {
     val root = new Path(dir)
     headVersion(root.getFileSystem(conf), root, Some(branch)).map(_._1)
+  }
+
+  /** The session-level WAP branch (Iceberg's `spark.wap.branch`
+    * construction): when `spark.graft.wap.branch` is set, every write
+    * AND row-level DML through the SQL faces lands on the named
+    * branch — a whole existing SQL pipeline stages its output for
+    * audit by setting ONE conf, with promote/drop as the publish
+    * decision. Plain reads keep resolving MAIN (audit explicitly via
+    * `VERSION AS OF '<branch>'`).
+    */
+  private[sources] def sessionWapBranch(
+      spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.wap.branch").filter(_.nonEmpty)
+
+  /** (version, raw entry lines) of a LINEAGE head — the branch-aware
+    * anchor for the SQL row-level operations.
+    */
+  private[sources] def snapshotLinesForConf(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      branch: Option[String]): (Long, Seq[String]) = {
+    val root = new Path(dir)
+    snapshotFor(root.getFileSystem(conf), root, branch)
   }
 
   /** (isMain, lineage parent) of retained version `v` — the streaming
@@ -1897,20 +1937,21 @@ object ManifestedTable {
       updateWhen: Option[Column] = None,
       insertWhen: Option[Column] = None,
       bySource: Option[BySourceAction] = None,
-      dvMaxFraction: Double = 0.0): Long = {
+      dvMaxFraction: Double = 0.0,
+      branch: Option[String] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val (baseV, baseLines) = currentSnapshot(fs, root)
+    val (baseV, baseLines) = snapshotFor(fs, root, branch)
     val cur = baseLines.map(pathOf)
     require(cur.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
     val entries = baseLines.map(parseEntry)
     val entryMap = entries.toMap
     val lineMap = baseLines.map(l => pathOf(l) -> l).toMap
-    val ctx = schemaCtxAt(fs, root, None)
+    val ctx = schemaCtxAt(fs, root, Some(baseV))
     val epochs = ctx.map(_._2).getOrElse(Nil)
     val base = readLive(spark, root, entries, schemaCtx = ctx)
     // merge-on-read applies only to the plain upsert shape: matched
@@ -2061,7 +2102,7 @@ object ManifestedTable {
           .unionByName(inserts.select(cols.map(col): _*))
       }
     val staged = stageFiles(
-      rewrite.select(cols.map(col): _*), root, fs) ++ dvLines
+      rewrite.select(cols.map(col): _*), root, fs, branch) ++ dvLines
     // conflict scope: ANY source key — an interleaved commit that
     // added a row this merge would have matched (updated, or collided
     // with an insert) cannot serialize either side of it. A by-source
@@ -2075,7 +2116,7 @@ object ManifestedTable {
           .select(keys.map(col): _*).join(srcKeys, keys, "left_semi").isEmpty
     publish(fs, root,
       RewriteFiles(baseV, baseLines, touched.toSet, "merge", overlaps),
-      staged)
+      staged, ref = branch)
   }
 
   /** Row-level DELETE WHERE — `cond` follows SQL DELETE semantics:
@@ -2096,19 +2137,20 @@ object ManifestedTable {
     * amplification.
     */
   def deleteWhere(spark: SparkSession, dir: String, cond: Column,
-      dvMaxFraction: Double = 0.0): Long = {
+      dvMaxFraction: Double = 0.0,
+      branch: Option[String] = None): Long = {
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val (baseV, baseLines) = currentSnapshot(fs, root)
+    val (baseV, baseLines) = snapshotFor(fs, root, branch)
     val cur = baseLines.map(pathOf)
     require(cur.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
     val entries = baseLines.map(parseEntry)
     val entryMap = entries.toMap
     val lineMap = baseLines.map(l => pathOf(l) -> l).toMap
-    val ctx = schemaCtxAt(fs, root, None)
+    val ctx = schemaCtxAt(fs, root, Some(baseV))
     val live = readLive(spark, root, entries, withMeta = true,
       schemaCtx = ctx)
     // per-file hit counts in one pass — manifest-sized collect, and
@@ -2136,7 +2178,7 @@ object ManifestedTable {
       else stageFiles(
         readLive(spark, root, entries.filter(e => rwT.contains(e._1)),
           schemaCtx = ctx)
-          .filter(!coalesce(cond, lit(false))), root, fs)
+          .filter(!coalesce(cond, lit(false))), root, fs, branch)
     // conflict scope: the delete predicate — interleaved rows it would
     // have deleted make the serial orders disagree
     val overlaps = (paths: Seq[String]) =>
@@ -2144,7 +2186,7 @@ object ManifestedTable {
         .filter(cond).isEmpty
     publish(fs, root,
       RewriteFiles(baseV, baseLines, touched.toSet, "deleteWhere", overlaps),
-      rwStaged ++ dvLines)
+      rwStaged ++ dvLines, ref = branch)
   }
 
   /** Row-level DELETE by key set — `DELETE WHERE key IN (subquery)`,
@@ -2157,14 +2199,15 @@ object ManifestedTable {
     * nothing.
     */
   def deleteMatching(spark: SparkSession, dir: String,
-      keys: DataFrame, dvMaxFraction: Double = 0.0): Long = {
+      keys: DataFrame, dvMaxFraction: Double = 0.0,
+      branch: Option[String] = None): Long = {
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
-    val (baseV, baseLines) = currentSnapshot(fs, root)
+    val (baseV, baseLines) = snapshotFor(fs, root, branch)
     val cur = baseLines.map(pathOf)
     require(cur.nonEmpty, s"manifested table $dir is empty — " +
       "schemaless empty reads are not supported")
@@ -2172,7 +2215,7 @@ object ManifestedTable {
     val entryMap = entries.toMap
     val lineMap = baseLines.map(l => pathOf(l) -> l).toMap
     val k = keys.distinct()
-    val ctx = schemaCtxAt(fs, root, None)
+    val ctx = schemaCtxAt(fs, root, Some(baseV))
     val epochs = ctx.map(_._2).getOrElse(Nil)
     // same stats-pruned find-touched as merge: the key feed's bounds
     // refute non-intersecting files from the manifest alone; the scan
@@ -2210,14 +2253,14 @@ object ManifestedTable {
         val survivors = readLive(spark, root,
           entries.filter(e => rwT.contains(e._1)), schemaCtx = ctx)
           .join(k, keyCols, "left_anti")
-        stageFiles(survivors, root, fs)
+        stageFiles(survivors, root, fs, branch)
       }
     val overlaps = (paths: Seq[String]) =>
       !spark.read.option("mergeSchema", "true").parquet(paths: _*)
         .select(keyCols.map(col): _*).join(k, keyCols, "left_semi").isEmpty
     publish(fs, root,
       RewriteFiles(baseV, baseLines, touched.toSet, "deleteMatching",
-        overlaps), rwStaged ++ dvLines)
+        overlaps), rwStaged ++ dvLines, ref = branch)
   }
 
   /** ATOMIC CLUSTERED compaction — the `OPTIMIZE ... ZORDER BY` /
@@ -2245,7 +2288,7 @@ object ManifestedTable {
     val needed =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val clustered = readLive(spark, root, baseLines.map(parseEntry),
-      schemaCtx = schemaCtxAt(fs, root, None))
+      schemaCtx = schemaCtxAt(fs, root, Some(baseV)))
       .repartitionByRange(needed, clusterBy)
       .sortWithinPartitions(clusterBy)
     val staged = stageFiles(clustered, root, fs)

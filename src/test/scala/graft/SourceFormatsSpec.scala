@@ -1000,6 +1000,55 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest session WAP: spark.graft.wap.branch routes a whole SQL pipeline incl. DML") {
+    // Iceberg's spark.wap.branch construction: ONE session conf stages
+    // every write AND row-level DML of an existing SQL pipeline on a
+    // branch — no statement changes — while plain reads keep resolving
+    // main; audit via VERSION AS OF '<branch>', then CALL
+    // promote_branch publishes the whole audited run atomically
+    import graft.sources.ManifestedTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_swap").toString
+    spark.conf.set("spark.sql.catalog.gm_sw",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_sw.root", wh)
+    try {
+      spark.sql("""CREATE TABLE gm_sw.t AS
+        SELECT id AS k, CAST(id AS DOUBLE) AS v,
+               CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS tag
+        FROM range(0, 400, 1, 4)""")
+      spark.conf.set("spark.graft.wap.branch", "nightly")
+      // the unchanged pipeline: append, update, delete — all staged
+      spark.sql("""INSERT INTO gm_sw.t
+        SELECT id AS k, CAST(0 AS DOUBLE) AS v, 'late' AS tag
+        FROM range(1000, 1050)""")
+      spark.sql("UPDATE gm_sw.t SET v = v + 100 WHERE k < 10")
+      spark.sql("DELETE FROM gm_sw.t WHERE tag = 'odd' AND k >= 390")
+      // main is DARK through all three statements
+      assert(spark.sql("SELECT count(*) AS n FROM gm_sw.t")
+        .head.getLong(0) == 400, "session-WAP DML leaked into main")
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_sw.t WHERE v >= 100 AND k < 10")
+        .head.getLong(0) == 0)
+      // the branch carries the pipeline's full image
+      val audit = spark.sql(
+        "SELECT * FROM gm_sw.t VERSION AS OF 'nightly'")
+      assert(audit.count() == 445) // 400 + 50 inserted - 5 odd >= 390
+      assert(audit.filter("v >= 100 AND k < 10").count() == 10)
+      // promote publishes the audited run atomically
+      spark.conf.unset("spark.graft.wap.branch")
+      spark.sql("CALL gm_sw.system.promote_branch('t', 'nightly')")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_sw.t")
+        .head.getLong(0) == 445)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_sw.t WHERE v >= 100 AND k < 10")
+        .head.getLong(0) == 10)
+    } finally {
+      spark.conf.unset("spark.graft.wap.branch")
+      spark.conf.unset("spark.sql.catalog.gm_sw")
+      spark.conf.unset("spark.sql.catalog.gm_sw.root")
+    }
+  }
+
   test("graft-manifest vectorized read path: clean bulk scans plan ColumnarBatch partitions") {
     // the SQL face's bulk reader is Spark's own vectorized parquet
     // reader (ColumnarBatch partitions) whenever the scan is clean —
