@@ -222,12 +222,41 @@ class ManifestCatalog extends TableCatalog
           last = last - id
           schemaChanged = true
         }
+      case up: TableChange.UpdateColumnType
+          if up.fieldNames().length == 1 =>
+        // LOSSLESS widenings only (the Iceberg matrix): the field id
+        // and name stay; the declared type widens, and an appended
+        // epoch routes reads through the translated-cast path so
+        // pre-ALTER files' narrower physical values read exactly
+        import org.apache.spark.sql.types.{ByteType, DoubleType,
+          FloatType, IntegerType, LongType, ShortType}
+        val n = up.fieldNames()(0)
+        val fld = schema.fields.find(_.name == n)
+          .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+        val to = up.newDataType()
+        val ok = (fld.dataType, to) match {
+          case (a, b) if a == b => true
+          case (ByteType, ShortType | IntegerType | LongType |
+                          DoubleType) => true
+          case (ShortType, IntegerType | LongType | DoubleType) => true
+          case (IntegerType, LongType | DoubleType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        require(ok, s"ALTER COLUMN $n TYPE: only lossless widenings " +
+          s"are supported (${fld.dataType.simpleString} -> " +
+          s"${to.simpleString} is not)")
+        if (fld.dataType != to) {
+          schema = org.apache.spark.sql.types.StructType(schema.fields
+            .map(f => if (f.name == n) f.copy(dataType = to) else f))
+          schemaChanged = true
+        }
       case p: TableChange.SetProperty =>
         setProps += p.property() -> p.value()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE: supported are top-level nullable ADD COLUMNS, " +
-          s"RENAME COLUMN, DROP COLUMN, and SET TBLPROPERTIES; " +
-          s"got $other")
+          s"RENAME COLUMN, DROP COLUMN, lossless-widening ALTER " +
+          s"COLUMN TYPE, and SET TBLPROPERTIES; got $other")
     }
     if (schemaChanged)
       ManifestedTable.updateSchemaMeta(conf, dir, schema.json,

@@ -1170,12 +1170,26 @@ private[sources] class ManifestPartitionReaderFactory(
   }
 
   private def valueGetter(f: StructField, projected: MessageType,
-      j: Int, file: String): Group => Any = f.dataType match {
-    case LongType => g => g.getLong(j, 0)
+      j: Int, file: String): Group => Any = {
+    // files written before a type-WIDENING ALTER carry the narrower
+    // physical type — adapt by the FILE's primitive type (the declared
+    // type is the output contract)
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    def phys: PrimitiveTypeName =
+      projected.getType(j).asPrimitiveType().getPrimitiveTypeName
+    f.dataType match {
+    case LongType =>
+      if (phys == PrimitiveTypeName.INT32)
+        g => g.getInteger(j, 0).toLong
+      else g => g.getLong(j, 0)
     case IntegerType => g => g.getInteger(j, 0)
     case ShortType => g => g.getInteger(j, 0).toShort
     case ByteType => g => g.getInteger(j, 0).toByte
-    case DoubleType => g => g.getDouble(j, 0)
+    case DoubleType => phys match {
+      case PrimitiveTypeName.FLOAT => g => g.getFloat(j, 0).toDouble
+      case PrimitiveTypeName.INT32 => g => g.getInteger(j, 0).toDouble
+      case _ => g => g.getDouble(j, 0)
+    }
     case FloatType => g => g.getFloat(j, 0)
     case BooleanType => g => g.getBoolean(j, 0)
     case StringType => g => UTF8String.fromBytes(g.getBinary(j, 0).getBytes)
@@ -1197,5 +1211,6 @@ private[sources] class ManifestPartitionReaderFactory(
       s"graft-manifest: column ${f.name} of type $other is not supported " +
         "by the SQL face (flat primitive schemas only — use " +
         "ManifestedTable.read for nested/decimal data)")
+    }
   }
 }

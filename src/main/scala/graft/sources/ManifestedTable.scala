@@ -1807,7 +1807,10 @@ object ManifestedTable {
           val metaCols = if (withMeta) Seq("__file", "__pos") else Nil
           df.select(declared.fields.toSeq.map { f =>
             phys.get(f.name).filter(avail) match {
-              case Some(pn) => col(pn).as(f.name)
+              // cast to the DECLARED type: files written before a
+              // type-widening ALTER carry the narrower physical type
+              // (a same-type cast folds away in the optimizer)
+              case Some(pn) => col(pn).cast(f.dataType).as(f.name)
               case None => lit(null).cast(f.dataType).as(f.name)
             }
           } ++ metaCols.map(col): _*)

@@ -1205,6 +1205,63 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest type widening: ALTER COLUMN TYPE is metadata-only for lossless widenings") {
+    // the Iceberg widening matrix: int→bigint, float→double (and the
+    // smaller integral ladders) are one no-file commit; pre-ALTER
+    // files keep their narrower physical values and read EXACTLY at
+    // the declared type, post-ALTER inserts land wide, and narrowing
+    // or lossy changes refuse loudly
+    import graft.sources.ManifestedTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_wide").toString
+    spark.conf.set("spark.sql.catalog.gm_wide",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_wide.root", wh)
+    try {
+      spark.sql("CREATE TABLE gm_wide.t (k INT, v FLOAT)")
+      spark.sql("""INSERT INTO gm_wide.t VALUES
+        (1, CAST(1.5 AS FLOAT)), (2, CAST(2.5 AS FLOAT))""")
+      spark.sql("ALTER TABLE gm_wide.t ALTER COLUMN k TYPE BIGINT")
+      spark.sql("ALTER TABLE gm_wide.t ALTER COLUMN v TYPE DOUBLE")
+      val sch = spark.sql("SELECT * FROM gm_wide.t").schema
+      assert(sch("k").dataType ==
+        org.apache.spark.sql.types.LongType &&
+        sch("v").dataType == org.apache.spark.sql.types.DoubleType)
+      // pre-ALTER bytes read exactly at the widened type
+      assert(spark.sql("SELECT sum(k) AS s FROM gm_wide.t")
+        .head.getLong(0) == 3L)
+      assert(spark.sql("SELECT sum(v) AS s FROM gm_wide.t")
+        .head.getDouble(0) == 4.0)
+      // a post-ALTER insert holds values the old type could not
+      spark.sql(
+        "INSERT INTO gm_wide.t VALUES (3000000000, CAST(0.25 AS DOUBLE))")
+      assert(spark.sql("SELECT sum(k) AS s FROM gm_wide.t")
+        .head.getLong(0) == 3000000003L)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_wide.t WHERE k > 2000000000")
+        .head.getLong(0) == 1)
+      // the object API agrees (mixed-width files unify by cast)
+      val dir = s"$wh/t"
+      import org.apache.spark.sql.functions.sum
+      assert(ManifestedTable.read(spark, dir)
+        .agg(sum("v")).head.getDouble(0) == 4.25)
+      // DML across the width seam: the engine-planned UPDATE rewrites
+      // a narrow file at the wide declared type
+      spark.sql("UPDATE gm_wide.t SET v = v + 10 WHERE k = 1")
+      assert(spark.sql("SELECT v FROM gm_wide.t WHERE k = 1")
+        .head.getDouble(0) == 11.5)
+      // narrowing and lossy changes refuse loudly
+      intercept[Exception] {
+        spark.sql("ALTER TABLE gm_wide.t ALTER COLUMN k TYPE INT")
+      }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE gm_wide.t ALTER COLUMN k TYPE DOUBLE")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gm_wide")
+      spark.conf.unset("spark.sql.catalog.gm_wide.root")
+    }
+  }
+
   test("graft-manifest field ids: RENAME/DROP COLUMN are metadata-only and dead ids never resurrect") {
     // Iceberg's field-id construction, carried in the manifest meta:
     // every staged file records its schema epoch, readers resolve a
