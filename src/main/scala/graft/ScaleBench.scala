@@ -354,6 +354,18 @@ object ScaleBench {
     // ManifestedTable.read (Group readers remain only on the
     // DV/metadata/translated legs)
     "q187_manifest_sql_face",
+    // q193: field-id schema evolution — the backing order book
+    // replicates m×, so the CTAS, the three generations of files, and
+    // the final translated read all grow m× while the ALTERs stay
+    // METADATA-ONLY (no-file commits): β prices the claim that
+    // rename/drop/re-add cost nothing at read time beyond the
+    // per-epoch-group projection
+    "q193_schema_evolution",
+    // q194: write-audit-publish — base, staged feed, audit scans, and
+    // the promote's verbatim-line republish all grow m×; the promote
+    // itself is METADATA-ONLY (branch lines land by reference), so the
+    // cycle should track the data writes, β ~ 1 against the feeds
+    "q194_wap_branch",
     // q178: CDC replication — leader snapshots, CDF, and the
     // follower's merge + keyed delete are all m×-proportional (the
     // changed strata scale with the table), so the whole
