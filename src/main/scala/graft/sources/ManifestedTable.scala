@@ -1663,11 +1663,19 @@ object ManifestedTable {
     var fork = bHead
     var walking = true
     while (walking) {
-      val m = readMeta(fs, byV(fork))
-      if (m.get(BranchKey).contains(branch))
-        fork = m.get(BaseKey).map(_.toLong).getOrElse(0L)
-      else walking = false
-      if (fork == 0L) walking = false
+      byV.get(fork) match {
+        case None =>
+          // the fork version fell past the retention horizon: main has
+          // necessarily advanced since (the main head IS retained), so
+          // the mv != fork check below aborts as non-fast-forward
+          walking = false
+        case Some(p) =>
+          val m = readMeta(fs, p)
+          if (m.get(BranchKey).contains(branch))
+            fork = m.get(BaseKey).map(_.toLong).getOrElse(0L)
+          else walking = false
+          if (fork == 0L) walking = false
+      }
     }
     val (mv, mainLines) = currentSnapshot(fs, root)
     if (mv != fork) throw new ConcurrentWriteException(
@@ -2389,28 +2397,40 @@ object ManifestedTable {
     // single oldest-retained checkpoint). Every fence must verifiably
     // EXIST before any manifest deletion — a failed write skips the
     // manifest pass (derived state: retrying next vacuum is free).
-    def chainNeedsFence(v: Long): Boolean = {
-      var cur = v
-      while (true) {
-        if (cur == 0L) return false
-        if (cur != v && fs.exists(checkpointPathOf(root, cur)))
-          return false
-        byV.get(cur) match {
-          case None => return true // already gone, no checkpoint
+    // Each retained version's chain is walked exactly as the resolver
+    // walks it (checkpoint-first at EVERY step, own version included);
+    // a chain that would cross a dropped or already-missing link gets
+    // a checkpoint fence at the retained version itself, and every
+    // checkpoint a chain STOPS at is recorded as an ANCHOR — anchored
+    // checkpoints survive even when their version's manifest drops
+    // (the model-check counterexample: v4's chain anchoring on
+    // dropped v2's checkpoint, which a blind cleanup then deleted).
+    val planned = scala.collection.mutable.Set.empty[Long]
+    val anchors = scala.collection.mutable.Set.empty[Long]
+    retained.map(_._1).foreach { v0 =>
+      var cur = v0
+      var walking = true
+      while (walking) {
+        if (cur == 0L) walking = false
+        else if (planned(cur) || fs.exists(checkpointPathOf(root, cur))) {
+          anchors += cur
+          walking = false
+        } else byV.get(cur) match {
+          case None => // link gone with no checkpoint: fence v0 itself
+            planned += v0; anchors += v0; walking = false
           case Some(pp) =>
-            if (cur != v && droppedSet(cur)) return true
-            readMeta(fs, pp).get(DeltaKey) match {
-              case None => return false // full manifest, retained
+            if (cur != v0 && droppedSet(cur)) {
+              planned += v0; anchors += v0; walking = false
+            } else readMeta(fs, pp).get(DeltaKey) match {
+              case None => walking = false // full manifest, retained
               case Some(b) => cur = b.toLong
             }
         }
       }
-      false
     }
-    val needFence = retained.map(_._1).filter(chainNeedsFence)
-    needFence.foreach(v => writeCheckpointAt(fs, root, v))
+    planned.foreach(v => writeCheckpointAt(fs, root, v))
     val fenced =
-      needFence.forall(v => fs.exists(checkpointPathOf(root, v)))
+      planned.forall(v => fs.exists(checkpointPathOf(root, v)))
     // memoized tree fold for the live set (each lineage resolves its
     // own parents; O(retained) small reads)
     val linesOf = lineageResolver(fs, root, byV)
@@ -2436,11 +2456,27 @@ object ManifestedTable {
               s.getPath.getName.startsWith("_")))
           fs.delete(d.getPath, true)
       }
-    if (fenced) dropped.foreach { v =>
-      fs.delete(v._2, false)
-      // a dropped version's checkpoint sidecar goes with it
-      val cp = checkpointPathOf(root, v._1)
-      if (fs.exists(cp)) fs.delete(cp, false)
+    if (fenced) {
+      dropped.foreach { v =>
+        fs.delete(v._2, false)
+        // a dropped version's checkpoint goes with it UNLESS a
+        // retained chain anchors on it
+        val cp = checkpointPathOf(root, v._1)
+        if (!anchors(v._1) && fs.exists(cp)) fs.delete(cp, false)
+      }
+      // checkpoints of versions already gone from the listing whose
+      // anchor role has ended (age-guarded like everything else)
+      fs.listStatus(new Path(root, ManifestDir)).toSeq
+        .filter(st => st.isFile &&
+          st.getPath.getName.startsWith(CheckpointPrefix))
+        .foreach { st =>
+          scala.util.Try(st.getPath.getName
+            .stripPrefix(CheckpointPrefix).toLong).toOption.foreach { v =>
+            if (!byV.contains(v) && !anchors(v) &&
+                st.getModificationTime <= cutoff)
+              fs.delete(st.getPath, false)
+          }
+        }
     }
     deleted
   }

@@ -700,4 +700,109 @@ object GraftProps extends Properties("graft") {
           (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       Prop(got == want) :| s"t=$tn/$td got $got want $want"
     }
+  // ---- r18: MODEL CHECK of the manifested table's tree resolver ----------
+  //
+  // The round's riskiest machinery — delta manifests with explicit
+  // parent pointers, checkpoint sidecars, branch lineages, retire-on-
+  // promote, vacuum fences — exercised by RANDOM commit sequences and
+  // compared against a trivial in-memory model after every step. Any
+  // resolution bug (wrong parent, lost fence, leaked branch commit,
+  // resurrected row) shows up as a multiset mismatch.
+  private sealed trait TOp
+  private case class TAppend(lo: Long, n: Int) extends TOp
+  private case class TDeleteBelow(k: Long, mor: Boolean) extends TOp
+  private case class TOverwrite(lo: Long, n: Int) extends TOp
+  private case class TBranchAppend(lo: Long, n: Int) extends TOp
+  private case object TPromote extends TOp
+  private case object TDropBranch extends TOp
+  private case object TVacuum extends TOp
+
+  private val genTOp: Gen[TOp] = Gen.frequency(
+    4 -> (for { lo <- Gen.choose(0L, 900L); n <- Gen.choose(1, 6) }
+      yield TAppend(lo, n)),
+    3 -> (for { k <- Gen.choose(0L, 950L); mor <- Gen.oneOf(true, false) }
+      yield TDeleteBelow(k, mor)),
+    1 -> (for { lo <- Gen.choose(0L, 900L); n <- Gen.choose(1, 6) }
+      yield TOverwrite(lo, n)),
+    3 -> (for { lo <- Gen.choose(0L, 900L); n <- Gen.choose(1, 6) }
+      yield TBranchAppend(lo, n)),
+    2 -> Gen.const(TPromote),
+    1 -> Gen.const(TDropBranch),
+    2 -> Gen.const(TVacuum))
+
+  property("manifested table: random commit trees match the in-memory model") =
+    forAll(Gen.listOfN(8, genTOp)) { ops =>
+      import graft.sources.{ConcurrentWriteException, ManifestedTable}
+      val d = java.nio.file.Files.createTempDirectory("graft_prop").toString
+      def df(lo: Long, n: Int) =
+        (lo until lo + n).map(k => (k, s"s$k")).toDF("k", "s")
+      ManifestedTable.write(df(0L, 4), d) // seed
+      var main: Vector[Long] = (0L until 4L).toVector
+      var branch: Option[Vector[Long]] = None
+      var mainMovedSinceFork = false
+      def readKeys(r: DataFrame): Vector[Long] =
+        r.select("k").collect().map(_.getLong(0)).toVector.sorted
+      val ok = ops.forall { op =>
+        op match {
+          case TAppend(lo, n) =>
+            ManifestedTable.write(df(lo, n), d, overwrite = false)
+            main = main ++ (lo until lo + n)
+            if (branch.isDefined) mainMovedSinceFork = true
+          case TOverwrite(lo, n) =>
+            ManifestedTable.write(df(lo, n), d)
+            main = (lo until lo + n).toVector
+            if (branch.isDefined) mainMovedSinceFork = true
+          case TDeleteBelow(k, mor) =>
+            if (main.nonEmpty) {
+              ManifestedTable.deleteWhere(spark, d, col("k") < k,
+                dvMaxFraction = if (mor) 1.0 else 0.0)
+              val before = main.size
+              main = main.filter(_ >= k)
+              if (main.size != before && branch.isDefined)
+                mainMovedSinceFork = true
+            }
+          case TBranchAppend(lo, n) =>
+            ManifestedTable.writeBranch(df(lo, n), d, "b")
+            branch = Some(branch.getOrElse {
+              mainMovedSinceFork = false
+              main
+            } ++ (lo until lo + n))
+          case TPromote =>
+            if (branch.isDefined) {
+              if (mainMovedSinceFork) {
+                Prop.throws(classOf[ConcurrentWriteException]) {
+                  ManifestedTable.promoteBranch(spark, d, "b")
+                }
+                // a refused promote keeps the branch stageable
+              } else {
+                ManifestedTable.promoteBranch(spark, d, "b")
+                main = branch.get
+                branch = None
+              }
+            }
+          case TDropBranch =>
+            if (branch.isDefined) {
+              ManifestedTable.dropBranch(spark, d, "b")
+              branch = None
+            }
+          case TVacuum =>
+            ManifestedTable.vacuum(spark, d, keepLast = 2,
+              minAgeMillis = 0L)
+        }
+        val mainOk =
+          if (main.isEmpty)
+            // a full merge-on-read delete legitimately keeps the FILES
+            // (every row DV'd out) — emptiness is about ROWS
+            ManifestedTable.currentFiles(spark, d).isEmpty ||
+              readKeys(ManifestedTable.read(spark, d)).isEmpty
+          else readKeys(ManifestedTable.read(spark, d)) == main.sorted
+        val branchOk = branch.forall(b =>
+          readKeys(ManifestedTable.readBranch(spark, d, "b")) == b.sorted)
+        mainOk && branchOk
+      }
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(d))
+      ok
+    }
+
 }
