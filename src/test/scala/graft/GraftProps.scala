@@ -716,6 +716,7 @@ object GraftProps extends Properties("graft") {
   private case object TPromote extends TOp
   private case object TDropBranch extends TOp
   private case object TVacuum extends TOp
+  private case object TCompact extends TOp
 
   private val genTOp: Gen[TOp] = Gen.frequency(
     4 -> (for { lo <- Gen.choose(0L, 900L); n <- Gen.choose(1, 6) }
@@ -728,7 +729,8 @@ object GraftProps extends Properties("graft") {
       yield TBranchAppend(lo, n)),
     2 -> Gen.const(TPromote),
     1 -> Gen.const(TDropBranch),
-    2 -> Gen.const(TVacuum))
+    2 -> Gen.const(TVacuum),
+    2 -> Gen.const(TCompact))
 
   property("manifested table: random commit trees match the in-memory model") =
     forAll(Gen.listOfN(8, genTOp)) { ops =>
@@ -788,6 +790,15 @@ object GraftProps extends Properties("graft") {
           case TVacuum =>
             ManifestedTable.vacuum(spark, d, keepLast = 2,
               minAgeMillis = 0L)
+          case TCompact =>
+            // content-preserving main rewrite (materializes DVs away);
+            // a branch open across it makes a later promote
+            // non-fast-forward only if compaction actually committed
+            val v0 = ManifestedTable.currentVersion(spark, d)
+            ManifestedTable.compact(spark, d, 1L << 30)
+            if (branch.isDefined &&
+                ManifestedTable.currentVersion(spark, d) != v0)
+              mainMovedSinceFork = true
         }
         val mainOk =
           if (main.isEmpty)
