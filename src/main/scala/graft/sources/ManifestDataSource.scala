@@ -61,13 +61,17 @@ import org.apache.spark.util.SerializableConfiguration
   *    in as an In filter before partitions are planned, so files whose
   *    intervals refute every probed key are never opened.
   *
-  * Readers materialize rows via parquet-hadoop's example Group reader
-  * (flat primitive schemas — exactly what the DML tier produces) and
-  * convert straight to catalyst values (UTF8String, micros longs).
-  * That is a row-materialized path: honest for the SQL face at
-  * interactive scale, while [[ManifestedTable.read]] remains the
-  * vectorized fast path for bulk work — both resolve the identical
-  * snapshot, so they interchange freely.
+  * CLEAN bulk scans (no deletion vectors, no metadata columns, no
+  * field-id translation) are served as ColumnarBatch partitions by
+  * Spark's own vectorized parquet reader, with pushed filters
+  * additionally pruning ROW GROUPS inside surviving files; everything
+  * else materializes rows via parquet-hadoop's example Group reader
+  * (flat primitive schemas — exactly what the DML tier produces),
+  * which owns the paths that need per-row control: DV position
+  * skipping, `_file`/`_pos` synthesis, epoch translation, and the
+  * zero-IO footer-count projections. Both resolve the identical
+  * snapshot as [[ManifestedTable.read]], so the faces interchange
+  * freely.
   *
   * Registered as `graft-manifest` via DataSourceRegister +
   * META-INF/services.
