@@ -1300,9 +1300,12 @@ object ManifestedTable {
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .getOrElse(fs.getFileStatus(p).getModificationTime)
 
-  /** The latest version committed at or before `tsMillis` — time
-    * travel by TIMESTAMP over the in-manifest commit clock. Errors
-    * when the timestamp precedes the oldest retained commit.
+  /** The latest MAIN version committed at or before `tsMillis` — time
+    * travel by TIMESTAMP over the in-manifest commit clock. Branch
+    * staging commits are NOT main history: a timestamp read must never
+    * surface an unaudited snapshot (explicit numeric `VERSION AS OF`
+    * can still inspect any retained version, branch commits included).
+    * Errors when the timestamp precedes the oldest retained commit.
     */
   private[sources] def versionAtTimestamp(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
@@ -1311,9 +1314,14 @@ object ManifestedTable {
     val fs = root.getFileSystem(conf)
     val vs = manifestVersions(fs, root)
     require(vs.nonEmpty, s"no committed manifest under $dir")
-    val at = vs.filter(v => commitMs(fs, v._2) <= tsMillis)
-    require(at.nonEmpty, s"no version of $dir at or before $tsMillis " +
-      s"(oldest retained commit: ${commitMs(fs, vs.head._2)})")
+    val at = vs.filter { case (_, p) =>
+      val m = readMeta(fs, p)
+      !m.contains(BranchKey) &&
+        m.get(TsKey).flatMap(x => scala.util.Try(x.toLong).toOption)
+          .getOrElse(fs.getFileStatus(p).getModificationTime) <= tsMillis
+    }
+    require(at.nonEmpty, s"no main version of $dir at or before " +
+      s"$tsMillis (oldest retained commit: ${commitMs(fs, vs.head._2)})")
     at.last._1
   }
 

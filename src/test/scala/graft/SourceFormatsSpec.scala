@@ -984,6 +984,14 @@ class SourceFormatsSpec extends SparkTestBase {
         .writeTo("gm_wap.t").option("branch", "suspect").append()
       assert(spark.sql("SELECT count(*) AS n FROM gm_wap.t")
         .head.getLong(0) == 150)
+      // TIMESTAMP AS OF never surfaces a staged snapshot: the newest
+      // commit is the suspect branch's, but the timestamp resolves to
+      // the latest MAIN version
+      val tsNow = new java.sql.Timestamp(
+        System.currentTimeMillis() + 1000L).toString
+      assert(spark.sql("SELECT count(*) AS n FROM gm_wap.t " +
+        s"TIMESTAMP AS OF '$tsNow'").head.getLong(0) == 150,
+        "timestamp time travel leaked a staged branch snapshot")
       spark.sql("CALL gm_wap.system.drop_branch('t', 'suspect')")
       assert(spark.sql("CALL gm_wap.system.branches('t')")
         .collect().isEmpty)
