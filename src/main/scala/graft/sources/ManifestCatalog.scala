@@ -259,8 +259,11 @@ class ManifestCatalog extends TableCatalog
           s"COLUMN TYPE, and SET TBLPROPERTIES; got $other")
     }
     if (schemaChanged)
+      // expectEpochs = the RAW history this ALTER read (possibly empty
+      // for a pre-field-id table): validated per commit attempt, so a
+      // concurrent ALTER's epoch append is never silently dropped
       ManifestedTable.updateSchemaMeta(conf, dir, schema.json,
-        Some(initEpochs :+ last))
+        Some(initEpochs :+ last), expectEpochs = Some(epochs0))
     if (setProps.nonEmpty)
       ManifestedTable.setTableProperties(conf, dir, setProps.toMap)
     new ManifestTable(schema, dir)

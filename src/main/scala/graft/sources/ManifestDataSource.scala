@@ -501,13 +501,19 @@ private[sources] class ManifestScanBuilder(full: StructType, path: String,
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     val conf = SparkSession.active.sessionState.newHadoopConf()
+    // the head version resolves ONCE and pins BOTH the entry list and
+    // the epoch history to the same snapshot: two independent head
+    // reads could straddle a commit (a column-swap RENAME + INSERT)
+    // and pair stale epochs with newer entries — and a pushed-down
+    // MIN/MAX has no row-level recheck to catch the mis-rekeyed stat
+    val pinV = version.orElse(ManifestedTable.mainHeadVersion(conf, path))
     // stats re-keyed to current names (field-id translation): a
     // renamed column folds through its old tokens, a dead id's tokens
     // vanish → statFold sees a coverage gap and declines (never a
     // wrong answer off resurrected bytes)
     val aggEpochs = ManifestedTable.epochsOf(
-      ManifestedTable.snapshotMeta(conf, path, version))
-    val entries = ManifestedTable.snapshotEntries(conf, path, version)
+      ManifestedTable.snapshotMeta(conf, path, pinV))
+    val entries = ManifestedTable.snapshotEntries(conf, path, pinV)
       .map(e => (e._1, ManifestedTable.rekeyStats(aggEpochs, e._2)))
     if (entries.exists(e => e._2.dv.isDefined || e._2.rows.isEmpty))
       return false
@@ -684,14 +690,19 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
   // snapshot ISOLATION: the entry list is pinned when the scan is
   // built (analysis time), so a commit landing between planning and
   // execution — or between two subplans of the same query reading the
-  // same table — cannot shift what this scan reads
+  // same table — cannot shift what this scan reads. The head version
+  // resolves ONCE and pins entries AND epoch history to the same
+  // snapshot (two independent head reads could straddle a commit and
+  // pair stale epochs with newer entries).
+  private val pinnedV = version.orElse(
+    ManifestedTable.mainHeadVersion(sconf.value, path))
   private val entries =
-    ManifestedTable.snapshotEntries(sconf.value, path, version)
+    ManifestedTable.snapshotEntries(sconf.value, path, pinnedV)
   // field-id history pinned with the snapshot; stats re-keyed to
   // CURRENT names so skipping/statistics operate on what the query
   // names (a dead id's token vanishes instead of wrongly pruning)
   private val epochs = ManifestedTable.epochsOf(
-    ManifestedTable.snapshotMeta(sconf.value, path, version))
+    ManifestedTable.snapshotMeta(sconf.value, path, pinnedV))
   private val entriesEff =
     entries.map(e => (e._1, ManifestedTable.rekeyStats(epochs, e._2)))
 

@@ -243,11 +243,14 @@ object ManifestedTable {
     val fs = fsOf(spark, dir)
     val fromE = linesAt(fs, root, fromV).map(parseEntry)
     val toE = linesAt(fs, root, toV).map(parseEntry)
-    // both sides resolve through the TO version's schema context:
-    // epochs are append-only, so toV's history covers fromV's files,
-    // unified images cancel across a rename, and a RENAME-ONLY commit
-    // diffs empty (no data changed)
-    val ctx = schemaCtxAt(fs, root, Some(toV))
+    // both sides resolve through the NEWER version's schema context:
+    // epochs are append-only, so the newer history covers the older
+    // side's files, unified images cancel across a rename, and a
+    // RENAME-ONLY commit diffs empty (no data changed). max(from, to)
+    // — not toV — because the API permits a reversed window (diffing
+    // backwards), and fromV > toV would otherwise clamp from-side
+    // `se:` epochs past toV's list and mis-translate across a rename.
+    val ctx = schemaCtxAt(fs, root, Some(math.max(fromV, toV)))
     def k(e: (String, FileStats)) = (e._1, e._2.dv)
     val fromK = fromE.map(k).toSet
     val toK = toE.map(k).toSet
@@ -805,9 +808,18 @@ object ManifestedTable {
   private val localCasLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** `metaGuard` runs per CAS attempt against the lineage head's
+    * CURRENT meta (inside the lock, before anything is written) — the
+    * conflict validation for commits whose INTENT reads the meta it
+    * rewrites (an ALTER computed against one epoch history must not
+    * silently drop a concurrent ALTER's epoch append: the lost update
+    * on the versioned schema). Throw [[ConcurrentWriteException]] to
+    * abort; AppendFiles otherwise rebases freely.
+    */
   private def publish(fs: FileSystem, root: Path, mode: CommitMode,
       staged: Seq[String], meta: Map[String, String] = Map.empty,
-      ref: Option[String] = None): Long = {
+      ref: Option[String] = None,
+      metaGuard: Map[String, String] => Unit = _ => ()): Long = {
     val hook = beforePublish
     beforePublish = () => ()
     hook()
@@ -835,6 +847,8 @@ object ManifestedTable {
         val prev = headVersion(fs, root, ref)
           .orElse(if (ref.isDefined) headVersion(fs, root, None) else None)
         val curV = prev.map(_._1).getOrElse(0L)
+        val prevMeta = prev.map(p => readMeta(fs, p._2)).getOrElse(Map.empty)
+        metaGuard(prevMeta)
         val nextV = vsAll.lastOption.map(_._1).getOrElse(0L) + 1L
         // the commit body is DELTA-encoded for appends and rewrites —
         // O(commit) lines (`+entry` / `-path`), never O(table): kept
@@ -900,8 +914,7 @@ object ManifestedTable {
         ) ++ (if (mode == Replace) Map.empty
               else Map(DeltaKey -> curV.toString)) ++
           ref.map(BranchKey -> _)
-        val merged = prev.map(p => readMeta(fs, p._2))
-          .getOrElse(Map.empty) - OpKey - BaseKey - DeltaKey -
+        val merged = prevMeta - OpKey - BaseKey - DeltaKey -
           BranchKey - DroppedKey - PromotedKey - TsKey ++ opMeta ++ meta
         committedMeta = merged
         val all = merged.toSeq.sortBy(_._1)
@@ -1206,15 +1219,34 @@ object ManifestedTable {
     * COLUMNS): one no-file commit that carries every current entry by
     * reference and swaps the `#schema=` meta — the declared schema is
     * versioned exactly like data.
+    *
+    * `expectEpochs` is the ALTER's OCC base: the epoch history the new
+    * schema was COMPUTED against. Validated per CAS attempt against
+    * the head's current epochs — two concurrent ALTERs each basing on
+    * the same history would otherwise both commit, the second's meta
+    * override silently dropping the first's epoch append (the lost
+    * update on the versioned schema). The loser aborts loudly and must
+    * recompute against the new schema.
     */
   private[sources] def updateSchemaMeta(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
       schemaJson: String,
-      fieldEpochs: Option[Seq[Map[Int, String]]] = None): Long = {
+      fieldEpochs: Option[Seq[Map[Int, String]]] = None,
+      expectEpochs: Option[Seq[Map[Int, String]]] = None): Long = {
     val root = new Path(dir)
+    val guard: Map[String, String] => Unit = prevMeta =>
+      expectEpochs.foreach { base =>
+        val cur = epochsOf(prevMeta)
+        if (cur != base) throw new ConcurrentWriteException(
+          s"ALTER TABLE of $dir computed against a ${base.size}-epoch " +
+            s"schema history, but the head now carries ${cur.size} " +
+            "epochs — a concurrent ALTER landed in between; re-run " +
+            "against the current schema")
+      }
     publish(root.getFileSystem(conf), root, AppendFiles, Nil,
       Map(SchemaKey -> schemaJson, OpKey -> "alter") ++
-        fieldEpochs.map(es => FieldEpochsKey -> encodeEpochs(es)))
+        fieldEpochs.map(es => FieldEpochsKey -> encodeEpochs(es)),
+      metaGuard = guard)
   }
 
   /** Commit already-staged files as an EXACTLY-ONCE streaming batch —
@@ -1323,6 +1355,22 @@ object ManifestedTable {
     require(at.nonEmpty, s"no main version of $dir at or before " +
       s"$tsMillis (oldest retained commit: ${commitMs(fs, vs.head._2)})")
     at.last._1
+  }
+
+  /** Head MAIN version under `dir` (conf-parameterized) — the pin the
+    * DSv2 faces resolve ONCE and then pass to both [[snapshotEntries]]
+    * and [[snapshotMeta]], so the entry list and the epoch history a
+    * scan (or a pushed-down aggregate) pairs up always describe the
+    * SAME snapshot: resolving them in two independent head reads lets
+    * a commit landing in between (a RENAME + INSERT) pair stale epochs
+    * with newer entries, and a pushed MIN/MAX has no row-level recheck
+    * to catch the mis-rekeyed stat.
+    */
+  private[sources] def mainHeadVersion(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: String): Option[Long] = {
+    val root = new Path(dir)
+    headVersion(root.getFileSystem(conf), root, None).map(_._1)
   }
 
   /** Current version under `dir`, 0 when no manifest exists —
@@ -1544,13 +1592,40 @@ object ManifestedTable {
     * erased (the new snapshot simply references the old files, which
     * retention kept alive precisely because their manifest is
     * retained), and time travel across the restore still works. The
-    * Delta RESTORE semantics.
+    * Delta RESTORE semantics — METADATA included: a restore to a
+    * pre-ALTER version carries that version's declared `#schema=`
+    * back, so restoring past a bad RENAME/DROP undoes the schema too,
+    * not just the data. The restored epoch mapping is APPENDED as a
+    * fresh epoch (never spliced into history): field ids stay
+    * append-only, so every retained file's `se:` index keeps resolving
+    * and time travel across the restore stays consistent.
     */
   def restore(spark: SparkSession, dir: String, version: Long): Long = {
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
     val lines = linesAt(fs, root, version)
-    publish(fs, root, Replace, lines, Map(OpKey -> s"restore(v$version)"))
+    val vs = manifestVersions(fs, root)
+    val restoredMeta = vs.find(_._1 == version)
+      .map(p => readMeta(fs, p._2)).getOrElse(Map.empty)
+    val headMeta = headVersion(fs, root, None)
+      .map(h => readMeta(fs, h._2)).getOrElse(Map.empty)
+    val schemaMeta: Map[String, String] =
+      (restoredMeta.get(SchemaKey), restoredMeta.get(FieldEpochsKey)) match {
+        case (Some(sj), Some(ej)) =>
+          val curEpochs = epochsOf(headMeta)
+          val restoredLast = decodeEpochs(ej).last
+          // schema AND current epoch already match the restored
+          // version's: no meta to restore (and no redundant epoch
+          // append that would force the translated read path on a
+          // table that never diverged)
+          if (headMeta.get(SchemaKey).contains(sj) &&
+              curEpochs.lastOption.contains(restoredLast)) Map.empty
+          else Map(SchemaKey -> sj,
+            FieldEpochsKey -> encodeEpochs(curEpochs :+ restoredLast))
+        case _ => Map.empty // object-API table: data-only restore
+      }
+    publish(fs, root, Replace, lines,
+      Map(OpKey -> s"restore(v$version)") ++ schemaMeta)
   }
 
   /** The highest streaming batch id ever committed through

@@ -1594,4 +1594,90 @@ class SourceFormatsSpec extends SparkTestBase {
     // path still blank→NULL-casts independently of the string rule
     assert(back(4L) == "")
   }
+
+  test("ADVICE r18: restore carries schema meta; concurrent ALTER aborts; reversed CDF window translates") {
+    import graft.sources.{ConcurrentWriteException, ManifestedTable}
+    val wh = java.nio.file.Files.createTempDirectory("graft_adv").toString
+    spark.conf.set("spark.sql.catalog.gm_adv",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_adv.root", wh)
+    try {
+      spark.sql("""CREATE TABLE gm_adv.t AS
+        SELECT id AS k, CAST(id * 10 AS BIGINT) AS cents FROM range(20)""")
+      val dir = s"$wh/t"
+      val vPreRename = ManifestedTable.currentVersion(spark, dir)
+      spark.sql("ALTER TABLE gm_adv.t RENAME COLUMN cents TO amount")
+      spark.sql("""INSERT INTO gm_adv.t
+        SELECT id + 100, CAST(id AS BIGINT) FROM range(5)""")
+      assert(spark.sql("SELECT * FROM gm_adv.t").columns.toSeq ==
+        Seq("k", "amount"))
+
+      // (1) RESTORE is metadata-inclusive (Delta semantics): rolling
+      // back past the RENAME restores the OLD declared name, and the
+      // restored epoch is APPENDED (ids stay append-only) so every
+      // file still translates — data reads exactly the pre-rename image
+      ManifestedTable.restore(spark, dir, vPreRename)
+      assert(spark.sql("SELECT * FROM gm_adv.t").columns.toSeq ==
+        Seq("k", "cents"),
+        "restore carried the current schema instead of the restored one")
+      assert(spark.sql("SELECT sum(cents) AS s FROM gm_adv.t")
+        .head.getLong(0) == (0 until 20).map(_ * 10L).sum)
+      // restore to the CURRENT image must not append a redundant epoch
+      // (which would force the translated read path on every scan) —
+      // the epoch count is read off the head manifest's meta line
+      def epochCount(): Int = {
+        val mdir = new java.io.File(dir, "_manifests")
+        val head = mdir.listFiles()
+          .filter(_.getName.startsWith("manifest-")).maxBy(_.getName)
+        scala.io.Source.fromFile(head).getLines()
+          .find(_.startsWith("#fieldepochs="))
+          .map(_.stripPrefix("#fieldepochs=").count(_ == ';') + 1)
+          .getOrElse(0)
+      }
+      val epochsBefore = epochCount()
+      ManifestedTable.restore(spark, dir,
+        ManifestedTable.currentVersion(spark, dir))
+      assert(epochCount() == epochsBefore,
+        "a same-schema restore appended a redundant epoch")
+
+      // (2) concurrent ALTERs: the loser must abort loudly, never
+      // silently drop the winner's epoch append (lost update on the
+      // versioned schema). beforePublish interleaves deterministically.
+      ManifestedTable.beforePublish = () =>
+        spark.sql("ALTER TABLE gm_adv.t ADD COLUMNS (other STRING)")
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE gm_adv.t ADD COLUMNS (note STRING)")
+      }
+      def rootCause(t: Throwable): Throwable =
+        if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+      assert(rootCause(e).isInstanceOf[ConcurrentWriteException],
+        s"expected ConcurrentWriteException, got $e")
+      ManifestedTable.beforePublish = () => ()
+      // the WINNER's column survives; the loser's never landed
+      val cols = spark.sql("SELECT * FROM gm_adv.t").columns.toSeq
+      assert(cols.contains("other") && !cols.contains("note"), cols.toString)
+
+      // (3) changesBetween with fromV > toV (a reversed window): the
+      // schema context must resolve at max(from, to) or the from-side
+      // files' se: epochs clamp wrong and mis-translate across a
+      // rename. The reversed diff is the forward diff with sides
+      // swapped.
+      spark.sql("ALTER TABLE gm_adv.t RENAME COLUMN cents TO pennies")
+      spark.sql("""INSERT INTO gm_adv.t
+        SELECT id + 200, CAST(id AS BIGINT), 'x' FROM range(3)""")
+      val hi = ManifestedTable.currentVersion(spark, dir)
+      val lo = hi - 1
+      val (fwdA, fwdR) = ManifestedTable.changesBetween(spark, dir, lo, hi)
+      val (revA, revR) = ManifestedTable.changesBetween(spark, dir, hi, lo)
+      assert(fwdA.count() == 3 && fwdR.count() == 0)
+      assert(revA.count() == 0 && revR.count() == 3)
+      assert(revR.columns.sorted.toSeq == fwdA.columns.sorted.toSeq)
+      assert(revR.agg(sum(col("pennies"))).head.getLong(0) ==
+        fwdA.agg(sum(col("pennies"))).head.getLong(0),
+        "reversed-window CDF mis-translated a renamed column")
+    } finally {
+      ManifestedTable.beforePublish = () => ()
+      spark.sql("DROP TABLE IF EXISTS gm_adv.t")
+    }
+  }
 }
