@@ -2600,6 +2600,57 @@ object RelEntry {
       }
     }),
 
+    // ---- T103: hidden partitioning + partition evolution ------------------
+    "q195_hidden_partitioning" -> ((s, d) => {
+      // the Iceberg partition-spec lifecycle in plain SQL: CREATE
+      // TABLE ... PARTITIONED BY (months(dt), bucket(8, k)) — every
+      // commit lands tuple-local files stamped with their partition
+      // tuple, scans prune manifest-level from the tuple (zero footer
+      // reads; exact even for hash buckets), then the spec EVOLVES by
+      // one metadata commit (CALL set_partition_spec) and later
+      // inserts + a DELETE land under the new spec while old files
+      // keep pruning under their write-time spec. The oracle replays
+      // the lifecycle relationally — partitioning must be semantically
+      // invisible; SourceFormatsSpec pins the pruning counts.
+      val wh = java.nio.file.Files.createTempDirectory("graft_hp_q").toString
+      s.conf.set("spark.sql.catalog.g195", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g195.root", wh)
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"), col("o_orderdate").as("dt"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g195_src")
+      s.sql("DROP TABLE IF EXISTS g195.t")
+      s.sql("""CREATE TABLE g195.t (k BIGINT, c BIGINT, dt DATE,
+              |  cents BIGINT)
+              |PARTITIONED BY (months(dt))""".stripMargin)
+      s.sql("""INSERT INTO g195.t
+              |SELECT k, c, dt, cents FROM g195_src
+              |WHERE k % 3 < 2""".stripMargin)
+      // partition EVOLUTION: one metadata commit — the next feed (and
+      // the DELETE's rewrite) land bucket-local; the month files keep
+      // their layout and keep pruning under it
+      s.sql("CALL g195.system.set_partition_spec('t', 'bucket(8, k)')")
+      s.sql("""INSERT INTO g195.t
+              |SELECT k + 507000000, c, date_add(dt, 3), cents + 9
+              |FROM g195_src WHERE k % 10 = 4""".stripMargin)
+      s.sql("""DELETE FROM g195.t
+              |WHERE c % 13 = 5 AND dt >= DATE'1996-01-01'""".stripMargin)
+      val out = s.sql(
+        """SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS BIGINT) AS cents_sum
+          |FROM g195.t
+          |WHERE dt >= DATE'1995-01-01' AND dt < DATE'1996-07-01'
+          |  AND c % 10 = 3
+          |GROUP BY c""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g195.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T74: data-quality expectation suite ----------------------------
     "q174_quality_audit" -> ((s, d) => {
       // the pre-publication audit as ONE declarative suite
@@ -3498,6 +3549,30 @@ object RelEntry {
         |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM cur WHERE c % 10 = 3
+        |GROUP BY c""".stripMargin,
+
+    // q195 mirror: the partition lifecycle replayed relationally —
+    // hidden partitioning and its evolution must be semantically
+    // invisible (layout is a pure optimization)
+    "q195_hidden_partitioning" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c, o_orderdate AS dt,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT k, c, dt, cents FROM base WHERE k % 3 < 2),
+        |f2 AS (
+        |  SELECT k + 507000000 AS k, c,
+        |         CAST(dt + INTERVAL 3 DAY AS DATE) AS dt,
+        |         cents + 9 AS cents
+        |  FROM base WHERE k % 10 = 4),
+        |cur AS (
+        |  SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM f2)
+        |  WHERE NOT (c % 13 = 5 AND dt >= DATE '1996-01-01'))
+        |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM cur
+        |WHERE dt >= DATE '1995-01-01' AND dt < DATE '1996-07-01'
+        |  AND c % 10 = 3
         |GROUP BY c""".stripMargin,
 
     // q174 mirror: one aggregate per check family, longhand — the

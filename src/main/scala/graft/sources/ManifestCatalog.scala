@@ -119,19 +119,59 @@ class ManifestCatalog extends TableCatalog
       pinnedVersion = Some(v))
   }
 
+  /** `PARTITIONED BY` transforms → [[ManifestPartitions]] spec 0
+    * (hidden partitioning): identity, bucket(n, col), days/months/
+    * years over DATE columns. Validated here so an unsupported
+    * transform refuses at CREATE, never at the first write.
+    */
+  private def parseTransforms(partitions: Array[Transform],
+      schema: StructType): Seq[ManifestPartitions.PartTransform] = {
+    import ManifestPartitions._
+    val ts = partitions.toSeq.map { t =>
+      def refName: String = {
+        val refs = t.references()
+        require(refs.length == 1 && refs(0).fieldNames().length == 1,
+          s"unsupported partition reference in $t — one top-level " +
+            "column per transform")
+        refs(0).fieldNames()(0)
+      }
+      t.name() match {
+        case "identity" => PIdentity(refName)
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform needs a literal width: $t"))
+          require(n > 0, s"bucket width must be positive, got $n")
+          PBucket(n, refName)
+        case "days" => PDays(refName)
+        case "months" => PMonths(refName)
+        case "years" => PYears(refName)
+        case other => throw new UnsupportedOperationException(
+          s"PARTITIONED BY $other is not supported — supported " +
+            "transforms: identity, bucket(n, col), days, months, " +
+            "years (DATE columns)")
+      }
+    }
+    ManifestPartitions.validate(ts, schema)
+    ts
+  }
+
   @annotation.nowarn("cat=deprecation") // the StructType overload is
   // the stable creation surface; the Column-based default delegates here
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-manifest tables cluster via compactClustered, not " +
-        "partition transforms")
+    val spec = parseTransforms(partitions, schema)
     val dir = dirOf(ident)
     if (isTable(dir))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    ManifestedTable.createEmpty(conf, dir, schema.json)
+    ManifestedTable.createEmpty(conf, dir, schema.json,
+      if (spec.isEmpty) Map.empty
+      else Map(ManifestPartitions.SpecsKey ->
+        ManifestPartitions.encodeSpecs(Seq(spec))))
     // user TBLPROPERTIES persist in the manifest meta (engine-reserved
     // creation keys stay out); graft.dv-max-fraction is the one the
     // engine itself reads (the SQL DELETE merge-on-read dial)
@@ -185,6 +225,27 @@ class ManifestCatalog extends TableCatalog
     var last = initEpochs.last
     var schema = cur
     var schemaChanged = false
+    // partition-spec interplay: a RENAME of a spec source column
+    // re-points the CURRENT spec (appended to the spec history — old
+    // files keep their write-time spec); a DROP of one refuses loudly
+    val specs0 = graft.sources.ManifestPartitions.decodeSpecs(
+      ManifestedTable.snapshotMeta(conf, dir)
+        .get(graft.sources.ManifestPartitions.SpecsKey))
+    var curSpec = specs0.lastOption.getOrElse(Nil)
+    var specChanged = false
+    def renameInSpec(from: String, to: String): Unit =
+      if (curSpec.exists(_.colName == from)) {
+        import graft.sources.ManifestPartitions._
+        curSpec = curSpec.map {
+          case PIdentity(`from`) => PIdentity(to)
+          case PBucket(n, `from`) => PBucket(n, to)
+          case PDays(`from`) => PDays(to)
+          case PMonths(`from`) => PMonths(to)
+          case PYears(`from`) => PYears(to)
+          case t => t
+        }
+        specChanged = true
+      }
     val setProps = scala.collection.mutable.Map.empty[String, String]
     changes.foreach {
       case add: TableChange.AddColumn
@@ -208,6 +269,7 @@ class ManifestCatalog extends TableCatalog
           f => if (f.name == from) f.copy(name = to) else f))
         val id = last.collectFirst { case (i, n) if n == from => i }.get
         last = last + (id -> to)
+        renameInSpec(from, to)
         schemaChanged = true
       case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
         val n = del.fieldNames()(0)
@@ -216,6 +278,10 @@ class ManifestCatalog extends TableCatalog
             s"no column $n to drop")
         } else {
           require(schema.length > 1, "cannot drop the last column")
+          require(!curSpec.exists(_.colName == n),
+            s"cannot DROP COLUMN $n: the current partition spec " +
+              "transforms it — evolve the spec first " +
+              "(CALL system.set_partition_spec)")
           schema = org.apache.spark.sql.types.StructType(
             schema.fields.filterNot(_.name == n))
           val id = last.collectFirst { case (i, m) if m == n => i }.get
@@ -263,7 +329,12 @@ class ManifestCatalog extends TableCatalog
       // for a pre-field-id table): validated per commit attempt, so a
       // concurrent ALTER's epoch append is never silently dropped
       ManifestedTable.updateSchemaMeta(conf, dir, schema.json,
-        Some(initEpochs :+ last), expectEpochs = Some(epochs0))
+        Some(initEpochs :+ last), expectEpochs = Some(epochs0),
+        extraMeta =
+          if (!specChanged) Map.empty
+          else Map(graft.sources.ManifestPartitions.SpecsKey ->
+            graft.sources.ManifestPartitions.encodeSpecs(
+              specs0 :+ curSpec)))
     if (setProps.nonEmpty)
       ManifestedTable.setTableProperties(conf, dir, setProps.toMap)
     new ManifestTable(schema, dir)

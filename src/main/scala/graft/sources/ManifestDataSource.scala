@@ -621,9 +621,12 @@ private[sources] class ManifestScanBuilder(full: StructType, path: String,
     * IO, never correctness.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // DateType carries no stat token (intervals don't track it), but
+    // the hidden-partitioning tuples prune date transforms — the stats
+    // matcher just conservatively passes what it can't decide
     def tracked(a: String) = full.find(_.name == a).exists(_.dataType match {
       case LongType | IntegerType | ShortType | ByteType |
-           DoubleType | FloatType | StringType => true
+           DoubleType | FloatType | StringType | DateType => true
       case _ => false
     })
     def usable(f: Filter): Boolean = f match {
@@ -633,6 +636,10 @@ private[sources] class ManifestScanBuilder(full: StructType, path: String,
       case GreaterThanOrEqual(a, _) => tracked(a)
       case LessThan(a, _) => tracked(a)
       case LessThanOrEqual(a, _) => tracked(a)
+      // null probes prune nothing from intervals but prune EXACTLY
+      // from partition tuples (a NULL source is its own tuple)
+      case IsNull(a) => tracked(a)
+      case IsNotNull(a) => tracked(a)
       case And(l, r) => usable(l) && usable(r)
       case Or(l, r) => usable(l) && usable(r)
       case _ => false
@@ -698,11 +705,17 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
     ManifestedTable.mainHeadVersion(sconf.value, path))
   private val entries =
     ManifestedTable.snapshotEntries(sconf.value, path, pinnedV)
+  private val scanMeta =
+    ManifestedTable.snapshotMeta(sconf.value, path, pinnedV)
   // field-id history pinned with the snapshot; stats re-keyed to
   // CURRENT names so skipping/statistics operate on what the query
   // names (a dead id's token vanishes instead of wrongly pruning)
-  private val epochs = ManifestedTable.epochsOf(
-    ManifestedTable.snapshotMeta(sconf.value, path, pinnedV))
+  private val epochs = ManifestedTable.epochsOf(scanMeta)
+  // partition-spec history pinned with the snapshot: each file prunes
+  // under the spec it was WRITTEN under (its `ps:` token) — partition
+  // evolution never mis-prunes an old-layout file
+  private val partSpecs = ManifestPartitions.decodeSpecs(
+    scanMeta.get(ManifestPartitions.SpecsKey))
   private val entriesEff =
     entries.map(e => (e._1, ManifestedTable.rekeyStats(epochs, e._2)))
 
@@ -717,7 +730,10 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
       : org.apache.spark.sql.connector.read.Statistics = {
     val kept = entriesEff.filter { case (_, st) =>
         !st.rows.contains(0L) &&
-          filters.forall(ManifestDataSource.mayMatch(st, _))
+          filters.forall(f => ManifestDataSource.mayMatch(st, f) &&
+            // rekeyStats copies carry the partition tokens through
+            ManifestPartitions.entryMayMatch(partSpecs, st, f,
+              ManifestedTable.physMap(epochs, st)))
       }.map(_._2)
     val size = kept.flatMap(_.bytes) match {
       case bs if bs.size == kept.size =>
@@ -765,10 +781,17 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
     entries.zip(entriesEff)
-      .filter { case (_, (_, eff)) =>
+      .filter { case ((_, raw), (_, eff)) =>
         !eff.rows.contains(0L) &&
           (filters.iterator ++ runtime.iterator)
-            .forall(ManifestDataSource.mayMatch(eff, _))
+            .forall(f => ManifestDataSource.mayMatch(eff, f) &&
+              // hidden-partition pruning: the file's tuple refutes
+              // under its OWN write-time spec — exact for hash
+              // buckets, where min/max intervals can't prune at all;
+              // the filter column translates by field id so pruning
+              // survives a RENAME of the partition source
+              ManifestPartitions.entryMayMatch(partSpecs, raw, f,
+                ManifestedTable.physMap(epochs, raw)))
       }
       .map { case ((rel, st), _) =>
         ManifestFilePartition(new Path(root, rel).toString, rel,

@@ -1,0 +1,410 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, datediff, hash, lit, month,
+  pmod, to_date, upper, when, year}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual,
+  Or}
+import org.apache.spark.sql.types._
+
+/** Hidden partitioning for the manifested table — the Iceberg
+  * partition-spec construction: a table DECLARES transforms
+  * (`PARTITIONED BY (identity(k) | bucket(n, k) | days|months|years(d))`),
+  * every staged file is stamped with the partition TUPLE its rows fall
+  * in, and scans prune files from the tuple alone — manifest-level,
+  * zero footer reads, and (unlike min/max stats) exact for hash
+  * buckets. Queries never name the transform: filters on the SOURCE
+  * column prune (the "hidden" in hidden partitioning — no Hive-style
+  * dt-string double bookkeeping for users to get wrong).
+  *
+  * Specs are VERSIONED and append-only (`#partitionspecs=` manifest
+  * meta, the same discipline as `#fieldepochs=`): a spec CHANGE is one
+  * metadata commit, old files keep the spec they were written under
+  * (their `ps:` token indexes the history), and pruning consults each
+  * file's OWN spec — Iceberg partition evolution. Encodings keep the
+  * manifest's existing token grammar: column names ride hex-encoded so
+  * delimiters round-trip.
+  *
+  * Transform semantics (all evaluated with Spark's own expressions at
+  * write AND re-derived exactly on the driver at prune time):
+  *  - `identity(c)`: the value itself (int/long/string).
+  *  - `bucket(n, c)`: `pmod(hash(c), n)` — Spark's Murmur3 `hash()`
+  *    (seed 42), NULL source → NULL tuple (never hashed, so null rows
+  *    are a distinguishable partition and IS NULL prunes exactly).
+  *  - `days|months|years(c)`: date binning relative to epoch, DATE
+  *    columns only (a DATE is a timezone-free day count, so both
+  *    engines agree bit-exactly; timestamp binning would drag the
+  *    session zone into the layout and is refused loudly).
+  *
+  * Monotone transforms (identity, days, months, years) prune range
+  * predicates; bucket prunes equality/IN. Everything unknown
+  * conservatively matches — pruning is an optimization, never a
+  * correctness dependency (the engine re-applies every filter
+  * row-level).
+  */
+private[graft] object ManifestPartitions {
+
+  sealed trait PartTransform { def colName: String }
+  final case class PIdentity(colName: String) extends PartTransform
+  final case class PBucket(n: Int, colName: String) extends PartTransform
+  final case class PDays(colName: String) extends PartTransform
+  final case class PMonths(colName: String) extends PartTransform
+  final case class PYears(colName: String) extends PartTransform
+
+  /** One file's value for one transform: None = NULL source. Longs for
+    * every numeric transform; identity(string) carries UTF-8 bytes
+    * (compared unsigned, the manifest's string-stat discipline).
+    */
+  sealed trait PartVal
+  case object PNull extends PartVal
+  final case class PLong(v: Long) extends PartVal
+  final case class PBytes(v: Array[Byte]) extends PartVal
+
+  // ---- spec encoding (manifest meta `#partitionspecs=`) -----------------
+  // specs ';'-joined (append-only history; index = a file's `ps:`);
+  // each spec ','-joined transforms; each transform `kind:args:hexcol`.
+  // The EMPTY spec (evolution to unpartitioned) encodes as `-`.
+
+  private[graft] val SpecsKey = "partitionspecs"
+
+  private def hexEnc(s: String): String =
+    s.getBytes(StandardCharsets.UTF_8).map("%02x".format(_)).mkString
+  private def hexDec(h: String): String =
+    new String(h.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray,
+      StandardCharsets.UTF_8)
+
+  def encodeSpec(ts: Seq[PartTransform]): String =
+    if (ts.isEmpty) "-"
+    else ts.map {
+      case PIdentity(c) => s"identity:${hexEnc(c)}"
+      case PBucket(n, c) => s"bucket:$n:${hexEnc(c)}"
+      case PDays(c) => s"days:${hexEnc(c)}"
+      case PMonths(c) => s"months:${hexEnc(c)}"
+      case PYears(c) => s"years:${hexEnc(c)}"
+    }.mkString(",")
+
+  def decodeSpec(s: String): Seq[PartTransform] =
+    if (s == "-" || s.isEmpty) Nil
+    else s.split(',').toSeq.map(_.split(':') match {
+      case Array("identity", c) => PIdentity(hexDec(c))
+      case Array("bucket", n, c) => PBucket(n.toInt, hexDec(c))
+      case Array("days", c) => PDays(hexDec(c))
+      case Array("months", c) => PMonths(hexDec(c))
+      case Array("years", c) => PYears(hexDec(c))
+      case other => throw new IllegalStateException(
+        s"unparseable partition transform '${other.mkString(":")}'")
+    })
+
+  def encodeSpecs(specs: Seq[Seq[PartTransform]]): String =
+    specs.map(encodeSpec).mkString(";")
+
+  def decodeSpecs(s: Option[String]): Seq[Seq[PartTransform]] =
+    s.toSeq.flatMap(_.split(';').toSeq.map(decodeSpec))
+
+  /** Parse the user-facing spec string (`CALL set_partition_spec`):
+    * comma-separated transforms — `days(d)`, `months(d)`, `years(d)`,
+    * `bucket(16, k)`, `identity(k)` or a bare column name; `none`
+    * drops partitioning. Validated against the declared schema.
+    */
+  def parseUserSpec(s: String, schema: StructType): Seq[PartTransform] = {
+    val trimmed = s.trim
+    if (trimmed.isEmpty || trimmed.equalsIgnoreCase("none")) return Nil
+    // split on top-level commas (arguments contain their own)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    trimmed.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    val ts = parts.toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+      val m = "^([A-Za-z_]+)\\s*\\((.*)\\)$".r.findFirstMatchIn(p)
+      m match {
+        case None => PIdentity(p)
+        case Some(g) => (g.group(1).toLowerCase, g.group(2).trim) match {
+          case ("identity", c) => PIdentity(c)
+          case ("days", c) => PDays(c)
+          case ("months", c) => PMonths(c)
+          case ("years", c) => PYears(c)
+          case ("bucket", args) =>
+            val a = args.split(',').map(_.trim)
+            require(a.length == 2,
+              s"bucket needs (n, col), got '$args'")
+            PBucket(a(0).toInt, a(1))
+          case (k, _) => throw new IllegalArgumentException(
+            s"unsupported partition transform '$k' — supported: " +
+              "identity, bucket(n, col), days, months, years")
+        }
+      }
+    }
+    validate(ts, schema)
+    ts
+  }
+
+  /** Refuse unsupported (transform, column-type) pairs loudly at
+    * declaration time — never at the first write.
+    */
+  def validate(ts: Seq[PartTransform], schema: StructType): Unit =
+    ts.foreach { t =>
+      val f = schema.fields.find(_.name == t.colName).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition transform references unknown column " +
+            s"'${t.colName}' (have ${schema.fieldNames.mkString(",")})"))
+      (t, f.dataType) match {
+        case (_: PIdentity, IntegerType | LongType | StringType |
+                            ShortType | ByteType | DateType) =>
+        case (_: PBucket, IntegerType | LongType | StringType) =>
+        case (_: PDays | _: PMonths | _: PYears, DateType) =>
+        case (_: PDays | _: PMonths | _: PYears, TimestampType) =>
+          throw new IllegalArgumentException(
+            s"${t.getClass.getSimpleName.stripPrefix("P").toLowerCase}" +
+              s"(${t.colName}): date transforms are supported on DATE " +
+              "columns only — a timestamp binning would bake the " +
+              "session timezone into the physical layout; derive a " +
+              "DATE column or use identity/bucket")
+        case _ => throw new IllegalArgumentException(
+          s"partition transform on ${t.colName}: " +
+            s"${f.dataType.simpleString} is not supported for " +
+            s"${t.getClass.getSimpleName}")
+      }
+    }
+
+  // ---- write side: derived columns + tuple stamping ----------------------
+
+  /** The Spark expression deriving a transform's tuple value — what
+    * the staged write partitions by. NULL source → NULL tuple for
+    * every transform (bucket guards explicitly: Spark's `hash(NULL)`
+    * returns the seed, which would silently fold null rows into a real
+    * bucket and break IS NULL pruning).
+    *
+    * String identity values ride HEX-ENCODED: the derived value
+    * becomes a directory name under `partitionBy`, and hex is
+    * path-safe with no escaping to undo.
+    */
+  def derivedExpr(t: PartTransform, df: DataFrame): Column = {
+    val c = col(t.colName)
+    val dt = df.schema(t.colName).dataType
+    t match {
+      case PIdentity(_) => dt match {
+        case StringType => upper(org.apache.spark.sql.functions.hex(
+          org.apache.spark.sql.functions.encode(c, "UTF-8")))
+        case DateType => datediff(c, to_date(lit("1970-01-01")))
+        case _ => c.cast(LongType)
+      }
+      case PBucket(n, _) =>
+        when(c.isNull, lit(null).cast(IntegerType))
+          .otherwise(pmod(hash(c), lit(n)))
+      case PDays(_) => datediff(c, to_date(lit("1970-01-01")))
+      case PMonths(_) => (year(c) - 1970) * 12 + month(c) - 1
+      case PYears(_) => year(c) - 1970
+    }
+  }
+
+  /** Whether the transform's derived value is the hex-string flavor
+    * (identity over a string column) — decides token decode.
+    */
+  private def isStringIdentity(t: PartTransform,
+      schema: StructType): Boolean = t match {
+    case PIdentity(c) =>
+      schema.fields.find(_.name == c).exists(_.dataType == StringType)
+    case _ => false
+  }
+
+  val NullDirValue = "__HIVE_DEFAULT_PARTITION__"
+
+  /** `pt:` token from the values `partitionBy` wrote into the staged
+    * directory names (one segment per transform, write order): `n` for
+    * NULL, `i<dec>` for numeric tuples, `s<hex>` for string identity.
+    */
+  def tupleToken(ts: Seq[PartTransform], dirValues: Seq[String],
+      schema: StructType): String =
+    ts.zip(dirValues).map { case (t, v) =>
+      if (v == NullDirValue) "n"
+      else if (isStringIdentity(t, schema)) s"s$v"
+      else s"i${v.toLong}"
+    }.mkString(",")
+
+  def decodeTuple(tok: String): Seq[PartVal] =
+    tok.split(',').toSeq.map {
+      case "n" => PNull
+      case v if v.startsWith("i") => PLong(v.substring(1).toLong)
+      case v if v.startsWith("s") => PBytes(
+        v.substring(1).sliding(2, 2)
+          .map(Integer.parseInt(_, 16).toByte).toArray)
+      case other => throw new IllegalStateException(
+        s"unparseable partition tuple value '$other'")
+    }
+
+  // ---- prune side: driver re-derivation of the transforms ---------------
+
+  /** Spark's `hash()` for the types bucket supports — the EXACT
+    * function the derived expression ran, re-derived on the driver for
+    * a probe literal (Murmur3, seed 42; UTF8 bytes for strings).
+    */
+  private def sparkHash(v: Any): Option[Int] = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    import org.apache.spark.unsafe.Platform
+    v match {
+      case x: Long => Some(Murmur3_x86_32.hashLong(x, 42))
+      case x: Int => Some(Murmur3_x86_32.hashInt(x, 42))
+      case x: Short => Some(Murmur3_x86_32.hashInt(x.toInt, 42))
+      case x: Byte => Some(Murmur3_x86_32.hashInt(x.toInt, 42))
+      case s: String =>
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        Some(Murmur3_x86_32.hashUnsafeBytes(
+          b, Platform.BYTE_ARRAY_OFFSET, b.length, 42))
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        val b = u.getBytes
+        Some(Murmur3_x86_32.hashUnsafeBytes(
+          b, Platform.BYTE_ARRAY_OFFSET, b.length, 42))
+      case _ => None
+    }
+  }
+
+  private def pmodInt(a: Int, n: Int): Int = {
+    val r = a % n
+    if (r < 0) r + n else r
+  }
+
+  /** Epoch day of a V1 filter's date literal (java.sql.Date or
+    * LocalDate, depending on the session's Java-8 API flag).
+    */
+  private def epochDay(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  private def localDate(v: Any): Option[java.time.LocalDate] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate)
+    case d: java.time.LocalDate => Some(d)
+    case _ => None
+  }
+
+  /** The transform of a filter literal, in the tuple's Long space —
+    * None when the literal's type doesn't fit the transform (no
+    * pruning). For monotone transforms the result preserves order, so
+    * range predicates prune.
+    */
+  private def transformValue(t: PartTransform, v: Any): Option[Long] =
+    t match {
+      case PIdentity(_) => v match {
+        case x: Long => Some(x)
+        case x: Int => Some(x.toLong)
+        case x: Short => Some(x.toLong)
+        case x: Byte => Some(x.toLong)
+        case _ => epochDay(v)
+      }
+      case PBucket(n, _) => sparkHash(v).map(h => pmodInt(h, n).toLong)
+      case PDays(_) => epochDay(v)
+      case PMonths(_) =>
+        localDate(v).map(d => (d.getYear - 1970) * 12L +
+          d.getMonthValue - 1)
+      case PYears(_) => localDate(v).map(_.getYear - 1970L)
+    }
+
+  private def isMonotone(t: PartTransform): Boolean = t match {
+    case _: PBucket => false
+    case _ => true
+  }
+
+  private def utf8Bytes(v: Any): Option[Array[Byte]] = v match {
+    case s: String => Some(s.getBytes(StandardCharsets.UTF_8))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
+    case _ => None
+  }
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Can a file whose tuple (under ITS OWN spec `ts`) is `tuple`
+    * possibly hold a row matching `f`? False only on a PROVEN
+    * refutation; anything the tuple can't decide matches. Every row in
+    * the file has EXACTLY the tuple's transform values, so (unlike an
+    * interval) equality refutation is exact — including hash buckets.
+    */
+  def mayMatch(ts: Seq[PartTransform], tuple: Seq[PartVal],
+      f: Filter,
+      trans: String => Option[String] = Some(_)): Boolean = {
+    if (ts.isEmpty || ts.size != tuple.size) return true
+    // `trans` maps the filter's CURRENT column name to the file's
+    // PHYSICAL name (field-id translation): a spec records the names
+    // as of its creation, which are the file's physical names — so a
+    // post-RENAME filter still prunes pre-rename files. An
+    // untranslatable name (dead id) just never prunes.
+    def byCol(a: String): Option[(PartTransform, PartVal)] =
+      trans(a).flatMap(p => ts.zip(tuple).find(_._1.colName == p))
+    def eqMatch(t: PartTransform, pv: PartVal, v: Any): Boolean =
+      (pv, v) match {
+        case (_, null) => true // col = NULL: three-valued, not pruned
+        case (PNull, _) => false // an all-NULL tuple never equals a value
+        case (PLong(x), _) => transformValue(t, v).forall(_ == x)
+        case (PBytes(b), _) => utf8Bytes(v).forall(cmpBytes(b, _) == 0)
+      }
+    def rangeMatch(t: PartTransform, pv: PartVal, v: Any,
+        keepLo: Boolean): Boolean =
+      (pv, isMonotone(t)) match {
+        case (_, false) => true // buckets carry no order
+        case (PNull, _) => false // NULL never satisfies a range
+        case (PLong(x), _) => transformValue(t, v).forall(b =>
+          if (keepLo) x >= b else x <= b)
+        case (PBytes(b), _) => utf8Bytes(v).forall(vb =>
+          if (keepLo) cmpBytes(b, vb) >= 0 else cmpBytes(b, vb) <= 0)
+      }
+    f match {
+      case EqualTo(a, v) =>
+        byCol(a).forall { case (t, pv) => eqMatch(t, pv, v) }
+      case In(a, vs) => byCol(a).forall { case (t, pv) =>
+        vs.isEmpty || vs.exists(eqMatch(t, pv, _)) }
+      // monotone transforms coarsen: x > v implies T(x) >= T(v), so a
+      // file is refuted only when its tuple sits strictly on the wrong
+      // side of the TRANSFORMED bound (never exactly on it)
+      case GreaterThan(a, v) =>
+        byCol(a).forall { case (t, pv) => rangeMatch(t, pv, v, keepLo = true) }
+      case GreaterThanOrEqual(a, v) =>
+        byCol(a).forall { case (t, pv) => rangeMatch(t, pv, v, keepLo = true) }
+      case LessThan(a, v) =>
+        byCol(a).forall { case (t, pv) => rangeMatch(t, pv, v, keepLo = false) }
+      case LessThanOrEqual(a, v) =>
+        byCol(a).forall { case (t, pv) => rangeMatch(t, pv, v, keepLo = false) }
+      case IsNull(a) => byCol(a).forall(_._2 == PNull)
+      case IsNotNull(a) => byCol(a).forall(_._2 != PNull)
+      case And(l, r) => mayMatch(ts, tuple, l) && mayMatch(ts, tuple, r)
+      case Or(l, r) => mayMatch(ts, tuple, l) || mayMatch(ts, tuple, r)
+      case _ => true
+    }
+  }
+
+  /** Partition refutation for one manifest entry under the SPEC
+    * HISTORY: the file's `ps:` token picks its write-time spec, its
+    * `pt:` token the tuple — a file from BEFORE a spec change keeps
+    * pruning under the spec it was actually laid out by (partition
+    * evolution), and a file with no tokens (engine-staged, pre-spec,
+    * foreign) just always matches.
+    */
+  def entryMayMatch(specs: Seq[Seq[PartTransform]],
+      st: ManifestedTable.FileStats, f: Filter,
+      physOf: Option[Map[String, String]] = None): Boolean =
+    (st.pspec, st.ptuple) match {
+      case (Some(si), Some(tok)) if si >= 0 && si < specs.size =>
+        val ts = specs(si)
+        val tuple = decodeTuple(tok)
+        mayMatch(ts, tuple, f,
+          a => physOf.fold(Option(a))(_.get(a)))
+      case _ => true
+    }
+}

@@ -155,6 +155,15 @@ private[sources] object ManifestProcedures {
         ManifestedTable.promoteBranch(SparkSession.active, dir,
           in.getUTF8String(1).toString)
       }(resolveDir))
+      case "set_partition_spec" => Some(proc("set_partition_spec",
+        Seq(table, ProcedureParameter.in("spec", StringType).build()),
+        VersionOut) { (dir, in) =>
+        // partition EVOLUTION as one metadata commit: 'days(d)',
+        // 'bucket(8,k)', comma-combined, or 'none' — old files keep
+        // (and keep pruning under) their write-time spec
+        ManifestedTable.setPartitionSpec(SparkSession.active, dir,
+          in.getUTF8String(1).toString)
+      }(resolveDir))
       case "drop_branch" => Some(proc("drop_branch", Seq(table,
         ProcedureParameter.in("branch", StringType).build()),
         VersionOut) { (dir, in) =>
@@ -204,5 +213,5 @@ private[sources] object ManifestProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "optimize", "vacuum", "restore", "history",
-      "promote_branch", "drop_branch", "branches")
+      "promote_branch", "drop_branch", "branches", "set_partition_spec")
 }

@@ -330,7 +330,13 @@ object ManifestedTable {
       strs: Map[String, (Array[Byte], Array[Byte])],
       dv: Option[String] = None,
       bytes: Option[Long] = None,
-      epoch: Option[Int] = None)
+      epoch: Option[Int] = None,
+      // hidden partitioning: the spec index (`ps:`) the file was
+      // written under and its partition tuple (`pt:`) — see
+      // [[ManifestPartitions]]; absent on unpartitioned/engine-staged
+      // files, which simply never partition-prune
+      pspec: Option[Int] = None,
+      ptuple: Option[String] = None)
 
   private val EmptyStats =
     FileStats(None, Map.empty, Map.empty, Map.empty, None, None, None)
@@ -342,6 +348,8 @@ object ManifestedTable {
     var dv: Option[String] = None
     var bytes: Option[Long] = None
     var epoch: Option[Int] = None
+    var pspec: Option[Int] = None
+    var ptuple: Option[String] = None
     val ls = Map.newBuilder[String, (Long, Long)]
     val ds = Map.newBuilder[String, (Double, Double)]
     val ss = Map.newBuilder[String, (Array[Byte], Array[Byte])]
@@ -354,6 +362,10 @@ object ManifestedTable {
         dv = Some(tok.substring(3)).filter(_.nonEmpty)
       } else if (tok.startsWith("se:")) {
         epoch = scala.util.Try(tok.substring(3).toInt).toOption
+      } else if (tok.startsWith("ps:")) {
+        pspec = scala.util.Try(tok.substring(3).toInt).toOption
+      } else if (tok.startsWith("pt:")) {
+        ptuple = Some(tok.substring(3)).filter(_.nonEmpty)
       } else {
         val eq = tok.indexOf('=')
         if (eq > 0) {
@@ -377,7 +389,7 @@ object ManifestedTable {
     }
     (parts(0),
       FileStats(rows, ls.result(), ds.result(), ss.result(), dv, bytes,
-        epoch))
+        epoch, pspec, ptuple))
   }
 
   /** Re-encode `line` with its `dv:` token replaced by `dvPath` (all
@@ -485,19 +497,28 @@ object ManifestedTable {
       decodeEpochs(ej))
   }
 
+  /** Meta of the target LINEAGE's head (branch falls back to main for
+    * the first branch commit) — what staging stamps epochs and
+    * partition tuples from.
+    */
+  private def headMetaOf(fs: FileSystem, root: Path,
+      branch: Option[String]): Map[String, String] = {
+    val head = headVersion(fs, root, branch)
+      .orElse(if (branch.isDefined) headVersion(fs, root, None) else None)
+    head.map(h => readMeta(fs, h._2)).getOrElse(Map.empty)
+  }
+
+  private def epochTokenOf(meta: Map[String, String]): Option[String] =
+    meta.get(FieldEpochsKey).map(e => s"se:${decodeEpochs(e).size - 1}")
+
   /** The `se:` token staged lines carry under the target LINEAGE's
     * current epoch (a branch forks its schema history at fork time;
     * ALTERs land on main) — None when the table has no field-id
     * history.
     */
   private def epochToken(fs: FileSystem, root: Path,
-      branch: Option[String] = None): Option[String] = {
-    val head = headVersion(fs, root, branch)
-      .orElse(if (branch.isDefined) headVersion(fs, root, None) else None)
-    head.map(h => readMeta(fs, h._2))
-      .flatMap(_.get(FieldEpochsKey))
-      .map(e => s"se:${decodeEpochs(e).size - 1}")
-  }
+      branch: Option[String] = None): Option[String] =
+    epochTokenOf(headMetaOf(fs, root, branch))
 
   private def stampEpoch(lines: Seq[String],
       tok: Option[String]): Seq[String] =
@@ -1198,7 +1219,8 @@ object ManifestedTable {
     */
   private[sources] def createEmpty(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
-      schemaJson: String): Long = {
+      schemaJson: String,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
@@ -1212,7 +1234,7 @@ object ManifestedTable {
       .map { case (n, i) => (i + 1) -> n }.toMap
     publish(fs, root, Replace, Nil,
       Map(SchemaKey -> schemaJson, OpKey -> "create",
-        FieldEpochsKey -> encodeEpochs(Seq(epoch0))))
+        FieldEpochsKey -> encodeEpochs(Seq(epoch0))) ++ extraMeta)
   }
 
   /** Record a new declared schema (the catalog's ALTER TABLE ADD
@@ -1232,7 +1254,8 @@ object ManifestedTable {
       conf: org.apache.hadoop.conf.Configuration, dir: String,
       schemaJson: String,
       fieldEpochs: Option[Seq[Map[Int, String]]] = None,
-      expectEpochs: Option[Seq[Map[Int, String]]] = None): Long = {
+      expectEpochs: Option[Seq[Map[Int, String]]] = None,
+      extraMeta: Map[String, String] = Map.empty): Long = {
     val root = new Path(dir)
     val guard: Map[String, String] => Unit = prevMeta =>
       expectEpochs.foreach { base =>
@@ -1245,7 +1268,8 @@ object ManifestedTable {
       }
     publish(root.getFileSystem(conf), root, AppendFiles, Nil,
       Map(SchemaKey -> schemaJson, OpKey -> "alter") ++
-        fieldEpochs.map(es => FieldEpochsKey -> encodeEpochs(es)),
+        fieldEpochs.map(es => FieldEpochsKey -> encodeEpochs(es)) ++
+        extraMeta,
       metaGuard = guard)
   }
 
@@ -1410,22 +1434,135 @@ object ManifestedTable {
   /** Stage `df` in a fresh immutable dir and return the staged files'
     * MANIFEST LINES — path + footer-derived stat tokens (one footer
     * read per file, no data IO; see [[statLine]]).
+    *
+    * With a declared PARTITION SPEC (see [[ManifestPartitions]]) the
+    * stage is tuple-local: the transforms' derived columns partition
+    * the write (one file per tuple per commit — `partitionBy` drops
+    * the derived columns, so data files keep the full schema), the
+    * nested Hive-style dirs flatten back into the stage dir by rename
+    * (the DV/`__file` machinery's two-component path contract stays
+    * intact), and each line gains `ps:<spec>`/`pt:<tuple>` tokens —
+    * the manifest-level pruning handle. EVERY staging path rides this:
+    * appends, branch writes, streaming batches, and DML/compaction
+    * rewrites all land tuple-local in the current spec, exactly
+    * Iceberg's write contract. A spec whose source column is absent
+    * from `df` (e.g. renamed since declaration) declines soundly to a
+    * flat stage with no tokens.
     */
   private def stageFiles(df: DataFrame, root: Path,
       fs: FileSystem, branch: Option[String] = None): Seq[String] = {
     val stage = s"data-${java.util.UUID.randomUUID()}"
-    df.write.parquet(new Path(root, stage).toString)
-    val rels = fs.listStatus(new Path(root, stage)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$stage/${s.getPath.getName}").sorted
-    // the footer reads are independent driver-side I/O — a small fixed
-    // pool keeps the per-commit constant at ~max(footer) instead of
-    // Σ(footer): sequential opens would tax every commit by hundreds
-    // of ms once a job stages dozens of files (Hadoop FileSystem
-    // handles are thread-safe)
-    stampEpoch(statLinesRaw(fs, root, rels),
-      epochToken(fs, root, branch))
+    val stagePath = new Path(root, stage)
+    val headMeta = headMetaOf(fs, root, branch)
+    val epochTok = epochTokenOf(headMeta)
+    val specs = ManifestPartitions.decodeSpecs(
+      headMeta.get(ManifestPartitions.SpecsKey))
+    val curSpec = specs.lastOption.getOrElse(Nil)
+    if (curSpec.isEmpty || !curSpec.forall(t =>
+        df.columns.contains(t.colName))) {
+      df.write.parquet(stagePath.toString)
+      val rels = fs.listStatus(stagePath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s"$stage/${s.getPath.getName}").sorted
+      // the footer reads are independent driver-side I/O — a small fixed
+      // pool keeps the per-commit constant at ~max(footer) instead of
+      // Σ(footer): sequential opens would tax every commit by hundreds
+      // of ms once a job stages dozens of files (Hadoop FileSystem
+      // handles are thread-safe)
+      stampEpoch(statLinesRaw(fs, root, rels), epochTok)
+    } else {
+      import org.apache.spark.sql.functions.{col => c}
+      val names = curSpec.indices.map(i => s"__gp$i")
+      require(names.forall(n => !df.columns.contains(n)),
+        s"partitioned staging derives ${names.mkString(",")} — a data " +
+          "column collides")
+      val withP = curSpec.zip(names).foldLeft(df) { case (d, (t, n)) =>
+        d.withColumn(n, ManifestPartitions.derivedExpr(t, df))
+      }
+      // one shuffle on the tuple co-locates each partition's rows, so
+      // the commit lands |tuples-in-commit| files, not |tasks|×|tuples|
+      // (the small-file explosion partitionBy alone produces)
+      withP.repartition(names.map(c(_)): _*)
+        .write.partitionBy(names: _*).parquet(stagePath.toString)
+      // flatten `stage/__gp0=v/…/part-*.parquet` → `stage/pI-part-…`:
+      // the tuple is read OFF THE DIR NAMES (zero data IO) and then
+      // lives only in the manifest tokens; flat two-component relative
+      // paths keep the DV/`__file` contract
+      def walk(p: Path, vals: Seq[String]): Seq[(Path, Seq[String])] =
+        fs.listStatus(p).toSeq.flatMap { s =>
+          val nm = s.getPath.getName
+          if (s.isDirectory) {
+            val i = nm.indexOf('=')
+            walk(s.getPath,
+              if (i >= 0) vals :+ nm.substring(i + 1) else vals)
+          } else if (s.isFile && nm.endsWith(".parquet"))
+            Seq((s.getPath, vals))
+          else Nil
+        }
+      val nested = walk(stagePath, Nil).sortBy(_._1.toString)
+      val entriesP = nested.zipWithIndex.map { case ((p, vals), i) =>
+        require(vals.size == curSpec.size,
+          s"staged file $p carries ${vals.size} partition segments, " +
+            s"spec has ${curSpec.size}")
+        val flat = new Path(stagePath, s"p$i-${p.getName}")
+        require(fs.rename(p, flat), s"flatten rename $p failed")
+        (s"$stage/${flat.getName}",
+          ManifestPartitions.tupleToken(curSpec, vals, df.schema))
+      }
+      // the emptied tuple dirs go; files now live flat in the stage
+      fs.listStatus(stagePath).toSeq.filter(_.isDirectory)
+        .foreach(d => fs.delete(d.getPath, true))
+      val rels = entriesP.map(_._1)
+      val tokByRel = entriesP.toMap
+      val specIdx = specs.size - 1
+      stampEpoch(statLinesRaw(fs, root, rels), epochTok).map { line =>
+        val rel = pathOf(line)
+        s"$line\tps:$specIdx\tpt:${tokByRel(rel)}"
+      }
+    }
   }
+
+  /** Declare (or EVOLVE) the table's partition spec — one metadata
+    * commit appending to the `#partitionspecs=` history: files written
+    * under older specs keep their write-time layout and keep pruning
+    * under it (Iceberg partition evolution); only NEW writes land in
+    * the new spec. `spec` uses the user syntax of
+    * [[ManifestPartitions.parseUserSpec]] (`"days(d),bucket(8,k)"`,
+    * `"none"` to stop partitioning). Concurrent spec changes
+    * serialize via the same meta guard as ALTER.
+    */
+  def setPartitionSpec(spark: SparkSession, dir: String,
+      spec: String): Long = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val schema = ManifestDataSource.schemaOf(dir, None)
+    val ts = ManifestPartitions.parseUserSpec(spec, schema)
+    val base = ManifestPartitions.decodeSpecs(
+      snapshotMeta(conf, dir).get(ManifestPartitions.SpecsKey))
+    val guard: Map[String, String] => Unit = prevMeta => {
+      val cur = ManifestPartitions.decodeSpecs(
+        prevMeta.get(ManifestPartitions.SpecsKey))
+      if (cur != base) throw new ConcurrentWriteException(
+        s"setPartitionSpec of $dir computed against a ${base.size}-spec " +
+          s"history, but the head now carries ${cur.size} — a " +
+          "concurrent spec change landed in between; re-run")
+    }
+    publish(fs, root, AppendFiles, Nil,
+      Map(ManifestPartitions.SpecsKey ->
+        ManifestPartitions.encodeSpecs(base :+ ts),
+        OpKey -> "set-partition-spec"),
+      metaGuard = guard)
+  }
+
+  /** The spec history (conf-parameterized, pinned version optional) —
+    * the scan faces' pruning input.
+    */
+  private[sources] def partitionSpecsAt(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      version: Option[Long]): Seq[Seq[ManifestPartitions.PartTransform]] =
+    ManifestPartitions.decodeSpecs(
+      snapshotMeta(conf, dir, version).get(ManifestPartitions.SpecsKey))
 
   /** Publish `df` as the table's next snapshot. `overwrite = false`
     * appends: the new snapshot = previous files ++ staged files. The

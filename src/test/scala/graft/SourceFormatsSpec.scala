@@ -1680,4 +1680,104 @@ class SourceFormatsSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS gm_adv.t")
     }
   }
+
+  test("graft-manifest hidden partitioning: transforms, tuple pruning, evolution, rename interplay") {
+    import graft.sources.ManifestedTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_hp").toString
+    spark.conf.set("spark.sql.catalog.gm_hp",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_hp.root", wh)
+    try {
+      // PARTITIONED BY transforms in plain DDL — the first thing a
+      // porting user types (previously a loud refusal)
+      spark.sql("""CREATE TABLE gm_hp.t (k BIGINT, d DATE, tag STRING)
+        PARTITIONED BY (months(d), bucket(4, k))""")
+      // 6 months x spread keys, plus a NULL-date row (its own tuple)
+      spark.sql("""INSERT INTO gm_hp.t
+        SELECT id, date_add(DATE'1995-01-15', CAST(id % 6 AS INT) * 31),
+               concat('t', id % 3)
+        FROM range(600)""")
+      spark.sql(
+        "INSERT INTO gm_hp.t VALUES (9999, CAST(NULL AS DATE), 'nil')")
+      val t = () => spark.table("gm_hp.t")
+      assert(t().count() == 601)
+      val files = ManifestedTable.currentFiles(spark, s"$wh/t").size
+      assert(files > 8, s"expected tuple-local files, got $files")
+
+      // month-equality pruning: a strict minority of files plans, and
+      // the rows are exactly the relational answer
+      val oneMonth = t().filter(col("d") === lit("1995-02-15").cast("date"))
+      assert(oneMonth.rdd.getNumPartitions * 3 < files,
+        s"month pruning planned ${oneMonth.rdd.getNumPartitions} of $files")
+      assert(oneMonth.count() ==
+        (0 until 600).count(i => i % 6 == 1))
+
+      // bucket pruning: k-equality opens only files whose tuple IS the
+      // probe's bucket — the driver re-derives Spark's own murmur3, so
+      // a hash mismatch would either skip the row (count 0) or plan
+      // everything; exactness is the assertion
+      val probe = t().filter(col("k") === 123L)
+      assert(probe.count() == 1, "bucket pruning lost the probed row")
+      assert(probe.rdd.getNumPartitions * 2 < files,
+        s"bucket pruning planned ${probe.rdd.getNumPartitions} of $files")
+
+      // NULL tuple: IS NULL plans a minority and finds the row;
+      // equality never matches the null-tuple file
+      val nullRead = t().filter(col("d").isNull)
+      assert(nullRead.count() == 1)
+      assert(nullRead.rdd.getNumPartitions * 2 < files)
+
+      // partition EVOLUTION: one metadata commit; old files keep (and
+      // keep pruning under) their write-time spec, new writes land
+      // day-local
+      spark.sql("CALL gm_hp.system.set_partition_spec('t', 'days(d)')")
+      spark.sql("""INSERT INTO gm_hp.t
+        SELECT id + 1000, date_add(DATE'1996-01-01', CAST(id % 5 AS INT)),
+               't9'
+        FROM range(100)""")
+      assert(t().count() == 701)
+      val files2 = ManifestedTable.currentFiles(spark, s"$wh/t").size
+      // a filter straddling the seam prunes on BOTH sides: the old
+      // files via months(d), the new via days(d)
+      val seam = t().filter(col("d") === lit("1996-01-03").cast("date"))
+      assert(seam.count() == 20)
+      assert(seam.rdd.getNumPartitions * 3 < files2,
+        s"post-evolution pruning planned ${seam.rdd.getNumPartitions} " +
+          s"of $files2")
+      val oldSide = t().filter(col("d") === lit("1995-02-15").cast("date"))
+      assert(oldSide.count() == (0 until 600).count(i => i % 6 == 1),
+        "evolution broke old-spec rows")
+      assert(oldSide.rdd.getNumPartitions * 3 < files2,
+        "old-spec files stopped pruning after evolution")
+
+      // DML on a partitioned table: the rewrite lands in the CURRENT
+      // spec and the answer stays exact
+      spark.sql("DELETE FROM gm_hp.t WHERE tag = 't9' AND k % 10 = 3")
+      assert(t().count() == 701 - 10)
+
+      // RENAME of a partition source column re-points the spec: new
+      // writes keep partitioning (by the new name), reads keep pruning
+      spark.sql("ALTER TABLE gm_hp.t RENAME COLUMN d TO day")
+      spark.sql("""INSERT INTO gm_hp.t
+        SELECT id + 5000, DATE'1997-06-01', 'r' FROM range(40)""")
+      val files3 = ManifestedTable.currentFiles(spark, s"$wh/t").size
+      val renamed = t().filter(col("day") === lit("1997-06-01").cast("date"))
+      assert(renamed.count() == 40)
+      assert(renamed.rdd.getNumPartitions * 3 < files3,
+        "post-rename writes stopped partition-pruning")
+      // DROP of a spec source refuses loudly
+      intercept[Exception] {
+        spark.sql("ALTER TABLE gm_hp.t DROP COLUMN day")
+      }
+
+      // unsupported transform refuses at CREATE, not first write
+      intercept[Exception] {
+        spark.sql("""CREATE TABLE gm_hp.bad (k BIGINT, ts TIMESTAMP)
+          PARTITIONED BY (days(ts))""")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm_hp.t")
+      spark.sql("DROP TABLE IF EXISTS gm_hp.bad")
+    }
+  }
 }
