@@ -2600,6 +2600,60 @@ object RelEntry {
       }
     }),
 
+    // ---- T104: nested types + nested field-id evolution -------------------
+    "q196_nested_lakehouse" -> ((s, d) => {
+      // struct columns through the whole lakehouse tier, in plain SQL:
+      // CTAS with a struct column, RENAME of a NESTED field
+      // (metadata-only — old files keep serving the member through its
+      // per-leaf field id), an INSERT under the renamed shape, DROP +
+      // re-ADD of a nested name (fresh id: count(info.tag) is the
+      // resurrection detector), a second feed, and an engine-planned
+      // UPDATE rewriting structs across all three file generations
+      // (catalyst parquet writers). The oracle replays the lifecycle
+      // with FLAT columns — nesting must be a pure shape.
+      val wh = java.nio.file.Files.createTempDirectory("graft_ns_q").toString
+      s.conf.set("spark.sql.catalog.g196", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g196.root", wh)
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g196_src")
+      s.sql("DROP TABLE IF EXISTS g196.t")
+      s.sql("""CREATE TABLE g196.t AS
+              |SELECT k,
+              |  named_struct('cents', cents,
+              |    'tag', concat('g', CAST(k % 3 AS STRING))) AS info,
+              |  c
+              |FROM g196_src WHERE k % 3 < 2""".stripMargin)
+      s.sql("ALTER TABLE g196.t RENAME COLUMN info.cents TO amount")
+      s.sql("""INSERT INTO g196.t
+              |SELECT k + 507000000,
+              |  named_struct('amount', cents, 'tag', 'new'), c
+              |FROM g196_src WHERE k % 10 = 4""".stripMargin)
+      s.sql("ALTER TABLE g196.t DROP COLUMN info.tag")
+      s.sql("ALTER TABLE g196.t ADD COLUMNS (info.tag STRING)")
+      s.sql("""INSERT INTO g196.t
+              |SELECT k + 607000000,
+              |  named_struct('amount', cents + 5, 'tag', 'fresh'), c
+              |FROM g196_src WHERE k % 10 = 6""".stripMargin)
+      s.sql("""UPDATE g196.t SET info = named_struct(
+              |  'amount', info.amount + 7, 'tag', info.tag)
+              |WHERE k % 11 = 3""".stripMargin)
+      val out = s.sql(
+        """SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(info.amount) AS BIGINT) AS amt,
+          |  CAST(count(info.tag) AS BIGINT) AS n_tag
+          |FROM g196.t WHERE c % 10 = 3
+          |GROUP BY c""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g196.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T103: hidden partitioning + partition evolution ------------------
     "q195_hidden_partitioning" -> ((s, d) => {
       // the Iceberg partition-spec lifecycle in plain SQL: CREATE
@@ -3548,6 +3602,40 @@ object RelEntry {
         |cur AS (SELECT * FROM v1 UNION ALL SELECT * FROM fa)
         |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM cur WHERE c % 10 = 3
+        |GROUP BY c""".stripMargin,
+
+    // q196 mirror: the nested-evolution lifecycle replayed with FLAT
+    // columns — nested rename = aliasing, nested drop+re-add = every
+    // prior row's tag NULLed (a resurrected dead id would inflate
+    // n_tag), the UPDATE spans all three generations
+    "q196_nested_lakehouse" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (
+        |  SELECT k, c, cents AS amount FROM base WHERE k % 3 < 2),
+        |f1 AS (
+        |  SELECT k + 507000000 AS k, c, cents AS amount
+        |  FROM base WHERE k % 10 = 4),
+        |dropped AS (
+        |  SELECT k, c, amount, CAST(NULL AS VARCHAR) AS tag FROM v1
+        |  UNION ALL
+        |  SELECT k, c, amount, CAST(NULL AS VARCHAR) AS tag FROM f1),
+        |f2 AS (
+        |  SELECT k + 607000000 AS k, c, cents + 5 AS amount,
+        |         'fresh' AS tag
+        |  FROM base WHERE k % 10 = 6),
+        |cur AS (
+        |  SELECT k, c,
+        |         CASE WHEN k % 11 = 3 THEN amount + 7 ELSE amount END
+        |           AS amount,
+        |         tag
+        |  FROM (SELECT * FROM dropped UNION ALL SELECT * FROM f2))
+        |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(amount) AS BIGINT) AS amt,
+        |  CAST(count(tag) AS BIGINT) AS n_tag
         |FROM cur WHERE c % 10 = 3
         |GROUP BY c""".stripMargin,
 

@@ -217,14 +217,63 @@ class ManifestCatalog extends TableCatalog
       ManifestedTable.snapshotMeta(conf, dir))
     val initEpochs =
       if (epochs0.nonEmpty) epochs0
-      else Seq(cur.fieldNames.zipWithIndex
-        .map { case (n, i) => (i + 1) -> n }.toMap)
+      else Seq(ManifestedTable.leafIds(cur))
     // ids are NEVER recycled: fresh ids allocate above every id any
     // epoch ever used, so a drop + re-add cannot alias the dead id
     var maxId = initEpochs.flatMap(_.keys).maxOption.getOrElse(0)
-    var last = initEpochs.last
+    // legacy epochs recorded before nested ids existed track top-level
+    // fields only — complete them: every nested leaf of the CURRENT
+    // schema missing from the newest epoch gets a fresh id inserted
+    // into EVERY epoch, spelled under that epoch's parent name (sound:
+    // nested names could not change before nested evolution existed,
+    // so only the top-level prefix varies across epochs)
+    var epochsAll = initEpochs
+    locally {
+      val known = epochsAll.last.values.toSet
+      val missing = ManifestedTable.leafIds(cur).toSeq.sortBy(_._1)
+        .map(_._2).filter(p => p.contains('.') && !known(p))
+      missing.foreach { p =>
+        maxId += 1
+        val id = maxId
+        val top = p.takeWhile(_ != '.')
+        val rest = p.substring(top.length)
+        val topId = epochsAll.last.collectFirst {
+          case (i, n) if n == top => i
+        }
+        epochsAll = epochsAll.map { e =>
+          topId.flatMap(e.get) match {
+            case Some(tn) => e + (id -> s"$tn$rest")
+            case None => e
+          }
+        }
+      }
+    }
+    var last = epochsAll.last
     var schema = cur
     var schemaChanged = false
+    // nested edits walk STRUCT members only (arrays/maps are opaque
+    // leaves — inner evolution there refuses via the match below)
+    def mapStructAt(s0: StructType, parent: Seq[String])(
+        f: StructType => StructType): StructType =
+      if (parent.isEmpty) f(s0)
+      else StructType(s0.fields.map { fld =>
+        if (fld.name != parent.head) fld
+        else fld.dataType match {
+          case st: StructType =>
+            fld.copy(dataType = mapStructAt(st, parent.tail)(f))
+          case other => throw new IllegalArgumentException(
+            s"${parent.head} is not a struct " +
+              s"(${other.simpleString}) — nested ALTER walks struct " +
+              "members only")
+        }
+      })
+    def renamePaths(from: String, to: String): Unit =
+      last = last.map { case (i, n) =>
+        if (n == from) i -> to
+        else if (n.startsWith(from + "."))
+          i -> (to + n.substring(from.length))
+        else i -> n
+      }
     // partition-spec interplay: a RENAME of a spec source column
     // re-points the CURRENT spec (appended to the spec history — old
     // files keep their write-time spec); a DROP of one refuses loudly
@@ -249,43 +298,91 @@ class ManifestCatalog extends TableCatalog
     val setProps = scala.collection.mutable.Map.empty[String, String]
     changes.foreach {
       case add: TableChange.AddColumn
-          if add.fieldNames().length == 1 && add.isNullable &&
-            add.position() == null =>
-        val n = add.fieldNames()(0)
-        require(!schema.fieldNames.contains(n),
-          s"column $n already exists")
-        schema = schema.add(org.apache.spark.sql.types.StructField(
-          n, add.dataType(), nullable = true))
-        maxId += 1
-        last = last + (maxId -> n)
-        schemaChanged = true
-      case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
-        val from = rn.fieldNames()(0)
-        val to = rn.newName()
-        require(schema.fieldNames.contains(from), s"no column $from")
-        require(!schema.fieldNames.contains(to),
-          s"column $to already exists")
-        schema = org.apache.spark.sql.types.StructType(schema.fields.map(
-          f => if (f.name == from) f.copy(name = to) else f))
-        val id = last.collectFirst { case (i, n) if n == from => i }.get
-        last = last + (id -> to)
-        renameInSpec(from, to)
-        schemaChanged = true
-      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
-        val n = del.fieldNames()(0)
-        if (!schema.fieldNames.contains(n)) {
-          if (!del.ifExists()) throw new IllegalArgumentException(
-            s"no column $n to drop")
+          if add.isNullable && add.position() == null =>
+        val path = add.fieldNames().toSeq
+        val dotted = path.mkString(".")
+        if (path.length == 1) {
+          val n = path.head
+          require(!schema.fieldNames.contains(n),
+            s"column $n already exists")
+          schema = schema.add(org.apache.spark.sql.types.StructField(
+            n, add.dataType(), nullable = true))
+          maxId += 1
+          last = last + (maxId -> n)
         } else {
-          require(schema.length > 1, "cannot drop the last column")
-          require(!curSpec.exists(_.colName == n),
-            s"cannot DROP COLUMN $n: the current partition spec " +
-              "transforms it — evolve the spec first " +
-              "(CALL system.set_partition_spec)")
-          schema = org.apache.spark.sql.types.StructType(
-            schema.fields.filterNot(_.name == n))
-          val id = last.collectFirst { case (i, m) if m == n => i }.get
-          last = last - id
+          // ADD inside a struct: the member appends with a FRESH id —
+          // a dropped-then-re-added nested NAME never resurrects the
+          // dead id's bytes (pre-add rows read NULL)
+          schema = mapStructAt(schema, path.init) { st =>
+            require(!st.fieldNames.contains(path.last),
+              s"field $dotted already exists")
+            st.add(org.apache.spark.sql.types.StructField(
+              path.last, add.dataType(), nullable = true))
+          }
+          maxId += 1
+          last = last + (maxId -> dotted)
+        }
+        schemaChanged = true
+      case rn: TableChange.RenameColumn =>
+        val path = rn.fieldNames().toSeq
+        val from = path.mkString(".")
+        val to = (path.init :+ rn.newName()).mkString(".")
+        if (path.length == 1) {
+          require(schema.fieldNames.contains(from), s"no column $from")
+          require(!schema.fieldNames.contains(rn.newName()),
+            s"column ${rn.newName()} already exists")
+          schema = org.apache.spark.sql.types.StructType(schema.fields.map(
+            f => if (f.name == from) f.copy(name = rn.newName()) else f))
+          renameInSpec(from, rn.newName())
+        } else {
+          // RENAME inside a struct: the member keeps its id (old files
+          // keep serving the bytes through id resolution)
+          schema = mapStructAt(schema, path.init) { st =>
+            require(st.fieldNames.contains(path.last),
+              s"no field $from")
+            require(!st.fieldNames.contains(rn.newName()),
+              s"field $to already exists")
+            org.apache.spark.sql.types.StructType(st.fields.map(f =>
+              if (f.name == path.last) f.copy(name = rn.newName()) else f))
+          }
+        }
+        require(last.values.exists(_ == from), s"no field id for $from")
+        // the renamed node AND its descendants re-path (a struct
+        // rename moves every member's dotted prefix)
+        renamePaths(from, to)
+        schemaChanged = true
+      case del: TableChange.DeleteColumn =>
+        val path = del.fieldNames().toSeq
+        val dotted = path.mkString(".")
+        val exists =
+          if (path.length == 1) schema.fieldNames.contains(dotted)
+          else ManifestedTable.typeAtPath(schema, dotted).isDefined
+        if (!exists) {
+          if (!del.ifExists()) throw new IllegalArgumentException(
+            s"no column $dotted to drop")
+        } else {
+          if (path.length == 1) {
+            require(schema.length > 1, "cannot drop the last column")
+            require(!curSpec.exists(_.colName == dotted),
+              s"cannot DROP COLUMN $dotted: the current partition spec " +
+                "transforms it — evolve the spec first " +
+                "(CALL system.set_partition_spec)")
+            schema = org.apache.spark.sql.types.StructType(
+              schema.fields.filterNot(_.name == dotted))
+          } else {
+            schema = mapStructAt(schema, path.init) { st =>
+              require(st.length > 1,
+                s"cannot drop the last member of struct " +
+                  s"${path.init.mkString(".")}")
+              org.apache.spark.sql.types.StructType(
+                st.fields.filterNot(_.name == path.last))
+            }
+          }
+          // the dropped node's id AND its descendants' ids leave the
+          // current epoch (dead ids — never recycled, never resurrect)
+          last = last.filterNot { case (_, n) =>
+            n == dotted || n.startsWith(dotted + ".")
+          }
           schemaChanged = true
         }
       case up: TableChange.UpdateColumnType
@@ -329,7 +426,7 @@ class ManifestCatalog extends TableCatalog
       // for a pre-field-id table): validated per commit attempt, so a
       // concurrent ALTER's epoch append is never silently dropped
       ManifestedTable.updateSchemaMeta(conf, dir, schema.json,
-        Some(initEpochs :+ last), expectEpochs = Some(epochs0),
+        Some(epochsAll :+ last), expectEpochs = Some(epochs0),
         extraMeta =
           if (!specChanged) Map.empty
           else Map(graft.sources.ManifestPartitions.SpecsKey ->

@@ -807,17 +807,23 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
     * readers (which own the DV anti-join, `_file`/`_pos` synthesis,
     * epoch translation, and the zero-IO footer-count projections).
     */
+  private def vectorOk(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType | BinaryType |
+         DateType | TimestampType => true
+    case _: DecimalType => true
+    case s: StructType => s.fields.forall(f => vectorOk(f.dataType))
+    case a: ArrayType => vectorOk(a.elementType)
+    case m: MapType => vectorOk(m.keyType) && vectorOk(m.valueType)
+    case _ => false
+  }
+
   private def columnarEligible: Boolean =
     readSchema.nonEmpty &&
       !readSchema.fieldNames.exists(n => n == "_file" || n == "_pos") &&
       epochs.size <= 1 &&
       entries.forall(e => e._2.dv.isEmpty && !e._2.rows.contains(0L)) &&
-      readSchema.fields.forall(_.dataType match {
-        case LongType | IntegerType | ShortType | ByteType | DoubleType |
-             FloatType | BooleanType | StringType | BinaryType |
-             DateType | TimestampType => true
-        case _ => false
-      })
+      readSchema.fields.forall(f => vectorOk(f.dataType))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestPartitionReaderFactory(readSchema, sconf,
@@ -1079,12 +1085,130 @@ private[sources] class ManifestPartitionReaderFactory(
     set
   }
 
+  /** Types the example-Group materialization owns; anything else
+    * (struct/array/map/decimal) routes to the CATALYST row reader.
+    */
+  private def flatType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | BooleanType | StringType | BinaryType |
+           DateType | TimestampType => true
+      case _ => false
+    }
+
+  /** NESTED/DECIMAL row reader: Spark's own vectorized parquet reader
+    * in ROW mode (no returning-batches), so the SQL face serves the
+    * full type surface the write faces produce — with the same per-row
+    * control the Group path owns: `_file`/`_pos` synthesis (the
+    * ordinal IS the physical row index — no filter predicate is ever
+    * set here, so no row group skips), DV position skipping, and
+    * field-id translation via a PHYSICAL-RENAMED requested schema:
+    * positions/types/structure are the declared schema's, names are
+    * the file's physical names (InternalRow is positional, so the
+    * output needs no re-mapping), and a leaf whose id didn't exist at
+    * the file's epoch requests a sentinel-absent name and reads NULL —
+    * dropped-and-re-added nested names never resurrect.
+    */
+  private def createCatalystRowReader(part: ManifestFilePartition,
+      conf: Configuration, deleted: java.util.HashSet[java.lang.Long])
+      : PartitionReader[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+      JoinedRow, UnsafeProjection}
+    val dataFields = readSchema.fields.toSeq
+      .filter(f => f.name != "_file" && f.name != "_pos")
+    val ctr = new java.util.concurrent.atomic.AtomicInteger()
+    def renameField(curPath: String, f: StructField,
+        m: Map[String, String]): StructField =
+      m.get(curPath) match {
+        case None => StructField(
+          s"__graft_dead_${ctr.incrementAndGet()}", f.dataType,
+          nullable = true)
+        case Some(pp) =>
+          val leaf = pp.substring(pp.lastIndexOf('.') + 1)
+          val dt = f.dataType match {
+            case st: StructType => StructType(st.fields.map(inf =>
+              renameField(s"$curPath.${inf.name}", inf, m)))
+            case d => d
+          }
+          StructField(leaf, dt, nullable = true)
+      }
+    val request = part.physOf match {
+      case None => StructType(dataFields)
+      case Some(m) =>
+        StructType(dataFields.map(f => renameField(f.name, f, m)))
+    }
+    conf.set(
+      org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, request.json)
+    conf.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport].getName)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", false)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    val p = new Path(part.file)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      p, 0, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val reader = new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    var initialized = false
+    try {
+      reader.initialize(split, ctx)
+      reader.initBatch(new StructType(),
+        org.apache.spark.sql.catalyst.InternalRow.empty)
+      initialized = true
+    } finally if (!initialized) reader.close()
+    // output = data fields (by declared position) + synthesized meta
+    // columns, fused by one UnsafeProjection over a JoinedRow
+    val n = dataFields.length
+    val dataIdx = dataFields.map(_.name).zipWithIndex.toMap
+    val exprs = readSchema.fields.toSeq.map { f =>
+      if (f.name == "_file")
+        BoundReference(n, StringType, nullable = false)
+      else if (f.name == "_pos")
+        BoundReference(n + 1, LongType, nullable = false)
+      else BoundReference(dataIdx(f.name), f.dataType, nullable = true)
+    }
+    val proj = UnsafeProjection.create(exprs)
+    val joined = new JoinedRow
+    val metaRow = new GenericInternalRow(2)
+    metaRow.update(0, UTF8String.fromString(part.rel))
+    new PartitionReader[InternalRow] {
+      private var ordinal = -1L
+      override def next(): Boolean = {
+        var has = reader.nextKeyValue()
+        ordinal += 1
+        while (has && deleted.contains(ordinal)) {
+          has = reader.nextKeyValue()
+          ordinal += 1
+        }
+        has
+      }
+      override def get(): InternalRow = {
+        metaRow.update(1, ordinal)
+        proj(joined(
+          reader.getCurrentValue.asInstanceOf[InternalRow], metaRow))
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[ManifestFilePartition]
     val file = part.file
     val conf = new Configuration(sconf.value)
     val p = new Path(file)
+    if (readSchema.nonEmpty && readSchema.fields.exists(f =>
+        f.name != "_file" && f.name != "_pos" && !flatType(f.dataType)))
+      return createCatalystRowReader(part, conf, dvPositions(part, conf))
     val fileSchema: MessageType = {
       val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try fr.getFooter.getFileMetaData.getSchema finally fr.close()

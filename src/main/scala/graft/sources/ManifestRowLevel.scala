@@ -250,10 +250,38 @@ private[sources] class ManifestRowWriterFactory(path: String,
   private def mkWriter(partitionId: Int, taskId: Long,
       epoch: Option[Long]): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val msgType = ManifestRowWriterFactory.messageType(schema)
     val rel = f"$stage/part-${epoch.fold("")(e => s"e$e-")}%s" +
       f"$partitionId%05d-$taskId.parquet"
     val file = new Path(new Path(path), rel)
+    // NESTED/DECIMAL schemas write through Spark's own
+    // ParquetWriteSupport (InternalRow in, full type surface) — the
+    // write-side twin of the catalyst row reader; flat schemas keep
+    // the pinned example-Group writer below
+    if (schema.fields.exists(f =>
+        !ManifestRowWriterFactory.flatType(f.dataType)))
+      return new DataWriter[InternalRow] {
+        private var writer: org.apache.parquet.hadoop.ParquetWriter[
+          InternalRow] = _
+        private def ensure(): Unit = if (writer == null)
+          writer = ManifestRowWriterFactory.catalystWriter(
+            file, schema, sconf.value)
+        override def write(row: InternalRow): Unit = {
+          ensure()
+          // ParquetWriteSupport serializes synchronously — reused
+          // incoming rows are safe
+          writer.write(row)
+        }
+        override def commit(): WriterCommitMessage =
+          if (writer == null) ManifestWriteMessage("")
+          else { writer.close(); ManifestWriteMessage(rel) }
+        override def abort(): Unit = {
+          if (writer != null) writer.close()
+          new Path(path).getFileSystem(sconf.value).delete(file, false)
+          ()
+        }
+        override def close(): Unit = ()
+      }
+    val msgType = ManifestRowWriterFactory.messageType(schema)
     new DataWriter[InternalRow] {
       private var writer: org.apache.parquet.hadoop.ParquetWriter[
         org.apache.parquet.example.data.Group] = _
@@ -303,6 +331,52 @@ private[sources] class ManifestRowWriterFactory(path: String,
 }
 
 private[sources] object ManifestRowWriterFactory {
+
+  /** Types the SimpleGroup writer below owns — anything else routes to
+    * [[catalystWriter]].
+    */
+  def flatType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType | BinaryType |
+         DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** A parquet writer consuming InternalRow through Spark's own
+    * ParquetWriteSupport — nested structs/arrays/maps/decimals land
+    * with the engine's standard encodings (micros timestamps,
+    * non-legacy layout, CORRECTED rebase), so both the vectorized and
+    * catalyst row readers read them back unchanged.
+    */
+  def catalystWriter(file: Path, schema: StructType,
+      hconf: org.apache.hadoop.conf.Configuration)
+      : org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    import org.apache.spark.sql.execution.datasources.parquet
+      .ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val c = new org.apache.hadoop.conf.Configuration(hconf)
+    c.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, schema.json)
+    // the exact key set ParquetFileFormat.prepareWrite stages for
+    // ParquetWriteSupport.init — taken from the SQLConf entries (not
+    // string spellings) so a renamed key breaks the COMPILE, not a task
+    c.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    c.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    c.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    c.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    c.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    c.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    c.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "false")
+    class B(p: Path) extends org.apache.parquet.hadoop.ParquetWriter
+        .Builder[InternalRow, B](p) {
+      override def self(): B = this
+      override def getWriteSupport(
+          conf: org.apache.hadoop.conf.Configuration)
+          : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+        new ParquetWriteSupport()
+    }
+    new B(file).withConf(c).build()
+  }
+
   /** Flat parquet schema mirroring the table's Spark schema — the
     * write-side twin of the read face's per-file projection, with the
     * logical annotations that make the files read back at the SAME

@@ -439,6 +439,47 @@ object ManifestedTable {
   private[sources] def epochsOf(meta: Map[String, String]): Seq[Map[Int, String]] =
     meta.get(FieldEpochsKey).map(decodeEpochs).getOrElse(Nil)
 
+  /** Field ids for a declared schema, NESTED fields included
+    * (Iceberg's ids-per-leaf): top-level fields take ids 1..n in
+    * declared order — BYTE-COMPATIBLE with the pre-nested encoding for
+    * flat schemas — then struct members (and their struct members,
+    * recursively) take subsequent ids under DOTTED paths, depth-first.
+    * Struct nodes themselves get ids too (a top-level struct column
+    * can rename). Arrays and maps are opaque leaves: their ELEMENT
+    * fields carry no ids (inner evolution there is refused loudly).
+    */
+  private[sources] def leafIds(schema: StructType): Map[Int, String] = {
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    schema.fields.foreach(f => paths += f.name)
+    def rec(prefix: String, st: StructType): Unit =
+      st.fields.foreach { f =>
+        val p = s"$prefix.${f.name}"
+        paths += p
+        f.dataType match {
+          case s2: StructType => rec(p, s2)
+          case _ =>
+        }
+      }
+    schema.fields.foreach(f => f.dataType match {
+      case s2: StructType => rec(f.name, s2)
+      case _ =>
+    })
+    paths.zipWithIndex.map { case (p, i) => (i + 1) -> p }.toMap
+  }
+
+  /** The data type at a DOTTED physical path inside `schema`, walking
+    * struct members only — None when any segment is absent (the
+    * requested-but-missing → NULL convention's presence check).
+    */
+  private[sources] def typeAtPath(schema: StructType,
+      path: String): Option[org.apache.spark.sql.types.DataType] =
+    path.split('.').foldLeft(
+      Option(schema: org.apache.spark.sql.types.DataType)) {
+      case (Some(st: StructType), seg) =>
+        st.fields.find(_.name == seg).map(_.dataType)
+      case _ => None
+    }
+
   /** CURRENT-name → PHYSICAL-name translation for a file staged under
     * `st.epoch`: a current column maps iff its field id already
     * existed at that epoch — a dropped-and-re-added name maps to
@@ -1226,12 +1267,12 @@ object ManifestedTable {
     fs.mkdirs(root)
     require(manifestVersions(fs, root).isEmpty,
       s"a manifested table already exists at $dir")
-    // epoch 0: field ids 1..n in declared order — the anchor every
-    // later RENAME/DROP/ADD evolves from
+    // epoch 0: field ids 1..n in declared order (nested struct leaves
+    // included, see leafIds) — the anchor every later RENAME/DROP/ADD
+    // evolves from
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
-    val epoch0 = schema.fieldNames.zipWithIndex
-      .map { case (n, i) => (i + 1) -> n }.toMap
+    val epoch0 = leafIds(schema)
     publish(fs, root, Replace, Nil,
       Map(SchemaKey -> schemaJson, OpKey -> "create",
         FieldEpochsKey -> encodeEpochs(Seq(epoch0))) ++ extraMeta)
@@ -2031,14 +2072,61 @@ object ManifestedTable {
           val em = epochs(ei)
           val phys = cur.flatMap { case (id, c) => em.get(id).map(c -> _) }
           val df = readLive(spark, root, es, mergeSchema = true, withMeta)
-          val avail = df.columns.toSet
+          val dfSchema = df.schema
           val metaCols = if (withMeta) Seq("__file", "__pos") else Nil
+          // a physical dotted path resolves as a getField chain off its
+          // top-level column (never a parsed string — names are data)
+          def physCol(pp: String): Column = {
+            val segs = pp.split('.').toSeq
+            segs.tail.foldLeft(col(segs.head))(_.getField(_))
+          }
+          // NESTED field-id translation: a declared struct rebuilds
+          // member-by-member through the dotted id map — a renamed
+          // inner field reads its old bytes, an inner field whose id
+          // didn't exist at the file's epoch (incl. dropped-and-
+          // re-added names) reads NULL, and a NULL struct VALUE stays
+          // NULL (struct() of nulls is not null)
+          def structExpr(curPath: String, physTop: Column,
+              st: StructType): Column =
+            when(physTop.isNotNull,
+              org.apache.spark.sql.functions.struct(
+                st.fields.toSeq.map { inf =>
+                  val cp = s"$curPath.${inf.name}"
+                  phys.get(cp)
+                    .filter(pp => typeAtPath(dfSchema, pp).isDefined) match {
+                    case None => lit(null).cast(inf.dataType).as(inf.name)
+                    case Some(pp) => inf.dataType match {
+                      case s2: StructType =>
+                        structExpr(cp, physCol(pp), s2).as(inf.name)
+                      case dt2 => physCol(pp).cast(dt2).as(inf.name)
+                    }
+                  }
+                }: _*))
+          // translation is a no-op for a subtree whose current paths
+          // all equal their physical paths and exist — skip the
+          // rebuild (and keep the column vectorizable downstream)
+          def subtreeIdentity(curPath: String, st: StructType): Boolean =
+            st.fields.forall { inf =>
+              val cp = s"$curPath.${inf.name}"
+              phys.get(cp).contains(cp) &&
+                typeAtPath(dfSchema, cp).isDefined &&
+                (inf.dataType match {
+                  case s2: StructType => subtreeIdentity(cp, s2)
+                  case _ => true
+                })
+            }
           df.select(declared.fields.toSeq.map { f =>
-            phys.get(f.name).filter(avail) match {
+            phys.get(f.name)
+              .filter(pp => typeAtPath(dfSchema, pp).isDefined) match {
               // cast to the DECLARED type: files written before a
               // type-widening ALTER carry the narrower physical type
               // (a same-type cast folds away in the optimizer)
-              case Some(pn) => col(pn).cast(f.dataType).as(f.name)
+              case Some(pn) => f.dataType match {
+                case st: StructType
+                    if !(pn == f.name && subtreeIdentity(f.name, st)) =>
+                  structExpr(f.name, col(pn), st).as(f.name)
+                case dt => col(pn).cast(dt).as(f.name)
+              }
               case None => lit(null).cast(f.dataType).as(f.name)
             }
           } ++ metaCols.map(col): _*)
