@@ -2600,6 +2600,59 @@ object RelEntry {
       }
     }),
 
+    // ---- T105: per-commit CDF with change-type columns --------------------
+    "q197_changelog_view" -> ((s, d) => {
+      // the table_changes face: a lifecycle of commits (CTAS, append,
+      // engine-planned MERGE, DELETE) replayed commit-by-commit from
+      // ONE batch read — CALL create_changelog_view registers the
+      // per-commit CDF with _change_type (insert/delete/
+      // update_preimage/update_postimage via the identifier column),
+      // _commit_version, and _commit_timestamp. The per-commit diff
+      // rides the manifest symmetric difference: unchanged files never
+      // open, identical rows of rewritten files cancel, so each commit
+      // contributes exactly its own row-level delta. The oracle
+      // replays every commit relationally with literal versions.
+      val wh = java.nio.file.Files.createTempDirectory("graft_cl_q").toString
+      s.conf.set("spark.sql.catalog.g197", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g197.root", wh)
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g197_src")
+      s.sql("DROP TABLE IF EXISTS g197.t")
+      s.sql("""CREATE TABLE g197.t AS
+              |SELECT k, c, cents FROM g197_src WHERE k % 3 < 2""".stripMargin)
+      s.sql("""INSERT INTO g197.t
+              |SELECT k + 507000000, c, cents + 1 FROM g197_src
+              |WHERE k % 10 = 4""".stripMargin)
+      s.sql("""MERGE INTO g197.t t
+              |USING (SELECT k, c, cents - 7 AS cents FROM g197_src
+              |       WHERE k % 9 = 1
+              |       UNION ALL
+              |       SELECT k + 607000000, c, cents FROM g197_src
+              |       WHERE k % 9 = 5) s
+              |ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET cents = s.cents
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("DELETE FROM g197.t WHERE c % 13 = 5")
+      s.sql("""CALL g197.system.create_changelog_view(
+              |  't', 0, 5, 'g197_changes', 'k')""".stripMargin)
+      val out = s.sql(
+        """SELECT _change_type AS ctype,
+          |  CAST(_commit_version AS BIGINT) AS v,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS BIGINT) AS cents_sum
+          |FROM g197_changes
+          |GROUP BY _change_type, _commit_version""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g197.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T104: nested types + nested field-id evolution -------------------
     "q196_nested_lakehouse" -> ((s, d) => {
       // struct columns through the whole lakehouse tier, in plain SQL:
@@ -3604,6 +3657,50 @@ object RelEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM cur WHERE c % 10 = 3
         |GROUP BY c""".stripMargin,
+
+    // q197 mirror: every commit's row-level delta replayed
+    // relationally with literal change types and versions — v1 is the
+    // no-file CREATE (contributes nothing), v2 the CTAS image, v3 the
+    // feed, v4 the merge (pre/post images via the identifier column,
+    // unmatched keys as inserts), v5 the delete's victims
+    "q197_changelog_view" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1set AS (SELECT k, c, cents FROM base WHERE k % 3 < 2),
+        |f3 AS (
+        |  SELECT k + 507000000 AS k, c, cents + 1 AS cents
+        |  FROM base WHERE k % 10 = 4),
+        |msrc AS (
+        |  SELECT k, c, cents - 7 AS cents FROM base WHERE k % 9 = 1
+        |  UNION ALL
+        |  SELECT k + 607000000 AS k, c, cents FROM base WHERE k % 9 = 5),
+        |pre4 AS (SELECT * FROM v1set UNION ALL SELECT * FROM f3),
+        |mpre AS (
+        |  SELECT t.* FROM pre4 t WHERE t.k IN (SELECT k FROM msrc)),
+        |mpost AS (
+        |  SELECT t.k, t.c, s.cents FROM pre4 t JOIN msrc s ON t.k = s.k),
+        |mins AS (
+        |  SELECT s.* FROM msrc s WHERE s.k NOT IN (SELECT k FROM pre4)),
+        |merged AS (
+        |  SELECT t.k, t.c,
+        |         CASE WHEN s.k IS NOT NULL THEN s.cents ELSE t.cents END
+        |           AS cents
+        |  FROM pre4 t LEFT JOIN msrc s ON t.k = s.k
+        |  UNION ALL SELECT * FROM mins),
+        |changes AS (
+        |  SELECT 'insert' AS ctype, 2 AS v, cents FROM v1set
+        |  UNION ALL SELECT 'insert', 3, cents FROM f3
+        |  UNION ALL SELECT 'update_preimage', 4, cents FROM mpre
+        |  UNION ALL SELECT 'update_postimage', 4, cents FROM mpost
+        |  UNION ALL SELECT 'insert', 4, cents FROM mins
+        |  UNION ALL SELECT 'delete', 5, cents FROM merged
+        |    WHERE c % 13 = 5)
+        |SELECT ctype, CAST(v AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM changes GROUP BY ctype, v""".stripMargin,
 
     // q196 mirror: the nested-evolution lifecycle replayed with FLAT
     // columns — nested rename = aliasing, nested drop+re-add = every

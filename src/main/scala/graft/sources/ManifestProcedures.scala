@@ -155,6 +155,28 @@ private[sources] object ManifestProcedures {
         ManifestedTable.promoteBranch(SparkSession.active, dir,
           in.getUTF8String(1).toString)
       }(resolveDir))
+      case "create_changelog_view" => Some(proc("create_changelog_view",
+        Seq(table,
+          ProcedureParameter.in("from_version", LongType).build(),
+          ProcedureParameter.in("to_version", LongType).build(),
+          ProcedureParameter.in("view_name", StringType).build(),
+          ProcedureParameter.in("identifier_cols", StringType).build()),
+        StructType(Seq(StructField("view", StringType, nullable = false)))) {
+        (dir, in) =>
+          // the Iceberg create_changelog_view construction: the
+          // per-commit CDF (with _change_type/_commit_version/
+          // _commit_timestamp) registers as a temp view — data rows
+          // stay distributed, only the view NAME returns here.
+          // identifier_cols ('' = none) pairs delete+insert within a
+          // commit into update_pre/postimage.
+          val view = in.getUTF8String(3).toString
+          val ids = in.getUTF8String(4).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          ManifestedTable.tableChanges(SparkSession.active, dir,
+            in.getLong(1), in.getLong(2), ids)
+            .createOrReplaceTempView(view)
+          UTF8String.fromString(view)
+      }(resolveDir))
       case "set_partition_spec" => Some(proc("set_partition_spec",
         Seq(table, ProcedureParameter.in("spec", StringType).build()),
         VersionOut) { (dir, in) =>
@@ -213,5 +235,6 @@ private[sources] object ManifestProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "optimize", "vacuum", "restore", "history",
-      "promote_branch", "drop_branch", "branches", "set_partition_spec")
+      "promote_branch", "drop_branch", "branches", "set_partition_spec",
+      "create_changelog_view")
 }

@@ -172,6 +172,7 @@ object ManifestedTable {
     manifestVersions(fsOf(spark, dir), new Path(dir)).map(_._1)
 
   private def linesAt(fs: FileSystem, root: Path, version: Long): Seq[String] = {
+    if (version == 0L) return Nil // the empty pre-creation snapshot
     val vs = manifestVersions(fs, root)
     if (!vs.exists(_._1 == version)) throw
       new IllegalArgumentException(s"version $version not retained under " +
@@ -283,6 +284,74 @@ object ManifestedTable {
         val r = rAll.select(a.columns.map(col).toIndexedSeq: _*)
         (a.exceptAll(r), r.exceptAll(a))
     }
+  }
+
+  /** PER-COMMIT change data feed with change-type columns — the
+    * `table_changes` face Delta/Iceberg consumers script against,
+    * resolved commit-by-commit over the window instead of collapsed:
+    * every data column plus `_change_type`
+    * (insert / delete / update_preimage / update_postimage),
+    * `_commit_version`, and `_commit_timestamp` (the `#ts=` commit
+    * clock), one batch read replaying `(fromV, toV]` in order.
+    *
+    * Each MAIN commit diffs against its TRUE lineage parent with the
+    * same manifest-symmetric-difference trick as [[changesBetween]] —
+    * unchanged files never open, identical rows of rewritten files
+    * cancel — so a commit contributes exactly its own row-level delta;
+    * branch staging commits are invisible (their rows surface at the
+    * promote commit, which is main lineage). Version 0 is the empty
+    * pre-creation snapshot, so `fromV = 0` replays the whole retained
+    * history.
+    *
+    * `idCols` (the Iceberg `create_changelog_view` identifier-columns
+    * construction) upgrades delete+insert pairs WITHIN one commit that
+    * share an identifier tuple into update_preimage/update_postimage;
+    * without it every change reads as insert or delete. A window
+    * crossing vacuum's retention horizon fails loudly (the parent
+    * manifest is gone), never silently skips.
+    */
+  def tableChanges(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long, idCols: Seq[String] = Nil): DataFrame = {
+    require(fromV <= toV, s"tableChanges window is reversed: $fromV > $toV")
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val vs = manifestVersions(fs, root)
+    require(vs.nonEmpty, s"no committed manifest under $dir")
+    import org.apache.spark.sql.functions.timestamp_millis
+    def stamp(df: DataFrame, tpe: String, v: Long, ts: Long): DataFrame = df
+      .withColumn("_change_type", lit(tpe))
+      .withColumn("_commit_version", lit(v))
+      .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+    val parts = vs.filter { case (v, _) => v > fromV && v <= toV }
+      .flatMap { case (v, p) =>
+        val m = readMeta(fs, p)
+        if (m.contains(BranchKey)) None
+        else {
+          val parent = m.get(BaseKey).map(_.toLong).getOrElse(v - 1)
+          val (a0, r0) = changesBetween(spark, dir, parent, v)
+          val ts = commitMs(fs, p)
+          val both =
+            if (idCols.isEmpty)
+              stamp(a0, "insert", v, ts)
+                .unionByName(stamp(r0, "delete", v, ts))
+            else {
+              val aKeys = a0.select(idCols.map(col): _*).distinct()
+              val rKeys = r0.select(idCols.map(col): _*).distinct()
+              stamp(a0.join(rKeys, idCols, "left_semi"),
+                  "update_postimage", v, ts)
+                .unionByName(stamp(a0.join(rKeys, idCols, "left_anti"),
+                  "insert", v, ts))
+                .unionByName(stamp(r0.join(aKeys, idCols, "left_semi"),
+                  "update_preimage", v, ts))
+                .unionByName(stamp(r0.join(aKeys, idCols, "left_anti"),
+                  "delete", v, ts))
+            }
+          Some(both)
+        }
+      }
+    if (parts.isEmpty)
+      stamp(read(spark, dir, mergeSchema = true).limit(0), "insert", 0L, 0L)
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // ---- per-file column stats, embedded in the manifest -----------------

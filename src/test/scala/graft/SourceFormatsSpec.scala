@@ -1872,4 +1872,53 @@ class SourceFormatsSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS gm_ns.t")
     }
   }
+
+  test("graft-manifest per-commit CDF: change types, identifier pairing, branch invisibility") {
+    import graft.sources.ManifestedTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tc").toString
+    // v1 base, v2 append, v3 merge (update k=1, insert k=10), branch
+    // staging commit (invisible), v5 delete k=2
+    ManifestedTable.write(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("k", "v"), dir)
+    ManifestedTable.write(Seq((4L, 40.0)).toDF("k", "v"), dir,
+      overwrite = false)
+    ManifestedTable.merge(spark, dir,
+      Seq((1L, 11.0), (10L, 100.0)).toDF("k", "v"), Seq("k"))
+    ManifestedTable.writeBranch(Seq((99L, 999.0)).toDF("k", "v"), dir,
+      "staging")
+    ManifestedTable.deleteWhere(spark, dir, col("k") === 2L)
+    val ch = ManifestedTable.tableChanges(spark, dir, 0L,
+      ManifestedTable.currentVersion(spark, dir), Seq("k"))
+    val got = ch.select(col("_change_type"), col("_commit_version"),
+      col("k"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._2, t._1, t._3)).toSeq
+    assert(got == Seq(
+      ("insert", 1L, 1L, 10.0), ("insert", 1L, 2L, 20.0),
+      ("insert", 1L, 3L, 30.0),
+      ("insert", 2L, 4L, 40.0),
+      ("insert", 3L, 10L, 100.0),
+      ("update_postimage", 3L, 1L, 11.0),
+      ("update_preimage", 3L, 1L, 10.0),
+      ("delete", 5L, 2L, 20.0)), got.toString)
+    // the staged branch commit (v4) contributed NOTHING — its rows
+    // surface only at a promote
+    assert(!got.exists(_._3 == 99L))
+    // _commit_timestamp rides the #ts= clock: non-null, non-decreasing
+    val tss = ch.select(col("_commit_version"), col("_commit_timestamp"))
+      .distinct().collect().sortBy(_.getLong(0))
+      .map(_.getTimestamp(1).getTime).toSeq
+    assert(tss.forall(_ > 0L) && tss == tss.sorted)
+    // without identifier columns the same window reads as pure
+    // insert/delete pairs
+    val plain = ManifestedTable.tableChanges(spark, dir, 0L,
+      ManifestedTable.currentVersion(spark, dir))
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == Map("insert" -> 6L, "delete" -> 2L), plain.toString)
+    intercept[IllegalArgumentException] {
+      ManifestedTable.tableChanges(spark, dir, 5L, 0L)
+    }
+  }
 }
