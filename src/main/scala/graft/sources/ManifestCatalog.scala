@@ -89,9 +89,10 @@ class ManifestCatalog extends TableCatalog
   }
 
   /** `VERSION AS OF v` — the snapshot pinned at load time. A
-    * NON-numeric version is a BRANCH name (the Iceberg convention):
-    * `SELECT ... FROM t VERSION AS OF 'staging'` reads the branch
-    * head — the write-audit-publish AUDIT step in plain SQL.
+    * NON-numeric version is a REF name (the Iceberg convention): a
+    * live BRANCH head (the write-audit-publish AUDIT step in plain
+    * SQL), else an immutable TAG (`VERSION AS OF 'train-2026q3'` —
+    * the reproducibility pin vacuum honors forever).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
@@ -100,8 +101,9 @@ class ManifestCatalog extends TableCatalog
         .NoSuchTableException(ident)
     val v = scala.util.Try(version.toLong).getOrElse(
       ManifestedTable.branchHeadVersion(conf, dir, version)
+        .orElse(ManifestedTable.tagVersion(conf, dir, version))
         .getOrElse(throw new IllegalArgumentException(
-          s"no branch '$version' under $dir")))
+          s"no branch or tag '$version' under $dir")))
     new ManifestTable(ManifestDataSource.schemaOf(dir, Some(v)), dir,
       pinnedVersion = Some(v))
   }

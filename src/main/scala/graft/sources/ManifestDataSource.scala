@@ -106,15 +106,17 @@ object ManifestDataSource {
   private[sources] def versionOf(options: CaseInsensitiveStringMap,
       dir: String): Option[Long] = {
     val v = options.get("versionAsOf")
-    // a NON-numeric version is a BRANCH name (the Iceberg convention):
-    // `VERSION AS OF 'staging'` pins the branch head — the SQL face of
-    // the write-audit-publish AUDIT step
+    // a NON-numeric version is a REF name (the Iceberg convention): a
+    // live BRANCH head (`VERSION AS OF 'staging'` — the write-audit-
+    // publish AUDIT step), else an immutable TAG
     if (v != null && v.nonEmpty) return Some(
-      scala.util.Try(v.toLong).getOrElse(
-        ManifestedTable.branchHeadVersion(
-          SparkSession.active.sessionState.newHadoopConf(), dir, v)
+      scala.util.Try(v.toLong).getOrElse {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        ManifestedTable.branchHeadVersion(conf, dir, v)
+          .orElse(ManifestedTable.tagVersion(conf, dir, v))
           .getOrElse(throw new IllegalArgumentException(
-            s"no branch '$v' under $dir"))))
+            s"no branch or tag '$v' under $dir"))
+      })
     val t = options.get("timestampAsOf")
     if (t == null || t.isEmpty) return None
     val millis = scala.util.Try(t.toLong).getOrElse(

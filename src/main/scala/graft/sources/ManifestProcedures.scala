@@ -155,6 +155,59 @@ private[sources] object ManifestProcedures {
         ManifestedTable.promoteBranch(SparkSession.active, dir,
           in.getUTF8String(1).toString)
       }(resolveDir))
+      case "create_tag" => Some(proc("create_tag", Seq(table,
+        ProcedureParameter.in("tag", StringType).build(),
+        ProcedureParameter.in("version", LongType).build()),
+        VersionOut) { (dir, in) =>
+        // version ≤ 0 tags the current main head; tags are immutable
+        // and vacuum retains them unconditionally
+        val v = in.getLong(2)
+        ManifestedTable.createTag(SparkSession.active, dir,
+          in.getUTF8String(1).toString, if (v > 0) Some(v) else None)
+      }(resolveDir))
+      case "drop_tag" => Some(proc("drop_tag", Seq(table,
+        ProcedureParameter.in("tag", StringType).build()),
+        StructType(Seq(
+          StructField("dropped", BooleanType, nullable = false)))) {
+        (dir, in) =>
+          ManifestedTable.dropTag(SparkSession.active, dir,
+            in.getUTF8String(1).toString)
+      }(resolveDir))
+      case "tags" => Some(new UnboundProcedure {
+        override def name(): String = "tags"
+        override def description(): String =
+          "graft-manifest maintenance: tags"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "tags"
+            override def description(): String =
+              "graft-manifest maintenance: tags"
+            override def parameters(): Array[ProcedureParameter] =
+              Array(table)
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow)
+                : java.util.Iterator[Scan] = {
+              val dir = resolveDir(input.getUTF8String(0).toString)
+              val out = StructType(Seq(
+                StructField("tag", StringType, nullable = false),
+                StructField("version", LongType, nullable = false),
+                StructField("created_ms", LongType, nullable = false)))
+              // |tags| rows — ref-sized (bound OUTSIDE the anonymous
+              // class, the branches-procedure discipline)
+              val tagRows = ManifestedTable
+                .tags(SparkSession.active, dir).map { case (n, v, ts) =>
+                  new GenericInternalRow(Array[Any](
+                    UTF8String.fromString(n), v, ts)): InternalRow
+                }.toArray
+              Collections.singletonList(new LocalScan {
+                override def rows(): Array[InternalRow] = tagRows
+                override def readSchema(): StructType = out
+                override def description(): String =
+                  "graft-manifest tags"
+              }: Scan).iterator()
+            }
+          }
+      })
       case "create_changelog_view" => Some(proc("create_changelog_view",
         Seq(table,
           ProcedureParameter.in("from_version", LongType).build(),
@@ -236,5 +289,5 @@ private[sources] object ManifestProcedures {
   val Names: Seq[String] =
     Seq("compact", "optimize", "vacuum", "restore", "history",
       "promote_branch", "drop_branch", "branches", "set_partition_spec",
-      "create_changelog_view")
+      "create_changelog_view", "create_tag", "drop_tag", "tags")
 }

@@ -2022,6 +2022,104 @@ object ManifestedTable {
       Map(OpKey -> s"promote($branch)", PromotedKey -> branch))
   }
 
+  // ---- tags: immutable named refs + ref-scoped retention -----------------
+  //
+  // A tag pins a retained version under a NAME, forever — the
+  // audit/reproducibility half of the refs story (a training run pins
+  // its corpus by tag; a quarter-end report pins its books). Tags are
+  // ref FILES beside the manifests (`_manifests/tag-<name>`, one line:
+  // the version, plus a `#ts=` creation stamp) created by
+  // rename-without-overwrite — IMMUTABLE by construction (re-tagging a
+  // name fails; drop + create moves it, leaving an audit gap on
+  // purpose). vacuum() retains tagged versions unconditionally,
+  // whatever keepLast says, and fences their delta chains like any
+  // other retained version — so `VERSION AS OF '<tag>'` keeps working
+  // after maintenance collapses the rest of history.
+
+  private val TagPrefix = "tag-"
+
+  private def tagPathOf(root: Path, name: String): Path =
+    new Path(new Path(root, ManifestDir), s"$TagPrefix$name")
+
+  /** Tag `version` (default: the current MAIN head) as `name`.
+    * Creating an existing tag fails — tags never move silently.
+    */
+  def createTag(spark: SparkSession, dir: String, name: String,
+      version: Option[Long] = None): Long = {
+    checkRefName(name)
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val vs = manifestVersions(fs, root)
+    require(vs.nonEmpty, s"no committed manifest under $dir")
+    val v = version.getOrElse(headVersion(fs, root, None).map(_._1)
+      .getOrElse(throw new IllegalStateException(
+        s"no main commit under $dir")))
+    require(vs.exists(_._1 == v),
+      s"cannot tag version $v of $dir: not retained " +
+        s"(have ${vs.map(_._1).mkString(",")})")
+    val tp = tagPathOf(root, name)
+    require(!fs.exists(tp), s"tag '$name' already exists under $dir — " +
+      "tags are immutable (drop_tag first to move it)")
+    val body = s"$v\n#ts=${System.currentTimeMillis()}\n"
+      .getBytes(StandardCharsets.UTF_8)
+    val tmp = new Path(new Path(root, ManifestDir),
+      s".$TagPrefix$name.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body) finally out.close()
+    // rename-without-overwrite: a racing create of the same name
+    // loses loudly, never silently re-points
+    if (fs.exists(tp) || !fs.rename(tmp, tp)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"tag '$name' creation lost a race under $dir")
+    }
+    v
+  }
+
+  /** Release `name` — its version rejoins normal retention at the
+    * next vacuum. Returns false when the tag doesn't exist.
+    */
+  def dropTag(spark: SparkSession, dir: String, name: String): Boolean = {
+    checkRefName(name)
+    val fs = fsOf(spark, dir)
+    val tp = tagPathOf(new Path(dir), name)
+    fs.exists(tp) && fs.delete(tp, false)
+  }
+
+  /** Live tags: (name, version, created ms), name-sorted. */
+  def tags(spark: SparkSession, dir: String): Seq[(String, Long, Long)] =
+    tagsConf(fsOf(spark, dir), new Path(dir))
+
+  private def tagsConf(fs: FileSystem, root: Path): Seq[(String, Long, Long)] = {
+    val mdir = new Path(root, ManifestDir)
+    if (!fs.exists(mdir)) return Nil
+    fs.listStatus(mdir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(TagPrefix))
+      .flatMap { s =>
+        scala.util.Try {
+          val lines = readManifestRaw(fs, s.getPath)
+          val v = lines.head.trim.toLong
+          val ts = lines.collectFirst {
+            case l if l.startsWith("#ts=") => l.stripPrefix("#ts=").toLong
+          }.getOrElse(s.getModificationTime)
+          (s.getPath.getName.stripPrefix(TagPrefix), v, ts)
+        }.toOption
+      }.sortBy(_._1)
+  }
+
+  /** The version `name` pins, if tagged (conf-parameterized for the
+    * catalog's `VERSION AS OF '<tag>'` resolution).
+    */
+  private[sources] def tagVersion(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      name: String): Option[Long] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val tp = tagPathOf(root, name)
+    if (!fs.exists(tp)) None
+    else scala.util.Try(readManifestRaw(fs, tp).head.trim.toLong).toOption
+  }
+
   /** Drop `branch`: one tombstone commit — the staged snapshot
     * becomes invisible and its files become vacuum-reclaimable.
     */
@@ -2761,8 +2859,14 @@ object ManifestedTable {
     // commit as the newest global version, keepLast alone could drop
     // the snapshot every main reader resolves
     val mainHeadV = headVersion(fs, root, None).map(_._1).getOrElse(0L)
+    // TAGGED versions are retained unconditionally, whatever keepLast
+    // says — ref-scoped retention: a tag is a promise that `VERSION AS
+    // OF '<tag>'` outlives maintenance; drop_tag releases the version
+    // back to normal retention
+    val taggedVs: Set[Long] = tagsConf(fs, root).map(_._2).toSet
     val dropped = vs.dropRight(keepLast)
       .filter(v => !branchHeadVs(v._1) && v._1 != mainHeadV &&
+        !taggedVs(v._1) &&
         fs.getFileStatus(v._2).getModificationTime <= cutoff)
     val droppedSet = dropped.map(_._1).toSet
     val retained = vs.filterNot(v => droppedSet(v._1))

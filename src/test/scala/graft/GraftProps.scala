@@ -717,6 +717,8 @@ object GraftProps extends Properties("graft") {
   private case object TDropBranch extends TOp
   private case object TVacuum extends TOp
   private case object TCompact extends TOp
+  private case object TCreateTag extends TOp
+  private case object TDropTag extends TOp
 
   private val genTOp: Gen[TOp] = Gen.frequency(
     4 -> (for { lo <- Gen.choose(0L, 900L); n <- Gen.choose(1, 6) }
@@ -730,7 +732,9 @@ object GraftProps extends Properties("graft") {
     2 -> Gen.const(TPromote),
     1 -> Gen.const(TDropBranch),
     2 -> Gen.const(TVacuum),
-    2 -> Gen.const(TCompact))
+    2 -> Gen.const(TCompact),
+    2 -> Gen.const(TCreateTag),
+    1 -> Gen.const(TDropTag))
 
   property("manifested table: random commit trees match the in-memory model") =
     forAll(Gen.listOfN(8, genTOp)) { ops =>
@@ -742,6 +746,9 @@ object GraftProps extends Properties("graft") {
       var main: Vector[Long] = (0L until 4L).toVector
       var branch: Option[Vector[Long]] = None
       var mainMovedSinceFork = false
+      // one optional tag: (tagged version, its row image) — must stay
+      // readable through EVERYTHING below, vacuum included
+      var tag: Option[(Long, Vector[Long])] = None
       def readKeys(r: DataFrame): Vector[Long] =
         r.select("k").collect().map(_.getLong(0)).toVector.sorted
       val ok = ops.forall { op =>
@@ -790,6 +797,16 @@ object GraftProps extends Properties("graft") {
           case TVacuum =>
             ManifestedTable.vacuum(spark, d, keepLast = 2,
               minAgeMillis = 0L)
+          case TCreateTag =>
+            if (tag.isEmpty && main.nonEmpty) {
+              val tv = ManifestedTable.createTag(spark, d, "pin")
+              tag = Some((tv, main))
+            }
+          case TDropTag =>
+            if (tag.isDefined) {
+              ManifestedTable.dropTag(spark, d, "pin")
+              tag = None
+            }
           case TCompact =>
             // content-preserving main rewrite (materializes DVs away);
             // a branch open across it makes a later promote
@@ -809,7 +826,11 @@ object GraftProps extends Properties("graft") {
           else readKeys(ManifestedTable.read(spark, d)) == main.sorted
         val branchOk = branch.forall(b =>
           readKeys(ManifestedTable.readBranch(spark, d, "b")) == b.sorted)
-        mainOk && branchOk
+        // ref-scoped retention: the tagged version's full image stays
+        // readable whatever vacuumed/compacted/promoted since
+        val tagOk = tag.forall { case (tv, keys) =>
+          readKeys(ManifestedTable.readAt(spark, d, tv)) == keys.sorted }
+        mainOk && branchOk && tagOk
       }
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(d))

@@ -1921,4 +1921,72 @@ class SourceFormatsSpec extends SparkTestBase {
       ManifestedTable.tableChanges(spark, dir, 5L, 0L)
     }
   }
+
+  test("graft-manifest tags: immutable refs, VERSION AS OF tag, ref-scoped vacuum retention") {
+    import graft.sources.ManifestedTable
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_tag").toString
+    spark.conf.set("spark.sql.catalog.gm_tag",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_tag.root", wh)
+    try {
+      spark.sql("""CREATE TABLE gm_tag.t AS
+        SELECT id AS k, CAST(id * 2 AS BIGINT) AS v FROM range(100)""")
+      val dir = s"$wh/t"
+      val v2 = ManifestedTable.currentVersion(spark, dir)
+      spark.sql("CALL gm_tag.system.create_tag('t', 'train-q3', 0)")
+      spark.sql("""INSERT OVERWRITE gm_tag.t
+        SELECT id AS k, CAST(id * 3 AS BIGINT) AS v FROM range(10)""")
+      spark.sql("""INSERT INTO gm_tag.t VALUES (999, CAST(7 AS BIGINT))""")
+
+      // the tag resolves through plain SQL and pins the OLD image
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_tag.t VERSION AS OF 'train-q3'")
+        .head.getLong(0) == 100)
+      assert(spark.sql("SELECT count(*) AS n FROM gm_tag.t")
+        .head.getLong(0) == 11)
+      val tagRows = spark.sql("CALL gm_tag.system.tags('t')").collect()
+      assert(tagRows.length == 1 &&
+        tagRows.head.getString(0) == "train-q3" &&
+        tagRows.head.getLong(1) == v2)
+
+      // tags are IMMUTABLE: re-tagging the name refuses
+      intercept[Exception] {
+        spark.sql("CALL gm_tag.system.create_tag('t', 'train-q3', 0)")
+      }
+
+      // ref-scoped retention: a keepLast=1 vacuum collapses history
+      // but the TAGGED version stays readable (manifest retained,
+      // chain fenced, files alive)
+      ManifestedTable.vacuum(spark, dir, keepLast = 1, minAgeMillis = 0L)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_tag.t VERSION AS OF 'train-q3'")
+        .head.getLong(0) == 100,
+        "vacuum reclaimed a tagged version")
+      assert(spark.sql(
+        "SELECT sum(v) AS s FROM gm_tag.t VERSION AS OF 'train-q3'")
+        .head.getLong(0) == (0 until 100).map(_ * 2L).sum)
+      // untagged intermediate history is gone (keepLast=1 collapsed it)
+      assert(ManifestedTable.versions(spark, dir).size <= 3)
+
+      // drop_tag releases: the next vacuum reclaims the version
+      spark.sql("CALL gm_tag.system.drop_tag('t', 'train-q3')")
+      ManifestedTable.vacuum(spark, dir, keepLast = 1, minAgeMillis = 0L)
+      intercept[Exception] {
+        spark.sql(
+          "SELECT count(*) FROM gm_tag.t VERSION AS OF 'train-q3'")
+          .collect()
+      }
+      assert(!ManifestedTable.versions(spark, dir).contains(v2),
+        "a dropped tag's version survived vacuum")
+      // branch machinery untouched: a branch stages and promotes
+      ManifestedTable.writeBranch(Seq((5000L, 1L)).toDF("k", "v"), dir,
+        "wap")
+      ManifestedTable.promoteBranch(spark, dir, "wap")
+      assert(spark.sql("SELECT count(*) AS n FROM gm_tag.t")
+        .head.getLong(0) == 12)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm_tag.t")
+    }
+  }
 }
