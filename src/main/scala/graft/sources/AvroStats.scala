@@ -75,17 +75,17 @@ private[sources] object AvroStats {
   // observe at write, refute EqualTo at planning — is what's load-
   // bearing. A false POSITIVE only keeps a file; pruning is wrong only
   // if a present value probes absent, which cannot happen.
-  private val BloomWords = 16        // 16 × 64 = 1024 bits
-  private val BloomK = 4
-  private val GoldenGamma = 0x9E3779B97F4A7C15L
+  private[sources] val BloomWords = 16        // 16 × 64 = 1024 bits
+  private[sources] val BloomK = 4
+  private[sources] val GoldenGamma = 0x9E3779B97F4A7C15L
 
-  private def mix64(z0: Long): Long = {
+  private[sources] def mix64(z0: Long): Long = {
     var z = z0 + GoldenGamma
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
-  private def hashBytes(bs: Array[Byte]): Long = {
+  private[sources] def hashBytes(bs: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L // FNV-1a 64
     var i = 0
     while (i < bs.length) { h = (h ^ (bs(i) & 0xffL)) * 0x100000001b3L; i += 1 }
@@ -95,7 +95,7 @@ private[sources] object AvroStats {
     * side) and refute (plan side) — fold -0.0 exactly as the interval
     * tracker does so EqualTo(0.0) still sees -0.0 rows.
     */
-  private def valueHash(v: Any): Option[Long] = v match {
+  private[sources] def valueHash(v: Any): Option[Long] = v match {
     case y: Long    => Some(mix64(y))
     case y: Int     => Some(mix64(y.toLong))
     case y: Double  =>
@@ -109,7 +109,7 @@ private[sources] object AvroStats {
       Some(mix64(hashBytes(y.getBytes)))
     case _ => None
   }
-  private def setBits(bits: Array[Long], h1: Long): Unit = {
+  private[sources] def setBits(bits: Array[Long], h1: Long): Unit = {
     val h2 = mix64(h1)
     var i = 0
     while (i < BloomK) {
@@ -118,7 +118,7 @@ private[sources] object AvroStats {
       i += 1
     }
   }
-  private def testBits(bits: Array[Long], h1: Long): Boolean = {
+  private[sources] def testBits(bits: Array[Long], h1: Long): Boolean = {
     val h2 = mix64(h1)
     var i = 0
     while (i < BloomK) {
@@ -128,12 +128,12 @@ private[sources] object AvroStats {
     }
     true
   }
-  private def bloomEncode(bits: Array[Long]): String = {
+  private[sources] def bloomEncode(bits: Array[Long]): String = {
     val bb = java.nio.ByteBuffer.allocate(BloomWords * 8)
     bits.foreach(bb.putLong)
     java.util.Base64.getEncoder.encodeToString(bb.array())
   }
-  private def bloomDecode(s: String): Option[Array[Long]] =
+  private[sources] def bloomDecode(s: String): Option[Array[Long]] =
     scala.util.Try {
       val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
       require(bb.remaining() == BloomWords * 8)

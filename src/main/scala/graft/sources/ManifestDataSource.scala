@@ -280,10 +280,24 @@ object ManifestDataSource {
           .getOrElse(false)))
       !refuted
     }
+    // equality probes additionally consult the per-file BLOOM token
+    // (dictionary-fed at stage time): on a non-clustered column the
+    // interval spans everything and prunes nothing — the bloom is what
+    // makes a content_hash point lookup open a handful of files. A
+    // false positive only keeps a file; absence of the token, an
+    // unhashable value, or a corrupt encoding all conservatively match.
+    def bloomMay(a: String, v: Any): Boolean =
+      st.blooms.get(a).forall { b64 =>
+        AvroStats.valueHash(v).forall { h =>
+          AvroStats.bloomDecode(b64).forall(AvroStats.testBits(_, h))
+        }
+      }
     f match {
-      case EqualTo(a, v) => inside(a, v, loOk = true, hiOk = true)
+      case EqualTo(a, v) =>
+        inside(a, v, loOk = true, hiOk = true) && bloomMay(a, v)
       case In(a, vs) =>
-        vs.isEmpty || vs.exists(v => inside(a, v, loOk = true, hiOk = true))
+        vs.isEmpty || vs.exists(v =>
+          inside(a, v, loOk = true, hiOk = true) && bloomMay(a, v))
       case GreaterThan(a, v) => inside(a, v, loOk = false, hiOk = true)
       case GreaterThanOrEqual(a, v) => inside(a, v, loOk = false, hiOk = true)
       case LessThan(a, v) => inside(a, v, loOk = true, hiOk = false)

@@ -405,7 +405,13 @@ object ManifestedTable {
       // [[ManifestPartitions]]; absent on unpartitioned/engine-staged
       // files, which simply never partition-prune
       pspec: Option[Int] = None,
-      ptuple: Option[String] = None)
+      ptuple: Option[String] = None,
+      // per-column bloom bits (`<col>=b:<b64>` tokens, the AvroStats
+      // construction fed from parquet DICTIONARY pages): equality/IN
+      // refutation on non-clustered high-cardinality columns, where
+      // (lo,hi) intervals can't prune at all. Base64-kept; decoded at
+      // probe time.
+      blooms: Map[String, String] = Map.empty)
 
   private val EmptyStats =
     FileStats(None, Map.empty, Map.empty, Map.empty, None, None, None)
@@ -422,6 +428,7 @@ object ManifestedTable {
     val ls = Map.newBuilder[String, (Long, Long)]
     val ds = Map.newBuilder[String, (Double, Double)]
     val ss = Map.newBuilder[String, (Array[Byte], Array[Byte])]
+    val bl = Map.newBuilder[String, String]
     parts.iterator.drop(1).foreach { tok =>
       if (tok.startsWith("n:")) {
         rows = scala.util.Try(tok.substring(2).toLong).toOption
@@ -451,6 +458,7 @@ object ManifestedTable {
                 val dec = java.util.Base64.getDecoder
                 ss += colName -> (dec.decode(lo), dec.decode(hi))
               }
+            case Array("b", bits) => bl += colName -> bits
             case _ => // unknown kind: forward-compatible skip
           }
         }
@@ -458,7 +466,7 @@ object ManifestedTable {
     }
     (parts(0),
       FileStats(rows, ls.result(), ds.result(), ss.result(), dv, bytes,
-        epoch, pspec, ptuple))
+        epoch, pspec, ptuple, bl.result()))
   }
 
   /** Re-encode `line` with its `dv:` token replaced by `dvPath` (all
@@ -583,7 +591,8 @@ object ManifestedTable {
       case Some(m) => st.copy(
         longs = m.flatMap { case (c, p) => st.longs.get(p).map(c -> _) },
         dbls = m.flatMap { case (c, p) => st.dbls.get(p).map(c -> _) },
-        strs = m.flatMap { case (c, p) => st.strs.get(p).map(c -> _) })
+        strs = m.flatMap { case (c, p) => st.strs.get(p).map(c -> _) },
+        blooms = m.flatMap { case (c, p) => st.blooms.get(p).map(c -> _) })
     }
 
   /** (declared current schema, epoch history) of a declared table at
@@ -639,7 +648,8 @@ object ManifestedTable {
     * statistics (or whose name would collide with the token grammar)
     * contributes no token — it is just never pruned on.
     */
-  private def statLine(fs: FileSystem, root: Path, rel: String): String = {
+  private def statLine(fs: FileSystem, root: Path, rel: String,
+      bloomCols: Set[String] = Set.empty): String = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -711,6 +721,84 @@ object ManifestedTable {
             // all-NULL chunk with usable stats: contributes no bound
             // but does not poison — other chunks may carry values
           }
+        }
+        // BLOOM tokens (the `graft.bloom-columns` property): bits fed
+        // from a PROJECTED read of just those columns at stage time —
+        // parquet's columnar layout means only the declared columns'
+        // pages are read, once, ever (files are immutable; the token
+        // rides every later manifest by reference). This is the
+        // opt-in cost of making equality/IN probes on a NON-CLUSTERED
+        // high-cardinality column (content hashes, ids) skip files —
+        // exactly where (lo,hi) intervals prune nothing and where
+        // dictionary pages can't help either (all-distinct values make
+        // the writer fall back to PLAIN). Oversized files skip the
+        // token (a 1024-bit filter saturates — safe but useless);
+        // hashing is byte-identical to AvroStats' observe/refute pair.
+        val bloomable = bloomCols.toSeq.sorted.filter { name =>
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+          !name.contains('=') && !name.contains(':') &&
+            !name.contains('\t') && {
+              val fileSchema = reader.getFooter.getFileMetaData.getSchema
+              (0 until fileSchema.getFieldCount)
+                .map(fileSchema.getType(_)).exists(t =>
+                  t.getName == name && t.isPrimitive &&
+                    (t.asPrimitiveType().getPrimitiveTypeName match {
+                      case PrimitiveTypeName.INT64 |
+                           PrimitiveTypeName.BINARY => true
+                      case PrimitiveTypeName.INT32 =>
+                        !t.getLogicalTypeAnnotation.isInstanceOf[
+                          LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+                      case _ => false
+                    }))
+            }
+        }
+        if (bloomable.nonEmpty &&
+            blocks.map(_.getRowCount).sum <= 262144L) {
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+          val fileSchema = reader.getFooter.getFileMetaData.getSchema
+          val projected = new org.apache.parquet.schema.MessageType(
+            fileSchema.getName,
+            bloomable.map(n =>
+              fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+          val c = new org.apache.hadoop.conf.Configuration(fs.getConf)
+          c.set(org.apache.parquet.hadoop.api.ReadSupport
+            .PARQUET_READ_SCHEMA, projected.toString)
+          val pr = org.apache.parquet.hadoop.ParquetReader.builder(
+            new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new Path(root, rel)).withConf(c).build()
+          try {
+            val bitsByCol = bloomable.map(_ =>
+              new Array[Long](AvroStats.BloomWords))
+            val hashers: Seq[org.apache.parquet.example.data.Group => Int => Long] =
+              bloomable.zipWithIndex.map { case (n, j) =>
+                projected.getType(j).asPrimitiveType()
+                  .getPrimitiveTypeName match {
+                  case PrimitiveTypeName.INT64 =>
+                    (g: org.apache.parquet.example.data.Group) =>
+                      (_: Int) => AvroStats.valueHash(g.getLong(j, 0)).get
+                  case PrimitiveTypeName.INT32 =>
+                    (g: org.apache.parquet.example.data.Group) =>
+                      (_: Int) => AvroStats.valueHash(g.getInteger(j, 0)).get
+                  case _ =>
+                    (g: org.apache.parquet.example.data.Group) =>
+                      (_: Int) => AvroStats.mix64(AvroStats.hashBytes(
+                        g.getBinary(j, 0).getBytes))
+                }
+              }
+            var g = pr.read()
+            while (g != null) {
+              var j = 0
+              while (j < bloomable.size) {
+                if (g.getFieldRepetitionCount(j) > 0)
+                  AvroStats.setBits(bitsByCol(j), hashers(j)(g)(0))
+                j += 1
+              }
+              g = pr.read()
+            }
+            bloomable.zipWithIndex.foreach { case (n, j) =>
+              toks += s"$n=b:${AvroStats.bloomEncode(bitsByCol(j))}"
+            }
+          } finally pr.close()
         }
         val enc = java.util.Base64.getEncoder
         longLo.toSeq.sortBy(_._1).foreach { case (n2, lo) =>
@@ -1259,17 +1347,29 @@ object ManifestedTable {
     * disk — the DSv2 replace-write's commit step (same pooled footer
     * reads as [[stageFiles]]).
     */
+  /** Columns the `graft.bloom-columns` table property asks bloom
+    * tokens for (deployment dial: each costs ~172 b64 bytes per file
+    * line — spent only where equality probes on a non-clustered
+    * column matter).
+    */
+  private def bloomColsOf(meta: Map[String, String]): Set[String] =
+    meta.get(s"${PropPrefix}graft.bloom-columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
   private[sources] def statLines(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
       rels: Seq[String], branch: Option[String] = None): Seq[String] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    stampEpoch(statLinesRaw(fs, root, rels), epochToken(fs, root, branch))
+    val headMeta = headMetaOf(fs, root, branch)
+    stampEpoch(statLinesRaw(fs, root, rels, bloomColsOf(headMeta)),
+      epochTokenOf(headMeta))
   }
 
   private def statLinesRaw(fs: FileSystem, root: Path,
-      rels: Seq[String]): Seq[String] = {
-    if (rels.size <= 1) rels.map(rel => statLine(fs, root, rel))
+      rels: Seq[String], bloomCols: Set[String] = Set.empty): Seq[String] = {
+    if (rels.size <= 1) rels.map(rel => statLine(fs, root, rel, bloomCols))
     else {
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(math.min(16, rels.size))
@@ -1277,7 +1377,7 @@ object ManifestedTable {
         import scala.jdk.CollectionConverters._
         pool.invokeAll(rels.map(rel =>
           new java.util.concurrent.Callable[String] {
-            override def call(): String = statLine(fs, root, rel)
+            override def call(): String = statLine(fs, root, rel, bloomCols)
           }).asJava).asScala.map(_.get()).toSeq
       } finally pool.shutdown()
     }
@@ -1565,6 +1665,7 @@ object ManifestedTable {
     val stagePath = new Path(root, stage)
     val headMeta = headMetaOf(fs, root, branch)
     val epochTok = epochTokenOf(headMeta)
+    val blooms = bloomColsOf(headMeta)
     val specs = ManifestPartitions.decodeSpecs(
       headMeta.get(ManifestPartitions.SpecsKey))
     val curSpec = specs.lastOption.getOrElse(Nil)
@@ -1579,7 +1680,7 @@ object ManifestedTable {
       // Σ(footer): sequential opens would tax every commit by hundreds
       // of ms once a job stages dozens of files (Hadoop FileSystem
       // handles are thread-safe)
-      stampEpoch(statLinesRaw(fs, root, rels), epochTok)
+      stampEpoch(statLinesRaw(fs, root, rels, blooms), epochTok)
     } else {
       import org.apache.spark.sql.functions.{col => c}
       val names = curSpec.indices.map(i => s"__gp$i")
@@ -1625,7 +1726,7 @@ object ManifestedTable {
       val rels = entriesP.map(_._1)
       val tokByRel = entriesP.toMap
       val specIdx = specs.size - 1
-      stampEpoch(statLinesRaw(fs, root, rels), epochTok).map { line =>
+      stampEpoch(statLinesRaw(fs, root, rels, blooms), epochTok).map { line =>
         val rel = pathOf(line)
         s"$line\tps:$specIdx\tpt:${tokByRel(rel)}"
       }

@@ -1989,4 +1989,65 @@ class SourceFormatsSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS gm_tag.t")
     }
   }
+
+  test("graft-manifest bloom tokens: point probes on a non-clustered column skip files") {
+    import graft.sources.ManifestedTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_blm").toString
+    val conf = spark.sessionState.newHadoopConf()
+    // the property FIRST (v1, no files), so every later stage reads it
+    ManifestedTable.setTableProperties(conf, dir,
+      Map("graft.bloom-columns" -> "h,u"))
+    val src = spark.range(800).select(col("id").as("k"),
+      md5(col("id").cast("string")).as("h"),
+      (col("id") * 2654435761L % 1000003L).as("u"),
+      (col("id") % 50).as("v"))
+    // clustered on k: every file spans the FULL h/u range — intervals
+    // cannot prune these probes; the bloom is the only handle
+    ManifestedTable.write(src.repartitionByRange(8, col("k")), dir,
+      overwrite = false)
+    val files = ManifestedTable.currentFiles(spark, dir).size
+    assert(files >= 8)
+    // the manifest carries bloom tokens
+    val mdir = new java.io.File(dir, "_manifests")
+    val manifest = mdir.listFiles()
+      .filter(_.getName.startsWith("manifest-")).maxBy(_.getName)
+    val body = scala.io.Source.fromFile(manifest).mkString
+    assert(body.contains("h=b:") && body.contains("u=b:"),
+      "no bloom tokens in the manifest")
+
+    val face = () => spark.read.format("graft-manifest").load(dir)
+    // a PRESENT string probe finds its row and opens a strict minority
+    val probeH = src.filter(col("k") === 123L).select("h").head.getString(0)
+    val hit = face().filter(col("h") === probeH)
+    assert(hit.count() == 1, "bloom pruning lost a present value")
+    assert(hit.rdd.getNumPartitions * 2 < files,
+      s"h-probe planned ${hit.rdd.getNumPartitions} of $files")
+    // an ABSENT probe refutes (almost) everything
+    val miss = face().filter(col("h") === "no-such-hash")
+    assert(miss.count() == 0)
+    assert(miss.rdd.getNumPartitions * 2 < files)
+    // long-domain probes prune too (u is scattered, intervals useless)
+    val probeU = src.filter(col("k") === 77L).select("u").head.getLong(0)
+    val hitU = face().filter(col("u") === probeU)
+    assert(hitU.count() >= 1)
+    assert(hitU.rdd.getNumPartitions * 2 < files,
+      s"u-probe planned ${hitU.rdd.getNumPartitions} of $files")
+    // IN probes: the union of per-value candidates
+    val inProbe = face().filter(col("h").isin(probeH, "nope"))
+    assert(inProbe.count() == 1)
+    assert(inProbe.rdd.getNumPartitions * 2 < files)
+    // the untracked column (no token) stays conservatively unpruned
+    // AND correct
+    assert(face().filter(col("v") === 7L).count() ==
+      src.filter(col("v") === 7L).count())
+    // aggregate pushdown still serves from the manifest (bloom tokens
+    // are orthogonal to the fold)
+    val agg = face().agg(count(lit(1)).as("n"), max(col("k")).as("hi"))
+    assert(agg.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        => b.scan.description()
+    }.exists(_.contains("aggregate pushdown")))
+    assert(agg.head.getLong(0) == 800L && agg.head.getLong(1) == 799L)
+  }
 }
