@@ -1383,6 +1383,22 @@ object ManifestedTable {
     }
   }
 
+  /** METADATA-BENCH-ONLY commit of pre-encoded manifest lines (no
+    * footer reads, no files on disk — nothing data-touching may ever
+    * read such a table): what lets MetaBench measure the manifest
+    * log's OWN costs (commit bytes/latency, checkpoint cadence,
+    * resolution walks) at production entry counts (10⁴–10⁵ lines)
+    * without staging gigabytes. Production code paths never call this.
+    */
+  private[graft] def publishRawLines(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      lines: Seq[String], overwrite: Boolean): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    publish(fs, root, if (overwrite) Replace else AppendFiles, lines)
+  }
+
   /** Commit already-staged files as the table's next snapshot — the
     * DSv2 clustered-write face's job commit (append, or
     * truncate-overwrite): footer stats + epoch stamp per staged file,
