@@ -428,8 +428,25 @@ object Bench {
     // byte-identical to the pre-gate format.
     val rt =
       if (retries.isEmpty) ""
-      else s""""rt":${retries.valuesIterator.map(_.extra).sum},""" +
-        s""""cont":${retries.valuesIterator.count(_.contended)},"""
+      else {
+        // contq NAMES the still-gated cells (bare keys, usually 0-2):
+        // a gate reading the driver artifact must never take a
+        // loaded-host median at face value — with the marker ON the
+        // cell, "q187 regressed 2x" and "q187 was measured under
+        // contention" are distinguishable from the tail alone
+        // (VERDICT r18 wrong-1; BenchDiff reads the same flag from
+        // bench_result.json's per-query records)
+        // capped at 12 names: the realistic case is 1-3; a session
+        // with dozens is globally junk and the `cont` COUNT already
+        // says so — an unbounded list would blow the head's budget
+        val contq = retries.toSeq.filter(_._2.contended).map(_._1).sorted
+          .take(12)
+          .map(k => s""""${esc(k.takeWhile(_ != '_').stripPrefix("q"))}"""")
+        s""""rt":${retries.valuesIterator.map(_.extra).sum},""" +
+          s""""cont":${retries.valuesIterator.count(_.contended)},""" +
+          (if (contq.isEmpty) ""
+           else s""""contq":[${contq.mkString(",")}],""")
+      }
     // enc must describe what THIS line actually carries — when the
     // ladder drops dmin (or spread) for the tail budget, a fixed enc
     // string would claim fields that aren't there

@@ -184,6 +184,10 @@ class BenchEncodeSpec extends SparkTestBase {
       canary = Nil, retries = Map("q01_agg" ->
         Bench.Retry(2, Seq(6.3, 7.1), contended = true)))
     assert(compact.contains(""""rt":2,"cont":1,"""), compact)
+    // the still-gated cell is NAMED in the tail (bare key): a gate
+    // reading the driver artifact can tell "regressed" from "measured
+    // under contention" per cell
+    assert(compact.contains(""""contq":["01"],"""), compact)
     // no retries → both artifacts byte-identical to the pre-gate format
     val quiet = Bench.compactJson(Seq(("q01_agg", Seq(0.5, 0.6, 0.4))),
       nErrors = 0, total = 0.5, sfDir = "/x", runs = 3, setupSec = 0.2)
@@ -200,6 +204,10 @@ class BenchEncodeSpec extends SparkTestBase {
       retries = retries)
     assert(line.length <= 1800, s"compact bench line too long: ${line.length}")
     assert(line.contains(""""rt":240,"cont":120,"""))
+    // contq caps at 12 names — a session with 120 gated cells is
+    // globally junk and the count already says so
+    assert("\"contq\":\\[([^\\]]*)\\]".r.findFirstMatchIn(line)
+      .exists(_.group(1).split(',').length == 12), line)
   }
 
   test("full json carries every raw run per query") {
