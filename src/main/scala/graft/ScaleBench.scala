@@ -366,6 +366,24 @@ object ScaleBench {
     // itself is METADATA-ONLY (branch lines land by reference), so the
     // cycle should track the data writes, β ~ 1 against the feeds
     "q194_wap_branch",
+    // q195: hidden partitioning — the order book replicates m×, so
+    // the partitioned CTAS/INSERT (one shuffle on the tuple, |tuples|
+    // files per commit — tuple COUNT is scale-free: months and
+    // buckets don't multiply with rows), the spec evolution
+    // (metadata-only), the DELETE, and the cross-seam read all grow
+    // m×; β prices the claim that the tuple-local layout costs one
+    // shuffle, not a per-tuple pass
+    "q195_hidden_partitioning",
+    // q196: nested lakehouse — struct columns through CTAS, three
+    // file generations, and the engine-planned UPDATE (catalyst
+    // writers); the nested ALTERs stay metadata-only, so β prices the
+    // per-epoch-group struct rebuild at read time
+    "q196_nested_lakehouse",
+    // q197: per-commit CDF — every commit's delta (CTAS image, feed,
+    // merge images, delete victims) grows m× and the changelog reads
+    // exactly the symmetric-difference files per commit, so the
+    // replay should track the data it surfaces, β ~ 1
+    "q197_changelog_view",
     // q178: CDC replication — leader snapshots, CDF, and the
     // follower's merge + keyed delete are all m×-proportional (the
     // changed strata scale with the table), so the whole
