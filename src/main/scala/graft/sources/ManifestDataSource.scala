@@ -157,7 +157,10 @@ object ManifestDataSource {
         "are not supported")
     }
     val pick = entries.find(!_._2.rows.contains(0L)).getOrElse(entries.head)
-    spark.read.parquet(new Path(new Path(dir), pick._1).toString).schema
+    // the hidden row-lineage column is id provenance, never data
+    StructType(spark.read.parquet(
+      new Path(new Path(dir), pick._1).toString).schema.fields
+      .filterNot(_.name == ManifestedTable.RowIdCol))
   }
 
   /** A connector V2 expression as a Column, or None when

@@ -411,7 +411,12 @@ object ManifestedTable {
       // refutation on non-clustered high-cardinality columns, where
       // (lo,hi) intervals can't prune at all. Base64-kept; decoded at
       // probe time.
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      // row lineage: `rb:` = the file's row-id base (id = base + pos
+      // for rows without a materialized id); `rim:` marks a rewrite
+      // output carrying ids in its hidden __graft_row_id column
+      rowIdBase: Option[Long] = None,
+      rim: Boolean = false)
 
   private val EmptyStats =
     FileStats(None, Map.empty, Map.empty, Map.empty, None, None, None)
@@ -425,6 +430,8 @@ object ManifestedTable {
     var epoch: Option[Int] = None
     var pspec: Option[Int] = None
     var ptuple: Option[String] = None
+    var rowIdBase: Option[Long] = None
+    var rim: Boolean = false
     val ls = Map.newBuilder[String, (Long, Long)]
     val ds = Map.newBuilder[String, (Double, Double)]
     val ss = Map.newBuilder[String, (Array[Byte], Array[Byte])]
@@ -442,6 +449,10 @@ object ManifestedTable {
         pspec = scala.util.Try(tok.substring(3).toInt).toOption
       } else if (tok.startsWith("pt:")) {
         ptuple = Some(tok.substring(3)).filter(_.nonEmpty)
+      } else if (tok.startsWith("rb:")) {
+        rowIdBase = scala.util.Try(tok.substring(3).toLong).toOption
+      } else if (tok.startsWith("rim:")) {
+        rim = tok.substring(4) == "1"
       } else {
         val eq = tok.indexOf('=')
         if (eq > 0) {
@@ -466,7 +477,7 @@ object ManifestedTable {
     }
     (parts(0),
       FileStats(rows, ls.result(), ds.result(), ss.result(), dv, bytes,
-        epoch, pspec, ptuple, bl.result()))
+        epoch, pspec, ptuple, bl.result(), rowIdBase, rim))
   }
 
   /** Re-encode `line` with its `dv:` token replaced by `dvPath` (all
@@ -672,9 +683,20 @@ object ManifestedTable {
         val strLo = scala.collection.mutable.Map.empty[String, Array[Byte]]
         val strHi = scala.collection.mutable.Map.empty[String, Array[Byte]]
         val dead = scala.collection.mutable.Set.empty[String]
+        // a rewrite output carrying materialized row ids marks itself —
+        // readers serve _row_id from the hidden column instead of
+        // minting base+pos (the column is never data: stats skip it,
+        // schema inference filters it, reads drop it unless asked)
+        locally {
+          val fsch = reader.getFooter.getFileMetaData.getSchema
+          if ((0 until fsch.getFieldCount)
+              .exists(fsch.getFieldName(_) == RowIdCol))
+            toks += "rim:1"
+        }
         for (b <- blocks; c <- b.getColumns.asScala) {
           val name = c.getPath.toDotString
-          if (!dead(name) && !name.contains('=') && !name.contains(':') &&
+          if (!dead(name) && name != RowIdCol &&
+              !name.contains('=') && !name.contains(':') &&
               !name.contains('\t')) {
             val st = c.getStatistics
             val usable = st != null && !st.isEmpty &&
@@ -1115,6 +1137,39 @@ object ManifestedTable {
             rw.touched.toSeq.sorted.map("-" + _) ++ staged.map("+" + _)
         }
         val v = nextV
+        // ROW-ID BASES (row lineage): every staged line with a row
+        // count and no id provenance yet gets `rb:<base>` — bases are
+        // VERSION-SCOPED (v·2³⁸ + running offset), so they are unique
+        // across lineages with no watermark to race on (the version
+        // IS the CAS), monotone with commit order, and frozen on the
+        // line forever (restore/promote republish lines verbatim, so
+        // ids survive both). A line already carrying `rb:` (DV
+        // re-tokens, republished references) or `rim:` (a rewrite's
+        // output with ids materialized in-file) keeps its provenance;
+        // a line with no `n:` gets nothing (its rows read a NULL id —
+        // stats are optional, so must this be).
+        val entryLinesRb = {
+          var cursor = v << RowIdVersionShift
+          entryLines.map { l =>
+            if (!l.startsWith("+") && mode != Replace) l
+            else {
+              val body = if (l.startsWith("+")) l.substring(1) else l
+              val toks = body.split('\t')
+              // only an EXISTING base blocks reassignment: a `rim:`
+              // rewrite output still needs a base for the rows it
+              // minted (NULL materialized id ⇒ base + pos)
+              val hasProv = toks.exists(_.startsWith("rb:"))
+              val rows = toks.find(_.startsWith("n:"))
+                .flatMap(t => scala.util.Try(t.substring(2).toLong).toOption)
+              if (hasProv || rows.isEmpty) l
+              else {
+                val base = cursor
+                cursor += rows.get
+                (if (l.startsWith("+")) "+" else "") + s"$body\trb:$base"
+              }
+            }
+          }
+        }
         // per-commit keys (op, lineage parent, delta marker, branch,
         // commit time) describe THIS commit and are excluded from
         // carry-forward (unlike the txn marker, which must survive
@@ -1137,7 +1192,7 @@ object ManifestedTable {
           BranchKey - DroppedKey - PromotedKey - TsKey ++ opMeta ++ meta
         committedMeta = merged
         val all = merged.toSeq.sortBy(_._1)
-          .map { case (k, x) => s"#$k=$x" } ++ entryLines
+          .map { case (k, x) => s"#$k=$x" } ++ entryLinesRb
         val body = all.mkString("", "\n", if (all.isEmpty) "" else "\n")
           .getBytes(StandardCharsets.UTF_8)
         val tmp = new Path(mdir,
@@ -1837,6 +1892,69 @@ object ManifestedTable {
       schemaCtx = schemaCtxAt(fs, root, Some(hv)))
   }
 
+  /** Current-snapshot read with STABLE ROW IDS — row lineage (Delta
+    * row tracking / Iceberg v3 row lineage): every row carries
+    * `_row_id`, assigned at first commit (the file's version-scoped
+    * `rb:` base + physical position) and — with the
+    * `graft.row-lineage` table property set — SURVIVING rewrites:
+    * copy-on-write DML, compaction, and engine-planned SQL
+    * UPDATE/MERGE re-emit untouched (and, through the SQL face,
+    * updated) rows with their ids materialized in a hidden
+    * `__graft_row_id` column, so `_row_id = coalesce(materialized,
+    * base + pos)` is stable identity across file movement — the
+    * substrate for audit trails and non-additive incremental MV
+    * maintenance. Merge-on-read deletes and RESTORE preserve ids for
+    * free (bytes and lines don't move). Without the property, ids are
+    * stable only until a rewrite touches the row's file (zero overhead
+    * on the DML hot path — the Delta opt-in discipline). Rows of files
+    * with no `n:` footer count carry a NULL id (stats are optional, so
+    * is provenance).
+    */
+  def readWithRowIds(spark: SparkSession, dir: String): DataFrame = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val (hv, lines) = currentSnapshot(fs, root)
+    require(lines.nonEmpty, s"manifested table $dir is empty — " +
+      "schemaless empty reads are not supported")
+    withRowIdColumn(spark, root, lines.map(parseEntry),
+      schemaCtxAt(fs, root, Some(hv))).withColumnRenamed(RowIdCol, "_row_id")
+  }
+
+  /** Live rows + the hidden materialized-id column resolved per row:
+    * `coalesce(__rowid, rb(file) + pos)` via one broadcast |files|-row
+    * lookup — the shared machinery of [[readWithRowIds]] and the
+    * lineage-carrying rewrites (which stage its output so the next
+    * file generation keeps the ids physically).
+    */
+  private def withRowIdColumn(spark: SparkSession, root: Path,
+      entries: Seq[(String, FileStats)],
+      ctx: Option[(StructType, Seq[Map[Int, String]])]): DataFrame = {
+    import spark.implicits._
+    val live = readLive(spark, root, entries, withMeta = true,
+      schemaCtx = ctx, rowId = true)
+    val rbMap = entries
+      .map(e => (e._1, e._2.rowIdBase)).toDF("__file", "__rb")
+    live.join(org.apache.spark.sql.functions.broadcast(rbMap),
+        Seq("__file"), "left")
+      .withColumn(RowIdCol,
+        coalesce(col("__rowid"), col("__rb") + col("__pos")))
+      .drop("__file", "__pos", "__rowid", "__rb")
+  }
+
+  /** The rewrite-side read: with row lineage ON the surviving rows ride
+    * with their ids in the hidden column (staged physically by the
+    * caller → `rim:` files); OFF = the plain read, zero extra work.
+    */
+  private def readForRewrite(spark: SparkSession, root: Path,
+      entries: Seq[(String, FileStats)],
+      ctx: Option[(StructType, Seq[Map[Int, String]])],
+      lineage: Boolean): DataFrame =
+    if (!lineage) readLive(spark, root, entries, schemaCtx = ctx)
+    else withRowIdColumn(spark, root, entries, ctx)
+
+  private def lineageOn(meta: Map[String, String]): Boolean =
+    meta.get(s"$PropPrefix$RowLineageProp").contains("true")
+
   /** Current-snapshot read pruned by the MANIFEST's per-file stats:
     * plans only the files whose (lo,hi) interval for `column`
     * intersects [lo, hi] — the skip decision costs zero data IO (the
@@ -1892,8 +2010,9 @@ object ManifestedTable {
     // THROUGH the deletion vectors and so materializes them away
     if (files.size <= needed && entries.forall(_._2.dv.isEmpty))
       return baseV
-    val compacted = readLive(spark, root, entries,
-      schemaCtx = schemaCtxAt(fs, root, Some(baseV))).repartition(needed)
+    val compacted = readForRewrite(spark, root, entries,
+      schemaCtxAt(fs, root, Some(baseV)),
+      lineageOn(headMetaOf(fs, root, None))).repartition(needed)
     val staged = stageFiles(compacted, root, fs)
     // row-preserving rewrite of the WHOLE base: an interleaved append
     // rebases (its files ride uncompacted), an interleaved DML
@@ -1902,6 +2021,23 @@ object ManifestedTable {
       RewriteFiles(baseV, baseLines, files.toSet, "compact", _ => false),
       staged)
   }
+
+  // ---- row lineage constants ----------------------------------------------
+  // base = version << 38 + offset: unique without coordination (the
+  // version is the CAS), 2^38 ≈ 275 G rows per commit, 2^25 ≈ 33 M
+  // versions before the id space wraps — both far beyond any table
+  // this log could carry anyway (the manifest is |files| driver lines)
+  private val RowIdVersionShift = 38
+  /** The hidden physical column a rewrite materializes carried row ids
+    * into — never part of any declared or served schema.
+    */
+  private[sources] val RowIdCol = "__graft_row_id"
+  /** The table property gating id CARRY through rewrites (Delta's
+    * enableRowTracking): without it rewrites re-mint (zero overhead on
+    * the DML hot path); with it survivors keep their ids through
+    * CoW/compaction and engine DML preserves them per row.
+    */
+  private[sources] val RowLineageProp = "graft.row-lineage"
 
   private val TxnKey = "txn-batch"
   private val OpKey = "op"
@@ -2336,7 +2472,8 @@ object ManifestedTable {
   private def readLive(spark: SparkSession, root: Path,
       entries: Seq[(String, FileStats)], mergeSchema: Boolean = false,
       withMeta: Boolean = false,
-      schemaCtx: Option[(StructType, Seq[Map[Int, String]])] = None)
+      schemaCtx: Option[(StructType, Seq[Map[Int, String]])] = None,
+      rowId: Boolean = false)
       : DataFrame = {
     require(entries.nonEmpty, "readLive over an empty entry list")
     schemaCtx match {
@@ -2355,9 +2492,11 @@ object ManifestedTable {
         return groups.toSeq.sortBy(_._1).map { case (ei, es) =>
           val em = epochs(ei)
           val phys = cur.flatMap { case (id, c) => em.get(id).map(c -> _) }
-          val df = readLive(spark, root, es, mergeSchema = true, withMeta)
+          val df = readLive(spark, root, es, mergeSchema = true, withMeta,
+            rowId = rowId)
           val dfSchema = df.schema
-          val metaCols = if (withMeta) Seq("__file", "__pos") else Nil
+          val metaCols = (if (withMeta) Seq("__file", "__pos") else Nil) ++
+            (if (rowId) Seq("__rowid") else Nil)
           // a physical dotted path resolves as a getField chain off its
           // top-level column (never a parsed string — names are data)
           def physCol(pp: String): Column = {
@@ -2421,9 +2560,24 @@ object ManifestedTable {
     def meta(df: DataFrame): DataFrame = df
       .withColumn("__file", relOfCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
-    def rd(paths: Seq[String]): DataFrame = spark.read
-      .option("mergeSchema", mergeSchema.toString)
-      .parquet(absPaths(root, paths): _*)
+    // the hidden row-lineage column is PROVENANCE, not data: plain
+    // reads drop it; a rowId read surfaces it as `__rowid` (NULL for
+    // rows/files without a materialized id — the caller coalesces with
+    // base+pos). rowId forces mergeSchema so a mixed rim/plain file
+    // set can't lose the column to first-file schema picking.
+    def rd(paths: Seq[String]): DataFrame = {
+      val d0 = spark.read
+        .option("mergeSchema", (mergeSchema || rowId).toString)
+        .parquet(absPaths(root, paths): _*)
+      if (rowId) {
+        if (d0.columns.contains(RowIdCol))
+          d0.withColumnRenamed(RowIdCol, "__rowid")
+        else d0.withColumn("__rowid",
+          lit(null).cast(org.apache.spark.sql.types.LongType))
+      }
+      else if (d0.columns.contains(RowIdCol)) d0.drop(RowIdCol)
+      else d0
+    }
     val cleanDf =
       if (clean.isEmpty) None
       else {
@@ -2556,6 +2710,7 @@ object ManifestedTable {
     val lineMap = baseLines.map(l => pathOf(l) -> l).toMap
     val ctx = schemaCtxAt(fs, root, Some(baseV))
     val epochs = ctx.map(_._2).getOrElse(Nil)
+    val lineage = lineageOn(headMetaOf(fs, root, branch))
     val base = readLive(spark, root, entries, schemaCtx = ctx)
     // merge-on-read applies only to the plain upsert shape: matched
     // rows' old images DV out, source images stage fresh. Conditional
@@ -2644,11 +2799,15 @@ object ManifestedTable {
         // plain-upsert fast path (the overwhelmingly common shape):
         // ONE anti join over the touched files + the blind source
         // union — no matched/unmatched source split, so the touched
-        // files scan once, not three times
-        readLive(spark, root, entries.filter(e => touched.contains(e._1)),
-          schemaCtx = ctx)
+        // files scan once, not three times. With row lineage ON the
+        // survivors carry their ids (the source's upserted images
+        // mint fresh ones — the object API's documented v1 contract;
+        // the engine-planned SQL MERGE preserves per-row)
+        readForRewrite(spark, root,
+          entries.filter(e => touched.contains(e._1)), ctx, lineage)
           .join(srcKeys, keys, "left_anti")
-          .unionByName(source.filter(!delC).select(cols.map(col): _*))
+          .unionByName(source.filter(!delC).select(cols.map(col): _*),
+            allowMissingColumns = lineage)
       } else {
         val t = readLive(spark, root,
           entries.filter(e => touched.contains(e._1)), schemaCtx = ctx)
@@ -2704,8 +2863,11 @@ object ManifestedTable {
           .unionByName(matchedOut.select(cols.map(col): _*))
           .unionByName(inserts.select(cols.map(col): _*))
       }
+    val keepCols = cols ++
+      (if (lineage && rewrite.columns.contains(RowIdCol)) Seq(RowIdCol)
+       else Nil)
     val staged = stageFiles(
-      rewrite.select(cols.map(col): _*), root, fs, branch) ++ dvLines
+      rewrite.select(keepCols.map(col): _*), root, fs, branch) ++ dvLines
     // conflict scope: ANY source key — an interleaved commit that
     // added a row this merge would have matched (updated, or collided
     // with an insert) cannot serialize either side of it. A by-source
@@ -2776,11 +2938,14 @@ object ManifestedTable {
           mergedDvPairs(spark, root, fresh, dvT, entryMap), root, fs)
         dvT.map(f => withDvToken(lineMap(f), dvRel))
       }
+    // with row lineage ON, survivors re-emit with their ids
+    // materialized (the rewrite output becomes a `rim:` file)
+    val lineage = lineageOn(headMetaOf(fs, root, branch))
     val rwStaged =
       if (rwT.isEmpty) Nil
       else stageFiles(
-        readLive(spark, root, entries.filter(e => rwT.contains(e._1)),
-          schemaCtx = ctx)
+        readForRewrite(spark, root, entries.filter(e => rwT.contains(e._1)),
+          ctx, lineage)
           .filter(!coalesce(cond, lit(false))), root, fs, branch)
     // conflict scope: the delete predicate — interleaved rows it would
     // have deleted make the serial orders disagree
@@ -2853,8 +3018,9 @@ object ManifestedTable {
     val rwStaged =
       if (rwT.isEmpty) Nil
       else {
-        val survivors = readLive(spark, root,
-          entries.filter(e => rwT.contains(e._1)), schemaCtx = ctx)
+        val survivors = readForRewrite(spark, root,
+          entries.filter(e => rwT.contains(e._1)), ctx,
+          lineageOn(headMetaOf(fs, root, branch)))
           .join(k, keyCols, "left_anti")
         stageFiles(survivors, root, fs, branch)
       }
@@ -2890,8 +3056,9 @@ object ManifestedTable {
     val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val needed =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val clustered = readLive(spark, root, baseLines.map(parseEntry),
-      schemaCtx = schemaCtxAt(fs, root, Some(baseV)))
+    val clustered = readForRewrite(spark, root, baseLines.map(parseEntry),
+      schemaCtxAt(fs, root, Some(baseV)),
+      lineageOn(headMetaOf(fs, root, None)))
       .repartitionByRange(needed, clusterBy)
       .sortWithinPartitions(clusterBy)
     val staged = stageFiles(clustered, root, fs)

@@ -2050,4 +2050,65 @@ class SourceFormatsSpec extends SparkTestBase {
     }.exists(_.contains("aggregate pushdown")))
     assert(agg.head.getLong(0) == 800L && agg.head.getLong(1) == 799L)
   }
+
+  test("graft-manifest row lineage: stable row ids through compaction, CoW/MoR DML, merge, restore") {
+    import graft.sources.ManifestedTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rid").toString
+    val conf = spark.sessionState.newHadoopConf()
+    ManifestedTable.setTableProperties(conf, dir,
+      Map("graft.row-lineage" -> "true"))
+    val src = spark.range(300).select(col("id").as("k"),
+      (col("id") * 7L).as("v"))
+    ManifestedTable.write(src.repartitionByRange(4, col("k")), dir,
+      overwrite = false)
+    def ids(): Map[Long, Long] = ManifestedTable
+      .readWithRowIds(spark, dir)
+      .select("k", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids0 = ids()
+    assert(ids0.size == 300 && ids0.values.toSet.size == 300,
+      "row ids must exist and be unique")
+
+    // compaction rewrites every file — ids must NOT move
+    ManifestedTable.compact(spark, dir, 1L << 30)
+    assert(ids() == ids0, "compaction re-minted row ids")
+
+    // copy-on-write DELETE: survivors keep their ids
+    ManifestedTable.deleteWhere(spark, dir, col("k") % 10 === 3L)
+    val ids1 = ids()
+    assert(ids1 == ids0.filter { case (k, _) => k % 10 != 3 },
+      "a CoW delete re-minted surviving rows' ids")
+
+    // merge-on-read DELETE: bytes don't move, ids can't either
+    ManifestedTable.deleteWhere(spark, dir, col("k") === 8L,
+      dvMaxFraction = 1.0)
+    assert(ids() == ids1 - 8L, "a MoR delete disturbed row ids")
+
+    // merge upsert: survivors keep ids; upserted/new rows mint FRESH
+    // ids above every prior base (version-scoped bases are monotone)
+    val delta = Seq((4L, 999L), (5000L, 1L)).toDF("k", "v")
+    ManifestedTable.merge(spark, dir, delta, Seq("k"))
+    val ids2 = ids()
+    // ids1 minus the MoR-deleted k=8, minus upserted k=4's old image,
+    // plus k=4's new image and the inserted k=5000
+    assert(ids2.size == ids1.size - 1 - 1 + 2)
+    val untouched = (ids1 - 8L - 4L)
+    assert(untouched.forall { case (k, i) => ids2(k) == i },
+      "merge re-minted untouched rows' ids")
+    assert(ids2(4L) > ids1.values.max && ids2(5000L) > ids1.values.max,
+      "minted ids must be fresh (above every prior base)")
+    assert(ids2.values.toSet.size == ids2.size, "id collision")
+
+    // restore: republished lines carry their rb verbatim — the
+    // restored snapshot's ids ARE the old ids
+    val vNow = ManifestedTable.currentVersion(spark, dir)
+    ManifestedTable.write(Seq((9999L, 0L)).toDF("k", "v"), dir)
+    ManifestedTable.restore(spark, dir, vNow)
+    assert(ids() == ids2, "restore did not preserve row ids")
+
+    // plain reads never see the provenance column
+    assert(!ManifestedTable.read(spark, dir).columns
+      .contains("__graft_row_id"))
+  }
 }
