@@ -2600,6 +2600,58 @@ object RelEntry {
       }
     }),
 
+    // ---- T108: row lineage — stable row ids -------------------------------
+    "q198_row_lineage" -> ((s, d) => {
+      // stable row identity through a DML lifecycle, all in SQL: a
+      // row-lineage table (CTAS), a feed, an engine-planned UPDATE
+      // (ids carried PER ROW through the rewrite), a DELETE, and a
+      // full compaction — then the CURRENT snapshot left-joins the
+      // ORIGINAL image on _row_id. The old/new flag per surviving row
+      // is therefore computed FROM THE IDS: if any rewrite had
+      // re-minted (update, delete's copy-on-write, compaction), rows
+      // would change sides and the oracle — which replays the
+      // lifecycle relationally and derives the flag from provenance —
+      // would hash-mismatch.
+      val wh = java.nio.file.Files.createTempDirectory("graft_rid_q").toString
+      s.conf.set("spark.sql.catalog.g198", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g198.root", wh)
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g198_src")
+      s.sql("DROP TABLE IF EXISTS g198.t")
+      s.sql("""CREATE TABLE g198.t
+              |TBLPROPERTIES ('graft.row-lineage' = 'true') AS
+              |SELECT k, c, cents FROM g198_src WHERE k % 3 < 2""".stripMargin)
+      val v2 = graft.sources.ManifestedTable.currentVersion(s, s"$wh/t")
+      s.sql("""INSERT INTO g198.t
+              |SELECT k + 507000000, c, cents + 9 FROM g198_src
+              |WHERE k % 10 = 4""".stripMargin)
+      s.sql("UPDATE g198.t SET cents = cents + 11 WHERE k % 7 = 2")
+      s.sql("DELETE FROM g198.t WHERE c % 11 = 4")
+      graft.sources.ManifestedTable.compact(s, s"$wh/t", 1L << 30)
+      val out = s.sql(
+        s"""SELECT x.c AS custkey, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN x.old THEN x.cents END) AS BIGINT)
+           |    AS cents_old,
+           |  CAST(count(CASE WHEN NOT x.old THEN 1 END) AS BIGINT)
+           |    AS n_new
+           |FROM (
+           |  SELECT cur.c, cur.cents, v2._row_id IS NOT NULL AS old
+           |  FROM g198.t cur
+           |  LEFT JOIN (SELECT _row_id FROM g198.t VERSION AS OF $v2) v2
+           |    ON cur._row_id = v2._row_id) x
+           |WHERE x.c % 10 = 3
+           |GROUP BY x.c""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g198.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T105: per-commit CDF with change-type columns --------------------
     "q197_changelog_view" -> ((s, d) => {
       // the table_changes face: a lifecycle of commits (CTAS, append,
@@ -3655,6 +3707,36 @@ object RelEntry {
         |cur AS (SELECT * FROM v1 UNION ALL SELECT * FROM fa)
         |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM cur WHERE c % 10 = 3
+        |GROUP BY c""".stripMargin,
+
+    // q198 mirror: the lifecycle replayed with the old/new flag
+    // derived from PROVENANCE (which stratum a row came from) — the
+    // Spark side derives it from row IDS, so hash equality proves the
+    // ids survived the UPDATE, the DELETE's rewrite, and compaction
+    "q198_row_lineage" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v2set AS (
+        |  SELECT k, c, cents, TRUE AS old FROM base WHERE k % 3 < 2),
+        |feed AS (
+        |  SELECT k + 507000000 AS k, c, cents + 9 AS cents,
+        |         FALSE AS old
+        |  FROM base WHERE k % 10 = 4),
+        |allr AS (SELECT * FROM v2set UNION ALL SELECT * FROM feed),
+        |upd AS (
+        |  SELECT k, c,
+        |         CASE WHEN k % 7 = 2 THEN cents + 11 ELSE cents END
+        |           AS cents,
+        |         old
+        |  FROM allr),
+        |cur AS (SELECT * FROM upd WHERE NOT (c % 11 = 4))
+        |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN old THEN cents END) AS BIGINT)
+        |    AS cents_old,
+        |  CAST(count(CASE WHEN NOT old THEN 1 END) AS BIGINT) AS n_new
         |FROM cur WHERE c % 10 = 3
         |GROUP BY c""".stripMargin,
 

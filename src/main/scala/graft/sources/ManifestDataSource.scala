@@ -354,6 +354,15 @@ private[sources] class ManifestTable(schema: StructType, path: String,
         override def dataType(): org.apache.spark.sql.types.DataType =
           LongType
         override def isNullable: Boolean = false
+      },
+      // row lineage: stable row identity (rb base + pos, or the
+      // materialized id a lineage-carrying rewrite preserved) — NULL
+      // only for files with no footer row count
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_row_id"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          LongType
+        override def isNullable: Boolean = true
       })
 
   override def newRowLevelOperationBuilder(
@@ -815,7 +824,8 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
       .map { case ((rel, st), _) =>
         ManifestFilePartition(new Path(root, rel).toString, rel,
           st.dv.map(d => new Path(root, d).toString),
-          ManifestedTable.physMap(epochs, st)): InputPartition
+          ManifestedTable.physMap(epochs, st),
+          st.rowIdBase, st.rim): InputPartition
       }.toArray
   }
   /** ColumnarBatch partitions for the CLEAN bulk case, decided over
@@ -839,7 +849,8 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
 
   private def columnarEligible: Boolean =
     readSchema.nonEmpty &&
-      !readSchema.fieldNames.exists(n => n == "_file" || n == "_pos") &&
+      !readSchema.fieldNames.exists(n =>
+        n == "_file" || n == "_pos" || n == "_row_id") &&
       epochs.size <= 1 &&
       entries.forall(e => e._2.dv.isEmpty && !e._2.rows.contains(0L)) &&
       readSchema.fields.forall(f => vectorOk(f.dataType))
@@ -868,7 +879,12 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
   */
 private[sources] case class ManifestFilePartition(file: String,
     rel: String, dv: Option[String],
-    physOf: Option[Map[String, String]] = None) extends InputPartition
+    physOf: Option[Map[String, String]] = None,
+    // row lineage: the file's id base and whether it carries
+    // materialized ids (`rim:`) — what the readers synthesize
+    // `_row_id` from
+    rowIdBase: Option[Long] = None,
+    rim: Boolean = false) extends InputPartition
 
 /** Streaming offset = manifest version (O(1), human-readable). */
 private[sources] case class ManifestSourceOffset(version: Long)
@@ -959,7 +975,8 @@ private[sources] class ManifestMicroBatchStream(path: String,
         .map { case (rel, st) =>
           ManifestFilePartition(new Path(root, rel).toString, rel,
             st.dv.map(dp => new Path(root, dp).toString),
-            ManifestedTable.physMap(epochs, st)): InputPartition
+            ManifestedTable.physMap(epochs, st),
+            st.rowIdBase, st.rim): InputPartition
         }
       }
     }.toArray
@@ -1131,10 +1148,12 @@ private[sources] class ManifestPartitionReaderFactory(
   private def createCatalystRowReader(part: ManifestFilePartition,
       conf: Configuration, deleted: java.util.HashSet[java.lang.Long])
       : PartitionReader[InternalRow] = {
-    import org.apache.spark.sql.catalyst.expressions.{BoundReference,
-      JoinedRow, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.expressions.{Add, BoundReference,
+      Coalesce, JoinedRow, Literal => CLiteral, UnsafeProjection}
     val dataFields = readSchema.fields.toSeq
-      .filter(f => f.name != "_file" && f.name != "_pos")
+      .filter(f => f.name != "_file" && f.name != "_pos" &&
+        f.name != "_row_id")
+    val ridRequested = readSchema.fieldNames.contains("_row_id")
     val ctr = new java.util.concurrent.atomic.AtomicInteger()
     def renameField(curPath: String, f: StructField,
         m: Map[String, String]): StructField =
@@ -1151,11 +1170,19 @@ private[sources] class ManifestPartitionReaderFactory(
           }
           StructField(leaf, dt, nullable = true)
       }
-    val request = part.physOf match {
+    val request0 = part.physOf match {
       case None => StructType(dataFields)
       case Some(m) =>
         StructType(dataFields.map(f => renameField(f.name, f, m)))
     }
+    // _row_id: the hidden materialized-id column rides LAST in the
+    // request (requested-but-absent reads NULL — the reader's standard
+    // missing-column convention — and the output coalesces to
+    // base + ordinal)
+    val request =
+      if (!ridRequested) request0
+      else StructType(request0.fields :+ StructField(
+        ManifestedTable.RowIdCol, LongType, nullable = true))
     conf.set(
       org.apache.spark.sql.execution.datasources.parquet
         .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, request.json)
@@ -1186,13 +1213,24 @@ private[sources] class ManifestPartitionReaderFactory(
     } finally if (!initialized) reader.close()
     // output = data fields (by declared position) + synthesized meta
     // columns, fused by one UnsafeProjection over a JoinedRow
-    val n = dataFields.length
+    val n = request.length
     val dataIdx = dataFields.map(_.name).zipWithIndex.toMap
     val exprs = readSchema.fields.toSeq.map { f =>
       if (f.name == "_file")
         BoundReference(n, StringType, nullable = false)
       else if (f.name == "_pos")
         BoundReference(n + 1, LongType, nullable = false)
+      else if (f.name == "_row_id") {
+        // coalesce(materialized id, base + ordinal) — catalyst
+        // expressions inside the projection, no per-row branching here
+        val matCol = BoundReference(n - 1, LongType, nullable = true)
+        part.rowIdBase match {
+          case Some(b) => Coalesce(Seq(matCol,
+            Add(CLiteral(b), BoundReference(n + 1, LongType,
+              nullable = false))))
+          case None => matCol
+        }
+      }
       else BoundReference(dataIdx(f.name), f.dataType, nullable = true)
     }
     val proj = UnsafeProjection.create(exprs)
@@ -1259,11 +1297,21 @@ private[sources] class ManifestPartitionReaderFactory(
         case Some(m) => m.get(n)
         case None => Some(n)
       }
-      // `_file`/`_pos` are the table's METADATA columns (row-level ops
-      // group by them) — synthesized per partition, never read
+      // `_file`/`_pos`/`_row_id` are the table's METADATA columns
+      // (row-level ops group by the first; row lineage rides the
+      // third) — synthesized per partition, never data-read; _row_id
+      // additionally projects the hidden materialized-id column when
+      // this file carries one (a lineage rewrite's output)
       val present = readSchema.fields.filter(f =>
-        f.name != "_file" && f.name != "_pos" &&
+        f.name != "_file" && f.name != "_pos" && f.name != "_row_id" &&
           physName(f.name).exists(presentNames))
+      val ridRequested = readSchema.fieldNames.contains("_row_id")
+      val needRidCol = ridRequested && part.rim &&
+        presentNames(ManifestedTable.RowIdCol)
+      // index of the materialized-id column APPENDED after the data
+      // projection (-1 = not projected: mint base + ordinal)
+      val ridIdx = if (needRidCol) present.length else -1
+      val ridBase = part.rowIdBase
       val projIdx = present.map(_.name).zipWithIndex.toMap
       val relU = UTF8String.fromString(part.rel)
       def fillsFor(projected: MessageType)
@@ -1275,6 +1323,14 @@ private[sources] class ManifestPartitionReaderFactory(
           else if (f.name == "_pos")
             (_: Group, row: GenericInternalRow, ord: Long) =>
               row.update(out, ord)
+          else if (f.name == "_row_id")
+            (g: Group, row: GenericInternalRow, ord: Long) =>
+              row.update(out,
+                if (ridIdx >= 0 && g != null &&
+                    g.getFieldRepetitionCount(ridIdx) > 0)
+                  g.getLong(ridIdx, 0)
+                else ridBase.map(b => java.lang.Long.valueOf(b + ord))
+                  .orNull)
           else projIdx.get(f.name) match {
             case None =>
               // requested-but-absent column: NULL (the mergeSchema
@@ -1288,9 +1344,9 @@ private[sources] class ManifestPartitionReaderFactory(
                   if (g.getFieldRepetitionCount(j) == 0) null else get(g))
           }
         }
-      if (present.isEmpty) {
+      if (present.isEmpty && !needRidCol) {
         // metadata-only projection: ordinals from the footer count,
-        // no page opened
+        // no page opened (_row_id mints from base + ordinal here)
         val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
         val n = try {
           import scala.jdk.CollectionConverters._
@@ -1314,10 +1370,14 @@ private[sources] class ManifestPartitionReaderFactory(
         }
       } else {
         // the projection reuses the FILE's own field types, so it is
-        // compatible by construction
+        // compatible by construction; the hidden materialized-id
+        // column rides LAST when _row_id needs it
         val projected = new MessageType(fileSchema.getName,
-          present.map(f => fileSchema.getType(
-            fileSchema.getFieldIndex(physName(f.name).get))): _*)
+          (present.map(f => fileSchema.getType(
+            fileSchema.getFieldIndex(physName(f.name).get))) ++
+            (if (needRidCol) Seq(fileSchema.getType(
+              fileSchema.getFieldIndex(ManifestedTable.RowIdCol)))
+             else Nil)): _*)
         conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
         val reader: ParquetReader[Group] =
           ParquetReader.builder(new GroupReadSupport(), p)

@@ -68,11 +68,23 @@ private[sources] class ManifestRowLevelOperation(tableSchema: StructType,
   @volatile private[sources] var scanned: Seq[String] =
     baseEntries.map(_._1)
 
+  // row lineage through ENGINE-planned DML: with the property set the
+  // operation also requires _row_id — Spark carries it per row through
+  // the rewrite plan (assignments can't touch metadata columns), so an
+  // UPDATE's rows keep their ids and a MERGE's inserted rows arrive
+  // NULL (minted from the new file's base); the write side materializes
+  // the column
+  private[sources] val rowLineage = ManifestedTable
+    .tableProperties(conf, path)
+    .get(ManifestedTable.RowLineageProp).contains("true")
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String =
     s"graft-manifest row-level $cmd `$path` @v$baseV"
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array(Expressions.column("_file"))
+    if (rowLineage)
+      Array(Expressions.column("_file"), Expressions.column("_row_id"))
+    else Array(Expressions.column("_file"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ManifestRowLevelScanBuilder(this)
@@ -148,7 +160,8 @@ private[sources] class ManifestRowLevelScan(op: ManifestRowLevelOperation,
     planned.map { case (rel, st) =>
       ManifestFilePartition(new Path(root, rel).toString, rel,
         st.dv.map(d => new Path(root, d).toString),
-        ManifestedTable.physMap(epochs, st)): InputPartition
+        ManifestedTable.physMap(epochs, st),
+        st.rowIdBase, st.rim): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -196,12 +209,19 @@ private[sources] class ManifestReplaceWrite(op: ManifestRowLevelOperation,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    // metadata columns preserved through the replacement plan are not
-    // table data — drop them at the writer boundary
+    // the engine splits each replacement row into (metadata, data) and
+    // hands both to the two-arg DataWriter.write — the data schema is
+    // pure table columns; with row lineage ON the writers additionally
+    // MATERIALIZE the per-row _row_id from the metadata side into the
+    // hidden provenance column, so updated rows keep their identity
+    // through the rewrite (metadata row layout follows
+    // requiredMetadataAttributes order: _file, then _row_id)
     val dataSchema = StructType(writeSchema.fields
-      .filterNot(f => f.name == "_file" || f.name == "_pos"))
+      .filterNot(f => f.name == "_file" || f.name == "_pos" ||
+        f.name == "_row_id"))
     new ManifestRowWriterFactory(op.path, stage, dataSchema.json,
-      new SerializableConfiguration(conf))
+      new SerializableConfiguration(conf),
+      rowIdMetaIdx = if (op.rowLineage) Some(1) else None)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -230,7 +250,10 @@ private[sources] class ManifestReplaceWrite(op: ManifestRowLevelOperation,
 }
 
 private[sources] class ManifestRowWriterFactory(path: String,
-    stage: String, schemaJson: String, sconf: SerializableConfiguration)
+    stage: String, schemaJson: String, sconf: SerializableConfiguration,
+    // row lineage: position of _row_id in the METADATA row the engine
+    // hands the two-arg write (None = no lineage; metadata ignored)
+    rowIdMetaIdx: Option[Int] = None)
     extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
@@ -253,23 +276,58 @@ private[sources] class ManifestRowWriterFactory(path: String,
     val rel = f"$stage/part-${epoch.fold("")(e => s"e$e-")}%s" +
       f"$partitionId%05d-$taskId.parquet"
     val file = new Path(new Path(path), rel)
+    // with row lineage the staged file carries the hidden id column
+    // LAST (filled per row from the METADATA side of the two-arg
+    // write; absent/null value = a minted row — readers fall back to
+    // base + pos)
+    val outSchema =
+      if (rowIdMetaIdx.isEmpty) schema
+      else StructType(schema.fields :+ StructField(
+        ManifestedTable.RowIdCol, LongType, nullable = true))
     // NESTED/DECIMAL schemas write through Spark's own
     // ParquetWriteSupport (InternalRow in, full type surface) — the
     // write-side twin of the catalyst row reader; flat schemas keep
     // the pinned example-Group writer below
-    if (schema.fields.exists(f =>
+    if (outSchema.fields.exists(f =>
         !ManifestRowWriterFactory.flatType(f.dataType)))
       return new DataWriter[InternalRow] {
         private var writer: org.apache.parquet.hadoop.ParquetWriter[
           InternalRow] = _
+        private val joined =
+          new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        private val ridRow = new org.apache.spark.sql.catalyst
+          .expressions.GenericInternalRow(1)
+        // data fields pass through; the appended id column reads the
+        // joined (data ++ [rid]) row's last slot
+        private val proj =
+          if (rowIdMetaIdx.isEmpty) null
+          else org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+            .create(outSchema.fields.toSeq.zipWithIndex.map {
+              case (f, j) =>
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  j, f.dataType, nullable = true)
+            })
         private def ensure(): Unit = if (writer == null)
           writer = ManifestRowWriterFactory.catalystWriter(
-            file, schema, sconf.value)
+            file, outSchema, sconf.value)
+        override def write(meta: InternalRow, data: InternalRow): Unit =
+          rowIdMetaIdx match {
+            case None => write(data)
+            case Some(mi) =>
+              ensure()
+              ridRow.update(0,
+                if (meta.isNullAt(mi)) null else meta.getLong(mi))
+              writer.write(proj(joined(data, ridRow)))
+          }
         override def write(row: InternalRow): Unit = {
           ensure()
           // ParquetWriteSupport serializes synchronously — reused
           // incoming rows are safe
-          writer.write(row)
+          if (rowIdMetaIdx.isEmpty) writer.write(row)
+          else {
+            ridRow.update(0, null)
+            writer.write(proj(joined(row, ridRow)))
+          }
         }
         override def commit(): WriterCommitMessage =
           if (writer == null) ManifestWriteMessage("")
@@ -281,7 +339,7 @@ private[sources] class ManifestRowWriterFactory(path: String,
         }
         override def close(): Unit = ()
       }
-    val msgType = ManifestRowWriterFactory.messageType(schema)
+    val msgType = ManifestRowWriterFactory.messageType(outSchema)
     new DataWriter[InternalRow] {
       private var writer: org.apache.parquet.hadoop.ParquetWriter[
         org.apache.parquet.example.data.Group] = _
@@ -291,7 +349,8 @@ private[sources] class ManifestRowWriterFactory(path: String,
         writer = ExampleParquetWriter.builder(file).withConf(c)
           .withType(msgType).build()
       }
-      override def write(row: InternalRow): Unit = {
+      private def writeRow(row: InternalRow,
+          rid: java.lang.Long): Unit = {
         ensure()
         val g = new SimpleGroup(msgType)
         var i = 0
@@ -313,8 +372,19 @@ private[sources] class ManifestRowWriterFactory(path: String,
           }
           i += 1
         }
+        // the hidden lineage column rides LAST (no value = a minted
+        // row: readers fall back to base + pos)
+        if (rowIdMetaIdx.isDefined && rid != null)
+          g.add(schema.length, rid.longValue)
         writer.write(g)
       }
+      override def write(meta: InternalRow, data: InternalRow): Unit =
+        rowIdMetaIdx match {
+          case None => writeRow(data, null)
+          case Some(mi) => writeRow(data,
+            if (meta.isNullAt(mi)) null else meta.getLong(mi))
+        }
+      override def write(row: InternalRow): Unit = writeRow(row, null)
       override def commit(): WriterCommitMessage = {
         // an empty task writes nothing — no zero-row files to carry
         if (writer == null) ManifestWriteMessage("")

@@ -2111,4 +2111,62 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(!ManifestedTable.read(spark, dir).columns
       .contains("__graft_row_id"))
   }
+
+  test("graft-manifest row lineage: SQL face _row_id + engine DML preserves ids per row") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_rid_sql").toString
+    spark.conf.set("spark.sql.catalog.gm_rlin",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_rlin.root", wh)
+    try {
+      spark.sql("""CREATE TABLE gm_rlin.t
+        TBLPROPERTIES ('graft.row-lineage' = 'true') AS
+        SELECT id AS k, id * 3 AS v FROM range(120)""")
+      def ids(tbl: String): Map[Long, Long] = spark.sql(
+        s"SELECT k, _row_id FROM gm_rlin.$tbl").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ids0 = ids("t")
+      assert(ids0.size == 120 && ids0.values.toSet.size == 120)
+
+      // engine-planned UPDATE: _row_id is a required metadata column,
+      // carried PER ROW through the rewrite — updated rows KEEP their
+      // identity (stronger than the object API's re-mint contract)
+      spark.sql("UPDATE gm_rlin.t SET v = v + 1 WHERE k % 5 = 2")
+      assert(ids("t") == ids0,
+        "engine UPDATE re-minted row ids")
+      assert(spark.sql(
+        "SELECT sum(v) AS s FROM gm_rlin.t WHERE k % 5 = 2")
+        .head.getLong(0) ==
+        (0 until 120).filter(_ % 5 == 2).map(_ * 3L + 1).sum)
+
+      // engine MERGE: matched rows keep ids, inserts mint fresh
+      spark.sql("""MERGE INTO gm_rlin.t t
+        USING (SELECT 7 AS k, 0 AS v UNION ALL SELECT 900, 1) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *""")
+      val ids1 = ids("t")
+      assert(ids1(7L) == ids0(7L), "engine MERGE re-minted a matched id")
+      assert(ids1(900L) > ids0.values.max, "inserted id not fresh")
+      assert((ids0 - 7L).forall { case (k, i) => ids1(k) == i })
+
+      // the NESTED table leg rides the catalyst reader/writer pair
+      spark.sql("""CREATE TABLE gm_rlin.n
+        TBLPROPERTIES ('graft.row-lineage' = 'true') AS
+        SELECT id AS k, named_struct('a', id * 2, 'b', 'x') AS s
+        FROM range(60)""")
+      val nids0 = ids("n")
+      assert(nids0.size == 60 && nids0.values.toSet.size == 60)
+      spark.sql("""UPDATE gm_rlin.n
+        SET s = named_struct('a', s.a + 1, 'b', s.b) WHERE k % 4 = 1""")
+      assert(ids("n") == nids0,
+        "engine UPDATE on a nested table re-minted row ids")
+      assert(spark.sql(
+        "SELECT sum(s.a) AS t FROM gm_rlin.n WHERE k % 4 = 1")
+        .head.getLong(0) ==
+        (0 until 60).filter(_ % 4 == 1).map(_ * 2L + 1).sum)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm_rlin.t")
+      spark.sql("DROP TABLE IF EXISTS gm_rlin.n")
+    }
+  }
 }
