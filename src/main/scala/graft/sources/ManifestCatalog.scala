@@ -137,23 +137,29 @@ class ManifestCatalog extends TableCatalog
             "column per transform")
         refs(0).fieldNames()(0)
       }
+      def litArg: Int = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"${t.name()} transform needs a literal width: $t"))
       t.name() match {
         case "identity" => PIdentity(refName)
         case "bucket" =>
-          val n = t.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-              l.value().asInstanceOf[Number].intValue()
-          }.getOrElse(throw new IllegalArgumentException(
-            s"bucket transform needs a literal width: $t"))
+          val n = litArg
           require(n > 0, s"bucket width must be positive, got $n")
           PBucket(n, refName)
         case "days" => PDays(refName)
         case "months" => PMonths(refName)
         case "years" => PYears(refName)
+        case "hours" => PHours(refName)
+        case "truncate" =>
+          val w = litArg
+          require(w > 0, s"truncate width must be positive, got $w")
+          PTruncate(w, refName)
         case other => throw new UnsupportedOperationException(
           s"PARTITIONED BY $other is not supported — supported " +
-            "transforms: identity, bucket(n, col), days, months, " +
-            "years (DATE columns)")
+            "transforms: identity, bucket(n, col), truncate(w, col), " +
+            "days, months, years (DATE columns), hours (TIMESTAMP)")
       }
     }
     ManifestPartitions.validate(ts, schema)
@@ -293,6 +299,8 @@ class ManifestCatalog extends TableCatalog
           case PDays(`from`) => PDays(to)
           case PMonths(`from`) => PMonths(to)
           case PYears(`from`) => PYears(to)
+          case PHours(`from`) => PHours(to)
+          case PTruncate(w, `from`) => PTruncate(w, to)
           case t => t
         }
         specChanged = true

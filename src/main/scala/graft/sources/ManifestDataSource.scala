@@ -649,12 +649,14 @@ private[sources] class ManifestScanBuilder(full: StructType, path: String,
     * IO, never correctness.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // DateType carries no stat token (intervals don't track it), but
-    // the hidden-partitioning tuples prune date transforms — the stats
-    // matcher just conservatively passes what it can't decide
+    // Date/Timestamp carry no stat token (intervals don't track
+    // them), but the hidden-partitioning tuples prune date and hour
+    // transforms — the stats matcher just conservatively passes what
+    // it can't decide
     def tracked(a: String) = full.find(_.name == a).exists(_.dataType match {
       case LongType | IntegerType | ShortType | ByteType |
-           DoubleType | FloatType | StringType | DateType => true
+           DoubleType | FloatType | StringType | DateType |
+           TimestampType => true
       case _ => false
     })
     def usable(f: Filter): Boolean = f match {

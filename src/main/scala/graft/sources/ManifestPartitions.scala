@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{col, datediff, hash, lit, month,
-  pmod, to_date, upper, when, year}
+  pmod, substring, to_date, unix_seconds, upper, when, year}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual,
   Or}
@@ -36,11 +36,19 @@ import org.apache.spark.sql.types._
   *    are a distinguishable partition and IS NULL prunes exactly).
   *  - `days|months|years(c)`: date binning relative to epoch, DATE
   *    columns only (a DATE is a timezone-free day count, so both
-  *    engines agree bit-exactly; timestamp binning would drag the
-  *    session zone into the layout and is refused loudly).
+  *    engines agree bit-exactly; calendar binning of a timestamp
+  *    would drag the session zone into the layout and is refused
+  *    loudly).
+  *  - `hours(c)`: TIMESTAMP columns — floor(epochSecond/3600). Sound
+  *    where days/months on timestamps are not, because the epoch-hour
+  *    of an instant is zone-free.
+  *  - `truncate(w, c)`: ints/longs floor to the nearest multiple of w
+  *    (floorMod, so negatives bin correctly); strings keep their
+  *    first w code points. Monotone in both flavors.
   *
-  * Monotone transforms (identity, days, months, years) prune range
-  * predicates; bucket prunes equality/IN. Everything unknown
+  * Monotone transforms (identity, days, months, years, hours,
+  * truncate) prune range predicates; bucket prunes equality/IN.
+  * Everything unknown
   * conservatively matches — pruning is an optimization, never a
   * correctness dependency (the engine re-applies every filter
   * row-level).
@@ -53,6 +61,16 @@ private[graft] object ManifestPartitions {
   final case class PDays(colName: String) extends PartTransform
   final case class PMonths(colName: String) extends PartTransform
   final case class PYears(colName: String) extends PartTransform
+  // hours(ts): TIMESTAMP columns — sound where days/months on
+  // timestamps are refused, because Spark timestamps are INSTANTS
+  // (UTC micros) and the epoch-hour is zone-free; both engines bin
+  // floor(epochSecond / 3600) bit-exactly
+  final case class PHours(colName: String) extends PartTransform
+  // truncate(w, c): ints/longs floor to the nearest multiple of w
+  // (sign-safe via floorMod), strings keep their first w characters
+  // (hex-encoded like identity strings) — MONOTONE in both flavors,
+  // so range predicates prune (Iceberg's truncate)
+  final case class PTruncate(w: Int, colName: String) extends PartTransform
 
   /** One file's value for one transform: None = NULL source. Longs for
     * every numeric transform; identity(string) carries UTF-8 bytes
@@ -84,6 +102,8 @@ private[graft] object ManifestPartitions {
       case PDays(c) => s"days:${hexEnc(c)}"
       case PMonths(c) => s"months:${hexEnc(c)}"
       case PYears(c) => s"years:${hexEnc(c)}"
+      case PHours(c) => s"hours:${hexEnc(c)}"
+      case PTruncate(w, c) => s"truncate:$w:${hexEnc(c)}"
     }.mkString(",")
 
   def decodeSpec(s: String): Seq[PartTransform] =
@@ -94,6 +114,8 @@ private[graft] object ManifestPartitions {
       case Array("days", c) => PDays(hexDec(c))
       case Array("months", c) => PMonths(hexDec(c))
       case Array("years", c) => PYears(hexDec(c))
+      case Array("hours", c) => PHours(hexDec(c))
+      case Array("truncate", w, c) => PTruncate(w.toInt, hexDec(c))
       case other => throw new IllegalStateException(
         s"unparseable partition transform '${other.mkString(":")}'")
     })
@@ -132,14 +154,21 @@ private[graft] object ManifestPartitions {
           case ("days", c) => PDays(c)
           case ("months", c) => PMonths(c)
           case ("years", c) => PYears(c)
+          case ("hours", c) => PHours(c)
           case ("bucket", args) =>
             val a = args.split(',').map(_.trim)
             require(a.length == 2,
               s"bucket needs (n, col), got '$args'")
             PBucket(a(0).toInt, a(1))
+          case ("truncate", args) =>
+            val a = args.split(',').map(_.trim)
+            require(a.length == 2,
+              s"truncate needs (w, col), got '$args'")
+            PTruncate(a(0).toInt, a(1))
           case (k, _) => throw new IllegalArgumentException(
             s"unsupported partition transform '$k' — supported: " +
-              "identity, bucket(n, col), days, months, years")
+              "identity, bucket(n, col), truncate(w, col), days, " +
+              "months, years, hours")
         }
       }
     }
@@ -161,13 +190,18 @@ private[graft] object ManifestPartitions {
                             ShortType | ByteType | DateType) =>
         case (_: PBucket, IntegerType | LongType | StringType) =>
         case (_: PDays | _: PMonths | _: PYears, DateType) =>
+        case (tr: PTruncate, IntegerType | LongType | StringType) =>
+          require(tr.w > 0, s"truncate width must be positive, got ${tr.w}")
+        // hours over an INSTANT is zone-free (unlike day/month binning,
+        // which needs a calendar and therefore a zone): supported
+        case (_: PHours, TimestampType) =>
         case (_: PDays | _: PMonths | _: PYears, TimestampType) =>
           throw new IllegalArgumentException(
             s"${t.getClass.getSimpleName.stripPrefix("P").toLowerCase}" +
               s"(${t.colName}): date transforms are supported on DATE " +
               "columns only — a timestamp binning would bake the " +
               "session timezone into the physical layout; derive a " +
-              "DATE column or use identity/bucket")
+              "DATE column or use identity/bucket/hours")
         case _ => throw new IllegalArgumentException(
           s"partition transform on ${t.colName}: " +
             s"${f.dataType.simpleString} is not supported for " +
@@ -203,15 +237,33 @@ private[graft] object ManifestPartitions {
       case PDays(_) => datediff(c, to_date(lit("1970-01-01")))
       case PMonths(_) => (year(c) - 1970) * 12 + month(c) - 1
       case PYears(_) => year(c) - 1970
+      // floorDiv spelled as (s − floorMod(s, 3600)) / 3600: the
+      // numerator divides exactly, so the double division is exact
+      // (epoch seconds ≪ 2^53) and the cast is lossless
+      case PHours(_) =>
+        ((unix_seconds(c) - pmod(unix_seconds(c), lit(3600L))) / 3600)
+          .cast(LongType)
+      case PTruncate(w, _) => dt match {
+        case StringType => upper(org.apache.spark.sql.functions.hex(
+          org.apache.spark.sql.functions.encode(
+            substring(c, 1, w), "UTF-8")))
+        // v − floorMod(v, w): floors toward −∞, so negatives land in
+        // their own multiples (Iceberg's truncate), monotone
+        case _ => (c.cast(LongType) -
+          pmod(c.cast(LongType), lit(w.toLong))).cast(LongType)
+      }
     }
   }
 
   /** Whether the transform's derived value is the hex-string flavor
-    * (identity over a string column) — decides token decode.
+    * (identity or truncate over a string column) — decides token
+    * decode.
     */
   private def isStringIdentity(t: PartTransform,
       schema: StructType): Boolean = t match {
     case PIdentity(c) =>
+      schema.fields.find(_.name == c).exists(_.dataType == StringType)
+    case PTruncate(_, c) =>
       schema.fields.find(_.name == c).exists(_.dataType == StringType)
     case _ => false
   }
@@ -287,6 +339,16 @@ private[graft] object ManifestPartitions {
     case _ => None
   }
 
+  /** Epoch second of a V1 filter's timestamp literal (both Java-8-API
+    * flavors), floored — the hours transform's input space.
+    */
+  private def epochSecond(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(Math.floorDiv(t.getTime, 1000L))
+    case i: java.time.Instant => Some(i.getEpochSecond)
+    case _ => None
+  }
+
   /** The transform of a filter literal, in the tuple's Long space —
     * None when the literal's type doesn't fit the transform (no
     * pruning). For monotone transforms the result preserves order, so
@@ -307,6 +369,14 @@ private[graft] object ManifestPartitions {
         localDate(v).map(d => (d.getYear - 1970) * 12L +
           d.getMonthValue - 1)
       case PYears(_) => localDate(v).map(_.getYear - 1970L)
+      case PHours(_) => epochSecond(v).map(Math.floorDiv(_, 3600L))
+      case PTruncate(w, _) => v match {
+        case x: Long => Some(x - Math.floorMod(x, w.toLong))
+        case x: Int => Some(x - Math.floorMod(x.toLong, w.toLong))
+        case x: Short => Some(x - Math.floorMod(x.toLong, w.toLong))
+        case x: Byte => Some(x - Math.floorMod(x.toLong, w.toLong))
+        case _ => None
+      }
     }
 
   private def isMonotone(t: PartTransform): Boolean = t match {
@@ -318,6 +388,31 @@ private[graft] object ManifestPartitions {
     case s: String => Some(s.getBytes(StandardCharsets.UTF_8))
     case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
     case _ => None
+  }
+
+  /** A string literal TRANSFORMED into the tuple's byte space:
+    * identity passes the UTF-8 bytes through, truncate keeps the first
+    * w CODE POINTS (Spark's `substring` counts code points, so both
+    * sides agree on multi-byte text) — what PBytes tuples compare
+    * against. Truncation preserves unsigned byte order, so the range
+    * matcher's monotone reasoning holds for the truncated space.
+    */
+  private def transformBytes(t: PartTransform,
+      v: Any): Option[Array[Byte]] = t match {
+    case PTruncate(w, _) =>
+      val s = v match {
+        case x: String => Some(x)
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          Some(u.toString)
+        case _ => None
+      }
+      s.map { x =>
+        val cut =
+          if (x.codePointCount(0, x.length) <= w) x
+          else x.substring(0, x.offsetByCodePoints(0, w))
+        cut.getBytes(StandardCharsets.UTF_8)
+      }
+    case _ => utf8Bytes(v)
   }
 
   private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
@@ -353,7 +448,8 @@ private[graft] object ManifestPartitions {
         case (_, null) => true // col = NULL: three-valued, not pruned
         case (PNull, _) => false // an all-NULL tuple never equals a value
         case (PLong(x), _) => transformValue(t, v).forall(_ == x)
-        case (PBytes(b), _) => utf8Bytes(v).forall(cmpBytes(b, _) == 0)
+        case (PBytes(b), _) =>
+          transformBytes(t, v).forall(cmpBytes(b, _) == 0)
       }
     def rangeMatch(t: PartTransform, pv: PartVal, v: Any,
         keepLo: Boolean): Boolean =
@@ -362,7 +458,7 @@ private[graft] object ManifestPartitions {
         case (PNull, _) => false // NULL never satisfies a range
         case (PLong(x), _) => transformValue(t, v).forall(b =>
           if (keepLo) x >= b else x <= b)
-        case (PBytes(b), _) => utf8Bytes(v).forall(vb =>
+        case (PBytes(b), _) => transformBytes(t, v).forall(vb =>
           if (keepLo) cmpBytes(b, vb) >= 0 else cmpBytes(b, vb) <= 0)
       }
     f match {
@@ -383,8 +479,15 @@ private[graft] object ManifestPartitions {
         byCol(a).forall { case (t, pv) => rangeMatch(t, pv, v, keepLo = false) }
       case IsNull(a) => byCol(a).forall(_._2 == PNull)
       case IsNotNull(a) => byCol(a).forall(_._2 != PNull)
-      case And(l, r) => mayMatch(ts, tuple, l) && mayMatch(ts, tuple, r)
-      case Or(l, r) => mayMatch(ts, tuple, l) || mayMatch(ts, tuple, r)
+      // the translation rides THROUGH compound filters: the identity
+      // default here would look the filter's CURRENT name up among the
+      // spec's PHYSICAL names — harmless when the rename moved the name
+      // away (no match, no pruning), but a name-SWAP rename (b→a where
+      // a was a spec source) would prune a's tuple against b's values
+      case And(l, r) =>
+        mayMatch(ts, tuple, l, trans) && mayMatch(ts, tuple, r, trans)
+      case Or(l, r) =>
+        mayMatch(ts, tuple, l, trans) || mayMatch(ts, tuple, r, trans)
       case _ => true
     }
   }

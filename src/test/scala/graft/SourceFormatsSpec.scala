@@ -1775,8 +1775,25 @@ class SourceFormatsSpec extends SparkTestBase {
         spark.sql("""CREATE TABLE gm_hp.bad (k BIGINT, ts TIMESTAMP)
           PARTITIONED BY (days(ts))""")
       }
+
+      // name-SWAP rename + COMPOUND filter: after a→b then c→a, the
+      // current name 'a' means the OLD c — pruning must translate
+      // through And/Or recursion too, or an OR probe on 'a' refutes
+      // old files against the ORIGINAL a's tuples and loses rows
+      spark.sql("""CREATE TABLE gm_hp.t2 (a BIGINT, c BIGINT, v STRING)
+        PARTITIONED BY (identity(a))""")
+      spark.sql("""INSERT INTO gm_hp.t2
+        SELECT id % 4, id % 10, concat('v', id) FROM range(200)""")
+      spark.sql("ALTER TABLE gm_hp.t2 RENAME COLUMN a TO b")
+      spark.sql("ALTER TABLE gm_hp.t2 RENAME COLUMN c TO a")
+      val swapped = spark.table("gm_hp.t2")
+        .filter(col("a") === 7L || col("a") === 9L)
+      assert(swapped.count() == (0 until 200).count(i =>
+        i % 10 == 7 || i % 10 == 9),
+        "compound-filter pruning lost rows after a name-swap rename")
     } finally {
       spark.sql("DROP TABLE IF EXISTS gm_hp.t")
+      spark.sql("DROP TABLE IF EXISTS gm_hp.t2")
       spark.sql("DROP TABLE IF EXISTS gm_hp.bad")
     }
   }
@@ -1919,6 +1936,91 @@ class SourceFormatsSpec extends SparkTestBase {
     assert(plain == Map("insert" -> 6L, "delete" -> 2L), plain.toString)
     intercept[IllegalArgumentException] {
       ManifestedTable.tableChanges(spark, dir, 5L, 0L)
+    }
+  }
+
+  test("graft-manifest hidden partitioning: hours and truncate transforms") {
+    import graft.sources.ManifestedTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_ht").toString
+    spark.conf.set("spark.sql.catalog.gm_ht",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_ht.root", wh)
+    try {
+      // hours(ts): TIMESTAMP binning is allowed (an instant's
+      // epoch-hour is zone-free); truncate(w, k) floors ints to
+      // multiples of w
+      spark.sql("""CREATE TABLE gm_ht.t (k BIGINT, ts TIMESTAMP, v STRING)
+        PARTITIONED BY (hours(ts), truncate(100, k))""")
+      spark.sql("""INSERT INTO gm_ht.t
+        SELECT id,
+               timestamp_seconds(1700000000 + (id % 8) * 3600),
+               concat('v', id)
+        FROM range(800)""")
+      val t = () => spark.table("gm_ht.t")
+      assert(t().count() == 800)
+      val files = ManifestedTable.currentFiles(spark, s"$wh/t").size
+      assert(files > 8, s"expected tuple-local files, got $files")
+
+      // hour-equality pruning: one hour bin opens a strict minority
+      val oneHour = t().filter(
+        col("ts") === org.apache.spark.sql.functions
+          .timestamp_seconds(lit(1700000000 + 3 * 3600)))
+      assert(oneHour.count() == 100)
+      assert(oneHour.rdd.getNumPartitions * 3 < files,
+        s"hour pruning planned ${oneHour.rdd.getNumPartitions} of $files")
+
+      // truncate range pruning: k >= 700 refutes every bin below 700
+      val hi = t().filter(col("k") >= 700L)
+      assert(hi.count() == 100)
+      assert(hi.rdd.getNumPartitions * 3 < files,
+        s"truncate range pruning planned ${hi.rdd.getNumPartitions}")
+      // equality prunes to the probe's own bin
+      val one = t().filter(col("k") === 123L)
+      assert(one.count() == 1)
+      assert(one.rdd.getNumPartitions * 3 < files)
+
+      // truncate over STRINGS: first-w-code-points bins, equality and
+      // range both prune, rows stay exact
+      spark.sql("""CREATE TABLE gm_ht.s (name STRING, n BIGINT)
+        PARTITIONED BY (truncate(2, name))""")
+      spark.sql("""INSERT INTO gm_ht.s
+        SELECT concat(CASE CAST(id % 4 AS INT) WHEN 0 THEN 'aa'
+                      WHEN 1 THEN 'bb' WHEN 2 THEN 'cc'
+                      ELSE 'dd' END, CAST(id AS STRING)), id
+        FROM range(400)""")
+      val s = () => spark.table("gm_ht.s")
+      val sFiles = ManifestedTable.currentFiles(spark, s"$wh/s").size
+      val eqS = s().filter(col("name") === "bb101")
+      assert(eqS.count() == 1)
+      assert(eqS.rdd.getNumPartitions * 2 < sFiles,
+        s"string-truncate eq pruning planned ${eqS.rdd.getNumPartitions}")
+      val rangeS = s().filter(col("name") >= "cc")
+      assert(rangeS.count() == 200)
+      assert(rangeS.rdd.getNumPartitions * 2 <= sFiles,
+        s"string-truncate range planned ${rangeS.rdd.getNumPartitions}")
+
+      // a negative-capable truncate: floorMod bins negatives in their
+      // own multiples (−150 lands in bin −200, not bin −100)
+      spark.sql("""CREATE TABLE gm_ht.neg (k BIGINT, v STRING)
+        PARTITIONED BY (truncate(100, k))""")
+      spark.sql("""INSERT INTO gm_ht.neg
+        SELECT id - 200, concat('v', id) FROM range(400)""")
+      val negProbe = spark.table("gm_ht.neg").filter(col("k") === -150L)
+      assert(negProbe.count() == 1, "negative truncate bin lost its row")
+
+      // hours on a DATE column refuses at CREATE; truncate on a
+      // DOUBLE refuses too
+      intercept[Exception] {
+        spark.sql("""CREATE TABLE gm_ht.bad (k BIGINT, d DATE)
+          PARTITIONED BY (hours(d))""")
+      }
+      intercept[Exception] {
+        spark.sql("""CREATE TABLE gm_ht.bad2 (x DOUBLE)
+          PARTITIONED BY (truncate(10, x))""")
+      }
+    } finally {
+      Seq("t", "s", "neg", "bad", "bad2").foreach(n =>
+        spark.sql(s"DROP TABLE IF EXISTS gm_ht.$n"))
     }
   }
 
