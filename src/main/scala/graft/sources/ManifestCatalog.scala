@@ -80,11 +80,33 @@ class ManifestCatalog extends TableCatalog
   override def tableExists(ident: Identifier): Boolean =
     isTable(dirOf(ident))
 
+  /** `<table>.<kind>` resolves the table's METADATA relation (the
+    * Iceberg convention: `SELECT * FROM graft.t.files`) — only when no
+    * real table owns the name (a genuine table named `files` wins),
+    * the parent IS a table, and the kind is known. Returns None
+    * otherwise so the caller throws its own NoSuchTable.
+    */
+  private def metaTableOf(ident: Identifier,
+      pinned: Option[Long]): Option[Table] = {
+    if (ident.namespace().isEmpty) return None
+    val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (!ManifestMetaTables.Names.contains(kind)) return None
+    val parentDir = dirOf(
+      Identifier.of(ident.namespace().init, ident.namespace().last))
+    if (!isTable(parentDir)) return None
+    require(pinned.isEmpty || ManifestMetaTables.SnapshotScoped(kind),
+      s"metadata table '$kind' describes the whole log — VERSION AS " +
+        "OF applies to the snapshot-scoped kinds only (" +
+        s"${ManifestMetaTables.SnapshotScoped.mkString(",")})")
+    Some(new ManifestMetaTable(kind, parentDir, pinned))
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (!isTable(dir))
-      throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchTableException(ident)
+      return metaTableOf(ident, None).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(ident))
     new ManifestTable(ManifestDataSource.schemaOf(dir, None), dir)
   }
 
@@ -96,14 +118,24 @@ class ManifestCatalog extends TableCatalog
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
-    if (!isTable(dir))
-      throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchTableException(ident)
-    val v = scala.util.Try(version.toLong).getOrElse(
-      ManifestedTable.branchHeadVersion(conf, dir, version)
-        .orElse(ManifestedTable.tagVersion(conf, dir, version))
+    def resolve(d: String): Long = scala.util.Try(version.toLong).getOrElse(
+      ManifestedTable.branchHeadVersion(conf, d, version)
+        .orElse(ManifestedTable.tagVersion(conf, d, version))
         .getOrElse(throw new IllegalArgumentException(
-          s"no branch or tag '$version' under $dir")))
+          s"no branch or tag '$version' under $d")))
+    if (!isTable(dir)) {
+      // `t.files VERSION AS OF v` — the snapshot-scoped metadata kinds
+      // pin like the table itself (refs resolve against the PARENT)
+      val parentDir =
+        if (ident.namespace().isEmpty) dir
+        else dirOf(Identifier.of(ident.namespace().init,
+          ident.namespace().last))
+      return metaTableOf(ident,
+        if (isTable(parentDir)) Some(resolve(parentDir)) else None)
+        .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(ident))
+    }
+    val v = resolve(dir)
     new ManifestTable(ManifestDataSource.schemaOf(dir, Some(v)), dir,
       pinnedVersion = Some(v))
   }

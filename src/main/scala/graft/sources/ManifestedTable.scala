@@ -2040,16 +2040,16 @@ object ManifestedTable {
   private[sources] val RowLineageProp = "graft.row-lineage"
 
   private val TxnKey = "txn-batch"
-  private val OpKey = "op"
+  private[sources] val OpKey = "op"
   // lineage parent of EVERY commit (the snapshot it was committed
   // against) — what makes history a TREE once branches exist
-  private val BaseKey = "base"
+  private[sources] val BaseKey = "base"
   // marks a DELTA-encoded manifest (value = the version its +/− lines
   // apply to; full manifests carry no delta key)
   private val DeltaKey = "delta"
   // the branch a commit belongs to; absent = main. Per-commit, never
   // carried — main readers resolve the newest UNBRANCHED version.
-  private val BranchKey = "branch"
+  private[sources] val BranchKey = "branch"
   private val DroppedKey = "branch-dropped"
   // stamped on a PROMOTE commit (main lineage): the named branch is
   // retired atomically with the publish — its job is done, its staged
@@ -2085,6 +2085,67 @@ object ManifestedTable {
         entries.size.toLong, entries.count(_._2.dv.isDefined).toLong)
     }
     rows.toDF("version", "commit_ms", "op", "branch", "n_files", "n_dv")
+  }
+
+  /** Per-retained-version commit facts — the metadata tables' feed:
+    * (version, commit ms, the commit's RAW per-commit meta, resolved
+    * entry list). Driver-side manifest reads only: the memoized
+    * lineage fold makes the whole log O(versions) small reads, and
+    * every row is |files|-bounded — the same boundedness argument as
+    * [[history]].
+    */
+  private[sources] def commitLog(
+      conf: org.apache.hadoop.conf.Configuration, dir: String)
+      : Seq[(Long, Long, Map[String, String], Seq[(String, FileStats)])] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val vs = manifestVersions(fs, root)
+    require(vs.nonEmpty, s"no committed manifest under $dir")
+    val linesOf = lineageResolver(fs, root, vs.toMap)
+    vs.map { case (v, p) =>
+      (v, commitMs(fs, p), readMeta(fs, p), linesOf(v).map(parseEntry))
+    }
+  }
+
+  /** One retained version's RAW per-commit meta (op, ts, base, branch
+    * markers) — what the change-feed planners consult to classify a
+    * commit without resolving its entries.
+    */
+  private[sources] def rawMetaAt(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      v: Long): Map[String, String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val p = manifestVersions(fs, root).find(_._1 == v).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"version $v not retained under $dir"))
+    readMeta(fs, p)
+  }
+
+  /** A retained version's commit time (the `#ts=` clock; mtime
+    * fallback) — conf-parameterized for the DSv2 change-feed faces.
+    */
+  private[sources] def commitMsAt(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      v: Long): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val p = manifestVersions(fs, root).find(_._1 == v).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"version $v not retained under $dir"))
+    commitMs(fs, p)
+  }
+
+  /** All named refs — live branches and tags — as (name, kind,
+    * version) rows for the `refs` metadata table.
+    */
+  private[sources] def refRows(
+      conf: org.apache.hadoop.conf.Configuration, dir: String)
+      : Seq[(String, String, Long)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    liveBranchHeads(fs, root).map { case (b, v, _) => (b, "branch", v) } ++
+      tagsConf(fs, root).map { case (t, v, _) => (t, "tag", v) }
   }
 
   /** RESTORE (rollback): republish a retained version's entries as

@@ -2024,6 +2024,107 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest metadata tables: files/partitions/history/snapshots/refs") {
+    import graft.sources.ManifestedTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_mt").toString
+    spark.conf.set("spark.sql.catalog.gm_mt",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_mt.root", wh)
+    try {
+      spark.sql("""CREATE TABLE gm_mt.t (k BIGINT, d DATE, v STRING)
+        PARTITIONED BY (months(d))""")
+      spark.sql("""INSERT INTO gm_mt.t
+        SELECT id, date_add(DATE'2001-01-15', CAST(id % 3 AS INT) * 31),
+               concat('v', id)
+        FROM range(300)""")
+      val v2 = ManifestedTable.currentVersion(spark, s"$wh/t")
+      spark.sql("""INSERT INTO gm_mt.t
+        SELECT id + 1000, DATE'2001-02-15', 'w' FROM range(50)""")
+
+      // files: |live files| rows, zero data IO (a LocalScan — the
+      // plan is a LocalRelation, no cluster job), record_count sums
+      // to the table's row count, every file carries its partition
+      val files = spark.sql("SELECT * FROM gm_mt.t.files")
+      assert(files.queryExecution.executedPlan.collect {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      }.nonEmpty, "metadata table did not plan as a local scan")
+      assert(files.agg(org.apache.spark.sql.functions.sum("record_count"))
+        .head.getLong(0) == 350L)
+      assert(files.filter(col("partition").isNull).count() == 0)
+      assert(files.filter(col("partition").startsWith("months(d)="))
+        .count() == files.count())
+
+      // partitions: grouped rollup agrees with the relational answer
+      val parts = spark.sql(
+        """SELECT partition, record_count FROM gm_mt.t.partitions
+          |ORDER BY partition""".stripMargin).collect()
+      val feb = parts.find(_.getString(0) == "months(d)=373").get
+      assert(feb.getLong(1) ==
+        (0 until 300).count(_ % 3 == 1) + 50,
+        s"partitions rollup wrong: ${parts.mkString(";")}")
+
+      // VERSION AS OF pins the snapshot-scoped kinds: the v2 files
+      // image excludes the second feed
+      val filesV2 = spark.sql(
+        s"SELECT sum(record_count) AS n FROM gm_mt.t.files VERSION AS OF $v2")
+      assert(filesV2.head.getLong(0) == 300L)
+      // ... and refuses on the log-wide kinds
+      intercept[Exception] {
+        spark.sql(
+          s"SELECT * FROM gm_mt.t.history VERSION AS OF $v2").collect()
+      }
+
+      // history/snapshots: one row per retained version, ops named,
+      // timestamps monotone over main, parent lineage recorded
+      val hist = spark.sql(
+        "SELECT version, operation FROM gm_mt.t.history ORDER BY version")
+        .collect()
+      assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      assert(hist.map(_.getString(1)).toSeq ==
+        Seq("create", "append", "append"))
+      val snaps = spark.sql(
+        """SELECT version, parent_version, total_records
+          |FROM gm_mt.t.snapshots ORDER BY version""".stripMargin).collect()
+      assert(snaps.map(r => Option(r.get(1)).map(_.toString.toLong))
+        .toSeq == Seq(Some(0L), Some(1L), Some(2L)))
+      assert(snaps.last.getLong(2) == 350L)
+      val ts = spark.sql(
+        "SELECT committed_at FROM gm_mt.t.history ORDER BY version")
+        .collect().map(_.getTimestamp(0).getTime)
+      assert(ts.sorted.sameElements(ts), "history timestamps not monotone")
+
+      // refs: a branch write and a tag both list with their versions
+      ManifestedTable.writeBranch(
+        spark.range(5).selectExpr("id AS k",
+          "DATE'2001-03-15' AS d", "'b' AS v").toDF(), s"$wh/t", "audit")
+      spark.sql("CALL gm_mt.system.create_tag('t', 'pin', 3)")
+      val refs = spark.sql(
+        "SELECT name, type, version FROM gm_mt.t.refs ORDER BY name")
+        .collect()
+      assert(refs.map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("audit", "branch"), ("pin", "tag")))
+      assert(refs.find(_.getString(0) == "pin").get.getLong(2) == 3L)
+
+      // DML: a MoR delete surfaces its deletion vector in `files`
+      spark.sql("ALTER TABLE gm_mt.t SET TBLPROPERTIES " +
+        "('graft.dv-max-fraction' = '1.0')")
+      spark.sql("DELETE FROM gm_mt.t WHERE k % 10 = 7")
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gm_mt.t.files WHERE dv_path IS NOT NULL")
+        .head.getLong(0) > 0, "DV sidecar missing from files metadata")
+
+      // a REAL table named like a metadata kind wins the name
+      spark.sql("CREATE TABLE gm_mt.t.files (x BIGINT) ")
+      spark.sql("INSERT INTO gm_mt.t.files VALUES (42)")
+      assert(spark.sql("SELECT x FROM gm_mt.t.files").head.getLong(0) == 42L)
+      spark.sql("DROP TABLE gm_mt.t.files")
+      assert(spark.sql("SELECT count(*) FROM gm_mt.t.files")
+        .head.getLong(0) > 0, "metadata resolution did not return")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm_mt.t")
+    }
+  }
+
   test("graft-manifest tags: immutable refs, VERSION AS OF tag, ref-scoped vacuum retention") {
     import graft.sources.ManifestedTable
     import spark.implicits._
