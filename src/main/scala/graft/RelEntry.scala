@@ -2600,6 +2600,87 @@ object RelEntry {
       }
     }),
 
+    // ---- T109: change data feed (readChangeFeed) ---------------------------
+    "q199_change_feed" -> ((s, d) => {
+      // the Delta-shaped readChangeFeed face: a lifecycle of commits
+      // (CTAS, append, two merge-on-read DELETEs — the second GROWS
+      // existing deletion vectors) read back as ONE batch change feed
+      // with _change_type/_commit_version columns. The MoR deletes are
+      // what make this oracle-exact at row level: the feed's
+      // include-mask (new DV minus old) surfaces exactly each commit's
+      // victims, never re-delivering the file. The oracle replays
+      // every commit relationally with literal versions.
+      val wh = java.nio.file.Files.createTempDirectory("graft_cf_q").toString
+      s.conf.set("spark.sql.catalog.g199", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g199.root", wh)
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g199_src")
+      s.sql("DROP TABLE IF EXISTS g199.t")
+      s.sql("""CREATE TABLE g199.t
+              |TBLPROPERTIES ('graft.dv-max-fraction' = '1.0') AS
+              |SELECT k, c, cents FROM g199_src WHERE k % 3 < 2""".stripMargin)
+      s.sql("""INSERT INTO g199.t
+              |SELECT k + 507000000, c, cents + 1 FROM g199_src
+              |WHERE k % 10 = 4""".stripMargin)
+      s.sql("DELETE FROM g199.t WHERE c % 13 = 5")
+      s.sql("DELETE FROM g199.t WHERE c % 13 = 6")
+      val out = s.read.format("graft-manifest")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(s"$wh/t")
+        .groupBy(col("_change_type").as("ctype"),
+          col("_commit_version").cast("long").as("v"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("cents_sum"))
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g199.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
+    // ---- T110: metadata tables --------------------------------------------
+    "q200_metadata_tables" -> ((s, d) => {
+      // the inspection surface as a RELATION: a hidden-partitioned
+      // table (months × truncate — the latter also oracle-exercises
+      // the new transform) is fed twice, then `t.partitions` rolls up
+      // per-tuple record counts FROM THE MANIFEST ALONE (a driver-
+      // local scan, zero data IO). The oracle recomputes every tuple
+      // relationally from the raw rows — the metadata must agree with
+      // the data it indexes, bit-exactly, tuple names included.
+      val wh = java.nio.file.Files.createTempDirectory("graft_mt_q").toString
+      s.conf.set("spark.sql.catalog.g200", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g200.root", wh)
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"), col("o_orderdate").as("dt"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g200_src")
+      s.sql("DROP TABLE IF EXISTS g200.t")
+      s.sql("""CREATE TABLE g200.t (k BIGINT, c BIGINT, dt DATE,
+              |  cents BIGINT)
+              |PARTITIONED BY (months(dt), truncate(1000, c))""".stripMargin)
+      s.sql("""INSERT INTO g200.t
+              |SELECT k, c, dt, cents FROM g200_src
+              |WHERE k % 3 < 2""".stripMargin)
+      s.sql("""INSERT INTO g200.t
+              |SELECT k + 507000000, c, date_add(dt, 40), cents + 9
+              |FROM g200_src WHERE k % 10 = 4""".stripMargin)
+      val out = s.sql(
+        """SELECT partition AS part,
+          |  CAST(record_count AS BIGINT) AS n_rows
+          |FROM g200.t.partitions""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g200.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T108: row lineage — stable row ids -------------------------------
     "q198_row_lineage" -> ((s, d) => {
       // stable row identity through a DML lifecycle, all in SQL: a
@@ -3709,6 +3790,56 @@ object RelEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM cur WHERE c % 10 = 3
         |GROUP BY c""".stripMargin,
+
+    // q199 mirror: every commit's row-level delta replayed with
+    // literal change types and versions — v1 the no-file CREATE
+    // (nothing), v2 the TBLPROPERTIES commit (nothing), v3 the CTAS
+    // image, v4 the feed, v5/v6 the two MoR deletes' victims (the
+    // second applies to v5's survivors)
+    "q199_change_feed" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v2 AS (SELECT k, c, cents FROM base WHERE k % 3 < 2),
+        |v3 AS (
+        |  SELECT k + 507000000 AS k, c, cents + 1 AS cents
+        |  FROM base WHERE k % 10 = 4),
+        |all1 AS (SELECT * FROM v2 UNION ALL SELECT * FROM v3),
+        |d4 AS (SELECT * FROM all1 WHERE c % 13 = 5),
+        |live4 AS (SELECT * FROM all1 WHERE NOT c % 13 = 5),
+        |d5 AS (SELECT * FROM live4 WHERE c % 13 = 6),
+        |changes AS (
+        |  SELECT 'insert' AS ctype, 3 AS v, cents FROM v2
+        |  UNION ALL SELECT 'insert', 4, cents FROM v3
+        |  UNION ALL SELECT 'delete', 5, cents FROM d4
+        |  UNION ALL SELECT 'delete', 6, cents FROM d5)
+        |SELECT ctype, CAST(v AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM changes GROUP BY ctype, v""".stripMargin,
+
+    // q200 mirror: every partition tuple recomputed relationally from
+    // the raw rows — the manifest's partitions rollup must agree with
+    // the data it indexes, rendered tuple names included
+    "q200_metadata_tables" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c, o_orderdate AS dt,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |rows1 AS (
+        |  SELECT k, c, dt, cents FROM base WHERE k % 3 < 2
+        |  UNION ALL
+        |  SELECT k + 507000000 AS k, c,
+        |         CAST(dt + INTERVAL 40 DAY AS DATE) AS dt,
+        |         cents + 9 AS cents
+        |  FROM base WHERE k % 10 = 4)
+        |SELECT 'months(dt)=' ||
+        |    CAST((year(dt) - 1970) * 12 + month(dt) - 1 AS VARCHAR) ||
+        |    '/truncate(1000, c)=' ||
+        |    CAST(c - ((c % 1000 + 1000) % 1000) AS VARCHAR) AS part,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM rows1 GROUP BY 1""".stripMargin,
 
     // q198 mirror: the lifecycle replayed with the old/new flag
     // derived from PROVENANCE (which stratum a row came from) — the

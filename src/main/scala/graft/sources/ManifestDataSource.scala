@@ -85,9 +85,16 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestDataSource.schemaOf(dir(options),
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = ManifestDataSource.schemaOf(dir(options),
       ManifestDataSource.versionOf(options, dir(options)))
+    // `.option("readChangeFeed", true)`: the relation gains the three
+    // CDF columns — the Delta-shaped change-feed face (batch over
+    // [startingVersion, endingVersion]; streaming per commit)
+    if (options.getBoolean("readChangeFeed", false))
+      StructType(base.fields ++ ManifestDataSource.CdfFields)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -98,6 +105,87 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
 }
 
 object ManifestDataSource {
+  /** The change-data-feed columns (`readChangeFeed`): per-row change
+    * type (insert/delete), the commit that produced it, and the
+    * commit's `#ts=` clock.
+    */
+  private[sources] val CdfTypeCol = "_change_type"
+  private[sources] val CdfVersionCol = "_commit_version"
+  private[sources] val CdfTsCol = "_commit_timestamp"
+  private[sources] val CdfFields: Array[StructField] = Array(
+    StructField(CdfTypeCol, StringType, nullable = false),
+    StructField(CdfVersionCol, LongType, nullable = false),
+    StructField(CdfTsCol, TimestampType, nullable = false))
+  private[sources] val CdfNames: Set[String] =
+    Set(CdfTypeCol, CdfVersionCol, CdfTsCol)
+
+  /** One commit's change-feed partitions: the entry-level diff of
+    * version `v` against its lineage parent, resolved from the
+    * immutable manifests (replay-deterministic). Entry identity is
+    * path + deletion vector:
+    *
+    *  - a path only in `v` delivers its live rows as INSERTS;
+    *  - a path only in the parent delivers its (previously) live rows
+    *    as DELETES;
+    *  - a path in both whose DV changed delivers exactly the
+    *    newly-masked positions as DELETES (include-mask = new DV,
+    *    exclude = old) and newly-unmasked ones as INSERTS (the
+    *    reverse) — a MoR delete streams only its victims.
+    *
+    * A rewrite that changes no live row (compaction — op `compact*`)
+    * is skipped wholesale: its delete+insert pairs would cancel.
+    * Branch staging commits are invisible until promote (the caller
+    * checks lineage). UPDATE pairing is the batch `tableChanges` /
+    * `create_changelog_view` face's job (it has the identifier
+    * columns); this feed is the raw insert/delete stream — a consumer
+    * applies each commit's deletes before its inserts.
+    */
+  private[sources] def cdfPartitionsOf(
+      conf: org.apache.hadoop.conf.Configuration, path: String, v: Long,
+      baseV: Long, epochs: Seq[Map[Int, String]],
+      filters: Array[Filter]): Seq[InputPartition] = {
+    val root = new Path(path)
+    val meta = ManifestedTable.rawMetaAt(conf, path, v)
+    val op = meta.getOrElse(ManifestedTable.OpKey, "")
+    if (op.startsWith("compact")) return Nil
+    val ts = ManifestedTable.commitMsAt(conf, path, v)
+    val prev = ManifestedTable.entriesAtVersion(conf, path, baseV)
+    val cur = ManifestedTable.entriesAtVersion(conf, path, v)
+    val prevBy = prev.toMap
+    val curBy = cur.toMap
+    def keep(st: ManifestedTable.FileStats): Boolean = {
+      val eff = ManifestedTable.rekeyStats(epochs, st)
+      !eff.rows.contains(0L) && filters.forall(mayMatch(eff, _))
+    }
+    def part(rel: String, st: ManifestedTable.FileStats, tpe: String,
+        exclude: Option[String], only: Option[String]): InputPartition =
+      ManifestFilePartition(new Path(root, rel).toString, rel,
+        exclude.map(dp => new Path(root, dp).toString),
+        ManifestedTable.physMap(epochs, st),
+        st.rowIdBase, st.rim, cdf = Some((tpe, v, ts)),
+        onlyDv = only.map(dp => new Path(root, dp).toString))
+    val fromCur = cur.flatMap { case (rel, stNew) =>
+      if (!keep(stNew)) Nil
+      else prevBy.get(rel) match {
+        case None => Seq(part(rel, stNew, "insert", stNew.dv, None))
+        case Some(stOld) if stOld.dv != stNew.dv =>
+          // DV growth → newly-masked positions are deletes; shrink
+          // (restore) → newly-unmasked are inserts; an absent side is
+          // the empty mask, so its partition plans nothing
+          (if (stNew.dv.isDefined)
+            Seq(part(rel, stNew, "delete", stOld.dv, stNew.dv)) else Nil) ++
+          (if (stOld.dv.isDefined)
+            Seq(part(rel, stNew, "insert", stNew.dv, stOld.dv)) else Nil)
+        case _ => Nil
+      }
+    }
+    val fromPrev = prev.flatMap { case (rel, stOld) =>
+      if (curBy.contains(rel) || !keep(stOld)) Nil
+      else Seq(part(rel, stOld, "delete", stOld.dv, None))
+    }
+    fromCur ++ fromPrev
+  }
+
   /** The snapshot an option map pins: `versionAsOf` wins, else
     * `timestampAsOf` (epoch millis, or `yyyy-MM-dd HH:mm:ss[.f]`)
     * resolves through the manifest commit times, else the current
@@ -394,7 +482,10 @@ private[sources] class ManifestTable(schema: StructType, path: String,
       ManifestDataSource.versionOf(options, path).orElse(pinnedVersion),
       Option(options.get("startingVersion")).filter(_.nonEmpty)
         .map(_.toLong).getOrElse(0L),
-      options.getBoolean("ignoreChanges", false))
+      options.getBoolean("ignoreChanges", false),
+      options.getBoolean("readChangeFeed", false),
+      Option(options.get("endingVersion")).filter(_.nonEmpty)
+        .map(_.toLong))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -496,7 +587,8 @@ private[sources] class ManifestTable(schema: StructType, path: String,
 
 private[sources] class ManifestScanBuilder(full: StructType, path: String,
     version: Option[Long], startingVersion: Long = 0L,
-    ignoreChanges: Boolean = false) extends ScanBuilder
+    ignoreChanges: Boolean = false, cdf: Boolean = false,
+    endingVersion: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
@@ -527,6 +619,9 @@ private[sources] class ManifestScanBuilder(full: StructType, path: String,
     import org.apache.spark.sql.connector.expressions.aggregate.{
       Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
+    // a change-feed read is not the snapshot the manifest fold
+    // describes — never answer aggregates from stats there
+    if (cdf) return false
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     val conf = SparkSession.active.sessionState.newHadoopConf()
     // the head version resolves ONCE and pins BOTH the entry list and
@@ -686,7 +781,7 @@ private[sources] class ManifestScanBuilder(full: StructType, path: String,
       case None =>
         new ManifestScan(required, path, version, pushed,
           new SerializableConfiguration(conf), startingVersion,
-          ignoreChanges)
+          ignoreChanges, cdf, endingVersion)
     }
   }
 }
@@ -720,7 +815,8 @@ private[sources] case class ManifestAggPartition(row: Array[Any])
 private[sources] class ManifestScan(readSchema: StructType, path: String,
     version: Option[Long], filters: Array[Filter],
     sconf: SerializableConfiguration, startingVersion: Long = 0L,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false, cdf: Boolean = false,
+    endingVersion: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -758,6 +854,15 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
+    // a change-feed read's size is the WINDOW's churn, not the
+    // snapshot — offer nothing rather than misleading the broadcast
+    // decision
+    if (cdf) return new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
     val kept = entriesEff.filter { case (_, st) =>
         !st.rows.contains(0L) &&
           filters.forall(f => ManifestDataSource.mayMatch(st, f) &&
@@ -809,6 +914,27 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
     * invisible through the SQL face too.
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    // BATCH change feed: every main commit in (startingVersion,
+    // endingVersion] replayed as insert/delete partitions off the
+    // manifest diffs — `spark.read.format("graft-manifest")
+    // .option("readChangeFeed", true).option("startingVersion", v)`
+    if (cdf) {
+      val conf = sconf.value
+      val toV = endingVersion
+        .orElse(version)
+        .orElse(ManifestedTable.mainHeadVersion(conf, path))
+        .getOrElse(0L)
+      val dataFilters =
+        (filters ++ runtime).filterNot(f =>
+          f.references.exists(ManifestDataSource.CdfNames))
+      return ((startingVersion + 1) to toV).flatMap { v =>
+        val (isMain, baseV) =
+          ManifestedTable.versionLineage(conf, path, v)
+        if (!isMain) Nil
+        else ManifestDataSource.cdfPartitionsOf(conf, path, v, baseV,
+          epochs, dataFilters)
+      }.toArray
+    }
     val root = new Path(path)
     entries.zip(entriesEff)
       .filter { case ((_, raw), (_, eff)) =>
@@ -850,7 +976,7 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
   }
 
   private def columnarEligible: Boolean =
-    readSchema.nonEmpty &&
+    !cdf && readSchema.nonEmpty &&
       !readSchema.fieldNames.exists(n =>
         n == "_file" || n == "_pos" || n == "_row_id") &&
       epochs.size <= 1 &&
@@ -870,7 +996,7 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestMicroBatchStream(path, readSchema, filters, sconf,
-      startingVersion, ignoreChanges)
+      startingVersion, ignoreChanges, cdf)
 }
 
 /** `physOf`: CURRENT-name → PHYSICAL-name translation for this file's
@@ -886,7 +1012,16 @@ private[sources] case class ManifestFilePartition(file: String,
     // materialized ids (`rim:`) — what the readers synthesize
     // `_row_id` from
     rowIdBase: Option[Long] = None,
-    rim: Boolean = false) extends InputPartition
+    rim: Boolean = false,
+    // change data feed: (change type, commit version, commit ms) —
+    // constants this partition's rows are stamped with; None = a
+    // plain data partition
+    cdf: Option[(String, Long, Long)] = None,
+    // CDF include-mask: when set, emit ONLY positions in this sidecar
+    // (minus `dv`) — how a deletion-vector GROWTH surfaces exactly
+    // its newly-masked rows as deletes (and a shrink its unmasked
+    // rows as inserts) without re-delivering the file
+    onlyDv: Option[String] = None) extends InputPartition
 
 /** Streaming offset = manifest version (O(1), human-readable). */
 private[sources] case class ManifestSourceOffset(version: Long)
@@ -921,7 +1056,7 @@ private[sources] case class ManifestSourceOffset(version: Long)
 private[sources] class ManifestMicroBatchStream(path: String,
     readSchema: StructType, filters: Array[Filter],
     sconf: SerializableConfiguration, startingVersion: Long,
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean, cdf: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -953,7 +1088,16 @@ private[sources] class ManifestMicroBatchStream(path: String,
       // their rows surface when (and only when) the branch promotes;
       // each main version diffs against its TRUE lineage parent
       if (!isMain) Nil
-      else {
+      else if (cdf) {
+        // STREAMING change feed (`readChangeFeed`): the commit's
+        // row-level delta as insert/delete partitions — DML and
+        // compaction stream exactly (victims as deletes, rewrite
+        // survivors cancel by the compact-op skip), so the
+        // ignoreChanges escape hatch is never needed here
+        ManifestDataSource.cdfPartitionsOf(sconf.value, path, v, baseV,
+          epochs, filters.filterNot(f =>
+            f.references.exists(ManifestDataSource.CdfNames)))
+      } else {
       val prev = ManifestedTable
         .entriesAtVersion(sconf.value, path, baseV)
       val curE = ManifestedTable.entriesAtVersion(sconf.value, path, v)
@@ -1093,13 +1237,14 @@ private[sources] class ManifestPartitionReaderFactory(
     }
   }
 
-  /** The partition's deleted row positions (from its DV sidecar) — a
-    * small set by the MoR write policy; empty when the file is clean.
+  /** One sidecar's row positions for `rel` — a small set by the MoR
+    * write policy; empty when absent. Serves both the exclusion mask
+    * (the partition's DV) and the CDF include-mask.
     */
-  private def dvPositions(part: ManifestFilePartition,
+  private def dvPositions(dv: Option[String], rel: String,
       conf: Configuration): java.util.HashSet[java.lang.Long] = {
     val set = new java.util.HashSet[java.lang.Long]()
-    part.dv.foreach { dvPath =>
+    dv.foreach { dvPath =>
       val p = new Path(dvPath)
       val fileSchema: MessageType = {
         val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
@@ -1114,7 +1259,7 @@ private[sources] class ManifestPartitionReaderFactory(
         while (g != null) {
           // the sidecar is shared across a commit's DV'd files — keep
           // only this file's positions
-          if (g.getBinary("file", 0).toStringUsingUTF8 == part.rel)
+          if (g.getBinary("file", 0).toStringUsingUTF8 == rel)
             set.add(g.getLong("pos", 0))
           g = r.read()
         }
@@ -1148,14 +1293,14 @@ private[sources] class ManifestPartitionReaderFactory(
     * dropped-and-re-added nested names never resurrect.
     */
   private def createCatalystRowReader(part: ManifestFilePartition,
-      conf: Configuration, deleted: java.util.HashSet[java.lang.Long])
-      : PartitionReader[InternalRow] = {
+      conf: Configuration, schema: StructType,
+      skip: Long => Boolean): PartitionReader[InternalRow] = {
     import org.apache.spark.sql.catalyst.expressions.{Add, BoundReference,
       Coalesce, JoinedRow, Literal => CLiteral, UnsafeProjection}
-    val dataFields = readSchema.fields.toSeq
+    val dataFields = schema.fields.toSeq
       .filter(f => f.name != "_file" && f.name != "_pos" &&
         f.name != "_row_id")
-    val ridRequested = readSchema.fieldNames.contains("_row_id")
+    val ridRequested = schema.fieldNames.contains("_row_id")
     val ctr = new java.util.concurrent.atomic.AtomicInteger()
     def renameField(curPath: String, f: StructField,
         m: Map[String, String]): StructField =
@@ -1217,7 +1362,7 @@ private[sources] class ManifestPartitionReaderFactory(
     // columns, fused by one UnsafeProjection over a JoinedRow
     val n = request.length
     val dataIdx = dataFields.map(_.name).zipWithIndex.toMap
-    val exprs = readSchema.fields.toSeq.map { f =>
+    val exprs = schema.fields.toSeq.map { f =>
       if (f.name == "_file")
         BoundReference(n, StringType, nullable = false)
       else if (f.name == "_pos")
@@ -1244,7 +1389,7 @@ private[sources] class ManifestPartitionReaderFactory(
       override def next(): Boolean = {
         var has = reader.nextKeyValue()
         ordinal += 1
-        while (has && deleted.contains(ordinal)) {
+        while (has && skip(ordinal)) {
           has = reader.nextKeyValue()
           ordinal += 1
         }
@@ -1262,24 +1407,83 @@ private[sources] class ManifestPartitionReaderFactory(
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[ManifestFilePartition]
-    val file = part.file
     val conf = new Configuration(sconf.value)
+    // exclusion mask (the partition's DV) + optional CDF include-mask:
+    // a row is live iff NOT excluded AND (no include-mask OR in it) —
+    // the include-mask is how a DV growth streams exactly its
+    // newly-masked rows
+    val excluded = dvPositions(part.dv, part.rel, conf)
+    val only = part.onlyDv.map(o => dvPositions(Some(o), part.rel, conf))
+    val skip: Long => Boolean = only match {
+      case None => excluded.contains(_)
+      case Some(o) => pos => !o.contains(pos) || excluded.contains(pos)
+    }
+    def liveOf(total: Long): Long = {
+      import scala.jdk.CollectionConverters._
+      only match {
+        case None => total - excluded.asScala.count(_ < total)
+        case Some(o) =>
+          o.asScala.count(pos => pos < total && !excluded.contains(pos))
+            .toLong
+      }
+    }
+    part.cdf match {
+      case None => createDataReader(part, readSchema, conf, skip, liveOf)
+      case Some((tpe, v, ms)) =>
+        // CDF partitions: the data reader serves the data columns; the
+        // three change-feed columns are PARTITION CONSTANTS fused in by
+        // one projection (position-independent — works under pruning)
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+          JoinedRow, UnsafeProjection}
+        val dataSchema = StructType(readSchema.fields
+          .filterNot(f => ManifestDataSource.CdfNames(f.name)))
+        val inner = createDataReader(part, dataSchema, conf, skip, liveOf)
+        val n = dataSchema.length
+        val constRow = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(tpe), v, ms * 1000L))
+        val exprs = readSchema.fields.toSeq.map { f =>
+          f.name match {
+            case ManifestDataSource.CdfTypeCol =>
+              BoundReference(n, StringType, nullable = false)
+            case ManifestDataSource.CdfVersionCol =>
+              BoundReference(n + 1, LongType, nullable = false)
+            case ManifestDataSource.CdfTsCol =>
+              BoundReference(n + 2, TimestampType, nullable = false)
+            case name =>
+              BoundReference(dataSchema.fieldIndex(name), f.dataType,
+                nullable = true)
+          }
+        }
+        val proj = UnsafeProjection.create(exprs)
+        val joined = new JoinedRow
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = inner.next()
+          override def get(): InternalRow =
+            proj(joined(inner.get(), constRow))
+          override def close(): Unit = inner.close()
+        }
+    }
+  }
+
+  private def createDataReader(part: ManifestFilePartition,
+      schema: StructType, conf: Configuration, skip: Long => Boolean,
+      liveOf: Long => Long): PartitionReader[InternalRow] = {
+    val file = part.file
     val p = new Path(file)
-    if (readSchema.nonEmpty && readSchema.fields.exists(f =>
+    if (schema.nonEmpty && schema.fields.exists(f =>
         f.name != "_file" && f.name != "_pos" && !flatType(f.dataType)))
-      return createCatalystRowReader(part, conf, dvPositions(part, conf))
+      return createCatalystRowReader(part, conf, schema, skip)
     val fileSchema: MessageType = {
       val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try fr.getFooter.getFileMetaData.getSchema finally fr.close()
     }
-    val deleted = dvPositions(part, conf)
-    if (readSchema.isEmpty) {
+    if (schema.isEmpty) {
       // COUNT(*)-shaped scan: the row count is footer metadata minus
-      // the DV'd positions — still no page is opened
+      // the masked positions — still no page is opened
       val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       val n = try {
         import scala.jdk.CollectionConverters._
-        fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum - deleted.size
+        liveOf(fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
       } finally fr.close()
       new PartitionReader[InternalRow] {
         private var i = 0L
@@ -1304,10 +1508,10 @@ private[sources] class ManifestPartitionReaderFactory(
       // third) — synthesized per partition, never data-read; _row_id
       // additionally projects the hidden materialized-id column when
       // this file carries one (a lineage rewrite's output)
-      val present = readSchema.fields.filter(f =>
+      val present = schema.fields.filter(f =>
         f.name != "_file" && f.name != "_pos" && f.name != "_row_id" &&
           physName(f.name).exists(presentNames))
-      val ridRequested = readSchema.fieldNames.contains("_row_id")
+      val ridRequested = schema.fieldNames.contains("_row_id")
       val needRidCol = ridRequested && part.rim &&
         presentNames(ManifestedTable.RowIdCol)
       // index of the materialized-id column APPENDED after the data
@@ -1318,7 +1522,7 @@ private[sources] class ManifestPartitionReaderFactory(
       val relU = UTF8String.fromString(part.rel)
       def fillsFor(projected: MessageType)
           : Array[(Group, GenericInternalRow, Long) => Unit] =
-        readSchema.fields.zipWithIndex.map { case (f, out) =>
+        schema.fields.zipWithIndex.map { case (f, out) =>
           if (f.name == "_file")
             (_: Group, row: GenericInternalRow, _: Long) =>
               row.update(out, relU)
@@ -1359,11 +1563,11 @@ private[sources] class ManifestPartitionReaderFactory(
           private var ordinal = -1L
           override def next(): Boolean = {
             ordinal += 1
-            while (ordinal < n && deleted.contains(ordinal)) ordinal += 1
+            while (ordinal < n && skip(ordinal)) ordinal += 1
             ordinal < n
           }
           override def get(): InternalRow = {
-            val row = new GenericInternalRow(readSchema.length)
+            val row = new GenericInternalRow(schema.length)
             var i = 0
             while (i < fills.length) { fills(i)(null, row, ordinal); i += 1 }
             row
@@ -1394,14 +1598,14 @@ private[sources] class ManifestPartitionReaderFactory(
           override def next(): Boolean = {
             cur = reader.read()
             ordinal += 1
-            while (cur != null && deleted.contains(ordinal)) {
+            while (cur != null && skip(ordinal)) {
               cur = reader.read()
               ordinal += 1
             }
             cur != null
           }
           override def get(): InternalRow = {
-            val row = new GenericInternalRow(readSchema.length)
+            val row = new GenericInternalRow(schema.length)
             var i = 0
             while (i < fills.length) { fills(i)(cur, row, ordinal); i += 1 }
             row

@@ -2125,6 +2125,118 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest change data feed: readChangeFeed batch + streaming, DV-exact deletes, compaction skipped") {
+    import graft.sources.ManifestedTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_cdfc").toString
+    spark.conf.set("spark.sql.catalog.gm_cdf",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_cdf.root", wh)
+    try {
+      spark.sql("CREATE TABLE gm_cdf.t (k BIGINT, v STRING)") // v1
+      spark.sql("""INSERT INTO gm_cdf.t
+        SELECT id, concat('a', id) FROM range(100)""") // v2
+      spark.sql("ALTER TABLE gm_cdf.t SET TBLPROPERTIES " +
+        "('graft.dv-max-fraction' = '1.0')") // v3 (no entry change)
+      spark.sql("DELETE FROM gm_cdf.t WHERE k % 10 = 3") // v4: MoR DV
+      spark.sql("""INSERT INTO gm_cdf.t
+        SELECT id + 100, concat('b', id) FROM range(50)""") // v5
+      spark.sql("""UPDATE gm_cdf.t SET v = concat(v, '!')
+        WHERE k % 25 = 7""") // v6: CoW rewrite
+      ManifestedTable.compact(spark, s"$wh/t", 1L << 30) // v7
+      assert(ManifestedTable.currentVersion(spark, s"$wh/t") == 7L)
+
+      val feed = spark.read.format("graft-manifest")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(s"$wh/t")
+      val rows = feed.select("k", "v", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3)))
+
+      // the compaction commit contributes NOTHING (its delete+insert
+      // pairs would cancel — the op marker skips it wholesale)
+      assert(!rows.exists(_._4 == 7L), "compaction leaked into the CDF")
+      // the set-properties commit changes no entries
+      assert(!rows.exists(_._4 == 3L))
+
+      // the MoR delete streams EXACTLY its victims: the include-mask
+      // (new DV minus old) is position-precise, no file re-delivery
+      val v4 = rows.filter(_._4 == 4L)
+      assert(v4.forall(_._3 == "delete"))
+      assert(v4.map(_._1).sorted.toSeq ==
+        (0L until 100L).filter(_ % 10 == 3), s"v4 victims: ${v4.toSeq}")
+
+      // REPLAY: fold each commit's deletes-then-inserts over a
+      // multiset — the result must be exactly the current snapshot
+      // (rewrite survivor pairs cancel; every delete must hit)
+      val state = scala.collection.mutable.Map.empty[(Long, String), Long]
+      rows.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, cs) =>
+        cs.filter(_._3 == "delete").foreach { case (k, v, _, _) =>
+          val cur = state.getOrElse((k, v), 0L)
+          assert(cur > 0, s"CDF deleted a row that was never live: $k,$v")
+          if (cur == 1L) state.remove((k, v)) else state((k, v)) = cur - 1
+        }
+        cs.filter(_._3 == "insert").foreach { case (k, v, _, _) =>
+          state((k, v)) = state.getOrElse((k, v), 0L) + 1
+        }
+      }
+      val snap = spark.table("gm_cdf.t").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(state.values.forall(_ == 1L))
+      assert(state.keySet == snap.toSet,
+        "CDF replay does not reproduce the snapshot")
+      assert(snap.length == state.size)
+
+      // timestamps ride the #ts= clock, monotone over the window
+      val ts = feed.select("_commit_version", "_commit_timestamp")
+        .distinct().collect()
+        .sortBy(_.getLong(0)).map(_.getTimestamp(1).getTime)
+      assert(ts.sorted.sameElements(ts))
+
+      // a later window replays only its commits
+      val tail = spark.read.format("graft-manifest")
+        .option("readChangeFeed", "true").option("startingVersion", "4")
+        .option("endingVersion", "5").load(s"$wh/t")
+      assert(tail.select("_commit_version").distinct().collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(5L))
+
+      // row-level filters apply to the feed (pushed or residual)
+      val one = feed.where(col("k") === 3L)
+        .select("_change_type", "_commit_version").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+      assert(one.toSeq == Seq(("insert", 2L), ("delete", 4L)),
+        s"filtered feed wrong: ${one.toSeq}")
+
+      // STREAMING: the same feed as a micro-batch stream — drained
+      // from version 0, the multiset equals the batch feed's
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, String, String, Long)]()
+      val q = spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true").load(s"$wh/t")
+        .writeStream.option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("k", "v", "_change_type", "_commit_version").collect()
+            .foreach(r => buf.add((r.getLong(0), r.getString(1),
+              r.getString(2), r.getLong(3))))
+          ()
+        }.start()
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val streamed = buf.asScala.toSeq
+      assert(streamed.sorted == rows.toSeq.sorted,
+        "streaming CDF differs from the batch feed")
+
+      // ... and a post-stream commit arrives incrementally
+      spark.sql("INSERT INTO gm_cdf.t VALUES (999, 'late')")
+      q.processAllAvailable()
+      q.stop()
+      val late = buf.asScala.toSeq.filter(_._4 == 8L)
+      assert(late == Seq((999L, "late", "insert", 8L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm_cdf.t")
+    }
+  }
+
   test("graft-manifest tags: immutable refs, VERSION AS OF tag, ref-scoped vacuum retention") {
     import graft.sources.ManifestedTable
     import spark.implicits._
