@@ -2600,6 +2600,50 @@ object RelEntry {
       }
     }),
 
+    // ---- T112: column default values ---------------------------------------
+    "q201_column_defaults" -> ((s, d) => {
+      // the initial-default lifecycle in plain SQL: a CREATE-time
+      // DEFAULT feeds partial-column INSERTs; ADD COLUMN ... DEFAULT
+      // makes rows written BEFORE the column read the pinned EXISTS
+      // default (not NULL) with zero data movement; SET DEFAULT moves
+      // only the CURRENT default (new inserts) — history must not
+      // rewrite; a CoW UPDATE rewrites files across all generations
+      // and the defaulted values must survive it. The oracle replays
+      // the lifecycle with the defaults spelled explicitly.
+      val wh = java.nio.file.Files.createTempDirectory("graft_df_q").toString
+      s.conf.set("spark.sql.catalog.g201", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g201.root", wh)
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g201_src")
+      s.sql("DROP TABLE IF EXISTS g201.t")
+      s.sql("""CREATE TABLE g201.t (k BIGINT, c BIGINT, cents BIGINT,
+              |  v STRING DEFAULT 'seed')""".stripMargin)
+      s.sql("""INSERT INTO g201.t (k, c, cents)
+              |SELECT k, c, cents FROM g201_src WHERE k % 3 < 2""".stripMargin)
+      s.sql("ALTER TABLE g201.t ADD COLUMN tag STRING DEFAULT 'legacy'")
+      s.sql("""INSERT INTO g201.t
+              |SELECT k + 507000000, c, cents + 1, 'new', 'fresh'
+              |FROM g201_src WHERE k % 10 = 4""".stripMargin)
+      s.sql("ALTER TABLE g201.t ALTER COLUMN tag SET DEFAULT 'cur'")
+      s.sql("""INSERT INTO g201.t (k, c, cents, v)
+              |SELECT k + 607000000, c, cents, 'x'
+              |FROM g201_src WHERE k % 10 = 6""".stripMargin)
+      s.sql("UPDATE g201.t SET cents = cents + 5 WHERE c % 11 = 3")
+      val out = s.sql(
+        """SELECT tag, v, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS BIGINT) AS cents_sum
+          |FROM g201.t GROUP BY tag, v""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g201.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T109: change data feed (readChangeFeed) ---------------------------
     "q199_change_feed" -> ((s, d) => {
       // the Delta-shaped readChangeFeed face: a lifecycle of commits
@@ -3790,6 +3834,36 @@ object RelEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM cur WHERE c % 10 = 3
         |GROUP BY c""".stripMargin,
+
+    // q201 mirror: the default lifecycle with the defaults spelled
+    // explicitly — stratum 1 reads the CREATE default + the ADD-time
+    // exists default, stratum 2 its explicit values, stratum 3 the
+    // post-SET current default; the UPDATE spans all three
+    "q201_column_defaults" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |s1 AS (
+        |  SELECT k, c, cents, 'seed' AS v, 'legacy' AS tag
+        |  FROM base WHERE k % 3 < 2),
+        |s2 AS (
+        |  SELECT k + 507000000 AS k, c, cents + 1 AS cents,
+        |         'new' AS v, 'fresh' AS tag
+        |  FROM base WHERE k % 10 = 4),
+        |s3 AS (
+        |  SELECT k + 607000000 AS k, c, cents, 'x' AS v, 'cur' AS tag
+        |  FROM base WHERE k % 10 = 6),
+        |cur AS (
+        |  SELECT k, c,
+        |         CASE WHEN c % 11 = 3 THEN cents + 5 ELSE cents END
+        |           AS cents,
+        |         v, tag
+        |  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |        UNION ALL SELECT * FROM s3))
+        |SELECT tag, v, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM cur GROUP BY tag, v""".stripMargin,
 
     // q199 mirror: every commit's row-level delta replayed with
     // literal change types and versions — v1 the no-file CREATE

@@ -49,6 +49,17 @@ class ManifestCatalog extends TableCatalog
   private var catalogName: String = _
   private var root: String = _
 
+  /** Column DEFAULT values are supported: `CREATE TABLE (c INT
+    * DEFAULT 5)` / `ADD COLUMN ... DEFAULT` / `SET DEFAULT` — the
+    * engine injects CURRENT defaults into INSERTs at analysis, and the
+    * format's readers serve the EXISTS default (pinned at ADD time)
+    * for rows physically written before the column existed.
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def conf = SparkSession.active.sessionState.newHadoopConf()
   private def fs = new Path(root).getFileSystem(conf)
 
@@ -343,12 +354,33 @@ class ManifestCatalog extends TableCatalog
           if add.isNullable && add.position() == null =>
         val path = add.fieldNames().toSeq
         val dotted = path.mkString(".")
+        // ADD COLUMN ... DEFAULT <expr>: the INITIAL-default split —
+        // CURRENT_DEFAULT feeds future INSERTs (injected by the
+        // engine's analyzer), EXISTS_DEFAULT is pinned NOW and is what
+        // rows written BEFORE this column read (instead of NULL);
+        // a later SET DEFAULT changes only the former
+        val fieldMeta = Option(add.defaultValue()).map { dv =>
+          require(path.length == 1,
+            s"ADD COLUMN $dotted: DEFAULT is supported on top-level " +
+              "columns only")
+          val lit = new org.apache.spark.sql.catalyst.expressions.Literal(
+            dv.getValue.value(), dv.getValue.dataType())
+          import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(
+              ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+              Option(dv.getSql).getOrElse(lit.sql))
+            .putString(
+              ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+              lit.sql)
+            .build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
         if (path.length == 1) {
           val n = path.head
           require(!schema.fieldNames.contains(n),
             s"column $n already exists")
           schema = schema.add(org.apache.spark.sql.types.StructField(
-            n, add.dataType(), nullable = true))
+            n, add.dataType(), nullable = true, metadata = fieldMeta))
           maxId += 1
           last = last + (maxId -> n)
         } else {
@@ -458,10 +490,31 @@ class ManifestCatalog extends TableCatalog
         }
       case p: TableChange.SetProperty =>
         setProps += p.property() -> p.value()
+      case ud: TableChange.UpdateColumnDefaultValue
+          if ud.fieldNames().length == 1 =>
+        // SET/DROP DEFAULT moves the CURRENT default only — rows
+        // written before the column keep reading the ADD-time EXISTS
+        // default (the Delta/Iceberg initial-default contract: a later
+        // SET DEFAULT must not rewrite history)
+        import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        val n = ud.fieldNames()(0)
+        val fld = schema.fields.find(_.name == n)
+          .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+        val newSql = Option(ud.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty))
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fld.metadata)
+        mb.remove(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+        newSql.foreach(sql => mb.putString(
+          ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql))
+        schema = org.apache.spark.sql.types.StructType(schema.fields.map(
+          f => if (f.name == n) f.copy(metadata = mb.build()) else f))
+        schemaChanged = true
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE: supported are top-level nullable ADD COLUMNS, " +
           s"RENAME COLUMN, DROP COLUMN, lossless-widening ALTER " +
-          s"COLUMN TYPE, and SET TBLPROPERTIES; got $other")
+          s"COLUMN TYPE, SET/DROP DEFAULT, and SET TBLPROPERTIES; " +
+          s"got $other")
     }
     if (schemaChanged)
       // expectEpochs = the RAW history this ALTER read (possibly empty

@@ -981,7 +981,12 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
         n == "_file" || n == "_pos" || n == "_row_id") &&
       epochs.size <= 1 &&
       entries.forall(e => e._2.dv.isEmpty && !e._2.rows.contains(0L)) &&
-      readSchema.fields.forall(f => vectorOk(f.dataType))
+      readSchema.fields.forall(f => vectorOk(f.dataType)) &&
+      // a requested column with an EXISTS default needs the row
+      // readers' physically-absent-vs-genuinely-NULL distinction —
+      // the vectorized path's missing-column null vectors can't make it
+      !org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .hasExistenceDefaultValues(readSchema)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestPartitionReaderFactory(readSchema, sconf,
@@ -1359,7 +1364,31 @@ private[sources] class ManifestPartitionReaderFactory(
       initialized = true
     } finally if (!initialized) reader.close()
     // output = data fields (by declared position) + synthesized meta
-    // columns, fused by one UnsafeProjection over a JoinedRow
+    // columns, fused by one UnsafeProjection over a JoinedRow.
+    // Fields PHYSICALLY ABSENT from this file that carry an EXISTS
+    // default (pinned at ADD COLUMN time) project the default literal
+    // — one footer read decides presence, only when defaults exist
+    val topPresent: Set[String] =
+      if (!org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .hasExistenceDefaultValues(StructType(dataFields))) Set.empty
+      else {
+        val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try {
+          val fsch = fr.getFooter.getFileMetaData.getSchema
+          (0 until fsch.getFieldCount).map(fsch.getFieldName).toSet
+        } finally fr.close()
+      }
+    def absentWithDefault(f: StructField): Option[Any] = {
+      val dflt = org.apache.spark.sql.catalyst.util
+        .ResolveDefaultColumns.getExistenceDefaultValue(f)
+      if (dflt == null) None
+      else {
+        val phys = part.physOf.fold(Option(f.name))(_.get(f.name))
+        if (phys.forall(pp => !topPresent(pp.takeWhile(_ != '.'))))
+          Some(dflt)
+        else None
+      }
+    }
     val n = request.length
     val dataIdx = dataFields.map(_.name).zipWithIndex.toMap
     val exprs = schema.fields.toSeq.map { f =>
@@ -1378,7 +1407,11 @@ private[sources] class ManifestPartitionReaderFactory(
           case None => matCol
         }
       }
-      else BoundReference(dataIdx(f.name), f.dataType, nullable = true)
+      else absentWithDefault(f) match {
+        case Some(dflt) => CLiteral(dflt, f.dataType)
+        case None =>
+          BoundReference(dataIdx(f.name), f.dataType, nullable = true)
+      }
     }
     val proj = UnsafeProjection.create(exprs)
     val joined = new JoinedRow
@@ -1539,10 +1572,15 @@ private[sources] class ManifestPartitionReaderFactory(
                   .orNull)
           else projIdx.get(f.name) match {
             case None =>
-              // requested-but-absent column: NULL (the mergeSchema
-              // convention for schema-widening histories)
+              // requested-but-PHYSICALLY-ABSENT column: the field's
+              // EXISTS default if one was pinned at ADD COLUMN time
+              // (initial-default semantics — genuine NULLs in files
+              // that HAVE the column are untouched), else NULL (the
+              // mergeSchema convention for schema-widening histories)
+              val dflt = org.apache.spark.sql.catalyst.util
+                .ResolveDefaultColumns.getExistenceDefaultValue(f)
               (_: Group, row: GenericInternalRow, _: Long) =>
-                row.update(out, null)
+                row.update(out, dflt)
             case Some(j) =>
               val get = valueGetter(f, projected, j, file)
               (g: Group, row: GenericInternalRow, _: Long) =>

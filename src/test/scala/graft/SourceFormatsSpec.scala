@@ -2237,6 +2237,76 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest column defaults: CREATE/ADD COLUMN DEFAULT, exists-vs-current split") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_dflt").toString
+    spark.conf.set("spark.sql.catalog.gm_df",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_df.root", wh)
+    try {
+      // CREATE-time default: INSERTs that omit the column get it
+      // injected by the engine's analyzer (the catalog declares
+      // SUPPORT_COLUMN_DEFAULT_VALUE)
+      spark.sql("""CREATE TABLE gm_df.t (
+        k BIGINT, v STRING DEFAULT 'seed')""")
+      spark.sql("INSERT INTO gm_df.t (k) VALUES (1), (2)")
+      spark.sql("INSERT INTO gm_df.t VALUES (3, 'explicit')")
+      assert(spark.sql(
+        "SELECT count(*) FROM gm_df.t WHERE v = 'seed'")
+        .head.getLong(0) == 2)
+
+      // ADD COLUMN ... DEFAULT: rows written BEFORE the column read
+      // the EXISTS default (not NULL); new inserts omitting it get
+      // the CURRENT default
+      spark.sql(
+        "ALTER TABLE gm_df.t ADD COLUMN tag STRING DEFAULT 'legacy'")
+      assert(spark.sql(
+        "SELECT count(*) FROM gm_df.t WHERE tag = 'legacy'")
+        .head.getLong(0) == 3,
+        "pre-ADD rows did not read the exists default")
+      spark.sql("INSERT INTO gm_df.t (k, v) VALUES (4, 'd')")
+      spark.sql("INSERT INTO gm_df.t VALUES (5, 'e', CAST(NULL AS STRING))")
+      // a GENUINE NULL written after the ADD stays NULL — the default
+      // applies only to physically-absent columns
+      assert(spark.sql(
+        "SELECT count(*) FROM gm_df.t WHERE tag IS NULL")
+        .head.getLong(0) == 1, "explicit NULL was defaulted away")
+      assert(spark.sql(
+        "SELECT count(*) FROM gm_df.t WHERE tag = 'legacy'")
+        .head.getLong(0) == 4)
+
+      // SET DEFAULT moves the CURRENT default only: new omitting
+      // inserts get the new value, pre-ADD rows KEEP reading the
+      // ADD-time exists default (history does not rewrite)
+      spark.sql("ALTER TABLE gm_df.t ALTER COLUMN tag SET DEFAULT 'fresh'")
+      spark.sql("INSERT INTO gm_df.t (k, v) VALUES (6, 'f')")
+      assert(spark.sql(
+        "SELECT tag FROM gm_df.t WHERE k = 6").head.getString(0) ==
+        "fresh")
+      assert(spark.sql(
+        "SELECT count(*) FROM gm_df.t WHERE tag = 'legacy'")
+        .head.getLong(0) == 4,
+        "SET DEFAULT rewrote pre-ADD history")
+
+      // defaults survive RENAME (metadata rides the field) and apply
+      // through engine-planned DML reads
+      spark.sql("ALTER TABLE gm_df.t RENAME COLUMN tag TO label")
+      assert(spark.sql(
+        "SELECT count(*) FROM gm_df.t WHERE label = 'legacy'")
+        .head.getLong(0) == 4)
+      spark.sql("UPDATE gm_df.t SET v = concat(v, '!') WHERE k <= 2")
+      assert(spark.sql(
+        "SELECT count(*) FROM gm_df.t WHERE label = 'legacy'")
+        .head.getLong(0) == 4,
+        "a CoW rewrite lost defaulted values")
+      // non-numeric default over a numeric column type-checks at DDL
+      intercept[Exception] {
+        spark.sql("ALTER TABLE gm_df.t ADD COLUMN n BIGINT DEFAULT 'x'")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm_df.t")
+    }
+  }
+
   test("graft-manifest tags: immutable refs, VERSION AS OF tag, ref-scoped vacuum retention") {
     import graft.sources.ManifestedTable
     import spark.implicits._
