@@ -2600,6 +2600,53 @@ object RelEntry {
       }
     }),
 
+    // ---- T113: CHECK constraints -------------------------------------------
+    "q202_check_constraints" -> ((s, d) => {
+      // enforcement as an ORACLE property: a table with a CHECK
+      // rejects a violating INSERT atomically (nothing lands), then
+      // DROP CONSTRAINT releases it and the same feed lands. If
+      // enforcement silently failed, the violating stratum would be
+      // IN the result and hash-mismatch; if the rejection were
+      // non-atomic, a partial batch would. The oracle replays only
+      // what must have landed.
+      val wh = java.nio.file.Files.createTempDirectory("graft_ck_q").toString
+      s.conf.set("spark.sql.catalog.g202", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g202.root", wh)
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g202_src")
+      s.sql("DROP TABLE IF EXISTS g202.t")
+      s.sql("""CREATE TABLE g202.t (k BIGINT, c BIGINT, cents BIGINT,
+              |  CONSTRAINT cents_pos CHECK (cents >= 0))""".stripMargin)
+      s.sql("""INSERT INTO g202.t
+              |SELECT k, c, cents FROM g202_src WHERE k % 3 < 2""".stripMargin)
+      // the violating feed throws — and must land NOTHING
+      val rejected = scala.util.Try(s.sql(
+        """INSERT INTO g202.t
+          |SELECT k + 507000000, c, -cents - 1 FROM g202_src
+          |WHERE k % 10 = 4""".stripMargin)).isFailure
+      require(rejected, "a CHECK-violating INSERT was accepted")
+      s.sql("ALTER TABLE g202.t DROP CONSTRAINT cents_pos")
+      s.sql("""INSERT INTO g202.t
+              |SELECT k + 607000000, c, -cents - 1 FROM g202_src
+              |WHERE k % 10 = 6""".stripMargin)
+      val out = s.sql(
+        """SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+          |  CAST(count(CASE WHEN cents < 0 THEN 1 END) AS BIGINT)
+          |    AS n_neg
+          |FROM g202.t WHERE c % 10 = 3
+          |GROUP BY c""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g202.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T112: column default values ---------------------------------------
     "q201_column_defaults" -> ((s, d) => {
       // the initial-default lifecycle in plain SQL: a CREATE-time
@@ -3832,6 +3879,26 @@ object RelEntry {
         |cur AS (SELECT * FROM v1 UNION ALL SELECT * FROM fa)
         |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM cur WHERE c % 10 = 3
+        |GROUP BY c""".stripMargin,
+
+    // q202 mirror: only the strata that must have landed — the CTAS
+    // image and the post-DROP negative feed; the rejected stratum is
+    // exactly what a broken enforcement would add
+    "q202_check_constraints" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |s1 AS (SELECT k, c, cents FROM base WHERE k % 3 < 2),
+        |s3 AS (
+        |  SELECT k + 607000000 AS k, c, -cents - 1 AS cents
+        |  FROM base WHERE k % 10 = 6),
+        |cur AS (SELECT * FROM s1 UNION ALL SELECT * FROM s3)
+        |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  CAST(count(CASE WHEN cents < 0 THEN 1 END) AS BIGINT)
+        |    AS n_neg
         |FROM cur WHERE c % 10 = 3
         |GROUP BY c""".stripMargin,
 

@@ -57,8 +57,50 @@ class ManifestCatalog extends TableCatalog
     */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // CHECK constraints: persisted in table properties, reported
+      // back through Table.constraints() — the ENGINE's own
+      // ResolveTableConstraints rule compiles enforced checks into
+      // every write plan (CheckInvariant), so INSERT/UPDATE/MERGE
+      // violations throw before a single file stages
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  import ManifestCatalog.ConstraintProp
+
+  /** Validate a CHECK predicate against the table's EXISTING rows —
+    * the ADD CONSTRAINT contract: a constraint that does not hold
+    * refuses (INVALID data cannot be blessed). SQL CHECK semantics:
+    * only predicate = FALSE violates; NULL (unknown) passes.
+    */
+  private def validateCheck(dir: String, name: String,
+      sql: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val spark = SparkSession.active
+    val bad = spark.read.format("graft-manifest").load(dir)
+      .filter(not(coalesce(expr(sql), lit(true))))
+      .limit(1).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"cannot ADD CONSTRAINT $name CHECK ($sql): existing rows " +
+        "violate it")
+  }
+
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    val checks = info.constraints().toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        s"$ConstraintProp${c.name()}" -> c.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are enforced here; got ${other.toDDL}")
+    }
+    if (checks.nonEmpty)
+      ManifestedTable.setTableProperties(conf, dirOf(ident), checks.toMap)
+    t
+  }
 
   private def conf = SparkSession.active.sessionState.newHadoopConf()
   private def fs = new Path(root).getFileSystem(conf)
@@ -490,6 +532,25 @@ class ManifestCatalog extends TableCatalog
         }
       case p: TableChange.SetProperty =>
         setProps += p.property() -> p.value()
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints
+              .Check =>
+            // existing rows must HOLD the new check — validated with a
+            // real scan before the property commits (stats-pruned like
+            // any other filtered read)
+            validateCheck(dir, c.name(), c.predicateSql())
+            setProps += s"$ConstraintProp${c.name()}" -> c.predicateSql()
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are enforced here; got ${other.toDDL}")
+        }
+      case dc: TableChange.DropConstraint =>
+        val key = s"$ConstraintProp${dc.name()}"
+        val have = ManifestedTable.tableProperties(conf, dir)
+          .get(key).exists(_.nonEmpty)
+        if (!have && !dc.ifExists()) throw new IllegalArgumentException(
+          s"no constraint ${dc.name()} to drop")
+        if (have) setProps += key -> "" // tombstone (meta merge is additive)
       case ud: TableChange.UpdateColumnDefaultValue
           if ud.fieldNames().length == 1 =>
         // SET/DROP DEFAULT moves the CURRENT default only — rows
@@ -630,4 +691,20 @@ class ManifestCatalog extends TableCatalog
     require(fs.rename(new Path(from), new Path(to)),
       s"rename $from -> $to failed")
   }
+}
+
+object ManifestCatalog {
+  /** Table-property encoding of CHECK constraints: `graft.constraint.
+    * <name>` → predicate SQL; an empty value is a DROP tombstone (the
+    * manifest meta merge is additive, so removal is spelled as
+    * overwrite-with-empty).
+    */
+  private[sources] val ConstraintProp = "graft.constraint."
+
+  private[sources] def checkConstraintsOf(
+      props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith(ConstraintProp) && v.nonEmpty =>
+        (k.stripPrefix(ConstraintProp), v)
+    }.sortBy(_._1)
 }

@@ -583,6 +583,28 @@ private[sources] class ManifestTable(schema: StructType, path: String,
     ManifestedTable.tableProperties(
       SparkSession.active.sessionState.newHadoopConf(), path).asJava
   }
+
+  /** The table's CHECK constraints, reported to the engine — its
+    * ResolveTableConstraints rule compiles these into every write
+    * plan (CheckInvariant), so violations throw at write time with no
+    * connector-side re-implementation. Validated at ADD time, hence
+    * VALID + enforced.
+    */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.{Check,
+      Constraint}
+    ManifestCatalog.checkConstraintsOf(
+      ManifestedTable.tableProperties(
+        SparkSession.active.sessionState.newHadoopConf(), path))
+      .map { case (name, sql) =>
+        Constraint.check(name).predicateSql(sql)
+          .enforced(true).asInstanceOf[Check.Builder]
+          .validationStatus(Constraint.ValidationStatus.VALID)
+          .asInstanceOf[Check.Builder]
+          .build(): Constraint
+      }.toArray
+  }
 }
 
 private[sources] class ManifestScanBuilder(full: StructType, path: String,

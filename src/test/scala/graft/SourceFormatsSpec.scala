@@ -2307,6 +2307,67 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest CHECK constraints: engine-enforced writes, validated ADD, DROP") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.conf.set("spark.sql.catalog.gm_ck",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_ck.root", wh)
+    try {
+      // CREATE-time CHECK: the constraint persists in table
+      // properties and reports back through Table.constraints(), so
+      // the ENGINE compiles it into every write plan
+      spark.sql("""CREATE TABLE gm_ck.t (
+        k BIGINT, cents BIGINT,
+        CONSTRAINT cents_pos CHECK (cents >= 0))""")
+      spark.sql("INSERT INTO gm_ck.t SELECT id, id * 10 FROM range(100)")
+      assert(spark.table("gm_ck.t").count() == 100)
+      // a violating INSERT throws BEFORE anything commits
+      val vBefore = graft.sources.ManifestedTable
+        .currentVersion(spark, s"$wh/t")
+      intercept[Exception] {
+        spark.sql("INSERT INTO gm_ck.t VALUES (999, -1)")
+      }
+      assert(graft.sources.ManifestedTable
+        .currentVersion(spark, s"$wh/t") == vBefore,
+        "a failed INSERT advanced the version")
+      assert(spark.table("gm_ck.t").count() == 100)
+      // NULL passes (SQL CHECK three-valued semantics)
+      spark.sql("INSERT INTO gm_ck.t VALUES (1000, CAST(NULL AS BIGINT))")
+      assert(spark.table("gm_ck.t").count() == 101)
+
+      // a violating engine-planned UPDATE throws too
+      intercept[Exception] {
+        spark.sql("UPDATE gm_ck.t SET cents = cents - 100 WHERE k < 5")
+      }
+      assert(spark.sql(
+        "SELECT count(*) FROM gm_ck.t WHERE cents < 0")
+        .head.getLong(0) == 0)
+
+      // ADD CONSTRAINT validates EXISTING rows with a real scan:
+      // a check the data violates refuses...
+      intercept[Exception] {
+        spark.sql(
+          "ALTER TABLE gm_ck.t ADD CONSTRAINT k_small CHECK (k < 500)")
+      }
+      // ...a check it holds lands, and then enforces
+      spark.sql(
+        "ALTER TABLE gm_ck.t ADD CONSTRAINT k_small CHECK (k <= 1000)")
+      intercept[Exception] {
+        spark.sql("INSERT INTO gm_ck.t VALUES (5000, 1)")
+      }
+
+      // DROP releases enforcement
+      spark.sql("ALTER TABLE gm_ck.t DROP CONSTRAINT k_small")
+      spark.sql("INSERT INTO gm_ck.t VALUES (5000, 1)")
+      assert(spark.table("gm_ck.t").count() == 102)
+      intercept[Exception] {
+        spark.sql("ALTER TABLE gm_ck.t DROP CONSTRAINT nope")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm_ck.t")
+    }
+  }
+
   test("graft-manifest tags: immutable refs, VERSION AS OF tag, ref-scoped vacuum retention") {
     import graft.sources.ManifestedTable
     import spark.implicits._
