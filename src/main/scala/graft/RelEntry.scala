@@ -2600,6 +2600,47 @@ object RelEntry {
       }
     }),
 
+    // ---- T114: catalog SQL views -------------------------------------------
+    "q203_catalog_views" -> ((s, d) => {
+      // catalog views end to end: create_view stores analyzed query
+      // TEXT (the engine ships ViewCatalog unwired — the DDL face is
+      // the procedure namespace, reads expand via the injected
+      // resolution rule); a later INSERT shows through (text binding,
+      // not snapshot), and a view composes over another view. The
+      // oracle replays the final text against the final data.
+      val wh = java.nio.file.Files.createTempDirectory("graft_vw_q").toString
+      s.conf.set("spark.sql.catalog.g203", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g203.root", wh)
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g203_src")
+      s.sql("DROP TABLE IF EXISTS g203.t")
+      s.sql("""CREATE TABLE g203.t AS
+              |SELECT k, c, cents FROM g203_src WHERE k % 3 < 2""".stripMargin)
+      s.sql("""CALL g203.system.create_view('by_cust',
+              |  'SELECT c, count(*) AS n, sum(cents) AS cents_sum
+              |   FROM g203.t GROUP BY c', false)""".stripMargin)
+      s.sql("""INSERT INTO g203.t
+              |SELECT k + 507000000, c, cents + 1 FROM g203_src
+              |WHERE k % 10 = 4""".stripMargin)
+      s.sql("""CALL g203.system.create_view('big',
+              |  'SELECT * FROM g203.by_cust WHERE n >= 5', false)""".stripMargin)
+      val out = s.sql(
+        """SELECT c AS custkey, CAST(n AS BIGINT) AS n,
+          |  CAST(cents_sum AS BIGINT) AS cents_sum
+          |FROM g203.big WHERE c % 10 = 3""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("CALL g203.system.drop_view('big')")
+        s.sql("CALL g203.system.drop_view('by_cust')")
+        s.sql("DROP TABLE IF EXISTS g203.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T113: CHECK constraints -------------------------------------------
     "q202_check_constraints" -> ((s, d) => {
       // enforcement as an ORACLE property: a table with a CHECK
@@ -3881,6 +3922,26 @@ object RelEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM cur WHERE c % 10 = 3
         |GROUP BY c""".stripMargin,
+
+    // q203 mirror: the view text replayed against the final data —
+    // views must be pure name->text bindings
+    "q203_catalog_views" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |cur AS (
+        |  SELECT k, c, cents FROM base WHERE k % 3 < 2
+        |  UNION ALL
+        |  SELECT k + 507000000 AS k, c, cents + 1 AS cents
+        |  FROM base WHERE k % 10 = 4),
+        |by_cust AS (
+        |  SELECT c, count(*) AS n, sum(cents) AS cents_sum
+        |  FROM cur GROUP BY c),
+        |big AS (SELECT * FROM by_cust WHERE n >= 5)
+        |SELECT c AS custkey, CAST(n AS BIGINT) AS n,
+        |  CAST(cents_sum AS BIGINT) AS cents_sum
+        |FROM big WHERE c % 10 = 3""".stripMargin,
 
     // q202 mirror: only the strata that must have landed — the CTAS
     // image and the post-DROP negative feed; the rejected stratum is

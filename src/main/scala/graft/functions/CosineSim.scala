@@ -118,6 +118,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // re-target the materialized partials (no-op while the MvCatalog
     // is empty — registration is per-query/spec-scoped)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // catalog SQL views: expand a ManifestCatalog view's stored query
+    // text at analysis (the engine ships the ViewCatalog interface
+    // but no SQL wiring — see the rule's scaladoc)
+    ext.injectResolutionRule(s => new graft.plans.ResolveGraftViews(s))
     // k-bounded top-k aggregate: shuffle carries ≤ k·|groups| triples
     ext.injectFunction((
       new FunctionIdentifier("top_k_ids"),

@@ -45,7 +45,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class ManifestCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -607,7 +608,7 @@ class ManifestCatalog extends TableCatalog
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     val ok = ident.namespace().sameElements(Array("system"))
     (if (ok) ManifestProcedures.load(ident.name(),
-      tbl => dirOf(Identifier.of(Array.empty, tbl))) else None)
+      tbl => dirOf(Identifier.of(Array.empty, tbl)), this) else None)
       .getOrElse(throw new RuntimeException(
         s"no procedure $ident — have system.{" +
           s"${ManifestProcedures.Names.mkString(",")}}"))
@@ -676,6 +677,112 @@ class ManifestCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .NonEmptyNamespaceException(namespace)
     fs.delete(p, true)
+  }
+
+  // ---- SQL views: CREATE/ALTER/DROP VIEW, SHOW VIEWS --------------------
+  // one view = one `<name>._view` FILE beside the table directories
+  // (a file is never a table, whose marker is `_manifests`; directory
+  // listings stay the single source of truth). The stored payload is
+  // the query TEXT plus its creation-time resolution context — the
+  // engine re-parses against that context at read time, so views
+  // compose with tables, time travel, metadata tables, and each other.
+
+  private def viewPath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()),
+      ident.name() + ManifestViews.Suffix)
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val base = nsPath(namespace.toArray)
+    if (!fs.exists(base))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace.toArray)
+    fs.listStatus(base).toSeq
+      .filter(s => s.isFile &&
+        s.getPath.getName.endsWith(ManifestViews.Suffix))
+      .map(s => Identifier.of(namespace.toArray,
+        s.getPath.getName.stripSuffix(ManifestViews.Suffix)))
+      .toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    fs.exists(viewPath(ident))
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val p = viewPath(ident)
+    if (!fs.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    ManifestViews.read(fs, p, ident.name())
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    if (isTable(dirOf(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    // the rename-without-overwrite inside write keeps racing CREATEs
+    // honest: exactly one wins, the loser throws
+    ManifestViews.write(fs, viewPath(ident), info, replace = false)
+    loadView(ident)
+  }
+
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    if (isTable(dirOf(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    if (!orCreate && !viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    ManifestViews.write(fs, viewPath(ident), info, replace = true)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.{ViewChange, ViewInfo}
+    val v = loadView(ident)
+    val props = new java.util.HashMap[String, String](v.properties())
+    changes.foreach {
+      case sp: ViewChange.SetProperty => props.put(sp.property(), sp.value())
+      case rp: ViewChange.RemoveProperty => props.remove(rp.property())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER VIEW: unsupported change $other")
+    }
+    ManifestViews.write(fs, viewPath(ident),
+      new ViewInfo(ident, v.query(), v.currentCatalog(),
+        v.currentNamespace(), v.schema(), v.queryColumnNames(),
+        v.columnAliases(), v.columnComments(), props),
+      replace = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val p = viewPath(ident)
+    fs.exists(p) && fs.delete(p, false)
+  }
+
+  override def renameView(fromIdent: Identifier,
+      toIdent: Identifier): Unit = {
+    val from = viewPath(fromIdent)
+    if (!fs.exists(from))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(fromIdent)
+    val to = viewPath(toIdent)
+    if (fs.exists(to) || isTable(dirOf(toIdent)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(toIdent)
+    require(fs.rename(from, to), s"rename $from -> $to failed")
   }
 
   override def renameTable(oldIdent: Identifier,

@@ -72,10 +72,12 @@ private[sources] object ManifestProcedures {
     }
 
   /** The procedures under `<catalog>.system`, with `resolveDir`
-    * mapping a table name to its directory under the catalog root.
+    * mapping a table name to its directory under the catalog root and
+    * `catalog` the owning catalog (the view procedures route through
+    * its ViewCatalog implementation).
     */
-  def load(name: String, resolveDir: String => String)
-      : Option[UnboundProcedure] = {
+  def load(name: String, resolveDir: String => String,
+      catalog: ManifestCatalog): Option[UnboundProcedure] = {
     val table = ProcedureParameter.in("table", StringType).build()
     name match {
       case "compact" => Some(proc("compact", Seq(table,
@@ -282,6 +284,81 @@ private[sources] object ManifestProcedures {
             }
           }
       })
+      case "create_view" => Some(proc("create_view", Seq(
+        ProcedureParameter.in("view", StringType).build(),
+        ProcedureParameter.in("sql", StringType).build(),
+        ProcedureParameter.in("replace", BooleanType).build()),
+        StructType(Seq(StructField("view", StringType, nullable = false)))) {
+        (_, in) =>
+          // the DDL face of catalog views (the engine routes no CREATE
+          // VIEW to V2 catalogs — see ResolveGraftViews): the query is
+          // ANALYZED here (schema + a loud error on bad SQL, nothing
+          // executes), then stored as text through the catalog's
+          // ViewCatalog implementation; reads expand via the
+          // resolution rule
+          val vName = in.getUTF8String(0).toString
+          val sql = in.getUTF8String(1).toString
+          val replace = in.getBoolean(2)
+          val spark = SparkSession.active
+          val analyzed = spark.sql(sql)
+          val cm = spark.sessionState.catalogManager
+          val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+            org.apache.spark.sql.connector.catalog.Identifier.of(
+              Array.empty, vName),
+            sql, cm.currentCatalog.name(), cm.currentNamespace,
+            analyzed.schema, analyzed.schema.fieldNames,
+            Array.empty[String], Array.empty[String],
+            Collections.emptyMap[String, String]())
+          if (replace) catalog.replaceView(info, true)
+          else catalog.createView(info)
+          UTF8String.fromString(vName)
+      }(resolveDir))
+      case "drop_view" => Some(proc("drop_view", Seq(
+        ProcedureParameter.in("view", StringType).build()),
+        StructType(Seq(
+          StructField("dropped", BooleanType, nullable = false)))) {
+        (_, in) =>
+          catalog.dropView(
+            org.apache.spark.sql.connector.catalog.Identifier.of(
+              Array.empty, in.getUTF8String(0).toString))
+      }(resolveDir))
+      case "views" => Some(new UnboundProcedure {
+        // catalog views: (view, schema DDL) — SHOW VIEWS has no V2
+        // wiring in the engine, so the listing is a procedure
+        override def name(): String = "views"
+        override def description(): String =
+          "graft-manifest maintenance: views"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "views"
+            override def description(): String =
+              "graft-manifest maintenance: views"
+            override def parameters(): Array[ProcedureParameter] =
+              Array.empty
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow)
+                : java.util.Iterator[Scan] = {
+              val out = StructType(Seq(
+                StructField("view", StringType, nullable = false),
+                StructField("schema", StringType, nullable = false)))
+              // |views| rows — directory-listing-sized
+              val vRows = catalog.listViews().toSeq.sortBy(_.name())
+                .map { id =>
+                  val v = catalog.loadView(id)
+                  new GenericInternalRow(Array[Any](
+                    UTF8String.fromString(id.name()),
+                    UTF8String.fromString(v.schema().toDDL)))
+                    : InternalRow
+                }.toArray
+              Collections.singletonList(new LocalScan {
+                override def rows(): Array[InternalRow] = vRows
+                override def readSchema(): StructType = out
+                override def description(): String =
+                  "graft-manifest views"
+              }: Scan).iterator()
+            }
+          }
+      })
       case _ => None
     }
   }
@@ -289,5 +366,6 @@ private[sources] object ManifestProcedures {
   val Names: Seq[String] =
     Seq("compact", "optimize", "vacuum", "restore", "history",
       "promote_branch", "drop_branch", "branches", "set_partition_spec",
-      "create_changelog_view", "create_tag", "drop_tag", "tags")
+      "create_changelog_view", "create_tag", "drop_tag", "tags",
+      "create_view", "drop_view", "views")
 }

@@ -2368,6 +2368,75 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest catalog views: create_view/select/replace/drop via procedures + resolution rule") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vw").toString
+    spark.conf.set("spark.sql.catalog.gm_vw",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_vw.root", wh)
+    try {
+      spark.sql("""CREATE TABLE gm_vw.t AS
+        SELECT id AS k, id % 7 AS c, id * 10 AS cents FROM range(700)""")
+
+      // the engine routes no CREATE VIEW DDL to V2 catalogs (the
+      // ViewCatalog interface ships unwired) — the DDL face is the
+      // procedure namespace; bad SQL refuses at create (analyzed)
+      spark.sql("""CALL gm_vw.system.create_view('v',
+        'SELECT c, sum(cents) AS total FROM gm_vw.t GROUP BY c',
+        false)""")
+      intercept[Exception] {
+        spark.sql(
+          "CALL gm_vw.system.create_view('bad', 'SELECT nope FROM gm_vw.t', false)")
+      }
+
+      // reads expand the stored text via the resolution rule
+      val viaView = spark.sql(
+        "SELECT total FROM gm_vw.v WHERE c = 3").head.getLong(0)
+      assert(viaView == (0 until 700).filter(_ % 7 == 3)
+        .map(_ * 10L).sum)
+
+      // a view is a TEXT binding, not a snapshot: base-table commits
+      // show through
+      spark.sql("INSERT INTO gm_vw.t VALUES (9003, 3, 1000000)")
+      assert(spark.sql("SELECT total FROM gm_vw.v WHERE c = 3")
+        .head.getLong(0) == viaView + 1000000L)
+
+      // views compose with views and with the rest of the tier
+      spark.sql("""CALL gm_vw.system.create_view('v2',
+        'SELECT count(*) AS n FROM gm_vw.v WHERE total > 0', false)""")
+      assert(spark.sql("SELECT n FROM gm_vw.v2").head.getLong(0) == 7L)
+
+      // the listing procedure names both with their schemas
+      val listed = spark.sql("CALL gm_vw.system.views()").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(listed == Seq("v", "v2"))
+
+      // replace swaps the definition; plain create on a taken name
+      // refuses (rename-without-overwrite)
+      intercept[Exception] {
+        spark.sql(
+          "CALL gm_vw.system.create_view('v', 'SELECT 1 AS one', false)")
+      }
+      spark.sql("""CALL gm_vw.system.create_view('v',
+        'SELECT c, count(*) AS total FROM gm_vw.t GROUP BY c', true)""")
+      assert(spark.sql("SELECT total FROM gm_vw.v WHERE c = 3")
+        .head.getLong(0) == 101L)
+
+      // a view cannot shadow a table
+      intercept[Exception] {
+        spark.sql(
+          "CALL gm_vw.system.create_view('t', 'SELECT 1 AS one', false)")
+      }
+
+      // drop releases the name; the dangling dependent view now fails
+      // loudly at ITS resolution (text binding semantics)
+      spark.sql("CALL gm_vw.system.drop_view('v')")
+      intercept[Exception] { spark.sql("SELECT * FROM gm_vw.v").collect() }
+      intercept[Exception] { spark.sql("SELECT * FROM gm_vw.v2").collect() }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm_vw.t")
+    }
+  }
+
   test("graft-manifest tags: immutable refs, VERSION AS OF tag, ref-scoped vacuum retention") {
     import graft.sources.ManifestedTable
     import spark.implicits._
