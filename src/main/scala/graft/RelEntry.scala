@@ -2600,6 +2600,52 @@ object RelEntry {
       }
     }),
 
+    // ---- T115: cherry-pick -------------------------------------------------
+    "q204_cherrypick" -> ((s, d) => {
+      // the single-commit companion to write-audit-publish: TWO feeds
+      // stage on one branch, the branch is DROPPED (audit failed for
+      // the batch), then cherry-pick lifts exactly the ONE vetted
+      // commit onto main — zero data movement, entry lines republished
+      // by reference. The oracle contains feed A and not feed B: a
+      // leak either way hash-mismatches.
+      import graft.sources.ManifestedTable
+      val wh = java.nio.file.Files.createTempDirectory("graft_cp_q").toString
+      s.conf.set("spark.sql.catalog.g204", "graft.sources.ManifestCatalog")
+      s.conf.set("spark.sql.catalog.g204.root", wh)
+      val book = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      book.createOrReplaceTempView("g204_src")
+      s.sql("DROP TABLE IF EXISTS g204.t")
+      s.sql("""CREATE TABLE g204.t AS
+              |SELECT k, c, cents FROM g204_src WHERE k % 3 < 2""".stripMargin)
+      val dir = s"$wh/t"
+      ManifestedTable.writeBranch(
+        book.filter(col("k") % 10 === 4)
+          .select((col("k") + 507000000L).as("k"), col("c"),
+            (col("cents") + 1L).as("cents")), dir, "stage")
+      val vA = ManifestedTable.branches(s, dir)
+        .find(_._1 == "stage").get._2
+      ManifestedTable.writeBranch(
+        book.filter(col("k") % 10 === 6)
+          .select((col("k") + 607000000L).as("k"), col("c"),
+            lit(-1L).as("cents")), dir, "stage")
+      ManifestedTable.dropBranch(s, dir, "stage")
+      s.sql(s"CALL g204.system.cherrypick('t', $vA)")
+      val out = s.sql(
+        """SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS BIGINT) AS cents_sum
+          |FROM g204.t WHERE c % 10 = 3
+          |GROUP BY c""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g204.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T114: catalog SQL views -------------------------------------------
     "q203_catalog_views" -> ((s, d) => {
       // catalog views end to end: create_view stores analyzed query
@@ -3918,6 +3964,23 @@ object RelEntry {
         |  SELECT k + 707000000 AS k, c, cents + 3 AS cents
         |  FROM base WHERE k % 10 = 1),
         |cur AS (SELECT * FROM v1 UNION ALL SELECT * FROM fa)
+        |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM cur WHERE c % 10 = 3
+        |GROUP BY c""".stripMargin,
+
+    // q204 mirror: the CTAS image plus ONLY the cherry-picked feed —
+    // the dropped sibling commit must not leak
+    "q204_cherrypick" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |s1 AS (SELECT k, c, cents FROM base WHERE k % 3 < 2),
+        |fa AS (
+        |  SELECT k + 507000000 AS k, c, cents + 1 AS cents
+        |  FROM base WHERE k % 10 = 4),
+        |cur AS (SELECT * FROM s1 UNION ALL SELECT * FROM fa)
         |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM cur WHERE c % 10 = 3

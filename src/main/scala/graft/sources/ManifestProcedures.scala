@@ -107,6 +107,15 @@ private[sources] object ManifestProcedures {
         VersionOut) { (dir, in) =>
         ManifestedTable.restore(SparkSession.active, dir, in.getLong(1))
       }(resolveDir))
+      case "cherrypick" => Some(proc("cherrypick", Seq(table,
+        ProcedureParameter.in("version", LongType).build()),
+        VersionOut) { (dir, in) =>
+        // lift ONE retained append commit's delta onto the head —
+        // the single-commit companion to promote_branch (works from a
+        // live or dropped branch, or a main commit an overwrite erased)
+        ManifestedTable.cherrypick(SparkSession.active, dir,
+          in.getLong(1))
+      }(resolveDir))
       case "history" => Some(new UnboundProcedure {
         // DESCRIBE HISTORY as a procedure: one row per retained
         // version (version, commit time, operation, file + DV counts)
@@ -364,8 +373,8 @@ private[sources] object ManifestProcedures {
   }
 
   val Names: Seq[String] =
-    Seq("compact", "optimize", "vacuum", "restore", "history",
-      "promote_branch", "drop_branch", "branches", "set_partition_spec",
-      "create_changelog_view", "create_tag", "drop_tag", "tags",
-      "create_view", "drop_view", "views")
+    Seq("compact", "optimize", "vacuum", "restore", "cherrypick",
+      "history", "promote_branch", "drop_branch", "branches",
+      "set_partition_spec", "create_changelog_view", "create_tag",
+      "drop_tag", "tags", "create_view", "drop_view", "views")
 }

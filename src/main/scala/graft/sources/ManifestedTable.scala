@@ -2148,6 +2148,62 @@ object ManifestedTable {
       tagsConf(fs, root).map { case (t, v, _) => (t, "tag", v) }
   }
 
+  /** CHERRY-PICK: re-apply one retained APPEND commit's delta onto
+    * the CURRENT head as a new commit — the Iceberg
+    * `cherrypick_snapshot` companion to write-audit-publish: promote
+    * merges a whole branch, cherry-pick lifts ONE staged commit (from
+    * a live or even dropped branch, or a main commit an overwrite
+    * later erased) by republishing exactly the entry LINES that commit
+    * ADDED, stats/epoch/partition/row-id tokens included — zero data
+    * movement, and preserved `rb:` bases mean re-applied rows keep
+    * their row-lineage identity.
+    *
+    * Only APPEND deltas are liftable: a commit that removed or
+    * rewrote files (DML, compaction, overwrite) has a removal side
+    * whose context was that commit's OWN parent — replaying it
+    * against a different head is not well-defined, so it refuses
+    * loudly (Iceberg's rule). Guards: every lifted file must still
+    * exist (vacuum may have reclaimed a dropped branch's stage) and
+    * must not already be referenced by the head (a double
+    * cherry-pick, or lifting a commit that is already main lineage).
+    */
+  def cherrypick(spark: SparkSession, dir: String, version: Long): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val (_, parentV) = versionLineage(conf, dir, version)
+    def k(e: (String, FileStats)) = (e._1, e._2.dv)
+    val parent = entriesAtVersion(conf, dir, parentV)
+    val at = entriesAtVersion(conf, dir, version)
+    val parentK = parent.map(k).toSet
+    val removed = parent.filterNot(e => at.map(k).toSet(k(e)))
+    require(removed.isEmpty,
+      s"cherrypick(v$version): only APPEND commits are liftable — " +
+        s"this version removed or rewrote ${removed.size} file(s) " +
+        "(DML/compaction/overwrite deltas replay only against their " +
+        "own parent)")
+    val addedRels = at.filterNot(e => parentK(k(e))).map(_._1).toSet
+    require(addedRels.nonEmpty,
+      s"cherrypick(v$version): the commit added no files")
+    val lines = linesAt(fs, root, version)
+      .filter(l => addedRels(pathOf(l)))
+    val headPaths = headVersion(fs, root, None)
+      .map(h => resolveDataLines(fs, root,
+        manifestVersions(fs, root).toMap, h._1).map(pathOf).toSet)
+      .getOrElse(Set.empty)
+    val dup = addedRels.intersect(headPaths)
+    require(dup.isEmpty,
+      s"cherrypick(v$version): ${dup.size} file(s) are already " +
+        "referenced by the current head (already picked or already " +
+        "main lineage)")
+    val gone = addedRels.filterNot(r => fs.exists(new Path(root, r)))
+    require(gone.isEmpty,
+      s"cherrypick(v$version): ${gone.size} file(s) no longer exist " +
+        "(vacuum reclaimed them) — the commit is not liftable")
+    publish(fs, root, AppendFiles, lines,
+      Map(OpKey -> s"cherrypick(v$version)"))
+  }
+
   /** RESTORE (rollback): republish a retained version's entries as
     * the table's NEXT version — history moves forward, nothing is
     * erased (the new snapshot simply references the old files, which

@@ -2437,6 +2437,66 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest cherrypick: lift one append commit onto the head; guards refuse the rest") {
+    import graft.sources.ManifestedTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    spark.conf.set("spark.sql.catalog.gm_cp",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_cp.root", wh)
+    try {
+      spark.sql("""CREATE TABLE gm_cp.t AS
+        SELECT id AS k, id % 5 AS c FROM range(100)""")
+      val dir = s"$wh/t"
+
+      // two commits staged on a branch; the branch is then DROPPED —
+      // cherry-pick lifts exactly ONE of them onto main
+      ManifestedTable.writeBranch(
+        spark.range(50).selectExpr("id + 1000 AS k", "7 AS c").toDF(),
+        dir, "stage")
+      val vA = ManifestedTable.branches(spark, dir)
+        .find(_._1 == "stage").get._2
+      ManifestedTable.writeBranch(
+        spark.range(30).selectExpr("id + 2000 AS k", "8 AS c").toDF(),
+        dir, "stage")
+      ManifestedTable.dropBranch(spark, dir, "stage")
+      assert(spark.table("gm_cp.t").count() == 100,
+        "dropped branch leaked into main")
+      spark.sql(s"CALL gm_cp.system.cherrypick('t', $vA)")
+      assert(spark.table("gm_cp.t").count() == 150)
+      assert(spark.sql("SELECT count(*) FROM gm_cp.t WHERE c = 8")
+        .head.getLong(0) == 0, "the unpicked staged commit leaked")
+      assert(spark.sql("SELECT count(*) FROM gm_cp.t WHERE c = 7")
+        .head.getLong(0) == 50)
+
+      // double-pick refuses (the head already references the files)
+      intercept[Exception] {
+        ManifestedTable.cherrypick(spark, dir, vA)
+      }
+
+      // a commit erased by INSERT OVERWRITE lifts back
+      spark.sql("INSERT INTO gm_cp.t VALUES (9000, 9)")
+      val vIns = ManifestedTable.currentVersion(spark, dir)
+      spark.sql("INSERT OVERWRITE gm_cp.t SELECT id AS k, 1 AS c FROM range(10)")
+      assert(spark.table("gm_cp.t").count() == 10)
+      spark.sql(s"CALL gm_cp.system.cherrypick('t', $vIns)")
+      assert(spark.sql("SELECT count(*) FROM gm_cp.t WHERE k = 9000")
+        .head.getLong(0) == 1, "the erased append did not lift back")
+
+      // non-append deltas refuse: the OVERWRITE removed files
+      intercept[Exception] {
+        ManifestedTable.cherrypick(spark, dir, vIns + 1)
+      }
+      // a DML commit refuses too
+      spark.sql("DELETE FROM gm_cp.t WHERE c = 1 AND k < 3")
+      intercept[Exception] {
+        ManifestedTable.cherrypick(spark, dir,
+          ManifestedTable.currentVersion(spark, dir))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm_cp.t")
+    }
+  }
+
   test("graft-manifest tags: immutable refs, VERSION AS OF tag, ref-scoped vacuum retention") {
     import graft.sources.ManifestedTable
     import spark.implicits._
