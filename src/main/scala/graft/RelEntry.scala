@@ -17,6 +17,28 @@ import graft.operators.{GraphOps, LayoutOps, ReconcileOps, SpatialOps,
   */
 object RelEntry {
 
+  /** STABLE per-session catalog root: the engine caches catalog
+    * INSTANCES by name at first use, so re-pointing
+    * `spark.sql.catalog.<n>.root` on a later invocation would leave
+    * the cached instance on the old root — a query mixing catalog SQL
+    * with object-API paths would then read a different table than it
+    * wrote (bit ScaleBench's repeated invocations of one query in one
+    * session). The root is minted ONCE per (session, catalog) and
+    * every invocation reuses it; queries drop/recreate their tables
+    * inside, so reruns stay hermetic.
+    */
+  private def catRoot(s: org.apache.spark.sql.SparkSession, cat: String,
+      tag: String): String = {
+    val key = s"spark.sql.catalog.$cat.root"
+    s.conf.getOption(key).getOrElse {
+      val w = java.nio.file.Files.createTempDirectory(tag).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+      s.conf.set(key, w)
+      w
+    }
+  }
+
+
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** q172 octagon vertex directions, CCW, closed by wrap-around — the
@@ -2367,9 +2389,7 @@ object RelEntry {
       // relationally. Catalog state is the filesystem (one
       // ManifestedTable dir per table), so this composes with every
       // object-API operation on the same directory.
-      val wh = java.nio.file.Files.createTempDirectory("graft_cat_q").toString
-      s.conf.set("spark.sql.catalog.g190", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g190.root", wh)
+      val wh = catRoot(s, "g190", "graft_cat_q")
       Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
         .createOrReplaceTempView("g190_src")
@@ -2461,9 +2481,7 @@ object RelEntry {
       // pins the strict-minority rewrite claim). The oracle replays
       // both statements relationally; hash equality pins the clause
       // semantics end to end, inserted keys exactly once.
-      val wh = java.nio.file.Files.createTempDirectory("graft_rl_q").toString
-      s.conf.set("spark.sql.catalog.g192", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g192.root", wh)
+      val wh = catRoot(s, "g192", "graft_rl_q")
       Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
         col("o_orderpriority"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -2511,9 +2529,7 @@ object RelEntry {
       // UPDATE whose predicate spans all three file generations. The
       // oracle replays the lifecycle relationally; hash equality pins
       // id-resolution end to end.
-      val wh = java.nio.file.Files.createTempDirectory("graft_fid_q").toString
-      s.conf.set("spark.sql.catalog.g193", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g193.root", wh)
+      val wh = catRoot(s, "g193", "graft_fid_q")
       Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
         .createOrReplaceTempView("g193_src")
@@ -2609,9 +2625,7 @@ object RelEntry {
       // by reference. The oracle contains feed A and not feed B: a
       // leak either way hash-mismatches.
       import graft.sources.ManifestedTable
-      val wh = java.nio.file.Files.createTempDirectory("graft_cp_q").toString
-      s.conf.set("spark.sql.catalog.g204", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g204.root", wh)
+      val wh = catRoot(s, "g204", "graft_cp_q")
       val book = Tables.orders(s, d).select(col("o_orderkey").as("k"),
         col("o_custkey").as("c"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -2654,9 +2668,7 @@ object RelEntry {
       // resolution rule); a later INSERT shows through (text binding,
       // not snapshot), and a view composes over another view. The
       // oracle replays the final text against the final data.
-      val wh = java.nio.file.Files.createTempDirectory("graft_vw_q").toString
-      s.conf.set("spark.sql.catalog.g203", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g203.root", wh)
+      val wh = catRoot(s, "g203", "graft_vw_q")
       Tables.orders(s, d).select(col("o_orderkey").as("k"),
         col("o_custkey").as("c"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -2696,9 +2708,7 @@ object RelEntry {
       // IN the result and hash-mismatch; if the rejection were
       // non-atomic, a partial batch would. The oracle replays only
       // what must have landed.
-      val wh = java.nio.file.Files.createTempDirectory("graft_ck_q").toString
-      s.conf.set("spark.sql.catalog.g202", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g202.root", wh)
+      val wh = catRoot(s, "g202", "graft_ck_q")
       Tables.orders(s, d).select(col("o_orderkey").as("k"),
         col("o_custkey").as("c"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -2744,9 +2754,7 @@ object RelEntry {
       // rewrite; a CoW UPDATE rewrites files across all generations
       // and the defaulted values must survive it. The oracle replays
       // the lifecycle with the defaults spelled explicitly.
-      val wh = java.nio.file.Files.createTempDirectory("graft_df_q").toString
-      s.conf.set("spark.sql.catalog.g201", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g201.root", wh)
+      val wh = catRoot(s, "g201", "graft_df_q")
       Tables.orders(s, d).select(col("o_orderkey").as("k"),
         col("o_custkey").as("c"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -2788,9 +2796,7 @@ object RelEntry {
       // include-mask (new DV minus old) surfaces exactly each commit's
       // victims, never re-delivering the file. The oracle replays
       // every commit relationally with literal versions.
-      val wh = java.nio.file.Files.createTempDirectory("graft_cf_q").toString
-      s.conf.set("spark.sql.catalog.g199", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g199.root", wh)
+      val wh = catRoot(s, "g199", "graft_cf_q")
       Tables.orders(s, d).select(col("o_orderkey").as("k"),
         col("o_custkey").as("c"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -2829,22 +2835,26 @@ object RelEntry {
       // local scan, zero data IO). The oracle recomputes every tuple
       // relationally from the raw rows — the metadata must agree with
       // the data it indexes, bit-exactly, tuple names included.
-      val wh = java.nio.file.Files.createTempDirectory("graft_mt_q").toString
-      s.conf.set("spark.sql.catalog.g200", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g200.root", wh)
+      val wh = catRoot(s, "g200", "graft_mt_q")
       Tables.orders(s, d).select(col("o_orderkey").as("k"),
         col("o_custkey").as("c"), col("o_orderdate").as("dt"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
         .createOrReplaceTempView("g200_src")
       s.sql("DROP TABLE IF EXISTS g200.t")
-      s.sql("""CREATE TABLE g200.t (k BIGINT, c BIGINT, dt DATE,
-              |  cents BIGINT)
-              |PARTITIONED BY (months(dt), truncate(1000, c))""".stripMargin)
+      // the truncate source is BOUNDED (c % 5000 → ≤ 2 bins of 2500)
+      // so the tuple count — and with it the files-per-commit — stays
+      // scale-free: partition cardinality is a LAYOUT design choice,
+      // and an unbounded-domain transform would explode small files at
+      // 100 TB exactly like over-partitioning does on any lakehouse
+      s.sql("""CREATE TABLE g200.t (k BIGINT, c BIGINT, cm BIGINT,
+              |  dt DATE, cents BIGINT)
+              |PARTITIONED BY (months(dt), truncate(2500, cm))""".stripMargin)
       s.sql("""INSERT INTO g200.t
-              |SELECT k, c, dt, cents FROM g200_src
+              |SELECT k, c, c % 5000, dt, cents FROM g200_src
               |WHERE k % 3 < 2""".stripMargin)
       s.sql("""INSERT INTO g200.t
-              |SELECT k + 507000000, c, date_add(dt, 40), cents + 9
+              |SELECT k + 507000000, c, c % 5000, date_add(dt, 40),
+              |  cents + 9
               |FROM g200_src WHERE k % 10 = 4""".stripMargin)
       val out = s.sql(
         """SELECT partition AS part,
@@ -2871,9 +2881,7 @@ object RelEntry {
       // would change sides and the oracle — which replays the
       // lifecycle relationally and derives the flag from provenance —
       // would hash-mismatch.
-      val wh = java.nio.file.Files.createTempDirectory("graft_rid_q").toString
-      s.conf.set("spark.sql.catalog.g198", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g198.root", wh)
+      val wh = catRoot(s, "g198", "graft_rid_q")
       Tables.orders(s, d).select(col("o_orderkey").as("k"),
         col("o_custkey").as("c"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -2923,9 +2931,7 @@ object RelEntry {
       // open, identical rows of rewritten files cancel, so each commit
       // contributes exactly its own row-level delta. The oracle
       // replays every commit relationally with literal versions.
-      val wh = java.nio.file.Files.createTempDirectory("graft_cl_q").toString
-      s.conf.set("spark.sql.catalog.g197", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g197.root", wh)
+      val wh = catRoot(s, "g197", "graft_cl_q")
       Tables.orders(s, d).select(col("o_orderkey").as("k"),
         col("o_custkey").as("c"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -2975,9 +2981,7 @@ object RelEntry {
       // UPDATE rewriting structs across all three file generations
       // (catalyst parquet writers). The oracle replays the lifecycle
       // with FLAT columns — nesting must be a pure shape.
-      val wh = java.nio.file.Files.createTempDirectory("graft_ns_q").toString
-      s.conf.set("spark.sql.catalog.g196", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g196.root", wh)
+      val wh = catRoot(s, "g196", "graft_ns_q")
       Tables.orders(s, d).select(col("o_orderkey").as("k"),
         col("o_custkey").as("c"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -3030,9 +3034,7 @@ object RelEntry {
       // keep pruning under their write-time spec. The oracle replays
       // the lifecycle relationally — partitioning must be semantically
       // invisible; SourceFormatsSpec pins the pruning counts.
-      val wh = java.nio.file.Files.createTempDirectory("graft_hp_q").toString
-      s.conf.set("spark.sql.catalog.g195", "graft.sources.ManifestCatalog")
-      s.conf.set("spark.sql.catalog.g195.root", wh)
+      val wh = catRoot(s, "g195", "graft_hp_q")
       Tables.orders(s, d).select(col("o_orderkey").as("k"),
         col("o_custkey").as("c"), col("o_orderdate").as("dt"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
@@ -4093,16 +4095,17 @@ object RelEntry {
         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders),
         |rows1 AS (
-        |  SELECT k, c, dt, cents FROM base WHERE k % 3 < 2
+        |  SELECT k, c, c % 5000 AS cm, dt, cents
+        |  FROM base WHERE k % 3 < 2
         |  UNION ALL
-        |  SELECT k + 507000000 AS k, c,
+        |  SELECT k + 507000000 AS k, c, c % 5000 AS cm,
         |         CAST(dt + INTERVAL 40 DAY AS DATE) AS dt,
         |         cents + 9 AS cents
         |  FROM base WHERE k % 10 = 4)
         |SELECT 'months(dt)=' ||
         |    CAST((year(dt) - 1970) * 12 + month(dt) - 1 AS VARCHAR) ||
-        |    '/truncate(1000, c)=' ||
-        |    CAST(c - ((c % 1000 + 1000) % 1000) AS VARCHAR) AS part,
+        |    '/truncate(2500, cm)=' ||
+        |    CAST(cm - ((cm % 2500 + 2500) % 2500) AS VARCHAR) AS part,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM rows1 GROUP BY 1""".stripMargin,
 

@@ -396,7 +396,44 @@ object ScaleBench {
     // cell is fixed-overhead-dominated — kept as the honest record
     // that the operator's cost floor, not its scaling, is what the
     // fixture can see
-    "q183_epoch_order")
+    "q183_epoch_order",
+    // q198: row lineage — the CTAS, feed, engine UPDATE, CoW DELETE,
+    // and full compaction all grow m× while id PRESERVATION is
+    // per-row work inside those same rewrites (the materialized
+    // column is one extra int64 per row); the closing self-join on
+    // _row_id grows m× on both sides. β prices lineage as a
+    // constant-factor rider on the DML it protects
+    "q198_row_lineage",
+    // q199: change data feed — commits grow m×, and the batch feed
+    // reads exactly the per-commit symmetric-difference files (the
+    // DV-diff cells read ONLY sidecars + masked rows); β prices the
+    // claim that CDF cost tracks surfaced change mass, never
+    // snapshot size
+    "q199_change_feed",
+    // q200: metadata tables — the TABLE grows m× (more files, more
+    // tuples) but the partitions rollup stays manifest-only: β prices
+    // the zero-data-IO claim (the curve should be the data WRITES,
+    // with the metadata read flat)
+    "q200_metadata_tables",
+    // q201: column defaults — three strata + a cross-generation CoW
+    // UPDATE grow m×; the exists-default fill is a constant per
+    // absent-column partition (footer-name check + literal), so β
+    // prices defaults as a zero-cost rider on the reads
+    "q201_column_defaults",
+    // q202: CHECK constraints — the enforced write strata grow m×;
+    // CheckInvariant rides inside the write projection (whole-stage
+    // codegen), so β prices enforcement as row-linear inside the
+    // writes it guards
+    "q202_check_constraints",
+    // q203: catalog views — the base table and both view reads grow
+    // m×; view EXPANSION is analysis-time text splicing (per-query
+    // fixed), so the curve is the underlying aggregates'
+    "q203_catalog_views",
+    // q204: cherry-pick — the staged feeds grow m× but the lift
+    // itself republishes entry LINES by reference (manifest-sized);
+    // the curve should be the branch writes + the final read, with
+    // the pick itself flat
+    "q204_cherrypick")
     // q177 (delete) has NO cell: its machinery is q176's find-touched
     // + rewrite with a predicate instead of a key join (covered), and
     // its semantics claim (NULL rows survive) is the oracle equality.
