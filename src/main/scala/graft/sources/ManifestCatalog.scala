@@ -90,17 +90,19 @@ class ManifestCatalog extends TableCatalog
 
   override def createTable(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
-    val t = createTable(ident, info.schema(), info.partitions(),
-      info.properties())
+    // constraints VALIDATE BEFORE anything mutates (a refused kind
+    // must not leave a live table behind), and the accepted checks
+    // ride the same properties map as user TBLPROPERTIES — one
+    // creation path, no window where the table exists unenforced
     val checks = info.constraints().toSeq.map {
       case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
         s"$ConstraintProp${c.name()}" -> c.predicateSql()
       case other => throw new UnsupportedOperationException(
         s"only CHECK constraints are enforced here; got ${other.toDDL}")
     }
-    if (checks.nonEmpty)
-      ManifestedTable.setTableProperties(conf, dirOf(ident), checks.toMap)
-    t
+    val props = new java.util.HashMap[String, String](info.properties())
+    checks.foreach { case (key, v) => props.put(key, v) }
+    createTable(ident, info.schema(), info.partitions(), props)
   }
 
   private def conf = SparkSession.active.sessionState.newHadoopConf()
@@ -262,6 +264,13 @@ class ManifestCatalog extends TableCatalog
     if (isTable(dir))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
+    // tables and views share the namespace symmetrically: createView
+    // refuses to shadow a table, so a table must refuse to shadow a
+    // view (a silent shadow would orphan the view file and resurrect
+    // its stale definition at DROP TABLE)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
     ManifestedTable.createEmpty(conf, dir, schema.json,
       if (spec.isEmpty) Map.empty
       else Map(ManifestPartitions.SpecsKey ->
@@ -795,6 +804,9 @@ class ManifestCatalog extends TableCatalog
     if (isTable(to))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(newIdent)
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
     require(fs.rename(new Path(from), new Path(to)),
       s"rename $from -> $to failed")
   }

@@ -89,8 +89,12 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
     val base = ManifestDataSource.schemaOf(dir(options),
       ManifestDataSource.versionOf(options, dir(options)))
     // `.option("readChangeFeed", true)`: the relation gains the three
-    // CDF columns — the Delta-shaped change-feed face (batch over
-    // [startingVersion, endingVersion]; streaming per commit)
+    // CDF columns — the Delta-shaped change-feed face. The window is
+    // (startingVersion, endingVersion] — startingVersion is EXCLUSIVE,
+    // matching this source's own streaming-offset convention
+    // ("startingVersion = currentVersion tails only new commits");
+    // NB Delta's startingVersion is inclusive — a porting user passes
+    // v-1 where Delta took v
     if (options.getBoolean("readChangeFeed", false))
       StructType(base.fields ++ ManifestDataSource.CdfFields)
     else base
@@ -140,17 +144,28 @@ object ManifestDataSource {
     * columns); this feed is the raw insert/delete stream — a consumer
     * applies each commit's deletes before its inserts.
     */
-  private[sources] def cdfPartitionsOf(
-      conf: org.apache.hadoop.conf.Configuration, path: String, v: Long,
-      baseV: Long, epochs: Seq[Map[Int, String]],
+  /** All change-feed partitions for the window (fromV, toV]: ONE
+    * manifest listing + one memoized lineage fold feed every commit's
+    * diff (per-version resolvers would re-list the directory ~5× per
+    * commit — quadratic driver IO over a long window).
+    */
+  private[sources] def cdfWindowPartitions(
+      conf: org.apache.hadoop.conf.Configuration, path: String,
+      fromV: Long, toV: Long, epochs: Seq[Map[Int, String]],
+      filters: Array[Filter]): Seq[InputPartition] =
+    ManifestedTable.cdfWindow(conf, path, fromV, toV)
+      .flatMap { case (v, ts, meta, prev, cur) =>
+        cdfPartitionsOf(path, v, ts, meta, prev, cur, epochs, filters)
+      }
+
+  private[sources] def cdfPartitionsOf(path: String, v: Long, ts: Long,
+      meta: Map[String, String], prev: Seq[(String, ManifestedTable.FileStats)],
+      cur: Seq[(String, ManifestedTable.FileStats)],
+      epochs: Seq[Map[Int, String]],
       filters: Array[Filter]): Seq[InputPartition] = {
     val root = new Path(path)
-    val meta = ManifestedTable.rawMetaAt(conf, path, v)
     val op = meta.getOrElse(ManifestedTable.OpKey, "")
     if (op.startsWith("compact")) return Nil
-    val ts = ManifestedTable.commitMsAt(conf, path, v)
-    val prev = ManifestedTable.entriesAtVersion(conf, path, baseV)
-    val cur = ManifestedTable.entriesAtVersion(conf, path, v)
     val prevBy = prev.toMap
     val curBy = cur.toMap
     def keep(st: ManifestedTable.FileStats): Boolean = {
@@ -949,13 +964,8 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
       val dataFilters =
         (filters ++ runtime).filterNot(f =>
           f.references.exists(ManifestDataSource.CdfNames))
-      return ((startingVersion + 1) to toV).flatMap { v =>
-        val (isMain, baseV) =
-          ManifestedTable.versionLineage(conf, path, v)
-        if (!isMain) Nil
-        else ManifestDataSource.cdfPartitionsOf(conf, path, v, baseV,
-          epochs, dataFilters)
-      }.toArray
+      return ManifestDataSource.cdfWindowPartitions(conf, path,
+        startingVersion, toV, epochs, dataFilters).toArray
     }
     val root = new Path(path)
     entries.zip(entriesEff)
@@ -1108,6 +1118,15 @@ private[sources] class ManifestMicroBatchStream(path: String,
     val root = new Path(path)
     val epochs = ManifestedTable.epochsOf(
       ManifestedTable.snapshotMeta(sconf.value, path))
+    // STREAMING change feed (`readChangeFeed`): each commit's
+    // row-level delta as insert/delete partitions — DML and
+    // compaction stream exactly (victims as deletes, rewrite
+    // survivors cancel by the compact-op skip), so the ignoreChanges
+    // escape hatch is never needed here; the window planner shares
+    // one listing + one lineage fold across the batch
+    if (cdf) return ManifestDataSource.cdfWindowPartitions(sconf.value,
+      path, s, e, epochs, filters.filterNot(f =>
+        f.references.exists(ManifestDataSource.CdfNames))).toArray
     ((s + 1) to e).flatMap { v =>
       val (isMain, baseV) =
         ManifestedTable.versionLineage(sconf.value, path, v)
@@ -1115,16 +1134,7 @@ private[sources] class ManifestMicroBatchStream(path: String,
       // their rows surface when (and only when) the branch promotes;
       // each main version diffs against its TRUE lineage parent
       if (!isMain) Nil
-      else if (cdf) {
-        // STREAMING change feed (`readChangeFeed`): the commit's
-        // row-level delta as insert/delete partitions — DML and
-        // compaction stream exactly (victims as deletes, rewrite
-        // survivors cancel by the compact-op skip), so the
-        // ignoreChanges escape hatch is never needed here
-        ManifestDataSource.cdfPartitionsOf(sconf.value, path, v, baseV,
-          epochs, filters.filterNot(f =>
-            f.references.exists(ManifestDataSource.CdfNames)))
-      } else {
+      else {
       val prev = ManifestedTable
         .entriesAtVersion(sconf.value, path, baseV)
       val curE = ManifestedTable.entriesAtVersion(sconf.value, path, v)

@@ -309,6 +309,26 @@ private[sources] object ManifestProcedures {
           val sql = in.getUTF8String(1).toString
           val replace = in.getBoolean(2)
           val spark = SparkSession.active
+          // MUTATING text refuses before anything runs: spark.sql
+          // executes commands AND DML statements eagerly, so an
+          // INSERT/MERGE/UPDATE/DELETE/DDL body would otherwise run
+          // its side effect at view-creation time; a view body must
+          // be a QUERY. (DML plans are NOT `Command` at parse time —
+          // InsertIntoStatement et al are plain logical nodes the
+          // analyzer later rewrites, so each shape is named.)
+          val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+          locally {
+            import org.apache.spark.sql.catalyst.plans.logical._
+            val mutating = parsed.isInstanceOf[Command] ||
+              parsed.isInstanceOf[ParsedStatement] ||
+              parsed.isInstanceOf[InsertIntoStatement] ||
+              parsed.isInstanceOf[MergeIntoTable] ||
+              parsed.isInstanceOf[UpdateTable] ||
+              parsed.isInstanceOf[DeleteFromTable]
+            require(!mutating,
+              s"create_view('$vName'): the view text must be a " +
+                s"query, not a command/DML (got ${parsed.nodeName})")
+          }
           val analyzed = spark.sql(sql)
           val cm = spark.sessionState.catalogManager
           val info = new org.apache.spark.sql.connector.catalog.ViewInfo(

@@ -55,8 +55,16 @@ private[sources] object ManifestViews {
       s".${path.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    if (replace) fs.delete(path, false)
-    if (!fs.rename(tmp, path)) {
+    if (replace) {
+      // REPLACE is one atomic overwrite-rename (FileContext's
+      // Rename.OVERWRITE): a concurrent reader sees either the old or
+      // the new definition, never a missing view, and a crash here
+      // loses nothing (delete-then-rename would open both windows)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        path.toUri, fs.getConf)
+      fc.rename(tmp, path,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } else if (!fs.rename(tmp, path)) {
       fs.delete(tmp, false)
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(Identifier.of(Array.empty,

@@ -2107,6 +2107,39 @@ object ManifestedTable {
     }
   }
 
+  /** Change-feed window context: per MAIN version in (fromV, toV],
+    * its commit time, raw per-commit meta, lineage-parent entries, and
+    * own entries — resolved with ONE directory listing and one
+    * memoized lineage fold for the whole window. (Per-version
+    * resolvers would re-list the manifest directory ~5× per commit —
+    * O(window²) driver round-trips on object storage.) Branch staging
+    * commits are excluded (invisible to the main feed until promote);
+    * each main version pairs with its TRUE lineage parent (`#base=`).
+    * A window crossing the retention horizon fails loudly in the
+    * resolver, exactly like every other versioned read.
+    */
+  private[sources] def cdfWindow(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      fromV: Long, toV: Long): Seq[(Long, Long, Map[String, String],
+      Seq[(String, FileStats)], Seq[(String, FileStats)])] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val vs = manifestVersions(fs, root)
+    require(vs.nonEmpty, s"no committed manifest under $dir")
+    val linesOf = lineageResolver(fs, root, vs.toMap)
+    vs.filter { case (v, _) => v > fromV && v <= toV }
+      .flatMap { case (v, p) =>
+        val meta = readMeta(fs, p)
+        if (meta.contains(BranchKey)) None
+        else {
+          val baseV = meta.get(BaseKey).map(_.toLong).getOrElse(v - 1)
+          val prev =
+            if (baseV == 0L) Nil else linesOf(baseV).map(parseEntry)
+          Some((v, commitMs(fs, p), meta, prev, linesOf(v).map(parseEntry)))
+        }
+      }
+  }
+
   /** One retained version's RAW per-commit meta (op, ts, base, branch
     * markers) — what the change-feed planners consult to classify a
     * commit without resolving its entries.
@@ -2176,7 +2209,8 @@ object ManifestedTable {
     val parent = entriesAtVersion(conf, dir, parentV)
     val at = entriesAtVersion(conf, dir, version)
     val parentK = parent.map(k).toSet
-    val removed = parent.filterNot(e => at.map(k).toSet(k(e)))
+    val atK = at.map(k).toSet
+    val removed = parent.filterNot(e => atK(k(e)))
     require(removed.isEmpty,
       s"cherrypick(v$version): only APPEND commits are liftable — " +
         s"this version removed or rewrote ${removed.size} file(s) " +

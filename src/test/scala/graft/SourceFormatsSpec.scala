@@ -2363,6 +2363,14 @@ class SourceFormatsSpec extends SparkTestBase {
       intercept[Exception] {
         spark.sql("ALTER TABLE gm_ck.t DROP CONSTRAINT nope")
       }
+
+      // an unsupported constraint KIND refuses BEFORE the table
+      // mutates — a failed CREATE must not leave a live table behind
+      intercept[Exception] {
+        spark.sql("""CREATE TABLE gm_ck.bad (
+          k BIGINT, CONSTRAINT pk PRIMARY KEY (k))""")
+      }
+      intercept[Exception] { spark.table("gm_ck.bad").collect() }
     } finally {
       spark.sql("DROP TABLE IF EXISTS gm_ck.t")
     }
@@ -2421,11 +2429,27 @@ class SourceFormatsSpec extends SparkTestBase {
       assert(spark.sql("SELECT total FROM gm_vw.v WHERE c = 3")
         .head.getLong(0) == 101L)
 
-      // a view cannot shadow a table
+      // a view cannot shadow a table — and a TABLE cannot shadow a
+      // view (symmetric; a silent shadow would orphan the view file
+      // and resurrect its stale text at DROP TABLE)
       intercept[Exception] {
         spark.sql(
           "CALL gm_vw.system.create_view('t', 'SELECT 1 AS one', false)")
       }
+      intercept[Exception] {
+        spark.sql("CREATE TABLE gm_vw.v2 (x BIGINT)")
+      }
+
+      // COMMAND text refuses at create AND runs nothing: spark.sql
+      // executes commands eagerly, so an INSERT body would otherwise
+      // mutate data at view-creation time
+      val nBefore = spark.table("gm_vw.t").count()
+      intercept[Exception] {
+        spark.sql("""CALL gm_vw.system.create_view('evil',
+          'INSERT INTO gm_vw.t VALUES (77777, 0, 0)', false)""")
+      }
+      assert(spark.table("gm_vw.t").count() == nBefore,
+        "a command-bodied create_view mutated the table")
 
       // drop releases the name; the dangling dependent view now fails
       // loudly at ITS resolution (text binding semantics)
