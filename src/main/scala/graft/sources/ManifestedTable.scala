@@ -2140,35 +2140,6 @@ object ManifestedTable {
       }
   }
 
-  /** One retained version's RAW per-commit meta (op, ts, base, branch
-    * markers) — what the change-feed planners consult to classify a
-    * commit without resolving its entries.
-    */
-  private[sources] def rawMetaAt(
-      conf: org.apache.hadoop.conf.Configuration, dir: String,
-      v: Long): Map[String, String] = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val p = manifestVersions(fs, root).find(_._1 == v).map(_._2)
-      .getOrElse(throw new IllegalArgumentException(
-        s"version $v not retained under $dir"))
-    readMeta(fs, p)
-  }
-
-  /** A retained version's commit time (the `#ts=` clock; mtime
-    * fallback) — conf-parameterized for the DSv2 change-feed faces.
-    */
-  private[sources] def commitMsAt(
-      conf: org.apache.hadoop.conf.Configuration, dir: String,
-      v: Long): Long = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val p = manifestVersions(fs, root).find(_._1 == v).map(_._2)
-      .getOrElse(throw new IllegalArgumentException(
-        s"version $v not retained under $dir"))
-    commitMs(fs, p)
-  }
-
   /** All named refs — live branches and tags — as (name, kind,
     * version) rows for the `refs` metadata table.
     */
