@@ -2018,6 +2018,33 @@ class SourceFormatsSpec extends SparkTestBase {
         spark.sql("""CREATE TABLE gm_ht.bad2 (x DOUBLE)
           PARTITIONED BY (truncate(10, x))""")
       }
+
+      // partition EVOLUTION INTO the new transforms (the CALL
+      // set_partition_spec parser path): the bucketed table t's spec
+      // evolves to truncate(200, k) + hours(ts); old files keep
+      // pruning under their write-time spec, new writes land under
+      // the evolved one, and a probe prunes on BOTH sides of the seam
+      spark.sql(
+        "CALL gm_ht.system.set_partition_spec('t', 'truncate(200, k), hours(ts)')")
+      spark.sql("""INSERT INTO gm_ht.t
+        SELECT id + 10000,
+               timestamp_seconds(1700000000 + (CAST(id AS INT) % 4) * 3600),
+               concat('e', id)
+        FROM range(400)""")
+      val filesE = ManifestedTable.currentFiles(spark, s"$wh/t").size
+      val seam = spark.table("gm_ht.t").filter(col("k") >= 10200L)
+      assert(seam.count() == 200)
+      assert(seam.rdd.getNumPartitions * 3 < filesE,
+        s"post-evolution truncate pruning planned " +
+          s"${seam.rdd.getNumPartitions} of $filesE")
+      val oldSeam = spark.table("gm_ht.t").filter(col("k") === 123L)
+      assert(oldSeam.count() == 1)
+      assert(oldSeam.rdd.getNumPartitions * 3 < filesE,
+        "old-spec files stopped pruning after evolution to truncate/hours")
+      // evolving to an unsupported pair refuses loudly
+      intercept[Exception] {
+        spark.sql("CALL gm_ht.system.set_partition_spec('t', 'hours(v)')")
+      }
     } finally {
       Seq("t", "s", "neg", "bad", "bad2").foreach(n =>
         spark.sql(s"DROP TABLE IF EXISTS gm_ht.$n"))
