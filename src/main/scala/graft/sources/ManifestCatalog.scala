@@ -401,6 +401,26 @@ class ManifestCatalog extends TableCatalog
         specChanged = true
       }
     val setProps = scala.collection.mutable.Map.empty[String, String]
+    // CHECK-constraint interplay: a RENAME or DROP of a column a
+    // stored predicate references would make every LATER write fail
+    // analysis (CheckInvariant can no longer resolve the old name)
+    // until the constraint is manually dropped — loud but surprising.
+    // Refuse here, where the user can DROP CONSTRAINT first (Delta
+    // refuses such renames for the same reason).
+    lazy val checkRefs: Seq[(String, Set[String])] =
+      ManifestCatalog.checkConstraintsOf(
+        ManifestedTable.tableProperties(conf, dir)).map { case (n, sql) =>
+        n -> ManifestCatalog.predicateColumnPaths(SparkSession.active, sql)
+      }
+    def refuseIfConstrained(dotted: String, what: String): Unit = {
+      val lo = dotted.toLowerCase(java.util.Locale.ROOT)
+      val hit = checkRefs.filter(_._2.exists(p =>
+        p == lo || p.startsWith(lo + ".")))
+      require(hit.isEmpty,
+        s"cannot $what $dotted: CHECK constraint(s) " +
+          s"${hit.map(_._1).mkString(", ")} reference it — " +
+          "DROP CONSTRAINT first")
+    }
     changes.foreach {
       case add: TableChange.AddColumn
           if add.isNullable && add.position() == null =>
@@ -453,6 +473,7 @@ class ManifestCatalog extends TableCatalog
         val path = rn.fieldNames().toSeq
         val from = path.mkString(".")
         val to = (path.init :+ rn.newName()).mkString(".")
+        refuseIfConstrained(from, "RENAME COLUMN")
         if (path.length == 1) {
           require(schema.fieldNames.contains(from), s"no column $from")
           require(!schema.fieldNames.contains(rn.newName()),
@@ -487,6 +508,7 @@ class ManifestCatalog extends TableCatalog
           if (!del.ifExists()) throw new IllegalArgumentException(
             s"no column $dotted to drop")
         } else {
+          refuseIfConstrained(dotted, "DROP COLUMN")
           if (path.length == 1) {
             require(schema.length > 1, "cannot drop the last column")
             require(!curSpec.exists(_.colName == dotted),
@@ -548,9 +570,16 @@ class ManifestCatalog extends TableCatalog
               .Check =>
             // existing rows must HOLD the new check — validated with a
             // real scan before the property commits (stats-pruned like
-            // any other filtered read)
+            // any other filtered read). The commit PINS the head
+            // version the scan proved: a violating INSERT landing
+            // between scan and publish aborts the ADD loudly instead
+            // of blessing unvalidated rows as enforced+VALID.
+            val provedV = ManifestedTable.mainHeadVersion(conf, dir)
+              .getOrElse(0L)
             validateCheck(dir, c.name(), c.predicateSql())
-            setProps += s"$ConstraintProp${c.name()}" -> c.predicateSql()
+            ManifestedTable.setTableProperties(conf, dir,
+              Map(s"$ConstraintProp${c.name()}" -> c.predicateSql()),
+              expectHeadVersion = Some(provedV))
           case other => throw new UnsupportedOperationException(
             s"only CHECK constraints are enforced here; got ${other.toDDL}")
         }
@@ -826,4 +855,17 @@ object ManifestCatalog {
       case (k, v) if k.startsWith(ConstraintProp) && v.nonEmpty =>
         (k.stripPrefix(ConstraintProp), v)
     }.sortBy(_._1)
+
+  /** The dotted column paths a stored CHECK predicate references
+    * (lower-cased) — what RENAME/DROP COLUMN checks against. Stored
+    * predicates parsed at ADD time, so the Try is belt-and-braces; an
+    * unparseable one contributes nothing.
+    */
+  private[sources] def predicateColumnPaths(spark: SparkSession,
+      sql: String): Set[String] =
+    scala.util.Try(spark.sessionState.sqlParser.parseExpression(sql))
+      .toOption.map(_.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.mkString(".").toLowerCase(java.util.Locale.ROOT)
+      }.toSet).getOrElse(Set.empty)
 }

@@ -428,8 +428,10 @@ object ManifestDataSource {
   * `df.write.format("graft-manifest")` and SQL `INSERT INTO` /
   * `INSERT OVERWRITE` land with full OCC semantics. SQL `DELETE FROM`
   * rides SupportsDelete: translatable predicates become a
-  * [[ManifestedTable.deleteWhere]] (copy-on-write, stats-pruned);
-  * untranslatable ones refuse loudly at analysis.
+  * [[ManifestedTable.deleteWhere]] — find-touched is manifest-pruned
+  * (stats/bloom/partition-tuple refutation before any file opens) and
+  * tuple-COVERED files drop by reference with zero IO (metadata
+  * delete); untranslatable ones refuse loudly at analysis.
   */
 private[sources] class ManifestTable(schema: StructType, path: String,
     pinnedVersion: Option[Long] = None)
@@ -492,15 +494,27 @@ private[sources] class ManifestTable(schema: StructType, path: String,
       caps.add(TableCapability.V1_BATCH_WRITE)
     caps
   }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // `startingVersion` is EXCLUSIVE (this source's streaming-offset
+    // convention); Delta's same-named option is INCLUSIVE — a porting
+    // user silently loses the first commit of every window. The
+    // `startingVersionInclusive` alias takes Delta's meaning exactly,
+    // so ports change one option name instead of every version literal.
+    val exclusive = Option(options.get("startingVersion"))
+      .filter(_.nonEmpty).map(_.toLong)
+    val inclusive = Option(options.get("startingVersionInclusive"))
+      .filter(_.nonEmpty).map(_.toLong)
+    require(exclusive.isEmpty || inclusive.isEmpty,
+      "set either startingVersion (exclusive) or " +
+        "startingVersionInclusive (the Delta-compatible alias), not both")
     new ManifestScanBuilder(schema, path,
       ManifestDataSource.versionOf(options, path).orElse(pinnedVersion),
-      Option(options.get("startingVersion")).filter(_.nonEmpty)
-        .map(_.toLong).getOrElse(0L),
+      exclusive.orElse(inclusive.map(_ - 1L)).getOrElse(0L),
       options.getBoolean("ignoreChanges", false),
       options.getBoolean("readChangeFeed", false),
       Option(options.get("endingVersion")).filter(_.nonEmpty)
         .map(_.toLong))
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -1013,12 +1027,12 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
         n == "_file" || n == "_pos" || n == "_row_id") &&
       epochs.size <= 1 &&
       entries.forall(e => e._2.dv.isEmpty && !e._2.rows.contains(0L)) &&
-      readSchema.fields.forall(f => vectorOk(f.dataType)) &&
-      // a requested column with an EXISTS default needs the row
-      // readers' physically-absent-vs-genuinely-NULL distinction —
-      // the vectorized path's missing-column null vectors can't make it
-      !org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
-        .hasExistenceDefaultValues(readSchema)
+      readSchema.fields.forall(f => vectorOk(f.dataType))
+      // columns with EXISTS defaults stay vectorized: the requested
+      // schema rides to Spark's own reader WITH its field metadata,
+      // and the vectorized reader fills a physically-absent column
+      // from EXISTS_DEFAULT itself (SPARK-38334) — same value the row
+      // readers serve (SourceFormatsSpec pins the equivalence)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestPartitionReaderFactory(readSchema, sconf,

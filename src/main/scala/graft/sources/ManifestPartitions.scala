@@ -384,6 +384,37 @@ private[graft] object ManifestPartitions {
     case _ => true
   }
 
+  /** v−1 / v+1 on DISCRETE domains (integers, dates) — what rewrites
+    * `x < v` into `x <= v−1` so boundary-aligned ranges prune AND
+    * prove exactly through coarse transforms (the Iceberg boundary
+    * adjustment: `d < 2026-03-01` refutes the March months-tuple and
+    * covers February's). None for continuous/unknown types — callers
+    * fall back to the strict-inequality rule.
+    */
+  private def prevDiscrete(v: Any): Option[Any] = v match {
+    case x: Long => if (x == Long.MinValue) None else Some(x - 1)
+    case x: Int => if (x == Int.MinValue) None else Some(x - 1)
+    case x: Short =>
+      if (x == Short.MinValue) None else Some((x - 1).toShort)
+    case x: Byte => if (x == Byte.MinValue) None else Some((x - 1).toByte)
+    case d: java.sql.Date =>
+      Some(java.sql.Date.valueOf(d.toLocalDate.minusDays(1)))
+    case d: java.time.LocalDate => Some(d.minusDays(1))
+    case _ => None
+  }
+
+  private def nextDiscrete(v: Any): Option[Any] = v match {
+    case x: Long => if (x == Long.MaxValue) None else Some(x + 1)
+    case x: Int => if (x == Int.MaxValue) None else Some(x + 1)
+    case x: Short =>
+      if (x == Short.MaxValue) None else Some((x + 1).toShort)
+    case x: Byte => if (x == Byte.MaxValue) None else Some((x + 1).toByte)
+    case d: java.sql.Date =>
+      Some(java.sql.Date.valueOf(d.toLocalDate.plusDays(1)))
+    case d: java.time.LocalDate => Some(d.plusDays(1))
+    case _ => None
+  }
+
   private def utf8Bytes(v: Any): Option[Array[Byte]] = v match {
     case s: String => Some(s.getBytes(StandardCharsets.UTF_8))
     case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes)
@@ -468,13 +499,18 @@ private[graft] object ManifestPartitions {
         vs.isEmpty || vs.exists(eqMatch(t, pv, _)) }
       // monotone transforms coarsen: x > v implies T(x) >= T(v), so a
       // file is refuted only when its tuple sits strictly on the wrong
-      // side of the TRANSFORMED bound (never exactly on it)
+      // side of the TRANSFORMED bound (never exactly on it). STRICT
+      // bounds on discrete domains first rewrite to their inclusive
+      // equivalents (x < v ⟺ x <= v−1), so a boundary-aligned probe
+      // refutes the boundary bin too (d < 2026-03-01 drops March).
       case GreaterThan(a, v) =>
-        byCol(a).forall { case (t, pv) => rangeMatch(t, pv, v, keepLo = true) }
+        val v2 = nextDiscrete(v).getOrElse(v)
+        byCol(a).forall { case (t, pv) => rangeMatch(t, pv, v2, keepLo = true) }
       case GreaterThanOrEqual(a, v) =>
         byCol(a).forall { case (t, pv) => rangeMatch(t, pv, v, keepLo = true) }
       case LessThan(a, v) =>
-        byCol(a).forall { case (t, pv) => rangeMatch(t, pv, v, keepLo = false) }
+        val v2 = prevDiscrete(v).getOrElse(v)
+        byCol(a).forall { case (t, pv) => rangeMatch(t, pv, v2, keepLo = false) }
       case LessThanOrEqual(a, v) =>
         byCol(a).forall { case (t, pv) => rangeMatch(t, pv, v, keepLo = false) }
       case IsNull(a) => byCol(a).forall(_._2 == PNull)
@@ -491,6 +527,118 @@ private[graft] object ManifestPartitions {
       case _ => true
     }
   }
+
+  /** The COVERAGE dual of [[mayMatch]]: does the tuple PROVE that
+    * EVERY row of the file satisfies `f`? True only on a proof —
+    * anything undecidable is false (the sound default flips sides
+    * here: mayMatch defaults to keep, mustMatch defaults to "cannot
+    * prove"). What the proof rests on: every row in the file has
+    * EXACTLY the tuple's transform values, so
+    *
+    *  - equality is proven only for IDENTITY transforms (injective on
+    *    their supported types) — `tuple == T(v)` under days/truncate/
+    *    bucket proves nothing about the source values;
+    *  - ranges are proven by STRICT inequality in the transformed
+    *    space of a MONOTONE transform: `T(x) < T(v) ⟹ x < v` (the
+    *    contrapositive of monotonicity), where the non-strict
+    *    comparison would be exactly the coarsening mayMatch tolerates;
+    *  - `x <= v` additionally accepts an identity equality proof;
+    *  - IS [NOT] NULL is exact both ways (NULL source ⟺ NULL tuple);
+    *  - And needs both sides proven, Or either.
+    *
+    * This is what turns a partition-aligned retention DELETE into a
+    * metadata commit: a file whose months-tuple sits strictly below
+    * the cutoff's month drops by reference with zero IO (Iceberg's
+    * metadata delete).
+    */
+  def mustMatch(ts: Seq[PartTransform], tuple: Seq[PartVal],
+      f: Filter,
+      trans: String => Option[String] = Some(_)): Boolean = {
+    if (ts.isEmpty || ts.size != tuple.size) return false
+    def byCol(a: String): Option[(PartTransform, PartVal)] =
+      trans(a).flatMap(p => ts.zip(tuple).find(_._1.colName == p))
+    def eqProven(t: PartTransform, pv: PartVal, v: Any): Boolean =
+      (t, pv) match {
+        case _ if v == null => false
+        case (PIdentity(_), PLong(x)) => transformValue(t, v).contains(x)
+        case (PIdentity(_), PBytes(b)) =>
+          transformBytes(t, v).exists(cmpBytes(b, _) == 0)
+        case _ => false
+      }
+    def strictProven(t: PartTransform, pv: PartVal, v: Any,
+        above: Boolean): Boolean =
+      (pv, isMonotone(t)) match {
+        case (_, false) => false
+        case (PNull, _) => false
+        case (PLong(x), _) => v != null && transformValue(t, v).exists(b =>
+          if (above) x > b else x < b)
+        case (PBytes(b), _) => v != null && transformBytes(t, v).exists(vb =>
+          if (above) cmpBytes(b, vb) > 0 else cmpBytes(b, vb) < 0)
+      }
+    // tuple == T(v) exactly (monotone transforms only — bucket proves
+    // nothing); the boundary leg of the inclusive-range proofs
+    def tupleEq(t: PartTransform, pv: PartVal, v: Any): Boolean =
+      (pv, isMonotone(t)) match {
+        case (PLong(x), true) =>
+          v != null && transformValue(t, v).contains(x)
+        case (PBytes(b), true) =>
+          v != null && transformBytes(t, v).exists(cmpBytes(b, _) == 0)
+        case _ => false
+      }
+    // x <= v proven: tuple strictly below T(v); or tuple == T(v) AND v
+    // is the MAX of its bin (T(v+1) crosses) — then every row in the
+    // bin is <= v (the month-end retention case); or identity equality
+    def leProven(t: PartTransform, pv: PartVal, v: Any): Boolean =
+      strictProven(t, pv, v, above = false) || eqProven(t, pv, v) ||
+        (tupleEq(t, pv, v) && nextDiscrete(v).exists(v2 =>
+          transformValue(t, v2).isDefined &&
+            transformValue(t, v2) != transformValue(t, v)))
+    def geProven(t: PartTransform, pv: PartVal, v: Any): Boolean =
+      strictProven(t, pv, v, above = true) || eqProven(t, pv, v) ||
+        (tupleEq(t, pv, v) && prevDiscrete(v).exists(v2 =>
+          transformValue(t, v2).isDefined &&
+            transformValue(t, v2) != transformValue(t, v)))
+    f match {
+      case EqualTo(a, v) =>
+        byCol(a).exists { case (t, pv) => eqProven(t, pv, v) }
+      case In(a, vs) => byCol(a).exists { case (t, pv) =>
+        vs != null && vs.exists(eqProven(t, pv, _)) }
+      // strict bounds on discrete domains rewrite to inclusive
+      // (x < v ⟺ x <= v−1), same as the refutation side
+      case GreaterThan(a, v) => byCol(a).exists { case (t, pv) =>
+        nextDiscrete(v).map(geProven(t, pv, _))
+          .getOrElse(strictProven(t, pv, v, above = true)) }
+      case GreaterThanOrEqual(a, v) => byCol(a).exists { case (t, pv) =>
+        geProven(t, pv, v) }
+      case LessThan(a, v) => byCol(a).exists { case (t, pv) =>
+        prevDiscrete(v).map(leProven(t, pv, _))
+          .getOrElse(strictProven(t, pv, v, above = false)) }
+      case LessThanOrEqual(a, v) => byCol(a).exists { case (t, pv) =>
+        leProven(t, pv, v) }
+      case IsNull(a) => byCol(a).exists(_._2 == PNull)
+      case IsNotNull(a) => byCol(a).exists(p =>
+        p._2 != PNull)
+      case And(l, r) =>
+        mustMatch(ts, tuple, l, trans) && mustMatch(ts, tuple, r, trans)
+      case Or(l, r) =>
+        mustMatch(ts, tuple, l, trans) || mustMatch(ts, tuple, r, trans)
+      case _ => false
+    }
+  }
+
+  /** [[mustMatch]] for one manifest entry: provable only when the file
+    * carries `ps:`/`pt:` tokens (spec indexes are APPEND-ONLY, so a
+    * concurrent spec change never re-points them).
+    */
+  def entryMustMatch(specs: Seq[Seq[PartTransform]],
+      st: ManifestedTable.FileStats, f: Filter,
+      physOf: Option[Map[String, String]] = None): Boolean =
+    (st.pspec, st.ptuple) match {
+      case (Some(si), Some(tok)) if si >= 0 && si < specs.size =>
+        mustMatch(specs(si), decodeTuple(tok), f,
+          a => physOf.fold(Option(a))(_.get(a)))
+      case _ => false
+    }
 
   /** Partition refutation for one manifest entry under the SPEC
     * HISTORY: the file's `ps:` token picks its write-time spec, its

@@ -329,6 +329,10 @@ private[sources] object ManifestProcedures {
               s"create_view('$vName'): the view text must be a " +
                 s"query, not a command/DML (got ${parsed.nodeName})")
           }
+          // a stored reference to a TEMP view dangles in later
+          // sessions — refuse at create, where the user can fix it
+          graft.plans.ResolveGraftViews.rejectTempViewRefs(
+            spark, vName, parsed)
           val analyzed = spark.sql(sql)
           val cm = spark.sessionState.catalogManager
           val info = new org.apache.spark.sql.connector.catalog.ViewInfo(

@@ -1591,13 +1591,32 @@ object ManifestedTable {
         k.stripPrefix(PropPrefix) -> v
     }
 
+  /** `expectHeadVersion`: commit only if the MAIN head is still that
+    * version — the ADD CONSTRAINT discipline: its validation scan
+    * proved the predicate over snapshot v, and a concurrent write
+    * landing between the scan and this commit would publish a
+    * constraint reported enforced+VALID over rows it never checked.
+    * The pin runs per CAS attempt inside the commit lock, so the
+    * race window is closed, not narrowed.
+    */
   private[graft] def setTableProperties(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
-      props: Map[String, String]): Long = {
+      props: Map[String, String],
+      expectHeadVersion: Option[Long] = None): Long = {
     val root = new Path(dir)
-    publish(root.getFileSystem(conf), root, AppendFiles, Nil,
+    val fs = root.getFileSystem(conf)
+    val guard: Map[String, String] => Unit = _ =>
+      expectHeadVersion.foreach { expected =>
+        val cur = headVersion(fs, root, None).map(_._1).getOrElse(0L)
+        if (cur != expected) throw new ConcurrentWriteException(
+          s"set-properties of $dir validated against v$expected, but " +
+            s"the head is now v$cur — a concurrent commit landed in " +
+            "between; re-run (ADD CONSTRAINT re-validates)")
+      }
+    publish(fs, root, AppendFiles, Nil,
       props.map { case (k, v) => s"$PropPrefix$k" -> v } +
-        (OpKey -> "set-properties"))
+        (OpKey -> "set-properties"),
+      metaGuard = guard)
   }
 
   /** `#key=value` metadata of the latest snapshot — or of a PINNED
@@ -3006,6 +3025,146 @@ object ManifestedTable {
       staged, ref = branch)
   }
 
+  /** The DELETE predicate's V1-filter conjuncts, resolved against the
+    * snapshot's schema — the find-touched pruning handle. Each element
+    * is one conjunct's translation (None = untranslatable: it prunes
+    * nothing and is re-checked row-level anyway); a failed analysis
+    * yields no conjuncts at all (no pruning, never an error here — the
+    * real scan reports it).
+    */
+  private object DeletePredicates
+      extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      splitConjunctivePredicates(e)
+  }
+
+  /** Catalyst predicate → V1 Filter for the shapes the manifest
+    * matchers consume (attribute-vs-literal comparisons, IN, null
+    * probes, And/Or). Literal values convert to their EXTERNAL Scala
+    * forms (java.sql.Date etc. — what the tuple/stat matchers expect
+    * from pushed filters). Casts and everything else decline — an
+    * untranslatable conjunct prunes nothing, never wrongly.
+    */
+  private def toV1Filter(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    import org.apache.spark.sql.{sources => v1}
+    def ext(l: Literal): Any = convertToScala(l.value, l.dataType)
+    e match {
+      case EqualTo(a: Attribute, l: Literal) =>
+        Some(v1.EqualTo(a.name, ext(l)))
+      case EqualTo(l: Literal, a: Attribute) =>
+        Some(v1.EqualTo(a.name, ext(l)))
+      case GreaterThan(a: Attribute, l: Literal) =>
+        Some(v1.GreaterThan(a.name, ext(l)))
+      case GreaterThan(l: Literal, a: Attribute) =>
+        Some(v1.LessThan(a.name, ext(l)))
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        Some(v1.GreaterThanOrEqual(a.name, ext(l)))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        Some(v1.LessThanOrEqual(a.name, ext(l)))
+      case LessThan(a: Attribute, l: Literal) =>
+        Some(v1.LessThan(a.name, ext(l)))
+      case LessThan(l: Literal, a: Attribute) =>
+        Some(v1.GreaterThan(a.name, ext(l)))
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        Some(v1.LessThanOrEqual(a.name, ext(l)))
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        Some(v1.GreaterThanOrEqual(a.name, ext(l)))
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(v1.In(a.name,
+          vs.map(v => ext(v.asInstanceOf[Literal])).toArray))
+      case IsNull(a: Attribute) => Some(v1.IsNull(a.name))
+      case IsNotNull(a: Attribute) => Some(v1.IsNotNull(a.name))
+      case And(l, r) => for {
+        lf <- toV1Filter(l); rf <- toV1Filter(r)
+      } yield v1.And(lf, rf)
+      case Or(l, r) => for {
+        lf <- toV1Filter(l); rf <- toV1Filter(r)
+      } yield v1.Or(lf, rf)
+      case _ => None
+    }
+  }
+
+  private def translateCond(spark: SparkSession, schema: StructType,
+      cond: Column)
+      : Seq[Option[org.apache.spark.sql.sources.Filter]] =
+    scala.util.Try {
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      empty.filter(cond).queryExecution.analyzed.collectFirst {
+        case f: LFilter => f.condition
+      }.toSeq.flatMap(DeletePredicates.conjuncts).map(toV1Filter)
+    }.getOrElse(Nil)
+
+  /** The find-touched split a DELETE WHERE plans from the manifest
+    * alone (also the spec face of it): file →
+    *
+    *  - `covered`: the partition tuple PROVES every row matches — the
+    *    file drops by REFERENCE, zero IO (Iceberg's metadata delete:
+    *    a months-aligned retention DELETE is an O(manifest) commit);
+    *  - `refuted`: stats intervals / bloom / partition tuple prove NO
+    *    row matches — never opened, rides by reference;
+    *  - `candidates`: everything else — the only files the
+    *    find-touched scan opens.
+    *
+    * Coverage requires EVERY conjunct of the predicate translated and
+    * proven (a partially-translated predicate can still refute, but
+    * can never cover). Both directions are advisory for correctness —
+    * refuted files would contribute no hits, covered files' rows all
+    * match — so the split only moves IO, not semantics.
+    */
+  private[graft] def deleteSplit(spark: SparkSession, dir: String,
+      cond: Column, branch: Option[String] = None)
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val (baseV, baseLines) = snapshotFor(fs, root, branch)
+    deleteSplitOf(spark, dir, cond, baseV, baseLines.map(parseEntry),
+      schemaCtxAt(fs, root, Some(baseV)), headMetaOf(fs, root, branch))
+  }
+
+  private def deleteSplitOf(spark: SparkSession, dir: String,
+      cond: Column, baseV: Long,
+      entries: Seq[(String, FileStats)],
+      ctx: Option[(StructType, Seq[Map[Int, String]])],
+      headMeta: Map[String, String])
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val epochs = ctx.map(_._2).getOrElse(Nil)
+    val specs = ManifestPartitions.decodeSpecs(
+      headMeta.get(ManifestPartitions.SpecsKey))
+    val schema = scala.util.Try(
+      ManifestDataSource.schemaOf(dir, Some(baseV))).getOrElse(
+      ctx.map(_._1).orNull)
+    val conjuncts =
+      if (schema == null) Nil
+      else translateCond(spark, schema, cond)
+    val translated = conjuncts.flatten
+    val allTranslated =
+      conjuncts.nonEmpty && conjuncts.forall(_.isDefined)
+    val covered = scala.collection.mutable.ArrayBuffer.empty[String]
+    val refuted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cands = scala.collection.mutable.ArrayBuffer.empty[String]
+    entries.foreach { case (rel, raw) =>
+      val eff = rekeyStats(epochs, raw)
+      val pm = physMap(epochs, raw)
+      if (eff.rows.contains(0L) ||
+          translated.exists(f =>
+            !ManifestDataSource.mayMatch(eff, f) ||
+              !ManifestPartitions.entryMayMatch(specs, raw, f, pm)))
+        refuted += rel
+      else if (allTranslated && translated.forall(f =>
+          ManifestPartitions.entryMustMatch(specs, raw, f, pm)))
+        covered += rel
+      else cands += rel
+    }
+    (covered.toSeq, cands.toSeq, refuted.toSeq)
+  }
+
   /** Row-level DELETE WHERE — `cond` follows SQL DELETE semantics:
     * rows where it evaluates TRUE are removed; FALSE and NULL rows
     * SURVIVE (the three-valued-logic edge CompactionSpec pins).
@@ -3013,6 +3172,14 @@ object ManifestedTable {
     * rewrite (with the negated, null-safe filter), everything else
     * rides into the new manifest by reference; a predicate matching
     * nothing commits nothing (version unchanged).
+    *
+    * Find-touched is MANIFEST-PRUNED before anything opens: stats
+    * intervals / blooms / partition tuples refute files the predicate
+    * cannot touch (they are never read), and a file whose partition
+    * tuple PROVES every row matches drops by REFERENCE with zero IO —
+    * a partition-aligned retention DELETE (`WHERE dt < X` on a
+    * months(dt) table) is an O(manifest) metadata commit (Iceberg's
+    * metadata delete). Only genuinely ambiguous files are scanned.
     *
     * `dvMaxFraction` enables MERGE-ON-READ per file: a touched file
     * whose deleted fraction (hits / physical rows) is ≤ the threshold
@@ -3038,23 +3205,38 @@ object ManifestedTable {
     val entryMap = entries.toMap
     val lineMap = baseLines.map(l => pathOf(l) -> l).toMap
     val ctx = schemaCtxAt(fs, root, Some(baseV))
-    val live = readLive(spark, root, entries, withMeta = true,
-      schemaCtx = ctx)
+    // manifest-level split BEFORE anything opens: refuted files are
+    // never read, covered files drop by reference (metadata delete),
+    // only the ambiguous middle is scanned
+    val (covered, cands, _) = deleteSplitOf(spark, dir, cond, baseV,
+      entries, ctx, headMetaOf(fs, root, branch))
+    val candSet = cands.toSet
+    val candEntries = entries.filter(e => candSet(e._1))
     // per-file hit counts in one pass — manifest-sized collect, and
     // exactly the number the MoR split needs
-    val hits = live.filter(cond).groupBy(col("__file"))
-      .agg(count(lit(1)).as("__n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (hits.isEmpty) return baseV
-    val touched = cur.filter(hits.contains)
-    val (dvT, rwT) = touched.partition { f =>
+    val hits =
+      if (candEntries.isEmpty) Map.empty[String, Long]
+      else readLive(spark, root, candEntries, withMeta = true,
+        schemaCtx = ctx)
+        .filter(cond).groupBy(col("__file"))
+        .agg(count(lit(1)).as("__n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (hits.isEmpty && covered.isEmpty) return baseV
+    val coveredSet = covered.toSet
+    val touched = cur.filter(f => hits.contains(f) || coveredSet(f))
+    // the MoR threshold applies to genuinely-partial files only; a
+    // covered file has NO survivors — by reference, no DV, no rewrite
+    val (dvT, rwT) = cur.filter(hits.contains).partition { f =>
       entryMap(f).rows.exists(n =>
         n > 0 && hits(f).toDouble / n <= dvMaxFraction)
     }
     val dvLines =
       if (dvT.isEmpty) Nil
       else {
-        val fresh = live.filter(cond && col("__file").isin(dvT: _*))
+        val fresh = readLive(spark, root,
+          entries.filter(e => dvT.contains(e._1)), withMeta = true,
+          schemaCtx = ctx)
+          .filter(cond)
           .select(col("__file").as("file"), col("__pos").as("pos"))
         val dvRel = stageDv(
           mergedDvPairs(spark, root, fresh, dvT, entryMap), root, fs)

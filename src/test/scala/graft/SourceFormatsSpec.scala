@@ -2795,4 +2795,237 @@ class SourceFormatsSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS gm_rlin.n")
     }
   }
+
+  test("graft-manifest deleteWhere: pruned find-touched + metadata-only covered drops") {
+    import graft.sources.ManifestedTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_mdel").toString
+    spark.conf.set("spark.sql.catalog.gm_mdel",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_mdel.root", wh)
+    try {
+      spark.sql("""CREATE TABLE gm_mdel.t (k BIGINT, d DATE, v BIGINT)
+        PARTITIONED BY (months(d))""")
+      // 1200 rows across Jan..Apr 2026 → one file per month tuple
+      spark.sql("""INSERT INTO gm_mdel.t
+        SELECT id, date_add(DATE'2026-01-01', CAST(id % 120 AS INT)),
+               id * 3 FROM range(1200)""")
+      val dir = s"$wh/t"
+      def rels: Set[String] = spark.sql(
+        "SELECT file FROM gm_mdel.t.files").collect()
+        .map(_.getString(0)).toSet
+      val before = rels
+      assert(before.size == 4, s"expected 4 month files, got $before")
+
+      // MONTH-ALIGNED retention delete: every pre-cutoff file is
+      // tuple-COVERED (proof: months(d) strictly below months(cutoff)),
+      // every post-cutoff file refuted — the find-touched scan opens
+      // NOTHING (zero candidates) and the commit is metadata-only
+      val cutoff = col("d") < lit(java.sql.Date.valueOf("2026-03-01"))
+      val (cov, cand, ref) = ManifestedTable.deleteSplit(spark, dir, cutoff)
+      assert(cand.isEmpty,
+        s"aligned retention delete should scan nothing, candidates=$cand")
+      assert(cov.size == 2 && ref.size == 2,
+        s"expected 2 covered + 2 refuted, got cov=$cov ref=$ref")
+      ManifestedTable.deleteWhere(spark, dir, cutoff)
+      val after = rels
+      assert(after == before -- cov,
+        "metadata delete staged new files or kept covered ones")
+      assert(spark.table("gm_mdel.t").count() ==
+        (0 until 1200).count(_ % 120 >= 59)) // Jan+Feb 2026 = 59 days
+
+      // UNALIGNED cutoff: the boundary month is the only candidate
+      // (scanned + rewritten); later months stay refuted by reference
+      val mid = col("d") < lit(java.sql.Date.valueOf("2026-03-15"))
+      val (cov2, cand2, ref2) = ManifestedTable.deleteSplit(spark, dir, mid)
+      assert(cov2.isEmpty && cand2.size == 1 && ref2.size == 1,
+        s"unaligned: cov=$cov2 cand=$cand2 ref=$ref2")
+      val keepApr = after -- cand2.toSet
+      ManifestedTable.deleteWhere(spark, dir, mid)
+      assert(keepApr.subsetOf(rels),
+        "refuted file did not ride by reference")
+      assert(spark.table("gm_mdel.t").count() ==
+        (0 until 1200).count(i => i % 120 >= 73)) // >= 2026-03-15
+
+      // three-valued edge: a NULL-date file is covered by IS NULL
+      // (NULL source ⟺ NULL tuple) and refuted by any range
+      spark.sql("INSERT INTO gm_mdel.t VALUES (9001, NULL, 1)")
+      val (covN, candN, _) = ManifestedTable.deleteSplit(spark, dir,
+        col("d").isNull)
+      assert(covN.size == 1 && candN.isEmpty,
+        s"IS NULL should cover exactly the null tuple: $covN / $candN")
+      ManifestedTable.deleteWhere(spark, dir, col("d").isNull)
+      assert(spark.table("gm_mdel.t").filter(col("d").isNull).isEmpty)
+
+      // an UNPARTITIONED source column still stats-refutes: a probe
+      // outside every interval scans nothing and commits nothing
+      val vBefore = spark.sql(
+        "SELECT max(version) FROM gm_mdel.t.history").head.getLong(0)
+      val (_, candS, refS) = ManifestedTable.deleteSplit(spark, dir,
+        col("v") > lit(10_000_000L))
+      assert(candS.isEmpty && refS.nonEmpty,
+        s"stats refutation missed: cand=$candS")
+      ManifestedTable.deleteWhere(spark, dir, col("v") > lit(10_000_000L))
+      assert(spark.sql("SELECT max(version) FROM gm_mdel.t.history")
+        .head.getLong(0) == vBefore,
+        "a nothing-matches delete must not commit")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm_mdel.t")
+    }
+  }
+
+  test("graft-manifest views: stored creation context binds later sessions; temp-view refs refuse at create") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vctx").toString
+    spark.conf.set("spark.sql.catalog.gm_vctx",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_vctx.root", wh)
+    val cm = spark.sessionState.catalogManager
+    val prevCat = cm.currentCatalog.name()
+    try {
+      spark.sql("CREATE TABLE gm_vctx.t AS SELECT id AS k FROM range(50)")
+      // created under `USE gm_vctx` with an UNQUALIFIED reference —
+      // the stored context (currentCatalog=gm_vctx) is what makes the
+      // text meaningful outside this session state
+      spark.sql("USE gm_vctx")
+      spark.sql("""CALL gm_vctx.system.create_view('vctx',
+        'SELECT count(*) AS n FROM t WHERE k < 10', false)""")
+      // ...read back under a DIFFERENT current catalog: without the
+      // stored-context qualification the bare `t` would re-bind to the
+      // session catalog (and fail — no such table there)
+      spark.sql(s"USE $prevCat")
+      assert(spark.sql("SELECT n FROM gm_vctx.vctx").head.getLong(0) == 10L)
+
+      // CTE names inside the text stay CTE-bound (never re-qualified)
+      spark.sql("""CALL gm_vctx.system.create_view('vcte',
+        'WITH t AS (SELECT 1 AS k) SELECT count(*) AS n FROM t', false)""")
+      assert(spark.sql("SELECT n FROM gm_vctx.vcte").head.getLong(0) == 1L)
+
+      // a TEMP-VIEW reference refuses at create (it would dangle in
+      // any later session) — and refuses even though it analyzes fine
+      spark.range(3).toDF("k").createOrReplaceTempView("tmp_vctx")
+      val e = intercept[Exception] {
+        spark.sql("""CALL gm_vctx.system.create_view('vtmp',
+          'SELECT * FROM tmp_vctx', false)""")
+      }
+      assert(e.getMessage.contains("temporary view"),
+        s"wrong refusal: ${e.getMessage}")
+    } finally {
+      spark.sql(s"USE $prevCat")
+      spark.catalog.dropTempView("tmp_vctx")
+      spark.sql("DROP TABLE IF EXISTS gm_vctx.t")
+    }
+  }
+
+  test("graft-manifest constraints: RENAME/DROP of a referenced column refuses; ADD pins the validated head") {
+    import graft.sources.ManifestedTable
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_cns").toString
+    spark.conf.set("spark.sql.catalog.gm_cns",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_cns.root", wh)
+    try {
+      spark.sql("""CREATE TABLE gm_cns.t (k BIGINT, qty BIGINT,
+        CONSTRAINT pos_qty CHECK (qty >= 0))""")
+      spark.sql("INSERT INTO gm_cns.t VALUES (1, 5), (2, 7)")
+
+      // a RENAME (or DROP) of a constraint-referenced column would
+      // break every LATER write's analysis — refuse at the ALTER,
+      // where the user can DROP CONSTRAINT first (the Delta rule)
+      val r = intercept[Exception] {
+        spark.sql("ALTER TABLE gm_cns.t RENAME COLUMN qty TO amount")
+      }
+      assert(r.getMessage.contains("pos_qty"), r.getMessage)
+      val d = intercept[Exception] {
+        spark.sql("ALTER TABLE gm_cns.t DROP COLUMN qty")
+      }
+      assert(d.getMessage.contains("pos_qty"), d.getMessage)
+      // unreferenced columns still rename freely
+      spark.sql("ALTER TABLE gm_cns.t RENAME COLUMN k TO key")
+      // after DROP CONSTRAINT the rename goes through
+      spark.sql("ALTER TABLE gm_cns.t DROP CONSTRAINT pos_qty")
+      spark.sql("ALTER TABLE gm_cns.t RENAME COLUMN qty TO amount")
+
+      // ADD CONSTRAINT pins the head its validation scan proved: a
+      // violating INSERT landing between the scan and the property
+      // commit aborts the ADD loudly (never a constraint blessed
+      // VALID over rows it did not check)
+      val dir = s"$wh/t"
+      ManifestedTable.beforePublish = () =>
+        ManifestedTable.write(Seq((99L, -5L)).toDF("key", "amount"),
+          dir, overwrite = false)
+      val race = intercept[Exception] {
+        spark.sql(
+          "ALTER TABLE gm_cns.t ADD CONSTRAINT pos2 CHECK (amount >= 0)")
+      }
+      assert(race.getMessage.contains("concurrent") ||
+        Option(race.getCause).exists(_.getMessage.contains("concurrent")),
+        s"expected a concurrent-write abort, got: ${race.getMessage}")
+      // the constraint did NOT land: a violating INSERT still passes
+      spark.sql("INSERT INTO gm_cns.t VALUES (100, -1)")
+      spark.sql("DELETE FROM gm_cns.t WHERE key = 100")
+      // quiet re-run validates the new world and refuses on content
+      // (the interleaved row violates) — still no silent VALID
+      val bad = intercept[Exception] {
+        spark.sql(
+          "ALTER TABLE gm_cns.t ADD CONSTRAINT pos2 CHECK (amount >= 0)")
+      }
+      assert(bad.getMessage.contains("violate"), bad.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm_cns.t")
+    }
+  }
+
+  test("graft-manifest CDF: startingVersionInclusive is the Delta-compatible alias") {
+    import graft.sources.ManifestedTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdfi").toString
+    ManifestedTable.write(Seq(1L).toDF("k"), dir) // v1
+    ManifestedTable.write(Seq(2L).toDF("k"), dir, overwrite = false) // v2
+    ManifestedTable.write(Seq(3L).toDF("k"), dir, overwrite = false) // v3
+    def ks(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("k").as[Long].collect().sorted.toSeq
+    val exclusive = spark.read.format("graft-manifest")
+      .option("readChangeFeed", true).option("startingVersion", 1)
+      .load(dir)
+    val inclusive = spark.read.format("graft-manifest")
+      .option("readChangeFeed", true)
+      .option("startingVersionInclusive", 2).load(dir)
+    assert(ks(exclusive) == Seq(2L, 3L) && ks(inclusive) == Seq(2L, 3L),
+      "inclusive alias diverged from exclusive-1")
+    intercept[Exception] {
+      spark.read.format("graft-manifest").option("readChangeFeed", true)
+        .option("startingVersion", 1)
+        .option("startingVersionInclusive", 2).load(dir).collect()
+    }
+  }
+
+  test("graft-manifest vectorized reads serve EXISTS defaults (no row-path downgrade)") {
+    import graft.sources.ManifestedTable
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_vdf").toString
+    spark.conf.set("spark.sql.catalog.gm_vdf",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_vdf.root", wh)
+    try {
+      spark.sql(
+        "CREATE TABLE gm_vdf.t (k BIGINT, v STRING DEFAULT 'seed')")
+      spark.sql("INSERT INTO gm_vdf.t (k) VALUES (1), (2)")
+      // a file physically MISSING the column (out-of-band object-API
+      // stage of a narrower frame) — the case the exists default was
+      // pinned for
+      ManifestedTable.write(Seq(3L).toDF("k"), s"$wh/t",
+        overwrite = false)
+      val face = spark.table("gm_vdf.t")
+      val plan = face.queryExecution.executedPlan.toString
+      // the table was never ALTERed: the scan must stay on the
+      // vectorized path (a CREATE-time default used to disqualify it
+      // permanently — performance-only regression)
+      assert(plan.contains("ColumnarToRow"),
+        s"default-bearing scan did not vectorize:\n${plan.take(600)}")
+      assert(face.orderBy("k").select("v").as[String].collect().toSeq ==
+        Seq("seed", "seed", "seed"),
+        "vectorized path lost the EXISTS default for an absent column")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm_vdf.t")
+    }
+  }
 }
