@@ -2617,6 +2617,64 @@ object RelEntry {
     }),
 
     // ---- T115: cherry-pick -------------------------------------------------
+    // ---- T116: storage-partitioned join ----------------------------------
+    "q205_spj" -> ((s, d) => {
+      // two manifested FACT tables co-partitioned by bucket(8, k)
+      // joined on k with ZERO Exchange: the scans report
+      // KeyGroupedPartitioning, the bucket transform resolves through
+      // the catalog's FunctionCatalog face, and EnsureRequirements
+      // proves co-partitioning from the layout alone — the shuffle
+      // both 100-TB sides would otherwise pay is already on disk.
+      // Broadcast is disabled for the join so the small-SF run plans
+      // the scale-representative path (StoragePartitionedJoinSpec pins
+      // the no-Exchange plan; this entry pins the RESULT against a
+      // relational replay — co-location must be semantically invisible).
+      val wh = catRoot(s, "g205", "graft_spj_q")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g205_ord")
+      Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+        .createOrReplaceTempView("g205_li")
+      s.sql("DROP TABLE IF EXISTS g205.fo")
+      s.sql("DROP TABLE IF EXISTS g205.fl")
+      s.sql("""CREATE TABLE g205.fo (k BIGINT, c BIGINT, cents BIGINT)
+              |PARTITIONED BY (bucket(8, k))""".stripMargin)
+      s.sql("""CREATE TABLE g205.fl (k BIGINT, qty BIGINT)
+              |PARTITIONED BY (bucket(8, k))""".stripMargin)
+      // two commits per side → several files per bucket: the exec
+      // must fuse same-key FILES, not assume one file per key
+      s.sql("INSERT INTO g205.fo SELECT * FROM g205_ord WHERE k % 2 = 0")
+      s.sql("INSERT INTO g205.fo SELECT * FROM g205_ord WHERE k % 2 = 1")
+      s.sql("INSERT INTO g205.fl SELECT * FROM g205_li WHERE k % 2 = 0")
+      s.sql("INSERT INTO g205.fl SELECT * FROM g205_li WHERE k % 2 = 1")
+      val savedB = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val out = s.sql(
+        """SELECT fo.c AS custkey, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(fo.cents + fl.qty) AS BIGINT) AS v
+          |FROM g205.fo fo JOIN g205.fl fl ON fo.k = fl.k
+          |WHERE fo.c % 7 = 2
+          |GROUP BY fo.c""".stripMargin)
+      core.Materialize.detached(out) {
+        savedB match {
+          case Some(v) =>
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None =>
+            s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+        s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        s.sql("DROP TABLE IF EXISTS g205.fo")
+        s.sql("DROP TABLE IF EXISTS g205.fl")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     "q204_cherrypick" -> ((s, d) => {
       // the single-commit companion to write-audit-publish: TWO feeds
       // stage on one branch, the branch is DROPPED (audit failed for
@@ -4220,6 +4278,22 @@ object RelEntry {
     // q195 mirror: the partition lifecycle replayed relationally —
     // hidden partitioning and its evolution must be semantically
     // invisible (layout is a pure optimization)
+    // q205 mirror: the two co-bucketed feeds replayed as plain
+    // relations — bucketing is layout, never semantics
+    "q205_spj" ->
+      """WITH fo AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |fl AS (
+        |  SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT fo.c AS custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(fo.cents + fl.qty) AS BIGINT) AS v
+        |FROM fo JOIN fl ON fo.k = fl.k
+        |WHERE fo.c % 7 = 2
+        |GROUP BY fo.c""".stripMargin,
+
     "q195_hidden_partitioning" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_custkey AS c, o_orderdate AS dt,

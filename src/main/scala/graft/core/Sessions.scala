@@ -22,6 +22,14 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native function registration (cosine_sim, …)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // storage-partitioned joins: scans reporting KeyGroupedPartitioning
+      // (graft-manifest tables PARTITIONED BY bucket/identity/... — see
+      // ManifestScan.spjKeys) group same-key files into one partition
+      // and join co-partitioned tables with ZERO Exchange; pushPartValues
+      // reconciles the two sides when filters leave value sets unequal
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int = Runtime.getRuntime.availableProcessors): SparkSession = {

@@ -46,7 +46,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class ManifestCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+    with org.apache.spark.sql.connector.catalog.ViewCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -657,6 +658,32 @@ class ManifestCatalog extends TableCatalog
       ManifestProcedures.Names
         .map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
+
+  // ---- V2 functions: the partition transforms as a FunctionCatalog ------
+  // What storage-partitioned joins resolve against: when a scan
+  // reports KeyGroupedPartitioning over bucket/days/... transforms,
+  // the engine loads the named function HERE (empty namespace — the
+  // V2ExpressionUtils convention) and compares the two sides by the
+  // bound function's canonicalName. Also callable as
+  // `graft.bucket(8, k)` in SQL, which doubles as the semantics spec.
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    (if (ident.namespace().isEmpty ||
+        ident.namespace().sameElements(Array("system")))
+      GraftPartFunctions.unbound(ident.name()) else None)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftPartFunctions.Names.map(Identifier.of(Array.empty, _)).toArray
+    else Array.empty
+
+  override def functionExists(ident: Identifier): Boolean =
+    (ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system"))) &&
+      GraftPartFunctions.unbound(ident.name()).isDefined
 
   // ---- namespaces: directories that aren't tables -----------------------
   // `SHOW TABLES IN g.ns`, `CREATE NAMESPACE` etc. — the namespace

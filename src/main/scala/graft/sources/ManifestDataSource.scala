@@ -337,6 +337,38 @@ object ManifestDataSource {
     }
   }
 
+  /** A decoded tuple value as the CATALYST value of the transform's
+    * resolved expression — the partition-key cell the key-grouped exec
+    * compares: bucket → Int (the V2 function's result type), identity
+    * → the COLUMN's own type (the resolved attribute), date bins →
+    * Int, hours → Long, truncate → Long / UTF8String. Must stay in
+    * lockstep with [[GraftPartFunctions]]' declared result types.
+    */
+  private[sources] def partitionKeyValue(
+      t: ManifestPartitions.PartTransform,
+      pv: ManifestPartitions.PartVal, schema: StructType): Any = {
+    import ManifestPartitions._
+    pv match {
+      case PNull => null
+      case PLong(x) => t match {
+        case _: PBucket => x.toInt
+        case _: PDays | _: PMonths | _: PYears => x.toInt
+        case _: PHours => x
+        case _: PTruncate => x
+        case PIdentity(c) => schema.find(_.name == c).map(_.dataType) match {
+          case Some(LongType) => x
+          case Some(IntegerType) => x.toInt
+          case Some(ShortType) => x.toShort
+          case Some(ByteType) => x.toByte
+          case Some(DateType) => x.toInt
+          case other => throw new IllegalStateException(
+            s"identity($c) over $other cannot key-group")
+        }
+      }
+      case PBytes(b) => UTF8String.fromBytes(b)
+    }
+  }
+
   /** Can `f` possibly match a row of a file with stats `st`? False
     * only on a PROVEN refutation (value outside the column's exact
     * interval); anything unknown — no token, untracked type, exotic
@@ -869,7 +901,8 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
     ignoreChanges: Boolean = false, cdf: Boolean = false,
     endingVersion: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // snapshot ISOLATION: the entry list is pinned when the scan is
   // built (analysis time), so a commit landing between planning and
@@ -895,6 +928,77 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
     scanMeta.get(ManifestPartitions.SpecsKey))
   private val entriesEff =
     entries.map(e => (e._1, ManifestedTable.rekeyStats(epochs, e._2)))
+
+  /** STORAGE-PARTITIONED JOIN eligibility + the per-file partition
+    * keys: Some((current transforms, rel → key row)) exactly when the
+    * layout PROVES key-grouping — a non-empty current spec, every live
+    * entry written under it with a full tuple (partition evolution in
+    * flight → ineligible until rewrite: old-spec files group under the
+    * wrong function), and every transform source column present in
+    * the read schema (the engine binds the reported transforms against
+    * the scan OUTPUT — an absent source cannot resolve and must not be
+    * reported). With this, two manifested tables `PARTITIONED BY
+    * (bucket(n, k))` joined on `k` plan with ZERO Exchange
+    * (SPARK-37377: the scans report [[KeyGroupedPartitioning]], the
+    * transforms resolve through [[ManifestCatalog]]'s FunctionCatalog
+    * face, and EnsureRequirements proves co-partitioning) — at 100 TB
+    * the fact-fact shuffle eliminator.
+    */
+  private val spjKeys: Option[(Seq[ManifestPartitions.PartTransform],
+      Map[String, InternalRow])] = {
+    if (cdf || partSpecs.isEmpty) None
+    else {
+      val cur = partSpecs.last
+      val curIdx = partSpecs.size - 1
+      val live = entries.filterNot(_._2.rows.contains(0L))
+      val ok = cur.nonEmpty && live.nonEmpty &&
+        cur.forall(t => readSchema.fieldNames.contains(t.colName)) &&
+        live.forall(e =>
+          e._2.pspec.contains(curIdx) && e._2.ptuple.isDefined)
+      if (!ok) None
+      else scala.util.Try {
+        val keyed = live.map { case (rel, st) =>
+          val vals = ManifestPartitions.decodeTuple(st.ptuple.get)
+          rel -> (InternalRow.fromSeq(cur.zip(vals).map {
+            case (t, pv) =>
+              ManifestDataSource.partitionKeyValue(t, pv, readSchema)
+          }): InternalRow)
+        }.toMap
+        (cur, keyed)
+      }.toOption
+    }
+  }
+
+  /** The layout as connector partitioning: `KeyGroupedPartitioning`
+    * over the current spec's transforms when the snapshot proves it,
+    * else unknown. numPartitions = distinct tuples in the snapshot
+    * (advisory — the exec re-groups the actual planned partitions).
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKeys match {
+      case Some((ts, _)) =>
+        import org.apache.spark.sql.connector.expressions.{
+          Expression => V2Expression}
+        import ManifestPartitions._
+        val exprs: Array[V2Expression] = ts.map {
+          case PIdentity(c) => Expressions.identity(c): V2Expression
+          case PBucket(n, c) => Expressions.bucket(n, c)
+          case PDays(c) => Expressions.days(c)
+          case PMonths(c) => Expressions.months(c)
+          case PYears(c) => Expressions.years(c)
+          case PHours(c) => Expressions.hours(c)
+          case PTruncate(w, c) => Expressions.apply("truncate",
+            Expressions.literal(w), Expressions.column(c))
+        }.toArray
+        val n = entries.filterNot(_._2.rows.contains(0L))
+          .flatMap(_._2.ptuple).distinct.size
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(exprs, n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   /** Size/row statistics served from the manifest — what lets Catalyst
     * make the BROADCAST decision for joins through this face without
@@ -944,10 +1048,16 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
        else filters.mkString(" PushedFilters: [", ", ", "]"))
 
   // the AvroScan recipe verbatim: declare only columns the stats can
-  // cash, receive join-observed keys as an In filter before planning
+  // cash, receive join-observed keys as an In filter before planning.
+  // A KEY-GROUPED scan declines runtime filtering entirely: the engine
+  // requires the partition-value SET to survive a runtime re-plan
+  // (BatchScanExec throws on new/missing values), and a runtime In
+  // could empty a whole key — the storage-partitioned join it enables
+  // is worth more than the file skips it forgoes.
   @volatile private var runtime: Array[Filter] = Array.empty
   override def filterAttributes(): Array[NamedReference] =
-    readSchema.fields.collect {
+    if (spjKeys.isDefined) Array.empty
+    else readSchema.fields.collect {
       case f if (f.dataType match {
         case LongType | IntegerType | DoubleType | FloatType |
              StringType => true
@@ -996,10 +1106,16 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
                 ManifestedTable.physMap(epochs, raw)))
       }
       .map { case ((rel, st), _) =>
-        ManifestFilePartition(new Path(root, rel).toString, rel,
+        val p = ManifestFilePartition(new Path(root, rel).toString, rel,
           st.dv.map(d => new Path(root, d).toString),
           ManifestedTable.physMap(epochs, st),
-          st.rowIdBase, st.rim): InputPartition
+          st.rowIdBase, st.rim)
+        // key-grouped scans attach each file's partition key — what
+        // the exec groups into co-located join partitions
+        spjKeys.flatMap(_._2.get(rel)) match {
+          case Some(key) => new ManifestKeyedPartition(p, key): InputPartition
+          case None => p: InputPartition
+        }
       }.toArray
   }
   /** ColumnarBatch partitions for the CLEAN bulk case, decided over
@@ -1048,6 +1164,23 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestMicroBatchStream(path, readSchema, filters, sconf,
       startingVersion, ignoreChanges, cdf)
+}
+
+/** A file partition + its partition KEY — what a key-grouped scan
+  * plans so `DataSourceV2ScanExecBase.groupPartitions` can co-locate
+  * same-key files into one Spark partition (the storage-partitioned
+  * join input shape). Wraps rather than extends: HasPartitionKey on
+  * every [[ManifestFilePartition]] would claim keys scans don't have.
+  */
+private[sources] class ManifestKeyedPartition(
+    val inner: ManifestFilePartition,
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    key
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
 }
 
 /** `physOf`: CURRENT-name → PHYSICAL-name translation for this file's
@@ -1208,9 +1341,17 @@ private[sources] class ManifestPartitionReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar
 
+  private def unwrap(partition: InputPartition): ManifestFilePartition =
+    partition match {
+      case k: ManifestKeyedPartition => k.inner
+      case p: ManifestFilePartition => p
+      case other => throw new IllegalStateException(
+        s"unexpected partition ${other.getClass.getName}")
+    }
+
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val part = partition.asInstanceOf[ManifestFilePartition]
+    val part = unwrap(partition)
     val conf = new Configuration(sconf.value)
     // ROW-GROUP (and page-index) skipping INSIDE surviving files: the
     // pushed filters translate to parquet FilterPredicates against the
@@ -1485,7 +1626,7 @@ private[sources] class ManifestPartitionReaderFactory(
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[ManifestFilePartition]
+    val part = unwrap(partition)
     val conf = new Configuration(sconf.value)
     // exclusion mask (the partition's DV) + optional CDF include-mask:
     // a row is live iff NOT excluded AND (no include-mask OR in it) —

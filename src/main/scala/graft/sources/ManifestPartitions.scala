@@ -293,6 +293,103 @@ private[graft] object ManifestPartitions {
         s"unparseable partition tuple value '$other'")
     }
 
+  /** Per-row tuple-token derivation for the DSv2 TASK WRITERS — the
+    * third implementation site of the transform semantics (write-side
+    * Spark expressions, driver-side literal transforms, and this
+    * InternalRow evaluator), kept bit-identical so a file staged by a
+    * clustered/streaming/row-level writer prunes exactly like one
+    * staged through `partitionBy`. None when a source column is
+    * absent from the write schema or of an unsupported type — the
+    * writer declines to a token-less stage, the same sound fallback
+    * as [[ManifestedTable]]'s stageFiles.
+    */
+  def rowTokenizer(ts: Seq[PartTransform],
+      schema: StructType): Option[org.apache.spark.sql.catalyst
+        .InternalRow => String] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    def hexUpper(b: Array[Byte]): String =
+      b.map("%02X".format(_)).mkString
+    val cells: Seq[Option[InternalRow => String]] = ts.map { t =>
+      val idx = schema.fieldNames.indexOf(t.colName)
+      if (idx < 0) None
+      else {
+        val i = idx
+        val dt = schema.fields(i).dataType
+        def longAt(r: InternalRow): Long = dt match {
+          case LongType => r.getLong(i)
+          case IntegerType => r.getInt(i).toLong
+          case ShortType => r.getShort(i).toLong
+          case ByteType => r.getByte(i).toLong
+          case DateType => r.getInt(i).toLong
+          case _ => throw new IllegalStateException(s"$dt is not integral")
+        }
+        (t, dt) match {
+          case (PIdentity(_), StringType) => Some(r =>
+            if (r.isNullAt(i)) "n"
+            else s"s${hexUpper(r.getUTF8String(i).getBytes)}")
+          case (PIdentity(_), LongType | IntegerType | ShortType |
+                              ByteType | DateType) =>
+            Some(r => if (r.isNullAt(i)) "n" else s"i${longAt(r)}")
+          case (PBucket(n, _), LongType | IntegerType | StringType) =>
+            Some { r =>
+              if (r.isNullAt(i)) "n"
+              else {
+                val h = dt match {
+                  case LongType => org.apache.spark.unsafe.hash
+                    .Murmur3_x86_32.hashLong(r.getLong(i), 42)
+                  case IntegerType => org.apache.spark.unsafe.hash
+                    .Murmur3_x86_32.hashInt(r.getInt(i), 42)
+                  case StringType =>
+                    val b = r.getUTF8String(i).getBytes
+                    org.apache.spark.unsafe.hash.Murmur3_x86_32
+                      .hashUnsafeBytes(b,
+                        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                        b.length, 42)
+                  case _ => 0
+                }
+                s"i${pmodInt(h, n)}"
+              }
+            }
+          case (PDays(_), DateType) =>
+            Some(r => if (r.isNullAt(i)) "n" else s"i${r.getInt(i)}")
+          case (PMonths(_), DateType) => Some { r =>
+            if (r.isNullAt(i)) "n"
+            else {
+              val ld = java.time.LocalDate.ofEpochDay(r.getInt(i).toLong)
+              s"i${(ld.getYear - 1970) * 12 + ld.getMonthValue - 1}"
+            }
+          }
+          case (PYears(_), DateType) => Some(r =>
+            if (r.isNullAt(i)) "n"
+            else s"i${java.time.LocalDate.ofEpochDay(r.getInt(i).toLong)
+              .getYear - 1970}")
+          case (PHours(_), TimestampType) => Some(r =>
+            if (r.isNullAt(i)) "n"
+            else s"i${Math.floorDiv(
+              Math.floorDiv(r.getLong(i), 1000000L), 3600L)}")
+          case (PTruncate(w, _), LongType | IntegerType | ShortType |
+                                 ByteType) => Some { r =>
+            if (r.isNullAt(i)) "n"
+            else {
+              val v = longAt(r)
+              s"i${v - Math.floorMod(v, w.toLong)}"
+            }
+          }
+          case (PTruncate(w, _), StringType) => Some(r =>
+            if (r.isNullAt(i)) "n"
+            else s"s${hexUpper(
+              r.getUTF8String(i).substringSQL(1, w).getBytes)}")
+          case _ => None
+        }
+      }
+    }
+    if (cells.isEmpty || cells.exists(_.isEmpty)) None
+    else {
+      val fs = cells.map(_.get)
+      Some(r => fs.map(_(r)).mkString(","))
+    }
+  }
+
   // ---- prune side: driver re-derivation of the transforms ---------------
 
   /** Spark's `hash()` for the types bucket supports — the EXACT

@@ -172,6 +172,17 @@ private[sources] class ManifestRowLevelScan(op: ManifestRowLevelOperation,
 private[sources] case class ManifestWriteMessage(rel: String)
   extends WriterCommitMessage
 
+/** A tuple-splitting task's commit: the files it staged WITH their
+  * partition-tuple tokens under `specIdx` — what lets DSv2 writes
+  * (clustered ingest, streaming epochs, row-level rewrites) land
+  * `ps:`/`pt:`-stamped manifest lines exactly like the V1
+  * `partitionBy` stage, so hidden-partition pruning and
+  * storage-partitioned joins survive every write face.
+  */
+private[sources] case class ManifestTupleWriteMessage(
+    entries: Seq[(String, String)], specIdx: Int)
+  extends WriterCommitMessage
+
 /** The replace write: real DSv2 parquet writers (one staged file per
   * non-empty task), job commit = one OCC-validated manifest rename
   * swapping the scanned groups for the written files.
@@ -221,13 +232,14 @@ private[sources] class ManifestReplaceWrite(op: ManifestRowLevelOperation,
         f.name == "_row_id"))
     new ManifestRowWriterFactory(op.path, stage, dataSchema.json,
       new SerializableConfiguration(conf),
-      rowIdMetaIdx = if (op.rowLineage) Some(1) else None)
+      rowIdMetaIdx = if (op.rowLineage) Some(1) else None,
+      partSpec = ManifestedTable.currentSpecOf(conf, op.path,
+        op.wapBranch))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val rels = messages.collect {
-      case ManifestWriteMessage(rel) if rel.nonEmpty => rel
-    }.toSeq.sorted
+    val (rels, toks, specIdx) =
+      ManifestRowWriterFactory.collectStaged(messages)
     // a DML matching nothing scanned no groups and wrote no rows —
     // commit NOTHING (version unchanged), mirroring the object API's
     // no-match contract. (Empty rels with a non-empty scanned set is
@@ -235,7 +247,7 @@ private[sources] class ManifestReplaceWrite(op: ManifestRowLevelOperation,
     // commit must still drop them.)
     if (rels.isEmpty && op.scanned.isEmpty) return
     val lines = ManifestedTable.statLines(conf, op.path, rels,
-      op.wapBranch)
+      op.wapBranch, toks, specIdx)
     ManifestedTable.replaceGroups(conf, op.path, op.baseV,
       op.baseLines, op.scanned.toSet, lines,
       s"${op.command().toString.toLowerCase}_sql", op.wapBranch)
@@ -253,7 +265,11 @@ private[sources] class ManifestRowWriterFactory(path: String,
     stage: String, schemaJson: String, sconf: SerializableConfiguration,
     // row lineage: position of _row_id in the METADATA row the engine
     // hands the two-arg write (None = no lineage; metadata ignored)
-    rowIdMetaIdx: Option[Int] = None)
+    rowIdMetaIdx: Option[Int] = None,
+    // hidden partitioning: (spec index, encoded current spec) — tasks
+    // split their rows by partition TUPLE (one staged file per tuple
+    // per task) and report the tokens in the commit message
+    partSpec: Option[(Int, String)] = None)
     extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
@@ -273,8 +289,81 @@ private[sources] class ManifestRowWriterFactory(path: String,
   private def mkWriter(partitionId: Int, taskId: Long,
       epoch: Option[Long]): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val rel = f"$stage/part-${epoch.fold("")(e => s"e$e-")}%s" +
-      f"$partitionId%05d-$taskId.parquet"
+    val relBase = f"$stage/part-${epoch.fold("")(e => s"e$e-")}%s" +
+      f"$partitionId%05d-$taskId"
+    // tuple-splitting path: a tokenizer over the DATA schema routes
+    // each row to its tuple's writer; an unresolvable spec (source
+    // column absent/unsupported) declines to the flat single-file
+    // stage — the same sound fallback as the V1 partitionBy stage
+    partSpec.flatMap { case (si, enc) =>
+      ManifestPartitions.rowTokenizer(
+        ManifestPartitions.decodeSpec(enc), schema).map(tok => (si, tok))
+    } match {
+      case Some((si, tok)) =>
+        return new TupleMuxWriter(schema, relBase, si, tok)
+      case None =>
+    }
+    singleWriter(schema, s"$relBase.parquet")
+  }
+
+  /** One staged file per partition TUPLE per task: rows route to their
+    * tuple's inner writer; the commit message carries (rel, token)
+    * pairs so the manifest lines gain `ps:`/`pt:`. Open-writer memory
+    * is capped — when a task sees more live tuples than the cap, the
+    * current generation closes and later rows of a closed tuple open a
+    * FRESH file (more files, never a wrong token). With the write
+    * distribution clustering on the partition sources, a tuple's rows
+    * land in few tasks and the cap never trips.
+    */
+  private final class TupleMuxWriter(schema: StructType, relBase: String,
+      specIdx: Int, tok: InternalRow => String)
+      extends DataWriter[InternalRow] {
+    private val MaxOpen = 32
+    private val open = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, DataWriter[InternalRow])]
+    private val done = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    private var seq = 0
+
+    private def flushAll(): Unit = {
+      open.foreach { case (token, (rel, w)) =>
+        w.commit() match {
+          case ManifestWriteMessage(r) if r.nonEmpty => done += ((r, token))
+          case _ => done += ((rel, token))
+        }
+      }
+      open.clear()
+    }
+
+    private def writerFor(token: String): DataWriter[InternalRow] =
+      open.getOrElseUpdate(token, {
+        if (open.size >= MaxOpen) flushAll()
+        seq += 1
+        val rel = s"$relBase-t$seq.parquet"
+        (rel, singleWriter(schema, rel))
+      })._2
+
+    override def write(meta: InternalRow, data: InternalRow): Unit =
+      writerFor(tok(data)).write(meta, data)
+    override def write(row: InternalRow): Unit =
+      writerFor(tok(row)).write(row)
+    override def commit(): WriterCommitMessage = {
+      flushAll()
+      ManifestTupleWriteMessage(done.toSeq.sortBy(_._1), specIdx)
+    }
+    override def abort(): Unit = {
+      open.values.foreach(_._2.abort())
+      open.clear()
+      val fs = new Path(path).getFileSystem(sconf.value)
+      done.foreach { case (rel, _) =>
+        fs.delete(new Path(new Path(path), rel), false)
+      }
+    }
+    override def close(): Unit = ()
+  }
+
+  private def singleWriter(schema: StructType,
+      rel: String): DataWriter[InternalRow] = {
     val file = new Path(new Path(path), rel)
     // with row lineage the staged file carries the hidden id column
     // LAST (filled per row from the METADATA side of the two-arg
@@ -402,6 +491,36 @@ private[sources] class ManifestRowWriterFactory(path: String,
 
 private[sources] object ManifestRowWriterFactory {
 
+  /** Fold a job's commit messages into (sorted rels, rel → tuple
+    * token, spec index) — the one place both message shapes decode, so
+    * every commit site stamps identically.
+    */
+  def collectStaged(messages: Array[WriterCommitMessage])
+      : (Seq[String], Map[String, String], Int) = {
+    val rels = scala.collection.mutable.ArrayBuffer.empty[String]
+    val toks = scala.collection.mutable.Map.empty[String, String]
+    var specIdx = -1
+    messages.foreach {
+      case ManifestWriteMessage(rel) if rel.nonEmpty => rels += rel
+      case ManifestTupleWriteMessage(entries, si) =>
+        entries.foreach { case (rel, token) =>
+          rels += rel
+          toks(rel) = token
+        }
+        if (si >= 0) specIdx = si
+      case _ =>
+    }
+    (rels.toSeq.sorted, toks.toMap, specIdx)
+  }
+
+  /** Every staged file across both message shapes (abort cleanup). */
+  def stagedRels(messages: Array[WriterCommitMessage]): Seq[String] =
+    messages.flatMap {
+      case ManifestWriteMessage(rel) if rel.nonEmpty => Seq(rel)
+      case ManifestTupleWriteMessage(entries, _) => entries.map(_._1)
+      case _ => Nil
+    }.toSeq
+
   /** Types the SimpleGroup writer below owns — anything else routes to
     * [[catalystWriter]].
     */
@@ -525,15 +644,31 @@ private[sources] class ManifestClusteredWrite(path: String,
   private val stage = s"data-${java.util.UUID.randomUUID()}"
   private def conf = SparkSession.active.sessionState.newHadoopConf()
 
+  private val curSpec = ManifestedTable.currentSpecOf(conf, path, branch)
+
   private def sorts: Array[V2SortOrder] = clusterCols.map(c =>
     V2Expressions.sort(V2Expressions.column(c),
+      SortDirection.ASCENDING)).toArray
+  // a PARTITION SPEC leads the compound sort: ranging on (partition
+  // sources, cluster key) makes each tuple's rows CONTIGUOUS in the
+  // shuffle order (monotone transforms — months/days/truncate — bin
+  // contiguously over their source), so a wide multi-tuple INSERT
+  // lands ~one file per tuple instead of per-task×per-tuple
+  // fragments, while cluster-key intervals stay disjoint WITHIN each
+  // tuple. Source columns (not transform expressions) keep the
+  // distribution resolvable on the anonymous write path too (no
+  // FunctionCatalog there).
+  private def partSorts: Array[V2SortOrder] = curSpec.toSeq
+    .flatMap(s => ManifestPartitions.decodeSpec(s._2))
+    .map(t => V2Expressions.sort(V2Expressions.column(t.colName),
       SortDirection.ASCENDING)).toArray
   // ORDERED (range) distribution, not clustered (hash): disjoint
   // per-partition key intervals are the whole point — hash partitions
   // would each span the full key range and prune nothing
   override def requiredDistribution(): Distribution =
-    Distributions.ordered(sorts)
-  override def requiredOrdering(): Array[V2SortOrder] = sorts
+    Distributions.ordered(partSorts ++ sorts)
+  override def requiredOrdering(): Array[V2SortOrder] =
+    partSorts ++ sorts
   override def requiredNumPartitions(): Int = numParts
   override def toBatch: BatchWrite = this
   override def description(): String =
@@ -543,16 +678,16 @@ private[sources] class ManifestClusteredWrite(path: String,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestRowWriterFactory(path, stage, writeSchema.json,
-      new SerializableConfiguration(conf))
+      new SerializableConfiguration(conf), partSpec = curSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val rels = messages.collect {
-      case ManifestWriteMessage(rel) if rel.nonEmpty => rel
-    }.toSeq.sorted
+    val (rels, toks, specIdx) =
+      ManifestRowWriterFactory.collectStaged(messages)
     // an all-empty write still commits on overwrite (truncate to
     // empty is a real result); a no-row append commits nothing
     if (rels.isEmpty && !overwrite) return
-    ManifestedTable.commitStagedFiles(conf, path, rels, overwrite, branch)
+    ManifestedTable.commitStagedFiles(conf, path, rels, overwrite,
+      branch, toks, specIdx)
     ()
   }
 
@@ -597,25 +732,28 @@ private[sources] class ManifestStreamingWrite(path: String,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestRowWriterFactory(path, stage, writeSchema.json,
-      new SerializableConfiguration(conf))
+      new SerializableConfiguration(conf),
+      // streamed epochs land TUPLE-STAMPED like every batch stage, so
+      // hidden-partition pruning (and SPJ eligibility) survive a
+      // continuously-fed table
+      partSpec = ManifestedTable.currentSpecOf(conf, path, None))
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val rels = messages.collect {
-      case ManifestWriteMessage(rel) if rel.nonEmpty => rel
-    }.toSeq.sorted
+    val (rels, toks, specIdx) =
+      ManifestRowWriterFactory.collectStaged(messages)
     // false = the marker already covers this epoch (replay) — the
     // re-staged files stay orphans until vacuum; nothing double-lands
-    ManifestedTable.appendStagedBatch(conf, path, rels, epochId)
+    ManifestedTable.appendStagedBatch(conf, path, rels, epochId,
+      toks, specIdx)
     ()
   }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf)
-    messages.collect { case ManifestWriteMessage(rel) if rel.nonEmpty =>
-      fs.delete(new Path(new Path(path), rel), false)
-    }
+    ManifestRowWriterFactory.stagedRels(messages).foreach(rel =>
+      fs.delete(new Path(new Path(path), rel), false))
     ()
   }
 }

@@ -1412,14 +1412,44 @@ object ManifestedTable {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
 
+  /** `tuples`/`specIdx`: the DSv2 task writers' tuple tokens — staged
+    * lines gain `ps:`/`pt:` exactly like the V1 partitionBy stage, so
+    * pruning and key-grouping survive every write face.
+    */
   private[sources] def statLines(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
-      rels: Seq[String], branch: Option[String] = None): Seq[String] = {
+      rels: Seq[String], branch: Option[String] = None,
+      tuples: Map[String, String] = Map.empty,
+      specIdx: Int = -1): Seq[String] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val headMeta = headMetaOf(fs, root, branch)
-    stampEpoch(statLinesRaw(fs, root, rels, bloomColsOf(headMeta)),
-      epochTokenOf(headMeta))
+    val lines = stampEpoch(statLinesRaw(fs, root, rels,
+      bloomColsOf(headMeta)), epochTokenOf(headMeta))
+    if (specIdx < 0 || tuples.isEmpty) lines
+    else lines.map { line =>
+      tuples.get(pathOf(line)) match {
+        case Some(tok) => s"$line\tps:$specIdx\tpt:$tok"
+        case None => line
+      }
+    }
+  }
+
+  /** (spec index, encoded spec) of the lineage head's CURRENT
+    * partition spec — what the DSv2 write factories hand their task
+    * writers for tuple stamping. None when unpartitioned (or evolved
+    * to `none`).
+    */
+  private[sources] def currentSpecOf(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      branch: Option[String]): Option[(Int, String)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (manifestVersions(fs, root).isEmpty) return None
+    val specs = ManifestPartitions.decodeSpecs(
+      headMetaOf(fs, root, branch).get(ManifestPartitions.SpecsKey))
+    specs.lastOption.filter(_.nonEmpty).map(ts =>
+      (specs.size - 1, ManifestPartitions.encodeSpec(ts)))
   }
 
   private def statLinesRaw(fs: FileSystem, root: Path,
@@ -1464,12 +1494,14 @@ object ManifestedTable {
   private[sources] def commitStagedFiles(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
       rels: Seq[String], overwrite: Boolean,
-      branch: Option[String] = None): Long = {
+      branch: Option[String] = None,
+      tuples: Map[String, String] = Map.empty,
+      specIdx: Int = -1): Long = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
     branch.foreach(checkRefName)
-    val lines = statLines(conf, dir, rels, branch)
+    val lines = statLines(conf, dir, rels, branch, tuples, specIdx)
     publish(fs, root, if (overwrite) Replace else AppendFiles, lines,
       ref = branch)
   }
@@ -1563,14 +1595,16 @@ object ManifestedTable {
     */
   private[sources] def appendStagedBatch(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
-      rels: Seq[String], batchId: Long): Boolean = {
+      rels: Seq[String], batchId: Long,
+      tuples: Map[String, String] = Map.empty,
+      specIdx: Int = -1): Boolean = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
     val last = snapshotMeta(conf, dir).get(TxnKey)
       .flatMap(s => scala.util.Try(s.toLong).toOption)
     if (last.exists(_ >= batchId)) return false
-    val lines = statLines(conf, dir, rels)
+    val lines = statLines(conf, dir, rels, None, tuples, specIdx)
     publish(fs, root, AppendFiles, lines, Map(TxnKey -> batchId.toString))
     true
   }
