@@ -140,6 +140,66 @@ private[sources] object AvroStats {
       Array.fill(BloomWords)(bb.getLong)
     }.toOption
 
+  // ---- HLL NDV sketches (`<col>=h:` tokens) ------------------------------
+  // HyperLogLog with p=8 (256 one-byte registers, ~6.5% RSE, 256 B per
+  // column per file before base64): per-file PARTIALS that merge by
+  // register-max, so the scan's estimateStatistics rolls a whole
+  // snapshot's distinct count up from the manifest alone — the NDV
+  // feed Spark's cost-based join reordering needs. Observed from the
+  // same projected read (and the same 64-bit value hashes) as the
+  // bloom tokens — one pass, two sketches.
+
+  private[sources] val HllRegisters = 256
+
+  private[sources] def hllObserve(regs: Array[Byte], h: Long): Unit = {
+    val idx = (h >>> 56).toInt
+    val w = h << 8
+    val rho =
+      (if (w == 0L) 57 else java.lang.Long.numberOfLeadingZeros(w) + 1)
+        .toByte
+    if (regs(idx) < rho) regs(idx) = rho
+  }
+
+  private[sources] def hllMergeInto(acc: Array[Byte],
+      other: Array[Byte]): Unit = {
+    var i = 0
+    while (i < acc.length) {
+      if (other(i) > acc(i)) acc(i) = other(i)
+      i += 1
+    }
+  }
+
+  /** Bias-corrected HLL estimate with linear counting for the small
+    * range — the standard Flajolet construction; ±~6.5% at p=8, which
+    * is selectivity-grade (CBO needs the ORDER of magnitude).
+    */
+  private[sources] def hllEstimate(regs: Array[Byte]): Long = {
+    val m = regs.length.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < regs.length) {
+      sum += java.lang.Math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val e = alpha * m * m / sum
+    val est =
+      if (e <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else e
+    math.max(1L, math.round(est))
+  }
+
+  private[sources] def hllEncode(regs: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(regs)
+
+  private[sources] def hllDecode(s: String): Option[Array[Byte]] =
+    scala.util.Try {
+      val b = java.util.Base64.getDecoder.decode(s)
+      require(b.length == HllRegisters)
+      b
+    }.toOption
+
   /** Streaming (lo,hi) tracker over the numeric fields of `schema`. */
   final class Tracker(schema: StructType) {
     private val tracked = schema.fields.zipWithIndex.filter { case (f, _) =>

@@ -1030,13 +1030,51 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
         java.util.OptionalLong.of(bs.sum)
       case _ => java.util.OptionalLong.empty()
     }
+    val exactRows = kept.forall(st => st.rows.isDefined && st.dv.isEmpty)
     val rows =
-      if (kept.forall(st => st.rows.isDefined && st.dv.isEmpty))
-        java.util.OptionalLong.of(kept.flatMap(_.rows).sum)
+      if (exactRows) java.util.OptionalLong.of(kept.flatMap(_.rows).sum)
       else java.util.OptionalLong.empty()
+    // per-COLUMN stats for the cost-based optimizer: NDV from the
+    // per-file HLL partials (register-max merge — the whole point of
+    // sketching per file) and exact NULL counts, offered only when
+    // EVERY kept file carries the token (a partial fold would
+    // understate). What lets a 3-table join REORDER itself: join
+    // cardinality ≈ |L|·|R| / max(ndv) needs the ndv.
+    val colStats = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (exactRows) readSchema.fieldNames.foreach { name =>
+      val nonEmpty = kept.filterNot(_.rows.contains(0L))
+      val ndv: java.util.OptionalLong =
+        if (nonEmpty.nonEmpty &&
+            nonEmpty.forall(_.hlls.contains(name))) {
+          val acc = new Array[Byte](AvroStats.HllRegisters)
+          val ok = nonEmpty.forall(st =>
+            AvroStats.hllDecode(st.hlls(name)) match {
+              case Some(regs) => AvroStats.hllMergeInto(acc, regs); true
+              case None => false
+            })
+          if (ok) java.util.OptionalLong.of(AvroStats.hllEstimate(acc))
+          else java.util.OptionalLong.empty()
+        } else java.util.OptionalLong.empty()
+      val nullCnt: java.util.OptionalLong =
+        if (kept.forall(st => st.nulls.contains(name) ||
+            st.rows.contains(0L)))
+          java.util.OptionalLong.of(kept.flatMap(_.nulls.get(name)).sum)
+        else java.util.OptionalLong.empty()
+      if (ndv.isPresent || nullCnt.isPresent)
+        colStats.put(Expressions.column(name),
+          new org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong = ndv
+            override def nullCount(): java.util.OptionalLong = nullCnt
+          })
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = size
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
   override def readSchema(): StructType = readSchema

@@ -416,7 +416,12 @@ object ManifestedTable {
       // for rows without a materialized id); `rim:` marks a rewrite
       // output carrying ids in its hidden __graft_row_id column
       rowIdBase: Option[Long] = None,
-      rim: Boolean = false)
+      rim: Boolean = false,
+      // CBO feeds: exact per-column NULL counts (`<col>=z:` — free
+      // from chunk metadata) and HLL NDV partials (`<col>=h:` — the
+      // opted-in sketch columns), rolled up by estimateStatistics
+      nulls: Map[String, Long] = Map.empty,
+      hlls: Map[String, String] = Map.empty)
 
   private val EmptyStats =
     FileStats(None, Map.empty, Map.empty, Map.empty, None, None, None)
@@ -436,6 +441,8 @@ object ManifestedTable {
     val ds = Map.newBuilder[String, (Double, Double)]
     val ss = Map.newBuilder[String, (Array[Byte], Array[Byte])]
     val bl = Map.newBuilder[String, String]
+    val zs = Map.newBuilder[String, Long]
+    val hs = Map.newBuilder[String, String]
     parts.iterator.drop(1).foreach { tok =>
       if (tok.startsWith("n:")) {
         rows = scala.util.Try(tok.substring(2).toLong).toOption
@@ -470,6 +477,9 @@ object ManifestedTable {
                 ss += colName -> (dec.decode(lo), dec.decode(hi))
               }
             case Array("b", bits) => bl += colName -> bits
+            case Array("z", n) =>
+              scala.util.Try(zs += colName -> n.toLong)
+            case Array("h", regs) => hs += colName -> regs
             case _ => // unknown kind: forward-compatible skip
           }
         }
@@ -477,7 +487,8 @@ object ManifestedTable {
     }
     (parts(0),
       FileStats(rows, ls.result(), ds.result(), ss.result(), dv, bytes,
-        epoch, pspec, ptuple, bl.result(), rowIdBase, rim))
+        epoch, pspec, ptuple, bl.result(), rowIdBase, rim,
+        zs.result(), hs.result()))
   }
 
   /** Re-encode `line` with its `dv:` token replaced by `dvPath` (all
@@ -603,7 +614,9 @@ object ManifestedTable {
         longs = m.flatMap { case (c, p) => st.longs.get(p).map(c -> _) },
         dbls = m.flatMap { case (c, p) => st.dbls.get(p).map(c -> _) },
         strs = m.flatMap { case (c, p) => st.strs.get(p).map(c -> _) },
-        blooms = m.flatMap { case (c, p) => st.blooms.get(p).map(c -> _) })
+        blooms = m.flatMap { case (c, p) => st.blooms.get(p).map(c -> _) },
+        nulls = m.flatMap { case (c, p) => st.nulls.get(p).map(c -> _) },
+        hlls = m.flatMap { case (c, p) => st.hlls.get(p).map(c -> _) })
     }
 
   /** (declared current schema, epoch history) of a declared table at
@@ -693,8 +706,21 @@ object ManifestedTable {
               .exists(fsch.getFieldName(_) == RowIdCol))
             toks += "rim:1"
         }
+        // per-column NULL counts (CBO's nullCount): exact from chunk
+        // metadata; any chunk without the counter poisons the column
+        val nullCnt = scala.collection.mutable.Map.empty[String, Long]
+        val nullDead = scala.collection.mutable.Set.empty[String]
         for (b <- blocks; c <- b.getColumns.asScala) {
           val name = c.getPath.toDotString
+          if (!nullDead(name) && name != RowIdCol &&
+              !name.contains('=') && !name.contains(':') &&
+              !name.contains('\t')) {
+            val stz = c.getStatistics
+            if (stz != null && !stz.isEmpty && stz.isNumNullsSet)
+              nullCnt.updateWith(name)(v =>
+                Some(v.getOrElse(0L) + stz.getNumNulls))
+            else { nullDead += name; nullCnt -= name }
+          }
           if (!dead(name) && name != RowIdCol &&
               !name.contains('=') && !name.contains(':') &&
               !name.contains('\t')) {
@@ -774,8 +800,12 @@ object ManifestedTable {
                     }))
             }
         }
-        if (bloomable.nonEmpty &&
-            blocks.map(_.getRowCount).sum <= 262144L) {
+        // the projected read runs whenever sketch columns are opted in;
+        // the BLOOM tokens additionally gate on file size (a 1024-bit
+        // filter saturates past ~256k rows — safe but useless), while
+        // the HLL NDV partials never saturate and always emit
+        val bloomEmit = blocks.map(_.getRowCount).sum <= 262144L
+        if (bloomable.nonEmpty) {
           import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
           val fileSchema = reader.getFooter.getFileMetaData.getSchema
           val projected = new org.apache.parquet.schema.MessageType(
@@ -791,6 +821,8 @@ object ManifestedTable {
           try {
             val bitsByCol = bloomable.map(_ =>
               new Array[Long](AvroStats.BloomWords))
+            val regsByCol = bloomable.map(_ =>
+              new Array[Byte](AvroStats.HllRegisters))
             val hashers: Seq[org.apache.parquet.example.data.Group => Int => Long] =
               bloomable.zipWithIndex.map { case (n, j) =>
                 projected.getType(j).asPrimitiveType()
@@ -811,18 +843,25 @@ object ManifestedTable {
             while (g != null) {
               var j = 0
               while (j < bloomable.size) {
-                if (g.getFieldRepetitionCount(j) > 0)
-                  AvroStats.setBits(bitsByCol(j), hashers(j)(g)(0))
+                if (g.getFieldRepetitionCount(j) > 0) {
+                  val h = hashers(j)(g)(0)
+                  if (bloomEmit) AvroStats.setBits(bitsByCol(j), h)
+                  AvroStats.hllObserve(regsByCol(j), h)
+                }
                 j += 1
               }
               g = pr.read()
             }
             bloomable.zipWithIndex.foreach { case (n, j) =>
-              toks += s"$n=b:${AvroStats.bloomEncode(bitsByCol(j))}"
+              if (bloomEmit)
+                toks += s"$n=b:${AvroStats.bloomEncode(bitsByCol(j))}"
+              toks += s"$n=h:${AvroStats.hllEncode(regsByCol(j))}"
             }
           } finally pr.close()
         }
         val enc = java.util.Base64.getEncoder
+        nullCnt.toSeq.sortBy(_._1).foreach { case (n2, z) =>
+          toks += s"$n2=z:$z" }
         longLo.toSeq.sortBy(_._1).foreach { case (n2, lo) =>
           toks += s"$n2=i:$lo:${longHi(n2)}" }
         dblLo.toSeq.sortBy(_._1).foreach { case (n2, lo) =>
