@@ -122,6 +122,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // text at analysis (the engine ships the ViewCatalog interface
     // but no SQL wiring — see the rule's scaladoc)
     ext.injectResolutionRule(s => new graft.plans.ResolveGraftViews(s))
+    // ...and the DDL face: CREATE/DROP VIEW on a graft catalog rewrite
+    // to runnable commands at parse (the Iceberg pattern — the engine
+    // would otherwise refuse view DDL on any V2 catalog)
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     // k-bounded top-k aggregate: shuffle carries ≤ k·|groups| triples
     ext.injectFunction((
       new FunctionIdentifier("top_k_ids"),

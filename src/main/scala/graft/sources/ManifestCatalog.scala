@@ -837,6 +837,44 @@ class ManifestCatalog extends TableCatalog
     fs.exists(p) && fs.delete(p, false)
   }
 
+  /** The ONE create-view implementation both DDL faces share — the
+    * `CALL system.create_view` procedure and the injected
+    * `CREATE [OR REPLACE] VIEW` parser command: the text must be a
+    * QUERY (command/DML bodies refuse before anything runs —
+    * spark.sql executes those eagerly), must not reference temp views
+    * (a stored reference to one dangles in later sessions), and is
+    * ANALYZED here for its schema + a loud error on bad SQL. Stored
+    * with the session's current catalog/namespace so later expansions
+    * re-bind identically.
+    */
+  def createViewFromText(spark: SparkSession, ident: Identifier,
+      sql: String, replace: Boolean): Unit = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    locally {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val mutating = parsed.isInstanceOf[Command] ||
+        parsed.isInstanceOf[ParsedStatement] ||
+        parsed.isInstanceOf[InsertIntoStatement] ||
+        parsed.isInstanceOf[MergeIntoTable] ||
+        parsed.isInstanceOf[UpdateTable] ||
+        parsed.isInstanceOf[DeleteFromTable]
+      require(!mutating,
+        s"create view '${ident.name()}': the view text must be a " +
+          s"query, not a command/DML (got ${parsed.nodeName})")
+    }
+    graft.plans.ResolveGraftViews.rejectTempViewRefs(
+      spark, ident.name(), parsed)
+    val analyzed = spark.sql(sql)
+    val cm = spark.sessionState.catalogManager
+    val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+      ident, sql, cm.currentCatalog.name(), cm.currentNamespace,
+      analyzed.schema, analyzed.schema.fieldNames,
+      Array.empty[String], Array.empty[String],
+      java.util.Collections.emptyMap[String, String]())
+    if (replace) replaceView(info, true) else createView(info)
+    ()
+  }
+
   override def renameView(fromIdent: Identifier,
       toIdent: Identifier): Unit = {
     val from = viewPath(fromIdent)

@@ -299,51 +299,15 @@ private[sources] object ManifestProcedures {
         ProcedureParameter.in("replace", BooleanType).build()),
         StructType(Seq(StructField("view", StringType, nullable = false)))) {
         (_, in) =>
-          // the DDL face of catalog views (the engine routes no CREATE
-          // VIEW to V2 catalogs — see ResolveGraftViews): the query is
-          // ANALYZED here (schema + a loud error on bad SQL, nothing
-          // executes), then stored as text through the catalog's
-          // ViewCatalog implementation; reads expand via the
-          // resolution rule
+          // the procedure face of catalog views — shares
+          // createViewFromText with the injected CREATE VIEW parser
+          // command: one implementation, identical guards (query-only
+          // text, no temp-view references, analyzed schema)
           val vName = in.getUTF8String(0).toString
-          val sql = in.getUTF8String(1).toString
-          val replace = in.getBoolean(2)
-          val spark = SparkSession.active
-          // MUTATING text refuses before anything runs: spark.sql
-          // executes commands AND DML statements eagerly, so an
-          // INSERT/MERGE/UPDATE/DELETE/DDL body would otherwise run
-          // its side effect at view-creation time; a view body must
-          // be a QUERY. (DML plans are NOT `Command` at parse time —
-          // InsertIntoStatement et al are plain logical nodes the
-          // analyzer later rewrites, so each shape is named.)
-          val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-          locally {
-            import org.apache.spark.sql.catalyst.plans.logical._
-            val mutating = parsed.isInstanceOf[Command] ||
-              parsed.isInstanceOf[ParsedStatement] ||
-              parsed.isInstanceOf[InsertIntoStatement] ||
-              parsed.isInstanceOf[MergeIntoTable] ||
-              parsed.isInstanceOf[UpdateTable] ||
-              parsed.isInstanceOf[DeleteFromTable]
-            require(!mutating,
-              s"create_view('$vName'): the view text must be a " +
-                s"query, not a command/DML (got ${parsed.nodeName})")
-          }
-          // a stored reference to a TEMP view dangles in later
-          // sessions — refuse at create, where the user can fix it
-          graft.plans.ResolveGraftViews.rejectTempViewRefs(
-            spark, vName, parsed)
-          val analyzed = spark.sql(sql)
-          val cm = spark.sessionState.catalogManager
-          val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+          catalog.createViewFromText(SparkSession.active,
             org.apache.spark.sql.connector.catalog.Identifier.of(
               Array.empty, vName),
-            sql, cm.currentCatalog.name(), cm.currentNamespace,
-            analyzed.schema, analyzed.schema.fieldNames,
-            Array.empty[String], Array.empty[String],
-            Collections.emptyMap[String, String]())
-          if (replace) catalog.replaceView(info, true)
-          else catalog.createView(info)
+            in.getUTF8String(1).toString, in.getBoolean(2))
           UTF8String.fromString(vName)
       }(resolveDir))
       case "drop_view" => Some(proc("drop_view", Seq(

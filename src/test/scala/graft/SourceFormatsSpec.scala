@@ -2915,6 +2915,66 @@ class SourceFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("graft-manifest view DDL: standard CREATE/DROP VIEW text via the parser extension") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_vddl").toString
+    spark.conf.set("spark.sql.catalog.gm_vddl",
+      "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.gm_vddl.root", wh)
+    try {
+      spark.sql(
+        "CREATE TABLE gm_vddl.t AS SELECT id AS k, id % 5 AS c FROM range(100)")
+
+      // plain DDL — no CALL face needed (the engine alone would throw
+      // UNSUPPORTED_FEATURE.CATALOG_OPERATION on any V2 catalog)
+      spark.sql("""CREATE VIEW gm_vddl.v AS
+        SELECT c, count(*) AS n FROM gm_vddl.t GROUP BY c""")
+      assert(spark.sql("SELECT n FROM gm_vddl.v WHERE c = 2")
+        .head.getLong(0) == 20L)
+
+      // OR REPLACE swaps; IF NOT EXISTS is a no-op on a taken name;
+      // plain CREATE on a taken name refuses
+      spark.sql("""CREATE OR REPLACE VIEW gm_vddl.v AS
+        SELECT c, sum(k) AS n FROM gm_vddl.t GROUP BY c""")
+      val replaced = spark.sql("SELECT n FROM gm_vddl.v WHERE c = 2")
+        .head.getLong(0)
+      assert(replaced == (0 until 100).filter(_ % 5 == 2).map(_.toLong).sum)
+      spark.sql(
+        "CREATE VIEW IF NOT EXISTS gm_vddl.v AS SELECT 1 AS one")
+      assert(spark.sql("SELECT n FROM gm_vddl.v WHERE c = 2")
+        .head.getLong(0) == replaced, "IF NOT EXISTS overwrote")
+      intercept[Exception] {
+        spark.sql("CREATE VIEW gm_vddl.v AS SELECT 1 AS one")
+      }
+
+      // the procedure-face guards ride the DDL face too (shared
+      // implementation): temp-view references refuse at create
+      spark.range(3).toDF("k").createOrReplaceTempView("tmp_vddl")
+      val e = intercept[Exception] {
+        spark.sql("CREATE VIEW gm_vddl.vt AS SELECT * FROM tmp_vddl")
+      }
+      assert(e.getMessage.contains("temporary view"), e.getMessage)
+
+      // both faces address the SAME storage: DDL-created views list
+      // through the procedure, and CALL-created views drop through DDL
+      assert(spark.sql("CALL gm_vddl.system.views()").collect()
+        .map(_.getString(0)).toSeq == Seq("v"))
+      spark.sql(
+        "CALL gm_vddl.system.create_view('v2', 'SELECT 1 AS one', false)")
+      spark.sql("DROP VIEW gm_vddl.v2")
+      spark.sql("DROP VIEW gm_vddl.v")
+      spark.sql("DROP VIEW IF EXISTS gm_vddl.v") // no-op, no throw
+      intercept[Exception] { spark.sql("DROP VIEW gm_vddl.v") }
+
+      // session-scope view DDL stays with the session catalog
+      spark.sql("CREATE TEMPORARY VIEW vddl_tmp2 AS SELECT 42 AS x")
+      assert(spark.sql("SELECT x FROM vddl_tmp2").head.getInt(0) == 42)
+      spark.sql("DROP VIEW vddl_tmp2")
+    } finally {
+      spark.catalog.dropTempView("tmp_vddl")
+      spark.sql("DROP TABLE IF EXISTS gm_vddl.t")
+    }
+  }
+
   test("graft-manifest constraints: RENAME/DROP of a referenced column refuses; ADD pins the validated head") {
     import graft.sources.ManifestedTable
     import spark.implicits._
