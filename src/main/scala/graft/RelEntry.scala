@@ -2617,6 +2617,46 @@ object RelEntry {
     }),
 
     // ---- T115: cherry-pick -------------------------------------------------
+    // ---- T117: identity + generated columns ------------------------------
+    "q206_identity" -> ((s, d) => {
+      // IDENTITY values mint connector-side from an OCC-guarded
+      // high-water mark; GENERATED columns compute their expression
+      // inline. Minted values are engine-allocated (unique, lattice-
+      // aligned — IdentityColumnsSpec pins those properties and the
+      // concurrent-feed race), so the ORACLE-facing output projects
+      // only the deterministic facts: row counts, distinct-id counts
+      // (= row counts iff no collision), and the generated column's
+      // arithmetic.
+      val wh = catRoot(s, "g206", "graft_idc_q")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g206_src")
+      s.sql("DROP TABLE IF EXISTS g206.t")
+      s.sql("""CREATE TABLE g206.t (
+              |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+              |  k BIGINT, c BIGINT, cents BIGINT,
+              |  mag BIGINT GENERATED ALWAYS AS (cents % 97))""".stripMargin)
+      s.sql("""INSERT INTO g206.t (k, c, cents)
+              |SELECT k, c, cents FROM g206_src WHERE k % 3 < 2""".stripMargin)
+      s.sql("""INSERT INTO g206.t (k, c, cents)
+              |SELECT k + 507000000, c, cents + 9 FROM g206_src
+              |WHERE k % 10 = 4""".stripMargin)
+      val out = s.sql(
+        """SELECT c % 25 AS grp, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(count(DISTINCT id) AS BIGINT) AS n_ids,
+          |  CAST(sum(mag) AS BIGINT) AS mag_sum
+          |FROM g206.t
+          |GROUP BY c % 25""".stripMargin)
+      core.Materialize.detached(out) {
+        s.sql("DROP TABLE IF EXISTS g206.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T116: storage-partitioned join ----------------------------------
     "q205_spj" -> ((s, d) => {
       // two manifested FACT tables co-partitioned by bucket(8, k)
@@ -4278,6 +4318,24 @@ object RelEntry {
     // q195 mirror: the partition lifecycle replayed relationally —
     // hidden partitioning and its evolution must be semantically
     // invisible (layout is a pure optimization)
+    // q206 mirror: identity values are engine-allocated, so the
+    // replay projects the deterministic facts only — n_ids == n (the
+    // uniqueness invariant) and the generated column's arithmetic
+    "q206_identity" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |rows_all AS (
+        |  SELECT c, cents FROM base WHERE k % 3 < 2
+        |  UNION ALL
+        |  SELECT c, cents + 9 AS cents FROM base WHERE k % 10 = 4)
+        |SELECT c % 25 AS grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_ids,
+        |  CAST(sum(cents % 97) AS BIGINT) AS mag_sum
+        |FROM rows_all
+        |GROUP BY c % 25""".stripMargin,
+
     // q205 mirror: the two co-bucketed feeds replayed as plain
     // relations — bucketing is layout, never semantics
     "q205_spj" ->

@@ -68,7 +68,18 @@ class ManifestCatalog extends TableCatalog
       // every write plan (CheckInvariant), so INSERT/UPDATE/MERGE
       // violations throw before a single file stages
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // IDENTITY + GENERATED columns: the engine VALIDATES the DDL
+      // (expression determinism/references, identity start/step) when
+      // these are declared; the column metadata rides the declared
+      // schema into the manifest, and ENFORCEMENT is connector-side
+      // (the Delta model): ManifestedTable.write mints identity
+      // values from an OCC-guarded high-water mark and computes/
+      // validates generated columns inline
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   import ManifestCatalog.ConstraintProp
 
@@ -103,7 +114,31 @@ class ManifestCatalog extends TableCatalog
     }
     val props = new java.util.HashMap[String, String](info.properties())
     checks.foreach { case (key, v) => props.put(key, v) }
-    createTable(ident, info.schema(), info.partitions(), props)
+    // the V2 COLUMNS carry what the bare schema does not: identity
+    // specs (start/step/allowExplicitInsert) and generation
+    // expressions — fold them into field METADATA under the engine's
+    // own keys (IdentityColumn/GeneratedColumn), which is what the
+    // manifest persists and the write-side fills read back
+    import org.apache.spark.sql.catalyst.util.{GeneratedColumn,
+      IdentityColumn}
+    val byName = info.columns().map(c => c.name() -> c).toMap
+    val schema = StructType(info.schema().fields.map { f =>
+      byName.get(f.name).fold(f) { c =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        Option(c.generationExpression()).foreach(e => mb.putString(
+          GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, e))
+        Option(c.identityColumnSpec()).foreach { s =>
+          mb.putLong(IdentityColumn.IDENTITY_INFO_START, s.getStart)
+          mb.putLong(IdentityColumn.IDENTITY_INFO_STEP, s.getStep)
+          mb.putBoolean(
+            IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            s.isAllowExplicitInsert)
+        }
+        f.copy(metadata = mb.build())
+      }
+    })
+    createTable(ident, schema, info.partitions(), props)
   }
 
   private def conf = SparkSession.active.sessionState.newHadoopConf()
@@ -282,6 +317,14 @@ class ManifestCatalog extends TableCatalog
     import scala.jdk.CollectionConverters._
     val userProps = properties.asScala.toMap -- Seq("provider",
       "location", "owner", "comment", "external")
+    // identity minting lives on the V1 batch write path; a clustered
+    // table writes through the DSv2 task writers, which do not mint —
+    // refuse the combination at CREATE, never at the first insert
+    require(userProps.get("graft.cluster-by").forall(_.isEmpty) ||
+      !schema.fields.exists(org.apache.spark.sql.catalyst.util
+        .IdentityColumn.isIdentityColumn),
+      "IDENTITY columns and graft.cluster-by cannot combine: identity " +
+        "values mint on the batch append path — drop one or the other")
     if (userProps.nonEmpty)
       ManifestedTable.setTableProperties(conf, dir, userProps)
     new ManifestTable(schema, dir)

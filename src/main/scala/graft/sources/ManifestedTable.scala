@@ -1951,12 +1951,164 @@ object ManifestedTable {
     val fs = fsOf(spark, dir)
     fs.mkdirs(root)
     branch.foreach(checkRefName)
+    // IDENTITY / GENERATED columns (declared tables only): incoming
+    // NULL cells mint/compute before staging — see writeWithFills
+    val declared = headMetaOf(fs, root, branch).get(SchemaKey)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+    val needsFill = declared.exists(s => s.fields.exists(f =>
+      df.columns.contains(f.name) &&
+        (org.apache.spark.sql.catalyst.util.IdentityColumn
+          .isIdentityColumn(f) ||
+          org.apache.spark.sql.catalyst.util.GeneratedColumn
+            .isGeneratedColumn(f))))
+    if (needsFill)
+      return writeWithFills(df, dir, declared.get, overwrite, branch)
     val staged = stageFiles(df, root, fs, branch)
     // the prior file list is resolved INSIDE publish, per CAS attempt —
     // an append racing another append rebases onto the winner's files
     // instead of silently dropping them
     publish(fs, root, if (overwrite) Replace else AppendFiles, staged,
       ref = branch)
+  }
+
+  /** Identity-hwm meta key for one column (hex-encoded name, the
+    * manifest's delimiter-safe discipline): the NEXT unused step
+    * index k — the column's next minted value is `start + k·step`.
+    */
+  private def idHwmKey(col: String): String =
+    "idhwm." + col.getBytes(StandardCharsets.UTF_8)
+      .map("%02x".format(_)).mkString
+
+  /** The batch append path for tables with IDENTITY / GENERATED
+    * columns (the Delta model — the engine validates the DDL, the
+    * connector enforces the values):
+    *
+    *  - GENERATED ALWAYS AS (expr): a NULL incoming cell computes the
+    *    expression; a non-NULL cell must MATCH it (raise_error inline
+    *    in the write projection — no extra pass over the batch).
+    *  - IDENTITY: NULL cells mint `start + k·step` from the table's
+    *    OCC-GUARDED high-water mark (`#idhwm.<col>=` meta): the fill
+    *    assigns from the hwm read at staging, per-row offsets via
+    *    monotonically_increasing_id (unique within the batch), and
+    *    the commit both ADVANCES the hwm (to just past the staged
+    *    files' own max — read from the staged stat intervals, zero
+    *    extra IO) and PINS the hwm it assigned from (metaGuard): a
+    *    concurrent identity write cannot double-assign — the loser
+    *    re-stages from the winner's hwm. GENERATED ALWAYS AS IDENTITY
+    *    refuses explicit non-NULL values; BY DEFAULT keeps them
+    *    (uniqueness against explicit values is the user's contract,
+    *    as in every SQL engine).
+    *
+    * Scope: minting rides THIS append path (SQL INSERT on unclustered
+    * tables, the object API, appendBatch); engine-planned MERGE
+    * inserts must supply identity values explicitly.
+    */
+  private def writeWithFills(df: DataFrame, dir: String,
+      declared: StructType, overwrite: Boolean,
+      branch: Option[String]): Long = {
+    import org.apache.spark.sql.catalyst.util.{GeneratedColumn,
+      IdentityColumn}
+    import org.apache.spark.sql.functions.{expr, monotonically_increasing_id,
+      raise_error, concat_ws}
+    val spark = df.sparkSession
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    val gen = declared.fields.toSeq.filter(f =>
+      df.columns.contains(f.name) &&
+        GeneratedColumn.isGeneratedColumn(f))
+    val ids = declared.fields.toSeq.filter(f =>
+      df.columns.contains(f.name) && IdentityColumn.isIdentityColumn(f))
+    val withGen = gen.foldLeft(df) { (d, f) =>
+      val genExpr = expr(GeneratedColumn.getGenerationExpression(f).get)
+        .cast(f.dataType)
+      val cur = col(f.name)
+      d.withColumn(f.name,
+        when(cur.isNotNull && !(cur <=> genExpr),
+          raise_error(concat_ws("", lit(
+            s"GENERATED ALWAYS AS column ${f.name}: provided value "),
+            cur.cast("string"),
+            lit(" does not match the generation expression")))
+            .cast(f.dataType))
+          .otherwise(coalesce(cur, genExpr)))
+    }
+    if (ids.isEmpty) {
+      val staged = stageFiles(withGen, root, fs, branch)
+      return publish(fs, root, if (overwrite) Replace else AppendFiles,
+        staged, ref = branch)
+    }
+    var attempt = 0
+    while (attempt < 8) {
+      val headMeta = headMetaOf(fs, root, branch)
+      val hwms: Map[String, Long] = ids.map(f => f.name ->
+        headMeta.get(idHwmKey(f.name)).flatMap(s =>
+          scala.util.Try(s.toLong).toOption).getOrElse(0L)).toMap
+      val filled = ids.foldLeft(withGen) { (d, f) =>
+        val m = f.metadata
+        val start =
+          if (m.contains(IdentityColumn.IDENTITY_INFO_START))
+            m.getLong(IdentityColumn.IDENTITY_INFO_START) else 1L
+        val step =
+          if (m.contains(IdentityColumn.IDENTITY_INFO_STEP))
+            m.getLong(IdentityColumn.IDENTITY_INFO_STEP) else 1L
+        val allowExplicit =
+          m.contains(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT) &&
+            m.getBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT)
+        val mint = (lit(start) +
+          (lit(hwms(f.name)) + monotonically_increasing_id()) *
+            lit(step)).cast(f.dataType)
+        val cur = col(f.name)
+        d.withColumn(f.name,
+          if (allowExplicit) coalesce(cur, mint)
+          else when(cur.isNotNull, raise_error(lit(
+            s"IDENTITY column ${f.name} is GENERATED ALWAYS — remove " +
+              "it from the insert column list")).cast(f.dataType))
+            .otherwise(mint))
+      }
+      val staged = stageFiles(filled, root, fs, branch)
+      // next hwm from the STAGED files' own max (the stat intervals —
+      // zero extra IO); a stats gap falls back to a generous block
+      // (mono ids stay under 2^44 for ≤2^11 tasks × 2^33 rows)
+      val stagedStats = staged.map(parseEntry)
+      val nextHwm: Map[String, Long] = ids.map { f =>
+        val m = f.metadata
+        val start =
+          if (m.contains(IdentityColumn.IDENTITY_INFO_START))
+            m.getLong(IdentityColumn.IDENTITY_INFO_START) else 1L
+        val step =
+          if (m.contains(IdentityColumn.IDENTITY_INFO_STEP))
+            m.getLong(IdentityColumn.IDENTITY_INFO_STEP) else 1L
+        val his = stagedStats.flatMap(_._2.longs.get(f.name))
+          .map(b => if (step >= 0) b._2 else b._1)
+        val k =
+          if (his.isEmpty) hwms(f.name) + (1L << 44)
+          else his.map(v => (v - start) / step + 1L).max
+            .max(hwms(f.name))
+        f.name -> k
+      }.toMap
+      val guard: Map[String, String] => Unit = prevMeta =>
+        ids.foreach { f =>
+          val cur = prevMeta.get(idHwmKey(f.name)).flatMap(s =>
+            scala.util.Try(s.toLong).toOption).getOrElse(0L)
+          if (cur != hwms(f.name)) throw new ConcurrentWriteException(
+            s"identity fill of ${f.name} assigned from hwm " +
+              s"${hwms(f.name)}, but the head now carries $cur — a " +
+              "concurrent identity write landed; re-minting")
+        }
+      try {
+        return publish(fs, root,
+          if (overwrite) Replace else AppendFiles, staged,
+          meta = nextHwm.map { case (c, k) => idHwmKey(c) -> k.toString },
+          ref = branch, metaGuard = guard)
+      } catch {
+        case _: ConcurrentWriteException =>
+          // the loser's staged files become vacuum-visible orphans;
+          // re-read the winner's hwm and re-mint
+          attempt += 1
+      }
+    }
+    throw new ConcurrentWriteException(
+      s"identity fill of $dir lost the hwm race 8 times")
   }
 
   /** Read the current snapshot — by manifest, never by listing: orphan
