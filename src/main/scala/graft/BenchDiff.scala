@@ -188,11 +188,37 @@ object BenchDiff {
     else if (nw.max < old.min / margin) Improvement
     else WithinNoise
 
+  /** CANARY NORMALIZATION (`--normalize`): scale the OLD session's
+    * envelopes by the canary ratio before the disjoint test, so a
+    * uniformly slower/faster HOST (the ambient-floor drift that costs
+    * an adjudication pass every round) produces zero flags, while a
+    * genuine per-query regression — which moves ON TOP of the floor —
+    * still trips the same margin. Opt-in: normalization assumes the
+    * drift is multiplicative and uniform (true of CPU-frequency /
+    * noisy-neighbor floors, not of e.g. IO-only degradation), so the
+    * un-normalized diff stays the default and the JSON records the
+    * factor applied.
+    */
+  private[graft] def normalizeOld(oldStats: Map[String, Stats],
+      canaries: (Option[Double], Option[Double]))
+      : (Map[String, Stats], Option[Double]) = canaries match {
+    case (Some(o), Some(n)) if o > 0 =>
+      val r = n / o
+      (oldStats.map { case (q, s) =>
+        q -> (if (s.median < 0) s
+              else s.copy(median = s.median * r, min = s.min * r,
+                max = s.max * r))
+      }, Some(r))
+    case _ => (oldStats, None)
+  }
+
   private[graft] def diffJson(oldStats: Map[String, Stats],
                               newStats: Map[String, Stats],
                               margin: Double,
                               canaries: (Option[Double], Option[Double]) =
-                                (None, None)): (String, Boolean) = {
+                                (None, None),
+                              normalizedBy: Option[Double] = None)
+      : (String, Boolean) = {
     val common = oldStats.keySet.intersect(newStats.keySet).toSeq.sorted
     val classed = common.map { q =>
       (q, oldStats(q), newStats(q), classify(oldStats(q), newStats(q), margin))
@@ -221,12 +247,12 @@ object BenchDiff {
     // about the code. Annotation only; classification is unchanged
     // (disjoint envelopes are still disjoint), the flag tells the reader
     // how much weight the deltas can carry.
-    val canJson = canaries match {
+    val canJson = (canaries match {
       case (Some(o), Some(n)) =>
         val r = n / o
         s""","canary_ratio":${f(r)},"comparable":${r <= margin && r >= 1.0 / margin}"""
       case _ => s""","canary_ratio":null,"comparable":null"""
-    }
+    }) + normalizedBy.fold("")(r => s""","normalized_by":${f(r)}""")
     def names(qs: Seq[String]) =
       qs.map(q => s""""${Bench.esc(q)}"""").mkString("[", ",", "]")
     val json = s"""{"metric":"bench_diff","margin":$margin,"compared":${common.size},"within_noise":$nNoise,"only_old":$onlyOld,"only_new":$onlyNew$canJson,"newly_errored":${names(newlyErrored)},"recovered":${names(recovered)},"regressions":{${cells(Regression)}},"improvements":{${cells(Improvement)}}}"""
@@ -234,16 +260,23 @@ object BenchDiff {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: BenchDiff <old bench_result.json> <new bench_result.json> [margin]")
-    val margin = if (args.length >= 3) args(2).toDouble else 1.30
+    val normalize = args.contains("--normalize")
+    val pos = args.filterNot(_.startsWith("--"))
+    require(pos.length >= 2,
+      "usage: BenchDiff <old bench_result.json> <new bench_result.json> " +
+        "[margin] [--normalize]")
+    val margin = if (pos.length >= 3) pos(2).toDouble else 1.30
     require(margin >= 1.0,
       s"margin must be >= 1.0 (a multiplicative tolerance), got $margin")
     val mapper = new ObjectMapper()
     def root(p: String) =
       unwrap(mapper.readTree(Files.readString(Paths.get(p))), mapper)
-    val (oldRoot, newRoot) = (root(args(0)), root(args(1)))
-    val (oldStats, newStats) = (queryStats(oldRoot), queryStats(newRoot))
+    val (oldRoot, newRoot) = (root(pos(0)), root(pos(1)))
+    val (oldStats0, newStats) = (queryStats(oldRoot), queryStats(newRoot))
+    val rawCanaries = (canarySingleMin(oldRoot), canarySingleMin(newRoot))
+    val (oldStats, normalizedBy) =
+      if (normalize) normalizeOld(oldStats0, rawCanaries)
+      else (oldStats0, None)
     val common = oldStats.keySet.intersect(newStats.keySet)
     // no overlap, or overlap with no usable stats on either side (e.g. a
     // scalebench artifact whose query objects lack median/min/max), means
@@ -252,14 +285,13 @@ object BenchDiff {
       oldStats(q).median > 0 || newStats(q).median > 0)
     if (common.isEmpty || !usable) {
       System.err.println(s"BenchDiff: no comparable queries between " +
-        s"${args(0)} (${oldStats.size}) and ${args(1)} (${newStats.size}) " +
+        s"${pos(0)} (${oldStats.size}) and ${pos(1)} (${newStats.size}) " +
         "- expected Bench's bench_result.json, its compact line, or a " +
         "driver BENCH_r*.json wrapper")
       sys.exit(2)
     }
     val (json, hasRegression) =
-      diffJson(oldStats, newStats, margin,
-        (canarySingleMin(oldRoot), canarySingleMin(newRoot)))
+      diffJson(oldStats, newStats, margin, rawCanaries, normalizedBy)
     println(json)
     if (hasRegression) sys.exit(1)
   }

@@ -202,4 +202,48 @@ class BenchDiffSpec extends AnyFunSuite {
     // q5 ran before and errors now: listed, and it alone fails the gate
     assert(root.path("newly_errored").get(0).asText() == "q5")
   }
+
+  test("canary normalization: a uniformly slowed session produces zero flags") {
+    // every query AND the canary 1.5× slower — pure host drift. The
+    // raw diff flags regressions (1.5 > the 1.3 margin); normalizing
+    // the old envelopes by the canary ratio makes the drift vanish,
+    // while a query that ADDITIONALLY regressed 2× on top of the
+    // floor still trips.
+    val m = new ObjectMapper()
+    def artifact(scale: Double, q3Extra: Double, canary: Double) =
+      m.readTree(
+        s"""{"metric":"total","value":3.0,"unit":"sec","runs":3,
+          |"canary":{"single_s":[$canary,$canary]},
+          |"queries":{
+          |"q1":{"median":${1.0 * scale},"min":${0.95 * scale},"max":${1.05 * scale}},
+          |"q2":{"median":${2.0 * scale},"min":${1.9 * scale},"max":${2.1 * scale}},
+          |"q3":{"median":${1.0 * scale * q3Extra},"min":${0.95 * scale * q3Extra},"max":${1.05 * scale * q3Extra}}}}"""
+          .stripMargin)
+    val oldRoot = artifact(1.0, 1.0, 0.2)
+    val newRoot = artifact(1.5, 2.0, 0.3) // host 1.5×; q3 also 2× worse
+    val oldStats0 = queryStats(oldRoot)
+    val newStats = queryStats(newRoot)
+    val canaries = (canarySingleMin(oldRoot), canarySingleMin(newRoot))
+    // raw: the drift reads as regressions on q1/q2 too
+    val (_, rawFlag) = diffJson(oldStats0, newStats, 1.3, canaries)
+    assert(rawFlag)
+    // normalized: only the genuine q3 regression survives
+    val (oldStats, nrm) = normalizeOld(oldStats0, canaries)
+    assert(nrm.exists(r => math.abs(r - 1.5) < 1e-9))
+    val (json, flag) = diffJson(oldStats, newStats, 1.3, canaries, nrm)
+    val root = m.readTree(json)
+    assert(flag && root.path("regressions").has("q3"))
+    assert(!root.path("regressions").has("q1") &&
+      !root.path("regressions").has("q2"),
+      s"ambient drift still flagged: $json")
+    assert(root.path("normalized_by").asDouble() == 1.5)
+    // drift-only (no q3 extra): zero flags end to end
+    val newQuiet = artifact(1.5, 1.0, 0.3)
+    val (oldN, nrm2) = normalizeOld(oldStats0,
+      (canaries._1, canarySingleMin(newQuiet)))
+    val (json2, flag2) = diffJson(oldN, queryStats(newQuiet), 1.3,
+      (canaries._1, canarySingleMin(newQuiet)), nrm2)
+    assert(!flag2, s"uniform drift flagged: $json2")
+    assert(m.readTree(json2).path("regressions").isEmpty)
+  }
 }
