@@ -2617,6 +2617,69 @@ object RelEntry {
     }),
 
     // ---- T115: cherry-pick -------------------------------------------------
+    // ---- T118: equality deletes / CDC upsert ------------------------------
+    "q207_eq_upsert" -> ((s, d) => {
+      // the Iceberg-v2/Flink CDC construction end to end: an initial
+      // load, then CDC batches through the equality-delete upsert
+      // faces — each batch ONE commit carrying a key sidecar (masks
+      // all older images, zero base files read or rewritten) plus the
+      // appended rows; deletes are key-only sidecar entries. The read
+      // faces apply the masks; the oracle replays the same feed
+      // relationally (delete-then-insert per key per batch). The
+      // STREAMING sink flavor (update-mode epochs, exactly-once
+      // restart) is pinned in EqualityDeleteSpec; absorb-by-compact
+      // equivalence is asserted inline here.
+      import graft.sources.ManifestedTable
+      val wh = catRoot(s, "g207", "graft_eq_q")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("g207_src")
+      s.sql("DROP TABLE IF EXISTS g207.t")
+      s.sql("CREATE TABLE g207.t (k BIGINT, c BIGINT, cents BIGINT)")
+      val dir = s"$wh/t"
+      s.sql("""INSERT INTO g207.t
+              |SELECT k, c, cents FROM g207_src WHERE k % 3 < 2""".stripMargin)
+      // CDC batch 1 through the WRITER face (upsertKeys +
+      // cdcTypeColumn): upserts for k%10=4, deletes for k%13=5 —
+      // an upsert and a delete of the SAME key in one batch resolves
+      // to the upsert (the batch's own rows are never masked)
+      val src = s.table("g207_src")
+      val cdc = src.filter(col("k") % 10 === 4)
+        .select(col("k"), col("c"), (col("cents") + 9).as("cents"))
+        .withColumn("op", lit("U"))
+        .unionByName(src.filter(col("k") % 13 === 5)
+          .select(col("k"), lit(null).cast("bigint").as("c"),
+            lit(null).cast("bigint").as("cents"),
+            lit("D").as("op")))
+      cdc.write.format("graft-manifest")
+        .option("upsertKeys", "k").option("cdcTypeColumn", "op")
+        .mode("append").save(dir)
+      // CDC batch 2 through the OBJECT face: re-insert half the
+      // deleted keys with a sentinel payload
+      ManifestedTable.eqUpsert(s, dir,
+        src.filter(col("k") % 13 === 5 && col("k") % 2 === 0)
+          .select(col("k"), col("c"), lit(77777L).as("cents")),
+        Seq("k"))
+      val out = s.sql(
+        """SELECT c % 25 AS grp, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS BIGINT) AS cents_sum
+          |FROM g207.t
+          |GROUP BY c % 25""".stripMargin)
+      core.Materialize.detached(out) {
+        // absorb-by-compact must preserve the masked content exactly
+        val masked = s.table("g207.t").count()
+        ManifestedTable.compact(s, dir, 1L << 30)
+        require(s.table("g207.t").count() == masked,
+          "compact absorb changed the eq-masked row count")
+        s.sql("DROP TABLE IF EXISTS g207.t")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        ()
+      }
+    }),
+
     // ---- T117: identity + generated columns ------------------------------
     "q206_identity" -> ((s, d) => {
       // IDENTITY values mint connector-side from an OCC-guarded
@@ -4318,6 +4381,34 @@ object RelEntry {
     // q195 mirror: the partition lifecycle replayed relationally —
     // hidden partitioning and its evolution must be semantically
     // invisible (layout is a pure optimization)
+    // q207 mirror: the CDC feed replayed relationally — per batch,
+    // delete-then-insert by key (a same-batch upsert wins over a
+    // same-batch delete, matching the sidecar-never-masks-own-batch
+    // semantics)
+    "q207_eq_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |p1 AS (SELECT k, c, cents FROM base WHERE k % 3 < 2),
+        |up AS (SELECT k, c, cents + 9 AS cents FROM base WHERE k % 10 = 4),
+        |del AS (SELECT k FROM base WHERE k % 13 = 5),
+        |s2 AS (
+        |  SELECT * FROM p1
+        |  WHERE k NOT IN (SELECT k FROM up)
+        |    AND k NOT IN (SELECT k FROM del)
+        |  UNION ALL SELECT * FROM up),
+        |re AS (
+        |  SELECT k, c, 77777 AS cents FROM base
+        |  WHERE k % 13 = 5 AND k % 2 = 0),
+        |s3 AS (
+        |  SELECT * FROM s2 WHERE k NOT IN (SELECT k FROM re)
+        |  UNION ALL SELECT * FROM re)
+        |SELECT c % 25 AS grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM s3
+        |GROUP BY c % 25""".stripMargin,
+
     // q206 mirror: identity values are engine-allocated, so the
     // replay projects the deterministic facts only — n_ids == n (the
     // uniqueness invariant) and the generated column's arithmetic

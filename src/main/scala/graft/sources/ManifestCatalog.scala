@@ -464,6 +464,13 @@ class ManifestCatalog extends TableCatalog
         s"cannot $what $dotted: CHECK constraint(s) " +
           s"${hit.map(_._1).mkString(", ")} reference it — " +
           "DROP CONSTRAINT first")
+      // pending equality deletes bind their KEY columns by name — a
+      // rename/drop would silently detach the masks
+      val eqHit = ManifestedTable.eqDeletesAt(conf, dir)
+        .filter(_.keyCols.exists(_.equalsIgnoreCase(dotted)))
+      require(eqHit.isEmpty,
+        s"cannot $what $dotted: ${eqHit.size} pending equality " +
+          "delete(s) key on it — CALL compact to absorb them first")
     }
     changes.foreach {
       case add: TableChange.AddColumn

@@ -369,6 +369,27 @@ object ManifestDataSource {
     }
   }
 
+  /** Split a CDC batch on its type column: ('D'/'d'/'delete' rows →
+    * key-only deletes, everything else → upsert rows), the type
+    * column dropped from storage. No type column = pure upserts.
+    */
+  private[sources] def splitCdc(data: org.apache.spark.sql.DataFrame,
+      cdcCol: Option[String], keys: Seq[String])
+      : (org.apache.spark.sql.DataFrame,
+        Option[org.apache.spark.sql.DataFrame]) = cdcCol match {
+    case None => (data, None)
+    case Some(c) =>
+      import org.apache.spark.sql.functions.{col, lower}
+      val isDel = lower(col(c).cast("string")).isin("d", "delete")
+      (data.filter(!coalesceBool(isDel)).drop(c),
+        Some(data.filter(coalesceBool(isDel))
+          .select(keys.map(col): _*)))
+  }
+  private def coalesceBool(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.coalesce(c,
+      org.apache.spark.sql.functions.lit(false))
+
   /** Can `f` possibly match a row of a file with stats `st`? False
     * only on a PROVEN refutation (value outside the column's exact
     * interval); anything unknown — no token, untracked type, exotic
@@ -507,6 +528,11 @@ private[sources] class ManifestTable(schema: StructType, path: String,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       "cannot run DML against a time-travelled snapshot")
+    require(ManifestedTable.eqDeletesAt(
+      SparkSession.active.sessionState.newHadoopConf(), path).isEmpty,
+      s"row-level DML on $path: equality deletes pending — CALL " +
+        "compact to absorb them first (a group rewrite over eq-masked " +
+        "rows would need every op to re-derive the masks)")
     () => new ManifestRowLevelOperation(schema, path, info.command())
   }
   override def name(): String = s"graft-manifest `$path`" +
@@ -561,6 +587,50 @@ private[sources] class ManifestTable(schema: StructType, path: String,
     // pipeline's writes the same way (Iceberg's spark.wap.branch)
     val branch = Option(info.options.get("branch")).filter(_.nonEmpty)
       .orElse(ManifestedTable.sessionWapBranch(SparkSession.active))
+    // `.option("upsertKeys", "k1,k2")` — the CDC UPSERT face, batch
+    // and streaming: rows land delete-then-insert by key via one
+    // equality-delete sidecar + append per commit/epoch, zero base
+    // files read or rewritten. `.option("cdcTypeColumn", "op")` marks
+    // a column whose 'D'/'d'/'delete' rows are pure deletes (the
+    // column itself is dropped from storage). Streaming accepts
+    // UPDATE output mode (upsert-as-append, the Delta sink shape) and
+    // stays exactly-once through the same per-epoch txn marker.
+    val upsertKeys = Option(info.options.get("upsertKeys"))
+      .filter(_.nonEmpty)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    upsertKeys match {
+      case Some(keys) =>
+        require(branch.isEmpty,
+          "graft-manifest upsert: branch staging is not supported")
+        require(!props.contains("graft.cluster-by"),
+          "graft-manifest upsert: not supported on clustered tables " +
+            "(upserts land through the batch append path)")
+        val cdcCol = Option(info.options.get("cdcTypeColumn"))
+          .filter(_.nonEmpty)
+        return new org.apache.spark.sql.connector.write.WriteBuilder
+          with org.apache.spark.sql.internal.connector
+            .SupportsStreamingUpdateAsAppend {
+          override def build(): org.apache.spark.sql.connector.write.Write =
+            new org.apache.spark.sql.connector.write.V1Write {
+              override def toInsertableRelation
+                  : org.apache.spark.sql.sources.InsertableRelation =
+                (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+                  require(!overwrite,
+                    "graft-manifest upsert: append semantics only")
+                  val (rows, dels) =
+                    ManifestDataSource.splitCdc(data, cdcCol, keys)
+                  ManifestedTable.eqUpsert(SparkSession.active, path,
+                    rows, keys, dels)
+                  ()
+                }
+              override def toStreaming: org.apache.spark.sql.connector
+                  .write.streaming.StreamingWrite =
+                new ManifestUpsertStreamingWrite(path, info.schema(),
+                  keys, cdcCol)
+            }
+        }
+      case None =>
+    }
     props.get("graft.cluster-by") match {
       case Some(cols) =>
         // declared cluster key: the DSv2 write face with
@@ -717,8 +787,10 @@ private[sources] class ManifestScanBuilder(full: StructType, path: String,
     // renamed column folds through its old tokens, a dead id's tokens
     // vanish → statFold sees a coverage gap and declines (never a
     // wrong answer off resurrected bytes)
-    val aggEpochs = ManifestedTable.epochsOf(
-      ManifestedTable.snapshotMeta(conf, path, pinV))
+    val aggMeta = ManifestedTable.snapshotMeta(conf, path, pinV)
+    // pending eq-deletes mask rows the manifest fold can't see
+    if (ManifestedTable.eqDeletesOf(aggMeta).nonEmpty) return false
+    val aggEpochs = ManifestedTable.epochsOf(aggMeta)
     val entries = ManifestedTable.snapshotEntries(conf, path, pinV)
       .map(e => (e._1, ManifestedTable.rekeyStats(aggEpochs, e._2)))
     if (entries.exists(e => e._2.dv.isDefined || e._2.rows.isEmpty))
@@ -926,6 +998,13 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
   // evolution never mis-prunes an old-layout file
   private val partSpecs = ManifestPartitions.decodeSpecs(
     scanMeta.get(ManifestPartitions.SpecsKey))
+  // pending EQUALITY DELETES of the pinned snapshot, each with the
+  // rel-path scope it applies to (its base snapshot's files) —
+  // resolved ONCE per scan, manifest-sized
+  private val eqDels: Seq[(ManifestedTable.EqDelete, Set[String])] =
+    if (cdf) Nil
+    else ManifestedTable.eqDeletesOf(scanMeta).map(e =>
+      e -> ManifestedTable.eqAppliesTo(sconf.value, path, e.baseV))
   private val entriesEff =
     entries.map(e => (e._1, ManifestedTable.rekeyStats(epochs, e._2)))
 
@@ -1030,7 +1109,9 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
         java.util.OptionalLong.of(bs.sum)
       case _ => java.util.OptionalLong.empty()
     }
-    val exactRows = kept.forall(st => st.rows.isDefined && st.dv.isEmpty)
+    // pending eq-deletes mask an unknown row mass — never claim exact
+    val exactRows = eqDels.isEmpty &&
+      kept.forall(st => st.rows.isDefined && st.dv.isEmpty)
     val rows =
       if (exactRows) java.util.OptionalLong.of(kept.flatMap(_.rows).sum)
       else java.util.OptionalLong.empty()
@@ -1147,7 +1228,10 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
         val p = ManifestFilePartition(new Path(root, rel).toString, rel,
           st.dv.map(d => new Path(root, d).toString),
           ManifestedTable.physMap(epochs, st),
-          st.rowIdBase, st.rim)
+          st.rowIdBase, st.rim,
+          eqDels = eqDels.filter(_._2(rel)).map { case (e, _) =>
+            (new Path(root, e.sidecar).toString, e.keyCols)
+          })
         // key-grouped scans attach each file's partition key — what
         // the exec groups into co-located join partitions
         spjKeys.flatMap(_._2.get(rel)) match {
@@ -1176,7 +1260,7 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
   }
 
   private def columnarEligible: Boolean =
-    !cdf && readSchema.nonEmpty &&
+    !cdf && readSchema.nonEmpty && eqDels.isEmpty &&
       !readSchema.fieldNames.exists(n =>
         n == "_file" || n == "_pos" || n == "_row_id") &&
       epochs.size <= 1 &&
@@ -1243,7 +1327,12 @@ private[sources] case class ManifestFilePartition(file: String,
     // (minus `dv`) — how a deletion-vector GROWTH surfaces exactly
     // its newly-masked rows as deletes (and a shrink its unmasked
     // rows as inserts) without re-delivering the file
-    onlyDv: Option[String] = None) extends InputPartition
+    onlyDv: Option[String] = None,
+    // pending EQUALITY DELETES applying to this file, in sequence
+    // order: (sidecar abs path, key columns in CURRENT names — the
+    // reader translates via physOf). Rows whose key tuple appears in
+    // a sidecar are masked at read (bounded by sidecar size).
+    eqDels: Seq[(String, Seq[String])] = Nil) extends InputPartition
 
 /** Streaming offset = manifest version (O(1), human-readable). */
 private[sources] case class ManifestSourceOffset(version: Long)
@@ -1320,6 +1409,16 @@ private[sources] class ManifestMicroBatchStream(path: String,
       // each main version diffs against its TRUE lineage parent
       if (!isMain) Nil
       else {
+      // eq-delete commits mask rows without touching entries — the
+      // entry-diff stream cannot express them (and ignoreChanges
+      // would silently DROP the deletes, worse than re-delivery)
+      if (ManifestedTable.snapshotMeta(sconf.value, path, Some(v))
+          .get(ManifestedTable.OpKey).contains("eq-upsert"))
+        throw new IllegalStateException(
+          s"graft-manifest stream: version $v of $path is an " +
+            "equality-delete commit — its masks remove rows without " +
+            "removing entries, which this stream cannot express. " +
+            "CALL compact to absorb eq-deletes first.")
       val prev = ManifestedTable
         .entriesAtVersion(sconf.value, path, baseV)
       val curE = ManifestedTable.entriesAtVersion(sconf.value, path, v)
@@ -1723,19 +1822,97 @@ private[sources] class ManifestPartitionReaderFactory(
     }
   }
 
+  /** Canonical key-cell getter by PARQUET primitive: numerics unify to
+    * Long (a type-widened table reads int32 files against an int64
+    * sidecar), strings/binaries to UTF8String (byte equality), so the
+    * data-file side and the sidecar side of an eq-delete lookup meet
+    * in one value space. NULL cells stay null (never match — sidecars
+    * refuse null keys at write).
+    */
+  private def eqCanonGetter(mt: MessageType, j: Int,
+      file: String): Group => Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val pt = mt.getType(j).asPrimitiveType().getPrimitiveTypeName
+    val get: Group => Any = pt match {
+      case PrimitiveTypeName.INT64 =>
+        g => java.lang.Long.valueOf(g.getLong(j, 0))
+      case PrimitiveTypeName.INT32 =>
+        g => java.lang.Long.valueOf(g.getInteger(j, 0).toLong)
+      case PrimitiveTypeName.BINARY =>
+        g => UTF8String.fromBytes(g.getBinary(j, 0).getBytes)
+      case PrimitiveTypeName.BOOLEAN =>
+        g => java.lang.Boolean.valueOf(g.getBoolean(j, 0))
+      case other => throw new UnsupportedOperationException(
+        s"graft-manifest: equality-delete key of parquet type $other " +
+          s"in $file is not supported (integral/string/boolean keys)")
+    }
+    g => if (g.getFieldRepetitionCount(j) == 0) null else get(g)
+  }
+
+  /** Load one eq-delete sidecar into a key-tuple set (sidecar-sized —
+    * the CDC batch that wrote it, by construction).
+    */
+  private def eqLoadSidecar(path: String, cols: Seq[String],
+      conf: Configuration): java.util.HashSet[Seq[Any]] = {
+    val p = new Path(path)
+    val mt: MessageType = {
+      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    }
+    val proj = new MessageType(mt.getName,
+      cols.map(c => mt.getType(mt.getFieldIndex(c))): _*)
+    val getters = cols.indices.map(eqCanonGetter(proj, _, path)).toArray
+    val c2 = new Configuration(conf)
+    c2.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+    val r = ParquetReader.builder(new GroupReadSupport(), p)
+      .withConf(c2).build()
+    val set = new java.util.HashSet[Seq[Any]]()
+    try {
+      var g = r.read()
+      while (g != null) {
+        set.add(getters.map(_(g)).toSeq)
+        g = r.read()
+      }
+    } finally r.close()
+    set
+  }
+
   private def createDataReader(part: ManifestFilePartition,
       schema: StructType, conf: Configuration, skip: Long => Boolean,
       liveOf: Long => Long): PartitionReader[InternalRow] = {
     val file = part.file
     val p = new Path(file)
     if (schema.nonEmpty && schema.fields.exists(f =>
-        f.name != "_file" && f.name != "_pos" && !flatType(f.dataType)))
+        f.name != "_file" && f.name != "_pos" && !flatType(f.dataType))) {
+      if (part.eqDels.nonEmpty) throw new UnsupportedOperationException(
+        s"graft-manifest: $file has pending equality deletes and a " +
+          "nested-typed projection — CALL compact to absorb them first " +
+          "(the eq row filter rides the flat Group readers)")
       return createCatalystRowReader(part, conf, schema, skip)
+    }
     val fileSchema: MessageType = {
       val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try fr.getFooter.getFileMetaData.getSchema finally fr.close()
     }
-    if (schema.isEmpty) {
+    val presentNames = (0 until fileSchema.getFieldCount)
+      .map(fileSchema.getFieldName).toSet
+    // EQ-DELETES applying to this file, with key columns translated to
+    // the file's PHYSICAL names: an untranslatable or physically
+    // absent key column means this file's rows have NULL keys there —
+    // they can never match the sidecar, so the delete is a no-op here
+    val eqActive: Seq[(String, Seq[String], Seq[String])] =
+      part.eqDels.flatMap { case (sp, cols) =>
+        val phys = cols.map(c => part.physOf match {
+          case Some(m) => m.get(c)
+          case None => Some(c)
+        })
+        if (phys.exists(_.isEmpty)) None
+        else {
+          val ps = phys.map(_.get)
+          if (ps.forall(presentNames)) Some((sp, cols, ps)) else None
+        }
+      }
+    if (schema.isEmpty && eqActive.isEmpty) {
       // COUNT(*)-shaped scan: the row count is footer metadata minus
       // the masked positions — still no page is opened
       val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
@@ -1751,8 +1928,6 @@ private[sources] class ManifestPartitionReaderFactory(
         override def close(): Unit = ()
       }
     } else {
-      val presentNames = (0 until fileSchema.getFieldCount)
-        .map(fileSchema.getFieldName).toSet
       // field-id resolution: a requested CURRENT column reads the
       // file's PHYSICAL column of the same field id. physOf is
       // authoritative when present — a name it doesn't map reads NULL
@@ -1813,7 +1988,7 @@ private[sources] class ManifestPartitionReaderFactory(
                   if (g.getFieldRepetitionCount(j) == 0) null else get(g))
           }
         }
-      if (present.isEmpty && !needRidCol) {
+      if (present.isEmpty && !needRidCol && eqActive.isEmpty) {
         // metadata-only projection: ordinals from the footer count,
         // no page opened (_row_id mints from base + ordinal here)
         val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
@@ -1840,13 +2015,41 @@ private[sources] class ManifestPartitionReaderFactory(
       } else {
         // the projection reuses the FILE's own field types, so it is
         // compatible by construction; the hidden materialized-id
-        // column rides LAST when _row_id needs it
+        // column rides LAST when _row_id needs it, followed by the
+        // eq-delete KEY columns not already projected (read for the
+        // row filter, never surfaced)
+        val presentPhys = present.map(f => physName(f.name).get)
+        val eqExtra = eqActive.flatMap(_._3).distinct
+          .filterNot(presentPhys.contains)
+          .filterNot(c => needRidCol && c == ManifestedTable.RowIdCol)
         val projected = new MessageType(fileSchema.getName,
           (present.map(f => fileSchema.getType(
             fileSchema.getFieldIndex(physName(f.name).get))) ++
             (if (needRidCol) Seq(fileSchema.getType(
               fileSchema.getFieldIndex(ManifestedTable.RowIdCol)))
-             else Nil)): _*)
+             else Nil) ++
+            eqExtra.map(c => fileSchema.getType(
+              fileSchema.getFieldIndex(c)))): _*)
+        // physical key col → its position in the projection (inside
+        // `present`, or in the appended eq tail)
+        val projPos: Map[String, Int] =
+          presentPhys.zipWithIndex.toMap ++
+            eqExtra.zipWithIndex.map { case (c, i) =>
+              c -> (present.length + (if (needRidCol) 1 else 0) + i)
+            }
+        // one loaded sidecar set + data-side canonical getters per
+        // active eq-delete; a row whose key tuple appears is masked
+        val eqFilters: Seq[(Array[Group => Any],
+            java.util.HashSet[Seq[Any]])] =
+          eqActive.map { case (sp, cols, phys) =>
+            (phys.map(c => eqCanonGetter(projected, projPos(c), file))
+              .toArray,
+              eqLoadSidecar(sp, cols, conf))
+          }
+        def eqMasked(g: Group): Boolean =
+          eqFilters.exists { case (gets, set) =>
+            set.contains(gets.map(_(g)).toSeq)
+          }
         conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
         val reader: ParquetReader[Group] =
           ParquetReader.builder(new GroupReadSupport(), p)
@@ -1861,7 +2064,8 @@ private[sources] class ManifestPartitionReaderFactory(
           override def next(): Boolean = {
             cur = reader.read()
             ordinal += 1
-            while (cur != null && skip(ordinal)) {
+            while (cur != null && (skip(ordinal) ||
+                (eqFilters.nonEmpty && eqMasked(cur)))) {
               cur = reader.read()
               ordinal += 1
             }

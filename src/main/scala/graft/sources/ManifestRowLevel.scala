@@ -710,6 +710,57 @@ private[sources] class ManifestClusteredWrite(path: String,
   }
 }
 
+/** The CDC UPSERT streaming sink —
+  * `writeStream.format("graft-manifest").option("upsertKeys", "k")`
+  * in append OR update output mode: each epoch's tasks stage the raw
+  * batch (full rows, the optional CDC type column included), and the
+  * epoch commit re-reads ONLY those epoch files (never a base file),
+  * splits deletes from upserts, and lands ONE equality-delete commit:
+  * the epoch's key tuples as a sidecar masking all older images, the
+  * upsert rows appended tuple-stamped. Exactly-once rides
+  * [[ManifestedTable.eqUpsert]]'s txn marker — a replayed epoch
+  * re-stages raw orphans (vacuum's job) and commits nothing. The raw
+  * stage is deleted best-effort after the commit.
+  */
+private[sources] class ManifestUpsertStreamingWrite(path: String,
+    writeSchema: StructType, keys: Seq[String], cdcCol: Option[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val stage = s"data-${java.util.UUID.randomUUID()}"
+  private def conf = SparkSession.active.sessionState.newHadoopConf()
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ManifestRowWriterFactory(path, stage, writeSchema.json,
+      new SerializableConfiguration(conf))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val rels = ManifestRowWriterFactory.stagedRels(messages)
+    if (rels.isEmpty) return
+    val fs = new Path(path).getFileSystem(conf)
+    val raw = spark.read.parquet(
+      rels.map(r => new Path(new Path(path), r).toString): _*)
+    val (rows, dels) = ManifestDataSource.splitCdc(raw, cdcCol, keys)
+    ManifestedTable.eqUpsert(spark, path, rows, keys, dels,
+      txnId = Some(epochId))
+    // the raw epoch stage served its purpose; drop it best-effort
+    // (a failure here leaves orphans for vacuum, never a wrong table)
+    scala.util.Try(fs.delete(new Path(new Path(path), stage), true))
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf)
+    ManifestRowWriterFactory.stagedRels(messages).foreach(rel =>
+      fs.delete(new Path(new Path(path), rel), false))
+    ()
+  }
+}
+
 /** `writeStream.format("graft-manifest")` — the CONNECTOR-NATIVE
   * exactly-once streaming sink (T78's appendBatch without the
   * foreachBatch shim): each epoch's tasks stage epoch-named parquet

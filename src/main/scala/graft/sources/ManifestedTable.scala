@@ -195,8 +195,17 @@ object ManifestedTable {
     val lines = linesAt(fs, root, version)
     require(lines.nonEmpty, s"snapshot $version of $dir is empty — " +
       "schemaless empty reads are not supported")
-    readLive(spark, root, lines.map(parseEntry), mergeSchema,
-      schemaCtx = schemaCtxAt(fs, root, Some(version)))
+    // a version's OWN pending eq-deletes apply with it (the masks are
+    // part of the snapshot's logical content, like its DVs)
+    val eqs = eqDeletesAt(spark.sessionState.newHadoopConf(), dir,
+      Some(version))
+    if (eqs.isEmpty)
+      readLive(spark, root, lines.map(parseEntry), mergeSchema,
+        schemaCtx = schemaCtxAt(fs, root, Some(version)))
+    else applyEqDeletes(spark, dir,
+      readLive(spark, root, lines.map(parseEntry), mergeSchema,
+        withMeta = true, schemaCtx = schemaCtxAt(fs, root, Some(version))),
+      eqs).drop("__file", "__pos")
   }
 
   /** Manifest-level diff between two retained snapshots:
@@ -327,6 +336,11 @@ object ManifestedTable {
         val m = readMeta(fs, p)
         if (m.contains(BranchKey)) None
         else {
+          if (m.get(OpKey).contains("eq-upsert"))
+            throw new IllegalStateException(
+              s"tableChanges of $dir: version $v is an equality-delete " +
+                "commit, whose row masks the entry-level diff cannot " +
+                "express — CALL compact to absorb eq-deletes first")
           val parent = m.get(BaseKey).map(_.toLong).getOrElse(v - 1)
           val (a0, r0) = changesBetween(spark, dir, parent, v)
           val ts = commitMs(fs, p)
@@ -1096,10 +1110,17 @@ object ManifestedTable {
     * on the versioned schema). Throw [[ConcurrentWriteException]] to
     * abort; AppendFiles otherwise rebases freely.
     */
+  /** `metaFn` computes PER-ATTEMPT meta from (parent version, parent
+    * meta) inside the commit lock — what an eq-delete needs: its
+    * applies-to base IS the parent this commit lands on, and its
+    * sequence number comes from the parent's own eqdel keys.
+    */
   private def publish(fs: FileSystem, root: Path, mode: CommitMode,
       staged: Seq[String], meta: Map[String, String] = Map.empty,
       ref: Option[String] = None,
-      metaGuard: Map[String, String] => Unit = _ => ()): Long = {
+      metaGuard: Map[String, String] => Unit = _ => (),
+      metaFn: (Long, Map[String, String]) => Map[String, String] =
+        (_, _) => Map.empty): Long = {
     val hook = beforePublish
     beforePublish = () => ()
     hook()
@@ -1228,7 +1249,8 @@ object ManifestedTable {
               else Map(DeltaKey -> curV.toString)) ++
           ref.map(BranchKey -> _)
         val merged = prevMeta - OpKey - BaseKey - DeltaKey -
-          BranchKey - DroppedKey - PromotedKey - TsKey ++ opMeta ++ meta
+          BranchKey - DroppedKey - PromotedKey - TsKey ++ opMeta ++
+          meta ++ metaFn(curV, prevMeta)
         committedMeta = merged
         val all = merged.toSeq.sortBy(_._1)
           .map { case (k, x) => s"#$k=$x" } ++ entryLinesRb
@@ -2132,8 +2154,17 @@ object ManifestedTable {
     // schema context at the ANCHOR version: the newest manifest can be
     // a staged branch commit whose (carried) epochs predate a main
     // ALTER — the main read must resolve through main's own meta
-    readLive(spark, root, lines.map(parseEntry), mergeSchema,
-      schemaCtx = schemaCtxAt(fs, root, Some(hv)))
+    val eqs = eqDeletesAt(spark.sessionState.newHadoopConf(), dir)
+    if (eqs.isEmpty)
+      readLive(spark, root, lines.map(parseEntry), mergeSchema,
+        schemaCtx = schemaCtxAt(fs, root, Some(hv)))
+    else
+      // pending EQ-DELETES anti-join at read (scoped per delete) —
+      // the read-side half of the O(batch)-write contract
+      applyEqDeletes(spark, dir,
+        readLive(spark, root, lines.map(parseEntry), mergeSchema,
+          withMeta = true, schemaCtx = schemaCtxAt(fs, root, Some(hv))),
+        eqs).drop("__file", "__pos")
   }
 
   /** Current-snapshot read with STABLE ROW IDS — row lineage (Delta
@@ -2239,6 +2270,38 @@ object ManifestedTable {
     * until [[vacuum]] so readers mid-scan on the previous snapshot
     * finish cleanly.
     */
+  /** The eq-absorbing rewrite read: entries grouped by WHICH pending
+    * eq-deletes apply to them (scope membership), each group
+    * anti-joined against exactly its deletes — the masked rows vanish
+    * physically, and the compaction commit TOMBSTONES the absorbed
+    * meta keys. Returns (rows to rewrite, tombstones).
+    */
+  private def eqAbsorbedRewriteRead(spark: SparkSession, dir: String,
+      root: Path, entries: Seq[(String, FileStats)],
+      ctx: Option[(StructType, Seq[Map[Int, String]])],
+      lineage: Boolean)
+      : (DataFrame, Map[String, String]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val eqs = eqDeletesAt(conf, dir)
+    if (eqs.isEmpty)
+      return (readForRewrite(spark, root, entries, ctx, lineage),
+        Map.empty)
+    val scopes = eqs.map(e => e -> eqAppliesTo(conf, dir, e.baseV))
+    val df = entries
+      .groupBy(e => scopes.filter(_._2(e._1)).map(_._1.seq).toSet)
+      .toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (sig, es) =>
+        val d = readForRewrite(spark, root, es, ctx, lineage)
+        scopes.filter(s => sig(s._1.seq)).foldLeft(d) { (acc, s) =>
+          val keys = spark.read
+            .parquet(new Path(root, s._1.sidecar).toString)
+            .select(s._1.keyCols.map(col): _*).distinct()
+          acc.join(keys, s._1.keyCols, "left_anti")
+        }
+      }.reduce(_.unionByName(_))
+    (df, eqs.map(e => s"$EqDelPrefix${e.seq}" -> "").toMap)
+  }
+
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
@@ -2250,20 +2313,38 @@ object ManifestedTable {
     val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val needed =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val conf = spark.sessionState.newHadoopConf()
+    val hasEq = eqDeletesAt(conf, dir).nonEmpty
     // a DV'd file always warrants the rewrite: compaction reads
-    // THROUGH the deletion vectors and so materializes them away
-    if (files.size <= needed && entries.forall(_._2.dv.isEmpty))
+    // THROUGH the deletion vectors and so materializes them away —
+    // and PENDING EQ-DELETES likewise force it (compaction is where
+    // they get absorbed; the masks turn physical here)
+    if (files.size <= needed && entries.forall(_._2.dv.isEmpty) &&
+        !hasEq)
       return baseV
-    val compacted = readForRewrite(spark, root, entries,
-      schemaCtxAt(fs, root, Some(baseV)),
-      lineageOn(headMetaOf(fs, root, None))).repartition(needed)
+    val (compacted0, eqTombstones) = eqAbsorbedRewriteRead(spark, dir,
+      root, entries, schemaCtxAt(fs, root, Some(baseV)),
+      lineageOn(headMetaOf(fs, root, None)))
+    val compacted = compacted0.repartition(needed)
     val staged = stageFiles(compacted, root, fs)
     // row-preserving rewrite of the WHOLE base: an interleaved append
     // rebases (its files ride uncompacted), an interleaved DML
-    // conflicts (it removed files this rewrite claims)
+    // conflicts (it removed files this rewrite claims). The eq guard:
+    // an eq-delete landing AFTER this compact's read scoped itself to
+    // files the compact removes — its masks would silently die with
+    // them, so the absorb aborts and re-runs instead.
     publish(fs, root,
       RewriteFiles(baseV, baseLines, files.toSet, "compact", _ => false),
-      staged)
+      staged, meta = eqTombstones,
+      metaGuard = prevMeta => {
+        val now = eqDeletesOf(prevMeta).map(_.seq).toSet
+        val absorbed = eqTombstones.keySet
+          .map(_.stripPrefix(EqDelPrefix).toInt)
+        if (now != absorbed) throw new ConcurrentWriteException(
+          s"compact of $dir absorbed eq-deletes $absorbed, but the " +
+            s"head now carries $now — a concurrent eq commit landed; " +
+            "re-run")
+      })
   }
 
   // ---- row lineage constants ----------------------------------------------
@@ -2376,6 +2457,15 @@ object ManifestedTable {
         val meta = readMeta(fs, p)
         if (meta.contains(BranchKey)) None
         else {
+          // an eq-delete masks rows WITHOUT touching entries — the
+          // entry-diff replay cannot express it; refuse the window
+          // loudly rather than stream a delete-free lie
+          if (meta.get(OpKey).contains("eq-upsert"))
+            throw new IllegalStateException(
+              s"change feed of $dir: version $v is an equality-delete " +
+                "commit, whose row masks the entry-level diff cannot " +
+                "express — CALL compact to absorb eq-deletes, then " +
+                "read the feed across the compaction")
           val baseV = meta.get(BaseKey).map(_.toLong).getOrElse(v - 1)
           val prev =
             if (baseV == 0L) Nil else linesOf(baseV).map(parseEntry)
@@ -2416,6 +2506,8 @@ object ManifestedTable {
     * cherry-pick, or lifting a commit that is already main lineage).
     */
   def cherrypick(spark: SparkSession, dir: String, version: Long): Long = {
+    requireNoEqDeletes(spark.sessionState.newHadoopConf(), dir,
+      "cherrypick")
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
@@ -2467,6 +2559,8 @@ object ManifestedTable {
     * and time travel across the restore stays consistent.
     */
   def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    requireNoEqDeletes(spark.sessionState.newHadoopConf(), dir,
+      "restore")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
     val lines = linesAt(fs, root, version)
@@ -2969,6 +3063,162 @@ object ManifestedTable {
     }
   }
 
+  // ---- EQUALITY DELETES: key-based delete sidecars ----------------------
+  //
+  // The Iceberg-v2 / Flink-writer construction for CDC upsert: a
+  // delete is ONE parquet sidecar of key tuples written WITHOUT
+  // reading a single base file — O(batch) write cost at any table
+  // size — and resolved at READ by anti-joining the sidecar against
+  // the files it applies to. An eq-delete rides the manifest META
+  // (`#eqdel.<seq>=<sidecarRel>|<baseV>|<hexCols>`): it applies to
+  // exactly the data files present in snapshot `baseV` (the commit's
+  // parent — files landing in or after the delete's own commit are
+  // NEWER by serialization and never masked), `seq` orders multiple
+  // pending deletes, and an empty value is the absorb tombstone.
+  // COMPACTION owns resolution: while deletes are pending, the read
+  // faces apply them and row-level DML/branch surgery REFUSES loudly
+  // ("compact first") — the documented division of labor that keeps
+  // the write path O(batch) and the invariants checkable.
+
+  final case class EqDelete(seq: Int, sidecar: String,
+      keyCols: Seq[String], baseV: Long)
+
+  private[sources] val EqDelPrefix = "eqdel."
+
+  private def hexEncName(s: String): String =
+    s.getBytes(StandardCharsets.UTF_8).map("%02x".format(_)).mkString
+  private def hexDecName(h: String): String =
+    new String(h.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray,
+      StandardCharsets.UTF_8)
+
+  private[sources] def eqDeletesOf(
+      meta: Map[String, String]): Seq[EqDelete] =
+    meta.toSeq.collect {
+      case (k, v) if k.startsWith(EqDelPrefix) && v.nonEmpty =>
+        val seq = k.stripPrefix(EqDelPrefix).toInt
+        val parts = v.split('|')
+        EqDelete(seq, parts(0),
+          parts(2).split(',').toSeq.filter(_.nonEmpty).map(hexDecName),
+          parts(1).toLong)
+    }.sortBy(_.seq)
+
+  /** The rel-path set an eq-delete applies to: the data files of its
+    * base snapshot (manifest-resolved, memoize per baseV upstream).
+    */
+  private[sources] def eqAppliesTo(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      baseV: Long): Set[String] = {
+    val root = new Path(dir)
+    linesAt(root.getFileSystem(conf), root, baseV).map(pathOf).toSet
+  }
+
+  /** Pending eq-deletes of a snapshot (None = current head). */
+  private[sources] def eqDeletesAt(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      version: Option[Long] = None): Seq[EqDelete] =
+    eqDeletesOf(snapshotMeta(conf, dir, version))
+
+  private def requireNoEqDeletes(
+      conf: org.apache.hadoop.conf.Configuration, dir: String,
+      op: String): Unit = {
+    val pending = eqDeletesAt(conf, dir)
+    require(pending.isEmpty,
+      s"$op on $dir: ${pending.size} equality delete(s) pending — " +
+        "CALL compact first (compaction absorbs eq-deletes; row-level " +
+        "surgery over an eq-masked snapshot would need every op to " +
+        "re-derive the masks)")
+  }
+
+  /** Anti-join `df`'s rows against the pending eq-deletes, respecting
+    * each delete's applies-to scope. `df` must carry `__file`
+    * (rel path) when any delete has a scoped base; the helper splits
+    * applicable rows, anti-joins per delete IN SEQUENCE, and unions
+    * the untouched remainder back.
+    */
+  private def applyEqDeletes(spark: SparkSession, dir: String,
+      df: DataFrame, eqs: Seq[EqDelete]): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val applies = scala.collection.mutable.Map.empty[Long, Set[String]]
+    eqs.foldLeft(df) { (d, e) =>
+      val scope = applies.getOrElseUpdate(e.baseV,
+        eqAppliesTo(conf, dir, e.baseV))
+      val keys = spark.read.parquet(new Path(root, e.sidecar).toString)
+        .select(e.keyCols.map(col): _*).distinct()
+      val in = d.filter(col("__file").isin(scope.toSeq: _*))
+      val out = d.filter(!col("__file").isin(scope.toSeq: _*))
+      in.join(keys, e.keyCols, "left_anti").unionByName(out)
+    }
+  }
+
+  /** CDC UPSERT by key, write-side O(batch): `source`'s rows APPEND
+    * (tuple-stamped like any stage) and one eq-delete sidecar of the
+    * batch's key tuples masks older images — delete-then-insert per
+    * key, no base file read or rewritten. `deletes` adds key tuples
+    * with no replacement row (the CDC delete). NULL keys refuse (an
+    * anti-join never matches them — the "delete" would silently
+    * no-op). Main-lineage only; one commit, exactly-once with
+    * [[appendBatch]]'s txn marker via `txnId`.
+    */
+  def eqUpsert(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], deletes: Option[DataFrame] = None,
+      txnId: Option[Long] = None): Long = {
+    require(keys.nonEmpty, "eqUpsert needs at least one key column")
+    require(keys.forall(source.columns.contains),
+      s"source is missing key column(s): " +
+        keys.filterNot(source.columns.contains).mkString(","))
+    val root = new Path(dir)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(root)
+    if (txnId.isDefined) {
+      val last = snapshotMeta(spark.sessionState.newHadoopConf(), dir)
+        .get(TxnKey).flatMap(s => scala.util.Try(s.toLong).toOption)
+      if (last.exists(_ >= txnId.get))
+        return mainHeadVersion(spark.sessionState.newHadoopConf(), dir)
+          .getOrElse(0L)
+    }
+    val delKeys = deletes.map(_.select(keys.map(col): _*))
+    val allKeys = delKeys.fold(source.select(keys.map(col): _*))(
+      source.select(keys.map(col): _*).unionByName(_)).distinct()
+    require(allKeys.filter(keys.map(col(_).isNull)
+      .reduce(_ || _)).isEmpty,
+      "eqUpsert: NULL key tuples are not supported (an anti-join " +
+        "never matches NULL — the delete would silently no-op)")
+    val sidecar = stageEq(allKeys, root, fs)
+    val staged =
+      if (source.isEmpty) Nil else stageFiles(source, root, fs, None)
+    val colsHex = keys.map(hexEncName).mkString(",")
+    publish(fs, root, AppendFiles, staged,
+      // the op name marks the commit for the STREAM faces: an
+      // eq-delete masks rows without removing entries, which the
+      // entry-diff streams cannot express — they refuse at this op
+      meta = txnId.map(TxnKey -> _.toString).toMap +
+        (OpKey -> "eq-upsert"),
+      metaFn = (prevV, prevMeta) => {
+        val nextSeq = prevMeta.keys.filter(_.startsWith(EqDelPrefix))
+          .flatMap(k => scala.util.Try(
+            k.stripPrefix(EqDelPrefix).toInt).toOption)
+          .maxOption.getOrElse(0) + 1
+        Map(s"$EqDelPrefix$nextSeq" -> s"$sidecar|$prevV|$colsHex")
+      })
+  }
+
+  /** CDC DELETE by key — the rows-free flavor of [[eqUpsert]]. */
+  def eqDelete(spark: SparkSession, dir: String,
+      keys: DataFrame): Long =
+    eqUpsert(spark, dir, keys.limit(0), keys.columns.toSeq,
+      deletes = Some(keys))
+
+  /** Stage an eq-delete sidecar (one parquet of key tuples). */
+  private def stageEq(keyRows: DataFrame, root: Path,
+      fs: FileSystem): String = {
+    val stage = s"dv-${java.util.UUID.randomUUID()}"
+    keyRows.coalesce(1).write.parquet(new Path(root, stage).toString)
+    fs.listStatus(new Path(root, stage)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$stage/${s.getPath.getName}").head
+  }
+
   /** Stage a deletion-vector sidecar (one parquet file of (file, pos)
     * pairs) and return its relative path.
     */
@@ -3063,6 +3313,7 @@ object ManifestedTable {
       dvMaxFraction: Double = 0.0,
       branch: Option[String] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    requireNoEqDeletes(spark.sessionState.newHadoopConf(), dir, "merge")
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     val root = new Path(dir)
@@ -3420,6 +3671,8 @@ object ManifestedTable {
       branch: Option[String] = None): Long = {
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
+    requireNoEqDeletes(spark.sessionState.newHadoopConf(), dir,
+      "deleteWhere")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
     val (baseV, baseLines) = snapshotFor(fs, root, branch)
@@ -3500,6 +3753,8 @@ object ManifestedTable {
       branch: Option[String] = None): Long = {
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
+    requireNoEqDeletes(spark.sessionState.newHadoopConf(), dir,
+      "deleteMatching")
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     val root = new Path(dir)
@@ -3585,15 +3840,26 @@ object ManifestedTable {
     val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val needed =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val clustered = readForRewrite(spark, root, baseLines.map(parseEntry),
+    // pending eq-deletes absorb here exactly as in [[compact]]
+    val (clustered0, eqTombstones) = eqAbsorbedRewriteRead(spark, dir,
+      root, baseLines.map(parseEntry),
       schemaCtxAt(fs, root, Some(baseV)),
       lineageOn(headMetaOf(fs, root, None)))
+    val clustered = clustered0
       .repartitionByRange(needed, clusterBy)
       .sortWithinPartitions(clusterBy)
     val staged = stageFiles(clustered, root, fs)
     publish(fs, root,
       RewriteFiles(baseV, baseLines, files.toSet, "compactClustered",
-        _ => false), staged)
+        _ => false), staged, meta = eqTombstones,
+      metaGuard = prevMeta => {
+        val now = eqDeletesOf(prevMeta).map(_.seq).toSet
+        val absorbed = eqTombstones.keySet
+          .map(_.stripPrefix(EqDelPrefix).toInt)
+        if (now != absorbed) throw new ConcurrentWriteException(
+          s"compactClustered of $dir absorbed eq-deletes $absorbed, " +
+            s"but the head now carries $now — re-run")
+      })
   }
 
   /** Table-health report — the numbers the OPTIMIZE decision is made
@@ -3677,9 +3943,29 @@ object ManifestedTable {
     // OF '<tag>'` outlives maintenance; drop_tag releases the version
     // back to normal retention
     val taggedVs: Set[Long] = tagsConf(fs, root).map(_._2).toSet
+    // EQ-DELETE bases: a pending eq-delete's applies-to scope resolves
+    // through its BASE snapshot's manifest — any retained version with
+    // pending deletes pins their bases (to fixpoint: a pinned base's
+    // own pending deletes pin further back; compaction's tombstones
+    // release the chain)
+    val eqBaseKeep: Set[Long] = {
+      var keep = Set.empty[Long]
+      var changed = true
+      while (changed) {
+        val retainedNow = vs.takeRight(keepLast).map(_._1).toSet ++
+          branchHeadVs ++ taggedVs ++ keep + mainHeadV
+        val need = vs.filter(v => retainedNow(v._1))
+          .flatMap(v => eqDeletesOf(readMeta(fs, v._2)).map(_.baseV))
+          .filter(b => b > 0L && byV.contains(b)).toSet
+        val add = need -- keep
+        changed = add.nonEmpty
+        keep ++= add
+      }
+      keep
+    }
     val dropped = vs.dropRight(keepLast)
       .filter(v => !branchHeadVs(v._1) && v._1 != mainHeadV &&
-        !taggedVs(v._1) &&
+        !taggedVs(v._1) && !eqBaseKeep(v._1) &&
         fs.getFileStatus(v._2).getModificationTime <= cutoff)
     val droppedSet = dropped.map(_._1).toSet
     val retained = vs.filterNot(v => droppedSet(v._1))
@@ -3726,10 +4012,14 @@ object ManifestedTable {
     val fenced =
       planned.forall(v => fs.exists(checkpointPathOf(root, v)))
     // memoized tree fold for the live set (each lineage resolves its
-    // own parents; O(retained) small reads)
+    // own parents; O(retained) small reads). Eq-delete SIDECARS are
+    // referenced from retained versions' META, not their entry lines —
+    // they join the live set the same way DV sidecars do.
     val linesOf = lineageResolver(fs, root, byV)
     val live = retained.flatMap(r => linesOf(r._1).map(parseEntry))
-      .flatMap(e => e._1 +: e._2.dv.toSeq).toSet
+      .flatMap(e => e._1 +: e._2.dv.toSeq).toSet ++
+      retained.flatMap(r =>
+        eqDeletesOf(readMeta(fs, r._2)).map(_.sidecar)).toSet
     var deleted = 0
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && (s.getPath.getName.startsWith("data-") ||
