@@ -433,7 +433,22 @@ object ScaleBench {
     // itself republishes entry LINES by reference (manifest-sized);
     // the curve should be the branch writes + the final read, with
     // the pick itself flat
-    "q204_cherrypick")
+    "q204_cherrypick",
+    // q205: storage-partitioned join — both co-bucketed fact feeds
+    // grow m×; the join is Exchange-FREE by layout, so the curve is
+    // the two tuple-stamped ingests + the key-grouped merge join
+    // itself (the shuffle that is NOT paid is the claim)
+    "q205_spj",
+    // q206: identity/generated columns — minting is one projection
+    // inside the append (mono-id arithmetic + hwm bookkeeping is
+    // per-commit-fixed); β prices identity as a zero-ish rider on
+    // the write cost
+    "q206_identity",
+    // q207: equality deletes — the CDC batches grow m× (sidecar size
+    // is batch-mass), the masked read anti-joins per scope, and the
+    // absorb compact rewrites the table once; read amplification is
+    // sidecar×tasks by design, bounded by compaction cadence
+    "q207_eq_upsert")
     // q177 (delete) has NO cell: its machinery is q176's find-touched
     // + rewrite with a predicate instead of a key join (covered), and
     // its semantics claim (NULL rows survive) is the oracle equality.
