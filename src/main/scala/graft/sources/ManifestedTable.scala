@@ -3313,7 +3313,7 @@ object ManifestedTable {
       dvMaxFraction: Double = 0.0,
       branch: Option[String] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
-    requireNoEqDeletes(spark.sessionState.newHadoopConf(), dir, "merge")
+
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     val root = new Path(dir)
@@ -3327,7 +3327,11 @@ object ManifestedTable {
     val lineMap = baseLines.map(l => pathOf(l) -> l).toMap
     val ctx = schemaCtxAt(fs, root, Some(baseV))
     val epochs = ctx.map(_._2).getOrElse(Nil)
-    val lineage = lineageOn(headMetaOf(fs, root, branch))
+    val mergeHeadMeta = headMetaOf(fs, root, branch)
+    require(eqDeletesOf(mergeHeadMeta).isEmpty,
+      s"merge on $dir: equality deletes pending — CALL compact to " +
+        "absorb them first")
+    val lineage = lineageOn(mergeHeadMeta)
     val base = readLive(spark, root, entries, schemaCtx = ctx)
     // merge-on-read applies only to the plain upsert shape: matched
     // rows' old images DV out, source images stage fresh. Conditional
@@ -3501,20 +3505,6 @@ object ManifestedTable {
       staged, ref = branch)
   }
 
-  /** The DELETE predicate's V1-filter conjuncts, resolved against the
-    * snapshot's schema — the find-touched pruning handle. Each element
-    * is one conjunct's translation (None = untranslatable: it prunes
-    * nothing and is re-checked row-level anyway); a failed analysis
-    * yields no conjuncts at all (no pruning, never an error here — the
-    * real scan reports it).
-    */
-  private object DeletePredicates
-      extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
-    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-      splitConjunctivePredicates(e)
-  }
-
   /** Catalyst predicate → V1 Filter for the shapes the manifest
     * matchers consume (attribute-vs-literal comparisons, IN, null
     * probes, And/Or). Literal values convert to their EXTERNAL Scala
@@ -3565,16 +3555,18 @@ object ManifestedTable {
     }
   }
 
-  private def translateCond(spark: SparkSession, schema: StructType,
-      cond: Column)
+  /** Translation works on the RAW (unanalyzed) expression tree — the
+    * Column DSL builds exactly the attribute-vs-literal shapes
+    * [[toV1Filter]] matches, so no analyzer pass (and no schema) is
+    * needed: a full analysis roundtrip per DELETE was measurable
+    * per-commit overhead on commit-dense lifecycles. Unresolvable
+    * shapes (functions, multi-part names) decline per conjunct.
+    */
+  private def translateCond(cond: Column)
       : Seq[Option[org.apache.spark.sql.sources.Filter]] =
     scala.util.Try {
-      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
-      val empty = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      empty.filter(cond).queryExecution.analyzed.collectFirst {
-        case f: LFilter => f.condition
-      }.toSeq.flatMap(DeletePredicates.conjuncts).map(toV1Filter)
+      org.apache.spark.sql.graftshim.GraftSqlInternals
+        .predicateConjuncts(cond).map(_.flatMap(toV1Filter))
     }.getOrElse(Nil)
 
   /** The find-touched split a DELETE WHERE plans from the manifest
@@ -3600,12 +3592,11 @@ object ManifestedTable {
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
     val (baseV, baseLines) = snapshotFor(fs, root, branch)
-    deleteSplitOf(spark, dir, cond, baseV, baseLines.map(parseEntry),
+    deleteSplitOf(cond, baseLines.map(parseEntry),
       schemaCtxAt(fs, root, Some(baseV)), headMetaOf(fs, root, branch))
   }
 
-  private def deleteSplitOf(spark: SparkSession, dir: String,
-      cond: Column, baseV: Long,
+  private def deleteSplitOf(cond: Column,
       entries: Seq[(String, FileStats)],
       ctx: Option[(StructType, Seq[Map[Int, String]])],
       headMeta: Map[String, String])
@@ -3613,12 +3604,7 @@ object ManifestedTable {
     val epochs = ctx.map(_._2).getOrElse(Nil)
     val specs = ManifestPartitions.decodeSpecs(
       headMeta.get(ManifestPartitions.SpecsKey))
-    val schema = scala.util.Try(
-      ManifestDataSource.schemaOf(dir, Some(baseV))).getOrElse(
-      ctx.map(_._1).orNull)
-    val conjuncts =
-      if (schema == null) Nil
-      else translateCond(spark, schema, cond)
+    val conjuncts = translateCond(cond)
     val translated = conjuncts.flatten
     val allTranslated =
       conjuncts.nonEmpty && conjuncts.forall(_.isDefined)
@@ -3671,10 +3657,15 @@ object ManifestedTable {
       branch: Option[String] = None): Long = {
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
-    requireNoEqDeletes(spark.sessionState.newHadoopConf(), dir,
-      "deleteWhere")
     val root = new Path(dir)
     val fs = fsOf(spark, dir)
+    // ONE head-meta resolution feeds the eq guard, the split's spec
+    // history, AND the lineage flag — per-commit fixed costs add up
+    // on commit-dense lifecycles
+    val headMeta = headMetaOf(fs, root, branch)
+    require(eqDeletesOf(headMeta).isEmpty,
+      s"deleteWhere on $dir: equality deletes pending — CALL compact " +
+        "to absorb them first")
     val (baseV, baseLines) = snapshotFor(fs, root, branch)
     val cur = baseLines.map(pathOf)
     require(cur.nonEmpty, s"manifested table $dir is empty — " +
@@ -3686,8 +3677,7 @@ object ManifestedTable {
     // manifest-level split BEFORE anything opens: refuted files are
     // never read, covered files drop by reference (metadata delete),
     // only the ambiguous middle is scanned
-    val (covered, cands, _) = deleteSplitOf(spark, dir, cond, baseV,
-      entries, ctx, headMetaOf(fs, root, branch))
+    val (covered, cands, _) = deleteSplitOf(cond, entries, ctx, headMeta)
     val candSet = cands.toSet
     val candEntries = entries.filter(e => candSet(e._1))
     // per-file hit counts in one pass — manifest-sized collect, and
@@ -3722,7 +3712,7 @@ object ManifestedTable {
       }
     // with row lineage ON, survivors re-emit with their ids
     // materialized (the rewrite output becomes a `rim:` file)
-    val lineage = lineageOn(headMetaOf(fs, root, branch))
+    val lineage = lineageOn(headMeta)
     val rwStaged =
       if (rwT.isEmpty) Nil
       else stageFiles(
@@ -3753,8 +3743,13 @@ object ManifestedTable {
       branch: Option[String] = None): Long = {
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
-    requireNoEqDeletes(spark.sessionState.newHadoopConf(), dir,
-      "deleteMatching")
+    val dmHeadMeta = headMetaOf(new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new Path(dir), branch)
+    require(eqDeletesOf(dmHeadMeta).isEmpty,
+      s"deleteMatching on $dir: equality deletes pending — CALL " +
+        "compact to absorb them first")
+
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     val root = new Path(dir)
@@ -3804,7 +3799,7 @@ object ManifestedTable {
       else {
         val survivors = readForRewrite(spark, root,
           entries.filter(e => rwT.contains(e._1)), ctx,
-          lineageOn(headMetaOf(fs, root, branch)))
+          lineageOn(dmHeadMeta))
           .join(k, keyCols, "left_anti")
         stageFiles(survivors, root, fs, branch)
       }
