@@ -30,6 +30,13 @@ object Sessions {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
         "true")
+      // local-FS permission ops as syscalls, not forked chmod/ls
+      // subprocesses — see NioLocalFileSystem. Production clusters get
+      // this from the native-hadoop library; this image doesn't load it.
+      .config("spark.hadoop.fs.file.impl",
+        classOf[NioLocalFileSystemImpl].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[NioLocalFs].getName)
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int = Runtime.getRuntime.availableProcessors): SparkSession = {

@@ -52,7 +52,15 @@ object GraphOps {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = edges0
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct().persist(lvl)
+      .distinct()
+      // persist PARTITIONED BY the join key: `distinct` leaves the
+      // cached edge table hash-partitioned on (src, dst), so every
+      // iteration's rank⋈edges join re-shuffled the STATIC edge table
+      // (iters extra full-table exchanges at 100 TB). One repartition
+      // up front makes the cached partitioning the one the per-round
+      // join and the degree aggregation both need — they reuse it,
+      // zero per-iteration edge exchanges (guide §2.4).
+      .repartition(col("src")).persist(lvl)
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg")).persist(lvl)
     val base = (15L * scale) / 100L

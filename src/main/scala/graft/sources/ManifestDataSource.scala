@@ -1005,6 +1005,22 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
     if (cdf) Nil
     else ManifestedTable.eqDeletesOf(scanMeta).map(e =>
       e -> ManifestedTable.eqAppliesTo(sconf.value, path, e.baseV))
+  // eq key columns carrying an EXISTS default in the pinned schema: a
+  // file physically MISSING such a column serves the default through
+  // the row/vectorized readers, so the "absent key ⇒ NULL ⇒ no-op"
+  // shortcut would let those rows escape the mask while the object
+  // API's applyEqDeletes (which reads the served default) masks them —
+  // the readers refuse instead of letting the two faces disagree
+  private val eqDelDefaultCols: Set[String] =
+    if (eqDels.isEmpty) Set.empty
+    else scanMeta.get(ManifestedTable.SchemaKey).map { sj =>
+      val fields = DataType.fromJson(sj).asInstanceOf[StructType].fields
+      eqDels.flatMap(_._1.keyCols).distinct.filter { c =>
+        fields.exists(f => f.name == c && f.metadata.contains(
+          org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+      }.toSet
+    }.getOrElse(Set.empty)
   private val entriesEff =
     entries.map(e => (e._1, ManifestedTable.rekeyStats(epochs, e._2)))
 
@@ -1168,21 +1184,29 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
 
   // the AvroScan recipe verbatim: declare only columns the stats can
   // cash, receive join-observed keys as an In filter before planning.
-  // A KEY-GROUPED scan declines runtime filtering entirely: the engine
-  // requires the partition-value SET to survive a runtime re-plan
-  // (BatchScanExec throws on new/missing values), and a runtime In
-  // could empty a whole key — the storage-partitioned join it enables
-  // is worth more than the file skips it forgoes.
+  // A KEY-GROUPED scan declines runtime filtering on the PARTITION
+  // SOURCE columns: the engine requires the partition-value SET to
+  // survive a runtime re-plan (BatchScanExec throws on new/missing
+  // values), and a runtime In could empty a whole key — the
+  // storage-partitioned join it enables is worth more than the file
+  // skips it forgoes. NON-partition columns keep runtime filtering
+  // (the join partner may not key-group at all — bucketed fact ⋈
+  // unpartitioned dim — and forfeiting its In-filter bought nothing):
+  // their filters skip at ROW level only (planInputPartitions keeps
+  // the file set, so the partition-value set is stable by
+  // construction; the readers get them as pushed filters).
   @volatile private var runtime: Array[Filter] = Array.empty
-  override def filterAttributes(): Array[NamedReference] =
-    if (spjKeys.isDefined) Array.empty
-    else readSchema.fields.collect {
-      case f if (f.dataType match {
+  override def filterAttributes(): Array[NamedReference] = {
+    val partCols = spjKeys.map(_._1.map(_.colName).toSet)
+      .getOrElse(Set.empty[String])
+    readSchema.fields.collect {
+      case f if !partCols.contains(f.name) && (f.dataType match {
         case LongType | IntegerType | DoubleType | FloatType |
              StringType => true
         case _ => false
       }) => Expressions.column(f.name)
     }
+  }
   override def filter(rf: Array[Filter]): Unit = { runtime = rf }
 
   /** One partition per snapshot file that COULD satisfy the pushed +
@@ -1211,10 +1235,16 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
         startingVersion, toV, epochs, dataFilters).toArray
     }
     val root = new Path(path)
+    // key-grouped scans must keep their file set stable under runtime
+    // filtering (an emptied key group would change the partition-value
+    // set mid-plan): runtime filters skip rows in the READERS only;
+    // plain scans skip whole files here as before
+    val pruneFilters: Seq[Filter] =
+      if (spjKeys.isDefined) filters.toSeq else filters.toSeq ++ runtime
     entries.zip(entriesEff)
       .filter { case ((_, raw), (_, eff)) =>
         !eff.rows.contains(0L) &&
-          (filters.iterator ++ runtime.iterator)
+          pruneFilters.iterator
             .forall(f => ManifestDataSource.mayMatch(eff, f) &&
               // hidden-partition pruning: the file's tuple refutes
               // under its OWN write-time spec — exact for hash
@@ -1231,7 +1261,8 @@ private[sources] class ManifestScan(readSchema: StructType, path: String,
           st.rowIdBase, st.rim,
           eqDels = eqDels.filter(_._2(rel)).map { case (e, _) =>
             (new Path(root, e.sidecar).toString, e.keyCols)
-          })
+          },
+          eqDelDefaults = eqDelDefaultCols)
         // key-grouped scans attach each file's partition key — what
         // the exec groups into co-located join partitions
         spjKeys.flatMap(_._2.get(rel)) match {
@@ -1332,7 +1363,11 @@ private[sources] case class ManifestFilePartition(file: String,
     // order: (sidecar abs path, key columns in CURRENT names — the
     // reader translates via physOf). Rows whose key tuple appears in
     // a sidecar are masked at read (bounded by sidecar size).
-    eqDels: Seq[(String, Seq[String])] = Nil) extends InputPartition
+    eqDels: Seq[(String, Seq[String])] = Nil,
+    // eq key columns with an EXISTS default: physically absent ⇒ the
+    // readers REFUSE (served-default rows would escape the mask —
+    // see eqDelDefaultCols) instead of the absent-⇒-NULL no-op
+    eqDelDefaults: Set[String] = Set.empty) extends InputPartition
 
 /** Streaming offset = manifest version (O(1), human-readable). */
 private[sources] case class ManifestSourceOffset(version: Long)
@@ -1902,6 +1937,20 @@ private[sources] class ManifestPartitionReaderFactory(
     // they can never match the sidecar, so the delete is a no-op here
     val eqActive: Seq[(String, Seq[String], Seq[String])] =
       part.eqDels.flatMap { case (sp, cols) =>
+        // a key column with an EXISTS default is NEVER "absent": the
+        // read faces serve the default for files predating it, so the
+        // NULL-key no-op below would un-mask exactly those rows while
+        // applyEqDeletes (object API) masks them — refuse instead
+        val defaulted = cols.filter(c => part.eqDelDefaults.contains(c)
+          && (part.physOf match {
+            case Some(m) => !m.get(c).exists(presentNames)
+            case None => !presentNames(c)
+          }))
+        if (defaulted.nonEmpty) throw new UnsupportedOperationException(
+          s"graft-manifest: $file predates eq-delete key column(s) " +
+            s"${defaulted.mkString(",")} whose EXISTS default its rows " +
+            "are served — the key sidecar cannot mask default-valued " +
+            "rows at scan; CALL compact to absorb the deletes first")
         val phys = cols.map(c => part.physOf match {
           case Some(m) => m.get(c)
           case None => Some(c)

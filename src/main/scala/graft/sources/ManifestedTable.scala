@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, when}
 import org.apache.spark.sql.types.StructType
 
 /** Thrown when a commit's optimistic-concurrency validation cannot
@@ -349,16 +349,38 @@ object ManifestedTable {
               stamp(a0, "insert", v, ts)
                 .unionByName(stamp(r0, "delete", v, ts))
             else {
-              val aKeys = a0.select(idCols.map(col): _*).distinct()
-              val rKeys = r0.select(idCols.map(col): _*).distinct()
-              stamp(a0.join(rKeys, idCols, "left_semi"),
-                  "update_postimage", v, ts)
-                .unionByName(stamp(a0.join(rKeys, idCols, "left_anti"),
-                  "insert", v, ts))
-                .unionByName(stamp(r0.join(aKeys, idCols, "left_semi"),
-                  "update_preimage", v, ts))
-                .unionByName(stamp(r0.join(aKeys, idCols, "left_anti"),
-                  "delete", v, ts))
+              // delete+insert pairing through ONE window over the
+              // unioned diff instead of the 4-way semi/anti join split
+              // (which re-evaluated each side's exceptAll subtree per
+              // consumer — r21 profiled q197 spending 2× its wall in
+              // duplicated diff jobs): each side flags whether its
+              // identifier tuple also appears on the OTHER side of the
+              // same commit, which is exactly the semi-join predicate.
+              // NULL-id rows stay insert/delete unconditionally — SQL
+              // equality never matches NULLs, but a window partition
+              // WOULD group them, so the guard pins join semantics.
+              import org.apache.spark.sql.expressions.Window
+              val side = "_cdf_side"
+              val u = a0.withColumn(side, lit(1))
+                .unionByName(r0.withColumn(side, lit(-1)))
+              val w = Window.partitionBy(idCols.map(col): _*)
+              val idsNonNull = idCols.map(col(_).isNotNull)
+                .reduce(_ && _)
+              val hasIns = max(when(col(side) === 1, 1).otherwise(0))
+                .over(w)
+              val hasDel = max(when(col(side) === -1, 1).otherwise(0))
+                .over(w)
+              val tped = u.withColumn("_change_type",
+                  when(col(side) === 1,
+                    when(idsNonNull && hasDel === 1,
+                      "update_postimage").otherwise("insert"))
+                  .otherwise(
+                    when(idsNonNull && hasIns === 1,
+                      "update_preimage").otherwise("delete")))
+                .drop(side)
+              tped.withColumn("_commit_version", lit(v))
+                .withColumn("_commit_timestamp",
+                  timestamp_millis(lit(ts)))
             }
           Some(both)
         }
@@ -1115,12 +1137,18 @@ object ManifestedTable {
     * applies-to base IS the parent this commit lands on, and its
     * sequence number comes from the parent's own eqdel keys.
     */
+  /** `metaDrop` removes keys from the carry-forward outright (each
+    * version's meta is self-contained, so absorbed eq-delete keys can
+    * vanish instead of riding every later commit as empty tombstones —
+    * unbounded per-commit meta growth on a long-lived CDC table).
+    */
   private def publish(fs: FileSystem, root: Path, mode: CommitMode,
       staged: Seq[String], meta: Map[String, String] = Map.empty,
       ref: Option[String] = None,
       metaGuard: Map[String, String] => Unit = _ => (),
       metaFn: (Long, Map[String, String]) => Map[String, String] =
-        (_, _) => Map.empty): Long = {
+        (_, _) => Map.empty,
+      metaDrop: Set[String] = Set.empty): Long = {
     val hook = beforePublish
     beforePublish = () => ()
     hook()
@@ -1248,7 +1276,7 @@ object ManifestedTable {
         ) ++ (if (mode == Replace) Map.empty
               else Map(DeltaKey -> curV.toString)) ++
           ref.map(BranchKey -> _)
-        val merged = prevMeta - OpKey - BaseKey - DeltaKey -
+        val merged = prevMeta -- metaDrop - OpKey - BaseKey - DeltaKey -
           BranchKey - DroppedKey - PromotedKey - TsKey ++ opMeta ++
           meta ++ metaFn(curV, prevMeta)
         committedMeta = merged
@@ -1583,7 +1611,7 @@ object ManifestedTable {
     val fs = root.getFileSystem(conf)
     publish(fs, root,
       RewriteFiles(baseV, baseLines, touched, opName, _ => true),
-      stagedLines, ref = branch)
+      stagedLines, ref = branch, metaGuard = noEqMetaGuard(opName, dir))
   }
 
   /** Create an EMPTY table with a declared schema — the catalog's
@@ -2322,6 +2350,25 @@ object ManifestedTable {
     if (files.size <= needed && entries.forall(_._2.dv.isEmpty) &&
         !hasEq)
       return baseV
+    // deletes-only CDC bootstrap: pending eq-deletes over a snapshot
+    // with ZERO entries have nothing to mask — absorb them as a
+    // metadata-only commit (the rewrite read would have nothing to
+    // union) so the tombstones release instead of wedging forever
+    if (entries.isEmpty && hasEq) {
+      val absorbed = eqDeletesAt(conf, dir)
+        .map(e => s"$EqDelPrefix${e.seq}").toSet
+      return publish(fs, root,
+        RewriteFiles(baseV, baseLines, Set.empty, "compact", _ => false),
+        Nil, metaDrop = absorbed,
+        metaGuard = prevMeta => {
+          val now = eqDeletesOf(prevMeta)
+            .map(e => s"$EqDelPrefix${e.seq}").toSet
+          if (now != absorbed) throw new ConcurrentWriteException(
+            s"compact of $dir absorbed eq-deletes $absorbed, but the " +
+              s"head now carries $now — a concurrent eq commit " +
+              "landed; re-run")
+        })
+    }
     val (compacted0, eqTombstones) = eqAbsorbedRewriteRead(spark, dir,
       root, entries, schemaCtxAt(fs, root, Some(baseV)),
       lineageOn(headMetaOf(fs, root, None)))
@@ -2335,7 +2382,7 @@ object ManifestedTable {
     // them, so the absorb aborts and re-runs instead.
     publish(fs, root,
       RewriteFiles(baseV, baseLines, files.toSet, "compact", _ => false),
-      staged, meta = eqTombstones,
+      staged, metaDrop = eqTombstones.keySet,
       metaGuard = prevMeta => {
         val now = eqDeletesOf(prevMeta).map(_.seq).toSet
         val absorbed = eqTombstones.keySet
@@ -3118,6 +3165,19 @@ object ManifestedTable {
       version: Option[Long] = None): Seq[EqDelete] =
     eqDeletesOf(snapshotMeta(conf, dir, version))
 
+  /** Per-CAS-attempt guard for the row-level rewrites: each DML checks
+    * "no pending eq-deletes" before its find-touched scan, but an
+    * eqUpsert committing DURING the scan would otherwise rebase in as
+    * a plain append — and the rewrite's survivor files are new rel
+    * paths outside that delete's base scope, so its masked rows would
+    * silently resurrect. Same discipline as compact's absorb guard.
+    */
+  private def noEqMetaGuard(op: String, dir: String)
+      : Map[String, String] => Unit = prevMeta =>
+    if (eqDeletesOf(prevMeta).nonEmpty) throw new ConcurrentWriteException(
+      s"$op of $dir: equality delete(s) committed concurrently with " +
+        "this rewrite's scan — CALL compact to absorb them, then re-run")
+
   private def requireNoEqDeletes(
       conf: org.apache.hadoop.conf.Configuration, dir: String,
       op: String): Unit = {
@@ -3502,7 +3562,7 @@ object ManifestedTable {
           .select(keys.map(col): _*).join(srcKeys, keys, "left_semi").isEmpty
     publish(fs, root,
       RewriteFiles(baseV, baseLines, touched.toSet, "merge", overlaps),
-      staged, ref = branch)
+      staged, ref = branch, metaGuard = noEqMetaGuard("merge", dir))
   }
 
   /** Catalyst predicate → V1 Filter for the shapes the manifest
@@ -3726,7 +3786,8 @@ object ManifestedTable {
         .filter(cond).isEmpty
     publish(fs, root,
       RewriteFiles(baseV, baseLines, touched.toSet, "deleteWhere", overlaps),
-      rwStaged ++ dvLines, ref = branch)
+      rwStaged ++ dvLines, ref = branch,
+      metaGuard = noEqMetaGuard("deleteWhere", dir))
   }
 
   /** Row-level DELETE by key set — `DELETE WHERE key IN (subquery)`,
@@ -3808,7 +3869,8 @@ object ManifestedTable {
         .select(keyCols.map(col): _*).join(k, keyCols, "left_semi").isEmpty
     publish(fs, root,
       RewriteFiles(baseV, baseLines, touched.toSet, "deleteMatching",
-        overlaps), rwStaged ++ dvLines, ref = branch)
+        overlaps), rwStaged ++ dvLines, ref = branch,
+      metaGuard = noEqMetaGuard("deleteMatching", dir))
   }
 
   /** ATOMIC CLUSTERED compaction — the `OPTIMIZE ... ZORDER BY` /
@@ -3846,7 +3908,7 @@ object ManifestedTable {
     val staged = stageFiles(clustered, root, fs)
     publish(fs, root,
       RewriteFiles(baseV, baseLines, files.toSet, "compactClustered",
-        _ => false), staged, meta = eqTombstones,
+        _ => false), staged, metaDrop = eqTombstones.keySet,
       metaGuard = prevMeta => {
         val now = eqDeletesOf(prevMeta).map(_.seq).toSet
         val absorbed = eqTombstones.keySet
