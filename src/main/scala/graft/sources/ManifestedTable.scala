@@ -1405,9 +1405,15 @@ object ManifestedTable {
     * find-touched CHEAP on a clustered layout: a key-local DML opens
     * the files whose range it hits, not the table.
     */
+  /** `boundsRow`, when given, carries precomputed per-key (min, max)
+    * pairs at positions (2i, 2i+1) — what lets [[merge]] fold this
+    * aggregate into the action it already runs for the cardinality
+    * check instead of paying a separate job for the bounds.
+    */
   private def pruneByKeyBounds(entries0: Seq[(String, FileStats)],
       probe: DataFrame, keys: Seq[String],
-      epochs: Seq[Map[Int, String]] = Nil): Seq[String] = {
+      epochs: Seq[Map[Int, String]] = Nil,
+      boundsRow: Option[org.apache.spark.sql.Row] = None): Seq[String] = {
     import org.apache.spark.sql.types._
     // translate per-file stats to CURRENT names first: a renamed key
     // column still prunes through its old token, and a file that
@@ -1416,7 +1422,8 @@ object ManifestedTable {
     val aggCols = keys.flatMap(k => Seq(
       org.apache.spark.sql.functions.min(col(k)),
       org.apache.spark.sql.functions.max(col(k))))
-    val row = probe.agg(aggCols.head, aggCols.tail: _*).head()
+    val row = boundsRow.getOrElse(
+      probe.agg(aggCols.head, aggCols.tail: _*).head())
     val schema = probe.schema
     val refuters: Seq[FileStats => Boolean] =
       keys.zipWithIndex.flatMap { case (k, i) =>
@@ -1539,6 +1546,66 @@ object ManifestedTable {
       headMetaOf(fs, root, branch).get(ManifestPartitions.SpecsKey))
     specs.lastOption.filter(_.nonEmpty).map(ts =>
       (specs.size - 1, ManifestPartitions.encodeSpec(ts)))
+  }
+
+  /** Per-subset schema-inference shortcut: the Spark-written schema
+    * embedded in each footer (`org.apache.spark.sql.parquet.row.
+    * metadata` — every staged file is written by Spark, so it is
+    * always there) when EVERY file in the subset carries the same one;
+    * None on any disagreement, missing key, unreadable footer, or a
+    * subset too large to footer-scan on the driver (at 100 TB a
+    * snapshot read must keep using Spark's distributed inference — the
+    * driver must not do O(table) IO, guide §5; the cap covers the
+    * commit-sized subsets where the per-plan inference job is pure
+    * fixed cost). Nullable-forced to match what inference returns for
+    * a file relation.
+    */
+  private val EmbeddedSchemaMaxFiles = 64
+  private def embeddedSchema(spark: SparkSession, root: Path,
+      rels: Seq[String]): Option[StructType] = {
+    if (rels.isEmpty || rels.size > EmbeddedSchemaMaxFiles) return None
+    val key = "org.apache.spark.sql.parquet.row.metadata"
+    val conf = spark.sessionState.newHadoopConf()
+    def one(rel: String): Option[StructType] =
+      try {
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(root, rel), conf))
+        try Option(r.getFooter.getFileMetaData.getKeyValueMetaData.get(key))
+          .flatMap(j => scala.util.Try(
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[StructType]).toOption)
+        finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val schemas: Seq[Option[StructType]] =
+      if (rels.size <= 2) rels.map(one)
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(16, rels.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(rels.map(rel =>
+            new java.util.concurrent.Callable[Option[StructType]] {
+              override def call(): Option[StructType] = one(rel)
+            }).asJava).asScala.map(_.get()).toSeq
+        } finally pool.shutdown()
+      }
+    // file-relation outputs are always nullable (what inference
+    // returns); StructType.asNullable is private[sql], so force it here
+    def nn(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = nn(f.dataType), nullable = true)))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.copy(elementType = nn(at.elementType), containsNull = true)
+      case mt: org.apache.spark.sql.types.MapType =>
+        mt.copy(keyType = nn(mt.keyType), valueType = nn(mt.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+    schemas.head.filter(h => schemas.forall(_.contains(h)))
+      .map(s => nn(s).asInstanceOf[StructType])
   }
 
   private def statLinesRaw(fs: FileSystem, root: Path,
@@ -3073,9 +3140,25 @@ object ManifestedTable {
     // base+pos). rowId forces mergeSchema so a mixed rim/plain file
     // set can't lose the column to first-file schema picking.
     def rd(paths: Seq[String]): DataFrame = {
-      val d0 = spark.read
-        .option("mergeSchema", (mergeSchema || rowId).toString)
-        .parquet(absPaths(root, paths): _*)
+      // KNOWN-SCHEMA fast path: when every file in this subset carries
+      // the same Spark-embedded schema, pass it explicitly — Spark then
+      // skips schema inference entirely, which for a mergeSchema read
+      // is a whole DISTRIBUTED JOB per call (SchemaMergeUtils.
+      // mergeSchemasInParallel: profiled as the per-commit fixed cost
+      // of the CDF path — two inference jobs per commit in
+      // tableChanges) and for a plain read a driver footer pass. The
+      // result is identical by construction: inference over
+      // equal-schema footers returns exactly that schema (merge of
+      // equals), and first-file picking returns the same one; any
+      // disagreement (mixed rim/plain, evolution seams, foreign files)
+      // falls back to Spark's own inference.
+      val known = embeddedSchema(spark, root, paths)
+      val rdr = known match {
+        case Some(s) => spark.read.schema(s)
+        case None =>
+          spark.read.option("mergeSchema", (mergeSchema || rowId).toString)
+      }
+      val d0 = rdr.parquet(absPaths(root, paths): _*)
       if (rowId) {
         if (d0.columns.contains(RowIdCol))
           d0.withColumnRenamed(RowIdCol, "__rowid")
@@ -3095,7 +3178,11 @@ object ManifestedTable {
       if (dirty.isEmpty) None
       else {
         val dvPaths = dirty.flatMap(_._2.dv).distinct
-        val pairs = spark.read.parquet(absPaths(root, dvPaths): _*)
+        val dvRdr = embeddedSchema(spark, root, dvPaths) match {
+          case Some(s) => spark.read.schema(s)
+          case None => spark.read
+        }
+        val pairs = dvRdr.parquet(absPaths(root, dvPaths): _*)
           .select(col("file").as("__file"), col("pos").as("__pos"))
         val d = meta(rd(dirty.map(_._1)))
           .join(pairs, Seq("__file", "__pos"), "left_anti")
@@ -3405,21 +3492,33 @@ object ManifestedTable {
     // NULL-keyed source rows can never match a base row (the semi/anti
     // joins use SQL equality), so each simply inserts — they are
     // exempt from the cardinality rule rather than spuriously grouped
-    // together by groupBy's NULL-bucketing
-    val dupKeys = source
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-    require(dupKeys.isEmpty,
-      "merge source has multiple rows per key — the upsert would be " +
-        "order-dependent (MERGE cardinality violation)")
+    // together by groupBy's NULL-bucketing.
+    // ONE action serves both the cardinality check AND the key bounds
+    // the manifest prune needs (previously two separate jobs, each
+    // paying the full per-action plan/AQE fixed cost): bounds over the
+    // distinct non-null key tuples equal bounds over the rows that can
+    // match — NULL-keyed rows match nothing, and min/max ignore NULLs.
     val srcKeys = source.select(keys.map(col): _*)
     val cols = base.columns.toSeq
+    val kAgg = source
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val kAggCols = keys.flatMap(k =>
+      Seq(org.apache.spark.sql.functions.min(col(k)),
+        org.apache.spark.sql.functions.max(col(k)))) :+
+      org.apache.spark.sql.functions.max(col("__n"))
+    val kRow = kAgg.agg(kAggCols.head, kAggCols.tail: _*).head()
+    require(kRow.isNullAt(2 * keys.size) ||
+        kRow.getLong(2 * keys.size) <= 1L,
+      "merge source has multiple rows per key — the upsert would be " +
+        "order-dependent (MERGE cardinality violation)")
     // find-touched is stats-pruned BEFORE any data IO: only files whose
     // manifest key interval intersects the source's key bounds are
     // scanned for the exact semi join — on a key-clustered layout a
     // key-local delta opens a handful of files, not the table
-    val candidates = pruneByKeyBounds(entries, srcKeys, keys, epochs)
+    val candidates = pruneByKeyBounds(entries, srcKeys, keys, epochs,
+      boundsRow = Some(kRow))
     // matched-hit counts per file in one LIVE pass: find-touched and
     // the MoR split from the same manifest-sized collect
     val matchHits =
