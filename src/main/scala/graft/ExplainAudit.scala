@@ -50,6 +50,10 @@ object ExplainAudit {
     }
     val spark = graft.core.Sessions.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // plan INSPECTION wants the whole string: undo the session default
+    // that bounds per-action plan rendering on the execution hot path
+    // (Sessions.builder's spark.sql.maxPlanStringLength)
+    spark.conf.set("spark.sql.maxPlanStringLength", Int.MaxValue - 15)
     graft.core.Materialize.auditPassthrough = true
     snapshot match {
       case Some((file, sel)) =>

@@ -2649,18 +2649,35 @@ object LlmEntry {
     val docBits = pair.join(tokBits, "tok")
       .groupBy(col("doc_id"))
       .agg(sum(col("k") * col("bits")).as("bits"), sum(col("k")).as("n_toks"))
+    // s2 onward are localCheckpoint FENCES, not persists (the s5
+    // treatment extended upstream): each stage's lineage from here
+    // grows by a window + joins per hop, and EVERY downstream action
+    // (the counts, the 8-branch accounting fan-in, the AQE re-plans of
+    // each) re-planned and re-rendered the whole chain — stack-sampled
+    // gap profiling attributed ~2.3 s/run of q121's driver gaps to
+    // plan treeString/planning work proportional to plan size, not
+    // data. The eager checkpoint materializes exactly like the
+    // count-as-materializer did (A3) and replaces the chain with a
+    // leaf for every later consumer. c0/s1/pair stay persisted: their
+    // lineages are one hop deep, and pair's two consumers (tf,
+    // docBits) want the cache, not a fence. Plan-shape tooling
+    // (ExplainAudit, PlanAuditSpec) flips Materialize.auditPassthrough
+    // so the audited plan keeps every stage's shape visible — the same
+    // passthrough contract Materialize.detached has.
+    def fence(df: DataFrame): DataFrame =
+      if (core.Materialize.auditPassthrough) df else df.localCheckpoint(true)
     val s2 = s1.join(docBits, Seq("doc_id"), "left")
       .filter(coalesce(
         col("bits") * SurprisalFlagDen <= col("n_toks") * SurprisalFlagNum,
         lit(true)))
       .select(col("doc_id"), col("source"), col("text"), col("n_uniq"))
-      .persist(lvl)
+      .transform(fence)
     // stage 3: exact dedup, keep-first on the normalized content hash
     val w3 = Window.partitionBy(col("ch")).orderBy(col("doc_id"))
     val s3 = s2.withColumn("ch", DedupOps.contentHashSpark())
       .withColumn("rk", row_number().over(w3))
       .filter(col("rk") === 1).drop("ch", "rk")
-      .persist(lvl)
+      .transform(fence)
     // shingles are needed by two consumers — stage 4 (survivor dedup)
     // and stage 5 (bench universe) — but NOT by the whole corpus: the
     // bench set is the BenchMod-th of the base docs and the survivors
@@ -2678,7 +2695,7 @@ object LlmEntry {
       .shingled(c0.select(col("doc_id"), col("text")).filter(isBench))
       .persist(lvl)
     val survSh = DedupOps.shingled(s3.select(col("doc_id"), col("text")))
-      .persist(lvl)
+      .transform(fence)
     // stage 4: near dedup over survivors (banded candidates only)
     val sig = DedupOps.signaturesFromShingles(survSh)
     val cand = DedupOps.candidatePairs(DedupOps.lshBucketsFromSig(sig))
@@ -2686,7 +2703,7 @@ object LlmEntry {
       .jaccardVerifyShingled(survSh, cand, JaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()
     val s4 = s3.join(nearDrop, Seq("doc_id"), "left_anti")
-      .persist(lvl)
+      .transform(fence)
     // stage 5: decontamination against the benchmark shingle universe
     // (fixed eval suite: bench docs of the BASE corpus, q89's set)
     val bench = benchSh.select(explode(col("sh")).as("h"))
@@ -2695,13 +2712,12 @@ object LlmEntry {
     val bloom = bench
       .agg(expr(s"bloom_build(h, ${BloomExpected}L, ${BloomFpp}d)"))
       .head().getAs[Array[Byte]](0)
-    // A3 count-as-materializer, stage by stage: the accounting DAG fans
-    // 8 branches into these caches CONCURRENTLY, and a branch that
-    // reaches a not-yet-materialized InMemoryRelation computes its
-    // whole chain itself. Forcing each persisted frame in dependency
-    // order makes every later read a cache hit; each count is one small
-    // job over an already-warm parent.
-    Seq(s1, pair, s2, s3, survSh, s4).foreach(_.count())
+    // A3 materialization discipline, now carried by the checkpoint
+    // fences: s2's eager build populates the c0/s1/pair caches en route
+    // (one single-threaded action — no concurrent first-use), and
+    // s3/survSh/s4 materialize at their own fences, so every frame the
+    // accounting fan-in reads is already warm with no separate
+    // count-as-materializer jobs left to pay.
     val s4sh = survSh.join(s4.select(col("doc_id")), "doc_id")
       .filter(!isBench)
     val suspects = s4sh.filter(size(filter(col("sh"),
@@ -2765,16 +2781,14 @@ object LlmEntry {
         coalesce(col("target_docs"), lit(0L)).as("target_docs"),
         coalesce(col("n_selected"), lit(0L)).as("n_selected"))
     (out, () => {
-      // s5 is localCheckpoint-backed: its executor-local blocks are
-      // reclaimed by the ContextCleaner once the reference drops (the
-      // q35/q36 pattern) — there is no cache entry to unpersist.
+      // s2/s3/survSh/s4/s5 are localCheckpoint-backed: their
+      // executor-local blocks are reclaimed by the ContextCleaner once
+      // the references drop (the q35/q36 pattern) — there is no cache
+      // entry to unpersist, and unpersisting a checkpointed frame
+      // would orphan its truncated lineage.
       targets.unpersist(blocking = false)
-      s4.unpersist(blocking = false)
       bench.unpersist(blocking = false)
       benchSh.unpersist(blocking = false)
-      survSh.unpersist(blocking = false)
-      s3.unpersist(blocking = false)
-      s2.unpersist(blocking = false)
       pair.unpersist(blocking = false)
       s1.unpersist(blocking = false)
       c0.unpersist(blocking = false)

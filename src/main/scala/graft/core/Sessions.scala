@@ -38,6 +38,17 @@ object Sessions {
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
         classOf[NioLocalFs].getName)
       .config("spark.ui.enabled", "false")
+      // Bound the plan STRING the driver renders per action for the SQL
+      // listener event (SparkListenerSQLExecutionStart's
+      // physicalPlanDescription + every AQE plan update): Spark builds
+      // it unconditionally, and on action-dense queries over deep
+      // lineages (q121: 63 actions, multi-MB plans) stack-sampled gap
+      // profiling attributed ~2.3 s/run to treeString/StringConcat
+      // rendering alone. 32 KB keeps real plans readable in the UI /
+      // event log while truncating the monsters; the cost scales with
+      // PLAN size, not data size, so the cap is scale-independent
+      // (at 100 TB the same plans render the same strings).
+      .config("spark.sql.maxPlanStringLength", "32768")
 
   def local(cpus: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()

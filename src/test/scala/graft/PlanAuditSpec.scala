@@ -524,10 +524,17 @@ class PlanAuditSpec extends SparkTestBase {
     // the integration claim: composition must not degrade any stage's
     // plan — the cap still compiles to WindowGroupLimit, the near-dedup
     // candidate join stays banded (equi keys incl. band_key, no nested
-    // loop on the corpus side), and the bench screen joins by broadcast
-    val (df, release) = LlmEntry.curationPlan(spark, sf)
-    val plan = df.queryExecution.executedPlan.toString
-    release()
+    // loop on the corpus side), and the bench screen joins by broadcast.
+    // auditPassthrough keeps the stage shapes visible through the
+    // execution-path localCheckpoint fences (the Materialize contract)
+    val plan =
+      try {
+        graft.core.Materialize.auditPassthrough = true
+        val (df, release) = LlmEntry.curationPlan(spark, sf)
+        val p = df.queryExecution.executedPlan.toString
+        release()
+        p
+      } finally graft.core.Materialize.auditPassthrough = false
     assert(plan.contains("WindowGroupLimit"),
       s"q121 lost the cap's group-limit pushdown:\n${plan.take(800)}")
     assert(!plan.contains("CartesianProduct"),

@@ -9,6 +9,10 @@ object SparkTestBase {
     val s = graft.core.Sessions.builder("local[4]", 4)
       .appName("graft-test").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // tests assert on full plan strings (PlanAuditSpec, LlmOpsSpec) —
+    // undo the session default that bounds per-action plan rendering
+    // on the execution hot path
+    s.conf.set("spark.sql.maxPlanStringLength", Int.MaxValue - 15)
     s
   }
 }
