@@ -209,10 +209,20 @@ object GraphOps {
       .distinct().persist(lvl)
     var it = 0
     while (it < rounds) {
-      val keep = degrees(e).filter(col("deg") >= k)
+      // peel by ANTI-joining the DROPPED nodes instead of semi-joining
+      // the kept ones — same edge set (every endpoint of e appears in
+      // degrees(e), so a ∈ keep ⟺ a ∉ drop; no NULLs on either side),
+      // but the join's build side shrinks from nearly-all nodes to the
+      // few that fall below k each round, which is what lets AQE turn
+      // both joins into broadcasts at runtime: the surviving edge set —
+      // the 100-TB side — stops being exchanged twice per round
+      // (guide §3.1/§2.4). When a pathological round drops a huge node
+      // mass, AQE simply keeps the shuffled join — size-adaptive
+      // either way.
+      val drop = degrees(e).filter(col("deg") < k)
       val next = e
-        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .join(drop.select(col("v").as("a")), Seq("a"), "left_anti")
+        .join(drop.select(col("v").as("b")), Seq("b"), "left_anti")
         .persist(lvl)
       next.count() // materialize before dropping the parent round
       e.unpersist(blocking = false)
