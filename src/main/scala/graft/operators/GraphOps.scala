@@ -117,25 +117,41 @@ object GraphOps {
     * degree ≥ 1 (n_tri = 0 for triangle-free nodes).
     */
   def triangleCounts(edges0: DataFrame): DataFrame = {
+    // e, deg, and o each feed MULTIPLE consumers (deg: the orientation
+    // joins + the final left join; o: w1, w2, and the closing-edge
+    // side), and an executed-plan capture at sf0.1 showed ZERO
+    // ReusedExchange nodes — every consumer recomputed its subtree
+    // from the raw edge self-join (97 independent Exchanges; the r21
+    // round left this alone on the assumption runtime reuse dedupes
+    // them, which the capture refutes). Eager localCheckpoint fences
+    // materialize each shared frame exactly once and hand every
+    // consumer a leaf (guide §2.4): measured 4.0 -> 2.4-2.8 s per run
+    // at sf0.1, identical rows. Plan-shape tooling flips
+    // Materialize.auditPassthrough to keep the full shape visible —
+    // the Materialize.detached contract.
+    def fence(df: DataFrame): DataFrame =
+      if (graft.core.Materialize.auditPassthrough) df
+      else df.localCheckpoint(true)
     // canonical undirected form: a < b, self-loops dropped, multi-edges
     // collapsed (a triangle is a property of the simple graph)
-    val e = edges0.select(
+    val e = fence(edges0.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") < col("b"))
-      .distinct()
-    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .distinct())
+    val deg = fence(
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg")))
     // orient by rank = (deg, id): src = lower rank, dst = higher
     val da = deg.select(col("v").as("a"), col("deg").as("dega"))
     val db = deg.select(col("v").as("b"), col("deg").as("degb"))
     val aLower = col("dega") < col("degb") ||
       (col("dega") === col("degb") && col("a") < col("b"))
-    val o = e.join(da, "a").join(db, "b")
+    val o = fence(e.join(da, "a").join(db, "b")
       .select(
         when(aLower, col("a")).otherwise(col("b")).as("u"),
         when(aLower, col("b")).otherwise(col("a")).as("w"),
-        when(aLower, col("degb")).otherwise(col("dega")).as("degw"))
+        when(aLower, col("degb")).otherwise(col("dega")).as("degw")))
     // wedges from out-neighborhoods, ordered by the same rank so the
     // closing edge (w1 → w2) is oriented exactly when the pair is
     val w1 = o.select(col("u"), col("w").as("w1"), col("degw").as("d1"))
