@@ -235,7 +235,7 @@ object GraphOps {
       // (guide §3.1/§2.4). When a pathological round drops a huge node
       // mass, AQE simply keeps the shuffled join — size-adaptive
       // either way.
-      val drop = degrees(e).filter(col("deg") < k)
+      val drop = degrees(e).filter(col("deg") < k).localCheckpoint(true)
       val next = e
         .join(drop.select(col("v").as("a")), Seq("a"), "left_anti")
         .join(drop.select(col("v").as("b")), Seq("b"), "left_anti")
