@@ -1968,10 +1968,19 @@ object RelEntry {
       val v2 = ManifestedTable.write(v2df, ldir, overwrite = true)
       ManifestedTable.write(ManifestedTable.readAt(s, ldir, v1)
         .repartitionByRange(8, col("o_orderkey")), fdir)
-      val (added, removed) = ManifestedTable.changesBetween(s, ldir, v1, v2)
+      // materialize the change feed ONCE before applying it: merge
+      // consumes its source several times (cardinality+bounds agg,
+      // find-touched semi join, the rewrite union) and deleteMatching
+      // adds two more — each consumption of a raw changesBetween frame
+      // re-ran the whole two-sided exceptAll diff (the q197 lesson,
+      // across DML boundaries). A CDC batch is delta-sized, so the
+      // eager checkpoint is O(changes), never O(table).
+      val (added0, removed0) = ManifestedTable.changesBetween(s, ldir, v1, v2)
+      val added = added0.localCheckpoint(true)
+      val removedKeys = removed0.select("o_orderkey")
+        .except(added.select("o_orderkey")).localCheckpoint(true)
       ManifestedTable.merge(s, fdir, added, Seq("o_orderkey"))
-      ManifestedTable.deleteMatching(s, fdir,
-        removed.select("o_orderkey").except(added.select("o_orderkey")))
+      ManifestedTable.deleteMatching(s, fdir, removedKeys)
       val out = ManifestedTable.read(s, fdir)
       core.Materialize.detached(out) {
         val conf = s.sessionState.newHadoopConf()
