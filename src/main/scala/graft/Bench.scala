@@ -270,17 +270,18 @@ object Bench {
     val retries = retryInfo.result()
     val json = fullJson(results, errors, total, sfDir, runs, setupSec, canary,
       retries)
-    println(json)
-    Files.writeString(Paths.get("bench_result.json"), json + "\n")
-    // FINAL stdout line: the compact form. The driver stores only the
-    // last 2000 chars of stdout (BENCH_r0{1,2,3}.json "tail" is exactly
-    // 2000 chars, cut mid-JSON) — the full-name full-precision line is
-    // several KB and NEVER fits whole. Short qNN keys + integer-ms values
-    // keep this line inside the tail window with room for sbt's
-    // [success] line (guarded by BenchEncodeSpec, degradation order
-    // documented on compactJson).
+    // Line ORDER (r22, per the r21 verdict's differ finding): compact
+    // line FIRST, full-format line LAST. The r21 per-query diff came up
+    // empty because the rounds' artifacts mixed formats; a last-line
+    // parser must see the full-name record, so it now closes stdout.
+    // Both lines carry the same {"metric":...,"queries":...} contract;
+    // the compact one still fits whole inside a bounded tail window
+    // (short qNN keys + integer-ms values, guarded by BenchEncodeSpec),
+    // and bench_result.json keeps the full-fidelity record either way.
     println(compactJson(results, errors.size, total, sfDir, runs, setupSec,
       canary, retries))
+    Files.writeString(Paths.get("bench_result.json"), json + "\n")
+    println(json)
     System.out.flush()
     // A session with ANY erroring query must not exit 0 — round 11
     // published rc:0 beside errors:7, so anything gating on exit status
